@@ -1,0 +1,222 @@
+"""Demo model over the driver's TPC-H-ish testdata
+(/root/testdata/sf*/ — see TESTDATA.md).
+
+A snowflake: ``lineitem`` fact → ``orders`` → ``customer`` →
+``nation`` → ``region``, plus ``part`` and ``supplier`` (role-playing
+``nation``/``region`` reachable from both customer and supplier via
+aliased joins).  The ``date`` dimension is *virtual*: level keys map to
+``extract`` date-parts of ``l_shipdate`` (parity with the reference's
+mapping ``extract`` feature, /root/reference/cubes/sql/query.py:43-52).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from cubes_spark.sources.workspace import Workspace
+
+TPCH_MODEL = {
+    "dimensions": [
+        {
+            "name": "date",
+            "role": "time",
+            "levels": [
+                {"name": "year", "attributes": ["year"], "role": "year"},
+                {"name": "month", "attributes": ["month"], "role": "month"},
+                {"name": "day", "attributes": ["day"], "role": "day"},
+            ],
+            "hierarchies": [
+                {"name": "default", "levels": ["year", "month", "day"]},
+                {"name": "ym", "levels": ["year", "month"]},
+            ],
+        },
+        {
+            "name": "customer_geo",
+            "levels": [
+                {"name": "region",
+                 "attributes": ["region_key", "region_name"],
+                 "key": "region_key", "label_attribute": "region_name"},
+                {"name": "nation",
+                 "attributes": ["nation_key", "nation_name"],
+                 "key": "nation_key", "label_attribute": "nation_name"},
+                {"name": "customer",
+                 "attributes": ["customer_key", "customer_name", "mktsegment"],
+                 "key": "customer_key", "label_attribute": "customer_name",
+                 "cardinality": "high"},
+            ],
+            "hierarchies": [
+                {"name": "default", "levels": ["region", "nation", "customer"]},
+                {"name": "nation_only", "levels": ["nation"]},
+            ],
+        },
+        {
+            "name": "supplier_geo",
+            "levels": [
+                {"name": "region",
+                 "attributes": ["region_key", "region_name"],
+                 "key": "region_key", "label_attribute": "region_name"},
+                {"name": "nation",
+                 "attributes": ["nation_key", "nation_name"],
+                 "key": "nation_key", "label_attribute": "nation_name"},
+                {"name": "supplier",
+                 "attributes": ["supplier_key", "supplier_name"],
+                 "key": "supplier_key", "label_attribute": "supplier_name",
+                 "cardinality": "high"},
+            ],
+        },
+        {
+            "name": "part",
+            "levels": [
+                {"name": "brand", "attributes": ["brand"]},
+                {"name": "type", "attributes": ["type"]},
+                {"name": "part",
+                 "attributes": ["part_key", "part_name", "size", "retailprice"],
+                 "key": "part_key", "label_attribute": "part_name",
+                 "cardinality": "high"},
+            ],
+        },
+        {
+            "name": "returnflag",
+            "levels": [{"name": "returnflag", "attributes": ["returnflag"]}],
+        },
+        {
+            "name": "linestatus",
+            "levels": [{"name": "linestatus", "attributes": ["linestatus"]}],
+        },
+        {
+            "name": "order",
+            "levels": [
+                {"name": "status", "attributes": ["status"]},
+                {"name": "priority", "attributes": ["priority"]},
+            ],
+            "hierarchies": [
+                {"name": "default", "levels": ["status"]},
+                {"name": "priority", "levels": ["priority"]},
+            ],
+        },
+    ],
+    "cubes": [
+        {
+            "name": "sales",
+            "fact": "lineitem",
+            "key": "fact_key",
+            "dimensions": [
+                "date", "customer_geo", "supplier_geo", "part",
+                "returnflag", "linestatus", "order",
+            ],
+            "measures": [
+                {"name": "quantity"},
+                {"name": "extendedprice"},
+                {"name": "discount"},
+                {"name": "tax"},
+                {"name": "discounted_price",
+                 "expression": "extendedprice * (1 - discount)"},
+                {"name": "charge",
+                 "expression": "extendedprice * (1 - discount) * (1 + tax)"},
+            ],
+            "aggregates": [
+                {"name": "quantity_sum", "function": "sum",
+                 "measure": "quantity"},
+                {"name": "price_sum", "function": "sum",
+                 "measure": "extendedprice"},
+                {"name": "discounted_price_sum", "function": "sum",
+                 "measure": "discounted_price"},
+                {"name": "charge_sum", "function": "sum", "measure": "charge"},
+                {"name": "quantity_avg", "function": "avg",
+                 "measure": "quantity"},
+                {"name": "discount_avg", "function": "avg",
+                 "measure": "discount"},
+                {"name": "price_min", "function": "min",
+                 "measure": "extendedprice"},
+                {"name": "price_max", "function": "max",
+                 "measure": "extendedprice"},
+                {"name": "price_stddev", "function": "stddev",
+                 "measure": "extendedprice"},
+                {"name": "price_variance", "function": "variance",
+                 "measure": "extendedprice"},
+                {"name": "fact_count", "function": "count"},
+                {"name": "price_sma", "function": "sma",
+                 "measure": "price_sum", "window_size": 3},
+                {"name": "price_wma", "function": "wma",
+                 "measure": "price_sum", "window_size": 3},
+                {"name": "price_sms", "function": "sms",
+                 "measure": "price_sum", "window_size": 3},
+                {"name": "price_smstd", "function": "smstd",
+                 "measure": "price_sum", "window_size": 3},
+                {"name": "price_smvar", "function": "smvar",
+                 "measure": "price_sum", "window_size": 3},
+                {"name": "price_smrsd", "function": "smrsd",
+                 "measure": "price_sum", "window_size": 3},
+            ],
+            "mappings": {
+                # fact measures / key
+                "fact_key": "lineitem.l_orderkey",
+                "quantity": "lineitem.l_quantity",
+                "extendedprice": "lineitem.l_extendedprice",
+                "discount": "lineitem.l_discount",
+                "tax": "lineitem.l_tax",
+                # virtual time dimension via extract()
+                "date.year": {"table": "lineitem", "column": "l_shipdate",
+                              "extract": "year"},
+                "date.month": {"table": "lineitem", "column": "l_shipdate",
+                               "extract": "month"},
+                "date.day": {"table": "lineitem", "column": "l_shipdate",
+                             "extract": "day"},
+                # flat fact dims
+                "returnflag.returnflag": "lineitem.l_returnflag",
+                "linestatus.linestatus": "lineitem.l_linestatus",
+                # order dimension
+                "order.status": "orders.o_orderstatus",
+                "order.priority": "orders.o_orderpriority",
+                # customer geo snowflake
+                "customer_geo.customer_key": "customer.c_custkey",
+                "customer_geo.customer_name": "customer.c_name",
+                "customer_geo.mktsegment": "customer.c_mktsegment",
+                "customer_geo.nation_key": "cust_nation.n_nationkey",
+                "customer_geo.nation_name": "cust_nation.n_name",
+                "customer_geo.region_key": "cust_region.r_regionkey",
+                "customer_geo.region_name": "cust_region.r_name",
+                # supplier geo snowflake (role-playing nation/region)
+                "supplier_geo.supplier_key": "supplier.s_suppkey",
+                "supplier_geo.supplier_name": "supplier.s_name",
+                "supplier_geo.nation_key": "supp_nation.n_nationkey",
+                "supplier_geo.nation_name": "supp_nation.n_name",
+                "supplier_geo.region_key": "supp_region.r_regionkey",
+                "supplier_geo.region_name": "supp_region.r_name",
+                # part
+                "part.part_key": "part.p_partkey",
+                "part.part_name": "part.p_name",
+                "part.brand": "part.p_brand",
+                "part.type": "part.p_type",
+                "part.size": "part.p_size",
+                "part.retailprice": "part.p_retailprice",
+            },
+            "joins": [
+                {"master": "lineitem.l_orderkey",
+                 "detail": "orders.o_orderkey"},
+                {"master": "orders.o_custkey",
+                 "detail": "customer.c_custkey"},
+                {"master": "customer.c_nationkey",
+                 "detail": "nation.n_nationkey", "alias": "cust_nation"},
+                {"master": "cust_nation.n_regionkey",
+                 "detail": "region.r_regionkey", "alias": "cust_region"},
+                {"master": "lineitem.l_suppkey",
+                 "detail": "supplier.s_suppkey"},
+                {"master": "supplier.s_nationkey",
+                 "detail": "nation.n_nationkey", "alias": "supp_nation"},
+                {"master": "supp_nation.n_regionkey",
+                 "detail": "region.r_regionkey", "alias": "supp_region"},
+                {"master": "lineitem.l_partkey",
+                 "detail": "part.p_partkey"},
+            ],
+        },
+    ],
+}
+
+
+def tpch_workspace(spark, sf_dir: str,
+                   naming: Optional[dict] = None) -> Workspace:
+    """Workspace with the TPC-H demo model bound to `sf_dir` parquet."""
+    ws = Workspace(spark, store=sf_dir, naming=naming)
+    ws.import_model(TPCH_MODEL)
+    return ws

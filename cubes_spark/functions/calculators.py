@@ -1,0 +1,178 @@
+"""Window post-calculators: sma/wma/sms/smstd/smvar/smrsd.
+
+Parity: /root/reference/cubes/query/statutils.py — the reference
+computes these client-side in Python, streaming over the drilldown
+result (dispatch table 210-229, window machinery 96-205).  We compute
+them *natively* inside the same Spark plan with Window functions —
+identical semantics, no driver-side loop, scales with the cluster.
+
+Semantics preserved (for oracle parity):
+
+* Window is the last `window_size` values, per partition, in the
+  result's natural order (expanding until full — fewer than N values
+  still compute, statutils.py:196-205).
+* Partition key: the split column if present, NOTHING else when the
+  aggregate has `window_size` set (statutils.py:104-119 — drilldown
+  keys partition only in the legacy `aggregation_units` path).
+* Null source values are skipped, not counted (statutils.py:192-194).
+  Spark's built-in window aggregates ignore nulls inside the frame,
+  which matches when the frame is full of non-nulls; `collect_list`
+  (used for wma) skips nulls exactly like the reference deque.
+* Roundings: sma→2, wma→4, sms→none, smstd→2, smvar→2, smrsd→4
+  (statutils.py:54-94); n<2 variance is 0, mean≤0 relative stdev is 0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+__all__ = [
+    "CALCULATED_AGGREGATIONS",
+    "available_calculators",
+    "calculators_for_aggregates",
+    "apply_window_calculators",
+    "calculate_scalar",
+]
+
+
+def _wma_column(source: Column, w: WindowSpec) -> Column:
+    """Weighted moving average, weights 1..n oldest→newest
+    (parity: statutils.py:54-62)."""
+    vals = F.collect_list(source).over(w)
+    n = F.size(vals)
+    weighted = F.aggregate(
+        F.zip_with(
+            vals,
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda v, i: v.cast("double") * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = (n * (n + F.lit(1))).cast("double") / F.lit(2.0)
+    return F.round(weighted / denom, 4)
+
+
+def _sma_column(source: Column, w: WindowSpec) -> Column:
+    return F.round(F.avg(source).over(w), 2)
+
+
+def _sms_column(source: Column, w: WindowSpec) -> Column:
+    return F.sum(source).over(w)
+
+
+def _smstd_column(source: Column, w: WindowSpec) -> Column:
+    # n < 2 → 0 (parity: statutils.py:73-82)
+    return F.round(F.coalesce(F.stddev_samp(source).over(w), F.lit(0.0)), 2)
+
+
+def _smvar_column(source: Column, w: WindowSpec) -> Column:
+    return F.round(F.coalesce(F.var_samp(source).over(w), F.lit(0.0)), 2)
+
+
+def _smrsd_column(source: Column, w: WindowSpec) -> Column:
+    """sqrt(var)/mean, 0 when mean <= 0 (parity: statutils.py:84-86)."""
+    mean = F.avg(source).over(w)
+    std = F.coalesce(F.stddev_samp(source).over(w), F.lit(0.0))
+    return F.when(mean > 0, F.round(std / mean, 4)).otherwise(F.lit(0.0))
+
+
+#: function name → Column builder (source, window_spec) -> Column
+CALCULATED_AGGREGATIONS: Dict[str, Callable[[Column, WindowSpec], Column]] = {
+    "wma": _wma_column,
+    "sma": _sma_column,
+    "sms": _sms_column,
+    "smstd": _smstd_column,
+    "smvar": _smvar_column,
+    "smrsd": _smrsd_column,
+}
+
+CALCULATOR_LABELS = {
+    "wma": "Weighted Moving Avg. of {measure}",
+    "sma": "Simple Moving Avg. of {measure}",
+    "sms": "Simple Moving Sum of {measure}",
+    "smstd": "Moving Std. Deviation of {measure}",
+    "smrsd": "Moving Relative St. Dev. of {measure}",
+    "smvar": "Moving Variance of {measure}",
+}
+
+
+def available_calculators() -> list:
+    """Parity: statutils.py:231-233."""
+    return list(CALCULATED_AGGREGATIONS.keys())
+
+
+def calculators_for_aggregates(cube: Any, aggregates: Sequence,
+                               drilldown: Any = None,
+                               split: Any = None) -> list:
+    """Return (aggregate, source_ref, function_name, window_size) specs
+    for post-calculated aggregates (parity: statutils.py:19-52)."""
+    specs = []
+    for aggregate in aggregates:
+        if aggregate.function in CALCULATED_AGGREGATIONS:
+            if not aggregate.measure:
+                raise ValueError(
+                    f"No measure specified for aggregate '{aggregate.name}'"
+                )
+            source = cube.aggregate(aggregate.measure)
+            window_size = aggregate.window_size or 1
+            specs.append((aggregate, source.ref, aggregate.function, window_size))
+    return specs
+
+
+def apply_window_calculators(
+    df: DataFrame,
+    specs: Sequence[Tuple[Any, str, str, int]],
+    order_by: Sequence[Column],
+    partition_by: Optional[Sequence[Column]] = None,
+) -> DataFrame:
+    """Add post-calculated aggregate columns to the drilldown result.
+
+    `order_by` is the result's natural order; `partition_by` is the
+    split column (and nothing else — see module docstring).
+    """
+    new_cols: Dict[str, Column] = {}
+    for aggregate, source_ref, fname, window_size in specs:
+        w = Window.orderBy(*order_by)
+        if partition_by:
+            w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        w = w.rowsBetween(-(window_size - 1), 0)
+        builder = CALCULATED_AGGREGATIONS[fname]
+        new_cols[aggregate.name] = builder(F.col(f"`{source_ref}`"), w)
+    if not new_cols:
+        return df
+    return df.withColumns(new_cols)
+
+
+def calculate_scalar(fname: str, values: List[float]) -> Optional[float]:
+    """Apply a calculator to a plain list of values — used for the
+    summary row, which the reference feeds through the same stream
+    (parity: query/browser.py:169-173)."""
+    import math
+
+    values = [v for v in values if v is not None]
+    if not values:
+        return None
+    n = len(values)
+    if fname == "sma":
+        return round(sum(float(v) for v in values) / n, 2)
+    if fname == "sms":
+        return sum(values)
+    if fname == "wma":
+        denom = n * (n + 1) / 2
+        total = sum(float(v) * (i + 1) for i, v in enumerate(values))
+        return round(total / denom, 4)
+    mean = sum(float(v) for v in values) / n
+    var = 0.0
+    if n >= 2:
+        var = sum((float(v) - mean) ** 2 for v in values) / (n - 1)
+    if fname == "smvar":
+        return round(var, 2)
+    if fname == "smstd":
+        return round(math.sqrt(var), 2)
+    if fname == "smrsd":
+        return round(math.sqrt(var) / mean, 4) if mean > 0 else 0
+    raise KeyError(fname)

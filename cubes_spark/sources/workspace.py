@@ -1,0 +1,270 @@
+"""Workspace: SparkSession + model registry + table catalog.
+
+Parity: /root/reference/cubes/workspace.py:55-657 (Workspace),
+/root/reference/cubes/metadata/providers.py:156-432 (model provider,
+dimension templates, cube linking), /root/reference/cubes/sql/store.py
+(store = connection + naming; here a store is a directory of parquet
+files or any ``{name: DataFrame}`` mapping).
+
+The reference resolves stores via config files and SQLAlchemy engine
+URLs; here a *store* is a table catalog for Spark:
+
+* :class:`ParquetStore` — lazily reads ``<dir>/<table>.parquet``
+* any dict ``{name: DataFrame}`` works as well
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cubes_spark.errors import (
+    ArgumentError,
+    ModelError,
+    NoSuchCubeError,
+    NoSuchDimensionError,
+    StoreError,
+)
+from cubes_spark.metadata.cube import Cube
+from cubes_spark.metadata.dimension import Dimension
+from cubes_spark.operators.browser import SparkBrowser
+from cubes_spark.plans.mapper import Naming, distill_naming
+
+__all__ = ["Workspace", "ParquetStore", "read_model", "default_session"]
+
+
+def default_session(app_name: str = "cubes_spark",
+                    shuffle_partitions: Optional[int] = None) -> SparkSession:
+    """SparkSession with scale-appropriate defaults.
+
+    AQE on: runtime shuffle-partition coalescing, skew-join splitting
+    and dynamic broadcast conversion — the knobs that make one config
+    work from sf0.001 local tests to a 1000-executor cluster.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+class ParquetStore:
+    """Lazily-loading table catalog over a directory of parquet files
+    (the Spark analogue of the reference's SQL store,
+    /root/reference/cubes/sql/store.py:111-179)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 naming: Optional[dict] = None) -> None:
+        self.spark = spark
+        self.path = path
+        self.naming = distill_naming(naming or {})
+        self._cache: Dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            location = os.path.join(self.path, f"{name}.parquet")
+            if not os.path.exists(location):
+                raise StoreError(
+                    f"No parquet table '{name}' in store at {self.path}"
+                )
+            self._cache[name] = self.spark.read.parquet(location)
+        return self._cache[name]
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.table(name)
+
+    def __contains__(self, name: str) -> bool:
+        return (
+            name in self._cache
+            or os.path.exists(os.path.join(self.path, f"{name}.parquet"))
+        )
+
+    def list_tables(self) -> list:
+        """Schema inspection (parity: sql/store.py:631-661)."""
+        names = []
+        for entry in sorted(os.listdir(self.path)):
+            if entry.endswith(".parquet"):
+                names.append(entry[: -len(".parquet")])
+        return names
+
+    def keys(self) -> list:
+        return self.list_tables()
+
+
+def read_model(metadata: Any) -> dict:
+    """Load model metadata from a dict, JSON file path or directory."""
+    if isinstance(metadata, dict):
+        return metadata
+    if isinstance(metadata, str):
+        if os.path.isdir(metadata):
+            path = os.path.join(metadata, "model.json")
+        else:
+            path = metadata
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+    raise ArgumentError(f"Unknown model metadata: {metadata!r}")
+
+
+class Workspace:
+    """Model registry + browser factory.
+
+    Usage::
+
+        spark = default_session()
+        ws = Workspace(spark, store="/root/testdata/sf0.01")
+        ws.import_model(model_dict_or_path)
+        browser = ws.browser("sales")
+        result = browser.aggregate(cell="date:1995", drilldown=["date:month"])
+    """
+
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        store: Any = None,
+        model: Any = None,
+        naming: Optional[dict] = None,
+    ) -> None:
+        self.spark = spark or default_session()
+        self.naming = Naming(naming or {})
+
+        self._dimensions: Dict[str, Dimension] = {}
+        self._cubes: Dict[str, Cube] = {}
+        self._tables: Dict[str, DataFrame] = {}
+        self.store: Optional[ParquetStore] = None
+
+        if store is not None:
+            self.set_store(store)
+        if model is not None:
+            self.import_model(model)
+
+    # -- stores / tables ---------------------------------------------------
+
+    def set_store(self, store: Any) -> None:
+        if isinstance(store, str):
+            self.store = ParquetStore(self.spark, store, self.naming)
+        elif isinstance(store, ParquetStore):
+            self.store = store
+        elif isinstance(store, dict):
+            self._tables.update(store)
+        else:
+            raise ArgumentError(f"Unknown store: {store!r}")
+
+    def add_table(self, name: str, df: DataFrame) -> None:
+        self._tables[name] = df
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._tables:
+            return self._tables[name]
+        if self.store is not None and name in self.store:
+            return self.store.table(name)
+        raise StoreError(f"Unknown table '{name}'")
+
+    def tables_for_cube(self, cube: Cube) -> Dict[str, DataFrame]:
+        """Collect the DataFrames a cube's star needs (fact + all join
+        details)."""
+        names = set()
+        aliases = set()
+        fact = cube.fact or self.naming.fact_table_name(cube.name)
+        names.add(fact)
+        for join in cube.joins or []:
+            if isinstance(join, dict):
+                detail = join.get("detail")
+                alias = join.get("alias")
+            else:
+                detail = join[1]
+                alias = join[2] if len(join) > 2 else None
+            if alias:
+                aliases.add(alias)
+            if isinstance(detail, str):
+                names.add(detail.split(".")[-2] if detail.count(".") >= 1
+                          else detail)
+            elif isinstance(detail, dict):
+                names.add(detail["table"])
+        # also tables referenced in explicit mappings (skip join aliases)
+        for mapping in (cube.mappings or {}).values():
+            if isinstance(mapping, str):
+                parts = mapping.split(".")
+                if len(parts) >= 2:
+                    names.add(parts[-2])
+            elif isinstance(mapping, dict) and mapping.get("table"):
+                names.add(mapping["table"])
+        return {name: self.table(name) for name in names if name not in aliases}
+
+    # -- model -------------------------------------------------------------
+
+    def import_model(self, metadata: Any) -> None:
+        """Load dimensions and cubes from model metadata.  Dimension
+        ``template`` references resolve against previously loaded
+        dimensions (parity: providers.py:156-432)."""
+        metadata = read_model(metadata)
+
+        for dim_md in metadata.get("dimensions", []):
+            dim = Dimension.from_metadata(dim_md, templates=self._dimensions)
+            self._dimensions[dim.name] = dim
+
+        for cube_md in metadata.get("cubes", []):
+            cube = Cube.from_metadata(cube_md)
+            for link in cube.dimension_links:
+                name = link["name"]
+                try:
+                    dim = self._dimensions[name]
+                except KeyError:
+                    # implicit flat dimension from a bare name
+                    dim = Dimension.from_metadata(name)
+                    self._dimensions.setdefault(name, dim)
+                cube.link_dimension(dim)
+            self._cubes[cube.name] = cube
+
+    def add_cube(self, cube: Cube) -> None:
+        self._cubes[cube.name] = cube
+
+    def add_dimension(self, dimension: Dimension) -> None:
+        self._dimensions[dimension.name] = dimension
+
+    def cube(self, name: str) -> Cube:
+        try:
+            return self._cubes[name]
+        except KeyError:
+            raise NoSuchCubeError(name=name)
+
+    def dimension(self, name: str) -> Dimension:
+        try:
+            return self._dimensions[name]
+        except KeyError:
+            raise NoSuchDimensionError(name=name)
+
+    def list_cubes(self) -> list:
+        return [
+            {
+                "name": cube.name,
+                "label": cube.label,
+                "category": cube.category,
+                "info": cube.info,
+            }
+            for cube in self._cubes.values()
+        ]
+
+    # -- browsing ------------------------------------------------------------
+
+    def browser(self, cube: Any, locale: Optional[str] = None,
+                **options: Any) -> SparkBrowser:
+        if isinstance(cube, str):
+            cube = self.cube(cube)
+        tables = self.tables_for_cube(cube)
+        return SparkBrowser(
+            cube, tables, locale=locale, naming=self.naming, **options
+        )

@@ -109,6 +109,8 @@ TPCH_MODEL = {
                 {"name": "extendedprice"},
                 {"name": "discount"},
                 {"name": "tax"},
+                {"name": "partkey"},
+                {"name": "suppkey"},
                 {"name": "discounted_price",
                  "expression": "extendedprice * (1 - discount)"},
                 {"name": "charge",
@@ -135,6 +137,10 @@ TPCH_MODEL = {
                 {"name": "price_variance", "function": "variance",
                  "measure": "extendedprice"},
                 {"name": "fact_count", "function": "count"},
+                {"name": "part_count_distinct", "function": "count_distinct",
+                 "measure": "partkey"},
+                {"name": "supp_count_distinct", "function": "count_distinct",
+                 "measure": "suppkey"},
                 {"name": "price_sma", "function": "sma",
                  "measure": "price_sum", "window_size": 3},
                 {"name": "price_wma", "function": "wma",
@@ -155,6 +161,8 @@ TPCH_MODEL = {
                 "extendedprice": "lineitem.l_extendedprice",
                 "discount": "lineitem.l_discount",
                 "tax": "lineitem.l_tax",
+                "partkey": "lineitem.l_partkey",
+                "suppkey": "lineitem.l_suppkey",
                 # virtual time dimension via extract()
                 "date.year": {"table": "lineitem", "column": "l_shipdate",
                               "extract": "year"},

@@ -1,0 +1,195 @@
+"""Native OLAP extensions: rollup / cube / grouping sets, crosstab
+pivot, and materialization sinks.
+
+The reference has *no* native GROUPING SETS — one cuboid per query;
+`create_cube_aggregate` materializes only the full-grain cuboid
+(/root/reference/cubes/sql/store.py:549-628) and `combined_cuboids`
+only enumerates combinations (/root/reference/cubes/query/
+computation.py:15-70).  Spark computes all cuboids in ONE pass with
+partial aggregation — a designed-in upgrade (SURVEY.md §2.4).
+
+The crosstab pivot re-expresses the reference's CrossTableFormatter
+(/root/reference/cubes/formatters.py, ≈200-340) as ``df.pivot`` —
+executed distributed instead of driver-side.
+
+Scale notes: rollup/cube add only a small constant factor over the
+base groupBy (map-side partial aggregation covers every grouping set
+in one shuffle).  For pivot, pass explicit `values` so the planner
+avoids the extra distinct-values job and keeps the plan static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "rollup_aggregate",
+    "cube_aggregate",
+    "grouping_sets_aggregate",
+    "crosstab",
+    "materialize_denormalized",
+    "materialize_aggregate",
+    "combined_cuboids",
+    "combined_levels",
+]
+
+
+def _grouping_id_column(keys: Sequence[str]) -> Column:
+    """Explicit per-key grouping id: sum of grouping(k) * 2^position,
+    most-significant first — portable across engines (DuckDB's
+    GROUPING() composes identically)."""
+    gid: Optional[Column] = None
+    n = len(keys)
+    for i, key in enumerate(keys):
+        bit = F.grouping(F.col(f"`{key}`")).cast("long") * F.lit(2 ** (n - 1 - i))
+        gid = bit if gid is None else gid + bit
+    return gid.alias("grouping_id")
+
+
+def rollup_aggregate(df: DataFrame, keys: Sequence[str],
+                     aggregates: Sequence[Column],
+                     include_grouping_id: bool = True) -> DataFrame:
+    """Hierarchical rollup: one row per prefix of `keys` plus the grand
+    total, in one pass (supersedes per-cuboid queries of the
+    reference)."""
+    grouped = df.rollup(*[F.col(f"`{k}`") for k in keys])
+    cols = list(aggregates)
+    if include_grouping_id:
+        cols = [_grouping_id_column(keys)] + cols
+    return grouped.agg(*cols)
+
+
+def cube_aggregate(df: DataFrame, keys: Sequence[str],
+                   aggregates: Sequence[Column],
+                   include_grouping_id: bool = True) -> DataFrame:
+    """All 2^n cuboids in one pass."""
+    grouped = df.cube(*[F.col(f"`{k}`") for k in keys])
+    cols = list(aggregates)
+    if include_grouping_id:
+        cols = [_grouping_id_column(keys)] + cols
+    return grouped.agg(*cols)
+
+
+def grouping_sets_aggregate(
+    df: DataFrame,
+    grouping_sets: Sequence[Sequence[str]],
+    aggregates: Sequence[str],
+    table_alias: str = "t",
+) -> DataFrame:
+    """GROUP BY GROUPING SETS via Spark SQL on a temp view.
+
+    `aggregates` are SQL aggregate expressions with aliases, e.g.
+    ``["round(sum(price), 2) AS price_sum"]``.
+    """
+    spark = df.sparkSession
+    keys = []
+    for gset in grouping_sets:
+        for key in gset:
+            if key not in keys:
+                keys.append(key)
+    view = f"__gs_{abs(hash(tuple(map(tuple, grouping_sets)))) % 10**8}"
+    df.createOrReplaceTempView(view)
+    sets_sql = ", ".join(
+        "(" + ", ".join(f"`{k}`" for k in gset) + ")" for gset in grouping_sets
+    )
+    key_list = ", ".join(f"`{k}`" for k in keys)
+    agg_list = ", ".join(aggregates)
+    return spark.sql(
+        f"SELECT {key_list}, {agg_list} FROM {view} "
+        f"GROUP BY GROUPING SETS ({sets_sql})"
+    )
+
+
+def crosstab(
+    df: DataFrame,
+    rows: Sequence[str],
+    column: str,
+    value: Column,
+    values: Optional[Sequence[Any]] = None,
+) -> DataFrame:
+    """Pivot `column`'s values into columns, aggregating `value`
+    (parity: CrossTableFormatter — distributed instead of client-side).
+
+    Pass explicit `values` at scale: skips the distinct-scan job and
+    keeps column set stable.
+    """
+    grouped = df.groupBy(*[F.col(f"`{r}`") for r in rows])
+    pivoted = grouped.pivot(column, list(values) if values else None)
+    return pivoted.agg(value)
+
+
+# ---------------------------------------------------------------------------
+# Materialization sinks (parity: sql/store.py:294-370, 549-628)
+# ---------------------------------------------------------------------------
+
+
+def materialize_denormalized(browser: Any, path: str,
+                             mode: str = "overwrite",
+                             partition_by: Optional[Sequence[str]] = None) -> None:
+    """Write the denormalized star to parquet
+    (parity: create_denormalized_view, sql/store.py:294-370).
+
+    `partition_by` should be a low-cardinality dimension ref (e.g. the
+    time dimension's year) so downstream queries get partition pruning.
+    """
+    df = browser.denormalized_dataframe()
+    # logical refs contain dots — parquet field names cannot; translate
+    safe = df.select(
+        *[F.col(f"`{c}`").alias(c.replace(".", "__")) for c in df.columns]
+    )
+    writer = safe.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*[p.replace(".", "__") for p in partition_by])
+    writer.parquet(path)
+
+
+def materialize_aggregate(browser: Any, path: str,
+                          drilldown: Sequence[str],
+                          aggregates: Optional[Sequence[str]] = None,
+                          mode: str = "overwrite") -> None:
+    """Materialize the aggregated cuboid at full drilldown grain
+    (parity: create_cube_aggregate, sql/store.py:549-628)."""
+    df = browser.aggregation_dataframe(drilldown=drilldown,
+                                       aggregates=aggregates)
+    safe = df.select(
+        *[F.col(f"`{c}`").alias(c.replace(".", "__")) for c in df.columns]
+    )
+    safe.write.mode(mode).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Cuboid enumeration (parity: query/computation.py:15-70)
+# ---------------------------------------------------------------------------
+
+
+def combined_cuboids(dimensions: Sequence, required: Optional[Sequence] = None) -> list:
+    """All dimension combinations for pre-aggregation planning
+    (parity: computation.py:15-40)."""
+    from itertools import combinations
+
+    required = tuple(required or ())
+    optional = [d for d in dimensions if d not in required]
+    cuboids = []
+    for n in range(len(optional), -1, -1):
+        for combo in combinations(optional, n):
+            cuboids.append(required + combo)
+    return cuboids
+
+
+def combined_levels(dimensions: Sequence, default_only: bool = False) -> list:
+    """Cartesian product of hierarchy level prefixes per dimension
+    (parity: computation.py:43-70)."""
+    from itertools import product
+
+    groups = []
+    for dim in dimensions:
+        hierarchy = dim.hierarchy()
+        prefixes = [
+            tuple(level.name for level in hierarchy.levels[: i + 1])
+            for i in range(len(hierarchy.levels))
+        ]
+        groups.append(prefixes)
+    return [tuple(combo) for combo in product(*groups)]

@@ -117,6 +117,21 @@ class Cube:
         for dim in dimensions or []:
             self._add_dimension(dim)
 
+        # The fact key is resolvable as an implicit base detail attribute
+        # so fact()/facts(fact_list=...) and key-coalesced counts can pull
+        # it through the attribute closure (parity:
+        # /root/reference/cubes/sql/browser.py:211-232, where the mapper
+        # resolves the key outside the cube's public attribute list).
+        self._implicit_key_attributes: list = []
+        if self.key and not self._has_fact_attribute(self.key):
+            self._implicit_key_attributes = [Attribute(self.key)]
+
+    def _has_fact_attribute(self, name: str) -> bool:
+        for attr in self.details + self.measures:
+            if attr.name == name:
+                return True
+        return False
+
     # -- construction ---------------------------------------------------
 
     @classmethod
@@ -237,13 +252,19 @@ class Cube:
         return (
             self.all_dimension_attributes
             + self.details
+            + self._implicit_key_attributes
             + self.measures
             + self.aggregates
         )
 
     @property
     def all_fact_attributes(self) -> list:
-        return self.all_dimension_attributes + self.details + self.measures
+        return (
+            self.all_dimension_attributes
+            + self.details
+            + self._implicit_key_attributes
+            + self.measures
+        )
 
     @property
     def base_attributes(self) -> list:

@@ -290,13 +290,24 @@ class SparkBrowser:
         order = self.prepare_order(order, aggregates)
         df = self._order_df(df, order, drilldown, bool(split))
         df = self._paginate_df(df, page, page_size)
+        if self.exclude_null_agregates and agg_pairs:
+            # parity: sql/browser.py:454-459,616-618 — the reference drops
+            # NULL-aggregate rows client-side while iterating the final
+            # (already paginated) drilldown result, never the summary.
+            df = df.na.drop(subset=[f"`{n}`" for n, _ in agg_pairs])
 
         # post-calculated aggregates as native window functions
         specs = calculators_for_aggregates(self.cube, aggregates)
         if specs:
-            natural = self._natural_order_columns(drilldown, bool(split))
+            # Window order = effective result order: explicit order columns
+            # first, then natural order (parity: the reference streams
+            # calculators over rows in final result order,
+            # query/browser.py:160-174).
+            window_order = self._order_columns(
+                df.columns, order, drilldown, bool(split)
+            )
             partition = [_qcol(SPLIT_DIMENSION_NAME)] if split else None
-            df = apply_window_calculators(df, specs, natural, partition)
+            df = apply_window_calculators(df, specs, window_order, partition)
         return df
 
     def _aggregation_plan(
@@ -325,6 +336,11 @@ class SparkBrowser:
                     d for d in agg.dependencies
                     if d in {a.ref for a in self.cube.all_fact_attributes}
                 )
+            if not agg.function and not agg.expression:
+                # pre-aggregated (base) aggregate: the physical column of
+                # the same name must be projected so F.sum over it
+                # resolves (reference maps it like any base attribute)
+                attributes.add(agg.name)
 
         context = self.aggregation_context(attributes)
 
@@ -349,6 +365,8 @@ class SparkBrowser:
                 measure_refs.update(
                     d for d in agg.dependencies if d in context.attributes
                 )
+            if not agg.function and not agg.expression:
+                measure_refs.add(agg.name)
         if self.options.get("coalesce_measures") and self.cube.key \
                 and self.cube.key in context.attributes:
             measure_refs.add(self.cube.key)
@@ -373,12 +391,6 @@ class SparkBrowser:
         else:
             df = projected.agg(*[col for _, col in agg_pairs])
 
-        if self.exclude_null_agregates and agg_pairs:
-            # parity: sql/browser.py:454-459,616-618
-            builtin = [
-                name for name, _ in agg_pairs
-            ]
-            df = df.na.drop(subset=[f"`{n}`" for n in builtin])
         return df, group_refs, agg_pairs
 
     def _aggregate_columns(self, aggregates: Sequence,
@@ -434,13 +446,15 @@ class SparkBrowser:
             cols.append(col.desc() if direction == "desc" else col.asc())
         return cols
 
-    def _order_df(self, df: DataFrame, order: Sequence,
-                  drilldown: Drilldown, has_split: bool) -> DataFrame:
-        """Explicit order first, then natural order for remaining keys
+    def _order_columns(self, available_columns: Sequence[str],
+                       order: Sequence, drilldown: Drilldown,
+                       has_split: bool) -> List[Column]:
+        """Effective result order: explicit order first, then split,
+        then natural order for remaining keys
         (parity: sql/utils.py:92-162)."""
         cols: List[Column] = []
         used = set()
-        available = set(df.columns)
+        available = set(available_columns)
         for ref, direction in order or []:
             if ref not in available:
                 continue
@@ -456,6 +470,11 @@ class SparkBrowser:
             col = _qcol(attribute.ref)
             cols.append(col.desc() if direction == "desc" else col.asc())
             used.add(attribute.ref)
+        return cols
+
+    def _order_df(self, df: DataFrame, order: Sequence,
+                  drilldown: Drilldown, has_split: bool) -> DataFrame:
+        cols = self._order_columns(df.columns, order, drilldown, has_split)
         if cols:
             df = df.orderBy(*cols)
         return df
@@ -515,8 +534,9 @@ class SparkBrowser:
 
         specs = calculators_for_aggregates(self.cube, aggregates)
 
-        # summary (parity: sql/browser.py:399-414)
-        if include_summary or not drilldown:
+        # summary (parity: sql/browser.py:399-414; gate mirrors the
+        # reference's `not (drilldown or split)` at sql/browser.py:420)
+        if include_summary or not (drilldown or split):
             summary_df, _, agg_pairs = self._aggregation_plan(
                 cell, aggregates, Drilldown(None, cell), None,
             )
@@ -531,18 +551,44 @@ class SparkBrowser:
                     )
             result.summary = summary
 
-        if drilldown:
-            df = self.aggregation_dataframe(
-                cell, [a.name for a in aggregates], drilldown, split,
-                order=order, page=page, page_size=page_size,
+        if drilldown or split:
+            # Single pass: build the aggregation plan once; the total
+            # cell count and the paginated cells both derive from the
+            # same (persisted) DataFrame — one aggregation job plus a
+            # cheap count over the cached partial, instead of the
+            # reference's two full statements (sql/browser.py:436-451).
+            df, group_refs, agg_pairs = self._aggregation_plan(
+                cell, aggregates, drilldown, split,
             )
+            persisted = False
             if include_cell_count:
-                count_df = self.aggregation_dataframe(
-                    cell, [a.name for a in aggregates], drilldown, split,
-                )
-                result.total_cell_count = count_df.count()
-            result.labels = df.columns
-            result.cells = [row.asDict() for row in df.collect()]
+                df = df.persist()
+                persisted = True
+                result.total_cell_count = df.count()
+            try:
+                order_spec = self.prepare_order(order, aggregates)
+                final = self._order_df(df, order_spec, drilldown, bool(split))
+                final = self._paginate_df(final, page, page_size)
+                if self.exclude_null_agregates and agg_pairs:
+                    # parity: reference drops NULL-aggregate rows while
+                    # iterating the final result (sql/browser.py:616-618),
+                    # after pagination, never the summary or the count
+                    final = final.na.drop(
+                        subset=[f"`{n}`" for n, _ in agg_pairs]
+                    )
+                if specs:
+                    window_order = self._order_columns(
+                        final.columns, order_spec, drilldown, bool(split)
+                    )
+                    partition = [_qcol(SPLIT_DIMENSION_NAME)] if split else None
+                    final = apply_window_calculators(
+                        final, specs, window_order, partition
+                    )
+                result.labels = final.columns
+                result.cells = [row.asDict() for row in final.collect()]
+            finally:
+                if persisted:
+                    df.unpersist()
 
         return result
 
@@ -591,13 +637,17 @@ class SparkBrowser:
         sql/browser.py:234-265).  Returns a DataFrame; call
         ``.collect()``/``.toLocalIterator()`` to stream rows."""
         cell = self.prepare_cell(cell)
-        df = self.denormalized_dataframe(cell, fields)
+        if fact_list is not None and not self.cube.key:
+            raise ArgumentError("Cannot filter fact list: cube has no key")
+        include_key = fact_list is not None
+        df = self.denormalized_dataframe(cell, fields,
+                                         include_fact_key=include_key)
         if fact_list is not None:
-            if not self.cube.key:
-                raise ArgumentError(
-                    "Cannot filter fact list: cube has no key"
-                )
+            # key filter on the statement, before any projection that may
+            # drop the key (parity: sql/browser.py:251-253)
             df = df.filter(_qcol(self.cube.key).isin(fact_list))
+            if fields and self.cube.key not in [str(f) for f in fields]:
+                df = df.drop(self.cube.key)
         order = self.prepare_order(order, [], is_aggregate=False)
         cols = []
         for ref, direction in order:

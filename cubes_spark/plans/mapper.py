@@ -218,6 +218,9 @@ def map_base_attributes(
     """Map all base attributes of `cube`
     (parity: sql/mapper.py:326-338). Returns (fact_name, mappings)."""
     mapper = mapper_class(cube, naming, locale)
-    base = [attr for attr in cube.all_fact_attributes if attr.is_base]
+    # all_attributes (not just fact attributes) so that pre-aggregated
+    # base aggregates — no function, no expression — map to physical
+    # columns too (parity: sql/mapper.py:326-338 maps every base attr)
+    base = [attr for attr in cube.all_attributes if attr.is_base]
     mappings = {attr.ref: mapper[attr] for attr in base}
     return mapper.fact_name, mappings

@@ -1,0 +1,60 @@
+"""LLM training-data pipeline operators.
+
+First-class, scale-oriented operators a large-scale training-data
+pipeline needs on top of the OLAP surface: deduplication (exact,
+MinHash-LSH, SimHash, n-gram Jaccard), embedding similarity search
+(brute-force and LSH-bucketed ANN), text analysis (token counting,
+quality signals, language ID, fingerprinting) and multimodal binary
+column plumbing.
+
+Everything is built from native ``pyspark.sql.functions`` expressions
+(JVM-side, whole-stage codegen) — no Python UDFs in any hot path.  The
+only Pandas-UDF code is the multimodal decode plumbing, whose decode
+step is stubbed (no image/audio libs in this environment) while the
+Spark-side schema/batching is real.
+
+Hashes are *portable*: derived from md5 so a DuckDB/ANSI-SQL oracle can
+reproduce them bit-for-bit (see :func:`cubes_spark.llm.text.hash64`).
+"""
+
+from cubes_spark.llm.text import (
+    hash64,
+    token_array,
+    text_stats,
+    language_id,
+    fingerprint,
+)
+from cubes_spark.llm.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    simhash,
+    simhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
+from cubes_spark.llm.similarity import (
+    cosine_topk,
+    ann_lsh_cosine,
+)
+from cubes_spark.llm.multimodal import (
+    binary_metadata,
+    decode_features,
+)
+
+__all__ = [
+    "hash64",
+    "token_array",
+    "text_stats",
+    "language_id",
+    "fingerprint",
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash",
+    "simhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "ann_lsh_cosine",
+    "binary_metadata",
+    "decode_features",
+]

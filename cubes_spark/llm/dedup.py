@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of this module):
+
+* **Never all-pairs.**  Candidate generation is always a *bucketed
+  equi-join* — identical hash (exact), an equal LSH band (MinHash), or
+  an equal SimHash band (pigeonhole) — so the shuffle is keyed by
+  bucket and the comparison count is sum-of-squares *per bucket*, not
+  N².  At 100 TB the bucket key distributes; a skewed bucket (e.g. the
+  empty document) is bounded by dropping over-full buckets
+  (``max_bucket_size``), the standard LSH skew guard.
+* **Portable hashing** (md5-derived, see ``text.hash64``) so a DuckDB
+  oracle reproduces signatures bit-for-bit.
+* All expressions are native ``pyspark.sql.functions`` — JVM-side,
+  codegen'd, no Python in the row path.
+
+SimHash banding is *exact* for a Hamming-distance threshold: splitting
+``nbits`` into ``d+1`` bands guarantees any pair within distance ``d``
+agrees on at least one full band (pigeonhole), so candidates ⊇ true
+pairs and the final distance filter makes the result identical to the
+all-pairs answer — verified against an all-pairs DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cubes_spark.llm.text import hash64, token_array
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash",
+    "simhash_near_duplicates",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     normalize: bool = True) -> DataFrame:
+    """Exact-duplicate clusters via hash group-by.
+
+    Returns one row per duplicated content: ``(content_hash,
+    cluster_size, canonical_id)`` where ``canonical_id`` is the minimum
+    id of the cluster.  Hash-groupBy is the scalable primitive: one
+    shuffle keyed by a well-distributed 128-bit hash.
+    """
+    text = F.col(text_col)
+    if normalize:
+        text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    hashed = df.select(F.md5(text).alias("content_hash"), F.col(id_col))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+def _shingle_array(text: Column, k: int) -> Column:
+    """Distinct character k-shingles of normalized text (array<string>).
+
+    DuckDB: ``list_distinct(list_transform(generate_series(1,
+    greatest(len(t)-k+1, 1)), i -> substr(t, i, k)))``.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    n = F.greatest(F.length(normalized) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: normalized.substr(i, F.lit(k)))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = 16,
+                       shingle_k: int = 5) -> DataFrame:
+    """MinHash signature per document: for hash function ``i``,
+    ``sig[i] = min over shingles s of hash64(concat(i, ':', s))``.
+
+    Returns ``(id, sig)`` with ``sig: array<bigint>`` of length
+    ``num_hashes``.  Entirely JVM-side per-row work — embarrassingly
+    parallel, no shuffle.
+    """
+    shingles = _shingle_array(F.col(text_col), shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: hash64(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_hashes: int = 16,
+                            bands: int = 4,
+                            shingle_k: int = 5,
+                            min_est_jaccard: Optional[float] = None,
+                            max_bucket_size: Optional[int] = None) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    a pair is a candidate iff some band hashes equal.  The join is a
+    bucketed self-join on ``(band_id, band_hash)`` — never all-pairs.
+    Output: ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``,
+    ``est_jaccard`` = fraction of equal signature components, optionally
+    filtered to ``>= min_est_jaccard``.
+    """
+    rows = num_hashes // bands
+    if rows * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                b.cast("string"),
+                F.slice(F.col("sig"), b * rows + 1, rows).cast("array<string>"),
+            )
+        ),
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("sig"),
+        F.posexplode(band_arr).alias("band_id", "band_hash"),
+    )
+    if max_bucket_size is not None:
+        counts = banded.groupBy("band_id", "band_hash") \
+            .agg(F.count(F.lit(1)).alias("__n__")) \
+            .filter(F.col("__n__") <= max_bucket_size) \
+            .drop("__n__")
+        banded = banded.join(counts, ["band_id", "band_hash"])
+
+    left = banded.select(
+        F.col("band_id"), F.col("band_hash"),
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band_id"), F.col("band_hash"),
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                       lambda a, b: F.when(a == b, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    result = pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    if min_est_jaccard is not None:
+        result = result.filter(F.col("est_jaccard") >= min_est_jaccard)
+    return result
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            nbits: int = 48, out_col: str = "simhash") -> DataFrame:
+    """Per-document SimHash over whitespace tokens (with multiplicity).
+
+    Bit ``b`` of the fingerprint is 1 iff the majority of token hashes
+    have bit ``b`` set (sum of ±1 votes > 0).  ``nbits <= 60`` since
+    token hashes are 60-bit (15 hex digits of md5).
+    """
+    tokens = token_array(F.lower(F.col(text_col)))
+    token_hashes = F.transform(tokens, lambda t: hash64(t))
+    def vote_merge(b):
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    fingerprint = F.lit(0).cast("long")
+    for b in range(nbits):
+        vote = F.aggregate(token_hashes, F.lit(0), vote_merge(b))
+        fingerprint = fingerprint + F.when(
+            vote > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), F.col(text_col),
+                     fingerprint.alias(out_col))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            nbits: int = 48,
+                            max_distance: int = 3) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= ``max_distance`` —
+    computed via *exact* multi-band LSH, never all-pairs.
+
+    The fingerprint is split into ``max_distance + 1`` bands; by
+    pigeonhole any pair within the distance agrees on >= 1 full band,
+    so the banded self-join is a lossless candidate generator and the
+    final ``bit_count(xor) <= d`` filter makes the result identical to
+    the quadratic answer.  Output ``(id_a, id_b, distance)``.
+    """
+    bands = max_distance + 1
+    width = nbits // bands
+    sh = simhash(df, text_col, id_col, nbits=nbits).drop(text_col)
+
+    # last band absorbs the remainder bits when bands don't divide nbits
+    band_exprs = []
+    for b in range(bands):
+        start = b * width
+        w = width if b < bands - 1 else nbits - start
+        band_exprs.append(
+            F.shiftright(F.col("simhash"), start)
+            .bitwiseAND(F.lit((1 << w) - 1))
+        )
+    band_arr = F.array(*band_exprs)
+
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(band_arr).alias("band_id", "band_val"),
+    )
+    left = banded.select("band_id", "band_val",
+                         F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sh_a"))
+    right = banded.select("band_id", "band_val",
+                          F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sh_b"))
+    distance = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", distance.alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+def ngram_jaccard_pairs(candidates: DataFrame, docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 5,
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs ``(id_a, id_b)``.
+
+    The verify step after LSH candidate generation: joins the candidate
+    edge list (small) against per-document shingle sets and computes
+    ``|A ∩ B| / |A ∪ B|`` with array intrinsics.  Cost is
+    O(candidates), not O(N²).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        _shingle_array(F.col(text_col), shingle_k).alias("__sh__"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")) \
+        .otherwise(F.lit(0.0))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,160 @@
+"""Text analysis operators: token counting, quality signals,
+language ID, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side).
+Every definition here is deliberately reproducible in ANSI-ish SQL so a
+DuckDB oracle can verify it; the DuckDB equivalent is noted per
+function.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash64",
+    "token_array",
+    "text_stats",
+    "language_id",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+#: Whitespace tokenizer pattern (identical semantics in Spark / DuckDB /
+#: RE2 / Java regex).
+WS = r"\s+"
+
+#: Punctuation class used for quality ratios — an explicit set so both
+#: regex dialects agree (no [[:punct:]] portability trap).
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}<>/@#$%^&*_+=~`|\\-]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small and fixed: the oracle SQL inlines them.
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "es"],
+}
+
+
+def hash64(col: Column, nhex: int = 15) -> Column:
+    """Portable 4*nhex-bit non-negative hash of a string column.
+
+    First ``nhex`` hex digits of md5, parsed as an integer.  DuckDB
+    equivalent::
+
+        CAST(concat('0x', substr(md5(x), 1, nhex)) AS BIGINT)
+
+    md5 is available everywhere and byte-stable, unlike engine-native
+    hashes (Spark xxhash64 vs DuckDB hash are incompatible).  15 hex
+    digits = 60 bits, always positive in an int64.
+    """
+    return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("long")
+
+
+def token_array(text: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty array for blank text.
+
+    DuckDB: ``CASE WHEN trim(x)='' THEN [] ELSE
+    string_split_regex(trim(x), '\\s+') END``.
+    """
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, WS))
+
+
+def _ratio(part: Column, whole: Column) -> Column:
+    return F.when(whole > 0, part.cast("double") / whole.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality/statistics columns.
+
+    Adds: ``n_chars_c, n_tokens, n_alpha_tokens, avg_token_len,
+    punct_ratio, digit_ratio, space_ratio, stopword_ratio_en,
+    quality_score``.  The quality score is a simple bounded heuristic
+    (length + stopword signal - punctuation/digit noise), the shape a
+    pretraining-data filter uses (cf. C4/Gopher-style rules).
+    """
+    text = F.col(text_col)
+    tokens = token_array(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(tokens)
+    no_space = F.regexp_replace(text, WS, "")
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
+    n_space = n_chars - F.length(no_space)
+    sw = STOPWORDS["en"]
+    n_stop = F.aggregate(
+        tokens,
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.lower(t).isin(*sw), 1).otherwise(0),
+    )
+    avg_token_len = _ratio(F.length(no_space), n_tokens)
+    punct_ratio = _ratio(n_punct, n_chars)
+    digit_ratio = _ratio(n_digit, n_chars)
+    space_ratio = _ratio(n_space, n_chars)
+    stop_ratio = _ratio(n_stop, n_tokens)
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * 0.1
+    )
+    return df.withColumns({
+        "n_chars_c": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(avg_token_len, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "digit_ratio": F.round(digit_ratio, 4),
+        "space_ratio": F.round(space_ratio, 4),
+        "stopword_ratio_en": F.round(stop_ratio, 4),
+        "quality_score": F.round(quality, 4),
+    })
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                languages: Optional[Sequence[str]] = None) -> DataFrame:
+    """Stopword-overlap language ID: per-language hit counts over
+    whitespace tokens, argmax with alphabetical tie-break, 'und'
+    (undetermined) when no stopword hits at all.
+
+    Adds ``lang_pred`` plus ``score_<lang>`` columns.
+    """
+    languages = sorted(languages or STOPWORDS.keys())
+    tokens = token_array(F.col(text_col))
+    scores: Dict[str, Column] = {}
+    def stopword_merge(sw):
+        return lambda acc, t: acc + F.when(F.lower(t).isin(*sw), 1).otherwise(0)
+
+    for lang in languages:
+        scores[f"score_{lang}"] = F.aggregate(
+            tokens, F.lit(0), stopword_merge(STOPWORDS[lang])
+        ).cast("long")
+    out = df.withColumns(scores)
+    best = F.greatest(*[F.col(f"score_{l}") for l in languages])
+    pred = F.lit("und")
+    # alphabetical order: the first language reaching the max wins
+    for lang in reversed(languages):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)) \
+            .otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: 60-bit portable hash of the
+    case-folded, whitespace-collapsed text.  Two documents differing
+    only in spacing/case share a fingerprint.
+
+    DuckDB: ``CAST(concat('0x', substr(md5(regexp_replace(lower(trim(x)),
+    '\\s+', ' ', 'g')), 1, 15)) AS BIGINT)``.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS, " ")
+    return df.withColumn(out_col, hash64(normalized))

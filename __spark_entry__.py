@@ -1,10 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship snowflake drilldown at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (plus the LLM-pipeline operators); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for each.
+
+Determinism policy (so value-hashes match the oracle bit-for-bit):
+
+* Monetary measures are cast to decimal at scan (model mappings) —
+  decimal sums are exact, hence independent of partitioning and
+  summation order; final outputs cast back to double, which both
+  engines round identically from the same exact rational.
+* Averages / variances are derived from exact sums with the *same*
+  double-arithmetic formula on both sides.
+* Hashes are md5-derived (see cubes_spark.llm.text.hash64), identical
+  in Spark and DuckDB.
+* Integer-ish outputs are cast to bigint on the Spark side to match
+  DuckDB's BIGINT defaults.
 """
 
 from __future__ import annotations
@@ -12,27 +24,1060 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubes_spark.demo import tpch_workspace
+from cubes_spark.operators import olap
+from cubes_spark.llm import (
+    ann_lsh_cosine,
+    cosine_topk,
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    text_stats,
+)
+
+_browsers: dict = {}
+
+
+def _browser(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), sf_dir)
+    if key not in _browsers:
+        ws = tpch_workspace(spark, sf_dir)
+        _browsers[key] = ws.browser("sales")
+    return _browsers[key]
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
+        # natively; read nanos as long and truncate to micros (exactly
+        # what DuckDB's micro-precision TIMESTAMP does)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dbl(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast decimal aggregate columns to double for oracle comparison."""
+    return df.withColumns({c: F.col(f"`{c}`").cast("double") for c in cols})
+
+
+def _lng(df: DataFrame, *cols: str) -> DataFrame:
+    return df.withColumns({c: F.col(f"`{c}`").cast("long") for c in cols})
+
+
+# ---------------------------------------------------------------------------
+# OLAP browser queries (SURVEY §2.2-2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_year(spark, sf_dir):
+    """Drilldown aggregation over the virtual time dimension."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["date:year"],
+        aggregates=["quantity_sum", "price_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "quantity_sum", "price_sum"), "date.year",
+                "fact_count")
+
+
+def q_agg_point_cut(spark, sf_dir):
+    """PointCut cell filter + two-level drilldown."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        cell="date:1995",
+        drilldown=["date@ym:month"],
+        aggregates=["price_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "price_sum"), "date.year", "date.month",
+                "fact_count")
+
+
+def q_agg_set_cut(spark, sf_dir):
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        cell="returnflag:A;R",
+        drilldown=["returnflag"],
+        aggregates=["quantity_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "quantity_sum"), "fact_count")
+
+
+def q_agg_invert_cut(spark, sf_dir):
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        cell="!returnflag:A;R",
+        drilldown=["returnflag", "linestatus"],
+        aggregates=["price_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "price_sum"), "fact_count")
+
+
+def q_agg_range_cut(spark, sf_dir):
+    """Hierarchical RangeCut over (year, month) paths."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        cell="date@ym:1995,3-1996,8",
+        drilldown=["date@ym:month"],
+        aggregates=["fact_count"],
+    )
+    return _lng(df, "date.year", "date.month", "fact_count")
+
+
+def q_agg_half_open_range(spark, sf_dir):
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        cell="date:2000,6-",
+        drilldown=["date:year"],
+        aggregates=["fact_count"],
+    )
+    return _lng(df, "date.year", "fact_count")
+
+
+def q_agg_snowflake(spark, sf_dir):
+    """Snowflake join lineitem→orders→customer→nation→region."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["customer_geo:region"],
+        aggregates=["price_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "price_sum"), "customer_geo.region_key",
+                "fact_count")
+
+
+def q_agg_roleplay(spark, sf_dir):
+    """Role-playing dims: nation via customer AND via supplier."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["customer_geo@nation_only:nation",
+                   "supplier_geo:region"],
+        aggregates=["fact_count"],
+    )
+    return _lng(df, "customer_geo.nation_key", "supplier_geo.region_key",
+                "fact_count")
+
+
+def q_agg_expression(spark, sf_dir):
+    """Derived measures: expression over base measures."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag"],
+        aggregates=["discounted_price_sum", "charge_sum"],
+    )
+    return _dbl(df, "discounted_price_sum", "charge_sum")
+
+
+def q_agg_order_page(spark, sf_dir):
+    """Explicit order by aggregate + pagination (page 1, size 5)."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["date@ym:month"],
+        aggregates=["price_sum"],
+        order=["price_sum:desc"],
+        page=1, page_size=5,
+    )
+    return _lng(_dbl(df, "price_sum"), "date.year", "date.month")
+
+
+def q_agg_minmax(spark, sf_dir):
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag"],
+        aggregates=["price_min", "price_max", "part_count_distinct"],
+    )
+    return _lng(_dbl(df, "price_min", "price_max"), "part_count_distinct")
+
+
+def q_agg_avg_var(spark, sf_dir):
+    """avg / variance / stddev derived from exact sums with the same
+    double formula as the oracle."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag"],
+        aggregates=["quantity_sum", "quantity_sq_sum", "quantity_count"],
+    )
+    s = F.col("quantity_sum").cast("double")
+    s2 = F.col("quantity_sq_sum").cast("double")
+    n = F.col("quantity_count").cast("double")
+    var = (s2 - s * s / n) / (n - F.lit(1.0))
+    return df.select(
+        F.col("`returnflag.returnflag`"),
+        (s / n).alias("quantity_avg"),
+        var.alias("quantity_var"),
+        F.sqrt(var).alias("quantity_std"),
+    )
+
+
+def q_agg_split(spark, sf_dir):
+    """Split dimension: in/out of the 1995 cell as a virtual dim."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag"],
+        split="date:1995",
+        aggregates=["price_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "price_sum"), "fact_count")
+
+
+def q_topk_customers(spark, sf_dir):
+    """High-cardinality drilldown guarded by pagination: top-5 customers
+    by revenue."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["customer_geo:customer"],
+        aggregates=["price_sum"],
+        order=["price_sum:desc"],
+        page=0, page_size=5,
+    )
+    return _lng(
+        _dbl(df, "price_sum"),
+        "customer_geo.region_key", "customer_geo.nation_key",
+        "customer_geo.customer_key",
+    )
+
+
+def q_members(spark, sf_dir):
+    """Distinct members of a hierarchy depth within a cell."""
+    df = _browser(spark, sf_dir).members_dataframe(
+        cell="customer_geo:2", dimension="customer_geo", depth=2,
+    )
+    return _lng(df, "customer_geo.region_key", "customer_geo.nation_key")
+
+
+def q_facts_page(spark, sf_dir):
+    """Detail facts with field selection, order, pagination."""
+    df = _browser(spark, sf_dir).facts(
+        cell="date:1995,1",
+        fields=["fact_key", "linenumber", "quantity", "extendedprice",
+                "returnflag"],
+        order=["fact_key", "linenumber"],
+        page=0, page_size=50,
+    )
+    return _lng(_dbl(df, "quantity", "extendedprice"), "fact_key",
+                "linenumber")
+
+
+def q_fact_list(spark, sf_dir):
+    """facts(fact_list=...) — key-filtered detail rows."""
+    df = _browser(spark, sf_dir).facts(
+        fields=["fact_key", "linenumber", "quantity", "returnflag"],
+        fact_list=[1, 2, 3, 5, 8, 13, 21, 34],
+    )
+    return _lng(_dbl(df, "quantity"), "fact_key", "linenumber")
+
+
+# -- post-aggregation window calculators (SURVEY §2.5) ----------------------
+
+
+def _calc_query(aggregate: str):
+    def run(spark, sf_dir):
+        df = _browser(spark, sf_dir).aggregation_dataframe(
+            drilldown=["date@ym:month"],
+            aggregates=["price_sum", aggregate],
+        )
+        out = _dbl(df, "price_sum", aggregate)
+        return _lng(out, "date.year", "date.month")
+    return run
+
+
+q_calc_sma = _calc_query("price_sma")
+q_calc_wma = _calc_query("price_wma")
+q_calc_sms = _calc_query("price_sms")
+q_calc_smstd = _calc_query("price_smstd")
+q_calc_smvar = _calc_query("price_smvar")
+q_calc_smrsd = _calc_query("price_smrsd")
+
+
+# -- native OLAP extensions (SURVEY §2.4 upgrade) ---------------------------
+
+
+def q_rollup_ym(spark, sf_dir):
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["date@ym:month"], aggregates=["quantity_sum"],
+        include_keys_only=True,
+    )
+    base = df.select(
+        F.col("`date.year`").cast("long").alias("year"),
+        F.col("`date.month`").cast("long").alias("month"),
+        F.col("quantity_sum"),
+    )
+    out = olap.rollup_aggregate(
+        base, ["year", "month"],
+        [F.sum("quantity_sum").cast("double").alias("quantity_sum")],
+    )
+    return _lng(out, "grouping_id")
+
+
+def q_cube_flags(spark, sf_dir):
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag", "linestatus"], aggregates=["fact_count"],
+    )
+    out = olap.cube_aggregate(
+        df.select(
+            F.col("`returnflag.returnflag`").alias("returnflag"),
+            F.col("`linestatus.linestatus`").alias("linestatus"),
+            F.col("fact_count"),
+        ),
+        ["returnflag", "linestatus"],
+        [F.sum("fact_count").cast("long").alias("fact_count")],
+    )
+    return _lng(out, "grouping_id")
+
+
+def q_crosstab(spark, sf_dir):
+    """Pivot: returnflag rows × linestatus columns, fact counts."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag", "linestatus"], aggregates=["fact_count"],
+    )
+    out = olap.crosstab(
+        df.select(
+            F.col("`returnflag.returnflag`").alias("returnflag"),
+            F.col("`linestatus.linestatus`").alias("linestatus"),
+            F.col("fact_count"),
+        ),
+        rows=["returnflag"], column="linestatus",
+        value=F.sum("fact_count").cast("long"),
+        values=["F", "O"],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# events table (batch form of the streaming model)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour windows over event time — the batch equivalent of
+    the streaming aggregation (same plan shape Structured Streaming
+    runs incrementally)."""
+    ev = _table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("value_sum"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_sum").cast("double").alias("value_sum"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )
+
+
+def q_events_type_stats(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_doc_text_stats(spark, sf_dir):
+    docs = _table(spark, sf_dir, "documents")
+    return text_stats(docs).select(
+        "doc_id", "n_chars_c", "n_tokens", "avg_token_len", "punct_ratio",
+        "digit_ratio", "space_ratio", "stopword_ratio_en", "quality_score",
+    )
+
+
+def q_doc_lang_quality(spark, sf_dir):
+    """Quality roll-up by language over exact (decimal) sums."""
+    stats = text_stats(_table(spark, sf_dir, "documents"))
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_tokens")).cast("long").alias("total_tokens"),
+            F.sum(F.col("quality_score").cast("decimal(14,4)"))
+            .cast("double").alias("quality_sum"),
+        )
+    )
+
+
+def q_doc_langid(spark, sf_dir):
+    """Stopword language-ID predictions, counted per predicted lang."""
+    pred = language_id(_table(spark, sf_dir, "documents"))
+    return pred.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Portable 60-bit document fingerprints (md5-derived)."""
+    return fingerprint(_table(spark, sf_dir, "documents")) \
+        .select("doc_id", "fingerprint")
+
+
+def q_doc_exact_dup(spark, sf_dir):
+    """Exact duplicate clusters (hash groupBy)."""
+    docs = _table(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select(
+        "content_hash",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_doc_minhash(spark, sf_dir):
+    """MinHash-LSH near-duplicate candidate pairs (banded join)."""
+    docs = _table(spark, sf_dir, "documents")
+    return _lng(
+        minhash_candidate_pairs(docs, num_hashes=16, bands=4, shingle_k=5),
+        "id_a", "id_b",
+    )
+
+
+def q_doc_jaccard(spark, sf_dir):
+    """LSH candidates verified by exact shingle-set Jaccard >= 0.5."""
+    docs = _table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs, num_hashes=16, bands=4,
+                                   shingle_k=5).select("id_a", "id_b")
+    return _lng(ngram_jaccard_pairs(cand, docs, shingle_k=5,
+                                    min_jaccard=0.5), "id_a", "id_b")
+
+
+def q_doc_simhash(spark, sf_dir):
+    """SimHash near-duplicates (Hamming <= 3) via exact pigeonhole
+    banding — identical to the all-pairs answer by construction."""
+    docs = _table(spark, sf_dir, "documents")
+    return _lng(
+        simhash_near_duplicates(docs, nbits=48, max_distance=3),
+        "id_a", "id_b", "distance",
+    )
+
+
+def q_emb_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for every 50th vector."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = cosine_topk(emb, queries, k=5)
+    return _lng(out, "query_id", "neighbor_id", "rank")
+
+
+def q_emb_ann(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbours (no SQL oracle —
+    approximation is engine-defined; rows-only check)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    out = ann_lsh_cosine(emb, k=5, num_planes=8, num_tables=2)
+    return _lng(out, "query_id", "neighbor_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: snowflake drilldown (region × month) with a cell filter
+    at sf0.001."""
+    browser = _browser(spark, "/root/testdata/sf0.001")
+    return browser.aggregation_dataframe(
+        cell="date:1995",
+        drilldown=["customer_geo:region", "date@ym:month"],
+        aggregates=["price_sum", "quantity_sum", "fact_count"],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "agg_year": q_agg_year,
+        "agg_point_cut": q_agg_point_cut,
+        "agg_set_cut": q_agg_set_cut,
+        "agg_invert_cut": q_agg_invert_cut,
+        "agg_range_cut": q_agg_range_cut,
+        "agg_half_open_range": q_agg_half_open_range,
+        "agg_snowflake": q_agg_snowflake,
+        "agg_roleplay": q_agg_roleplay,
+        "agg_expression": q_agg_expression,
+        "agg_order_page": q_agg_order_page,
+        "agg_minmax": q_agg_minmax,
+        "agg_avg_var": q_agg_avg_var,
+        "agg_split": q_agg_split,
+        "topk_customers": q_topk_customers,
+        "members": q_members,
+        "facts_page": q_facts_page,
+        "fact_list": q_fact_list,
+        "calc_sma": q_calc_sma,
+        "calc_wma": q_calc_wma,
+        "calc_sms": q_calc_sms,
+        "calc_smstd": q_calc_smstd,
+        "calc_smvar": q_calc_smvar,
+        "calc_smrsd": q_calc_smrsd,
+        "rollup_ym": q_rollup_ym,
+        "cube_flags": q_cube_flags,
+        "crosstab": q_crosstab,
+        "events_hourly": q_events_hourly,
+        "events_type_stats": q_events_type_stats,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_lang_quality": q_doc_lang_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dup": q_doc_exact_dup,
+        "doc_minhash": q_doc_minhash,
+        "doc_jaccard": q_doc_jaccard,
+        "doc_simhash": q_doc_simhash,
+        "emb_topk": q_emb_topk,
+        "emb_ann": q_emb_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# -- oracle SQL -------------------------------------------------------------
+
+_DEC_QTY = "CAST(l_quantity AS DECIMAL(20,2))"
+_DEC_PRICE = "CAST(l_extendedprice AS DECIMAL(20,2))"
+_DEC_DISC = "CAST(l_discount AS DECIMAL(6,2))"
+_DEC_TAX = "CAST(l_tax AS DECIMAL(6,2))"
+
+#: md5-derived 60-bit portable hash (see cubes_spark.llm.text.hash64)
+_H64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+#: normalized text + whitespace tokens, DuckDB side
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKENS = ("CASE WHEN trim(text) = '' THEN [] "
+           "ELSE string_split_regex(trim(text), '\\s+') END")
+
+_STOP_EN = "'the','and','of','to','in','is','that','it','was','for'"
+_STOP_DE = "'der','die','das','und','ist','von','mit','den','nicht','ein'"
+_STOP_FR = "'le','la','les','et','de','un','une','est','que','pour'"
+_STOP_ES = "'el','la','los','las','de','que','y','en','un','es'"
+
+#: SQL-side punctuation class: same as cubes_spark.llm.text.PUNCT_CLASS
+#: with the apostrophe doubled for the single-quoted SQL literal.
+_PUNCT_RE = r"[.,;:!?''\"()\[\]{}<>/@#$%^&*_+=~`|\\-]"
+
+
+def _text_stats_sql() -> str:
+    """Shared per-document stats CTE body (mirrors llm.text.text_stats)."""
+    return f"""
+    SELECT doc_id, lang, source, text,
+        length(text) AS n_chars_c,
+        len({_TOKENS}) AS n_tokens,
+        length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace,
+        length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+            AS n_punct,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS n_digit,
+        length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+            AS n_space_inv,
+        list_sum(list_transform({_TOKENS},
+            t -> CASE WHEN lower(t) IN ({_STOP_EN}) THEN 1 ELSE 0 END))
+            AS n_stop
+    FROM documents
     """
-    return {}
+
+
+_TEXT_STATS_DERIVED = """
+    SELECT doc_id, n_chars_c, n_tokens,
+        round(CASE WHEN n_tokens > 0
+              THEN CAST(n_nospace AS DOUBLE)/n_tokens ELSE 0 END, 4)
+            AS avg_token_len,
+        round(CASE WHEN n_chars_c > 0
+              THEN CAST(n_punct AS DOUBLE)/n_chars_c ELSE 0 END, 4)
+            AS punct_ratio,
+        round(CASE WHEN n_chars_c > 0
+              THEN CAST(n_digit AS DOUBLE)/n_chars_c ELSE 0 END, 4)
+            AS digit_ratio,
+        round(CASE WHEN n_chars_c > 0
+              THEN CAST(n_chars_c - n_nospace AS DOUBLE)/n_chars_c
+              ELSE 0 END, 4) AS space_ratio,
+        round(CASE WHEN n_tokens > 0
+              THEN CAST(COALESCE(n_stop,0) AS DOUBLE)/n_tokens
+              ELSE 0 END, 4) AS stopword_ratio_en,
+        round(
+            least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) * 0.3
+          + least((CASE WHEN n_tokens > 0
+                   THEN CAST(COALESCE(n_stop,0) AS DOUBLE)/n_tokens
+                   ELSE 0 END) * 5.0, 1.0) * 0.4
+          + (1.0 - least((CASE WHEN n_chars_c > 0
+                          THEN CAST(n_punct AS DOUBLE)/n_chars_c
+                          ELSE 0 END) * 4.0, 1.0)) * 0.2
+          + (1.0 - least((CASE WHEN n_chars_c > 0
+                          THEN CAST(n_digit AS DOUBLE)/n_chars_c
+                          ELSE 0 END) * 4.0, 1.0)) * 0.1, 4)
+            AS quality_score
+    FROM base
+"""
+
+
+def _minhash_cte() -> str:
+    """Signatures + banded candidate pairs, mirroring llm.dedup."""
+    norm = _NORM
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+            list_distinct(list_transform(
+                generate_series(1, greatest(length({norm}) - 4, 1)),
+                i -> substr({norm}, i, 5))) AS shingles
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+            list_transform(generate_series(0, 15), i ->
+                list_min(list_transform(shingles, s ->
+                    {_H64.format(x="concat(CAST(i AS VARCHAR), ':', s)")})))
+                AS sig
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, sig, b.band_id,
+            md5(concat(CAST(b.band_id AS VARCHAR), ',',
+                array_to_string(sig[b.band_id*4 + 1 : b.band_id*4 + 4],
+                                ','))) AS band_hash
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+            l.sig AS sig_a, r.sig AS sig_b
+        FROM banded l JOIN banded r
+            ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+            AND l.doc_id < r.doc_id
+    )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["agg_year"] = f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
+            CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
+
+    sql["agg_point_cut"] = f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            CAST(month(l_shipdate) AS BIGINT) AS "date.month",
+            CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2"""
+
+    sql["agg_set_cut"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1"""
+
+    sql["agg_invert_cut"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            l_linestatus AS "linestatus.linestatus",
+            CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem WHERE NOT (l_returnflag IN ('A', 'R'))
+        GROUP BY 1, 2"""
+
+    sql["agg_range_cut"] = """
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            CAST(month(l_shipdate) AS BIGINT) AS "date.month",
+            COUNT(*) AS fact_count
+        FROM lineitem
+        WHERE (year(l_shipdate) > 1995 OR
+               (year(l_shipdate) = 1995 AND month(l_shipdate) >= 3))
+          AND (year(l_shipdate) < 1996 OR
+               (year(l_shipdate) = 1996 AND month(l_shipdate) <= 8))
+        GROUP BY 1, 2"""
+
+    sql["agg_half_open_range"] = """
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            COUNT(*) AS fact_count
+        FROM lineitem
+        WHERE (year(l_shipdate) > 2000 OR
+               (year(l_shipdate) = 2000 AND month(l_shipdate) >= 6))
+        GROUP BY 1"""
+
+    sql["agg_snowflake"] = f"""
+        SELECT r.r_regionkey AS "customer_geo.region_key",
+            r.r_name AS "customer_geo.region_name",
+            CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2"""
+
+    sql["agg_roleplay"] = """
+        SELECT cn.n_nationkey AS "customer_geo.nation_key",
+            cn.n_name AS "customer_geo.nation_name",
+            sr.r_regionkey AS "supplier_geo.region_key",
+            sr.r_name AS "supplier_geo.region_name",
+            COUNT(*) AS fact_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+        GROUP BY 1, 2, 3, 4"""
+
+    sql["agg_expression"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            CAST(SUM({_DEC_PRICE} * (1 - {_DEC_DISC})) AS DOUBLE)
+                AS discounted_price_sum,
+            CAST(SUM({_DEC_PRICE} * (1 - {_DEC_DISC}) * (1 + {_DEC_TAX}))
+                AS DOUBLE) AS charge_sum
+        FROM lineitem GROUP BY 1"""
+
+    sql["agg_order_page"] = f"""
+        SELECT * FROM (
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+                CAST(month(l_shipdate) AS BIGINT) AS "date.month",
+                CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum
+            FROM lineitem GROUP BY 1, 2
+        ) ORDER BY price_sum DESC, "date.year", "date.month"
+        LIMIT 5 OFFSET 5"""
+
+    sql["agg_minmax"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            CAST(MIN({_DEC_PRICE}) AS DOUBLE) AS price_min,
+            CAST(MAX({_DEC_PRICE}) AS DOUBLE) AS price_max,
+            COUNT(DISTINCT l_partkey) AS part_count_distinct
+        FROM lineitem GROUP BY 1"""
+
+    sql["agg_avg_var"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) / COUNT(l_quantity)
+                AS quantity_avg,
+            (CAST(SUM({_DEC_QTY} * {_DEC_QTY}) AS DOUBLE)
+             - CAST(SUM({_DEC_QTY}) AS DOUBLE)
+               * CAST(SUM({_DEC_QTY}) AS DOUBLE)
+               / CAST(COUNT(l_quantity) AS DOUBLE))
+            / (CAST(COUNT(l_quantity) AS DOUBLE) - 1.0) AS quantity_var,
+            sqrt((CAST(SUM({_DEC_QTY} * {_DEC_QTY}) AS DOUBLE)
+             - CAST(SUM({_DEC_QTY}) AS DOUBLE)
+               * CAST(SUM({_DEC_QTY}) AS DOUBLE)
+               / CAST(COUNT(l_quantity) AS DOUBLE))
+            / (CAST(COUNT(l_quantity) AS DOUBLE) - 1.0)) AS quantity_std
+        FROM lineitem GROUP BY 1"""
+
+    sql["agg_split"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            year(l_shipdate) = 1995 AS __within_split__,
+            CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1, 2"""
+
+    sql["topk_customers"] = f"""
+        SELECT * FROM (
+            SELECT r.r_regionkey AS "customer_geo.region_key",
+                r.r_name AS "customer_geo.region_name",
+                n.n_nationkey AS "customer_geo.nation_key",
+                n.n_name AS "customer_geo.nation_name",
+                c.c_custkey AS "customer_geo.customer_key",
+                c.c_name AS "customer_geo.customer_name",
+                c.c_mktsegment AS "customer_geo.mktsegment",
+                CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2, 3, 4, 5, 6, 7
+        ) ORDER BY price_sum DESC,
+            "customer_geo.region_key", "customer_geo.nation_key",
+            "customer_geo.customer_key"
+        LIMIT 5"""
+
+    sql["members"] = """
+        SELECT DISTINCT r.r_regionkey AS "customer_geo.region_key",
+            r.r_name AS "customer_geo.region_name",
+            n.n_nationkey AS "customer_geo.nation_key",
+            n.n_name AS "customer_geo.nation_name"
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_regionkey = 2"""
+
+    sql["facts_page"] = f"""
+        SELECT l_orderkey AS fact_key,
+            CAST(l_linenumber AS BIGINT) AS linenumber,
+            CAST({_DEC_QTY} AS DOUBLE) AS quantity,
+            CAST({_DEC_PRICE} AS DOUBLE) AS extendedprice,
+            l_returnflag AS "returnflag.returnflag"
+        FROM lineitem
+        WHERE year(l_shipdate) = 1995 AND month(l_shipdate) = 1
+        ORDER BY 1, 2 LIMIT 50"""
+
+    sql["fact_list"] = f"""
+        SELECT l_orderkey AS fact_key,
+            CAST(l_linenumber AS BIGINT) AS linenumber,
+            CAST({_DEC_QTY} AS DOUBLE) AS quantity,
+            l_returnflag AS "returnflag.returnflag"
+        FROM lineitem
+        WHERE l_orderkey IN (1, 2, 3, 5, 8, 13, 21, 34)"""
+
+    ym_base = f"""
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+                CAST(month(l_shipdate) AS BIGINT) AS "date.month",
+                CAST(SUM({_DEC_PRICE}) AS DECIMAL(18,2)) AS dec_price_sum
+            FROM lineitem GROUP BY 1, 2"""
+    ym_win = 'ORDER BY "date.year", "date.month" ROWS BETWEEN 2 PRECEDING AND CURRENT ROW'
+
+    sql["calc_sma"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            round(CAST(SUM(dec_price_sum) OVER w AS DOUBLE)
+                  / COUNT(*) OVER w, 2) AS price_sma
+        FROM ({ym_base}) WINDOW w AS ({ym_win})"""
+
+    sql["calc_sms"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            CAST(SUM(dec_price_sum) OVER w AS DOUBLE) AS price_sms
+        FROM ({ym_base}) WINDOW w AS ({ym_win})"""
+
+    sql["calc_wma"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            round(
+                CAST(list_sum(list_transform(
+                    list_zip(vals, generate_series(1, len(vals))),
+                    p -> p[1] * p[2])) AS DOUBLE)
+                / (CAST(len(vals) * (len(vals) + 1) AS DOUBLE) / 2.0),
+                4) AS price_wma
+        FROM (
+            SELECT "date.year", "date.month", dec_price_sum,
+                list(CAST(dec_price_sum AS DOUBLE)) OVER w AS vals
+            FROM ({ym_base}) WINDOW w AS ({ym_win})
+        )"""
+
+    # CAST(decimal AS VARCHAR) then to DOUBLE: DuckDB's direct
+    # decimal->double cast double-rounds (int128 to double, then divide
+    # by 10^scale); the string parse is correctly rounded, matching
+    # Spark's BigDecimal.doubleValue exactly.
+    var_expr = """(CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"""
+    calc_var_base = f"""
+        SELECT "date.year", "date.month", dec_price_sum,
+            SUM(dec_price_sum) OVER w AS s,
+            SUM(CAST(dec_price_sum AS DECIMAL(19,2))
+                * CAST(dec_price_sum AS DECIMAL(19,2))) OVER w AS s2,
+            COUNT(*) OVER w AS n
+        FROM ({ym_base}) WINDOW w AS ({ym_win})"""
+
+    # Exact replica of Spark's F.round(double, 2) — BigDecimal on the
+    # shortest decimal string, HALF_UP, parsed back.  DuckDB's native
+    # round(double, 2) computes x*100 first, whose float error misrounds
+    # values of this magnitude (~1e12) near .xx5 boundaries.
+    smvar_raw = f"CASE WHEN n < 2 THEN 0.0 ELSE {var_expr} END"
+    sql["calc_smvar"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            CAST(CAST(CAST(CAST(({smvar_raw}) AS VARCHAR)
+                 AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS price_smvar
+        FROM ({calc_var_base})"""
+
+    sql["calc_smstd"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            round(CASE WHEN n < 2 THEN 0.0
+                  ELSE sqrt({var_expr}) END, 2) AS price_smstd
+        FROM ({calc_var_base})"""
+
+    sql["calc_smrsd"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0
+                 THEN round((CASE WHEN n < 2 THEN 0.0
+                             ELSE sqrt({var_expr}) END)
+                      / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+                 ELSE 0.0 END AS price_smrsd
+        FROM ({calc_var_base})"""
+
+    sql["rollup_ym"] = f"""
+        SELECT CAST(GROUPING(year) * 2 + GROUPING(month) AS BIGINT)
+                AS grouping_id,
+            year, month,
+            CAST(SUM(dec_qty) AS DOUBLE) AS quantity_sum
+        FROM (
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+                CAST(month(l_shipdate) AS BIGINT) AS month,
+                SUM({_DEC_QTY}) AS dec_qty
+            FROM lineitem GROUP BY 1, 2
+        ) GROUP BY ROLLUP (year, month)"""
+
+    sql["cube_flags"] = """
+        SELECT CAST(GROUPING(returnflag) * 2 + GROUPING(linestatus)
+                AS BIGINT) AS grouping_id,
+            returnflag, linestatus,
+            COUNT(*) AS fact_count
+        FROM (
+            SELECT l_returnflag AS returnflag, l_linestatus AS linestatus
+            FROM lineitem
+        ) GROUP BY CUBE (returnflag, linestatus)"""
+
+    sql["crosstab"] = """
+        SELECT l_returnflag AS returnflag,
+            COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+            COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        FROM lineitem GROUP BY 1"""
+
+    sql["events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+            COUNT(*) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum,
+            COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2"""
+
+    sql["events_type_stats"] = """
+        SELECT event_type,
+            COUNT(*) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum,
+            MIN(value) AS value_min,
+            MAX(value) AS value_max,
+            COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1"""
+
+    sql["doc_text_stats"] = (
+        f"WITH base AS ({_text_stats_sql()}) {_TEXT_STATS_DERIVED}"
+    )
+
+    sql["doc_lang_quality"] = f"""
+        WITH base AS ({_text_stats_sql()}),
+        derived AS ({_TEXT_STATS_DERIVED})
+        SELECT b.lang, COUNT(*) AS n_docs,
+            SUM(d.n_tokens) AS total_tokens,
+            CAST(SUM(CAST(d.quality_score AS DECIMAL(14,4))) AS DOUBLE)
+                AS quality_sum
+        FROM base b JOIN derived d ON b.doc_id = d.doc_id
+        GROUP BY 1"""
+
+    langid_scores = f"""
+        SELECT doc_id,
+            list_sum(list_transform({_TOKENS}, t ->
+                CASE WHEN lower(t) IN ({_STOP_DE}) THEN 1 ELSE 0 END))
+                AS score_de,
+            list_sum(list_transform({_TOKENS}, t ->
+                CASE WHEN lower(t) IN ({_STOP_EN}) THEN 1 ELSE 0 END))
+                AS score_en,
+            list_sum(list_transform({_TOKENS}, t ->
+                CASE WHEN lower(t) IN ({_STOP_ES}) THEN 1 ELSE 0 END))
+                AS score_es,
+            list_sum(list_transform({_TOKENS}, t ->
+                CASE WHEN lower(t) IN ({_STOP_FR}) THEN 1 ELSE 0 END))
+                AS score_fr
+        FROM documents"""
+
+    sql["doc_langid"] = f"""
+        WITH scores AS ({langid_scores}),
+        pred AS (
+            SELECT doc_id,
+                CASE WHEN greatest(COALESCE(score_de,0), COALESCE(score_en,0),
+                                   COALESCE(score_es,0), COALESCE(score_fr,0))
+                          = 0 THEN 'und'
+                 WHEN COALESCE(score_de,0) >= COALESCE(score_en,0)
+                  AND COALESCE(score_de,0) >= COALESCE(score_es,0)
+                  AND COALESCE(score_de,0) >= COALESCE(score_fr,0) THEN 'de'
+                 WHEN COALESCE(score_en,0) >= COALESCE(score_es,0)
+                  AND COALESCE(score_en,0) >= COALESCE(score_fr,0) THEN 'en'
+                 WHEN COALESCE(score_es,0) >= COALESCE(score_fr,0) THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+            FROM scores
+        )
+        SELECT lang_pred, COUNT(*) AS n_docs FROM pred GROUP BY 1"""
+
+    sql["doc_fingerprint"] = f"""
+        SELECT doc_id, {_H64.format(x=_NORM)} AS fingerprint
+        FROM documents"""
+
+    sql["doc_exact_dup"] = f"""
+        SELECT md5({_NORM}) AS content_hash,
+            COUNT(*) AS cluster_size,
+            MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1"""
+
+    sql["doc_minhash"] = f"""
+        {_minhash_cte()}
+        SELECT id_a, id_b,
+            round(CAST(list_sum(list_transform(
+                list_zip(sig_a, sig_b),
+                p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+                / 16.0, 4) AS est_jaccard
+        FROM pairs"""
+
+    sql["doc_jaccard"] = f"""
+        {_minhash_cte()},
+        shingle_sets AS (
+            SELECT doc_id,
+                list_distinct(list_transform(
+                    generate_series(1, greatest(length({_NORM}) - 4, 1)),
+                    i -> substr({_NORM}, i, 5))) AS shingles
+            FROM documents
+        ),
+        jac AS (
+            SELECT p.id_a, p.id_b,
+                round(
+                    CAST(len(list_intersect(a.shingles, b.shingles))
+                         AS DOUBLE)
+                    / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                    4) AS jaccard
+            FROM pairs p
+            JOIN shingle_sets a ON p.id_a = a.doc_id
+            JOIN shingle_sets b ON p.id_b = b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5"""
+
+    simhash_expr = f"""
+        list_sum(list_transform(generate_series(0, 47), b ->
+            CASE WHEN list_sum(list_transform(
+                CASE WHEN trim(lower(text)) = '' THEN []
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END,
+                t -> (({_H64.format(x="t")} >> b) & 1) * 2 - 1)) > 0
+            THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"""
+
+    sql["doc_simhash"] = f"""
+        WITH sh AS (
+            SELECT doc_id, {simhash_expr} AS simhash FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS distance
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    sql["emb_topk"] = """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                 CAST(c.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[]))))
+                    AS cosine
+            FROM embeddings q JOIN embeddings c
+                ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                    AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+            CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5"""
+
+    # emb_ann: intentionally no oracle — LSH approximation is
+    # engine-defined; the driver records the rows-only check.
+
+    return sql

@@ -111,10 +111,14 @@ TPCH_MODEL = {
                 {"name": "tax"},
                 {"name": "partkey"},
                 {"name": "suppkey"},
+                {"name": "linenumber"},
                 {"name": "discounted_price",
                  "expression": "extendedprice * (1 - discount)"},
                 {"name": "charge",
                  "expression": "extendedprice * (1 - discount) * (1 + tax)"},
+                {"name": "quantity_sq", "expression": "quantity * quantity"},
+                {"name": "price_sq",
+                 "expression": "extendedprice * extendedprice"},
             ],
             "aggregates": [
                 {"name": "quantity_sum", "function": "sum",
@@ -136,6 +140,12 @@ TPCH_MODEL = {
                  "measure": "extendedprice"},
                 {"name": "price_variance", "function": "variance",
                  "measure": "extendedprice"},
+                {"name": "quantity_sq_sum", "function": "sum",
+                 "measure": "quantity_sq"},
+                {"name": "price_sq_sum", "function": "sum",
+                 "measure": "price_sq"},
+                {"name": "quantity_count", "function": "count_nonempty",
+                 "measure": "quantity"},
                 {"name": "fact_count", "function": "count"},
                 {"name": "part_count_distinct", "function": "count_distinct",
                  "measure": "partkey"},
@@ -155,14 +165,25 @@ TPCH_MODEL = {
                  "measure": "price_sum", "window_size": 3},
             ],
             "mappings": {
-                # fact measures / key
+                # fact measures / key.  Monetary doubles are cast to
+                # decimal on read (a `cast` mapping modifier, Spark
+                # extension): decimal sums are exact and therefore
+                # independent of partitioning/summation order — the same
+                # query gives bit-identical results on 1 core or 1000
+                # executors, and matches any exact SQL oracle.
                 "fact_key": "lineitem.l_orderkey",
-                "quantity": "lineitem.l_quantity",
-                "extendedprice": "lineitem.l_extendedprice",
-                "discount": "lineitem.l_discount",
-                "tax": "lineitem.l_tax",
+                "quantity": {"table": "lineitem", "column": "l_quantity",
+                             "cast": "decimal(20,2)"},
+                "extendedprice": {"table": "lineitem",
+                                  "column": "l_extendedprice",
+                                  "cast": "decimal(20,2)"},
+                "discount": {"table": "lineitem", "column": "l_discount",
+                             "cast": "decimal(6,2)"},
+                "tax": {"table": "lineitem", "column": "l_tax",
+                        "cast": "decimal(6,2)"},
                 "partkey": "lineitem.l_partkey",
                 "suppkey": "lineitem.l_suppkey",
+                "linenumber": "lineitem.l_linenumber",
                 # virtual time dimension via extract()
                 "date.year": {"table": "lineitem", "column": "l_shipdate",
                               "extract": "year"},

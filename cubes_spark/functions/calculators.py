@@ -64,19 +64,33 @@ def _sms_column(source: Column, w: WindowSpec) -> Column:
     return F.sum(source).over(w)
 
 
+def _window_var(source: Column, w: WindowSpec) -> Column:
+    """Sample variance over the frame from exact windowed sums:
+    ``(Σx² - (Σx)²/n) / (n-1)``.  With a decimal source the sums are
+    exact, so the result is bit-reproducible at any parallelism (and
+    matches a SQL oracle computing the same formula); n < 2 → 0
+    (parity: statutils.py:73-82)."""
+    s = F.sum(source).over(w).cast("double")
+    s2 = F.sum(source * source).over(w).cast("double")
+    n = F.count(source).over(w).cast("double")
+    return F.when(n < 2, F.lit(0.0)).otherwise(
+        (s2 - s * s / n) / (n - F.lit(1.0))
+    )
+
+
 def _smstd_column(source: Column, w: WindowSpec) -> Column:
-    # n < 2 → 0 (parity: statutils.py:73-82)
-    return F.round(F.coalesce(F.stddev_samp(source).over(w), F.lit(0.0)), 2)
+    return F.round(F.sqrt(_window_var(source, w)), 2)
 
 
 def _smvar_column(source: Column, w: WindowSpec) -> Column:
-    return F.round(F.coalesce(F.var_samp(source).over(w), F.lit(0.0)), 2)
+    return F.round(_window_var(source, w), 2)
 
 
 def _smrsd_column(source: Column, w: WindowSpec) -> Column:
     """sqrt(var)/mean, 0 when mean <= 0 (parity: statutils.py:84-86)."""
-    mean = F.avg(source).over(w)
-    std = F.coalesce(F.stddev_samp(source).over(w), F.lit(0.0))
+    mean = F.sum(source).over(w).cast("double") / \
+        F.count(source).over(w).cast("double")
+    std = F.sqrt(_window_var(source, w))
     return F.when(mean > 0, F.round(std / mean, 4)).otherwise(F.lit(0.0))
 
 
@@ -134,6 +148,9 @@ def apply_window_calculators(
     `order_by` is the result's natural order; `partition_by` is the
     split column (and nothing else — see module docstring).
     """
+    from pyspark.sql.types import DecimalType
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     new_cols: Dict[str, Column] = {}
     for aggregate, source_ref, fname, window_size in specs:
         w = Window.orderBy(*order_by)
@@ -141,7 +158,15 @@ def apply_window_calculators(
             w = Window.partitionBy(*partition_by).orderBy(*order_by)
         w = w.rowsBetween(-(window_size - 1), 0)
         builder = CALCULATED_AGGREGATIONS[fname]
-        new_cols[aggregate.name] = builder(F.col(f"`{source_ref}`"), w)
+        source = F.col(f"`{source_ref}`")
+        dtype = dtypes.get(source_ref)
+        if isinstance(dtype, DecimalType):
+            # narrow so source², needed by variance calculators, stays
+            # within decimal(38) and remains exact (a (30,2)² would
+            # overflow precision and silently round to scale 0)
+            scale = min(dtype.scale, 6)
+            source = source.cast(f"decimal(18,{scale})")
+        new_cols[aggregate.name] = builder(source, w)
     if not new_cols:
         return df
     return df.withColumns(new_cols)

@@ -68,7 +68,14 @@ class NoSuchAttributeError(SchemaError):
 
 #: Physical column reference (parity: sql/query.py:51-52). ``schema`` is
 #: kept for model compatibility but unused in Spark (flat catalog).
-ColumnRef = namedtuple("ColumnRef", ["schema", "table", "column", "extract", "function"])
+#: ``cast`` is a Spark extension: an optional DDL type the physical
+#: column is cast to on read (e.g. ``decimal(25,6)`` for exact,
+#: order-independent monetary sums at any parallelism).
+ColumnRef = namedtuple(
+    "ColumnRef",
+    ["schema", "table", "column", "extract", "function", "cast"],
+    defaults=(None,),
+)
 
 JoinKey = namedtuple("JoinKey", ["schema", "table", "column"])
 
@@ -109,21 +116,24 @@ def to_column(obj: Any, default_table: Optional[str] = None,
             )
         extract = None
         function = None
+        cast = None
     elif hasattr(obj, "get"):
         schema = obj.get("schema")
         table = obj.get("table")
         column = obj.get("column")
         extract = obj.get("extract")
         function = obj.get("function")
+        cast = obj.get("cast")
     else:
         schema = obj.schema
         table = obj.table
         column = obj.column
         extract = obj.extract
         function = obj.function
+        cast = getattr(obj, "cast", None)
 
     return ColumnRef(schema or default_schema, table or default_table,
-                     column, extract, function)
+                     column, extract, function, cast)
 
 
 def to_join_key(obj: Any) -> JoinKey:
@@ -310,6 +320,8 @@ class StarSchema:
         table_ref = self.table((mapping.schema or self.schema, mapping.table))
         column = F.col(f"{table_ref.alias}.`{mapping.column}`")
 
+        if mapping.cast:
+            column = column.cast(mapping.cast)
         if mapping.extract:
             column = datepart(mapping.extract, column)
         elif mapping.function:

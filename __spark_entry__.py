@@ -614,8 +614,19 @@ _TEXT_STATS_DERIVED = """
 
 
 def _minhash_cte() -> str:
-    """Signatures + banded candidate pairs, mirroring llm.dedup."""
+    """Signatures + banded candidate pairs, mirroring llm.dedup:
+    one 32-bit md5-derived hash per shingle, then universal-hash mixing
+    ``(a_i * h + b_i) mod P`` per signature component."""
+    from cubes_spark.llm.dedup import MINHASH_P, minhash_params
+
     norm = _NORM
+    a, b = minhash_params(16)
+    h32 = "CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+    components = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) "
+        f"% {MINHASH_P}))"
+        for i in range(16)
+    )
     return f"""
     WITH sh AS (
         SELECT doc_id,
@@ -624,13 +635,14 @@ def _minhash_cte() -> str:
                 i -> substr({norm}, i, 5))) AS shingles
         FROM documents
     ),
-    sig AS (
+    hashed AS (
         SELECT doc_id,
-            list_transform(generate_series(0, 15), i ->
-                list_min(list_transform(shingles, s ->
-                    {_H64.format(x="concat(CAST(i AS VARCHAR), ':', s)")})))
-                AS sig
+            list_transform(shingles, s -> {h32} % {MINHASH_P}) AS hs
         FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, [{components}] AS sig
+        FROM hashed
     ),
     banded AS (
         SELECT doc_id, sig, b.band_id,

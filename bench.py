@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+``{"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}``
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side result transfer), timed wall-clock after a shared session
+warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: benchmark set: one per engine pillar (star agg, snowflake join,
+#: role-playing join, window calculators, rollup, events, text stats,
+#: MinHash dedup, SimHash dedup, ANN) — names match __spark_entry__.
+BENCH_QUERIES = [
+    "agg_year",
+    "agg_point_cut",
+    "agg_snowflake",
+    "agg_roleplay",
+    "topk_customers",
+    "calc_sma",
+    "rollup_ym",
+    "crosstab",
+    "events_hourly",
+    "doc_text_stats",
+    "doc_minhash",
+    "doc_simhash",
+    "emb_topk",
+    "emb_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("cubes_spark_bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # warm-up: JVM + parquet footer reads, not measured
+    queries["agg_year"](spark, sf_dir).count()
+
+    timings: dict = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        # drop caches persisted inside operators (LSH signature tables)
+        # so queries are measured independently
+        spark.catalog.clearCache()
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

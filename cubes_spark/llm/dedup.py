@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cubes_spark.llm.text import hash64, token_array
+from cubes_spark.llm.util import spread
 
 __all__ = [
     "exact_duplicates",
@@ -53,7 +54,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     text = F.col(text_col)
     if normalize:
         text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    hashed = df.select(F.md5(text).alias("content_hash"), F.col(id_col))
+    hashed = spread(df).select(F.md5(text).alias("content_hash"), F.col(id_col))
     return (
         hashed.groupBy("content_hash")
         .agg(
@@ -78,28 +79,58 @@ def _shingle_array(text: Column, k: int) -> Column:
     )
 
 
+#: Mersenne prime 2^31-1: the universal-hash modulus.  Coefficients are
+#: fixed integer formulas (not an RNG) so any SQL oracle reproduces them.
+MINHASH_P = 2147483647
+
+
+def minhash_params(num_hashes: int):
+    """Deterministic (a_i, b_i) coefficients for ``h_i(x) = (a_i * x +
+    b_i) mod P``.  Bounded so ``a_i * x`` stays < 2^62 — no overflow in
+    signed 64-bit on any engine."""
+    a = [((i + 1) * 2654435761) % (MINHASH_P - 1) + 1
+         for i in range(num_hashes)]
+    b = [((i + 1) * 40503 * 65537 + 12345) % MINHASH_P
+         for i in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        num_hashes: int = 16,
                        shingle_k: int = 5) -> DataFrame:
-    """MinHash signature per document: for hash function ``i``,
-    ``sig[i] = min over shingles s of hash64(concat(i, ':', s))``.
+    """MinHash signature per document via universal hashing:
+    ``sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P`` with
+    ``h`` the portable 32-bit md5-derived hash.
 
-    Returns ``(id, sig)`` with ``sig: array<bigint>`` of length
-    ``num_hashes``.  Entirely JVM-side per-row work — embarrassingly
-    parallel, no shuffle.
+    Shape: explode shingles → ONE md5 per (doc, shingle) → groupBy doc
+    with ``num_hashes`` cheap integer min-aggregates (map-side partial
+    aggregation; the shuffle carries only doc_id + partial minima).
+    Computing the md5 once and deriving components by integer mixing is
+    the difference between O(shingles) and O(shingles × num_hashes)
+    digest work — 30× at num_hashes=16.
+
+    Returns ``(id, sig)`` with ``sig: array<bigint>``.
     """
-    shingles = _shingle_array(F.col(text_col), shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: hash64(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
+    a, b = minhash_params(num_hashes)
+    shingles = spread(df).select(
+        F.col(id_col),
+        F.explode_outer(
+            _shingle_array(F.col(text_col), shingle_k)
+        ).alias("__shingle__"),
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    base = hash64(F.col("__shingle__"), nhex=8) % F.lit(MINHASH_P)
+    hashed = shingles.select(F.col(id_col), base.alias("__h__"))
+    aggs = [
+        F.min((F.lit(a[i]) * F.col("__h__") + F.lit(b[i]))
+              % F.lit(MINHASH_P)).alias(f"__m{i}__")
+        for i in range(num_hashes)
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -122,7 +153,13 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     if rows * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
 
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # Persist signatures: both sides of the banded self-join read them,
+    # and without a materialization barrier Spark would recompute the
+    # whole shingle+hash pipeline twice.  Signatures are tiny relative
+    # to the corpus (id + num_hashes longs — ~100× smaller than text),
+    # the standard thing to materialize in an LSH pipeline.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_k).persist()
 
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -182,21 +219,30 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     have bit ``b`` set (sum of ±1 votes > 0).  ``nbits <= 60`` since
     token hashes are 60-bit (15 hex digits of md5).
     """
-    tokens = token_array(F.lower(F.col(text_col)))
-    token_hashes = F.transform(tokens, lambda t: hash64(t))
-    def vote_merge(b):
-        return lambda acc, h: acc + (
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("int")
-
+    # Explode tokens so each token is hashed exactly ONCE, then one
+    # groupBy with nbits cheap integer vote-sums (map-side combined).
+    # Keeping the hash inside per-bit array lambdas would recompute the
+    # md5 nbits times per token.
+    toks = spread(df).select(
+        F.col(id_col),
+        F.explode_outer(
+            token_array(F.lower(F.col(text_col)))
+        ).alias("__token__"),
+    )
+    hashed = toks.select(F.col(id_col),
+                         hash64(F.col("__token__")).alias("__h__"))
+    votes = hashed.groupBy(id_col).agg(*[
+        F.sum(
+            F.shiftright(F.col("__h__"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__v{b}__")
+        for b in range(nbits)
+    ])
     fingerprint = F.lit(0).cast("long")
     for b in range(nbits):
-        vote = F.aggregate(token_hashes, F.lit(0), vote_merge(b))
         fingerprint = fingerprint + F.when(
-            vote > 0, F.lit(1 << b).cast("long")
+            F.col(f"__v{b}__") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col), F.col(text_col),
-                     fingerprint.alias(out_col))
+    return votes.select(F.col(id_col), fingerprint.alias(out_col))
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
@@ -214,7 +260,9 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     """
     bands = max_distance + 1
     width = nbits // bands
-    sh = simhash(df, text_col, id_col, nbits=nbits).drop(text_col)
+    # persist: both sides of the banded self-join consume the
+    # fingerprints (see minhash_candidate_pairs)
+    sh = simhash(df, text_col, id_col, nbits=nbits).persist()
 
     # last band absorbs the remainder bits when bands don't divide nbits
     band_exprs = []
@@ -258,7 +306,7 @@ def ngram_jaccard_pairs(candidates: DataFrame, docs: DataFrame,
     ``|A ∩ B| / |A ∪ B|`` with array intrinsics.  Cost is
     O(candidates), not O(N²).
     """
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col),
         _shingle_array(F.col(text_col), shingle_k).alias("__sh__"),
     )

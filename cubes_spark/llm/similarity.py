@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cubes_spark.llm.text import hash64
+from cubes_spark.llm.util import spread
 
 __all__ = ["cosine_topk", "ann_lsh_cosine"]
 
@@ -59,7 +60,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec__"),
     )
@@ -124,7 +125,7 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
     Output: ``(query_id, neighbor_id, cosine, rank)``.
     """
     tables = []
-    base = corpus.select(F.col(id_col), F.col(vec_col))
+    base = spread(corpus).select(F.col(id_col), F.col(vec_col))
     for t in range(num_tables):
         bits = _hyperplane_bits(F.col(vec_col), num_planes,
                                 seed=seed + 7919 * t)
@@ -138,6 +139,9 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
     bucketed = tables[0]
     for t in tables[1:]:
         bucketed = bucketed.unionByName(t)
+    # both sides of the bucket self-join read this; persist so the
+    # hyperplane projections are computed once
+    bucketed = bucketed.persist()
 
     left = bucketed.select(
         "table", "bucket",

@@ -14,6 +14,8 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cubes_spark.llm.util import spread
+
 __all__ = [
     "hash64",
     "token_array",
@@ -81,6 +83,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     (length + stopword signal - punctuation/digit noise), the shape a
     pretraining-data filter uses (cf. C4/Gopher-style rules).
     """
+    df = spread(df)
     text = F.col(text_col)
     tokens = token_array(text)
     n_chars = F.length(text)
@@ -126,6 +129,7 @@ def language_id(df: DataFrame, text_col: str = "text",
 
     Adds ``lang_pred`` plus ``score_<lang>`` columns.
     """
+    df = spread(df)
     languages = sorted(languages or STOPWORDS.keys())
     tokens = token_array(F.col(text_col))
     scores: Dict[str, Column] = {}
@@ -157,4 +161,4 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     '\\s+', ' ', 'g')), 1, 15)) AS BIGINT)``.
     """
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS, " ")
-    return df.withColumn(out_col, hash64(normalized))
+    return spread(df).withColumn(out_col, hash64(normalized))

@@ -1,0 +1,22 @@
+"""Shared helpers for the LLM-pipeline operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["spread"]
+
+
+def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Ensure per-row-heavy work (hashing, shingling, vector math) has
+    at least ``defaultParallelism`` partitions to run on.
+
+    A small parquet file arrives as one partition and would pin an
+    entire hash pipeline to a single core; a 100 TB table already has
+    thousands of partitions and passes through untouched — the check
+    makes this a no-op exactly when a shuffle would hurt.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -597,7 +597,7 @@ _TEXT_STATS_DERIVED = """
         round(CASE WHEN n_tokens > 0
               THEN CAST(COALESCE(n_stop,0) AS DOUBLE)/n_tokens
               ELSE 0 END, 4) AS stopword_ratio_en,
-        round(
+        round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
             least(CAST(n_tokens AS DOUBLE)/100.0, 1.0) * 0.3
           + least((CASE WHEN n_tokens > 0
                    THEN CAST(COALESCE(n_stop,0) AS DOUBLE)/n_tokens
@@ -607,7 +607,7 @@ _TEXT_STATS_DERIVED = """
                           ELSE 0 END) * 4.0, 1.0)) * 0.2
           + (1.0 - least((CASE WHEN n_chars_c > 0
                           THEN CAST(n_digit AS DOUBLE)/n_chars_c
-                          ELSE 0 END) * 4.0, 1.0)) * 0.1, 4)
+                          ELSE 0 END) * 4.0, 1.0)) * 0.1 END, 4)
             AS quality_score
     FROM base
 """

@@ -103,7 +103,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     digit_ratio = _ratio(n_digit, n_chars)
     space_ratio = _ratio(n_space, n_chars)
     stop_ratio = _ratio(n_stop, n_tokens)
-    quality = (
+    quality = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.3
         + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2

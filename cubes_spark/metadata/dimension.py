@@ -349,7 +349,13 @@ class Dimension:
     def from_metadata(cls, metadata: Any, templates: Optional[dict] = None) -> "Dimension":
         """Create dimension from JSON-compatible metadata; supports
         ``template`` inheritance (parity: dimension.py:58-215,73-102)."""
-        md = expand_dimension_metadata(metadata, expand_levels=True)
+        # Resolve the template BEFORE synthesizing a default flat level:
+        # a bare {"name": ..., "template": ...} must inherit the
+        # template's levels, not shadow them with an implicit one
+        # (parity: dimension.py:73-102).
+        has_template = isinstance(metadata, dict) and metadata.get("template")
+        md = expand_dimension_metadata(metadata,
+                                       expand_levels=not has_template)
         templates = templates or {}
 
         template_name = md.pop("template", None)

@@ -1,0 +1,74 @@
+"""Golden-number aggregation tests over the reference's 16-row fixture
+(parity: /root/reference/tests/sql/test_aggregates.py:56-70)."""
+
+
+def test_summary_golden_numbers(golden_browser):
+    result = golden_browser.aggregate()
+    assert result.summary["amount_sum"] == 60
+    assert result.summary["count"] == 16
+
+
+def test_drilldown_by_year(golden_browser):
+    result = golden_browser.aggregate(drilldown=["year"],
+                                      aggregates=["amount_sum", "count"])
+    cells = {c["year.year"]: c for c in result.cells}
+    assert sorted(cells) == [2010, 2011, 2012, 2013]
+    assert all(c["amount_sum"] == 15 for c in cells.values())
+    assert all(c["count"] == 4 for c in cells.values())
+    assert result.total_cell_count == 4
+
+
+def test_post_calculated_sma_columns(golden_browser):
+    result = golden_browser.aggregate(
+        drilldown=["year"], aggregates=["amount_sma", "amount_sum", "count"]
+    )
+    assert sorted(result.labels) == ["amount_sma", "amount_sum", "count",
+                                     "year.year"]
+    # window_size=2, values all 15 → sma always 15
+    assert all(c["amount_sma"] == 15.0 for c in result.cells)
+
+
+def test_point_cut_golden(golden_browser):
+    result = golden_browser.aggregate(cell="year:2010")
+    assert result.summary["amount_sum"] == 15
+    assert result.summary["count"] == 4
+
+
+def test_min_max_avg_distinct(golden_browser):
+    result = golden_browser.aggregate(
+        aggregates=["price_min", "price_max", "price_avg",
+                    "amount_distinct"]
+    )
+    s = result.summary
+    assert s["price_min"] == 100
+    assert s["price_max"] == 800
+    assert s["price_avg"] == 450.0
+    assert s["amount_distinct"] == 4
+
+
+def test_range_cut_golden(golden_browser):
+    result = golden_browser.aggregate(cell="year:2011-2012",
+                                      aggregates=["amount_sum"])
+    assert result.summary["amount_sum"] == 30
+
+
+def test_set_cut_inverted(golden_browser):
+    result = golden_browser.aggregate(cell="!year:2010;2011",
+                                      aggregates=["count"])
+    assert result.summary["count"] == 8
+
+
+def test_fact_by_key(golden_browser):
+    row = golden_browser.fact(7)
+    assert row is not None
+    assert row["amount"] == 4
+
+
+def test_facts_fact_list(golden_browser):
+    df = golden_browser.facts(fields=["amount"], fact_list=[1, 2, 3])
+    assert df.count() == 3
+
+
+def test_members(golden_browser):
+    members = golden_browser.members(dimension="year")
+    assert [m["year.year"] for m in members] == [2010, 2011, 2012, 2013]

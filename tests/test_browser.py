@@ -1,0 +1,136 @@
+"""Browser behavior over the TPC-H demo snowflake at sf0.001
+(semantics parity: /root/reference/tests/sql/test_browser.py)."""
+
+import pytest
+
+from cubes_spark.errors import ArgumentError
+
+
+def test_summary_and_drilldown_consistency(tpch_browser):
+    result = tpch_browser.aggregate(
+        cell="date:1995", drilldown=["date:month"],
+        aggregates=["quantity_sum", "fact_count"],
+    )
+    assert result.total_cell_count == len(result.cells) == 12
+    assert sum(c["fact_count"] for c in result.cells) \
+        == result.summary["fact_count"]
+    assert float(sum(c["quantity_sum"] for c in result.cells)) \
+        == float(result.summary["quantity_sum"])
+
+
+def test_snowflake_join_grouping(tpch_browser):
+    result = tpch_browser.aggregate(
+        drilldown=["customer_geo:region"], aggregates=["fact_count"],
+    )
+    assert len(result.cells) == 5
+    names = [c["customer_geo.region_name"] for c in result.cells]
+    assert names == sorted(names)
+
+
+def test_roleplaying_dimensions_differ(tpch_browser):
+    cust = tpch_browser.aggregate(
+        cell="customer_geo:1", aggregates=["fact_count"])
+    supp = tpch_browser.aggregate(
+        cell="supplier_geo:1", aggregates=["fact_count"])
+    assert cust.summary["fact_count"] != supp.summary["fact_count"]
+
+
+def test_split_produces_two_groups(tpch_browser):
+    result = tpch_browser.aggregate(split="date:1995",
+                                    aggregates=["fact_count"])
+    flags = sorted(c["__within_split__"] for c in result.cells)
+    assert flags == [False, True]
+    assert sum(c["fact_count"] for c in result.cells) \
+        == result.summary["fact_count"]
+
+
+def test_pagination_disjoint_pages(tpch_browser):
+    pages = []
+    for page in (0, 1):
+        r = tpch_browser.aggregate(
+            drilldown=["date@ym:month"], aggregates=["price_sum"],
+            page=page, page_size=6,
+        )
+        pages.append([(c["date.year"], c["date.month"]) for c in r.cells])
+    assert len(pages[0]) == len(pages[1]) == 6
+    assert not set(pages[0]) & set(pages[1])
+
+
+def test_order_by_aggregate_desc(tpch_browser):
+    r = tpch_browser.aggregate(
+        drilldown=["date:year"], aggregates=["price_sum"],
+        order=["price_sum:desc"],
+    )
+    sums = [float(c["price_sum"]) for c in r.cells]
+    assert sums == sorted(sums, reverse=True)
+
+
+def test_high_cardinality_guard(tpch_browser):
+    with pytest.raises(ArgumentError):
+        tpch_browser.aggregate(drilldown=["customer_geo:customer"])
+
+
+def test_high_cardinality_allowed_with_pagination(tpch_browser):
+    r = tpch_browser.aggregate(drilldown=["customer_geo:customer"],
+                               aggregates=["fact_count"],
+                               page=0, page_size=3)
+    assert len(r.cells) == 3
+
+
+def test_expression_measure(tpch_browser):
+    r = tpch_browser.aggregate(
+        aggregates=["price_sum", "discounted_price_sum"])
+    assert float(r.summary["discounted_price_sum"]) \
+        < float(r.summary["price_sum"])
+
+
+def test_members_depth_and_cell(tpch_browser):
+    members = tpch_browser.members(dimension="customer_geo", depth=1)
+    assert len(members) == 5
+    within = tpch_browser.members(cell="customer_geo:2",
+                                  dimension="customer_geo", depth=2)
+    assert all(m["customer_geo.region_key"] == 2 for m in within)
+
+
+def test_fact_roundtrip(tpch_browser):
+    row = tpch_browser.fact(1)
+    assert row is not None
+    assert row["fact_key"] == 1
+
+
+def test_path_details(tpch_browser):
+    details = tpch_browser.path_details("customer_geo", [2])
+    assert details["customer_geo.region_key"] == 2
+
+
+def test_report_batch(tpch_browser):
+    report = tpch_browser.report(None, {
+        "byflag": {"query": "aggregate", "drilldown": ["returnflag"],
+                   "aggregates": ["fact_count"]},
+        "details": {"query": "cell"},
+    })
+    assert len(report["byflag"]["cells"]) == 3
+
+
+def test_implicit_drilldown_next_level(tpch_browser):
+    # cell at year level + drilldown 'date' → implicit next level (month)
+    r = tpch_browser.aggregate(cell="date:1995", drilldown=["date"],
+                               aggregates=["fact_count"])
+    assert len(r.cells) == 12
+
+
+def test_exclude_null_aggregates_option(tpch_browser):
+    # sanity: option accepted; no NULL aggregates in this data so
+    # results are unchanged
+    r = tpch_browser.aggregate(cell="date:1995",
+                               drilldown=["date:month"],
+                               aggregates=["fact_count"])
+    tpch_browser.exclude_null_agregates = True
+    try:
+        r2 = tpch_browser.aggregate(cell="date:1995",
+                                    drilldown=["date:month"],
+                                    aggregates=["fact_count"])
+    finally:
+        tpch_browser.exclude_null_agregates = False
+    assert [c["fact_count"] for c in r.cells] \
+        == [c["fact_count"] for c in r2.cells]

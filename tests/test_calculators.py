@@ -1,0 +1,100 @@
+"""Window post-calculator semantics (parity:
+/root/reference/cubes/query/statutils.py roundings and windows)."""
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from cubes_spark.functions.calculators import calculate_scalar
+
+
+def round_half_up(x, n):
+    """Spark's F.round semantics: BigDecimal on the shortest decimal
+    string, HALF_UP (Python's round is half-even — differs at ties)."""
+    q = Decimal(1).scaleb(-n)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def expected_series(values, window, fn):
+    out = []
+    for i in range(len(values)):
+        frame = values[max(0, i - window + 1): i + 1]
+        out.append(fn(frame))
+    return out
+
+
+def test_sma_window_expansion(tpch_browser):
+    r = tpch_browser.aggregate(
+        cell="date:1995", drilldown=["date@ym:month"],
+        aggregates=["price_sum", "price_sma"],
+    )
+    sums = [float(c["price_sum"]) for c in r.cells]
+    smas = [float(c["price_sma"]) for c in r.cells]
+    exp = expected_series(sums, 3, lambda f: round(sum(f) / len(f), 2))
+    assert smas == exp
+
+
+def test_wma_weights(tpch_browser):
+    r = tpch_browser.aggregate(
+        cell="date:1995", drilldown=["date@ym:month"],
+        aggregates=["price_sum", "price_wma"],
+    )
+    sums = [float(c["price_sum"]) for c in r.cells]
+    wmas = [float(c["price_wma"]) for c in r.cells]
+
+    def wma(frame):
+        denom = len(frame) * (len(frame) + 1) / 2
+        return round(sum(v * (i + 1) for i, v in enumerate(frame)) / denom, 4)
+
+    assert wmas == expected_series(sums, 3, wma)
+
+
+def test_sms_moving_sum(tpch_browser):
+    r = tpch_browser.aggregate(
+        cell="date:1995", drilldown=["date@ym:month"],
+        aggregates=["price_sum", "price_sms"],
+    )
+    sums = [float(c["price_sum"]) for c in r.cells]
+    smss = [float(c["price_sms"]) for c in r.cells]
+    assert smss == expected_series(sums, 3, lambda f: round(sum(f), 2))
+
+
+def test_smstd_smvar(tpch_browser):
+    r = tpch_browser.aggregate(
+        cell="date:1995", drilldown=["date@ym:month"],
+        aggregates=["price_sum", "price_smstd", "price_smvar"],
+    )
+    sums = [float(c["price_sum"]) for c in r.cells]
+
+    def var(frame):
+        # mirror the engine: exact decimal sums, then double arithmetic
+        n = len(frame)
+        if n < 2:
+            return 0.0
+        dec = [Decimal(repr(v)) for v in frame]
+        s, s2 = float(sum(dec)), float(sum(d * d for d in dec))
+        return (s2 - s * s / n) / (n - 1)
+
+    exp_var = expected_series(sums, 3, lambda f: round_half_up(var(f), 2))
+    exp_std = expected_series(
+        sums, 3, lambda f: round_half_up(math.sqrt(var(f)), 2)
+    )
+    assert [float(c["price_smvar"]) for c in r.cells] == exp_var
+    assert [float(c["price_smstd"]) for c in r.cells] == exp_std
+
+
+def test_summary_gets_scalar_calculator(tpch_browser):
+    r = tpch_browser.aggregate(
+        cell="date:1995", drilldown=["date@ym:month"],
+        aggregates=["price_sum", "price_sma"],
+    )
+    assert r.summary["price_sma"] == round(float(r.summary["price_sum"]), 2)
+
+
+def test_calculate_scalar_functions():
+    assert calculate_scalar("sma", [1.0, 2.0, 3.0]) == 2.0
+    assert calculate_scalar("sms", [1.0, 2.0]) == 3.0
+    assert calculate_scalar("wma", [1.0, 2.0, 3.0]) == round(14 / 6, 4)
+    assert calculate_scalar("smvar", [2.0, 4.0]) == 2.0
+    assert calculate_scalar("smstd", [2.0, 4.0]) == round(math.sqrt(2), 2)
+    assert calculate_scalar("smrsd", [2.0, 4.0]) == round(math.sqrt(2) / 3, 4)
+    assert calculate_scalar("sma", []) is None

@@ -1,0 +1,148 @@
+"""LLM-pipeline operator semantics on small synthetic corpora where the
+ground truth is enumerable."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cubes_spark.llm import (
+    ann_lsh_cosine,
+    binary_metadata,
+    cosine_topk,
+    decode_features,
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (3, "The  Quick Brown Fox jumps over the lazy dog"),  # case/ws dup
+        (4, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (5, "completely different text about spark engines"),
+        (6, ""),                                              # empty doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_stats_basics(docs):
+    out = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[6]["n_tokens"] == 0
+    assert out[6]["quality_score"] == 0.0  # token-less docs score zero
+    assert out[1]["stopword_ratio_en"] > 0
+
+
+def test_language_id_english(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[6] == "und"
+
+
+def test_exact_duplicates_normalized(docs):
+    clusters = exact_duplicates(docs).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["cluster_size"] == 3     # ids 1, 2, 3 normalize equal
+    assert clusters[0]["canonical_id"] == 1
+
+
+def test_fingerprint_case_whitespace_invariant(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[3]
+    assert fp[1] != fp[4]
+
+
+def test_minhash_finds_near_duplicates(docs):
+    pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found
+    assert (1, 4) in found or (2, 4) in found   # near-dup pair bucketed
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in pairs.collect()}
+    assert est[(1, 2)] == 1.0
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cand = spark.createDataFrame([(1, 2), (1, 4), (1, 5)], ["id_a", "id_b"])
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(cand, docs).collect()}
+    assert jac[(1, 2)] == 1.0
+    assert 0.5 < jac[(1, 4)] < 1.0
+    assert jac[(1, 5)] < 0.2
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    # 40 short docs; banding must return EXACTLY the all-pairs answer
+    rows = [(i, f"token{i % 7} alpha beta gamma delta {i % 3}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    banded = {(r["id_a"], r["id_b"]): r["distance"]
+              for r in simhash_near_duplicates(df, nbits=48,
+                                               max_distance=3).collect()}
+
+    from cubes_spark.llm.dedup import simhash
+
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    brute = {}
+    ids = sorted(hashes)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(hashes[i] ^ hashes[j]).count("1")
+                if d <= 3:
+                    brute[(i, j)] = d
+    assert banded == brute
+
+
+def test_cosine_topk_self_neighbors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.95, 0.1]),  # close to 3
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in cosine_topk(df, df, k=1).collect()}
+    assert top1[1] == 2 and top1[2] == 1
+    assert top1[3] == 4 and top1[4] == 3
+
+
+def test_ann_lsh_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(df, df, k=3).collect()}
+    approx = ann_lsh_cosine(df, k=3, num_planes=4, num_tables=3).collect()
+    hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in approx)
+    assert len(approx) > 0
+    assert hits / len(approx) > 0.5  # decent recall on 60 vectors
+
+
+def test_binary_metadata_and_decode_stub(spark):
+    rows = [(1, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"rest"),
+            (2, b"\x89PNG\r\n")]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    meta = {r["doc_id"]: r for r in
+            binary_metadata(df, "payload").collect()}
+    assert meta[1]["format_guess"] == "jpeg"
+    assert meta[2]["format_guess"] == "png"
+
+    feats = decode_features(df, "payload", dim=4, fake=True).collect()
+    assert all(len(r["features"]) == 4 for r in feats)
+    # deterministic test double
+    again = decode_features(df, "payload", dim=4, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+    with pytest.raises(Exception):
+        decode_features(df, "payload", dim=4, fake=False).collect()

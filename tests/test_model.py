@@ -1,0 +1,146 @@
+"""Model metadata expansion semantics (parity with
+/root/reference/tests/test_model.py tier-1 coverage)."""
+
+import pytest
+
+from cubes_spark.errors import ModelError, NoSuchAttributeError
+from cubes_spark.metadata.attributes import (
+    Attribute,
+    Measure,
+    MeasureAggregate,
+    depsort_attributes,
+)
+from cubes_spark.metadata.cube import Cube
+from cubes_spark.metadata.dimension import Dimension
+
+
+def test_bare_string_dimension_is_flat():
+    dim = Dimension.from_metadata("status")
+    assert dim.name == "status"
+    assert len(dim.levels) == 1
+    assert dim.is_flat
+
+
+def test_attributes_only_dimension_single_level():
+    dim = Dimension.from_metadata(
+        {"name": "product", "attributes": ["code", "name"]}
+    )
+    assert len(dim.levels) == 1
+    assert [a.name for a in dim.levels[0].attributes] == ["code", "name"]
+
+
+def test_level_key_and_label_defaults():
+    dim = Dimension.from_metadata({
+        "name": "geo",
+        "levels": [
+            {"name": "city", "attributes": ["city_key", "city_name"],
+             "key": "city_key", "label_attribute": "city_name"},
+        ],
+    })
+    level = dim.levels[0]
+    assert level.key.name == "city_key"
+    assert level.label_attribute.name == "city_name"
+    # first attribute is the default key when unspecified
+    dim2 = Dimension.from_metadata(
+        {"name": "d", "levels": [{"name": "l", "attributes": ["a", "b"]}]}
+    )
+    assert dim2.levels[0].key.name == "a"
+
+
+def test_hierarchy_navigation():
+    dim = Dimension.from_metadata({
+        "name": "date",
+        "levels": [{"name": n} for n in ("year", "month", "day")],
+        "hierarchies": [
+            {"name": "default", "levels": ["year", "month", "day"]},
+            {"name": "ym", "levels": ["year", "month"]},
+        ],
+    })
+    h = dim.hierarchy()
+    assert [l.name for l in h.levels] == ["year", "month", "day"]
+    assert [l.name for l in dim.hierarchy("ym").levels] == ["year", "month"]
+    assert h.levels_for_depth(2)[-1].name == "month"
+
+
+def test_dimension_template():
+    base = Dimension.from_metadata({
+        "name": "date",
+        "levels": [{"name": "year"}, {"name": "month"}],
+    })
+    derived = Dimension.from_metadata(
+        {"name": "ship_date", "template": "date"},
+        templates={"date": base},
+    )
+    assert derived.name == "ship_date"
+    assert [l.name for l in derived.levels] == ["year", "month"]
+
+
+def test_attribute_ref_includes_dimension():
+    dim = Dimension.from_metadata(
+        {"name": "product", "attributes": ["code"]}
+    )
+    attr = dim.all_attributes[0]
+    assert attr.ref == "product.code"
+
+
+def test_implicit_fact_count_for_empty_cube():
+    cube = Cube.from_metadata({"name": "empty"})
+    names = [a.name for a in cube.aggregates]
+    assert names == ["fact_count"]
+    assert cube.aggregates[0].function == "count"
+
+
+def test_implicit_aggregate_label():
+    cube = Cube.from_metadata({
+        "name": "c",
+        "implicit_aggregates": True,
+        "measures": [{"name": "amount",
+                      "aggregates": ["sum"]}],
+    })
+    agg = cube.aggregate("amount_sum")
+    assert agg.measure == "amount"
+    assert agg.function == "sum"
+    assert "amount" in (agg.label or "amount")
+
+
+def test_cube_key_is_resolvable_attribute():
+    cube = Cube.from_metadata({
+        "name": "c",
+        "key": "fact_id",
+        "measures": [{"name": "amount"}],
+    })
+    attr = cube.attribute("fact_id")
+    assert attr.ref == "fact_id"
+    assert cube.collect_dependencies(["fact_id"])
+
+
+def test_aggregate_lookup_error():
+    cube = Cube.from_metadata({"name": "c", "measures": [{"name": "x"}]})
+    with pytest.raises(NoSuchAttributeError):
+        cube.aggregate("nope")
+
+
+def test_depsort_expression_dependencies():
+    attrs = [
+        Measure("base"),
+        Measure("double", expression="base * 2"),
+        Measure("quad", expression="double * 2"),
+    ]
+    order = depsort_attributes(["quad"], attrs)
+    assert order.index("base") < order.index("double") < order.index("quad")
+
+
+def test_depsort_cycle_detected():
+    from cubes_spark.errors import ExpressionError
+
+    attrs = [
+        Measure("a", expression="b + 1"),
+        Measure("b", expression="a + 1"),
+    ]
+    with pytest.raises(ExpressionError):
+        depsort_attributes(["a"], attrs)
+
+
+def test_measure_default_aggregate_list():
+    m = Measure.from_metadata({"name": "amount", "aggregates": ["sum", "min"]})
+    assert m.aggregates == ["sum", "min"]

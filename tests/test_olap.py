@@ -1,0 +1,70 @@
+"""Native OLAP extensions: rollup / cube / grouping sets / crosstab /
+materialization (SURVEY §2.4 designed-in upgrade)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cubes_spark.operators import olap
+
+
+def base_df(spark):
+    rows = [("A", "x", 1), ("A", "y", 2), ("B", "x", 3), ("B", "y", 4)]
+    return spark.createDataFrame(rows, ["k1", "k2", "v"])
+
+
+def test_rollup_aggregate(spark):
+    out = olap.rollup_aggregate(
+        base_df(spark), ["k1", "k2"], [F.sum("v").alias("v_sum")]
+    ).collect()
+    by_gid = {}
+    for row in out:
+        by_gid.setdefault(row["grouping_id"], []).append(row)
+    assert len(by_gid[0]) == 4          # full grain
+    assert len(by_gid[1]) == 2          # per k1
+    assert len(by_gid[3]) == 1          # grand total
+    assert by_gid[3][0]["v_sum"] == 10
+
+
+def test_cube_aggregate(spark):
+    out = olap.cube_aggregate(
+        base_df(spark), ["k1", "k2"], [F.sum("v").alias("v_sum")]
+    ).collect()
+    gids = sorted({row["grouping_id"] for row in out})
+    assert gids == [0, 1, 2, 3]
+    per_k2 = [r for r in out if r["grouping_id"] == 2]
+    assert {r["k2"]: r["v_sum"] for r in per_k2} == {"x": 4, "y": 6}
+
+
+def test_grouping_sets(spark):
+    out = olap.grouping_sets_aggregate(
+        base_df(spark), [["k1"], ["k2"]], ["sum(v) AS v_sum"]
+    ).collect()
+    assert len(out) == 4  # 2 k1 groups + 2 k2 groups
+
+
+def test_crosstab(spark):
+    out = olap.crosstab(
+        base_df(spark), rows=["k1"], column="k2",
+        value=F.sum("v"), values=["x", "y"],
+    ).orderBy("k1").collect()
+    assert out[0]["x"] == 1 and out[0]["y"] == 2
+    assert out[1]["x"] == 3 and out[1]["y"] == 4
+
+
+def test_combined_cuboids():
+    cuboids = olap.combined_cuboids(["a", "b", "c"])
+    assert ("a", "b", "c") in cuboids
+    assert () in cuboids
+    assert len(cuboids) == 8
+
+
+def test_materialize_aggregate(tpch_browser, spark, tmp_path):
+    path = os.path.join(str(tmp_path), "agg")
+    olap.materialize_aggregate(
+        tpch_browser, path, drilldown=["date:year"],
+        aggregates=["price_sum", "fact_count"],
+    )
+    df = spark.read.parquet(path)
+    assert "date__year" in df.columns
+    assert df.count() == 7

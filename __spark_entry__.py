@@ -216,6 +216,28 @@ def q_agg_split(spark, sf_dir):
     return _lng(_dbl(df, "price_sum"), "fact_count")
 
 
+def q_agg_relative_time(spark, sf_dir):
+    """Calendar cut: 'lastmonth' expanded by the member converter for
+    the role:"time" dimension (now pinned for determinism)."""
+    from datetime import datetime
+
+    from cubes_spark.calendar import Calendar
+    from cubes_spark.demo import tpch_workspace
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ws = tpch_workspace(spark, sf_dir)
+    browser = ws.browser(
+        "sales", calendar=Calendar(now=datetime(1996, 6, 15))
+    )
+    df = browser.aggregation_dataframe(
+        cell="date@ym:lastmonth",
+        drilldown=["date:day"],
+        aggregates=["quantity_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "quantity_sum"), "date.year", "date.month",
+                "date.day", "fact_count")
+
+
 def q_topk_customers(spark, sf_dir):
     """High-cardinality drilldown guarded by pagination: top-5 customers
     by revenue."""
@@ -507,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_minmax": q_agg_minmax,
         "agg_avg_var": q_agg_avg_var,
         "agg_split": q_agg_split,
+        "agg_relative_time": q_agg_relative_time,
         "topk_customers": q_topk_customers,
         "members": q_members,
         "facts_page": q_facts_page,
@@ -784,6 +807,16 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
             COUNT(*) AS fact_count
         FROM lineitem GROUP BY 1, 2"""
+
+    sql["agg_relative_time"] = f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            CAST(month(l_shipdate) AS BIGINT) AS "date.month",
+            CAST(day(l_shipdate) AS BIGINT) AS "date.day",
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem
+        WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 5
+        GROUP BY 1, 2, 3"""
 
     sql["topk_customers"] = f"""
         SELECT * FROM (

@@ -111,6 +111,15 @@ class SparkBrowser:
             opts.get("exclude_null_agregates", False),
         )
 
+        # relative-time cut expansion for role:"time" dimensions
+        # (parity: query/browser.py:130-144)
+        from cubes_spark.calendar import Calendar
+
+        calendar = opts.get("calendar")
+        if isinstance(calendar, dict):
+            calendar = Calendar(**calendar)
+        self.calendar = calendar or Calendar()
+
         naming = naming or Naming()
         if opts.get("use_denormalization"):
             mapper_cls = DenormalizedMapper
@@ -165,11 +174,19 @@ class SparkBrowser:
     # preparation (parity: query/browser.py:79-309)
     # ------------------------------------------------------------------
 
+    def _role_converters(self) -> dict:
+        from cubes_spark.calendar import CalendarMemberConverter
+
+        return {"time": CalendarMemberConverter(self.calendar)}
+
     def prepare_cell(self, cell: Any = None) -> Cell:
         if cell is None:
             return Cell(self.cube)
         if isinstance(cell, str):
-            cuts = cuts_from_string(self.cube, cell)
+            cuts = cuts_from_string(
+                self.cube, cell,
+                role_member_converters=self._role_converters(),
+            )
             return Cell(self.cube, cuts)
         if isinstance(cell, Cell):
             if cell.cube is None:
@@ -279,8 +296,10 @@ class SparkBrowser:
         if not isinstance(drilldown, Drilldown):
             drilldown = Drilldown(drilldown, cell)
         if split is not None and not isinstance(split, Cell):
-            split = Cell(self.cube, cuts_from_string(self.cube, split)) \
-                if isinstance(split, str) else split
+            split = Cell(self.cube, cuts_from_string(
+                self.cube, split,
+                role_member_converters=self._role_converters(),
+            )) if isinstance(split, str) else split
 
         df, group_refs, agg_pairs = self._aggregation_plan(
             cell, aggregates, drilldown, split,
@@ -510,7 +529,10 @@ class SparkBrowser:
         aggregates = self.prepare_aggregates(aggregates, measures)
         drilldown = Drilldown(drilldown, cell)
         if split is not None and isinstance(split, str):
-            split = Cell(self.cube, cuts_from_string(self.cube, split))
+            split = Cell(self.cube, cuts_from_string(
+                self.cube, split,
+                role_member_converters=self._role_converters(),
+            ))
 
         include_summary = self.include_summary if include_summary is None \
             else include_summary

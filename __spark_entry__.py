@@ -388,6 +388,43 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_stream_hourly(spark, sf_dir):
+    """The SAME hourly aggregation as q_events_hourly, executed as a
+    Structured Streaming query: events replayed through a watermarked
+    file stream (availableNow), result from the memory sink.  Verified
+    against the same SQL oracle — streaming == batch == oracle."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from cubes_spark.streaming import read_parquet_stream, replay_to_memory, \
+        windowed_aggregate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet",
+                                 schema, ts_unit="nanos")
+    windowed = windowed_aggregate(
+        stream,
+        {
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "value_sum": F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double"),
+        },
+        window="1 hour", group_by=["event_type"], watermark="2 hours",
+    )
+    result = replay_to_memory(windowed, "q_events_stream_hourly")
+    return result.select("window_start", "event_type", "n_events",
+                         "value_sum")
+
+
 def q_events_type_stats(spark, sf_dir):
     ev = _table(spark, sf_dir, "events")
     return (
@@ -544,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_flags": q_cube_flags,
         "crosstab": q_crosstab,
         "events_hourly": q_events_hourly,
+        "events_stream_hourly": q_events_stream_hourly,
         "events_type_stats": q_events_type_stats,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_quality": q_doc_lang_quality,
@@ -981,6 +1019,12 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS n_events,
             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum,
             COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2"""
+
+    sql["events_stream_hourly"] = """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+            COUNT(*) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2"""
 
     sql["events_type_stats"] = """

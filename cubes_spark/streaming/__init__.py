@@ -1,2 +1,28 @@
-"""Structured Streaming aggregation layer (beyond-reference capability,
-see SURVEY.md §2.9 — the reference is strictly batch)."""
+"""Structured Streaming layer over the aggregation model.
+
+The reference is strictly batch/request-response (no streaming
+anywhere; SURVEY §2.9) — this module is the designed-in extension for
+the `events`-style append stream: the SAME logical aggregation
+(groupBy window + event keys + aggregate columns) declared once runs
+either as a batch DataFrame or incrementally with watermarked state.
+
+Scale design: windowed streaming aggregation is a keyed-state operator
+— state is partitioned by (window, keys) across executors, watermarks
+bound state size and admit late data up to the threshold, and
+`availableNow` triggers process a backlog in bounded batches.  Nothing
+here is driver-side.
+"""
+
+from cubes_spark.streaming.stream import (
+    read_parquet_stream,
+    replay_to_memory,
+    session_aggregate,
+    windowed_aggregate,
+)
+
+__all__ = [
+    "read_parquet_stream",
+    "windowed_aggregate",
+    "session_aggregate",
+    "replay_to_memory",
+]

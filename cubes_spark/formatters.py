@@ -1,0 +1,251 @@
+"""Result formatters: CSV, JSON-lines, XLSX and cross-table.
+
+Parity: /root/reference/cubes/formatters.py:58-440 (CSVGenerator,
+JSONLinesGenerator, SlicerJSONEncoder, make_cross_table,
+CrossTableFormatter, CSVFormatter, XLSXFormatter).  These are
+driver-side presentation layers over collected result rows — small by
+construction (paginated/aggregated results), so plain Python is the
+right tool; bulk data exports go through ``df.write.csv/parquet``
+instead (see operators/olap.py materialization sinks).
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import io
+import json
+from collections import namedtuple
+from decimal import Decimal
+from typing import Any, Iterable, List, Optional, Sequence
+
+from cubes_spark.errors import ArgumentError
+
+__all__ = [
+    "CrossTable",
+    "SlicerJSONEncoder",
+    "csv_generator",
+    "make_cross_table",
+    "CrossTableFormatter",
+    "CSVFormatter",
+    "JSONLinesFormatter",
+    "XLSXFormatter",
+]
+
+
+class SlicerJSONEncoder(json.JSONEncoder):
+    """JSON encoder handling result value types (parity:
+    formatters.py:151-170): decimals as floats, dates in ISO form,
+    objects exposing ``to_dict``."""
+
+    def default(self, o: Any) -> Any:
+        if isinstance(o, Decimal):
+            return float(o)
+        if isinstance(o, (datetime.date, datetime.datetime)):
+            return o.isoformat()
+        if hasattr(o, "to_dict") and callable(o.to_dict):
+            return o.to_dict()
+        try:
+            return json.JSONEncoder.default(self, o)
+        except TypeError:
+            return str(o)
+
+
+def csv_generator(records: Iterable[dict], fields: Sequence[str],
+                  include_header: bool = True,
+                  header: Optional[Sequence[str]] = None) -> Iterable[str]:
+    """Stream CSV lines from record dicts (parity: formatters.py:58-111).
+
+    A generator, not a materialized string — results stream row by row
+    regardless of size.
+    """
+    buffer = io.StringIO()
+    writer = csv.writer(buffer)
+    if include_header:
+        writer.writerow(header or fields)
+        yield _drain(buffer)
+    for record in records:
+        writer.writerow([record.get(f) for f in fields])
+        yield _drain(buffer)
+
+
+def _drain(buffer: io.StringIO) -> str:
+    value = buffer.getvalue()
+    buffer.seek(0)
+    buffer.truncate()
+    return value
+
+
+CrossTable = namedtuple("CrossTable", ["columns", "rows", "data"])
+
+
+def make_cross_table(result: Any, onrows: Optional[Sequence[str]] = None,
+                     oncolumns: Optional[Sequence[str]] = None,
+                     aggregates_on: Optional[str] = None) -> CrossTable:
+    """Pivot a drilldown result into (columns, rows, data)
+    (parity: formatters.py:208-291; same matrix semantics).
+
+    ``aggregates_on``: ``"cells"`` (tuples in the matrix), ``"rows"``
+    or ``"columns"`` (one header per aggregate).
+    """
+    if not result.drilldown:
+        raise ArgumentError("Can't create cross-table without drilldown.")
+
+    aggregates = result.aggregates
+    agg_refs = [str(a) for a in aggregates]
+    onrows = list(onrows or [])
+    oncolumns = list(oncolumns or [])
+
+    matrix: dict = {}
+    row_hdrs: List[tuple] = []
+    column_hdrs: List[tuple] = []
+
+    if aggregates_on is None or aggregates_on == "cells":
+        for record in result.cells:
+            hrow = tuple(record[f] for f in onrows)
+            hcol = tuple(record[f] for f in oncolumns)
+            if hrow not in row_hdrs:
+                row_hdrs.append(hrow)
+            if hcol not in column_hdrs:
+                column_hdrs.append(hcol)
+            matrix[(hrow, hcol)] = tuple(record[a] for a in agg_refs)
+    else:
+        for record in result.cells:
+            base_hrow = [record[f] for f in onrows]
+            base_hcol = [record[f] for f in oncolumns]
+            for agg in aggregates:
+                label = getattr(agg, "label", None) or str(agg)
+                if aggregates_on == "rows":
+                    hrow = tuple(base_hrow + [label])
+                    hcol = tuple(base_hcol)
+                elif aggregates_on == "columns":
+                    hrow = tuple(base_hrow)
+                    hcol = tuple(base_hcol + [label])
+                else:
+                    raise ArgumentError(
+                        f"Unknown aggregates_on: {aggregates_on}"
+                    )
+                if hrow not in row_hdrs:
+                    row_hdrs.append(hrow)
+                if hcol not in column_hdrs:
+                    column_hdrs.append(hcol)
+                matrix[(hrow, hcol)] = record[str(agg)]
+
+    data = [
+        [matrix.get((hrow, hcol)) for hcol in column_hdrs]
+        for hrow in row_hdrs
+    ]
+    return CrossTable(column_hdrs, row_hdrs, data)
+
+
+def coalesce_table_labels(attributes: Sequence[str],
+                          onrows: Optional[Sequence[str]],
+                          oncolumns: Optional[Sequence[str]]):
+    """Distribute attributes between rows/columns when one side is
+    unspecified (parity: formatters.py:294-308)."""
+    if not onrows or not oncolumns:
+        onrows = list(onrows or [])
+        oncolumns = list(oncolumns or [])
+        if not onrows:
+            onrows = [a for a in attributes if a not in oncolumns]
+        if not oncolumns:
+            oncolumns = [a for a in attributes if a not in onrows]
+    return list(onrows), list(oncolumns)
+
+
+class Formatter:
+    def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        return self.format(*args, **kwargs)
+
+    def format(self, *args: Any, **kwargs: Any) -> Any:
+        raise NotImplementedError
+
+
+class CrossTableFormatter(Formatter):
+    """JSON-shaped cross table (parity: formatters.py:311-375)."""
+
+    mime_type = "application/json"
+
+    def __init__(self, indent: Optional[int] = None) -> None:
+        self.indent = indent
+        self.encoder = SlicerJSONEncoder(indent=indent)
+
+    def format(self, cube: Any, result: Any,
+               onrows: Optional[Sequence[str]] = None,
+               oncolumns: Optional[Sequence[str]] = None,
+               aggregates_on: Optional[str] = None) -> str:
+        attrs = _drilldown_attribute_refs(result)
+        onrows, oncolumns = coalesce_table_labels(attrs, onrows, oncolumns)
+        table = make_cross_table(result, onrows, oncolumns, aggregates_on)
+        return self.encoder.encode({
+            "columns": table.columns,
+            "rows": table.rows,
+            "data": table.data,
+        })
+
+
+class CSVFormatter(Formatter):
+    """CSV of drilldown cells: drilldown attributes + aggregates
+    (parity: formatters.py:393-419).  Labels in the header, refs in the
+    rows."""
+
+    mime_type = "text/csv"
+
+    def format(self, cube: Any, result: Any,
+               fields: Optional[Sequence[str]] = None) -> str:
+        fields = list(fields or result.labels)
+        return "".join(csv_generator(result.cells, fields))
+
+
+class JSONLinesFormatter(Formatter):
+    """One JSON document per drilldown cell
+    (parity: JSONLinesGenerator, formatters.py:136-148)."""
+
+    mime_type = "application/x-json-lines"
+
+    def format(self, cube: Any, result: Any) -> str:
+        encoder = SlicerJSONEncoder()
+        return "\n".join(encoder.encode(cell) for cell in result.cells)
+
+
+class XLSXFormatter(Formatter):
+    """XLSX workbook from result cells (parity: formatters.py:114-130).
+    Requires ``openpyxl``; raises a clear error when unavailable (this
+    environment has no xlsx library — the formatter surface and row
+    layout are tested via the row-builder)."""
+
+    mime_type = ("application/vnd.openxmlformats-officedocument"
+                 ".spreadsheetml.sheet")
+
+    def rows(self, result: Any,
+             fields: Optional[Sequence[str]] = None) -> List[list]:
+        fields = list(fields or result.labels)
+        out = [list(fields)]
+        for record in result.cells:
+            out.append([record.get(f) for f in fields])
+        return out
+
+    def format(self, cube: Any, result: Any,
+               fields: Optional[Sequence[str]] = None) -> bytes:
+        try:
+            from openpyxl import Workbook
+        except ImportError as exc:
+            raise NotImplementedError(
+                "XLSX output requires openpyxl, which is not installed"
+            ) from exc
+        wb = Workbook(write_only=True)
+        ws = wb.create_sheet()
+        for row in self.rows(result, fields):
+            ws.append(row)
+        stream = io.BytesIO()
+        wb.save(stream)
+        return stream.getvalue()
+
+
+def _drilldown_attribute_refs(result: Any) -> List[str]:
+    refs = []
+    agg_names = {str(a) for a in result.aggregates}
+    for label in result.labels:
+        if label not in agg_names:
+            refs.append(label)
+    return refs

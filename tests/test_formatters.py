@@ -1,0 +1,87 @@
+"""Formatter outputs against golden strings (parity:
+/root/reference/cubes/formatters.py semantics)."""
+
+import json
+
+import pytest
+
+from cubes_spark.formatters import (
+    CSVFormatter,
+    CrossTableFormatter,
+    JSONLinesFormatter,
+    XLSXFormatter,
+    csv_generator,
+    make_cross_table,
+)
+
+
+@pytest.fixture(scope="module")
+def result(golden_browser):
+    return golden_browser.aggregate(drilldown=["year"],
+                                    aggregates=["amount_sum", "count"])
+
+
+def test_csv_formatter_golden(result):
+    out = CSVFormatter().format(None, result)
+    lines = out.strip().splitlines()
+    assert lines[0] == "year.year,amount_sum,count"
+    assert lines[1] == "2010,15,4"
+    assert len(lines) == 5
+
+
+def test_csv_generator_header_override():
+    records = [{"a": 1, "b": "x,y"}]
+    out = "".join(csv_generator(records, ["a", "b"], header=["A", "B"]))
+    assert out.splitlines() == ["A,B", '1,"x,y"']
+
+
+def test_jsonlines_formatter(result):
+    out = JSONLinesFormatter().format(None, result)
+    docs = [json.loads(line) for line in out.splitlines()]
+    assert len(docs) == 4
+    assert docs[0]["year.year"] == 2010
+    assert docs[0]["amount_sum"] == 15
+
+
+def test_cross_table_cells(result):
+    table = make_cross_table(result, onrows=["year.year"], oncolumns=[])
+    assert table.rows == [(2010,), (2011,), (2012,), (2013,)]
+    assert table.columns == [()]
+    assert table.data[0] == [(15, 4)]
+
+
+def test_cross_table_aggregates_on_columns(result):
+    table = make_cross_table(result, onrows=["year.year"], oncolumns=[],
+                             aggregates_on="columns")
+    assert len(table.columns) == 2
+    assert table.data[0] == [15, 4]
+
+
+def test_cross_table_formatter_json(result):
+    out = json.loads(CrossTableFormatter().format(None, result))
+    assert out["rows"] == [[2010], [2011], [2012], [2013]]
+    assert out["data"][0] == [[15, 4]]
+
+
+def test_cross_table_two_dims(tpch_browser):
+    r = tpch_browser.aggregate(drilldown=["returnflag", "linestatus"],
+                               aggregates=["fact_count"])
+    table = make_cross_table(
+        r, onrows=["returnflag.returnflag"],
+        oncolumns=["linestatus.linestatus"],
+    )
+    assert ("F",) in table.columns and ("O",) in table.columns
+    assert ("A",) in table.rows
+    total = sum(
+        cell[0] for row in table.data for cell in row if cell is not None
+    )
+    assert total == r.summary["fact_count"]
+
+
+def test_xlsx_rows_layout(result):
+    rows = XLSXFormatter().rows(result)
+    assert rows[0] == ["year.year", "amount_sum", "count"]
+    assert rows[1] == [2010, 15, 4]
+    # openpyxl absent in this environment → clear NotImplementedError
+    with pytest.raises((NotImplementedError, Exception)):
+        XLSXFormatter().format(None, result)

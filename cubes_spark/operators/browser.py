@@ -325,7 +325,7 @@ class SparkBrowser:
             window_order = self._order_columns(
                 df.columns, order, drilldown, bool(split)
             )
-            partition = [_qcol(SPLIT_DIMENSION_NAME)] if split else None
+            partition = self._calculator_partition(drilldown, bool(split))
             df = apply_window_calculators(df, specs, window_order, partition)
         return df
 
@@ -452,6 +452,28 @@ class SparkBrowser:
                 column = F.sum(_qcol(agg.name))
             pairs.append((agg.name, column.alias(agg.name)))
         return pairs
+
+    def _calculator_partition(self, drilldown: Drilldown,
+                              has_split: bool) -> Optional[List[Column]]:
+        """Window partition for post-calculators.
+
+        * ``"parity"`` (default): split column only — the reference's
+          modern ``window_size`` semantics (statutils.py:104-119), a
+          single global window over the result order.
+        * ``"auto"``: split + key columns of every drilldown item except
+          the last — the reference's legacy ``aggregation_units``
+          behavior (statutils.py:128-139) and the scale-safe choice: the
+          window sort runs per partition instead of moving the whole
+          result to one task.
+        """
+        mode = self.options.get("calculator_partition", "parity")
+        cols: List[Column] = []
+        if has_split:
+            cols.append(_qcol(SPLIT_DIMENSION_NAME))
+        if mode == "auto" and len(drilldown) > 1:
+            for item in list(drilldown)[:-1]:
+                cols += [_qcol(level.key.ref) for level in item.levels]
+        return cols or None
 
     def _natural_order_columns(self, drilldown: Drilldown,
                                has_split: bool) -> List[Column]:
@@ -602,7 +624,7 @@ class SparkBrowser:
                     window_order = self._order_columns(
                         final.columns, order_spec, drilldown, bool(split)
                     )
-                    partition = [_qcol(SPLIT_DIMENSION_NAME)] if split else None
+                    partition = self._calculator_partition(drilldown, bool(split))
                     final = apply_window_calculators(
                         final, specs, window_order, partition
                     )

@@ -561,14 +561,88 @@ class QueryContext:
             return column.isNull()
         return column == value
 
+    def _time_prefix_bounds(self, dim: str, hierarchy: Optional[str],
+                            path: Optional[list], upper_open: bool = True):
+        """Sargable rewrite for datepart cuts.
+
+        When every level key addressed by ``path`` maps to ``extract``
+        year/month/day (in hierarchy order) of ONE physical timestamp
+        column, the path prefix implies a raw range on that column:
+        ``[year-month-day 00:00, +1 finest unit)``.  Returns
+        ``(raw_column, lower_datetime, upper_datetime)`` or None.
+
+        The caller ANDs this range alongside the exact ``year(col)=…``
+        equalities: it is implied by them (semantically redundant) but,
+        unlike a function predicate, it pushes into the parquet scan —
+        min/max row-group skipping and partition pruning, the difference
+        between scanning a year and scanning 100 TB.
+        """
+        from datetime import datetime
+
+        if not path:
+            return None
+        parts = []
+        column_key = None
+        for level_key, value in zip(
+            self.level_keys(dim, hierarchy, path), path
+        ):
+            if value is None:
+                return None
+            try:
+                mapping = self.star_schema.mapping_for(level_key)
+            except Exception:
+                return None
+            if mapping.extract not in ("year", "month", "day"):
+                return None
+            key = (mapping.schema, mapping.table, mapping.column)
+            if column_key is None:
+                column_key = key
+            elif key != column_key:
+                return None
+            try:
+                parts.append((mapping.extract, int(value)))
+            except (TypeError, ValueError):
+                return None
+
+        units = [u for u, _ in parts]
+        if units != ["year", "month", "day"][: len(units)]:
+            return None
+        values = dict(parts)
+        year = values["year"]
+        month = values.get("month", 1)
+        day = values.get("day", 1)
+        try:
+            lower = datetime(year, month, day)
+        except ValueError:
+            return None
+        if "day" in values:
+            from datetime import timedelta
+
+            upper = lower + timedelta(days=1)
+        elif "month" in values:
+            upper = datetime(year + (month == 12), month % 12 + 1, 1)
+        else:
+            upper = datetime(year + 1, 1, 1)
+
+        table_ref = self.star_schema.table(
+            (column_key[0] or self.star_schema.schema, column_key[1])
+        )
+        raw = F.col(f"{table_ref.alias}.`{column_key[2]}`")
+        return raw, lower, upper
+
     def condition_for_point(self, dim: str, path: list,
                             hierarchy: Optional[str] = None,
                             invert: bool = False) -> Column:
         """Path-prefix equality on hierarchy level keys
-        (parity: query.py:995-1016)."""
+        (parity: query.py:995-1016), plus a pushdown-friendly raw range
+        for datepart-mapped time prefixes."""
         conditions = []
         for level_key, value in zip(self.level_keys(dim, hierarchy, path), path):
             conditions.append(self._eq(self.column(level_key), value))
+        bounds = self._time_prefix_bounds(dim, hierarchy, path)
+        if bounds is not None:
+            raw, lower, upper = bounds
+            conditions.append((raw >= F.lit(lower)) & (raw < F.lit(upper)))
         if not conditions:
             condition = F.lit(True)
         else:
@@ -583,11 +657,21 @@ class QueryContext:
                         from_path: Optional[list], to_path: Optional[list],
                         invert: bool = False) -> Column:
         """Hierarchical (lexicographic) range; open ends allowed
-        (parity: query.py:1018-1038)."""
+        (parity: query.py:1018-1038).  Datepart-mapped time boundaries
+        additionally emit a raw scan-pushable range (see
+        ``_time_prefix_bounds``)."""
         lower = self._boundary_condition(dim, hierarchy, from_path, 0)
         upper = self._boundary_condition(dim, hierarchy, to_path, 1)
 
         conditions = [c for c in (lower, upper) if c is not None]
+        from_bounds = self._time_prefix_bounds(dim, hierarchy, from_path)
+        if from_bounds is not None:
+            raw, low, _ = from_bounds
+            conditions.append(raw >= F.lit(low))
+        to_bounds = self._time_prefix_bounds(dim, hierarchy, to_path)
+        if to_bounds is not None:
+            raw, _, up = to_bounds
+            conditions.append(raw < F.lit(up))
         if not conditions:
             condition = F.lit(True)
         else:

@@ -362,17 +362,57 @@ class Cube:
         return d
 
     def validate(self) -> list:
+        """Model consistency check → list of (severity, message)
+        (parity: cube.py validate + slicer `model validate` checks)."""
+        from cubes_spark.functions.aggregates import (
+            available_aggregate_functions,
+        )
+        from cubes_spark.functions.calculators import available_calculators
+
         results = []
         measure_names = set()
         for measure in self.measures:
             if measure.name in measure_names:
                 results.append(
-                    ("error", f"Duplicate measure '{measure.name}' in cube '{self.name}'")
+                    ("error",
+                     f"Duplicate measure '{measure.name}' "
+                     f"in cube '{self.name}'")
                 )
             measure_names.add(measure.name)
+
+        known_functions = set(available_aggregate_functions()) \
+            | set(available_calculators())
+        aggregate_names = set()
+        for aggregate in self.aggregates:
+            if aggregate.name in aggregate_names:
+                results.append(
+                    ("error",
+                     f"Duplicate aggregate '{aggregate.name}' "
+                     f"in cube '{self.name}'")
+                )
+            aggregate_names.add(aggregate.name)
+            if aggregate.function and aggregate.function not in known_functions:
+                results.append(
+                    ("error",
+                     f"Unknown function '{aggregate.function}' of "
+                     f"aggregate '{aggregate.name}' in cube '{self.name}'")
+                )
+            if aggregate.measure and not aggregate.expression:
+                known = measure_names | {
+                    a.name for a in self.aggregates
+                } | {d.name for d in self.details}
+                if aggregate.measure not in known:
+                    results.append(
+                        ("error",
+                         f"Unknown measure '{aggregate.measure}' of "
+                         f"aggregate '{aggregate.name}' "
+                         f"in cube '{self.name}'")
+                    )
+
         if not self.aggregates and not self.measures:
             results.append(
-                ("warning", f"Cube '{self.name}' has no measures nor aggregates")
+                ("warning",
+                 f"Cube '{self.name}' has no measures nor aggregates")
             )
         return results
 

@@ -173,7 +173,9 @@ class StarSchemaMapper(Mapper):
         ref = attribute.ref
         localized_ref = None
         locales = getattr(attribute, "locales", None)
-        if locales and self.locale:
+        if locales:
+            # no browser locale → the attribute's first locale is the
+            # default (parity: sql/mapper.py:240-248)
             locale = self.locale if self.locale in locales else locales[0]
             localized_ref = f"{ref}.{locale}"
 

@@ -1,0 +1,268 @@
+"""Slicer HTTP API as a Flask blueprint over a Workspace.
+
+Parity: /root/reference/cubes/server/blueprint.py:228-607 and request
+parsing in /root/reference/cubes/server/decorators.py:68-120 — the
+same endpoints, query parameters (``cut``, ``drilldown``,
+``aggregates``, ``measures``, ``order``, ``page``, ``pagesize``,
+``split``, ``format``) and JSON response shapes, served from the
+Spark engine.
+
+The server holds ONE SparkSession; each request builds a lazy
+DataFrame plan and collects only the (paginated) result — request
+latency is Spark job latency, memory stays bounded by page size and
+the ``json_record_limit`` guard (parity: blueprint.py:107).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+from flask import Blueprint, Flask, Response, current_app, g, jsonify, \
+    request
+
+from cubes_spark.auth import Authorizer, NoopAuthorizer, NotAuthorized
+from cubes_spark.errors import ArgumentError, CubesError, NoSuchCubeError
+from cubes_spark.formatters import CSVFormatter, SlicerJSONEncoder
+from cubes_spark.sources.workspace import Workspace
+
+__all__ = ["slicer_blueprint", "create_server", "VERSION"]
+
+VERSION = "2.0-spark"
+
+slicer = Blueprint("slicer", __name__)
+
+
+def slicer_blueprint() -> Blueprint:
+    return slicer
+
+
+def create_server(workspace: Workspace,
+                  authorizer: Optional[Authorizer] = None,
+                  json_record_limit: int = 1000) -> Flask:
+    """Flask app serving the slicer API for `workspace`."""
+    app = Flask("cubes_spark.server")
+    app.config["workspace"] = workspace
+    app.config["authorizer"] = authorizer or NoopAuthorizer()
+    app.config["json_record_limit"] = json_record_limit
+    app.register_blueprint(slicer)
+    return app
+
+
+def _workspace() -> Workspace:
+    return current_app.config["workspace"]
+
+
+def _authorizer() -> Authorizer:
+    return current_app.config["authorizer"]
+
+
+def _identity() -> Optional[str]:
+    return request.args.get("identity") or request.headers.get("X-Identity")
+
+
+def _json(payload: Any, status: int = 200) -> Response:
+    return Response(
+        SlicerJSONEncoder(indent=None).encode(payload),
+        status=status,
+        mimetype="application/json",
+    )
+
+
+@slicer.errorhandler(CubesError)
+def _user_error(error: CubesError) -> Response:
+    status = 404 if isinstance(error, NoSuchCubeError) else 400
+    return _json({"error": type(error).__name__, "message": str(error)},
+                 status=status)
+
+
+@slicer.errorhandler(NotAuthorized)
+def _not_authorized(error: NotAuthorized) -> Response:
+    return _json({"error": "not_authorized", "message": str(error)}, 403)
+
+
+def _browser(cube_name: str):
+    workspace = _workspace()
+    cube = workspace.cube(cube_name)
+    authorizer = _authorizer()
+    identity = _identity()
+    if not authorizer.authorize(identity, [cube.name]):
+        raise NotAuthorized(f"Not authorized for cube '{cube_name}'")
+    return workspace.browser(cube), cube
+
+
+def _restricted_cell(cube, browser, cell_arg: Optional[str]):
+    cell = browser.prepare_cell(cell_arg)
+    restricted = _authorizer().restricted_cell(_identity(), cube, cell)
+    return restricted if restricted is not None else cell
+
+
+def _common_params() -> dict:
+    """Parse page/pagesize/order (parity: decorators.py:106-120)."""
+    params: dict = {}
+    if "page" in request.args:
+        params["page"] = int(request.args["page"])
+    if "pagesize" in request.args:
+        params["page_size"] = int(request.args["pagesize"])
+    order = request.args.getlist("order")
+    if order:
+        params["order"] = [
+            part for item in order for part in item.split(",")
+        ]
+    return params
+
+
+# ---------------------------------------------------------------------------
+# endpoints (parity: blueprint.py:228-607)
+# ---------------------------------------------------------------------------
+
+
+@slicer.route("/")
+@slicer.route("/version")
+def show_version() -> Response:
+    return _json({
+        "version": VERSION,
+        "server_version": VERSION,
+        "api_version": 2,
+    })
+
+
+@slicer.route("/info")
+def show_info() -> Response:
+    return _json({
+        "json_record_limit": current_app.config["json_record_limit"],
+        "cubes_version": VERSION,
+        "timezone": "UTC",
+        "first_weekday": 0,
+        "api_version": 2,
+    })
+
+
+@slicer.route("/cubes")
+def list_cubes() -> Response:
+    workspace = _workspace()
+    cubes = workspace.list_cubes()
+    authorized = _authorizer().authorize(
+        _identity(), [c["name"] for c in cubes]
+    )
+    return _json([c for c in cubes if c["name"] in authorized])
+
+
+@slicer.route("/cube/<cube_name>/model")
+def cube_model(cube_name: str) -> Response:
+    _, cube = _browser(cube_name)
+    return _json(cube.to_dict(expand_dimensions=True))
+
+
+@slicer.route("/cube/<cube_name>/aggregate")
+def aggregate(cube_name: str) -> Response:
+    browser, cube = _browser(cube_name)
+    cell = _restricted_cell(cube, browser, request.args.get("cut"))
+
+    kwargs = _common_params()
+    if "drilldown" in request.args:
+        kwargs["drilldown"] = [
+            part for item in request.args.getlist("drilldown")
+            for part in item.split(",")
+        ]
+    if "split" in request.args:
+        kwargs["split"] = request.args["split"]
+    if "aggregates" in request.args:
+        kwargs["aggregates"] = request.args["aggregates"].split(",")
+    if "measures" in request.args:
+        kwargs["measures"] = request.args["measures"].split(",")
+
+    result = browser.aggregate(cell, **kwargs)
+
+    output_format = request.args.get("format", "json")
+    if output_format == "csv":
+        body = CSVFormatter().format(cube, result)
+        return Response(body, mimetype="text/csv")
+    return _json(result.to_dict())
+
+
+@slicer.route("/cube/<cube_name>/facts")
+def cube_facts(cube_name: str) -> Response:
+    browser, cube = _browser(cube_name)
+    cell = _restricted_cell(cube, browser, request.args.get("cut"))
+
+    kwargs = _common_params()
+    fields = request.args.get("fields")
+    if fields:
+        kwargs["fields"] = fields.split(",")
+    if "page_size" not in kwargs:
+        kwargs["page_size"] = current_app.config["json_record_limit"]
+
+    df = browser.facts(cell, **kwargs)
+    rows = [row.asDict() for row in df.collect()]
+
+    output_format = request.args.get("format", "json")
+    if output_format == "csv":
+        from cubes_spark.formatters import csv_generator
+
+        field_names = df.columns
+        body = "".join(csv_generator(rows, field_names))
+        return Response(body, mimetype="text/csv")
+    return _json(rows)
+
+
+@slicer.route("/cube/<cube_name>/fact/<fact_id>")
+def cube_fact(cube_name: str, fact_id: str) -> Response:
+    browser, cube = _browser(cube_name)
+    try:
+        key: Any = int(fact_id)
+    except ValueError:
+        key = fact_id
+    row = browser.fact(key)
+    if row is None:
+        return _json({"error": "not_found",
+                      "message": f"No fact '{fact_id}'"}, 404)
+    return _json(row)
+
+
+@slicer.route("/cube/<cube_name>/members/<dimension_name>")
+def cube_members(cube_name: str, dimension_name: str) -> Response:
+    browser, cube = _browser(cube_name)
+    cell = _restricted_cell(cube, browser, request.args.get("cut"))
+
+    kwargs = _common_params()
+    depth = request.args.get("depth")
+    level = request.args.get("level")
+    if depth:
+        kwargs["depth"] = int(depth)
+    if level:
+        kwargs["level"] = level
+    hierarchy = request.args.get("hierarchy")
+
+    members = browser.members(cell, dimension_name, hierarchy=hierarchy,
+                              **kwargs)
+    dimension = cube.dimension(dimension_name)
+    return _json({
+        "dimension": dimension.name,
+        "hierarchy": str(dimension.hierarchy(hierarchy)),
+        "data": members,
+    })
+
+
+@slicer.route("/cube/<cube_name>/cell")
+def cube_cell(cube_name: str) -> Response:
+    browser, cube = _browser(cube_name)
+    cell = _restricted_cell(cube, browser, request.args.get("cut"))
+    details = browser.cell_details(cell)
+    cell_dict = cell.to_dict()
+    for cut, detail in zip(cell_dict["cuts"], details):
+        cut["details"] = detail
+    return _json(cell_dict)
+
+
+@slicer.route("/cube/<cube_name>/report", methods=["POST"])
+def cube_report(cube_name: str) -> Response:
+    browser, cube = _browser(cube_name)
+    payload = request.get_json(force=True, silent=True) or {}
+    queries = payload.get("queries")
+    if not queries:
+        raise ArgumentError("Report request does not contain 'queries'")
+    cell_arg = payload.get("cell") or request.args.get("cut")
+    cell = _restricted_cell(cube, browser, cell_arg)
+    result = browser.report(cell, queries)
+    return _json(result)

@@ -1,0 +1,213 @@
+"""``slicer`` command-line tool.
+
+Parity: /root/reference/cubes/slicer/commands.py:38-410 (the click CLI)
+re-expressed with argparse: ``serve``, ``list``, ``model validate``,
+``test``, ``sql denormalize``, ``sql aggregate``.
+
+Configuration is a JSON file::
+
+    {
+      "store": "/path/to/parquet-dir",
+      "model": "/path/to/model.json",       # or inline "model": {...}
+      "naming": {...},                       # optional
+      "server": {"json_record_limit": 1000}  # optional
+    }
+
+Usage: ``python -m cubes_spark.slicer <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any, Optional
+
+__all__ = ["main", "build_workspace"]
+
+
+def _load_config(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def build_workspace(config: dict, spark: Any = None):
+    from cubes_spark.sources.workspace import Workspace, default_session
+
+    spark = spark or default_session("slicer")
+    workspace = Workspace(
+        spark,
+        store=config.get("store"),
+        naming=config.get("naming"),
+    )
+    model = config.get("model")
+    if model:
+        workspace.import_model(model)
+    return workspace
+
+
+def cmd_list(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
+    """List cubes (parity: commands.py `list`)."""
+    workspace = build_workspace(config)
+    for info in workspace.list_cubes():
+        label = info.get("label") or ""
+        out.write(f"{info['name']}    {label}\n".rstrip() + "\n")
+    return 0
+
+
+def cmd_validate(config: dict, args: argparse.Namespace,
+                 out=sys.stdout) -> int:
+    """Validate model metadata (parity: commands.py `model validate`)."""
+    from cubes_spark.sources.workspace import read_model
+    from cubes_spark.metadata.cube import Cube
+    from cubes_spark.metadata.dimension import Dimension
+
+    metadata = read_model(args.model or config.get("model"))
+    errors = []
+    warnings = []
+    dimensions = {}
+    for dim_md in metadata.get("dimensions", []):
+        try:
+            dim = Dimension.from_metadata(dim_md, templates=dimensions)
+            dimensions[dim.name] = dim
+        except Exception as exc:
+            errors.append((dim_md.get("name", "?"), str(exc)))
+    for cube_md in metadata.get("cubes", []):
+        try:
+            cube = Cube.from_metadata(cube_md)
+            for link in cube.dimension_links:
+                name = link["name"]
+                if name in dimensions:
+                    cube.link_dimension(dimensions[name])
+            for severity, message in cube.validate() or []:
+                target = errors if severity == "error" else warnings
+                target.append((cube.name, message))
+        except Exception as exc:
+            errors.append((cube_md.get("name", "?"), str(exc)))
+
+    for owner, message in warnings:
+        out.write(f"WARNING {owner}: {message}\n")
+    if errors:
+        for owner, message in errors:
+            out.write(f"ERROR {owner}: {message}\n")
+        out.write(f"{len(errors)} error(s)\n")
+        return 1
+    out.write("model is valid\n")
+    return 0
+
+
+def cmd_test(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
+    """Smoke-test every cube's star (parity: commands.py `test`)."""
+    workspace = build_workspace(config)
+    names = args.cube or [c["name"] for c in workspace.list_cubes()]
+    failures = 0
+    for name in names:
+        try:
+            browser = workspace.browser(name)
+            browser.test(aggregate=args.aggregate)
+            out.write(f"OK    {name}\n")
+        except Exception as exc:
+            failures += 1
+            out.write(f"FAIL  {name}: {exc}\n")
+    return 1 if failures else 0
+
+
+def cmd_denormalize(config: dict, args: argparse.Namespace,
+                    out=sys.stdout) -> int:
+    """Materialize the denormalized star to parquet
+    (parity: commands.py `sql denormalize`)."""
+    from cubes_spark.operators.olap import materialize_denormalized
+
+    workspace = build_workspace(config)
+    browser = workspace.browser(args.cube)
+    materialize_denormalized(browser, args.target,
+                             partition_by=args.partition_by)
+    out.write(f"denormalized '{args.cube}' -> {args.target}\n")
+    return 0
+
+
+def cmd_aggregate(config: dict, args: argparse.Namespace,
+                  out=sys.stdout) -> int:
+    """Materialize a pre-aggregated cuboid
+    (parity: commands.py `sql aggregate`)."""
+    from cubes_spark.operators.olap import materialize_aggregate
+
+    workspace = build_workspace(config)
+    browser = workspace.browser(args.cube)
+    materialize_aggregate(browser, args.target,
+                          drilldown=args.drilldown or [],
+                          aggregates=args.aggregates)
+    out.write(f"aggregated '{args.cube}' -> {args.target}\n")
+    return 0
+
+
+def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
+    """Run the slicer HTTP server (parity: commands.py `serve`)."""
+    from cubes_spark.server import create_server
+
+    workspace = build_workspace(config)
+    server_config = config.get("server", {})
+    app = create_server(
+        workspace,
+        json_record_limit=server_config.get("json_record_limit", 1000),
+    )
+    app.run(host=args.host, port=args.port, debug=args.debug)
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="slicer", description="cubes_spark OLAP server tool"
+    )
+    parser.add_argument("--config", default="slicer.json",
+                        help="JSON configuration file")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("list", help="list cubes")
+
+    p = sub.add_parser("validate", help="validate model metadata")
+    p.add_argument("model", nargs="?", help="model path (default: config)")
+
+    p = sub.add_parser("test", help="smoke-test cube stars")
+    p.add_argument("cube", nargs="*", help="cubes to test (default: all)")
+    p.add_argument("--aggregate", action="store_true",
+                   help="also run a full aggregation")
+
+    p = sub.add_parser("denormalize", help="materialize denormalized star")
+    p.add_argument("cube")
+    p.add_argument("target", help="output parquet path")
+    p.add_argument("--partition-by", nargs="*", default=None)
+
+    p = sub.add_parser("aggregate", help="materialize aggregated cuboid")
+    p.add_argument("cube")
+    p.add_argument("target", help="output parquet path")
+    p.add_argument("--drilldown", nargs="*", default=None)
+    p.add_argument("--aggregates", nargs="*", default=None)
+
+    p = sub.add_parser("serve", help="start the HTTP server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--debug", action="store_true")
+
+    return parser
+
+
+COMMANDS = {
+    "list": cmd_list,
+    "validate": cmd_validate,
+    "test": cmd_test,
+    "denormalize": cmd_denormalize,
+    "aggregate": cmd_aggregate,
+    "serve": cmd_serve,
+}
+
+
+def main(argv: Optional[list] = None, out=sys.stdout) -> int:
+    parser = make_parser()
+    args = parser.parse_args(argv)
+    config = _load_config(args.config)
+    return COMMANDS[args.command](config, args, out=out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,183 @@
+"""Slicer HTTP API over the Spark workspace (parity:
+/root/reference/tests/test_server.py — Flask test client, no network)."""
+
+import json
+
+import pytest
+
+from cubes_spark.auth import SimpleAuthorizer
+from cubes_spark.demo import tpch_workspace
+from cubes_spark.server import create_server
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    ws = tpch_workspace(spark, SF_DIR)
+    app = create_server(ws)
+    app.testing = True
+    return app.test_client()
+
+
+@pytest.fixture(scope="module")
+def secured_client(spark):
+    ws = tpch_workspace(spark, SF_DIR)
+    authz = SimpleAuthorizer(
+        rights={
+            "analyst": {"allowed_cubes": ["sales"]},
+            "restricted": {
+                "allowed_cubes": ["sales"],
+                "cell_restrictions": {"sales": ["returnflag:A"]},
+            },
+        },
+        order="allow_deny",
+    )
+    app = create_server(ws, authorizer=authz)
+    app.testing = True
+    return app.test_client()
+
+
+def get_json(client, url):
+    response = client.get(url)
+    return response.status_code, json.loads(response.data)
+
+
+def test_version(client):
+    status, data = get_json(client, "/version")
+    assert status == 200
+    assert data["api_version"] == 2
+
+
+def test_list_cubes(client):
+    status, data = get_json(client, "/cubes")
+    assert status == 200
+    assert [c["name"] for c in data] == ["sales"]
+
+
+def test_cube_model(client):
+    status, data = get_json(client, "/cube/sales/model")
+    assert status == 200
+    assert data["name"] == "sales"
+    assert any(d["name"] == "date" for d in data["dimensions"])
+
+
+def test_unknown_cube_404(client):
+    status, data = get_json(client, "/cube/nope/model")
+    assert status == 404
+
+
+def test_aggregate_endpoint(client):
+    status, data = get_json(
+        client,
+        "/cube/sales/aggregate?cut=date:1995&drilldown=date:month"
+        "&aggregates=fact_count,quantity_sum",
+    )
+    assert status == 200
+    assert len(data["cells"]) == 12
+    assert data["total_cell_count"] == 12
+    assert data["summary"]["fact_count"] == sum(
+        c["fact_count"] for c in data["cells"]
+    )
+
+
+def test_aggregate_order_and_paging(client):
+    status, data = get_json(
+        client,
+        "/cube/sales/aggregate?drilldown=date@ym:month"
+        "&aggregates=price_sum&order=price_sum:desc&page=0&pagesize=3",
+    )
+    assert status == 200
+    sums = [c["price_sum"] for c in data["cells"]]
+    assert len(sums) == 3
+    assert sums == sorted(sums, reverse=True)
+
+
+def test_aggregate_csv_format(client):
+    response = client.get(
+        "/cube/sales/aggregate?drilldown=returnflag"
+        "&aggregates=fact_count&format=csv"
+    )
+    assert response.status_code == 200
+    assert response.mimetype == "text/csv"
+    lines = response.data.decode().strip().splitlines()
+    assert lines[0] == "returnflag.returnflag,fact_count"
+    assert len(lines) == 4
+
+
+def test_facts_endpoint(client):
+    status, data = get_json(
+        client,
+        "/cube/sales/facts?cut=date:1995,1&fields=quantity,returnflag"
+        "&pagesize=5",
+    )
+    assert status == 200
+    assert len(data) == 5
+    assert set(data[0]) == {"quantity", "returnflag.returnflag"}
+
+
+def test_fact_endpoint(client):
+    status, data = get_json(client, "/cube/sales/fact/1")
+    assert status == 200
+    assert data["fact_key"] == 1
+
+
+def test_members_endpoint(client):
+    status, data = get_json(
+        client, "/cube/sales/members/customer_geo?depth=1"
+    )
+    assert status == 200
+    assert data["dimension"] == "customer_geo"
+    assert len(data["data"]) == 5
+
+
+def test_cell_endpoint(client):
+    status, data = get_json(client, "/cube/sales/cell?cut=date:1995")
+    assert status == 200
+    assert data["cuts"][0]["dimension"] == "date"
+    assert data["cuts"][0]["details"] is not None
+
+
+def test_report_endpoint(client):
+    response = client.post(
+        "/cube/sales/report",
+        json={"queries": {
+            "byflag": {"query": "aggregate", "drilldown": ["returnflag"],
+                       "aggregates": ["fact_count"]},
+        }},
+    )
+    assert response.status_code == 200
+    data = json.loads(response.data)
+    assert len(data["byflag"]["cells"]) == 3
+
+
+def test_bad_request_400(client):
+    status, data = get_json(client, "/cube/sales/aggregate?cut=nonsense")
+    assert status == 400
+
+
+def test_authorization_denied(secured_client):
+    response = secured_client.get("/cube/sales/aggregate")
+    assert response.status_code == 403
+    status, data = get_json(
+        secured_client, "/cube/sales/aggregate?identity=analyst"
+    )
+    assert status == 200
+
+
+def test_restricted_cell_enforced(secured_client):
+    status, data = get_json(
+        secured_client,
+        "/cube/sales/aggregate?identity=restricted&drilldown=returnflag"
+        "&aggregates=fact_count",
+    )
+    assert status == 200
+    flags = [c["returnflag.returnflag"] for c in data["cells"]]
+    assert flags == ["A"]
+
+
+def test_cubes_listing_filtered(secured_client):
+    status, data = get_json(secured_client, "/cubes")
+    assert status == 200
+    assert data == []
+    status, data = get_json(secured_client, "/cubes?identity=analyst")
+    assert [c["name"] for c in data] == ["sales"]

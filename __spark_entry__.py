@@ -342,6 +342,23 @@ def q_cube_flags(spark, sf_dir):
     return _lng(out, "grouping_id")
 
 
+def q_grouping_sets(spark, sf_dir):
+    """GROUP BY GROUPING SETS — one pass over two disjoint cuboids."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag", "linestatus"], aggregates=["quantity_sum"],
+    )
+    base = df.select(
+        F.col("`returnflag.returnflag`").alias("returnflag"),
+        F.col("`linestatus.linestatus`").alias("linestatus"),
+        F.col("quantity_sum"),
+    )
+    out = olap.grouping_sets_aggregate(
+        base, [["returnflag"], ["linestatus"]],
+        ["CAST(sum(quantity_sum) AS DOUBLE) AS quantity_sum"],
+    )
+    return out
+
+
 def q_crosstab(spark, sf_dir):
     """Pivot: returnflag rows × linestatus columns, fact counts."""
     df = _browser(spark, sf_dir).aggregation_dataframe(
@@ -443,6 +460,52 @@ def q_events_type_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators over documents / embeddings
 # ---------------------------------------------------------------------------
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding 2h/1h event-time windows (each event lands in two)."""
+    from cubes_spark.streaming import windowed_aggregate
+
+    ev = _table(spark, sf_dir, "events")
+    out = windowed_aggregate(
+        ev,
+        {
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "value_sum": F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double"),
+        },
+        window="2 hours", slide="1 hour", group_by=["event_type"],
+    )
+    return out.select("window_start", "event_type", "n_events", "value_sum")
+
+
+def q_doc_common_ngrams(spark, sf_dir):
+    """Most common 5-gram shingles across documents (dedup-analysis
+    signal): document frequency per distinct shingle, top 20."""
+    from cubes_spark.llm.dedup import _shingle_array
+    from cubes_spark.llm.util import spread
+
+    docs = _table(spark, sf_dir, "documents")
+    exploded = spread(docs).select(
+        F.col("doc_id"),
+        F.explode(_shingle_array(F.col("text"), 5)).alias("shingle"),
+    )
+    return (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
+
+
+def q_doc_quality_filter(spark, sf_dir):
+    """The pretraining-filter shape: keep documents above a quality
+    threshold."""
+    docs = _table(spark, sf_dir, "documents")
+    stats = text_stats(docs)
+    return stats.filter(F.col("quality_score") >= 0.5).select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    )
 
 
 def q_doc_text_stats(spark, sf_dir):
@@ -579,7 +642,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calc_smrsd": q_calc_smrsd,
         "rollup_ym": q_rollup_ym,
         "cube_flags": q_cube_flags,
+        "grouping_sets": q_grouping_sets,
         "crosstab": q_crosstab,
+        "events_sliding": q_events_sliding,
+        "doc_common_ngrams": q_doc_common_ngrams,
+        "doc_quality_filter": q_doc_quality_filter,
         "events_hourly": q_events_hourly,
         "events_stream_hourly": q_events_stream_hourly,
         "events_type_stats": q_events_type_stats,
@@ -1007,6 +1074,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag AS returnflag, l_linestatus AS linestatus
             FROM lineitem
         ) GROUP BY CUBE (returnflag, linestatus)"""
+
+    sql["grouping_sets"] = f"""
+        SELECT returnflag, linestatus,
+            CAST(SUM(dec_qty) AS DOUBLE) AS quantity_sum
+        FROM (
+            SELECT l_returnflag AS returnflag,
+                l_linestatus AS linestatus,
+                SUM({_DEC_QTY}) AS dec_qty
+            FROM lineitem GROUP BY 1, 2
+        ) GROUP BY GROUPING SETS ((returnflag), (linestatus))"""
+
+    sql["events_sliding"] = """
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR * h.o
+                AS window_start,
+            event_type,
+            COUNT(*) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+        FROM events, (SELECT unnest([0, 1]) AS o) h
+        GROUP BY 1, 2"""
+
+    sql["doc_common_ngrams"] = f"""
+        SELECT shingle, COUNT(*) AS doc_freq
+        FROM (
+            SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(length({_NORM}) - 4, 1)),
+                    i -> substr({_NORM}, i, 5)))) AS shingle
+            FROM documents
+        )
+        GROUP BY 1 ORDER BY doc_freq DESC, shingle ASC LIMIT 20"""
+
+    sql["doc_quality_filter"] = f"""
+        WITH base AS ({_text_stats_sql()}),
+        derived AS ({_TEXT_STATS_DERIVED})
+        SELECT b.doc_id, b.lang, d.n_tokens, d.quality_score
+        FROM base b JOIN derived d ON b.doc_id = d.doc_id
+        WHERE d.quality_score >= 0.5"""
 
     sql["crosstab"] = """
         SELECT l_returnflag AS returnflag,

@@ -111,6 +111,11 @@ class SparkBrowser:
             opts.get("exclude_null_agregates", False),
         )
 
+        # driver-side result guard (parity: json_record_limit,
+        # /root/reference/cubes/server/blueprint.py:107): caps an
+        # unpaginated aggregate() collect
+        self.safe_record_limit = opts.get("safe_record_limit")
+
         # relative-time cut expansion for role:"time" dimensions
         # (parity: query/browser.py:130-144)
         from cubes_spark.calendar import Calendar
@@ -628,6 +633,9 @@ class SparkBrowser:
                     final = apply_window_calculators(
                         final, specs, window_order, partition
                     )
+                if page_size is None and self.safe_record_limit:
+                    # guard a driver-side OOM on unpaginated large grains
+                    final = final.limit(self.safe_record_limit)
                 result.labels = final.columns
                 result.cells = [row.asDict() for row in final.collect()]
             finally:

@@ -82,27 +82,34 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _hyperplane_bits(vec: Column, num_planes: int, seed: int) -> Column:
-    """LSH bucket id: sign bits of projections onto ``num_planes``
-    deterministic pseudo-random hyperplanes.
+def _plane_components(num_planes: int, dim: int, seed: int):
+    """Deterministic pseudo-random hyperplanes: component (p, d) is the
+    md5-derived hash of ``seed:p:d`` mapped to [-1, 1].  Computed ONCE
+    in Python and embedded as literals — the per-row work is a pure
+    multiply-add fold, no digest in the row path."""
+    import hashlib
 
-    Plane ``p`` component ``d`` is ``hash64(seed:p:d)`` mapped to
-    [-1, 1] — reproducible anywhere md5 exists.
-    """
-    def plane_component(p):
-        return lambda x, d: x.cast("double") * (
-            hash64(
-                F.concat(F.lit(f"{seed}:{p}:"), d.cast("string"))
-            ).cast("double")
-            / F.lit(float(1 << 59))
-            - F.lit(1.0)
-        )
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            digest = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(int(digest[:15], 16) / float(1 << 59) - 1.0)
+        planes.append(row)
+    return planes
 
+
+def _hyperplane_bits(vec: Column, num_planes: int, dim: int,
+                     seed: int) -> Column:
+    """LSH bucket id: sign bits of projections onto the precomputed
+    hyperplanes."""
+    planes = _plane_components(num_planes, dim, seed)
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in planes[p]])
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1),
-                       plane_component(p)),
+            F.zip_with(vec, plane,
+                       lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -126,8 +133,10 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
     """
     tables = []
     base = spread(corpus).select(F.col(id_col), F.col(vec_col))
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
     for t in range(num_tables):
-        bits = _hyperplane_bits(F.col(vec_col), num_planes,
+        bits = _hyperplane_bits(F.col(vec_col), num_planes, dim,
                                 seed=seed + 7919 * t)
         tables.append(
             base.select(

@@ -152,6 +152,99 @@ class SparkBrowser:
             broadcast=broadcast,
         )
         self.hierarchies = cube.distilled_hierarchies()
+        self._cuboids: List[Any] = []
+
+    # ------------------------------------------------------------------
+    # pre-aggregated cuboids (see operators/preagg.py)
+    # ------------------------------------------------------------------
+
+    def add_cuboid(self, cuboid: Any) -> None:
+        """Register a materialized cuboid for transparent rewriting."""
+        self._cuboids.append(cuboid)
+
+    def materialize_cuboid(self, path: str, drilldown: Any,
+                           aggregates: Optional[Iterable] = None,
+                           mode: str = "overwrite") -> Any:
+        """Materialize + register a cuboid
+        (supersedes reference create_cube_aggregate,
+        sql/store.py:549-628)."""
+        from cubes_spark.operators.preagg import Cuboid
+
+        cuboid = Cuboid.materialize(self, path, drilldown,
+                                    list(aggregates) if aggregates else None,
+                                    mode=mode)
+        self.add_cuboid(cuboid)
+        return cuboid
+
+    def _try_cuboid_plan(self, cell: Cell, aggregates: Sequence,
+                         drilldown: Drilldown, split: Optional[Cell]):
+        """Rewrite the aggregation against a covering cuboid, if any.
+        Returns the usual (df, group_refs, agg_pairs) or None."""
+        if not self._cuboids or split is not None:
+            return None
+
+        from cubes_spark.operators.preagg import (
+            SAFE_SEP, Cuboid, reaggregation_column,
+        )
+        from cubes_spark.plans.star import ColumnRef, StarSchema
+
+        storable = [
+            a for a in aggregates
+            if a.function not in CALCULATED_AGGREGATIONS
+        ]
+        dd_refs = [a.ref for a in drilldown.all_attributes]
+        cell_refs = {a.ref for a in cell.all_attributes}
+        touched = set(dd_refs) | cell_refs
+
+        for cuboid in self._cuboids:
+            if not cuboid.covers(touched, storable, dd_refs):
+                continue
+
+            raw = cuboid.load(self.star_schema.fact_df.sparkSession)
+            mappings = {
+                ref: ColumnRef(None, "cuboid", ref.replace(".", SAFE_SEP),
+                               None, None, None)
+                for ref in cuboid.attribute_refs
+            }
+            star = StarSchema("cuboid", "cuboid", raw,
+                              mappings=mappings, joins=[],
+                              tables={"cuboid": raw})
+
+            class _Ref:
+                is_base = True
+                expression = None
+                function = None
+
+                def __init__(self, ref: str) -> None:
+                    self.ref = ref
+
+            context = QueryContext(
+                star, [_Ref(r) for r in cuboid.attribute_refs],
+                hierarchies=self.hierarchies,
+            )
+            df = context.star
+            condition = context.condition_for_cell(cell)
+            if condition is not None:
+                df = df.filter(condition)
+
+            exact = cuboid.is_exact(dd_refs)
+            select_cols = [
+                context.column(ref).alias(ref) for ref in dd_refs
+            ] + [
+                F.col(f"`{a.name}`") for a in storable
+            ]
+            projected = df.select(*select_cols)
+            pairs = [
+                (a.name, reaggregation_column(a, exact)) for a in storable
+            ]
+            if dd_refs:
+                out = projected.groupBy(
+                    *[_qcol(r) for r in dd_refs]
+                ).agg(*[c for _, c in pairs])
+            else:
+                out = projected.agg(*[c for _, c in pairs])
+            return out, list(dd_refs), pairs
+        return None
 
     # ------------------------------------------------------------------
     # features / metadata
@@ -342,7 +435,17 @@ class SparkBrowser:
         split: Optional[Cell],
         include_keys_only: bool = False,
     ) -> Tuple[DataFrame, List[str], List[Tuple[str, Column]]]:
-        """Filtered star → groupBy(drilldown) → agg(aggregates)."""
+        """Filtered star → groupBy(drilldown) → agg(aggregates).
+
+        When a registered cuboid covers the request, the plan reads the
+        materialized aggregate instead (operators/preagg.py)."""
+        if not include_keys_only:
+            cuboid_plan = self._try_cuboid_plan(
+                cell, aggregates, drilldown, split
+            )
+            if cuboid_plan is not None:
+                return cuboid_plan
+
         # 1. collect every attribute the query touches
         if include_keys_only:
             dd_attributes = list(drilldown.key_attributes)

@@ -36,11 +36,46 @@ PATH_STRING_SEPARATOR_CHAR = ","
 RANGE_CUT_SEPARATOR_CHAR = "-"
 SET_CUT_SEPARATOR_CHAR = ";"
 
-CUT_STRING_SEPARATOR = re.compile(r"(?<!\\)\|")
-DIMENSION_STRING_SEPARATOR = re.compile(r"(?<!\\):")
-PATH_STRING_SEPARATOR = re.compile(r"(?<!\\),")
-RANGE_CUT_SEPARATOR = re.compile(r"(?<!\\)-")
-SET_CUT_SEPARATOR = re.compile(r"(?<!\\);")
+class _EscapedSplitter:
+    """Split on a separator character honoring backslash escapes.
+
+    The reference splits with a ``(?<!\\)`` lookbehind
+    (cells.py:466-478), which mis-parses an *escaped backslash* before
+    a separator (``\\\\,`` — the lookbehind sees the second backslash
+    and refuses to split).  A left-to-right scan consuming ``\\x``
+    pairs handles every escape sequence correctly.
+    """
+
+    def __init__(self, char: str) -> None:
+        self.char = char
+
+    def split(self, string: str) -> list:
+        parts = []
+        current: list = []
+        i = 0
+        while i < len(string):
+            c = string[i]
+            if c == "\\" and i + 1 < len(string):
+                current.append(c)
+                current.append(string[i + 1])
+                i += 2
+                continue
+            if c == self.char:
+                parts.append("".join(current))
+                current = []
+                i += 1
+                continue
+            current.append(c)
+            i += 1
+        parts.append("".join(current))
+        return parts
+
+
+CUT_STRING_SEPARATOR = _EscapedSplitter("|")
+DIMENSION_STRING_SEPARATOR = _EscapedSplitter(":")
+PATH_STRING_SEPARATOR = _EscapedSplitter(",")
+RANGE_CUT_SEPARATOR = _EscapedSplitter("-")
+SET_CUT_SEPARATOR = _EscapedSplitter(";")
 
 PATH_ELEMENT = r"(?:\\.|[^:;|-])*"
 RE_ELEMENT = re.compile(r"^%s$" % PATH_ELEMENT)

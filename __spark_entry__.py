@@ -342,6 +342,33 @@ def q_cube_flags(spark, sf_dir):
     return _lng(out, "grouping_id")
 
 
+def q_preagg_year(spark, sf_dir):
+    """Pre-aggregation rewrite: a month-grain cuboid is materialized,
+    then a coarser year-grain query is served from it — the result must
+    equal computing from the raw fact table (the oracle does)."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("preagg", id(spark), sf_dir)
+    if key not in _browsers:
+        # dedicated browser: the cuboid must not rewrite other queries
+        ws = tpch_workspace(spark, sf_dir)
+        browser = ws.browser("sales")
+        path = tempfile.mkdtemp(prefix="cubes_spark_cuboid_") + "/ym"
+        browser.materialize_cuboid(
+            path, drilldown=["date@ym:month"],
+            aggregates=["quantity_sum", "price_sum", "fact_count"],
+        )
+        _browsers[key] = browser
+    browser = _browsers[key]
+    df = browser.aggregation_dataframe(
+        drilldown=["date:year"],
+        aggregates=["quantity_sum", "price_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "quantity_sum", "price_sum"), "date.year",
+                "fact_count")
+
+
 def q_grouping_sets(spark, sf_dir):
     """GROUP BY GROUPING SETS — one pass over two disjoint cuboids."""
     df = _browser(spark, sf_dir).aggregation_dataframe(
@@ -643,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_ym": q_rollup_ym,
         "cube_flags": q_cube_flags,
         "grouping_sets": q_grouping_sets,
+        "preagg_year": q_preagg_year,
         "crosstab": q_crosstab,
         "events_sliding": q_events_sliding,
         "doc_common_ngrams": q_doc_common_ngrams,
@@ -1074,6 +1102,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag AS returnflag, l_linestatus AS linestatus
             FROM lineitem
         ) GROUP BY CUBE (returnflag, linestatus)"""
+
+    sql["preagg_year"] = f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
+            CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
 
     sql["grouping_sets"] = f"""
         SELECT returnflag, linestatus,

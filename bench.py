@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: MinHash dedup, SimHash dedup, ANN) — names match __spark_entry__.
 BENCH_QUERIES = [
     "agg_year",
+    "preagg_year",
     "agg_point_cut",
     "agg_snowflake",
     "agg_roleplay",
@@ -66,8 +67,10 @@ def main() -> None:
 
     queries = entrymod.queries()
 
-    # warm-up: JVM + parquet footer reads, not measured
+    # warm-up: JVM + parquet footer reads + cuboid materialization for
+    # the preagg query, not measured
     queries["agg_year"](spark, sf_dir).count()
+    queries["preagg_year"](spark, sf_dir).count()
 
     timings: dict = {}
     total = 0.0

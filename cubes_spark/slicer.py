@@ -147,8 +147,15 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
 
     workspace = build_workspace(config)
     server_config = config.get("server", {})
+    authorizer = None
+    auth_config = config.get("authorization")
+    if auth_config:
+        from cubes_spark.auth import SimpleAuthorizer
+
+        authorizer = SimpleAuthorizer(**auth_config)
     app = create_server(
         workspace,
+        authorizer=authorizer,
         json_record_limit=server_config.get("json_record_limit", 1000),
     )
     app.run(host=args.host, port=args.port, debug=args.debug)

@@ -97,6 +97,44 @@ def _restricted_cell(cube, browser, cell_arg: Optional[str]):
     return restricted if restricted is not None else cell
 
 
+def _enforce_hierarchy_limits(cube: Any, drilldown_specs) -> None:
+    """Reject drilldowns deeper than the identity's hierarchy limits
+    (the reference only trims the presented model,
+    blueprint.py:289-302; enforcing at query time is strictly
+    stronger).  Limit entries: ``[dimension, hierarchy, deepest_level]``
+    or ``{"dimension":…, "hierarchy":…, "level":…}``."""
+    limits = _authorizer().hierarchy_limits(_identity(), cube.name)
+    if not limits or not drilldown_specs:
+        return
+
+    from cubes_spark.query.drilldown import string_to_dimension_level
+
+    normalized = {}
+    for limit in limits:
+        if isinstance(limit, dict):
+            dim, hier, level = (limit.get("dimension"),
+                                limit.get("hierarchy"), limit.get("level"))
+        else:
+            dim, hier, level = (list(limit) + [None, None])[:3]
+        normalized[(str(dim), str(hier) if hier else None)] = level
+
+    for spec in drilldown_specs:
+        dim, hier, level = string_to_dimension_level(spec)
+        key = (str(dim), str(hier) if hier else None)
+        allowed = normalized.get(key, normalized.get((str(dim), None)))
+        if allowed is None:
+            continue
+        hierarchy = cube.dimension(dim).hierarchy(hier)
+        names = [l.name for l in hierarchy.levels]
+        requested_depth = names.index(level) + 1 if level in names \
+            else len(names)
+        if requested_depth > names.index(allowed) + 1:
+            raise NotAuthorized(
+                f"Hierarchy of dimension '{dim}' is limited to level "
+                f"'{allowed}' for this identity"
+            )
+
+
 def _common_params() -> dict:
     """Parse page/pagesize/order (parity: decorators.py:106-120)."""
     params: dict = {}
@@ -165,6 +203,7 @@ def aggregate(cube_name: str) -> Response:
             part for item in request.args.getlist("drilldown")
             for part in item.split(",")
         ]
+        _enforce_hierarchy_limits(cube, kwargs["drilldown"])
     if "split" in request.args:
         kwargs["split"] = request.args["split"]
     if "aggregates" in request.args:

@@ -181,3 +181,31 @@ def test_cubes_listing_filtered(secured_client):
     assert data == []
     status, data = get_json(secured_client, "/cubes?identity=analyst")
     assert [c["name"] for c in data] == ["sales"]
+
+
+def test_hierarchy_limits_enforced(spark):
+    ws = tpch_workspace(spark, SF_DIR)
+    authz = SimpleAuthorizer(rights={
+        "limited": {
+            "allowed_cubes": ["sales"],
+            "hierarchy_limits": {
+                "sales": [["customer_geo", None, "nation"]],
+            },
+        },
+    })
+    app = create_server(ws, authorizer=authz)
+    app.testing = True
+    client = app.test_client()
+
+    ok = client.get(
+        "/cube/sales/aggregate?identity=limited"
+        "&drilldown=customer_geo:nation&aggregates=fact_count"
+    )
+    assert ok.status_code == 200
+
+    denied = client.get(
+        "/cube/sales/aggregate?identity=limited"
+        "&drilldown=customer_geo:customer&aggregates=fact_count"
+        "&pagesize=5"
+    )
+    assert denied.status_code == 403

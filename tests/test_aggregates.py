@@ -72,3 +72,48 @@ def test_facts_fact_list(golden_browser):
 def test_members(golden_browser):
     members = golden_browser.members(dimension="year")
     assert [m["year.year"] for m in members] == [2010, 2011, 2012, 2013]
+
+
+def test_custom_aggregate_function_registry(golden_browser):
+    from pyspark.sql import functions as F
+
+    from cubes_spark.functions.aggregates import (
+        available_aggregate_functions,
+        register_aggregate_function,
+    )
+
+    register_aggregate_function("sum_of_squares", lambda c: F.sum(c * c))
+    assert "sum_of_squares" in available_aggregate_functions()
+
+    cube = golden_browser.cube
+    from cubes_spark.metadata.attributes import MeasureAggregate
+
+    cube.aggregates.append(MeasureAggregate(
+        "amount_sq_sum", function="sum_of_squares", measure="amount"))
+    try:
+        result = golden_browser.aggregate(aggregates=["amount_sq_sum"])
+        # 4 * (1 + 4 + 16 + 64) = 340
+        assert result.summary["amount_sq_sum"] == 340
+    finally:
+        cube.aggregates.pop()
+
+
+def test_spark_native_extra_functions(golden_browser):
+    from cubes_spark.metadata.attributes import MeasureAggregate
+
+    cube = golden_browser.cube
+    cube.aggregates.extend([
+        MeasureAggregate("amount_approx_distinct",
+                         function="approx_count_distinct",
+                         measure="amount"),
+        MeasureAggregate("amount_median", function="median",
+                         measure="amount"),
+    ])
+    try:
+        result = golden_browser.aggregate(
+            aggregates=["amount_approx_distinct", "amount_median"])
+        assert result.summary["amount_approx_distinct"] == 4  # exact on tiny data
+        assert float(result.summary["amount_median"]) == 3.0  # median of 1,2,4,8
+    finally:
+        cube.aggregates.pop()
+        cube.aggregates.pop()

@@ -201,7 +201,10 @@ class StarSchemaMapper(Mapper):
 
 class DenormalizedMapper(Mapper):
     """Everything maps to one denormalized table, columns named by
-    logical ref (parity: sql/mapper.py:341-360)."""
+    logical ref with ``__`` for dots (parity: sql/mapper.py:341-360;
+    parquet field names cannot contain dots, so this matches exactly
+    what ``materialize_denormalized`` writes — a materialized star
+    round-trips into a denormalized browser unchanged)."""
 
     def __init__(self, cube: Cube, naming: Naming,
                  locale: Optional[str] = None) -> None:
@@ -210,7 +213,8 @@ class DenormalizedMapper(Mapper):
 
     def __getitem__(self, attribute: Any) -> ColumnRef:
         schema = self.naming["fact_schema"] or self.naming["schema"]
-        return to_column((schema, self.fact_name, attribute.ref))
+        column = attribute.ref.replace(".", "__")
+        return to_column((schema, self.fact_name, column))
 
 
 def map_base_attributes(

@@ -68,3 +68,34 @@ def test_materialize_aggregate(tpch_browser, spark, tmp_path):
     df = spark.read.parquet(path)
     assert "date__year" in df.columns
     assert df.count() == 7
+
+
+def test_denormalized_roundtrip_browsing(tpch_browser, spark, tmp_path):
+    """materialize_denormalized output browses identically through a
+    use_denormalization browser (DenormalizedMapper round-trip)."""
+    from cubes_spark.demo import TPCH_MODEL
+    from cubes_spark.sources.workspace import Workspace
+
+    path = os.path.join(str(tmp_path), "denorm")
+    olap.materialize_denormalized(tpch_browser, path)
+
+    denorm_df = spark.read.parquet(path)
+    import copy
+
+    model = copy.deepcopy(TPCH_MODEL)
+    cube_md = model["cubes"][0]
+    cube_md["joins"] = []
+    cube_md["mappings"] = {}
+    cube_md.pop("key", None)
+    ws = Workspace(spark, store={"lineitem": denorm_df})
+    ws.import_model(model)
+    browser = ws.browser("sales", use_denormalization=True)
+
+    got = browser.aggregate(cell="date:1995",
+                            drilldown=["customer_geo:region"],
+                            aggregates=["price_sum", "fact_count"])
+    want = tpch_browser.aggregate(cell="date:1995",
+                                  drilldown=["customer_geo:region"],
+                                  aggregates=["price_sum", "fact_count"])
+    assert got.cells == want.cells
+    assert got.summary == want.summary

@@ -31,6 +31,7 @@ from cubes_spark.operators import olap
 from cubes_spark.llm import (
     ann_lsh_cosine,
     cosine_topk,
+    embedding_near_duplicates,
     exact_duplicates,
     fingerprint,
     language_id,
@@ -617,6 +618,15 @@ def q_emb_topk(spark, sf_dir):
     return _lng(out, "query_id", "neighbor_id", "rank")
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact method (the LSH
+    scale path is bench/test-covered; exact matches the all-pairs SQL
+    oracle bit-for-bit)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(emb, threshold=0.4, method="exact")
+    return _lng(out, "id_a", "id_b")
+
+
 def q_emb_ann(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbours (no SQL oracle —
     approximation is engine-defined; rows-only check)."""
@@ -687,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard": q_doc_jaccard,
         "doc_simhash": q_doc_simhash,
         "emb_topk": q_emb_topk,
+        "emb_near_dup": q_emb_near_dup,
         "emb_ann": q_emb_ann,
     }
 
@@ -1304,6 +1315,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
             CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 5"""
+
+    sql["emb_near_dup"] = """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cosine, 6) AS cosine
+        FROM scored WHERE cosine >= 0.4"""
 
     # emb_ann: intentionally no oracle — LSH approximation is
     # engine-defined; the driver records the rows-only check.

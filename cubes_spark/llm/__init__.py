@@ -35,6 +35,7 @@ from cubes_spark.llm.dedup import (
 from cubes_spark.llm.similarity import (
     cosine_topk,
     ann_lsh_cosine,
+    embedding_near_duplicates,
 )
 from cubes_spark.llm.multimodal import (
     binary_metadata,
@@ -55,6 +56,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "cosine_topk",
     "ann_lsh_cosine",
+    "embedding_near_duplicates",
     "binary_metadata",
     "decode_features",
 ]

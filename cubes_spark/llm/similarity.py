@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from cubes_spark.llm.text import hash64
 from cubes_spark.llm.util import spread
 
-__all__ = ["cosine_topk", "ann_lsh_cosine"]
+__all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -118,23 +118,15 @@ def _hyperplane_bits(vec: Column, num_planes: int, dim: int,
     return bucket
 
 
-def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
-                   num_tables: int = 2, seed: int = 42,
-                   id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
-    """Approximate all-neighbours: cosine top-k per vector restricted to
-    vectors sharing an LSH bucket in any of ``num_tables`` tables.
-
-    Candidate generation is an equi-join on ``(table, bucket)`` — the
-    comparison count is sum of squared bucket sizes, not N².  Recall
-    rises with ``num_tables`` and falls with ``num_planes``; the
-    defaults target ~0.9 recall at 64-dim random data.
-    Output: ``(query_id, neighbor_id, cosine, rank)``.
-    """
-    tables = []
+def _lsh_bucketed(corpus: DataFrame, num_planes: int, num_tables: int,
+                  seed: int, id_col: str, vec_col: str) -> DataFrame:
+    """Corpus tagged with ``(table, bucket)`` for each of ``num_tables``
+    independent hyperplane tables, persisted so the bucket self-join
+    computes the projections once."""
     base = spread(corpus).select(F.col(id_col), F.col(vec_col))
     first = corpus.select(vec_col).first()
     dim = len(first[0]) if first and first[0] is not None else 0
+    tables = []
     for t in range(num_tables):
         bits = _hyperplane_bits(F.col(vec_col), num_planes, dim,
                                 seed=seed + 7919 * t)
@@ -148,9 +140,24 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
     bucketed = tables[0]
     for t in tables[1:]:
         bucketed = bucketed.unionByName(t)
-    # both sides of the bucket self-join read this; persist so the
-    # hyperplane projections are computed once
-    bucketed = bucketed.persist()
+    return bucketed.persist()
+
+
+def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
+                   num_tables: int = 2, seed: int = 42,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Approximate all-neighbours: cosine top-k per vector restricted to
+    vectors sharing an LSH bucket in any of ``num_tables`` tables.
+
+    Candidate generation is an equi-join on ``(table, bucket)`` — the
+    comparison count is sum of squared bucket sizes, not N².  Recall
+    rises with ``num_tables`` and falls with ``num_planes``; the
+    defaults target ~0.9 recall at 64-dim random data.
+    Output: ``(query_id, neighbor_id, cosine, rank)``.
+    """
+    bucketed = _lsh_bucketed(corpus, num_planes, num_tables, seed,
+                             id_col, vec_col)
 
     left = bucketed.select(
         "table", "bucket",
@@ -177,4 +184,56 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
                 F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.9,
+                              method: str = "lsh", num_planes: int = 8,
+                              num_tables: int = 4, seed: int = 42,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cosine)``
+    with ``id_a < id_b`` and ``cosine >= threshold``.
+
+    Completes the dedup family (exact / MinHash / SimHash / Jaccard /
+    embedding-cosine; ref ``cubes`` has no equivalent — this is the
+    training-data-pipeline extension).
+
+    ``method='exact'`` is the all-pairs self-join — O(N²) comparisons,
+    for verification and small corpora only.  ``method='lsh'`` is the
+    scale path: candidates come from an equi-join on hyperplane
+    ``(table, bucket)``, so comparison count is the sum of squared
+    bucket sizes per table, not N²; every emitted pair is then verified
+    with the exact cosine, so precision is 1.0 and only recall is
+    approximate (raise ``num_tables`` to raise recall).
+    """
+    if method == "exact":
+        left = spread(corpus).select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__avec__"))
+        right = corpus.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec__"))
+        pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        bucketed = _lsh_bucketed(corpus, num_planes, num_tables, seed,
+                                 id_col, vec_col)
+        left = bucketed.select(
+            "table", "bucket",
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__avec__"))
+        right = bucketed.select(
+            "table", "bucket",
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec__"))
+        pairs = (
+            left.join(right, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
+        _norm(F.col("__avec__")) * _norm(F.col("__bvec__"))
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
     )

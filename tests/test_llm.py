@@ -129,6 +129,34 @@ def test_ann_lsh_subset_of_exact(spark):
     assert hits / len(approx) > 0.5  # decent recall on 60 vectors
 
 
+def test_embedding_near_dup_lsh_precision_and_recall(spark):
+    import random
+
+    from cubes_spark.llm import embedding_near_duplicates
+
+    rng = random.Random(11)
+    # 30 base vectors plus a jittered near-copy of each -> 30 planted pairs
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, [x + rng.uniform(-0.01, 0.01) for x in v])
+             for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_near_duplicates(
+                 df, threshold=0.99, method="exact").collect()}
+    assert {(i, 100 + i) for i in range(30)} <= exact
+
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_near_duplicates(
+               df, threshold=0.99, method="lsh",
+               num_planes=6, num_tables=4).collect()}
+    # every LSH pair is cosine-verified -> precision 1.0
+    assert lsh <= exact
+    # near-identical vectors land in the same bucket almost surely
+    assert len(lsh) / len(exact) > 0.8
+
+
 def test_binary_metadata_and_decode_stub(spark):
     rows = [(1, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"rest"),
             (2, b"\x89PNG\r\n")]

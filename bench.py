@@ -68,9 +68,14 @@ def main() -> None:
     queries = entrymod.queries()
 
     # warm-up: JVM + parquet footer reads + cuboid materialization for
-    # the preagg query, not measured
+    # the preagg query, plus one pass over the codegen-heavy LSH
+    # pipelines so measured runs see tiered-up JIT, not compile time
     queries["agg_year"](spark, sf_dir).count()
     queries["preagg_year"](spark, sf_dir).count()
+    for warm in ("doc_minhash", "doc_simhash", "emb_ann"):
+        queries[warm](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        spark.catalog.clearCache()
 
     timings: dict = {}
     total = 0.0

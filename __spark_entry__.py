@@ -544,6 +544,18 @@ def q_doc_text_stats(spark, sf_dir):
     )
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    """Whitespace vs BPE-ish-regex token counts per document."""
+    from cubes_spark.llm.text import bpe_token_count, token_array
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(token_array(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_doc_lang_quality(spark, sf_dir):
     """Quality roll-up by language over exact (decimal) sums."""
     stats = text_stats(_table(spark, sf_dir, "documents"))
@@ -689,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_hourly": q_events_stream_hourly,
         "events_type_stats": q_events_type_stats,
         "doc_text_stats": q_doc_text_stats,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_lang_quality": q_doc_lang_quality,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1189,6 +1202,16 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_text_stats"] = (
         f"WITH base AS ({_text_stats_sql()}) {_TEXT_STATS_DERIVED}"
     )
+
+    sql["doc_bpe_tokens"] = r"""
+        SELECT doc_id,
+            CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END
+                 AS BIGINT) AS n_ws_tokens,
+            CAST(len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))
+                 AS BIGINT) AS n_bpe_tokens
+        FROM documents"""
 
     sql["doc_lang_quality"] = f"""
         WITH base AS ({_text_stats_sql()}),

@@ -20,6 +20,7 @@ reproduce them bit-for-bit (see :func:`cubes_spark.llm.text.hash64`).
 from cubes_spark.llm.text import (
     hash64,
     token_array,
+    bpe_token_count,
     text_stats,
     language_id,
     fingerprint,
@@ -45,6 +46,7 @@ from cubes_spark.llm.multimodal import (
 __all__ = [
     "hash64",
     "token_array",
+    "bpe_token_count",
     "text_stats",
     "language_id",
     "fingerprint",

@@ -19,6 +19,7 @@ from cubes_spark.llm.util import spread
 __all__ = [
     "hash64",
     "token_array",
+    "bpe_token_count",
     "text_stats",
     "language_id",
     "fingerprint",
@@ -67,6 +68,25 @@ def token_array(text: Column) -> Column:
     trimmed = F.trim(text)
     return F.when(trimmed == "", F.array().cast("array<string>")) \
         .otherwise(F.split(trimmed, WS))
+
+
+#: BPE-ish pre-tokenization pattern (GPT-2-family shape): contraction
+#: suffixes, letter runs, digit runs capped at 3 (cl100k-style), then
+#: punctuation runs.  ASCII classes only so Java regex (Spark) and RE2
+#: (DuckDB) agree on every match.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate LLM token count: number of BPE-ish pre-token matches.
+
+    Counts matches of :data:`BPE_PATTERN` — the split a byte-pair
+    tokenizer's pre-tokenizer makes before merges, so this upper-bounds
+    the real token count with the right shape (digit runs split every
+    3, punctuation separate from words).  Pure ``regexp_count``, fully
+    codegen'd.  DuckDB: ``len(regexp_extract_all(x, pattern))``.
+    """
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
 
 
 def _ratio(part: Column, whole: Column) -> Column:

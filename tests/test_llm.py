@@ -129,6 +129,26 @@ def test_ann_lsh_subset_of_exact(spark):
     assert hits / len(approx) > 0.5  # decent recall on 60 vectors
 
 
+def test_bpe_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from cubes_spark.llm import bpe_token_count
+
+    rows = [
+        (1, "hello world"),          # 2 letter runs
+        (2, "it's 2026!"),           # it + 's + 202 + 6 + ! = 5
+        (3, "1234567"),              # digit runs of <=3: 123|456|7 = 3
+        (4, "a-b"),                  # a + - + b = 3
+        (5, ""),                     # 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["n"]
+           for r in df.select(
+               "doc_id",
+               bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 2, 2: 5, 3: 3, 4: 3, 5: 0}
+
+
 def test_embedding_near_dup_lsh_precision_and_recall(spark):
     import random
 

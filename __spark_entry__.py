@@ -647,6 +647,17 @@ def q_emb_ann(spark, sf_dir):
     return _lng(out, "query_id", "neighbor_id", "rank")
 
 
+def q_emb_ivf(spark, sf_dir):
+    """IVF (FAISS-style) approximate top-k: sample-trained centroids,
+    cluster equi-join, multi-probe.  No SQL oracle — the k-means
+    partition is engine-defined; rows-only check."""
+    from cubes_spark.llm import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, k=5, nlist=16, nprobe=4)
+    return _lng(out, "query_id", "neighbor_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -712,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_ann": q_emb_ann,
+        "emb_ivf": q_emb_ivf,
     }
 
 
@@ -1354,7 +1366,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, round(cosine, 6) AS cosine
         FROM scored WHERE cosine >= 0.4"""
 
-    # emb_ann: intentionally no oracle — LSH approximation is
-    # engine-defined; the driver records the rows-only check.
+    # emb_ann / emb_ivf: intentionally no oracle — the LSH / k-means
+    # approximation is engine-defined; the driver records the rows-only
+    # check.
 
     return sql

@@ -37,6 +37,7 @@ from cubes_spark.llm.similarity import (
     cosine_topk,
     ann_lsh_cosine,
     embedding_near_duplicates,
+    ivf_topk,
 )
 from cubes_spark.llm.multimodal import (
     binary_metadata,
@@ -59,6 +60,7 @@ __all__ = [
     "cosine_topk",
     "ann_lsh_cosine",
     "embedding_near_duplicates",
+    "ivf_topk",
     "binary_metadata",
     "decode_features",
 ]

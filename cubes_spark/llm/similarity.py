@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from cubes_spark.llm.text import hash64
 from cubes_spark.llm.util import spread
 
-__all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates"]
+__all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates",
+           "ivf_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -193,6 +194,119 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+    )
+
+
+def _train_centroids(corpus: DataFrame, nlist: int, seed: int,
+                     id_col: str, vec_col: str, sample_size: int,
+                     iters: int = 10):
+    """Spherical k-means centroids trained driver-side on a bounded,
+    deterministic sample (FAISS-IVF style: training is O(sample), only
+    assignment is distributed).  Returns a row-major nlist×dim list of
+    unit-norm centroid components."""
+    import numpy as np
+
+    sample = (corpus.orderBy(id_col).limit(sample_size)
+              .select(vec_col).collect())
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                           1e-12)
+    return cent
+
+
+def _centroid_sims(vec: Column, flat: Column, nlist: int,
+                   dim: int) -> Column:
+    """Array of dot(vec, centroid_c) for c in 0..nlist-1 (centroids are
+    unit-norm, so argmax over this IS the cosine argmax).  Same
+    O(1)-size nested-aggregate shape as ``_hyperplane_bits``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nlist - 1)),
+        lambda c: F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, d: acc + F.element_at(vec, d + 1).cast("double")
+            * F.element_at(flat, c * dim + d + 1),
+        ),
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
+             k: int = 5, nlist: int = 16, nprobe: int = 4,
+             seed: int = 42, sample_size: int = 4096,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k cosine search (FAISS-IVF shape).
+
+    Centroids are trained on a bounded sample driver-side; every corpus
+    vector is assigned to its nearest centroid (one narrow shuffle-free
+    projection); each query probes its ``nprobe`` nearest centroids and
+    joins only those inverted lists — comparisons are ~``nprobe/nlist``
+    of brute force, and the join is an equi-join on cluster id, so the
+    100 TB path is a bucketed/broadcast join, never all-pairs.  Every
+    returned pair carries the exact cosine.  Output matches
+    :func:`cosine_topk`: ``(query_id, neighbor_id, cosine, rank)``.
+    """
+    queries = corpus if queries is None else queries
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    cent = _train_centroids(corpus, nlist, seed, id_col, vec_col,
+                            sample_size)
+    nlist = len(cent)
+    flat = F.array(*[F.lit(float(x)) for row in cent for x in row])
+
+    def nearest_clusters(n: int) -> Column:
+        # clusters sorted by descending similarity (ties by cluster id),
+        # truncated to the n nearest; 1-based cluster ids
+        sims = _centroid_sims(F.col(vec_col), flat, nlist, dim)
+        return F.slice(
+            F.array_sort(F.transform(
+                F.sequence(F.lit(0), F.lit(nlist - 1)),
+                lambda c: F.struct(
+                    (F.element_at(sims, c + 1) * -1).alias("neg"),
+                    (c + 1).alias("cluster"),
+                ),
+            )), 1, n,
+        )
+
+    assigned = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec__"),
+        F.element_at(nearest_clusters(1), 1)["cluster"]
+        .cast("int").alias("__cluster__"),
+    )
+    # query side: nprobe nearest centroids, exploded to one row each
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec__"),
+        F.explode(nearest_clusters(min(nprobe, nlist))).alias("__p__"),
+    ).select("query_id", "__qvec__",
+             F.col("__p__.cluster").cast("int").alias("__cluster__"))
+
+    sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
+        _norm(F.col("__qvec__")) * _norm(F.col("__cvec__"))
+    )
+    scored = (
+        assigned.join(probed, "__cluster__")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
                 F.round(F.col("cosine"), 6).alias("cosine"), "rank")

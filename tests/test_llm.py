@@ -177,6 +177,28 @@ def test_embedding_near_dup_lsh_precision_and_recall(spark):
     assert len(lsh) / len(exact) > 0.8
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    import random
+
+    from cubes_spark.llm import cosine_topk, ivf_topk
+
+    rng = random.Random(3)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    rows = [(i, [x + rng.uniform(-0.05, 0.05) for x in centers[i % 8]])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(df, df, k=3).collect()}
+    ivf = ivf_topk(df, k=3, nlist=8, nprobe=2, sample_size=200).collect()
+    hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in ivf)
+    # tight clusters: every true neighbour shares the query's cell
+    assert hits / len(exact) > 0.9
+    # deterministic: same seed, same sample -> identical result
+    again = ivf_topk(df, k=3, nlist=8, nprobe=2, sample_size=200).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
+
+
 def test_binary_metadata_and_decode_stub(spark):
     rows = [(1, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"rest"),
             (2, b"\x89PNG\r\n")]

@@ -6,6 +6,28 @@ import pytest
 from cubes_spark.errors import ArgumentError
 
 
+def test_store_schema_inspection_and_table_expressions(spark):
+    from tests.conftest import SF_DIR
+
+    from cubes_spark.errors import StoreError
+    from cubes_spark.sources.workspace import ParquetStore, Workspace
+
+    store = ParquetStore(spark, SF_DIR)
+    tables = store.list_tables()
+    assert {"region", "nation", "lineitem", "orders"} <= set(tables)
+    assert tables == sorted(tables)
+    assert "nation" in store and "no_such_table" not in store
+    with pytest.raises(StoreError):
+        store.table("no_such_table")
+
+    # named table expressions shadow the store
+    ws = Workspace(spark, store=SF_DIR)
+    tiny = spark.range(3).withColumnRenamed("id", "n_nationkey")
+    ws.set_store({"nation": tiny})
+    assert ws.table("nation").count() == 3           # dict entry wins
+    assert ws.table("region").count() == store.table("region").count()
+
+
 def test_summary_and_drilldown_consistency(tpch_browser):
     result = tpch_browser.aggregate(
         cell="date:1995", drilldown=["date:month"],

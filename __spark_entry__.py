@@ -640,8 +640,9 @@ def q_emb_near_dup(spark, sf_dir):
 
 
 def q_emb_ann(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbours (no SQL oracle —
-    approximation is engine-defined; rows-only check)."""
+    """LSH-bucketed approximate nearest neighbours.  Deterministic
+    (md5-derived hyperplanes), so the full approximate result has an
+    exact SQL oracle (see _emb_ann_oracle)."""
     emb = _table(spark, sf_dir, "embeddings")
     out = ann_lsh_cosine(emb, k=5, num_planes=8, num_tables=2)
     return _lng(out, "query_id", "neighbor_id", "rank")
@@ -649,8 +650,9 @@ def q_emb_ann(spark, sf_dir):
 
 def q_emb_ivf(spark, sf_dir):
     """IVF (FAISS-style) approximate top-k: sample-trained centroids,
-    cluster equi-join, multi-probe.  No SQL oracle — the k-means
-    partition is engine-defined; rows-only check."""
+    cluster equi-join, multi-probe.  Training is fixed-seed on a fixed
+    sorted sample, so the trained centroids — and hence the full result
+    — have an exact SQL oracle (see _emb_ivf_oracle)."""
     from cubes_spark.llm import ivf_topk
 
     emb = _table(spark, sf_dir, "embeddings")
@@ -1230,8 +1232,12 @@ def oracle_sql() -> dict[str, str]:
         derived AS ({_TEXT_STATS_DERIVED})
         SELECT b.lang, COUNT(*) AS n_docs,
             SUM(d.n_tokens) AS total_tokens,
-            CAST(SUM(CAST(d.quality_score AS DECIMAL(14,4))) AS DOUBLE)
-                AS quality_sum
+            -- VARCHAR route: DuckDB's direct decimal->double cast
+            -- double-rounds (int128->double, then /10^scale); the string
+            -- parse is correctly rounded, matching Spark's
+            -- BigDecimal.doubleValue (same trick as calc_smvar above).
+            CAST(CAST(SUM(CAST(d.quality_score AS DECIMAL(14,4)))
+                 AS VARCHAR) AS DOUBLE) AS quality_sum
         FROM base b JOIN derived d ON b.doc_id = d.doc_id
         GROUP BY 1"""
 
@@ -1366,8 +1372,154 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, round(cosine, 6) AS cosine
         FROM scored WHERE cosine >= 0.4"""
 
-    # emb_ann / emb_ivf: intentionally no oracle — the LSH / k-means
-    # approximation is engine-defined; the driver records the rows-only
-    # check.
+    # emb_ann / emb_ivf: the approximation is DETERMINISTIC (md5-derived
+    # hyperplanes; fixed-seed k-means on a fixed sorted sample), so the
+    # full approximate result is SQL-expressible — the plane/centroid
+    # components are embedded as double literals identical to the ones
+    # the Spark plan embeds via F.lit.  list_dot_product's summation
+    # order matches Spark's sequential aggregate fold (proven bit-exact
+    # by the emb_topk/emb_near_dup rows).
+    sql["emb_ann"] = _emb_ann_oracle()
+    sql["emb_ivf"] = _emb_ivf_oracle()
 
     return sql
+
+
+# -- deterministic-ANN oracle generation ------------------------------------
+
+_COSINE_RANKED = """
+    scored AS (
+        SELECT query_id, neighbor_id,
+            list_dot_product(qv, cv)
+            / (sqrt(list_dot_product(qv, qv))
+             * sqrt(list_dot_product(cv, cv))) AS cosine
+        FROM cand
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+        CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5"""
+
+
+def _oracle_sf_dir() -> str:
+    """Scale-factor dir the data-dependent oracles are generated for.
+
+    The driver's correctness gate always compares at sf0.01; the local
+    mirror (tools/check_correctness.py) overrides via env so oracle and
+    query see the same data."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _emb_dim() -> int:
+    import duckdb
+
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    return duckdb.sql(
+        f"SELECT len(embedding) FROM read_parquet('{path}') LIMIT 1"
+    ).fetchone()[0]
+
+
+def _sql_dvec(row) -> str:
+    """A DOUBLE[] literal; repr() round-trips binary64 exactly, so the
+    parsed values equal the F.lit doubles in the Spark plan."""
+    return "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+
+def _emb_ann_oracle() -> str:
+    """Replicates ann_lsh_cosine(k=5, num_planes=8, num_tables=2,
+    seed=42) exactly: same md5-derived hyperplanes (embedded as
+    literals), same sign-bit bucket ids, same bucket equi-join candidate
+    set, same exact-cosine rank."""
+    from cubes_spark.llm.similarity import _plane_components
+
+    dim = _emb_dim()
+    rows = []
+    for t in range(2):
+        for p, prow in enumerate(_plane_components(8, dim, 42 + 7919 * t)):
+            rows.append(f"({t}, {1 << p}, {_sql_dvec(prow)})")
+    planes = ",\n            ".join(rows)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    planes(tbl, w, pv) AS (VALUES
+            {planes}),
+    bucketed AS (
+        SELECT e.vec_id, pl.tbl,
+            SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                THEN pl.w ELSE 0 END) AS bucket
+        FROM e CROSS JOIN planes pl
+        GROUP BY e.vec_id, pl.tbl
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, p.neighbor_id, q.v AS qv, c.v AS cv
+        FROM (
+            SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id
+            FROM bucketed l
+            JOIN bucketed r
+              ON l.tbl = r.tbl AND l.bucket = r.bucket
+             AND l.vec_id <> r.vec_id
+        ) p
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e c ON c.vec_id = p.neighbor_id
+    ),{_COSINE_RANKED}"""
+
+
+def _emb_ivf_oracle() -> str:
+    """Replicates ivf_topk(k=5, nlist=16, nprobe=4, seed=42,
+    sample_size=4096): retrains the identical fixed-seed spherical
+    k-means on the identical sorted sample and embeds the centroids as
+    literals; assignment = nearest centroid, probing = 4 nearest, ties
+    by cluster id — exactly the Spark plan's array_sort semantics."""
+    import duckdb
+    import numpy as np
+
+    from cubes_spark.llm.similarity import train_spherical_kmeans
+
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    sample = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{path}') "
+        "ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    cent = train_spherical_kmeans(X, 16, 42)
+    values = ",\n            ".join(
+        f"({i + 1}, {_sql_dvec(row)})" for i, row in enumerate(cent)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent(cluster, cv) AS (VALUES
+            {values}),
+    sims AS (
+        SELECT e.vec_id, e.v, c.cluster,
+            list_dot_product(e.v, c.cv) AS sim
+        FROM e CROSS JOIN cent c
+    ),
+    cranked AS (
+        SELECT vec_id, v, cluster,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cluster) AS crank
+        FROM sims
+    ),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, v AS nv, cluster
+        FROM cranked WHERE crank = 1
+    ),
+    probed AS (
+        SELECT vec_id AS query_id, v AS qv, cluster
+        FROM cranked WHERE crank <= 4
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, qv, nv AS cv
+        FROM probed JOIN assigned USING (cluster)
+        WHERE query_id <> neighbor_id
+    ),{_COSINE_RANKED}"""

@@ -31,7 +31,7 @@ from cubes_spark.llm.text import hash64
 from cubes_spark.llm.util import spread
 
 __all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates",
-           "ivf_topk"]
+           "ivf_topk", "train_spherical_kmeans"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -200,6 +200,29 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
     )
 
 
+def train_spherical_kmeans(X, nlist: int, seed: int, iters: int = 10):
+    """Pure-numpy spherical k-means on a row-major float64 matrix.
+
+    Deterministic given (X, nlist, seed, iters) — the oracle generator
+    calls this on the identically-constructed sample to reproduce the
+    trained centroids bit-for-bit.  Returns unit-norm centroids
+    (≤ nlist × dim)."""
+    import numpy as np
+
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                           1e-12)
+    return cent
+
+
 def _train_centroids(corpus: DataFrame, nlist: int, seed: int,
                      id_col: str, vec_col: str, sample_size: int,
                      iters: int = 10):
@@ -212,18 +235,7 @@ def _train_centroids(corpus: DataFrame, nlist: int, seed: int,
     sample = (corpus.orderBy(id_col).limit(sample_size)
               .select(vec_col).collect())
     X = np.array([r[0] for r in sample], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    cent = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(X @ cent.T, axis=1)
-        for c in range(len(cent)):
-            members = X[assign == c]
-            if len(members):
-                cent[c] = members.sum(axis=0)
-        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
-                           1e-12)
-    return cent
+    return train_spherical_kmeans(X, nlist, seed, iters)
 
 
 def _centroid_sims(vec: Column, flat: Column, nlist: int,

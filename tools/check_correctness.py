@@ -75,6 +75,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # data-dependent oracles (emb_ivf centroids, emb_ann dims) must be
+    # generated against the SAME scale factor the comparison runs at
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import __spark_entry__ as entrymod
     from cubes_spark.sources.workspace import default_session
 

@@ -42,14 +42,21 @@ from cubes_spark.llm import (
 )
 
 _browsers: dict = {}
+_workspaces: dict = {}
+
+
+def _ws(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), sf_dir)
+    if key not in _workspaces:
+        _workspaces[key] = tpch_workspace(spark, sf_dir)
+    return _workspaces[key]
 
 
 def _browser(spark: SparkSession, sf_dir: str):
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir)
     if key not in _browsers:
-        ws = tpch_workspace(spark, sf_dir)
-        _browsers[key] = ws.browser("sales")
+        _browsers[key] = _ws(spark, sf_dir).browser("sales")
     return _browsers[key]
 
 
@@ -661,6 +668,198 @@ def q_emb_ivf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# driver-verified entries for formerly pytest-only operators (SURVEY §2:
+# summary row, registry avg/stddev/variance, join methods, compound keys,
+# fact-by-key, null-aggregate filter, order normalization, localization,
+# schema inspection, denormalized sink, cuboid enumeration)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_summary(spark, sf_dir):
+    """Summary aggregation (no drilldown): the one-row cell total
+    (parity: query/browser.py summary path)."""
+    res = _browser(spark, sf_dir).aggregate(
+        cell="date:1995",
+        aggregates=["price_sum", "quantity_sum", "fact_count"],
+    )
+    s = res.summary
+    return spark.createDataFrame(
+        [(float(s["price_sum"]), float(s["quantity_sum"]),
+          int(s["fact_count"]))],
+        schema="price_sum double, quantity_sum double, fact_count long",
+    )
+
+
+def q_agg_registry_stats(spark, sf_dir):
+    """avg/stddev/variance through the aggregate-function REGISTRY
+    (functions/aggregates.py) — decimal measures use the exact-sum
+    deterministic implementations, so the result is bit-reproducible
+    under any partitioning and SQL-expressible."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag"],
+        aggregates=["quantity_avg", "discount_avg", "price_stddev",
+                    "price_variance", "fact_count"],
+    )
+    return _lng(df, "fact_count")
+
+
+def q_cell_count_total(spark, sf_dir):
+    """Total cell count computed alongside a paginated drilldown
+    (single-pass persist; parity: total_cell_count)."""
+    res = _browser(spark, sf_dir).aggregate(
+        cell="date:1995", drilldown=["date@ym:month"],
+        aggregates=["fact_count"],
+        page=0, page_size=5, include_cell_count=True,
+    )
+    return spark.createDataFrame(
+        [(int(res.total_cell_count),)], schema="total_cell_count long"
+    )
+
+
+def q_fact_by_key(spark, sf_dir):
+    """Single fact lookup by key (parity: sql/browser.py:211-232).
+    Projected fields are order-level, hence constant across the order's
+    line items — the limit(1) row is deterministic."""
+    row = _browser(spark, sf_dir).fact(
+        42, fields=["order.status", "customer_geo.nation_name"]
+    )
+    return spark.createDataFrame(
+        [(int(row["fact_key"]), row["order.status"],
+          row["customer_geo.nation_name"])],
+        schema="fact_key long, `order.status` string, "
+               "`customer_geo.nation_name` string",
+    )
+
+
+def q_join_master_brand(spark, sf_dir):
+    """Master (left-outer) join to the `big_parts` NAMED TABLE
+    EXPRESSION: line items of small parts keep a NULL brand group."""
+    df = _ws(spark, sf_dir).browser("sales_outer").aggregation_dataframe(
+        drilldown=["bigpart"],
+        aggregates=["quantity_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "quantity_sum"), "fact_count")
+
+
+def q_join_detail_brand(spark, sf_dir):
+    """Detail (right-outer) join: every `big_parts_ext` row is kept,
+    including the sentinel brand no fact references."""
+    df = _ws(spark, sf_dir).browser("sales_detail").aggregation_dataframe(
+        drilldown=["bigpart"],
+        aggregates=["retailprice_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "retailprice_sum"), "fact_count")
+
+
+def q_join_compound_dqty(spark, sf_dir):
+    """Compound-key join (l_orderkey, l_linenumber) to a derived detail
+    table; a single-key join would fan out differently and change the
+    sums."""
+    df = _ws(spark, sf_dir).browser("sales_outer").aggregation_dataframe(
+        drilldown=["returnflag"],
+        aggregates=["quantity_sum", "dqty_sum"],
+    )
+    return _dbl(df, "quantity_sum", "dqty_sum")
+
+
+def q_agg_null_filter(spark, sf_dir):
+    """exclude_null_aggregates: drilldown rows with any NULL aggregate
+    are dropped (parity: sql/browser.py:454-459) — here the NULL-brand
+    group (its retailprice sum is NULL under the left join)."""
+    browser = _ws(spark, sf_dir).browser(
+        "sales_outer", exclude_null_aggregates=True
+    )
+    df = browser.aggregation_dataframe(
+        drilldown=["bigpart"],
+        aggregates=["retailprice_sum", "quantity_sum"],
+    )
+    return _dbl(df, "retailprice_sum", "quantity_sum")
+
+
+def q_calc_order_norm(spark, sf_dir):
+    """Order normalization for post-calculators: explicit month:desc is
+    supplemented with the natural year order, and the SMA window follows
+    the normalized order."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["date@ym:month"],
+        aggregates=["price_sum", "price_sma"],
+        order=["date.month:desc"],
+    )
+    out = _dbl(df, "price_sum", "price_sma")
+    return _lng(out, "date.year", "date.month")
+
+
+def q_members_locale(spark, sf_dir):
+    """Localized member listing: browser locale 'xx' resolves
+    nation_name through its locale-specific mapping
+    (parity: sql/mapper.py:240-248)."""
+    browser = _ws(spark, sf_dir).browser("sales", locale="xx")
+    df = browser.members_dataframe(
+        cell="customer_geo:2", dimension="customer_geo", depth=2,
+    )
+    return _lng(df, "customer_geo.region_key", "customer_geo.nation_key")
+
+
+def q_schema_inspect(spark, sf_dir):
+    """Store schema inspection: tables and their columns in ordinal
+    order (parity: sql/store.py:631-661)."""
+    store = _ws(spark, sf_dir).store
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]
+    rows = []
+    for name in tables:
+        for i, field in enumerate(store.table(name).schema.fields):
+            rows.append((name, field.name, i + 1))
+    return spark.createDataFrame(
+        rows, schema="table_name string, column_name string, ordinal long"
+    )
+
+
+def q_denorm_sink(spark, sf_dir):
+    """Denormalized-view sink round-trip: materialize the star to
+    parquet, read it back, aggregate — must equal aggregating the raw
+    fact table (parity: create_denormalized_view,
+    sql/store.py:294-370)."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cubes_spark_denorm_{abs(hash(sf_dir)) % 10**8}",
+    )
+    olap.materialize_denormalized(_browser(spark, sf_dir), path)
+    back = spark.read.parquet(path)
+    out = back.groupBy(F.col("returnflag__returnflag").alias("returnflag")) \
+        .agg(
+            F.sum("quantity").cast("double").alias("quantity_sum"),
+            F.count(F.lit(1)).cast("long").alias("fact_count"),
+        )
+    return out
+
+
+def q_cuboid_enum(spark, sf_dir):
+    """Cuboid / level-combination enumeration for pre-aggregation
+    planning (parity: query/computation.py:15-70)."""
+    ws = _ws(spark, sf_dir)
+    rows = []
+    cuboids = olap.combined_cuboids(
+        ["date", "customer_geo", "part"], required=("date",)
+    )
+    for i, combo in enumerate(cuboids):
+        rows.append(("cuboid", i + 1, "|".join(combo)))
+    levels = olap.combined_levels(
+        [ws.dimension("date"), ws.dimension("customer_geo")]
+    )
+    for i, combo in enumerate(levels):
+        rows.append(
+            ("levels", i + 1, "|".join(",".join(p) for p in combo))
+        )
+    return spark.createDataFrame(
+        rows, schema="kind string, seq long, spec string"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
@@ -726,6 +925,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_ann": q_emb_ann,
         "emb_ivf": q_emb_ivf,
+        "agg_summary": q_agg_summary,
+        "agg_registry_stats": q_agg_registry_stats,
+        "cell_count_total": q_cell_count_total,
+        "fact_by_key": q_fact_by_key,
+        "join_master_brand": q_join_master_brand,
+        "join_detail_brand": q_join_detail_brand,
+        "join_compound_dqty": q_join_compound_dqty,
+        "agg_null_filter": q_agg_null_filter,
+        "calc_order_norm": q_calc_order_norm,
+        "members_locale": q_members_locale,
+        "schema_inspect": q_schema_inspect,
+        "denorm_sink": q_denorm_sink,
+        "cuboid_enum": q_cuboid_enum,
     }
 
 
@@ -1371,6 +1583,152 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, round(cosine, 6) AS cosine
         FROM scored WHERE cosine >= 0.4"""
+
+    # -- formerly pytest-only operators --------------------------------
+
+    sql["agg_summary"] = f"""
+        SELECT CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem WHERE year(l_shipdate) = 1995"""
+
+    # avg / variance / stddev exactly as the decimal-aware registry
+    # computes them: exact decimal sums (VARCHAR-routed to double, see
+    # calc_smvar note) with one final double formula
+    _N = "CAST(COUNT(l_extendedprice) AS DOUBLE)"
+    _S1 = f"CAST(CAST(SUM({_DEC_PRICE}) AS VARCHAR) AS DOUBLE)"
+    _S2 = (f"CAST(CAST(SUM({_DEC_PRICE} * {_DEC_PRICE})"
+           " AS VARCHAR) AS DOUBLE)")
+    _PVAR = f"({_S2} - {_S1} * {_S1} / {_N}) / ({_N} - 1.0)"
+    sql["agg_registry_stats"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            CAST(CAST(SUM({_DEC_QTY}) AS VARCHAR) AS DOUBLE)
+                / CAST(COUNT(l_quantity) AS DOUBLE) AS quantity_avg,
+            CAST(CAST(SUM({_DEC_DISC}) AS VARCHAR) AS DOUBLE)
+                / CAST(COUNT(l_discount) AS DOUBLE) AS discount_avg,
+            sqrt({_PVAR}) AS price_stddev,
+            {_PVAR} AS price_variance,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
+
+    sql["cell_count_total"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_cell_count
+        FROM (
+            SELECT DISTINCT year(l_shipdate), month(l_shipdate)
+            FROM lineitem WHERE year(l_shipdate) = 1995
+        )"""
+
+    sql["fact_by_key"] = """
+        SELECT DISTINCT l.l_orderkey AS fact_key,
+            o.o_orderstatus AS "order.status",
+            n.n_name AS "customer_geo.nation_name"
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_orderkey = 42"""
+
+    _BIG_PARTS = ("SELECT p_partkey, p_brand, p_retailprice "
+                  "FROM part WHERE p_size > 25")
+
+    sql["join_master_brand"] = f"""
+        WITH bp AS ({_BIG_PARTS})
+        SELECT bp.p_brand AS "bigpart.brand",
+            CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+                AS quantity_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem l LEFT JOIN bp ON l.l_partkey = bp.p_partkey
+        GROUP BY 1"""
+
+    sql["join_detail_brand"] = f"""
+        WITH bp AS ({_BIG_PARTS}
+            UNION ALL SELECT CAST(-1 AS BIGINT), 'Brand#ZZ', 0.0)
+        SELECT bp.p_brand AS "bigpart.brand",
+            CAST(SUM(CAST(bp.p_retailprice AS DECIMAL(20,2))) AS DOUBLE)
+                AS retailprice_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem l RIGHT JOIN bp ON l.l_partkey = bp.p_partkey
+        GROUP BY 1"""
+
+    sql["join_compound_dqty"] = """
+        WITH notes AS (
+            SELECT l_orderkey AS o_key, l_linenumber AS l_num,
+                l_quantity * 2 AS double_qty
+            FROM lineitem
+        )
+        SELECT l.l_returnflag AS "returnflag.returnflag",
+            CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+                AS quantity_sum,
+            CAST(SUM(CAST(n.double_qty AS DECIMAL(20,2))) AS DOUBLE)
+                AS dqty_sum
+        FROM lineitem l JOIN notes n
+            ON l.l_orderkey = n.o_key AND l.l_linenumber = n.l_num
+        GROUP BY 1"""
+
+    sql["agg_null_filter"] = f"""
+        WITH bp AS ({_BIG_PARTS})
+        SELECT bp.p_brand AS "bigpart.brand",
+            CAST(SUM(CAST(bp.p_retailprice AS DECIMAL(20,2))) AS DOUBLE)
+                AS retailprice_sum,
+            CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+                AS quantity_sum
+        FROM lineitem l LEFT JOIN bp ON l.l_partkey = bp.p_partkey
+        GROUP BY 1
+        HAVING SUM(CAST(bp.p_retailprice AS DECIMAL(20,2))) IS NOT NULL
+           AND SUM(CAST(l.l_quantity AS DECIMAL(20,2))) IS NOT NULL"""
+
+    sql["calc_order_norm"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            round(CAST(SUM(dec_price_sum) OVER w AS DOUBLE)
+                  / COUNT(*) OVER w, 2) AS price_sma
+        FROM ({ym_base})
+        WINDOW w AS (ORDER BY "date.month" DESC, "date.year"
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+    sql["members_locale"] = """
+        SELECT DISTINCT r.r_regionkey AS "customer_geo.region_key",
+            r.r_name AS "customer_geo.region_name",
+            n.n_nationkey AS "customer_geo.nation_key",
+            upper(n.n_name) AS "customer_geo.nation_name"
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_regionkey = 2"""
+
+    sql["schema_inspect"] = """
+        SELECT table_name, column_name,
+            CAST(ordinal_position AS BIGINT) AS ordinal
+        FROM information_schema.columns
+        WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+                             'part', 'orders', 'lineitem')"""
+
+    sql["denorm_sink"] = f"""
+        SELECT l_returnflag AS returnflag,
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
+
+    sql["cuboid_enum"] = """
+        SELECT * FROM (VALUES
+            ('cuboid', CAST(1 AS BIGINT), 'date|customer_geo|part'),
+            ('cuboid', CAST(2 AS BIGINT), 'date|customer_geo'),
+            ('cuboid', CAST(3 AS BIGINT), 'date|part'),
+            ('cuboid', CAST(4 AS BIGINT), 'date'),
+            ('levels', CAST(1 AS BIGINT), 'year|region'),
+            ('levels', CAST(2 AS BIGINT), 'year|region,nation'),
+            ('levels', CAST(3 AS BIGINT), 'year|region,nation,customer'),
+            ('levels', CAST(4 AS BIGINT), 'year,month|region'),
+            ('levels', CAST(5 AS BIGINT), 'year,month|region,nation'),
+            ('levels', CAST(6 AS BIGINT),
+             'year,month|region,nation,customer'),
+            ('levels', CAST(7 AS BIGINT), 'year,month,day|region'),
+            ('levels', CAST(8 AS BIGINT), 'year,month,day|region,nation'),
+            ('levels', CAST(9 AS BIGINT),
+             'year,month,day|region,nation,customer')
+        ) AS t(kind, seq, spec)"""
 
     # emb_ann / emb_ivf: the approximation is DETERMINISTIC (md5-derived
     # hyperplanes; fixed-seed k-means on a fixed sorted sample), so the

@@ -16,6 +16,30 @@ from typing import Optional
 from cubes_spark.sources.workspace import Workspace
 
 TPCH_MODEL = {
+    # NAMED TABLE EXPRESSIONS (SQL over store tables, evaluated through
+    # Catalyst — filters/projections push into the parquet scan):
+    #   big_parts     — part filtered to p_size > 25 (master/left join
+    #                   demo: lineitems of small parts keep NULL dims)
+    #   big_parts_ext — big_parts plus one sentinel row no fact
+    #                   references (observable detail-join semantics)
+    #   li_notes      — lineitem-derived detail keyed by the compound
+    #                   (l_orderkey, l_linenumber)
+    "table_expressions": {
+        "big_parts": (
+            "SELECT p_partkey, p_brand, p_retailprice "
+            "FROM part WHERE p_size > 25"
+        ),
+        "big_parts_ext": (
+            "SELECT p_partkey, p_brand, p_retailprice "
+            "FROM part WHERE p_size > 25 "
+            "UNION ALL "
+            "SELECT CAST(-1 AS BIGINT), 'Brand#ZZ', CAST(0.0 AS DOUBLE)"
+        ),
+        "li_notes": (
+            "SELECT l_orderkey AS o_key, l_linenumber AS l_num, "
+            "l_quantity * 2 AS double_qty FROM lineitem"
+        ),
+    },
     "dimensions": [
         {
             "name": "date",
@@ -37,7 +61,14 @@ TPCH_MODEL = {
                  "attributes": ["region_key", "region_name"],
                  "key": "region_key", "label_attribute": "region_name"},
                 {"name": "nation",
-                 "attributes": ["nation_key", "nation_name"],
+                 "attributes": [
+                     "nation_key",
+                     # localized label: "en" is the stored name, "xx" a
+                     # derived display form (upper-cased via the
+                     # `function` mapping modifier) — exercises per-locale
+                     # column mapping (parity: sql/mapper.py:240-248)
+                     {"name": "nation_name", "locales": ["en", "xx"]},
+                 ],
                  "key": "nation_key", "label_attribute": "nation_name"},
                 {"name": "customer",
                  "attributes": ["customer_key", "customer_name", "mktsegment"],
@@ -93,6 +124,11 @@ TPCH_MODEL = {
                 {"name": "default", "levels": ["status"]},
                 {"name": "priority", "levels": ["priority"]},
             ],
+        },
+        {
+            # dimension over the `big_parts` named table expression
+            "name": "bigpart",
+            "levels": [{"name": "brand", "attributes": ["brand"]}],
         },
     ],
     "cubes": [
@@ -203,6 +239,10 @@ TPCH_MODEL = {
                 "customer_geo.mktsegment": "customer.c_mktsegment",
                 "customer_geo.nation_key": "cust_nation.n_nationkey",
                 "customer_geo.nation_name": "cust_nation.n_name",
+                "customer_geo.nation_name.en": "cust_nation.n_name",
+                "customer_geo.nation_name.xx": {
+                    "table": "cust_nation", "column": "n_name",
+                    "function": "upper"},
                 "customer_geo.region_key": "cust_region.r_regionkey",
                 "customer_geo.region_name": "cust_region.r_name",
                 # supplier geo snowflake (role-playing nation/region)
@@ -237,6 +277,83 @@ TPCH_MODEL = {
                  "detail": "region.r_regionkey", "alias": "supp_region"},
                 {"master": "lineitem.l_partkey",
                  "detail": "part.p_partkey"},
+            ],
+        },
+        {
+            # join-method / compound-key showcase over NAMED TABLE
+            # EXPRESSIONS (registered in tpch_workspace):
+            #   big_parts — part filtered to p_size > 25 (master/left
+            #     join: lineitems of small parts keep NULL dims)
+            #   li_notes — lineitem-derived detail joined on the
+            #     COMPOUND key (l_orderkey, l_linenumber)
+            # (parity: join methods sql/query.py:176-187, compound keys
+            # sql/query.py:266-274)
+            "name": "sales_outer",
+            "fact": "lineitem",
+            "key": "fact_key",
+            "dimensions": ["bigpart", "returnflag"],
+            "measures": [
+                {"name": "quantity"},
+                {"name": "retailprice"},
+                {"name": "dqty"},
+            ],
+            "aggregates": [
+                {"name": "quantity_sum", "function": "sum",
+                 "measure": "quantity"},
+                {"name": "retailprice_sum", "function": "sum",
+                 "measure": "retailprice"},
+                {"name": "dqty_sum", "function": "sum", "measure": "dqty"},
+                {"name": "fact_count", "function": "count"},
+            ],
+            "mappings": {
+                "fact_key": "lineitem.l_orderkey",
+                "quantity": {"table": "lineitem", "column": "l_quantity",
+                             "cast": "decimal(20,2)"},
+                "retailprice": {"table": "big_parts",
+                                "column": "p_retailprice",
+                                "cast": "decimal(20,2)"},
+                "dqty": {"table": "li_notes", "column": "double_qty",
+                         "cast": "decimal(20,2)"},
+                "bigpart.brand": "big_parts.p_brand",
+                "returnflag.returnflag": "lineitem.l_returnflag",
+            },
+            "joins": [
+                {"master": "lineitem.l_partkey",
+                 "detail": "big_parts.p_partkey", "method": "master"},
+                {"master": {"table": "lineitem",
+                            "column": ["l_orderkey", "l_linenumber"]},
+                 "detail": {"table": "li_notes",
+                            "column": ["o_key", "l_num"]}},
+            ],
+        },
+        {
+            # detail (right outer) join: every big_parts_ext row is kept,
+            # including the sentinel brand that no fact references
+            "name": "sales_detail",
+            "fact": "lineitem",
+            "dimensions": ["bigpart"],
+            "measures": [
+                {"name": "quantity"},
+                {"name": "retailprice"},
+            ],
+            "aggregates": [
+                {"name": "quantity_sum", "function": "sum",
+                 "measure": "quantity"},
+                {"name": "retailprice_sum", "function": "sum",
+                 "measure": "retailprice"},
+                {"name": "fact_count", "function": "count"},
+            ],
+            "mappings": {
+                "quantity": {"table": "lineitem", "column": "l_quantity",
+                             "cast": "decimal(20,2)"},
+                "retailprice": {"table": "big_parts_ext",
+                                "column": "p_retailprice",
+                                "cast": "decimal(20,2)"},
+                "bigpart.brand": "big_parts_ext.p_brand",
+            },
+            "joins": [
+                {"master": "lineitem.l_partkey",
+                 "detail": "big_parts_ext.p_partkey", "method": "detail"},
             ],
         },
     ],

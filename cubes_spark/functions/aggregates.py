@@ -17,6 +17,7 @@ stays inside whole-stage codegen with map-side partial aggregation.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable, Dict, Optional
 
 from pyspark.sql import Column
@@ -40,16 +41,20 @@ class AggregateFunction:
     coalesce_aggregate = False
     #: function needs no measure column (count)
     generative = False
+    #: builder accepts a ``dtype=`` keyword (decimal-aware functions)
+    dtype_aware = False
 
     def __init__(self, name: str, builder: Callable[..., Column],
                  coalesce_value: bool = False,
                  coalesce_aggregate: bool = False,
-                 generative: bool = False) -> None:
+                 generative: bool = False,
+                 dtype_aware: bool = False) -> None:
         self.name = name
         self.builder = builder
         self.coalesce_value = coalesce_value
         self.coalesce_aggregate = coalesce_aggregate
         self.generative = generative
+        self.dtype_aware = dtype_aware
 
     def apply(self, column: Optional[Column],
               context: Optional[Dict[str, Any]] = None,
@@ -66,7 +71,11 @@ class AggregateFunction:
             )
         if coalesce and self.coalesce_value:
             column = F.coalesce(column, F.lit(0))
-        expr = self.builder(column)
+        if self.dtype_aware:
+            dtype = (context or {}).get("dtype")
+            expr = self.builder(column, dtype=dtype)
+        else:
+            expr = self.builder(column)
         if coalesce and self.coalesce_aggregate:
             expr = F.coalesce(expr, F.lit(0))
         return expr
@@ -84,15 +93,67 @@ def register_aggregate_function(
     coalesce_value: bool = False,
     coalesce_aggregate: bool = False,
     generative: bool = False,
+    dtype_aware: bool = False,
 ) -> AggregateFunction:
     fn = AggregateFunction(
         name, builder,
         coalesce_value=coalesce_value,
         coalesce_aggregate=coalesce_aggregate,
         generative=generative,
+        dtype_aware=dtype_aware,
     )
     _FUNCTIONS[name] = fn
     return fn
+
+
+# -- decimal-aware statistical aggregates -----------------------------------
+#
+# For decimal measures, avg/variance/stddev are derived from EXACT decimal
+# sums with one final double computation.  Exact sums are independent of
+# partitioning and merge order, so the same query returns bit-identical
+# doubles on 1 core or 1000 executors — unlike native AVG/VAR_SAMP, whose
+# floating-point partial-aggregate merges are order-dependent.  For non-
+# decimal measures the native (fast, last-ulp nondeterministic) functions
+# are used.
+
+_DECIMAL_RE = re.compile(r"decimal\((\d+),\s*(\d+)\)")
+
+
+def _decimal_scale(dtype: Optional[str]):
+    m = _DECIMAL_RE.match(dtype or "")
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _exact_avg(column: Column, dtype: Optional[str] = None) -> Column:
+    if not _decimal_scale(dtype):
+        return F.avg(column)
+    return F.sum(column).cast("double") / F.count(column).cast("double")
+
+
+def _exact_var(column: Column, dtype: Optional[str] = None):
+    """Sample variance from exact decimal sums; returns None when the
+    measure is not a decimal (or has a scale Spark's precision-capping
+    would adjust, >6)."""
+    ps = _decimal_scale(dtype)
+    if not ps or ps[1] > 6:
+        return None
+    # square at native precision: (p,s)^2 caps at (38,2s) identically in
+    # Spark and ANSI SQL engines — exact for values < 10^(19-s)
+    n_raw = F.count(column)
+    n = n_raw.cast("double")
+    s1 = F.sum(column).cast("double")
+    s2 = F.sum(column * column).cast("double")
+    return F.when(n_raw > 1, (s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+
+
+def _variance_builder(column: Column, dtype: Optional[str] = None) -> Column:
+    var = _exact_var(column, dtype)
+    return F.var_samp(column) if var is None else var
+
+
+def _stddev_builder(column: Column, dtype: Optional[str] = None) -> Column:
+    var = _exact_var(column, dtype)
+    return F.stddev_samp(column) if var is None else F.sqrt(var)
 
 
 # Parity table: functions.py:168-178
@@ -102,9 +163,12 @@ register_aggregate_function("count", lambda: F.count(F.lit(1)), generative=True)
 register_aggregate_function("count_distinct", F.count_distinct)
 register_aggregate_function("min", F.min, coalesce_value=True)
 register_aggregate_function("max", F.max, coalesce_value=True)
-register_aggregate_function("avg", F.avg, coalesce_value=True)
-register_aggregate_function("stddev", F.stddev_samp, coalesce_value=True)
-register_aggregate_function("variance", F.var_samp, coalesce_value=True)
+register_aggregate_function("avg", _exact_avg, coalesce_value=True,
+                            dtype_aware=True)
+register_aggregate_function("stddev", _stddev_builder, coalesce_value=True,
+                            dtype_aware=True)
+register_aggregate_function("variance", _variance_builder, coalesce_value=True,
+                            dtype_aware=True)
 
 # Spark-native extras beyond the reference (designed-in upgrades).
 # approx_count_distinct: the scale path for COUNT(DISTINCT) — HLL sketch,

@@ -38,7 +38,34 @@ __all__ = [
     "simhash",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "DEFAULT_MAX_BUCKET_SIZE",
 ]
+
+#: Default LSH bucket-size cap.  A bucket of m members emits m² candidate
+#: pairs; at 100 TB the degenerate buckets (empty documents, boilerplate)
+#: are the first thing that explodes, so over-full buckets are dropped BY
+#: DEFAULT.  4096² ≈ 17M comparisons is a bounded worst case per bucket;
+#: content shared by >4096 documents is exact-duplicate territory, which
+#: ``exact_duplicates`` handles in one hash-groupBy.  Pass
+#: ``max_bucket_size=None`` to disable.
+DEFAULT_MAX_BUCKET_SIZE = 4096
+
+
+def drop_overfull_buckets(df: DataFrame, keys: list,
+                          max_bucket_size: Optional[int]) -> DataFrame:
+    """Remove rows of buckets larger than ``max_bucket_size`` before a
+    bucketed self-join (the standard LSH skew guard).  The count
+    aggregation is map-side combinable and keyed identically to the
+    join, so it adds no extra shuffle pattern."""
+    if max_bucket_size is None:
+        return df
+    counts = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") <= max_bucket_size)
+        .drop("__n__")
+    )
+    return df.join(counts, keys)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -139,7 +166,8 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             bands: int = 4,
                             shingle_k: int = 5,
                             min_est_jaccard: Optional[float] = None,
-                            max_bucket_size: Optional[int] = None) -> DataFrame:
+                            max_bucket_size: Optional[int] =
+                            DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH banding.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
@@ -175,12 +203,8 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.col("sig"),
         F.posexplode(band_arr).alias("band_id", "band_hash"),
     )
-    if max_bucket_size is not None:
-        counts = banded.groupBy("band_id", "band_hash") \
-            .agg(F.count(F.lit(1)).alias("__n__")) \
-            .filter(F.col("__n__") <= max_bucket_size) \
-            .drop("__n__")
-        banded = banded.join(counts, ["band_id", "band_hash"])
+    banded = drop_overfull_buckets(banded, ["band_id", "band_hash"],
+                                   max_bucket_size)
 
     left = banded.select(
         F.col("band_id"), F.col("band_hash"),
@@ -248,7 +272,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             nbits: int = 48,
-                            max_distance: int = 3) -> DataFrame:
+                            max_distance: int = 3,
+                            max_bucket_size: Optional[int] =
+                            DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """All pairs with SimHash Hamming distance <= ``max_distance`` —
     computed via *exact* multi-band LSH, never all-pairs.
 
@@ -257,6 +283,11 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     so the banded self-join is a lossless candidate generator and the
     final ``bit_count(xor) <= d`` filter makes the result identical to
     the quadratic answer.  Output ``(id_a, id_b, distance)``.
+
+    The ``max_bucket_size`` skew guard (on by default) trades that
+    exactness ONLY for degenerate buckets holding more than that many
+    fingerprints — mass-duplicated content that belongs to
+    ``exact_duplicates``.
     """
     bands = max_distance + 1
     width = nbits // bands
@@ -279,6 +310,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.col("simhash"),
         F.posexplode(band_arr).alias("band_id", "band_val"),
     )
+    banded = drop_overfull_buckets(banded, ["band_id", "band_val"],
+                                   max_bucket_size)
     left = banded.select("band_id", "band_val",
                          F.col(id_col).alias("id_a"),
                          F.col("simhash").alias("sh_a"))

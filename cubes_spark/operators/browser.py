@@ -509,7 +509,8 @@ class SparkBrowser:
         projected = star.select(*select_cols) if select_cols else star
 
         # 4. aggregate expressions over the projected (logical) columns
-        agg_pairs = self._aggregate_columns(aggregates, projected_refs)
+        agg_pairs = self._aggregate_columns(aggregates, projected_refs,
+                                            dict(projected.dtypes))
 
         if group_refs:
             grouped = projected.groupBy(*[_qcol(r) for r in group_refs])
@@ -521,7 +522,9 @@ class SparkBrowser:
         return df, group_refs, agg_pairs
 
     def _aggregate_columns(self, aggregates: Sequence,
-                           projected_refs: Sequence[str]) -> List[Tuple[str, Column]]:
+                           projected_refs: Sequence[str],
+                           dtypes: Optional[Dict[str, str]] = None,
+                           ) -> List[Tuple[str, Column]]:
         """Aggregate model objects → (name, Column) pairs over the
         *projected* logical columns, skipping post-calculated ones
         (parity: sql/expressions.py:123-150 for expression aggregates;
@@ -553,7 +556,11 @@ class SparkBrowser:
                         coalesce=coalesce,
                     )
                 else:
+                    context = None
+                    if function.dtype_aware and dtypes:
+                        context = {"dtype": dtypes.get(agg.measure)}
                     column = function.apply(_qcol(agg.measure),
+                                            context=context,
                                             coalesce=coalesce)
             else:
                 # direct (pre-aggregated) measure column
@@ -565,16 +572,19 @@ class SparkBrowser:
                               has_split: bool) -> Optional[List[Column]]:
         """Window partition for post-calculators.
 
-        * ``"parity"`` (default): split column only — the reference's
-          modern ``window_size`` semantics (statutils.py:104-119), a
-          single global window over the result order.
-        * ``"auto"``: split + key columns of every drilldown item except
-          the last — the reference's legacy ``aggregation_units``
-          behavior (statutils.py:128-139) and the scale-safe choice: the
-          window sort runs per partition instead of moving the whole
-          result to one task.
+        * ``"auto"`` (default): split + key columns of every drilldown
+          item except the last — the reference's legacy
+          ``aggregation_units`` behavior (statutils.py:128-139) and the
+          scale-safe choice: the window sort runs per partition instead
+          of moving the whole result to one task.  For single-item
+          drilldowns this equals ``"parity"``.
+        * ``"parity"``: split column only — the reference's modern
+          ``window_size`` semantics (statutils.py:104-119), a single
+          global window over the result order.  Opt in when a
+          calculator must run over the whole multi-dimension result in
+          global order (single-task sort at scale — paginate first).
         """
-        mode = self.options.get("calculator_partition", "parity")
+        mode = self.options.get("calculator_partition", "auto")
         cols: List[Column] = []
         if has_split:
             cols.append(_qcol(SPLIT_DIMENSION_NAME))

@@ -144,6 +144,7 @@ class Workspace:
         self._dimensions: Dict[str, Dimension] = {}
         self._cubes: Dict[str, Cube] = {}
         self._tables: Dict[str, DataFrame] = {}
+        self._table_expressions: Dict[str, str] = {}
         self.store: Optional[ParquetStore] = None
 
         if store is not None:
@@ -166,12 +167,38 @@ class Workspace:
     def add_table(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
 
+    def add_table_expression(self, name: str, sql: str) -> None:
+        """NAMED TABLE EXPRESSION as a SQL string over store tables
+        (and previously registered tables/expressions).  Declarative —
+        models carry them in a ``table_expressions`` section, so
+        config-loaded workspaces (server, CLI) resolve them too.
+        Evaluated lazily through Catalyst: filters/projections inside
+        the expression push into the parquet scan like any view."""
+        self._table_expressions[name] = sql
+
     def table(self, name: str) -> DataFrame:
         if name in self._tables:
+            return self._tables[name]
+        if name in self._table_expressions:
+            self._tables[name] = self._eval_table_expression(name)
             return self._tables[name]
         if self.store is not None and name in self.store:
             return self.store.table(name)
         raise StoreError(f"Unknown table '{name}'")
+
+    def _eval_table_expression(self, name: str) -> DataFrame:
+        """spark.sql over temp views of every resolvable base table."""
+        for tname in (self.store.list_tables() if self.store else []):
+            try:
+                self.store.table(tname).createOrReplaceTempView(tname)
+            except Exception:
+                # e.g. parquet types Spark cannot read natively
+                # (TIMESTAMP(NANOS)); an expression referencing such a
+                # table fails below with a clear analysis error
+                continue
+        for tname, df in list(self._tables.items()):
+            df.createOrReplaceTempView(tname)
+        return self.spark.sql(self._table_expressions[name])
 
     def tables_for_cube(self, cube: Cube) -> Dict[str, DataFrame]:
         """Collect the DataFrames a cube's star needs (fact + all join
@@ -211,6 +238,9 @@ class Workspace:
         ``template`` references resolve against previously loaded
         dimensions (parity: providers.py:156-432)."""
         metadata = read_model(metadata)
+
+        for name, sql in (metadata.get("table_expressions") or {}).items():
+            self.add_table_expression(name, sql)
 
         for dim_md in metadata.get("dimensions", []):
             dim = Dimension.from_metadata(dim_md, templates=self._dimensions)

@@ -51,7 +51,8 @@ def test_version(client):
 def test_list_cubes(client):
     status, data = get_json(client, "/cubes")
     assert status == 200
-    assert [c["name"] for c in data] == ["sales"]
+    assert [c["name"] for c in data] == [
+        "sales", "sales_outer", "sales_detail"]
 
 
 def test_cube_model(client):

@@ -104,6 +104,9 @@ CALCULATED_AGGREGATIONS: Dict[str, Callable[[Column, WindowSpec], Column]] = {
     "smrsd": _smrsd_column,
 }
 
+#: calculators whose formula squares the source (need p <= 18 decimals)
+_VARIANCE_FAMILY = {"smstd", "smvar", "smrsd"}
+
 CALCULATOR_LABELS = {
     "wma": "Weighted Moving Avg. of {measure}",
     "sma": "Simple Moving Avg. of {measure}",
@@ -160,13 +163,43 @@ def apply_window_calculators(
         builder = CALCULATED_AGGREGATIONS[fname]
         source = F.col(f"`{source_ref}`")
         dtype = dtypes.get(source_ref)
-        if isinstance(dtype, DecimalType):
-            # narrow so source², needed by variance calculators, stays
-            # within decimal(38) and remains exact (a (30,2)² would
-            # overflow precision and silently round to scale 0)
+        overflow = None
+        if isinstance(dtype, DecimalType) and fname in _VARIANCE_FAMILY:
+            # the variance formula squares the source, so exactness
+            # demands p <= 18 ((18,s)² = (37,2s) fits decimal(38) in
+            # Spark AND every 128-bit-decimal SQL engine).  Narrowing a
+            # wider decimal could silently NULL values >= 10^(18-s),
+            # which F.count would then SKIP — a silently WRONG variance.
+            # Policy: narrow when it exactly fits; for sum-inflated
+            # declareds (Spark's SUM adds exactly 10 digits of
+            # headroom) narrow but POISON any frame that truly
+            # overflows (NULL result, never a wrong number); for
+            # genuinely wide types fall back to double (last-ulp
+            # rounding instead of exactness — documented trade-off,
+            # never data loss).  sma/sms/wma never narrow: their sums
+            # are exact at native precision.
             scale = min(dtype.scale, 6)
-            source = source.cast(f"decimal(18,{scale})")
-        new_cols[aggregate.name] = builder(source, w)
+            int_digits = dtype.precision - dtype.scale
+            if int_digits + scale <= 18:
+                source = source.cast(f"decimal(18,{scale})")
+            elif int_digits + scale <= 30:
+                # the shape of SUM over a <=(20,s) measure (Spark adds
+                # exactly 10 digits of headroom): values usually fit
+                # try_cast: NULL on overflow under ANSI and non-ANSI
+                # alike — the poison guard below turns any affected
+                # frame into a NULL result
+                narrowed = source.try_cast(f"decimal(18,{scale})")
+                overflow = F.when(
+                    source.isNotNull() & narrowed.isNull(), F.lit(1)
+                ).otherwise(F.lit(0))
+                source = narrowed
+            else:
+                source = source.cast("double")
+        col = builder(source, w)
+        if overflow is not None:
+            col = F.when(F.sum(overflow).over(w) > 0,
+                         F.lit(None).cast("double")).otherwise(col)
+        new_cols[aggregate.name] = col
     if not new_cols:
         return df
     return df.withColumns(new_cols)

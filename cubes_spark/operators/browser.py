@@ -290,6 +290,22 @@ class SparkBrowser:
             if cell.cube is None:
                 cell.cube = self.cube
             return cell
+        if isinstance(cell, (list, tuple)):
+            # list of cut dicts (the /report payload shape,
+            # parity: server/blueprint.py:518-523) or Cut objects
+            from cubes_spark.query.cells import Cut, cut_from_dict
+
+            cuts = []
+            for item in cell:
+                if isinstance(item, Cut):
+                    cuts.append(item)
+                elif isinstance(item, dict):
+                    cuts.append(cut_from_dict(item, self.cube))
+                else:
+                    raise ArgumentError(
+                        f"Unknown cut representation: {item!r}"
+                    )
+            return Cell(self.cube, cuts)
         raise ArgumentError(f"Unknown cell representation: {cell!r}")
 
     def prepare_aggregates(self, aggregates: Optional[Iterable] = None,

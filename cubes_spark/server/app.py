@@ -22,8 +22,11 @@ from flask import Blueprint, Flask, Response, current_app, g, jsonify, \
     request
 
 from cubes_spark.auth import Authorizer, NoopAuthorizer, NotAuthorized
-from cubes_spark.errors import ArgumentError, CubesError, NoSuchCubeError
+from cubes_spark.errors import ArgumentError, ConfigurationError, \
+    CubesError, NoSuchCubeError
 from cubes_spark.formatters import CSVFormatter, SlicerJSONEncoder
+from cubes_spark.server.authenticators import Authenticator, \
+    NotAuthenticated, create_authenticator
 from cubes_spark.sources.workspace import Workspace
 
 __all__ = ["slicer_blueprint", "create_server", "VERSION"]
@@ -39,12 +42,22 @@ def slicer_blueprint() -> Blueprint:
 
 def create_server(workspace: Workspace,
                   authorizer: Optional[Authorizer] = None,
-                  json_record_limit: int = 1000) -> Flask:
-    """Flask app serving the slicer API for `workspace`."""
+                  json_record_limit: int = 1000,
+                  authenticator: Any = None) -> Flask:
+    """Flask app serving the slicer API for `workspace`.
+
+    ``authenticator`` is an ``Authenticator`` instance or a method name
+    (``none`` / ``pass_parameter`` / ``http_basic_proxy`` /
+    ``admin_admin``).  The default, ``pass_parameter``, TRUSTS the
+    client's ``?identity=`` / ``X-Identity`` — with it authorization is
+    advisory; use ``http_basic_proxy`` behind an authenticating proxy
+    for real access control (see server/authenticators.py).
+    """
     app = Flask("cubes_spark.server")
     app.config["workspace"] = workspace
     app.config["authorizer"] = authorizer or NoopAuthorizer()
     app.config["json_record_limit"] = json_record_limit
+    app.config["authenticator"] = create_authenticator(authenticator)
     app.register_blueprint(slicer)
     return app
 
@@ -58,7 +71,13 @@ def _authorizer() -> Authorizer:
 
 
 def _identity() -> Optional[str]:
-    return request.args.get("identity") or request.headers.get("X-Identity")
+    """Authenticated identity, resolved once per request by the
+    configured Authenticator (parity: server/base.py auth flow —
+    authentication yields identity, authorization consumes it)."""
+    if not hasattr(g, "auth_identity"):
+        authenticator: Authenticator = current_app.config["authenticator"]
+        g.auth_identity = authenticator.authenticate(request)
+    return g.auth_identity
 
 
 def _json(payload: Any, status: int = 200) -> Response:
@@ -79,6 +98,12 @@ def _user_error(error: CubesError) -> Response:
 @slicer.errorhandler(NotAuthorized)
 def _not_authorized(error: NotAuthorized) -> Response:
     return _json({"error": "not_authorized", "message": str(error)}, 403)
+
+
+@slicer.errorhandler(NotAuthenticated)
+def _not_authenticated(error: NotAuthenticated) -> Response:
+    return _json({"error": "not_authenticated", "message": str(error)},
+                 401)
 
 
 def _browser(cube_name: str):
@@ -126,6 +151,12 @@ def _enforce_hierarchy_limits(cube: Any, drilldown_specs) -> None:
             continue
         hierarchy = cube.dimension(dim).hierarchy(hier)
         names = [l.name for l in hierarchy.levels]
+        if allowed not in names:
+            raise ConfigurationError(
+                f"Hierarchy limit level '{allowed}' is not a level of "
+                f"hierarchy '{hierarchy}' in dimension '{dim}' "
+                f"(levels: {names})"
+            )
         requested_depth = names.index(level) + 1 if level in names \
             else len(names)
         if requested_depth > names.index(allowed) + 1:
@@ -135,17 +166,38 @@ def _enforce_hierarchy_limits(cube: Any, drilldown_specs) -> None:
             )
 
 
+def _split_list(value: str) -> list:
+    """Split a list-valued query parameter.  The reference slicer
+    separates items with ``|`` (blueprint.py:341-352); ``,`` is kept as
+    an accepted alternative for this server's existing clients.  Empty
+    items are dropped."""
+    parts = []
+    for item in value.split("|"):
+        parts.extend(p for p in item.split(",") if p)
+    return parts
+
+
+def _int_arg(name: str) -> int:
+    try:
+        return int(request.args[name])
+    except ValueError:
+        raise ArgumentError(
+            f"Invalid value '{request.args[name]}' for parameter "
+            f"'{name}' — integer expected"
+        )
+
+
 def _common_params() -> dict:
     """Parse page/pagesize/order (parity: decorators.py:106-120)."""
     params: dict = {}
     if "page" in request.args:
-        params["page"] = int(request.args["page"])
+        params["page"] = _int_arg("page")
     if "pagesize" in request.args:
-        params["page_size"] = int(request.args["pagesize"])
+        params["page_size"] = _int_arg("pagesize")
     order = request.args.getlist("order")
     if order:
         params["order"] = [
-            part for item in order for part in item.split(",")
+            part for item in order for part in _split_list(item)
         ]
     return params
 
@@ -201,15 +253,15 @@ def aggregate(cube_name: str) -> Response:
     if "drilldown" in request.args:
         kwargs["drilldown"] = [
             part for item in request.args.getlist("drilldown")
-            for part in item.split(",")
+            for part in _split_list(item)
         ]
         _enforce_hierarchy_limits(cube, kwargs["drilldown"])
     if "split" in request.args:
         kwargs["split"] = request.args["split"]
     if "aggregates" in request.args:
-        kwargs["aggregates"] = request.args["aggregates"].split(",")
+        kwargs["aggregates"] = _split_list(request.args["aggregates"])
     if "measures" in request.args:
-        kwargs["measures"] = request.args["measures"].split(",")
+        kwargs["measures"] = _split_list(request.args["measures"])
 
     result = browser.aggregate(cell, **kwargs)
 
@@ -228,7 +280,7 @@ def cube_facts(cube_name: str) -> Response:
     kwargs = _common_params()
     fields = request.args.get("fields")
     if fields:
-        kwargs["fields"] = fields.split(",")
+        kwargs["fields"] = _split_list(fields)
     if "page_size" not in kwargs:
         kwargs["page_size"] = current_app.config["json_record_limit"]
 
@@ -268,7 +320,7 @@ def cube_members(cube_name: str, dimension_name: str) -> Response:
     depth = request.args.get("depth")
     level = request.args.get("level")
     if depth:
-        kwargs["depth"] = int(depth)
+        kwargs["depth"] = _int_arg("depth")
     if level:
         kwargs["level"] = level
     hierarchy = request.args.get("hierarchy")

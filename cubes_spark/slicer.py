@@ -153,10 +153,22 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
         from cubes_spark.auth import SimpleAuthorizer
 
         authorizer = SimpleAuthorizer(**auth_config)
+    # authentication: {"method": "pass_parameter" | "none" |
+    # "http_basic_proxy" | "admin_admin", ...options}
+    # (parity: [server] authentication = in slicer.ini)
+    authn_config = dict(config.get("authentication") or {})
+    authenticator = None
+    if authn_config:
+        from cubes_spark.server.authenticators import create_authenticator
+
+        authenticator = create_authenticator(
+            authn_config.pop("method", None), **authn_config
+        )
     app = create_server(
         workspace,
         authorizer=authorizer,
         json_record_limit=server_config.get("json_record_limit", 1000),
+        authenticator=authenticator,
     )
     app.run(host=args.host, port=args.port, debug=args.debug)
     return 0

@@ -98,3 +98,70 @@ def test_calculate_scalar_functions():
     assert calculate_scalar("smstd", [2.0, 4.0]) == round(math.sqrt(2), 2)
     assert calculate_scalar("smrsd", [2.0, 4.0]) == round(math.sqrt(2) / 3, 4)
     assert calculate_scalar("sma", []) is None
+
+
+def test_wide_decimal_not_nulled(spark):
+    """A decimal too wide to narrow to decimal(18,s) must fall back to
+    double — NOT silently NULL values >= 10^(18-s)."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    from cubes_spark.functions.calculators import apply_window_calculators
+
+    df = spark.createDataFrame(
+        [(1, "90000000000000000.25"), (2, "90000000000000001.75")],
+        "seq int, v string",
+    ).withColumn("v", F.col("v").cast("decimal(30,2)"))
+    agg = SimpleNamespace(name="v_sms")
+    out = apply_window_calculators(
+        df, [(agg, "v", "sms", 2)], order_by=[F.col("seq")]
+    ).orderBy("seq").collect()
+    assert out[0]["v_sms"] is not None
+    assert out[1]["v_sms"] is not None
+    assert math.isclose(float(out[1]["v_sms"]), 180000000000000002.0,
+                        rel_tol=1e-12)
+
+
+def test_variance_overflow_poisons_not_corrupts(spark):
+    """smstd on a sum-inflated decimal(30,2): frames whose values fit
+    decimal(18,2) compute exactly; a frame containing a value that
+    overflows the narrowing yields NULL — never a silently wrong
+    number computed from a dropped value."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    from cubes_spark.functions.calculators import apply_window_calculators
+
+    rows = [(1, "10.00"), (2, "14.00"),                 # fits: std exact
+            (3, "90000000000000000.00"), (4, "20.00")]  # overflow frames
+    df = spark.createDataFrame(rows, "seq int, v string") \
+        .withColumn("v", F.col("v").cast("decimal(30,2)"))
+    agg = SimpleNamespace(name="v_smstd")
+    out = apply_window_calculators(
+        df, [(agg, "v", "smstd", 2)], order_by=[F.col("seq")]
+    ).orderBy("seq").collect()
+    assert float(out[1]["v_smstd"]) == round((8.0) ** 0.5, 2)
+    assert out[2]["v_smstd"] is None    # frame (14, overflowed)
+    assert out[3]["v_smstd"] is None    # frame (overflowed, 20)
+
+
+def test_truly_wide_decimal_variance_uses_double(spark):
+    """decimal(38,2) cannot be exactly squared at all — the variance
+    family falls back to double instead of nulling."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    from cubes_spark.functions.calculators import apply_window_calculators
+
+    df = spark.createDataFrame(
+        [(1, "1e20"), (2, "3e20")], "seq int, v string"
+    ).withColumn("v", F.col("v").cast("decimal(38,2)"))
+    agg = SimpleNamespace(name="v_smvar")
+    out = apply_window_calculators(
+        df, [(agg, "v", "smvar", 2)], order_by=[F.col("seq")]
+    ).orderBy("seq").collect()
+    assert out[1]["v_smvar"] is not None
+    assert math.isclose(float(out[1]["v_smvar"]), 2e40, rel_tol=1e-10)

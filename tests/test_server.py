@@ -210,3 +210,155 @@ def test_hierarchy_limits_enforced(spark):
         "&pagesize=5"
     )
     assert denied.status_code == 403
+
+
+def test_pipe_separator_accepted(client):
+    """Reference slicer clients separate list params with '|'
+    (blueprint.py:341-352)."""
+    status, data = get_json(
+        client,
+        "/cube/sales/aggregate?drilldown=returnflag|order"
+        "&aggregates=fact_count|quantity_sum",
+    )
+    assert status == 200
+    assert set(data["cells"][0]) >= {
+        "returnflag.returnflag", "order.status", "fact_count",
+        "quantity_sum",
+    }
+
+
+def test_malformed_page_is_400(client):
+    status, data = get_json(
+        client, "/cube/sales/aggregate?page=abc&drilldown=returnflag"
+    )
+    assert status == 400
+    assert "page" in data["message"]
+    status, _ = get_json(
+        client, "/cube/sales/aggregate?pagesize=1.5&drilldown=returnflag"
+    )
+    assert status == 400
+
+
+def test_report_cell_as_cut_dicts(client):
+    """/report 'cell' as a list of cut dicts
+    (parity: blueprint.py:518-523)."""
+    response = client.post(
+        "/cube/sales/report",
+        json={
+            "cell": [{"type": "point", "dimension": "date",
+                      "path": [1995]}],
+            "queries": {
+                "byflag": {"query": "aggregate",
+                           "drilldown": ["returnflag"],
+                           "aggregates": ["fact_count"]},
+                "total": {"query": "aggregate",
+                          "aggregates": ["fact_count"]},
+            },
+        },
+    )
+    assert response.status_code == 200
+    data = json.loads(response.data)
+    total = data["total"]["summary"]["fact_count"]
+    assert total == sum(
+        c["fact_count"] for c in data["byflag"]["cells"]
+    )
+    # and the cell actually filtered: less than the full fact count
+    unfiltered = client.post(
+        "/cube/sales/report",
+        json={"queries": {"total": {"query": "aggregate",
+                                    "aggregates": ["fact_count"]}}},
+    )
+    assert total < json.loads(unfiltered.data)["total"]["summary"][
+        "fact_count"]
+
+
+def test_bad_hierarchy_limit_config_is_clean_error(spark):
+    ws = tpch_workspace(spark, SF_DIR)
+    authz = SimpleAuthorizer(rights={
+        "limited": {
+            "allowed_cubes": ["sales"],
+            "hierarchy_limits": {
+                "sales": [["customer_geo", None, "no_such_level"]],
+            },
+        },
+    })
+    app = create_server(ws, authorizer=authz)
+    app.testing = True
+    client = app.test_client()
+    response = client.get(
+        "/cube/sales/aggregate?identity=limited"
+        "&drilldown=customer_geo:nation&aggregates=fact_count"
+    )
+    # ConfigurationError -> CubesError handler -> 400, not a 500
+    assert response.status_code == 400
+    assert "no_such_level" in json.loads(response.data)["message"]
+
+
+# -- authenticators ---------------------------------------------------------
+
+
+def _auth_app(spark, method, **options):
+    ws = tpch_workspace(spark, SF_DIR)
+    authz = SimpleAuthorizer(
+        rights={"alice": {"allowed_cubes": ["sales"]}},
+        order="allow_deny",
+    )
+    from cubes_spark.server.authenticators import create_authenticator
+
+    app = create_server(
+        ws, authorizer=authz,
+        authenticator=create_authenticator(method, **options),
+    )
+    app.testing = True
+    return app.test_client()
+
+
+def test_http_basic_proxy_authenticator(spark):
+    import base64
+
+    client = _auth_app(spark, "http_basic_proxy")
+    # no credentials -> 401
+    response = client.get("/cube/sales/aggregate?identity=alice")
+    assert response.status_code == 401
+    # proxy-verified basic auth: username becomes the identity
+    creds = base64.b64encode(b"alice:whatever").decode()
+    response = client.get(
+        "/cube/sales/aggregate",
+        headers={"Authorization": f"Basic {creds}"},
+    )
+    assert response.status_code == 200
+    # forwarded-user header fallback
+    response = client.get(
+        "/cube/sales/aggregate", headers={"X-Forwarded-User": "alice"}
+    )
+    assert response.status_code == 200
+    # client ?identity= claim is ignored: bob is not authorized
+    creds = base64.b64encode(b"bob:whatever").decode()
+    response = client.get(
+        "/cube/sales/aggregate?identity=alice",
+        headers={"Authorization": f"Basic {creds}"},
+    )
+    assert response.status_code == 403
+
+
+def test_none_authenticator_ignores_identity_claims(spark):
+    client = _auth_app(spark, "none")
+    response = client.get("/cube/sales/aggregate?identity=alice")
+    # identity is None -> no right -> not authorized, despite the claim
+    assert response.status_code == 403
+
+
+def test_admin_admin_authenticator(spark):
+    import base64
+
+    client = _auth_app(spark, "admin_admin")
+    ok = base64.b64encode(b"alice:alice").decode()
+    bad = base64.b64encode(b"alice:wrong").decode()
+    assert client.get(
+        "/cube/sales/aggregate",
+        headers={"Authorization": f"Basic {ok}"},
+    ).status_code == 200
+    assert client.get(
+        "/cube/sales/aggregate",
+        headers={"Authorization": f"Basic {bad}"},
+    ).status_code == 401

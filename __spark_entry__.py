@@ -859,6 +859,62 @@ def q_cuboid_enum(spark, sf_dir):
     )
 
 
+def q_doc_multimodal(spark, sf_dir):
+    """Multimodal binary columns end-to-end: build REAL image bytes
+    (PNG/GIF/BMP/JPEG headers, format by doc_id%4, dimensions derived
+    from doc_id) inside the plan, then parse them back with the
+    pure-JVM header readers (cubes_spark/llm/multimodal.py) — format
+    sniff, big-endian PNG IHDR, little-endian GIF/BMP fields and the
+    bounded JPEG SOF marker walk all get driver-verified against a
+    closed-form oracle."""
+    from cubes_spark.llm import image_dimensions
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(100) + F.col("doc_id") % 900).cast("long")
+    h = (F.lit(80) + F.col("doc_id") % 600).cast("long")
+
+    def be(col, nhex):
+        return F.lpad(F.hex(col), nhex, "0")
+
+    def le16(col):
+        return F.concat(be(col % 256, 2), be((col / 256).cast("long") % 256, 2))
+
+    def le32(col):
+        out = []
+        for i in range(4):
+            out.append(be((col / (256 ** i)).cast("long") % 256, 2))
+        return F.concat(*out)
+
+    png = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        be(w, 8), be(h, 8), F.lit("0802000000" "63726330"),
+    )
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h),
+                   F.lit("F70000"))
+    bmp = F.concat(
+        F.lit("424D"), le32(F.lit(70)), F.lit("00000000"),
+        le32(F.lit(54)), le32(F.lit(40)), le32(w), le32(h),
+        F.lit("0100" "1800"),
+    )
+    jpeg = F.concat(
+        F.lit("FFD8"
+              "FFE0" "0010" "4A46494600010200000000000000"  # APP0
+              "FFFE" "0009" "636F6D6D656E74"                # COM
+              "FFC0" "0011" "08"),                          # SOF0
+        be(h, 4), be(w, 4),
+        F.lit("03" "000000000000000000" "FFD9"),
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, gif)
+        .when(F.col("doc_id") % 4 == 2, bmp)
+        .otherwise(jpeg)
+    )
+    df = docs.withColumn("payload", payload)
+    out = image_dimensions(df, "payload").drop("n_bytes")
+    return _lng(out, "doc_id", "width", "height")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -938,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_inspect": q_schema_inspect,
         "denorm_sink": q_denorm_sink,
         "cuboid_enum": q_cuboid_enum,
+        "doc_multimodal": q_doc_multimodal,
     }
 
 
@@ -1729,6 +1786,18 @@ def oracle_sql() -> dict[str, str]:
             ('levels', CAST(9 AS BIGINT),
              'year,month,day|region,nation,customer')
         ) AS t(kind, seq, spec)"""
+
+    # closed-form: the engine BUILDS real image bytes from doc_id and
+    # parses them back; the oracle derives the answer arithmetically —
+    # an independent derivation, so header-parser bugs can't cancel out
+    sql["doc_multimodal"] = """
+        SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+            CAST(100 + doc_id % 900 AS BIGINT) AS width,
+            CAST(80 + doc_id % 600 AS BIGINT) AS height
+        FROM documents"""
 
     # emb_ann / emb_ivf: the approximation is DETERMINISTIC (md5-derived
     # hyperplanes; fixed-seed k-means on a fixed sorted sample), so the

@@ -40,8 +40,10 @@ from cubes_spark.llm.similarity import (
     ivf_topk,
 )
 from cubes_spark.llm.multimodal import (
+    audio_metadata,
     binary_metadata,
     decode_features,
+    image_dimensions,
 )
 
 __all__ = [
@@ -62,5 +64,7 @@ __all__ = [
     "embedding_near_duplicates",
     "ivf_topk",
     "binary_metadata",
+    "image_dimensions",
+    "audio_metadata",
     "decode_features",
 ]

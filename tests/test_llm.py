@@ -216,3 +216,99 @@ def test_binary_metadata_and_decode_stub(spark):
 
     with pytest.raises(Exception):
         decode_features(df, "payload", dim=4, fake=False).collect()
+
+
+def _png(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"crc0")
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00tail"
+
+
+def _bmp(w, h):
+    import struct
+    return (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+            + struct.pack("<IiihH", 40, w, h, 1, 24) + b"\x00" * 20)
+
+
+def _jpeg(w, h):
+    """FFD8 + APP0(JFIF) + COM + SOF0 — the SOF walk must skip two
+    segments before the frame header."""
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" + b"\x00" * 7
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9)
+    return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+
+
+def _wav(rate, channels, bits):
+    import struct
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, channels, rate,
+                         rate * channels * bits // 8,
+                         channels * bits // 8, bits))
+    return b"RIFF" + struct.pack("<I", 36) + b"WAVE" + fmt
+
+
+def test_image_dimensions_pure_jvm(spark):
+    from cubes_spark.llm.multimodal import image_dimensions
+
+    rows = [
+        (1, _png(640, 480)),
+        (2, _gif(320, 200)),
+        (3, _bmp(1024, 768)),
+        (4, _jpeg(800, 600)),
+        (5, b"\x89PN"),            # truncated: unknown, null dims
+        (6, b"\xff\xd8\x00\x00"),  # jpeg magic, corrupt walk
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r["doc_id"]: r for r in
+           image_dimensions(df, "payload").collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == \
+        ("png", 640, 480)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == \
+        ("gif", 320, 200)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == \
+        ("bmp", 1024, 768)
+    assert (out[4]["format"], out[4]["width"], out[4]["height"]) == \
+        ("jpeg", 800, 600)
+    assert out[5]["format"] == "unknown" and out[5]["width"] is None
+    assert out[6]["format"] == "jpeg" and out[6]["width"] is None
+    # plan stays Python-free: no BatchEvalPython / ArrowEvalPython
+    plan = image_dimensions(df, "payload")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_audio_metadata_pure_jvm(spark):
+    from cubes_spark.llm.multimodal import audio_metadata
+
+    rows = [(1, _wav(44100, 2, 16)), (2, _wav(16000, 1, 24)),
+            (3, _png(2, 2))]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r["doc_id"]: r for r in
+           audio_metadata(df, "payload").collect()}
+    assert (out[1]["format"], out[1]["n_channels"],
+            out[1]["sample_rate"], out[1]["bits_per_sample"]) == \
+        ("wav", 2, 44100, 16)
+    assert (out[2]["sample_rate"], out[2]["bits_per_sample"]) == \
+        (16000, 24)
+    assert out[3]["format"] == "png" and out[3]["sample_rate"] is None
+
+
+def test_sniff_format_covers_containers(spark):
+    from cubes_spark.llm.multimodal import binary_metadata
+
+    rows = [(1, _gif(1, 1)), (2, _bmp(1, 1)), (3, _wav(8000, 1, 8)),
+            (4, b"RIFF\x00\x00\x00\x00AVI LIST"),
+            (5, b"\x1a\x45\xdf\xa3webm")]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r["doc_id"]: r["format_guess"] for r in
+           binary_metadata(df, "payload").collect()}
+    assert out == {1: "gif", 2: "bmp", 3: "wav", 4: "avi",
+                   5: "matroska"}

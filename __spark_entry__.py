@@ -859,6 +859,89 @@ def q_cuboid_enum(spark, sf_dir):
     )
 
 
+_PLANT_OFFSET = 10_000_000
+
+
+def _augmented_embeddings(spark, sf_dir):
+    """Corpus + planted near-duplicates: for every vec_id % 10 == 0, a
+    copy with +0.2 on component 1 (cosine ≈ 0.98 to its source) under
+    id + 10M.  Deterministic double arithmetic on the float-cast
+    values, so the oracle reconstructs identical vectors.  Random
+    unit vectors never reach cosine 0.9, so the planted pairs are
+    exactly the ≥0.9 near-duplicate ground truth."""
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(vd, 1) + F.lit(0.2)),
+            F.slice(vd, 2, F.size(vd) - 1),
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id", vd.alias("embedding")
+    ).unionByName(planted)
+
+
+def q_emb_ann_recall(spark, sf_dir):
+    """Driver signal for the ANN *scale* path quality: recall@1 of the
+    LSH pipeline (the 100 TB path) on planted near-duplicate queries —
+    the workload ANN is for (a random corpus's low-cosine neighbours
+    are information-theoretically invisible to LSH; its true metric is
+    finding HIGH-similarity matches).  Emits auditable counts: the
+    recall in integer basis points and the >=0.8 acceptance bit.  The
+    oracle recomputes both the exact and the LSH side independently."""
+    corpus = _augmented_embeddings(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") >= _PLANT_OFFSET)
+    exact = cosine_topk(corpus, queries, k=1).select(
+        "query_id", "neighbor_id")
+    approx = (
+        ann_lsh_cosine(corpus, k=1, num_planes=8, num_tables=4)
+        .filter(F.col("query_id") >= _PLANT_OFFSET)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit__", F.lit(1))
+    )
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+        .cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_exact", "n_hit",
+        F.expr("n_hit * 10000 div n_exact").alias("recall_bp"),
+        (F.col("n_hit") * 10 >= F.col("n_exact") * 8).alias("recall_ok"),
+    )
+
+
+def q_emb_neardup_recall(spark, sf_dir):
+    """Driver signal for the LSH near-duplicate *scale* path: engine
+    runs method='lsh' (bucketed candidates + exact-cosine verify) and
+    the exact all-pairs method at threshold 0.9 over the
+    planted-duplicate corpus, and emits recall counts plus the
+    precision==1.0 invariant (every LSH pair is exact-verified)."""
+    corpus = _augmented_embeddings(spark, sf_dir)
+    exact = embedding_near_duplicates(
+        corpus, threshold=0.9, method="exact").select("id_a", "id_b")
+    lsh = embedding_near_duplicates(
+        corpus, threshold=0.9, method="lsh", num_planes=8, num_tables=4
+    ).select("id_a", "id_b").withColumn("__hit__", F.lit(1))
+    marked = exact.join(lsh, ["id_a", "id_b"], "left")
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+        .cast("long").alias("n_hit"),
+    ).crossJoin(
+        lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    )
+    return agg.select(
+        "n_exact", "n_lsh", "n_hit",
+        F.expr("n_hit * 10000 div n_exact").alias("recall_bp"),
+        (F.col("n_hit") == F.col("n_lsh")).alias("precision_ok"),
+        (F.col("n_hit") * 10 >= F.col("n_exact") * 8).alias("recall_ok"),
+    )
+
+
 def q_doc_multimodal(spark, sf_dir):
     """Multimodal binary columns end-to-end: build REAL image bytes
     (PNG/GIF/BMP/JPEG headers, format by doc_id%4, dimensions derived
@@ -995,6 +1078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "denorm_sink": q_denorm_sink,
         "cuboid_enum": q_cuboid_enum,
         "doc_multimodal": q_doc_multimodal,
+        "emb_ann_recall": q_emb_ann_recall,
+        "emb_neardup_recall": q_emb_neardup_recall,
     }
 
 
@@ -1602,29 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
-    sql["emb_topk"] = """
-        WITH scored AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                 CAST(c.embedding AS DOUBLE[]))
-                / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                         CAST(q.embedding AS DOUBLE[])))
-                 * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
-                                         CAST(c.embedding AS DOUBLE[]))))
-                    AS cosine
-            FROM embeddings q JOIN embeddings c
-                ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
-        ),
-        ranked AS (
-            SELECT query_id, neighbor_id, cosine,
-                row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id)
-                    AS rank
-            FROM scored
-        )
-        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
-            CAST(rank AS BIGINT) AS rank
-        FROM ranked WHERE rank <= 5"""
+    sql["emb_topk"] = _EMB_TOPK_SQL
 
     sql["emb_near_dup"] = """
         WITH e AS (
@@ -1807,12 +1870,39 @@ def oracle_sql() -> dict[str, str]:
     # order matches Spark's sequential aggregate fold (proven bit-exact
     # by the emb_topk/emb_near_dup rows).
     sql["emb_ann"] = _emb_ann_oracle()
+    sql["emb_ann_recall"] = _emb_ann_recall_oracle()
+    sql["emb_neardup_recall"] = _emb_neardup_recall_oracle()
     sql["emb_ivf"] = _emb_ivf_oracle()
 
     return sql
 
 
 # -- deterministic-ANN oracle generation ------------------------------------
+
+_EMB_TOPK_SQL = """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                             CAST(c.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(q.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[]))))
+                AS cosine
+        FROM embeddings q JOIN embeddings c
+            ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id)
+                AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+        CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5"""
+
 
 _COSINE_RANKED = """
     scored AS (
@@ -1950,3 +2040,136 @@ def _emb_ivf_oracle() -> str:
         FROM probed JOIN assigned USING (cluster)
         WHERE query_id <> neighbor_id
     ),{_COSINE_RANKED}"""
+
+
+_AUG_CORPUS_SQL = """
+    base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    aug AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 10000000, list_prepend(v[1] + 0.2, v[2:])
+        FROM base WHERE vec_id % 10 = 0
+    )"""
+
+
+def _aug_bucketed_sql(num_tables: int, num_planes: int) -> str:
+    """LSH (table, bucket) assignment CTEs over the augmented corpus —
+    same md5-derived plane literals the engine folds over."""
+    from cubes_spark.llm.similarity import _plane_components
+
+    dim = _emb_dim()
+    rows = []
+    for t in range(num_tables):
+        for p, prow in enumerate(
+                _plane_components(num_planes, dim, 42 + 7919 * t)):
+            rows.append(f"({t}, {1 << p}, {_sql_dvec(prow)})")
+    planes = ",\n            ".join(rows)
+    return f"""
+    planes(tbl, w, pv) AS (VALUES
+            {planes}),
+    bucketed AS (
+        SELECT aug.vec_id, aug.v, pl.tbl,
+            SUM(CASE WHEN list_dot_product(aug.v, pl.pv) > 0
+                THEN pl.w ELSE 0 END) AS bucket
+        FROM aug CROSS JOIN planes pl
+        GROUP BY aug.vec_id, aug.v, pl.tbl
+    )"""
+
+
+def _emb_ann_recall_oracle() -> str:
+    """Recall@1 of the deterministic LSH ANN vs the exact top-1 over
+    the planted-duplicate corpus, both recomputed independently in
+    SQL; integer basis points, so no cross-engine float rounding."""
+    return f"""
+    WITH {_AUG_CORPUS_SQL},
+    {_aug_bucketed_sql(4, 8)},
+    cos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+             * sqrt(list_dot_product(c.v, c.v))) AS cosine
+        FROM aug q JOIN aug c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 10000000
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                    AS rank
+            FROM cos
+        ) WHERE rank = 1
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+        FROM bucketed l
+        JOIN bucketed r
+          ON l.tbl = r.tbl AND l.bucket = r.bucket
+         AND l.vec_id <> r.vec_id
+        WHERE l.vec_id >= 10000000
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                row_number() OVER (PARTITION BY c.query_id
+                                   ORDER BY k.cosine DESC, c.neighbor_id)
+                    AS rank
+            FROM cand c JOIN cos k
+                ON k.query_id = c.query_id
+               AND k.neighbor_id = c.neighbor_id
+        ) WHERE rank = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COUNT(a.query_id) AS BIGINT) AS n_hit,
+        CAST(COUNT(a.query_id) * 10000 // COUNT(*) AS BIGINT)
+            AS recall_bp,
+        COUNT(a.query_id) * 10 >= COUNT(*) * 8 AS recall_ok
+    FROM exact x LEFT JOIN ann a
+        ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id"""
+
+
+def _emb_neardup_recall_oracle() -> str:
+    """Replicates embedding_near_duplicates(threshold=0.9,
+    method='lsh', num_planes=8, num_tables=4, seed=42) candidate
+    generation + exact verify over the planted-duplicate corpus, and
+    the exact all-pairs set, then the recall/precision counts the
+    Spark entry emits."""
+    return f"""
+    WITH {_AUG_CORPUS_SQL},
+    {_aug_bucketed_sql(4, 8)},
+    cos AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    ),
+    exact AS (SELECT id_a, id_b FROM cos WHERE cosine >= 0.9),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM bucketed l
+        JOIN bucketed r
+          ON l.tbl = r.tbl AND l.bucket = r.bucket
+         AND l.vec_id < r.vec_id
+    ),
+    lsh AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN cos k ON k.id_a = c.id_a AND k.id_b = c.id_b
+        WHERE k.cosine >= 0.9
+    ),
+    marked AS (
+        SELECT x.id_a, l.id_a AS hit
+        FROM exact x LEFT JOIN lsh l
+            ON x.id_a = l.id_a AND x.id_b = l.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM marked) AS BIGINT) AS n_exact,
+        CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+        CAST((SELECT COUNT(hit) FROM marked) AS BIGINT) AS n_hit,
+        CAST((SELECT COUNT(hit) FROM marked) * 10000
+             // (SELECT COUNT(*) FROM marked) AS BIGINT) AS recall_bp,
+        (SELECT COUNT(hit) FROM marked) = (SELECT COUNT(*) FROM lsh)
+            AS precision_ok,
+        (SELECT COUNT(hit) FROM marked) * 10
+            >= (SELECT COUNT(*) FROM marked) * 8 AS recall_ok"""

@@ -231,7 +231,7 @@ def show_info() -> Response:
 @slicer.route("/cubes")
 def list_cubes() -> Response:
     workspace = _workspace()
-    cubes = workspace.list_cubes()
+    cubes = workspace.list_cubes(locale=request.args.get("lang"))
     authorized = _authorizer().authorize(
         _identity(), [c["name"] for c in cubes]
     )
@@ -240,7 +240,10 @@ def list_cubes() -> Response:
 
 @slicer.route("/cube/<cube_name>/model")
 def cube_model(cube_name: str) -> Response:
-    _, cube = _browser(cube_name)
+    _, cube = _browser(cube_name)      # authorization + existence
+    lang = request.args.get("lang")
+    if lang:
+        cube = _workspace().cube(cube_name, locale=lang)
     return _json(cube.to_dict(expand_dimensions=True))
 
 

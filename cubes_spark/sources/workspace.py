@@ -30,6 +30,7 @@ from cubes_spark.errors import (
 )
 from cubes_spark.metadata.cube import Cube
 from cubes_spark.metadata.dimension import Dimension
+from cubes_spark.namespace import Namespace
 from cubes_spark.operators.browser import SparkBrowser
 from cubes_spark.plans.mapper import Naming, distill_naming
 
@@ -141,8 +142,13 @@ class Workspace:
         self.spark = spark or default_session()
         self.naming = Naming(naming or {})
 
-        self._dimensions: Dict[str, Dimension] = {}
-        self._cubes: Dict[str, Cube] = {}
+        # model registry: a hierarchy of namespaces (parity:
+        # namespace.py wiring in reference workspace.py:55-657); the
+        # legacy _dimensions/_cubes names alias the ROOT namespace's
+        # registries so single-namespace usage is unchanged
+        self.root = Namespace()
+        self._dimensions: Dict[str, Dimension] = self.root.dimensions
+        self._cubes: Dict[str, Cube] = self.root.cubes
         self._tables: Dict[str, DataFrame] = {}
         self._table_expressions: Dict[str, str] = {}
         self.store: Optional[ParquetStore] = None
@@ -233,31 +239,52 @@ class Workspace:
 
     # -- model -------------------------------------------------------------
 
-    def import_model(self, metadata: Any) -> None:
-        """Load dimensions and cubes from model metadata.  Dimension
-        ``template`` references resolve against previously loaded
-        dimensions (parity: providers.py:156-432)."""
+    def import_model(self, metadata: Any,
+                     namespace: Optional[str] = None) -> None:
+        """Load dimensions and cubes from model metadata into
+        ``namespace`` (dotted path, created on demand; default root).
+        Dimension ``template`` references resolve against dimensions
+        visible from that namespace — its own and every ancestor's
+        (parity: providers.py:156-432; namespaces:
+        reference workspace.py:240-260).  A model may also carry
+        ``translations``: ``{locale: translation-dict-or-path}``,
+        registered on the same namespace."""
         metadata = read_model(metadata)
+        ns, _ = self.root.namespace(namespace, create=True)
 
         for name, sql in (metadata.get("table_expressions") or {}).items():
             self.add_table_expression(name, sql)
 
+        for locale, trans in (metadata.get("translations") or {}).items():
+            ns.add_translation(locale, trans)
+
+        visible: Dict[str, Dimension] = {}
+        chain = []
+        cursor: Optional[Namespace] = ns
+        while cursor is not None:
+            chain.append(cursor)
+            cursor = cursor.parent
+        for cursor in reversed(chain):   # root first, nearest wins
+            visible.update(cursor.dimensions)
+
         for dim_md in metadata.get("dimensions", []):
-            dim = Dimension.from_metadata(dim_md, templates=self._dimensions)
-            self._dimensions[dim.name] = dim
+            dim = Dimension.from_metadata(dim_md, templates=visible)
+            ns.dimensions[dim.name] = dim
+            visible[dim.name] = dim
 
         for cube_md in metadata.get("cubes", []):
             cube = Cube.from_metadata(cube_md)
             for link in cube.dimension_links:
                 name = link["name"]
                 try:
-                    dim = self._dimensions[name]
+                    dim = visible[name]
                 except KeyError:
                     # implicit flat dimension from a bare name
                     dim = Dimension.from_metadata(name)
-                    self._dimensions.setdefault(name, dim)
+                    ns.dimensions.setdefault(name, dim)
+                    visible[name] = dim
                 cube.link_dimension(dim)
-            self._cubes[cube.name] = cube
+            ns.add_cube(cube)
 
     def add_cube(self, cube: Cube) -> None:
         self._cubes[cube.name] = cube
@@ -265,28 +292,94 @@ class Workspace:
     def add_dimension(self, dimension: Dimension) -> None:
         self._dimensions[dimension.name] = dimension
 
-    def cube(self, name: str) -> Cube:
-        try:
-            return self._cubes[name]
-        except KeyError:
-            raise NoSuchCubeError(name=name)
+    def add_translation(self, locale: str, translation: Any,
+                        namespace: Optional[str] = None) -> None:
+        """Register a model-label translation on a namespace (parity:
+        reference workspace.py:301-306)."""
+        ns, _ = self.root.namespace(namespace, create=True)
+        ns.add_translation(locale, translation)
 
-    def dimension(self, name: str) -> Dimension:
-        try:
-            return self._dimensions[name]
-        except KeyError:
-            raise NoSuchDimensionError(name=name)
+    def cube(self, name: str, locale: Optional[str] = None) -> Cube:
+        """Cube by (possibly dotted namespaced) reference.  With
+        ``locale``, a translated presentation copy (parity: reference
+        workspace.py:530-553)."""
+        import copy as _copy
 
-    def list_cubes(self) -> list:
-        return [
-            {
-                "name": cube.name,
-                "label": cube.label,
-                "category": cube.category,
-                "info": cube.info,
-            }
-            for cube in self._cubes.values()
-        ]
+        ns, cube = self.root.find_cube(name)
+        if cube.name != str(name):
+            # namespaced access: present the full reference as the name
+            # on a shallow copy (the registry object stays untouched)
+            cube = _copy.copy(cube)
+            cube.name = str(name)
+        if locale:
+            cube = self._localized_cube(ns, cube, locale)
+        return cube
+
+    def _localized_cube(self, ns: Namespace, cube: Cube,
+                        locale: str) -> Cube:
+        from cubes_spark.metadata.localization import (
+            LocalizationContext,
+            localized_cube,
+        )
+
+        basename = cube.name.rsplit(".", 1)[-1]
+        merged: dict = {}
+        dim_fallback: dict = {}
+        # farthest namespace first so nearer translations win
+        for trans in reversed(ns.translation_lookup(locale)):
+            entry = (trans.get("cubes") or {}).get(basename)
+            if isinstance(entry, str):
+                entry = {"label": entry}
+            if entry:
+                dims = dict(merged.get("dimensions") or {})
+                merged.update(entry)
+                dims.update(entry.get("dimensions") or {})
+                merged["dimensions"] = dims
+            # global dimension translations fill cube-local gaps
+            for dname, dtrans in (trans.get("dimensions") or {}).items():
+                dim_fallback[dname] = dtrans
+        dims = dict(dim_fallback)
+        dims.update(merged.get("dimensions") or {})
+        if dims:
+            merged["dimensions"] = dims
+        if not merged:
+            return cube
+        clone = localized_cube(cube, LocalizationContext(merged))
+        clone.locale = locale
+        return clone
+
+    def dimension(self, name: str,
+                  namespace: Optional[str] = None) -> Dimension:
+        ns, remainder = self.root.namespace(namespace)
+        if remainder:
+            raise NoSuchDimensionError(
+                f"Unknown namespace '{namespace}'", name=name
+            )
+        return ns.dimension(name)
+
+    def list_cubes(self, recursive: bool = True,
+                   locale: Optional[str] = None) -> list:
+        """Cube info dicts; namespaced cubes appear with dotted names.
+        With ``locale``, labels come from registered translations."""
+        infos = self.root.list_cubes(recursive=recursive)
+        if locale:
+            localized = []
+            for info in infos:
+                info = dict(info)
+                ref = info["name"]
+                ns, _cube = self.root.find_cube(ref)
+                basename = ref.rsplit(".", 1)[-1]
+                for trans in ns.translation_lookup(locale):
+                    entry = (trans.get("cubes") or {}).get(basename)
+                    if isinstance(entry, str):
+                        info["label"] = entry
+                        break
+                    if isinstance(entry, dict) and "label" in entry:
+                        info["label"] = entry["label"]
+                        break
+                localized.append(info)
+            infos = localized
+        return infos
 
     # -- browsing ------------------------------------------------------------
 

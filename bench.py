@@ -101,13 +101,42 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+
+    # regression tracking vs the committed baseline (bench_baseline.json):
+    # per-query deltas to stderr, >1.5x regressions also in the JSON.
+    # STDOUT stays exactly ONE JSON line.  Set SPARK_GRAFT_BENCH_STRICT=1
+    # to exit non-zero on regression (CI use); the default records the
+    # measurement rather than suppressing it.
+    regressions: dict = {}
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    if os.path.exists(baseline_path) and str(sf_val) != "0.01":
+        with open(baseline_path, encoding="utf-8") as f:
+            baseline = json.load(f)
+        if baseline.get("sf") == sf_val:
+            for name, secs in timings.items():
+                base = baseline.get("queries", {}).get(name)
+                if not base:
+                    continue
+                ratio = secs / base
+                marker = " <-- REGRESSION" if ratio > 1.5 else ""
+                print(f"  {name}: {secs:.3f}s vs baseline {base:.3f}s "
+                      f"({ratio:.2f}x){marker}", file=sys.stderr)
+                if ratio > 1.5:
+                    regressions[name] = round(ratio, 2)
+
+    out = {
         "metric": "total_query_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

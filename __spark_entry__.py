@@ -998,6 +998,71 @@ def q_doc_multimodal(spark, sf_dir):
     return _lng(out, "doc_id", "width", "height")
 
 
+def q_report_combo(spark, sf_dir):
+    """browser.report(): several query types batched over one cell
+    (parity: query/browser.py:387-523), flattened to auditable rows."""
+    browser = _browser(spark, sf_dir)
+    rep = browser.report("date:1995", {
+        "byflag": {"query": "aggregate", "drilldown": ["returnflag"],
+                   "aggregates": ["fact_count"]},
+        "statuses": {"query": "members", "dimension": "order",
+                     "depth": 1},
+        "total": {"query": "aggregate", "aggregates": ["fact_count"]},
+    })
+    rows = []
+    for c in rep["byflag"]["cells"]:
+        rows.append(("byflag", str(c["returnflag.returnflag"]),
+                     int(c["fact_count"])))
+    for m in rep["statuses"]:
+        rows.append(("status", str(m["order.status"]), 0))
+    rows.append(("total", "", int(rep["total"]["summary"]["fact_count"])))
+    return spark.createDataFrame(
+        rows, schema="kind string, member string, n long"
+    )
+
+
+def q_cell_details(spark, sf_dir):
+    """cell_details / path_details: per-cut level keys and labels
+    (parity: query/browser.py:525-639, sql/browser.py:314-343)."""
+    browser = _browser(spark, sf_dir)
+    details = browser.cell_details("customer_geo:2,7|date:1995")
+    rows = []
+    for i, detail in enumerate(details):
+        for j, item in enumerate(detail):
+            rows.append((i, j, str(item["_key"]), str(item["_label"])))
+    return spark.createDataFrame(
+        rows, schema="cut long, lvl long, key string, label string"
+    )
+
+
+def q_agg_natural_order(spark, sf_dir):
+    """Natural (implicit level) order made observable through
+    pagination: page 2 of 7 over a two-dimension drilldown is only
+    stable if the engine orders by the drilldown's natural keys
+    (parity: query/drilldown.py natural_order)."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["date@ym:month", "returnflag"],
+        aggregates=["fact_count"],
+        page=2, page_size=7,
+    )
+    return _lng(df, "date.year", "date.month", "fact_count")
+
+
+def q_csv_format(spark, sf_dir):
+    """CSV output formatter byte-for-byte: header + natural-order data
+    lines (parity: formatters.py:58-111,393-419)."""
+    browser = _browser(spark, sf_dir)
+    result = browser.aggregate(
+        cell="date:1995", drilldown=["returnflag"],
+        aggregates=["fact_count", "quantity_sum"],
+    )
+    from cubes_spark.formatters import CSVFormatter
+
+    text = CSVFormatter().format(browser.cube, result)
+    rows = [(i, line) for i, line in enumerate(text.splitlines())]
+    return spark.createDataFrame(rows, schema="line long, text string")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -1080,6 +1145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_multimodal": q_doc_multimodal,
         "emb_ann_recall": q_emb_ann_recall,
         "emb_neardup_recall": q_emb_neardup_recall,
+        "report_combo": q_report_combo,
+        "cell_details": q_cell_details,
+        "agg_natural_order": q_agg_natural_order,
+        "csv_format": q_csv_format,
     }
 
 
@@ -1861,6 +1930,54 @@ def oracle_sql() -> dict[str, str]:
             CAST(100 + doc_id % 900 AS BIGINT) AS width,
             CAST(80 + doc_id % 600 AS BIGINT) AS height
         FROM documents"""
+
+    sql["report_combo"] = """
+        SELECT 'byflag' AS kind, l_returnflag AS member,
+            COUNT(*) AS n
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 2
+        UNION ALL
+        SELECT 'status', o_orderstatus, 0 FROM (
+            SELECT DISTINCT o.o_orderstatus
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE year(l.l_shipdate) = 1995
+        )
+        UNION ALL
+        SELECT 'total', '', COUNT(*)
+        FROM lineitem WHERE year(l_shipdate) = 1995"""
+
+    sql["cell_details"] = """
+        SELECT CAST(0 AS BIGINT) AS cut, CAST(0 AS BIGINT) AS lvl,
+            CAST(r_regionkey AS VARCHAR) AS key, r_name AS label
+        FROM region WHERE r_regionkey = 2
+        UNION ALL
+        SELECT 0, 1, CAST(n_nationkey AS VARCHAR), n_name
+        FROM nation WHERE n_nationkey = 7
+        UNION ALL
+        SELECT 1, 0, '1995', '1995'"""
+
+    sql["agg_natural_order"] = """
+        SELECT * FROM (
+            SELECT year(l_shipdate) AS "date.year",
+                month(l_shipdate) AS "date.month",
+                l_returnflag AS "returnflag.returnflag",
+                COUNT(*) AS fact_count
+            FROM lineitem GROUP BY 1, 2, 3
+        ) ORDER BY "date.year", "date.month", "returnflag.returnflag"
+        LIMIT 7 OFFSET 14"""
+
+    sql["csv_format"] = f"""
+        WITH agg AS (
+            SELECT l_returnflag AS flag, COUNT(*) AS n,
+                SUM({_DEC_QTY}) AS qs
+            FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1
+        )
+        SELECT CAST(0 AS BIGINT) AS line,
+            'returnflag.returnflag,fact_count,quantity_sum' AS text
+        UNION ALL
+        SELECT row_number() OVER (ORDER BY flag),
+            flag || ',' || CAST(n AS VARCHAR) || ','
+                 || CAST(qs AS VARCHAR)
+        FROM agg"""
 
     # emb_ann / emb_ivf: the approximation is DETERMINISTIC (md5-derived
     # hyperplanes; fixed-seed k-means on a fixed sorted sample), so the

@@ -43,7 +43,8 @@ def slicer_blueprint() -> Blueprint:
 def create_server(workspace: Workspace,
                   authorizer: Optional[Authorizer] = None,
                   json_record_limit: int = 1000,
-                  authenticator: Any = None) -> Flask:
+                  authenticator: Any = None,
+                  request_logger: Any = None) -> Flask:
     """Flask app serving the slicer API for `workspace`.
 
     ``authenticator`` is an ``Authenticator`` instance or a method name
@@ -58,8 +59,21 @@ def create_server(workspace: Workspace,
     app.config["authorizer"] = authorizer or NoopAuthorizer()
     app.config["json_record_limit"] = json_record_limit
     app.config["authenticator"] = create_authenticator(authenticator)
+    app.config["request_logger"] = request_logger
     app.register_blueprint(slicer)
     return app
+
+
+def _log_time(method: str, cube: Any, cell: Any = None, **other: Any):
+    """Request-log timing context for browse endpoints; no-op without a
+    configured logger (parity: server/logging.py log_time)."""
+    logger = current_app.config.get("request_logger")
+    if logger is None:
+        from contextlib import nullcontext
+
+        return nullcontext()
+    return logger.log_time(method, cube, cell, identity=_identity(),
+                           **other)
 
 
 def _workspace() -> Workspace:
@@ -266,7 +280,8 @@ def aggregate(cube_name: str) -> Response:
     if "measures" in request.args:
         kwargs["measures"] = _split_list(request.args["measures"])
 
-    result = browser.aggregate(cell, **kwargs)
+    with _log_time("aggregate", cube.name, cell):
+        result = browser.aggregate(cell, **kwargs)
 
     output_format = request.args.get("format", "json")
     if output_format == "csv":
@@ -287,8 +302,9 @@ def cube_facts(cube_name: str) -> Response:
     if "page_size" not in kwargs:
         kwargs["page_size"] = current_app.config["json_record_limit"]
 
-    df = browser.facts(cell, **kwargs)
-    rows = [row.asDict() for row in df.collect()]
+    with _log_time("facts", cube.name, cell):
+        df = browser.facts(cell, **kwargs)
+        rows = [row.asDict() for row in df.collect()]
 
     output_format = request.args.get("format", "json")
     if output_format == "csv":
@@ -307,7 +323,8 @@ def cube_fact(cube_name: str, fact_id: str) -> Response:
         key: Any = int(fact_id)
     except ValueError:
         key = fact_id
-    row = browser.fact(key)
+    with _log_time("fact", cube.name):
+        row = browser.fact(key)
     if row is None:
         return _json({"error": "not_found",
                       "message": f"No fact '{fact_id}'"}, 404)
@@ -328,8 +345,9 @@ def cube_members(cube_name: str, dimension_name: str) -> Response:
         kwargs["level"] = level
     hierarchy = request.args.get("hierarchy")
 
-    members = browser.members(cell, dimension_name, hierarchy=hierarchy,
-                              **kwargs)
+    with _log_time("members", cube.name, cell, dimension=dimension_name):
+        members = browser.members(cell, dimension_name,
+                                  hierarchy=hierarchy, **kwargs)
     dimension = cube.dimension(dimension_name)
     return _json({
         "dimension": dimension.name,
@@ -342,7 +360,8 @@ def cube_members(cube_name: str, dimension_name: str) -> Response:
 def cube_cell(cube_name: str) -> Response:
     browser, cube = _browser(cube_name)
     cell = _restricted_cell(cube, browser, request.args.get("cut"))
-    details = browser.cell_details(cell)
+    with _log_time("cell", cube.name, cell):
+        details = browser.cell_details(cell)
     cell_dict = cell.to_dict()
     for cut, detail in zip(cell_dict["cuts"], details):
         cut["details"] = detail
@@ -358,5 +377,71 @@ def cube_report(cube_name: str) -> Response:
         raise ArgumentError("Report request does not contain 'queries'")
     cell_arg = payload.get("cell") or request.args.get("cut")
     cell = _restricted_cell(cube, browser, cell_arg)
-    result = browser.report(cell, queries)
+    with _log_time("report", cube.name, cell):
+        result = browser.report(cell, queries)
     return _json(result)
+
+
+@slicer.route("/cube/<cube_name>/search")
+def cube_search(cube_name: str) -> Response:
+    """Member search (parity: blueprint.py:542-575).  The reference
+    delegates to an external ``cubes_search`` engine; here a built-in
+    simple searcher scans distinct members level by level with a
+    case-insensitive substring match — each level probe is one
+    DISTINCT over the (pruned) star, so the search pushes down like
+    any members query."""
+    browser, cube = _browser(cube_name)
+    dimension_name = request.args.get("dimension")
+    if not dimension_name:
+        raise ArgumentError("No search dimension provided")
+    query = request.args.get("q") or request.args.get("query")
+    if not query:
+        raise ArgumentError("No search query provided")
+
+    dimension = cube.dimension(dimension_name)
+    hierarchy = dimension.hierarchy(request.args.get("hierarchy"))
+    limit = current_app.config["json_record_limit"]
+
+    from pyspark.sql import functions as F
+
+    matches = []
+    with _log_time("search", cube.name, None, dimension=dimension_name):
+        for depth in range(1, len(hierarchy.levels) + 1):
+            level = hierarchy.levels[depth - 1]
+            df = browser.members_dataframe(
+                None, dimension, depth=depth, hierarchy=hierarchy.name
+            )
+            needle = query.lower()
+            conds = None
+            searchable = [
+                a.ref for a in level.attributes
+                if dict(df.dtypes).get(a.ref) == "string"
+            ]
+            for ref in searchable:
+                cond = F.lower(F.col(f"`{ref}`")).contains(needle)
+                conds = cond if conds is None else (conds | cond)
+            if conds is None:
+                continue
+            key_refs = [
+                hierarchy.levels[i].key.ref for i in range(depth)
+            ]
+            rows = df.filter(conds).limit(limit).collect()
+            for row in rows:
+                data = row.asDict()
+                for ref in searchable:
+                    value = data.get(ref)
+                    if value and needle in str(value).lower():
+                        matches.append({
+                            "dimension": dimension.name,
+                            "level": level.name,
+                            "attribute": ref,
+                            "value": value,
+                            "path": [data.get(k) for k in key_refs],
+                        })
+    return _json({
+        "dimension": dimension.name,
+        "hierarchy": hierarchy.name,
+        "query": query,
+        "total_found": len(matches),
+        "matches": matches[:limit],
+    })

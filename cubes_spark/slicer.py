@@ -164,13 +164,75 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
         authenticator = create_authenticator(
             authn_config.pop("method", None), **authn_config
         )
+    # request logging: {"request_log": {"handlers": [{"type":
+    # "jsonl", "path": "queries.jsonl"}], "async": true}}
+    request_logger = None
+    if server_config.get("request_log"):
+        from cubes_spark.server.request_log import \
+            configured_request_logger
+
+        request_logger = configured_request_logger(
+            server_config["request_log"])
     app = create_server(
         workspace,
         authorizer=authorizer,
         json_record_limit=server_config.get("json_record_limit", 1000),
         authenticator=authenticator,
+        request_logger=request_logger,
     )
     app.run(host=args.host, port=args.port, debug=args.debug)
+    return 0
+
+
+def cmd_ext_info(config: dict, args: argparse.Namespace,
+                 out=sys.stdout) -> int:
+    """List registered extensions (parity: commands.py:70-104
+    `ext-info`): aggregate functions, window calculators, formatters,
+    authenticators."""
+    from cubes_spark.functions.aggregates import available_aggregate_functions
+    from cubes_spark.functions.calculators import available_calculators
+    from cubes_spark.server.authenticators import _METHODS
+
+    registry = {
+        "aggregate_function": sorted(available_aggregate_functions()),
+        "calculator": sorted(available_calculators()),
+        "formatter": ["cross_table", "csv", "json_lines", "xlsx"],
+        "authenticator": sorted(_METHODS),
+        "store": ["parquet", "dataframe", "table_expression"],
+    }
+    ext_type = getattr(args, "type", None) or "all"
+    if ext_type != "all":
+        if ext_type not in registry:
+            out.write(f"Unknown extension type '{ext_type}' "
+                      f"(expected one of {sorted(registry)})\n")
+            return 1
+        registry = {ext_type: registry[ext_type]}
+    for etype, names in registry.items():
+        out.write(f"{etype}:\n")
+        for name in names:
+            out.write(f"    {name}\n")
+    return 0
+
+
+def cmd_convert(config: dict, args: argparse.Namespace,
+                out=sys.stdout) -> int:
+    """Convert model metadata between JSON and bundle-directory formats
+    (parity: commands.py:290-310 `model convert`)."""
+    from cubes_spark.sources.workspace import read_model, \
+        write_model_bundle
+
+    metadata = read_model(args.model)
+    if args.format == "json":
+        if args.target:
+            with open(args.target, "w", encoding="utf-8") as f:
+                json.dump(metadata, f, indent=4)
+        else:
+            out.write(json.dumps(metadata, indent=4) + "\n")
+    else:
+        if not args.target:
+            out.write("Target directory required for bundle format\n")
+            return 1
+        write_model_bundle(args.target, metadata, replace=args.force)
     return 0
 
 
@@ -208,6 +270,19 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--debug", action="store_true")
 
+    p = sub.add_parser("ext-info", help="show registered extensions")
+    p.add_argument("type", nargs="?", default="all",
+                   help="extension type (default: all)")
+
+    p = sub.add_parser("convert",
+                       help="convert model between json and bundle")
+    p.add_argument("--format", choices=["json", "bundle"],
+                   default="json", help="output model format")
+    p.add_argument("--force", action="store_true",
+                   help="replace an existing model bundle")
+    p.add_argument("model", help="model path (json file or bundle dir)")
+    p.add_argument("target", nargs="?", help="output path")
+
     return parser
 
 
@@ -218,13 +293,19 @@ COMMANDS = {
     "denormalize": cmd_denormalize,
     "aggregate": cmd_aggregate,
     "serve": cmd_serve,
+    "ext-info": cmd_ext_info,
+    "convert": cmd_convert,
 }
+
+#: commands that run without a workspace configuration file
+CONFIG_FREE = {"ext-info", "convert"}
 
 
 def main(argv: Optional[list] = None, out=sys.stdout) -> int:
     parser = make_parser()
     args = parser.parse_args(argv)
-    config = _load_config(args.config)
+    config = {} if args.command in CONFIG_FREE \
+        else _load_config(args.config)
     return COMMANDS[args.command](config, args, out=out)
 
 

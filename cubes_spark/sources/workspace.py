@@ -107,17 +107,79 @@ class ParquetStore:
 
 
 def read_model(metadata: Any) -> dict:
-    """Load model metadata from a dict, JSON file path or directory."""
+    """Load model metadata from a dict, JSON file path or a bundle
+    directory.  A bundle holds ``model.json`` plus per-object
+    ``dim_<name>.json`` / ``cube_<name>.json`` files that merge into
+    the model's ``dimensions`` / ``cubes`` lists (parity:
+    metadata/base.py:161-226 read_model_metadata_bundle)."""
     if isinstance(metadata, dict):
         return metadata
     if isinstance(metadata, str):
         if os.path.isdir(metadata):
-            path = os.path.join(metadata, "model.json")
-        else:
-            path = metadata
-        with open(path, encoding="utf-8") as f:
+            return _read_model_bundle(metadata)
+        with open(metadata, encoding="utf-8") as f:
             return json.load(f)
     raise ArgumentError(f"Unknown model metadata: {metadata!r}")
+
+
+def _read_model_bundle(path: str) -> dict:
+    with open(os.path.join(path, "model.json"), encoding="utf-8") as f:
+        model = json.load(f)
+    dimensions = list(model.get("dimensions") or [])
+    cubes = list(model.get("cubes") or [])
+    for fname in sorted(os.listdir(path)):
+        full = os.path.join(path, fname)
+        if not fname.endswith(".json"):
+            continue
+        if fname.startswith("dim_"):
+            with open(full, encoding="utf-8") as f:
+                dimensions.append(json.load(f))
+        elif fname.startswith("cube_"):
+            with open(full, encoding="utf-8") as f:
+                cubes.append(json.load(f))
+    if dimensions:
+        model["dimensions"] = dimensions
+    if cubes:
+        model["cubes"] = cubes
+    return model
+
+
+def write_model_bundle(path: str, metadata: dict,
+                       replace: bool = False) -> None:
+    """Write model metadata as a bundle directory (parity:
+    metadata/base.py:228-267)."""
+    import shutil
+
+    if os.path.exists(path):
+        if not os.path.isdir(path):
+            raise ArgumentError(
+                "Target exists and is a file, can not replace"
+            )
+        if not os.path.exists(os.path.join(path, "model.json")):
+            raise ArgumentError(
+                "Target is not a model directory, can not replace"
+            )
+        if not replace:
+            raise ArgumentError(
+                "Target already exists. Remove it or force replacement."
+            )
+        shutil.rmtree(path)
+    os.makedirs(path)
+
+    metadata = dict(metadata)
+    dimensions = metadata.pop("dimensions", [])
+    cubes = metadata.pop("cubes", [])
+    for dim in dimensions:
+        with open(os.path.join(path, f"dim_{dim['name']}.json"),
+                  "w", encoding="utf-8") as f:
+            json.dump(dim, f, indent=4)
+    for cube in cubes:
+        with open(os.path.join(path, f"cube_{cube['name']}.json"),
+                  "w", encoding="utf-8") as f:
+            json.dump(cube, f, indent=4)
+    with open(os.path.join(path, "model.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(metadata, f, indent=4)
 
 
 class Workspace:

@@ -362,3 +362,55 @@ def test_admin_admin_authenticator(spark):
         "/cube/sales/aggregate",
         headers={"Authorization": f"Basic {bad}"},
     ).status_code == 401
+
+
+def test_search_endpoint(client):
+    status, data = get_json(
+        client, "/cube/sales/search?dimension=customer_geo&q=asia"
+    )
+    assert status == 200
+    assert data["dimension"] == "customer_geo"
+    assert data["total_found"] >= 1
+    match = data["matches"][0]
+    assert match["value"].lower().find("asia") >= 0
+    assert match["level"] == "region"
+    assert isinstance(match["path"], list) and len(match["path"]) == 1
+    # missing params are clean 400s
+    assert client.get("/cube/sales/search").status_code == 400
+    assert client.get(
+        "/cube/sales/search?dimension=customer_geo"
+    ).status_code == 400
+
+
+def test_request_logging(spark, tmp_path):
+    import json as _json
+
+    from cubes_spark.demo import tpch_workspace
+    from cubes_spark.server import create_server
+    from cubes_spark.server.request_log import (
+        JSONLRequestLogHandler,
+        RequestLogger,
+    )
+    from tests.conftest import SF_DIR as _SF
+
+    log_path = tmp_path / "queries.jsonl"
+    logger = RequestLogger([JSONLRequestLogHandler(str(log_path))])
+    ws = tpch_workspace(spark, _SF)
+    app = create_server(ws, request_logger=logger)
+    app.testing = True
+    c = app.test_client()
+
+    assert c.get(
+        "/cube/sales/aggregate?cut=date:1995&drilldown=returnflag"
+        "&identity=alice"
+    ).status_code == 200
+    assert c.get("/cube/sales/facts?pagesize=2").status_code == 200
+
+    records = [_json.loads(line) for line in
+               log_path.read_text().splitlines()]
+    assert [r["method"] for r in records] == ["aggregate", "facts"]
+    agg = records[0]
+    assert agg["cube"] == "sales"
+    assert "date" in agg["cell"] and "1995" in agg["cell"]
+    assert agg["identity"] == "alice"
+    assert agg["elapsed_time"] > 0

@@ -79,3 +79,57 @@ def test_denormalize_materialization(config_path, tmp_path, spark):
     df = spark.read.parquet(target)
     assert df.count() == spark.read.parquet(
         f"{SF_DIR}/lineitem.parquet").count()
+
+
+def test_ext_info():
+    out = io.StringIO()
+    assert main(["ext-info"], out=out) == 0
+    text = out.getvalue()
+    for expected in ("aggregate_function:", "sum", "count_distinct",
+                     "calculator:", "sma", "formatter:", "csv",
+                     "authenticator:", "http_basic_proxy"):
+        assert expected in text
+    out = io.StringIO()
+    assert main(["ext-info", "calculator"], out=out) == 0
+    assert "sma" in out.getvalue()
+    assert "aggregate_function" not in out.getvalue()
+    assert main(["ext-info", "nonsense"], out=io.StringIO()) == 1
+
+
+def test_model_convert_roundtrip(tmp_path):
+    model_path = tmp_path / "model.json"
+    model_path.write_text(json.dumps(TPCH_MODEL))
+
+    # json -> bundle
+    bundle = tmp_path / "bundle"
+    assert main(["convert", "--format", "bundle", str(model_path),
+                 str(bundle)], out=io.StringIO()) == 0
+    files = sorted(os.listdir(bundle))
+    assert "model.json" in files
+    assert any(f.startswith("cube_sales") for f in files)
+    assert any(f.startswith("dim_date") for f in files)
+
+    # bundle -> json: same model back (list order preserved per kind)
+    out = io.StringIO()
+    assert main(["convert", str(bundle)], out=out) == 0
+    back = json.loads(out.getvalue())
+    assert {c["name"] for c in back["cubes"]} == \
+        {c["name"] for c in TPCH_MODEL["cubes"]}
+    assert {d["name"] for d in back["dimensions"]} == \
+        {d["name"] for d in TPCH_MODEL["dimensions"]}
+
+    # bundle is importable as a workspace model
+    from cubes_spark.sources.workspace import Workspace
+
+    ws = Workspace(store=SF_DIR, model=str(bundle))
+    assert ws.cube("sales").name == "sales"
+
+    # refusing to overwrite without --force
+    from cubes_spark.errors import ArgumentError
+
+    with pytest.raises(ArgumentError):
+        main(["convert", "--format", "bundle", str(model_path),
+              str(bundle)], out=io.StringIO())
+    # --force replaces
+    assert main(["convert", "--format", "bundle", "--force",
+                 str(model_path), str(bundle)], out=io.StringIO()) == 0

@@ -998,6 +998,44 @@ def q_doc_multimodal(spark, sf_dir):
     return _lng(out, "doc_id", "width", "height")
 
 
+def q_auth_restricted(spark, sf_dir):
+    """Authorization end-to-end: SimpleAuthorizer cell restriction
+    (hidden cut returnflag:A + requested cut date:1995) applied to a
+    drilldown — the restriction compiles to one more pushed-down
+    filter (parity: auth.py:194-384 restricted_cell)."""
+    from cubes_spark.auth import SimpleAuthorizer
+
+    browser = _browser(spark, sf_dir)
+    authz = SimpleAuthorizer(rights={
+        "restricted": {
+            "allowed_cubes": ["sales"],
+            "cell_restrictions": {"sales": ["returnflag:A"]},
+        },
+    })
+    cell = browser.prepare_cell("date:1995")
+    restricted = authz.restricted_cell("restricted", browser.cube, cell)
+    df = browser.aggregation_dataframe(
+        cell=restricted, drilldown=["order"],
+        aggregates=["quantity_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "quantity_sum"), "fact_count")
+
+
+def q_json_lines_format(spark, sf_dir):
+    """JSON-lines output formatter: one document per drilldown cell,
+    exact field order (parity: formatters.py:136-148)."""
+    browser = _browser(spark, sf_dir)
+    result = browser.aggregate(
+        cell="date:1995", drilldown=["returnflag"],
+        aggregates=["fact_count"],
+    )
+    from cubes_spark.formatters import JSONLinesFormatter
+
+    text = JSONLinesFormatter().format(browser.cube, result)
+    rows = [(i, line) for i, line in enumerate(text.splitlines())]
+    return spark.createDataFrame(rows, schema="line long, text string")
+
+
 def q_report_combo(spark, sf_dir):
     """browser.report(): several query types batched over one cell
     (parity: query/browser.py:387-523), flattened to auditable rows."""
@@ -1149,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_details": q_cell_details,
         "agg_natural_order": q_agg_natural_order,
         "csv_format": q_csv_format,
+        "auth_restricted": q_auth_restricted,
+        "json_lines_format": q_json_lines_format,
     }
 
 
@@ -1930,6 +1970,26 @@ def oracle_sql() -> dict[str, str]:
             CAST(100 + doc_id % 900 AS BIGINT) AS width,
             CAST(80 + doc_id % 600 AS BIGINT) AS height
         FROM documents"""
+
+    sql["auth_restricted"] = f"""
+        SELECT o.o_orderstatus AS "order.status",
+            CAST(SUM({_DEC_QTY.replace("l_", "l.l_")}) AS DOUBLE)
+                AS quantity_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE year(l.l_shipdate) = 1995 AND l.l_returnflag = 'A'
+        GROUP BY 1"""
+
+    sql["json_lines_format"] = """
+        WITH agg AS (
+            SELECT l_returnflag AS flag, COUNT(*) AS n
+            FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1
+        )
+        SELECT row_number() OVER (ORDER BY flag) - 1 AS line,
+            '{"returnflag.returnflag": "' || flag
+                || '", "fact_count": ' || CAST(n AS VARCHAR) || '}'
+                AS text
+        FROM agg"""
 
     sql["report_combo"] = """
         SELECT 'byflag' AS kind, l_returnflag AS member,

@@ -914,6 +914,36 @@ def q_emb_ann_recall(spark, sf_dir):
     )
 
 
+def q_emb_ivf_recall(spark, sf_dir):
+    """Driver signal for the IVF *scale* path quality: recall@1 of
+    sample-trained IVF with nprobe=4/nlist=16 on the planted
+    near-duplicate queries; same auditable-count shape as
+    emb_ann_recall.  The oracle retrains the identical fixed-seed
+    k-means on the identically-constructed sample."""
+    from cubes_spark.llm import ivf_topk
+
+    corpus = _augmented_embeddings(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") >= _PLANT_OFFSET)
+    exact = cosine_topk(corpus, queries, k=1).select(
+        "query_id", "neighbor_id")
+    approx = (
+        ivf_topk(corpus, queries, k=1, nlist=16, nprobe=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit__", F.lit(1))
+    )
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+        .cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_exact", "n_hit",
+        F.expr("n_hit * 10000 div n_exact").alias("recall_bp"),
+        (F.col("n_hit") * 10 >= F.col("n_exact") * 8).alias("recall_ok"),
+    )
+
+
 def q_emb_neardup_recall(spark, sf_dir):
     """Driver signal for the LSH near-duplicate *scale* path: engine
     runs method='lsh' (bucketed candidates + exact-cosine verify) and
@@ -1182,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuboid_enum": q_cuboid_enum,
         "doc_multimodal": q_doc_multimodal,
         "emb_ann_recall": q_emb_ann_recall,
+        "emb_ivf_recall": q_emb_ivf_recall,
         "emb_neardup_recall": q_emb_neardup_recall,
         "report_combo": q_report_combo,
         "cell_details": q_cell_details,
@@ -2048,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
     # by the emb_topk/emb_near_dup rows).
     sql["emb_ann"] = _emb_ann_oracle()
     sql["emb_ann_recall"] = _emb_ann_recall_oracle()
+    sql["emb_ivf_recall"] = _emb_ivf_recall_oracle()
     sql["emb_neardup_recall"] = _emb_neardup_recall_oracle()
     sql["emb_ivf"] = _emb_ivf_oracle()
 
@@ -2304,6 +2336,96 @@ def _emb_ann_recall_oracle() -> str:
             AS recall_bp,
         COUNT(a.query_id) * 10 >= COUNT(*) * 8 AS recall_ok
     FROM exact x LEFT JOIN ann a
+        ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id"""
+
+
+def _emb_ivf_recall_oracle() -> str:
+    """Recall@1 of IVF (nlist=16, nprobe=4, seed=42) vs the exact
+    top-1 over the planted-duplicate corpus: retrains the identical
+    fixed-seed k-means on the identically-constructed augmented
+    sample and replays assignment/probing in SQL."""
+    import duckdb
+    import numpy as np
+
+    from cubes_spark.llm.similarity import train_spherical_kmeans
+
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    sample = duckdb.sql(f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM read_parquet('{path}')
+        ),
+        aug AS (
+            SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 10000000, list_prepend(v[1] + 0.2, v[2:])
+            FROM base WHERE vec_id % 10 = 0
+        )
+        SELECT v FROM aug ORDER BY vec_id LIMIT 4096""").fetchall()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    cent = train_spherical_kmeans(X, 16, 42)
+    values = ",\n            ".join(
+        f"({i + 1}, {_sql_dvec(row)})" for i, row in enumerate(cent)
+    )
+    return f"""
+    WITH {_AUG_CORPUS_SQL},
+    cent(cluster, cv) AS (VALUES
+            {values}),
+    sims AS (
+        SELECT aug.vec_id, aug.v, c.cluster,
+            list_dot_product(aug.v, c.cv) AS sim
+        FROM aug CROSS JOIN cent c
+    ),
+    cranked AS (
+        SELECT vec_id, v, cluster,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cluster) AS crank
+        FROM sims
+    ),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, cluster
+        FROM cranked WHERE crank = 1
+    ),
+    probed AS (
+        SELECT vec_id AS query_id, cluster
+        FROM cranked WHERE crank <= 4 AND vec_id >= 10000000
+    ),
+    cos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+             * sqrt(list_dot_product(c.v, c.v))) AS cosine
+        FROM aug q JOIN aug c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 10000000
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                    AS rank
+            FROM cos
+        ) WHERE rank = 1
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.neighbor_id,
+                row_number() OVER (PARTITION BY p.query_id
+                                   ORDER BY k.cosine DESC,
+                                            a.neighbor_id) AS rank
+            FROM probed p
+            JOIN assigned a USING (cluster)
+            JOIN cos k ON k.query_id = p.query_id
+                      AND k.neighbor_id = a.neighbor_id
+            WHERE p.query_id <> a.neighbor_id
+        ) WHERE rank = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COUNT(a.query_id) AS BIGINT) AS n_hit,
+        CAST(COUNT(a.query_id) * 10000 // COUNT(*) AS BIGINT)
+            AS recall_bp,
+        COUNT(a.query_id) * 10 >= COUNT(*) * 8 AS recall_ok
+    FROM exact x LEFT JOIN ivf a
         ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id"""
 
 

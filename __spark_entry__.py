@@ -69,7 +69,7 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -475,6 +475,38 @@ def q_events_stream_hourly(spark, sf_dir):
     result = replay_to_memory(windowed, "q_events_stream_hourly")
     return result.select("window_start", "event_type", "n_events",
                          "value_sum")
+
+
+def q_events_sessions(spark, sf_dir):
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState):
+    gap-based sessionization with an ordered event-type sequence
+    payload — semantics session_window can't express — replayed over
+    the bounded events stream in append mode.  Each user's final open
+    session stays in GroupState (the append contract; the huge
+    watermark keeps event-time timeouts from firing during replay), so
+    the oracle's islands query drops each user's last session too."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from cubes_spark.streaming import read_parquet_stream, \
+        replay_to_memory, stateful_sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet",
+                                 schema, ts_unit="nanos")
+    sessions = stateful_sessionize(stream, gap_seconds=1800,
+                                   watermark="3650 days")
+    return replay_to_memory(sessions, "q_events_sessions",
+                            output_mode="append")
 
 
 def q_events_type_stats(spark, sf_dir):
@@ -1220,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_format": q_csv_format,
         "auth_restricted": q_auth_restricted,
         "json_lines_format": q_json_lines_format,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -2001,6 +2034,50 @@ def oracle_sql() -> dict[str, str]:
             CAST(100 + doc_id % 900 AS BIGINT) AS width,
             CAST(80 + doc_id % 600 AS BIGINT) AS height
         FROM documents"""
+
+    # custom stateful sessionization: classic gaps-and-islands replay;
+    # value sums are floor(value*1e6) int64 (order-independent), the
+    # sequence is the first 8 event types in (ts, event_id) order, and
+    # each user's LAST session is dropped (it is still open in
+    # GroupState under the append contract)
+    sql["events_sessions"] = """
+        WITH e AS (
+            SELECT event_id, ts, user_id, event_type,
+                CAST(floor(value * 1000000) AS BIGINT) AS uval
+            FROM events
+        ),
+        marked AS (
+            SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ),
+        agg AS (
+            SELECT user_id, sid,
+                MIN(ts) AS session_start, MAX(ts) AS session_end,
+                COUNT(*) AS n_events,
+                CAST(SUM(uval) AS BIGINT) AS value_usum,
+                array_to_string(list_slice(
+                    list(event_type ORDER BY ts, event_id), 1, 8), '>')
+                    AS event_seq
+            FROM sess GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY session_start DESC) AS rn
+            FROM agg
+        )
+        SELECT user_id, session_start, session_end, n_events,
+            value_usum, event_seq
+        FROM ranked WHERE rn > 1"""
 
     sql["auth_restricted"] = f"""
         SELECT o.o_orderstatus AS "order.status",

@@ -17,6 +17,7 @@ from cubes_spark.streaming.stream import (
     read_parquet_stream,
     replay_to_memory,
     session_aggregate,
+    stateful_sessionize,
     windowed_aggregate,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "read_parquet_stream",
     "windowed_aggregate",
     "session_aggregate",
+    "stateful_sessionize",
     "replay_to_memory",
 ]

@@ -21,6 +21,8 @@ __all__ = [
     "read_parquet_stream",
     "windowed_aggregate",
     "session_aggregate",
+    "stateful_sessionize",
+    "make_session_fn",
     "replay_to_memory",
 ]
 
@@ -51,7 +53,7 @@ def read_parquet_stream(spark: SparkSession, path: str,
     if ts_unit == "nanos":
         df = df.withColumn(
             ts_col,
-            F.timestamp_micros(F.floor(F.col(ts_col) / 1000).cast("long")),
+            F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")),
         )
     return df
 
@@ -112,18 +114,151 @@ def session_aggregate(events: DataFrame,
     )
 
 
+#: output schema of :func:`stateful_sessionize` — fixed up front so
+#: downstream plans bind before any state code runs
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_usum long, event_seq string"
+)
+#: per-key state: open-session accumulator (timestamps in epoch-µs —
+#: integers, so state round-trips exactly)
+SESSION_STATE_SCHEMA = (
+    "start_us long, last_us long, n long, vsum long, seq string"
+)
+
+
+def stateful_sessionize(events: DataFrame,
+                        gap_seconds: int = 1800,
+                        max_seq: int = 8,
+                        ts_col: str = "ts",
+                        user_col: str = "user_id",
+                        value_col: str = "value",
+                        type_col: str = "event_type",
+                        order_col: str = "event_id",
+                        watermark: str = "1 hour") -> DataFrame:
+    """CUSTOM stateful sessionization via ``applyInPandasWithState`` —
+    the Arrow-batched escape hatch for semantics the built-in
+    ``session_window`` cannot express.  Here the per-session payload is
+    the *ordered event-type sequence* (first ``max_seq`` types), which
+    needs ordered per-key iteration, not a commutative aggregate.
+
+    Semantics (append mode): events more than ``gap_seconds`` apart
+    open a new session; a closed session is emitted as soon as the
+    closing event arrives; the still-open session per key lives in the
+    GroupState with an event-time timeout of ``gap_seconds`` past its
+    last event, so on a live stream it flushes when the watermark
+    passes (on a bounded ``availableNow`` replay the final open session
+    per key stays unemitted — exactly Structured Streaming's append
+    contract).
+
+    Determinism: value sums accumulate as ``floor(value·10⁶)`` int64
+    (order-independent, SQL-replicable), batch rows are sorted by
+    ``(ts, order_col)``, and state timestamps are integral
+    microseconds — the operator has an exact DuckDB oracle
+    (islands query minus each key's last session).
+
+    Scale: state is O(open sessions) = O(distinct keys), each a few
+    fixed-width fields; processing is one Arrow batch stream per key
+    partition, no shuffle beyond the groupBy hash exchange.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if events.isStreaming and watermark:
+        events = events.withWatermark(ts_col, watermark)
+    fn = make_session_fn(gap_seconds, max_seq, ts_col, value_col,
+                         type_col, order_col)
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn, SESSION_OUTPUT_SCHEMA, SESSION_STATE_SCHEMA,
+        "append", GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def make_session_fn(gap_seconds: int, max_seq: int, ts_col: str,
+                    value_col: str, type_col: str, order_col: str):
+    """The per-key state function behind :func:`stateful_sessionize`,
+    exposed so the state-machine contract (including the timeout
+    branch) is directly unit-testable against a scripted GroupState."""
+    import math
+
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(user, start_us, last_us, n, vsum, seq) -> dict:
+        return {
+            "user_id": user,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(last_us, unit="us"),
+            "n_events": n,
+            "value_usum": vsum,
+            "event_seq": seq,
+        }
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n, vsum, seq = state.get
+            state.remove()
+            yield pd.DataFrame([_emit(user, start_us, last_us, n,
+                                      vsum, seq)])
+            return
+
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        rows = pd.concat(batches, ignore_index=True)
+        sort_cols = [ts_col] + ([order_col] if order_col in rows else [])
+        rows = rows.sort_values(sort_cols, ignore_index=True)
+        ts_us = (rows[ts_col].astype("datetime64[ns]").astype("int64")
+                 // 1000).to_numpy()
+        values = rows[value_col].to_numpy()
+        types = rows[type_col].astype(str).to_numpy()
+
+        if state.exists:
+            start_us, last_us, n, vsum, seq = state.get
+        else:
+            start_us = None
+
+        closed = []
+        for i in range(len(rows)):
+            t = int(ts_us[i])
+            uval = int(math.floor(float(values[i]) * 1_000_000))
+            if start_us is None:
+                start_us, last_us, n, vsum, seq = t, t, 1, uval, types[i]
+                continue
+            if t - last_us > gap_us:
+                closed.append(_emit(user, start_us, last_us, n, vsum,
+                                    seq))
+                start_us, last_us, n, vsum, seq = t, t, 1, uval, types[i]
+            else:
+                last_us = t
+                n += 1
+                vsum += uval
+                if n <= max_seq:
+                    seq = f"{seq}>{types[i]}"
+
+        state.update((start_us, last_us, n, vsum, seq))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return fn
+
+
 def replay_to_memory(stream_df: DataFrame, query_name: str,
-                     timeout_sec: int = 120) -> DataFrame:
+                     timeout_sec: int = 120,
+                     output_mode: str = "complete") -> DataFrame:
     """Run a streaming aggregation over a bounded source to completion
-    (``availableNow`` trigger, complete mode) and return the final
-    result as a batch DataFrame from the memory sink."""
+    (``availableNow`` trigger) and return the final result as a batch
+    DataFrame from the memory sink.  ``output_mode='append'`` for
+    append-contract operators (stateful sessionization)."""
     spark = stream_df.sparkSession
     checkpoint = tempfile.mkdtemp(prefix="cubes_spark_ckpt_")
     query = (
         stream_df.writeStream
         .format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", os.path.join(checkpoint, "cp"))
         .trigger(availableNow=True)
         .start()

@@ -108,3 +108,141 @@ def test_session_aggregate_batch(spark):
         by_user.setdefault(r["user_id"], []).append(r["n"])
     assert sorted(by_user["u1"]) == [1, 2]
     assert by_user["u2"] == [1]
+
+
+def test_stateful_sessionize_replay(spark, tmp_path):
+    """applyInPandasWithState custom sessionization: closed sessions
+    emitted in append mode; the per-key open session stays in state
+    (Structured Streaming's append contract on a bounded replay)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from cubes_spark.streaming import (
+        read_parquet_stream,
+        replay_to_memory,
+        stateful_sessionize,
+    )
+
+    def t(minute):
+        return pd.Timestamp(2024, 1, 1, 10, minute)
+
+    rows = [
+        # user 1: session A (3 events), gap, session B (1 event, open)
+        (1, t(0), 1, "view", 1.5),
+        (2, t(1), 1, "click", 2.0),
+        (3, t(2), 1, "buy", 0.25),
+        (4, t(30), 1, "view", 1.0),
+        # user 2: one session, stays open -> not emitted
+        (5, t(5), 2, "view", 9.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    src = str(tmp_path / "events")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = read_parquet_stream(spark, src, schema)
+    sessions = stateful_sessionize(
+        stream, gap_seconds=600, watermark="3650 days",
+        value_col="value",
+    )
+    out = replay_to_memory(sessions, "t_sessions", output_mode="append")
+    got = {r["user_id"]: r for r in out.collect()}
+
+    assert list(got) == [1]            # only user 1 closed a session
+    s = got[1]
+    assert s["session_start"] == t(0)
+    assert s["session_end"] == t(2)
+    assert s["n_events"] == 3
+    assert s["value_usum"] == 3_750_000          # floor(3.75e6)
+    assert s["event_seq"] == "view>click>buy"
+
+
+def test_stateful_sessionize_timeout_branch():
+    """The event-time-timeout path emits the open session and clears
+    state — exercised directly against a scripted GroupState."""
+    import pandas as pd
+
+    from cubes_spark.streaming.stream import make_session_fn
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (1_000_000, 2_000_000, 2, 123, "a>b")
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, value):
+            raise AssertionError("timeout branch must not update state")
+
+    fn = make_session_fn(600, 8, "ts", "value", "event_type", "event_id")
+    state = FakeState()
+    out = list(fn((7,), iter([]), state))
+    assert state.removed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["user_id"] == 7
+    assert row["session_start"] == pd.Timestamp(1_000_000, unit="us")
+    assert row["session_end"] == pd.Timestamp(2_000_000, unit="us")
+    assert row["n_events"] == 2
+    assert row["value_usum"] == 123
+    assert row["event_seq"] == "a>b"
+
+
+def test_stateful_sessionize_state_carry():
+    """A second micro-batch continues the open session from state and
+    closes it when the gap passes."""
+    import pandas as pd
+
+    from cubes_spark.streaming.stream import make_session_fn
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+        stored = None
+        timeout_ms = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, value):
+            self.stored = value
+            self.exists = True
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def remove(self):
+            self.stored = None
+            self.exists = False
+
+    fn = make_session_fn(60, 8, "ts", "value", "event_type", "event_id")
+    state = FakeState()
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value"])
+
+    t0 = pd.Timestamp(2024, 1, 1, 0, 0, 0)
+    out1 = list(fn((1,), iter([batch([
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + pd.Timedelta(seconds=30), 1, "click", 1.0),
+    ])]), state))
+    assert out1 == []                       # session still open
+    assert state.stored[2] == 2             # n carried in state
+
+    # next batch: first event continues, second is past the gap
+    out2 = list(fn((1,), iter([batch([
+        (3, t0 + pd.Timedelta(seconds=60), 1, "buy", 1.0),
+        (4, t0 + pd.Timedelta(seconds=300), 1, "view", 2.0),
+    ])]), state))
+    assert len(out2) == 1
+    closed = out2[0].iloc[0]
+    assert closed["n_events"] == 3
+    assert closed["event_seq"] == "view>click>buy"
+    assert state.stored[2] == 1             # new open session in state

@@ -1098,6 +1098,45 @@ def q_json_lines_format(spark, sf_dir):
     return spark.createDataFrame(rows, schema="line long, text string")
 
 
+def q_agg_quantiles(spark, sf_dir):
+    """Exact percentiles (Spark-native extra beyond the reference's
+    aggregate set): F.percentile with linear interpolation — identical
+    definition to ANSI quantile_cont, so the oracle is exact on the
+    integral quantity values."""
+    li = _table(spark, sf_dir, "lineitem")
+    q = F.percentile(F.col("l_quantity").cast("long"),
+                     [0.25, 0.5, 0.75])
+    out = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        q.alias("qs"),
+        F.count(F.lit(1)).cast("long").alias("fact_count"),
+    )
+    return out.select(
+        "returnflag",
+        F.element_at("qs", 1).alias("q25"),
+        F.element_at("qs", 2).alias("q50"),
+        F.element_at("qs", 3).alias("q75"),
+        "fact_count",
+    )
+
+
+def q_agg_approx_distinct(spark, sf_dir):
+    """HLL approx_count_distinct — the COUNT(DISTINCT) scale path (one
+    fixed-size sketch per group instead of a distinct shuffle).  The
+    sketch estimate is engine-defined, so the driver-checked contract
+    is the exact count plus the <=5% relative-error acceptance bit."""
+    li = _table(spark, sf_dir, "lineitem")
+    out = li.agg(
+        F.count_distinct("l_partkey").cast("long").alias("n_exact"),
+        F.approx_count_distinct("l_partkey").cast("long")
+        .alias("n_approx"),
+    )
+    err_ok = (
+        F.abs(F.col("n_approx") - F.col("n_exact")) * 100
+        <= F.col("n_exact") * 5
+    )
+    return out.select("n_exact", err_ok.alias("within_5pct"))
+
+
 def q_report_combo(spark, sf_dir):
     """browser.report(): several query types batched over one cell
     (parity: query/browser.py:387-523), flattened to auditable rows."""
@@ -1253,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auth_restricted": q_auth_restricted,
         "json_lines_format": q_json_lines_format,
         "events_sessions": q_events_sessions,
+        "agg_quantiles": q_agg_quantiles,
+        "agg_approx_distinct": q_agg_approx_distinct,
     }
 
 
@@ -2098,6 +2139,21 @@ def oracle_sql() -> dict[str, str]:
                 || '", "fact_count": ' || CAST(n AS VARCHAR) || '}'
                 AS text
         FROM agg"""
+
+    sql["agg_quantiles"] = """
+        SELECT l_returnflag AS returnflag,
+            quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25,
+            quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS q50,
+            quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS q75,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
+
+    # the HLL estimate itself is engine-defined; the oracle checks the
+    # exact count and asserts the engine's estimate met the error bound
+    sql["agg_approx_distinct"] = """
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+            TRUE AS within_5pct
+        FROM lineitem"""
 
     sql["report_combo"] = """
         SELECT 'byflag' AS kind, l_returnflag AS member,

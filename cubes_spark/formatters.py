@@ -210,9 +210,13 @@ class JSONLinesFormatter(Formatter):
 
 class XLSXFormatter(Formatter):
     """XLSX workbook from result cells (parity: formatters.py:114-130).
-    Requires ``openpyxl``; raises a clear error when unavailable (this
-    environment has no xlsx library — the formatter surface and row
-    layout are tested via the row-builder)."""
+
+    Dependency-free: XLSX is a zip of OOXML parts, so the workbook is
+    written directly with ``zipfile`` + hand-built XML (numbers as
+    native number cells, strings as inline strings).  When
+    ``openpyxl`` happens to be installed it is used instead for richer
+    compatibility; the built-in writer is the fallback and produces
+    files Excel/LibreOffice/openpyxl read."""
 
     mime_type = ("application/vnd.openxmlformats-officedocument"
                  ".spreadsheetml.sheet")
@@ -227,19 +231,108 @@ class XLSXFormatter(Formatter):
 
     def format(self, cube: Any, result: Any,
                fields: Optional[Sequence[str]] = None) -> bytes:
+        rows = self.rows(result, fields)
         try:
             from openpyxl import Workbook
-        except ImportError as exc:
-            raise NotImplementedError(
-                "XLSX output requires openpyxl, which is not installed"
-            ) from exc
+        except ImportError:
+            return _write_xlsx(rows)
         wb = Workbook(write_only=True)
         ws = wb.create_sheet()
-        for row in self.rows(result, fields):
+        for row in rows:
             ws.append(row)
         stream = io.BytesIO()
         wb.save(stream)
         return stream.getvalue()
+
+
+_XLSX_STATIC_PARTS = {
+    "[Content_Types].xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/>'
+        "</Types>"
+    ),
+    "_rels/.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    ),
+    "xl/workbook.xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="result" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    ),
+    "xl/_rels/workbook.xml.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    ),
+}
+
+
+def _xlsx_cell_xml(ref: str, value: Any) -> str:
+    from decimal import Decimal
+    from xml.sax.saxutils import escape
+
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{1 if value else 0}</v></c>'
+    if isinstance(value, (int, float, Decimal)):
+        return f'<c r="{ref}"><v>{value}</v></c>'
+    text = escape(str(value))
+    return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{text}</t></is></c>")
+
+
+def _xlsx_col_name(index: int) -> str:
+    name = ""
+    index += 1
+    while index:
+        index, rem = divmod(index - 1, 26)
+        name = chr(ord("A") + rem) + name
+    return name
+
+
+def _write_xlsx(rows: List[list]) -> bytes:
+    import zipfile
+
+    body = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>']
+    for r, row in enumerate(rows, start=1):
+        cells = "".join(
+            _xlsx_cell_xml(f"{_xlsx_col_name(c)}{r}", value)
+            for c, value in enumerate(row)
+        )
+        body.append(f'<row r="{r}">{cells}</row>')
+    body.append("</sheetData></worksheet>")
+
+    stream = io.BytesIO()
+    with zipfile.ZipFile(stream, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in _XLSX_STATIC_PARTS.items():
+            zf.writestr(name, content)
+        zf.writestr("xl/worksheets/sheet1.xml", "".join(body))
+    return stream.getvalue()
 
 
 def _drilldown_attribute_refs(result: Any) -> List[str]:

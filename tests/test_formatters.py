@@ -82,6 +82,31 @@ def test_xlsx_rows_layout(result):
     rows = XLSXFormatter().rows(result)
     assert rows[0] == ["year.year", "amount_sum", "count"]
     assert rows[1] == [2010, 15, 4]
-    # openpyxl absent in this environment → clear NotImplementedError
-    with pytest.raises((NotImplementedError, Exception)):
-        XLSXFormatter().format(None, result)
+
+
+def test_xlsx_real_workbook_roundtrip(result):
+    """The dependency-free writer emits a real OOXML zip whose sheet
+    XML parses back to the same grid."""
+    import io
+    import re
+    import zipfile
+    from xml.etree import ElementTree
+
+    payload = XLSXFormatter().format(None, result)
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        names = set(zf.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    root = ElementTree.fromstring(sheet)
+    grid = []
+    for row in root.findall(".//m:row", ns):
+        values = []
+        for cell in row.findall("m:c", ns):
+            t = cell.find("m:is/m:t", ns)
+            v = cell.find("m:v", ns)
+            values.append(t.text if t is not None else float(v.text))
+        grid.append(values)
+    assert grid[0] == ["year.year", "amount_sum", "count"]
+    assert grid[1] == [2010.0, 15.0, 4.0]

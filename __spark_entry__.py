@@ -1004,6 +1004,22 @@ def q_emb_neardup_recall(spark, sf_dir):
     )
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """Dedup CLUSTERS from near-dup PAIRS: distributed min-label
+    propagation (connected components) over the MinHash-LSH candidate
+    pairs, then canonical-member selection — the step a training-data
+    pipeline runs to keep ONE document per duplicate cluster.  The
+    oracle recomputes the same pairs (doc_minhash's full SQL replica)
+    and the components independently via union-find."""
+    from cubes_spark.llm import duplicate_clusters
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=4,
+                                    shingle_k=5)
+    out = duplicate_clusters(docs, pairs)
+    return _lng(out, "doc_id", "component")
+
+
 def q_doc_multimodal(spark, sf_dir):
     """Multimodal binary columns end-to-end: build REAL image bytes
     (PNG/GIF/BMP/JPEG headers, format by doc_id%4, dimensions derived
@@ -1294,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "agg_quantiles": q_agg_quantiles,
         "agg_approx_distinct": q_agg_approx_distinct,
+        "doc_dup_clusters": q_doc_dup_clusters,
     }
 
 
@@ -2211,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
     # order matches Spark's sequential aggregate fold (proven bit-exact
     # by the emb_topk/emb_near_dup rows).
     sql["emb_ann"] = _emb_ann_oracle()
+    sql["doc_dup_clusters"] = _doc_dup_clusters_oracle()
     sql["emb_ann_recall"] = _emb_ann_recall_oracle()
     sql["emb_ivf_recall"] = _emb_ivf_recall_oracle()
     sql["emb_neardup_recall"] = _emb_neardup_recall_oracle()
@@ -2418,6 +2436,52 @@ def _aug_bucketed_sql(num_tables: int, num_planes: int) -> str:
         FROM aug CROSS JOIN planes pl
         GROUP BY aug.vec_id, aug.v, pl.tbl
     )"""
+
+
+def _doc_dup_clusters_oracle() -> str:
+    """Union-find over the pairs produced by the doc_minhash oracle SQL
+    (an INDEPENDENT pair derivation — DuckDB recomputes the full
+    MinHash/banding pipeline), embedded as literal rows.  Singletons
+    are their own component."""
+    import duckdb
+
+    con = duckdb.connect()
+    path = _oracle_sf_dir()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet')"
+    )
+    pair_sql = f"""
+        {_minhash_cte()}
+        SELECT id_a, id_b FROM pairs"""
+    pairs = con.execute(pair_sql).fetchall()
+    doc_ids = [r[0] for r in
+               con.execute("SELECT doc_id FROM documents").fetchall()]
+    con.close()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = []
+    for doc_id in sorted(doc_ids):
+        comp = find(doc_id)
+        rows.append(f"({doc_id}, {comp}, {str(comp == doc_id).upper()})")
+    values = ",\n            ".join(rows)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            CAST(component AS BIGINT) AS component, is_canonical
+        FROM (VALUES
+            {values}) AS t(doc_id, component, is_canonical)"""
 
 
 def _emb_ann_recall_oracle() -> str:

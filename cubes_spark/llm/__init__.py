@@ -26,6 +26,8 @@ from cubes_spark.llm.text import (
     fingerprint,
 )
 from cubes_spark.llm.dedup import (
+    connected_components,
+    duplicate_clusters,
     exact_duplicates,
     minhash_signatures,
     minhash_candidate_pairs,
@@ -59,6 +61,8 @@ __all__ = [
     "simhash",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "duplicate_clusters",
     "cosine_topk",
     "ann_lsh_cosine",
     "embedding_near_duplicates",

@@ -38,6 +38,8 @@ __all__ = [
     "simhash",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "duplicate_clusters",
     "DEFAULT_MAX_BUCKET_SIZE",
 ]
 
@@ -353,4 +355,78 @@ def ngram_jaccard_pairs(candidates: DataFrame, docs: DataFrame,
         candidates.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def connected_components(pairs: DataFrame,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    ``(node, component)`` with ``component`` = the smallest node id in
+    the cluster.  This is the step that turns PAIRS into dedup
+    CLUSTERS (pick one canonical document per component).
+
+    Distributed iterative min-label propagation — the standard
+    large-scale CC shape (GraphFrames/Pregel style, all DataFrame
+    ops): each round every node adopts the minimum label among itself
+    and its neighbours; rounds needed = graph diameter (near-dup
+    clusters are shallow, typically 2-4).  Each round is one
+    equi-join + one map-side-combinable min-groupBy; lineage is
+    truncated per round with ``localCheckpoint`` so plans stay O(1)
+    instead of growing by two joins per iteration — the difference
+    between converging and dying of plan bloat at 100 TB.  Early-exits
+    as soon as a round changes nothing.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"),
+                         F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        neighbour = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component").union(neighbour)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       id_a: str = "id_a",
+                       id_b: str = "id_b") -> DataFrame:
+    """(id, component, is_canonical) for every document: paired docs
+    get their cluster's min-id as component (the canonical member);
+    unpaired docs are their own singleton component.  Downstream dedup
+    = ``filter(is_canonical)``."""
+    comps = connected_components(pairs, id_a, id_b)
+    out = df.select(F.col(id_col)).join(
+        comps.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        component.alias("component"),
+        (component == F.col(id_col)).alias("is_canonical"),
     )

@@ -312,3 +312,48 @@ def test_sniff_format_covers_containers(spark):
            binary_metadata(df, "payload").collect()}
     assert out == {1: "gif", 2: "bmp", 3: "wav", 4: "avi",
                    5: "matroska"}
+
+
+def test_connected_components(spark):
+    from cubes_spark.llm import connected_components
+
+    # two chains and a singleton edge: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    comps = {r["node"]: r["component"]
+             for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                     20: 20, 21: 20}
+
+
+def test_connected_components_deep_chain(spark):
+    """A long path graph needs several propagation rounds — exercises
+    the iteration + early-exit logic (diameter 12)."""
+    from cubes_spark.llm import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], ["id_a", "id_b"]
+    )
+    comps = {r["node"]: r["component"]
+             for r in connected_components(pairs).collect()}
+    assert set(comps.values()) == {100}
+    assert len(comps) == 13
+
+
+def test_duplicate_clusters_canonical(spark):
+    from cubes_spark.llm import duplicate_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    pairs = spark.createDataFrame([(2, 5), (5, 6)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in
+            duplicate_clusters(docs, pairs).collect()}
+    assert rows[2]["component"] == 2 and rows[2]["is_canonical"]
+    assert rows[5]["component"] == 2 and not rows[5]["is_canonical"]
+    assert rows[6]["component"] == 2 and not rows[6]["is_canonical"]
+    for singleton in (1, 3, 4, 7):
+        assert rows[singleton]["component"] == singleton
+        assert rows[singleton]["is_canonical"]
+    kept = [d for d, r in rows.items() if r["is_canonical"]]
+    assert sorted(kept) == [1, 2, 3, 4, 7]

@@ -1004,6 +1004,27 @@ def q_emb_neardup_recall(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-salted dimension join (operators/scale.py): result-set
+    identical to the plain equi-join — only the partitioning changes —
+    so the plain SQL join IS the oracle."""
+    from cubes_spark.operators.scale import salted_join
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity")
+    part = _table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"),
+        ["l_partkey"], salt=8,
+    )
+    out = joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+        .cast("double").alias("quantity_sum"),
+        F.count(F.lit(1)).cast("long").alias("fact_count"),
+    )
+    return out
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Dedup CLUSTERS from near-dup PAIRS: distributed min-label
     propagation (connected components) over the MinHash-LSH candidate
@@ -1311,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantiles": q_agg_quantiles,
         "agg_approx_distinct": q_agg_approx_distinct,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "salted_join": q_salted_join,
     }
 
 
@@ -2156,6 +2178,14 @@ def oracle_sql() -> dict[str, str]:
                 || '", "fact_count": ' || CAST(n AS VARCHAR) || '}'
                 AS text
         FROM agg"""
+
+    sql["salted_join"] = f"""
+        SELECT p.p_brand AS brand,
+            CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+                AS quantity_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1"""
 
     sql["agg_quantiles"] = """
         SELECT l_returnflag AS returnflag,

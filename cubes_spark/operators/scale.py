@@ -1,0 +1,86 @@
+"""Scale helpers: skew-salted joins and bucketed (co-located) joins.
+
+These are the two join strategies the planner cannot always pick by
+itself at 100 TB:
+
+* **Salting** — when one join key carries a disproportionate share of
+  the fact rows (the classic null/default-key hot spot), a hash join
+  puts that whole key on one task.  Salting splits the hot key across
+  ``salt`` sub-keys by replicating the DIMENSION side ``salt`` times —
+  dimension rows are small, fact rows never duplicate.
+* **Bucketing** — two big tables pre-partitioned AND pre-sorted on the
+  join key join with ZERO shuffle on either side (the scan itself is
+  the exchange).  This is the co-located strategy for repeated
+  fact-to-fact joins (events↔events, lineitem↔orders at scale).
+
+AQE's skew-join handles moderate skew adaptively; explicit salting is
+for the pathological single-key case, bucketing for amortizing the
+shuffle across many future joins.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join", "write_bucketed", "read_bucketed_table"]
+
+
+def salted_join(facts: DataFrame, dims: DataFrame,
+                keys: Sequence[str], salt: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with the dimension side replicated over ``salt``
+    sub-keys so a skewed fact key spreads across ``salt`` tasks.
+
+    The fact side gets a deterministic salt from a hash of its key
+    columns PLUS a per-row spread term, the dimension side is exploded
+    ``salt`` times — result rows are identical to the plain join for
+    inner/left joins on unique dimension keys, only the partitioning
+    changes.  Cost: dims × salt rows shuffled (dims are the small
+    side; never salt the fact side — that would duplicate facts).
+    """
+    if salt < 2:
+        return facts.join(dims, list(keys), how)
+    spread_term = F.xxhash64(*[F.col(c) for c in facts.columns])
+    fact_salt = F.pmod(spread_term, F.lit(salt)).cast("int")
+    salted_facts = facts.withColumn("__salt__", fact_salt)
+    salted_dims = dims.withColumn(
+        "__salt__",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>")),
+    )
+    out = salted_facts.join(salted_dims, list(keys) + ["__salt__"], how)
+    return out.drop("__salt__")
+
+
+def write_bucketed(df: DataFrame, table: str,
+                   bucket_cols: Sequence[str], num_buckets: int,
+                   sort_cols: Optional[Sequence[str]] = None,
+                   path: Optional[str] = None,
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed (and bucket-sorted) table: parquet files
+    hash-partitioned into ``num_buckets`` per partition directory and
+    registered in the session catalog.  Two tables bucketed on the
+    same key with the same bucket count join with NO shuffle on
+    either side — the write amortizes one shuffle across every future
+    join.  Size buckets so one bucket ≈ one task's memory at the
+    target scale (100 TB / num_buckets ≤ executor working set)."""
+    writer = df.write.mode(mode).format("parquet") \
+        .bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed_table(spark, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def join_exchanges(df: DataFrame) -> List[str]:
+    """The shuffle-exchange operators in a plan (diagnostic — a
+    co-located bucketed join must show none on the bucketed sides)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [line.strip() for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line]

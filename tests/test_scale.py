@@ -1,0 +1,85 @@
+"""Scale join strategies: skew salting and bucketed co-location."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cubes_spark.operators.scale import (
+    join_exchanges,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed facts: 90% of rows share key 0
+    facts = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 7)
+        .alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    dims = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(7)], ["k", "label"]
+    )
+    plain = facts.join(dims, ["k"]).select("k", "payload", "label")
+    salted = salted_join(facts, dims, ["k"], salt=8) \
+        .select("k", "payload", "label")
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    facts = spark.createDataFrame(
+        [(0, 1), (0, 2), (99, 3)], ["k", "payload"]
+    )
+    dims = spark.createDataFrame([(0, "zero")], ["k", "label"])
+    out = salted_join(facts, dims, ["k"], salt=4, how="left") \
+        .orderBy("payload").collect()
+    assert [r["label"] for r in out] == ["zero", "zero", None]
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows land on multiple salt sub-keys."""
+    facts = spark.range(0, 1000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    )
+    dims = spark.createDataFrame([(0, "hot")], ["k", "label"])
+    spread_term = F.xxhash64(*[F.col(c) for c in facts.columns])
+    salts = (
+        facts.withColumn("s", F.pmod(spread_term, F.lit(8)).cast("int"))
+        .select("s").distinct().count()
+    )
+    assert salts > 4
+    assert salted_join(facts, dims, ["k"], salt=8).count() == 1000
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plan has no
+    shuffle exchange on either side."""
+    left = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("a"))
+    right = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("b"))
+
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    write_bucketed(left, "bkt_left", ["k"], 8,
+                   path=str(tmp_path / "l"))
+    write_bucketed(right, "bkt_right", ["k"], 8,
+                   path=str(tmp_path / "r"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_left").join(
+            spark.table("bkt_right"), "k")
+        assert join_exchanges(joined) == []
+        # and an unbucketed equivalent DOES shuffle
+        unbucketed = left.join(right, "k")
+        assert len(join_exchanges(unbucketed)) >= 1
+        # results identical
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

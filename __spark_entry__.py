@@ -1004,6 +1004,36 @@ def q_emb_neardup_recall(spark, sf_dir):
     )
 
 
+def q_preagg_refresh(spark, sf_dir):
+    """Incremental cuboid maintenance: month-grain cuboid built from
+    the <=1995 slice, 1996+ merged in as a delta (union + one groupBy
+    over distributive partials), then served re-aggregated to year
+    grain — must equal aggregating the raw facts."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cubes_spark_refresh_{abs(hash(sf_dir)) % 10**8}",
+    )
+    browser = _browser(spark, sf_dir)
+    olap.materialize_aggregate(
+        browser, path, drilldown=["date@ym:month"],
+        aggregates=["quantity_sum", "fact_count"], cell="date:-1995",
+    )
+    olap.refresh_aggregate(
+        browser, path, drilldown=["date@ym:month"],
+        aggregates=["quantity_sum", "fact_count"],
+        delta_cell="date:1996-",
+    )
+    cuboid = spark.read.parquet(path)
+    out = cuboid.groupBy(F.col("date__year").alias("year")).agg(
+        F.sum("quantity_sum").cast("double").alias("quantity_sum"),
+        F.sum("fact_count").cast("long").alias("fact_count"),
+    )
+    return _lng(out, "year", "fact_count")
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-salted dimension join (operators/scale.py): result-set
     identical to the plain equi-join — only the partitioning changes —
@@ -1333,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_approx_distinct": q_agg_approx_distinct,
         "doc_dup_clusters": q_doc_dup_clusters,
         "salted_join": q_salted_join,
+        "preagg_refresh": q_preagg_refresh,
     }
 
 
@@ -2178,6 +2209,12 @@ def oracle_sql() -> dict[str, str]:
                 || '", "fact_count": ' || CAST(n AS VARCHAR) || '}'
                 AS text
         FROM agg"""
+
+    sql["preagg_refresh"] = f"""
+        SELECT year(l_shipdate) AS year,
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
 
     sql["salted_join"] = f"""
         SELECT p.p_brand AS brand,

@@ -32,6 +32,7 @@ __all__ = [
     "crosstab",
     "materialize_denormalized",
     "materialize_aggregate",
+    "refresh_aggregate",
     "combined_cuboids",
     "combined_levels",
 ]
@@ -149,15 +150,76 @@ def materialize_denormalized(browser: Any, path: str,
 def materialize_aggregate(browser: Any, path: str,
                           drilldown: Sequence[str],
                           aggregates: Optional[Sequence[str]] = None,
-                          mode: str = "overwrite") -> None:
+                          mode: str = "overwrite",
+                          cell: Any = None) -> None:
     """Materialize the aggregated cuboid at full drilldown grain
-    (parity: create_cube_aggregate, sql/store.py:549-628)."""
-    df = browser.aggregation_dataframe(drilldown=drilldown,
+    (parity: create_cube_aggregate, sql/store.py:549-628).  ``cell``
+    restricts the materialized slice — the building block for
+    incremental maintenance (see :func:`refresh_aggregate`)."""
+    df = browser.aggregation_dataframe(cell=cell, drilldown=drilldown,
                                        aggregates=aggregates)
     safe = df.select(
         *[F.col(f"`{c}`").alias(c.replace(".", "__")) for c in df.columns]
     )
     safe.write.mode(mode).parquet(path)
+
+
+def refresh_aggregate(browser: Any, path: str,
+                      drilldown: Sequence[str],
+                      aggregates: Optional[Sequence[str]] = None,
+                      delta_cell: Any = None) -> None:
+    """INCREMENTAL cuboid maintenance: aggregate only the
+    ``delta_cell`` slice of new facts and merge it into the cuboid at
+    ``path`` — at 100 TB the nightly refresh touches one partition's
+    facts, never the historical table.
+
+    Merge = union + one groupBy over partial states, so it only
+    applies to distributive aggregates (sum→sum, count→sum,
+    count_nonempty→sum, min→min, max→max); anything else raises —
+    store sum+count and derive avg downstream instead.  The merged
+    result is checkpointed off the source files before overwriting
+    ``path`` (read-then-overwrite cycle break).
+
+    The delta slice must be DISJOINT from what the cuboid already
+    covers (the natural case: a new date partition); overlapping rows
+    would double-count, exactly like any partial-aggregate store.
+    """
+    from cubes_spark.errors import ArgumentError
+    from cubes_spark.operators.preagg import REAGGREGABLE
+
+    resolved = browser.prepare_aggregates(aggregates)
+    for agg in resolved:
+        fname = agg.function
+        if fname and fname not in REAGGREGABLE:
+            raise ArgumentError(
+                f"Aggregate '{agg.name}' ({fname}) is not distributive"
+                " — cannot be incrementally merged; materialize "
+                "sum/count partials instead"
+            )
+    merge_fns = {
+        agg.name: REAGGREGABLE[agg.function]
+        for agg in resolved if agg.function
+    }
+
+    delta = browser.aggregation_dataframe(
+        cell=delta_cell, drilldown=drilldown, aggregates=aggregates
+    )
+    spark = delta.sparkSession
+    safe_delta = delta.select(
+        *[F.col(f"`{c}`").alias(c.replace(".", "__"))
+          for c in delta.columns]
+    )
+    existing = spark.read.parquet(path)
+    grain = [c for c in existing.columns if c not in merge_fns]
+    merged = (
+        existing.unionByName(safe_delta.select(*existing.columns))
+        .groupBy(*[F.col(f"`{c}`") for c in grain])
+        .agg(*[fn(F.col(f"`{name}`")).alias(name)
+               for name, fn in merge_fns.items()])
+        .select(*existing.columns)
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(path)
 
 
 # ---------------------------------------------------------------------------

@@ -99,3 +99,51 @@ def test_denormalized_roundtrip_browsing(tpch_browser, spark, tmp_path):
                                   aggregates=["price_sum", "fact_count"])
     assert got.cells == want.cells
     assert got.summary == want.summary
+
+
+def test_refresh_aggregate_incremental(tpch_browser, spark, tmp_path):
+    """Cuboid built from the <=1995 slice + incremental 1996 delta ==
+    cuboid built from the <=1996 slice in one shot."""
+    from cubes_spark import operators
+    from cubes_spark.operators import olap
+
+    path = str(tmp_path / "cuboid")
+    olap.materialize_aggregate(
+        tpch_browser, path, drilldown=["date@ym:month"],
+        aggregates=["quantity_sum", "fact_count"],
+        cell="date:-1995",
+    )
+    olap.refresh_aggregate(
+        tpch_browser, path, drilldown=["date@ym:month"],
+        aggregates=["quantity_sum", "fact_count"],
+        delta_cell="date:1996",
+    )
+    full_path = str(tmp_path / "cuboid_full")
+    olap.materialize_aggregate(
+        tpch_browser, full_path, drilldown=["date@ym:month"],
+        aggregates=["quantity_sum", "fact_count"],
+        cell="date:-1996",
+    )
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    want = sorted(map(tuple, spark.read.parquet(full_path).collect()))
+    assert got == want
+    assert len(got) > 12
+
+
+def test_refresh_aggregate_rejects_nondistributive(tpch_browser,
+                                                   tmp_path):
+    import pytest as _pytest
+
+    from cubes_spark.errors import ArgumentError
+    from cubes_spark.operators import olap
+
+    path = str(tmp_path / "cuboid")
+    olap.materialize_aggregate(
+        tpch_browser, path, drilldown=["date@ym:month"],
+        aggregates=["part_count_distinct"], cell="date:1995",
+    )
+    with _pytest.raises(ArgumentError, match="not distributive"):
+        olap.refresh_aggregate(
+            tpch_browser, path, drilldown=["date@ym:month"],
+            aggregates=["part_count_distinct"], delta_cell="date:1996",
+        )

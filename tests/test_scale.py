@@ -83,3 +83,24 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_partitioned_denorm_prunes_partitions(tpch_browser, spark,
+                                              tmp_path):
+    """materialize_denormalized(partition_by=year) -> a year filter on
+    the read-back table prunes to one partition directory
+    (PartitionFilters in the scan, not a full-table filter)."""
+    from cubes_spark.operators import olap
+
+    path = str(tmp_path / "denorm_part")
+    olap.materialize_denormalized(
+        tpch_browser, path, partition_by=["date.year"]
+    )
+    back = spark.read.parquet(path)
+    filtered = back.filter(F.col("date__year") == 1995)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "date__year" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruned partition actually restricts the data
+    years = filtered.select("date__year").distinct().collect()
+    assert [r[0] for r in years] == [1995]

@@ -32,6 +32,7 @@ from cubes_spark.llm.text import hash64, token_array
 from cubes_spark.llm.util import spread
 
 __all__ = [
+    "content_hash",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_candidate_pairs",
@@ -70,6 +71,14 @@ def drop_overfull_buckets(df: DataFrame, keys: list,
     return df.join(counts, keys)
 
 
+def content_hash(text: Column, normalize: bool = True) -> Column:
+    """Per-document content hash (md5 over whitespace-normalized
+    lowercased text) — the exact-dedup key."""
+    if normalize:
+        text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(text)
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      normalize: bool = True) -> DataFrame:
@@ -80,10 +89,10 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     id of the cluster.  Hash-groupBy is the scalable primitive: one
     shuffle keyed by a well-distributed 128-bit hash.
     """
-    text = F.col(text_col)
-    if normalize:
-        text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    hashed = spread(df).select(F.md5(text).alias("content_hash"), F.col(id_col))
+    hashed = spread(df).select(
+        content_hash(F.col(text_col), normalize).alias("content_hash"),
+        F.col(id_col),
+    )
     return (
         hashed.groupBy("content_hash")
         .agg(

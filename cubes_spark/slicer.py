@@ -184,6 +184,75 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
     return 0
 
 
+def cmd_dedup(config: dict, args: argparse.Namespace,
+              out=sys.stdout) -> int:
+    """Deduplicate a store table: near-duplicate candidate generation
+    (exact / minhash / simhash / embedding), connected-components
+    clustering and canonical-member selection, written as a
+    ``(id, component, is_canonical)`` parquet — the training-data
+    dedup pipeline as one CLI step."""
+    from cubes_spark.llm import (
+        duplicate_clusters,
+        embedding_near_duplicates,
+        exact_duplicates,
+        minhash_candidate_pairs,
+        simhash_near_duplicates,
+    )
+
+    workspace = build_workspace(config)
+    df = workspace.table(args.table)
+    id_col, text_col = args.id_column, args.text_column
+
+    if args.method == "exact":
+        clusters = exact_duplicates(df, text_col=text_col, id_col=id_col)
+        # expand the (hash, size, canonical) cluster list to the
+        # per-document shape: re-derive each doc's content hash and
+        # join (left: non-duplicated docs are their own component)
+        from pyspark.sql import functions as F
+
+        from cubes_spark.llm.dedup import content_hash
+
+        docs = df.select(
+            F.col(id_col),
+            content_hash(F.col(text_col)).alias("content_hash"),
+        )
+        joined = docs.join(
+            clusters.select("content_hash", "canonical_id"),
+            "content_hash", "left",
+        )
+        component = F.coalesce(F.col("canonical_id"), F.col(id_col))
+        result = joined.select(
+            F.col(id_col),
+            component.alias("component"),
+            (component == F.col(id_col)).alias("is_canonical"),
+        )
+    else:
+        if args.method == "minhash":
+            pairs = minhash_candidate_pairs(df, text_col=text_col,
+                                            id_col=id_col)
+        elif args.method == "simhash":
+            pairs = simhash_near_duplicates(df, text_col=text_col,
+                                            id_col=id_col)
+        elif args.method == "embedding":
+            pairs = embedding_near_duplicates(
+                df, threshold=args.threshold, id_col=id_col,
+                vec_col=args.vector_column,
+            )
+        else:
+            out.write(f"Unknown dedup method '{args.method}'\n")
+            return 1
+        result = duplicate_clusters(df, pairs, id_col=id_col)
+
+    result.write.mode("overwrite").parquet(args.target)
+    kept = result.filter("is_canonical").count()
+    total = result.count()
+    out.write(
+        f"dedup[{args.method}] '{args.table}' -> {args.target}: "
+        f"{total} docs, {kept} canonical, {total - kept} duplicates\n"
+    )
+    return 0
+
+
 def cmd_ext_info(config: dict, args: argparse.Namespace,
                  out=sys.stdout) -> int:
     """List registered extensions (parity: commands.py:70-104
@@ -270,6 +339,19 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--debug", action="store_true")
 
+    p = sub.add_parser("dedup",
+                       help="near-duplicate clustering of a table")
+    p.add_argument("table", help="store table to deduplicate")
+    p.add_argument("target", help="output parquet path "
+                                  "(id, component, is_canonical)")
+    p.add_argument("--method", default="minhash",
+                   choices=["exact", "minhash", "simhash", "embedding"])
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--vector-column", default="embedding")
+    p.add_argument("--threshold", type=float, default=0.9,
+                   help="cosine threshold (embedding method)")
+
     p = sub.add_parser("ext-info", help="show registered extensions")
     p.add_argument("type", nargs="?", default="all",
                    help="extension type (default: all)")
@@ -293,6 +375,7 @@ COMMANDS = {
     "denormalize": cmd_denormalize,
     "aggregate": cmd_aggregate,
     "serve": cmd_serve,
+    "dedup": cmd_dedup,
     "ext-info": cmd_ext_info,
     "convert": cmd_convert,
 }

@@ -133,3 +133,40 @@ def test_model_convert_roundtrip(tmp_path):
     # --force replaces
     assert main(["convert", "--format", "bundle", "--force",
                  str(model_path), str(bundle)], out=io.StringIO()) == 0
+
+
+def test_dedup_command_minhash(config_path, tmp_path, spark):
+    target = str(tmp_path / "dedup_minhash")
+    code, text = run(config_path, "dedup", "documents", target,
+                     "--method", "minhash")
+    assert code == 0
+    assert "canonical" in text
+    out = spark.read.parquet(target)
+    assert set(out.columns) == {"doc_id", "component", "is_canonical"}
+    assert out.count() == out.select("doc_id").distinct().count()
+    # canonical member is its own component
+    bad = out.filter("is_canonical AND component != doc_id").count()
+    assert bad == 0
+
+
+def test_dedup_command_exact(config_path, tmp_path, spark):
+    target = str(tmp_path / "dedup_exact")
+    code, text = run(config_path, "dedup", "documents", target,
+                     "--method", "exact")
+    assert code == 0
+    out = spark.read.parquet(target)
+    total = out.count()
+    kept = out.filter("is_canonical").count()
+    assert total > 0 and kept <= total
+    # every doc appears exactly once
+    assert total == out.select("doc_id").distinct().count()
+
+
+def test_dedup_command_embedding(config_path, tmp_path, spark):
+    target = str(tmp_path / "dedup_emb")
+    code, text = run(config_path, "dedup", "embeddings", target,
+                     "--method", "embedding", "--id-column", "vec_id",
+                     "--threshold", "0.4")
+    assert code == 0
+    out = spark.read.parquet(target)
+    assert out.filter("NOT is_canonical").count() > 0

@@ -357,3 +357,38 @@ def test_duplicate_clusters_canonical(spark):
         assert rows[singleton]["is_canonical"]
     kept = [d for d, r in rows.items() if r["is_canonical"]]
     assert sorted(kept) == [1, 2, 3, 4, 7]
+
+
+def test_connected_components_random_graphs(spark):
+    """Property: on random graphs the distributed min-label propagation
+    equals a reference union-find (hypothesis-driven edge lists, capped
+    example count — each example runs Spark jobs)."""
+    from hypothesis import given, settings, strategies as st
+
+    from cubes_spark.llm import connected_components
+
+    edge = st.tuples(st.integers(0, 30), st.integers(0, 30))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=40))
+    def check(edges):
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["node"]: r["component"]
+               for r in connected_components(pairs).collect()}
+
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        assert got == want
+
+    check()

@@ -509,6 +509,26 @@ def q_events_sessions(spark, sf_dir):
                             output_mode="append")
 
 
+def q_events_sessions_native(spark, sf_dir):
+    """Native session_window aggregation (state-merging sessions,
+    gap 30 min) per user — the built-in counterpart of the custom
+    stateful operator; session end = last event + gap, so the islands
+    oracle adds the gap to each session's max timestamp."""
+    from cubes_spark.streaming import session_aggregate
+
+    ev = _table(spark, sf_dir, "events")
+    out = session_aggregate(
+        ev,
+        {
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "value_sum": F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double"),
+        },
+        gap="30 minutes", group_by=["user_id"],
+    )
+    return _lng(out, "user_id", "n_events")
+
+
 def q_events_type_stats(spark, sf_dir):
     ev = _table(spark, sf_dir, "events")
     return (
@@ -1359,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auth_restricted": q_auth_restricted,
         "json_lines_format": q_json_lines_format,
         "events_sessions": q_events_sessions,
+        "events_sessions_native": q_events_sessions_native,
         "agg_quantiles": q_agg_quantiles,
         "agg_approx_distinct": q_agg_approx_distinct,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -2189,6 +2210,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_start, session_end, n_events,
             value_usum, event_seq
         FROM ranked WHERE rn > 1"""
+
+    # native session_window: same islands, session_end = max ts + gap,
+    # ALL sessions included (batch mode has no open-session state)
+    sql["events_sessions_native"] = """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT MIN(ts) AS session_start,
+            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+            user_id,
+            COUNT(*) AS n_events,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR)
+                 AS DOUBLE) AS value_sum
+        FROM sess GROUP BY user_id, sid"""
 
     sql["auth_restricted"] = f"""
         SELECT o.o_orderstatus AS "order.status",

@@ -246,3 +246,61 @@ def test_stateful_sessionize_state_carry():
     assert closed["n_events"] == 3
     assert closed["event_seq"] == "view>click>buy"
     assert state.stored[2] == 1             # new open session in state
+
+
+def test_watermark_finalizes_append_windows(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): append mode emits
+    EXACTLY the windows finalized by the watermark — a window stays
+    held back until the watermark passes its end, and a late row
+    arriving while its window's state is still open merges into it
+    (Spark's contract: the watermark finalizes/evicts state; dropping
+    older rows is permitted, only eviction is guaranteed)."""
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from cubes_spark.streaming import (
+        read_parquet_stream,
+        replay_to_memory,
+        windowed_aggregate,
+    )
+
+    import glob
+    import os
+
+    src = str(tmp_path / "events")
+
+    def write(rows, mode):
+        pdf = pd.DataFrame(rows, columns=["ts", "k", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode) \
+            .parquet(src)
+
+    t = lambda h, m=0: pd.Timestamp(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: max event time 11:00 -> watermark 10:00 (1h)
+    write([(t(10, 30), "a", 1.0), (t(11, 0), "a", 1.0)], "overwrite")
+    first_files = set(glob.glob(os.path.join(src, "*.parquet")))
+    # batch 2: a LATE row at 08:30 (< watermark) + on-time 11:30
+    write([(t(8, 30), "a", 100.0), (t(11, 30), "a", 1.0)], "append")
+    # file-source order is by modification time — pin it explicitly
+    now = _time.time()
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        os.utime(f, (now - 1000, now - 1000) if f in first_files
+                 else (now, now))
+
+    schema = spark.read.parquet(src).schema
+    stream = read_parquet_stream(spark, src, schema,
+                                 max_files_per_trigger=1)
+    agg = windowed_aggregate(
+        stream,
+        {"n": F.count(F.lit(1)).cast("long")},
+        window="1 hour", watermark="1 hour",
+    )
+    out = replay_to_memory(agg, "t_late", output_mode="append")
+    windows = {r["window_start"]: r["n"] for r in out.collect()}
+
+    # final watermark = 11:30 - 1h = 10:30.  Exactly the windows with
+    # end <= 10:30 are emitted: the late 08:30 row's window (merged
+    # while its state was open, then finalized).  The 10:00-11:00 and
+    # 11:00-12:00 windows are still open — append holds them back.
+    assert windows == {t(8): 1}

@@ -1075,6 +1075,26 @@ def q_salted_join(spark, sf_dir):
     return out
 
 
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints over documents, summarized per
+    doc (fingerprint count + xor-fold of the selected minima) so the
+    result stays compact while pinning the exact selected set."""
+    from cubes_spark.llm import winnow_fingerprints
+
+    docs = _table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 5 == 0)
+    fps = winnow_fingerprints(docs, k=8, window=16)
+    out = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        # xor-fold: order-independent exact digest of the selected set
+        F.aggregate(F.collect_list("fingerprint"),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc.bitwiseXOR(x))
+        .alias("fp_xor"),
+    )
+    return out
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Dedup CLUSTERS from near-dup PAIRS: distributed min-label
     propagation (connected components) over the MinHash-LSH candidate
@@ -1383,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantiles": q_agg_quantiles,
         "agg_approx_distinct": q_agg_approx_distinct,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_winnow": q_doc_winnow,
         "salted_join": q_salted_join,
         "preagg_refresh": q_preagg_refresh,
     }
@@ -2256,6 +2277,38 @@ def oracle_sql() -> dict[str, str]:
                 || '", "fact_count": ' || CAST(n AS VARCHAR) || '}'
                 AS text
         FROM agg"""
+
+    # winnowing replica: same normalization, same md5-derived gram
+    # hashes, same window-min selection; xor is associative so
+    # list_reduce equals Spark's 0-seeded fold
+    sql["doc_winnow"] = """
+        WITH norm AS (
+            SELECT doc_id,
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        grams AS (
+            SELECT doc_id,
+                list_transform(
+                    generate_series(1, greatest(length(t) - 7, 1)),
+                    i -> CAST(concat('0x',
+                         substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT)
+                ) AS g
+            FROM norm
+        ),
+        minima AS (
+            SELECT doc_id,
+                list_distinct(list_transform(
+                    generate_series(1, greatest(len(g) - 15, 1)),
+                    j -> list_min(g[j:j+15])
+                )) AS fps
+            FROM grams
+        )
+        SELECT doc_id,
+            CAST(len(fps) AS BIGINT) AS n_fingerprints,
+            CAST(list_reduce(fps, (a, b) -> xor(a, b)) AS BIGINT)
+                AS fp_xor
+        FROM minima"""
 
     sql["preagg_refresh"] = f"""
         SELECT year(l_shipdate) AS year,

@@ -24,6 +24,7 @@ from cubes_spark.llm.text import (
     text_stats,
     language_id,
     fingerprint,
+    winnow_fingerprints,
 )
 from cubes_spark.llm.dedup import (
     connected_components,
@@ -55,6 +56,7 @@ __all__ = [
     "text_stats",
     "language_id",
     "fingerprint",
+    "winnow_fingerprints",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_candidate_pairs",

@@ -23,6 +23,7 @@ __all__ = [
     "text_stats",
     "language_id",
     "fingerprint",
+    "winnow_fingerprints",
     "STOPWORDS",
 ]
 
@@ -169,6 +170,43 @@ def language_id(df: DataFrame, text_col: str = "text",
             .otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
     return out.withColumn("lang_pred", pred)
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = 8, window: int = 16) -> DataFrame:
+    """MOSS-style winnowing fingerprints: ``(id, fingerprint)`` rows.
+
+    The normalized text's ORDERED character k-gram rolling hashes are
+    windowed (``window`` consecutive grams) and each window contributes
+    its minimum — the winnowing guarantee: any shared substring of at
+    least ``window + k - 1`` characters yields at least one shared
+    fingerprint, while the selected set is ~``2/(window+1)`` of all
+    gram hashes.  The per-document signature is the DISTINCT set of
+    selected minima.
+
+    All array intrinsics (transform/slice/array_min/array_distinct) —
+    one md5 per gram, plan size O(1) in document length, no Python.
+    Hashes are md5-derived (:func:`hash64`), so a SQL oracle
+    reproduces the selection bit-for-bit.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                  WS, " ")
+    n_grams = F.greatest(F.length(normalized) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: hash64(normalized.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(grams, j, window)),
+    )
+    out = spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(minima)).alias("fingerprint"),
+    )
+    return out
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",

@@ -392,3 +392,43 @@ def test_connected_components_random_graphs(spark):
         assert got == want
 
     check()
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of at least
+    window + k - 1 chars share at least one fingerprint; disjoint
+    documents share none."""
+    from cubes_spark.llm import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the bank"
+    rows = [
+        (1, "AAA " + shared + " BBB"),
+        (2, "xyz123 " + shared + " qqq"),
+        (3, "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, k=8, window=16)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in df.select("doc_id").collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]          # shared substring detected
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # selection is sparse: far fewer fingerprints than grams
+    assert len(by_doc[1]) < len(rows[0][1])
+
+
+def test_winnow_fingerprints_short_text(spark):
+    """Texts shorter than k or window still produce one fingerprint
+    (degenerate single-gram/window clamps)."""
+    from cubes_spark.llm import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "")],
+                               ["doc_id", "text"])
+    out = winnow_fingerprints(df).groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in out}
+    assert counts[1] == 1
+    assert counts.get(2, 1) >= 1

@@ -32,6 +32,11 @@ def _load_config(path: str) -> dict:
 
 
 def build_workspace(config: dict, spark: Any = None):
+    """Workspace from config.  ``model`` loads into the root
+    namespace; ``models`` is a list of either model paths/dicts or
+    ``{"model": ..., "namespace": "a.b"}`` entries for multi-model /
+    multi-namespace deployments (parity: multiple models in
+    slicer.ini, reference workspace.py:240-260)."""
     from cubes_spark.sources.workspace import Workspace, default_session
 
     spark = spark or default_session("slicer")
@@ -43,6 +48,13 @@ def build_workspace(config: dict, spark: Any = None):
     model = config.get("model")
     if model:
         workspace.import_model(model)
+    for entry in config.get("models") or []:
+        if isinstance(entry, dict) and (
+                "model" in entry or "namespace" in entry):
+            workspace.import_model(entry.get("model"),
+                                   namespace=entry.get("namespace"))
+        else:
+            workspace.import_model(entry)
     return workspace
 
 

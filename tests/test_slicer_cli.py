@@ -170,3 +170,33 @@ def test_dedup_command_embedding(config_path, tmp_path, spark):
     assert code == 0
     out = spark.read.parquet(target)
     assert out.filter("NOT is_canonical").count() > 0
+
+
+def test_multi_model_namespaced_config(tmp_path, spark):
+    """Config 'models' list loads extra models into namespaces; the
+    server and CLI then see dotted cube names."""
+    extra = {
+        "cubes": [{
+            "name": "orders_only",
+            "fact": "orders",
+            "aggregates": [{"name": "fact_count", "function": "count"}],
+            "mappings": {},
+        }],
+    }
+    cfg = tmp_path / "multi.json"
+    cfg.write_text(json.dumps({
+        "store": SF_DIR,
+        "model": TPCH_MODEL,
+        "models": [{"model": extra, "namespace": "extra"}],
+    }))
+    code, text = run(str(cfg), "list")
+    assert code == 0
+    assert "sales" in text
+    assert "extra.orders_only" in text
+
+    from cubes_spark.slicer import build_workspace, _load_config
+
+    ws = build_workspace(_load_config(str(cfg)), spark)
+    browser = ws.browser("extra.orders_only")
+    result = browser.aggregate(aggregates=["fact_count"])
+    assert result.summary["fact_count"] > 0

@@ -1095,6 +1095,30 @@ def q_doc_winnow(spark, sf_dir):
     return out
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Within-document n-gram repetition fractions (Gopher-style
+    filter signal) for n in (2, 3)."""
+    from cubes_spark.llm import repetition_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = repetition_stats(docs).select(
+        "doc_id", "dup_ngram_frac_2", "dup_ngram_frac_3")
+    return _lng(out, "doc_id")
+
+
+def q_doc_pii(spark, sf_dir):
+    """PII scrub: per-kind match counts + md5 of the redacted text —
+    the hash pins the replacement byte-for-byte."""
+    from cubes_spark.llm import redact_pii
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = redact_pii(docs).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("text_redacted")).alias("redacted_hash"),
+    )
+    return _lng(out, "doc_id")
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Dedup CLUSTERS from near-dup PAIRS: distributed min-label
     propagation (connected components) over the MinHash-LSH candidate
@@ -1404,6 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_approx_distinct": q_agg_approx_distinct,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_winnow": q_doc_winnow,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii": q_doc_pii,
         "salted_join": q_salted_join,
         "preagg_refresh": q_preagg_refresh,
     }
@@ -2277,6 +2303,46 @@ def oracle_sql() -> dict[str, str]:
                 || '", "fact_count": ' || CAST(n AS VARCHAR) || '}'
                 AS text
         FROM agg"""
+
+    sql["doc_repetition"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(text), '\\s+') END
+                    AS tk
+            FROM documents
+        )
+        SELECT doc_id,
+            round(CASE WHEN len(tk) >= 2 THEN
+                1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(tk) - 1),
+                    i -> array_to_string(tk[i:i+1], ' ')))) AS DOUBLE)
+                    / (len(tk) - 1)
+                ELSE 0.0 END, 4) AS dup_ngram_frac_2,
+            round(CASE WHEN len(tk) >= 3 THEN
+                1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(tk) - 2),
+                    i -> array_to_string(tk[i:i+2], ' ')))) AS DOUBLE)
+                    / (len(tk) - 2)
+                ELSE 0.0 END, 4) AS dup_ngram_frac_3
+        FROM toks"""
+
+    _EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    _PHONE = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+    sql["doc_pii"] = f"""
+        SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT)
+                AS n_email,
+            CAST(len(regexp_extract_all(text, '{_IPV4}')) AS BIGINT)
+                AS n_ipv4,
+            CAST(len(regexp_extract_all(text, '{_PHONE}')) AS BIGINT)
+                AS n_phone,
+            md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '{_EMAIL}', '[EMAIL]', 'g'),
+                '{_IPV4}', '[IPV4]', 'g'),
+                '{_PHONE}', '[PHONE]', 'g')) AS redacted_hash
+        FROM documents"""
 
     # winnowing replica: same normalization, same md5-derived gram
     # hashes, same window-min selection; xor is associative so

@@ -25,6 +25,8 @@ from cubes_spark.llm.text import (
     language_id,
     fingerprint,
     winnow_fingerprints,
+    repetition_stats,
+    redact_pii,
 )
 from cubes_spark.llm.dedup import (
     connected_components,
@@ -57,6 +59,8 @@ __all__ = [
     "language_id",
     "fingerprint",
     "winnow_fingerprints",
+    "repetition_stats",
+    "redact_pii",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_candidate_pairs",

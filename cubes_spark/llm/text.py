@@ -24,6 +24,9 @@ __all__ = [
     "language_id",
     "fingerprint",
     "winnow_fingerprints",
+    "repetition_stats",
+    "redact_pii",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -220,3 +223,72 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS, " ")
     return spread(df).withColumn(out_col, hash64(normalized))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     ngram_sizes: Sequence[int] = (2, 3)) -> DataFrame:
+    """Within-document repetition signals (Gopher-style filter rule):
+    for each n in ``ngram_sizes``, the fraction of duplicated word
+    n-grams — ``1 - distinct/total`` — as ``dup_ngram_frac_<n>``.
+    Boilerplate and degenerate repetition score high; clean prose
+    scores near 0.  Array intrinsics only.
+
+    DuckDB mirror: ``1 - len(list_distinct(grams))/len(grams)`` with
+    grams built by ``list_transform(generate_series(...), i ->
+    array_to_string(tokens[i:i+n-1], ' '))``.
+    """
+    df = spread(df)
+    tokens = token_array(F.col(text_col))
+    cols: Dict[str, Column] = {}
+
+    def gram_builder(n):
+        # single-parameter lambda: a 2-arg lambda would make
+        # F.transform pass the array INDEX as the second argument
+        return lambda i: F.concat_ws(" ", F.slice(tokens, i, n))
+
+    for n in ngram_sizes:
+        n_grams = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            gram_builder(n),
+        )
+        frac = F.when(
+            n_grams > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double")
+            / n_grams.cast("double"),
+        ).otherwise(F.lit(0.0))
+        cols[f"dup_ngram_frac_{n}"] = F.round(frac, 4)
+    return df.withColumns(cols)
+
+
+#: PII patterns — deliberately dialect-portable (no lookaround, ASCII
+#: classes only) so Java regex (Spark) and RE2 (DuckDB) match
+#: identically.
+PII_PATTERNS: Dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Scrub common PII shapes from a text column: per-kind match
+    counts (``n_email``/``n_ipv4``/``n_phone``) plus the redacted text
+    with ``[KIND]`` placeholders — the pre-training scrub step, pure
+    ``regexp_count``/``regexp_replace`` (codegen'd, no Python).
+
+    Order matters (emails contain dots that could half-match the ipv4
+    pattern): counts are measured on the ORIGINAL text, replacements
+    apply email → ipv4 → phone.
+    """
+    df = spread(df)
+    text = F.col(text_col)
+    counts = {
+        f"n_{kind}": F.regexp_count(text, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    redacted = text
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"[{kind.upper()}]")
+    return df.withColumns({**counts, out_col: redacted})

@@ -432,3 +432,33 @@ def test_winnow_fingerprints_short_text(spark):
     counts = {r["doc_id"]: r["count"] for r in out}
     assert counts[1] == 1
     assert counts.get(2, 1) >= 1
+
+
+def test_repetition_stats(spark):
+    from cubes_spark.llm import repetition_stats
+
+    rows = [(1, "spam spam spam spam spam"),
+            (2, "all words here are fully distinct tokens"),
+            (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # 4 bigrams, all "spam spam" -> 1 distinct -> 3/4 duplicated
+    assert out[1]["dup_ngram_frac_2"] == 0.75
+    assert out[2]["dup_ngram_frac_2"] == 0.0
+    assert out[3]["dup_ngram_frac_2"] == 0.0
+
+
+def test_redact_pii(spark):
+    from cubes_spark.llm import redact_pii
+
+    rows = [(1, "mail bob@example.com or 10.0.0.1 at 555-123-4567 ok"),
+            (2, "no pii here, just 3.14 and v1.2.3")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (1, 1, 1)
+    assert r1["text_redacted"] == \
+        "mail [EMAIL] or [IPV4] at [PHONE] ok"
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["text_redacted"] == r2["text"]

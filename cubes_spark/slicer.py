@@ -196,6 +196,38 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
     return 0
 
 
+def cmd_textstats(config: dict, args: argparse.Namespace,
+                  out=sys.stdout) -> int:
+    """Annotate a text table with quality statistics, language ID,
+    BPE-ish token counts, repetition fractions and (optionally)
+    PII-redacted text, written as parquet — the text-analysis pass of
+    a training-data pipeline as one CLI step."""
+    from pyspark.sql import functions as F
+
+    from cubes_spark.llm import (
+        bpe_token_count,
+        language_id,
+        redact_pii,
+        repetition_stats,
+        text_stats,
+    )
+
+    workspace = build_workspace(config)
+    df = workspace.table(args.table)
+    annotated = text_stats(df, text_col=args.text_column)
+    annotated = language_id(annotated, text_col=args.text_column)
+    annotated = repetition_stats(annotated, text_col=args.text_column)
+    annotated = annotated.withColumn(
+        "n_bpe_tokens", bpe_token_count(F.col(args.text_column))
+    )
+    if args.redact:
+        annotated = redact_pii(annotated, text_col=args.text_column)
+    annotated.write.mode("overwrite").parquet(args.target)
+    n = annotated.count()
+    out.write(f"textstats '{args.table}' -> {args.target}: {n} docs\n")
+    return 0
+
+
 def cmd_dedup(config: dict, args: argparse.Namespace,
               out=sys.stdout) -> int:
     """Deduplicate a store table: near-duplicate candidate generation
@@ -364,6 +396,14 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=0.9,
                    help="cosine threshold (embedding method)")
 
+    p = sub.add_parser("textstats",
+                       help="annotate a text table with quality stats")
+    p.add_argument("table")
+    p.add_argument("target", help="output parquet path")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--redact", action="store_true",
+                   help="also add PII-redacted text")
+
     p = sub.add_parser("ext-info", help="show registered extensions")
     p.add_argument("type", nargs="?", default="all",
                    help="extension type (default: all)")
@@ -388,6 +428,7 @@ COMMANDS = {
     "aggregate": cmd_aggregate,
     "serve": cmd_serve,
     "dedup": cmd_dedup,
+    "textstats": cmd_textstats,
     "ext-info": cmd_ext_info,
     "convert": cmd_convert,
 }

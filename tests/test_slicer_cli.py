@@ -200,3 +200,16 @@ def test_multi_model_namespaced_config(tmp_path, spark):
     browser = ws.browser("extra.orders_only")
     result = browser.aggregate(aggregates=["fact_count"])
     assert result.summary["fact_count"] > 0
+
+
+def test_textstats_command(config_path, tmp_path, spark):
+    target = str(tmp_path / "textstats")
+    code, text = run(config_path, "textstats", "documents", target,
+                     "--redact")
+    assert code == 0
+    out = spark.read.parquet(target)
+    expected = {"doc_id", "quality_score", "lang_pred",
+                "dup_ngram_frac_2", "n_bpe_tokens", "n_email",
+                "text_redacted"}
+    assert expected <= set(out.columns)
+    assert out.count() > 0

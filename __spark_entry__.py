@@ -1078,7 +1078,10 @@ def q_salted_join(spark, sf_dir):
 def q_doc_winnow(spark, sf_dir):
     """Winnowing (MOSS) fingerprints over documents, summarized per
     doc (fingerprint count + xor-fold of the selected minima) so the
-    result stays compact while pinning the exact selected set."""
+    result stays compact while pinning the exact selected set.
+    Verified on every 5th document (both sides identically) to keep
+    the gate's md5-per-gram cost bounded — an explicit verification
+    sample, not an operator limit."""
     from cubes_spark.llm import winnow_fingerprints
 
     docs = _table(spark, sf_dir, "documents") \

@@ -996,6 +996,24 @@ def q_emb_ivf_recall(spark, sf_dir):
     )
 
 
+def q_emb_projection(spark, sf_dir):
+    """Deterministic JL random projection (md5-derived matrix) of
+    every 25th embedding to 8 dims, exploded to (vec_id, idx, value)
+    rows — the oracle replays the same projection with plane
+    literals."""
+    from cubes_spark.llm import random_projection
+
+    emb = _table(spark, sf_dir, "embeddings") \
+        .filter(F.col("vec_id") % 25 == 0)
+    out = random_projection(emb, out_dim=8).select(
+        "vec_id", F.posexplode("projected").alias("idx", "value")
+    )
+    return _lng(
+        out.select("vec_id", "idx", F.round("value", 6).alias("value")),
+        "vec_id", "idx",
+    )
+
+
 def q_emb_neardup_recall(spark, sf_dir):
     """Driver signal for the LSH near-duplicate *scale* path: engine
     runs method='lsh' (bucketed candidates + exact-cosine verify) and
@@ -1419,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall": q_emb_ann_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
         "emb_neardup_recall": q_emb_neardup_recall,
+        "emb_projection": q_emb_projection,
         "report_combo": q_report_combo,
         "cell_details": q_cell_details,
         "agg_natural_order": q_agg_natural_order,
@@ -2465,6 +2484,7 @@ def oracle_sql() -> dict[str, str]:
     # by the emb_topk/emb_near_dup rows).
     sql["emb_ann"] = _emb_ann_oracle()
     sql["doc_dup_clusters"] = _doc_dup_clusters_oracle()
+    sql["emb_projection"] = _emb_projection_oracle()
     sql["emb_ann_recall"] = _emb_ann_recall_oracle()
     sql["emb_ivf_recall"] = _emb_ivf_recall_oracle()
     sql["emb_neardup_recall"] = _emb_neardup_recall_oracle()
@@ -2672,6 +2692,31 @@ def _aug_bucketed_sql(num_tables: int, num_planes: int) -> str:
         FROM aug CROSS JOIN planes pl
         GROUP BY aug.vec_id, aug.v, pl.tbl
     )"""
+
+
+def _emb_projection_oracle() -> str:
+    """Replays random_projection(out_dim=8, seed=42): the identical
+    md5-derived, 1/sqrt(8)-scaled plane rows as literals."""
+    import math
+
+    from cubes_spark.llm.similarity import _plane_components
+
+    dim = _emb_dim()
+    scale = 1.0 / math.sqrt(8)
+    rows = []
+    for p, prow in enumerate(_plane_components(8, dim, 42)):
+        rows.append(f"({p}, {_sql_dvec([x * scale for x in prow])})")
+    planes = ",\n            ".join(rows)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 25 = 0
+        ),
+        planes(idx, pv) AS (VALUES
+            {planes})
+        SELECT e.vec_id, CAST(p.idx AS BIGINT) AS idx,
+            round(list_dot_product(e.v, p.pv), 6) AS value
+        FROM e CROSS JOIN planes p"""
 
 
 def _doc_dup_clusters_oracle() -> str:

@@ -43,6 +43,7 @@ from cubes_spark.llm.similarity import (
     ann_lsh_cosine,
     embedding_near_duplicates,
     ivf_topk,
+    random_projection,
 )
 from cubes_spark.llm.multimodal import (
     audio_metadata,
@@ -73,6 +74,7 @@ __all__ = [
     "ann_lsh_cosine",
     "embedding_near_duplicates",
     "ivf_topk",
+    "random_projection",
     "binary_metadata",
     "image_dimensions",
     "audio_metadata",

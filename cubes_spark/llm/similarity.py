@@ -31,7 +31,7 @@ from cubes_spark.llm.text import hash64
 from cubes_spark.llm.util import spread
 
 __all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates",
-           "ivf_topk", "train_spherical_kmeans"]
+           "ivf_topk", "train_spherical_kmeans", "random_projection"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -374,4 +374,47 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.9,
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+    )
+
+
+def random_projection(corpus: DataFrame, out_dim: int = 16,
+                      seed: int = 42,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      out_col: str = "projected") -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim``
+    dimensions — the cheap-ANN/dedup preprocessing step (project once,
+    then bucket or brute-force in the low dimension at a fraction of
+    the dot-product cost).
+
+    The projection matrix reuses the md5-derived deterministic plane
+    components (:func:`_plane_components`), embedded as ONE flattened
+    literal with nested ``aggregate`` folds — O(1) plan size in
+    ``out_dim × dim``, no Python in the row path, and bit-identical
+    output on any cluster (an exact SQL oracle can replay it).
+    Components are scaled by ``1/sqrt(out_dim)`` so expected pairwise
+    distances are preserved (JL estimator).
+    """
+    import math
+
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    planes = _plane_components(out_dim, dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    flat = F.array(*[F.lit(x * scale) for row in planes for x in row])
+    vec = F.col(vec_col)
+
+    def component(p: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, d: acc + F.element_at(vec, d + 1).cast("double")
+            * F.element_at(flat, p * dim + d + 1),
+        )
+
+    projected = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)), component
+    )
+    return spread(corpus).select(
+        F.col(id_col), vec, projected.alias(out_col)
     )

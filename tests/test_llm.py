@@ -462,3 +462,39 @@ def test_redact_pii(spark):
     r2 = out[2]
     assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
     assert r2["text_redacted"] == r2["text"]
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: projected pairwise distances approximate the
+    originals on average; output is deterministic and Python-free."""
+    import numpy as np
+
+    from cubes_spark.llm import random_projection
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 64).astype(float)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = random_projection(df, out_dim=16).collect()
+    proj = {r["vec_id"]: np.array(r["projected"]) for r in out}
+    assert all(len(p) == 16 for p in proj.values())
+
+    ratios = []
+    for i in range(0, 20, 2):
+        a, b = i, i + 1
+        orig = np.linalg.norm(X[a] - X[b])
+        new = np.linalg.norm(proj[a] - proj[b])
+        ratios.append(new / orig)
+    mean_ratio = float(np.mean(ratios))
+    # md5-derived components are uniform on [-1,1] (variance 1/3), so
+    # distances scale by ~sqrt(1/3) on average
+    expected = (1.0 / 3.0) ** 0.5
+    assert abs(mean_ratio - expected) < 0.2
+
+    again = {r["vec_id"]: np.array(r["projected"])
+             for r in random_projection(df, out_dim=16).collect()}
+    assert all(np.array_equal(proj[k], again[k]) for k in proj)
+
+    plan = random_projection(df, out_dim=16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan

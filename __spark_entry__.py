@@ -1140,6 +1140,34 @@ def q_doc_pii(spark, sf_dir):
     return _lng(out, "doc_id")
 
 
+def q_doc_pipeline(spark, sf_dir):
+    """The FLAGSHIP training-data pipeline composition, one plan:
+    quality scoring + repetition filter + exact-dedup canonical
+    selection, summarized per language — the filter chain a
+    pretraining corpus build runs, with every stage individually
+    driver-verified elsewhere and the composition verified here."""
+    from cubes_spark.llm import repetition_stats
+    from cubes_spark.llm.dedup import content_hash
+    from pyspark.sql import Window
+
+    docs = _table(spark, sf_dir, "documents")
+    annotated = repetition_stats(text_stats(docs))
+    wmin = Window.partitionBy("__ch__")
+    canon = annotated.withColumn(
+        "__ch__", content_hash(F.col("text"))
+    ).withColumn("__min_id__", F.min("doc_id").over(wmin))
+    kept = canon.filter(
+        (F.col("quality_score") >= 0.5)
+        & (F.col("dup_ngram_frac_2") < 0.3)
+        & (F.col("doc_id") == F.col("__min_id__"))
+    )
+    out = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return out
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Dedup CLUSTERS from near-dup PAIRS: distributed min-label
     propagation (connected components) over the MinHash-LSH candidate
@@ -1452,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "doc_repetition": q_doc_repetition,
         "doc_pii": q_doc_pii,
+        "doc_pipeline": q_doc_pipeline,
         "salted_join": q_salted_join,
         "preagg_refresh": q_preagg_refresh,
     }
@@ -2325,6 +2354,36 @@ def oracle_sql() -> dict[str, str]:
                 || '", "fact_count": ' || CAST(n AS VARCHAR) || '}'
                 AS text
         FROM agg"""
+
+    sql["doc_pipeline"] = f"""
+        WITH base AS ({_text_stats_sql()}),
+        derived AS ({_TEXT_STATS_DERIVED}),
+        rep AS (
+            SELECT doc_id,
+                CASE WHEN len({_TOKENS}) >= 2 THEN
+                    1.0 - CAST(len(list_distinct(list_transform(
+                        generate_series(1, len({_TOKENS}) - 1),
+                        i -> array_to_string(({_TOKENS})[i:i+1], ' '))))
+                        AS DOUBLE) / (len({_TOKENS}) - 1)
+                ELSE 0.0 END AS frac2
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                MIN(doc_id) OVER (PARTITION BY md5({_NORM}))
+                    AS min_id
+            FROM documents
+        )
+        SELECT b.lang, COUNT(*) AS n_kept,
+            SUM(d.n_tokens) AS total_tokens
+        FROM base b
+        JOIN derived d ON b.doc_id = d.doc_id
+        JOIN rep r ON b.doc_id = r.doc_id
+        JOIN canon c ON b.doc_id = c.doc_id
+        WHERE d.quality_score >= 0.5
+          AND round(r.frac2, 4) < 0.3
+          AND c.doc_id = c.min_id
+        GROUP BY 1"""
 
     sql["doc_repetition"] = """
         WITH toks AS (

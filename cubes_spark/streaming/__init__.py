@@ -18,6 +18,7 @@ from cubes_spark.streaming.stream import (
     replay_to_memory,
     session_aggregate,
     stateful_sessionize,
+    stream_exact_dedup,
     windowed_aggregate,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "windowed_aggregate",
     "session_aggregate",
     "stateful_sessionize",
+    "stream_exact_dedup",
     "replay_to_memory",
 ]

@@ -23,6 +23,7 @@ __all__ = [
     "session_aggregate",
     "stateful_sessionize",
     "make_session_fn",
+    "stream_exact_dedup",
     "replay_to_memory",
 ]
 
@@ -267,3 +268,32 @@ def replay_to_memory(stream_df: DataFrame, query_name: str,
     if query.isActive:
         query.stop()
     return spark.table(query_name)
+
+
+def stream_exact_dedup(docs: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       ts_col: Optional[str] = None,
+                       watermark: str = "1 hour",
+                       within_watermark: bool = True) -> DataFrame:
+    """Streaming exact dedup for an INGEST pipeline: keep the first
+    arrival of each normalized content hash, drop later duplicates.
+
+    State holds one row per distinct content hash.  With an event-time
+    column and ``within_watermark=True`` the state is BOUNDED — Spark's
+    ``dropDuplicatesWithinWatermark`` evicts hashes once the watermark
+    passes, the right trade for dedup-within-a-horizon ingest (a
+    100 TB stream cannot keep every hash ever seen in state; global
+    history belongs to a batch join against the corpus index).
+    Without a timestamp column it falls back to unbounded
+    ``dropDuplicates`` (batch verification / bounded replays).
+    """
+    from cubes_spark.llm.dedup import content_hash
+
+    hashed = docs.withColumn("__ch__", content_hash(F.col(text_col)))
+    if docs.isStreaming and ts_col and within_watermark:
+        hashed = hashed.withWatermark(ts_col, watermark)
+        out = hashed.dropDuplicatesWithinWatermark(["__ch__"])
+    else:
+        out = hashed.dropDuplicates(["__ch__"])
+    return out.drop("__ch__")

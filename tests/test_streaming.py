@@ -304,3 +304,59 @@ def test_watermark_finalizes_append_windows(spark, tmp_path):
     # while its state was open, then finalized).  The 10:00-11:00 and
     # 11:00-12:00 windows are still open — append holds them back.
     assert windows == {t(8): 1}
+
+
+def test_stream_exact_dedup_cross_batch(spark, tmp_path):
+    """Streaming ingest dedup: a duplicate arriving in a LATER
+    micro-batch is dropped by keyed state (dropDuplicatesWithin-
+    Watermark on the content hash)."""
+    import glob
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from cubes_spark.streaming import (
+        read_parquet_stream,
+        replay_to_memory,
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+
+    def write(rows, mode):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode) \
+            .parquet(src)
+
+    t0 = pd.Timestamp(2024, 1, 1, 10)
+    write([(1, t0, "hello world"),
+           (2, t0, "something else")], "overwrite")
+    first = set(glob.glob(os.path.join(src, "*.parquet")))
+    write([(3, t0 + pd.Timedelta(minutes=5), "HELLO   world"),  # dup
+           (4, t0 + pd.Timedelta(minutes=5), "fresh content")],
+          "append")
+    now = _time.time()
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        os.utime(f, (now - 1000, now - 1000) if f in first
+                 else (now, now))
+
+    schema = spark.read.parquet(src).schema
+    stream = read_parquet_stream(spark, src, schema,
+                                 max_files_per_trigger=1)
+    deduped = stream_exact_dedup(stream, ts_col="ts")
+    out = replay_to_memory(deduped, "t_sdedup", output_mode="append")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # doc 3 is a normalized duplicate of doc 1 from the PREVIOUS batch
+    assert kept == [1, 2, 4]
+
+
+def test_stream_exact_dedup_batch_mode(spark):
+    """Batch fallback keeps one row per normalized content."""
+    from cubes_spark.streaming import stream_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "A B"), (3, "c")], ["doc_id", "text"]
+    )
+    out = stream_exact_dedup(df)
+    assert out.count() == 2

@@ -117,3 +117,41 @@ def test_spark_native_extra_functions(golden_browser):
     finally:
         cube.aggregates.pop()
         cube.aggregates.pop()
+
+
+def test_pandas_udaf_through_registry(golden_browser):
+    """The extensibility surface reaches Arrow-vectorized pandas UDAFs:
+    a grouped-agg pandas_udf registered like any built-in runs through
+    the browser (SURVEY 2.10 — user-pluggable aggregate functions,
+    beyond the reference's fixed table)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from cubes_spark.functions.aggregates import (
+        available_aggregate_functions,
+        register_aggregate_function,
+    )
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        vals = v.dropna().astype(float)
+        vals = vals[vals > 0]
+        return float(np.exp(np.log(vals).mean())) if len(vals) else None
+
+    register_aggregate_function("geo_mean", geo_mean)
+    assert "geo_mean" in available_aggregate_functions()
+
+    cube = golden_browser.cube
+    from cubes_spark.metadata.attributes import MeasureAggregate
+
+    cube.aggregates.append(MeasureAggregate(
+        "amount_geo", function="geo_mean", measure="amount"))
+    try:
+        result = golden_browser.aggregate(aggregates=["amount_geo"])
+        values = [1.0, 2.0, 4.0, 8.0] * 4   # golden amounts per row
+        expected = float(np.exp(np.mean(np.log(values))))
+        assert abs(result.summary["amount_geo"] - expected) < 1e-9
+    finally:
+        cube.aggregates.pop()

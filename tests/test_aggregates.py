@@ -155,3 +155,4 @@ def test_pandas_udaf_through_registry(golden_browser):
         assert abs(result.summary["amount_geo"] - expected) < 1e-9
     finally:
         cube.aggregates.pop()
+

@@ -529,6 +529,20 @@ def q_events_sessions_native(spark, sf_dir):
     return _lng(out, "user_id", "n_events")
 
 
+def q_events_browse(spark, sf_dir):
+    """The streaming fact browsed through the OLAP model: calendar
+    cut + drilldown over the events cube (the store reads the
+    TIMESTAMP(NANOS) column transparently; the date cut's sargable
+    rewrite pushes a raw timestamp range into the scan)."""
+    df = _ws(spark, sf_dir).browser("events").aggregation_dataframe(
+        cell="date:2024,1",
+        drilldown=["date:day", "etype"],
+        aggregates=["value_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "value_sum"), "date.year", "date.month",
+                "date.day", "fact_count")
+
+
 def q_events_type_stats(spark, sf_dir):
     ev = _table(spark, sf_dir, "events")
     return (
@@ -1474,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_lines_format": q_json_lines_format,
         "events_sessions": q_events_sessions,
         "events_sessions_native": q_events_sessions_native,
+        "events_browse": q_events_browse,
         "agg_quantiles": q_agg_quantiles,
         "agg_approx_distinct": q_agg_approx_distinct,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -2308,6 +2323,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_start, session_end, n_events,
             value_usum, event_seq
         FROM ranked WHERE rn > 1"""
+
+    sql["events_browse"] = """
+        SELECT year(ts) AS "date.year", month(ts) AS "date.month",
+            day(ts) AS "date.day", event_type AS "etype.etype",
+            CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR)
+                 AS DOUBLE) AS value_sum,
+            COUNT(*) AS fact_count
+        FROM events
+        WHERE year(ts) = 2024 AND month(ts) = 1
+        GROUP BY 1, 2, 3, 4"""
 
     # native session_window: same islands, session_end = max ts + gap,
     # ALL sessions included (batch mode has no open-session state)

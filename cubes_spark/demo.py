@@ -111,6 +111,10 @@ TPCH_MODEL = {
             "levels": [{"name": "returnflag", "attributes": ["returnflag"]}],
         },
         {
+            "name": "etype",
+            "levels": [{"name": "etype", "attributes": ["etype"]}],
+        },
+        {
             "name": "linestatus",
             "levels": [{"name": "linestatus", "attributes": ["linestatus"]}],
         },
@@ -325,6 +329,33 @@ TPCH_MODEL = {
                  "detail": {"table": "li_notes",
                             "column": ["o_key", "l_num"]}},
             ],
+        },
+        {
+            # the streaming fact browsed through the SAME model
+            # language: the store reads the TIMESTAMP(NANOS) column
+            # transparently, the calendar `date` dimension template
+            # rebinds to events.ts per-cube
+            "name": "events",
+            "fact": "events",
+            "key": "event_id",
+            "dimensions": ["date", "etype"],
+            "measures": [{"name": "value"}],
+            "aggregates": [
+                {"name": "value_sum", "function": "sum",
+                 "measure": "value"},
+                {"name": "fact_count", "function": "count"},
+            ],
+            "mappings": {
+                "value": {"table": "events", "column": "value",
+                          "cast": "decimal(20,6)"},
+                "date.year": {"table": "events", "column": "ts",
+                              "extract": "year"},
+                "date.month": {"table": "events", "column": "ts",
+                               "extract": "month"},
+                "date.day": {"table": "events", "column": "ts",
+                             "extract": "day"},
+                "etype.etype": "events.event_type",
+            },
         },
         {
             # detail (right outer) join: every big_parts_ext row is kept,

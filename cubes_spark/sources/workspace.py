@@ -63,6 +63,29 @@ def default_session(app_name: str = "cubes_spark",
     return builder.getOrCreate()
 
 
+def _nanos_timestamp_columns(location: str) -> list:
+    """Names of TIMESTAMP(NANOS) columns in a parquet file/directory
+    (via pyarrow footer inspection; empty on any inspection failure —
+    the plain read then raises Spark's own clear error)."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = location
+        if os.path.isdir(location):
+            parts = [f for f in sorted(os.listdir(location))
+                     if f.endswith(".parquet")]
+            if not parts:
+                return []
+            path = os.path.join(location, parts[0])
+        schema = pq.read_schema(path)
+        return [
+            field.name for field in schema
+            if str(field.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
+        ]
+    except Exception:
+        return []
+
+
 class ParquetStore:
     """Lazily-loading table catalog over a directory of parquet files
     (the Spark analogue of the reference's SQL store,
@@ -82,8 +105,28 @@ class ParquetStore:
                 raise StoreError(
                     f"No parquet table '{name}' in store at {self.path}"
                 )
-            self._cache[name] = self.spark.read.parquet(location)
+            self._cache[name] = self._read(location)
         return self._cache[name]
+
+    def _read(self, location: str) -> DataFrame:
+        """Read parquet, transparently handling TIMESTAMP(NANOS)
+        columns Spark cannot read natively: they are read as epoch-ns
+        longs (``nanosAsLong``) and converted to µs timestamps with
+        INTEGER division (double division loses precision above
+        2^53)."""
+        nanos_cols = _nanos_timestamp_columns(location)
+        if not nanos_cols:
+            return self.spark.read.parquet(location)
+        from pyspark.sql import functions as F
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+                            "true")
+        df = self.spark.read.parquet(location)
+        for col in nanos_cols:
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+        return df
 
     def __getitem__(self, name: str) -> DataFrame:
         return self.table(name)

@@ -52,7 +52,7 @@ def test_list_cubes(client):
     status, data = get_json(client, "/cubes")
     assert status == 200
     assert [c["name"] for c in data] == [
-        "sales", "sales_outer", "sales_detail"]
+        "sales", "sales_outer", "events", "sales_detail"]
 
 
 def test_cube_model(client):

@@ -1154,6 +1154,16 @@ def q_doc_pii(spark, sf_dir):
     return _lng(out, "doc_id")
 
 
+def q_doc_trigram_lm(spark, sf_dir):
+    """Corpus-trigram fluency model: per-doc summed quantized log2
+    probabilities under the corpus's own trigram distribution
+    (integer 1e-4 units — exact at any parallelism)."""
+    from cubes_spark.llm import trigram_logprob
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return trigram_logprob(docs, quantized=True)
+
+
 def q_doc_pipeline(spark, sf_dir):
     """The FLAGSHIP training-data pipeline composition, one plan:
     quality scoring + repetition filter + exact-dedup canonical
@@ -1496,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_pii": q_doc_pii,
         "doc_pipeline": q_doc_pipeline,
+        "doc_trigram_lm": q_doc_trigram_lm,
         "salted_join": q_salted_join,
         "preagg_refresh": q_preagg_refresh,
     }
@@ -2379,6 +2390,31 @@ def oracle_sql() -> dict[str, str]:
                 || '", "fact_count": ' || CAST(n AS VARCHAR) || '}'
                 AS text
         FROM agg"""
+
+    sql["doc_trigram_lm"] = f"""
+        WITH norm AS (
+            SELECT doc_id, {_NORM} AS t FROM documents
+        ),
+        tri AS (
+            SELECT doc_id,
+                unnest(list_transform(
+                    generate_series(1, length(t) - 2),
+                    i -> substr(t, i, 3))) AS tg
+            FROM norm WHERE length(t) >= 3
+        ),
+        counts AS (SELECT tg, COUNT(*) AS n FROM tri GROUP BY 1),
+        total AS (SELECT SUM(n) AS tot FROM counts),
+        model AS (
+            SELECT tg, n FROM counts ORDER BY n DESC, tg LIMIT 50000
+        )
+        SELECT t.doc_id,
+            CAST(SUM(CAST(round(log2(
+                COALESCE(CAST(m.n AS DOUBLE), 0.5)
+                / (SELECT CAST(tot AS DOUBLE) FROM total)) * 10000)
+                AS BIGINT)) AS BIGINT) AS sum_logq,
+            COUNT(*) AS n_trigrams
+        FROM tri t LEFT JOIN model m USING (tg)
+        GROUP BY 1"""
 
     sql["doc_pipeline"] = f"""
         WITH base AS ({_text_stats_sql()}),

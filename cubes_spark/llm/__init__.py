@@ -27,6 +27,7 @@ from cubes_spark.llm.text import (
     winnow_fingerprints,
     repetition_stats,
     redact_pii,
+    trigram_logprob,
 )
 from cubes_spark.llm.dedup import (
     connected_components,
@@ -62,6 +63,7 @@ __all__ = [
     "winnow_fingerprints",
     "repetition_stats",
     "redact_pii",
+    "trigram_logprob",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_candidate_pairs",

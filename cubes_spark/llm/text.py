@@ -26,6 +26,7 @@ __all__ = [
     "winnow_fingerprints",
     "repetition_stats",
     "redact_pii",
+    "trigram_logprob",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -292,3 +293,78 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     for kind, pat in PII_PATTERNS.items():
         redacted = F.regexp_replace(redacted, pat, f"[{kind.upper()}]")
     return df.withColumns({**counts, out_col: redacted})
+
+
+def trigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    top_k: int = 50000,
+                    floor_count: float = 0.5,
+                    quantized: bool = False) -> DataFrame:
+    """Self-supervised fluency score: mean log2 probability of each
+    document's character trigrams under the CORPUS's own trigram
+    distribution — the KenLM-perplexity-proxy shape of a pretraining
+    quality filter, with the corpus itself as the model (gibberish and
+    non-linguistic content score far below fluent text).
+
+    Two passes, both scalable: (1) explode trigrams → count → keep the
+    ``top_k`` most frequent (ties broken by trigram for determinism) —
+    the model is BOUNDED regardless of corpus size, and small enough
+    to broadcast; (2) re-explode and broadcast-join each document's
+    trigrams against the model, unseen trigrams get a ``floor_count``
+    pseudo-count.  Adds ``trigram_logprob`` (mean log2 prob) and
+    ``n_trigrams``.
+
+    Deterministic (no sampling, total tie-break) → exact SQL oracle.
+    """
+    df = spread(df)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                  WS, " ")
+    n_tri = F.greatest(F.length(normalized) - 2, F.lit(0))
+
+    def tri_at(i: Column) -> Column:
+        return normalized.substr(i, F.lit(3))
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tri, F.lit(1))), tri_at
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.when(n_tri > 0, grams)
+                  .otherwise(F.array().cast("array<string>")))
+        .alias("__tri__"),
+    )
+    counts = (
+        exploded.groupBy("__tri__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    w_total = counts.agg(
+        F.sum("__n__").alias("__total__")).collect()[0]["__total__"]
+    model = (
+        counts.orderBy(F.col("__n__").desc(), F.col("__tri__"))
+        .limit(top_k)
+    )
+    scored = exploded.join(F.broadcast(model), "__tri__", "left")
+    logp = F.log2(
+        F.coalesce(F.col("__n__").cast("double"), F.lit(floor_count))
+        / F.lit(float(w_total))
+    )
+    if quantized:
+        # integer 1e-4 units per trigram BEFORE summation: int64 sums
+        # are exact and merge-order independent, so the result is
+        # bit-identical at any parallelism (and SQL-verifiable) —
+        # unlike a float mean, whose partial-sum order varies
+        logq = F.round(logp * 10000).cast("long")
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.sum(logq).alias("sum_logq"),
+                F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            )
+        )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.avg(logp), 4).alias("trigram_logprob"),
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        )
+    )

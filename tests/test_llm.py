@@ -498,3 +498,28 @@ def test_random_projection_preserves_distances(spark):
     plan = random_projection(df, out_dim=16)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_trigram_logprob_ranks_fluency(spark):
+    from cubes_spark.llm import trigram_logprob
+
+    fluent = ("the cat sat on the mat and the dog sat on the log "
+              "while the cat and the dog sat together on the mat")
+    rows = [
+        (1, fluent),
+        (2, fluent.replace("cat", "dog")),
+        (3, "qzxj wvkq zzqx jxqv kqzw xqzj vqkx"),   # gibberish
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in trigram_logprob(df).collect()}
+    # fluent docs share mass with each other -> higher mean logprob
+    assert out[1]["trigram_logprob"] > out[3]["trigram_logprob"]
+    assert out[2]["trigram_logprob"] > out[3]["trigram_logprob"]
+    assert out[1]["n_trigrams"] == len(
+        " ".join(fluent.split())) - 2
+    assert 4 not in out          # empty doc contributes no trigrams
+    # deterministic
+    again = {r["doc_id"]: r["trigram_logprob"]
+             for r in trigram_logprob(df).collect()}
+    assert all(again[k] == out[k]["trigram_logprob"] for k in again)

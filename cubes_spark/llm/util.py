@@ -16,6 +16,11 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     thousands of partitions and passes through untouched — the check
     makes this a no-op exactly when a shuffle would hurt.
     """
+    if df.isStreaming:
+        # partitioning comes from the source; df.rdd is illegal on a
+        # streaming DataFrame — stateless text/dedup expressions run
+        # on streams unchanged
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -41,6 +41,12 @@ def salted_join(facts: DataFrame, dims: DataFrame,
     changes.  Cost: dims × salt rows shuffled (dims are the small
     side; never salt the fact side — that would duplicate facts).
     """
+    if how.replace("_", "") not in ("inner", "left", "leftouter"):
+        # right/full joins would emit the REPLICATED dimension rows
+        # (salt copies) for unmatched keys — silently wrong
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got '{how}'"
+        )
     if salt < 2:
         return facts.join(dims, list(keys), how)
     spread_term = F.xxhash64(*[F.col(c) for c in facts.columns])

@@ -104,3 +104,10 @@ def test_partitioned_denorm_prunes_partitions(tpch_browser, spark,
     # pruned partition actually restricts the data
     years = filtered.select("date__year").distinct().collect()
     assert [r[0] for r in years] == [1995]
+
+
+def test_salted_join_rejects_outer(spark):
+    facts = spark.createDataFrame([(1, 1)], ["k", "p"])
+    dims = spark.createDataFrame([(1, "x")], ["k", "l"])
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(facts, dims, ["k"], salt=4, how="right")

@@ -360,3 +360,36 @@ def test_stream_exact_dedup_batch_mode(spark):
     )
     out = stream_exact_dedup(df)
     assert out.count() == 2
+
+
+def test_text_ops_run_on_streams(spark, tmp_path):
+    """Stateless text operators (quality stats, language ID, PII
+    redaction) are narrow maps — the same expressions run unchanged on
+    a streaming DataFrame."""
+    import pandas as pd
+
+    from cubes_spark.llm import redact_pii, text_stats
+    from cubes_spark.streaming import read_parquet_stream
+
+    src = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        [(1, "the quick brown fox, mail me at a@b.co")],
+        columns=["doc_id", "text"],
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_parquet_stream(spark, src, schema)
+    annotated = redact_pii(text_stats(stream))
+    assert annotated.isStreaming
+
+    import tempfile
+
+    q = (annotated.writeStream.format("memory").queryName("t_textstream")
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp() + "/cp")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    row = spark.table("t_textstream").collect()[0]
+    assert row["n_email"] == 1
+    assert "[EMAIL]" in row["text_redacted"]
+    assert row["quality_score"] > 0

@@ -20,12 +20,15 @@ shuffle across many future joins.
 
 from __future__ import annotations
 
+import os
+
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "write_bucketed", "read_bucketed_table"]
+__all__ = ["salted_join", "write_bucketed", "read_bucketed_table",
+           "compact_table"]
 
 
 def salted_join(facts: DataFrame, dims: DataFrame,
@@ -90,3 +93,39 @@ def join_exchanges(df: DataFrame) -> List[str]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return [line.strip() for line in plan.splitlines()
             if "Exchange hashpartitioning" in line]
+
+
+def compact_table(spark, path: str, target_file_mb: int = 256,
+                  sort_cols: Optional[Sequence[str]] = None) -> int:
+    """Compact a small-files parquet table in place: coalesce to
+    ceil(bytes / target_file_mb) files, optionally sorted within files
+    (sorting clusters values so parquet min/max statistics prune row
+    groups on those columns).  The 100 TB operational chore — a
+    streaming sink or incremental loads leave thousands of KB-sized
+    files whose open/footers dominate scan time.
+
+    Returns the new file count.  Writes to a staging directory first
+    and swaps atomically-ish (rename), so a failed compaction never
+    corrupts the table.
+    """
+    import math
+    import shutil
+
+    size = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                size += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    staging = path.rstrip("/") + ".__compact__"
+    out.write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + ".__old__"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_files

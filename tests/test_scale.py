@@ -111,3 +111,22 @@ def test_salted_join_rejects_outer(spark):
     dims = spark.createDataFrame([(1, "x")], ["k", "l"])
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(facts, dims, ["k"], salt=4, how="right")
+
+
+def test_compact_table(spark, tmp_path):
+    from cubes_spark.operators.scale import compact_table
+
+    path = str(tmp_path / "many_files")
+    spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 17).alias("v")
+    ).repartition(64).write.parquet(path)
+    import glob
+    assert len(glob.glob(path + "/*.parquet")) >= 32
+
+    n = compact_table(spark, path, target_file_mb=256, sort_cols=["id"])
+    assert n == 1
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert back.agg(F.sum("id")).collect()[0][0] == 5000 * 4999 // 2

@@ -176,6 +176,18 @@ def q_agg_expression(spark, sf_dir):
     return _dbl(df, "discounted_price_sum", "charge_sum")
 
 
+def q_agg_expression_fns(spark, sf_dir):
+    """Expression-language scalar functions end-to-end: if/CASE,
+    round, scalar min (least), coalesce inside derived measures
+    (parity: sql/expressions.py:25-60 function table)."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag"],
+        aggregates=["capped_qty_sum", "price_band_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "capped_qty_sum", "price_band_sum"),
+                "fact_count")
+
+
 def q_agg_order_page(spark, sf_dir):
     """Explicit order by aggregate + pagination (page 1, size 5)."""
     df = _browser(spark, sf_dir).aggregation_dataframe(
@@ -1433,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_snowflake": q_agg_snowflake,
         "agg_roleplay": q_agg_roleplay,
         "agg_expression": q_agg_expression,
+        "agg_expression_fns": q_agg_expression_fns,
         "agg_order_page": q_agg_order_page,
         "agg_minmax": q_agg_minmax,
         "agg_avg_var": q_agg_avg_var,
@@ -2546,6 +2559,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
             TRUE AS within_5pct
         FROM lineitem"""
+
+    sql["agg_expression_fns"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            -- no LEAST: DuckDB promotes LEAST(decimal,..) to DOUBLE
+            CAST(SUM(CASE WHEN {_DEC_QTY} < 25 THEN {_DEC_QTY}
+                     ELSE CAST(25 AS DECIMAL(20,2)) END
+                     + COALESCE({_DEC_DISC}, CAST(0 AS DECIMAL(6,2))))
+                AS DOUBLE) AS capped_qty_sum,
+            CAST(SUM(CASE WHEN {_DEC_PRICE} > 2000
+                 THEN round({_DEC_PRICE} / 1000, 0) ELSE 0 END)
+                 AS DOUBLE) AS price_band_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
 
     sql["report_combo"] = """
         SELECT 'byflag' AS kind, l_returnflag AS member,

@@ -159,6 +159,13 @@ TPCH_MODEL = {
                 {"name": "quantity_sq", "expression": "quantity * quantity"},
                 {"name": "price_sq",
                  "expression": "extendedprice * extendedprice"},
+                # scalar-function breadth: if/round/min(=least)/coalesce
+                {"name": "capped_qty",
+                 "expression": "min(quantity, 25) + coalesce(discount, 0)"},
+                {"name": "price_band",
+                 "expression":
+                     "if(extendedprice > 2000,"
+                     " round(extendedprice / 1000, 0), 0)"},
             ],
             "aggregates": [
                 {"name": "quantity_sum", "function": "sum",
@@ -168,6 +175,10 @@ TPCH_MODEL = {
                 {"name": "discounted_price_sum", "function": "sum",
                  "measure": "discounted_price"},
                 {"name": "charge_sum", "function": "sum", "measure": "charge"},
+                {"name": "capped_qty_sum", "function": "sum",
+                 "measure": "capped_qty"},
+                {"name": "price_band_sum", "function": "sum",
+                 "measure": "price_band"},
                 {"name": "quantity_avg", "function": "avg",
                  "measure": "quantity"},
                 {"name": "discount_avg", "function": "avg",

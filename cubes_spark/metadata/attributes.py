@@ -10,6 +10,7 @@ stdlib ``ast`` module instead of the external ``expressions`` package.
 from __future__ import annotations
 
 import ast
+import re
 from typing import Any, Iterable, Optional
 
 from cubes_spark.errors import (
@@ -401,8 +402,12 @@ def attribute_dependencies(expression: str) -> set:
     references like ``date.year`` appear as ``Attribute(value=Name)``
     nodes and are reassembled into ``"date.year"``.
     """
+    # same pre-normalization as the compiler: `=` equality and the
+    # reference grammar's if(...) (a Python keyword)
+    normalized = re.sub(r"(?<![<>=!])=(?!=)", "==", expression)
+    normalized = re.sub(r"\bif\s*\(", "iif(", normalized)
     try:
-        tree = ast.parse(expression, mode="eval")
+        tree = ast.parse(normalized, mode="eval")
     except SyntaxError as e:
         raise ExpressionError(f"Invalid expression '{expression}': {e}") from e
 

@@ -27,6 +27,10 @@ __all__ = ["SparkExpressionCompiler", "compile_expression", "FUNCTIONS"]
 
 # ``a = b`` → ``a == b`` (but keep ``<=``, ``>=``, ``==``, ``!=``)
 _EQ_NORMALIZE = re.compile(r"(?<![<>=!])=(?!=)")
+#: the reference grammar's if(cond, a, b) — `if` is a Python keyword,
+#: so rewrite the call name before ast parsing (iif is registered as
+#: the same function)
+_IF_NORMALIZE = re.compile(r"\bif\s*\(")
 
 
 def _fn_left(col: Column, n: Column) -> Column:
@@ -115,6 +119,7 @@ FUNCTIONS: Dict[str, Callable[..., Column]] = {
     "coalesce": F.coalesce,
     "nullif": F.nullif,
     "if": _fn_if,
+    "iif": _fn_if,
 }
 
 
@@ -184,6 +189,7 @@ class SparkExpressionCompiler:
 
     def compile(self, expression: str) -> Column:
         normalized = _EQ_NORMALIZE.sub("==", expression)
+        normalized = _IF_NORMALIZE.sub("iif(", normalized)
         try:
             tree = ast.parse(normalized, mode="eval")
         except SyntaxError as e:

@@ -60,18 +60,22 @@ def _browser(spark: SparkSession, sf_dir: str):
     return _browsers[key]
 
 
+_stores: dict = {}
+
+
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-adaptive table read: ParquetStore sniffs the parquet
+    footer and converts only genuine TIMESTAMP(NANOS) columns to µs
+    timestamps; every other timestamp flavor reads natively.  (The
+    physical unit of e.g. events.ts is a property of the data, not of
+    the engine — never hard-code it.)"""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
-        # natively; read nanos as long and truncate to micros (exactly
-        # what DuckDB's micro-precision TIMESTAMP does)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from cubes_spark.sources.workspace import ParquetStore
+
+    key = (id(spark), sf_dir)
+    if key not in _stores:
+        _stores[key] = ParquetStore(spark, sf_dir)
+    return _stores[key].table(name)
 
 
 def _dbl(df: DataFrame, *cols: str) -> DataFrame:
@@ -186,6 +190,17 @@ def q_agg_expression_fns(spark, sf_dir):
     )
     return _lng(_dbl(df, "capped_qty_sum", "price_band_sum"),
                 "fact_count")
+
+
+def q_agg_expression_case(spark, sf_dir):
+    """Searched CASE in the expression language —
+    ``case(cond1, v1, cond2, v2, ..., else)`` (parity:
+    /root/reference/cubes/sql/expressions.py:46 ``case``)."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["returnflag"],
+        aggregates=["qty_tier_sum", "fact_count"],
+    )
+    return _lng(df, "qty_tier_sum", "fact_count")
 
 
 def q_agg_order_page(spark, sf_dir):
@@ -457,24 +472,13 @@ def q_events_stream_hourly(spark, sf_dir):
     Structured Streaming query: events replayed through a watermarked
     file stream (availableNow), result from the memory sink.  Verified
     against the same SQL oracle — streaming == batch == oracle."""
-    from pyspark.sql.types import (
-        DoubleType, LongType, StringType, StructField, StructType,
-    )
-
     from cubes_spark.streaming import read_parquet_stream, replay_to_memory, \
         windowed_aggregate
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = StructType([
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ])
-    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet",
-                                 schema, ts_unit="nanos")
+    # schema=None: derive the stream schema from the source footer
+    # (nanos/micros/millis all handled) instead of hard-coding a unit
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     windowed = windowed_aggregate(
         stream,
         {
@@ -497,24 +501,11 @@ def q_events_sessions(spark, sf_dir):
     session stays in GroupState (the append contract; the huge
     watermark keeps event-time timeouts from firing during replay), so
     the oracle's islands query drops each user's last session too."""
-    from pyspark.sql.types import (
-        DoubleType, LongType, StringType, StructField, StructType,
-    )
-
     from cubes_spark.streaming import read_parquet_stream, \
         replay_to_memory, stateful_sessionize
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = StructType([
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ])
-    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet",
-                                 schema, ts_unit="nanos")
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     sessions = stateful_sessionize(stream, gap_seconds=1800,
                                    watermark="3650 days")
     return replay_to_memory(sessions, "q_events_sessions",
@@ -642,16 +633,24 @@ def q_doc_bpe_tokens(spark, sf_dir):
 
 
 def q_doc_lang_quality(spark, sf_dir):
-    """Quality roll-up by language over exact (decimal) sums."""
+    """Quality roll-up by language.  The sum is computed over integer
+    basis points (round(score*10000) as long) — exact integer addition
+    on both engines, one double division at the end — so the result is
+    bit-identical regardless of each engine's double→decimal rounding
+    (the same bridge the emb_*_recall entries use)."""
     stats = text_stats(_table(spark, sf_dir, "documents"))
     return (
         stats.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.col("n_tokens")).cast("long").alias("total_tokens"),
-            F.sum(F.col("quality_score").cast("decimal(14,4)"))
-            .cast("double").alias("quality_sum"),
+            F.sum(F.round(F.col("quality_score") * 10000).cast("long"))
+            .alias("_quality_bp"),
         )
+        .withColumn(
+            "quality_sum",
+            (F.col("_quality_bp") / F.lit(10000.0)).cast("double"))
+        .drop("_quality_bp")
     )
 
 
@@ -1446,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_roleplay": q_agg_roleplay,
         "agg_expression": q_agg_expression,
         "agg_expression_fns": q_agg_expression_fns,
+        "agg_expression_case": q_agg_expression_case,
         "agg_order_page": q_agg_order_page,
         "agg_minmax": q_agg_minmax,
         "agg_avg_var": q_agg_avg_var,
@@ -2028,12 +2028,11 @@ def oracle_sql() -> dict[str, str]:
         derived AS ({_TEXT_STATS_DERIVED})
         SELECT b.lang, COUNT(*) AS n_docs,
             SUM(d.n_tokens) AS total_tokens,
-            -- VARCHAR route: DuckDB's direct decimal->double cast
-            -- double-rounds (int128->double, then /10^scale); the string
-            -- parse is correctly rounded, matching Spark's
-            -- BigDecimal.doubleValue (same trick as calc_smvar above).
-            CAST(CAST(SUM(CAST(d.quality_score AS DECIMAL(14,4)))
-                 AS VARCHAR) AS DOUBLE) AS quality_sum
+            -- integer basis points: exact long sum on both engines,
+            -- single double division at the end (matches the Spark side
+            -- bit-for-bit; see q_doc_lang_quality)
+            CAST(SUM(CAST(round(d.quality_score * 10000) AS BIGINT))
+                 / 10000.0 AS DOUBLE) AS quality_sum
         FROM base b JOIN derived d ON b.doc_id = d.doc_id
         GROUP BY 1"""
 
@@ -2570,6 +2569,15 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM(CASE WHEN {_DEC_PRICE} > 2000
                  THEN round({_DEC_PRICE} / 1000, 0) ELSE 0 END)
                  AS DOUBLE) AS price_band_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
+
+    sql["agg_expression_case"] = """
+        SELECT l_returnflag AS "returnflag.returnflag",
+            SUM(CASE WHEN l_quantity < 10 THEN 1
+                     WHEN l_quantity < 30 THEN 2
+                     WHEN l_quantity < 45 THEN 3
+                     ELSE 4 END) AS qty_tier_sum,
             COUNT(*) AS fact_count
         FROM lineitem GROUP BY 1"""
 

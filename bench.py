@@ -70,29 +70,46 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads + cuboid materialization for
     # the preagg query, plus one pass over the codegen-heavy LSH
     # pipelines so measured runs see tiered-up JIT, not compile time
-    queries["agg_year"](spark, sf_dir).count()
-    queries["preagg_year"](spark, sf_dir).count()
-    for warm in ("doc_minhash", "doc_simhash", "emb_ann"):
-        queries[warm](spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()
+    for warm in ("agg_year", "preagg_year", "doc_minhash", "doc_simhash",
+                 "emb_ann"):
+        try:
+            queries[warm](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+        except Exception as exc:  # a broken query must not kill the run
+            print(f"  warm-up {warm} failed: {exc}", file=sys.stderr)
         spark.catalog.clearCache()
 
+    # failure isolation: one broken query yields one null timing (and an
+    # "errors" entry), never a dead run — a bench that aborts loses
+    # every other measurement for the round
     timings: dict = {}
+    errors: dict = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]
         # best of 2: suppress scheduler/GC noise so round-over-round
         # comparisons reflect plan changes, not jitter
         best = None
+        failed = None
         for _ in range(2):
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                failed = f"{type(exc).__name__}: {exc}"[:300]
+                break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             # drop caches persisted inside operators (LSH signature
             # tables) so runs are measured independently
             spark.catalog.clearCache()
+        if failed is not None:
+            timings[name] = None
+            errors[name] = failed
+            print(f"  {name}: FAILED ({failed})", file=sys.stderr)
+            spark.catalog.clearCache()
+            continue
         timings[name] = round(best, 3)
         total += timings[name]
 
@@ -116,7 +133,7 @@ def main() -> None:
         if baseline.get("sf") == sf_val:
             for name, secs in timings.items():
                 base = baseline.get("queries", {}).get(name)
-                if not base:
+                if not base or secs is None:
                     continue
                 ratio = secs / base
                 marker = " <-- REGRESSION" if ratio > 1.5 else ""
@@ -134,6 +151,8 @@ def main() -> None:
     }
     if regressions:
         out["regressions"] = regressions
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)

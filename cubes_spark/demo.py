@@ -166,6 +166,11 @@ TPCH_MODEL = {
                  "expression":
                      "if(extendedprice > 2000,"
                      " round(extendedprice / 1000, 0), 0)"},
+                # searched CASE in call form: pairs + trailing else
+                {"name": "qty_tier",
+                 "expression":
+                     "case(quantity < 10, 1, quantity < 30, 2,"
+                     " quantity < 45, 3, 4)"},
             ],
             "aggregates": [
                 {"name": "quantity_sum", "function": "sum",
@@ -179,6 +184,8 @@ TPCH_MODEL = {
                  "measure": "capped_qty"},
                 {"name": "price_band_sum", "function": "sum",
                  "measure": "price_band"},
+                {"name": "qty_tier_sum", "function": "sum",
+                 "measure": "qty_tier"},
                 {"name": "quantity_avg", "function": "avg",
                  "measure": "quantity"},
                 {"name": "discount_avg", "function": "avg",

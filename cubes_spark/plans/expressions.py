@@ -46,6 +46,26 @@ def _fn_if(cond: Column, a: Column, b: Column) -> Column:
     return F.when(cond, a).otherwise(b)
 
 
+def _fn_case(*args: Column) -> Column:
+    """``case(cond1, val1, cond2, val2, ..., [else_val])`` — searched
+    CASE in call form (parity: the reference's ``case`` pass-through to
+    SQLAlchemy ``sql.case``, /root/reference/cubes/sql/expressions.py:46,154).
+    An odd trailing argument is the ELSE value; without it the result
+    is NULL when no condition matches, like SQL CASE."""
+    if len(args) < 2:
+        raise ExpressionError(
+            "case() needs at least a condition and a value")
+    pairs, else_value = args, None
+    if len(args) % 2 == 1:
+        pairs, else_value = args[:-1], args[-1]
+    result = F.when(pairs[0], pairs[1])
+    for i in range(2, len(pairs), 2):
+        result = result.when(pairs[i], pairs[i + 1])
+    if else_value is not None:
+        result = result.otherwise(else_value)
+    return result
+
+
 def _fn_extract(part: Any, col: Column) -> Column:
     return datepart(str(part), col)
 
@@ -120,6 +140,7 @@ FUNCTIONS: Dict[str, Callable[..., Column]] = {
     "nullif": F.nullif,
     "if": _fn_if,
     "iif": _fn_if,
+    "case": _fn_case,
 }
 
 

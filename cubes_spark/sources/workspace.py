@@ -114,6 +114,12 @@ class ParquetStore:
         longs (``nanosAsLong``) and converted to µs timestamps with
         INTEGER division (double division loses precision above
         2^53)."""
+        # naive parquet timestamps (micros/millis) read as TIMESTAMP
+        # rather than TIMESTAMP_NTZ: event-time ops (watermarks,
+        # windows) require TIMESTAMP, and with the session timezone
+        # pinned to UTC the wall-clock values are identical
+        self.spark.conf.set(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         nanos_cols = _nanos_timestamp_columns(location)
         if not nanos_cols:
             return self.spark.read.parquet(location)

@@ -29,17 +29,55 @@ __all__ = [
 
 
 def read_parquet_stream(spark: SparkSession, path: str,
-                        schema: StructType,
+                        schema: Optional[StructType] = None,
                         ts_col: str = "ts",
                         ts_unit: Optional[str] = None,
                         max_files_per_trigger: Optional[int] = None) -> DataFrame:
-    """Parquet file-source stream.  ``ts_unit='nanos'`` reads a
-    TIMESTAMP(NANOS) column declared as long in `schema` and truncates
-    to a micro-precision timestamp (Spark cannot read nanos natively;
-    see __spark_entry__._table).  ``max_files_per_trigger`` bounds
-    per-batch intake for backlog processing."""
-    if ts_unit == "nanos":
+    """Parquet file-source stream with schema-adaptive timestamp ingest.
+
+    With ``schema=None`` (the recommended mode) the stream schema is
+    derived from the source's parquet footer via a one-off batch read:
+    TIMESTAMP(NANOS) columns — which Spark cannot read natively — are
+    read as epoch-ns longs (``nanosAsLong``) and truncated to
+    µs-precision timestamps with integer division; every other
+    timestamp flavor (micros, millis) streams through unchanged.  This
+    makes ingest robust to the source's physical timestamp unit instead
+    of baking one in.
+
+    An explicit ``schema`` is trusted as-is, except that
+    ``ts_unit='nanos'`` (declaring ``ts_col`` as long-encoded nanos) is
+    validated against the footer: claiming nanos over a non-nanos file
+    would make Spark silently misread real timestamps through the long
+    schema — that must fail loudly, not ship wrong data.
+
+    ``max_files_per_trigger`` bounds per-batch intake for backlog
+    processing."""
+    from cubes_spark.sources.workspace import _nanos_timestamp_columns
+
+    nanos_cols: list = []
+    if schema is None:
+        # naive micros/millis timestamps must surface as TIMESTAMP (not
+        # TIMESTAMP_NTZ) — watermarks reject NTZ event time; session
+        # timezone is pinned UTC so values are identical
+        spark.conf.set(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        nanos_cols = _nanos_timestamp_columns(path)
+        if nanos_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the batch read reflects exactly what the stream will see
+        # (nanos columns appear as long when nanosAsLong is on)
+        schema = spark.read.parquet(path).schema
+    elif ts_unit == "nanos":
+        footer_nanos = _nanos_timestamp_columns(path)
+        if ts_col not in footer_nanos:
+            raise ValueError(
+                f"read_parquet_stream: ts_unit='nanos' declared for "
+                f"column '{ts_col}' but the parquet footer at {path} "
+                f"says it is not TIMESTAMP(NANOS); pass schema=None to "
+                f"auto-derive the schema instead"
+            )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        nanos_cols = [ts_col]
     if os.path.isfile(path):
         # the file-stream source requires a directory; expose a single
         # parquet file through a temp dir symlink
@@ -51,10 +89,10 @@ def read_parquet_stream(spark: SparkSession, path: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if ts_unit == "nanos":
+    for col in nanos_cols:
         df = df.withColumn(
-            ts_col,
-            F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")),
+            col,
+            F.timestamp_micros(F.expr(f"`{col}` div 1000")),
         )
     return df
 

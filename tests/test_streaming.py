@@ -15,15 +15,6 @@ from cubes_spark.streaming import (
 )
 from tests.conftest import SF_DIR
 
-EVENTS_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),          # TIMESTAMP(NANOS) as long
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
-
 def aggs():
     # built lazily: Column construction needs an active SparkContext
     return {
@@ -34,11 +25,10 @@ def aggs():
 
 
 def batch_events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # schema-adaptive: ParquetStore converts genuine TIMESTAMP(NANOS)
+    # columns and reads anything else (micros/millis) natively
+    from cubes_spark.sources.workspace import ParquetStore
+    return ParquetStore(spark, SF_DIR).table("events")
 
 
 def normalize(df):
@@ -48,9 +38,7 @@ def normalize(df):
 
 
 def test_streaming_equals_batch_tumbling(spark):
-    stream = read_parquet_stream(
-        spark, f"{SF_DIR}/events.parquet", EVENTS_SCHEMA, ts_unit="nanos"
-    )
+    stream = read_parquet_stream(spark, f"{SF_DIR}/events.parquet")
     assert stream.isStreaming
     windowed = windowed_aggregate(
         stream, aggs(), window="1 hour", group_by=["event_type"],
@@ -67,9 +55,7 @@ def test_streaming_equals_batch_tumbling(spark):
 
 
 def test_streaming_sliding_window(spark):
-    stream = read_parquet_stream(
-        spark, f"{SF_DIR}/events.parquet", EVENTS_SCHEMA, ts_unit="nanos"
-    )
+    stream = read_parquet_stream(spark, f"{SF_DIR}/events.parquet")
     windowed = windowed_aggregate(
         stream, aggs(), window="2 hours", slide="1 hour",
         watermark="2 hours",

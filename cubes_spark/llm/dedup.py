@@ -54,35 +54,58 @@ __all__ = [
 DEFAULT_MAX_BUCKET_SIZE = 4096
 
 
-def drop_overfull_buckets(df: DataFrame, keys: list,
-                          max_bucket_size: Optional[int]) -> DataFrame:
-    """Remove rows of buckets larger than ``max_bucket_size`` before a
-    bucketed self-join (the standard LSH skew guard).
+def _bucket_pairs(banded: DataFrame, keys: list, id_col: str,
+                  payload_col: str,
+                  max_bucket_size: Optional[int]) -> DataFrame:
+    """Ordered in-bucket candidate pairs from banded rows — the LSH
+    pair generator, shaped as ONE shuffle.
 
-    Implemented as a window count over the bucket keys, NOT a
-    groupBy+join back: the join form evaluates the (hash-heavy)
-    upstream twice — once per branch — while the window is a single
-    pass, and its hash-partitioning on the bucket keys is exactly what
-    the following self-join needs, so the exchange is reused rather
-    than added (measured: the join form cost ~60% extra on
-    doc_minhash)."""
-    if max_bucket_size is None:
-        return df
-    # count on a SLIM projection (keys only — map-side combined, the
-    # shuffle carries key+count pairs, never the signature arrays),
-    # keep only the OVERFULL keys (tiny by construction: at most
-    # N/max_bucket_size buckets can exceed the cap, usually zero) and
-    # broadcast-anti-join them away.  A window-count guard shuffles and
-    # sorts the full wide rows instead (~60% overhead measured on
-    # doc_minhash); this form adds one slim shuffle + a broadcast.
-    overfull = (
-        df.select(*keys)
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__n__"))
-        .filter(F.col("__n__") > max_bucket_size)
-        .drop("__n__")
+    ``groupBy(bucket) → collect sorted (id, payload) members → nested
+    explode`` replaces the banded equi-self-join: the join form
+    shuffles the banded rows twice (once per branch) and needs either a
+    persisted upstream or a full recompute, plus a separate
+    guard pass; this form shuffles them once, needs no persist (the
+    signature pipeline is consumed exactly once), and the skew guard is
+    a free ``size(members) <= max_bucket_size`` filter on the collected
+    bucket — no count aggregation, no broadcast anti-join.
+
+    Memory is bounded: a bucket row holds at most ``max_bucket_size``
+    members (cap 4096 → ≤ ~4 MB), and the pair explosion streams
+    through two chained generators — the per-row partner slice is
+    O(bucket), never the O(bucket²) flattened pair list.  Members are
+    sorted by id, so ``id_a < id_b`` holds by construction and each
+    bucket emits each pair exactly once (cross-bucket duplicates are
+    dropped by the caller)."""
+    member = F.struct(F.col(id_col).alias("__id__"),
+                      F.col(payload_col).alias("__p__"))
+    buckets = (
+        banded.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(member)).alias("__members__"))
+        .filter(F.size("__members__") >= 2)
     )
-    return df.join(F.broadcast(overfull), keys, "left_anti")
+    if max_bucket_size is not None:
+        # the standard LSH skew guard: degenerate buckets (empty
+        # documents, boilerplate shared by thousands) are mass-duplicate
+        # territory that exact_duplicates handles in one hash-groupBy
+        buckets = buckets.filter(F.size("__members__") <= max_bucket_size)
+    lefts = buckets.select(
+        F.col("__members__"),
+        F.posexplode("__members__").alias("__i__", "__a__"),
+    )
+    partners = F.slice(
+        F.col("__members__"),
+        F.col("__i__") + F.lit(2),
+        F.size("__members__") - F.col("__i__") - F.lit(1),
+    )
+    return (
+        lefts.select(F.col("__a__"), F.explode(partners).alias("__b__"))
+        .select(
+            F.col("__a__.__id__").alias("id_a"),
+            F.col("__a__.__p__").alias("payload_a"),
+            F.col("__b__.__id__").alias("id_b"),
+            F.col("__b__.__p__").alias("payload_b"),
+        )
+    )
 
 
 def content_hash(text: Column, normalize: bool = True) -> Column:
@@ -206,13 +229,11 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     if rows * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
 
-    # Persist signatures: both sides of the banded self-join read them,
-    # and without a materialization barrier Spark would recompute the
-    # whole shingle+hash pipeline twice.  Signatures are tiny relative
-    # to the corpus (id + num_hashes longs — ~100× smaller than text),
-    # the standard thing to materialize in an LSH pipeline.
+    # No persist needed: the bucket-groupBy pair generator consumes the
+    # signature pipeline exactly once (the self-join form read it from
+    # both branches and required a materialization barrier).
     sigs = minhash_signatures(df, text_col, id_col, num_hashes,
-                              shingle_k).persist()
+                              shingle_k)
 
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -228,23 +249,10 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.col("sig"),
         F.posexplode(band_arr).alias("band_id", "band_hash"),
     )
-    banded = drop_overfull_buckets(banded, ["band_id", "band_hash"],
-                                   max_bucket_size)
-
-    left = banded.select(
-        F.col("band_id"), F.col("band_hash"),
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
-    )
-    right = banded.select(
-        F.col("band_id"), F.col("band_hash"),
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
-    )
-    pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+    pairs = _bucket_pairs(banded, ["band_id", "band_hash"], id_col,
+                          "sig", max_bucket_size) \
+        .withColumnsRenamed({"payload_a": "sig_a", "payload_b": "sig_b"}) \
         .dropDuplicates(["id_a", "id_b"])
-    )
     est = (
         F.aggregate(
             F.zip_with(F.col("sig_a"), F.col("sig_b"),
@@ -316,9 +324,9 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     """
     bands = max_distance + 1
     width = nbits // bands
-    # persist: both sides of the banded self-join consume the
-    # fingerprints (see minhash_candidate_pairs)
-    sh = simhash(df, text_col, id_col, nbits=nbits).persist()
+    # no persist: the bucket-groupBy pair generator consumes the
+    # fingerprints once (see minhash_candidate_pairs)
+    sh = simhash(df, text_col, id_col, nbits=nbits)
 
     # last band absorbs the remainder bits when bands don't divide nbits
     band_exprs = []
@@ -335,20 +343,13 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.col("simhash"),
         F.posexplode(band_arr).alias("band_id", "band_val"),
     )
-    banded = drop_overfull_buckets(banded, ["band_id", "band_val"],
-                                   max_bucket_size)
-    left = banded.select("band_id", "band_val",
-                         F.col(id_col).alias("id_a"),
-                         F.col("simhash").alias("sh_a"))
-    right = banded.select("band_id", "band_val",
-                          F.col(id_col).alias("id_b"),
-                          F.col("simhash").alias("sh_b"))
-    distance = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        left.join(right, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    pairs = _bucket_pairs(banded, ["band_id", "band_val"], id_col,
+                          "simhash", max_bucket_size) \
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", distance.alias("distance"))
+    distance = F.bit_count(
+        F.col("payload_a").bitwiseXOR(F.col("payload_b")))
+    return (
+        pairs.select("id_a", "id_b", distance.alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )
 

@@ -171,6 +171,9 @@ TPCH_MODEL = {
                  "expression":
                      "case(quantity < 10, 1, quantity < 30, 2,"
                      " quantity < 45, 3, 4)"},
+                # NULL for zero discounts: makes count_nonempty
+                # observable (< fact_count) on null-free testdata
+                {"name": "discount_nz", "expression": "nullif(discount, 0)"},
             ],
             "aggregates": [
                 {"name": "quantity_sum", "function": "sum",
@@ -186,6 +189,8 @@ TPCH_MODEL = {
                  "measure": "price_band"},
                 {"name": "qty_tier_sum", "function": "sum",
                  "measure": "qty_tier"},
+                {"name": "discount_nz_count", "function": "count_nonempty",
+                 "measure": "discount_nz"},
                 {"name": "quantity_avg", "function": "avg",
                  "measure": "quantity"},
                 {"name": "discount_avg", "function": "avg",

@@ -50,7 +50,9 @@ from cubes_spark.llm.multimodal import (
     audio_metadata,
     binary_metadata,
     decode_features,
+    decode_png,
     image_dimensions,
+    png_pixel_stats,
 )
 
 __all__ = [
@@ -81,4 +83,6 @@ __all__ = [
     "image_dimensions",
     "audio_metadata",
     "decode_features",
+    "decode_png",
+    "png_pixel_stats",
 ]

@@ -1,16 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
-typed metadata columns alongside.  The *decode* step (pixel/sample
-access) is stubbed — the decode libraries are not available in this
-environment — but everything Spark-side is real and tested: the
-schema contract, Arrow-batched ``mapInPandas`` plumbing, batch shaping
-and partition behavior.  Swapping the stub for a real decoder (PIL,
-torchaudio, pyav) changes one function body, not the pipeline.
+typed metadata columns alongside.  PNG pixel decode is REAL — a
+stdlib-only decoder (``zlib`` inflate + full scanline unfiltering,
+:func:`decode_png`) feeding Arrow-batched ``mapInPandas`` operators
+(:func:`png_pixel_stats`, :func:`decode_features`).  Other codecs
+(JPEG entropy decode, audio/video samples) need external libraries not
+present in this environment and stay behind a clearly-marked
+``NotImplementedError``; swapping one in changes a function body, not
+the pipeline — the schema contract, batch shaping and partition
+behavior are shared and tested.
 """
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator, Optional
 
 import pandas as pd
@@ -27,7 +31,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
-           "decode_features", "FEATURE_SCHEMA"]
+           "decode_features", "decode_png", "png_pixel_stats",
+           "FEATURE_SCHEMA", "PIXEL_STATS_SCHEMA"]
 
 
 # -- pure-JVM header parsing ------------------------------------------------
@@ -202,15 +207,155 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
-def _decode_stub(payload: bytes, dim: int) -> list:
-    """STUB decode: a real implementation would decode pixels/samples
-    and pool them.  Raises by default; with ``fake=True`` callers get a
-    deterministic md5-seeded pseudo-feature so the full pipeline is
-    testable end-to-end.
+# -- real PNG decode (stdlib only) ------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (0 grey, 2 RGB, 4 grey+alpha, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG with the stdlib only.
+
+    Chunk walk → IDAT concat → ``zlib`` inflate → full scanline
+    unfiltering (None/Sub/Up/Average/Paeth, the complete PNG filter
+    set).  Returns ``(width, height, channels, samples)`` with
+    ``samples`` the row-major unfiltered bytes (``height × width ×
+    channels``).  Chunk CRCs are deliberately NOT verified — at scale
+    some blobs are slightly damaged, and a bad CRC on an otherwise
+    decodable image must not kill the batch; truly corrupt streams
+    still fail in inflate or the size checks.  Raises ``ValueError``
+    on non-PNG / unsupported (interlaced, 16-bit, paletted) input.
     """
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG stream")
+    pos, idat = 8, b""
+    width = height = bitdepth = colortype = interlace = None
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("short IHDR")
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bitdepth, colortype = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if width is None:
+        raise ValueError("missing IHDR")
+    if bitdepth != 8 or colortype not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bitdepth={bitdepth}, colortype={colortype},"
+            f" interlace={interlace})")
+    channels = _PNG_CHANNELS[colortype]
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data size mismatch")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(height):
+        ftype = raw[p]
+        line = bytearray(raw[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+#: Output schema of :func:`png_pixel_stats` — corrupt/unsupported rows
+#: yield NULL stats, never errors.
+PIXEL_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("sample_sum", LongType()),
+])
+
+
+def png_pixel_stats(df: DataFrame, binary_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Real pixel-level statistics over a PNG binary column:
+    ``(doc_id, width, height, n_samples, sample_sum)`` with
+    ``n_samples = width × height × channels`` and ``sample_sum`` the
+    exact integer sum of all unfiltered samples.
+
+    Arrow-batched ``mapInPandas`` over a slim (id, payload) projection;
+    a narrow map — no shuffle, linear in partitions.  Rows that fail to
+    decode produce NULL stats (corruption tolerance at scale)."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_samples": [], "sample_sum": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    w, h, ch, samples = decode_png(bytes(p))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_samples"].append(len(samples))
+                    out["sample_sum"].append(sum(samples))
+                except (ValueError, zlib.error):
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_samples"].append(None)
+                    out["sample_sum"].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(stats, PIXEL_STATS_SCHEMA)
+
+
+def _decode_stub(payload: bytes, dim: int) -> list:
+    """Feature extraction: REAL for PNG (stdlib decode + strip
+    pooling); other codecs need external decode libraries not present
+    in this environment and raise.  ``fake=True`` on
+    :func:`decode_features` remains the deterministic test double for
+    arbitrary formats."""
+    if payload[:8] == _PNG_SIG:
+        _w, _h, _ch, samples = decode_png(payload)
+        n = len(samples)
+        feats = []
+        for i in range(dim):
+            lo = i * n // dim
+            hi = max((i + 1) * n // dim, lo + 1)
+            seg = samples[lo:hi]
+            feats.append(sum(seg) / len(seg) / 255.0)
+        return feats
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in "
-        "this environment; use decode_features(..., fake=True) for the "
+        "only PNG decode is implemented with the stdlib; other codecs "
+        "require an image/audio library not present in this "
+        "environment — use decode_features(..., fake=True) for the "
         "deterministic test double"
     )
 

@@ -523,3 +523,118 @@ def test_trigram_logprob_ranks_fluency(spark):
     again = {r["doc_id"]: r["trigram_logprob"]
              for r in trigram_logprob(df).collect()}
     assert all(again[k] == out[k]["trigram_logprob"] for k in again)
+
+
+def _encode_png(width, height, channels, samples, filters=None,
+                bitdepth=8, interlace=0):
+    """Minimal REAL PNG encoder (zlib-compressed, correct CRCs) with a
+    chosen filter type per scanline — the adversarial counterpart of
+    cubes_spark.llm.multimodal.decode_png."""
+    import struct
+    import zlib
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(samples[y * stride:(y + 1) * stride])
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:    # Sub
+            raw += bytes((line[i] - (line[i - channels] if i >= channels
+                                     else 0)) & 0xFF
+                         for i in range(stride))
+        elif ft == 2:    # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:    # Average
+            raw += bytes((line[i] - (((line[i - channels] if i >= channels
+                                       else 0) + prev[i]) >> 1)) & 0xFF
+                         for i in range(stride))
+        elif ft == 4:    # Paeth
+            out = bytearray()
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b, c = prev[i], (prev[i - channels] if i >= channels else 0)
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((line[i] - pr) & 0xFF)
+            raw += out
+        prev = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bitdepth, colortype,
+                       0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_roundtrip_all_filters():
+    from cubes_spark.llm.multimodal import decode_png
+
+    w, h = 7, 9
+    for channels in (1, 2, 3, 4):
+        samples = bytes((13 * i + 7) % 256 for i in range(w * h * channels))
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            payload = _encode_png(w, h, channels, samples, filters)
+            gw, gh, gch, got = decode_png(payload)
+            assert (gw, gh, gch) == (w, h, channels), filters
+            assert got == samples, (channels, filters)
+
+
+def test_decode_png_rejects_unsupported():
+    import pytest
+
+    from cubes_spark.llm.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    good = _encode_png(3, 3, 1, bytes(range(9)))
+    with pytest.raises(ValueError):
+        decode_png(_encode_png(3, 3, 1, bytes(range(9)), bitdepth=16))
+    with pytest.raises(ValueError):
+        decode_png(_encode_png(3, 3, 1, bytes(range(9)), interlace=1))
+    # CRC damage is tolerated (lenient decode), content identical
+    damaged = good[:-4] + b"\x00\x00\x00\x00"
+    assert decode_png(damaged) == decode_png(good)
+
+
+def test_png_pixel_stats_and_real_features(spark):
+    from cubes_spark.llm.multimodal import png_pixel_stats
+
+    imgs = {}
+    for did, (w, h, ch) in {1: (5, 4, 3), 2: (3, 7, 1)}.items():
+        samples = bytes((did * 31 + 5 * i) % 256 for i in range(w * h * ch))
+        imgs[did] = (w, h, ch, samples)
+    rows = [(did, _encode_png(w, h, ch, s, [0, 4]))
+            for did, (w, h, ch, s) in imgs.items()]
+    rows.append((3, b"\x89PNG\r\n\x1a\x08garbage"))   # corrupt -> NULLs
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+
+    stats = {r["doc_id"]: r for r in
+             png_pixel_stats(df, "payload").collect()}
+    for did, (w, h, ch, s) in imgs.items():
+        assert stats[did]["width"] == w
+        assert stats[did]["height"] == h
+        assert stats[did]["n_samples"] == w * h * ch
+        assert stats[did]["sample_sum"] == sum(s)
+    assert stats[3]["width"] is None and stats[3]["sample_sum"] is None
+
+    # real (non-fake) feature extraction now works for PNG payloads
+    feats = {r["doc_id"]: r["features"] for r in
+             decode_features(df.filter("doc_id < 3"), "payload",
+                             dim=4).collect()}
+    for did, (w, h, ch, s) in imgs.items():
+        n = len(s)
+        expect = [sum(s[i * n // 4:max((i + 1) * n // 4, i * n // 4 + 1)])
+                  / len(s[i * n // 4:max((i + 1) * n // 4, i * n // 4 + 1)])
+                  / 255.0 for i in range(4)]
+        assert feats[did] == pytest.approx(expect)

@@ -504,6 +504,28 @@ def q_events_stream_hourly(spark, sf_dir):
                          "value_sum")
 
 
+def q_events_stream_dedup(spark, sf_dir):
+    """Streaming ingest dedup (dropDuplicatesWithinWatermark) over the
+    replayed bounded events stream: first arrival per normalized
+    (event_type|props) content wins, state bounded by the watermark.
+    Aggregated to per-type unique counts so the result is independent
+    of which duplicate row arrived first."""
+    from cubes_spark.streaming import read_parquet_stream, \
+        replay_to_memory, stream_exact_dedup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    keyed = stream.withColumn(
+        "__content__", F.concat_ws("|", "event_type", "props"))
+    dedup = stream_exact_dedup(keyed, text_col="__content__",
+                               id_col="event_id", ts_col="ts",
+                               watermark="2 hours")
+    result = replay_to_memory(dedup, "q_events_stream_dedup",
+                              output_mode="append")
+    return result.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"))
+
+
 def q_events_sessions(spark, sf_dir):
     """CUSTOM STATEFUL streaming operator (applyInPandasWithState):
     gap-based sessionization with an ordered event-type sequence
@@ -1359,6 +1381,56 @@ def q_doc_pixel_decode(spark, sf_dir):
          / F.col("n_samples")).cast("double"))
 
 
+def q_doc_audio_decode(spark, sf_dir):
+    """REAL audio decode end-to-end: complete PCM WAV files (RIFF +
+    fmt + 16-bit LE data, all fields little-endian) are built per
+    doc_id in-plan, then decoded by the stdlib WAV decoder inside the
+    Arrow ``mapInPandas`` operator ``wav_sample_stats``
+    (cubes_spark/llm/multimodal.py).  Sample values are closed-form in
+    doc_id, so the DuckDB oracle recomputes the expected sums without
+    decoding."""
+    from cubes_spark.llm import wav_sample_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    n = (F.lit(20) + F.col("doc_id") % 16).cast("long")   # frames, mono
+    rate = (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("long")
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le16(col):
+        return F.concat(hex2(col % 256), hex2((col / 256).cast("long")))
+
+    def le32(col):
+        out = []
+        for i in range(4):
+            out.append(hex2((col / (256 ** i)).cast("long") % 256))
+        return F.concat(*out)
+
+    # sample(i) as u16 = (doc_id*11 + i*17) % 65536; signed value is
+    # that minus 32768 (decoded by the s16le reader)
+    data_hex = F.aggregate(
+        F.sequence(F.lit(0), n - 1), F.lit(""),
+        lambda acc, i: F.concat(
+            acc, le16((F.col("doc_id") * 11 + i * 17) % 65536)),
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(n * 2 + 36), F.lit("57415645"),  # RIFF/WAVE
+        F.lit("666D7420"), le32(F.lit(16)),                      # fmt , 16
+        F.lit("0100" "0100"),              # PCM, mono
+        le32(rate), le32(rate * 2),        # sample rate, byte rate
+        F.lit("0200" "1000"),              # block align 2, 16 bits
+        F.lit("64617461"), le32(n * 2),    # data chunk
+        data_hex,
+    )
+    df = docs.withColumn("payload", F.unhex(wav_hex))
+    stats = wav_sample_stats(df, "payload")
+    return stats.withColumn(
+        "sample_mean",
+        (F.col("sample_sum").cast("double")
+         / F.col("n_samples")).cast("double"))
+
+
 def q_auth_restricted(spark, sf_dir):
     """Authorization end-to-end: SimpleAuthorizer cell restriction
     (hidden cut returnflag:A + requested cut date:1995) applied to a
@@ -1568,6 +1640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_expression_case": q_agg_expression_case,
         "doc_pixel_decode": q_doc_pixel_decode,
         "agg_count_nonempty": q_agg_count_nonempty,
+        "doc_audio_decode": q_doc_audio_decode,
+        "events_stream_dedup": q_events_stream_dedup,
         # -- flagship pillar representatives
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
@@ -1578,9 +1652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
         "emb_ann": q_emb_ann,
+        # -- green in rounds 3 and 4: rotated behind the 50-entry window
         "crosstab": q_crosstab,
         "preagg_year": q_preagg_year,
-        # -- green in rounds 3 and 4: rotated behind the 50-entry window
         "calc_sma": q_calc_sma,
         "agg_point_cut": q_agg_point_cut,
         "agg_set_cut": q_agg_set_cut,
@@ -2696,6 +2770,36 @@ def oracle_sql() -> dict[str, str]:
             COUNT(nullif(l_discount, 0)) AS discount_nz_count,
             COUNT(*) AS fact_count
         FROM lineitem GROUP BY 1"""
+
+    # streaming dedup: per-type distinct normalized content (the Spark
+    # side keeps first arrivals; counts are arrival-order independent)
+    sql["events_stream_dedup"] = r"""
+        SELECT event_type,
+            COUNT(DISTINCT regexp_replace(
+                lower(trim(concat_ws('|', event_type, props))),
+                '\s+', ' ', 'g')) AS n_unique
+        FROM events GROUP BY 1"""
+
+    # audio decode: same closed-form-oracle pattern as doc_pixel_decode
+    sql["doc_audio_decode"] = """
+        WITH sm AS (
+            SELECT doc_id,
+                20 + doc_id % 16 AS n,
+                8000 + (doc_id % 4) * 4000 AS rate,
+                -- s16 reinterpretation of the stored u16 word:
+                -- ((v + 32768) % 65536) - 32768
+                list_sum(list_transform(
+                    range(CAST(20 + doc_id % 16 AS INT)),
+                    i -> (doc_id * 11 + i * 17 + 32768) % 65536 - 32768))
+                    AS ssum
+            FROM documents)
+        SELECT doc_id,
+            CAST(1 AS BIGINT) AS n_channels,
+            CAST(rate AS BIGINT) AS sample_rate,
+            CAST(n AS BIGINT) AS n_samples,
+            CAST(ssum AS BIGINT) AS sample_sum,
+            CAST(CAST(ssum AS DOUBLE) / n AS DOUBLE) AS sample_mean
+        FROM sm"""
 
     sql["agg_expression_case"] = """
         SELECT l_returnflag AS "returnflag.returnflag",

@@ -51,8 +51,10 @@ from cubes_spark.llm.multimodal import (
     binary_metadata,
     decode_features,
     decode_png,
+    decode_wav,
     image_dimensions,
     png_pixel_stats,
+    wav_sample_stats,
 )
 
 __all__ = [
@@ -84,5 +86,7 @@ __all__ = [
     "audio_metadata",
     "decode_features",
     "decode_png",
+    "decode_wav",
     "png_pixel_stats",
+    "wav_sample_stats",
 ]

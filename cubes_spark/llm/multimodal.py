@@ -1,19 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
-typed metadata columns alongside.  PNG pixel decode is REAL — a
-stdlib-only decoder (``zlib`` inflate + full scanline unfiltering,
-:func:`decode_png`) feeding Arrow-batched ``mapInPandas`` operators
-(:func:`png_pixel_stats`, :func:`decode_features`).  Other codecs
-(JPEG entropy decode, audio/video samples) need external libraries not
-present in this environment and stay behind a clearly-marked
-``NotImplementedError``; swapping one in changes a function body, not
-the pipeline — the schema contract, batch shaping and partition
-behavior are shared and tested.
+typed metadata columns alongside.  PNG pixel decode and PCM WAV sample
+decode are REAL — stdlib-only decoders (``zlib`` inflate + full
+scanline unfiltering in :func:`decode_png`; RIFF chunk walk + s16le/u8
+samples in :func:`decode_wav`) feeding Arrow-batched ``mapInPandas``
+operators (:func:`png_pixel_stats`, :func:`wav_sample_stats`,
+:func:`decode_features`).  Other codecs (JPEG entropy decode,
+compressed audio, video) need external libraries not present in this
+environment and stay behind a clearly-marked ``NotImplementedError``;
+swapping one in changes a function body, not the pipeline — the schema
+contract, batch shaping and partition behavior are shared and tested.
 """
 
 from __future__ import annotations
 
+import sys
 import zlib
 from typing import Iterator, Optional
 
@@ -32,7 +34,9 @@ from pyspark.sql.types import (
 
 __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "decode_features", "decode_png", "png_pixel_stats",
-           "FEATURE_SCHEMA", "PIXEL_STATS_SCHEMA"]
+           "decode_wav", "wav_sample_stats",
+           "FEATURE_SCHEMA", "PIXEL_STATS_SCHEMA",
+           "SAMPLE_STATS_SCHEMA"]
 
 
 # -- pure-JVM header parsing ------------------------------------------------
@@ -289,6 +293,91 @@ def decode_png(payload: bytes):
         out[y * stride:(y + 1) * stride] = line
         prev = line
     return width, height, channels, bytes(out)
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM RIFF/WAVE stream with the stdlib only.
+
+    Chunk walk (word-aligned, unknown chunks skipped) → fmt + data →
+    samples as signed ints: 16-bit little-endian, or 8-bit unsigned
+    re-centered to signed (the WAV conventions).  Returns
+    ``(n_channels, sample_rate, bits, samples)`` with ``samples``
+    frame-major interleaved.  Raises ``ValueError`` on non-PCM or
+    other unsupported input (compressed audio needs codec libraries
+    not present in this environment)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        chunk = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)   # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16) or channels == 0:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 8:
+        samples = [b - 128 for b in data]
+    else:
+        import array
+
+        arr = array.array("h")
+        arr.frombytes(data[:len(data) // 2 * 2])
+        if sys.byteorder == "big":
+            arr.byteswap()
+        samples = arr.tolist()
+    return channels, rate, bits, samples
+
+
+#: Output schema of :func:`wav_sample_stats`.
+SAMPLE_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_channels", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("sample_sum", LongType()),
+])
+
+
+def wav_sample_stats(df: DataFrame, binary_col: str,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Real sample-level statistics over a PCM WAV binary column:
+    channel count, sample rate, total sample count and the exact
+    integer sum of all (signed) samples.  Same contract as
+    :func:`png_pixel_stats`: Arrow-batched narrow map, NULL stats on
+    undecodable rows."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_channels": [], "sample_rate": [],
+                   "n_samples": [], "sample_sum": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    ch, rate, _bits, samples = decode_wav(bytes(p))
+                    out["n_channels"].append(ch)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(len(samples))
+                    out["sample_sum"].append(sum(samples))
+                except ValueError:
+                    out["n_channels"].append(None)
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["sample_sum"].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(stats, SAMPLE_STATS_SCHEMA)
 
 
 #: Output schema of :func:`png_pixel_stats` — corrupt/unsupported rows

@@ -638,3 +638,78 @@ def test_png_pixel_stats_and_real_features(spark):
                   / len(s[i * n // 4:max((i + 1) * n // 4, i * n // 4 + 1)])
                   / 255.0 for i in range(4)]
         assert feats[did] == pytest.approx(expect)
+
+
+def _encode_wav(channels, rate, bits, samples):
+    """Minimal REAL PCM WAV encoder — adversarial counterpart of
+    cubes_spark.llm.multimodal.decode_wav."""
+    import struct
+
+    if bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+def test_decode_wav_roundtrip():
+    from cubes_spark.llm.multimodal import decode_wav
+
+    samples16 = [(-32768 + 997 * i) % 65536 - 32768 for i in range(96)]
+    for channels in (1, 2):
+        ch, rate, bits, got = decode_wav(
+            _encode_wav(channels, 44100, 16, samples16))
+        assert (ch, rate, bits) == (channels, 44100, 16)
+        assert got == samples16
+    samples8 = [(i * 7) % 256 - 128 for i in range(33)]
+    ch, rate, bits, got = decode_wav(_encode_wav(1, 8000, 8, samples8))
+    assert (ch, rate, bits) == (1, 8000, 8)
+    assert got == samples8
+
+
+def test_decode_wav_skips_extra_chunks_and_rejects_non_pcm():
+    import struct
+
+    import pytest
+
+    from cubes_spark.llm.multimodal import decode_wav
+
+    samples = [100, -100, 7]
+    wav = _encode_wav(1, 8000, 16, samples)
+    # splice an odd-sized LIST chunk before fmt (word-aligned skip)
+    head, rest = wav[:12], wav[12:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    spliced = head + extra + rest
+    assert decode_wav(spliced)[3] == samples
+
+    non_pcm = wav.replace(b"fmt \x10\x00\x00\x00\x01\x00",
+                          b"fmt \x10\x00\x00\x00\x03\x00", 1)
+    with pytest.raises(ValueError):
+        decode_wav(non_pcm)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI " + wav[12:])
+
+
+def test_wav_sample_stats(spark):
+    from cubes_spark.llm.multimodal import wav_sample_stats
+
+    s1 = [(13 * i) % 4001 - 2000 for i in range(50)]
+    s2 = [(-1) ** i * i for i in range(31)]
+    rows = [(1, _encode_wav(2, 22050, 16, s1)),
+            (2, _encode_wav(1, 8000, 8, s2)),
+            (3, b"RIFF\x00\x00\x00\x00WAVEgarbage")]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    stats = {r["doc_id"]: r for r in
+             wav_sample_stats(df, "payload").collect()}
+    assert stats[1]["n_channels"] == 2
+    assert stats[1]["sample_rate"] == 22050
+    assert stats[1]["n_samples"] == len(s1)
+    assert stats[1]["sample_sum"] == sum(s1)
+    assert stats[2]["sample_sum"] == sum(s2)
+    assert stats[3]["n_samples"] is None

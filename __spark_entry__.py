@@ -1431,6 +1431,82 @@ def q_doc_audio_decode(spark, sf_dir):
          / F.col("n_samples")).cast("double"))
 
 
+def q_doc_gif_decode(spark, sf_dir):
+    """REAL GIF decode end-to-end: complete GIF89a files are built
+    per doc_id in-plan — pixels emitted as literal 9-bit LZW codes
+    after a clear code (the standard 'uncompressed GIF' encoding, a
+    valid LZW stream), bit-packed LSB-first by an in-plan fold — then
+    decoded by the stdlib LZW decoder inside the Arrow ``mapInPandas``
+    operator ``gif_pixel_stats`` (cubes_spark/llm/multimodal.py).
+    Pixel indices are closed-form in doc_id; the grey palette makes
+    rgb_sum = 3 × index_sum."""
+    from cubes_spark.llm import gif_pixel_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("long")
+    h = (F.lit(3) + F.col("doc_id") % 3).cast("long")
+    n = w * h                      # <= 40 pixels: 9-bit codes suffice
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le16(col):
+        return F.concat(hex2(col % 256), hex2((col / 256).cast("long")))
+
+    # code stream: CLEAR(256), n literal pixel codes, EOI(257) — after
+    # a clear the dict grows by one entry per literal, staying far
+    # below 512, so every code is 9 bits wide
+    codes = F.concat(
+        F.array(F.lit(256).cast("long")),
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda i: (F.col("doc_id") * 5 + i * 29) % 256),
+        F.array(F.lit(257).cast("long")),
+    )
+    pow2 = F.array(*[F.lit(1 << k).cast("long") for k in range(8)])
+
+    def pack_step(acc, c):
+        # LSB-first: or the 9-bit code in at bit offset nb (nb <= 7),
+        # emit one byte always, a second when 16 bits are pending
+        buf2 = (acc.getField("buf")
+                + c * F.element_at(pow2, acc.getField("nb").cast("int") + 1))
+        nb2 = acc.getField("nb") + 9
+        rest1 = (buf2 / 256).cast("long")
+        nb3 = nb2 - 8
+        two = nb3 >= 8
+        return F.struct(
+            F.concat(acc.getField("hex"), hex2(buf2 % 256),
+                     F.when(two, hex2(rest1 % 256)).otherwise(F.lit("")))
+            .alias("hex"),
+            F.when(two, (rest1 / 256).cast("long")).otherwise(rest1)
+            .alias("buf"),
+            F.when(two, nb3 - 8).otherwise(nb3).alias("nb"),
+        )
+
+    packed = F.aggregate(
+        codes,
+        F.struct(F.lit("").alias("hex"),
+                 F.lit(0).cast("long").alias("buf"),
+                 F.lit(0).cast("long").alias("nb")),
+        pack_step,
+        lambda acc: F.when(
+            acc.getField("nb") > 0,
+            F.concat(acc.getField("hex"), hex2(acc.getField("buf") % 256)),
+        ).otherwise(acc.getField("hex")),
+    )
+    grey_palette = "".join(f"{i:02X}" * 3 for i in range(256))
+    gif_hex = F.concat(
+        F.lit("474946383961"), le16(w), le16(h),        # GIF89a + screen
+        F.lit("F70000"), F.lit(grey_palette),           # 256-color table
+        F.lit("2C" "0000" "0000"), le16(w), le16(h), F.lit("00"),
+        F.lit("08"),                                    # LZW min code size
+        hex2(F.length(packed) / 2), packed, F.lit("00"),  # one sub-block
+        F.lit("3B"),
+    )
+    df = docs.withColumn("payload", F.unhex(gif_hex))
+    return gif_pixel_stats(df, "payload")
+
+
 def q_auth_restricted(spark, sf_dir):
     """Authorization end-to-end: SimpleAuthorizer cell restriction
     (hidden cut returnflag:A + requested cut date:1995) applied to a
@@ -1642,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_count_nonempty": q_agg_count_nonempty,
         "doc_audio_decode": q_doc_audio_decode,
         "events_stream_dedup": q_events_stream_dedup,
+        "doc_gif_decode": q_doc_gif_decode,
         # -- flagship pillar representatives
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
@@ -1651,8 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_quality": q_doc_lang_quality,
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
-        "emb_ann": q_emb_ann,
         # -- green in rounds 3 and 4: rotated behind the 50-entry window
+        "emb_ann": q_emb_ann,
         "crosstab": q_crosstab,
         "preagg_year": q_preagg_year,
         "calc_sma": q_calc_sma,
@@ -2779,6 +2856,24 @@ def oracle_sql() -> dict[str, str]:
                 lower(trim(concat_ws('|', event_type, props))),
                 '\s+', ' ', 'g')) AS n_unique
         FROM events GROUP BY 1"""
+
+    # GIF decode: grey palette (i,i,i) -> rgb_sum = 3 * index_sum
+    sql["doc_gif_decode"] = """
+        WITH px AS (
+            SELECT doc_id,
+                4 + doc_id % 5 AS w,
+                3 + doc_id % 3 AS h,
+                list_sum(list_transform(
+                    range(CAST((4 + doc_id % 5) * (3 + doc_id % 3)
+                               AS INT)),
+                    i -> (doc_id * 5 + i * 29) % 256)) AS isum
+            FROM documents)
+        SELECT doc_id,
+            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            CAST(w * h AS BIGINT) AS n_pixels,
+            CAST(isum AS BIGINT) AS index_sum,
+            CAST(3 * isum AS BIGINT) AS rgb_sum
+        FROM px"""
 
     # audio decode: same closed-form-oracle pattern as doc_pixel_decode
     sql["doc_audio_decode"] = """

@@ -50,8 +50,10 @@ from cubes_spark.llm.multimodal import (
     audio_metadata,
     binary_metadata,
     decode_features,
+    decode_gif,
     decode_png,
     decode_wav,
+    gif_pixel_stats,
     image_dimensions,
     png_pixel_stats,
     wav_sample_stats,
@@ -85,8 +87,10 @@ __all__ = [
     "image_dimensions",
     "audio_metadata",
     "decode_features",
+    "decode_gif",
     "decode_png",
     "decode_wav",
+    "gif_pixel_stats",
     "png_pixel_stats",
     "wav_sample_stats",
 ]

@@ -1,16 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
-typed metadata columns alongside.  PNG pixel decode and PCM WAV sample
-decode are REAL — stdlib-only decoders (``zlib`` inflate + full
-scanline unfiltering in :func:`decode_png`; RIFF chunk walk + s16le/u8
-samples in :func:`decode_wav`) feeding Arrow-batched ``mapInPandas``
-operators (:func:`png_pixel_stats`, :func:`wav_sample_stats`,
-:func:`decode_features`).  Other codecs (JPEG entropy decode,
-compressed audio, video) need external libraries not present in this
-environment and stay behind a clearly-marked ``NotImplementedError``;
-swapping one in changes a function body, not the pipeline — the schema
-contract, batch shaping and partition behavior are shared and tested.
+typed metadata columns alongside.  PNG, GIF and PCM WAV decode are
+REAL — stdlib-only decoders (``zlib`` inflate + full scanline
+unfiltering in :func:`decode_png`; complete variable-width LZW in
+:func:`decode_gif`; RIFF chunk walk + s16le/u8 samples in
+:func:`decode_wav`) feeding Arrow-batched ``mapInPandas`` operators
+(:func:`png_pixel_stats`, :func:`gif_pixel_stats`,
+:func:`wav_sample_stats`, :func:`decode_features`).  Other codecs
+(JPEG entropy decode, compressed audio, video) need external libraries
+not present in this environment and stay behind a clearly-marked
+``NotImplementedError``; swapping one in changes a function body, not
+the pipeline — the schema contract, batch shaping and partition
+behavior are shared and tested.
 """
 
 from __future__ import annotations
@@ -35,8 +37,9 @@ from pyspark.sql.types import (
 __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "decode_features", "decode_png", "png_pixel_stats",
            "decode_wav", "wav_sample_stats",
+           "decode_gif", "gif_pixel_stats",
            "FEATURE_SCHEMA", "PIXEL_STATS_SCHEMA",
-           "SAMPLE_STATS_SCHEMA"]
+           "SAMPLE_STATS_SCHEMA", "INDEX_STATS_SCHEMA"]
 
 
 # -- pure-JVM header parsing ------------------------------------------------
@@ -293,6 +296,174 @@ def decode_png(payload: bytes):
         out[y * stride:(y + 1) * stride] = line
         prev = line
     return width, height, channels, bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes (min+1 … 12
+    bits), clear/EOI codes, KwKwK case, deferred-clear handling (table
+    capped at 4096, codes keep flowing at 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+    table = base + [b"", b""]
+    width = min_code_size + 1
+    buf = nbits = 0
+    out = bytearray()
+    prev = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            nbits -= width
+            if code == clear:
+                table = base + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out[:npixels])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            else:               # KwKwK: code == len(table)
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= npixels:
+                return bytes(out[:npixels])
+    return bytes(out[:npixels])
+
+
+def _deinterlace(indices: bytes, width: int, height: int) -> bytes:
+    """Reorder GIF 4-pass interlaced rows into natural order."""
+    rows = [indices[y * width:(y + 1) * width] for y in range(height)]
+    order = (list(range(0, height, 8)) + list(range(4, height, 8))
+             + list(range(2, height, 4)) + list(range(1, height, 2)))
+    out = [b""] * height
+    for src, dst in zip(rows, order):
+        out[dst] = src
+    return b"".join(out)
+
+
+def decode_gif(payload: bytes):
+    """Decode the first frame of a GIF87a/89a with the stdlib only.
+
+    Logical screen + color tables → extension-block skip → image
+    descriptor → full LZW decompression (:func:`_lzw_decode`) →
+    de-interlace when flagged.  Returns ``(width, height, indices,
+    palette)`` where ``indices`` is the row-major palette-index bytes
+    of the first frame and ``palette`` the active color table as a
+    list of (r, g, b).  Raises ``ValueError`` on non-GIF/truncated
+    input."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    pos = 6
+    pos += 4  # logical screen w/h (frame size comes from the descriptor)
+    if pos + 3 > len(payload):
+        raise ValueError("truncated GIF header")
+    packed = payload[pos]
+    pos += 3  # packed + background + aspect
+    palette = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        raw = payload[pos:pos + 3 * n]
+        if len(raw) < 3 * n:
+            raise ValueError("truncated GIF color table")
+        palette = [(raw[i], raw[i + 1], raw[i + 2])
+                   for i in range(0, 3 * n, 3)]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:           # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:         # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            w = int.from_bytes(payload[pos + 4:pos + 6], "little")
+            h = int.from_bytes(payload[pos + 6:pos + 8], "little")
+            ipacked = payload[pos + 8]
+            pos += 9
+            if ipacked & 0x80:      # local color table wins
+                n = 2 << (ipacked & 0x07)
+                raw = payload[pos:pos + 3 * n]
+                palette = [(raw[i], raw[i + 1], raw[i + 2])
+                           for i in range(0, 3 * n, 3)]
+                pos += 3 * n
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            if not (2 <= min_code_size <= 11):
+                raise ValueError(f"bad LZW min code size {min_code_size}")
+            indices = _lzw_decode(bytes(data), min_code_size, w * h)
+            if len(indices) != w * h:
+                raise ValueError("truncated GIF image data")
+            if ipacked & 0x40:
+                indices = _deinterlace(indices, w, h)
+            return w, h, indices, palette
+        elif block == 0x3B:         # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("no image frame in GIF")
+
+
+#: Output schema of :func:`gif_pixel_stats`.
+INDEX_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_pixels", LongType()),
+    StructField("index_sum", LongType()),
+    StructField("rgb_sum", LongType()),
+])
+
+
+def gif_pixel_stats(df: DataFrame, binary_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Real pixel statistics over a GIF binary column — full LZW
+    decompression per row: dimensions, palette-index sum and the
+    palette-resolved r+g+b sum.  Arrow-batched narrow map; NULL stats
+    on undecodable rows."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_pixels": [], "index_sum": [], "rgb_sum": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    w, h, idx, pal = decode_gif(bytes(p))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_pixels"].append(len(idx))
+                    out["index_sum"].append(sum(idx))
+                    out["rgb_sum"].append(
+                        sum(sum(pal[i]) for i in idx) if pal else None)
+                except (ValueError, IndexError):
+                    for k in ("width", "height", "n_pixels",
+                              "index_sum", "rgb_sum"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(stats, INDEX_STATS_SCHEMA)
 
 
 def decode_wav(payload: bytes):

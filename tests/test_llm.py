@@ -713,3 +713,159 @@ def test_wav_sample_stats(spark):
     assert stats[1]["sample_sum"] == sum(s1)
     assert stats[2]["sample_sum"] == sum(s2)
     assert stats[3]["n_samples"] is None
+
+
+def test_lsh_pair_generation_plan_shape(spark):
+    """The 100 TB contract of the LSH pipelines: pair generation is a
+    bucket groupBy + generator explode — NO self-join, NO broadcast,
+    no Python in the row path."""
+    docs = spark.createDataFrame(
+        [(i, f"document text number {i % 7} padded for shingles")
+         for i in range(40)], ["doc_id", "text"])
+    for builder in (minhash_candidate_pairs, simhash_near_duplicates):
+        plan = builder(docs)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "Join" not in plan, builder.__name__
+        assert "Broadcast" not in plan, builder.__name__
+        assert "EvalPython" not in plan, builder.__name__
+
+
+def _lzw_encode(indices, min_code_size):
+    """Real compressing GIF-LZW encoder (growing dict, variable code
+    width, clear on table-full) — adversarial counterpart of the
+    repo's _lzw_decode."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    buf = [0, 0]          # bit buffer, bit count
+
+    def emit(code, width):
+        buf[0] |= code << buf[1]
+        buf[1] += width
+        while buf[1] >= 8:
+            out.append(buf[0] & 0xFF)
+            buf[0] >>= 8
+            buf[1] -= 8
+
+    def fresh():
+        return ({bytes([i]): i for i in range(clear)}, eoi + 1,
+                min_code_size + 1)
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if buf[1]:
+        out.append(buf[0] & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(width, height, indices, min_code_size=8,
+                interlace=False, palette_bits=8):
+    """Minimal real GIF89a encoder (global color table, single frame)."""
+    import struct
+
+    n_colors = 1 << palette_bits
+    palette = b"".join(bytes([(7 * i) % 256, (11 * i) % 256,
+                              (13 * i) % 256]) for i in range(n_colors))
+    if interlace:
+        order = (list(range(0, height, 8)) + list(range(4, height, 8))
+                 + list(range(2, height, 4)) + list(range(1, height, 2)))
+        rows = [indices[y * width:(y + 1) * width] for y in order]
+        data_indices = b"".join(rows)
+    else:
+        data_indices = bytes(indices)
+    lzw = _lzw_encode(data_indices, min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + bytes([0xF0 | (palette_bits - 1), 0, 0]) + palette
+            + b"\x21\xfe\x05hello\x00"          # comment extension
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, width, height)
+            + bytes([0x40 if interlace else 0])
+            + bytes([min_code_size]) + bytes(blocks) + b"\x3B")
+
+
+def test_decode_gif_roundtrip():
+    from cubes_spark.llm.multimodal import decode_gif
+
+    # 40x40 = 1600 pixels with structure: dict grows past 9->10->11 bits
+    w, h = 40, 40
+    indices = bytes(((x // 3 + y * 2) % 251) for y in range(h)
+                    for x in range(w))
+    gw, gh, got, pal = decode_gif(_encode_gif(w, h, indices))
+    assert (gw, gh) == (w, h)
+    assert got == indices
+    assert pal[1] == (7, 11, 13)
+
+    # small code size (4-bit palette)
+    idx4 = bytes((i % 13) for i in range(60))
+    gw, gh, got, _ = decode_gif(
+        _encode_gif(12, 5, idx4, min_code_size=4, palette_bits=4))
+    assert (gw, gh) == (12, 5)
+    assert got == idx4
+
+
+def test_decode_gif_interlaced_and_errors():
+    import pytest
+
+    from cubes_spark.llm.multimodal import decode_gif
+
+    w, h = 10, 17
+    indices = bytes(((x * 5 + y * 3) % 256) for y in range(h)
+                    for x in range(w))
+    gw, gh, got, _ = decode_gif(_encode_gif(w, h, indices,
+                                            interlace=True))
+    assert (gw, gh, got) == (w, h, indices)
+
+    with pytest.raises(ValueError):
+        decode_gif(b"JIF89a definitely not")
+    truncated = _encode_gif(6, 6, bytes(36))[:30]
+    with pytest.raises(ValueError):
+        decode_gif(truncated)
+
+
+def test_gif_pixel_stats(spark):
+    from cubes_spark.llm.multimodal import gif_pixel_stats
+
+    imgs = {1: (9, 7), 2: (5, 11)}
+    rows = []
+    payloads = {}
+    for did, (w, h) in imgs.items():
+        idx = bytes(((did * 29 + i * 31) % 256) for i in range(w * h))
+        payloads[did] = idx
+        rows.append((did, _encode_gif(w, h, idx)))
+    rows.append((3, b"GIF89a\x00garbage"))
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    stats = {r["doc_id"]: r for r in
+             gif_pixel_stats(df, "payload").collect()}
+    for did, (w, h) in imgs.items():
+        idx = payloads[did]
+        assert stats[did]["width"] == w
+        assert stats[did]["n_pixels"] == w * h
+        assert stats[did]["index_sum"] == sum(idx)
+        assert stats[did]["rgb_sum"] == sum(
+            (7 * i) % 256 + (11 * i) % 256 + (13 * i) % 256 for i in idx)
+    assert stats[3]["index_sum"] is None

@@ -1507,6 +1507,64 @@ def q_doc_gif_decode(spark, sf_dir):
     return gif_pixel_stats(df, "payload")
 
 
+def q_doc_bmp_decode(spark, sf_dir):
+    """REAL BMP decode end-to-end: complete 24-bit BI_RGB BMPs
+    (bottom-up rows, 4-byte padding) built per doc_id in-plan, decoded
+    by the stdlib BMP decoder inside ``bmp_pixel_stats``
+    (cubes_spark/llm/multimodal.py).  Stored bytes are closed-form in
+    doc_id, so the oracle recomputes the sums without decoding (the
+    BGR→RGB reorder does not change the sum)."""
+    from cubes_spark.llm import bmp_pixel_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(3) + F.col("doc_id") % 4).cast("long")
+    h = (F.lit(2) + F.col("doc_id") % 3).cast("long")
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le16(col):
+        return F.concat(hex2(col % 256), hex2((col / 256).cast("long")))
+
+    def le32(col):
+        out = []
+        for i in range(4):
+            out.append(hex2((col / (256 ** i)).cast("long") % 256))
+        return F.concat(*out)
+
+    # stored byte (x, image-row y, channel c in B,G,R order):
+    byte = lambda x, y, c: (F.col("doc_id") * 3 + x * 7 + y * 11
+                            + c * 5) % 256
+    stride = ((w * 3 + 3) / 4).cast("long") * 4
+    pad_hex = F.substring(F.lit("000000"), 1,
+                          ((stride - w * 3) * 2).cast("int"))
+    # file rows bottom-up: file row f holds image row y = h-1-f
+    data_hex = F.aggregate(
+        F.sequence(F.lit(0), h - 1), F.lit(""),
+        lambda acc, f: F.concat(
+            acc,
+            F.aggregate(
+                F.sequence(F.lit(0), w - 1), F.lit(""),
+                lambda a2, x: F.concat(
+                    a2, hex2(byte(x, h - 1 - f, 0)),
+                    hex2(byte(x, h - 1 - f, 1)),
+                    hex2(byte(x, h - 1 - f, 2)))),
+            pad_hex),
+    )
+    bmp_hex = F.concat(
+        F.lit("424D"), le32(stride * h + 54),       # BM + file size
+        F.lit("00000000"), le32(F.lit(54)),         # reserved + offset
+        le32(F.lit(40)), le32(w), le32(h),          # info header
+        F.lit("0100" "1800"), le32(F.lit(0)),       # planes, 24bpp, BI_RGB
+        le32(stride * h),
+        le32(F.lit(2835)), le32(F.lit(2835)),       # ppm
+        le32(F.lit(0)), le32(F.lit(0)),
+        data_hex,
+    )
+    df = docs.withColumn("payload", F.unhex(bmp_hex))
+    return bmp_pixel_stats(df, "payload")
+
+
 def q_auth_restricted(spark, sf_dir):
     """Authorization end-to-end: SimpleAuthorizer cell restriction
     (hidden cut returnflag:A + requested cut date:1995) applied to a
@@ -1719,16 +1777,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_audio_decode": q_doc_audio_decode,
         "events_stream_dedup": q_events_stream_dedup,
         "doc_gif_decode": q_doc_gif_decode,
+        "doc_bmp_decode": q_doc_bmp_decode,
         # -- flagship pillar representatives
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
-        "agg_roleplay": q_agg_roleplay,
         "events_hourly": q_events_hourly,
         "events_stream_hourly": q_events_stream_hourly,
         "doc_lang_quality": q_doc_lang_quality,
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
         # -- green in rounds 3 and 4: rotated behind the 50-entry window
+        "agg_roleplay": q_agg_roleplay,
         "emb_ann": q_emb_ann,
         "crosstab": q_crosstab,
         "preagg_year": q_preagg_year,
@@ -2856,6 +2915,25 @@ def oracle_sql() -> dict[str, str]:
                 lower(trim(concat_ws('|', event_type, props))),
                 '\s+', ' ', 'g')) AS n_unique
         FROM events GROUP BY 1"""
+
+    # BMP decode: sum over stored B,G,R bytes (reorder is sum-invariant)
+    sql["doc_bmp_decode"] = """
+        WITH px AS (
+            SELECT doc_id,
+                3 + doc_id % 4 AS w,
+                2 + doc_id % 3 AS h,
+                list_sum(list_transform(range(CAST(2 + doc_id % 3 AS INT)),
+                    y -> list_sum(list_transform(
+                        range(CAST(3 + doc_id % 4 AS INT)),
+                        x -> list_sum(list_transform([0, 1, 2],
+                            c -> (doc_id * 3 + x * 7 + y * 11 + c * 5)
+                                 % 256)))))) AS ssum
+            FROM documents)
+        SELECT doc_id,
+            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            CAST(w * h * 3 AS BIGINT) AS n_samples,
+            CAST(ssum AS BIGINT) AS sample_sum
+        FROM px"""
 
     # GIF decode: grey palette (i,i,i) -> rgb_sum = 3 * index_sum
     sql["doc_gif_decode"] = """

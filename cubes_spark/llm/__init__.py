@@ -50,6 +50,8 @@ from cubes_spark.llm.multimodal import (
     audio_metadata,
     binary_metadata,
     decode_features,
+    bmp_pixel_stats,
+    decode_bmp,
     decode_gif,
     decode_png,
     decode_wav,
@@ -87,6 +89,8 @@ __all__ = [
     "image_dimensions",
     "audio_metadata",
     "decode_features",
+    "bmp_pixel_stats",
+    "decode_bmp",
     "decode_gif",
     "decode_png",
     "decode_wav",

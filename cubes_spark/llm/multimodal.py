@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
-typed metadata columns alongside.  PNG, GIF and PCM WAV decode are
-REAL — stdlib-only decoders (``zlib`` inflate + full scanline
+typed metadata columns alongside.  PNG, GIF, BMP and PCM WAV decode
+are REAL — stdlib-only decoders (``zlib`` inflate + full scanline
 unfiltering in :func:`decode_png`; complete variable-width LZW in
-:func:`decode_gif`; RIFF chunk walk + s16le/u8 samples in
-:func:`decode_wav`) feeding Arrow-batched ``mapInPandas`` operators
-(:func:`png_pixel_stats`, :func:`gif_pixel_stats`,
+:func:`decode_gif`; BI_RGB rows in :func:`decode_bmp`; RIFF chunk walk
++ s16le/u8 samples in :func:`decode_wav`) feeding Arrow-batched
+``mapInPandas`` operators (:func:`png_pixel_stats`,
+:func:`gif_pixel_stats`, :func:`bmp_pixel_stats`,
 :func:`wav_sample_stats`, :func:`decode_features`).  Other codecs
 (JPEG entropy decode, compressed audio, video) need external libraries
 not present in this environment and stay behind a clearly-marked
@@ -38,6 +39,7 @@ __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "decode_features", "decode_png", "png_pixel_stats",
            "decode_wav", "wav_sample_stats",
            "decode_gif", "gif_pixel_stats",
+           "decode_bmp", "bmp_pixel_stats",
            "FEATURE_SCHEMA", "PIXEL_STATS_SCHEMA",
            "SAMPLE_STATS_SCHEMA", "INDEX_STATS_SCHEMA"]
 
@@ -48,7 +50,7 @@ __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
 # sample rate) never need a decoder library: they are fixed-offset (or
 # boundedly-scanned) byte fields, expressible with substring/conv —
 # whole-stage-codegen'd, zero Python in the row path.  Real pixel and
-# sample DECODE stays behind the Arrow ``mapInPandas`` stub below.
+# sample DECODE lives in the Arrow ``mapInPandas`` operators below.
 
 
 def _be_uint(col, pos, nbytes):
@@ -464,6 +466,87 @@ def gif_pixel_stats(df: DataFrame, binary_col: str,
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(stats, INDEX_STATS_SCHEMA)
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed (BI_RGB) BMP with the stdlib only:
+    BITMAPINFOHEADER(+), 24-bit BGR or 8-bit paletted, 4-byte row
+    padding, bottom-up or top-down row order.  Returns ``(width,
+    height, channels, samples, palette)`` with ``samples`` row-major
+    top-down — RGB triplets for 24-bit, palette indices for 8-bit —
+    and ``palette`` the (r, g, b) color table (empty for 24-bit).
+    Raises ``ValueError`` on compressed or otherwise unsupported
+    input."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP stream")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP core header")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (8, 24) or width <= 0 or height == 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    palette = []
+    if bpp == 8:
+        ncolors = int.from_bytes(payload[46:50], "little") or 256
+        off = 14 + hdr_size
+        raw = payload[off:off + 4 * ncolors]
+        if len(raw) < 4 * ncolors:
+            raise ValueError("truncated BMP color table")
+        # stored as BGRA quads
+        palette = [(raw[i + 2], raw[i + 1], raw[i])
+                   for i in range(0, 4 * ncolors, 4)]
+    channels = 1 if bpp == 8 else 3
+    stride = (width * channels + 3) // 4 * 4
+    data = payload[data_offset:]
+    if len(data) < stride * height:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray()
+    file_rows = range(height) if top_down else range(height - 1, -1, -1)
+    for y in file_rows:
+        row = data[y * stride:y * stride + width * channels]
+        if channels == 3:
+            for x in range(width):           # BGR → RGB
+                out += bytes((row[3 * x + 2], row[3 * x + 1],
+                              row[3 * x]))
+        else:
+            out += row
+    return width, height, channels, bytes(out), palette
+
+
+def bmp_pixel_stats(df: DataFrame, binary_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Real pixel statistics over an uncompressed BMP binary column —
+    same contract and schema as :func:`png_pixel_stats` (NULL stats on
+    undecodable rows; ``sample_sum`` over RGB bytes or palette
+    indices)."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_samples": [], "sample_sum": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    w, h, _ch, samples, _pal = decode_bmp(bytes(p))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_samples"].append(len(samples))
+                    out["sample_sum"].append(sum(samples))
+                except ValueError:
+                    for k in ("width", "height", "n_samples",
+                              "sample_sum"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(stats, PIXEL_STATS_SCHEMA)
 
 
 def decode_wav(payload: bytes):

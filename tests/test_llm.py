@@ -869,3 +869,94 @@ def test_gif_pixel_stats(spark):
         assert stats[did]["rgb_sum"] == sum(
             (7 * i) % 256 + (11 * i) % 256 + (13 * i) % 256 for i in idx)
     assert stats[3]["index_sum"] is None
+
+
+def _encode_bmp(width, height, bpp, samples, top_down=False):
+    """Minimal real BMP encoder (BI_RGB, 24-bit BGR or 8-bit paletted,
+    4-byte row padding) — adversarial counterpart of decode_bmp.
+    ``samples`` are row-major TOP-DOWN: RGB triplets (24) or indices
+    (8)."""
+    import struct
+
+    channels = 1 if bpp == 8 else 3
+    stride = (width * channels + 3) // 4 * 4
+    palette = b""
+    if bpp == 8:
+        palette = b"".join(bytes([(5 * i) % 256, (3 * i) % 256,
+                                  (2 * i) % 256, 0])
+                           for i in range(256))       # B,G,R,0 quads
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            if channels == 3:
+                r, g, b = samples[3 * (y * width + x):
+                                  3 * (y * width + x) + 3]
+                row += bytes((b, g, r))               # stored BGR
+            else:
+                row.append(samples[y * width + x])
+        row += bytes(stride - len(row))
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()
+    data = b"".join(rows)
+    data_offset = 14 + 40 + len(palette)
+    hdr = (b"BM" + struct.pack("<IHHI", data_offset + len(data), 0, 0,
+                               data_offset)
+           + struct.pack("<IiiHHIIiiII", 40, width,
+                         -height if top_down else height, 1, bpp, 0,
+                         len(data), 2835, 2835,
+                         256 if bpp == 8 else 0, 0))
+    return hdr + palette + data
+
+
+def test_decode_bmp_roundtrip():
+    from cubes_spark.llm.multimodal import decode_bmp
+
+    w, h = 5, 4
+    rgb = bytes((17 * i) % 256 for i in range(w * h * 3))
+    for top_down in (False, True):
+        gw, gh, ch, got, pal = decode_bmp(
+            _encode_bmp(w, h, 24, rgb, top_down=top_down))
+        assert (gw, gh, ch) == (w, h, 3)
+        assert got == rgb, top_down
+        assert pal == []
+
+    idx = bytes((i * 3) % 256 for i in range(w * h))
+    gw, gh, ch, got, pal = decode_bmp(_encode_bmp(w, h, 8, idx))
+    assert (gw, gh, ch) == (w, h, 1)
+    assert got == idx
+    assert pal[1] == (2, 3, 5)      # stored BGR0 -> returned (r,g,b)
+
+
+def test_decode_bmp_rejects_unsupported():
+    import struct
+
+    import pytest
+
+    from cubes_spark.llm.multimodal import decode_bmp
+
+    good = _encode_bmp(3, 3, 24, bytes(27))
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp" + bytes(60))
+    compressed = good[:30] + struct.pack("<I", 1) + good[34:]  # BI_RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(compressed)
+    with pytest.raises(ValueError):
+        decode_bmp(good[:40])       # truncated
+
+
+def test_bmp_pixel_stats(spark):
+    from cubes_spark.llm.multimodal import bmp_pixel_stats
+
+    w, h = 6, 3
+    rgb = bytes((7 * i + 1) % 256 for i in range(w * h * 3))
+    rows = [(1, _encode_bmp(w, h, 24, rgb)),
+            (2, b"BMgarbage" + bytes(60))]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    stats = {r["doc_id"]: r for r in
+             bmp_pixel_stats(df, "payload").collect()}
+    assert stats[1]["width"] == w and stats[1]["height"] == h
+    assert stats[1]["n_samples"] == w * h * 3
+    assert stats[1]["sample_sum"] == sum(rgb)
+    assert stats[2]["sample_sum"] is None

@@ -1707,6 +1707,62 @@ def q_csv_format(spark, sf_dir):
     return spark.createDataFrame(rows, schema="line long, text string")
 
 
+def q_xlsx_roundtrip(spark, sf_dir):
+    """XLSX formatter verified through a REAL workbook round-trip: the
+    dependency-free OOXML writer's zip is re-opened, the sheet XML
+    parsed, and the recovered grid compared cell-for-cell against the
+    SQL oracle (parity: reference formatters.py:114-130)."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree
+
+    from cubes_spark.formatters import XLSXFormatter
+
+    browser = _browser(spark, sf_dir)
+    result = browser.aggregate(
+        cell="date:1995", drilldown=["returnflag"],
+        aggregates=["fact_count", "quantity_sum"],
+    )
+    payload = XLSXFormatter().format(browser.cube, result)
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+    grid = []
+    for row in ElementTree.fromstring(sheet).findall(".//m:row", ns):
+        values = []
+        for cell in row.findall("m:c", ns):
+            t = cell.find("m:is/m:t", ns)
+            v = cell.find("m:v", ns)
+            values.append(t.text if t is not None else v.text)
+        grid.append(values)
+    header = grid[0]
+    assert header == ["returnflag.returnflag", "fact_count",
+                      "quantity_sum"], header
+    rows = [(r[0], int(float(r[1])), float(r[2])) for r in grid[1:]]
+    return spark.createDataFrame(
+        rows, schema='`returnflag.returnflag` string, fact_count long, '
+                     'quantity_sum double')
+
+
+def q_namespace_agg(spark, sf_dir):
+    """Namespaced model resolution end-to-end: the sales model imported
+    under namespace ``ext.demo``, browsed as ``ext.demo.sales`` —
+    results identical to the root-namespace cube (parity: reference
+    namespace lookup, /root/reference/cubes/namespace.py)."""
+    ws = _ws(spark, sf_dir)
+    key = ("__ns_demo__", id(spark), sf_dir)
+    if key not in _browsers:
+        from cubes_spark.demo import TPCH_MODEL
+
+        ws.import_model(TPCH_MODEL, namespace="ext.demo")
+        _browsers[key] = ws.browser("ext.demo.sales")
+    df = _browsers[key].aggregation_dataframe(
+        drilldown=["returnflag"],
+        aggregates=["price_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "price_sum"), "fact_count")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -1778,15 +1834,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "doc_gif_decode": q_doc_gif_decode,
         "doc_bmp_decode": q_doc_bmp_decode,
+        "xlsx_roundtrip": q_xlsx_roundtrip,
+        "namespace_agg": q_namespace_agg,
         # -- flagship pillar representatives
-        "agg_year": q_agg_year,
-        "agg_snowflake": q_agg_snowflake,
         "events_hourly": q_events_hourly,
         "events_stream_hourly": q_events_stream_hourly,
         "doc_lang_quality": q_doc_lang_quality,
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
         # -- green in rounds 3 and 4: rotated behind the 50-entry window
+        "agg_year": q_agg_year,
+        "agg_snowflake": q_agg_snowflake,
         "agg_roleplay": q_agg_roleplay,
         "emb_ann": q_emb_ann,
         "crosstab": q_crosstab,
@@ -1975,6 +2033,20 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
             COUNT(*) AS fact_count
         FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2"""
+
+    # XLSX round-trip: values recovered from the parsed workbook grid
+    sql["xlsx_roundtrip"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            COUNT(*) AS fact_count,
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1"""
+
+    # namespaced cube == root cube on the same store
+    sql["namespace_agg"] = f"""
+        SELECT l_returnflag AS "returnflag.returnflag",
+            CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
 
     sql["agg_set_cut"] = f"""
         SELECT l_returnflag AS "returnflag.returnflag",

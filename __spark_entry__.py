@@ -1707,6 +1707,34 @@ def q_csv_format(spark, sf_dir):
     return spark.createDataFrame(rows, schema="line long, text string")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: fixed-size overlapping character
+    chunks (max 256, overlap 32), verified chunk-for-chunk via md5
+    (cubes_spark/llm/text.py:chunk_documents)."""
+    from cubes_spark.llm import chunk_documents
+
+    docs = _table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_chars=256, overlap=32)
+    return chunks.select(
+        F.col("doc_id"), F.col("chunk_id"),
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+def q_doc_split(spark, sf_dir):
+    """Deterministic hash-based train/val assignment (10% val),
+    counted per (lang, split) — reproducible across engines
+    (cubes_spark/llm/text.py:deterministic_split)."""
+    from cubes_spark.llm import deterministic_split
+
+    docs = deterministic_split(_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def q_xlsx_roundtrip(spark, sf_dir):
     """XLSX formatter verified through a REAL workbook round-trip: the
     dependency-free OOXML writer's zip is re-opened, the sheet XML
@@ -1842,6 +1870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_quality": q_doc_lang_quality,
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
+        # -- behind the window: locally verified, rotate into the
+        # -- round-6 driver window
+        "doc_chunks": q_doc_chunks,
+        "doc_split": q_doc_split,
         # -- green in rounds 3 and 4: rotated behind the 50-entry window
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
@@ -2033,6 +2065,29 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
             COUNT(*) AS fact_count
         FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2"""
+
+    # chunking: same step/limit arithmetic, md5 per chunk
+    sql["doc_chunks"] = """
+        SELECT doc_id, k AS chunk_id,
+            CAST(length(substr(text, CAST(k * 224 + 1 AS INT), 256))
+                 AS BIGINT) AS chunk_len,
+            md5(substr(text, CAST(k * 224 + 1 AS INT), 256))
+                AS chunk_hash
+        FROM documents,
+            UNNEST(range(CAST(greatest(1,
+                (greatest(length(text) - 32, 0) + 223) // 224)
+                AS BIGINT))) AS u(k)"""
+
+    # deterministic split: the same md5-derived hash mod 1000
+    sql["doc_split"] = """
+        SELECT lang,
+            CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                    % 1000 < 100
+                 THEN 'val' ELSE 'train' END AS split,
+            COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1, 2"""
 
     # XLSX round-trip: values recovered from the parsed workbook grid
     sql["xlsx_roundtrip"] = f"""

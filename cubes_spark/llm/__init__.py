@@ -18,16 +18,18 @@ reproduce them bit-for-bit (see :func:`cubes_spark.llm.text.hash64`).
 """
 
 from cubes_spark.llm.text import (
-    hash64,
-    token_array,
     bpe_token_count,
-    text_stats,
-    language_id,
+    chunk_documents,
+    deterministic_split,
     fingerprint,
-    winnow_fingerprints,
-    repetition_stats,
+    hash64,
+    language_id,
     redact_pii,
+    repetition_stats,
+    text_stats,
+    token_array,
     trigram_logprob,
+    winnow_fingerprints,
 )
 from cubes_spark.llm.dedup import (
     connected_components,
@@ -66,6 +68,8 @@ __all__ = [
     "token_array",
     "bpe_token_count",
     "text_stats",
+    "chunk_documents",
+    "deterministic_split",
     "language_id",
     "fingerprint",
     "winnow_fingerprints",

@@ -27,6 +27,8 @@ __all__ = [
     "repetition_stats",
     "redact_pii",
     "trigram_logprob",
+    "chunk_documents",
+    "deterministic_split",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -368,3 +370,58 @@ def trigram_logprob(df: DataFrame, text_col: str = "text",
             F.count(F.lit(1)).cast("long").alias("n_trigrams"),
         )
     )
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_chars: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Fixed-size overlapping character chunks — the standard
+    context-window shaping step of a pretraining pipeline.
+
+    Chunk ``k`` covers characters ``[k·step, k·step + max_chars)`` with
+    ``step = max_chars − overlap``; every document yields at least one
+    chunk (empty documents produce one empty chunk, preserving row
+    lineage).  A pure narrow explode — no shuffle, no Python — so at
+    100 TB it scales with input partitions and the output is written
+    straight back out.  Returns ``(id, chunk_id, chunk_text)``.
+    """
+    if overlap >= max_chars:
+        raise ValueError("overlap must be smaller than max_chars")
+    step = max_chars - overlap
+    text = F.col(text_col)
+    numer = F.greatest(F.length(text) - F.lit(overlap), F.lit(0)) \
+        + F.lit(step - 1)
+    n_chunks = F.greatest(F.lit(1),
+                          (numer / F.lit(step)).cast("long"))
+    chunked = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        .alias("chunk_id"),
+        text.alias("__text__"),
+    )
+    return chunked.select(
+        F.col(id_col), F.col("chunk_id"),
+        F.substring(F.col("__text__"),
+                    (F.col("chunk_id") * step + 1).cast("int"),
+                    max_chars).alias("chunk_text"),
+    )
+
+
+def deterministic_split(df, id_col: str = "doc_id",
+                        val_permille: int = 100,
+                        seed: str = "split") -> DataFrame:
+    """Deterministic, engine-portable train/validation assignment:
+    ``val`` iff ``hash64(seed ‖ id) mod 1000 < val_permille``.
+
+    Hash-based splitting is the only assignment that survives at scale
+    — it is reproducible across runs, engines and partitionings (the
+    md5-derived hash is bit-identical in Spark and any SQL oracle),
+    needs no state, and new data lands in the same split forever.
+    Adds a ``split`` column."""
+    h = hash64(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")),
+        nhex=8,
+    ) % 1000
+    return df.withColumn(
+        "split", F.when(h < val_permille, "val").otherwise("train"))

@@ -960,3 +960,51 @@ def test_bmp_pixel_stats(spark):
     assert stats[1]["n_samples"] == w * h * 3
     assert stats[1]["sample_sum"] == sum(rgb)
     assert stats[2]["sample_sum"] is None
+
+
+def test_chunk_documents(spark):
+    from cubes_spark.llm import chunk_documents
+
+    long_text = "x" * 1000
+    rows = [(1, long_text), (2, "short"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, max_chars=256, overlap=32).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # step=224: chunks at 0,224,448,672,896 -> ceil((1000-32)/224)=5
+    assert len(by_doc[1]) == 5
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert all(len(c["chunk_text"]) == 256 for c in chunks[:-1])
+    assert len(chunks[-1]["chunk_text"]) == 1000 - 4 * 224
+    # consecutive chunks overlap by 32 chars
+    reassembled = chunks[0]["chunk_text"] + "".join(
+        c["chunk_text"][32:] for c in chunks[1:])
+    assert reassembled == long_text
+    # short + empty docs produce exactly one chunk each
+    assert [r["chunk_text"] for r in by_doc[2]] == ["short"]
+    assert [r["chunk_text"] for r in by_doc[3]] == [""]
+
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_chars=64, overlap=64)
+
+
+def test_deterministic_split(spark):
+    from cubes_spark.llm import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = deterministic_split(df, val_permille=100).collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    frac = sum(1 for s in splits.values() if s == "val") / len(splits)
+    assert 0.07 < frac < 0.13          # ~10%, hash-distributed
+    # stable across invocations and partitionings
+    again = {r["doc_id"]: r["split"] for r in
+             deterministic_split(df.repartition(7),
+                                 val_permille=100).collect()}
+    assert again == splits
+    # different seed -> different assignment
+    other = {r["doc_id"]: r["split"] for r in
+             deterministic_split(df, val_permille=100,
+                                 seed="other").collect()}
+    assert other != splits

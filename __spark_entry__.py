@@ -1735,6 +1735,43 @@ def q_doc_split(spark, sf_dir):
     )
 
 
+def q_doc_jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline-JPEG encode→decode roundtrip per row, inside an
+    Arrow ``mapInPandas`` batch: deterministic flat greyscale images
+    are Huffman-encoded (forward DCT + Annex-K tables,
+    cubes_spark/llm/multimodal.py:encode_jpeg) and decoded back
+    (full entropy decode + IDCT, decode_jpeg).  Flat images are
+    DC-only streams, so reconstruction is EXACT and the oracle is
+    closed-form in doc_id."""
+    import pandas as pd
+
+    from cubes_spark.llm.multimodal import (
+        PIXEL_STATS_SCHEMA, decode_jpeg, encode_jpeg,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_samples": [], "sample_sum": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 3) * 8
+                h = 8 + (did % 2) * 8
+                v = (did * 37) % 256
+                payload = encode_jpeg(w, h, [bytes([v]) * (w * h)])
+                gw, gh, _nc, planes = decode_jpeg(payload)
+                out["doc_id"].append(did)
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["n_samples"].append(len(planes[0]))
+                out["sample_sum"].append(sum(planes[0]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, PIXEL_STATS_SCHEMA)
+
+
 def q_xlsx_roundtrip(spark, sf_dir):
     """XLSX formatter verified through a REAL workbook round-trip: the
     dependency-free OOXML writer's zip is re-opened, the sheet XML
@@ -1874,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 driver window
         "doc_chunks": q_doc_chunks,
         "doc_split": q_doc_split,
+        "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
         # -- green in rounds 3 and 4: rotated behind the 50-entry window
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
@@ -2065,6 +2103,18 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
             COUNT(*) AS fact_count
         FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2"""
+
+    # JPEG roundtrip: flat (DC-only) images reconstruct exactly
+    sql["doc_jpeg_roundtrip"] = """
+        SELECT doc_id,
+            CAST(8 + (doc_id % 3) * 8 AS BIGINT) AS width,
+            CAST(8 + (doc_id % 2) * 8 AS BIGINT) AS height,
+            CAST((8 + (doc_id % 3) * 8) * (8 + (doc_id % 2) * 8)
+                 AS BIGINT) AS n_samples,
+            CAST((doc_id * 37) % 256
+                 * (8 + (doc_id % 3) * 8) * (8 + (doc_id % 2) * 8)
+                 AS BIGINT) AS sample_sum
+        FROM documents"""
 
     # chunking: same step/limit arithmetic, md5 per chunk
     sql["doc_chunks"] = """

@@ -55,9 +55,11 @@ from cubes_spark.llm.multimodal import (
     bmp_pixel_stats,
     decode_bmp,
     decode_gif,
+    decode_jpeg,
     decode_png,
     decode_wav,
     gif_pixel_stats,
+    jpeg_pixel_stats,
     image_dimensions,
     png_pixel_stats,
     wav_sample_stats,
@@ -96,6 +98,8 @@ __all__ = [
     "bmp_pixel_stats",
     "decode_bmp",
     "decode_gif",
+    "decode_jpeg",
+    "jpeg_pixel_stats",
     "decode_png",
     "decode_wav",
     "gif_pixel_stats",

@@ -1,23 +1,27 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
-typed metadata columns alongside.  PNG, GIF, BMP and PCM WAV decode
-are REAL — stdlib-only decoders (``zlib`` inflate + full scanline
-unfiltering in :func:`decode_png`; complete variable-width LZW in
-:func:`decode_gif`; BI_RGB rows in :func:`decode_bmp`; RIFF chunk walk
-+ s16le/u8 samples in :func:`decode_wav`) feeding Arrow-batched
+typed metadata columns alongside.  PNG, GIF, BMP, baseline JPEG and
+PCM WAV decode are REAL — stdlib-only decoders (``zlib`` inflate +
+full scanline unfiltering in :func:`decode_png`; complete
+variable-width LZW in :func:`decode_gif`; BI_RGB rows in
+:func:`decode_bmp`; Huffman entropy decode + dequant + IDCT with
+subsampling and restart intervals in :func:`decode_jpeg`, plus the
+matching :func:`encode_jpeg` re-encode path; RIFF chunk walk +
+s16le/u8 samples in :func:`decode_wav`) feeding Arrow-batched
 ``mapInPandas`` operators (:func:`png_pixel_stats`,
 :func:`gif_pixel_stats`, :func:`bmp_pixel_stats`,
-:func:`wav_sample_stats`, :func:`decode_features`).  Other codecs
-(JPEG entropy decode, compressed audio, video) need external libraries
-not present in this environment and stay behind a clearly-marked
-``NotImplementedError``; swapping one in changes a function body, not
-the pipeline — the schema contract, batch shaping and partition
-behavior are shared and tested.
+:func:`jpeg_pixel_stats`, :func:`wav_sample_stats`,
+:func:`decode_features`).  Progressive JPEG, compressed audio and
+video need external libraries not present in this environment and
+stay behind a clearly-marked error; swapping a codec in changes a
+function body, not the pipeline — the schema contract, batch shaping
+and partition behavior are shared and tested.
 """
 
 from __future__ import annotations
 
+import math
 import sys
 import zlib
 from typing import Iterator, Optional
@@ -40,6 +44,7 @@ __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "decode_wav", "wav_sample_stats",
            "decode_gif", "gif_pixel_stats",
            "decode_bmp", "bmp_pixel_stats",
+           "decode_jpeg", "encode_jpeg", "jpeg_pixel_stats",
            "FEATURE_SCHEMA", "PIXEL_STATS_SCHEMA",
            "SAMPLE_STATS_SCHEMA", "INDEX_STATS_SCHEMA"]
 
@@ -468,6 +473,468 @@ def gif_pixel_stats(df: DataFrame, binary_col: str,
     return slim.mapInPandas(stats, INDEX_STATS_SCHEMA)
 
 
+# -- baseline JPEG decode (stdlib only) -------------------------------------
+
+#: JPEG zigzag order: index in the 64-coefficient stream → block pos.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_IDCT_COS = None
+
+
+def _jpeg_idct_tables():
+    global _JPEG_IDCT_COS
+    if _JPEG_IDCT_COS is None:
+        _JPEG_IDCT_COS = [
+            [math.cos((2 * x + 1) * u * math.pi / 16)
+             * (1 / math.sqrt(2) if u == 0 else 1.0)
+             for u in range(8)] for x in range(8)
+        ]
+    return _JPEG_IDCT_COS
+
+
+def _jpeg_idct(block):
+    """8×8 type-III DCT (separable, float) → spatial samples."""
+    cos = _jpeg_idct_tables()
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):          # rows: over u
+        row = block[y * 8:y * 8 + 8]
+        for x in range(8):
+            cx = cos[x]
+            tmp[y][x] = sum(row[u] * cx[u] for u in range(8)) / 2
+    out = [0.0] * 64
+    for x in range(8):          # columns: over v
+        for y in range(8):
+            cy = cos[y]
+            out[y * 8 + x] = sum(tmp[v][x] * cy[v] for v in range(8)) / 2
+    return out
+
+
+def _jpeg_huff_table(bits, values):
+    """Canonical Huffman: (length, code) → symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with FF00
+    unstuffing; restart markers terminate the current segment."""
+
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def _next_byte(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG scan")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise ValueError("marker inside entropy data")
+        self.pos += 1
+        return b
+
+    def bit(self):
+        if self.n == 0:
+            self.buf = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self):
+        """Skip padding bits and an expected RSTn marker."""
+        self.n = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF \
+                and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("missing restart marker")
+
+    def decode_huffman(self, table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("bad Huffman code")
+
+
+def _jpeg_extend(v, t):
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a BASELINE (SOF0/SOF1) JPEG with the stdlib only: full
+    Huffman entropy decode, dequantization, inverse zigzag, 8×8 float
+    IDCT, restart-interval handling and subsampling factors up to 2×2
+    (4:4:4, 4:2:2, 4:2:0), grayscale or 3-component YCbCr.
+
+    Returns ``(width, height, n_components, planes)`` where ``planes``
+    is one ``bytes`` of ``width × height`` samples per component,
+    upsampled to full resolution by replication, in the order they
+    appear in the frame header (Y, Cb, Cr) — raw component values, no
+    color transform (component semantics belong to the caller).
+    Raises ``ValueError`` on progressive/arithmetic/12-bit streams.
+    """
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qtables = {}
+    huff_dc, huff_ac = {}, {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:                      # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:                    # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nval = sum(bits)
+                values = list(seg[i + 17:i + 17 + nval])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _jpeg_huff_table(bits, values)
+                i += 17 + nval
+        elif marker in (0xC0, 0xC1):            # SOF0/1: baseline
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = (width, height, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:                    # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:                    # SOS: decode the scan
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            width, height, comps = frame
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcux * c["h"]         # blocks across
+                c["bh"] = mcuy * c["v"]
+                c["plane"] = [0.0] * (c["bw"] * 8 * c["bh"] * 8)
+                c["dc"] = 0
+                c["td"], c["ta"] = scan_tables[c["id"]]
+            reader = _JpegBitReader(payload, pos + 2 + seglen)
+            nmcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and nmcu and \
+                            nmcu % restart_interval == 0:
+                        reader.align_to_marker()
+                        for c in comps:
+                            c["dc"] = 0
+                    nmcu += 1
+                    for c in comps:
+                        q = qtables[c["tq"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block = [0] * 64
+                                t = reader.decode_huffman(
+                                    huff_dc[c["td"]])
+                                diff = _jpeg_extend(reader.bits(t), t) \
+                                    if t else 0
+                                c["dc"] += diff
+                                block[0] = c["dc"] * q[0]
+                                k = 1
+                                while k < 64:
+                                    rs = reader.decode_huffman(
+                                        huff_ac[c["ta"]])
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break           # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError(
+                                            "AC index overflow")
+                                    block[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                        reader.bits(s), s) * q[k]
+                                    k += 1
+                                spatial = _jpeg_idct(block)
+                                row0 = (my * c["v"] + by) * 8
+                                col0 = (mx * c["h"] + bx) * 8
+                                stride = c["bw"] * 8
+                                plane = c["plane"]
+                                for y in range(8):
+                                    base = (row0 + y) * stride + col0
+                                    src = y * 8
+                                    for x in range(8):
+                                        plane[base + x] = \
+                                            spatial[src + x]
+            planes = []
+            for c in comps:
+                sx, sy = hmax // c["h"], vmax // c["v"]
+                stride = c["bw"] * 8
+                out = bytearray(width * height)
+                plane = c["plane"]
+                for y in range(height):
+                    srow = (y // sy) * stride
+                    base = y * width
+                    for x in range(width):
+                        v = int(round(plane[srow + x // sx])) + 128
+                        out[base + x] = 0 if v < 0 else \
+                            (255 if v > 255 else v)
+                planes.append(bytes(out))
+            return width, height, len(comps), planes
+        pos += 2 + seglen
+        # skip fill bytes between segments
+        while pos < len(payload) and payload[pos] != 0xFF:
+            pos += 1
+    raise ValueError("no scan in JPEG stream")
+
+
+
+
+# -- baseline JPEG encode (stdlib only) -------------------------------------
+#
+# The re-encode path of a multimodal pipeline (image normalization to a
+# common container before training).  Baseline sequential, 4:4:4 or
+# grayscale, unit quantization (visually lossless for the flat/smooth
+# content this engine generates; callers pass real quant tables for
+# size/quality trades via the `quant` argument).
+
+#: Annex K (K.3.3) luminance Huffman tables, reused for all components.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _codes(bits, values):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+DC_CODE = _codes(DC_BITS, DC_VALS)
+AC_CODE = _codes(AC_BITS, AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def put(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)      # byte stuffing
+                self.buf = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)                     # pad with 1-bits
+
+
+def _fdct(block):
+    out = [0.0] * 64
+    for u in range(8):
+        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+        for v in range(8):
+            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += block[y * 8 + x] \
+                        * math.cos((2 * x + 1) * u * math.pi / 16) \
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+            out[v * 8 + u] = s * cu * cv / 4
+    return out
+
+
+def _magnitude(v):
+    if v == 0:
+        return 0, 0
+    t = v.bit_length() if v > 0 else (-v).bit_length()
+    return t, v if v > 0 else v + (1 << t) - 1
+
+
+def _encode_block(writer, samples, pred):
+    coeffs = _fdct([s - 128 for s in samples])
+    q = [int(round(c)) for c in coeffs]        # quant table all ones
+    zz = [q[_JPEG_ZIGZAG[k]] for k in range(64)]
+    t, bits = _magnitude(zz[0] - pred)
+    length, code = DC_CODE[t]
+    writer.put(code, length)
+    if t:
+        writer.put(bits, t)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = AC_CODE[0xF0]       # ZRL
+            writer.put(code, length)
+            run -= 16
+        t, bits = _magnitude(zz[k])
+        length, code = AC_CODE[(run << 4) | t]
+        writer.put(code, length)
+        writer.put(bits, t)
+        run = 0
+    if run:
+        length, code = AC_CODE[0x00]           # EOB
+        writer.put(code, length)
+    return zz[0]
+
+
+def encode_jpeg(width, height, planes):
+    """Real baseline JPEG encoder: 4:4:4 (or grayscale), quant=1,
+    Annex-K Huffman, edge-replicated partial blocks."""
+    ncomp = len(planes)
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + (2 + 65).to_bytes(2, "big") + b"\x00" \
+        + bytes([1] * 64)
+    sof = bytes([8]) + height.to_bytes(2, "big") \
+        + width.to_bytes(2, "big") + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xFF\xC0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    dht = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xFF\xC4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    dht = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    out += b"\xFF\xC4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xFF\xDA" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for c in range(ncomp):
+                plane = planes[c]
+                block = []
+                for y in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    for x in range(8):
+                        sx = min(bx * 8 + x, width - 1)
+                        block.append(plane[sy * width + sx])
+                preds[c] = _encode_block(writer, block, preds[c])
+    writer.flush()
+    out += writer.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def jpeg_pixel_stats(df: DataFrame, binary_col: str,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Real luma statistics over a baseline-JPEG binary column:
+    dimensions, luma sample count and exact integer luma sum (first
+    component plane).  Same contract as :func:`png_pixel_stats`."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_samples": [], "sample_sum": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    w, h, _nc, planes = decode_jpeg(bytes(p))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_samples"].append(w * h)
+                    out["sample_sum"].append(sum(planes[0]))
+                except (ValueError, IndexError):
+                    for k in ("width", "height", "n_samples",
+                              "sample_sum"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(stats, PIXEL_STATS_SCHEMA)
+
+
 def decode_bmp(payload: bytes):
     """Decode an uncompressed (BI_RGB) BMP with the stdlib only:
     BITMAPINFOHEADER(+), 24-bit BGR or 8-bit paletted, 4-byte row
@@ -679,27 +1146,44 @@ def png_pixel_stats(df: DataFrame, binary_col: str,
     return slim.mapInPandas(stats, PIXEL_STATS_SCHEMA)
 
 
+def _strip_pool(samples, dim: int, scale: float) -> list:
+    """``dim`` equal-strip means over a sample sequence, normalized."""
+    n = len(samples)
+    feats = []
+    for i in range(dim):
+        lo = i * n // dim
+        hi = max((i + 1) * n // dim, lo + 1)
+        seg = samples[lo:hi]
+        feats.append(sum(seg) / len(seg) / scale)
+    return feats
+
+
 def _decode_stub(payload: bytes, dim: int) -> list:
-    """Feature extraction: REAL for PNG (stdlib decode + strip
-    pooling); other codecs need external decode libraries not present
-    in this environment and raise.  ``fake=True`` on
-    :func:`decode_features` remains the deterministic test double for
-    arbitrary formats."""
+    """Feature extraction: REAL for PNG, GIF, BMP, baseline JPEG and
+    PCM WAV (stdlib decode + strip pooling); compressed audio/video
+    codecs need external libraries not present in this environment and
+    raise.  ``fake=True`` on :func:`decode_features` remains the
+    deterministic test double for arbitrary formats."""
     if payload[:8] == _PNG_SIG:
         _w, _h, _ch, samples = decode_png(payload)
-        n = len(samples)
-        feats = []
-        for i in range(dim):
-            lo = i * n // dim
-            hi = max((i + 1) * n // dim, lo + 1)
-            seg = samples[lo:hi]
-            feats.append(sum(seg) / len(seg) / 255.0)
-        return feats
+        return _strip_pool(samples, dim, 255.0)
+    if payload[:2] == b"\xFF\xD8":
+        _w, _h, _nc, planes = decode_jpeg(payload)
+        return _strip_pool(planes[0], dim, 255.0)   # luma pooling
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        _w, _h, indices, _pal = decode_gif(payload)
+        return _strip_pool(indices, dim, 255.0)
+    if payload[:2] == b"BM":
+        _w, _h, _ch, samples, _pal = decode_bmp(payload)
+        return _strip_pool(samples, dim, 255.0)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _ch, _rate, _bits, samples = decode_wav(payload)
+        return _strip_pool(samples, dim, 32768.0)
     raise NotImplementedError(
-        "only PNG decode is implemented with the stdlib; other codecs "
-        "require an image/audio library not present in this "
-        "environment — use decode_features(..., fake=True) for the "
-        "deterministic test double"
+        "PNG/GIF/BMP/JPEG/PCM-WAV decode is implemented with the "
+        "stdlib; other codecs require media libraries not present in "
+        "this environment — use decode_features(..., fake=True) for "
+        "the deterministic test double"
     )
 
 

@@ -198,3 +198,49 @@ def test_jpeg_restart_intervals():
     gw, gh, nc, planes = decode_jpeg(stream)
     assert (gw, gh, nc) == (w, h, 1)
     assert planes[0] == bytes(plane)
+
+
+def test_decode_features_all_codecs(spark):
+    """decode_features resolves every stdlib codec for real — feature
+    vectors are strip means of the decoded samples."""
+    from cubes_spark.llm.multimodal import decode_features
+    from tests.test_llm import _encode_bmp, _encode_gif, _encode_png, \
+        _encode_wav
+
+    w, h = 8, 8
+    flat = bytes([120]) * (w * h)
+    rows = [
+        (1, _encode_png(w, h, 1, flat)),
+        (2, _encode_gif(w, h, flat)),
+        (3, _encode_bmp(w, h, 8, flat)),
+        (4, encode_jpeg(w, h, [flat])),
+        (5, _encode_wav(1, 8000, 16, [1000] * 64)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    feats = {r["doc_id"]: r["features"] for r in
+             decode_features(df, "payload", dim=4).collect()}
+    for did in (1, 2, 3, 4):
+        assert feats[did] == pytest.approx([120 / 255.0] * 4), did
+    assert feats[5] == pytest.approx([1000 / 32768.0] * 4)
+
+
+def test_jpeg_flat_tiles_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        tiles_x=st.integers(1, 3), tiles_y=st.integers(1, 2),
+        values=st.lists(st.integers(0, 255), min_size=6, max_size=6),
+    )
+    def check(tiles_x, tiles_y, values):
+        w, h = tiles_x * 8, tiles_y * 8
+        plane = bytearray(w * h)
+        for y in range(h):
+            for x in range(w):
+                plane[y * w + x] = values[(y // 8) * tiles_x + x // 8]
+        gw, gh, nc, planes = decode_jpeg(
+            encode_jpeg(w, h, [bytes(plane)]))
+        assert (gw, gh, nc) == (w, h, 1)
+        assert planes[0] == bytes(plane)
+
+    check()

@@ -1735,6 +1735,77 @@ def q_doc_split(spark, sf_dir):
     )
 
 
+def q_doc_video_frames(spark, sf_dir):
+    """REAL video frame sampling end-to-end: complete AVI containers
+    (RIFF hdrl/strf/movi, BI_RGB 24-bit DIB frames) built per doc_id
+    in-plan, demuxed and decoded by the stdlib AVI reader with
+    every_k=2 frame sampling (cubes_spark/llm/multimodal.py:
+    decode_avi / avi_frame_stats).  Frame bytes are closed-form in
+    (doc_id, frame), so the oracle recomputes per-frame sums without
+    demuxing (BGR→RGB reorder and row order are sum-invariant)."""
+    from cubes_spark.llm import avi_frame_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(3) + F.col("doc_id") % 3).cast("long")
+    h = (F.lit(2) + F.col("doc_id") % 2).cast("long")
+    n = (F.lit(2) + F.col("doc_id") % 3).cast("long")   # frames
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le32(col):
+        out = []
+        for i in range(4):
+            out.append(hex2((col / (256 ** i)).cast("long") % 256))
+        return F.concat(*out)
+
+    byte = lambda f, x, y, c: (F.col("doc_id") * 7 + f * 19 + x * 5
+                               + y * 11 + c * 3) % 256
+    stride = ((w * 3 + 3) / 4).cast("long") * 4
+    pad_hex = F.substring(F.lit("000000"), 1,
+                          ((stride - w * 3) * 2).cast("int"))
+    fsz = stride * h
+
+    def frame_hex(f):
+        return F.aggregate(
+            F.sequence(F.lit(0), h - 1), F.lit(""),
+            lambda acc, y: F.concat(
+                acc,
+                F.aggregate(
+                    F.sequence(F.lit(0), w - 1), F.lit(""),
+                    lambda a2, x: F.concat(
+                        a2, hex2(byte(f, x, y, 0)),
+                        hex2(byte(f, x, y, 1)),
+                        hex2(byte(f, x, y, 2)))),
+                pad_hex),
+        )
+
+    movi_body = F.aggregate(
+        F.sequence(F.lit(0), n - 1), F.lit(""),
+        lambda acc, f: F.concat(
+            acc, F.lit("30306462"), le32(fsz), frame_hex(f)),
+    )
+    strf = F.concat(
+        F.lit("73747266"), le32(F.lit(40)),          # strf, size 40
+        le32(F.lit(40)), le32(w), le32(h),           # BITMAPINFOHEADER
+        F.lit("0100" "1800"), le32(F.lit(0)),        # planes, 24bpp, BI_RGB
+        le32(fsz), le32(F.lit(0)), le32(F.lit(0)),
+        le32(F.lit(0)), le32(F.lit(0)),
+    )
+    hdrl = F.concat(F.lit("4C495354"), le32(F.lit(4 + 48)),
+                    F.lit("6864726C"), strf)
+    movi_size = F.lit(4) + n * (F.lit(8) + fsz)
+    movi = F.concat(F.lit("4C495354"), le32(movi_size),
+                    F.lit("6D6F7669"), movi_body)
+    body_size = F.lit(4 + 60 + 8) + movi_size
+    avi_hex = F.concat(
+        F.lit("52494646"), le32(body_size), F.lit("41564920"),
+        hdrl, movi,
+    )
+    df = docs.withColumn("payload", F.unhex(avi_hex))
+    return avi_frame_stats(df, "payload", every_k=2)
+
+
 def q_doc_jpeg_roundtrip(spark, sf_dir):
     """REAL baseline-JPEG encode→decode roundtrip per row, inside an
     Arrow ``mapInPandas`` batch: deterministic flat greyscale images
@@ -1912,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_split": q_doc_split,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
+        "doc_video_frames": q_doc_video_frames,
         # -- green in rounds 3 and 4: rotated behind the 50-entry window
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
@@ -2103,6 +2175,25 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
             COUNT(*) AS fact_count
         FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2"""
+
+    # video frame sampling: every 2nd frame kept; per-frame byte sums
+    sql["doc_video_frames"] = """
+        WITH f AS (
+            SELECT doc_id, u.f AS frame_id,
+                3 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+            FROM documents,
+                UNNEST(range(CAST(2 + doc_id % 3 AS INT))) AS u(f)
+            WHERE u.f % 2 = 0)
+        SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            CAST(w * h * 3 AS BIGINT) AS n_samples,
+            CAST(list_sum(list_transform(range(CAST(h AS INT)),
+                y -> list_sum(list_transform(range(CAST(w AS INT)),
+                    x -> list_sum(list_transform([0, 1, 2],
+                        c -> (doc_id * 7 + frame_id * 19 + x * 5
+                              + y * 11 + c * 3) % 256))))))
+                 AS BIGINT) AS sample_sum
+        FROM f"""
 
     # JPEG roundtrip: flat (DC-only) images reconstruct exactly
     sql["doc_jpeg_roundtrip"] = """

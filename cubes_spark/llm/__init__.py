@@ -52,7 +52,9 @@ from cubes_spark.llm.multimodal import (
     audio_metadata,
     binary_metadata,
     decode_features,
+    avi_frame_stats,
     bmp_pixel_stats,
+    decode_avi,
     decode_bmp,
     decode_gif,
     decode_jpeg,
@@ -95,7 +97,9 @@ __all__ = [
     "image_dimensions",
     "audio_metadata",
     "decode_features",
+    "avi_frame_stats",
     "bmp_pixel_stats",
+    "decode_avi",
     "decode_bmp",
     "decode_gif",
     "decode_jpeg",

@@ -12,11 +12,13 @@ s16le/u8 samples in :func:`decode_wav`) feeding Arrow-batched
 ``mapInPandas`` operators (:func:`png_pixel_stats`,
 :func:`gif_pixel_stats`, :func:`bmp_pixel_stats`,
 :func:`jpeg_pixel_stats`, :func:`wav_sample_stats`,
-:func:`decode_features`).  Progressive JPEG, compressed audio and
-video need external libraries not present in this environment and
-stay behind a clearly-marked error; swapping a codec in changes a
-function body, not the pipeline — the schema contract, batch shaping
-and partition behavior are shared and tested.
+:func:`decode_features`).  Video gets real container support: AVI
+demux + uncompressed-DIB frame decode with every-k frame sampling
+(:func:`decode_avi`, :func:`avi_frame_stats`).  Progressive JPEG and
+entropy-coded audio/video codecs need external libraries not present
+in this environment and stay behind a clearly-marked error; swapping
+a codec in changes a function body, not the pipeline — the schema
+contract, batch shaping and partition behavior are shared and tested.
 """
 
 from __future__ import annotations
@@ -45,8 +47,10 @@ __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "decode_gif", "gif_pixel_stats",
            "decode_bmp", "bmp_pixel_stats",
            "decode_jpeg", "encode_jpeg", "jpeg_pixel_stats",
+           "decode_avi", "avi_frame_stats",
            "FEATURE_SCHEMA", "PIXEL_STATS_SCHEMA",
-           "SAMPLE_STATS_SCHEMA", "INDEX_STATS_SCHEMA"]
+           "SAMPLE_STATS_SCHEMA", "INDEX_STATS_SCHEMA",
+           "FRAME_STATS_SCHEMA"]
 
 
 # -- pure-JVM header parsing ------------------------------------------------
@@ -933,6 +937,124 @@ def jpeg_pixel_stats(df: DataFrame, binary_col: str,
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(stats, PIXEL_STATS_SCHEMA)
+
+
+# -- AVI video demux + uncompressed-frame decode (stdlib only) --------------
+
+
+def decode_avi(payload: bytes, every_k: int = 1):
+    """Demux an AVI (RIFF) container and decode its UNCOMPRESSED
+    (BI_RGB 24-bit DIB) video frames with the stdlib only.
+
+    The stream format comes from the ``strf`` BITMAPINFOHEADER inside
+    ``LIST hdrl``; frame payloads are the ``##db``/``##dc`` chunks of
+    ``LIST movi`` (word-aligned, in presentation order) — bottom-up
+    4-byte-padded BGR rows, exactly a headerless BMP.  ``every_k``
+    keeps every k-th frame (frame *sampling*, the standard
+    training-pipeline step — decode cost scales with kept frames, the
+    demux walk is O(container)).  Returns ``(width, height, frames)``
+    with ``frames`` a list of ``(frame_index, samples)``; ``samples``
+    are row-major top-down RGB bytes.  Compressed codecs raise
+    ``ValueError`` — entropy-coded video needs libraries not present
+    in this environment.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    width = height = bpp = compression = None
+    frames = []
+    frame_no = 0
+
+    def walk(lo, hi):
+        nonlocal width, height, bpp, compression, frame_no
+        pos = lo
+        while pos + 8 <= hi:
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)     # skip list type tag
+            elif cid == b"strf" and width is None and size >= 40:
+                width = int.from_bytes(
+                    payload[body + 4:body + 8], "little", signed=True)
+                height = int.from_bytes(
+                    payload[body + 8:body + 12], "little", signed=True)
+                bpp = int.from_bytes(
+                    payload[body + 14:body + 16], "little")
+                compression = int.from_bytes(
+                    payload[body + 16:body + 20], "little")
+            elif len(cid) == 4 and cid[2:4] in (b"db", b"dc"):
+                if frame_no % every_k == 0:
+                    frames.append((frame_no, payload[body:body + size]))
+                frame_no += 1
+            pos = body + size + (size & 1)      # word alignment
+
+    walk(12, len(payload))
+    if width is None or not frames:
+        raise ValueError("missing stream format or frames")
+    if compression != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported AVI codec (bpp={bpp}, fourcc={compression})")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    decoded = []
+    for idx, raw in frames:
+        if len(raw) < stride * height:
+            raise ValueError("truncated AVI frame")
+        out = bytearray()
+        rows = range(height) if top_down else range(height - 1, -1, -1)
+        for y in rows:
+            row = raw[y * stride:y * stride + width * 3]
+            for x in range(width):              # BGR → RGB
+                out += bytes((row[3 * x + 2], row[3 * x + 1],
+                              row[3 * x]))
+        decoded.append((idx, bytes(out)))
+    return width, height, decoded
+
+
+#: Output schema of :func:`avi_frame_stats` — one row per KEPT frame.
+FRAME_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("sample_sum", LongType()),
+])
+
+
+def avi_frame_stats(df: DataFrame, binary_col: str,
+                    id_col: str = "doc_id",
+                    every_k: int = 1) -> DataFrame:
+    """Real video frame sampling: demux AVI containers, decode every
+    k-th uncompressed frame, one output row per kept frame with exact
+    RGB sums.  Arrow-batched narrow FLATMAP (a row fans out to its
+    kept frames); undecodable containers yield a single NULL-stats
+    row so corrupt blobs stay visible without killing the batch."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "width": [],
+                   "height": [], "n_samples": [], "sample_sum": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    w, h, frames = decode_avi(bytes(p), every_k)
+                    for idx, samples in frames:
+                        out["doc_id"].append(did)
+                        out["frame_id"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["n_samples"].append(len(samples))
+                        out["sample_sum"].append(sum(samples))
+                except (ValueError, IndexError):
+                    out["doc_id"].append(did)
+                    for k in ("frame_id", "width", "height",
+                              "n_samples", "sample_sum"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(stats, FRAME_STATS_SCHEMA)
 
 
 def decode_bmp(payload: bytes):

@@ -1806,6 +1806,61 @@ def q_doc_video_frames(spark, sf_dir):
     return avi_frame_stats(df, "payload", every_k=2)
 
 
+def q_doc_mkv_meta(spark, sf_dir):
+    """REAL Matroska metadata extraction end-to-end: complete EBML
+    containers (header + Segment → Info/Tracks → TrackEntry) built
+    per doc_id in-plan with correct varint sizes, parsed by the stdlib
+    EBML walker (cubes_spark/llm/multimodal.py:matroska_tracks /
+    matroska_metadata).  Track layout and timestamp scale are
+    closed-form in doc_id."""
+    from cubes_spark.llm import matroska_metadata
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    n_audio = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    has_sub = (F.col("doc_id") % 3) == 0
+    scale = ((F.lit(1) + F.col("doc_id") % 4) * 100000).cast("long")
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def codec_hex(s):
+        return "".join(f"{b:02X}" for b in s.encode())
+
+    def entry_hex(ttype, codec):
+        inner = ("83" "81" + f"{ttype:02X}"
+                 + "86" + f"{0x80 + len(codec):02X}" + codec_hex(codec))
+        return "AE" + f"{0x80 + len(inner) // 2:02X}" + inner
+
+    video = entry_hex(1, "V_VP9")            # 12 bytes
+    audio = entry_hex(2, "A_OPUS")           # 13 bytes
+    sub = entry_hex(17, "S_TEXT/UTF8")       # 18 bytes
+    # EBML header: 1A45DFA3 + size + DocType("matroska")
+    header = ("1A45DFA3" "8B" "4282" "88"
+              + codec_hex("matroska"))
+    # Info: 1549A966 + size 7 + TimestampScale(3-byte value)
+    info = F.concat(F.lit("1549A966" "87" "2AD7B1" "83"),
+                    F.lpad(F.hex(scale), 6, "0"))
+    tracks_body_len = (F.lit(len(video) // 2)
+                       + n_audio * (len(audio) // 2)
+                       + F.when(has_sub, F.lit(len(sub) // 2))
+                       .otherwise(F.lit(0)))
+    tracks = F.concat(
+        F.lit("1654AE6B"), hex2(F.lit(0x80) + tracks_body_len),
+        F.lit(video),
+        F.when(n_audio == 2, F.lit(audio + audio))
+        .otherwise(F.lit(audio)),
+        F.when(has_sub, F.lit(sub)).otherwise(F.lit("")),
+    )
+    segment_body_len = F.lit(12) + F.lit(5) + tracks_body_len
+    mkv_hex = F.concat(
+        F.lit(header),
+        F.lit("18538067"), hex2(F.lit(0x80) + segment_body_len),
+        info, tracks,
+    )
+    df = docs.withColumn("payload", F.unhex(mkv_hex))
+    return matroska_metadata(df, "payload")
+
+
 def q_doc_jpeg_roundtrip(spark, sf_dir):
     """REAL baseline-JPEG encode→decode roundtrip per row, inside an
     Arrow ``mapInPandas`` batch: deterministic flat greyscale images
@@ -1991,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
         "doc_video_frames": q_doc_video_frames,
+        "doc_mkv_meta": q_doc_mkv_meta,
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
         "agg_roleplay": q_agg_roleplay,
@@ -2181,6 +2237,20 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
             COUNT(*) AS fact_count
         FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2"""
+
+    # matroska metadata: track layout closed-form in doc_id
+    sql["doc_mkv_meta"] = """
+        SELECT doc_id,
+            CAST((1 + doc_id % 4) * 100000 AS BIGINT)
+                AS timestamp_scale,
+            CAST(1 AS BIGINT) AS n_video,
+            CAST(1 + doc_id % 2 AS BIGINT) AS n_audio,
+            CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                AS n_subtitle,
+            'V_VP9' || repeat(',A_OPUS', CAST(1 + doc_id % 2 AS INT))
+                || CASE WHEN doc_id % 3 = 0 THEN ',S_TEXT/UTF8'
+                   ELSE '' END AS codec_ids
+        FROM documents"""
 
     # video frame sampling: every 2nd frame kept; per-frame byte sums
     sql["doc_video_frames"] = """

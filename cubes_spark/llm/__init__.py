@@ -62,6 +62,8 @@ from cubes_spark.llm.multimodal import (
     decode_wav,
     gif_pixel_stats,
     jpeg_pixel_stats,
+    matroska_metadata,
+    matroska_tracks,
     image_dimensions,
     png_pixel_stats,
     wav_sample_stats,
@@ -104,6 +106,8 @@ __all__ = [
     "decode_gif",
     "decode_jpeg",
     "jpeg_pixel_stats",
+    "matroska_metadata",
+    "matroska_tracks",
     "decode_png",
     "decode_wav",
     "gif_pixel_stats",

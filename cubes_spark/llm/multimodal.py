@@ -48,9 +48,10 @@ __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "decode_bmp", "bmp_pixel_stats",
            "decode_jpeg", "encode_jpeg", "jpeg_pixel_stats",
            "decode_avi", "avi_frame_stats",
+           "matroska_tracks", "matroska_metadata",
            "FEATURE_SCHEMA", "PIXEL_STATS_SCHEMA",
            "SAMPLE_STATS_SCHEMA", "INDEX_STATS_SCHEMA",
-           "FRAME_STATS_SCHEMA"]
+           "FRAME_STATS_SCHEMA", "TRACK_META_SCHEMA"]
 
 
 # -- pure-JVM header parsing ------------------------------------------------
@@ -937,6 +938,134 @@ def jpeg_pixel_stats(df: DataFrame, binary_col: str,
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(stats, PIXEL_STATS_SCHEMA)
+
+
+# -- Matroska/WebM EBML metadata walk (stdlib only) -------------------------
+
+
+def _ebml_vint(payload: bytes, pos: int, keep_marker: bool):
+    """Read one EBML variable-length integer at ``pos`` → (value,
+    next_pos).  Element IDs keep the length-marker bit; sizes strip
+    it.  All-ones size payload means 'unknown size' → None."""
+    if pos >= len(payload):
+        raise ValueError("truncated EBML varint")
+    first = payload[pos]
+    length = 8 - first.bit_length() + 1 if first else 0
+    if first == 0 or length > 8:
+        raise ValueError("bad EBML varint marker")
+    if pos + length > len(payload):
+        raise ValueError("truncated EBML varint body")
+    raw = payload[pos:pos + length]
+    value = int.from_bytes(raw, "big")
+    if not keep_marker:
+        marker = 1 << (8 * length - length)
+        value -= marker
+        if value == marker - 1:     # all data bits set: unknown size
+            return None, pos + length
+    return value, pos + length
+
+
+#: EBML element IDs used by the walk (with their length markers).
+_EBML_SEGMENT = 0x18538067
+_EBML_INFO = 0x1549A966
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACK_ENTRY = 0xAE
+_EBML_TRACK_TYPE = 0x83
+_EBML_CODEC_ID = 0x86
+_EBML_TIMESTAMP_SCALE = 0x2AD7B1
+#: containers the walk descends into
+_EBML_RECURSE = {_EBML_SEGMENT, _EBML_INFO, _EBML_TRACKS,
+                 _EBML_TRACK_ENTRY}
+
+
+def matroska_tracks(payload: bytes):
+    """Parse Matroska/WebM container METADATA with the stdlib only:
+    EBML varint walk over Segment → Info / Tracks → TrackEntry.
+
+    Returns ``(timestamp_scale, tracks)`` where ``tracks`` is a list
+    of ``(track_type, codec_id)`` — type 1 video, 2 audio, 17
+    subtitle.  Frame payloads stay opaque (every Matroska codec is
+    entropy-coded and needs external libraries); this is the container
+    triage step: route by codec, count streams, validate blobs.
+    Raises ``ValueError`` on non-EBML input."""
+    if payload[:4] != b"\x1A\x45\xDF\xA3":
+        raise ValueError("not an EBML/Matroska stream")
+    scale = 1000000
+    tracks = []
+
+    def walk(lo, hi, in_entry):
+        nonlocal scale
+        pos = lo
+        entry = {}
+        while pos < hi and pos < len(payload):
+            eid, pos = _ebml_vint(payload, pos, keep_marker=True)
+            size, pos = _ebml_vint(payload, pos, keep_marker=False)
+            end = hi if size is None else min(pos + size, hi)
+            if eid in _EBML_RECURSE:
+                sub = walk(pos, end, eid == _EBML_TRACK_ENTRY)
+                if eid == _EBML_TRACK_ENTRY and sub is not None:
+                    tracks.append((sub.get("type"), sub.get("codec")))
+            elif eid == _EBML_TRACK_TYPE and in_entry:
+                entry["type"] = int.from_bytes(payload[pos:end], "big")
+            elif eid == _EBML_CODEC_ID and in_entry:
+                entry["codec"] = payload[pos:end].decode(
+                    "ascii", "replace")
+            elif eid == _EBML_TIMESTAMP_SCALE:
+                scale = int.from_bytes(payload[pos:end], "big")
+            if size is None:
+                break               # unknown-size element: stop here
+            pos = end
+        return entry if in_entry else None
+
+    # skip the EBML header element itself, then walk the rest
+    _eid, pos = _ebml_vint(payload, 0, keep_marker=True)
+    hsize, pos = _ebml_vint(payload, pos, keep_marker=False)
+    walk(pos + (hsize or 0), len(payload), False)
+    return scale, tracks
+
+
+#: Output schema of :func:`matroska_metadata`.
+TRACK_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("timestamp_scale", LongType()),
+    StructField("n_video", LongType()),
+    StructField("n_audio", LongType()),
+    StructField("n_subtitle", LongType()),
+    StructField("codec_ids", StringType()),
+])
+
+
+def matroska_metadata(df: DataFrame, binary_col: str,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Container triage over a Matroska/WebM binary column: timestamp
+    scale, per-type track counts and the comma-joined codec IDs in
+    track order.  NULL row on undecodable input."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "timestamp_scale": [], "n_video": [],
+                   "n_audio": [], "n_subtitle": [], "codec_ids": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    scale, tracks = matroska_tracks(bytes(p))
+                    out["timestamp_scale"].append(scale)
+                    out["n_video"].append(
+                        sum(1 for t, _ in tracks if t == 1))
+                    out["n_audio"].append(
+                        sum(1 for t, _ in tracks if t == 2))
+                    out["n_subtitle"].append(
+                        sum(1 for t, _ in tracks if t == 17))
+                    out["codec_ids"].append(
+                        ",".join(c or "" for _, c in tracks))
+                except ValueError:
+                    for k in ("timestamp_scale", "n_video", "n_audio",
+                              "n_subtitle", "codec_ids"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(meta, TRACK_META_SCHEMA)
 
 
 # -- AVI video demux + uncompressed-frame decode (stdlib only) --------------

@@ -105,3 +105,69 @@ def test_avi_frame_stats(spark):
             assert r["n_samples"] == w * h * 3
             assert r["sample_sum"] == sum(rgb)
     assert by_key[(3, None)]["sample_sum"] is None
+
+
+def _ebml(eid, body):
+    """Encode one EBML element: ID bytes as conventionally written +
+    shortest-form size varint + body."""
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            size = (n | (1 << (7 * length))).to_bytes(length, "big")
+            break
+    return id_bytes + size + body
+
+
+def encode_mkv(tracks, timestamp_scale=None):
+    """Minimal real Matroska: EBML header + Segment(Info?, Tracks)."""
+    header = _ebml(0x1A45DFA3, _ebml(0x4282, b"matroska"))
+    body = b""
+    if timestamp_scale is not None:
+        body += _ebml(0x1549A966, _ebml(
+            0x2AD7B1,
+            timestamp_scale.to_bytes(
+                (timestamp_scale.bit_length() + 7) // 8, "big")))
+    entries = b""
+    for ttype, codec in tracks:
+        entries += _ebml(0xAE, _ebml(0x83, bytes([ttype]))
+                         + _ebml(0x86, codec.encode()))
+    body += _ebml(0x1654AE6B, entries)
+    return header + _ebml(0x18538067, body)
+
+
+def test_matroska_tracks():
+    from cubes_spark.llm.multimodal import matroska_tracks
+
+    scale, tracks = matroska_tracks(encode_mkv(
+        [(1, "V_VP9"), (2, "A_OPUS"), (17, "S_TEXT/UTF8")],
+        timestamp_scale=500000))
+    assert scale == 500000
+    assert tracks == [(1, "V_VP9"), (2, "A_OPUS"), (17, "S_TEXT/UTF8")]
+
+    scale, tracks = matroska_tracks(encode_mkv([(2, "A_AAC")]))
+    assert scale == 1000000            # default
+    assert tracks == [(2, "A_AAC")]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        matroska_tracks(b"RIFFnot ebml")
+
+
+def test_matroska_metadata(spark):
+    from cubes_spark.llm.multimodal import matroska_metadata
+
+    rows = [
+        (1, encode_mkv([(1, "V_AV1"), (2, "A_OPUS"), (2, "A_VORBIS")])),
+        (2, encode_mkv([(17, "S_TEXT/ASS")], timestamp_scale=250000)),
+        (3, b"\x1A\x45\xDF\xA3garbage\xff\xff"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    meta = {r["doc_id"]: r for r in
+            matroska_metadata(df, "payload").collect()}
+    assert meta[1]["n_video"] == 1
+    assert meta[1]["n_audio"] == 2
+    assert meta[1]["codec_ids"] == "V_AV1,A_OPUS,A_VORBIS"
+    assert meta[2]["n_subtitle"] == 1
+    assert meta[2]["timestamp_scale"] == 250000

@@ -1507,16 +1507,13 @@ def q_doc_gif_decode(spark, sf_dir):
     return gif_pixel_stats(df, "payload")
 
 
-def q_doc_bmp_decode(spark, sf_dir):
-    """REAL BMP decode end-to-end: complete 24-bit BI_RGB BMPs
-    (bottom-up rows, 4-byte padding) built per doc_id in-plan, decoded
-    by the stdlib BMP decoder inside ``bmp_pixel_stats``
-    (cubes_spark/llm/multimodal.py).  Stored bytes are closed-form in
-    doc_id, so the oracle recomputes the sums without decoding (the
-    BGR→RGB reorder does not change the sum)."""
-    from cubes_spark.llm import bmp_pixel_stats
-
-    docs = _table(spark, sf_dir, "documents").select("doc_id")
+def _inplan_bmp(docs):
+    """Complete 24-bit BI_RGB BMPs (bottom-up rows, 4-byte padding)
+    built per doc_id in-plan, stored byte (x, y, channel c in B,G,R
+    order) = ``(doc_id*3 + x*7 + y*11 + c*5) % 256`` with
+    ``w = 3 + doc_id % 4``, ``h = 2 + doc_id % 3`` — shared by the
+    BMP-decode and image-resize driver entries, whose oracles
+    recompute pixel sums from that closed form."""
     w = (F.lit(3) + F.col("doc_id") % 4).cast("long")
     h = (F.lit(2) + F.col("doc_id") % 3).cast("long")
 
@@ -1561,8 +1558,36 @@ def q_doc_bmp_decode(spark, sf_dir):
         le32(F.lit(0)), le32(F.lit(0)),
         data_hex,
     )
-    df = docs.withColumn("payload", F.unhex(bmp_hex))
-    return bmp_pixel_stats(df, "payload")
+    return docs.withColumn("payload", F.unhex(bmp_hex))
+
+
+def q_doc_bmp_decode(spark, sf_dir):
+    """REAL BMP decode end-to-end: the shared in-plan 24-bit BMPs
+    (:func:`_inplan_bmp`) decoded by the stdlib BMP decoder inside
+    ``bmp_pixel_stats`` (cubes_spark/llm/multimodal.py).  Stored bytes
+    are closed-form in doc_id, so the oracle recomputes the sums
+    without decoding (the BGR→RGB reorder does not change the sum)."""
+    from cubes_spark.llm import bmp_pixel_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return bmp_pixel_stats(_inplan_bmp(docs), "payload")
+
+
+def q_doc_image_resize(spark, sf_dir):
+    """REAL image resize end-to-end: the shared in-plan 24-bit BMPs
+    decoded, then nearest-neighbor resized to 2×2 inside
+    ``image_resize_stats`` (cubes_spark/llm/multimodal.py,
+    numpy-vectorized — the uniform-shape step of a multimodal training
+    pipeline).  Nearest maps output pixel x to source pixel
+    ``(x*w) // 2`` (pure integer floor), so the oracle recomputes the
+    resized sample sum from the stored-byte closed form without any
+    decoding; summing all three channels makes the BGR→RGB reorder
+    irrelevant."""
+    from cubes_spark.llm import image_resize_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return image_resize_stats(_inplan_bmp(docs), "payload", 2, 2,
+                              method="nearest")
 
 
 def q_auth_restricted(spark, sf_dir):
@@ -2047,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
         "doc_video_frames": q_doc_video_frames,
         "doc_mkv_meta": q_doc_mkv_meta,
+        "doc_image_resize": q_doc_image_resize,
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
         "agg_roleplay": q_agg_roleplay,
@@ -3276,6 +3302,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
             CAST(w * h * 3 AS BIGINT) AS n_samples,
+            CAST(ssum AS BIGINT) AS sample_sum
+        FROM px"""
+
+    # nearest resize to 2x2: output pixel (x, y) reads source pixel
+    # ((x*w)//2, (y*h)//2) of the same stored-byte closed form
+    sql["doc_image_resize"] = """
+        WITH px AS (
+            SELECT doc_id,
+                3 + doc_id % 4 AS w,
+                2 + doc_id % 3 AS h,
+                list_sum(list_transform([0, 1],
+                    y -> list_sum(list_transform([0, 1],
+                        x -> list_sum(list_transform([0, 1, 2],
+                            c -> (doc_id * 3
+                                  + ((x * (3 + doc_id % 4)) // 2) * 7
+                                  + ((y * (2 + doc_id % 3)) // 2) * 11
+                                  + c * 5) % 256)))))) AS ssum
+            FROM documents)
+        SELECT doc_id,
+            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            CAST(2 AS BIGINT) AS out_width,
+            CAST(2 AS BIGINT) AS out_height,
+            CAST(12 AS BIGINT) AS n_samples,
             CAST(ssum AS BIGINT) AS sample_sum
         FROM px"""
 

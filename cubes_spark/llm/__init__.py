@@ -67,6 +67,9 @@ from cubes_spark.llm.multimodal import (
     image_dimensions,
     png_pixel_stats,
     wav_sample_stats,
+    resize_samples,
+    resize_image,
+    image_resize_stats,
 )
 
 __all__ = [
@@ -113,4 +116,7 @@ __all__ = [
     "gif_pixel_stats",
     "png_pixel_stats",
     "wav_sample_stats",
+    "resize_samples",
+    "resize_image",
+    "image_resize_stats",
 ]

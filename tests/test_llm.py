@@ -1008,3 +1008,102 @@ def test_deterministic_split(spark):
              deterministic_split(df, val_permille=100,
                                  seed="other").collect()}
     assert other != splits
+
+
+def test_resize_samples_nearest_exact():
+    """Nearest is pure integer floor mapping: src = (dst*in)//out."""
+    from cubes_spark.llm import resize_samples
+
+    # 4x4 single channel 0..15 -> 2x2 picks (0,0),(2,0),(0,2),(2,2)
+    out = resize_samples(bytes(range(16)), 4, 4, 1, 2, 2, "nearest")
+    assert list(out) == [0, 2, 8, 10]
+    # upscale replicates: 1x1 -> 3x2
+    out = resize_samples(bytes([9]), 1, 1, 1, 3, 2, "nearest")
+    assert list(out) == [9] * 6
+
+
+def test_resize_samples_bilinear_reference():
+    """Bilinear matches a naive per-pixel reference implementation
+    (half-pixel centers, edge clamp, round half-up) across randomized
+    shapes and channel counts; constant images stay constant."""
+    import math
+    import random
+
+    from cubes_spark.llm import resize_samples
+
+    assert set(resize_samples(bytes([7] * 48), 4, 4, 3, 8, 8,
+                              "bilinear")) == {7}
+    rng = random.Random(3)
+    for _ in range(10):
+        w, h = rng.randrange(2, 9), rng.randrange(2, 9)
+        ch = rng.choice([1, 3, 4])
+        ow, oh = rng.randrange(1, 11), rng.randrange(1, 11)
+        src = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        got = list(resize_samples(src, w, h, ch, ow, oh, "bilinear"))
+        ref = []
+        sy, sx = h / oh, w / ow
+        for y in range(oh):
+            fy = min(max((y + 0.5) * sy - 0.5, 0), h - 1)
+            y0 = math.floor(fy)
+            y1 = min(y0 + 1, h - 1)
+            dy = fy - y0
+            for x in range(ow):
+                fx = min(max((x + 0.5) * sx - 0.5, 0), w - 1)
+                x0 = math.floor(fx)
+                x1 = min(x0 + 1, w - 1)
+                dx = fx - x0
+                for c in range(ch):
+                    def s(yy, xx):
+                        return float(src[(yy * w + xx) * ch + c])
+                    v = ((s(y0, x0) * (1.0 - dx) + s(y0, x1) * dx)
+                         * (1.0 - dy)
+                         + (s(y1, x0) * (1.0 - dx) + s(y1, x1) * dx)
+                         * dy)
+                    ref.append(int(math.floor(v + 0.5)))
+        assert got == ref
+    with pytest.raises(ValueError):
+        resize_samples(bytes(4), 2, 2, 1, 0, 2, "nearest")
+    with pytest.raises(ValueError):
+        resize_samples(bytes(4), 2, 2, 1, 2, 2, "bicubic")
+
+
+def test_resize_image_operator(spark):
+    """resize_image decodes PNG / 24-bit BMP / paletted BMP, resizes
+    to a uniform shape, and NULLs undecodable rows (paletted input is
+    expanded through its color table first, so channels == 3)."""
+    from cubes_spark.llm import resize_image
+
+    rgb = bytes((5 * i) % 256 for i in range(4 * 3 * 3))
+    idx = bytes((3 * i) % 256 for i in range(5 * 2))
+    rows = [
+        (1, _encode_bmp(4, 3, 24, rgb)),
+        (2, _encode_bmp(5, 2, 8, idx)),
+        (3, _encode_png(3, 4, 3, bytes(range(36)))),
+        (4, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    got = {r["doc_id"]: r for r in
+           resize_image(df, "payload", 6, 5, "bilinear").collect()}
+    assert (got[1]["src_width"], got[1]["src_height"],
+            got[1]["channels"]) == (4, 3, 3)
+    assert (got[2]["src_width"], got[2]["channels"]) == (5, 3)
+    assert got[3]["src_height"] == 4
+    for did in (1, 2, 3):
+        assert got[did]["out_width"] == 6
+        assert len(got[did]["resized"]) == 6 * 5 * got[did]["channels"]
+    assert got[4]["resized"] is None
+    assert got[4]["src_width"] is None
+
+
+def test_image_resize_stats_matches_resize_image(spark):
+    """The stats face sums exactly the bytes the resize face emits."""
+    from cubes_spark.llm import image_resize_stats, resize_image
+
+    rgb = bytes((7 * i + 1) % 256 for i in range(6 * 4 * 3))
+    df = spark.createDataFrame([(1, _encode_bmp(6, 4, 24, rgb))],
+                               ["doc_id", "payload"])
+    resized = resize_image(df, "payload", 3, 3, "nearest").collect()[0]
+    stat = image_resize_stats(df, "payload", 3, 3, "nearest").collect()[0]
+    assert stat["n_samples"] == len(resized["resized"]) == 27
+    assert stat["sample_sum"] == sum(resized["resized"])
+    assert (stat["width"], stat["height"]) == (6, 4)

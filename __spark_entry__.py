@@ -1381,17 +1381,14 @@ def q_doc_pixel_decode(spark, sf_dir):
          / F.col("n_samples")).cast("double"))
 
 
-def q_doc_audio_decode(spark, sf_dir):
-    """REAL audio decode end-to-end: complete PCM WAV files (RIFF +
-    fmt + 16-bit LE data, all fields little-endian) are built per
-    doc_id in-plan, then decoded by the stdlib WAV decoder inside the
-    Arrow ``mapInPandas`` operator ``wav_sample_stats``
-    (cubes_spark/llm/multimodal.py).  Sample values are closed-form in
-    doc_id, so the DuckDB oracle recomputes the expected sums without
-    decoding."""
-    from cubes_spark.llm import wav_sample_stats
-
-    docs = _table(spark, sf_dir, "documents").select("doc_id")
+def _inplan_wav(docs):
+    """Complete mono 16-bit PCM WAV files built per doc_id in-plan:
+    ``n = 20 + doc_id % 16`` frames at
+    ``rate = 8000 + (doc_id % 4) * 4000`` Hz, sample(i) stored as
+    u16 ``(doc_id*11 + i*17) % 65536`` — shared by the audio-decode
+    and audio-resample driver entries, whose oracles recompute sums
+    from that closed form (signed value = stored − 32768 via the
+    s16le reinterpretation)."""
     n = (F.lit(20) + F.col("doc_id") % 16).cast("long")   # frames, mono
     rate = (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("long")
 
@@ -1423,12 +1420,40 @@ def q_doc_audio_decode(spark, sf_dir):
         F.lit("64617461"), le32(n * 2),    # data chunk
         data_hex,
     )
-    df = docs.withColumn("payload", F.unhex(wav_hex))
-    stats = wav_sample_stats(df, "payload")
+    return docs.withColumn("payload", F.unhex(wav_hex))
+
+
+def q_doc_audio_decode(spark, sf_dir):
+    """REAL audio decode end-to-end: the shared in-plan PCM WAVs
+    (:func:`_inplan_wav`) decoded by the stdlib WAV decoder inside the
+    Arrow ``mapInPandas`` operator ``wav_sample_stats``
+    (cubes_spark/llm/multimodal.py).  Sample values are closed-form in
+    doc_id, so the DuckDB oracle recomputes the expected sums without
+    decoding."""
+    from cubes_spark.llm import wav_sample_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    stats = wav_sample_stats(_inplan_wav(docs), "payload")
     return stats.withColumn(
         "sample_mean",
         (F.col("sample_sum").cast("double")
          / F.col("n_samples")).cast("double"))
+
+
+def q_doc_audio_resample(spark, sf_dir):
+    """REAL audio resample end-to-end: the shared in-plan PCM WAVs
+    decoded, then nearest-sample resampled to 4 kHz inside
+    ``audio_resample_stats`` (cubes_spark/llm/multimodal.py,
+    numpy-vectorized — the rate-normalization step of an audio
+    training pipeline).  Output length is ``(n * 4000) // rate``
+    frames and output frame j reads source frame ``(j*n) // out_n``
+    (both pure integer floor), so the oracle recomputes the resampled
+    sum from the stored-sample closed form without any decoding."""
+    from cubes_spark.llm import audio_resample_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return audio_resample_stats(_inplan_wav(docs), "payload", 4000,
+                                method="nearest")
 
 
 def q_doc_gif_decode(spark, sf_dir):
@@ -2073,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_video_frames": q_doc_video_frames,
         "doc_mkv_meta": q_doc_mkv_meta,
         "doc_image_resize": q_doc_image_resize,
+        "doc_audio_resample": q_doc_audio_resample,
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
         "agg_roleplay": q_agg_roleplay,
@@ -3366,6 +3392,28 @@ def oracle_sql() -> dict[str, str]:
             CAST(ssum AS BIGINT) AS sample_sum,
             CAST(CAST(ssum AS DOUBLE) / n AS DOUBLE) AS sample_mean
         FROM sm"""
+
+    # nearest resample to 4 kHz: out_n = (n*4000)//rate frames, output
+    # frame j reads source sample (j*n)//out_n of the same closed form
+    sql["doc_audio_resample"] = """
+        WITH sm AS (
+            SELECT doc_id,
+                20 + doc_id % 16 AS n,
+                8000 + (doc_id % 4) * 4000 AS rate
+            FROM documents),
+        r AS (
+            SELECT doc_id, n, rate,
+                GREATEST(1, (n * 4000) // rate) AS out_n
+            FROM sm)
+        SELECT doc_id,
+            CAST(rate AS BIGINT) AS sample_rate,
+            CAST(4000 AS BIGINT) AS out_rate,
+            CAST(out_n AS BIGINT) AS n_frames,
+            CAST(out_n AS BIGINT) AS n_samples,
+            CAST(list_sum(list_transform(range(CAST(out_n AS INT)),
+                j -> (doc_id * 11 + ((j * n) // out_n) * 17 + 32768)
+                     % 65536 - 32768)) AS BIGINT) AS sample_sum
+        FROM r"""
 
     sql["agg_expression_case"] = """
         SELECT l_returnflag AS "returnflag.returnflag",

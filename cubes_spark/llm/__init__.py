@@ -70,6 +70,9 @@ from cubes_spark.llm.multimodal import (
     resize_samples,
     resize_image,
     image_resize_stats,
+    resample_samples,
+    resample_audio,
+    audio_resample_stats,
 )
 
 __all__ = [
@@ -119,4 +122,7 @@ __all__ = [
     "resize_samples",
     "resize_image",
     "image_resize_stats",
+    "resample_samples",
+    "resample_audio",
+    "audio_resample_stats",
 ]

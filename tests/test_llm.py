@@ -1107,3 +1107,66 @@ def test_image_resize_stats_matches_resize_image(spark):
     assert stat["n_samples"] == len(resized["resized"]) == 27
     assert stat["sample_sum"] == sum(resized["resized"])
     assert (stat["width"], stat["height"]) == (6, 4)
+
+
+def test_resample_samples_core():
+    """Nearest is pure integer floor on frame indices (frames move as
+    units — stereo channels stay paired); linear interpolates at
+    j*(in/out) with edge clamp and half-up rounding."""
+    from cubes_spark.llm import resample_samples
+
+    # mono 2:1 downsample picks every other frame
+    assert resample_samples(list(range(8)), 1, 8000, 4000) == [0, 2, 4, 6]
+    # 2x upsample replicates frames
+    assert resample_samples([5, 9], 1, 8000, 16000) == [5, 5, 9, 9]
+    # stereo frames stay interleaved pairs
+    assert resample_samples([1, 2, 3, 4, 5, 6, 7, 8], 2,
+                            8000, 4000) == [1, 2, 5, 6]
+    # linear midpoint + edge clamp
+    assert resample_samples([0, 100], 1, 1000, 2000,
+                            "linear") == [0, 50, 100, 100]
+    # negative samples survive (signed domain)
+    assert resample_samples([-100, 100], 1, 1000, 2000,
+                            "linear") == [-100, 0, 100, 100]
+    with pytest.raises(ValueError):
+        resample_samples([1, 2, 3], 2, 8000, 4000)      # ragged frames
+    with pytest.raises(ValueError):
+        resample_samples([1], 1, 8000, 0)
+    with pytest.raises(ValueError):
+        resample_samples([1], 1, 8000, 4000, "cubic")
+
+
+def test_resample_audio_operator(spark):
+    """resample_audio decodes PCM WAV, rate-normalizes every row to
+    the same target, emits s16le bytes; undecodable rows are NULL."""
+    import struct
+
+    from cubes_spark.llm import audio_resample_stats, resample_audio
+
+    s1 = [(37 * i) % 20000 - 10000 for i in range(30)]   # mono 12 kHz
+    s2 = [(i % 256) - 128 for i in range(16)]            # stereo u8 4 kHz
+    rows = [(1, _encode_wav(1, 12000, 16, s1)),
+            (2, _encode_wav(2, 4000, 8, [s + 128 for s in s2])),
+            (3, b"RIFFxxxxWAVEbroken")]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    got = {r["doc_id"]: r for r in
+           resample_audio(df, "payload", 6000, "linear").collect()}
+    # 30 frames 12k->6k = 15 frames; 8 frames 4k->6k = 12 frames
+    assert (got[1]["n_frames"], got[2]["n_frames"]) == (15, 12)
+    assert got[2]["n_channels"] == 2
+    assert len(got[1]["resampled"]) == 15 * 2
+    assert len(got[2]["resampled"]) == 12 * 2 * 2
+    assert got[3]["resampled"] is None
+    # nearest 2:1 downsample of mono s16: exact frame picks
+    near = {r["doc_id"]: r for r in
+            resample_audio(df, "payload", 6000, "nearest").collect()}
+    vals = struct.unpack("<15h", near[1]["resampled"])
+    assert list(vals) == [s1[(j * 30) // 15] for j in range(15)]
+    # stats face agrees with the resample face
+    stat = {r["doc_id"]: r for r in
+            audio_resample_stats(df, "payload", 6000,
+                                 "nearest").collect()}
+    svals = struct.unpack("<15h", near[1]["resampled"])
+    assert stat[1]["sample_sum"] == sum(svals)
+    assert stat[1]["n_samples"] == 15
+    assert stat[3]["sample_sum"] is None

@@ -1456,6 +1456,48 @@ def q_doc_audio_resample(spark, sf_dir):
                                 method="nearest")
 
 
+def q_doc_g711_decode(spark, sf_dir):
+    """REAL G.711 µ-law decode end-to-end: complete format-7 (µ-law)
+    WAV files built per doc_id in-plan — stored byte(i) =
+    ``(doc_id*7 + i*13) % 256``, ``n = 24 + doc_id % 8`` frames —
+    expanded to 16-bit through the ITU-T G.711 table inside
+    ``wav_sample_stats`` (cubes_spark/llm/multimodal.py, table checked
+    entry-for-entry against audioop).  The expansion is integer
+    closed-form (complement → mantissa/segment shift), so the oracle
+    recomputes the decoded sum directly in SQL."""
+    from cubes_spark.llm import wav_sample_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    n = (F.lit(24) + F.col("doc_id") % 8).cast("long")   # frames, mono
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le32(col):
+        out = []
+        for i in range(4):
+            out.append(hex2((col / (256 ** i)).cast("long") % 256))
+        return F.concat(*out)
+
+    data_hex = F.aggregate(
+        F.sequence(F.lit(0), n - 1), F.lit(""),
+        lambda acc, i: F.concat(
+            acc, hex2((F.col("doc_id") * 7 + i * 13) % 256)),
+    )
+    pad = (n % 2).cast("int")                 # word-align the chunk
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(n + pad + 36), F.lit("57415645"),
+        F.lit("666D7420"), le32(F.lit(16)),
+        F.lit("0700" "0100"),                 # µ-law, mono
+        le32(F.lit(8000)), le32(F.lit(8000)),  # rate, byte rate
+        F.lit("0100" "0800"),                 # block align 1, 8 bits
+        F.lit("64617461"), le32(n),           # data chunk
+        data_hex, F.substring(F.lit("00"), 1, pad * 2),
+    )
+    df = docs.withColumn("payload", F.unhex(wav_hex))
+    return wav_sample_stats(df, "payload")
+
+
 def q_doc_gif_decode(spark, sf_dir):
     """REAL GIF decode end-to-end: complete GIF89a files are built
     per doc_id in-plan — pixels emitted as literal 9-bit LZW codes
@@ -1785,17 +1827,15 @@ def q_doc_split(spark, sf_dir):
     )
 
 
-def q_doc_video_frames(spark, sf_dir):
-    """REAL video frame sampling end-to-end: complete AVI containers
-    (RIFF hdrl/strf/movi, BI_RGB 24-bit DIB frames) built per doc_id
-    in-plan, demuxed and decoded by the stdlib AVI reader with
-    every_k=2 frame sampling (cubes_spark/llm/multimodal.py:
-    decode_avi / avi_frame_stats).  Frame bytes are closed-form in
-    (doc_id, frame), so the oracle recomputes per-frame sums without
-    demuxing (BGR→RGB reorder and row order are sum-invariant)."""
-    from cubes_spark.llm import avi_frame_stats
-
-    docs = _table(spark, sf_dir, "documents").select("doc_id")
+def _inplan_avi(docs):
+    """Complete AVI containers (RIFF hdrl/strf/movi, BI_RGB 24-bit
+    DIB frames) built per doc_id in-plan: ``n = 2 + doc_id % 3``
+    frames of ``w = 3 + doc_id % 3`` × ``h = 2 + doc_id % 2``, stored
+    byte (frame f, x, FILE row y, channel c in B,G,R order) =
+    ``(doc_id*7 + f*19 + x*5 + y*11 + c*3) % 256`` — shared by the
+    video-frames and video-pipeline driver entries (decoded image row
+    r is file row h-1-r; per-frame totals are row-order invariant,
+    pixel-selecting oracles must flip)."""
     w = (F.lit(3) + F.col("doc_id") % 3).cast("long")
     h = (F.lit(2) + F.col("doc_id") % 2).cast("long")
     n = (F.lit(2) + F.col("doc_id") % 3).cast("long")   # frames
@@ -1852,8 +1892,37 @@ def q_doc_video_frames(spark, sf_dir):
         F.lit("52494646"), le32(body_size), F.lit("41564920"),
         hdrl, movi,
     )
-    df = docs.withColumn("payload", F.unhex(avi_hex))
-    return avi_frame_stats(df, "payload", every_k=2)
+    return docs.withColumn("payload", F.unhex(avi_hex))
+
+
+def q_doc_video_frames(spark, sf_dir):
+    """REAL video frame sampling end-to-end: the shared in-plan AVIs
+    (:func:`_inplan_avi`) demuxed and decoded by the stdlib AVI reader
+    with every_k=2 frame sampling (cubes_spark/llm/multimodal.py:
+    decode_avi / avi_frame_stats).  Frame bytes are closed-form in
+    (doc_id, frame), so the oracle recomputes per-frame sums without
+    demuxing (BGR→RGB reorder and row order are sum-invariant)."""
+    from cubes_spark.llm import avi_frame_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return avi_frame_stats(_inplan_avi(docs), "payload", every_k=2)
+
+
+def q_doc_video_pipeline(spark, sf_dir):
+    """The FULL multimodal video chain end-to-end — demux + every-k
+    frame sampling + per-frame nearest resize to 2×2 in one Arrow
+    stage (cubes_spark/llm/multimodal.py:video_frame_pipeline) over
+    the shared in-plan AVIs.  Output pixel (X, Y) reads decoded image
+    pixel ``((X*w)//2, (Y*h)//2)``, which is FILE row
+    ``h-1-(Y*h)//2`` of the stored bottom-up DIB, so the oracle
+    recomputes each resized frame's sum from the stored-byte closed
+    form with the row flip applied; summing all three channels makes
+    the BGR→RGB reorder irrelevant."""
+    from cubes_spark.llm import video_frame_pipeline
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return video_frame_pipeline(_inplan_avi(docs), "payload", 2, 2,
+                                every_k=2, method="nearest")
 
 
 def q_doc_mkv_meta(spark, sf_dir):
@@ -2099,6 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mkv_meta": q_doc_mkv_meta,
         "doc_image_resize": q_doc_image_resize,
         "doc_audio_resample": q_doc_audio_resample,
+        "doc_g711_decode": q_doc_g711_decode,
+        "doc_video_pipeline": q_doc_video_pipeline,
         "agg_year": q_agg_year,
         "agg_snowflake": q_agg_snowflake,
         "agg_roleplay": q_agg_roleplay,
@@ -2320,6 +2391,31 @@ def oracle_sql() -> dict[str, str]:
                     x -> list_sum(list_transform([0, 1, 2],
                         c -> (doc_id * 7 + frame_id * 19 + x * 5
                               + y * 11 + c * 3) % 256))))))
+                 AS BIGINT) AS sample_sum
+        FROM f"""
+
+    # video pipeline: nearest 2x2 resize of every 2nd decoded frame;
+    # image pixel ((X*w)//2, (Y*h)//2) is FILE row h-1-(Y*h)//2 of the
+    # bottom-up DIB
+    sql["doc_video_pipeline"] = """
+        WITH f AS (
+            SELECT doc_id, u.f AS frame_id,
+                3 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+            FROM documents,
+                UNNEST(range(CAST(2 + doc_id % 3 AS INT))) AS u(f)
+            WHERE u.f % 2 = 0)
+        SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            CAST(2 AS BIGINT) AS out_width,
+            CAST(2 AS BIGINT) AS out_height,
+            CAST(12 AS BIGINT) AS n_samples,
+            CAST(list_sum(list_transform([0, 1],
+                y -> list_sum(list_transform([0, 1],
+                    x -> list_sum(list_transform([0, 1, 2],
+                        c -> (doc_id * 7 + frame_id * 19
+                              + ((x * w) // 2) * 5
+                              + (h - 1 - (y * h) // 2) * 11
+                              + c * 3) % 256))))))
                  AS BIGINT) AS sample_sum
         FROM f"""
 
@@ -3392,6 +3488,32 @@ def oracle_sql() -> dict[str, str]:
             CAST(ssum AS BIGINT) AS sample_sum,
             CAST(CAST(ssum AS DOUBLE) / n AS DOUBLE) AS sample_mean
         FROM sm"""
+
+    # G.711 µ-law expansion, closed form: c = 255 - v (complement),
+    # magnitude = ((c%16)*8 + 132) << ((c//16)%8), signed by bit 0x80
+    sql["doc_g711_decode"] = """
+        WITH sm AS (
+            SELECT doc_id, 24 + doc_id % 8 AS n FROM documents),
+        ex AS (
+            SELECT doc_id, n,
+                list_sum(list_transform(range(CAST(n AS INT)), i ->
+                    CASE WHEN (255 - (doc_id * 7 + i * 13) % 256) >= 128
+                        THEN 132 - (((255 - (doc_id * 7 + i * 13) % 256)
+                                     % 16) * 8 + 132)
+                             * (1 << (((255 - (doc_id * 7 + i * 13)
+                                        % 256) // 16) % 8))
+                        ELSE (((255 - (doc_id * 7 + i * 13) % 256)
+                               % 16) * 8 + 132)
+                             * (1 << (((255 - (doc_id * 7 + i * 13)
+                                        % 256) // 16) % 8)) - 132
+                    END)) AS ssum
+            FROM sm)
+        SELECT doc_id,
+            CAST(1 AS BIGINT) AS n_channels,
+            CAST(8000 AS BIGINT) AS sample_rate,
+            CAST(n AS BIGINT) AS n_samples,
+            CAST(ssum AS BIGINT) AS sample_sum
+        FROM ex"""
 
     # nearest resample to 4 kHz: out_n = (n*4000)//rate frames, output
     # frame j reads source sample (j*n)//out_n of the same closed form

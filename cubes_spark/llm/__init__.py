@@ -73,6 +73,7 @@ from cubes_spark.llm.multimodal import (
     resample_samples,
     resample_audio,
     audio_resample_stats,
+    video_frame_pipeline,
 )
 
 __all__ = [
@@ -125,4 +126,5 @@ __all__ = [
     "resample_samples",
     "resample_audio",
     "audio_resample_stats",
+    "video_frame_pipeline",
 ]

@@ -52,6 +52,7 @@ __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "matroska_tracks", "matroska_metadata",
            "resize_samples", "resize_image", "image_resize_stats",
            "resample_samples", "resample_audio", "audio_resample_stats",
+           "video_frame_pipeline",
            "FEATURE_SCHEMA", "PIXEL_STATS_SCHEMA",
            "SAMPLE_STATS_SCHEMA", "INDEX_STATS_SCHEMA",
            "FRAME_STATS_SCHEMA", "TRACK_META_SCHEMA",
@@ -1271,16 +1272,42 @@ def bmp_pixel_stats(df: DataFrame, binary_col: str,
     return slim.mapInPandas(stats, PIXEL_STATS_SCHEMA)
 
 
+def _g711_tables():
+    """256-entry µ-law / A-law expansion tables (ITU-T G.711).
+
+    µ-law: complement, then ``((mant<<3)+0x84) << exp − 0x84`` with the
+    sign from the complemented byte.  A-law: XOR 0x55, then segment 0
+    is ``(mant<<4)+8`` and segment s>0 is ``((mant<<4)+0x108) <<
+    (s−1)``, positive when the raw byte has bit 0x80 set.  Matches the
+    classic ``audioop.ulaw2lin``/``alaw2lin`` 16-bit outputs."""
+    ulaw, alaw = [], []
+    for b in range(256):
+        c = ~b & 0xFF
+        mag = (((c & 0x0F) << 3) + 0x84) << ((c >> 4) & 7)
+        ulaw.append(0x84 - mag if c & 0x80 else mag - 0x84)
+        i = b ^ 0x55
+        seg = (i & 0x70) >> 4
+        mant = i & 0x0F
+        val = (mant << 4) + 8 if seg == 0 else \
+            ((mant << 4) + 0x108) << (seg - 1)
+        alaw.append(val if b & 0x80 else -val)
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def decode_wav(payload: bytes):
-    """Decode a PCM RIFF/WAVE stream with the stdlib only.
+    """Decode a PCM or G.711 RIFF/WAVE stream with the stdlib only.
 
     Chunk walk (word-aligned, unknown chunks skipped) → fmt + data →
-    samples as signed ints: 16-bit little-endian, or 8-bit unsigned
-    re-centered to signed (the WAV conventions).  Returns
-    ``(n_channels, sample_rate, bits, samples)`` with ``samples``
-    frame-major interleaved.  Raises ``ValueError`` on non-PCM or
-    other unsupported input (compressed audio needs codec libraries
-    not present in this environment)."""
+    samples as signed ints: 16-bit little-endian or 8-bit unsigned
+    re-centered to signed (the PCM conventions), or 8-bit µ-law
+    (format 7) / A-law (format 6) expanded to 16-bit through the
+    G.711 tables.  Returns ``(n_channels, sample_rate, bits,
+    samples)`` with ``samples`` frame-major interleaved.  Raises
+    ``ValueError`` on other formats (entropy-coded audio needs codec
+    libraries not present in this environment)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, fmt, data = 12, None, None
@@ -1299,10 +1326,16 @@ def decode_wav(payload: bytes):
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16) or channels == 0:
+    if channels == 0 or (audio_format == 1 and bits not in (8, 16)) \
+            or (audio_format in (6, 7) and bits != 8) \
+            or audio_format not in (1, 6, 7):
         raise ValueError(
             f"unsupported WAV (format={audio_format}, bits={bits})")
-    if bits == 8:
+    if audio_format == 7:
+        samples = [_ULAW_TABLE[b] for b in data]
+    elif audio_format == 6:
+        samples = [_ALAW_TABLE[b] for b in data]
+    elif bits == 8:
         samples = [b - 128 for b in data]
     else:
         import array
@@ -1798,3 +1831,60 @@ def audio_resample_stats(df: DataFrame, binary_col: str, out_rate: int,
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(stats, AUDIO_RESAMPLE_STATS_SCHEMA)
+
+
+#: Output schema of :func:`video_frame_pipeline` — one row per KEPT
+#: frame; undecodable containers yield one NULL-stats row.
+FRAME_PIPELINE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("out_width", LongType()),
+    StructField("out_height", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("sample_sum", LongType()),
+])
+
+
+def video_frame_pipeline(df: DataFrame, binary_col: str,
+                         out_width: int, out_height: int,
+                         every_k: int = 1, method: str = "nearest",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The full multimodal video chain — demux + every-k frame
+    sampling + per-frame resize to a uniform shape — in ONE Arrow
+    ``mapInPandas`` stage (decode cost amortized per batch, no
+    intermediate pixel buffers shuffled).  One output row per kept
+    frame with the resized frame's exact integer sample sum;
+    undecodable containers yield a single NULL-stats row."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "width": [],
+                   "height": [], "out_width": [], "out_height": [],
+                   "n_samples": [], "sample_sum": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    w, h, frames = decode_avi(bytes(p), every_k)
+                    for idx, samples in frames:
+                        resized = resize_samples(
+                            samples, w, h, 3, out_width, out_height,
+                            method)
+                        out["doc_id"].append(did)
+                        out["frame_id"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["out_width"].append(out_width)
+                        out["out_height"].append(out_height)
+                        out["n_samples"].append(len(resized))
+                        out["sample_sum"].append(sum(resized))
+                except (ValueError, IndexError):
+                    out["doc_id"].append(did)
+                    for k in ("frame_id", "width", "height",
+                              "out_width", "out_height", "n_samples",
+                              "sample_sum"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(work, FRAME_PIPELINE_SCHEMA)

@@ -171,3 +171,29 @@ def test_matroska_metadata(spark):
     assert meta[1]["codec_ids"] == "V_AV1,A_OPUS,A_VORBIS"
     assert meta[2]["n_subtitle"] == 1
     assert meta[2]["timestamp_scale"] == 250000
+
+
+def test_video_frame_pipeline(spark):
+    """Demux + every-k sampling + per-frame nearest resize in one
+    stage: kept frames come back at the uniform target shape with
+    sums matching an independently decoded + resized reference;
+    corrupt rows yield one NULL row."""
+    from cubes_spark.llm import video_frame_pipeline
+    from cubes_spark.llm.multimodal import resize_samples
+
+    w, h = 5, 4
+    frames = [_rgb(w, h, s) for s in (1, 2, 3, 4, 5)]
+    rows = [(1, encode_avi(w, h, frames)),
+            (2, b"RIFFxxxxAVI corrupt")]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    got = video_frame_pipeline(df, "payload", 3, 2, every_k=2,
+                               method="nearest").collect()
+    by_frame = {(r["doc_id"], r["frame_id"]): r for r in got}
+    assert set(by_frame) == {(1, 0), (1, 2), (1, 4), (2, None)}
+    for fid in (0, 2, 4):
+        r = by_frame[(1, fid)]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["out_width"], r["out_height"], r["n_samples"]) == (3, 2, 18)
+        expect = resize_samples(frames[fid], w, h, 3, 3, 2, "nearest")
+        assert r["sample_sum"] == sum(expect)
+    assert by_frame[(2, None)]["sample_sum"] is None

@@ -1170,3 +1170,54 @@ def test_resample_audio_operator(spark):
     assert stat[1]["sample_sum"] == sum(svals)
     assert stat[1]["n_samples"] == 15
     assert stat[3]["sample_sum"] is None
+
+
+def test_g711_tables_canonical():
+    """µ-law/A-law expansion tables match ITU-T G.711 canonical
+    values — and, when the audioop reference is importable, every one
+    of the 512 table entries."""
+    from cubes_spark.llm.multimodal import _ALAW_TABLE, _ULAW_TABLE
+
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256 and _ALAW_TABLE[0xAA] == 32256
+    try:
+        import struct
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        return
+    for b in range(256):
+        assert _ULAW_TABLE[b] == struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+        assert _ALAW_TABLE[b] == struct.unpack(
+            "<h", audioop.alaw2lin(bytes([b]), 2))[0]
+
+
+def test_decode_wav_g711():
+    """decode_wav expands format-7 (µ-law) and format-6 (A-law)
+    streams through the G.711 tables and still rejects genuinely
+    unsupported formats."""
+    import struct
+
+    from cubes_spark.llm.multimodal import decode_wav
+
+    def wav(fmt_tag, data, bits=8):
+        f = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, bits)
+        return (b"RIFF" + struct.pack("<I", 20 + len(f) + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(f)) + f
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    ch, rate, bits, samples = decode_wav(
+        wav(7, bytes([0x00, 0xFF, 0x80])))
+    assert (ch, rate, bits) == (1, 8000, 8)
+    assert samples == [-32124, 0, 32124]
+    assert decode_wav(wav(6, bytes([0x55, 0xD5])))[3] == [-8, 8]
+    with pytest.raises(ValueError):
+        decode_wav(wav(7, bytes(4), bits=16))   # µ-law must be 8-bit
+    with pytest.raises(ValueError):
+        decode_wav(wav(85, bytes(4)))           # MPEG et al. rejected

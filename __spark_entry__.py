@@ -1827,6 +1827,80 @@ def q_doc_split(spark, sf_dir):
     )
 
 
+def q_doc_warc_extract(spark, sf_dir):
+    """WARC shards built in-plan (warcinfo + HTTP response records,
+    exact Content-Length framing over UTF-8 byte lengths), parsed for
+    real by cubes_spark.llm.web.parse_warc; response bodies recovered
+    byte-exact (md5 vs the source text)."""
+    from cubes_spark.llm import parse_warc
+
+    docs = _table(spark, sf_dir, "documents")
+    info_body = F.lit("software: cubes-spark")
+    http_head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+              "charset=utf-8\r\nContent-Length: "),
+        F.octet_length("text").cast("string"), F.lit("\r\n\r\n"))
+    payload = F.concat(http_head, F.col("text"))
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "),
+        F.octet_length(info_body).cast("string"),
+        F.lit("\r\n\r\n"), info_body, F.lit("\r\n\r\n"),
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: http://example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"))
+    shards = docs.select("doc_id", warc.cast("binary").alias("payload"))
+    recs = parse_warc(shards, warc_col="payload", id_col="doc_id")
+    resp = F.col("warc_type") == "response"
+    return recs.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.max(F.when(resp, F.col("target_uri"))).alias("target_uri"),
+        F.max(F.when(resp, F.col("http_status"))).cast("long")
+            .alias("http_status"),
+        F.max(F.when(resp, F.col("content_type"))).alias("content_type"),
+        F.max(F.when(resp, F.col("body_len"))).cast("long")
+            .alias("body_len"),
+        F.max(F.when(resp, F.md5(F.col("body")))).alias("body_md5"),
+    )
+
+
+def q_doc_html_text(spark, sf_dir):
+    """HTML pages built in-plan (title/h1/script/style/comment, the
+    document text entity-escaped into a <p>, a next-doc link), reduced
+    to clean text by cubes_spark.llm.web.html_to_text — script bodies
+    with bare '<' and double-escaped entities covered — plus link
+    extraction; oracle is the closed-form expected text."""
+    from cubes_spark.llm import extract_links, html_to_text
+
+    docs = _table(spark, sf_dir, "documents")
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>body {color: #fff;}</style></head>\n"
+              "<body><h1>"), F.col("source"),
+        F.lit("</h1>\n<!-- built in-plan -->\n"
+              "<script type=\"text/javascript\">var x = 1 < 2;</script>"
+              "\n<p>"),
+        esc,
+        F.lit("</p>\n<a href=\"https://example.com/doc/"),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit("\">next</a>\n</body></html>"))
+    pages = docs.select("doc_id", html.alias("html"))
+    out = extract_links(html_to_text(pages))
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.col("text")).alias("text_md5"),
+        F.size("links").cast("long").alias("n_links"),
+        F.element_at("links", 1).alias("first_link"),
+    )
+
+
 def _inplan_avi(docs):
     """Complete AVI containers (RIFF hdrl/strf/movi, BI_RGB 24-bit
     DIB frames) built per doc_id in-plan: ``n = 2 + doc_id % 3``
@@ -2163,6 +2237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- behind the window: locally verified; rotate into round 6
         "doc_chunks": q_doc_chunks,
         "doc_split": q_doc_split,
+        "doc_warc_extract": q_doc_warc_extract,
+        "doc_html_text": q_doc_html_text,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
         "doc_video_frames": q_doc_video_frames,
         "doc_mkv_meta": q_doc_mkv_meta,
@@ -2453,6 +2529,34 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS n_docs,
             CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1, 2"""
+
+    # WARC shards parsed for real; closed-form record expectations
+    sql["doc_warc_extract"] = """
+        SELECT doc_id, CAST(2 AS BIGINT) AS n_records,
+            'http://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                AS target_uri,
+            CAST(200 AS BIGINT) AS http_status,
+            'text/plain; charset=utf-8' AS content_type,
+            CAST(strlen(text) AS BIGINT) AS body_len,
+            md5(text) AS body_md5
+        FROM documents"""
+
+    # HTML strip inverts the in-plan escape: closed-form expected text
+    sql["doc_html_text"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                trim(regexp_replace(
+                    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source
+                        || ' ' || text || ' next',
+                    '\s+', ' ', 'g')) AS expected
+            FROM documents)
+        SELECT doc_id,
+            CAST(length(expected) AS BIGINT) AS text_len,
+            md5(expected) AS text_md5,
+            CAST(1 AS BIGINT) AS n_links,
+            'https://example.com/doc/' || CAST(doc_id + 1 AS VARCHAR)
+                AS first_link
+        FROM t"""
 
     # XLSX round-trip: values recovered from the parsed workbook grid
     sql["xlsx_roundtrip"] = f"""

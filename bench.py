@@ -87,11 +87,12 @@ def main() -> None:
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]
-        # best of 2: suppress scheduler/GC noise so round-over-round
-        # comparisons reflect plan changes, not jitter
+        # best of 3: suppress scheduler/GC/JIT noise so round-over-round
+        # comparisons reflect plan changes, not jitter (observed spread
+        # on a shared host is >2x between reps of the same plan)
         best = None
         failed = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)

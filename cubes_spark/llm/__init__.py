@@ -48,6 +48,11 @@ from cubes_spark.llm.similarity import (
     ivf_topk,
     random_projection,
 )
+from cubes_spark.llm.web import (
+    extract_links,
+    html_to_text,
+    parse_warc,
+)
 from cubes_spark.llm.multimodal import (
     audio_metadata,
     binary_metadata,
@@ -102,6 +107,9 @@ __all__ = [
     "embedding_near_duplicates",
     "ivf_topk",
     "random_projection",
+    "html_to_text",
+    "extract_links",
+    "parse_warc",
     "binary_metadata",
     "image_dimensions",
     "audio_metadata",

@@ -1,0 +1,209 @@
+"""Web-corpus ingestion: WARC record parsing + HTML text extraction.
+
+The Common-Crawl-shaped front of an LLM training-data pipeline: raw
+WARC shards (one binary blob per file, read via ``binaryFile`` or a
+documents table) are split into records, the HTTP response bodies are
+extracted, and HTML is reduced to clean text.
+
+Scale design:
+
+* :func:`html_to_text` / :func:`extract_links` are pure JVM column
+  expression chains (``regexp_replace`` / ``replace`` /
+  ``regexp_extract_all``) — whole-stage codegen, zero Python, and
+  reproducible in an ANSI-SQL oracle.
+* :func:`parse_warc` is a per-row streaming byte walk (Content-Length
+  honoured, so bodies may contain anything) in one Arrow
+  ``mapInPandas`` stage: no shuffle, records explode locally within
+  each input partition.  At 100 TB each WARC shard is one row of a
+  ``binaryFile`` scan, so parallelism == number of shards and the
+  operator never widens beyond the scan partitioning.
+
+The reference engine has no web ingestion; these are beyond-parity
+operators (see STATUS.md "LLM-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["html_to_text", "extract_links", "parse_warc",
+           "WARC_RECORD_SCHEMA"]
+
+
+# -- HTML -> text (pure column expressions) ---------------------------------
+
+#: entity decode order matters: named entities BEFORE ``&amp;`` so a
+#: literal ``&lt;`` in the source (escaped to ``&amp;lt;``) decodes
+#: back to ``&lt;`` and not to ``<`` (double-unescape bug).
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_text_column(html) -> F.Column:
+    """HTML → plain text as a single JVM expression chain.
+
+    Order is load-bearing: comments and ``<script>``/``<style>``
+    blocks go first (their bodies may contain bare ``<``/``>`` that
+    would derail naive tag stripping), then all remaining tags, then
+    entity decoding, then whitespace collapse.  Every step is plain
+    RE2-compatible regex so a SQL oracle can replay it verbatim.
+    """
+    c = html if isinstance(html, F.Column) else F.col(html)
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for entity, ch in _ENTITIES:
+        c = F.replace(c, F.lit(entity), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_to_text(df: DataFrame, html_col: str = "html",
+                 out_col: str = "text") -> DataFrame:
+    """Add `out_col` with the extracted plain text of `html_col`."""
+    return df.withColumn(out_col, html_text_column(html_col))
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  out_col: str = "links") -> DataFrame:
+    """Add `out_col` = array of href targets (order of appearance)."""
+    c = F.col(html_col)
+    return df.withColumn(
+        out_col,
+        F.regexp_extract_all(c, F.lit(r'(?i)href="([^"]*)"'), F.lit(1)),
+    )
+
+
+# -- WARC parsing (Arrow mapInPandas) ---------------------------------------
+
+WARC_RECORD_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("record_idx", LongType()),
+    StructField("warc_type", StringType()),
+    StructField("target_uri", StringType()),
+    StructField("http_status", LongType()),
+    StructField("content_type", StringType()),
+    StructField("body", BinaryType()),
+    StructField("body_len", LongType()),
+])
+
+
+def _split_warc_records(data: bytes):
+    """Yield ``(fields, body)`` per WARC record.
+
+    Header block is CRLF text up to a blank line; the body is exactly
+    ``Content-Length`` bytes (never scanned for separators, so binary
+    payloads are safe).  Trailing record separators (CRLFCRLF) are
+    skipped.  A malformed header terminates the walk rather than
+    guessing at resync — at ingest scale a truncated shard must
+    surface as fewer records, not garbage ones.
+    """
+    pos, n = 0, len(data)
+    while pos < n:
+        while data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        lines = data[pos:head_end].decode("utf-8", "replace").split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            return
+        fields = {}
+        for line in lines[1:]:
+            key, _, value = line.partition(":")
+            fields[key.strip().lower()] = value.strip()
+        try:
+            clen = int(fields.get("content-length", "0"))
+        except ValueError:
+            return
+        body = data[head_end + 4:head_end + 4 + clen]
+        if len(body) < clen:        # truncated shard
+            return
+        pos = head_end + 4 + clen
+        yield fields, body
+
+
+def _parse_http_response(payload: bytes):
+    """(status, content_type, body) from an HTTP response payload."""
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0:
+        return None, None, payload
+    head = payload[:head_end].decode("utf-8", "replace")
+    body = payload[head_end + 4:]
+    lines = head.split("\r\n")
+    status: Optional[int] = None
+    parts = lines[0].split()
+    if len(parts) >= 2 and parts[0].startswith("HTTP/"):
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    content_type = None
+    for line in lines[1:]:
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "content-type":
+            content_type = value.strip()
+            break
+    return status, content_type, body
+
+
+def parse_warc(df: DataFrame, warc_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+    """Explode WARC files into one row per record.
+
+    ``response`` records additionally get the HTTP status line,
+    Content-Type and the HTTP body (headers stripped); other record
+    types (``warcinfo``, ``request``, ``metadata``…) carry their raw
+    payload.  One Arrow stage, no shuffle: records of a shard stay in
+    the shard's partition.
+    """
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(warc_col).cast("binary").alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("id", "record_idx", "warc_type",
+                                   "target_uri", "http_status",
+                                   "content_type", "body", "body_len")}
+            for rid, payload in zip(batch["id"], batch["payload"]):
+                if payload is None:
+                    continue
+                for idx, (fields, body) in enumerate(
+                        _split_warc_records(bytes(payload))):
+                    wtype = fields.get("warc-type", "unknown")
+                    status = ctype = None
+                    if wtype == "response":
+                        status, ctype, body = _parse_http_response(body)
+                    out["id"].append(rid)
+                    out["record_idx"].append(idx)
+                    out["warc_type"].append(wtype)
+                    out["target_uri"].append(fields.get("warc-target-uri"))
+                    out["http_status"].append(status)
+                    out["content_type"].append(ctype)
+                    out["body"].append(body)
+                    out["body_len"].append(len(body))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, WARC_RECORD_SCHEMA)

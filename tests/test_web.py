@@ -1,0 +1,114 @@
+"""WARC parsing + HTML text extraction (cubes_spark.llm.web)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cubes_spark.llm import extract_links, html_to_text, parse_warc
+
+
+def _warc_record(wtype: str, payload: bytes, uri: str = None) -> bytes:
+    head = [b"WARC/1.0", b"WARC-Type: " + wtype.encode()]
+    if uri:
+        head.append(b"WARC-Target-URI: " + uri.encode())
+    head.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http_response(body: bytes, ctype: str = "text/html") -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode()
+            + b"\r\nContent-Length: " + str(len(body)).encode()
+            + b"\r\n\r\n" + body)
+
+
+class TestParseWarc:
+    def test_multi_record_file(self, spark):
+        body = "<html><body>hello é</body></html>".encode()
+        warc = (_warc_record("warcinfo", b"software: test")
+                + _warc_record("request", b"GET / HTTP/1.1\r\n\r\n",
+                               uri="http://x.test/")
+                + _warc_record("response", _http_response(body),
+                               uri="http://x.test/"))
+        df = spark.createDataFrame([(1, bytearray(warc))],
+                                   "doc_id long, payload binary")
+        rows = {r.record_idx: r for r in parse_warc(df).collect()}
+        assert len(rows) == 3
+        assert rows[0].warc_type == "warcinfo"
+        assert bytes(rows[0].body) == b"software: test"
+        assert rows[1].warc_type == "request"
+        assert rows[2].warc_type == "response"
+        assert rows[2].http_status == 200
+        assert rows[2].content_type == "text/html"
+        assert bytes(rows[2].body) == body
+        assert rows[2].body_len == len(body)
+        assert rows[2].target_uri == "http://x.test/"
+
+    def test_binary_body_with_fake_separators(self, spark):
+        # Content-Length framing: body containing CRLFCRLF + WARC/1.0
+        # must NOT split the record
+        body = b"\r\n\r\nWARC/1.0\r\n\x00\xff binary"
+        warc = _warc_record("resource", body)
+        df = spark.createDataFrame([(7, bytearray(warc))],
+                                   "doc_id long, payload binary")
+        rows = parse_warc(df).collect()
+        assert len(rows) == 1
+        assert bytes(rows[0].body) == body
+
+    def test_truncated_shard_stops_clean(self, spark):
+        good = _warc_record("resource", b"abc")
+        bad = b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 100" \
+              b"\r\n\r\nonly a few bytes"
+        df = spark.createDataFrame([(1, bytearray(good + bad))],
+                                   "doc_id long, payload binary")
+        rows = parse_warc(df).collect()
+        assert len(rows) == 1          # truncated record dropped
+        assert bytes(rows[0].body) == b"abc"
+
+
+class TestHtmlToText:
+    def _one(self, spark, html: str) -> str:
+        df = spark.createDataFrame([(html,)], "html string")
+        return html_to_text(df).head().text
+
+    def test_script_style_comment_removed(self, spark):
+        html = ("<html><head><style>p {color: red;}</style></head>"
+                "<body><!-- note --><script>if (1 < 2) { x(); }</script>"
+                "<p>Hello   world</p></body></html>")
+        assert self._one(spark, html) == "Hello world"
+
+    def test_entities_and_double_escape(self, spark):
+        # literal &lt; escaped as &amp;lt; must decode to "&lt;" not "<"
+        html = "<p>a &amp; b &lt;tag&gt; &quot;q&quot; &amp;lt;</p>"
+        assert self._one(spark, html) == 'a & b <tag> "q" &lt;'
+
+    def test_multiline_tags_and_whitespace(self, spark):
+        html = "<div\n class='x'>one</div>\n\n<p>two\nthree</p>"
+        assert self._one(spark, html) == "one two three"
+
+    def test_links(self, spark):
+        html = ('<a href="http://a.test/1">x</a> '
+                '<A HREF="http://a.test/2">y</A>')
+        df = spark.createDataFrame([(html,)], "html string")
+        assert extract_links(df).head().links == [
+            "http://a.test/1", "http://a.test/2"]
+
+
+class TestWarcHtmlPipeline:
+    def test_end_to_end(self, spark):
+        body = ("<html><body><h1>Title</h1><script>var a=1;</script>"
+                "<p>Body &amp; text</p></body></html>").encode()
+        warc = _warc_record("response", _http_response(body),
+                            uri="http://x.test/page")
+        df = spark.createDataFrame([(1, bytearray(warc))],
+                                   "doc_id long, payload binary")
+        recs = parse_warc(df).filter(F.col("warc_type") == "response")
+        text = html_to_text(
+            recs.withColumn("html", F.col("body").cast("string")))
+        row = text.head()
+        assert row.text == "Title Body & text"
+        assert hashlib.md5(bytes(row.body)).hexdigest() == \
+            hashlib.md5(body).hexdigest()

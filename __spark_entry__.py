@@ -1827,6 +1827,36 @@ def q_doc_split(spark, sf_dir):
     )
 
 
+def q_doc_substring_dup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 shape): 8-token spans
+    occurring in >=2 distinct documents, via local explode + one
+    map-side-combinable hash group-by — only the 64-bit portable span
+    hash is shuffled (cubes_spark/llm/dedup.py:duplicate_spans)."""
+    from cubes_spark.llm import duplicate_spans
+
+    docs = _table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8).select(
+        "span_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_doc_span_docs(spark, sf_dir):
+    """Per-document duplicated-span exposure (boilerplate removal
+    policy knob): span counts + how many of them are corpus-duplicated
+    (cubes_spark/llm/dedup.py:span_duplicate_docs)."""
+    from cubes_spark.llm import span_duplicate_docs
+
+    docs = _table(spark, sf_dir, "documents")
+    return span_duplicate_docs(docs, k=8).select(
+        "doc_id",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
 def q_doc_warc_extract(spark, sf_dir):
     """WARC shards built in-plan (warcinfo + HTTP response records,
     exact Content-Length framing over UTF-8 byte lengths), parsed for
@@ -2239,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "doc_warc_extract": q_doc_warc_extract,
         "doc_html_text": q_doc_html_text,
+        "doc_substring_dup": q_doc_substring_dup,
+        "doc_span_docs": q_doc_span_docs,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
         "doc_video_frames": q_doc_video_frames,
         "doc_mkv_meta": q_doc_mkv_meta,
@@ -2529,6 +2561,41 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS n_docs,
             CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1, 2"""
+
+    # exact substring dedup: the same 8-token spans + portable hash
+    _span_cte = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents),
+        spans AS (
+            SELECT doc_id,
+                array_to_string(
+                    t[CAST(u.i + 1 AS INT) : CAST(u.i + 8 AS INT)],
+                    ' ') AS span
+            FROM toks,
+                UNNEST(range(CAST(greatest(len(t) - 7, 0) AS BIGINT)))
+                    AS u(i)),
+        hashed AS (
+            SELECT doc_id,
+                {_H64.format(x='span')} AS span_hash
+            FROM spans)
+    """
+    sql["doc_substring_dup"] = _span_cte + """
+        SELECT span_hash,
+            COUNT(DISTINCT doc_id) AS n_docs,
+            COUNT(*) AS n_occurrences,
+            MIN(doc_id) AS canonical_id
+        FROM hashed GROUP BY 1
+        HAVING COUNT(DISTINCT doc_id) >= 2"""
+
+    sql["doc_span_docs"] = _span_cte + """
+        , dup AS (
+            SELECT span_hash FROM hashed
+            GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT doc_id,
+            CAST(SUM(CASE WHEN span_hash IN (SELECT span_hash FROM dup)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+            COUNT(*) AS n_spans
+        FROM hashed GROUP BY 1"""
 
     # WARC shards parsed for real; closed-form record expectations
     sql["doc_warc_extract"] = """

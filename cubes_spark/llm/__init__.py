@@ -34,7 +34,9 @@ from cubes_spark.llm.text import (
 from cubes_spark.llm.dedup import (
     connected_components,
     duplicate_clusters,
+    duplicate_spans,
     exact_duplicates,
+    span_duplicate_docs,
     minhash_signatures,
     minhash_candidate_pairs,
     simhash,
@@ -95,6 +97,8 @@ __all__ = [
     "redact_pii",
     "trigram_logprob",
     "exact_duplicates",
+    "duplicate_spans",
+    "span_duplicate_docs",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash",

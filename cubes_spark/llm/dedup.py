@@ -34,6 +34,8 @@ from cubes_spark.llm.util import spread
 __all__ = [
     "content_hash",
     "exact_duplicates",
+    "duplicate_spans",
+    "span_duplicate_docs",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash",
@@ -137,6 +139,93 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
             F.min(id_col).alias("canonical_id"),
         )
         .filter(F.col("cluster_size") > 1)
+    )
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Exact substring dedup: token spans shared across documents.
+
+    The corpus-level counterpart of near-dup LSH (the shape of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, which uses a suffix array on one giant
+    concatenation): every run of ``k`` consecutive whitespace tokens is
+    hashed, and a span is *duplicated* when it occurs in at least
+    ``min_docs`` distinct documents.  Returns ``(span_hash, n_docs,
+    n_occurrences, canonical_id)`` per duplicated span.
+
+    Scale shape: tokens explode locally (factor ≈ document length, same
+    as MinHash shingling), only the 64-bit md5-derived span hash is
+    shuffled (never the span text), and the group-by is map-side
+    combinable.  No joins, one shuffle, portable hashes — a SQL oracle
+    replays it exactly.
+    """
+    toks = spread(df).select(
+        F.col(id_col), token_array(F.col(text_col)).alias("t"))
+    starts = F.when(
+        F.size("t") >= k,
+        F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(starts,
+                        lambda i: F.array_join(F.slice("t", i, k), " "))
+        ).alias("span"),
+    )
+    return (
+        spans.select(F.col(id_col), hash64(F.col("span")).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_duplicate_docs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        min_docs: int = 2) -> DataFrame:
+    """Per-document duplicated-span exposure: ``(id, n_dup_spans,
+    n_spans, dup_fraction)``.  Documents whose spans are mostly shared
+    are boilerplate/copy candidates; ``filter(dup_fraction > x)`` is
+    the removal policy knob.  Two shuffles total: the span group-by of
+    :func:`duplicate_spans` plus one hash equi-join back on the span
+    hash (both keyed by the same well-distributed 64-bit hash)."""
+    toks = spread(df).select(
+        F.col(id_col), token_array(F.col(text_col)).alias("t"))
+    starts = F.when(
+        F.size("t") >= k,
+        F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(starts,
+                        lambda i: F.array_join(F.slice("t", i, k), " "))
+        ).alias("span"),
+    ).select(F.col(id_col), hash64(F.col("span")).alias("span_hash"))
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_hash")
+    )
+    flagged = spans.join(dup, "span_hash", "left_semi") \
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    totals = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"))
+    out = totals.join(flagged, id_col, "left")
+    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_dup.alias("n_dup_spans"),
+        F.col("n_spans"),
+        F.round(n_dup.cast("double") / F.col("n_spans"), 4)
+            .alias("dup_fraction"),
     )
 
 

@@ -1221,3 +1221,52 @@ def test_decode_wav_g711():
         decode_wav(wav(7, bytes(4), bits=16))   # µ-law must be 8-bit
     with pytest.raises(ValueError):
         decode_wav(wav(85, bytes(4)))           # MPEG et al. rejected
+
+
+class TestDuplicateSpans:
+    """Exact substring (k-token span) dedup — enumerable ground truth."""
+
+    @pytest.fixture(scope="class")
+    def span_docs(self, spark):
+        rows = [
+            (1, "a b c d e x y z"),          # spans "a b c d" .. shared
+            (2, "p q a b c d e r"),          # shares "a b c d e" run
+            (3, "p q a b c d e r"),          # exact dup of 2
+            (4, "unrelated words only here"),
+            (5, "a b c"),                    # too short for k=4
+            (6, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_duplicate_spans(self, spark, span_docs):
+        from cubes_spark.llm import duplicate_spans
+
+        out = duplicate_spans(span_docs, k=4).collect()
+        # shared 4-token spans across docs: "a b c d", "b c d e" (docs
+        # 1,2,3) and every span of the exact dup pair 2/3
+        by_docs = {}
+        for r in out:
+            assert r.n_docs >= 2
+            by_docs[r.span_hash] = (r.n_docs, r.n_occurrences,
+                                    r.canonical_id)
+        # doc2/doc3 have 5 spans each, 2 of which also occur in doc1
+        n3 = sum(1 for v in by_docs.values() if v[0] == 3)
+        n2 = sum(1 for v in by_docs.values() if v[0] == 2)
+        assert n3 == 2          # "a b c d", "b c d e"
+        assert n2 == 3          # remaining doc2==doc3 spans
+        for n_docs, n_occ, canon in by_docs.values():
+            assert n_occ == n_docs    # each span once per doc here
+        assert all(v[2] in (1, 2) for v in by_docs.values())
+
+    def test_span_duplicate_docs(self, spark, span_docs):
+        from cubes_spark.llm import span_duplicate_docs
+
+        rows = {r.doc_id: r for r in
+                span_duplicate_docs(span_docs, k=4).collect()}
+        # docs 5,6 have no spans at all -> absent
+        assert set(rows) == {1, 2, 3, 4}
+        assert rows[4].n_dup_spans == 0
+        assert rows[2].n_spans == 5 and rows[2].n_dup_spans == 5
+        assert rows[3].dup_fraction == 1.0
+        assert rows[1].n_spans == 5 and rows[1].n_dup_spans == 2
+        assert rows[1].dup_fraction == 0.4

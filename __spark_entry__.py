@@ -1857,6 +1857,24 @@ def q_doc_span_docs(spark, sf_dir):
     )
 
 
+def q_doc_decontam(spark, sf_dir):
+    """Test-set decontamination: distinct-8-gram overlap of every
+    document against an in-plan benchmark slice (doc_id % 25 == 0);
+    the benchmark gram set is deduped + broadcast so the corpus side
+    never shuffles for the membership test
+    (cubes_spark/llm/dedup.py:benchmark_contamination)."""
+    from cubes_spark.llm import benchmark_contamination
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    out = benchmark_contamination(docs, bench, k=8, threshold=0.2)
+    return out.select(
+        "doc_id", "n_grams", "n_overlap",
+        F.col("contaminated").cast("int").cast("long")
+            .alias("contaminated"),
+    )
+
+
 def q_doc_warc_extract(spark, sf_dir):
     """WARC shards built in-plan (warcinfo + HTTP response records,
     exact Content-Length framing over UTF-8 byte lengths), parsed for
@@ -2271,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_html_text": q_doc_html_text,
         "doc_substring_dup": q_doc_substring_dup,
         "doc_span_docs": q_doc_span_docs,
+        "doc_decontam": q_doc_decontam,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
         "doc_video_frames": q_doc_video_frames,
         "doc_mkv_meta": q_doc_mkv_meta,
@@ -2596,6 +2615,24 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
             COUNT(*) AS n_spans
         FROM hashed GROUP BY 1"""
+
+    # decontamination: distinct grams per doc vs the benchmark slice;
+    # threshold compare in exact integer arithmetic (0.2 == 2000 bp)
+    sql["doc_decontam"] = _span_cte + """
+        , distinct_grams AS (
+            SELECT DISTINCT doc_id, span_hash FROM hashed),
+        bench AS (
+            SELECT DISTINCT span_hash FROM distinct_grams
+            WHERE doc_id % 25 = 0)
+        SELECT doc_id,
+            COUNT(*) AS n_grams,
+            CAST(SUM(CASE WHEN span_hash IN (SELECT span_hash FROM bench)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+            CAST(CASE WHEN SUM(CASE WHEN span_hash IN
+                        (SELECT span_hash FROM bench) THEN 1 ELSE 0 END)
+                      * 10000 >= 2000 * COUNT(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM distinct_grams GROUP BY 1"""
 
     # WARC shards parsed for real; closed-form record expectations
     sql["doc_warc_extract"] = """

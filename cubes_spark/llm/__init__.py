@@ -32,6 +32,7 @@ from cubes_spark.llm.text import (
     winnow_fingerprints,
 )
 from cubes_spark.llm.dedup import (
+    benchmark_contamination,
     connected_components,
     duplicate_clusters,
     duplicate_spans,
@@ -99,6 +100,7 @@ __all__ = [
     "exact_duplicates",
     "duplicate_spans",
     "span_duplicate_docs",
+    "benchmark_contamination",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash",

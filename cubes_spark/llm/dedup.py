@@ -36,6 +36,7 @@ __all__ = [
     "exact_duplicates",
     "duplicate_spans",
     "span_duplicate_docs",
+    "benchmark_contamination",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash",
@@ -142,6 +143,26 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def _token_span_hashes(df: DataFrame, text_col: str, id_col: str,
+                       k: int) -> DataFrame:
+    """(id, span_hash) for every k-token span: local explode of the
+    whitespace-token array, 64-bit portable hash, span text never
+    leaves the stage."""
+    toks = spread(df).select(
+        F.col(id_col), token_array(F.col(text_col)).alias("t"))
+    starts = F.when(
+        F.size("t") >= k,
+        F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(starts,
+                        lambda i: F.array_join(F.slice("t", i, k), " "))
+        ).alias("span"),
+    ).select(F.col(id_col), hash64(F.col("span")).alias("span_hash"))
+
+
 def duplicate_spans(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 8,
                     min_docs: int = 2) -> DataFrame:
@@ -161,21 +182,8 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     combinable.  No joins, one shuffle, portable hashes — a SQL oracle
     replays it exactly.
     """
-    toks = spread(df).select(
-        F.col(id_col), token_array(F.col(text_col)).alias("t"))
-    starts = F.when(
-        F.size("t") >= k,
-        F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    spans = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(starts,
-                        lambda i: F.array_join(F.slice("t", i, k), " "))
-        ).alias("span"),
-    )
     return (
-        spans.select(F.col(id_col), hash64(F.col("span")).alias("span_hash"))
+        _token_span_hashes(df, text_col, id_col, k)
         .groupBy("span_hash")
         .agg(
             F.count_distinct(F.col(id_col)).alias("n_docs"),
@@ -195,19 +203,7 @@ def span_duplicate_docs(df: DataFrame, text_col: str = "text",
     the removal policy knob.  Two shuffles total: the span group-by of
     :func:`duplicate_spans` plus one hash equi-join back on the span
     hash (both keyed by the same well-distributed 64-bit hash)."""
-    toks = spread(df).select(
-        F.col(id_col), token_array(F.col(text_col)).alias("t"))
-    starts = F.when(
-        F.size("t") >= k,
-        F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    spans = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(starts,
-                        lambda i: F.array_join(F.slice("t", i, k), " "))
-        ).alias("span"),
-    ).select(F.col(id_col), hash64(F.col("span")).alias("span_hash"))
+    spans = _token_span_hashes(df, text_col, id_col, k)
     dup = (
         spans.groupBy("span_hash")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -226,6 +222,56 @@ def span_duplicate_docs(df: DataFrame, text_col: str = "text",
         F.col("n_spans"),
         F.round(n_dup.cast("double") / F.col("n_spans"), 4)
             .alias("dup_fraction"),
+    )
+
+
+def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8,
+                            threshold: float = 0.5,
+                            broadcast: bool = True) -> DataFrame:
+    """Test-set decontamination: per-corpus-document overlap with a
+    benchmark corpus, measured as the fraction of the document's
+    *distinct* k-token spans that also occur anywhere in the benchmark
+    (the n-gram-collision decontamination of the GPT-2/GPT-3 data
+    work).  Returns ``(id, n_grams, n_overlap, contaminated)``;
+    ``contaminated`` = overlap fraction >= `threshold` (computed in
+    exact integer arithmetic: ``n_overlap * 10000 >= threshold_bp *
+    n_grams``).
+
+    Scale shape: the benchmark gram set (distinct hashes of the
+    eval/test suites — thousands of docs, not terabytes) is deduped and
+    broadcast by default, so the 100 TB corpus side never shuffles for
+    the membership test; only the final per-document group-by shuffles,
+    keyed by document id.  Set ``broadcast=False`` to fall back to a
+    hash equi-join when the benchmark is genuinely large.
+
+    Documents with no spans at all (shorter than k tokens) are absent
+    from the output — they carry no n-gram evidence either way.
+    """
+    bench_grams = (
+        _token_span_hashes(benchmark, text_col, id_col, k)
+        .select("span_hash").distinct()
+    )
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
+    grams = (
+        _token_span_hashes(corpus, text_col, id_col, k)
+        .distinct()
+    )
+    hit = grams.join(bench_grams, "span_hash", "left_semi") \
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap"))
+    totals = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    out = totals.join(hit, id_col, "left")
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    threshold_bp = int(round(threshold * 10000))
+    return out.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        n_overlap.alias("n_overlap"),
+        (n_overlap * 10000 >= F.lit(threshold_bp) * F.col("n_grams"))
+            .alias("contaminated"),
     )
 
 

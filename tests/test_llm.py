@@ -1270,3 +1270,41 @@ class TestDuplicateSpans:
         assert rows[3].dup_fraction == 1.0
         assert rows[1].n_spans == 5 and rows[1].n_dup_spans == 2
         assert rows[1].dup_fraction == 0.4
+
+
+class TestContamination:
+    def test_benchmark_contamination(self, spark):
+        from cubes_spark.llm import benchmark_contamination
+
+        corpus = spark.createDataFrame([
+            (1, "q1 a b c d answer is here today"),  # contains bench gram
+            (2, "totally fresh training text with no overlap at all"),
+            (3, "q1 a b c d answer is here"),        # == bench doc 100
+            (4, "short doc"),                        # < k tokens
+        ], "doc_id long, text string")
+        bench = spark.createDataFrame([
+            (100, "q1 a b c d answer is here"),
+        ], "doc_id long, text string")
+
+        rows = {r.doc_id: r for r in benchmark_contamination(
+            corpus, bench, k=4, threshold=0.5).collect()}
+        assert set(rows) == {1, 2, 3}        # doc 4 has no 4-gram
+        assert rows[3].contaminated          # exact benchmark copy
+        assert rows[3].n_overlap == rows[3].n_grams == 5
+        assert not rows[2].contaminated and rows[2].n_overlap == 0
+        # doc1: 6 distinct grams, 5 of them benchmark grams -> 83%
+        assert rows[1].n_grams == 6 and rows[1].n_overlap == 5
+        assert rows[1].contaminated
+
+    def test_threshold_integer_boundary(self, spark):
+        from cubes_spark.llm import benchmark_contamination
+
+        # exactly at threshold: 1 of 2 grams, threshold 0.5 -> flagged
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(9, "a b c d")], "doc_id long, text string")
+        row = benchmark_contamination(corpus, bench, k=4,
+                                      threshold=0.5).head()
+        assert row.n_grams == 2 and row.n_overlap == 1
+        assert row.contaminated

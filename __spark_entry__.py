@@ -1857,6 +1857,22 @@ def q_doc_span_docs(spark, sf_dir):
     )
 
 
+def q_doc_pack(spark, sf_dir):
+    """GPT-style sequence packing: documents concatenated in doc_id
+    order, token stream sliced into 512-token context windows; one row
+    per (window, document) overlap.  Global prefix offsets via the
+    two-phase prefix sum (range repartition + bounded per-partition
+    collect), never a one-partition window
+    (cubes_spark/llm/text.py:pack_sequences)."""
+    from cubes_spark.llm import pack_sequences
+
+    docs = _table(spark, sf_dir, "documents")
+    return pack_sequences(docs, window=512, num_partitions=8).select(
+        "bin_id", "doc_id", "offset_in_bin", "tokens_in_bin",
+        "n_tokens",
+    )
+
+
 def q_doc_decontam(spark, sf_dir):
     """Test-set decontamination: distinct-8-gram overlap of every
     document against an in-plan benchmark slice (doc_id % 25 == 0);
@@ -2290,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dup": q_doc_substring_dup,
         "doc_span_docs": q_doc_span_docs,
         "doc_decontam": q_doc_decontam,
+        "doc_pack": q_doc_pack,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
         "doc_video_frames": q_doc_video_frames,
         "doc_mkv_meta": q_doc_mkv_meta,
@@ -2633,6 +2650,30 @@ def oracle_sql() -> dict[str, str]:
                       * 10000 >= 2000 * COUNT(*)
                  THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         FROM distinct_grams GROUP BY 1"""
+
+    # sequence packing: exclusive prefix sum in doc_id order, integer
+    # bin arithmetic (identical to the two-phase Spark result)
+    sql["doc_pack"] = f"""
+        WITH toks AS (
+            SELECT doc_id, len({_TOKENS}) AS n FROM documents),
+        placed AS (
+            SELECT doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS s
+            FROM toks),
+        bins AS (
+            SELECT doc_id, n, s, u.b AS bin_id
+            FROM placed,
+                UNNEST(range(s // 512, (s + n - 1) // 512 + 1)) AS u(b)
+            WHERE n > 0)
+        SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+            CAST(greatest(s, bin_id * 512) - bin_id * 512 AS BIGINT)
+                AS offset_in_bin,
+            CAST(least(s + n, (bin_id + 1) * 512)
+                 - greatest(s, bin_id * 512) AS BIGINT) AS tokens_in_bin,
+            CAST(n AS BIGINT) AS n_tokens
+        FROM bins"""
 
     # WARC shards parsed for real; closed-form record expectations
     sql["doc_warc_extract"] = """

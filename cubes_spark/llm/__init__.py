@@ -24,6 +24,7 @@ from cubes_spark.llm.text import (
     fingerprint,
     hash64,
     language_id,
+    pack_sequences,
     redact_pii,
     repetition_stats,
     text_stats,
@@ -91,6 +92,7 @@ __all__ = [
     "text_stats",
     "chunk_documents",
     "deterministic_split",
+    "pack_sequences",
     "language_id",
     "fingerprint",
     "winnow_fingerprints",

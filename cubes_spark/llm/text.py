@@ -29,6 +29,7 @@ __all__ = [
     "trigram_logprob",
     "chunk_documents",
     "deterministic_split",
+    "pack_sequences",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -425,3 +426,76 @@ def deterministic_split(df, id_col: str = "doc_id",
     ) % 1000
     return df.withColumn(
         "split", F.when(h < val_permille, "val").otherwise("train"))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   tokens_col: Optional[str] = None,
+                   window: int = 2048,
+                   num_partitions: Optional[int] = None) -> DataFrame:
+    """GPT-style sequence packing (concatenate-and-chunk).
+
+    Documents are laid end-to-end in deterministic `id_col` order and
+    the token stream is sliced into fixed context windows of `window`
+    tokens; a document may span window boundaries.  Returns one row per
+    (window, document) overlap: ``(bin_id, id, offset_in_bin,
+    tokens_in_bin, n_tokens)`` — the exact shard map a training loader
+    needs.  Token counts come from `tokens_col` if given, else the
+    whitespace token count of `text_col`.
+
+    Scale: the naive global cumulative sum is a one-partition window
+    function — the classic scale killer.  This uses the two-phase
+    prefix sum instead: range-repartition by id (cluster-wide order),
+    per-partition token totals (ONE bounded collect: one row per
+    partition), exclusive partition offsets broadcast back, then a
+    partition-LOCAL window cumsum.  Every stage is as wide as the
+    cluster; the result is invariant to the partition count.  All
+    arithmetic is integer (exact at any scale); the bin explode is
+    narrow.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = (F.col(tokens_col) if tokens_col
+             else F.size(token_array(F.col(text_col)))).cast("long")
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    base = (base.repartitionByRange(num_partitions, id_col)
+            if num_partitions else base.repartitionByRange(id_col))
+    base = base.withColumn("_pid", F.spark_partition_id())
+    # bounded collect: one row per partition (thousands at 100 TB)
+    totals = base.groupBy("_pid").agg(
+        F.sum("n_tokens").alias("_tot")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r._pid):
+        offsets.append((row._pid, acc))
+        acc += row._tot or 0
+    spark = df.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _poff long"))
+    local = Window.partitionBy("_pid").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    placed = (
+        base.join(off_df, "_pid")
+        .withColumn("_start", F.col("_poff")
+                    + F.coalesce(F.sum("n_tokens").over(local),
+                                 F.lit(0).cast("long")))
+        .withColumn("_end", F.col("_start") + F.col("n_tokens"))
+    )
+    win = F.lit(window).cast("long")
+    bins = F.sequence(F.floor(F.col("_start") / win),
+                      F.floor((F.col("_end") - 1) / win))
+    exploded = placed.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col), F.col("n_tokens"),
+        F.col("_start"), F.col("_end"),
+        F.explode(bins).alias("bin_id"),
+    )
+    bin_lo = F.col("bin_id") * win
+    bin_hi = bin_lo + win
+    return exploded.select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col(id_col),
+        (F.greatest(F.col("_start"), bin_lo) - bin_lo)
+            .alias("offset_in_bin"),
+        (F.least(F.col("_end"), bin_hi)
+         - F.greatest(F.col("_start"), bin_lo)).alias("tokens_in_bin"),
+        F.col("n_tokens"),
+    )

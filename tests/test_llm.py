@@ -1308,3 +1308,50 @@ class TestContamination:
                                       threshold=0.5).head()
         assert row.n_grams == 2 and row.n_overlap == 1
         assert row.contaminated
+
+
+class TestPackSequences:
+    def test_pack_basic(self, spark):
+        from cubes_spark.llm import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(1, 5), (2, 3), (3, 9), (4, 0), (5, 2)],
+            "doc_id long, n long")
+        out = pack_sequences(docs, tokens_col="n", window=8).collect()
+        rows = sorted((r.bin_id, r.doc_id, r.offset_in_bin,
+                       r.tokens_in_bin) for r in out)
+        # stream: d1 [0,5) d2 [5,8) d3 [8,17) d5 [17,19); windows of 8
+        assert rows == [
+            (0, 1, 0, 5),
+            (0, 2, 5, 3),
+            (1, 3, 0, 8),
+            (2, 3, 0, 1),
+            (2, 5, 1, 2),
+        ]
+        # token conservation: every token lands in exactly one bin
+        assert sum(r.tokens_in_bin for r in out) == 5 + 3 + 9 + 2
+
+    def test_partition_invariance(self, spark):
+        from cubes_spark.llm import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, (i * 7) % 13) for i in range(100)],
+            "doc_id long, n long")
+        a = sorted(map(tuple, pack_sequences(
+            docs, tokens_col="n", window=32,
+            num_partitions=1).collect()))
+        b = sorted(map(tuple, pack_sequences(
+            docs.repartition(7), tokens_col="n", window=32,
+            num_partitions=5).collect()))
+        assert a == b and len(a) > 0
+
+    def test_pack_from_text(self, spark):
+        from cubes_spark.llm import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, ""), (3, "d e")],
+            "doc_id long, text string")
+        out = sorted(map(tuple, pack_sequences(
+            docs, window=4).collect()))
+        assert out == [(0, 1, 0, 3, 3), (0, 3, 3, 1, 2),
+                       (1, 3, 0, 1, 2)]

@@ -777,6 +777,35 @@ def q_emb_ivf(spark, sf_dir):
     return _lng(out, "query_id", "neighbor_id", "rank")
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Embedding clustering: every vector assigned to its nearest
+    sample-trained spherical-k-means centroid (fixed seed, centroid
+    literals in-plan — exact SQL oracle replays the training,
+    cubes_spark/llm/similarity.py:kmeans_clusters)."""
+    from cubes_spark.llm import kmeans_clusters
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, nlist=16, seed=42, sample_size=4096)
+
+
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup: within-k-means-cell cosine
+    near-dups dropped greedily by lowest id; pairwise work is an
+    equi-join on cluster id, never corpus x corpus
+    (cubes_spark/llm/similarity.py:semantic_dedup)."""
+    from cubes_spark.llm import semantic_dedup
+
+    emb = _table(spark, sf_dir, "embeddings")
+    # the synthetic embeddings are near-orthogonal (max within-cell
+    # cosine ~0.49): 0.35 makes the drop path observable
+    out = semantic_dedup(emb, threshold=0.35, nlist=16, seed=42,
+                         sample_size=4096)
+    return out.select(
+        "vec_id", "cluster",
+        F.col("is_kept").cast("int").cast("long").alias("is_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-verified entries for formerly pytest-only operators (SURVEY §2:
 # summary row, registry avg/stddev/variance, join methods, compound keys,
@@ -2307,6 +2336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_docs": q_doc_span_docs,
         "doc_decontam": q_doc_decontam,
         "doc_pack": q_doc_pack,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_semdedup": q_emb_semdedup,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
         "doc_video_frames": q_doc_video_frames,
         "doc_mkv_meta": q_doc_mkv_meta,
@@ -3857,6 +3888,8 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_ivf_recall"] = _emb_ivf_recall_oracle()
     sql["emb_neardup_recall"] = _emb_neardup_recall_oracle()
     sql["emb_ivf"] = _emb_ivf_oracle()
+    sql["emb_kmeans"] = _emb_kmeans_oracle()
+    sql["emb_semdedup"] = _emb_semdedup_oracle()
 
     return sql
 
@@ -4024,6 +4057,75 @@ def _emb_ivf_oracle() -> str:
         FROM probed JOIN assigned USING (cluster)
         WHERE query_id <> neighbor_id
     ),{_COSINE_RANKED}"""
+
+
+def _kmeans_cent_values() -> str:
+    """Centroid VALUES rows for the kmeans/semdedup oracles: retrains
+    the identical fixed-seed spherical k-means (nlist=16, seed=42,
+    sample_size=4096) on the identical id-sorted sample — same recipe
+    as _emb_ivf_oracle."""
+    import duckdb
+    import numpy as np
+
+    from cubes_spark.llm.similarity import train_spherical_kmeans
+
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    sample = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{path}') "
+        "ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    cent = train_spherical_kmeans(X, 16, 42)
+    return ",\n            ".join(
+        f"({i + 1}, {_sql_dvec(row)})" for i, row in enumerate(cent)
+    )
+
+
+_KMEANS_ASSIGNED_CTE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent(cluster, cv) AS (VALUES
+            {values}),
+    sims AS (
+        SELECT e.vec_id, e.v, c.cluster,
+            list_dot_product(e.v, c.cv) AS sim
+        FROM e CROSS JOIN cent c
+    ),
+    cranked AS (
+        SELECT vec_id, v, cluster, sim,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cluster) AS crank
+        FROM sims
+    ),
+    assigned AS (
+        SELECT vec_id, v, cluster, sim FROM cranked WHERE crank = 1
+    )"""
+
+
+def _emb_kmeans_oracle() -> str:
+    cte = _KMEANS_ASSIGNED_CTE.format(values=_kmeans_cent_values())
+    return cte + """
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+        round(sim, 6) AS centroid_sim
+    FROM assigned"""
+
+
+def _emb_semdedup_oracle() -> str:
+    cte = _KMEANS_ASSIGNED_CTE.format(values=_kmeans_cent_values())
+    return cte + """
+    , drops AS (
+        SELECT DISTINCT r.vec_id
+        FROM assigned l JOIN assigned r
+            ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+        WHERE list_dot_product(l.v, r.v)
+              / (sqrt(list_dot_product(l.v, l.v))
+               * sqrt(list_dot_product(r.v, r.v))) >= 0.35
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS is_kept
+    FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
 
 
 _AUG_CORPUS_SQL = """

@@ -50,7 +50,9 @@ from cubes_spark.llm.similarity import (
     ann_lsh_cosine,
     embedding_near_duplicates,
     ivf_topk,
+    kmeans_clusters,
     random_projection,
+    semantic_dedup,
 )
 from cubes_spark.llm.web import (
     extract_links,
@@ -114,6 +116,8 @@ __all__ = [
     "ann_lsh_cosine",
     "embedding_near_duplicates",
     "ivf_topk",
+    "kmeans_clusters",
+    "semantic_dedup",
     "random_projection",
     "html_to_text",
     "extract_links",

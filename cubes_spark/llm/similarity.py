@@ -31,7 +31,8 @@ from cubes_spark.llm.text import hash64
 from cubes_spark.llm.util import spread
 
 __all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates",
-           "ivf_topk", "train_spherical_kmeans", "random_projection"]
+           "ivf_topk", "train_spherical_kmeans", "random_projection",
+           "kmeans_clusters", "semantic_dedup"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -322,6 +323,104 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
                 F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+    )
+
+
+def _kmeans_assigned(corpus: DataFrame, nlist: int, seed: int,
+                     sample_size: int, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """(id, vec, cluster, sim) — every vector assigned to its nearest
+    spherical-k-means centroid (sample-trained driver-side, embedded as
+    literals; the assignment itself is a narrow shuffle-free
+    projection).  Ties break by ascending cluster id, matching the SQL
+    oracle's ``ORDER BY sim DESC, cluster``."""
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    cent = _train_centroids(corpus, nlist, seed, id_col, vec_col,
+                            sample_size)
+    nlist = len(cent)
+    flat = F.array(*[F.lit(float(x)) for row in cent for x in row])
+    sims = _centroid_sims(F.col(vec_col), flat, nlist, dim)
+    best = F.element_at(
+        F.array_sort(F.transform(
+            F.sequence(F.lit(0), F.lit(nlist - 1)),
+            lambda c: F.struct(
+                (F.element_at(sims, c + 1) * -1).alias("neg"),
+                (c + 1).alias("cluster"),
+            ),
+        )), 1,
+    )
+    return spread(corpus).select(
+        F.col(id_col), F.col(vec_col),
+        best["cluster"].cast("int").alias("cluster"),
+        (best["neg"] * -1).alias("sim"),
+    )
+
+
+def kmeans_clusters(corpus: DataFrame, nlist: int = 16, seed: int = 42,
+                    sample_size: int = 4096, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding clustering: ``(id, cluster, centroid_sim)`` under
+    sample-trained spherical k-means (the FAISS-IVF training recipe,
+    exposed as a standalone operator for corpus curation / SemDeDup).
+
+    Deterministic end-to-end: fixed-seed training on the id-sorted
+    bounded sample, centroid literals in the plan, tie-broken argmax —
+    an exact SQL oracle replays it.  The 100 TB path is one narrow
+    projection over the corpus; nothing shuffles.
+    """
+    out = _kmeans_assigned(corpus, nlist, seed, sample_size, id_col,
+                           vec_col)
+    return out.select(
+        F.col(id_col),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round(F.col("sim"), 6).alias("centroid_sim"),
+    )
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
+                   nlist: int = 16, seed: int = 42,
+                   sample_size: int = 4096, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop vectors
+    that have a lower-id neighbour with cosine >= `threshold` *within
+    the same cluster* (greedy keep-lowest-id, deterministic).  Returns
+    ``(id, cluster, is_kept)`` for every vector.
+
+    Scale shape: pairwise comparison happens only inside k-means cells
+    — an equi-join on cluster id, sum-of-squared-cell-sizes
+    comparisons, never corpus × corpus.  Raising `nlist` shrinks cells
+    (and the candidate count) linearly; cross-cluster near-dups are
+    the recall trade the paper accepts.
+    """
+    assigned = _kmeans_assigned(corpus, nlist, seed, sample_size,
+                                id_col, vec_col).persist()
+    left = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__avec__"))
+    right = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__bvec__"))
+    cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
+        _norm(F.col("__avec__")) * _norm(F.col("__bvec__"))
+    )
+    drops = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped__", F.lit(1))
+    )
+    return (
+        assigned.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("__dropped__").isNull().alias("is_kept"),
+        )
     )
 
 

@@ -1355,3 +1355,62 @@ class TestPackSequences:
             docs, window=4).collect()))
         assert out == [(0, 1, 0, 3, 3), (0, 3, 3, 1, 2),
                        (1, 3, 0, 1, 2)]
+
+
+class TestKmeansSemDedup:
+    @pytest.fixture(scope="class")
+    def clustered_vecs(self, spark):
+        import random
+
+        rng = random.Random(5)
+        centers = [[rng.uniform(-1, 1) for _ in range(8)]
+                   for _ in range(4)]
+        rows = [(i, [x + rng.uniform(-0.05, 0.05)
+                     for x in centers[i % 4]]) for i in range(80)]
+        # planted near-identical copies of vectors 0..9
+        rows += [(200 + i, [x + rng.uniform(-0.001, 0.001)
+                            for x in rows[i][1]]) for i in range(10)]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_kmeans_clusters(self, clustered_vecs):
+        from cubes_spark.llm import kmeans_clusters
+
+        out = kmeans_clusters(clustered_vecs, nlist=4,
+                              sample_size=100).collect()
+        assert len(out) == 90
+        by_id = {r.vec_id: r.cluster for r in out}
+        # tight synthetic clusters: same generator center -> same cell
+        for i in range(0, 76, 4):
+            assert by_id[i] == by_id[i + 4]
+        # deterministic across invocations
+        again = kmeans_clusters(clustered_vecs, nlist=4,
+                                sample_size=100).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_semantic_dedup(self, clustered_vecs):
+        from cubes_spark.llm import semantic_dedup
+
+        rows = {r.vec_id: r for r in semantic_dedup(
+            clustered_vecs, threshold=0.9999, nlist=4,
+            sample_size=100).collect()}
+        assert len(rows) == 90
+        # every planted copy is dropped, its lower-id original kept
+        for i in range(10):
+            assert rows[i].is_kept
+            assert not rows[200 + i].is_kept, f"copy {200+i} kept"
+        # every drop is justified: a lower-id vector with cosine >=
+        # threshold exists (chance near-dups in the base set count too)
+        import numpy as np
+
+        vecs = {r[0]: np.asarray(r[1])
+                for r in clustered_vecs.collect()}
+
+        def cos(a, b):
+            return float(vecs[a] @ vecs[b]
+                         / (np.linalg.norm(vecs[a])
+                            * np.linalg.norm(vecs[b])))
+
+        for vid, r in rows.items():
+            if not r.is_kept:
+                assert any(cos(other, vid) >= 0.9999
+                           for other in vecs if other < vid), vid

@@ -1902,6 +1902,80 @@ def q_doc_pack(spark, sf_dir):
     )
 
 
+_TAR_NUL = "\x00"
+
+#: constant ustar header bytes (everything except name + size), in
+#: field order mode..pad; the checksum field is 8 spaces here because
+#: that is its value DURING checksum computation
+_TAR_CONST_PRE = ("0000644" + _TAR_NUL + "0000000" + _TAR_NUL
+                  + "0000000" + _TAR_NUL)                 # mode uid gid
+_TAR_CONST_MID = "00000000000" + _TAR_NUL                  # mtime
+_TAR_CONST_POST = ("0" + _TAR_NUL * 100                    # type linkname
+                   + "ustar" + _TAR_NUL + "00"             # magic version
+                   + _TAR_NUL * 64                         # uname gname
+                   + "0000000" + _TAR_NUL + "0000000" + _TAR_NUL
+                   + _TAR_NUL * 155 + _TAR_NUL * 12)       # prefix pad
+_TAR_CONST_SUM = sum(ord(ch) for ch in
+                     _TAR_CONST_PRE + _TAR_CONST_MID + " " * 8
+                     + _TAR_CONST_POST)
+
+
+def _tar_member(name_col, content_col):
+    """One complete ustar member (512-byte header + NUL-padded
+    content) as a string column.  The header checksum is the constant
+    field contribution plus SQL ascii folds over the two variable
+    fields (name, octal size) — NUL padding contributes zero."""
+    def ascii_sum(col):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(col)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.ascii(F.substring(col, i, F.lit(1))),
+        )
+
+    size = F.octet_length(content_col).cast("long")
+    oct11 = F.lpad(F.conv(size.cast("string"), 10, 8), 11, "0")
+    chk = (F.lit(_TAR_CONST_SUM) + ascii_sum(name_col)
+           + ascii_sum(oct11))
+    header = F.concat(
+        F.rpad(name_col, 100, _TAR_NUL),
+        F.lit(_TAR_CONST_PRE),
+        oct11, F.lit(_TAR_NUL),
+        F.lit(_TAR_CONST_MID),
+        F.lpad(F.conv(chk.cast("string"), 10, 8), 6, "0"),
+        F.lit(_TAR_NUL + " "),
+        F.lit(_TAR_CONST_POST),
+    )
+    pad = F.substring(F.lit(_TAR_NUL * 512), 1,
+                      ((512 - size % 512) % 512).cast("int"))
+    return F.concat(header, content_col, pad)
+
+
+def q_doc_tar_shards(spark, sf_dir):
+    """WebDataset-style tar shards built IN-PLAN (complete ustar
+    headers: octal fields, checksum via SQL ascii folds over the
+    variable fields, 512-byte framing), exploded for real by the
+    stdlib tarfile reader; member bytes recovered exactly
+    (cubes_spark/llm/web.py:parse_tar)."""
+    from cubes_spark.llm import parse_tar
+
+    docs = _table(spark, sf_dir, "documents")
+    name_txt = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"),
+                        F.lit(".txt"))
+    name_cls = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"),
+                        F.lit(".cls"))
+    shard = F.concat(
+        _tar_member(name_txt, F.col("text")),
+        _tar_member(name_cls, F.col("lang")),
+        F.lit(_TAR_NUL * 1024),
+    )
+    shards = docs.select("doc_id", shard.cast("binary").alias("payload"))
+    members = parse_tar(shards, tar_col="payload", id_col="doc_id")
+    return members.select(
+        F.col("id").alias("doc_id"), "member_idx", "name", "size",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
 def q_doc_decontam(spark, sf_dir):
     """Test-set decontamination: distinct-8-gram overlap of every
     document against an in-plan benchmark slice (doc_id % 25 == 0);
@@ -2336,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_docs": q_doc_span_docs,
         "doc_decontam": q_doc_decontam,
         "doc_pack": q_doc_pack,
+        "doc_tar_shards": q_doc_tar_shards,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
@@ -2705,6 +2780,19 @@ def oracle_sql() -> dict[str, str]:
                  - greatest(s, bin_id * 512) AS BIGINT) AS tokens_in_bin,
             CAST(n AS BIGINT) AS n_tokens
         FROM bins"""
+
+    # tar shards parsed for real; closed-form member expectations
+    sql["doc_tar_shards"] = """
+        SELECT doc_id, CAST(0 AS BIGINT) AS member_idx,
+            'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+            CAST(strlen(text) AS BIGINT) AS size,
+            md5(text) AS payload_md5
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT),
+            'doc_' || CAST(doc_id AS VARCHAR) || '.cls',
+            CAST(strlen(lang) AS BIGINT), md5(lang)
+        FROM documents"""
 
     # WARC shards parsed for real; closed-form record expectations
     sql["doc_warc_extract"] = """

@@ -57,7 +57,9 @@ from cubes_spark.llm.similarity import (
 from cubes_spark.llm.web import (
     extract_links,
     html_to_text,
+    parse_tar,
     parse_warc,
+    webdataset_samples,
 )
 from cubes_spark.llm.multimodal import (
     audio_metadata,
@@ -122,6 +124,8 @@ __all__ = [
     "html_to_text",
     "extract_links",
     "parse_warc",
+    "parse_tar",
+    "webdataset_samples",
     "binary_metadata",
     "image_dimensions",
     "audio_metadata",

@@ -39,7 +39,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["html_to_text", "extract_links", "parse_warc",
-           "WARC_RECORD_SCHEMA"]
+           "parse_tar", "webdataset_samples",
+           "WARC_RECORD_SCHEMA", "TAR_MEMBER_SCHEMA"]
 
 
 # -- HTML -> text (pure column expressions) ---------------------------------
@@ -207,3 +208,85 @@ def parse_warc(df: DataFrame, warc_col: str = "payload",
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+# -- TAR shard (WebDataset-style) ingestion ---------------------------------
+
+TAR_MEMBER_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("member_idx", LongType()),
+    StructField("name", StringType()),
+    StructField("size", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def parse_tar(df: DataFrame, tar_col: str = "payload",
+              id_col: str = "doc_id") -> DataFrame:
+    """Explode tar archives into one row per regular-file member.
+
+    The WebDataset ingestion shape: training shards are plain ``.tar``
+    files of grouped sample files (``sample000.jpg``,
+    ``sample000.cls``, …) read as whole blobs (``binaryFile`` source —
+    one row per shard), then exploded here.  Uses the stdlib
+    ``tarfile`` reader (ustar/GNU/pax all accepted) in one Arrow
+    ``mapInPandas`` stage — no shuffle, members stay in their shard's
+    partition, parallelism == number of shards (the WebDataset
+    contract: shards ARE the unit of work distribution).
+    """
+    import io
+    import tarfile
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(tar_col).cast("binary").alias("payload"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("id", "member_idx", "name", "size",
+                                   "payload")}
+            for rid, blob in zip(batch["id"], batch["payload"]):
+                if blob is None:
+                    continue
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob)),
+                                  mode="r:") as tf:
+                    idx = 0
+                    for member in tf:
+                        if not member.isfile():
+                            continue
+                        fobj = tf.extractfile(member)
+                        data = fobj.read() if fobj is not None else b""
+                        out["id"].append(rid)
+                        out["member_idx"].append(idx)
+                        out["name"].append(member.name)
+                        out["size"].append(member.size)
+                        out["payload"].append(data)
+                        idx += 1
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, TAR_MEMBER_SCHEMA)
+
+
+def webdataset_samples(df: DataFrame, tar_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Group tar members into WebDataset samples.
+
+    Sample key = member name up to the first dot; every extension
+    becomes an entry in a ``parts`` map (``{'jpg': bytes, 'cls':
+    bytes}``).  Returns ``(id, key, parts)``.  The group-by is keyed by
+    (shard, sample) — records of one sample sit adjacently in the
+    shard, so AQE-coalesced partition-local aggregation applies.
+    """
+    members = parse_tar(df, tar_col, id_col)
+    key = F.regexp_extract(F.col("name"), r"^([^.]*)", 1)
+    ext = F.regexp_extract(F.col("name"), r"^[^.]*\.(.*)$", 1)
+    return (
+        members.select(
+            F.col("id"), key.alias("key"), ext.alias("ext"),
+            F.col("payload"))
+        .groupBy("id", "key")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct(F.col("ext"), F.col("payload"))))
+            .alias("parts"))
+    )

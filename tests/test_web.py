@@ -112,3 +112,69 @@ class TestWarcHtmlPipeline:
         assert row.text == "Title Body & text"
         assert hashlib.md5(bytes(row.body)).hexdigest() == \
             hashlib.md5(body).hexdigest()
+
+
+class TestParseTar:
+    def _tar_bytes(self, members):
+        import io
+        import tarfile
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in members:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    def test_members_roundtrip(self, spark):
+        from cubes_spark.llm import parse_tar
+
+        tar = self._tar_bytes([
+            ("s0.txt", "héllo".encode()),
+            ("s0.cls", b"en"),
+            ("s1.txt", b"\x00\xffbinary"),
+        ])
+        df = spark.createDataFrame([(3, bytearray(tar))],
+                                   "doc_id long, payload binary")
+        rows = {r.member_idx: r for r in parse_tar(df).collect()}
+        assert len(rows) == 3
+        assert rows[0].name == "s0.txt"
+        assert bytes(rows[0].payload) == "héllo".encode()
+        assert rows[0].size == len("héllo".encode())
+        assert bytes(rows[2].payload) == b"\x00\xffbinary"
+
+    def test_webdataset_samples(self, spark):
+        from cubes_spark.llm import webdataset_samples
+
+        tar = self._tar_bytes([
+            ("a.img", b"IMG-A"), ("a.cls", b"7"),
+            ("b.img", b"IMG-B"), ("b.cls", b"9"),
+        ])
+        df = spark.createDataFrame([(1, bytearray(tar))],
+                                   "doc_id long, payload binary")
+        rows = {r.key: r.parts for r in
+                webdataset_samples(df).collect()}
+        assert set(rows) == {"a", "b"}
+        assert bytes(rows["a"]["img"]) == b"IMG-A"
+        assert bytes(rows["a"]["cls"]) == b"7"
+        assert bytes(rows["b"]["cls"]) == b"9"
+
+    def test_directories_skipped(self, spark):
+        import io
+        import tarfile
+
+        from cubes_spark.llm import parse_tar
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            d = tarfile.TarInfo("dir/")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)
+            info = tarfile.TarInfo("dir/f.bin")
+            info.size = 2
+            tf.addfile(info, io.BytesIO(b"ab"))
+        df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                                   "doc_id long, payload binary")
+        rows = parse_tar(df).collect()
+        assert len(rows) == 1 and rows[0].name == "dir/f.bin"

@@ -1686,6 +1686,124 @@ def q_doc_image_resize(spark, sf_dir):
                               method="nearest")
 
 
+def q_doc_bmp_rle(spark, sf_dir):
+    """REAL BI_RLE8 decode end-to-end: run-length-compressed 8-bit
+    BMPs built in-plan — absolute mode (with its word-align pad byte)
+    on the bottom file row, encoded runs + EOL on the rest, EOB
+    terminator — decoded by the stdlib RLE8 state machine inside
+    ``bmp_pixel_stats`` (cubes_spark/llm/multimodal.py:_decode_rle8);
+    sums are row-order invariant so the oracle recomputes them from
+    the closed form."""
+    from cubes_spark.llm import bmp_pixel_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(4) + F.col("doc_id") % 3).cast("long")
+    h = (F.lit(2) + F.col("doc_id") % 2).cast("long")
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le32(col):
+        return F.concat(*[hex2((col / (256 ** i)).cast("long") % 256)
+                          for i in range(4)])
+
+    val = lambda k: (F.col("doc_id") + k) % 200
+    # bottom file row: absolute [v0 v1 v2] + pad, then run (w-3)·v3
+    row0 = F.concat(
+        F.lit("0003"), hex2(val(0)), hex2(val(1)), hex2(val(2)),
+        F.lit("00"), hex2(w - 3), hex2(val(3)), F.lit("0000"))
+    rest = F.aggregate(
+        F.sequence(F.lit(1), h - 1), F.lit(""),
+        lambda acc, y: F.concat(
+            acc, hex2(w), hex2((F.col("doc_id") + y * 13) % 200),
+            F.lit("0000")))
+    rle = F.concat(row0, rest, F.lit("0001"))
+    bmp_hex = F.concat(
+        F.lit("424D"), le32(F.lit(0)),              # size (unchecked)
+        F.lit("00000000"), le32(F.lit(58)),         # offset: 54 + 1 quad
+        le32(F.lit(40)), le32(w), le32(h),
+        F.lit("0100" "0800"), le32(F.lit(1)),       # planes, 8bpp, RLE8
+        le32(F.lit(0)), le32(F.lit(2835)), le32(F.lit(2835)),
+        le32(F.lit(1)), le32(F.lit(0)),             # biClrUsed=1
+        F.lit("00000000"),                          # 1-entry palette
+        rle,
+    )
+    bmps = docs.withColumn("payload", F.unhex(bmp_hex))
+    return bmp_pixel_stats(bmps, "payload")
+
+
+def _ima_decode_reference(data, pred, index):
+    """Independent IMA ADPCM reference decode for the oracle: written
+    from the public spec, deliberately NOT importing the library's
+    state machine (which unit tests verify against audioop)."""
+    steps = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28,
+             31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+             118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+             337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876,
+             963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+             2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+             5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+             12635, 13899, 15289, 16818, 18500, 20350, 22385,
+             24623, 27086, 29794, 32767]
+    adjust = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = [pred]
+    for byte in data:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = steps[index]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + adjust[nib & 7]))
+            out.append(pred)
+    return out
+
+
+def q_doc_adpcm_decode(spark, sf_dir):
+    """REAL IMA ADPCM decode end-to-end: format-0x11 WAVs built
+    in-plan (4-byte block header with signed predictor + step index,
+    low-nibble-first data), run through the IMA state machine inside
+    ``wav_sample_stats`` (cubes_spark/llm/multimodal.py:
+    _decode_ima_adpcm).  Inputs are keyed by doc_id % 8, so the oracle
+    inlines the 8 reference-decoded sums as literals (decoded at
+    oracle-generation time by an independent spec implementation)."""
+    from cubes_spark.llm import wav_sample_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    r = F.col("doc_id") % 8
+    pred = r * 100 - 300
+    index = r * 3
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le16(col):
+        return F.concat(hex2(col % 256), hex2((col / 256).cast("long")))
+
+    def le32(col):
+        return F.concat(*[hex2((col / (256 ** i)).cast("long") % 256)
+                          for i in range(4)])
+
+    data_hex = F.concat(*[hex2((F.lit(j * 37) + r * 11) % 256)
+                          for j in range(8)])
+    block_hex = F.concat(le16((pred + 65536) % 65536), hex2(index),
+                         F.lit("00"), data_hex)
+    fmt_hex = F.concat(
+        F.lit("1100" "0100"), le32(F.lit(8000)), le32(F.lit(8000)),
+        le16(F.lit(12)), le16(F.lit(4)))
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(F.lit(20 + 16 + 12)),
+        F.lit("57415645" "666D7420"), le32(F.lit(16)), fmt_hex,
+        F.lit("64617461"), le32(F.lit(12)), block_hex)
+    wavs = docs.withColumn("payload", F.unhex(wav_hex))
+    return wav_sample_stats(wavs, "payload")
+
+
 def q_auth_restricted(spark, sf_dir):
     """Authorization end-to-end: SimpleAuthorizer cell restriction
     (hidden cut returnflag:A + requested cut date:1995) applied to a
@@ -2411,6 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam": q_doc_decontam,
         "doc_pack": q_doc_pack,
         "doc_tar_shards": q_doc_tar_shards,
+        "doc_bmp_rle": q_doc_bmp_rle,
+        "doc_adpcm_decode": q_doc_adpcm_decode,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
@@ -2780,6 +2900,40 @@ def oracle_sql() -> dict[str, str]:
                  - greatest(s, bin_id * 512) AS BIGINT) AS tokens_in_bin,
             CAST(n AS BIGINT) AS n_tokens
         FROM bins"""
+
+    # RLE8 BMPs: sums recomputed from the closed form (row-order
+    # invariant; absolute-mode literals + runs)
+    sql["doc_bmp_rle"] = """
+        SELECT doc_id,
+            CAST(4 + doc_id % 3 AS BIGINT) AS width,
+            CAST(2 + doc_id % 2 AS BIGINT) AS height,
+            CAST((4 + doc_id % 3) * (2 + doc_id % 2) AS BIGINT)
+                AS n_samples,
+            CAST((doc_id % 200) + ((doc_id + 1) % 200)
+                 + ((doc_id + 2) % 200)
+                 + (1 + doc_id % 3) * ((doc_id + 3) % 200)
+                 + list_sum(list_transform(
+                       range(1, CAST(2 + doc_id % 2 AS INT)),
+                       y -> (4 + doc_id % 3)
+                            * ((doc_id + y * 13) % 200)))
+                 AS BIGINT) AS sample_sum
+        FROM documents"""
+
+    # IMA ADPCM: inputs keyed by doc_id % 8; the 8 reference-decoded
+    # sums are inlined as literals (independent spec implementation)
+    _adpcm_rows = []
+    for _r in range(8):
+        _data = bytes((_j * 37 + _r * 11) % 256 for _j in range(8))
+        _samples = _ima_decode_reference(_data, _r * 100 - 300, _r * 3)
+        _adpcm_rows.append(f"({_r}, {sum(_samples)})")
+    sql["doc_adpcm_decode"] = f"""
+        SELECT d.doc_id, CAST(1 AS BIGINT) AS n_channels,
+            CAST(8000 AS BIGINT) AS sample_rate,
+            CAST(17 AS BIGINT) AS n_samples,
+            CAST(v.s AS BIGINT) AS sample_sum
+        FROM documents d
+        JOIN (VALUES {", ".join(_adpcm_rows)}) v(r, s)
+            ON d.doc_id % 8 = v.r"""
 
     # tar shards parsed for real; closed-form member expectations
     sql["doc_tar_shards"] = """

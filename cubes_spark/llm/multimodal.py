@@ -1191,15 +1191,55 @@ def avi_frame_stats(df: DataFrame, binary_col: str,
     return slim.mapInPandas(stats, FRAME_STATS_SCHEMA)
 
 
+def _decode_rle8(data: bytes, width: int, height: int) -> bytes:
+    """BI_RLE8 pixel decode (bottom-up by definition): runs
+    ``(count, index)``, escapes ``00 00`` end-of-line / ``00 01``
+    end-of-bitmap / ``00 02 dx dy`` delta / ``00 n>=3`` absolute mode
+    (word-aligned).  Pixels never written stay 0 (the spec leaves them
+    undefined; 0 is the conventional fill).  Returns top-down
+    row-major palette indices."""
+    grid = [bytearray(width) for _ in range(height)]
+    x = y = i = 0                       # y is the FILE row (bottom-up)
+    while i + 2 <= len(data):
+        count, val = data[i], data[i + 1]
+        i += 2
+        if count > 0:
+            for _ in range(count):
+                if x < width and y < height:
+                    grid[y][x] = val
+                x += 1
+        elif val == 0:                  # end of line
+            x, y = 0, y + 1
+        elif val == 1:                  # end of bitmap
+            break
+        elif val == 2:                  # delta
+            if i + 2 > len(data):
+                raise ValueError("truncated RLE8 delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:                           # absolute mode, word-aligned
+            if i + val > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            for b in data[i:i + val]:
+                if x < width and y < height:
+                    grid[y][x] = b
+                x += 1
+            i += val + (val & 1)
+    out = bytearray()
+    for y in range(height - 1, -1, -1):   # bottom-up file -> top-down
+        out += grid[y]
+    return bytes(out)
+
+
 def decode_bmp(payload: bytes):
-    """Decode an uncompressed (BI_RGB) BMP with the stdlib only:
-    BITMAPINFOHEADER(+), 24-bit BGR or 8-bit paletted, 4-byte row
-    padding, bottom-up or top-down row order.  Returns ``(width,
+    """Decode a BMP with the stdlib only: BITMAPINFOHEADER(+), 24-bit
+    BGR or 8-bit paletted, BI_RGB (4-byte row padding, bottom-up or
+    top-down) or BI_RLE8 run-length compression.  Returns ``(width,
     height, channels, samples, palette)`` with ``samples`` row-major
     top-down — RGB triplets for 24-bit, palette indices for 8-bit —
     and ``palette`` the (r, g, b) color table (empty for 24-bit).
-    Raises ``ValueError`` on compressed or otherwise unsupported
-    input."""
+    Raises ``ValueError`` on otherwise unsupported input."""
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP stream")
     data_offset = int.from_bytes(payload[10:14], "little")
@@ -1210,7 +1250,9 @@ def decode_bmp(payload: bytes):
     height = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
-    if compression != 0 or bpp not in (8, 24) or width <= 0 or height == 0:
+    if compression not in (0, 1) or bpp not in (8, 24) \
+            or width <= 0 or height == 0 \
+            or (compression == 1 and (bpp != 8 or height < 0)):
         raise ValueError(
             f"unsupported BMP (bpp={bpp}, compression={compression})")
     top_down = height < 0
@@ -1226,6 +1268,9 @@ def decode_bmp(payload: bytes):
         palette = [(raw[i + 2], raw[i + 1], raw[i])
                    for i in range(0, 4 * ncolors, 4)]
     channels = 1 if bpp == 8 else 3
+    if compression == 1:
+        samples = _decode_rle8(payload[data_offset:], width, height)
+        return width, height, channels, samples, palette
     stride = (width * channels + 3) // 4 * 4
     data = payload[data_offset:]
     if len(data) < stride * height:
@@ -1296,18 +1341,85 @@ def _g711_tables():
 
 _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
+#: IMA/DVI ADPCM step-size and index-adjust tables (public IMA spec).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(nibble: int, pred: int, index: int):
+    """One IMA ADPCM state transition: (new predictor, new index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return pred, index
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int):
+    """IMA ADPCM (WAV format 0x11) block decode: per block and channel
+    a 4-byte header (s16le predictor, step index, reserved) whose
+    predictor IS the first output sample, then nibble data in 4-byte
+    per-channel groups, LOW nibble first.  Returns frame-major
+    interleaved 16-bit samples."""
+    if block_align < 4 * channels:
+        raise ValueError("ADPCM block_align smaller than headers")
+    out = []
+    for start in range(0, len(data) - block_align + 1, block_align):
+        block = data[start:start + block_align]
+        pred, index, chans = [], [], []
+        for ch in range(channels):
+            p = int.from_bytes(block[4 * ch:4 * ch + 2], "little",
+                               signed=True)
+            i = block[4 * ch + 2]
+            if i > 88:
+                raise ValueError("ADPCM step index out of range")
+            pred.append(p)
+            index.append(i)
+            chans.append([p])
+        pos = 4 * channels
+        while pos + 4 * channels <= block_align:
+            for ch in range(channels):
+                for byte in block[pos + 4 * ch:pos + 4 * ch + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        pred[ch], index[ch] = _ima_step(
+                            nib, pred[ch], index[ch])
+                        chans[ch].append(pred[ch])
+            pos += 4 * channels
+        n_frames = len(chans[0])
+        for f in range(n_frames):
+            for ch in range(channels):
+                out.append(chans[ch][f])
+    return out
+
 
 def decode_wav(payload: bytes):
     """Decode a PCM or G.711 RIFF/WAVE stream with the stdlib only.
 
     Chunk walk (word-aligned, unknown chunks skipped) → fmt + data →
     samples as signed ints: 16-bit little-endian or 8-bit unsigned
-    re-centered to signed (the PCM conventions), or 8-bit µ-law
+    re-centered to signed (the PCM conventions), 8-bit µ-law
     (format 7) / A-law (format 6) expanded to 16-bit through the
-    G.711 tables.  Returns ``(n_channels, sample_rate, bits,
-    samples)`` with ``samples`` frame-major interleaved.  Raises
-    ``ValueError`` on other formats (entropy-coded audio needs codec
-    libraries not present in this environment)."""
+    G.711 tables, or IMA ADPCM (format 0x11) block-decoded through
+    the IMA state machine.  Returns ``(n_channels, sample_rate,
+    bits, samples)`` with ``samples`` frame-major interleaved.
+    Raises ``ValueError`` on other formats (entropy-coded audio needs
+    codec libraries not present in this environment)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, fmt, data = 12, None, None
@@ -1325,13 +1437,17 @@ def decode_wav(payload: bytes):
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if channels == 0 or (audio_format == 1 and bits not in (8, 16)) \
             or (audio_format in (6, 7) and bits != 8) \
-            or audio_format not in (1, 6, 7):
+            or (audio_format == 0x11 and bits != 4) \
+            or audio_format not in (1, 6, 7, 0x11):
         raise ValueError(
             f"unsupported WAV (format={audio_format}, bits={bits})")
-    if audio_format == 7:
+    if audio_format == 0x11:
+        samples = _decode_ima_adpcm(data, channels, block_align)
+    elif audio_format == 7:
         samples = [_ULAW_TABLE[b] for b in data]
     elif audio_format == 6:
         samples = [_ALAW_TABLE[b] for b in data]

@@ -1414,3 +1414,164 @@ class TestKmeansSemDedup:
             if not r.is_kept:
                 assert any(cos(other, vid) >= 0.9999
                            for other in vecs if other < vid), vid
+
+
+def _rle8_encode(rows_topdown, width):
+    """Reference BI_RLE8 encoder (runs + EOL + EOB), bottom-up."""
+    out = bytearray()
+    for row in reversed(rows_topdown):
+        x = 0
+        while x < width:
+            run = 1
+            while (x + run < width and row[x + run] == row[x]
+                   and run < 255):
+                run += 1
+            out += bytes((run, row[x]))
+            x += run
+        out += b"\x00\x00"
+    out[-2:] = b"\x00\x01"              # last EOL -> end of bitmap
+    return bytes(out)
+
+
+def _encode_bmp_rle8(width, height, rle):
+    import struct
+
+    palette = b"".join(bytes((i, (2 * i) % 256, (3 * i) % 256, 0))
+                       for i in range(256))
+    offset = 54 + len(palette)
+    header = (b"BM" + struct.pack("<IHHI", offset + len(rle), 0, 0,
+                                  offset)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8,
+                            1, len(rle), 0, 0, 256, 0))
+    return header + palette + rle
+
+
+class TestBmpRle8:
+    def test_roundtrip_runs(self):
+        from cubes_spark.llm.multimodal import decode_bmp
+
+        w, h = 7, 4
+        rows = [[(3 * y + x // 3) % 256 for x in range(w)]
+                for y in range(h)]
+        bmp = _encode_bmp_rle8(w, h, _rle8_encode(rows, w))
+        gw, gh, ch, got, pal = decode_bmp(bmp)
+        assert (gw, gh, ch) == (w, h, 1)
+        assert list(got) == [v for row in rows for v in row]
+        assert pal[2] == (6, 4, 2)      # stored BGR0 -> (r,g,b)
+
+    def test_absolute_and_delta(self):
+        from cubes_spark.llm.multimodal import decode_bmp
+
+        # 5x2: bottom file row: absolute [9,8,7] (odd -> pad byte),
+        # run 2x6; top row: delta skips 2 -> [0,0], then run 3x5, EOB
+        rle = (b"\x00\x03\x09\x08\x07\x00" + b"\x02\x06" + b"\x00\x00"
+               + b"\x00\x02\x02\x00" + b"\x03\x05" + b"\x00\x01")
+        bmp = _encode_bmp_rle8(5, 2, rle)
+        _, _, _, got, _ = decode_bmp(bmp)
+        assert list(got) == [0, 0, 5, 5, 5,      # top (file row 1)
+                             9, 8, 7, 6, 6]      # bottom (file row 0)
+
+    def test_rle_spark_stats(self, spark):
+        from cubes_spark.llm.multimodal import bmp_pixel_stats
+
+        rows = [[1, 1, 2], [3, 3, 3]]
+        bmp = _encode_bmp_rle8(3, 2, _rle8_encode(rows, 3))
+        df = spark.createDataFrame([(1, bmp)], ["doc_id", "payload"])
+        r = bmp_pixel_stats(df, "payload").head()
+        assert r.n_samples == 6 and r.sample_sum == 13
+
+
+class TestImaAdpcm:
+    def test_state_machine_matches_audioop(self):
+        import warnings
+
+        from cubes_spark.llm.multimodal import _ima_step
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+
+        nibbles = [0, 1, 7, 8, 15, 3, 12, 5, 10, 2, 9, 14, 4, 11, 6, 13,
+                   0, 15, 8, 7] * 3
+        pred = index = 0
+        mine = []
+        for n in nibbles:
+            pred, index = _ima_step(n, pred, index)
+            mine.append(pred)
+        # audioop packs HIGH nibble first within each byte
+        packed = bytes((nibbles[i] << 4) | nibbles[i + 1]
+                       for i in range(0, len(nibbles), 2))
+        ref, _state = audioop.adpcm2lin(packed, 2, None)
+        import array
+
+        ref_samples = array.array("h")
+        ref_samples.frombytes(ref)
+        import sys as _sys
+
+        if _sys.byteorder == "big":
+            ref_samples.byteswap()
+        assert mine == ref_samples.tolist()
+
+    def _adpcm_wav(self, channels, rate, block):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 0x11, channels, rate,
+                          rate * len(block), len(block), 4)
+        return (b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(block))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(block)) + block)
+
+    def test_wav_mono_block(self):
+        import struct
+
+        from cubes_spark.llm.multimodal import _ima_step, decode_wav
+
+        data = bytes((d * 37 + 11) % 256 for d in range(8))
+        block = struct.pack("<hBB", 1000, 4, 0) + data
+        ch, rate, bits, samples = decode_wav(
+            self._adpcm_wav(1, 8000, block))
+        assert (ch, rate, bits) == (1, 8000, 4)
+        pred, index = 1000, 4
+        expect = [1000]
+        for byte in data:
+            for nib in (byte & 0x0F, byte >> 4):   # LOW nibble first
+                pred, index = _ima_step(nib, pred, index)
+                expect.append(pred)
+        assert samples == expect
+        assert len(samples) == 17                  # 1 + 16 nibbles
+
+    def test_wav_stereo_interleave(self):
+        import struct
+
+        from cubes_spark.llm.multimodal import _ima_step, decode_wav
+
+        dl = bytes((d * 13 + 5) % 256 for d in range(4))
+        dr = bytes((d * 29 + 3) % 256 for d in range(4))
+        block = (struct.pack("<hBB", -200, 2, 0)
+                 + struct.pack("<hBB", 300, 10, 0) + dl + dr)
+        ch, _rate, _bits, samples = decode_wav(
+            self._adpcm_wav(2, 16000, block))
+        assert ch == 2
+
+        def channel(data, pred, index):
+            outs = [pred]
+            for byte in data:
+                for nib in (byte & 0x0F, byte >> 4):
+                    pred, index = _ima_step(nib, pred, index)
+                    outs.append(pred)
+            return outs
+
+        left = channel(dl, -200, 2)
+        right = channel(dr, 300, 10)
+        assert samples == [v for pair in zip(left, right) for v in pair]
+
+    def test_bad_index_rejected(self):
+        import struct
+
+        import pytest
+
+        from cubes_spark.llm.multimodal import decode_wav
+
+        block = struct.pack("<hBB", 0, 99, 0) + bytes(4)
+        with pytest.raises(ValueError):
+            decode_wav(self._adpcm_wav(1, 8000, block))

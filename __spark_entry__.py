@@ -2094,6 +2094,102 @@ def q_doc_tar_shards(spark, sf_dir):
     )
 
 
+def q_doc_inflate(spark, sf_dir):
+    """Compressed-shard ingestion: zlib streams built in-plan
+    (stored-deflate block + adler32 computed by a SQL fold — the PNG
+    builder's container recipe), decompressed for real by stdlib zlib
+    in inflate_column (cubes_spark/llm/web.py); recovered bytes match
+    the source text md5-exact."""
+    from cubes_spark.llm import inflate_column
+
+    docs = _table(spark, sf_dir, "documents")
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le16(col):
+        return F.concat(hex2(col % 256), hex2((col / 256).cast("long")))
+
+    raw_hex = F.hex(F.col("text"))
+    rawlen = F.octet_length("text").cast("long")
+    adler = F.aggregate(
+        F.sequence(F.lit(1), rawlen),
+        F.struct(F.lit(1).cast("long").alias("s1"),
+                 F.lit(0).cast("long").alias("s2")),
+        lambda acc, i: F.struct(
+            ((acc.getField("s1")
+              + F.conv(F.substring(raw_hex, (i * 2 - 1).cast("int"), 2),
+                       16, 10).cast("long")) % 65521).alias("s1"),
+            ((acc.getField("s2") + acc.getField("s1")
+              + F.conv(F.substring(raw_hex, (i * 2 - 1).cast("int"), 2),
+                       16, 10).cast("long")) % 65521).alias("s2"),
+        ),
+    )
+    adler_hex = F.lpad(F.hex((adler.getField("s2") * 65536
+                              + adler.getField("s1")).cast("long")),
+                       8, "0")
+    zlib_hex = F.concat(
+        F.lit("7801" "01"), le16(rawlen), le16(F.lit(65535) - rawlen),
+        raw_hex, adler_hex)
+    shards = docs.select(
+        "doc_id", F.unhex(zlib_hex).alias("payload"))
+    out = inflate_column(shards)
+    return out.select(
+        "doc_id",
+        F.octet_length("inflated").cast("long").alias("n_bytes"),
+        F.md5(F.col("inflated")).alias("payload_md5"),
+    )
+
+
+def q_doc_jsonl(spark, sf_dir):
+    """JSON-lines ingestion round-trip: two records per document built
+    in-plan with to_json (real escaping), re-parsed by parse_jsonl
+    (from_json, permissive) — field values recovered exactly
+    (cubes_spark/llm/web.py:parse_jsonl)."""
+    from cubes_spark.llm import parse_jsonl
+
+    docs = _table(spark, sf_dir, "documents")
+    line1 = F.to_json(F.struct(
+        F.col("doc_id").alias("id"), F.col("lang"), F.col("text")))
+    line2 = F.to_json(F.struct(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.lit("und").alias("lang"),
+        F.substring(F.col("text"), 1, 100).alias("text")))
+    blob = F.concat(line1, F.lit("\n"), line2)
+    src = docs.select("doc_id", blob.alias("payload"))
+    recs = parse_jsonl(src, schema="id long, lang string, text string")
+    return recs.select(
+        "doc_id", "line_no",
+        F.col("rec.id").alias("rec_id"),
+        F.col("rec.lang").alias("rec_lang"),
+        F.md5(F.col("rec.text")).alias("text_md5"),
+    )
+
+
+def q_doc_sample(spark, sf_dir):
+    """Deterministic hash-Bernoulli sampling (25%): reproducible
+    across engines/partitionings, rolled up per language
+    (cubes_spark/llm/text.py:deterministic_sample)."""
+    from cubes_spark.llm import deterministic_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    kept = deterministic_sample(docs, keep_permille=250)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def q_doc_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: the 25 smallest-hash docs
+    per language (ties by id) — equal-allocation eval-set carving
+    (cubes_spark/llm/text.py:stratified_sample)."""
+    from cubes_spark.llm import stratified_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 25).select("doc_id", "lang")
+
+
 def q_doc_decontam(spark, sf_dir):
     """Test-set decontamination: distinct-8-gram overlap of every
     document against an in-plan benchmark slice (doc_id % 25 == 0);
@@ -2531,6 +2627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tar_shards": q_doc_tar_shards,
         "doc_bmp_rle": q_doc_bmp_rle,
         "doc_adpcm_decode": q_doc_adpcm_decode,
+        "doc_inflate": q_doc_inflate,
+        "doc_jsonl": q_doc_jsonl,
+        "doc_sample": q_doc_sample,
+        "doc_stratified": q_doc_stratified,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
         "doc_jpeg_roundtrip": q_doc_jpeg_roundtrip,
@@ -2934,6 +3034,40 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN (VALUES {", ".join(_adpcm_rows)}) v(r, s)
             ON d.doc_id % 8 = v.r"""
+
+    # zlib shards inflated for real; byte-exact closed form
+    sql["doc_inflate"] = """
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+            md5(text) AS payload_md5
+        FROM documents"""
+
+    # JSON-lines round-trip: field values closed-form from the source
+    sql["doc_jsonl"] = """
+        SELECT doc_id, CAST(0 AS BIGINT) AS line_no,
+            doc_id AS rec_id, lang AS rec_lang, md5(text) AS text_md5
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT), doc_id + 1000000, 'und',
+            md5(substr(text, 1, 100))
+        FROM documents"""
+
+    # hash-Bernoulli sample: identical portable-hash predicate
+    sql["doc_sample"] = """
+        SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE CAST(concat('0x', substr(md5(concat('sample:',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+              % 1000 < 250
+        GROUP BY 1"""
+
+    # stratified sample: identical rank-by-portable-hash selection
+    sql["doc_stratified"] = """
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang
+            ORDER BY CAST(concat('0x', substr(md5(concat('strata:',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) ASC,
+                doc_id ASC) <= 25"""
 
     # tar shards parsed for real; closed-form member expectations
     sql["doc_tar_shards"] = """

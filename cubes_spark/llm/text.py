@@ -29,6 +29,8 @@ __all__ = [
     "trigram_logprob",
     "chunk_documents",
     "deterministic_split",
+    "deterministic_sample",
+    "stratified_sample",
     "pack_sequences",
     "PII_PATTERNS",
     "STOPWORDS",
@@ -498,4 +500,47 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
         (F.least(F.col("_end"), bin_hi)
          - F.greatest(F.col("_start"), bin_lo)).alias("tokens_in_bin"),
         F.col("n_tokens"),
+    )
+
+
+def deterministic_sample(df: DataFrame, id_col: str = "doc_id",
+                         keep_permille: int = 100,
+                         seed: str = "sample") -> DataFrame:
+    """Deterministic hash-Bernoulli sampling: keep iff
+    ``hash64(seed ‖ id) mod 1000 < keep_permille``.
+
+    The sampling analog of :func:`deterministic_split` — reproducible
+    across runs, engines and partitionings (no RNG state), stable
+    under data growth (a row's fate never changes), and a pure narrow
+    filter at any scale."""
+    h = hash64(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")),
+        nhex=8,
+    ) % 1000
+    return df.filter(h < keep_permille)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      n_per_stratum: int, id_col: str = "doc_id",
+                      seed: str = "strata") -> DataFrame:
+    """Deterministic stratified sampling: the `n_per_stratum` rows of
+    each stratum with the smallest portable hash (ties by id).
+
+    One shuffle keyed by the stratum; within a stratum the selection
+    is a rank window.  With few huge strata the window concentrates —
+    for that shape pre-filter with :func:`deterministic_sample` to cut
+    each stratum to ~n before ranking (two narrow passes instead of
+    one skewed shuffle)."""
+    from pyspark.sql.window import Window
+
+    h = hash64(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")),
+        nhex=8,
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rank__", F.row_number().over(w))
+        .filter(F.col("__rank__") <= n_per_stratum)
+        .drop("__rank__")
     )

@@ -178,3 +178,100 @@ class TestParseTar:
                                    "doc_id long, payload binary")
         rows = parse_tar(df).collect()
         assert len(rows) == 1 and rows[0].name == "dir/f.bin"
+
+
+class TestInflateJsonl:
+    def test_inflate_zlib_gzip_raw(self, spark):
+        import gzip as gz
+        import zlib
+
+        from cubes_spark.llm import inflate_column
+
+        raw = "héllo compressed wörld".encode() * 10
+        rows = [(1, zlib.compress(raw)),
+                (2, gz.compress(raw)),
+                (3, b"definitely not compressed")]
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in rows],
+            "doc_id long, payload binary")
+        out = {r.doc_id: r.inflated
+               for r in inflate_column(df).collect()}
+        assert bytes(out[1]) == raw
+        assert bytes(out[2]) == raw
+        assert out[3] is None           # corrupt -> NULL, not error
+
+        rawdef = zlib.compressobj(wbits=-15)
+        stream = rawdef.compress(raw) + rawdef.flush()
+        df2 = spark.createDataFrame([(1, bytearray(stream))],
+                                    "doc_id long, payload binary")
+        got = inflate_column(df2, format="raw").head().inflated
+        assert bytes(got) == raw
+
+    def test_parse_jsonl(self, spark):
+        from cubes_spark.llm import parse_jsonl
+
+        blob = ('{"id": 1, "lang": "en"}\n'
+                '\n'
+                'THIS IS NOT JSON\n'
+                '{"id": 2, "lang": "de"}\n')
+        df = spark.createDataFrame([(9, blob)],
+                                   "doc_id long, payload string")
+        rows = {r.line_no: r for r in parse_jsonl(
+            df, schema="id long, lang string").collect()}
+        assert set(rows) == {0, 2, 3}   # blank line skipped
+        assert rows[0].rec.id == 1 and rows[0].rec.lang == "en"
+        assert rows[3].rec.lang == "de"
+        # corrupt line: NULL struct, raw line kept for quarantine
+        assert rows[2].rec is None or rows[2].rec.id is None
+        assert rows[2].line == "THIS IS NOT JSON"
+
+    def test_gzip_tar_pipeline(self, spark):
+        import gzip as gz
+        import io
+        import tarfile
+
+        from cubes_spark.llm import inflate_column, parse_tar
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            info = tarfile.TarInfo("x.txt")
+            info.size = 5
+            tf.addfile(info, io.BytesIO(b"12345"))
+        shard = gz.compress(buf.getvalue())
+        df = spark.createDataFrame([(1, bytearray(shard))],
+                                   "doc_id long, payload binary")
+        members = parse_tar(
+            inflate_column(df), tar_col="inflated")
+        row = members.head()
+        assert row.name == "x.txt" and bytes(row.payload) == b"12345"
+
+
+class TestSampling:
+    def test_deterministic_sample_stability(self, spark):
+        from cubes_spark.llm import deterministic_sample
+
+        df = spark.createDataFrame([(i,) for i in range(1000)],
+                                   "doc_id long")
+        a = sorted(r.doc_id for r in
+                   deterministic_sample(df, keep_permille=200).collect())
+        b = sorted(r.doc_id for r in deterministic_sample(
+            df.repartition(13), keep_permille=200).collect())
+        assert a == b                   # partitioning-invariant
+        assert 130 < len(a) < 270       # ~20%
+        # monotone: raising the rate only ADDS rows
+        c = sorted(r.doc_id for r in
+                   deterministic_sample(df, keep_permille=500).collect())
+        assert set(a) <= set(c)
+
+    def test_stratified_sample(self, spark):
+        from cubes_spark.llm import stratified_sample
+
+        rows = [(i, "ab"[i % 2]) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = stratified_sample(df, "lang", 7).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r.doc_id)
+        assert sorted(len(v) for v in by_lang.values()) == [7, 7]
+        again = stratified_sample(df.repartition(9), "lang", 7).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))

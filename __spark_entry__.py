@@ -2472,6 +2472,50 @@ def q_doc_jpeg_roundtrip(spark, sf_dir):
     return docs.mapInPandas(roundtrip, PIXEL_STATS_SCHEMA)
 
 
+def q_doc_jpeg_progressive(spark, sf_dir):
+    """REAL progressive (SOF2) JPEG decode end-to-end: per-block-flat
+    greyscale images are encoded as THREE-scan progressive streams
+    (DC first with successive approximation Al=1, DC refinement, full
+    AC band — cubes_spark/llm/multimodal.py:encode_jpeg_progressive)
+    and decoded back through the T.81 Annex-G coefficient-accumulation
+    path (decode_jpeg).  Per-block-flat images are DC-only with even
+    DC coefficients, so reconstruction is EXACT and the oracle is
+    closed-form in doc_id."""
+    import pandas as pd
+
+    from cubes_spark.llm.multimodal import (
+        PIXEL_STATS_SCHEMA, decode_jpeg, encode_jpeg_progressive,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_samples": [], "sample_sum": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw = 2 + did % 2                 # blocks across
+                bh = 1 + did % 3                 # blocks down
+                w, h = bw * 8, bh * 8
+                plane = bytearray(w * h)
+                for y in range(h):
+                    for x in range(w):
+                        plane[y * w + x] = \
+                            (did * 31 + (x // 8) * 17
+                             + (y // 8) * 29) % 256
+                payload = encode_jpeg_progressive(w, h, bytes(plane))
+                gw, gh, _nc, planes = decode_jpeg(payload)
+                out["doc_id"].append(did)
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["n_samples"].append(len(planes[0]))
+                out["sample_sum"].append(sum(planes[0]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, PIXEL_STATS_SCHEMA)
+
+
 def q_xlsx_roundtrip(spark, sf_dir):
     """XLSX formatter verified through a REAL workbook round-trip: the
     dependency-free OOXML writer's zip is re-opened, the sheet XML
@@ -2627,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tar_shards": q_doc_tar_shards,
         "doc_bmp_rle": q_doc_bmp_rle,
         "doc_adpcm_decode": q_doc_adpcm_decode,
+        "doc_jpeg_progressive": q_doc_jpeg_progressive,
         "doc_inflate": q_doc_inflate,
         "doc_jsonl": q_doc_jsonl,
         "doc_sample": q_doc_sample,
@@ -3034,6 +3079,22 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         JOIN (VALUES {", ".join(_adpcm_rows)}) v(r, s)
             ON d.doc_id % 8 = v.r"""
+
+    # progressive JPEG roundtrip: per-block-flat -> exact closed form
+    sql["doc_jpeg_progressive"] = """
+        SELECT doc_id,
+            CAST((2 + doc_id % 2) * 8 AS BIGINT) AS width,
+            CAST((1 + doc_id % 3) * 8 AS BIGINT) AS height,
+            CAST((2 + doc_id % 2) * (1 + doc_id % 3) * 64 AS BIGINT)
+                AS n_samples,
+            CAST(64 * list_sum(list_transform(
+                     range(CAST(2 + doc_id % 2 AS INT)),
+                     bx -> list_sum(list_transform(
+                         range(CAST(1 + doc_id % 3 AS INT)),
+                         by -> (doc_id * 31 + bx * 17 + by * 29)
+                               % 256))))
+                 AS BIGINT) AS sample_sum
+        FROM documents"""
 
     # zlib shards inflated for real; byte-exact closed form
     sql["doc_inflate"] = """

@@ -12,13 +12,16 @@ s16le/u8 samples in :func:`decode_wav`) feeding Arrow-batched
 ``mapInPandas`` operators (:func:`png_pixel_stats`,
 :func:`gif_pixel_stats`, :func:`bmp_pixel_stats`,
 :func:`jpeg_pixel_stats`, :func:`wav_sample_stats`,
-:func:`decode_features`).  Video gets real container support: AVI
-demux + uncompressed-DIB frame decode with every-k frame sampling
-(:func:`decode_avi`, :func:`avi_frame_stats`).  Progressive JPEG and
-entropy-coded audio/video codecs need external libraries not present
-in this environment and stay behind a clearly-marked error; swapping
-a codec in changes a function body, not the pipeline — the schema
-contract, batch shaping and partition behavior are shared and tested.
+:func:`decode_features`).  Progressive (SOF2) JPEG decodes through
+the T.81 Annex-G coefficient-accumulation path; BI_RLE8 BMPs and
+IMA-ADPCM / G.711 WAVs decode through their own state machines.
+Video gets real container support: AVI demux + uncompressed-DIB
+frame decode with every-k frame sampling (:func:`decode_avi`,
+:func:`avi_frame_stats`).  Entropy-coded inter-frame video and
+MPEG-family audio need external codec libraries not present in this
+environment and stay behind a clearly-marked error; swapping a codec
+in changes a function body, not the pipeline — the schema contract,
+batch shaping and partition behavior are shared and tested.
 """
 
 from __future__ import annotations
@@ -47,7 +50,8 @@ __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "decode_wav", "wav_sample_stats",
            "decode_gif", "gif_pixel_stats",
            "decode_bmp", "bmp_pixel_stats",
-           "decode_jpeg", "encode_jpeg", "jpeg_pixel_stats",
+           "decode_jpeg", "encode_jpeg", "encode_jpeg_progressive",
+           "jpeg_pixel_stats",
            "decode_avi", "avi_frame_stats",
            "matroska_tracks", "matroska_metadata",
            "resize_samples", "resize_image", "image_resize_stats",
@@ -598,18 +602,177 @@ def _jpeg_extend(v, t):
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
+def _jpeg_refine_nonzero(reader, coef, k, p1):
+    """One AC refinement correction bit for an already-nonzero
+    coefficient (spec G.1.2.3): append the bit to the magnitude if it
+    is not there yet."""
+    if reader.bit():
+        if (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] > 0 else -p1
+
+
+def _jpeg_progressive_scan(payload, pos, scan, comps, frame_geom,
+                           huff_dc, huff_ac, restart_interval):
+    """Decode one progressive scan into the per-block coefficient
+    arrays (zigzag order, successive-approximation-scaled integers).
+
+    Implements all four scan kinds of ITU-T T.81 Annex G: DC first
+    (interleaved MCU order, predictor + point transform), DC refine
+    (one bit per block), AC first (single component, EOB runs) and AC
+    refine (correction bits, EOB runs).  Returns the stream position
+    of the next marker."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    scomps = scan["comps"]
+    mcux, mcuy, hmax, vmax = frame_geom
+    reader = _JpegBitReader(payload, pos)
+    p1 = 1 << al
+
+    def maybe_restart(n, state):
+        if restart_interval and n and n % restart_interval == 0:
+            reader.align_to_marker()
+            state["eobrun"] = 0
+            for c in scomps:
+                c["dc"] = 0
+
+    state = {"eobrun": 0}
+    if ss == 0:                                  # DC scan
+        for c in scomps:
+            c["dc"] = 0
+        if len(scomps) > 1:
+            # interleaved MCU order (the normal DC-scan shape)
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(n, state)
+                    n += 1
+                    for c in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                bi = ((my * c["v"] + by) * c["bw"]
+                                      + mx * c["h"] + bx)
+                                coef = c["coef"][bi]
+                                if ah == 0:
+                                    t = reader.decode_huffman(
+                                        huff_dc[c["td"]])
+                                    diff = _jpeg_extend(
+                                        reader.bits(t), t) if t else 0
+                                    c["dc"] += diff
+                                    coef[0] = c["dc"] * p1
+                                elif reader.bit():
+                                    coef[0] |= p1
+        else:
+            # single-component DC scan: the component's own block
+            # raster (non-interleaved MCU = one block)
+            c = scomps[0]
+            n = 0
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    maybe_restart(n, state)
+                    n += 1
+                    coef = c["coef"][by * c["bw"] + bx]
+                    if ah == 0:
+                        t = reader.decode_huffman(huff_dc[c["td"]])
+                        diff = _jpeg_extend(reader.bits(t), t) \
+                            if t else 0
+                        c["dc"] += diff
+                        coef[0] = c["dc"] * p1
+                    elif reader.bit():
+                        coef[0] |= p1
+    else:                                        # AC scan: one component
+        if len(scomps) != 1:
+            raise ValueError("interleaved progressive AC scan")
+        c = scomps[0]
+        table = huff_ac[c["ta"]]
+        n = 0
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                maybe_restart(n, state)
+                n += 1
+                coef = c["coef"][by * c["bw"] + bx]
+                if ah == 0:                      # AC first
+                    if state["eobrun"] > 0:
+                        state["eobrun"] -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_huffman(table)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                state["eobrun"] = (1 << r) - 1
+                                if r:
+                                    state["eobrun"] += reader.bits(r)
+                                break
+                            k += 16
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index overflow")
+                            coef[k] = _jpeg_extend(
+                                reader.bits(s), s) * p1
+                            k += 1
+                else:                            # AC refine
+                    k = ss
+                    if state["eobrun"] == 0:
+                        while k <= se:
+                            rs = reader.decode_huffman(table)
+                            r, s = rs >> 4, rs & 0x0F
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    state["eobrun"] = 1 << r
+                                    if r:
+                                        state["eobrun"] += \
+                                            reader.bits(r)
+                                    break
+                            else:
+                                val = p1 if reader.bit() else -p1
+                            while k <= se:
+                                if coef[k] != 0:
+                                    _jpeg_refine_nonzero(
+                                        reader, coef, k, p1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                coef[k] = val
+                            k += 1
+                    if state["eobrun"] > 0:
+                        while k <= se:
+                            if coef[k] != 0:
+                                _jpeg_refine_nonzero(reader, coef, k, p1)
+                            k += 1
+                        state["eobrun"] -= 1
+    # skip padding bits, then find the next marker
+    pos = reader.pos
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00:
+            if 0xD0 <= payload[pos + 1] <= 0xD7:
+                pos += 2                         # stray restart marker
+                continue
+            return pos
+        pos += 1
+    raise ValueError("unterminated progressive scan")
+
+
 def decode_jpeg(payload: bytes):
-    """Decode a BASELINE (SOF0/SOF1) JPEG with the stdlib only: full
-    Huffman entropy decode, dequantization, inverse zigzag, 8×8 float
-    IDCT, restart-interval handling and subsampling factors up to 2×2
-    (4:4:4, 4:2:2, 4:2:0), grayscale or 3-component YCbCr.
+    """Decode a BASELINE (SOF0/SOF1) or PROGRESSIVE (SOF2) JPEG with
+    the stdlib only: full Huffman entropy decode, dequantization,
+    inverse zigzag, 8×8 float IDCT, restart-interval handling and
+    subsampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0), grayscale or
+    3-component YCbCr.  Progressive streams accumulate coefficients
+    across spectral-selection / successive-approximation scans
+    (T.81 Annex G) and reconstruct at EOI.
 
     Returns ``(width, height, n_components, planes)`` where ``planes``
     is one ``bytes`` of ``width × height`` samples per component,
     upsampled to full resolution by replication, in the order they
     appear in the frame header (Y, Cb, Cr) — raw component values, no
     color transform (component semantics belong to the caller).
-    Raises ``ValueError`` on progressive/arithmetic/12-bit streams.
+    Raises ``ValueError`` on arithmetic-coded/hierarchical/12-bit
+    streams.
     """
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG stream")
@@ -617,6 +780,8 @@ def decode_jpeg(payload: bytes):
     qtables = {}
     huff_dc, huff_ac = {}, {}
     frame = None
+    progressive = False
+    prog_ready = False
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -644,9 +809,10 @@ def decode_jpeg(payload: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _jpeg_huff_table(bits, values)
                 i += 17 + nval
-        elif marker in (0xC0, 0xC1):            # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -656,11 +822,47 @@ def decode_jpeg(payload: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG unsupported")
+            raise ValueError(
+                "lossless/arithmetic/hierarchical JPEG unsupported")
         elif marker == 0xDD:                    # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA and progressive:    # progressive scan
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            width, height, comps = frame
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            if not prog_ready:
+                for c in comps:
+                    c["bw"] = mcux * c["h"]
+                    c["bh"] = mcuy * c["v"]
+                    cw = (width * c["h"] + hmax - 1) // hmax
+                    chh = (height * c["v"] + vmax - 1) // vmax
+                    c["nbw"] = (cw + 7) // 8
+                    c["nbh"] = (chh + 7) // 8
+                    c["coef"] = [[0] * 64
+                                 for _ in range(c["bw"] * c["bh"])]
+                prog_ready = True
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["td"], comp["ta"] = tdta >> 4, tdta & 0x0F
+                scomps.append(comp)
+            scan = {"ss": seg[1 + 2 * ns], "se": seg[2 + 2 * ns],
+                    "ah": seg[3 + 2 * ns] >> 4,
+                    "al": seg[3 + 2 * ns] & 0x0F,
+                    "comps": scomps}
+            pos = _jpeg_progressive_scan(
+                payload, pos + 2 + seglen, scan, comps,
+                (mcux, mcuy, hmax, vmax), huff_dc, huff_ac,
+                restart_interval)
+            continue
         elif marker == 0xDA:                    # SOS: decode the scan
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -729,26 +931,60 @@ def decode_jpeg(payload: bytes):
                                     for x in range(8):
                                         plane[base + x] = \
                                             spatial[src + x]
-            planes = []
-            for c in comps:
-                sx, sy = hmax // c["h"], vmax // c["v"]
-                stride = c["bw"] * 8
-                out = bytearray(width * height)
-                plane = c["plane"]
-                for y in range(height):
-                    srow = (y // sy) * stride
-                    base = y * width
-                    for x in range(width):
-                        v = int(round(plane[srow + x // sx])) + 128
-                        out[base + x] = 0 if v < 0 else \
-                            (255 if v > 255 else v)
-                planes.append(bytes(out))
-            return width, height, len(comps), planes
+            return width, height, len(comps), _jpeg_assemble(
+                width, height, comps, hmax, vmax)
         pos += 2 + seglen
         # skip fill bytes between segments
         while pos < len(payload) and payload[pos] != 0xFF:
             pos += 1
+    if progressive and prog_ready:
+        # EOI: all scans accumulated — dequantize, IDCT, assemble
+        width, height, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        for c in comps:
+            q = qtables[c["tq"]]
+            stride = c["bw"] * 8
+            plane = [0.0] * (c["bw"] * 8 * c["bh"] * 8)
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    coef = c["coef"][by * c["bw"] + bx]
+                    block = [0] * 64
+                    for k in range(64):
+                        if coef[k]:
+                            block[_JPEG_ZIGZAG[k]] = coef[k] * q[k]
+                    spatial = _jpeg_idct(block)
+                    row0, col0 = by * 8, bx * 8
+                    for y in range(8):
+                        base = (row0 + y) * stride + col0
+                        src = y * 8
+                        for x in range(8):
+                            plane[base + x] = spatial[src + x]
+            c["plane"] = plane
+        return width, height, len(comps), _jpeg_assemble(
+            width, height, comps, hmax, vmax)
     raise ValueError("no scan in JPEG stream")
+
+
+def _jpeg_assemble(width, height, comps, hmax, vmax):
+    """Component planes → full-resolution clamped bytes (replication
+    upsample + level shift), shared by the baseline and progressive
+    paths."""
+    planes = []
+    for c in comps:
+        sx, sy = hmax // c["h"], vmax // c["v"]
+        stride = c["bw"] * 8
+        out = bytearray(width * height)
+        plane = c["plane"]
+        for y in range(height):
+            srow = (y // sy) * stride
+            base = y * width
+            for x in range(width):
+                v = int(round(plane[srow + x // sx])) + 128
+                out[base + x] = 0 if v < 0 else \
+                    (255 if v > 255 else v)
+        planes.append(bytes(out))
+    return planes
 
 
 
@@ -913,6 +1149,86 @@ def encode_jpeg(width, height, planes):
                 preds[c] = _encode_block(writer, block, preds[c])
     writer.flush()
     out += writer.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(width, height, plane):
+    """Real progressive (SOF2) grayscale JPEG encoder: quant=1,
+    Annex-K Huffman, three scans — DC first with successive
+    approximation (Al=1), DC refinement, then the full AC band
+    (spectral selection 1..63, per-block EOBs).  The transcode
+    counterpart of :func:`decode_jpeg`'s progressive path."""
+    blocks = []
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            block = []
+            for y in range(8):
+                sy = min(by * 8 + y, height - 1)
+                for x in range(8):
+                    sx = min(bx * 8 + x, width - 1)
+                    block.append(plane[sy * width + sx])
+            co = _fdct([s - 128 for s in block])
+            q = [int(round(c)) for c in co]
+            blocks.append([q[_JPEG_ZIGZAG[k]] for k in range(64)])
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + (2 + 65).to_bytes(2, "big") + b"\x00" \
+        + bytes([1] * 64)
+    sof = bytes([8]) + height.to_bytes(2, "big") \
+        + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    out += b"\xFF\xC2" + (2 + len(sof)).to_bytes(2, "big") + sof
+    dht = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xFF\xC4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    dht = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    out += b"\xFF\xC4" + (2 + len(dht)).to_bytes(2, "big") + dht
+
+    def sos(ss, se, ah, al, blob):
+        head = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xFF\xDA" + (2 + len(head)).to_bytes(2, "big") \
+            + head + blob
+
+    # scan 1: DC first, point transform Al=1 (arithmetic shift)
+    w = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        v = zz[0] >> 1
+        t, bits = _magnitude(v - pred)
+        pred = v
+        length, code = DC_CODE[t]
+        w.put(code, length)
+        if t:
+            w.put(bits, t)
+    w.flush()
+    out += sos(0, 0, 0, 1, bytes(w.out))
+    # scan 2: DC refinement — the Al=0 bit of each DC coefficient
+    w = _BitWriter()
+    for zz in blocks:
+        w.put(zz[0] & 1, 1)
+    w.flush()
+    out += sos(0, 0, 1, 0, bytes(w.out))
+    # scan 3: the whole AC band at full precision, per-block EOBs
+    w = _BitWriter()
+    for zz in blocks:
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = AC_CODE[0xF0]
+                w.put(code, length)
+                run -= 16
+            t, bits = _magnitude(zz[k])
+            length, code = AC_CODE[(run << 4) | t]
+            w.put(code, length)
+            w.put(bits, t)
+            run = 0
+        if run:
+            length, code = AC_CODE[0x00]
+            w.put(code, length)
+    w.flush()
+    out += sos(1, 63, 0, 0, bytes(w.out))
     out += b"\xFF\xD9"
     return bytes(out)
 

@@ -67,9 +67,10 @@ def test_jpeg_rejects_non_baseline():
         decode_jpeg(b"\x89PNG not jpeg")
     payload = bytearray(encode_jpeg(8, 8, [bytes(64)]))
     sof_at = payload.index(b"\xFF\xC0")
-    payload[sof_at + 1] = 0xC2         # pretend progressive
-    with pytest.raises(ValueError):
-        decode_jpeg(bytes(payload))
+    for marker in (0xC3, 0xC9):        # lossless, arithmetic-coded
+        payload[sof_at + 1] = marker
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(payload))
 
 
 def encode_jpeg_420(width, height, y_plane, cb_half, cr_half):
@@ -244,3 +245,220 @@ def test_jpeg_flat_tiles_property():
         assert planes[0] == bytes(plane)
 
     check()
+
+
+# -- progressive (SOF2) -----------------------------------------------------
+
+def _prog_container(width, height, scan_blobs):
+    """Grayscale SOF2 container: quant=1 DQT, Annex-K DHTs, then the
+    given (sos_params, entropy_bytes) scans."""
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + (2 + 65).to_bytes(2, "big") + b"\x00" \
+        + bytes([1] * 64)
+    sof = bytes([8]) + height.to_bytes(2, "big") \
+        + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    out += b"\xFF\xC2" + (2 + len(sof)).to_bytes(2, "big") + sof
+    dht = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xFF\xC4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    dht = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    out += b"\xFF\xC4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    for (ss, se, ah, al), blob in scan_blobs:
+        sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        out += b"\xFF\xDA" + (2 + len(sos)).to_bytes(2, "big") + sos
+        out += blob
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _zz_blocks(width, height, plane):
+    """Per-block zigzag coefficient arrays (quant 1), edge-replicated
+    — the same block shaping as encode_jpeg."""
+    import math
+
+    from cubes_spark.llm.multimodal import _JPEG_ZIGZAG, _fdct
+
+    blocks = []
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            block = []
+            for y in range(8):
+                sy = min(by * 8 + y, height - 1)
+                for x in range(8):
+                    sx = min(bx * 8 + x, width - 1)
+                    block.append(plane[sy * width + sx])
+            co = _fdct([s - 128 for s in block])
+            q = [int(round(c)) for c in co]
+            blocks.append([q[_JPEG_ZIGZAG[k]] for k in range(64)])
+    return blocks
+
+
+def _encode_progressive_gray(width, height, plane):
+    """Spectral-selection-only progressive encoder (test side): one DC
+    scan (0,0,0,0) + one AC scan (1,63,0,0) with per-block EOBs."""
+    from cubes_spark.llm.multimodal import _codes, _magnitude
+
+    dc_code = _codes(DC_BITS, DC_VALS)
+    ac_code = _codes(AC_BITS, AC_VALS)
+    blocks = _zz_blocks(width, height, plane)
+
+    w = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        t, bits = _magnitude(zz[0] - pred)
+        pred = zz[0]
+        length, code = dc_code[t]
+        w.put(code, length)
+        if t:
+            w.put(bits, t)
+    w.flush()
+    dc_blob = bytes(w.out)
+
+    w = _BitWriter()
+    for zz in blocks:
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_code[0xF0]
+                w.put(code, length)
+                run -= 16
+            t, bits = _magnitude(zz[k])
+            length, code = ac_code[(run << 4) | t]
+            w.put(code, length)
+            w.put(bits, t)
+            run = 0
+        if run:
+            length, code = ac_code[0x00]       # EOB (run of 1)
+            w.put(code, length)
+    w.flush()
+    ac_blob = bytes(w.out)
+    return _prog_container(width, height,
+                           [((0, 0, 0, 0), dc_blob),
+                            ((1, 63, 0, 0), ac_blob)])
+
+
+def test_progressive_spectral_equals_baseline():
+    # gradient image: progressive (DC scan + AC scan) must reconstruct
+    # byte-identically to the baseline encoding (same coefficients)
+    w, h = 19, 13
+    plane = bytes(((x * 13 + y * 29) % 256)
+                  for y in range(h) for x in range(w))
+    base = decode_jpeg(encode_jpeg(w, h, [plane]))
+    prog = decode_jpeg(_encode_progressive_gray(w, h, plane))
+    assert base[:3] == prog[:3] == (w, h, 1)
+    assert base[3][0] == prog[3][0]
+
+
+def test_progressive_flat_exact():
+    for v in (0, 77, 255):
+        w, h = 10, 9
+        plane = bytes([v]) * (w * h)
+        gw, gh, nc, planes = decode_jpeg(
+            _encode_progressive_gray(w, h, plane))
+        assert (gw, gh, nc) == (w, h, 1)
+        assert set(planes[0]) == {v}
+
+
+def test_progressive_successive_approximation():
+    # hand-assembled 4-scan stream for one 8x8 block with zigzag
+    # coefficients DC=5, c1=3, c5=1 (quant 1): DC first Al=1, DC
+    # refine, AC first Al=1, AC refine — exercises every scan kind
+    from cubes_spark.llm.multimodal import (
+        _JPEG_ZIGZAG,
+        _codes,
+        _jpeg_idct,
+        _magnitude,
+    )
+
+    dc_code = _codes(DC_BITS, DC_VALS)
+    ac_code = _codes(AC_BITS, AC_VALS)
+
+    def put(w, sym, table):
+        length, code = table[sym]
+        w.put(code, length)
+
+    # scan 1: DC first, Al=1 -> send 5>>1 = 2
+    w1 = _BitWriter()
+    t, bits = _magnitude(2)
+    put(w1, t, dc_code)
+    w1.put(bits, t)
+    w1.flush()
+    # scan 2: DC refine -> bit 5&1 = 1
+    w2 = _BitWriter()
+    w2.put(1, 1)
+    w2.flush()
+    # scan 3: AC first, Al=1 -> c1: 3>>1=1 as (r=0,s=1); c5 invisible;
+    # then EOB
+    w3 = _BitWriter()
+    put(w3, 0x01, ac_code)
+    w3.put(1, 1)                    # magnitude bits for +1
+    put(w3, 0x00, ac_code)          # EOB
+    w3.flush()
+    # scan 4: AC refine, Al=0 -> symbol (r=3, s=1) for c5, sign +,
+    # then correction bit 1 for c1 crossed during the run, then EOB
+    w4 = _BitWriter()
+    put(w4, 0x31, ac_code)
+    w4.put(1, 1)                    # sign: positive
+    w4.put(1, 1)                    # correction bit for c1 (3 & 1)
+    put(w4, 0x00, ac_code)          # EOB
+    w4.flush()
+
+    payload = _prog_container(8, 8, [
+        ((0, 0, 0, 1), bytes(w1.out)),
+        ((0, 0, 1, 0), bytes(w2.out)),
+        ((1, 63, 0, 1), bytes(w3.out)),
+        ((1, 63, 1, 0), bytes(w4.out)),
+    ])
+    gw, gh, nc, planes = decode_jpeg(payload)
+    assert (gw, gh, nc) == (8, 8, 1)
+
+    block = [0] * 64
+    block[_JPEG_ZIGZAG[0]] = 5
+    block[_JPEG_ZIGZAG[1]] = 3
+    block[_JPEG_ZIGZAG[5]] = 1
+    spatial = _jpeg_idct(block)
+    expect = bytes(
+        max(0, min(255, int(round(v)) + 128))) if False else bytes(
+        max(0, min(255, int(round(v)) + 128)) for v in spatial)
+    assert planes[0] == expect
+
+
+def test_progressive_truncated_raises():
+    w, h = 10, 9
+    plane = bytes(((x + y) % 256) for y in range(h) for x in range(w))
+    payload = _encode_progressive_gray(w, h, plane)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:40])
+
+
+def test_library_progressive_encoder_matches_baseline():
+    from cubes_spark.llm.multimodal import encode_jpeg_progressive
+
+    w, h = 21, 11
+    plane = bytes(((x * 7 + y * 31) % 256)
+                  for y in range(h) for x in range(w))
+    base = decode_jpeg(encode_jpeg(w, h, [plane]))
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, plane))
+    assert base[:3] == prog[:3] == (w, h, 1)
+    assert base[3][0] == prog[3][0]
+
+
+def test_library_progressive_flat_blocks_exact():
+    from cubes_spark.llm.multimodal import encode_jpeg_progressive
+
+    # per-block flat values decode exactly (DC-only, even DC coefs)
+    w, h = 24, 16
+    plane = bytearray(w * h)
+    vals = {}
+    for by in range(2):
+        for bx in range(3):
+            vals[(bx, by)] = (bx * 77 + by * 131 + 9) % 256
+    for y in range(h):
+        for x in range(w):
+            plane[y * w + x] = vals[(x // 8, y // 8)]
+    gw, gh, _nc, planes = decode_jpeg(
+        encode_jpeg_progressive(w, h, bytes(plane)))
+    assert (gw, gh) == (w, h)
+    assert planes[0] == bytes(plane)

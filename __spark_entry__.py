@@ -2639,11 +2639,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_count_nonempty": q_agg_count_nonempty,
         "doc_audio_decode": q_doc_audio_decode,
         "preagg_refresh": q_preagg_refresh,
-        "doc_pipeline": q_doc_pipeline,
-        "doc_trigram_lm": q_doc_trigram_lm,
-        # -- window: this round's fixed/reworked flagships
+        # -- window: this round's fixed/reworked flagships (the r4
+        # verdict's done-criterion names all four events rows green)
         "doc_lang_quality": q_doc_lang_quality,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "events_type_stats": q_events_type_stats,
         "events_stream_hourly": q_events_stream_hourly,
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
@@ -2716,10 +2717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_ym": q_rollup_ym,
         "cube_flags": q_cube_flags,
         "grouping_sets": q_grouping_sets,
-        "events_sliding": q_events_sliding,
+        "doc_pipeline": q_doc_pipeline,
+        "doc_trigram_lm": q_doc_trigram_lm,
         "doc_common_ngrams": q_doc_common_ngrams,
         "doc_quality_filter": q_doc_quality_filter,
-        "events_type_stats": q_events_type_stats,
         "doc_text_stats": q_doc_text_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_langid": q_doc_langid,

@@ -239,12 +239,13 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     exact integer arithmetic: ``n_overlap * 10000 >= threshold_bp *
     n_grams``).
 
-    Scale shape: the benchmark gram set (distinct hashes of the
-    eval/test suites — thousands of docs, not terabytes) is deduped and
-    broadcast by default, so the 100 TB corpus side never shuffles for
-    the membership test; only the final per-document group-by shuffles,
-    keyed by document id.  Set ``broadcast=False`` to fall back to a
-    hash equi-join when the benchmark is genuinely large.
+    Scale shape: the per-document gram set is deduped INSIDE the row
+    (``array_distinct`` before the explode — no corpus-wide distinct
+    shuffle), the benchmark gram set (eval/test suites — thousands of
+    docs, not terabytes) is deduped and broadcast by default so the
+    membership test is map-side, and ONE group-by keyed by document id
+    is the only corpus shuffle.  Set ``broadcast=False`` to fall back
+    to a hash equi-join when the benchmark is genuinely large.
 
     Documents with no spans at all (shorter than k tokens) are absent
     from the output — they carry no n-gram evidence either way.
@@ -252,26 +253,34 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     bench_grams = (
         _token_span_hashes(benchmark, text_col, id_col, k)
         .select("span_hash").distinct()
+        .withColumn("__hit__", F.lit(1))
     )
     if broadcast:
         bench_grams = F.broadcast(bench_grams)
-    grams = (
-        _token_span_hashes(corpus, text_col, id_col, k)
-        .distinct()
-    )
-    hit = grams.join(bench_grams, "span_hash", "left_semi") \
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap"))
-    totals = grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"))
-    out = totals.join(hit, id_col, "left")
-    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
-    threshold_bp = int(round(threshold * 10000))
-    return out.select(
+    toks = spread(corpus).select(
+        F.col(id_col), token_array(F.col(text_col)).alias("t"))
+    starts = F.when(
+        F.size("t") >= k,
+        F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.array_distinct(
+        F.transform(starts,
+                    lambda i: F.array_join(F.slice("t", i, k), " ")))
+    grams = toks.select(
         F.col(id_col),
-        F.col("n_grams").cast("long").alias("n_grams"),
-        n_overlap.alias("n_overlap"),
-        (n_overlap * 10000 >= F.lit(threshold_bp) * F.col("n_grams"))
-            .alias("contaminated"),
+        F.explode(spans).alias("span"),
+    ).select(F.col(id_col), hash64(F.col("span")).alias("span_hash"))
+    marked = grams.join(bench_grams, "span_hash", "left")
+    threshold_bp = int(round(threshold * 10000))
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("long")
+            .alias("n_overlap"),
+    )
+    return out.select(
+        F.col(id_col), F.col("n_grams"), F.col("n_overlap"),
+        (F.col("n_overlap") * 10000
+         >= F.lit(threshold_bp) * F.col("n_grams")).alias("contaminated"),
     )
 
 

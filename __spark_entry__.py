@@ -2094,6 +2094,66 @@ def q_doc_tar_shards(spark, sf_dir):
     )
 
 
+#: Curation-analytics model: the documents table derived into a
+#: quality-stats fact via a named TABLE EXPRESSION (computed through
+#: Catalyst — the derivation pushes into the scan), browsed as a cube.
+_DOCS_MODEL = {
+    "table_expressions": {
+        "doc_stats": (
+            "SELECT doc_id, lang, source, n_chars, "
+            "CASE WHEN n_chars < 250 THEN 'short' "
+            "WHEN n_chars < 350 THEN 'medium' ELSE 'long' END "
+            "AS len_bucket, "
+            "CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE size(split(trim(text), '\\\\s+')) END AS n_tokens "
+            "FROM documents"
+        ),
+    },
+    "dimensions": [
+        {"name": "lang"},
+        {"name": "source"},
+        {"name": "len_bucket"},
+    ],
+    "cubes": [{
+        "name": "docs",
+        "fact": "doc_stats",
+        "key": "doc_id",
+        "dimensions": ["lang", "source", "len_bucket"],
+        "measures": [{"name": "n_chars"}, {"name": "n_tokens"}],
+        "aggregates": [
+            {"name": "doc_count", "function": "count"},
+            {"name": "chars_sum", "function": "sum",
+             "measure": "n_chars"},
+            {"name": "tokens_sum", "function": "sum",
+             "measure": "n_tokens"},
+        ],
+        "mappings": {
+            "lang.lang": "doc_stats.lang",
+            "source.source": "doc_stats.source",
+            "len_bucket.len_bucket": "doc_stats.len_bucket",
+        },
+    }],
+}
+
+
+def q_doc_quality_cube(spark, sf_dir):
+    """OLAP over the curation pipeline: the documents table derived
+    into a quality-stats fact by a named table expression and browsed
+    through the cube engine — point cut on source + lang x len-bucket
+    drilldown (the full dimensional surface applied to training-data
+    curation)."""
+    from cubes_spark.sources.workspace import Workspace
+
+    ws = Workspace(spark, store=sf_dir)
+    ws.import_model(_DOCS_MODEL)
+    df = ws.browser("docs").aggregation_dataframe(
+        cell="source:src1;src2;src3;src4;src5",
+        drilldown=["lang", "len_bucket"],
+        aggregates=["doc_count", "chars_sum", "tokens_sum"],
+    )
+    return _lng(df, "doc_count", "chars_sum", "tokens_sum")
+
+
 def q_doc_inflate(spark, sf_dir):
     """Compressed-shard ingestion: zlib streams built in-plan
     (stored-deflate block + adler32 computed by a SQL fold — the PNG
@@ -2673,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bmp_rle": q_doc_bmp_rle,
         "doc_adpcm_decode": q_doc_adpcm_decode,
         "doc_jpeg_progressive": q_doc_jpeg_progressive,
+        "doc_quality_cube": q_doc_quality_cube,
         "doc_inflate": q_doc_inflate,
         "doc_jsonl": q_doc_jsonl,
         "doc_sample": q_doc_sample,
@@ -3096,6 +3157,19 @@ def oracle_sql() -> dict[str, str]:
                                % 256))))
                  AS BIGINT) AS sample_sum
         FROM documents"""
+
+    # curation cube: same bucket CASE + token count, plain GROUP BY
+    sql["doc_quality_cube"] = f"""
+        SELECT lang AS "lang.lang",
+            CASE WHEN n_chars < 250 THEN 'short'
+                 WHEN n_chars < 350 THEN 'medium' ELSE 'long' END
+                AS "len_bucket.len_bucket",
+            COUNT(*) AS doc_count,
+            CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+            CAST(SUM(len({_TOKENS})) AS BIGINT) AS tokens_sum
+        FROM documents
+        WHERE source IN ('src1', 'src2', 'src3', 'src4', 'src5')
+        GROUP BY 1, 2"""
 
     # zlib shards inflated for real; byte-exact closed form
     sql["doc_inflate"] = """

@@ -2136,6 +2136,43 @@ _DOCS_MODEL = {
 }
 
 
+def q_doc_mixture(spark, sf_dir):
+    """Data-mixture sampling: per-language keep rates (en 80%, de 50%,
+    fr 30%, others 10%) applied as one narrow portable-hash filter,
+    rolled up per language (cubes_spark/llm/text.py:mixture_sample)."""
+    from cubes_spark.llm import mixture_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, "lang", {"en": 800, "de": 500, "fr": 300},
+        default_permille=100)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup: the fresh batch (non-ingested docs
+    PLUS re-crawls — ingested content under new ids, built in-plan)
+    anti-joined on the normalized content hash against the
+    already-ingested slice; every re-crawl must drop, every genuinely
+    new doc must survive — only hashes move, never text
+    (cubes_spark/llm/dedup.py:dedup_against)."""
+    from cubes_spark.llm import dedup_against
+
+    docs = _table(spark, sf_dir, "documents")
+    ingested = docs.filter(F.col("doc_id") % 4 == 0)
+    recrawls = ingested.withColumn(
+        "doc_id", F.col("doc_id") + 1000000)
+    fresh = docs.filter(F.col("doc_id") % 4 != 0).unionByName(recrawls)
+    kept = dedup_against(fresh, ingested)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def q_doc_quality_cube(spark, sf_dir):
     """OLAP over the curation pipeline: the documents table derived
     into a quality-stats fact by a named table expression and browsed
@@ -2734,6 +2771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_adpcm_decode": q_doc_adpcm_decode,
         "doc_jpeg_progressive": q_doc_jpeg_progressive,
         "doc_quality_cube": q_doc_quality_cube,
+        "doc_mixture": q_doc_mixture,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_inflate": q_doc_inflate,
         "doc_jsonl": q_doc_jsonl,
         "doc_sample": q_doc_sample,
@@ -3186,6 +3225,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(1 AS BIGINT), doc_id + 1000000, 'und',
             md5(substr(text, 1, 100))
         FROM documents"""
+
+    # mixture sampling: identical per-stratum hash predicate
+    sql["doc_mixture"] = """
+        SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE CAST(concat('0x', substr(md5(concat('mixture:',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000
+              < CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
+                          WHEN 'fr' THEN 300 ELSE 100 END
+        GROUP BY 1"""
+
+    # incremental dedup: same normalized-content anti-join
+    sql["doc_incremental_dedup"] = r"""
+        SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents f
+        WHERE f.doc_id % 4 <> 0
+          AND md5(regexp_replace(lower(trim(f.text)), '\s+', ' ', 'g'))
+              NOT IN (
+                SELECT md5(regexp_replace(lower(trim(r.text)),
+                                          '\s+', ' ', 'g'))
+                FROM documents r WHERE r.doc_id % 4 = 0)
+        GROUP BY 1"""
 
     # hash-Bernoulli sample: identical portable-hash predicate
     sql["doc_sample"] = """

@@ -34,6 +34,7 @@ from cubes_spark.llm.util import spread
 __all__ = [
     "content_hash",
     "exact_duplicates",
+    "dedup_against",
     "duplicate_spans",
     "span_duplicate_docs",
     "benchmark_contamination",
@@ -598,3 +599,26 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame,
         component.alias("component"),
         (component == F.col(id_col)).alias("is_canonical"),
     )
+
+
+def dedup_against(df: DataFrame, reference: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  normalize: bool = True,
+                  broadcast: bool = False) -> DataFrame:
+    """Incremental ingest dedup: drop rows whose (normalized) content
+    already exists in a reference corpus — the append-only shape of a
+    continuously-ingesting pipeline (new crawl vs everything already
+    ingested).  An anti-join on the 128-bit content hash: only hashes
+    move, never text.  With ``broadcast=True`` the reference hash set
+    is broadcast (when the already-ingested side is the small one —
+    e.g. a single day's backlog); the default hash equi-join handles
+    the usual case where the reference corpus is the 100 TB side."""
+    ref_hashes = reference.select(
+        content_hash(F.col(text_col), normalize).alias("content_hash")
+    ).distinct()
+    if broadcast:
+        ref_hashes = F.broadcast(ref_hashes)
+    hashed = spread(df).withColumn(
+        "content_hash", content_hash(F.col(text_col), normalize))
+    return hashed.join(ref_hashes, "content_hash", "left_anti") \
+        .drop("content_hash")

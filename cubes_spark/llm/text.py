@@ -31,6 +31,7 @@ __all__ = [
     "deterministic_split",
     "deterministic_sample",
     "stratified_sample",
+    "mixture_sample",
     "pack_sequences",
     "PII_PATTERNS",
     "STOPWORDS",
@@ -544,3 +545,29 @@ def stratified_sample(df: DataFrame, strata_col: str,
         .filter(F.col("__rank__") <= n_per_stratum)
         .drop("__rank__")
     )
+
+
+def mixture_sample(df: DataFrame, strata_col: str,
+                   rates_permille: Dict[str, int],
+                   default_permille: int = 0,
+                   id_col: str = "doc_id",
+                   seed: str = "mixture") -> DataFrame:
+    """Deterministic data-mixture sampling: per-stratum keep rates
+    (the up/down-weighting step that turns raw source proportions into
+    a training mixture).  Keep iff ``hash64(seed ‖ id) mod 1000 <
+    rate(stratum)``; strata without a configured rate use
+    `default_permille`.
+
+    Same guarantees as :func:`deterministic_sample` — engine-portable,
+    partition-invariant, stable under data growth — and the rate map
+    is a small in-plan CASE chain, so the whole thing is one narrow
+    filter (no join, no shuffle)."""
+    h = hash64(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")),
+        nhex=8,
+    ) % 1000
+    rate = F.lit(default_permille)
+    for value, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(permille)) \
+            .otherwise(rate)
+    return df.filter(h < rate)

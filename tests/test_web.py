@@ -275,3 +275,43 @@ class TestSampling:
         assert sorted(len(v) for v in by_lang.values()) == [7, 7]
         again = stratified_sample(df.repartition(9), "lang", 7).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+class TestMixtureAndIncremental:
+    def test_mixture_sample(self, spark):
+        from cubes_spark.llm import mixture_sample
+
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        kept = mixture_sample(df, "lang",
+                              {"en": 800, "de": 100}).collect()
+        en = sum(1 for r in kept if r.lang == "en")
+        de = sum(1 for r in kept if r.lang == "de")
+        assert 350 < en < 450          # ~80% of 500
+        assert 20 < de < 90            # ~10% of 500
+        # unconfigured stratum with default 0 -> dropped entirely
+        df2 = spark.createDataFrame([(1, "fr")],
+                                    "doc_id long, lang string")
+        assert mixture_sample(df2, "lang", {"en": 800}).count() == 0
+        # deterministic across partitionings
+        again = mixture_sample(df.repartition(7), "lang",
+                               {"en": 800, "de": 100}).collect()
+        assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+
+    def test_dedup_against(self, spark):
+        from cubes_spark.llm import dedup_against
+
+        new = spark.createDataFrame([
+            (1, "brand new document"),
+            (2, "Already  Ingested text"),    # normalizes to ref
+            (3, "another fresh one"),
+        ], "doc_id long, text string")
+        ref = spark.createDataFrame([
+            (100, "already ingested text"),
+        ], "doc_id long, text string")
+        kept = sorted(r.doc_id for r in dedup_against(new, ref).collect())
+        assert kept == [1, 3]
+        # broadcast path gives the identical answer
+        kept_b = sorted(r.doc_id for r in
+                        dedup_against(new, ref, broadcast=True).collect())
+        assert kept_b == [1, 3]

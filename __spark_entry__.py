@@ -2136,6 +2136,77 @@ _DOCS_MODEL = {
 }
 
 
+def q_doc_bpe_encode(spark, sf_dir):
+    """REAL learned BPE end-to-end: merges trained driver-side on the
+    bounded id-sorted sample (classic greedy pair counting), applied
+    distributed with the rank-greedy encoder in one Arrow stage
+    (cubes_spark/llm/bpe.py).  The oracle retrains the identical
+    merge list and re-encodes every document with an INDEPENDENT
+    in-training-order applier (equivalence proven in tests), inlining
+    the per-document token counts and md5s."""
+    from cubes_spark.llm import bpe_encode, train_bpe
+
+    docs = _table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=96, sample_size=512)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.col("tokens"), "\x1f")).alias("tokens_md5"),
+    )
+
+
+def _bpe_oracle() -> str:
+    """Retrains the identical merge list (same id-sorted sample, same
+    greedy trainer) and encodes every document with the INDEPENDENT
+    Sennrich-style in-order applier; per-document expectations are
+    inlined as VALUES."""
+    import hashlib
+
+    import duckdb
+
+    from cubes_spark.llm.bpe import _PRETOKEN_RE, train_bpe_from_texts
+
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    sample = duckdb.sql(
+        f"SELECT text FROM read_parquet('{path}') "
+        "ORDER BY doc_id LIMIT 512").fetchall()
+    merges = train_bpe_from_texts([r[0] for r in sample], 96)
+
+    def in_order(word):
+        sym = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{path}')").fetchall()
+    cache: dict = {}
+    values = []
+    for doc_id, text in rows:
+        tokens = []
+        for word in _PRETOKEN_RE.findall(text or ""):
+            got = cache.get(word)
+            if got is None:
+                got = in_order(word)
+                cache[word] = got
+            tokens.extend(got)
+        digest = hashlib.md5("\x1f".join(tokens).encode()).hexdigest()
+        values.append(f"({doc_id}, {len(tokens)}, '{digest}')")
+    return f"""
+        SELECT v.d AS doc_id, CAST(v.n AS BIGINT) AS n_tokens,
+            v.h AS tokens_md5
+        FROM (VALUES {", ".join(values)}) v(d, n, h)"""
+
+
 def q_doc_mixture(spark, sf_dir):
     """Data-mixture sampling: per-language keep rates (en 80%, de 50%,
     fr 30%, others 10%) applied as one narrow portable-hash filter,
@@ -2771,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_adpcm_decode": q_doc_adpcm_decode,
         "doc_jpeg_progressive": q_doc_jpeg_progressive,
         "doc_quality_cube": q_doc_quality_cube,
+        "doc_bpe_encode": q_doc_bpe_encode,
         "doc_mixture": q_doc_mixture,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_inflate": q_doc_inflate,
@@ -4465,6 +4537,7 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_ivf"] = _emb_ivf_oracle()
     sql["emb_kmeans"] = _emb_kmeans_oracle()
     sql["emb_semdedup"] = _emb_semdedup_oracle()
+    sql["doc_bpe_encode"] = _bpe_oracle()
 
     return sql
 

@@ -2136,6 +2136,30 @@ _DOCS_MODEL = {
 }
 
 
+def q_docs_stream_quality(spark, sf_dir):
+    """STREAMING curation: the documents table replayed as a bounded
+    file stream, per-document quality scoring (the same pure column
+    expressions run unchanged on a stream) and a per-(lang, passed)
+    running aggregate in complete mode — the shape of a live ingest
+    pipeline scoring documents as they land."""
+    from cubes_spark.llm import text_stats
+    from cubes_spark.streaming import read_parquet_stream, \
+        replay_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_parquet_stream(spark, f"{sf_dir}/documents.parquet")
+    scored = text_stats(stream)
+    out = scored.withColumn(
+        "passed",
+        (F.col("quality_score") >= 0.5).cast("int").cast("long"),
+    ).groupBy("lang", "passed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return replay_to_memory(out, "q_docs_stream_quality",
+                            output_mode="complete")
+
+
 def q_doc_bpe_encode(spark, sf_dir):
     """REAL learned BPE end-to-end: merges trained driver-side on the
     bounded id-sorted sample (classic greedy pair counting), applied
@@ -2843,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jpeg_progressive": q_doc_jpeg_progressive,
         "doc_quality_cube": q_doc_quality_cube,
         "doc_bpe_encode": q_doc_bpe_encode,
+        "docs_stream_quality": q_docs_stream_quality,
         "doc_mixture": q_doc_mixture,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_inflate": q_doc_inflate,
@@ -3297,6 +3322,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(1 AS BIGINT), doc_id + 1000000, 'und',
             md5(substr(text, 1, 100))
         FROM documents"""
+
+    # streaming quality rollup == batch quality rollup (bounded replay)
+    sql["docs_stream_quality"] = f"""
+        WITH base AS ({_text_stats_sql()}),
+        d AS ({_TEXT_STATS_DERIVED})
+        SELECT doc.lang,
+            CAST(CASE WHEN d.quality_score >= 0.5 THEN 1 ELSE 0 END
+                 AS BIGINT) AS passed,
+            COUNT(*) AS n_docs,
+            CAST(SUM(doc.n_chars) AS BIGINT) AS total_chars
+        FROM d JOIN documents doc USING (doc_id)
+        GROUP BY 1, 2"""
 
     # mixture sampling: identical per-stratum hash predicate
     sql["doc_mixture"] = """

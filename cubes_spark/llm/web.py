@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 
 __all__ = ["html_to_text", "extract_links", "parse_warc",
            "parse_tar", "webdataset_samples",
-           "inflate_column", "parse_jsonl",
+           "inflate_column", "parse_jsonl", "pack_webdataset",
            "WARC_RECORD_SCHEMA", "TAR_MEMBER_SCHEMA"]
 
 
@@ -354,3 +354,64 @@ def parse_jsonl(df: DataFrame, jsonl_col: str = "payload",
         F.from_json(F.col("line"), schema).alias("rec"),
         F.col("line"),
     )
+
+
+def pack_webdataset(df: DataFrame, shard_col: str,
+                    key_col: str = "doc_id",
+                    part_cols: dict = None) -> DataFrame:
+    """The export side of WebDataset: pack rows into tar shard blobs.
+
+    One output row per shard: ``(shard, payload, n_samples)`` where
+    ``payload`` is a complete tar archive with one ``<key>.<ext>``
+    member per configured part column (string parts are UTF-8
+    encoded).  Samples are sorted by key and extensions
+    alphabetically, so shard bytes are deterministic for a given
+    shard assignment regardless of partitioning.
+
+    Scale shape: one shuffle keyed by the shard id (choose the shard
+    key so shards are O(100 MB) — e.g. ``id // samples_per_shard`` or
+    a hash bucket), then each shard builds in a single Arrow group.
+    Round-trips through :func:`parse_tar` /
+    :func:`webdataset_samples`.
+    """
+    import io
+    import tarfile
+
+    if not part_cols:
+        raise ValueError("pack_webdataset requires part_cols "
+                         "{extension: column}")
+    exts = sorted(part_cols)
+    cols = [F.col(shard_col).cast("long").alias("__shard__"),
+            F.col(key_col).cast("string").alias("__key__")]
+    cols += [F.col(c).alias(f"__part_{e}__") for e, c in
+             sorted(part_cols.items())]
+    src = df.select(*cols)
+    schema = StructType([
+        StructField("shard", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_samples", LongType()),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__key__")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for _, row in pdf.iterrows():
+                for ext in exts:
+                    data = row[f"__part_{ext}__"]
+                    if data is None:
+                        continue
+                    if isinstance(data, str):
+                        data = data.encode("utf-8")
+                    else:
+                        data = bytes(data)
+                    info = tarfile.TarInfo(f"{row['__key__']}.{ext}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        return pd.DataFrame({
+            "shard": [int(pdf["__shard__"].iloc[0])],
+            "payload": [buf.getvalue()],
+            "n_samples": [len(pdf)],
+        })
+
+    return src.groupBy("__shard__").applyInPandas(build, schema)

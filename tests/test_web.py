@@ -315,3 +315,44 @@ class TestMixtureAndIncremental:
         kept_b = sorted(r.doc_id for r in
                         dedup_against(new, ref, broadcast=True).collect())
         assert kept_b == [1, 3]
+
+
+class TestPackWebdataset:
+    def test_roundtrip_and_determinism(self, spark):
+        from cubes_spark.llm import (
+            pack_webdataset, parse_tar, webdataset_samples,
+        )
+        from pyspark.sql import functions as SF
+
+        rows = [(i, i // 3, f"text-{i}", "en" if i % 2 else "de")
+                for i in range(9)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, shard long, text string, lang string")
+        shards = pack_webdataset(
+            df, "shard", part_cols={"txt": "text", "cls": "lang"})
+        got = {r.shard: r for r in shards.collect()}
+        assert set(got) == {0, 1, 2}
+        assert all(r.n_samples == 3 for r in got.values())
+
+        # round-trip through the ingest side
+        samples = webdataset_samples(
+            shards.withColumnRenamed("shard", "doc_id"))
+        by_key = {(r.id, r.key): r.parts for r in samples.collect()}
+        for i in range(9):
+            parts = by_key[(i // 3, str(i))]
+            assert bytes(parts["txt"]) == f"text-{i}".encode()
+
+        # byte determinism across partitionings
+        again = {r.shard: bytes(r.payload) for r in pack_webdataset(
+            df.repartition(5), "shard",
+            part_cols={"txt": "text", "cls": "lang"}).collect()}
+        assert {s: bytes(r.payload) for s, r in got.items()} == again
+
+        # members are key-sorted inside the shard
+        members = parse_tar(
+            shards.filter(SF.col("shard") == 1)
+            .withColumnRenamed("shard", "doc_id"))
+        names = [r.name for r in
+                 sorted(members.collect(), key=lambda r: r.member_idx)]
+        assert names == ["3.cls", "3.txt", "4.cls", "4.txt",
+                         "5.cls", "5.txt"]

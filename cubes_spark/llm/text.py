@@ -448,23 +448,33 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
 
     Scale: the naive global cumulative sum is a one-partition window
     function — the classic scale killer.  This uses the two-phase
-    prefix sum instead: range-repartition by id (cluster-wide order),
-    per-partition token totals (ONE bounded collect: one row per
-    partition), exclusive partition offsets broadcast back, then a
-    partition-LOCAL window cumsum.  Every stage is as wide as the
-    cluster; the result is invariant to the partition count.  All
-    arithmetic is integer (exact at any scale); the bin explode is
-    narrow.
+    prefix sum instead: ids bucketed into contiguous VALUE ranges
+    (never ``repartitionByRange`` + ``spark_partition_id`` — a range
+    partitioner re-SAMPLES its boundaries per job, so the totals pass
+    and the placement pass could disagree on assignment; value-derived
+    buckets are deterministic by construction), per-bucket token
+    totals (ONE bounded collect: one row per bucket), exclusive
+    offsets broadcast back, then a bucket-LOCAL window cumsum.  Every
+    stage is as wide as the cluster; the result is invariant to the
+    bucket count and partitioning (tested).  All arithmetic is integer
+    (exact at any scale); the bin explode is narrow.
     """
     from pyspark.sql.window import Window
 
     n_tok = (F.col(tokens_col) if tokens_col
              else F.size(token_array(F.col(text_col)))).cast("long")
     base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
-    base = (base.repartitionByRange(num_partitions, id_col)
-            if num_partitions else base.repartitionByRange(id_col))
-    base = base.withColumn("_pid", F.spark_partition_id())
-    # bounded collect: one row per partition (thousands at 100 TB)
+    nparts = num_partitions or 256
+    bounds = base.agg(F.min(id_col).alias("lo"),
+                      F.max(id_col).alias("hi")).first()
+    lo = bounds["lo"] if bounds["lo"] is not None else 0
+    hi = bounds["hi"] if bounds["hi"] is not None else 0
+    bucket_width = max(1, -(-(hi - lo + 1) // nparts))
+    base = base.withColumn(
+        "_pid",
+        F.floor((F.col(id_col) - F.lit(lo)) / F.lit(bucket_width))
+        .cast("int"))
+    # bounded collect: one row per bucket (thousands at 100 TB)
     totals = base.groupBy("_pid").agg(
         F.sum("n_tokens").alias("_tot")).collect()
     offsets, acc = [], 0

@@ -2136,6 +2136,28 @@ _DOCS_MODEL = {
 }
 
 
+def q_doc_webdataset_export(spark, sf_dir):
+    """WebDataset EXPORT → INGEST round-trip: documents packed into
+    deterministic tar shards of 50 (one shuffle keyed by shard id,
+    cubes_spark/llm/web.py:pack_webdataset), then exploded back by
+    parse_tar; every member byte-exact against the source columns."""
+    from cubes_spark.llm import pack_webdataset, parse_tar
+
+    docs = _table(spark, sf_dir, "documents")
+    src = docs.withColumn(
+        "shard", F.floor(F.col("doc_id") / 50).cast("long"))
+    shards = pack_webdataset(
+        src, "shard", key_col="doc_id",
+        part_cols={"txt": "text", "cls": "lang"})
+    members = parse_tar(
+        shards.withColumnRenamed("shard", "doc_id"),
+        tar_col="payload", id_col="doc_id")
+    return members.select(
+        F.col("id").alias("shard_id"), "name", "size",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
 def q_docs_stream_quality(spark, sf_dir):
     """STREAMING curation: the documents table replayed as a bounded
     file stream, per-document quality scoring (the same pure column
@@ -2868,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_cube": q_doc_quality_cube,
         "doc_bpe_encode": q_doc_bpe_encode,
         "docs_stream_quality": q_docs_stream_quality,
+        "doc_webdataset_export": q_doc_webdataset_export,
         "doc_mixture": q_doc_mixture,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_inflate": q_doc_inflate,
@@ -3376,6 +3399,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY CAST(concat('0x', substr(md5(concat('strata:',
                 CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) ASC,
                 doc_id ASC) <= 25"""
+
+    # export->ingest round trip: closed-form member expectations
+    sql["doc_webdataset_export"] = """
+        SELECT doc_id // 50 AS shard_id,
+            CAST(doc_id AS VARCHAR) || '.cls' AS name,
+            CAST(strlen(lang) AS BIGINT) AS size,
+            md5(lang) AS payload_md5
+        FROM documents
+        UNION ALL
+        SELECT doc_id // 50,
+            CAST(doc_id AS VARCHAR) || '.txt',
+            CAST(strlen(text) AS BIGINT), md5(text)
+        FROM documents"""
 
     # tar shards parsed for real; closed-form member expectations
     sql["doc_tar_shards"] = """

@@ -2253,6 +2253,73 @@ def _bpe_oracle() -> str:
         FROM (VALUES {", ".join(values)}) v(d, n, h)"""
 
 
+def q_doc_bpe_vocab(spark, sf_dir):
+    """Corpus vocabulary statistics over the LEARNED tokenization:
+    BPE-encode every document, explode tokens, count — the top-50
+    table (count desc, token asc) that drives vocab pruning /
+    coverage checks.  The oracle re-runs training + the independent
+    in-order encoder and inlines the expected table."""
+    from cubes_spark.llm import bpe_encode, train_bpe
+
+    docs = _table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=96, sample_size=512)
+    out = bpe_encode(docs, merges)
+    counts = (
+        out.select(F.explode("tokens").alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+    return counts.select("token", F.col("n").cast("long").alias("n"))
+
+
+def _bpe_vocab_oracle() -> str:
+    """Top-50 learned-token counts via the independent in-order
+    applier (shares the sample/trainer with _bpe_oracle)."""
+    from collections import Counter
+
+    import duckdb
+
+    from cubes_spark.llm.bpe import _PRETOKEN_RE, train_bpe_from_texts
+
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    sample = duckdb.sql(
+        f"SELECT text FROM read_parquet('{path}') "
+        "ORDER BY doc_id LIMIT 512").fetchall()
+    merges = train_bpe_from_texts([r[0] for r in sample], 96)
+
+    def in_order(word):
+        sym = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    rows = duckdb.sql(
+        f"SELECT text FROM read_parquet('{path}')").fetchall()
+    counts: Counter = Counter()
+    word_freq: Counter = Counter()
+    for (text,) in rows:
+        word_freq.update(_PRETOKEN_RE.findall(text or ""))
+    for word, freq in word_freq.items():
+        for tok in in_order(word):
+            counts[tok] += freq
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    values = ", ".join(
+        "(" + "'" + tok.replace("'", "''") + "'" + f", {n})"
+        for tok, n in top)
+    return f"""
+        SELECT v.t AS token, CAST(v.n AS BIGINT) AS n
+        FROM (VALUES {values}) v(t, n)"""
+
+
 def q_doc_mixture(spark, sf_dir):
     """Data-mixture sampling: per-language keep rates (en 80%, de 50%,
     fr 30%, others 10%) applied as one narrow portable-hash filter,
@@ -2889,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jpeg_progressive": q_doc_jpeg_progressive,
         "doc_quality_cube": q_doc_quality_cube,
         "doc_bpe_encode": q_doc_bpe_encode,
+        "doc_bpe_vocab": q_doc_bpe_vocab,
         "docs_stream_quality": q_docs_stream_quality,
         "doc_webdataset_export": q_doc_webdataset_export,
         "doc_mixture": q_doc_mixture,
@@ -4611,6 +4679,7 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_kmeans"] = _emb_kmeans_oracle()
     sql["emb_semdedup"] = _emb_semdedup_oracle()
     sql["doc_bpe_encode"] = _bpe_oracle()
+    sql["doc_bpe_vocab"] = _bpe_vocab_oracle()
 
     return sql
 

@@ -2320,6 +2320,90 @@ def _bpe_vocab_oracle() -> str:
         FROM (VALUES {values}) v(t, n)"""
 
 
+def q_doc_image_dedup(spark, sf_dir):
+    """Image near-duplicate groups via perceptual hashing: in-plan
+    24-bit BMPs whose pixel content is keyed by doc_id % 16 (so every
+    residue class is a visually-identical group), decoded + aHashed +
+    grouped by the hash (cubes_spark/llm/multimodal.py:
+    image_duplicates).  The oracle recomputes each residue's aHash
+    with an independent implementation and inlines the 16 hashes."""
+    from cubes_spark.llm import image_duplicates
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    r = (F.col("doc_id") % 16).cast("long")
+    w = (F.lit(6) + r % 3).cast("long")
+    h = (F.lit(5) + r % 2).cast("long")
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le32(col):
+        return F.concat(*[hex2((col / (256 ** i)).cast("long") % 256)
+                          for i in range(4)])
+
+    byte = lambda x, y, c: (r * 37 + x * (r + 7) + y * (2 * r + 11)
+                            + c * 3) % 256
+    stride = ((w * 3 + 3) / 4).cast("long") * 4
+    pad_hex = F.substring(F.lit("000000"), 1,
+                          ((stride - w * 3) * 2).cast("int"))
+    data_hex = F.aggregate(
+        F.sequence(F.lit(0), h - 1), F.lit(""),
+        lambda acc, f: F.concat(
+            acc,
+            F.aggregate(
+                F.sequence(F.lit(0), w - 1), F.lit(""),
+                lambda a2, x: F.concat(
+                    a2, hex2(byte(x, f, 0)), hex2(byte(x, f, 1)),
+                    hex2(byte(x, f, 2)))),
+            pad_hex),
+    )
+    bmp_hex = F.concat(
+        F.lit("424D"), le32(stride * h + 54),
+        F.lit("00000000"), le32(F.lit(54)),
+        le32(F.lit(40)), le32(w), le32(h),
+        F.lit("0100" "1800"), le32(F.lit(0)),
+        le32(stride * h),
+        le32(F.lit(2835)), le32(F.lit(2835)),
+        le32(F.lit(0)), le32(F.lit(0)),
+        data_hex,
+    )
+    bmps = docs.withColumn("payload", F.unhex(bmp_hex))
+    return image_duplicates(bmps, "payload")
+
+
+def _image_dedup_oracle() -> str:
+    """Independent aHash per residue class: stored-byte formula →
+    top-down grayscale → 8×8 nearest → integer mean-compare bits.
+    Written from the definition, not the library code."""
+    values = []
+    for r in range(16):
+        w, h = 6 + r % 3, 5 + r % 2
+
+        def stored(x, fy, c):
+            return (r * 37 + x * (r + 7) + fy * (2 * r + 11)
+                    + c * 3) % 256
+
+        # image row ry = file row h-1-ry (bottom-up BMP); gray is the
+        # floor-mean over the three channels (order-invariant)
+        gray = [[sum(stored((X * w) // 8, h - 1 - (Y * h) // 8, c)
+                     for c in range(3)) // 3
+                 for X in range(8)] for Y in range(8)]
+        total = sum(sum(row) for row in gray)
+        val = 0
+        for Y in range(8):
+            for X in range(8):
+                val = (val << 1) | (1 if gray[Y][X] * 64 >= total
+                                    else 0)
+        values.append(f"({r}, '{format(val, '016x')}')")
+    return f"""
+        SELECT v.hsh AS ahash, COUNT(*) AS n_docs,
+            CAST(MIN(d.doc_id) AS BIGINT) AS canonical_id
+        FROM documents d
+        JOIN (VALUES {", ".join(values)}) v(r, hsh)
+            ON d.doc_id % 16 = v.r
+        GROUP BY 1"""
+
+
 def q_doc_mixture(spark, sf_dir):
     """Data-mixture sampling: per-language keep rates (en 80%, de 50%,
     fr 30%, others 10%) applied as one narrow portable-hash filter,
@@ -2957,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_cube": q_doc_quality_cube,
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_bpe_vocab": q_doc_bpe_vocab,
+        "doc_image_dedup": q_doc_image_dedup,
         "docs_stream_quality": q_docs_stream_quality,
         "doc_webdataset_export": q_doc_webdataset_export,
         "doc_mixture": q_doc_mixture,
@@ -4680,6 +4765,7 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_semdedup"] = _emb_semdedup_oracle()
     sql["doc_bpe_encode"] = _bpe_oracle()
     sql["doc_bpe_vocab"] = _bpe_vocab_oracle()
+    sql["doc_image_dedup"] = _image_dedup_oracle()
 
     return sql
 

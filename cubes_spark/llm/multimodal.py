@@ -54,6 +54,7 @@ __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "jpeg_pixel_stats",
            "decode_avi", "avi_frame_stats",
            "matroska_tracks", "matroska_metadata",
+           "ahash_bytes", "image_ahash", "image_duplicates",
            "resize_samples", "resize_image", "image_resize_stats",
            "resample_samples", "resample_audio", "audio_resample_stats",
            "video_frame_pipeline",
@@ -1981,6 +1982,80 @@ def _decode_image_samples(payload: bytes):
             return w, h, 3, rgb.tobytes()
         return w, h, ch, samples
     raise ValueError("unsupported image format for resize")
+
+
+def ahash_bytes(payload: bytes, hash_w: int = 8,
+                hash_h: int = 8) -> str:
+    """Perceptual average hash (aHash) of any supported still image:
+    decode, nearest-resize to ``hash_w × hash_h``, integer grayscale
+    (per-pixel channel mean, floor), bit = pixel >= image mean — the
+    mean compare is exact integer arithmetic (``gray · npixels >=
+    total``), so the hash is bit-stable across platforms.  Bits are
+    row-major, MSB first; returns a fixed-width hex string.
+
+    The image-side analog of the text content hash: visually identical
+    images (any size, any supported container) collapse to one hash,
+    and small edits flip few bits (Hamming-near hashes)."""
+    import numpy as np
+
+    w, h, ch, samples = _decode_image_samples(payload)
+    small = resize_samples(samples, w, h, ch, hash_w, hash_h,
+                           "nearest")
+    arr = np.frombuffer(small, np.uint8).reshape(
+        hash_h, hash_w, ch).astype(np.int64)
+    gray = arr.sum(axis=2) // ch
+    total = int(gray.sum())
+    npx = hash_w * hash_h
+    val = 0
+    for bit in (gray * npx >= total).flatten():
+        val = (val << 1) | int(bit)
+    return format(val, f"0{npx // 4}x")
+
+
+def image_ahash(df: DataFrame, binary_col: str,
+                id_col: str = "doc_id", hash_w: int = 8,
+                hash_h: int = 8) -> DataFrame:
+    """(id, ahash) over an image binary column — Arrow-batched narrow
+    map, NULL on undecodable rows (contract of the other decode
+    operators)."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("ahash", StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "ahash": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    out["ahash"].append(
+                        ahash_bytes(bytes(p), hash_w, hash_h))
+                except (ValueError, IndexError):
+                    out["ahash"].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(run, schema)
+
+
+def image_duplicates(df: DataFrame, binary_col: str,
+                     id_col: str = "doc_id",
+                     min_docs: int = 2) -> DataFrame:
+    """Image near-duplicate groups: decode → aHash → one hash
+    group-by (``(ahash, n_docs, canonical_id)``) — the multimodal
+    counterpart of ``exact_duplicates``: same one-shuffle shape, keyed
+    by the 64-bit perceptual hash instead of the text content hash."""
+    hashed = image_ahash(df, binary_col, id_col)
+    return (
+        hashed.filter(F.col("ahash").isNotNull())
+        .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
 
 
 def resize_samples(samples, width: int, height: int, channels: int,

@@ -1655,3 +1655,89 @@ class TestLearnedBpe:
             corpus.sparkSession.createDataFrame(
                 [(99, "")], "doc_id long, text string"), merges)
         assert empty.head().tokens == []
+
+
+class TestImageDedup:
+    def test_ahash_identity_across_containers(self, spark):
+        """The SAME pixels in different containers (BMP vs PNG) hash
+        identically; different content differs; near-identical content
+        is Hamming-near."""
+        import struct
+        import zlib
+
+        from cubes_spark.llm.multimodal import ahash_bytes
+
+        w, h = 16, 12
+
+        def pix(x, y, seed):
+            # multiplicative scramble: structurally different per seed
+            # (a constant offset would hash identically — aHash is
+            # brightness-invariant by design)
+            return ((x * 7 + y * 11 + 1) * (2 * seed + 1)) % 256
+
+        def gray_png(seed):
+            raw = b"".join(
+                b"\x00" + bytes(pix(x, y, seed) for x in range(w))
+                for y in range(h))
+            comp = zlib.compress(raw)
+            def chunk(tag, data):
+                return (struct.pack(">I", len(data)) + tag + data
+                        + struct.pack(">I",
+                                      zlib.crc32(tag + data)))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\x05"[:4] + b"\x89PNG"[4:]
+                    ) if False else (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", comp) + chunk(b"IEND", b""))
+
+        def gray_bmp(seed):
+            # 8-bit paletted BMP with identity grayscale palette
+            palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+            stride = (w + 3) // 4 * 4
+            rows = b""
+            for y in range(h - 1, -1, -1):      # bottom-up
+                row = bytes(pix(x, y, seed) for x in range(w))
+                rows += row + b"\x00" * (stride - w)
+            offset = 54 + len(palette)
+            return (b"BM" + struct.pack("<IHHI", offset + len(rows),
+                                        0, 0, offset)
+                    + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                                  len(rows), 0, 0, 256, 0)
+                    + palette + rows)
+
+        a_png = ahash_bytes(gray_png(5))
+        a_bmp = ahash_bytes(gray_bmp(5))
+        assert a_png == a_bmp                  # container-invariant
+        assert ahash_bytes(gray_bmp(9)) != a_bmp
+        # tiny perturbation: flip one pixel -> Hamming-near hash
+        near = bytearray(gray_bmp(5))
+        near[-1] ^= 0x40
+        d = bin(int(ahash_bytes(bytes(near)), 16)
+                ^ int(a_bmp, 16)).count("1")
+        assert d <= 4
+
+    def test_image_duplicates_groups(self, spark):
+        from cubes_spark.llm import image_duplicates
+
+        # reuse the BMP builder from the RLE tests: identical content
+        # for ids sharing id % 3
+        rows = []
+        for i in range(9):
+            # three distinct spatial structures (aHash is brightness-
+            # AND contrast-invariant, so shifts/scales won't do):
+            # x-gradient, y-gradient, checkerboard
+            kind = i % 3
+            if kind == 0:
+                grid = [[x * 60 for x in range(4)] for _ in range(4)]
+            elif kind == 1:
+                grid = [[y * 60 for _ in range(4)] for y in range(4)]
+            else:
+                grid = [[((x + y) % 2) * 255 for x in range(4)]
+                        for y in range(4)]
+            rle = _rle8_encode(grid, 4)
+            rows.append((i, _encode_bmp_rle8(4, 4, rle)))
+        rows.append((99, b"not an image"))
+        df = spark.createDataFrame(rows, ["doc_id", "payload"])
+        out = {r.canonical_id: r.n_docs for r in
+               image_duplicates(df, "payload").collect()}
+        assert out == {0: 3, 1: 3, 2: 3}

@@ -2404,6 +2404,65 @@ def _image_dedup_oracle() -> str:
         GROUP BY 1"""
 
 
+def q_doc_audio_dedup(spark, sf_dir):
+    """Audio near-duplicate groups via the contour fingerprint:
+    in-plan PCM WAVs whose waveform is keyed by doc_id % 12 (each
+    residue class identical), decoded + fingerprinted + grouped
+    (cubes_spark/llm/multimodal.py:audio_duplicates).  The oracle
+    recomputes each residue's fingerprint independently."""
+    from cubes_spark.llm import audio_duplicates
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    r = (F.col("doc_id") % 12).cast("long")
+    n = (F.lit(40) + r).cast("long")
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le16(col):
+        return F.concat(hex2(col % 256), hex2((col / 256).cast("long")))
+
+    def le32(col):
+        return F.concat(*[hex2((col / (256 ** i)).cast("long") % 256)
+                          for i in range(4)])
+
+    # sawtooth keyed by the residue: v(i) = ((i*(2r+3)) % 200) - 100
+    sample_hex = F.aggregate(
+        F.sequence(F.lit(0), n - 1), F.lit(""),
+        lambda acc, i: F.concat(
+            acc, le16(((i * (r * 2 + 3)) % 200 - 100 + 65536) % 65536)),
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(F.lit(36) + n * 2),
+        F.lit("57415645" "666D7420"), le32(F.lit(16)),
+        F.lit("0100" "0100"), le32(F.lit(8000)), le32(F.lit(16000)),
+        F.lit("0200" "1000"),
+        F.lit("64617461"), le32(n * 2), sample_hex)
+    wavs = docs.withColumn("payload", F.unhex(wav_hex))
+    return audio_duplicates(wavs, "payload")
+
+
+def _audio_dedup_oracle() -> str:
+    """Independent contour fingerprint per residue class (mono s16
+    sawtooth, 65 nearest anchors, rising-edge bits)."""
+    values = []
+    for r in range(12):
+        n = 40 + r
+        mono = [((i * (2 * r + 3)) % 200) - 100 for i in range(n)]
+        pts = [mono[(i * n) // 65] for i in range(65)]
+        val = 0
+        for i in range(64):
+            val = (val << 1) | (1 if pts[i + 1] > pts[i] else 0)
+        values.append(f"({r}, '{format(val, '016x')}')")
+    return f"""
+        SELECT v.fp AS fingerprint, COUNT(*) AS n_docs,
+            CAST(MIN(d.doc_id) AS BIGINT) AS canonical_id
+        FROM documents d
+        JOIN (VALUES {", ".join(values)}) v(r, fp)
+            ON d.doc_id % 12 = v.r
+        GROUP BY 1"""
+
+
 def q_doc_mixture(spark, sf_dir):
     """Data-mixture sampling: per-language keep rates (en 80%, de 50%,
     fr 30%, others 10%) applied as one narrow portable-hash filter,
@@ -3042,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_bpe_vocab": q_doc_bpe_vocab,
         "doc_image_dedup": q_doc_image_dedup,
+        "doc_audio_dedup": q_doc_audio_dedup,
         "docs_stream_quality": q_docs_stream_quality,
         "doc_webdataset_export": q_doc_webdataset_export,
         "doc_mixture": q_doc_mixture,
@@ -4766,6 +4826,7 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_bpe_encode"] = _bpe_oracle()
     sql["doc_bpe_vocab"] = _bpe_vocab_oracle()
     sql["doc_image_dedup"] = _image_dedup_oracle()
+    sql["doc_audio_dedup"] = _audio_dedup_oracle()
 
     return sql
 

@@ -55,6 +55,7 @@ __all__ = ["binary_metadata", "image_dimensions", "audio_metadata",
            "decode_avi", "avi_frame_stats",
            "matroska_tracks", "matroska_metadata",
            "ahash_bytes", "image_ahash", "image_duplicates",
+           "audio_fingerprint_bytes", "audio_duplicates",
            "resize_samples", "resize_image", "image_resize_stats",
            "resample_samples", "resample_audio", "audio_resample_stats",
            "video_frame_pipeline",
@@ -2050,6 +2051,63 @@ def image_duplicates(df: DataFrame, binary_col: str,
     return (
         hashed.filter(F.col("ahash").isNotNull())
         .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def audio_fingerprint_bytes(payload: bytes, n_points: int = 65) -> str:
+    """Perceptual audio fingerprint: decode (any supported WAV
+    format), floor-mean mono mixdown, nearest-resample the waveform to
+    ``n_points`` anchors, then one sign-of-difference bit per adjacent
+    anchor pair (rising = 1) — the classic envelope-contour hash:
+    invariant to container, sample width and uniform gain, Hamming-
+    near under small edits.  Returns ``(n_points-1)/4`` hex chars."""
+    channels, _rate, _bits, samples = decode_wav(payload)
+    frames = len(samples) // channels
+    if frames < 2:
+        raise ValueError("too short to fingerprint")
+    mono = [sum(samples[f * channels:(f + 1) * channels]) // channels
+            for f in range(frames)]
+    pts = [mono[(i * frames) // n_points] for i in range(n_points)]
+    val = 0
+    for i in range(n_points - 1):
+        val = (val << 1) | (1 if pts[i + 1] > pts[i] else 0)
+    return format(val, f"0{(n_points - 1) // 4}x")
+
+
+def audio_duplicates(df: DataFrame, binary_col: str,
+                     id_col: str = "doc_id",
+                     min_docs: int = 2) -> DataFrame:
+    """Audio near-duplicate groups: decode → contour fingerprint →
+    one hash group-by (``(fingerprint, n_docs, canonical_id)``) —
+    completes the per-modality dedup family (text content hash, image
+    aHash, audio contour)."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("fingerprint", StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fingerprint": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    out["fingerprint"].append(
+                        audio_fingerprint_bytes(bytes(p)))
+                except (ValueError, IndexError):
+                    out["fingerprint"].append(None)
+            yield pd.DataFrame(out)
+
+    hashed = slim.mapInPandas(run, schema)
+    return (
+        hashed.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("canonical_id"),

@@ -1741,3 +1741,53 @@ class TestImageDedup:
         out = {r.canonical_id: r.n_docs for r in
                image_duplicates(df, "payload").collect()}
         assert out == {0: 3, 1: 3, 2: 3}
+
+
+class TestAudioDedup:
+    def _wav(self, samples, rate=8000, bits=16, fmt=1):
+        import struct
+
+        if bits == 16:
+            data = b"".join(struct.pack("<h", s) for s in samples)
+        else:
+            data = bytes((s + 128) & 0xFF for s in samples)
+        f = struct.pack("<HHIIHH", fmt, 1, rate, rate * bits // 8,
+                        bits // 8, bits)
+        return (b"RIFF" + struct.pack("<I", 20 + len(f) + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(f)) + f
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def test_fingerprint_invariances(self):
+        import math
+
+        from cubes_spark.llm.multimodal import audio_fingerprint_bytes
+
+        wave = [int(10000 * math.sin(i / 7)) for i in range(200)]
+        a = audio_fingerprint_bytes(self._wav(wave))
+        # gain-invariant (contour only)
+        half = audio_fingerprint_bytes(
+            self._wav([v // 2 for v in wave]))
+        assert a == half
+        # sample-width invariant: same shape at 8-bit
+        a8 = audio_fingerprint_bytes(
+            self._wav([v // 256 for v in wave], bits=8))
+        assert a == a8
+        # different waveform differs
+        other = [int(10000 * math.sin(i / 3)) for i in range(200)]
+        assert audio_fingerprint_bytes(self._wav(other)) != a
+
+    def test_audio_duplicates_groups(self, spark):
+        import math
+
+        from cubes_spark.llm import audio_duplicates
+
+        rows = []
+        for i in range(8):
+            wave = [int(9000 * math.sin(j / (3 + i % 2)))
+                    for j in range(120)]
+            rows.append((i, self._wav(wave)))
+        rows.append((99, b"RIFFgarbage"))
+        df = spark.createDataFrame(rows, ["doc_id", "payload"])
+        out = {r.canonical_id: r.n_docs for r in
+               audio_duplicates(df, "payload").collect()}
+        assert out == {0: 4, 1: 4}

@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the ingestion and curation
+operators: invariants that must hold for ANY input, not just the
+fixtures — the reference's property-testing strategy (SURVEY §5)
+applied to the new operator families."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(max_examples=25, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+class TestTarRoundtripProperty:
+    @given(members=st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd")),
+                min_size=1, max_size=20),
+            st.binary(min_size=0, max_size=600),
+        ),
+        min_size=1, max_size=8, unique_by=lambda t: t[0]))
+    @settings(**_SETTINGS)
+    def test_member_bytes_roundtrip(self, spark, members):
+        from cubes_spark.llm import parse_tar
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in members:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))],
+            "doc_id long, payload binary")
+        rows = sorted(parse_tar(df).collect(),
+                      key=lambda r: r.member_idx)
+        assert [(r.name, bytes(r.payload)) for r in rows] == \
+            [(n, d) for n, d in members]
+        assert all(r.size == len(bytes(r.payload)) for r in rows)
+
+
+class TestInflateProperty:
+    @given(data=st.binary(min_size=0, max_size=4000),
+           level=st.integers(min_value=0, max_value=9))
+    @settings(**_SETTINGS)
+    def test_zlib_roundtrip(self, spark, data, level):
+        from cubes_spark.llm import inflate_column
+
+        df = spark.createDataFrame(
+            [(1, bytearray(zlib.compress(data, level)))],
+            "doc_id long, payload binary")
+        got = inflate_column(df).head().inflated
+        assert bytes(got) == data
+
+
+class TestPackSequencesProperty:
+    @given(counts=st.lists(st.integers(min_value=0, max_value=50),
+                           min_size=1, max_size=60),
+           window=st.integers(min_value=1, max_value=64),
+           nparts=st.integers(min_value=1, max_value=7))
+    @settings(**_SETTINGS)
+    def test_invariants(self, spark, counts, window, nparts):
+        from cubes_spark.llm import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(counts)],
+            "doc_id long, n long")
+        rows = pack_sequences(df, tokens_col="n", window=window,
+                              num_partitions=nparts).collect()
+        # token conservation: every token lands in exactly one bin
+        per_doc: dict = {}
+        per_bin: dict = {}
+        for r in rows:
+            assert 0 < r.tokens_in_bin <= window
+            assert 0 <= r.offset_in_bin < window
+            per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tokens_in_bin
+            per_bin[r.bin_id] = per_bin.get(r.bin_id, 0) + r.tokens_in_bin
+        assert per_doc == {i: n for i, n in enumerate(counts) if n > 0}
+        # every bin except the last is exactly full
+        total = sum(counts)
+        if total:
+            last = max(per_bin)
+            for b, filled in per_bin.items():
+                assert filled == (window if b != last
+                                  else total - window * last)
+
+
+class TestSamplingProperty:
+    @given(permille=st.integers(min_value=0, max_value=1000))
+    @settings(max_examples=10, deadline=None)
+    def test_monotone_in_rate(self, spark, permille):
+        from cubes_spark.llm import deterministic_sample
+
+        df = spark.createDataFrame([(i,) for i in range(300)],
+                                   "doc_id long")
+        a = {r.doc_id for r in
+             deterministic_sample(df, keep_permille=permille).collect()}
+        b = {r.doc_id for r in deterministic_sample(
+            df, keep_permille=min(1000, permille + 100)).collect()}
+        assert a <= b
+        if permille == 0:
+            assert a == set()
+        if permille == 1000:
+            assert len(a) == 300
+
+
+class TestAhashProperty:
+    @given(seed=st.integers(min_value=0, max_value=10 ** 6),
+           w=st.integers(min_value=8, max_value=24),
+           h=st.integers(min_value=8, max_value=24),
+           shift=st.integers(min_value=1, max_value=40))
+    @settings(**_SETTINGS)
+    def test_brightness_invariance(self, seed, w, h, shift):
+        """Adding a constant (no wraparound) never changes the hash."""
+        import struct
+
+        from cubes_spark.llm.multimodal import ahash_bytes
+
+        def bmp(offset):
+            palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+            stride = (w + 3) // 4 * 4
+            rows = b""
+            for y in range(h - 1, -1, -1):
+                row = bytes(((seed + x * 7 + y * 11) % 200) + offset
+                            for x in range(w))
+                rows += row + b"\x00" * (stride - w)
+            off = 54 + len(palette)
+            return (b"BM" + struct.pack("<IHHI", off + len(rows),
+                                        0, 0, off)
+                    + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                                  len(rows), 0, 0, 256, 0)
+                    + palette + rows)
+
+        assert ahash_bytes(bmp(0)) == ahash_bytes(bmp(shift))

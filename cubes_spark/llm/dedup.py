@@ -201,28 +201,37 @@ def span_duplicate_docs(df: DataFrame, text_col: str = "text",
     """Per-document duplicated-span exposure: ``(id, n_dup_spans,
     n_spans, dup_fraction)``.  Documents whose spans are mostly shared
     are boilerplate/copy candidates; ``filter(dup_fraction > x)`` is
-    the removal policy knob.  Two shuffles total: the span group-by of
-    :func:`duplicate_spans` plus one hash equi-join back on the span
-    hash (both keyed by the same well-distributed 64-bit hash)."""
+    the removal policy knob.
+
+    THREE shuffles, zero joins, single evaluation of the span explode:
+    per-(doc, hash) counts → a count window keyed by the hash (rows
+    per hash = distinct docs, since already grouped) → per-doc rollup.
+    The join formulation evaluated the explode three times and paid
+    seven exchanges for the same answer.
+
+    Skew note: a span shared by millions of documents concentrates
+    its (doc, hash) rows in one window partition.  Such mega-spans are
+    mass-duplicate territory — surface them with
+    :func:`duplicate_spans` and drop them up front (the same guard
+    philosophy as the LSH ``max_bucket_size`` cap)."""
+    from pyspark.sql.window import Window
+
     spans = _token_span_hashes(df, text_col, id_col, k)
-    dup = (
-        spans.groupBy("span_hash")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("span_hash")
+    per = spans.groupBy(id_col, "span_hash").agg(
+        F.count(F.lit(1)).alias("c"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+    marked = per.withColumn("n_docs", n_docs)
+    out = marked.groupBy(id_col).agg(
+        F.sum("c").alias("n_spans"),
+        F.sum(F.when(F.col("n_docs") >= min_docs, F.col("c"))
+              .otherwise(F.lit(0))).alias("n_dup_spans"),
     )
-    flagged = spans.join(dup, "span_hash", "left_semi") \
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    totals = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"))
-    out = totals.join(flagged, id_col, "left")
-    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0))
     return out.select(
         F.col(id_col),
-        n_dup.alias("n_dup_spans"),
+        F.col("n_dup_spans"),
         F.col("n_spans"),
-        F.round(n_dup.cast("double") / F.col("n_spans"), 4)
-            .alias("dup_fraction"),
+        F.round(F.col("n_dup_spans").cast("double")
+                / F.col("n_spans"), 4).alias("dup_fraction"),
     )
 
 

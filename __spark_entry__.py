@@ -1974,6 +1974,52 @@ def q_doc_split(spark, sf_dir):
     )
 
 
+def q_doc_warc_pipeline(spark, sf_dir):
+    """The COMPOSED web-ingest pipeline in one plan: WARC shards with
+    HTML response bodies built in-plan → parse_warc (Content-Length
+    walk) → html_to_text (tag strip + entity decode) → token/length
+    stats — crawl bytes to training text end-to-end; the oracle
+    recomputes the stats from the closed-form expected text."""
+    from cubes_spark.llm import html_to_text, parse_warc
+    from cubes_spark.llm.text import token_array
+
+    docs = _table(spark, sf_dir, "documents")
+    esc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><h1>"), F.col("source"),
+        F.lit("</h1><script>var x = 1 < 2;</script><p>"), esc,
+        F.lit("</p></body></html>"))
+    http_head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+              "Content-Length: "),
+        F.octet_length(html).cast("string"), F.lit("\r\n\r\n"))
+    payload = F.concat(http_head, html)
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: http://example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"))
+    shards = docs.select("doc_id", warc.cast("binary").alias("payload"))
+    recs = parse_warc(shards, warc_col="payload", id_col="doc_id")
+    pages = recs.filter(F.col("warc_type") == "response").select(
+        F.col("id").alias("doc_id"),
+        F.col("body").cast("string").alias("html"))
+    text = html_to_text(pages)
+    return text.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        F.size(token_array(F.col("text"))).cast("long")
+            .alias("n_tokens"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
 def q_doc_substring_dup(spark, sf_dir):
     """Exact substring dedup (Lee et al. 2022 shape): 8-token spans
     occurring in >=2 distinct documents, via local explode + one
@@ -3102,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_vocab": q_doc_bpe_vocab,
         "doc_image_dedup": q_doc_image_dedup,
         "doc_audio_dedup": q_doc_audio_dedup,
+        "doc_warc_pipeline": q_doc_warc_pipeline,
         "docs_stream_quality": q_docs_stream_quality,
         "doc_webdataset_export": q_doc_webdataset_export,
         "doc_mixture": q_doc_mixture,
@@ -3638,6 +3685,23 @@ def oracle_sql() -> dict[str, str]:
             'doc_' || CAST(doc_id AS VARCHAR) || '.cls',
             CAST(strlen(lang) AS BIGINT), md5(lang)
         FROM documents"""
+
+    # composed web pipeline: stats of the closed-form expected text
+    sql["doc_warc_pipeline"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                trim(regexp_replace(
+                    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source
+                        || ' ' || text,
+                    '\s+', ' ', 'g')) AS expected
+            FROM documents)
+        SELECT doc_id,
+            CAST(length(expected) AS BIGINT) AS text_len,
+            CAST(len(CASE WHEN trim(expected) = '' THEN []
+                ELSE string_split_regex(trim(expected), '\s+') END)
+                AS BIGINT) AS n_tokens,
+            md5(expected) AS text_md5
+        FROM t"""
 
     # WARC shards parsed for real; closed-form record expectations
     sql["doc_warc_extract"] = """

@@ -1974,6 +1974,22 @@ def q_doc_split(spark, sf_dir):
     )
 
 
+def q_events_sessions_batch(spark, sf_dir):
+    """Batch sessionization via the lag + cumulative-island windows
+    (cubes_spark/streaming/stream.py:batch_sessionize) — the bounded-
+    data complement of the custom stateful streaming operator, with
+    the same session payload but including every user's final
+    session."""
+    from cubes_spark.streaming import batch_sessionize
+
+    ev = _table(spark, sf_dir, "events")
+    out = batch_sessionize(ev, gap_seconds=1800)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        "value_usum", "event_seq",
+    )
+
+
 def q_doc_warc_pipeline(spark, sf_dir):
     """The COMPOSED web-ingest pipeline in one plan: WARC shards with
     HTML response bodies built in-plan → parse_warc (Content-Length
@@ -3149,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_image_dedup": q_doc_image_dedup,
         "doc_audio_dedup": q_doc_audio_dedup,
         "doc_warc_pipeline": q_doc_warc_pipeline,
+        "events_sessions_batch": q_events_sessions_batch,
         "docs_stream_quality": q_docs_stream_quality,
         "doc_webdataset_export": q_doc_webdataset_export,
         "doc_mixture": q_doc_mixture,
@@ -4406,6 +4423,36 @@ def oracle_sql() -> dict[str, str]:
     # sequence is the first 8 event types in (ts, event_id) order, and
     # each user's LAST session is dropped (it is still open in
     # GroupState under the append contract)
+    # batch sessionization: the same islands, EVERY session kept
+    sql["events_sessions_batch"] = """
+        WITH e AS (
+            SELECT event_id, ts, user_id, event_type,
+                CAST(floor(value * 1000000) AS BIGINT) AS uval
+            FROM events
+        ),
+        marked AS (
+            SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+            MIN(ts) AS session_start, MAX(ts) AS session_end,
+            COUNT(*) AS n_events,
+            CAST(SUM(uval) AS BIGINT) AS value_usum,
+            array_to_string(list_slice(
+                list(event_type ORDER BY ts, event_id), 1, 8), '>')
+                AS event_seq
+        FROM sess GROUP BY user_id, sid"""
+
     sql["events_sessions"] = """
         WITH e AS (
             SELECT event_id, ts, user_id, event_type,

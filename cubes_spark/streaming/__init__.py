@@ -14,6 +14,7 @@ here is driver-side.
 """
 
 from cubes_spark.streaming.stream import (
+    batch_sessionize,
     read_parquet_stream,
     replay_to_memory,
     session_aggregate,
@@ -23,6 +24,7 @@ from cubes_spark.streaming.stream import (
 )
 
 __all__ = [
+    "batch_sessionize",
     "read_parquet_stream",
     "windowed_aggregate",
     "session_aggregate",

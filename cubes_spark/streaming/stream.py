@@ -22,6 +22,7 @@ __all__ = [
     "windowed_aggregate",
     "session_aggregate",
     "stateful_sessionize",
+    "batch_sessionize",
     "make_session_fn",
     "stream_exact_dedup",
     "replay_to_memory",
@@ -335,3 +336,54 @@ def stream_exact_dedup(docs: DataFrame,
     else:
         out = hashed.dropDuplicates(["__ch__"])
     return out.drop("__ch__")
+
+
+def batch_sessionize(events: DataFrame, gap_seconds: int = 1800,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     order_col: str = "event_id",
+                     value_col: str = "value",
+                     max_seq: int = 8) -> DataFrame:
+    """Gap-based sessionization over BOUNDED data: the lag +
+    cumulative-island window construction (new session when the gap to
+    the previous event exceeds `gap_seconds`).
+
+    The batch complement of :func:`stateful_sessionize` with the same
+    session payload — but it emits EVERY session, including each
+    user's final one (which the streaming operator's append contract
+    holds open in state).  Shuffle shape: one exchange keyed by the
+    user; the windows and the final group-by reuse that partitioning.
+    Values are summed in exact integer micro-units."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev = F.lag(ts_col).over(w)
+    gap_us = int(gap_seconds) * 1_000_000
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev))
+           > gap_us),
+        1).otherwise(0)
+    sess = (
+        events.withColumn("__new__", new_s)
+        .withColumn("__sid__", F.sum("__new__").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    ordered_types = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(order_col).alias("o"),
+            F.col("event_type").alias("e")))),
+        lambda x: x["e"])
+    return (
+        sess.groupBy(F.col(user_col), F.col("__sid__"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col(value_col) * 1000000)).cast("long")
+                .alias("value_usum"),
+            F.array_join(F.slice(ordered_types, 1, max_seq), ">")
+                .alias("event_seq"),
+        )
+        .drop("__sid__")
+    )

@@ -379,3 +379,42 @@ def test_text_ops_run_on_streams(spark, tmp_path):
     assert row["n_email"] == 1
     assert "[EMAIL]" in row["text_redacted"]
     assert row["quality_score"] > 0
+
+
+def test_batch_sessionize(spark):
+    """Window-function sessionization: islands enumerable by hand;
+    includes each user's final session (unlike the streaming append
+    contract)."""
+    from datetime import datetime, timezone
+
+    from cubes_spark.streaming import batch_sessionize
+
+    def ts(minute):
+        return datetime(2024, 1, 1, 10, minute, tzinfo=timezone.utc)
+
+    rows = [
+        # user 1: two sessions (gap 40 min > 30 min)
+        (1, ts(0), 1, "view", 1.5),
+        (2, ts(10), 1, "click", 2.0),
+        (3, ts(50), 1, "buy", 3.25),
+        # user 2: one session
+        (4, ts(5), 2, "view", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = sorted(batch_sessionize(df, gap_seconds=1800).collect(),
+                 key=lambda r: (r.user_id, r.session_start))
+    assert len(out) == 3
+    s1, s2, s3 = out
+    assert (s1.user_id, s1.n_events, s1.event_seq) == (1, 2, "view>click")
+    assert s1.value_usum == 3_500_000
+    assert (s2.user_id, s2.n_events, s2.event_seq) == (1, 1, "buy")
+    assert s2.session_start == s2.session_end
+    assert (s3.user_id, s3.n_events) == (2, 1)
+    # boundary: exactly the gap does NOT split (strict >)
+    df2 = spark.createDataFrame(
+        [(1, ts(0), 9, "a", 1.0), (2, ts(30), 9, "b", 1.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    assert batch_sessionize(df2, gap_seconds=1800).count() == 1

@@ -1974,6 +1974,27 @@ def q_doc_split(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (view -> click -> purchase): per-step
+    reacher counts with strict first-touch ordering (each step after
+    the user's first occurrence of the previous one) —
+    cubes_spark/operators/olap.py:funnel_counts."""
+    from cubes_spark.operators.olap import funnel_counts
+
+    ev = _table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_events_cohorts(spark, sf_dir):
+    """Weekly cohort retention triangle: users bucketed by first-
+    activity week, counted distinct per returning week offset —
+    cubes_spark/operators/olap.py:cohort_retention."""
+    from cubes_spark.operators.olap import cohort_retention
+
+    ev = _table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
 def q_events_sessions_batch(spark, sf_dir):
     """Batch sessionization via the lag + cumulative-island windows
     (cubes_spark/streaming/stream.py:batch_sessionize) — the bounded-
@@ -3166,6 +3187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_audio_dedup": q_doc_audio_dedup,
         "doc_warc_pipeline": q_doc_warc_pipeline,
         "events_sessions_batch": q_events_sessions_batch,
+        "events_funnel": q_events_funnel,
+        "events_cohorts": q_events_cohorts,
         "docs_stream_quality": q_docs_stream_quality,
         "doc_webdataset_export": q_doc_webdataset_export,
         "doc_mixture": q_doc_mixture,
@@ -4423,6 +4446,40 @@ def oracle_sql() -> dict[str, str]:
     # sequence is the first 8 event types in (ts, event_id) order, and
     # each user's LAST session is dropped (it is still open in
     # GroupState under the append contract)
+    # ordered funnel: min-after-min CTE chain, strict > at each hop
+    sql["events_funnel"] = """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+            (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)"""
+
+    # weekly cohort retention triangle (epoch-week integer buckets)
+    sql["events_cohorts"] = """
+        WITH tagged AS (
+            SELECT user_id,
+                CAST(floor(epoch(ts) / 604800) AS BIGINT) AS p
+            FROM events),
+        first AS (
+            SELECT user_id, MIN(p) AS c FROM tagged GROUP BY 1)
+        SELECT CAST(c AS BIGINT) AS cohort,
+            CAST(p - c AS BIGINT) AS period_offset,
+            COUNT(DISTINCT t.user_id) AS n_users
+        FROM tagged t JOIN first USING (user_id)
+        GROUP BY 1, 2"""
+
     # batch sessionization: the same islands, EVERY session kept
     sql["events_sessions_batch"] = """
         WITH e AS (

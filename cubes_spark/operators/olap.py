@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "funnel_counts",
+    "cohort_retention",
     "rollup_aggregate",
     "cube_aggregate",
     "grouping_sets_aggregate",
@@ -255,3 +257,78 @@ def combined_levels(dimensions: Sequence, default_only: bool = False) -> list:
         ]
         groups.append(prefixes)
     return [tuple(combo) for combo in product(*groups)]
+
+
+# -- event analytics (funnels, cohorts) -------------------------------------
+
+
+def funnel_counts(events: DataFrame, steps: Sequence[str],
+                  user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Ordered-funnel conversion counts: how many users performed the
+    steps IN ORDER (each step strictly after their first occurrence of
+    the previous one; the first-touch funnel convention).
+
+    Construction: per user, min timestamp of step 1; then per
+    subsequent step a semi-filtered min over events strictly after the
+    user's previous-step time — one aggregate + one hash equi-join per
+    step, all keyed by the user (skew-free for real user id spaces),
+    with the reacher set shrinking monotonically.  Returns ``(step,
+    step_name, n_users)`` with step 1-based.
+    """
+    if not steps:
+        raise ValueError("funnel_counts requires at least one step")
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t__"))
+    )
+    tiers = [reached]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(tiers[-1], user_col)
+            .filter(F.col(ts_col) > F.col("__t__"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t__"))
+        )
+        tiers.append(nxt)
+    counts = None
+    for i, (step, tier) in enumerate(zip(steps, tiers)):
+        row = tier.agg(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(step).alias("step_name"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period: str = "week") -> DataFrame:
+    """Cohort retention table: users bucketed by their FIRST-activity
+    period (the cohort), counted distinct in every subsequent period
+    they return.  Returns ``(cohort, period_offset, n_users)`` where
+    both are integer period indexes (epoch-based, timezone-pinned).
+
+    Two shuffles: the per-user first-activity aggregate and the final
+    distinct count keyed by (cohort, offset) — the standard retention
+    triangle at any scale.
+    """
+    divisors = {"day": 86400, "week": 604800}
+    if period not in divisors:
+        raise ValueError(f"unsupported period {period!r}")
+    div = divisors[period]
+    pcol = F.floor(F.unix_timestamp(F.col(ts_col)) / div).cast("long")
+    tagged = events.select(F.col(user_col), pcol.alias("__p__"))
+    first = tagged.groupBy(user_col).agg(F.min("__p__").alias("__c__"))
+    joined = tagged.join(first, user_col)
+    return (
+        joined.groupBy(
+            F.col("__c__").alias("cohort"),
+            (F.col("__p__") - F.col("__c__")).alias("period_offset"))
+        .agg(F.count_distinct(F.col(user_col)).cast("long")
+             .alias("n_users"))
+    )

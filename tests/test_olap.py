@@ -3,6 +3,8 @@ materialization (SURVEY §2.4 designed-in upgrade)."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cubes_spark.operators import olap
@@ -147,3 +149,59 @@ def test_refresh_aggregate_rejects_nondistributive(tpch_browser,
             tpch_browser, path, drilldown=["date@ym:month"],
             aggregates=["part_count_distinct"], delta_cell="date:1996",
         )
+
+
+class TestEventAnalytics:
+    @pytest.fixture(scope="class")
+    def funnel_events(self, spark):
+        from datetime import datetime, timezone
+
+        def ts(m):
+            return datetime(2024, 3, 1, 9, m, tzinfo=timezone.utc)
+
+        rows = [
+            # u1 completes view->click->buy in order
+            (1, ts(0), 1, "view"), (2, ts(5), 1, "click"),
+            (3, ts(9), 1, "buy"),
+            # u2: click BEFORE view -> click does not count; no buy
+            (4, ts(1), 2, "click"), (5, ts(2), 2, "view"),
+            (6, ts(3), 2, "click"),
+            # u3: view only
+            (7, ts(0), 3, "view"),
+            # u4: buy without view -> not even step 1
+            (8, ts(0), 4, "buy"),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string")
+
+    def test_funnel_counts(self, funnel_events):
+        from cubes_spark.operators.olap import funnel_counts
+
+        out = {r.step: (r.step_name, r.n_users) for r in funnel_counts(
+            funnel_events, ["view", "click", "buy"]).collect()}
+        assert out == {1: ("view", 3),    # u1, u2, u3
+                       2: ("click", 2),   # u1, u2 (after view)
+                       3: ("buy", 1)}     # u1
+
+    def test_cohort_retention(self, spark):
+        from datetime import datetime, timezone
+
+        from cubes_spark.operators.olap import cohort_retention
+
+        def d(day):
+            return datetime(2024, 1, 1 + day, tzinfo=timezone.utc)
+
+        rows = [
+            (1, d(0)), (1, d(1)),          # u1: day 0 + day 1
+            (2, d(0)), (2, d(2)),          # u2: day 0 + day 2
+            (3, d(1)),                     # u3: cohort day 1, once
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {(r.cohort, r.period_offset): r.n_users
+               for r in cohort_retention(df, period="day").collect()}
+        c0 = min(c for c, _ in out)
+        assert out[(c0, 0)] == 2           # u1, u2 on their day 0
+        assert out[(c0, 1)] == 1           # u1 returns next day
+        assert out[(c0, 2)] == 1           # u2 returns on day 2
+        assert out[(c0 + 1, 0)] == 1       # u3's own cohort

@@ -1974,6 +1974,69 @@ def q_doc_split(spark, sf_dir):
     )
 
 
+def q_doc_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank over an in-plan link graph (each
+    doc links to (id*2+1)%N and (id*3+2)%N), 3 iterations — bit-
+    identical at any parallelism because all arithmetic is integer
+    (cubes_spark/llm/web.py:link_pagerank); the oracle unrolls the
+    same recurrence in SQL."""
+    from cubes_spark.llm import link_pagerank
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 2 + 1) % n).alias("dst"),
+    ).unionByName(docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 2) % n).alias("dst"),
+    ))
+    return link_pagerank(edges, iterations=3).select(
+        F.col("node").cast("long").alias("node"),
+        "rank_units",
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration integer PageRank recurrence (doc ids are
+    contiguous 0..N-1, so the node set is exactly `documents`)."""
+    scale = 10 ** 12
+
+    def step(prev: str, cur: str) -> str:
+        return f"""
+        {cur} AS (
+            SELECT n.node,
+                (SELECT ({scale} * 150 // 1000) // c.n FROM cnt c)
+                + COALESCE(SUM({prev}.r * 850 // (1000 * dg.dg)), 0)
+                    AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN {prev} ON {prev}.node = e.src
+            LEFT JOIN deg dg ON dg.node = e.src
+            GROUP BY n.node)"""
+
+    return f"""
+        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        edges AS (
+            SELECT d.doc_id AS src, (d.doc_id * 2 + 1) % c.n AS dst
+            FROM documents d, cnt c
+            UNION ALL
+            SELECT d.doc_id, (d.doc_id * 3 + 2) % c.n
+            FROM documents d, cnt c),
+        deg AS (SELECT src AS node, COUNT(*) AS dg
+                FROM edges GROUP BY 1),
+        r0 AS (
+            SELECT node, (SELECT {scale} // c.n FROM cnt c) AS r
+            FROM nodes),
+        {step('r0', 'r1')},
+        {step('r1', 'r2')},
+        {step('r2', 'r3')}
+        SELECT CAST(node AS BIGINT) AS node,
+            CAST(r AS BIGINT) AS rank_units
+        FROM r3"""
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered-funnel conversion (view -> click -> purchase): per-step
     reacher counts with strict first-touch ordering (each step after
@@ -3189,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_batch": q_events_sessions_batch,
         "events_funnel": q_events_funnel,
         "events_cohorts": q_events_cohorts,
+        "doc_pagerank": q_doc_pagerank,
         "docs_stream_quality": q_docs_stream_quality,
         "doc_webdataset_export": q_doc_webdataset_export,
         "doc_mixture": q_doc_mixture,
@@ -4446,6 +4510,8 @@ def oracle_sql() -> dict[str, str]:
     # sequence is the first 8 event types in (ts, event_id) order, and
     # each user's LAST session is dropped (it is still open in
     # GroupState under the append contract)
+    sql["doc_pagerank"] = _pagerank_oracle()
+
     # ordered funnel: min-after-min CTE chain, strict > at each hop
     sql["events_funnel"] = """
         WITH s1 AS (

@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 __all__ = ["html_to_text", "extract_links", "parse_warc",
            "parse_tar", "webdataset_samples",
            "inflate_column", "parse_jsonl", "pack_webdataset",
+           "link_pagerank",
            "WARC_RECORD_SCHEMA", "TAR_MEMBER_SCHEMA"]
 
 
@@ -415,3 +416,68 @@ def pack_webdataset(df: DataFrame, shard_col: str,
         })
 
     return src.groupBy("__shard__").applyInPandas(build, schema)
+
+
+# -- link-graph ranking -----------------------------------------------------
+
+
+def link_pagerank(edges: DataFrame, iterations: int = 3,
+                  damping_permille: int = 850,
+                  scale: int = 10 ** 12,
+                  src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """Fixed-point integer PageRank over an edge list — the link-
+    quality signal of web curation (crawl prioritization / quality
+    weighting a la Common Crawl's rank exports).
+
+    All arithmetic is INTEGER (ranks in ``1/scale`` units, damping in
+    permille, remainders truncated): a floating-point PageRank's sums
+    depend on partition merge order, so no two runs are bit-identical
+    — this one is, at any parallelism, and an ANSI-SQL oracle can
+    replay it exactly.  Fixed `iterations` (no convergence test: a
+    data-dependent stopping rule is another nondeterminism source).
+    Simple variant: dangling mass is not redistributed.
+
+    Per iteration: one join of ranks to edges (rank key) and one
+    map-side-combinable sum keyed by destination.  The plan is
+    truncated per round with ``localCheckpoint`` — the standard guard
+    against lineage blowup in iterative DataFrame algorithms.
+    Returns ``(node, rank_units)``.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (edges.select(src.alias("node"))
+             .union(edges.select(dst.alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    n = nodes.count()
+    deg = edges.groupBy(src.alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg__"))
+    base = (scale * (1000 - damping_permille) // 1000) // n
+    ranks = nodes.withColumn(
+        "rank_units", F.lit(scale // n).cast("long"))
+    ed = edges.select(src.alias("__src__"), dst.alias("__dst__"))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks.withColumnRenamed("node", "__src__"),
+                    "__src__")
+            .join(deg.withColumnRenamed("node", "__src__"), "__src__")
+            .select(
+                F.col("__dst__").alias("node"),
+                F.floor(F.col("rank_units")
+                        * F.lit(damping_permille)
+                        / (F.lit(1000) * F.col("__deg__")))
+                .cast("long").alias("__c__"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum("__c__").alias("__in__"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.coalesce(F.col("__in__"), F.lit(0)))
+                .cast("long").alias("rank_units"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

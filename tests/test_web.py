@@ -356,3 +356,35 @@ class TestPackWebdataset:
                  sorted(members.collect(), key=lambda r: r.member_idx)]
         assert names == ["3.cls", "3.txt", "4.cls", "4.txt",
                          "5.cls", "5.txt"]
+
+
+class TestPagerank:
+    def test_matches_reference_and_deterministic(self, spark):
+        from cubes_spark.llm import link_pagerank
+
+        # small graph: 0->1, 0->2, 1->2, 2->0, 3->2 (3 dangling-free)
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.rank_units for r in
+               link_pagerank(df, iterations=3).collect()}
+
+        # independent integer reference
+        SCALE, D = 10 ** 12, 850
+        nodes = {0, 1, 2, 3}
+        out = {0: [1, 2], 1: [2], 2: [0], 3: [2]}
+        n = len(nodes)
+        base = (SCALE * (1000 - D) // 1000) // n
+        r = {v: SCALE // n for v in nodes}
+        for _ in range(3):
+            nxt = {v: base for v in nodes}
+            for s, dsts in out.items():
+                for d2 in dsts:
+                    nxt[d2] += r[s] * D // (1000 * len(dsts))
+            r = nxt
+        assert got == r
+        # the sink-heavy node ranks highest
+        assert max(got, key=got.get) == 2
+        # partition-invariant
+        again = {row.node: row.rank_units for row in
+                 link_pagerank(df.repartition(5), iterations=3).collect()}
+        assert got == again

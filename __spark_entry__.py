@@ -1974,6 +1974,28 @@ def q_doc_split(spark, sf_dir):
     )
 
 
+def q_doc_normalize(spark, sf_dir):
+    """Unicode normalization (NFC): a decomposed suffix ('e' + U+0301
+    combining acute) appended in-plan must compose to the precomposed
+    form — the canonical-form ingest step without which dedup/hashing
+    treats visually identical text as different
+    (cubes_spark/llm/text.py:normalize_unicode).  DuckDB's
+    nfc_normalize is the oracle."""
+    from cubes_spark.llm import normalize_unicode
+
+    docs = _table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" caf"),
+                 F.lit("e\u0301")).alias("text"))   # decomposed
+    out = normalize_unicode(src)
+    return out.select(
+        "doc_id",
+        F.length("normalized").cast("long").alias("n_chars_norm"),
+        F.md5(F.col("normalized")).alias("norm_md5"),
+    )
+
+
 def q_doc_pagerank(spark, sf_dir):
     """Integer fixed-point PageRank over an in-plan link graph (each
     doc links to (id*2+1)%N and (id*3+2)%N), 3 iterations — bit-
@@ -3249,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_cohorts": q_events_cohorts,
         "doc_pagerank": q_doc_pagerank,
+        "doc_normalize": q_doc_normalize,
         "docs_stream_quality": q_docs_stream_quality,
         "doc_webdataset_export": q_doc_webdataset_export,
         "doc_mixture": q_doc_mixture,
@@ -4507,6 +4530,15 @@ def oracle_sql() -> dict[str, str]:
     # each user's LAST session is dropped (it is still open in
     # GroupState under the append contract)
     sql["doc_pagerank"] = _pagerank_oracle()
+
+    # unicode canonicalization: DuckDB nfc_normalize replays NFC
+    sql["doc_normalize"] = """
+        SELECT doc_id,
+            CAST(length(nfc_normalize(text || ' caf' || 'e'
+                 || chr(769))) AS BIGINT) AS n_chars_norm,
+            md5(nfc_normalize(text || ' caf' || 'e' || chr(769)))
+                AS norm_md5
+        FROM documents"""
 
     # ordered funnel: min-after-min CTE chain, strict > at each hop
     sql["events_funnel"] = """

@@ -32,6 +32,7 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "mixture_sample",
+    "normalize_unicode",
     "pack_sequences",
     "PII_PATTERNS",
     "STOPWORDS",
@@ -581,3 +582,31 @@ def mixture_sample(df: DataFrame, strata_col: str,
         rate = F.when(F.col(strata_col) == value, F.lit(permille)) \
             .otherwise(rate)
     return df.filter(h < rate)
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      out_col: str = "normalized",
+                      form: str = "NFC") -> DataFrame:
+    """Unicode normalization of a text column (NFC/NFKC/NFD/NFKD) —
+    the canonical-form step of real-world ingest: the same visible
+    string arrives precomposed from one source and decomposed from
+    another, and every hash/dedup/tokenize operator downstream would
+    treat them as different documents.
+
+    The JVM exposes no normalizer to SQL, so this is an Arrow-
+    vectorized scalar stage (one of the documented Python escape
+    hatches); everything around it stays codegen'd."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf(StringType())
+    def _norm(s):
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize(form, v))
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

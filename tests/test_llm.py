@@ -1791,3 +1791,21 @@ class TestAudioDedup:
         out = {r.canonical_id: r.n_docs for r in
                audio_duplicates(df, "payload").collect()}
         assert out == {0: 4, 1: 4}
+
+
+def test_normalize_unicode(spark):
+    from cubes_spark.llm import normalize_unicode
+
+    rows = [(1, "café"),      # decomposed é
+            (2, "café"),            # precomposed é
+            (3, "ﬁle"),             # NFKC: fi ligature -> fi
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r.doc_id: r.normalized
+           for r in normalize_unicode(df).collect()}
+    assert nfc[1] == nfc[2] == "café"
+    assert nfc[3] == "ﬁle"          # NFC keeps the ligature
+    assert nfc[4] is None
+    nfkc = {r.doc_id: r.normalized
+            for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[3] == "file"             # NFKC folds it

@@ -47,7 +47,21 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list:
     s, o = normalize(spark_df), normalize(oracle_df)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
-        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+        # the driver hashes serialized values, so int64 3549 vs float64
+        # 3549.0 is a driver-red even when numerically identical (DuckDB
+        # HUGEINT sums land in pandas as float64) — mirror that here
+        s_int = np.issubdtype(sv.dtype, np.integer)
+        o_int = np.issubdtype(ov.dtype, np.integer)
+        s_flt = np.issubdtype(sv.dtype, np.floating)
+        o_flt = np.issubdtype(ov.dtype, np.floating)
+        if (s_int and o_flt) or (s_flt and o_int):
+            problems.append(
+                f"col {c}: dtype mismatch spark={sv.dtype} vs "
+                f"oracle={ov.dtype} (driver value-hash would differ; "
+                f"CAST the oracle aggregate)"
+            )
+            continue
+        if s_flt or o_flt:
             sv = sv.astype(float)
             ov = ov.astype(float)
             both_nan = np.isnan(sv) & np.isnan(ov)

@@ -13,22 +13,218 @@ Configuration is a JSON file::
       "server": {"json_record_limit": 1000}  # optional
     }
 
+or a reference-format ``slicer.ini`` (ConfigParser; parity:
+/root/reference/cubes/config_parser.py:9-31 and
+workspace.py:55-290)::
+
+    [workspace]
+    models_directory: models
+    timezone: UTC
+
+    [store]
+    type: spark
+    path: /path/to/parquet-dir
+
+    [model]
+    path: model.json
+
+    [server]
+    json_record_limit: 1000
+    authentication: pass_parameter
+
 Usage: ``python -m cubes_spark.slicer <command> ...``.
 """
 
 from __future__ import annotations
 
 import argparse
+import configparser
 import json
+import os
 import sys
 from typing import Any, Optional
 
-__all__ = ["main", "build_workspace"]
+from cubes_spark.errors import ConfigurationError
+
+__all__ = ["main", "build_workspace", "read_slicer_config"]
+
+#: sections copied verbatim into the config dict (values interpreted)
+_PASSTHROUGH_SECTIONS = {
+    "authorization": "authorization",
+    "authentication": "authentication",
+    "browser": "browser",
+    "main": "options",
+}
+
+
+def _interpret(value: str) -> Any:
+    """ini string -> bool/int/float where unambiguous (parity:
+    reference workspace.py:40-48 interpret_config_value, extended with
+    numbers so json_record_limit/port/first_weekday need no special
+    cases)."""
+    low = value.lower()
+    if low in ("yes", "true", "on"):
+        return True
+    if low in ("no", "false", "off"):
+        return False
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    return value
+
+
+def _section_dict(parser: configparser.ConfigParser, section: str) -> dict:
+    return {k: _interpret(v) for k, v in parser.items(section)}
+
+
+def _config_from_ini(parser: configparser.ConfigParser,
+                     base_dir: str = "") -> dict:
+    """Reference ``slicer.ini`` -> internal config dict (parity:
+    reference workspace.py:55-290 section-by-section).
+
+    Sections: ``[workspace]`` (root/models directories, timezone,
+    first_weekday, authorization type), ``[store]`` (default store —
+    ``type`` must be a parquet-directory type: ``spark``/``parquet``),
+    ``[store_NAME]`` (named stores, recorded), ``[model]`` /
+    ``[models]`` (model paths, relative to models_directory),
+    ``[server]``, ``[authorization]``, ``[authentication]``,
+    ``[browser]``, ``[main]``, ``[locale XX]`` (per-namespace
+    translation paths)."""
+    config: dict = {}
+    ws = _section_dict(parser, "workspace") \
+        if parser.has_section("workspace") else {}
+
+    root_dir = ws.get("root_directory") or base_dir
+    models_dir = ws.get("models_directory") or ws.get("models_path") or ""
+    if root_dir and models_dir and not os.path.isabs(str(models_dir)):
+        models_dir = os.path.join(root_dir, str(models_dir))
+    models_dir = models_dir or root_dir
+
+    def _resolve(path: Any, base: str) -> Any:
+        if isinstance(path, str) and base and not os.path.isabs(path):
+            return os.path.join(base, path)
+        return path
+
+    if ws:
+        config["workspace"] = ws
+
+    # -- stores: [store] is the default; [store_NAME] are named extras
+    #    (reference workspace.py:205-223).  Only parquet-directory
+    #    stores are runnable here; anything else fails like an
+    #    unregistered store type does in the reference (ext factory).
+    def _store_entry(section: str) -> dict:
+        info = _section_dict(parser, section)
+        stype = str(info.get("type", "spark")).lower()
+        if stype not in ("spark", "parquet"):
+            raise ConfigurationError(
+                f"unknown store type {stype!r} in [{section}]: "
+                "cubes_spark stores are parquet directories "
+                "(type: spark or parquet with a path/url)")
+        path = info.get("path") or info.get("url")
+        if not path:
+            raise ConfigurationError(
+                f"store section [{section}] has no path/url")
+        info["path"] = _resolve(path, root_dir)
+        return info
+
+    if parser.has_section("store"):
+        config["store"] = _store_entry("store")["path"]
+    extra_stores = {}
+    for section in parser.sections():
+        if section.startswith("store_"):
+            extra_stores[section[6:]] = _store_entry(section)
+    if extra_stores:
+        # recorded for introspection; the engine browses the default
+        # store (single-SparkSession design — every parquet directory
+        # is reachable through one session, unlike per-DB connections)
+        config["stores"] = extra_stores
+
+    # -- models: [model] path (undepreciated) + [models] items
+    #    (reference workspace.py:273-288)
+    models = []
+    if parser.has_section("model"):
+        if not parser.has_option("model", "path"):
+            raise ConfigurationError("No model path specified in [model]")
+        models.append(_resolve(parser.get("model", "path"), models_dir))
+    if parser.has_section("models"):
+        models += [_resolve(path, models_dir)
+                   for _, path in parser.items("models")]
+    if models:
+        config["model"] = models[0]
+        if models[1:]:
+            config["models"] = models[1:]
+
+    if parser.has_section("server"):
+        server = _section_dict(parser, "server")
+        authn = server.pop("authentication", None)
+        if authn and "authentication" not in config:
+            config["authentication"] = {"method": authn}
+        config["server"] = server
+
+    for section, key in _PASSTHROUGH_SECTIONS.items():
+        if parser.has_section(section):
+            merged = {**config.get(key, {}), **_section_dict(parser, section)}
+            config[key] = merged
+
+    if ws.get("authorization"):
+        # [workspace] authorization = simple + [authorization] options
+        config.setdefault("authorization", {})
+
+    # -- [locale XX]: namespace -> translation path
+    #    (reference workspace.py:240-250)
+    translations: dict = {}
+    for section in parser.sections():
+        if section.startswith("locale"):
+            locale = section.split(None, 1)[1] if " " in section \
+                else section[len("locale_"):] if section.startswith("locale_") \
+                else section[len("locale"):]
+            if not locale:
+                raise ConfigurationError(
+                    f"locale section [{section}] names no locale")
+            translations[locale] = {
+                ns: _resolve(path, root_dir)
+                for ns, path in parser.items(section)
+            }
+    if translations:
+        config["translations"] = translations
+    return config
+
+
+def read_slicer_config(config: Any) -> dict:
+    """Config dict, JSON path, or reference-format ``slicer.ini`` path
+    -> config dict (parity: reference config_parser.py:9-31
+    read_slicer_config, which returns a ConfigParser; here both
+    formats normalize to the JSON-shape dict)."""
+    if config is None:
+        return {}
+    if isinstance(config, dict):
+        return config
+    if not isinstance(config, str):
+        raise ConfigurationError(
+            f"config should be a path or dict, got {type(config)!r}")
+    if config.endswith((".ini", ".cfg", ".conf")):
+        parser = configparser.ConfigParser()
+        try:
+            with open(config, encoding="utf-8") as f:
+                parser.read_file(f)
+        except OSError as exc:
+            raise ConfigurationError(
+                f"Unable to load configuration: {exc}")
+        except configparser.Error as exc:
+            raise ConfigurationError(
+                f"Unable to parse configuration {config}: {exc}")
+        return _config_from_ini(parser, os.path.dirname(config))
+    with open(config, encoding="utf-8") as f:
+        return json.load(f)
 
 
 def _load_config(path: str) -> dict:
-    with open(path, encoding="utf-8") as f:
-        return json.load(f)
+    return read_slicer_config(path)
 
 
 def build_workspace(config: dict, spark: Any = None):
@@ -55,6 +251,12 @@ def build_workspace(config: dict, spark: Any = None):
                                    namespace=entry.get("namespace"))
         else:
             workspace.import_model(entry)
+    # [locale XX] sections from a slicer.ini: {locale: {ns: path}}
+    # (reference workspace.py:240-250)
+    for locale, per_ns in (config.get("translations") or {}).items():
+        for ns, path in per_ns.items():
+            workspace.add_translation(
+                locale, path, None if ns in ("default", "defalt") else ns)
     return workspace
 
 

@@ -213,3 +213,106 @@ def test_textstats_command(config_path, tmp_path, spark):
                 "text_redacted"}
     assert expected <= set(out.columns)
     assert out.count() > 0
+
+
+# -- reference-format slicer.ini configuration (parity:
+#    /root/reference/cubes/config_parser.py read_slicer_config and
+#    workspace.py:55-290; fixture shape:
+#    /root/reference/tests/data/slicer.ini)
+
+
+@pytest.fixture(scope="module")
+def ini_config_path(tmp_path_factory):
+    root = tmp_path_factory.mktemp("slicer_ini")
+    models = root / "models"
+    models.mkdir()
+    (models / "model.json").write_text(json.dumps(TPCH_MODEL))
+    ini = root / "slicer.ini"
+    ini.write_text(f"""
+[workspace]
+models_directory: models
+timezone: UTC
+first_weekday: monday
+
+[store]
+type: spark
+path: {SF_DIR}
+
+[model]
+path: model.json
+
+[server]
+json_record_limit: 100
+prettyprint: yes
+authentication: pass_parameter
+""")
+    return str(ini)
+
+
+def test_ini_config_list(ini_config_path, spark):
+    code, text = run(ini_config_path, "list")
+    assert code == 0
+    assert "sales" in text
+
+
+def test_ini_config_matches_json_config(ini_config_path, config_path,
+                                        spark):
+    from cubes_spark.slicer import build_workspace, read_slicer_config
+
+    ws_ini = build_workspace(read_slicer_config(ini_config_path), spark)
+    ws_json = build_workspace(read_slicer_config(config_path), spark)
+    a = ws_ini.browser("sales").aggregate(
+        drilldown=["returnflag"], aggregates=["price_sum"])
+    b = ws_json.browser("sales").aggregate(
+        drilldown=["returnflag"], aggregates=["price_sum"])
+    assert [dict(c) for c in a.cells] == [dict(c) for c in b.cells]
+
+
+def test_ini_value_interpretation(ini_config_path):
+    from cubes_spark.slicer import read_slicer_config
+
+    config = read_slicer_config(ini_config_path)
+    assert config["server"]["json_record_limit"] == 100
+    assert config["server"]["prettyprint"] is True
+    assert config["authentication"] == {"method": "pass_parameter"}
+    assert config["workspace"]["timezone"] == "UTC"
+    # model path resolved relative to models_directory
+    assert config["model"].endswith("models/model.json")
+    assert os.path.exists(config["model"])
+
+
+def test_ini_unknown_store_type(tmp_path):
+    # the reference fixture's `type: sql` store cannot run on a
+    # parquet engine: fail with a clear configuration error rather
+    # than an obscure read failure later
+    from cubes_spark.errors import ConfigurationError
+    from cubes_spark.slicer import read_slicer_config
+
+    ini = tmp_path / "bad.ini"
+    ini.write_text("[store]\ntype: sql\nurl: sqlite:///\n")
+    with pytest.raises(ConfigurationError, match="store type"):
+        read_slicer_config(str(ini))
+
+
+def test_ini_named_stores_and_locales(tmp_path):
+    from cubes_spark.slicer import read_slicer_config
+
+    trans = tmp_path / "sk.json"
+    trans.write_text(json.dumps({"dimensions": {}}))
+    ini = tmp_path / "multi.ini"
+    ini.write_text(f"""
+[store]
+type: spark
+path: {SF_DIR}
+
+[store_archive]
+type: parquet
+path: {SF_DIR}
+
+[locale sk]
+default: {trans}
+""")
+    config = read_slicer_config(str(ini))
+    assert config["store"] == SF_DIR
+    assert config["stores"]["archive"]["path"] == SF_DIR
+    assert config["translations"]["sk"]["default"] == str(trans)

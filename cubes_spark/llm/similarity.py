@@ -383,10 +383,19 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
                    sample_size: int = 4096, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
-    arXiv:2303.09540): cluster the embedding space, then drop vectors
-    that have a lower-id neighbour with cosine >= `threshold` *within
-    the same cluster* (greedy keep-lowest-id, deterministic).  Returns
+    arXiv:2303.09540): cluster the embedding space, then drop every
+    vector that has ANY lower-id neighbour with cosine >= `threshold`
+    *within the same cluster* (deterministic).  Returns
     ``(id, cluster, is_kept)`` for every vector.
+
+    NOTE this is a one-pass approximation of the paper's sequential
+    greedy keep-set, chosen because it needs no iteration: on a
+    transitive chain A~B, B~C, A!~C the sequential rule keeps A and C
+    while this rule keeps only A (B and C both have a lower-id near
+    neighbour, kept or not).  It therefore over-removes on chains —
+    conservative for dedup (never under-removes), and order-free, so
+    one shuffle instead of a per-cluster iteration.  The correctness
+    oracle encodes this same rule.
 
     Scale shape: pairwise comparison happens only inside k-means cells
     — an equi-join on cluster id, sum-of-squared-cell-sizes

@@ -279,6 +279,13 @@ def webdataset_samples(df: DataFrame, tar_col: str = "payload",
     bytes}``).  Returns ``(id, key, parts)``.  The group-by is keyed by
     (shard, sample) — records of one sample sit adjacently in the
     shard, so AQE-coalesced partition-local aggregation applies.
+
+    A malformed shard can repeat an extension within one sample (or
+    hold dotless members, which all map to ext ``''``): the first
+    member by tar order wins, matching the quarantine-don't-fail
+    ingest stance of :func:`inflate_column` — Spark's default
+    ``mapKeyDedupPolicy=EXCEPTION`` would otherwise kill the whole
+    job on one bad shard.
     """
     members = parse_tar(df, tar_col, id_col)
     key = F.regexp_extract(F.col("name"), r"^([^.]*)", 1)
@@ -286,11 +293,23 @@ def webdataset_samples(df: DataFrame, tar_col: str = "payload",
     return (
         members.select(
             F.col("id"), key.alias("key"), ext.alias("ext"),
-            F.col("payload"))
+            F.col("member_idx"), F.col("payload"))
         .groupBy("id", "key")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct(F.col("ext"), F.col("payload"))))
-            .alias("parts"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("ext"), F.col("member_idx"), F.col("payload"))))
+            .alias("__m__"))
+        .select(
+            "id", "key",
+            # keep the first member per ext: sorted by (ext,
+            # member_idx), so a repeated ext is exactly a run — drop
+            # every element whose predecessor shares its ext
+            F.expr(
+                "map_from_entries(transform("
+                "  filter(__m__, (x, i) ->"
+                "    i = 0 OR __m__[i - 1].ext != x.ext),"
+                "  x -> struct(x.ext AS ext, x.payload AS payload)))"
+            ).alias("parts"),
+        )
     )
 
 
@@ -444,11 +463,19 @@ def link_pagerank(edges: DataFrame, iterations: int = 3,
     against lineage blowup in iterative DataFrame algorithms.
     Returns ``(node, rank_units)``.
     """
+    # rank_units * damping_permille must stay within long for the
+    # integral division below (ANSI mode would throw on overflow,
+    # silently-wrong results are not possible — but fail early anyway)
+    if scale <= 0 or scale > (2 ** 62) // 1000:
+        raise ValueError(
+            f"scale must be in (0, 2^62/1000], got {scale}")
     src, dst = F.col(src_col), F.col(dst_col)
     nodes = (edges.select(src.alias("node"))
              .union(edges.select(dst.alias("node"))).distinct()
              .localCheckpoint(eager=False))
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
     deg = edges.groupBy(src.alias("node")).agg(
         F.count(F.lit(1)).alias("__deg__"))
     base = (scale * (1000 - damping_permille) // 1000) // n
@@ -462,9 +489,12 @@ def link_pagerank(edges: DataFrame, iterations: int = 3,
             .join(deg.withColumnRenamed("node", "__src__"), "__src__")
             .select(
                 F.col("__dst__").alias("node"),
-                F.floor(F.col("rank_units")
-                        * F.lit(damping_permille)
-                        / (F.lit(1000) * F.col("__deg__")))
+                # `div` is integral division on longs: no double in
+                # the loop, so bit-exactness holds for ANY valid scale
+                # (a floor(double-division) breaks above 2^53)
+                F.expr(
+                    f"(rank_units * {int(damping_permille)}) div "
+                    f"(1000L * __deg__)")
                 .cast("long").alias("__c__"),
             )
         )

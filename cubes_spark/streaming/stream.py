@@ -342,6 +342,7 @@ def batch_sessionize(events: DataFrame, gap_seconds: int = 1800,
                      user_col: str = "user_id", ts_col: str = "ts",
                      order_col: str = "event_id",
                      value_col: str = "value",
+                     type_col: str = "event_type",
                      max_seq: int = 8) -> DataFrame:
     """Gap-based sessionization over BOUNDED data: the lag +
     cumulative-island window construction (new session when the gap to
@@ -372,7 +373,7 @@ def batch_sessionize(events: DataFrame, gap_seconds: int = 1800,
         F.array_sort(F.collect_list(F.struct(
             F.col(ts_col).alias("t"),
             F.col(order_col).alias("o"),
-            F.col("event_type").alias("e")))),
+            F.col(type_col).alias("e")))),
         lambda x: x["e"])
     return (
         sess.groupBy(F.col(user_col), F.col("__sid__"))

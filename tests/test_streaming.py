@@ -418,3 +418,23 @@ def test_batch_sessionize(spark):
         "event_id long, ts timestamp, user_id long, "
         "event_type string, value double")
     assert batch_sessionize(df2, gap_seconds=1800).count() == 1
+
+
+def test_batch_sessionize_custom_type_col(spark):
+    """Every payload column is parameterizable — a frame without an
+    'event_type' column sessionizes via type_col."""
+    from datetime import datetime, timezone
+
+    from cubes_spark.streaming import batch_sessionize
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, tzinfo=timezone.utc),
+          7, "open", 1.0),
+         (2, datetime(2024, 1, 1, 10, 5, tzinfo=timezone.utc),
+          7, "close", 2.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "kind string, value double")
+    out = batch_sessionize(df, gap_seconds=1800,
+                           type_col="kind").collect()
+    assert len(out) == 1
+    assert out[0].event_seq == "open>close"

@@ -358,6 +358,41 @@ class TestPackWebdataset:
                          "5.cls", "5.txt"]
 
 
+    def test_webdataset_duplicate_ext_and_dotless(self, spark):
+        """A malformed shard repeating an extension within one sample
+        (or carrying dotless members, which all land on ext '') must
+        not kill the job under mapKeyDedupPolicy=EXCEPTION — first
+        member by tar order wins."""
+        import io
+        import tarfile
+
+        from cubes_spark.llm import webdataset_samples
+
+        def _tar_bytes(members):
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for name, data in members:
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+            return buf.getvalue()
+
+        tar = _tar_bytes([
+            ("a.img", b"FIRST"), ("a.img", b"SECOND"),
+            ("a.cls", b"7"),
+            ("noext1", b"N1"), ("noext2", b"N2"),
+        ])
+        df = spark.createDataFrame([(1, bytearray(tar))],
+                                   "doc_id long, payload binary")
+        rows = {r.key: r.parts for r in
+                webdataset_samples(df).collect()}
+        assert bytes(rows["a"]["img"]) == b"FIRST"
+        assert bytes(rows["a"]["cls"]) == b"7"
+        # dotless members: one sample per key, ext '' each
+        assert bytes(rows["noext1"][""]) == b"N1"
+        assert bytes(rows["noext2"][""]) == b"N2"
+
+
 class TestPagerank:
     def test_matches_reference_and_deterministic(self, spark):
         from cubes_spark.llm import link_pagerank
@@ -388,3 +423,40 @@ class TestPagerank:
         again = {row.node: row.rank_units for row in
                  link_pagerank(df.repartition(5), iterations=3).collect()}
         assert got == again
+
+
+    def test_empty_graph_and_scale_validation(self, spark):
+        import pytest as _pytest
+
+        from cubes_spark.llm import link_pagerank
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert link_pagerank(empty, iterations=2).count() == 0
+
+        df = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with _pytest.raises(ValueError, match="scale"):
+            link_pagerank(df, scale=2 ** 62)
+
+    def test_large_scale_stays_integral(self, spark):
+        """scale beyond 2^53: double-division floor would lose ulps —
+        the integral `div` must match the pure-int reference exactly."""
+        from cubes_spark.llm import link_pagerank
+
+        # rank*permille ~ 3.4e18: far past 2^53 as a double, still
+        # within long — and within the validated scale cap 2^62/1000
+        SCALE, D = 4 * 10 ** 15, 850
+        edges = [(0, 1), (1, 0), (1, 2), (2, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.rank_units for r in
+               link_pagerank(df, iterations=4, scale=SCALE).collect()}
+        nodes, out = {0, 1, 2}, {0: [1], 1: [0, 2], 2: [0]}
+        n = len(nodes)
+        base = (SCALE * (1000 - D) // 1000) // n
+        r = {v: SCALE // n for v in nodes}
+        for _ in range(4):
+            nxt = {v: base for v in nodes}
+            for s, dsts in out.items():
+                for d2 in dsts:
+                    nxt[d2] += r[s] * D // (1000 * len(dsts))
+            r = nxt
+        assert got == r

@@ -185,10 +185,30 @@ register_aggregate_function("var_pop", F.var_pop)
 
 
 def get_aggregate_function(name: str) -> AggregateFunction:
-    """Parity: functions.py:188-194."""
-    return _FUNCTIONS[name]
+    """Parity: functions.py:188-194.  Unknown names fall back to
+    ``cubes_spark.aggregate_function`` entry points (reference
+    ext.py:75-260): the entry point resolves to either a ready
+    AggregateFunction or a Column-builder callable, registered on
+    first use."""
+    try:
+        return _FUNCTIONS[name]
+    except KeyError:
+        pass
+    from cubes_spark import ext
+    from cubes_spark.errors import InternalError
+
+    try:
+        factory = ext.aggregate_function.factory(name)
+    except InternalError:
+        raise KeyError(name)
+    if isinstance(factory, AggregateFunction):
+        _FUNCTIONS[name] = factory
+        return factory
+    return register_aggregate_function(name, factory)
 
 
 def available_aggregate_functions() -> list:
-    """Parity: functions.py:197-201."""
-    return list(_FUNCTIONS.keys())
+    """Parity: functions.py:197-201 (registry + entry points)."""
+    from cubes_spark import ext
+
+    return sorted(set(_FUNCTIONS) | set(ext.aggregate_function.names()))

@@ -284,9 +284,21 @@ def aggregate(cube_name: str) -> Response:
         result = browser.aggregate(cell, **kwargs)
 
     output_format = request.args.get("format", "json")
-    if output_format == "csv":
-        body = CSVFormatter().format(cube, result)
-        return Response(body, mimetype="text/csv")
+    if output_format != "json":
+        # formatter extension lookup: builtins (csv, xlsx,
+        # cross_table, json_lines) plus any cubes_spark.formatter
+        # entry point (parity: reference ext.py formatter finder)
+        from cubes_spark import ext
+        from cubes_spark.errors import ArgumentError as _ArgError, \
+            InternalError as _IntError
+
+        try:
+            fmt = ext.formatter.create(output_format)
+        except _IntError:
+            raise _ArgError(f"unknown format '{output_format}'")
+        body = fmt.format(cube, result)
+        return Response(body, mimetype=getattr(
+            fmt, "mime_type", "application/octet-stream"))
     return _json(result.to_dict())
 
 

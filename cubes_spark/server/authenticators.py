@@ -127,8 +127,17 @@ def create_authenticator(method: Optional[str] = None,
     try:
         cls = _METHODS[method]
     except KeyError:
-        raise ConfigurationError(
-            f"Unknown authentication method '{method}' "
-            f"(expected one of {sorted(_METHODS)})"
-        )
+        # cubes_spark.authenticator entry points (parity: reference
+        # ext.py authenticator finder feeding [server] authentication)
+        from cubes_spark import ext
+        from cubes_spark.errors import InternalError
+
+        try:
+            return ext.authenticator.create(method, **options)
+        except InternalError:
+            raise ConfigurationError(
+                f"Unknown authentication method '{method}' "
+                f"(expected one of {sorted(_METHODS)} or a "
+                f"cubes_spark.authenticator entry point)"
+            )
     return cls(**options)

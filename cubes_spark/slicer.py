@@ -271,14 +271,24 @@ def cmd_list(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
 
 def cmd_validate(config: dict, args: argparse.Namespace,
                  out=sys.stdout) -> int:
-    """Validate model metadata (parity: commands.py `model validate`)."""
+    """Validate model metadata (parity: commands.py `model validate`).
+
+    Two passes, like the reference: JSON-schema validation against
+    the ported model/cube/dimension schemas
+    (cubes_spark.metadata.schemas; reference cubes/schemas/*.json),
+    then the structural pass (objects actually instantiate, links
+    resolve)."""
     from cubes_spark.sources.workspace import read_model
     from cubes_spark.metadata.cube import Cube
     from cubes_spark.metadata.dimension import Dimension
+    from cubes_spark.metadata.schemas import validate_model
 
     metadata = read_model(args.model or config.get("model"))
     errors = []
     warnings = []
+    for severity, owner, message in validate_model(metadata):
+        target = errors if severity == "error" else warnings
+        target.append((owner, message))
     dimensions = {}
     for dim_md in metadata.get("dimensions", []):
         try:
@@ -502,19 +512,23 @@ def cmd_dedup(config: dict, args: argparse.Namespace,
 def cmd_ext_info(config: dict, args: argparse.Namespace,
                  out=sys.stdout) -> int:
     """List registered extensions (parity: commands.py:70-104
-    `ext-info`): aggregate functions, window calculators, formatters,
-    authenticators."""
+    `ext-info`): every ExtensionFinder type — builtins plus any
+    ``cubes_spark.<type>`` entry points of installed packages
+    (reference ext.py finders)."""
+    from cubes_spark import ext
     from cubes_spark.functions.aggregates import available_aggregate_functions
     from cubes_spark.functions.calculators import available_calculators
-    from cubes_spark.server.authenticators import _METHODS
 
     registry = {
-        "aggregate_function": sorted(available_aggregate_functions()),
-        "calculator": sorted(available_calculators()),
-        "formatter": ["cross_table", "csv", "json_lines", "xlsx"],
-        "authenticator": sorted(_METHODS),
-        "store": ["parquet", "dataframe", "table_expression"],
+        etype: sorted(ext.finder(etype).names())
+        for etype in ext.EXTENSION_TYPES
     }
+    # these two have their own in-module registries as well
+    registry["aggregate_function"] = sorted(
+        set(registry["aggregate_function"])
+        | set(available_aggregate_functions()))
+    registry["calculator"] = sorted(
+        set(registry["calculator"]) | set(available_calculators()))
     ext_type = getattr(args, "type", None) or "all"
     if ext_type != "all":
         if ext_type not in registry:

@@ -1,0 +1,162 @@
+"""Extension discovery (cubes_spark.ext; parity surface:
+/root/reference/cubes/ext.py:75-260 ExtensionFinder over entry
+points).  The entry-point tests synthesize an installed distribution
+(dist-info + module on sys.path) — no pip involved."""
+
+from __future__ import annotations
+
+import sys
+import textwrap
+
+import pytest
+
+from cubes_spark import ext
+from cubes_spark.errors import InternalError
+
+
+@pytest.fixture()
+def fake_dist(tmp_path, monkeypatch):
+    """An 'installed' distribution contributing one extension of every
+    supported kind via entry points."""
+    site = tmp_path / "site"
+    site.mkdir()
+    (site / "fake_ext_mod.py").write_text(textwrap.dedent("""
+        from pyspark.sql import functions as F
+
+        from cubes_spark.formatters import Formatter
+        from cubes_spark.server.authenticators import Authenticator
+
+
+        class PipeFormatter(Formatter):
+            __label__ = "Pipe separated"
+            mime_type = "text/x-pipe"
+
+            def format(self, cube, result):
+                fields = list(result.labels)
+                lines = ["|".join(fields)]
+                for cell in result.cells:
+                    lines.append("|".join(
+                        str(cell.get(f)) for f in fields))
+                return "\\n".join(lines)
+
+
+        class HeaderTokenAuthenticator(Authenticator):
+            def __init__(self, header="X-Token", **options):
+                self.header = header
+
+            def authenticate(self, request):
+                return request.headers.get(self.header)
+
+
+        def geometric_sum(column, **kwargs):
+            return F.exp(F.sum(F.log(column)))
+    """))
+    dist_info = site / "fake_ext-1.0.dist-info"
+    dist_info.mkdir()
+    (dist_info / "METADATA").write_text(
+        "Metadata-Version: 2.1\nName: fake-ext\nVersion: 1.0\n")
+    (dist_info / "entry_points.txt").write_text(textwrap.dedent("""
+        [cubes_spark.formatter]
+        pipe = fake_ext_mod:PipeFormatter
+
+        [cubes_spark.authenticator]
+        header_token = fake_ext_mod:HeaderTokenAuthenticator
+
+        [cubes_spark.aggregate_function]
+        geometric_sum = fake_ext_mod:geometric_sum
+    """))
+    (dist_info / "RECORD").write_text("")
+    monkeypatch.syspath_prepend(str(site))
+    # finders cache discovery; reset the module-level ones under test
+    fresh = {}
+    for name in ("formatter", "authenticator", "aggregate_function"):
+        finder = ext.ExtensionFinder(name)
+        fresh[name] = finder
+        monkeypatch.setattr(ext, name, finder)
+        monkeypatch.setitem(ext._FINDERS, name, finder)
+    yield fresh
+    sys.modules.pop("fake_ext_mod", None)
+
+
+def test_builtin_names_and_create():
+    assert "csv" in ext.formatter.names()
+    from cubes_spark.formatters import CSVFormatter
+
+    assert isinstance(ext.formatter.create("csv"), CSVFormatter)
+    assert ext.formatter.get("csv").is_builtin
+
+
+def test_unknown_extension_raises():
+    with pytest.raises(InternalError, match="no_such"):
+        ext.formatter.get("no_such")
+
+
+def test_register_programmatically():
+    finder = ext.ExtensionFinder("formatter")
+
+    class X:
+        pass
+
+    finder.register("x", X)
+    assert "x" in finder
+    assert isinstance(finder.create("x"), X)
+
+
+def test_entry_point_discovery(fake_dist):
+    names = ext.formatter.names()
+    assert "pipe" in names and "csv" in names
+    e = ext.formatter.get("pipe")
+    assert not e.is_builtin
+    assert e.label == "Pipe separated"
+    assert ext.authenticator.get("header_token") is not None
+
+
+def test_entry_point_formatter_through_server(fake_dist, spark):
+    """The VERDICT done-criterion: a custom formatter from a synthetic
+    entry point drives a real server response via ?format=pipe."""
+    from cubes_spark.demo import tpch_workspace
+    from cubes_spark.server import create_server
+    from tests.conftest import SF_DIR
+
+    ws = tpch_workspace(spark, SF_DIR)
+    client = create_server(ws).test_client()
+    resp = client.get(
+        "/cube/sales/aggregate?drilldown=returnflag"
+        "&aggregates=fact_count&format=pipe")
+    assert resp.status_code == 200
+    assert resp.mimetype == "text/x-pipe"
+    lines = resp.get_data(as_text=True).splitlines()
+    assert lines[0].count("|") >= 1
+    assert len(lines) >= 4  # header + 3 return flags
+    # unknown format is a client error, not a 500
+    bad = client.get("/cube/sales/aggregate?format=nope")
+    assert bad.status_code == 400
+
+
+def test_entry_point_authenticator_through_config(fake_dist):
+    from cubes_spark.server.authenticators import create_authenticator
+
+    auth = create_authenticator("header_token", header="X-Me")
+    assert auth.header == "X-Me"
+
+
+def test_entry_point_aggregate_function(fake_dist, spark):
+    from cubes_spark.functions.aggregates import (
+        available_aggregate_functions,
+        get_aggregate_function,
+    )
+
+    assert "geometric_sum" in available_aggregate_functions()
+    fn = get_aggregate_function("geometric_sum")
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(2.0,), (8.0,)], "x double")
+    got = df.agg(fn.builder(F.col("x")).alias("g")).head().g
+    assert got == pytest.approx(16.0)
+
+
+def test_finder_lookup_unknown_type():
+    from cubes_spark.errors import ArgumentError
+
+    with pytest.raises(ArgumentError):
+        ext.finder("wormhole")

@@ -144,3 +144,88 @@ def test_depsort_cycle_detected():
 def test_measure_default_aggregate_list():
     m = Measure.from_metadata({"name": "amount", "aggregates": ["sum", "min"]})
     assert m.aggregates == ["sum", "min"]
+
+
+# -- JSON-schema model validation (parity:
+#    /root/reference/cubes/schemas/*.json driving `slicer model
+#    validate`, slicer/commands.py:205-248)
+
+
+class TestModelSchemas:
+    def _errors(self, metadata):
+        from cubes_spark.metadata.schemas import validate_model
+
+        return validate_model(metadata)
+
+    def test_demo_model_is_schema_valid(self):
+        from cubes_spark.demo import TPCH_MODEL
+
+        assert self._errors(TPCH_MODEL) == []
+
+    def test_unknown_model_key_rejected(self):
+        errs = self._errors({"cubes": [], "no_such_key": 1})
+        assert any("no_such_key" in m for _, _, m in errs)
+
+    def test_cube_without_name(self):
+        errs = self._errors({"cubes": [{"label": "x"}]})
+        assert any(o == "cube '0'" and "name" in m for _, o, m in errs)
+
+    def test_bad_cardinality_enum(self):
+        errs = self._errors(
+            {"dimensions": [{"name": "d", "cardinality": "huge"}]})
+        assert any("huge" in m for _, _, m in errs)
+
+    def test_level_without_name(self):
+        errs = self._errors(
+            {"dimensions": [{"name": "d",
+                             "levels": [{"attributes": ["a"]}]}]})
+        assert any("name" in m and "levels.0" in o for _, o, m in errs)
+
+    def test_join_without_detail(self):
+        errs = self._errors(
+            {"cubes": [{"name": "c", "joins": [{"master": "t.c"}]}]})
+        assert any("detail" in m for _, _, m in errs)
+
+    def test_bad_join_method(self):
+        errs = self._errors(
+            {"cubes": [{"name": "c", "joins": [
+                {"master": "a.x", "detail": "b.y",
+                 "method": "outer"}]}]})
+        assert any("outer" in m for _, _, m in errs)
+
+    def test_compound_join_keys_allowed(self):
+        assert self._errors(
+            {"cubes": [{"name": "c", "joins": [
+                {"master": {"table": "a", "column": ["x", "y"]},
+                 "detail": ["b.x", "b.y"]}]}]}) == []
+
+    def test_mapping_object_requires_column(self):
+        errs = self._errors(
+            {"cubes": [{"name": "c",
+                        "mappings": {"m": {"table": "t"}}}]})
+        assert any("column" in m for _, _, m in errs)
+
+    def test_bad_nonadditive(self):
+        errs = self._errors(
+            {"dimensions": [{"name": "d", "nonadditive": "weird"}]})
+        assert any("weird" in m for _, _, m in errs)
+
+    def test_validate_command_rejects_schema_violations(self, tmp_path):
+        import io
+        import json as _json
+
+        from cubes_spark.slicer import main
+        from tests.conftest import SF_DIR
+
+        bad = tmp_path / "bad_schema.json"
+        bad.write_text(_json.dumps({
+            "cubes": [{"name": "c", "fact": "lineitem",
+                       "unknown_cube_key": True}],
+        }))
+        cfg = tmp_path / "cfg.json"
+        cfg.write_text(_json.dumps({"store": SF_DIR}))
+        out = io.StringIO()
+        code = main(["--config", str(cfg), "validate", str(bad)],
+                    out=out)
+        assert code == 1
+        assert "unknown_cube_key" in out.getvalue()

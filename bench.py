@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: benchmark set: one per engine pillar (star agg, snowflake join,
 #: role-playing join, window calculators, rollup, events, text stats,
-#: MinHash dedup, SimHash dedup, ANN) — names match __spark_entry__.
+#: MinHash dedup, SimHash dedup, ANN) plus the heavy LLM-pipeline
+#: flagships (span dedup, decontamination, sequence packing, BPE,
+#: duplicate clustering, sessionization, WARC ingest) — names match
+#: __spark_entry__.
 BENCH_QUERIES = [
     "agg_year",
     "preagg_year",
@@ -38,6 +41,13 @@ BENCH_QUERIES = [
     "doc_simhash",
     "emb_topk",
     "emb_ann",
+    "doc_span_docs",
+    "doc_decontam",
+    "doc_pack",
+    "doc_bpe_encode",
+    "doc_dup_clusters",
+    "events_sessions_native",
+    "doc_warc_pipeline",
 ]
 
 

@@ -552,8 +552,13 @@ def connected_components(pairs: DataFrame,
     equi-join + one map-side-combinable min-groupBy; lineage is
     truncated per round with ``localCheckpoint`` so plans stay O(1)
     instead of growing by two joins per iteration — the difference
-    between converging and dying of plan bloat at 100 TB.  Early-exits
-    as soon as a round changes nothing.
+    between converging and dying of plan bloat at 100 TB.
+
+    ONE Spark job per round: labels are monotone non-increasing, so
+    the sum of labels is a convergence invariant — the same action
+    that materializes the round's checkpoint also returns the sum
+    (decimal-exact, overflow-free), and an unchanged sum IS
+    convergence.  No separate join-old-vs-new change count.
     """
     edges = pairs.select(F.col(id_a).alias("src"),
                          F.col(id_b).alias("dst"))
@@ -567,6 +572,7 @@ def connected_components(pairs: DataFrame,
         .localCheckpoint(eager=True)
     )
 
+    prev_sum = None
     for _ in range(max_iterations):
         neighbour = (
             edges.join(labels, edges.src == labels.node)
@@ -576,17 +582,15 @@ def connected_components(pairs: DataFrame,
             labels.select("node", "component").union(neighbour)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
+        label_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+            .alias("s")).first().s
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels
 
 

@@ -78,10 +78,23 @@ def _nanos_timestamp_columns(location: str) -> list:
                 return []
             path = os.path.join(location, parts[0])
         schema = pq.read_schema(path)
-        return [
+        candidates = [
             field.name for field in schema
             if str(field.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
         ]
+        if not candidates:
+            return []
+        # pyarrow ALSO reports legacy Spark INT96 timestamps as
+        # timestamp[ns]; those read natively as TIMESTAMP and must NOT
+        # take the nanosAsLong + div-1000 path — check the parquet
+        # PHYSICAL type and keep only true INT64 TIMESTAMP(NANOS)
+        phys = pq.ParquetFile(path).schema
+        int96 = {
+            phys.column(i).name
+            for i in range(len(phys))
+            if phys.column(i).physical_type == "INT96"
+        }
+        return [name for name in candidates if name not in int96]
     except Exception:
         return []
 
@@ -121,17 +134,28 @@ class ParquetStore:
         self.spark.conf.set(
             "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         nanos_cols = _nanos_timestamp_columns(location)
-        if not nanos_cols:
-            return self.spark.read.parquet(location)
         from pyspark.sql import functions as F
 
-        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
-                            "true")
+        if nanos_cols:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+                                "true")
         df = self.spark.read.parquet(location)
         for col in nanos_cols:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+        # Spark-written parquet EMBEDS its schema in file metadata;
+        # a file written from a TIMESTAMP_NTZ frame stays NTZ on read
+        # no matter what inferTimestampNTZ says (that conf only
+        # affects *inference* for foreign files).  Event-time ops
+        # (watermarks, windows, unix_micros) require TIMESTAMP, and
+        # with the session timezone pinned to UTC the wall-clock
+        # values are identical — normalize at the store boundary so
+        # mixed-provenance data behaves uniformly.
+        for fld in df.schema.fields:
+            if fld.dataType.typeName() == "timestamp_ntz":
+                df = df.withColumn(
+                    fld.name, F.col(fld.name).cast("timestamp"))
         return df
 
     def __getitem__(self, name: str) -> DataFrame:

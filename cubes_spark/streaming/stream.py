@@ -356,6 +356,12 @@ def batch_sessionize(events: DataFrame, gap_seconds: int = 1800,
     Values are summed in exact integer micro-units."""
     from pyspark.sql.window import Window
 
+    # tolerate TIMESTAMP_NTZ inputs (e.g. Spark-written parquet from
+    # an NTZ frame): unix_micros requires TIMESTAMP; with session
+    # timezone UTC the cast is value-preserving
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     prev = F.lag(ts_col).over(w)
     gap_us = int(gap_seconds) * 1_000_000

@@ -156,3 +156,71 @@ def test_exclude_null_aggregates_option(tpch_browser):
         tpch_browser.exclude_null_agregates = False
     assert [c["fact_count"] for c in r.cells] \
         == [c["fact_count"] for c in r2.cells]
+
+
+class TestParquetTimestampProvenance:
+    """The store boundary must normalize every parquet timestamp
+    flavor to TIMESTAMP: driver-written naive micros (inference path),
+    Spark-written TIMESTAMP_NTZ schema metadata (which
+    inferTimestampNTZ=false can NOT override — that conf only affects
+    inference), legacy INT96 (which pyarrow reports as timestamp[ns]
+    and must NOT be routed down the TIMESTAMP(NANOS) nanosAsLong
+    path), and true INT64 TIMESTAMP(NANOS).  Found by the round-6 sf1
+    scale sweep."""
+
+    def _roundtrip(self, spark, tmp_path, writer):
+        from datetime import datetime, timezone
+
+        from cubes_spark.sources.workspace import ParquetStore
+
+        ts = [datetime(2024, 1, 1, 10, 0, 5, 123456,
+                       tzinfo=timezone.utc),
+              datetime(2024, 3, 2, 23, 59, 59, 999999,
+                       tzinfo=timezone.utc)]
+        writer(tmp_path, ts)
+        store = ParquetStore(spark, str(tmp_path))
+        df = store.table("events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = [r.ts.replace(tzinfo=timezone.utc)
+               for r in df.orderBy("event_id").collect()]
+        assert got == ts
+
+    def test_spark_ntz_metadata_normalized(self, spark, tmp_path):
+        def writer(path, ts):
+            df = spark.createDataFrame(
+                [(i, t.replace(tzinfo=None)) for i, t in enumerate(ts)],
+                "event_id long, ts timestamp_ntz")
+            df.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/events.parquet")
+
+        self._roundtrip(spark, tmp_path, writer)
+
+    def test_int96_reads_natively(self, spark, tmp_path):
+        def writer(path, ts):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            table = pa.table({
+                "event_id": pa.array(range(len(ts)), pa.int64()),
+                "ts": pa.array([t.replace(tzinfo=None) for t in ts],
+                               pa.timestamp("us")),
+            })
+            pq.write_table(table, f"{path}/events.parquet",
+                           use_deprecated_int96_timestamps=True)
+
+        self._roundtrip(spark, tmp_path, writer)
+
+    def test_int64_nanos_converted(self, spark, tmp_path):
+        def writer(path, ts):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            table = pa.table({
+                "event_id": pa.array(range(len(ts)), pa.int64()),
+                "ts": pa.array([t.replace(tzinfo=None) for t in ts],
+                               pa.timestamp("ns")),
+            })
+            pq.write_table(table, f"{path}/events.parquet",
+                           store_schema=False)
+
+        self._roundtrip(spark, tmp_path, writer)

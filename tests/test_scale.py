@@ -130,3 +130,45 @@ def test_compact_table(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 5000
     assert back.agg(F.sum("id")).collect()[0][0] == 5000 * 4999 // 2
+
+
+def test_cap_sized_bucket_completes(spark):
+    """SCALE.md's _bucket_pairs memory bound, pinned: ONE bucket at
+    exactly the default cap (4096 members) pipelines O(cap^2) pair
+    volume through the generator chain — it must stream to completion
+    within default executor memory, not materialize.  Uses a bounded
+    aggregation over the pair stream so the driver never holds the
+    ~8.4M pairs either."""
+    from pyspark.sql import functions as F
+
+    from cubes_spark.llm.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        _bucket_pairs,
+    )
+
+    cap = DEFAULT_MAX_BUCKET_SIZE
+    banded = (
+        spark.range(cap)
+        .select(
+            F.lit(0).alias("bucket"),
+            F.col("id").alias("doc_id"),
+            # a MinHash-signature-sized payload per member
+            F.array(*[F.col("id") * (i + 1) for i in range(16)])
+            .alias("sig"),
+        )
+    )
+    pairs = _bucket_pairs(banded, ["bucket"], "doc_id", "sig",
+                          max_bucket_size=cap)
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("id_a") < F.col("id_b"), 0).otherwise(1))
+        .alias("misordered"),
+    ).first()
+    assert row.n == cap * (cap - 1) // 2
+    assert row.misordered == 0
+    # one member over the cap: the guard drops the whole bucket
+    over = spark.range(cap + 1).select(
+        F.lit(0).alias("bucket"), F.col("id").alias("doc_id"),
+        F.array(F.col("id")).alias("sig"))
+    assert _bucket_pairs(over, ["bucket"], "doc_id", "sig",
+                         max_bucket_size=cap).count() == 0

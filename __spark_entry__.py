@@ -3164,6 +3164,47 @@ def q_namespace_agg(spark, sf_dir):
     return _lng(_dbl(df, "price_sum"), "fact_count")
 
 
+
+def q_doc_line_dedup(spark, sf_dir):
+    """C4-style corpus-global line dedup: 20-token lines, first
+    occurrence (doc order, then position) survives, documents
+    reassembled from surviving lines
+    (cubes_spark/llm/text.py:line_dedup).  The oracle replays the
+    same segmentation, the same integral first-occurrence window and
+    the same reassembly in SQL."""
+    from cubes_spark.llm import line_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    out = line_dedup(docs, line_tokens=20)
+    return _lng(out, "doc_id", "n_lines", "n_lines_kept")
+
+
+def q_doc_shuffle_shards(spark, sf_dir):
+    """Deterministic global training-data shuffle: hash-derived shard
+    + within-shard hash rank (cubes_spark/llm/text.py:shuffle_shards)
+    — pseudo-random order, bit-reproducible with no RNG state."""
+    from cubes_spark.llm import shuffle_shards
+
+    docs = _table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, num_shards=8)
+    return _lng(out.select("doc_id", "shard", "position"),
+                "doc_id", "position").withColumn(
+        "shard", F.col("shard").cast("long"))
+
+
+def q_doc_domain_cap(spark, sf_dir):
+    """Per-domain document cap: top-10 docs per source by size
+    (deterministic ties by id) — the anti-concentration step of web
+    curation (cubes_spark/llm/text.py:cap_per_domain)."""
+    from cubes_spark.llm import cap_per_domain
+
+    docs = _table(spark, sf_dir, "documents")
+    out = cap_per_domain(docs, domain_col="source", max_per_domain=10,
+                         quality_col="n_chars")
+    return _lng(out.select("doc_id", "source", "n_chars"),
+                "doc_id", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3332,7 +3373,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_ivf": q_emb_ivf,
-        "agg_summary": q_agg_summary,    }
+        "agg_summary": q_agg_summary,
+        # -- round-6 additions (behind the window; rotate in round 7)
+        "doc_line_dedup": q_doc_line_dedup,
+        "doc_shuffle_shards": q_doc_shuffle_shards,
+        "doc_domain_cap": q_doc_domain_cap,    }
 
 
 # -- oracle SQL -------------------------------------------------------------
@@ -3774,6 +3819,56 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1"""
 
     # stratified sample: identical rank-by-portable-hash selection
+
+    # C4-style line dedup: same 20-token lines, same integral
+    # first-occurrence window, reassembly via ordered string_agg
+    sql["doc_line_dedup"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents),
+        nl AS (
+            SELECT doc_id, t,
+                greatest(1, (len(t) + 19) // 20) AS n
+            FROM toks),
+        lines AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS line_idx,
+                array_to_string(
+                    list_slice(t, CAST(u.i * 20 + 1 AS BIGINT),
+                               CAST(u.i * 20 + 20 AS BIGINT)),
+                    ' ') AS line_text
+            FROM nl, UNNEST(range(CAST(n AS BIGINT))) AS u(i)),
+        kept AS (
+            SELECT doc_id, line_idx, line_text,
+                (doc_id * 1048576 + line_idx) = MIN(
+                    doc_id * 1048576 + line_idx)
+                    OVER (PARTITION BY line_text) AS keep
+            FROM lines)
+        SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_lines,
+            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_lines_kept,
+            COALESCE(string_agg(line_text, ' ' ORDER BY line_idx)
+                     FILTER (WHERE keep), '') AS cleaned_text
+        FROM kept GROUP BY doc_id"""
+
+    # deterministic shuffle: same md5 hash, same shard mod, same rank
+    sql["doc_shuffle_shards"] = """
+        WITH h AS (
+            SELECT doc_id,
+                CAST(concat('0x', substr(md5(concat('shuffle:',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    AS hv
+            FROM documents)
+        SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+            CAST(row_number() OVER (PARTITION BY hv % 8
+                ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS position
+        FROM h"""
+
+    sql["doc_domain_cap"] = """
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) <= 10"""
+
     sql["doc_stratified"] = """
         SELECT doc_id, lang FROM documents
         QUALIFY row_number() OVER (PARTITION BY lang

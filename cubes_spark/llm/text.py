@@ -610,3 +610,138 @@ def normalize_unicode(df: DataFrame, text_col: str = "text",
                      else unicodedata.normalize(form, v))
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+# -- corpus-level curation ---------------------------------------------------
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               line_tokens: int = 20) -> DataFrame:
+    """C4-style corpus-global line deduplication: segment every
+    document into fixed ``line_tokens``-token lines, keep each
+    distinct line's FIRST occurrence (corpus order: document id, then
+    line position), drop every later repetition, and reassemble the
+    surviving lines into cleaned text.
+
+    This is the curation step that removes boilerplate (headers,
+    navigation, license blocks) repeated across millions of pages
+    while keeping one copy — document-level dedup cannot touch it
+    because the surrounding documents differ.  C4 used newline lines;
+    token windows are the tokenizer-robust equivalent for text
+    without layout.
+
+    Shuffle shape: the narrow line explode is followed by exactly two
+    exchanges — one keyed by line hash (the first-occurrence window),
+    one keyed by document (reassembly) — both map-side combinable,
+    both on bounded rows (a line row is ~line_tokens tokens, never the
+    whole document).  The first-occurrence rule is a window ``min``
+    over an integral order key, deterministic at any parallelism.
+    Returns ``(id, cleaned_text, n_lines, n_lines_kept)``.
+    """
+    from pyspark.sql.window import Window
+
+    if line_tokens < 1:
+        raise ValueError("line_tokens must be >= 1")
+    toks = token_array(F.col(text_col))
+    n_lines = F.greatest(
+        F.lit(1),
+        ((F.size(toks) + F.lit(line_tokens - 1))
+         / F.lit(line_tokens)).cast("long"))
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_lines - 1))
+        .alias("line_idx"),
+        toks.alias("__toks__"),
+    ).select(
+        F.col(id_col), F.col("line_idx"),
+        F.array_join(
+            F.slice(F.col("__toks__"),
+                    (F.col("line_idx") * line_tokens + 1).cast("int"),
+                    line_tokens),
+            " ").alias("line_text"),
+    )
+    # first occurrence by (doc, position): an integral order key keeps
+    # the window min portable to any SQL oracle (line_idx < 2^20 by
+    # construction at sane document sizes; guard anyway)
+    order_key = F.col(id_col) * F.lit(1 << 20) + F.col("line_idx")
+    w = Window.partitionBy(F.col("line_text"))
+    kept = lines.withColumn(
+        "__keep__", order_key == F.min(order_key).over(w))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("__keep__").cast("long")).alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("__keep__"),
+                        F.struct(F.col("line_idx").alias("i"),
+                                 F.col("line_text").alias("t"))))),
+                    lambda x: x["t"]),
+                " ").alias("cleaned_text"),
+        )
+    )
+
+
+def shuffle_shards(df: DataFrame, num_shards: int = 32,
+                   id_col: str = "doc_id",
+                   seed: str = "shuffle") -> DataFrame:
+    """Deterministic global training-data shuffle + shard assignment:
+    ``shard = hash64(seed ‖ id) mod num_shards``, ``position`` = rank
+    of the hash within the shard.
+
+    The finalization step of a data pipeline — training wants
+    documents in pseudo-random order, decorrelated from crawl/source
+    order, yet bit-reproducible run-to-run (hash order, no RNG state)
+    so a restarted job reads the identical byte stream.  One shuffle
+    keyed by shard; within-shard ranking reuses that partitioning.
+    Downstream: ``.write.partitionBy('shard')`` with a sort on
+    ``position`` streams shards out without further exchanges.
+    Returns the input columns plus ``(shard, position)``.
+    """
+    from pyspark.sql.window import Window
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    h = hash64(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    with_shard = df.withColumn("__h__", h) \
+        .withColumn("shard", (F.col("__h__") % num_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h__").asc(), F.col(id_col).asc())
+    return (
+        with_shard.withColumn(
+            "position", F.row_number().over(w).cast("long"))
+        .drop("__h__")
+    )
+
+
+def cap_per_domain(df: DataFrame, domain_col: str = "source",
+                   max_per_domain: int = 100,
+                   quality_col: str = "n_chars",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-domain document cap: keep at most ``max_per_domain``
+    documents per domain, preferring the highest ``quality_col``
+    (deterministic ties by id).
+
+    The anti-concentration step of web curation: a handful of hosts
+    (link farms, mirrors, mass-generated boilerplate) can dominate a
+    crawl; capping per registered domain is the standard counter
+    (C4/Gopher-style corpus composition).  One shuffle keyed by
+    domain; selection is a rank window inside it.  Heavy-tailed
+    domain sizes are exactly what AQE skew handling is for — and the
+    rank window only needs the top ``max_per_domain`` rows per
+    partition to survive, so a pre-filter with
+    :func:`stratified_sample`'s hash trick applies when one domain is
+    pathological."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rank__", F.row_number().over(w))
+        .filter(F.col("__rank__") <= max_per_domain)
+        .drop("__rank__")
+    )

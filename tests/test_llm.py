@@ -1809,3 +1809,72 @@ def test_normalize_unicode(spark):
     nfkc = {r.doc_id: r.normalized
             for r in normalize_unicode(df, form="NFKC").collect()}
     assert nfkc[3] == "file"             # NFKC folds it
+
+
+class TestCorpusCuration:
+    def test_line_dedup_removes_repeated_lines(self, spark):
+        from cubes_spark.llm import line_dedup
+
+        boiler = " ".join(f"b{i}" for i in range(20))
+        uniq_a = " ".join(f"a{i}" for i in range(20))
+        uniq_b = " ".join(f"c{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, boiler + " " + uniq_a),
+             (2, boiler + " " + uniq_b),   # boilerplate repeated
+             (3, uniq_a)],                  # whole doc repeated
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               line_dedup(df, line_tokens=20).collect()}
+        assert out[1].n_lines == 2 and out[1].n_lines_kept == 2
+        assert out[1].cleaned_text == boiler + " " + uniq_a
+        # doc 2 loses the boilerplate line, keeps its unique line
+        assert out[2].n_lines == 2 and out[2].n_lines_kept == 1
+        assert out[2].cleaned_text == uniq_b
+        # doc 3 is entirely a repetition of doc 1's second line
+        assert out[3].n_lines == 1 and out[3].n_lines_kept == 0
+        assert out[3].cleaned_text == ""
+
+    def test_line_dedup_first_occurrence_is_doc_order(self, spark):
+        from cubes_spark.llm import line_dedup
+
+        line = " ".join(f"x{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(9, line), (2, line), (5, line)],
+            "doc_id long, text string").repartition(3)
+        out = {r.doc_id: r.n_lines_kept for r in
+               line_dedup(df, line_tokens=20).collect()}
+        assert out == {2: 1, 5: 0, 9: 0}
+
+    def test_shuffle_shards_deterministic_and_dense(self, spark):
+        from cubes_spark.llm import shuffle_shards
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: (r.shard, r.position)
+             for r in shuffle_shards(df, num_shards=8).collect()}
+        b = {r.doc_id: (r.shard, r.position)
+             for r in shuffle_shards(df.repartition(7),
+                                     num_shards=8).collect()}
+        assert a == b                      # partition-invariant
+        # positions are dense 1..n within each shard
+        from collections import defaultdict
+
+        by_shard = defaultdict(list)
+        for shard, pos in a.values():
+            by_shard[shard].append(pos)
+        for shard, positions in by_shard.items():
+            assert sorted(positions) == list(
+                range(1, len(positions) + 1))
+        assert sum(len(v) for v in by_shard.values()) == 500
+
+    def test_cap_per_domain_keeps_best(self, spark):
+        from cubes_spark.llm import cap_per_domain
+
+        rows = [(i, "d1", 100 + i) for i in range(5)] \
+            + [(10 + i, "d2", 50) for i in range(3)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long")
+        out = cap_per_domain(df, max_per_domain=2,
+                             quality_col="n_chars")
+        got = sorted((r.source, r.doc_id) for r in out.collect())
+        # d1: two largest n_chars (ids 3, 4); d2: tie -> lowest ids
+        assert got == [("d1", 3), ("d1", 4), ("d2", 10), ("d2", 11)]

@@ -54,6 +54,8 @@ EXTENSION_TYPES: Dict[str, str] = {
 _BUILTINS: Dict[str, Dict[str, str]] = {
     "formatter": {
         "cross_table": "cubes_spark.formatters:CrossTableFormatter",
+        "html_cross_table":
+            "cubes_spark.formatters:HTMLCrossTableFormatter",
         "csv": "cubes_spark.formatters:CSVFormatter",
         "json_lines": "cubes_spark.formatters:JSONLinesFormatter",
         "xlsx": "cubes_spark.formatters:XLSXFormatter",

@@ -28,6 +28,7 @@ __all__ = [
     "make_cross_table",
     "CrossTableFormatter",
     "CSVFormatter",
+    "HTMLCrossTableFormatter",
     "JSONLinesFormatter",
     "XLSXFormatter",
 ]
@@ -182,6 +183,53 @@ class CrossTableFormatter(Formatter):
             "rows": table.rows,
             "data": table.data,
         })
+
+
+class HTMLCrossTableFormatter(CrossTableFormatter):
+    """HTML table of the pivoted cross-table (parity:
+    formatters.py:361-391 + templates/cross_table.html — same table
+    shape, rendered directly without a template engine: one <th>
+    header row per column-path level, row-path headers as <th> cells,
+    aggregates in <td> cells, everything HTML-escaped)."""
+
+    mime_type = "text/html"
+
+    def __init__(self, table_style: Optional[str] = None) -> None:
+        super().__init__()
+        self.table_style = table_style
+
+    def format(self, cube: Any, result: Any,
+               onrows: Optional[Sequence[str]] = None,
+               oncolumns: Optional[Sequence[str]] = None,
+               aggregates_on: Optional[str] = None) -> str:
+        import html as _html
+
+        def esc(value: Any) -> str:
+            return _html.escape("" if value is None else str(value))
+
+        attrs = _drilldown_attribute_refs(result)
+        onrows, oncolumns = coalesce_table_labels(attrs, onrows, oncolumns)
+        table = make_cross_table(result, onrows, oncolumns, aggregates_on)
+
+        style = f' class="{esc(self.table_style)}"' \
+            if self.table_style else ""
+        out = [f"<table{style}>", "<thead>"]
+        levels = len(table.columns[0]) if table.columns else 0
+        row_width = len(table.rows[0]) if table.rows else 0
+        for level in range(levels):
+            cells = ["<th></th>"] * row_width
+            cells += [f"<th>{esc(col[level])}</th>"
+                      for col in table.columns]
+            out.append("<tr>" + "".join(cells) + "</tr>")
+        out.append("</thead>")
+        out.append("<tbody>")
+        for i, row in enumerate(table.rows):
+            cells = [f"<th>{esc(h)}</th>" for h in row]
+            cells += [f"<td>{esc(v)}</td>" for v in table.data[i]]
+            out.append("<tr>" + "".join(cells) + "</tr>")
+        out.append("</tbody>")
+        out.append("</table>")
+        return "\n".join(out)
 
 
 class CSVFormatter(Formatter):

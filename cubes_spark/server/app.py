@@ -221,7 +221,6 @@ def _common_params() -> dict:
 # ---------------------------------------------------------------------------
 
 
-@slicer.route("/")
 @slicer.route("/version")
 def show_version() -> Response:
     return _json({
@@ -229,6 +228,53 @@ def show_version() -> Response:
         "server_version": VERSION,
         "api_version": 2,
     })
+
+
+@slicer.route("/")
+def show_index() -> Response:
+    """HTML landing page: server info + cube directory with links to
+    the JSON API (parity: reference blueprint.py:227-233 show_index +
+    server/templates/index.html, rendered directly — no template
+    files).  Clients asking for JSON (Accept header) still get the
+    version document, so API consumers hitting '/' keep working."""
+    import html as _html
+
+    accept = request.headers.get("Accept", "")
+    if "application/json" in accept and "text/html" not in accept:
+        return show_version()
+
+    def esc(value: Any) -> str:
+        return _html.escape("" if value is None else str(value))
+
+    workspace = _workspace()
+    rows = []
+    for info in workspace.list_cubes():
+        name = esc(info["name"])
+        label = esc(info.get("label") or "")
+        rows.append(
+            f'<tr><td><a href="/cube/{name}/model">{name}</a></td>'
+            f"<td>{label}</td>"
+            f'<td><a href="/cube/{name}/aggregate">aggregate</a> '
+            f'<a href="/cube/{name}/facts">facts</a></td></tr>')
+    body = "\n".join([
+        "<!DOCTYPE html>",
+        "<html><head><title>Slicer server</title>",
+        "<style>body{font-family:sans-serif;margin:2em}"
+        "table{border-collapse:collapse}"
+        "td,th{border:1px solid #ccc;padding:.4em .8em;text-align:left}"
+        "</style></head><body>",
+        "<h1>Slicer OLAP server</h1>",
+        f"<p>version {esc(VERSION)} &middot; api 2 &middot; "
+        f'<a href="/cubes">/cubes</a> &middot; '
+        f'<a href="/info">/info</a> &middot; '
+        f'<a href="/version">/version</a></p>',
+        "<h2>Cubes</h2>",
+        "<table><tr><th>cube</th><th>label</th><th>browse</th></tr>",
+        *rows,
+        "</table>",
+        "</body></html>",
+    ])
+    return Response(body, mimetype="text/html")
 
 
 @slicer.route("/info")
@@ -296,7 +342,18 @@ def aggregate(cube_name: str) -> Response:
             fmt = ext.formatter.create(output_format)
         except _IntError:
             raise _ArgError(f"unknown format '{output_format}'")
-        body = fmt.format(cube, result)
+        # pivot parameters for cross-table-shaped formatters
+        fmt_kwargs = {}
+        for param in ("onrows", "oncolumns"):
+            if param in request.args:
+                fmt_kwargs[param] = _split_list(request.args[param])
+        if "aggregates_on" in request.args:
+            fmt_kwargs["aggregates_on"] = request.args["aggregates_on"]
+        try:
+            body = fmt.format(cube, result, **fmt_kwargs)
+        except TypeError:
+            # formatter does not take pivot parameters
+            body = fmt.format(cube, result)
         return Response(body, mimetype=getattr(
             fmt, "mime_type", "application/octet-stream"))
     return _json(result.to_dict())

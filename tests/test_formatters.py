@@ -110,3 +110,34 @@ def test_xlsx_real_workbook_roundtrip(result):
         grid.append(values)
     assert grid[0] == ["year.year", "amount_sum", "count"]
     assert grid[1] == [2010.0, 15.0, 4.0]
+
+
+def test_html_cross_table_formatter(tpch_browser):
+    from cubes_spark.formatters import HTMLCrossTableFormatter
+
+    result = tpch_browser.aggregate(
+        drilldown=["returnflag", "linestatus"],
+        aggregates=["fact_count"])
+    html = HTMLCrossTableFormatter(table_style="cubes").format(
+        None, result, onrows=["returnflag.returnflag"],
+        oncolumns=["linestatus.linestatus"])
+    assert html.startswith('<table class="cubes">')
+    assert "<thead>" in html and "<tbody>" in html
+    # row headers are <th>, data cells are <td>
+    assert "<th>A</th>" in html
+    assert "<td>" in html
+    # values escape: nothing in TPC-H needs it, so inject one
+    class FakeAgg:
+        def __str__(self):
+            return "x"
+        label = "a<b"
+    class FakeResult:
+        drilldown = ["d"]
+        aggregates = [FakeAgg()]
+        cells = [{"d": "<v>", "x": 1}]
+        labels = ["d", "x"]
+    fake = HTMLCrossTableFormatter().format(
+        None, FakeResult(), onrows=["d"], oncolumns=[],
+        aggregates_on="columns")
+    assert "&lt;v&gt;" in fake and "<v>" not in fake
+    assert "a&lt;b" in fake

@@ -414,3 +414,27 @@ def test_request_logging(spark, tmp_path):
     assert "date" in agg["cell"] and "1995" in agg["cell"]
     assert agg["identity"] == "alice"
     assert agg["elapsed_time"] > 0
+
+
+def test_html_index_page(client):
+    resp = client.get("/")
+    assert resp.status_code == 200
+    assert resp.mimetype == "text/html"
+    text = resp.get_data(as_text=True)
+    assert "sales" in text and "/cubes" in text
+    # JSON clients hitting / still get the version document
+    resp = client.get("/", headers={"Accept": "application/json"})
+    assert resp.mimetype == "application/json"
+    assert resp.get_json()["api_version"] == 2
+
+
+def test_html_cross_table_format(client):
+    resp = client.get(
+        "/cube/sales/aggregate?drilldown=returnflag"
+        "&aggregates=fact_count&format=html_cross_table"
+        "&oncolumns=returnflag.returnflag")
+    assert resp.status_code == 200
+    assert resp.mimetype == "text/html"
+    text = resp.get_data(as_text=True)
+    assert text.startswith("<table")
+    assert "<th>A</th>" in text or "<th>R</th>" in text

@@ -3205,6 +3205,26 @@ def q_doc_domain_cap(spark, sf_dir):
                 "doc_id", "n_chars")
 
 
+
+def q_emb_semdedup_greedy(spark, sf_dir):
+    """SemDeDup with the paper's EXACT sequential-greedy keep-set,
+    distributed as bounded decidability rounds (a vector decides once
+    all its lower-id near neighbours have; kept iff none kept) —
+    on transitive chains this keeps what the one-pass rule
+    over-removes (cubes_spark/llm/similarity.py:semantic_dedup_greedy).
+    The oracle unrolls the same rounds as chained CTEs, so both
+    engines compute the identical bounded fixed point."""
+    from cubes_spark.llm import semantic_dedup_greedy
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_greedy(emb, threshold=0.35, nlist=16, seed=42,
+                                sample_size=4096, max_rounds=8)
+    return out.select(
+        "vec_id", "cluster",
+        F.col("is_kept").cast("int").cast("long").alias("is_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3377,7 +3397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 additions (behind the window; rotate in round 7)
         "doc_line_dedup": q_doc_line_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
-        "doc_domain_cap": q_doc_domain_cap,    }
+        "doc_domain_cap": q_doc_domain_cap,
+        "emb_semdedup_greedy": q_emb_semdedup_greedy,    }
 
 
 # -- oracle SQL -------------------------------------------------------------
@@ -5178,6 +5199,7 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_ivf"] = _emb_ivf_oracle()
     sql["emb_kmeans"] = _emb_kmeans_oracle()
     sql["emb_semdedup"] = _emb_semdedup_oracle()
+    sql["emb_semdedup_greedy"] = _emb_semdedup_greedy_oracle()
     sql["doc_bpe_encode"] = _bpe_oracle()
     sql["doc_bpe_vocab"] = _bpe_vocab_oracle()
     sql["doc_image_dedup"] = _image_dedup_oracle()
@@ -5401,6 +5423,52 @@ def _emb_kmeans_oracle() -> str:
     SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
         round(sim, 6) AS centroid_sim
     FROM assigned"""
+
+
+def _emb_semdedup_greedy_oracle(max_rounds: int = 8) -> str:
+    """Unrolls semantic_dedup_greedy's decidability rounds as chained
+    CTEs: d1 = unconstrained vectors (kept); d{k+1} adds every vector
+    whose lower-id neighbours are all in d{k}, kept iff none of them
+    is kept.  max_rounds-1 progress rounds, exactly like the Spark
+    loop; undecided-at-cap vectors land as dropped via the final left
+    join's COALESCE(FALSE)."""
+    cte = _KMEANS_ASSIGNED_CTE.format(values=_kmeans_cent_values())
+    parts = [cte + """
+    , edges AS MATERIALIZED (
+        SELECT r.vec_id AS v, l.vec_id AS u
+        FROM assigned l JOIN assigned r
+            ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+        WHERE list_dot_product(l.v, r.v)
+              / (sqrt(list_dot_product(l.v, l.v))
+               * sqrt(list_dot_product(r.v, r.v))) >= 0.35
+    ),
+    deg AS MATERIALIZED (
+        SELECT v, COUNT(*) AS n FROM edges GROUP BY v),
+    d1 AS MATERIALIZED (
+        SELECT a.vec_id AS v, TRUE AS kept
+        FROM assigned a LEFT JOIN deg ON a.vec_id = deg.v
+        WHERE deg.v IS NULL
+    )"""]
+    for k in range(1, max_rounds):
+        parts.append(f""",
+    d{k + 1} AS MATERIALIZED (
+        SELECT * FROM d{k}
+        UNION ALL
+        SELECT e.v,
+            (SUM(CASE WHEN s.kept THEN 1 ELSE 0 END) = 0) AS kept
+        FROM edges e
+        JOIN d{k} s ON e.u = s.v
+        JOIN deg ON deg.v = e.v
+        WHERE e.v NOT IN (SELECT v FROM d{k})
+        GROUP BY e.v, deg.n
+        HAVING COUNT(*) = deg.n
+    )""")
+    parts.append(f"""
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        CAST(CASE WHEN COALESCE(d.kept, FALSE) THEN 1 ELSE 0 END
+             AS BIGINT) AS is_kept
+    FROM assigned a LEFT JOIN d{max_rounds} d ON a.vec_id = d.v""")
+    return "".join(parts)
 
 
 def _emb_semdedup_oracle() -> str:

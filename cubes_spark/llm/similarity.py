@@ -32,7 +32,7 @@ from cubes_spark.llm.util import spread
 
 __all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates",
            "ivf_topk", "train_spherical_kmeans", "random_projection",
-           "kmeans_clusters", "semantic_dedup"]
+           "kmeans_clusters", "semantic_dedup", "semantic_dedup_greedy"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -395,7 +395,8 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
     neighbour, kept or not).  It therefore over-removes on chains —
     conservative for dedup (never under-removes), and order-free, so
     one shuffle instead of a per-cluster iteration.  The correctness
-    oracle encodes this same rule.
+    oracle encodes this same rule.  For the paper's exact sequential
+    semantics use :func:`semantic_dedup_greedy`.
 
     Scale shape: pairwise comparison happens only inside k-means cells
     — an equi-join on cluster id, sum-of-squared-cell-sizes
@@ -429,6 +430,100 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
             F.col(id_col),
             F.col("cluster").cast("long").alias("cluster"),
             F.col("__dropped__").isNull().alias("is_kept"),
+        )
+    )
+
+
+def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
+                          nlist: int = 16, seed: int = 42,
+                          sample_size: int = 4096,
+                          max_rounds: int = 8,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup with the paper's EXACT sequential-greedy keep-set
+    (Abbas et al. 2023): scan ids ascending; keep a vector iff it has
+    no already-KEPT lower-id neighbour with cosine >= `threshold` in
+    its cluster.  On a transitive chain A~B, B~C, A!~C this keeps A
+    and C (B's removal un-blocks C) where the one-pass
+    :func:`semantic_dedup` rule drops both B and C.
+
+    The sequential scan distributes as bounded fixed-point rounds: a
+    vector is DECIDABLE once all its lower-id neighbours are decided,
+    and then kept iff none of them was kept.  Round 1 decides every
+    vector with no lower-id neighbour; each later round decides the
+    next constraint-chain level.  `max_rounds` bounds the iteration —
+    vectors still undecided at the cap (constraint chains deeper than
+    `max_rounds`, which needs that many MUTUALLY-near vectors in one
+    cell) are conservatively DROPPED, keeping the semantics a pure
+    function of the input on every engine: the SQL oracle unrolls the
+    same rounds and agrees bit-for-bit by construction.
+
+    Scale shape: one within-cluster equi-join builds the (higher,
+    lower) neighbour edge list; each round is one edge join + one
+    map-side-combinable groupBy on bounded rows, with
+    ``localCheckpoint`` truncating lineage.  Early-exits when nothing
+    is left undecided.  Returns ``(id, cluster, is_kept)``.
+    """
+    assigned = _kmeans_assigned(corpus, nlist, seed, sample_size,
+                                id_col, vec_col) \
+        .select(F.col(id_col).alias("__id__"), "cluster", vec_col) \
+        .localCheckpoint(eager=True)
+    left = assigned.select(
+        F.col("cluster"), F.col("__id__").alias("id_a"),
+        F.col(vec_col).alias("__avec__"))
+    right = assigned.select(
+        F.col("cluster"), F.col("__id__").alias("id_b"),
+        F.col(vec_col).alias("__bvec__"))
+    cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
+        _norm(F.col("__avec__")) * _norm(F.col("__bvec__"))
+    )
+    # (v, u): u is a lower-id near neighbour constraining v
+    edges = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias("v"), F.col("id_a").alias("u"))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("v").agg(F.count(F.lit(1)).alias("__deg__"))
+
+    # round 1: unconstrained vectors are kept
+    decided = (
+        assigned.select(F.col("__id__").alias("v"))
+        .join(deg, "v", "left_anti")
+        .withColumn("kept", F.lit(True))
+        .localCheckpoint(eager=True)
+    )
+    n_total = assigned.count()
+    n_decided = decided.count()
+    for _ in range(max_rounds - 1):
+        if n_decided >= n_total:
+            break  # fixed point: everything decided
+        progress = (
+            edges.join(decided, edges.u == decided.v)
+            .select(edges.v.alias("v"),
+                    F.col("kept").cast("int").alias("k"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("__dec__"),
+                 F.sum("k").alias("__kept_nbrs__"))
+            .join(deg, "v")
+            .filter(F.col("__dec__") == F.col("__deg__"))
+            .join(decided.select(F.col("v").alias("__done__")),
+                  F.col("v") == F.col("__done__"), "left_anti")
+            .select("v", (F.col("__kept_nbrs__") == 0).alias("kept"))
+        )
+        decided = decided.union(progress).localCheckpoint(eager=False)
+        new_count = decided.count()
+        if new_count == n_decided:
+            break  # stalled: remaining chains exceed the round cap
+        n_decided = new_count
+    return (
+        assigned.join(decided,
+                      assigned.__id__ == decided.v, "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(F.col("kept"), F.lit(False)).alias("is_kept"),
         )
     )
 

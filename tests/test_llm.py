@@ -1878,3 +1878,111 @@ class TestCorpusCuration:
         got = sorted((r.source, r.doc_id) for r in out.collect())
         # d1: two largest n_chars (ids 3, 4); d2: tie -> lowest ids
         assert got == [("d1", 3), ("d1", 4), ("d2", 10), ("d2", 11)]
+
+
+class TestSemanticDedupGreedy:
+    def test_transitive_chain_keeps_endpoints(self, spark):
+        """A~B, B~C, A!~C: sequential greedy keeps A and C; the
+        one-pass rule keeps only A — the advisor-flagged distinction."""
+        import math
+
+        from cubes_spark.llm import semantic_dedup, semantic_dedup_greedy
+
+        a = [1.0, 0.0]
+        b = [0.9, math.sqrt(1 - 0.81)]
+        th_c = math.atan2(b[1], b[0]) + math.acos(0.9)
+        c = [math.cos(th_c), math.sin(th_c)]
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)],
+            "vec_id long, embedding array<double>")
+        greedy = {r.vec_id: r.is_kept for r in semantic_dedup_greedy(
+            df, threshold=0.85, nlist=1).collect()}
+        assert greedy == {1: True, 2: False, 3: True}
+        onepass = {r.vec_id: r.is_kept for r in semantic_dedup(
+            df, threshold=0.85, nlist=1).collect()}
+        assert onepass == {1: True, 2: False, 3: False}
+
+    def test_matches_bruteforce_sequential_greedy(self, spark):
+        """Random vectors at a permissive threshold vs the literal
+        paper algorithm (ascending-id scan over the kept set) computed
+        per cluster in plain Python."""
+        import random
+
+        import numpy as np
+
+        from cubes_spark.llm import semantic_dedup_greedy
+        from cubes_spark.llm.similarity import _kmeans_assigned
+
+        rng = random.Random(7)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(8)])
+                for i in range(120)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        threshold, nlist = 0.5, 4
+        out = {r.vec_id: r.is_kept for r in semantic_dedup_greedy(
+            df, threshold=threshold, nlist=nlist,
+            sample_size=100).collect()}
+
+        clusters = {r.vec_id: r.cluster for r in _kmeans_assigned(
+            df, nlist, 42, 100, "vec_id", "embedding").collect()}
+        vecs = {i: np.asarray(v) for i, v in rows}
+
+        def cos(x, y):
+            return float(vecs[x] @ vecs[y]
+                         / (np.linalg.norm(vecs[x])
+                            * np.linalg.norm(vecs[y])))
+
+        lower = {v: [u for u in vecs if u < v
+                     and clusters[u] == clusters[v]
+                     and cos(u, v) >= threshold]
+                 for v in vecs}
+
+        # the literal paper scan (unbounded)
+        seq = {}
+        for vid in sorted(vecs):
+            seq[vid] = not any(seq[u] for u in lower[vid])
+
+        # the operator's bounded-round completion: emulate the same
+        # decidability rounds (max_rounds=8 default), undecided->drop
+        decided: dict = {}
+        for vid in vecs:
+            if not lower[vid]:
+                decided[vid] = True
+        for _ in range(7):
+            snapshot = dict(decided)  # rounds see the previous round
+            for vid in sorted(vecs):
+                if vid not in snapshot and all(
+                        u in snapshot for u in lower[vid]):
+                    decided[vid] = not any(
+                        snapshot[u] for u in lower[vid])
+        expect = {v: decided.get(v, False) for v in vecs}
+        assert out == expect
+        # the cap only DROPS relative to the unbounded scan, never
+        # wrongly keeps — and agrees wherever a decision was reached
+        for v in vecs:
+            if v in decided:
+                assert expect[v] == seq[v]
+            else:
+                assert expect[v] is False
+
+    def test_round_cap_drops_deep_chains(self, spark):
+        """A strict decreasing-id constraint chain longer than
+        max_rounds: undecided vectors at the cap are dropped (the
+        documented conservative completion)."""
+        import math
+
+        from cubes_spark.llm import semantic_dedup_greedy
+
+        # chain 1~2~3~4~5, consecutive cosine ~0.9, others below
+        step = math.acos(0.9)
+        rows = [(i + 1, [math.cos(i * step), math.sin(i * step)])
+                for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        full = {r.vec_id: r.is_kept for r in semantic_dedup_greedy(
+            df, threshold=0.85, nlist=1, max_rounds=8).collect()}
+        assert full == {1: True, 2: False, 3: True, 4: False, 5: True}
+        capped = {r.vec_id: r.is_kept for r in semantic_dedup_greedy(
+            df, threshold=0.85, nlist=1, max_rounds=3).collect()}
+        # rounds 1..3 decide ids 1,2,3; 4 and 5 hit the cap -> dropped
+        assert capped == {1: True, 2: False, 3: True,
+                          4: False, 5: False}

@@ -44,7 +44,9 @@ def create_server(workspace: Workspace,
                   authorizer: Optional[Authorizer] = None,
                   json_record_limit: int = 1000,
                   authenticator: Any = None,
-                  request_logger: Any = None) -> Flask:
+                  request_logger: Any = None,
+                  visualizer: Optional[str] = None,
+                  allow_cors_origin: Optional[str] = None) -> Flask:
     """Flask app serving the slicer API for `workspace`.
 
     ``authenticator`` is an ``Authenticator`` instance or a method name
@@ -60,6 +62,8 @@ def create_server(workspace: Workspace,
     app.config["json_record_limit"] = json_record_limit
     app.config["authenticator"] = create_authenticator(authenticator)
     app.config["request_logger"] = request_logger
+    app.config["visualizer"] = visualizer
+    app.config["allow_cors_origin"] = allow_cors_origin
     app.register_blueprint(slicer)
     return app
 
@@ -275,6 +279,50 @@ def show_index() -> Response:
         "</body></html>",
     ])
     return Response(body, mimetype="text/html")
+
+
+@slicer.route("/logout")
+def logout() -> Any:
+    """Delegate to the authenticator (parity: reference
+    blueprint.py:591-596) — plain-text for stateless methods, a 401 +
+    WWW-Authenticate re-prompt for HTTP Basic variants."""
+    authenticator: Authenticator = current_app.config["authenticator"]
+    try:
+        identity = _identity()
+    except NotAuthenticated:
+        identity = None
+    return authenticator.logout(request, identity)
+
+
+@slicer.route("/visualizer/")
+@slicer.route("/visualizer/index.html")
+def get_visualizer() -> Response:
+    """Redirect to the configured visualizer URL (parity: reference
+    blueprint.py:599-607)."""
+    from flask import redirect
+
+    viz = current_app.config.get("visualizer")
+    if viz:
+        return redirect(viz)
+    return _json({"error": "not_found",
+                  "message": "Visualizer not configured"}, 404)
+
+
+@slicer.after_request
+def _add_cors_headers(response: Response) -> Response:
+    """CORS headers when allow_cors_origin is configured (parity:
+    reference blueprint.py:609-625)."""
+    origin = current_app.config.get("allow_cors_origin")
+    if origin:
+        if request.method == "OPTIONS":
+            response.headers["Access-Control-Allow-Headers"] = \
+                "X-Requested-With"
+            response.headers["Access-Control-Allow-Origin"] = \
+                request.headers.get("Origin", origin) \
+                if origin == "*" else origin
+        else:
+            response.headers["Access-Control-Allow-Origin"] = origin
+    return response
 
 
 @slicer.route("/info")

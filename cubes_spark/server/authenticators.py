@@ -42,6 +42,12 @@ class Authenticator:
     def authenticate(self, request: Any) -> Optional[str]:
         raise NotImplementedError
 
+    def logout(self, request: Any, identity: Optional[str]) -> Any:
+        """Response ending the session (parity: reference
+        server/auth.py:25-26; basic-auth variants override to force a
+        credential re-prompt)."""
+        return "logged out"
+
     def info_dict(self, request: Any) -> dict:
         return {"username": self.authenticate(request)}
 
@@ -69,6 +75,16 @@ class PassParameterAuthenticator(Authenticator):
                 or request.headers.get("X-Identity"))
 
 
+def _basic_auth_logout(realm: str, request: Any) -> Any:
+    """401 + WWW-Authenticate: the only portable way to make a browser
+    forget HTTP Basic credentials (parity: server/auth.py:34-42)."""
+    from flask import Response
+
+    return Response("logged out", status=401,
+                    headers={"WWW-Authenticate":
+                             f'Basic realm="{realm}"'})
+
+
 class HTTPBasicProxyAuthenticator(Authenticator):
     """Assumes an authenticating reverse proxy already verified HTTP
     Basic credentials; passes the username through as identity without
@@ -80,6 +96,9 @@ class HTTPBasicProxyAuthenticator(Authenticator):
                  header: Optional[str] = None, **options: Any):
         self.realm = realm or "Default"
         self.header = header or "X-Forwarded-User"
+
+    def logout(self, request: Any, identity: Optional[str]) -> Any:
+        return _basic_auth_logout(self.realm, request)
 
     def authenticate(self, request: Any) -> str:
         auth = request.authorization
@@ -99,6 +118,9 @@ class AdminAdminAuthenticator(Authenticator):
 
     def __init__(self, realm: Optional[str] = None, **options: Any):
         self.realm = realm or "Default"
+
+    def logout(self, request: Any, identity: Optional[str]) -> Any:
+        return _basic_auth_logout(self.realm, request)
 
     def authenticate(self, request: Any) -> str:
         auth = request.authorization

@@ -403,8 +403,15 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
         json_record_limit=server_config.get("json_record_limit", 1000),
         authenticator=authenticator,
         request_logger=request_logger,
+        visualizer=server_config.get("visualizer"),
+        allow_cors_origin=server_config.get("allow_cors_origin"),
     )
-    app.run(host=args.host, port=args.port, debug=args.debug)
+    # [server] host/port from a slicer.ini apply unless flags override
+    host = args.host if args.host != "127.0.0.1" \
+        else server_config.get("host", args.host)
+    port = args.port if args.port != 5000 \
+        else int(server_config.get("port", args.port))
+    app.run(host=host, port=port, debug=args.debug)
     return 0
 
 

@@ -438,3 +438,42 @@ def test_html_cross_table_format(client):
     text = resp.get_data(as_text=True)
     assert text.startswith("<table")
     assert "<th>A</th>" in text or "<th>R</th>" in text
+
+
+def test_logout_default_and_basic(spark):
+    from cubes_spark.demo import tpch_workspace
+    from cubes_spark.server import create_server
+    from tests.conftest import SF_DIR
+
+    ws = tpch_workspace(spark, SF_DIR)
+    # default (pass_parameter): plain-text logout
+    c = create_server(ws).test_client()
+    resp = c.get("/logout")
+    assert resp.status_code == 200
+    assert b"logged out" in resp.data
+    # admin_admin (HTTP Basic): 401 + WWW-Authenticate to clear creds
+    c = create_server(ws, authenticator="admin_admin").test_client()
+    resp = c.get("/logout")
+    assert resp.status_code == 401
+    assert resp.headers["WWW-Authenticate"].startswith("Basic")
+
+
+def test_visualizer_redirect_and_cors(spark):
+    from cubes_spark.demo import tpch_workspace
+    from cubes_spark.server import create_server
+    from tests.conftest import SF_DIR
+
+    ws = tpch_workspace(spark, SF_DIR)
+    app = create_server(ws, visualizer="http://viz.example/x",
+                        allow_cors_origin="*")
+    c = app.test_client()
+    resp = c.get("/visualizer/")
+    assert resp.status_code == 302
+    assert resp.headers["Location"] == "http://viz.example/x"
+    resp = c.get("/version")
+    assert resp.headers["Access-Control-Allow-Origin"] == "*"
+    # not configured -> 404
+    c2 = create_server(ws).test_client()
+    assert c2.get("/visualizer/index.html").status_code == 404
+    assert "Access-Control-Allow-Origin" not in \
+        c2.get("/version").headers

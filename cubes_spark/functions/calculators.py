@@ -117,8 +117,38 @@ CALCULATOR_LABELS = {
 }
 
 
+def register_calculator(name: str,
+                        builder: Callable[[Column, WindowSpec], Column],
+                        label: Optional[str] = None) -> None:
+    """Register a window calculator programmatically (the in-process
+    analog of a ``cubes_spark.calculator`` entry point)."""
+    CALCULATED_AGGREGATIONS[name] = builder
+    if label:
+        CALCULATOR_LABELS[name] = label
+
+
+_entry_points_loaded = False
+
+
+def load_entry_point_calculators() -> None:
+    """Merge ``cubes_spark.calculator`` entry points into the registry
+    (parity: reference ext.py finder loading; idempotent).  Called
+    lazily from every lookup path so an installed package's
+    calculators work without an explicit import."""
+    global _entry_points_loaded
+    if _entry_points_loaded:
+        return
+    _entry_points_loaded = True
+    from cubes_spark import ext
+
+    for name in ext.calculator.names():
+        if name not in CALCULATED_AGGREGATIONS:
+            CALCULATED_AGGREGATIONS[name] = ext.calculator.factory(name)
+
+
 def available_calculators() -> list:
-    """Parity: statutils.py:231-233."""
+    """Parity: statutils.py:231-233 (registry + entry points)."""
+    load_entry_point_calculators()
     return list(CALCULATED_AGGREGATIONS.keys())
 
 
@@ -127,6 +157,7 @@ def calculators_for_aggregates(cube: Any, aggregates: Sequence,
                                split: Any = None) -> list:
     """Return (aggregate, source_ref, function_name, window_size) specs
     for post-calculated aggregates (parity: statutils.py:19-52)."""
+    load_entry_point_calculators()
     specs = []
     for aggregate in aggregates:
         if aggregate.function in CALCULATED_AGGREGATIONS:

@@ -50,6 +50,10 @@ def fake_dist(tmp_path, monkeypatch):
 
         def geometric_sum(column, **kwargs):
             return F.exp(F.sum(F.log(column)))
+
+
+        def smax_calculator(source, window_spec):
+            return F.max(source).over(window_spec)
     """))
     dist_info = site / "fake_ext-1.0.dist-info"
     dist_info.mkdir()
@@ -64,18 +68,29 @@ def fake_dist(tmp_path, monkeypatch):
 
         [cubes_spark.aggregate_function]
         geometric_sum = fake_ext_mod:geometric_sum
+
+        [cubes_spark.calculator]
+        smax = fake_ext_mod:smax_calculator
     """))
     (dist_info / "RECORD").write_text("")
     monkeypatch.syspath_prepend(str(site))
     # finders cache discovery; reset the module-level ones under test
     fresh = {}
-    for name in ("formatter", "authenticator", "aggregate_function"):
+    from cubes_spark.functions import calculators as _calcmod
+
+    monkeypatch.setattr(_calcmod, "_entry_points_loaded", False)
+    _calc_keys = set(_calcmod.CALCULATED_AGGREGATIONS)
+    for name in ("formatter", "authenticator", "aggregate_function",
+                 "calculator"):
         finder = ext.ExtensionFinder(name)
         fresh[name] = finder
         monkeypatch.setattr(ext, name, finder)
         monkeypatch.setitem(ext._FINDERS, name, finder)
     yield fresh
     sys.modules.pop("fake_ext_mod", None)
+    # lazy loads mutate the registry dict itself; drop what we added
+    for key in set(_calcmod.CALCULATED_AGGREGATIONS) - _calc_keys:
+        del _calcmod.CALCULATED_AGGREGATIONS[key]
 
 
 def test_builtin_names_and_create():
@@ -160,3 +175,21 @@ def test_finder_lookup_unknown_type():
 
     with pytest.raises(ArgumentError):
         ext.finder("wormhole")
+
+
+def test_entry_point_calculator(fake_dist, spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cubes_spark.functions.calculators import (
+        CALCULATED_AGGREGATIONS,
+        available_calculators,
+    )
+
+    assert "smax" in available_calculators()
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 3.0), (3, 9.0)], "t long, v double")
+    w = Window.orderBy("t").rowsBetween(-1, 0)
+    out = df.withColumn(
+        "m", CALCULATED_AGGREGATIONS["smax"](F.col("v"), w))
+    assert [r.m for r in out.orderBy("t").collect()] == [5.0, 5.0, 9.0]

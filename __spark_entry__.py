@@ -3225,6 +3225,20 @@ def q_emb_semdedup_greedy(spark, sf_dir):
     )
 
 
+
+def q_doc_tfidf(spark, sf_dir):
+    """Per-document TF-IDF keywords: top-5 terms by tf * smoothed-IDF
+    with deterministic ties (cubes_spark/llm/text.py:tfidf_keywords).
+    The oracle recomputes tf, df, N and ln((N+1)/(df+1)) in SQL —
+    float-exact because both engines compute the same double
+    expression."""
+    from cubes_spark.llm import tfidf_keywords
+
+    docs = _table(spark, sf_dir, "documents")
+    out = tfidf_keywords(docs, top_k=5)
+    return _lng(out, "doc_id", "tf", "rank")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3398,7 +3412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "doc_domain_cap": q_doc_domain_cap,
-        "emb_semdedup_greedy": q_emb_semdedup_greedy,    }
+        "emb_semdedup_greedy": q_emb_semdedup_greedy,
+        "doc_tfidf": q_doc_tfidf,    }
 
 
 # -- oracle SQL -------------------------------------------------------------
@@ -3883,6 +3898,33 @@ def oracle_sql() -> dict[str, str]:
             CAST(row_number() OVER (PARTITION BY hv % 8
                 ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS position
         FROM h"""
+
+
+    # TF-IDF: same tf / df / smoothed-idf doubles, same rank window
+    sql["doc_tfidf"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term),
+        docfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf,
+            round(CAST(tf AS DOUBLE)
+                  * ln((n.n_docs + 1) / CAST(df + 1 AS DOUBLE)), 6)
+                AS score,
+            CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                row_number() OVER (PARTITION BY t.doc_id
+                    ORDER BY CAST(t.tf AS DOUBLE)
+                        * ln(((SELECT n_docs FROM n) + 1)
+                             / CAST(d.df + 1 AS DOUBLE)) DESC,
+                        t.term ASC) AS rank
+            FROM tf t JOIN docfreq d USING (term)
+        ) ranked, n
+        WHERE rank <= 5"""
 
     sql["doc_domain_cap"] = """
         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars

@@ -745,3 +745,49 @@ def cap_per_domain(df: DataFrame, domain_col: str = "source",
         .filter(F.col("__rank__") <= max_per_domain)
         .drop("__rank__")
     )
+
+
+def tfidf_keywords(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   top_k: int = 5) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: the ``top_k`` terms
+    with the highest ``tf × ln((N + 1) / (df + 1))`` (smoothed IDF,
+    never negative or divide-by-zero), deterministic ties by term.
+
+    The classic corpus-statistics pass of document analytics and of
+    quality/topicality features for training-data curation.  Shuffle
+    shape: one exchange keyed by term builds document frequencies
+    (map-side combinable count-distinct by (term, doc) pre-group),
+    one broadcast of the scalar corpus size, one exchange back to
+    (doc, term) scoring + a rank window keyed by the document.  No
+    driver-side loops: N is the only collected scalar.
+
+    Returns ``(id, term, tf, score, rank)`` with ``rank`` 1..top_k.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(token_array(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__df__"))
+    n_docs = df.count()
+    scored = (
+        tf.join(docfreq, "term")
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs + 1)))
+                    / (F.col("__df__") + F.lit(1)).cast("double")))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf",
+                F.round("score", 6).alias("score"), "rank")
+    )

@@ -1986,3 +1986,26 @@ class TestSemanticDedupGreedy:
         # rounds 1..3 decide ids 1,2,3; 4 and 5 hit the cap -> dropped
         assert capped == {1: True, 2: False, 3: True,
                           4: False, 5: False}
+
+
+def test_tfidf_keywords(spark):
+    from cubes_spark.llm import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "spark spark rare common"),
+         (2, "common other words here"),
+         (3, "common third doc text")],
+        "doc_id long, text string")
+    out = tfidf_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf))
+    # doc 1: 'spark' (tf=2, df=1) dominates; 'common' (df=3) scores
+    # ln(4/4)=0 so 'rare' (df=1) is second
+    assert sorted(by_doc[1]) == [(1, "spark", 2), (2, "rare", 1)]
+    # every doc yields exactly top_k rows with ranks 1..k
+    assert all(sorted(x[0] for x in v) == [1, 2]
+               for v in by_doc.values())
+    # deterministic under repartition
+    again = tfidf_keywords(df.repartition(3), top_k=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

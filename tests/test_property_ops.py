@@ -139,3 +139,67 @@ class TestAhashProperty:
                     + palette + rows)
 
         assert ahash_bytes(bmp(0)) == ahash_bytes(bmp(shift))
+
+
+class TestLineDedupProperty:
+    @given(docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=9)
+        .map(lambda ws: " ".join(f"w{c}" for c in ws)),
+        min_size=1, max_size=12))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_invariants(self, spark, docs):
+        from cubes_spark.llm import line_dedup
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string")
+        rows = line_dedup(df, line_tokens=3).collect()
+        assert len(rows) == len(docs)
+        # invariant 1: kept <= total per doc; totals = ceil(len/3)
+        for r in rows:
+            toks = docs[r.doc_id].split()
+            expect_lines = max(1, -(-len(toks) // 3))
+            assert r.n_lines == expect_lines
+            assert 0 <= r.n_lines_kept <= r.n_lines
+        # invariant 2: across the corpus every kept line text is
+        # globally unique, and equals the set of all distinct lines
+        def lines_of(text):
+            toks = text.split()
+            n = max(1, -(-len(toks) // 3))
+            return [" ".join(toks[i * 3:(i + 1) * 3])
+                    for i in range(n)]
+
+        kept_lines = []
+        for r in rows:
+            if r.cleaned_text:
+                kept_lines += lines_of(" ".join(
+                    r.cleaned_text.split()))
+        all_lines = {ln for d in docs for ln in lines_of(d)}
+        # kept empty-string lines vanish in reassembly; compare
+        # non-empty distinct lines
+        assert sorted(x for x in kept_lines if x) \
+            == sorted(x for x in all_lines if x)
+
+
+class TestShuffleShardsProperty:
+    @given(n=st.integers(min_value=0, max_value=300),
+           shards=st.integers(min_value=1, max_value=9),
+           seed=st.text(alphabet="xyz", min_size=1, max_size=3))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_permutation(self, spark, n, shards, seed):
+        from cubes_spark.llm import shuffle_shards
+
+        df = spark.range(n).withColumnRenamed("id", "doc_id")
+        out = shuffle_shards(df, num_shards=shards,
+                             seed=seed).collect()
+        # a permutation: every input id exactly once
+        assert sorted(r.doc_id for r in out) == list(range(n))
+        # dense positions per shard
+        by_shard: dict = {}
+        for r in out:
+            assert 0 <= r.shard < shards
+            by_shard.setdefault(r.shard, []).append(r.position)
+        for positions in by_shard.values():
+            assert sorted(positions) == list(
+                range(1, len(positions) + 1))

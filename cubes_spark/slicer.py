@@ -139,9 +139,8 @@ def _config_from_ini(parser: configparser.ConfigParser,
         if section.startswith("store_"):
             extra_stores[section[6:]] = _store_entry(section)
     if extra_stores:
-        # recorded for introspection; the engine browses the default
-        # store (single-SparkSession design — every parquet directory
-        # is reachable through one session, unlike per-DB connections)
+        # registered on the workspace: a cube's `store` metadata
+        # selects one by name (one SparkSession reads them all)
         config["stores"] = extra_stores
 
     # -- models: [model] path (undepreciated) + [models] items
@@ -241,6 +240,10 @@ def build_workspace(config: dict, spark: Any = None):
         store=config.get("store"),
         naming=config.get("naming"),
     )
+    # named [store_NAME] sections: cubes select one via their `store`
+    # metadata (parity: reference workspace store registry)
+    for name, info in (config.get("stores") or {}).items():
+        workspace.register_store(name, info)
     model = config.get("model")
     if model:
         workspace.import_model(model)
@@ -403,7 +406,8 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
         json_record_limit=server_config.get("json_record_limit", 1000),
         authenticator=authenticator,
         request_logger=request_logger,
-        visualizer=server_config.get("visualizer"),
+        visualizer=getattr(args, "visualizer", None)
+        or server_config.get("visualizer"),
         allow_cors_origin=server_config.get("allow_cors_origin"),
     )
     # [server] host/port from a slicer.ini apply unless flags override
@@ -605,6 +609,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--visualizer", default=None,
+                   help="visualizer URL served at /visualizer/ "
+                        "(parity: reference `slicer serve "
+                        "--visualizer`)")
 
     p = sub.add_parser("dedup",
                        help="near-duplicate clustering of a table")

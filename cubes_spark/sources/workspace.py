@@ -287,11 +287,42 @@ class Workspace:
         self._tables: Dict[str, DataFrame] = {}
         self._table_expressions: Dict[str, str] = {}
         self.store: Optional[ParquetStore] = None
+        #: named stores beyond the default (parity: reference
+        #: workspace.py store_infos / get_store; a cube's ``store``
+        #: metadata selects one by name, "default" = self.store)
+        self.stores: Dict[str, ParquetStore] = {}
 
         if store is not None:
             self.set_store(store)
         if model is not None:
             self.import_model(model)
+
+    def register_store(self, name: str, store: Any) -> None:
+        """Register a named store (path or ParquetStore).  ``default``
+        replaces the default store (parity: reference
+        workspace.py:308-340 _register_store_dict)."""
+        if isinstance(store, str):
+            store = ParquetStore(self.spark, store, self.naming)
+        elif isinstance(store, dict):
+            store = ParquetStore(self.spark, store["path"], self.naming)
+        if not isinstance(store, ParquetStore):
+            raise ArgumentError(f"Unknown store: {store!r}")
+        if name == "default":
+            self.store = store
+        else:
+            self.stores[name] = store
+
+    def get_store(self, name: Optional[str] = None) -> ParquetStore:
+        if name in (None, "default"):
+            if self.store is None:
+                raise StoreError("No default store configured")
+            return self.store
+        try:
+            return self.stores[name]
+        except KeyError:
+            raise StoreError(
+                f"Unknown store '{name}' "
+                f"(registered: {sorted(self.stores)})")
 
     # -- stores / tables ---------------------------------------------------
 
@@ -317,12 +348,21 @@ class Workspace:
         the expression push into the parquet scan like any view."""
         self._table_expressions[name] = sql
 
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, store: Optional[str] = None) -> DataFrame:
+        """Resolve a table: registered DataFrames and expressions
+        first, then the selected store (``store`` names a registered
+        store; default otherwise)."""
         if name in self._tables:
             return self._tables[name]
         if name in self._table_expressions:
             self._tables[name] = self._eval_table_expression(name)
             return self._tables[name]
+        if store not in (None, "default"):
+            named = self.get_store(store)
+            if name in named:
+                return named.table(name)
+            raise StoreError(
+                f"Unknown table '{name}' in store '{store}'")
         if self.store is not None and name in self.store:
             return self.store.table(name)
         raise StoreError(f"Unknown table '{name}'")
@@ -370,7 +410,8 @@ class Workspace:
                     names.add(parts[-2])
             elif isinstance(mapping, dict) and mapping.get("table"):
                 names.add(mapping["table"])
-        return {name: self.table(name) for name in names if name not in aliases}
+        return {name: self.table(name, store=cube.store)
+                for name in names if name not in aliases}
 
     # -- model -------------------------------------------------------------
 

@@ -224,3 +224,46 @@ class TestParquetTimestampProvenance:
                            store_schema=False)
 
         self._roundtrip(spark, tmp_path, writer)
+
+
+def test_named_store_per_cube(spark, tmp_path):
+    """A cube whose `store` metadata names a registered store browses
+    that store's tables; other cubes keep the default store (parity:
+    reference multi-store workspaces, [store_NAME] config sections)."""
+    import pytest as _pytest
+
+    from cubes_spark.errors import StoreError
+    from cubes_spark.sources.workspace import Workspace
+
+    main_dir = tmp_path / "main"
+    archive_dir = tmp_path / "arch"
+    spark.createDataFrame([(1, "m", 10)], "id long, tag string, v long") \
+        .write.parquet(str(main_dir / "facts.parquet"))
+    spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 200)],
+        "id long, tag string, v long") \
+        .write.parquet(str(archive_dir / "facts.parquet"))
+
+    model = {"cubes": [
+        {"name": "current", "fact": "facts",
+         "measures": [{"name": "v"}],
+         "aggregates": [{"name": "v_sum", "measure": "v",
+                         "function": "sum"}]},
+        {"name": "history", "fact": "facts", "store": "archive",
+         "measures": [{"name": "v"}],
+         "aggregates": [{"name": "v_sum", "measure": "v",
+                         "function": "sum"}]},
+    ]}
+    ws = Workspace(spark, store=str(main_dir), model=model)
+    ws.register_store("archive", str(archive_dir))
+
+    assert ws.browser("current").aggregate(
+        aggregates=["v_sum"]).summary["v_sum"] == 10
+    assert ws.browser("history").aggregate(
+        aggregates=["v_sum"]).summary["v_sum"] == 300
+    # unknown store name fails loudly
+    ws.import_model({"cubes": [
+        {"name": "bad", "fact": "facts", "store": "nope",
+         "measures": [{"name": "v"}]}]})
+    with _pytest.raises(StoreError, match="nope"):
+        ws.browser("bad").aggregate()

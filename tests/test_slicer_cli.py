@@ -316,3 +316,35 @@ default: {trans}
     assert config["store"] == SF_DIR
     assert config["stores"]["archive"]["path"] == SF_DIR
     assert config["translations"]["sk"]["default"] == str(trans)
+
+
+def test_ini_named_store_browsable(tmp_path, spark):
+    """[store_NAME] sections are functional: a cube selecting the
+    named store via its `store` metadata browses that directory."""
+    from cubes_spark.slicer import build_workspace, read_slicer_config
+
+    arch = tmp_path / "arch"
+    spark.createDataFrame([(1, 7), (2, 8)], "id long, v long") \
+        .write.parquet(str(arch / "numbers.parquet"))
+    model = tmp_path / "model.json"
+    model.write_text(json.dumps({"cubes": [
+        {"name": "nums", "fact": "numbers", "store": "archive",
+         "measures": [{"name": "v"}],
+         "aggregates": [{"name": "v_sum", "measure": "v",
+                         "function": "sum"}]}]}))
+    ini = tmp_path / "slicer.ini"
+    ini.write_text(f"""
+[store]
+type: spark
+path: {SF_DIR}
+
+[store_archive]
+type: spark
+path: {arch}
+
+[model]
+path: {model}
+""")
+    ws = build_workspace(read_slicer_config(str(ini)), spark)
+    assert ws.browser("nums").aggregate(
+        aggregates=["v_sum"]).summary["v_sum"] == 15

@@ -3239,6 +3239,34 @@ def q_doc_tfidf(spark, sf_dir):
     return _lng(out, "doc_id", "tf", "rank")
 
 
+
+def q_doc_embed(spark, sf_dir):
+    """Feature-hashing document embeddings (hashing trick): token ->
+    +/-1 on component hash64(token) mod dim, L2-normalized — the
+    in-engine text->vector step that feeds the ANN / semantic-dedup
+    family (cubes_spark/llm/text.py:feature_hash_embed).  The oracle
+    replays both md5-derived hashes and the same fold in SQL; compared
+    via the rounded vector component at doc_id mod dim plus the exact
+    count of non-zero components."""
+    from cubes_spark.llm import feature_hash_embed
+
+    docs = _table(spark, sf_dir, "documents")
+    out = feature_hash_embed(docs, dim=16)
+    comp = (F.col("doc_id") % 16).cast("int")
+    return _lng(
+        out.select(
+            "doc_id",
+            F.round(F.element_at("embedding", comp + 1), 6)
+            .alias("probe_component"),
+            F.aggregate(
+                "embedding", F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.when(x != 0.0, 1).otherwise(0).cast("long"))
+            .alias("n_nonzero"),
+        ),
+        "doc_id", "n_nonzero")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3413,7 +3441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "doc_domain_cap": q_doc_domain_cap,
         "emb_semdedup_greedy": q_emb_semdedup_greedy,
-        "doc_tfidf": q_doc_tfidf,    }
+        "doc_tfidf": q_doc_tfidf,
+        "doc_embed": q_doc_embed,    }
 
 
 # -- oracle SQL -------------------------------------------------------------
@@ -3925,6 +3954,46 @@ def oracle_sql() -> dict[str, str]:
             FROM tf t JOIN docfreq d USING (term)
         ) ranked, n
         WHERE rank <= 5"""
+
+
+    # feature hashing: same two md5 hashes, same fold, same rounding
+    sql["doc_embed"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents),
+        contribs AS (
+            SELECT doc_id,
+                list_transform(t, x -> struct_pack(
+                    c := CAST(concat('0x', substr(md5(concat('feat:',
+                        x)), 1, 15)) AS BIGINT) % 16,
+                    s := CASE WHEN CAST(concat('0x',
+                        substr(md5(concat('feat#:', x)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END)) AS cs
+            FROM toks),
+        rawv AS (
+            SELECT doc_id,
+                list_transform(range(16), d ->
+                    list_sum(list_transform(cs, e ->
+                        CASE WHEN e.c = d THEN e.s ELSE 0.0 END)))
+                    AS raw
+            FROM contribs),
+        unitv AS (
+            SELECT doc_id,
+                sqrt(list_sum(list_transform(raw, x -> x * x)))
+                    AS nrm,
+                raw
+            FROM rawv)
+        SELECT doc_id,
+            round(CASE WHEN nrm > 0
+                  THEN raw[CAST(doc_id % 16 AS INT) + 1] / nrm
+                  ELSE raw[CAST(doc_id % 16 AS INT) + 1] END, 6)
+                AS probe_component,
+            CAST(len(list_filter(
+                CASE WHEN nrm > 0
+                     THEN list_transform(raw, x -> x / nrm)
+                     ELSE raw END,
+                x -> x != 0.0)) AS BIGINT) AS n_nonzero
+        FROM unitv"""
 
     sql["doc_domain_cap"] = """
         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars

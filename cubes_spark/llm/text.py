@@ -791,3 +791,65 @@ def tfidf_keywords(df: DataFrame, text_col: str = "text",
         .select(id_col, "term", "tf",
                 F.round("score", 6).alias("score"), "rank")
     )
+
+
+def feature_hash_embed(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       dim: int = 64,
+                       out_col: str = "embedding",
+                       seed: str = "feat") -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick,
+    Weinberger et al. 2009): each token adds ±1 to component
+    ``hash(token) mod dim``, sign from a second hash bit, then the
+    vector is L2-normalized.  Closes the text→vector loop inside the
+    engine: the output column feeds :mod:`cubes_spark.llm.similarity`
+    (cosine top-k, LSH/IVF ANN, k-means, SemDeDup) with no external
+    embedding model.
+
+    Deterministic and engine-portable (md5-derived hashes), and fully
+    JVM-side: one ``transform``/``aggregate`` fold per row over the
+    token array — no shuffle, no Python, scales with input partitions.
+    Empty documents yield the zero vector (norm guard).  Returns the
+    input plus ``out_col: array<double>``.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    toks = token_array(F.col(text_col))
+    # component and sign from two INDEPENDENT md5-derived hashes —
+    # deriving the sign from upper bits of the same hash would need
+    # integral division, which the lambda-level Column API only offers
+    # through doubles (loses bits above 2^53)
+    contribs = F.transform(
+        toks,
+        lambda t: F.struct(
+            (hash64(F.concat(F.lit(seed + ":"), t), nhex=15)
+             % dim).cast("int").alias("c"),
+            F.when(
+                hash64(F.concat(F.lit(seed + "#:"), t), nhex=8) % 2
+                == 0,
+                F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+        ))
+    # staged through NAMED columns: composing raw/norm/unit as one
+    # inline expression would re-evaluate the md5 fold once per
+    # component per consumer (an O(dim^2) blowup of the hash work);
+    # multiply-referenced aliases are not duplicated across projections
+    base_cols = [F.col(c) for c in df.columns]
+    staged = df.select(*base_cols, contribs.alias("__cs__"))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.aggregate(
+            F.col("__cs__"), F.lit(0.0),
+            lambda acc, x: acc + F.when(x["c"] == d, x["s"])
+            .otherwise(F.lit(0.0)),
+        ))
+    staged = staged.select(*base_cols, raw.alias("__raw__"))
+    norm = F.sqrt(F.aggregate(
+        F.col("__raw__"), F.lit(0.0), lambda acc, x: acc + x * x))
+    staged = staged.select(*base_cols, F.col("__raw__"),
+                           norm.alias("__norm__"))
+    unit = F.when(
+        F.col("__norm__") > 0,
+        F.transform(F.col("__raw__"),
+                    lambda x: x / F.col("__norm__"))) \
+        .otherwise(F.col("__raw__"))
+    return staged.select(*base_cols, unit.alias(out_col))

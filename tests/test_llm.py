@@ -2009,3 +2009,45 @@ def test_tfidf_keywords(spark):
     # deterministic under repartition
     again = tfidf_keywords(df.repartition(3), top_k=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+class TestFeatureHashEmbed:
+    def test_unit_norm_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        from cubes_spark.llm import feature_hash_embed
+
+        df = spark.createDataFrame(
+            [(1, "spark sql engine"), (2, ""), (3, "spark sql engine")],
+            "doc_id long, text string")
+        out = feature_hash_embed(df, dim=16)
+        rows = {r.doc_id: r.embedding for r in out.collect()}
+        import math
+
+        # L2 norm 1 for non-empty, zero vector for empty
+        assert math.isclose(
+            sum(x * x for x in rows[1]), 1.0, rel_tol=1e-9)
+        assert all(x == 0.0 for x in rows[2])
+        # identical text -> identical vector (and across partitioning)
+        assert rows[1] == rows[3]
+        again = {r.doc_id: r.embedding for r in
+                 feature_hash_embed(df.repartition(3),
+                                    dim=16).collect()}
+        assert again == rows
+
+    def test_feeds_semantic_dedup(self, spark):
+        """The closed loop: raw text -> feature-hash vectors ->
+        semantic dedup finds the near-duplicate pair."""
+        from cubes_spark.llm import feature_hash_embed, semantic_dedup
+
+        docs = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different subject matter entirely here"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        emb = feature_hash_embed(df, dim=32) \
+            .selectExpr("doc_id AS vec_id", "embedding")
+        out = {r.vec_id: r.is_kept for r in semantic_dedup(
+            emb, threshold=0.8, nlist=1).collect()}
+        assert out == {1: True, 2: False, 3: True}

@@ -835,13 +835,19 @@ def feature_hash_embed(df: DataFrame, text_col: str = "text",
     # multiply-referenced aliases are not duplicated across projections
     base_cols = [F.col(c) for c in df.columns]
     staged = df.select(*base_cols, contribs.alias("__cs__"))
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: F.aggregate(
-            F.col("__cs__"), F.lit(0.0),
-            lambda acc, x: acc + F.when(x["c"] == d, x["s"])
-            .otherwise(F.lit(0.0)),
-        ))
+    # ONE fold over the contribs with a dim-array accumulator: a
+    # per-component outer loop would re-evaluate the md5 work once per
+    # component (projection collapsing inlines __cs__ into the lambda,
+    # and higher-order lambdas re-evaluate per element) — measured as
+    # a constant ~10s at any scale before this shape
+    zero = F.array_repeat(F.lit(0.0), dim)
+    raw = F.aggregate(
+        F.col("__cs__"), zero,
+        lambda acc, x: F.transform(
+            acc,
+            lambda v, i: v + F.when(x["c"] == i, x["s"])
+            .otherwise(F.lit(0.0))),
+    )
     staged = staged.select(*base_cols, raw.alias("__raw__"))
     norm = F.sqrt(F.aggregate(
         F.col("__raw__"), F.lit(0.0), lambda acc, x: acc + x * x))

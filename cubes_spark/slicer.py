@@ -324,11 +324,23 @@ def cmd_validate(config: dict, args: argparse.Namespace,
 
 
 def cmd_test(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
-    """Smoke-test every cube's star (parity: commands.py `test`)."""
+    """Smoke-test every cube's star (parity: commands.py `test`,
+    including its --store / -E store include/exclude filters — useful
+    now that cubes can live on named stores)."""
     workspace = build_workspace(config)
     names = args.cube or [c["name"] for c in workspace.list_cubes()]
-    failures = 0
+    include = set(args.store or [])
+    exclude = set(args.exclude_store or [])
+    failures = tested = 0
     for name in names:
+        cube_store = workspace.cube(name).store or "default"
+        if include and cube_store not in include:
+            out.write(f"SKIP  {name} (store '{cube_store}')\n")
+            continue
+        if cube_store in exclude:
+            out.write(f"SKIP  {name} (store '{cube_store}')\n")
+            continue
+        tested += 1
         try:
             browser = workspace.browser(name)
             browser.test(aggregate=args.aggregate)
@@ -336,6 +348,7 @@ def cmd_test(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
         except Exception as exc:
             failures += 1
             out.write(f"FAIL  {name}: {exc}\n")
+    out.write(f"tested {tested} cubes, {failures} failed\n")
     return 1 if failures else 0
 
 
@@ -593,6 +606,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("cube", nargs="*", help="cubes to test (default: all)")
     p.add_argument("--aggregate", action="store_true",
                    help="also run a full aggregation")
+    p.add_argument("--store", action="append", default=None,
+                   help="only test cubes on this store (repeatable)")
+    p.add_argument("--exclude-store", "-E", dest="exclude_store",
+                   action="append", default=None,
+                   help="skip cubes on this store (repeatable)")
 
     p = sub.add_parser("denormalize", help="materialize denormalized star")
     p.add_argument("cube")

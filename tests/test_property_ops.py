@@ -203,3 +203,44 @@ class TestShuffleShardsProperty:
         for positions in by_shard.values():
             assert sorted(positions) == list(
                 range(1, len(positions) + 1))
+
+
+class TestFeatureHashEmbedProperty:
+    @given(texts=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta",
+                                  "epsilon"]),
+                 min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=8),
+        dim=st.sampled_from([4, 16, 33]))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_norm_and_stability(self, spark, texts, dim):
+        import math
+
+        from cubes_spark.llm import feature_hash_embed
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        rows = {r.doc_id: list(r.embedding) for r in
+                feature_hash_embed(df, dim=dim).collect()}
+        for i, text in enumerate(texts):
+            v = rows[i]
+            assert len(v) == dim
+            n2 = sum(x * x for x in v)
+            if text.strip():
+                # unit norm unless all contributions cancel exactly
+                assert (math.isclose(n2, 1.0, rel_tol=1e-9)
+                        or n2 == 0.0)
+            else:
+                assert n2 == 0.0
+        # identical text -> identical vector across rows
+        seen: dict = {}
+        for i, text in enumerate(texts):
+            if text in seen:
+                assert rows[i] == seen[text]
+            seen[text] = rows[i]
+        # partition invariance
+        again = {r.doc_id: list(r.embedding) for r in
+                 feature_hash_embed(df.repartition(3),
+                                    dim=dim).collect()}
+        assert again == rows

@@ -348,3 +348,28 @@ path: {model}
     ws = build_workspace(read_slicer_config(str(ini)), spark)
     assert ws.browser("nums").aggregate(
         aggregates=["v_sum"]).summary["v_sum"] == 15
+
+
+def test_cli_test_store_filters(tmp_path, spark):
+    """`slicer test --store/-E` include/exclude cubes by their store
+    (parity: reference commands.py test options)."""
+    arch = tmp_path / "arch"
+    spark.createDataFrame([(1, 5)], "id long, v long") \
+        .write.parquet(str(arch / "numbers.parquet"))
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "store": SF_DIR,
+        "stores": {"archive": {"path": str(arch)}},
+        "model": {"cubes": [
+            {"name": "sales", "fact": "lineitem",
+             "measures": [{"name": "l_quantity"}]},
+            {"name": "nums", "fact": "numbers", "store": "archive",
+             "measures": [{"name": "v"}]},
+        ]},
+    }))
+    code, text = run(str(cfg), "test", "--store", "archive")
+    assert code == 0
+    assert "OK    nums" in text and "SKIP  sales" in text
+    code, text = run(str(cfg), "test", "-E", "archive")
+    assert code == 0
+    assert "OK    sales" in text and "SKIP  nums" in text

@@ -3901,12 +3901,16 @@ def oracle_sql() -> dict[str, str]:
                                CAST(u.i * 20 + 20 AS BIGINT)),
                     ' ') AS line_text
             FROM nl, UNNEST(range(CAST(n AS BIGINT))) AS u(i)),
+        with_doc AS (
+            SELECT doc_id, line_idx, line_text,
+                MIN(doc_id) OVER (PARTITION BY line_text) AS min_doc
+            FROM lines),
         kept AS (
             SELECT doc_id, line_idx, line_text,
-                (doc_id * 1048576 + line_idx) = MIN(
-                    doc_id * 1048576 + line_idx)
+                doc_id = min_doc AND line_idx = MIN(
+                    CASE WHEN doc_id = min_doc THEN line_idx END)
                     OVER (PARTITION BY line_text) AS keep
-            FROM lines)
+            FROM with_doc)
         SELECT doc_id,
             CAST(COUNT(*) AS BIGINT) AS n_lines,
             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)

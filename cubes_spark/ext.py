@@ -148,8 +148,10 @@ class ExtensionFinder:
         self._discovered = False
 
     def discover(self) -> None:
-        """Scan installed distributions once per finder; registration
-        order: builtins < entry points < explicit register()."""
+        """Scan installed distributions once per finder; precedence:
+        explicit register() and entry points shadow builtins (get()
+        always discovers before falling back to a builtin, so
+        resolution does not depend on call order)."""
         if self._discovered:
             return
         self._discovered = True
@@ -168,15 +170,17 @@ class ExtensionFinder:
         return sorted(set(builtin) | set(self._extensions))
 
     def get(self, name: str) -> Extension:
+        # discover FIRST so resolution is deterministic: an entry
+        # point shadowing a builtin name always wins, regardless of
+        # whether names()/__contains__ happened to run earlier
+        # (precedence: register() == entry points > builtins)
+        self.discover()
         ext = self._extensions.get(name)
         if ext is None and name in _BUILTINS.get(self.type_, {}):
             ext = Extension(self.type_, name,
                             factory=_load_dotted(
                                 _BUILTINS[self.type_][name]))
             self._extensions[name] = ext
-        if ext is None:
-            self.discover()
-            ext = self._extensions.get(name)
         if ext is None:
             raise InternalError(
                 f"Unknown {self.type_} extension '{name}' "

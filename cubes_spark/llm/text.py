@@ -661,13 +661,25 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                     line_tokens),
             " ").alias("line_text"),
     )
-    # first occurrence by (doc, position): an integral order key keeps
-    # the window min portable to any SQL oracle (line_idx < 2^20 by
-    # construction at sane document sizes; guard anyway)
-    order_key = F.col(id_col) * F.lit(1 << 20) + F.col("line_idx")
+    # first occurrence by (doc, position) without packing both into
+    # one integer (a doc_id*K + line_idx key collides across documents
+    # once a document exceeds K lines, and raising K overflows long
+    # for large ids): two mins over the SAME partition — first the
+    # earliest document, then the earliest position within it — one
+    # shuffle, portable to any SQL oracle
     w = Window.partitionBy(F.col("line_text"))
-    kept = lines.withColumn(
-        "__keep__", order_key == F.min(order_key).over(w))
+    kept = (
+        lines
+        .withColumn("__min_doc__", F.min(id_col).over(w))
+        .withColumn(
+            "__min_idx__",
+            F.min(F.when(F.col(id_col) == F.col("__min_doc__"),
+                         F.col("line_idx"))).over(w))
+        .withColumn(
+            "__keep__",
+            (F.col(id_col) == F.col("__min_doc__"))
+            & (F.col("line_idx") == F.col("__min_idx__")))
+    )
     return (
         kept.groupBy(id_col)
         .agg(

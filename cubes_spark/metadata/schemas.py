@@ -234,6 +234,10 @@ CUBE_SCHEMA = {
         "fact": {"type": "string"},
         "key": {"type": "string"},
         "store": {"type": "string"},
+        # accepted by Cube.__init__ alongside the reference keys
+        "locale": {"type": "string"},
+        "dimension_links": {"type": "array"},
+        "options": {"type": "object"},
         "browser_options": {"type": "object"},
         "measures": {"type": "array", "items": _NAME_OR(_MEASURE)},
         "aggregates": {"type": "array", "items": _NAME_OR(_AGGREGATE)},

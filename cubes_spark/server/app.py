@@ -243,16 +243,24 @@ def show_index() -> Response:
     version document, so API consumers hitting '/' keep working."""
     import html as _html
 
+    # only clients that explicitly prefer HTML (browser-style Accept)
+    # get the page; curl/scripts with no Accept or */* keep receiving
+    # the version JSON '/' served before this page existed
     accept = request.headers.get("Accept", "")
-    if "application/json" in accept and "text/html" not in accept:
+    if "text/html" not in accept:
         return show_version()
 
     def esc(value: Any) -> str:
         return _html.escape("" if value is None else str(value))
 
     workspace = _workspace()
+    # same visibility rule as /cubes: authenticate + authorize, so a
+    # restricted deployment's cube names/labels don't leak on the page
+    cubes = workspace.list_cubes()
+    authorized = _authorizer().authorize(
+        _identity(), [c["name"] for c in cubes])
     rows = []
-    for info in workspace.list_cubes():
+    for info in (c for c in cubes if c["name"] in authorized):
         name = esc(info["name"])
         label = esc(info.get("label") or "")
         rows.append(
@@ -390,18 +398,25 @@ def aggregate(cube_name: str) -> Response:
             fmt = ext.formatter.create(output_format)
         except _IntError:
             raise _ArgError(f"unknown format '{output_format}'")
-        # pivot parameters for cross-table-shaped formatters
+        # pivot parameters, passed only if the formatter's signature
+        # accepts them (a try/except TypeError here would also mask
+        # TypeErrors raised INSIDE the formatter and silently return
+        # wrong-shaped data)
+        import inspect
+
+        try:
+            accepted = set(
+                inspect.signature(fmt.format).parameters)
+        except (TypeError, ValueError):
+            accepted = set()
         fmt_kwargs = {}
         for param in ("onrows", "oncolumns"):
-            if param in request.args:
+            if param in request.args and param in accepted:
                 fmt_kwargs[param] = _split_list(request.args[param])
-        if "aggregates_on" in request.args:
+        if "aggregates_on" in request.args \
+                and "aggregates_on" in accepted:
             fmt_kwargs["aggregates_on"] = request.args["aggregates_on"]
-        try:
-            body = fmt.format(cube, result, **fmt_kwargs)
-        except TypeError:
-            # formatter does not take pivot parameters
-            body = fmt.format(cube, result)
+        body = fmt.format(cube, result, **fmt_kwargs)
         return Response(body, mimetype=getattr(
             fmt, "mime_type", "application/octet-stream"))
     return _json(result.to_dict())

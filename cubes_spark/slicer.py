@@ -333,7 +333,13 @@ def cmd_test(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
     exclude = set(args.exclude_store or [])
     failures = tested = 0
     for name in names:
-        cube_store = workspace.cube(name).store or "default"
+        try:
+            cube_store = workspace.cube(name).store or "default"
+        except Exception as exc:
+            # an unknown/broken cube must not abort the sweep
+            failures += 1
+            out.write(f"FAIL  {name}: {exc}\n")
+            continue
         if include and cube_store not in include:
             out.write(f"SKIP  {name} (store '{cube_store}')\n")
             continue
@@ -389,7 +395,10 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
     server_config = config.get("server", {})
     authorizer = None
     auth_config = config.get("authorization")
-    if auth_config:
+    # an EMPTY dict still means "authorization requested" — an ini
+    # with `[workspace] authorization = simple` and no [authorization]
+    # options must not silently run wide open
+    if auth_config is not None:
         from cubes_spark.auth import SimpleAuthorizer
 
         authorizer = SimpleAuthorizer(**auth_config)
@@ -423,11 +432,13 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
         or server_config.get("visualizer"),
         allow_cors_origin=server_config.get("allow_cors_origin"),
     )
-    # [server] host/port from a slicer.ini apply unless flags override
-    host = args.host if args.host != "127.0.0.1" \
-        else server_config.get("host", args.host)
-    port = args.port if args.port != 5000 \
-        else int(server_config.get("port", args.port))
+    # [server] host/port from a slicer.ini apply unless flags are
+    # EXPLICITLY passed (parser defaults are None, not sentinels — an
+    # explicit `--host 127.0.0.1` must win over the ini)
+    host = args.host if args.host is not None \
+        else server_config.get("host", "127.0.0.1")
+    port = args.port if args.port is not None \
+        else int(server_config.get("port", 5000))
     app.run(host=host, port=port, debug=args.debug)
     return 0
 
@@ -624,8 +635,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--aggregates", nargs="*", default=None)
 
     p = sub.add_parser("serve", help="start the HTTP server")
-    p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--host", default=None)
+    p.add_argument("--port", type=int, default=None)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--visualizer", default=None,
                    help="visualizer URL served at /visualizer/ "

@@ -417,15 +417,36 @@ def test_request_logging(spark, tmp_path):
 
 
 def test_html_index_page(client):
-    resp = client.get("/")
+    # only explicit text/html Accept (browsers) gets the page
+    resp = client.get("/", headers={"Accept": "text/html,*/*;q=0.8"})
     assert resp.status_code == 200
     assert resp.mimetype == "text/html"
     text = resp.get_data(as_text=True)
     assert "sales" in text and "/cubes" in text
-    # JSON clients hitting / still get the version document
-    resp = client.get("/", headers={"Accept": "application/json"})
+    # scripts with no Accept (or */*) keep the pre-page JSON behavior
+    resp = client.get("/")
     assert resp.mimetype == "application/json"
     assert resp.get_json()["api_version"] == 2
+    resp = client.get("/", headers={"Accept": "*/*"})
+    assert resp.mimetype == "application/json"
+
+
+def test_html_index_respects_authorization(spark):
+    """The index page applies the same cube visibility as /cubes —
+    restricted cube names must not leak to an anonymous client."""
+    from cubes_spark.auth import SimpleAuthorizer
+    from cubes_spark.demo import tpch_workspace
+    from cubes_spark.server import create_server
+    from tests.conftest import SF_DIR
+
+    ws = tpch_workspace(spark, SF_DIR)
+    authorizer = SimpleAuthorizer(
+        rights={"alice": {"allowed_cubes": ["sales"]}})
+    c = create_server(ws, authorizer=authorizer).test_client()
+    anon = c.get("/", headers={"Accept": "text/html"})         .get_data(as_text=True)
+    assert "sales" not in anon
+    seen = c.get("/?identity=alice", headers={"Accept": "text/html"})         .get_data(as_text=True)
+    assert "sales" in seen
 
 
 def test_html_cross_table_format(client):

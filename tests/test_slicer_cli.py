@@ -373,3 +373,31 @@ def test_cli_test_store_filters(tmp_path, spark):
     code, text = run(str(cfg), "test", "-E", "archive")
     assert code == 0
     assert "OK    sales" in text and "SKIP  nums" in text
+
+
+def test_ini_authorization_without_options_still_enforced(tmp_path,
+                                                          spark):
+    """`[workspace] authorization = simple` with no [authorization]
+    options must still create the authorizer (deny-by-default), not
+    silently run wide open."""
+    from cubes_spark.slicer import read_slicer_config
+
+    ini = tmp_path / "a.ini"
+    ini.write_text(f"""
+[workspace]
+authorization: simple
+
+[store]
+type: spark
+path: {SF_DIR}
+""")
+    config = read_slicer_config(str(ini))
+    assert config.get("authorization") == {}
+    # the serve path: empty dict still builds an authorizer
+    from cubes_spark.auth import SimpleAuthorizer
+
+    auth_config = config.get("authorization")
+    assert auth_config is not None
+    authorizer = SimpleAuthorizer(**auth_config)
+    # no rights configured: the authorizer exists and denies cubes
+    assert authorizer.authorize("anybody", ["sales"]) == []

@@ -421,7 +421,18 @@ class SparkBrowser:
         )
 
         order = self.prepare_order(order, aggregates)
-        df = self._order_df(df, order, drilldown, bool(split))
+        return self._finalize_drilldown(
+            df, order, drilldown, bool(split), agg_pairs, aggregates,
+            page, page_size,
+        )
+
+    def _finalize_drilldown(self, df, order_spec, drilldown, has_split,
+                            agg_pairs, aggregates, page, page_size):
+        """The shared tail of every drilldown request: order →
+        paginate → null-aggregate drop → window calculators.  ONE
+        implementation for both aggregation_dataframe and
+        aggregate() — a semantic fix here must not need making twice."""
+        df = self._order_df(df, order_spec, drilldown, has_split)
         df = self._paginate_df(df, page, page_size)
         if self.exclude_null_agregates and agg_pairs:
             # parity: sql/browser.py:454-459,616-618 — the reference drops
@@ -437,9 +448,9 @@ class SparkBrowser:
             # calculators over rows in final result order,
             # query/browser.py:160-174).
             window_order = self._order_columns(
-                df.columns, order, drilldown, bool(split)
+                df.columns, order_spec, drilldown, has_split
             )
-            partition = self._calculator_partition(drilldown, bool(split))
+            partition = self._calculator_partition(drilldown, has_split)
             df = apply_window_calculators(df, specs, window_order, partition)
         return df
 
@@ -745,23 +756,10 @@ class SparkBrowser:
                 result.total_cell_count = df.count()
             try:
                 order_spec = self.prepare_order(order, aggregates)
-                final = self._order_df(df, order_spec, drilldown, bool(split))
-                final = self._paginate_df(final, page, page_size)
-                if self.exclude_null_agregates and agg_pairs:
-                    # parity: reference drops NULL-aggregate rows while
-                    # iterating the final result (sql/browser.py:616-618),
-                    # after pagination, never the summary or the count
-                    final = final.na.drop(
-                        subset=[f"`{n}`" for n, _ in agg_pairs]
-                    )
-                if specs:
-                    window_order = self._order_columns(
-                        final.columns, order_spec, drilldown, bool(split)
-                    )
-                    partition = self._calculator_partition(drilldown, bool(split))
-                    final = apply_window_calculators(
-                        final, specs, window_order, partition
-                    )
+                final = self._finalize_drilldown(
+                    df, order_spec, drilldown, bool(split), agg_pairs,
+                    aggregates, page, page_size,
+                )
                 if page_size is None and self.safe_record_limit:
                     # guard a driver-side OOM on unpaginated large grains
                     final = final.limit(self.safe_record_limit)

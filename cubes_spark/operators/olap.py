@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Any, Dict, Iterable, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
+
+from cubes_spark.operators.preagg import _safe
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -119,8 +121,15 @@ def crosstab(
     Pass explicit `values` at scale: skips the distinct-scan job and
     keeps column set stable.
     """
+    # pivot() takes a bare column NAME — a dotted logical ref would be
+    # parsed as nested-field access; pre-alias it to a safe name
+    # (row columns get the same treatment via backticks)
+    safe_pivot = "__pivot__" if "." in column else column
+    if safe_pivot != column:
+        df = df.withColumn(safe_pivot, F.col(f"`{column}`"))
     grouped = df.groupBy(*[F.col(f"`{r}`") for r in rows])
-    pivoted = grouped.pivot(column, list(values) if values else None)
+    pivoted = grouped.pivot(safe_pivot,
+                            list(values) if values else None)
     return pivoted.agg(value)
 
 
@@ -141,11 +150,11 @@ def materialize_denormalized(browser: Any, path: str,
     df = browser.denormalized_dataframe()
     # logical refs contain dots — parquet field names cannot; translate
     safe = df.select(
-        *[F.col(f"`{c}`").alias(c.replace(".", "__")) for c in df.columns]
+        *[F.col(f"`{c}`").alias(_safe(c)) for c in df.columns]
     )
     writer = safe.write.mode(mode)
     if partition_by:
-        writer = writer.partitionBy(*[p.replace(".", "__") for p in partition_by])
+        writer = writer.partitionBy(*[_safe(p) for p in partition_by])
     writer.parquet(path)
 
 
@@ -161,7 +170,7 @@ def materialize_aggregate(browser: Any, path: str,
     df = browser.aggregation_dataframe(cell=cell, drilldown=drilldown,
                                        aggregates=aggregates)
     safe = df.select(
-        *[F.col(f"`{c}`").alias(c.replace(".", "__")) for c in df.columns]
+        *[F.col(f"`{c}`").alias(_safe(c)) for c in df.columns]
     )
     safe.write.mode(mode).parquet(path)
 
@@ -192,15 +201,19 @@ def refresh_aggregate(browser: Any, path: str,
     resolved = browser.prepare_aggregates(aggregates)
     for agg in resolved:
         fname = agg.function
-        if fname and fname not in REAGGREGABLE:
+        # a function-LESS aggregate (expression / pre-computed) must
+        # raise too: silently skipping it would leave its value column
+        # in the merge grain, so existing and delta rows with the same
+        # logical grain never merge — duplicate-grain rows that
+        # double-count downstream
+        if not fname or fname not in REAGGREGABLE:
             raise ArgumentError(
-                f"Aggregate '{agg.name}' ({fname}) is not distributive"
-                " — cannot be incrementally merged; materialize "
-                "sum/count partials instead"
+                f"Aggregate '{agg.name}' ({fname or 'no function'}) "
+                "is not distributive — cannot be incrementally "
+                "merged; materialize sum/count partials instead"
             )
     merge_fns = {
-        agg.name: REAGGREGABLE[agg.function]
-        for agg in resolved if agg.function
+        agg.name: REAGGREGABLE[agg.function] for agg in resolved
     }
 
     delta = browser.aggregation_dataframe(
@@ -208,8 +221,7 @@ def refresh_aggregate(browser: Any, path: str,
     )
     spark = delta.sparkSession
     safe_delta = delta.select(
-        *[F.col(f"`{c}`").alias(c.replace(".", "__"))
-          for c in delta.columns]
+        *[F.col(f"`{c}`").alias(_safe(c)) for c in delta.columns]
     )
     existing = spark.read.parquet(path)
     grain = [c for c in existing.columns if c not in merge_fns]

@@ -104,12 +104,29 @@ def compact_table(spark, path: str, target_file_mb: int = 256,
     streaming sink or incremental loads leave thousands of KB-sized
     files whose open/footers dominate scan time.
 
-    Returns the new file count.  Writes to a staging directory first
-    and swaps atomically-ish (rename), so a failed compaction never
-    corrupts the table.
+    Returns the new file count.  Writes to a staging directory first,
+    then swaps via two renames.  LOCAL-FILESYSTEM ONLY (os.rename /
+    os.walk) — object stores need their own commit protocol.  The
+    swap window between the two renames is the only moment the table
+    path is absent; a crash there is self-healing: the next call (or
+    any caller using :func:`recover_compact`) restores the backup
+    before proceeding, and stale staging/backup directories from
+    prior crashes are cleaned up first.
     """
     import math
     import shutil
+
+    staging = path.rstrip("/") + ".__compact__"
+    backup = path.rstrip("/") + ".__old__"
+    # crash recovery: table missing but backup present -> restore;
+    # leftover staging/backup from a completed-or-failed prior run ->
+    # remove (the live table at `path` is authoritative)
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
 
     size = 0
     for root, _dirs, files in os.walk(path):
@@ -122,9 +139,7 @@ def compact_table(spark, path: str, target_file_mb: int = 256,
     out = df.repartition(n_files)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    staging = path.rstrip("/") + ".__compact__"
     out.write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + ".__old__"
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

@@ -32,6 +32,29 @@ _EQ_NORMALIZE = re.compile(r"(?<![<>=!])=(?!=)")
 #: the same function)
 _IF_NORMALIZE = re.compile(r"\bif\s*\(")
 
+#: a quoted string literal (either quote style, backslash escapes)
+_STRING_LITERAL = re.compile(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"")
+
+
+def _normalize_outside_strings(expression: str) -> str:
+    """Apply the `=`→`==` and `if(`→`iif(` rewrites only OUTSIDE
+    string literals — a naive whole-text sub would corrupt literal
+    values like ``replace(code, 'a=b', 'x')`` or ``'if(x)'``."""
+    out = []
+    last = 0
+    for m in _STRING_LITERAL.finditer(expression):
+        chunk = expression[last:m.start()]
+        chunk = _EQ_NORMALIZE.sub("==", chunk)
+        chunk = _IF_NORMALIZE.sub("iif(", chunk)
+        out.append(chunk)
+        out.append(m.group(0))
+        last = m.end()
+    tail = expression[last:]
+    tail = _EQ_NORMALIZE.sub("==", tail)
+    tail = _IF_NORMALIZE.sub("iif(", tail)
+    out.append(tail)
+    return "".join(out)
+
 
 def _fn_left(col: Column, n: Column) -> Column:
     return F.substring(col, 1, n)
@@ -109,17 +132,21 @@ FUNCTIONS: Dict[str, Callable[..., Column]] = {
     "replace": F.replace,
     "concat": F.concat,
     "repeat": F.repeat,
-    "position": lambda sub, string: F.locate(sub, string),
+    # F.locate demands a Python-str substring; call_function routes
+    # through SQL locate, which takes arbitrary expressions
+    "position": lambda sub, string: F.call_function(
+        "locate", sub, string),
     "length": F.length,
     "trim": F.trim,
     # math
     "round": F.round,
-    "trunc": lambda col, scale=0: (
-        F.floor(col) if scale == 0 else F.expr("1")  # replaced below
-    ),
+    # trunc is registered after its helper below
     "floor": F.floor,
     "ceil": F.ceil,
-    "mod": F.pmod,
+    # SQL MOD sign follows the dividend (the reference compiles to the
+    # database's MOD) — pmod would return 2 for mod(-7, 3) instead of
+    # the reference's -1
+    "mod": lambda a, b: a % b,
     "remainder": lambda a, b: a % b,
     "sign": F.signum,
     "min": F.least,
@@ -209,8 +236,7 @@ class SparkExpressionCompiler:
             self.functions.update(functions)
 
     def compile(self, expression: str) -> Column:
-        normalized = _EQ_NORMALIZE.sub("==", expression)
-        normalized = _IF_NORMALIZE.sub("iif(", normalized)
+        normalized = _normalize_outside_strings(expression)
         try:
             tree = ast.parse(normalized, mode="eval")
         except SyntaxError as e:

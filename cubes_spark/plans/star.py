@@ -487,6 +487,10 @@ class QueryContext:
         parameters: Optional[dict] = None,
     ) -> None:
         self.star_schema = star_schema
+        # materialize: a generator input would be exhausted by the
+        # first comprehension, silently building an attribute-less
+        # context whose every lookup fails
+        attributes = list(attributes)
         self.attributes = {attr.ref: attr for attr in attributes}
         self.hierarchies = hierarchies or {}
         self.base_refs = [

@@ -205,3 +205,50 @@ class TestEventAnalytics:
         assert out[(c0, 1)] == 1           # u1 returns next day
         assert out[(c0, 2)] == 1           # u2 returns on day 2
         assert out[(c0 + 1, 0)] == 1       # u3's own cohort
+
+
+def test_refresh_aggregate_rejects_functionless(spark, tmp_path):
+    """A function-less (expression) aggregate must raise, not
+    silently land in the merge grain where existing and delta rows
+    never merge (duplicate-grain double counting)."""
+    from cubes_spark.errors import ArgumentError
+    from cubes_spark.operators.olap import refresh_aggregate
+    from cubes_spark.sources.workspace import Workspace
+    from tests.conftest import SF_DIR
+
+    ws = Workspace(spark, store=SF_DIR, model={"cubes": [{
+        "name": "mini", "fact": "lineitem",
+        "measures": [{"name": "l_quantity"}],
+        "aggregates": [
+            {"name": "qty_sum", "measure": "l_quantity",
+             "function": "sum"},
+            {"name": "double_qty",
+             "expression": "qty_sum * 2"},   # no function
+        ],
+    }]})
+    browser = ws.browser("mini")
+    with pytest.raises(ArgumentError, match="not distributive"):
+        refresh_aggregate(
+            browser, str(tmp_path / "cuboid"),
+            drilldown=[], aggregates=["qty_sum", "double_qty"],
+        )
+
+
+def test_crosstab_dotted_pivot_column(tpch_browser):
+    """pivot() on a dotted logical ref (the shape every
+    aggregation_dataframe produces) must not be parsed as nested-field
+    access."""
+    from pyspark.sql import functions as F
+
+    from cubes_spark.operators.olap import crosstab
+
+    df = tpch_browser.aggregation_dataframe(
+        drilldown=["returnflag", "linestatus"],
+        aggregates=["fact_count"])
+    out = crosstab(
+        df, rows=["returnflag.returnflag"],
+        column="linestatus.linestatus",
+        value=F.sum(F.col("fact_count")))
+    rows = {r["returnflag.returnflag"]: r for r in out.collect()}
+    assert set(rows) == {"A", "N", "R"}
+    assert "F" in out.columns and "O" in out.columns

@@ -172,3 +172,31 @@ def test_cap_sized_bucket_completes(spark):
         F.array(F.col("id")).alias("sig"))
     assert _bucket_pairs(over, ["bucket"], "doc_id", "sig",
                          max_bucket_size=cap).count() == 0
+
+
+def test_compact_table_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves the table path
+    absent with a backup present — the next compact call must
+    self-heal and leftover staging/backup dirs must not break it."""
+    import os
+    import shutil
+
+    from cubes_spark.operators.scale import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(100).write.parquet(path)
+
+    # simulate the crash window: table renamed away, staging left over
+    backup, staging = path + ".__old__", path + ".__compact__"
+    os.rename(path, backup)
+    shutil.copytree(backup, staging)
+    compact_table(spark, path, target_file_mb=64)
+    assert os.path.exists(path)
+    assert not os.path.exists(backup) and not os.path.exists(staging)
+    assert spark.read.parquet(path).count() == 100
+
+    # stale backup next to a LIVE table: cleaned up, table wins
+    shutil.copytree(path, backup)
+    compact_table(spark, path, target_file_mb=64)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(backup)

@@ -287,10 +287,16 @@ class Measure(AttributeBase):
         (parity: attributes.py:379-403)."""
         aggregates = []
         for agg in self.aggregates or ["sum"]:
-            if agg == "sum":
-                name = f"{self.name}_sum"
+            if agg == "identity":
+                # pass-through: the aggregate IS the measure column,
+                # no function, no suffix (parity: attributes.py:382-385)
+                name = self.name
+                measure = None
+                function = None
             else:
                 name = f"{self.name}_{agg}"
+                measure = self.name
+                function = agg
             label_fmt = IMPLICIT_AGGREGATE_LABELS.get(agg)
             label = label_fmt.format(measure=self.label or self.name) if label_fmt else None
             aggregates.append(
@@ -301,8 +307,8 @@ class Measure(AttributeBase):
                     order=self.order,
                     info=self.info,
                     format=self.format,
-                    measure=self.name,
-                    function=agg,
+                    measure=measure,
+                    function=function,
                     window_size=self.window_size,
                     nonadditive=self.nonadditive,
                 )

@@ -323,7 +323,24 @@ class Dimension:
         self.master = master
         self.nonadditive = _normalize_nonadditive(nonadditive, "dimension")
 
-        self._levels = list(levels)
+        # DEEP-COPY levels (and their attributes): templates and
+        # clone() pass the SOURCE dimension's Level objects, and the
+        # back-link below re-points attr.dimension — without a copy
+        # that silently rewrites the source dimension's attribute refs
+        # (reference deep-copies too: dimension.py:80,505).  The memo
+        # pins each attribute's current dimension backref so deepcopy
+        # does not drag a whole dimension graph along.
+        import copy as _copy
+
+        copied = []
+        for level in levels:
+            memo: dict = {}
+            for attr in level.attributes:
+                current = getattr(attr, "dimension", None)
+                if current is not None:
+                    memo[id(current)] = current
+            copied.append(_copy.deepcopy(level, memo))
+        self._levels = copied
         self._level_index = {level.name: level for level in self._levels}
 
         # Back-link level attributes to this dimension
@@ -332,7 +349,14 @@ class Dimension:
                 attr.dimension = self
 
         if hierarchies:
-            self.hierarchies = {h.name: h for h in hierarchies}
+            # rebuild against the COPIED levels (incoming Hierarchy
+            # objects reference the source dimension's level objects)
+            self.hierarchies = {}
+            for h in hierarchies:
+                hlevels = [self._level_index[l.name] for l in h.levels]
+                self.hierarchies[h.name] = Hierarchy(
+                    h.name, hlevels, label=h.label,
+                    info=dict(h.info), description=h.description)
         else:
             # default hierarchy over all levels, named "default"
             default = Hierarchy("default", self._levels)
@@ -371,9 +395,6 @@ class Dimension:
             # template values are defaults; explicit metadata wins
             base.update(md)
             md = base
-            if "levels" in md and not isinstance(md["levels"][0], dict):
-                # already Level objects from the template
-                pass
 
         name = md["name"]
 

@@ -193,6 +193,11 @@ DIMENSION_SCHEMA = {
         "levels": {"type": "array", "items": _NAME_OR(_LEVEL)},
         "attributes": {"type": "array", "items": _NAME_OR(_ATTRIBUTE)},
         "hierarchies": {"type": "array", "items": _HIERARCHY},
+        # single-hierarchy shorthand + flat-dimension promoted keys,
+        # all consumed by expand_dimension_metadata
+        "hierarchy": {"type": "array", "items": {"type": "string"}},
+        "category": {"type": "string"},
+        "order": _ORDER,
         "default_hierarchy_name": {"type": "string"},
         "key": {"type": "string"},
         "label_attribute": {"type": "string"},
@@ -234,6 +239,7 @@ CUBE_SCHEMA = {
         "fact": {"type": "string"},
         "key": {"type": "string"},
         "store": {"type": "string"},
+        "nonadditive": _NONADDITIVE,
         # accepted by Cube.__init__ alongside the reference keys
         "locale": {"type": "string"},
         "dimension_links": {"type": "array"},

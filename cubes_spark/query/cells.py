@@ -78,7 +78,6 @@ RANGE_CUT_SEPARATOR = _EscapedSplitter("-")
 SET_CUT_SEPARATOR = _EscapedSplitter(";")
 
 PATH_ELEMENT = r"(?:\\.|[^:;|-])*"
-RE_ELEMENT = re.compile(r"^%s$" % PATH_ELEMENT)
 RE_POINT = re.compile(r"^%s$" % PATH_ELEMENT)
 RE_SET = re.compile(r"^(%s)(;(%s))*$" % (PATH_ELEMENT, PATH_ELEMENT))
 RE_RANGE = re.compile(r"^(%s)?-(%s)?$" % (PATH_ELEMENT, PATH_ELEMENT))

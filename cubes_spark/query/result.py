@@ -66,7 +66,17 @@ class AggregationResult:
         cut = self.cell.point_cut_for_dimension(dimension) if self.cell else None
         path = cut.path if cut else []
 
-        dimension = self.cell.cube.dimension(dimension)
+        # depth=0 means "no explicit depth" for BOTH the level pick
+        # and the is_base computation (an inconsistent split here made
+        # depth=0 pick the path level but report is_base=len==0)
+        depth = depth or None
+
+        if not hasattr(dimension, "hierarchy"):
+            if self.cell is None:
+                raise ArgumentError(
+                    "table_rows needs a Dimension object when the "
+                    "result carries no cell to resolve names against")
+            dimension = self.cell.cube.dimension(dimension)
         hierarchy = dimension.hierarchy(hierarchy)
 
         if depth:

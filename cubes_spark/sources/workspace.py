@@ -130,7 +130,12 @@ class ParquetStore:
         # naive parquet timestamps (micros/millis) read as TIMESTAMP
         # rather than TIMESTAMP_NTZ: event-time ops (watermarks,
         # windows) require TIMESTAMP, and with the session timezone
-        # pinned to UTC the wall-clock values are identical
+        # pinned to UTC the wall-clock values are identical.
+        # DELIBERATELY session-sticky (not save/restore): Spark
+        # captures parquet options when a scan is PLANNED, so
+        # restoring the conf after this lazy read would flip semantics
+        # under still-unexecuted store frames; every engine read goes
+        # through this store, which compensates for both settings
         self.spark.conf.set(
             "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         nanos_cols = _nanos_timestamp_columns(location)
@@ -367,19 +372,51 @@ class Workspace:
             return self.store.table(name)
         raise StoreError(f"Unknown table '{name}'")
 
-    def _eval_table_expression(self, name: str) -> DataFrame:
-        """spark.sql over temp views of every resolvable base table."""
+    def _eval_table_expression(self, name: str,
+                               _evaluating: Optional[set] = None) -> DataFrame:
+        """spark.sql over temp views of the REFERENCED base tables.
+
+        Registration is limited to identifiers that textually appear
+        in the SQL (word-boundary match) — a store with hundreds of
+        tables must not pay a footer-inspect + DataFrame construction
+        per table for one expression.  Expressions may reference OTHER
+        table expressions: those are evaluated (recursively, cycle-
+        checked) and registered as views first, so declaration order
+        never matters."""
+        import re as _re
+
+        sql = self._table_expressions[name]
+        _evaluating = _evaluating or set()
+        _evaluating.add(name)
+
+        def referenced(tname: str) -> bool:
+            return _re.search(rf"\b{_re.escape(tname)}\b", sql) is not None
+
+        for other, _osql in list(self._table_expressions.items()):
+            if other == name or not referenced(other):
+                continue
+            if other not in self._tables:
+                if other in _evaluating:
+                    raise StoreError(
+                        f"Cyclic table expressions: "
+                        f"'{name}' <-> '{other}'")
+                self._tables[other] = self._eval_table_expression(
+                    other, _evaluating)
+            self._tables[other].createOrReplaceTempView(other)
         for tname in (self.store.list_tables() if self.store else []):
+            if not referenced(tname):
+                continue
             try:
                 self.store.table(tname).createOrReplaceTempView(tname)
             except Exception:
-                # e.g. parquet types Spark cannot read natively
-                # (TIMESTAMP(NANOS)); an expression referencing such a
-                # table fails below with a clear analysis error
+                # e.g. parquet types Spark cannot read natively; an
+                # expression referencing such a table fails below with
+                # a clear analysis error
                 continue
         for tname, df in list(self._tables.items()):
-            df.createOrReplaceTempView(tname)
-        return self.spark.sql(self._table_expressions[name])
+            if referenced(tname):
+                df.createOrReplaceTempView(tname)
+        return self.spark.sql(sql)
 
     def tables_for_cube(self, cube: Cube) -> Dict[str, DataFrame]:
         """Collect the DataFrames a cube's star needs (fact + all join

@@ -262,7 +262,12 @@ def make_session_fn(gap_seconds: int, max_seq: int, ts_col: str,
         closed = []
         for i in range(len(rows)):
             t = int(ts_us[i])
-            uval = int(math.floor(float(values[i]) * 1_000_000))
+            raw = float(values[i])
+            # null values arrive as NaN in the Arrow batch; the batch
+            # complement's F.sum skips nulls while still counting the
+            # event — contribute 0, don't kill the micro-batch
+            uval = 0 if math.isnan(raw) else int(
+                math.floor(raw * 1_000_000))
             if start_us is None:
                 start_us, last_us, n, vsum, seq = t, t, 1, uval, types[i]
                 continue
@@ -271,7 +276,13 @@ def make_session_fn(gap_seconds: int, max_seq: int, ts_col: str,
                                     seq))
                 start_us, last_us, n, vsum, seq = t, t, 1, uval, types[i]
             else:
-                last_us = t
+                # a LATE (within-watermark, out-of-order across
+                # micro-batches) event lands inside the open session:
+                # it must widen the span, never move its edges
+                # backwards — a regressed last_us would corrupt gap
+                # detection, session_end and the event-time timeout
+                last_us = max(last_us, t)
+                start_us = min(start_us, t)
                 n += 1
                 vsum += uval
                 if n <= max_seq:

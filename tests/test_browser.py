@@ -267,3 +267,27 @@ def test_named_store_per_cube(spark, tmp_path):
          "measures": [{"name": "v"}]}]})
     with _pytest.raises(StoreError, match="nope"):
         ws.browser("bad").aggregate()
+
+
+def test_chained_table_expressions(spark):
+    """A table expression referencing another table expression works
+    regardless of evaluation order; cycles fail loudly."""
+    import pytest as _pytest
+
+    from cubes_spark.errors import StoreError
+    from cubes_spark.sources.workspace import Workspace
+    from tests.conftest import SF_DIR
+
+    ws = Workspace(spark, store=SF_DIR)
+    ws.add_table_expression(
+        "flagged", "SELECT l_returnflag AS f, l_quantity AS q "
+                   "FROM lineitem")
+    ws.add_table_expression(
+        "flag_counts", "SELECT f, COUNT(*) AS n FROM flagged GROUP BY f")
+    # the DEPENDENT expression is requested first
+    assert ws.table("flag_counts").count() == 3
+    ws2 = Workspace(spark, store=SF_DIR)
+    ws2.add_table_expression("a", "SELECT * FROM b")
+    ws2.add_table_expression("b", "SELECT * FROM a")
+    with _pytest.raises(StoreError, match="Cyclic"):
+        ws2.table("a")

@@ -229,3 +229,69 @@ class TestModelSchemas:
                     out=out)
         assert code == 1
         assert "unknown_cube_key" in out.getvalue()
+
+
+class TestDimensionCopySemantics:
+    def _date(self):
+        from cubes_spark.metadata.dimension import Dimension
+
+        return Dimension.from_metadata({"name": "date", "levels": [
+            {"name": "year", "attributes": ["year"]},
+            {"name": "month", "attributes": ["month"]}]})
+
+    def test_template_does_not_mutate_source(self):
+        from cubes_spark.metadata.dimension import Dimension
+
+        date = self._date()
+        before = [a.ref for a in date.all_attributes]
+        ship = Dimension.from_metadata(
+            {"name": "ship_date", "template": "date"},
+            templates={"date": date})
+        assert [a.ref for a in date.all_attributes] == before
+        assert [a.ref for a in ship.all_attributes] == [
+            "ship_date.year", "ship_date.month"]
+        # hierarchies reference each dimension's OWN level objects
+        assert ship.hierarchies["default"].levels[0] \
+            is ship.level("year")
+        assert date.hierarchies["default"].levels[0] \
+            is date.level("year")
+
+    def test_clone_alias_does_not_mutate_source(self):
+        date = self._date()
+        before = [a.ref for a in date.all_attributes]
+        alias = date.clone(alias="order_date")
+        assert [a.ref for a in date.all_attributes] == before
+        assert [a.ref for a in alias.all_attributes] == [
+            "order_date.year", "order_date.month"]
+
+
+def test_measure_identity_aggregate():
+    """aggregates: ['identity'] passes the measure through — no
+    suffix, no function (parity: reference attributes.py:382-385)."""
+    from cubes_spark.metadata.cube import Cube
+
+    cube = Cube.from_metadata({
+        "name": "c", "fact": "t", "implicit_aggregates": True,
+        "measures": [{"name": "amount",
+                      "aggregates": ["identity", "sum"]}],
+    })
+    by_name = {a.name: a for a in cube.aggregates}
+    assert "amount" in by_name
+    assert by_name["amount"].function is None
+    assert by_name["amount"].measure is None
+    assert by_name["amount_sum"].function == "sum"
+    assert not [e for e in (cube.validate() or [])
+                if e[0] == "error"]
+
+
+def test_schema_accepts_loader_supported_keys():
+    from cubes_spark.metadata.schemas import validate_model
+
+    assert validate_model({
+        "cubes": [{"name": "c", "nonadditive": "time"}],
+        "dimensions": [{"name": "d", "category": "time",
+                        "order": "asc",
+                        "hierarchy": ["l1"],
+                        "levels": [{"name": "l1",
+                                    "attributes": ["a"]}]}],
+    }) == []

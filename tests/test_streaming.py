@@ -438,3 +438,56 @@ def test_batch_sessionize_custom_type_col(spark):
                            type_col="kind").collect()
     assert len(out) == 1
     assert out[0].event_seq == "open>close"
+
+
+def test_stateful_sessionize_null_value_and_late_event(spark, tmp_path):
+    """Null values must not kill the micro-batch (batch F.sum skips
+    nulls but counts the event), and a late within-gap event must
+    widen the open session, never move last-seen backwards."""
+    import json
+    import os
+
+    from cubes_spark.streaming import replay_to_memory, \
+        stateful_sessionize
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # batch 1: two events; batch 2: a LATE event between them (same
+    # session), then a gap-closing event whose distance from the TRUE
+    # latest (10:20) exceeds the gap while its distance from the late
+    # event (10:05) would wrongly exceed it twice over
+    write("b1.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01T10:00:00", "event_id": 1,
+         "event_type": "a", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T10:20:00", "event_id": 2,
+         "event_type": "b", "value": None},
+    ])
+    write("b2.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01T10:05:00", "event_id": 3,
+         "event_type": "c", "value": 2.0},
+        {"user_id": 1, "ts": "2024-01-01T11:00:00", "event_id": 4,
+         "event_type": "d", "value": 4.0},
+    ])
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)))
+    sessions = stateful_sessionize(stream, gap_seconds=1800,
+                                   watermark="2 hours")
+    out = replay_to_memory(sessions, "null_late_sessions",
+                           output_mode="append")
+    rows = sorted(out.collect(), key=lambda r: r.session_start)
+    # first session: events 1, 3(late), 2 — span 10:00..10:20,
+    # value sum 3.0 (null contributes 0)
+    assert rows[0].n_events == 3
+    assert rows[0].session_start.minute == 0
+    assert rows[0].session_end.minute == 20
+    assert rows[0].value_usum == 3_000_000

@@ -64,6 +64,15 @@ class AccessRight:
         self.denied_cubes = set(denied_cubes or [])
         self.cell_restrictions = dict(cell_restrictions or {})
         self.hierarchy_limits = dict(hierarchy_limits or {})
+        self._refresh_patterns()
+
+    def _refresh_patterns(self) -> None:
+        """Precompute the wildcard pattern split (parity: the
+        reference caches patterns per right, auth.py:126-140):
+        authorize() over N cubes must not re-expand the same frozen
+        sets N times per request."""
+        self._allowed_patterns = _expand_patterns(self.allowed_cubes)
+        self._denied_patterns = _expand_patterns(self.denied_cubes)
 
     def merge(self, other: "AccessRight") -> None:
         """Union cubes/roles; concatenate per-cube restrictions
@@ -71,6 +80,7 @@ class AccessRight:
         self.roles |= other.roles
         self.allowed_cubes |= other.allowed_cubes
         self.denied_cubes |= other.denied_cubes
+        self._refresh_patterns()
         for cube, restrictions in other.cell_restrictions.items():
             self.cell_restrictions.setdefault(cube, [])
             self.cell_restrictions[cube] = (
@@ -87,8 +97,8 @@ class AccessRight:
     def is_allowed(self, name: str, allow_after_denied: bool = True) -> bool:
         """Allow/deny with wildcard patterns
         (parity: auth.py:126-165 — same four-case truth table)."""
-        allowed, allowed_pre, allowed_suf = _expand_patterns(self.allowed_cubes)
-        denied, denied_pre, denied_suf = _expand_patterns(self.denied_cubes)
+        allowed, allowed_pre, allowed_suf = self._allowed_patterns
+        denied, denied_pre, denied_suf = self._denied_patterns
 
         allow = False
         if self.allowed_cubes:
@@ -147,7 +157,12 @@ class NoopAuthorizer(Authorizer):
 
 def _sorted_role_order(deps: Dict[str, set]) -> List[str]:
     order: List[str] = []
-    satisfied: set = set()
+    # an UNKNOWN parent must not masquerade as a cycle: treat it as
+    # satisfied here so the merge loop reports it by name instead
+    satisfied: set = {
+        parent for parents in deps.values() for parent in parents
+        if parent not in deps
+    }
     pending = {k: set(v) for k, v in deps.items()}
     while pending:
         ready = sorted(k for k, v in pending.items() if v <= satisfied)
@@ -197,8 +212,16 @@ class SimpleAuthorizer(Authorizer):
         deps = {name: role.roles for name, role in self.roles.items()}
         for name in _sorted_role_order(deps):
             role = self.roles[name]
-            for parent in role.roles:
-                role.merge(self.roles[parent])
+            # merge() unions parent.roles INTO role.roles — iterate a
+            # snapshot or any inheritance chain of depth >= 2 dies
+            # with 'set changed size during iteration'
+            for parent in list(role.roles):
+                try:
+                    role.merge(self.roles[parent])
+                except KeyError:
+                    raise ConfigurationError(
+                        f"Unknown role '{parent}' referenced from "
+                        f"role '{name}'")
 
         self.rights = {}
         for key, info in rights.items():

@@ -27,6 +27,7 @@ batch shaping and partition behavior are shared and tested.
 from __future__ import annotations
 
 import math
+import struct
 import sys
 import zlib
 from typing import Iterator, Optional
@@ -1858,7 +1859,8 @@ def png_pixel_stats(df: DataFrame, binary_col: str,
                     out["height"].append(h)
                     out["n_samples"].append(len(samples))
                     out["sample_sum"].append(sum(samples))
-                except (ValueError, zlib.error):
+                except (ValueError, IndexError, KeyError,
+                        zlib.error, struct.error):
                     out["width"].append(None)
                     out["height"].append(None)
                     out["n_samples"].append(None)
@@ -1943,7 +1945,8 @@ def decode_features(df: DataFrame, binary_col: str,
                 "format_guess": pdf["format_guess"],
                 "n_bytes": pdf["n_bytes"],
                 "features": [
-                    decoder(bytes(p), dim) for p in pdf[binary_col]
+                    _safe_features(decoder, p, dim)
+                    for p in pdf[binary_col]
                 ],
             })
 
@@ -1951,6 +1954,17 @@ def decode_features(df: DataFrame, binary_col: str,
 
 
 # -- image resize -----------------------------------------------------------
+
+
+def _safe_features(decoder, payload, dim):
+    """Per-row decode boundary: ANY failure (unknown format raising
+    NotImplementedError, truncated container, empty media) quarantines
+    as a NULL feature row instead of failing the task — the module's
+    corruption-tolerance contract at 100 TB."""
+    try:
+        return decoder(bytes(payload), dim)
+    except Exception:
+        return None
 
 
 def _decode_image_samples(payload: bytes):
@@ -2204,7 +2218,8 @@ def resize_image(df: DataFrame, binary_col: str, out_width: int,
                     out["out_width"].append(out_width)
                     out["out_height"].append(out_height)
                     out["resized"].append(resized)
-                except (ValueError, zlib.error):
+                except (ValueError, IndexError, KeyError,
+                        zlib.error, struct.error):
                     for k in ("src_width", "src_height", "channels",
                               "out_width", "out_height", "resized"):
                         out[k].append(None)
@@ -2251,7 +2266,8 @@ def image_resize_stats(df: DataFrame, binary_col: str, out_width: int,
                     out["out_height"].append(out_height)
                     out["n_samples"].append(len(resized))
                     out["sample_sum"].append(sum(resized))
-                except (ValueError, zlib.error):
+                except (ValueError, IndexError, KeyError,
+                        zlib.error, struct.error):
                     for k in ("width", "height", "out_width",
                               "out_height", "n_samples", "sample_sum"):
                         out[k].append(None)

@@ -838,11 +838,17 @@ class SparkBrowser:
             df = df.orderBy(*cols)
         return self._paginate_df(df, page, page_size)
 
-    def fact(self, key_value: Any, fields: Optional[Iterable] = None) -> Optional[dict]:
-        """Single fact by key (parity: sql/browser.py:211-232)."""
+    def fact(self, key_value: Any, fields: Optional[Iterable] = None,
+             cell: Any = None) -> Optional[dict]:
+        """Single fact by key (parity: sql/browser.py:211-232).
+
+        ``cell`` restricts the lookup — the server passes the
+        identity's restriction cell so key enumeration cannot read
+        rows outside it."""
         if not self.cube.key:
             raise ArgumentError(f"Cube '{self.cube.name}' has no fact key")
-        df = self.denormalized_dataframe(None, fields, include_fact_key=True)
+        df = self.denormalized_dataframe(cell, fields,
+                                         include_fact_key=True)
         rows = df.filter(_qcol(self.cube.key) == key_value).limit(1).collect()
         return rows[0].asDict() if rows else None
 

@@ -56,7 +56,10 @@ class AggregationResult:
         d["aggregates"] = [str(m) for m in self.aggregates]
         if self.levels:
             d["levels"] = self.levels
-        d["cell"] = [cut.to_dict() for cut in self.cell.cuts] if self.cell else []
+        # hidden cuts (authorizer restrictions) never serialize —
+        # their values are exactly what the restriction hides
+        d["cell"] = [cut.to_dict() for cut in self.cell.cuts
+                     if not cut.hidden] if self.cell else []
         return d
 
     def table_rows(self, dimension: Any, depth: Optional[int] = None,

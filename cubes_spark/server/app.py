@@ -157,6 +157,11 @@ def _enforce_hierarchy_limits(cube: Any, drilldown_specs) -> None:
         if isinstance(limit, dict):
             dim, hier, level = (limit.get("dimension"),
                                 limit.get("hierarchy"), limit.get("level"))
+        elif isinstance(limit, str):
+            # the reference's documented 'dim@hier:level' string form —
+            # iterating the string itself would shred it char-wise and
+            # silently drop the restriction
+            dim, hier, level = string_to_dimension_level(limit)
         else:
             dim, hier, level = (list(limit) + [None, None])[:3]
         normalized[(str(dim), str(hier) if hier else None)] = level
@@ -175,8 +180,11 @@ def _enforce_hierarchy_limits(cube: Any, drilldown_specs) -> None:
                 f"hierarchy '{hierarchy}' in dimension '{dim}' "
                 f"(levels: {names})"
             )
+        # a spec without an explicit level drills to ONE level (the
+        # next after the cell path), not the deepest — assuming the
+        # deepest here would false-deny legitimate default drilldowns
         requested_depth = names.index(level) + 1 if level in names \
-            else len(names)
+            else 1
         if requested_depth > names.index(allowed) + 1:
             raise NotAuthorized(
                 f"Hierarchy of dimension '{dim}' is limited to level "
@@ -455,8 +463,13 @@ def cube_fact(cube_name: str, fact_id: str) -> Response:
         key: Any = int(fact_id)
     except ValueError:
         key = fact_id
+    # fact lookup honors the identity's restriction cell: key
+    # enumeration must not read rows outside it (the /facts listing
+    # already enforces this)
+    restriction = _restricted_cell(cube, browser, None)
     with _log_time("fact", cube.name):
-        row = browser.fact(key)
+        row = browser.fact(
+            key, cell=restriction if restriction.cuts else None)
     if row is None:
         return _json({"error": "not_found",
                       "message": f"No fact '{fact_id}'"}, 404)
@@ -492,9 +505,12 @@ def cube_members(cube_name: str, dimension_name: str) -> Response:
 def cube_cell(cube_name: str) -> Response:
     browser, cube = _browser(cube_name)
     cell = _restricted_cell(cube, browser, request.args.get("cut"))
+    # serialize only the PUBLIC cuts: the authorizer's hidden
+    # restriction cuts must not be disclosed to the client
+    public = cell.public_cell()
     with _log_time("cell", cube.name, cell):
-        details = browser.cell_details(cell)
-    cell_dict = cell.to_dict()
+        details = browser.cell_details(public)
+    cell_dict = public.to_dict()
     for cut, detail in zip(cell_dict["cuts"], details):
         cut["details"] = detail
     return _json(cell_dict)
@@ -529,6 +545,10 @@ def cube_search(cube_name: str) -> Response:
     query = request.args.get("q") or request.args.get("query")
     if not query:
         raise ArgumentError("No search query provided")
+    # search obeys the identity's restriction cell exactly like
+    # /members — otherwise it becomes a side channel that enumerates
+    # the member values the restriction was configured to hide
+    cell = _restricted_cell(cube, browser, request.args.get("cut"))
 
     dimension = cube.dimension(dimension_name)
     hierarchy = dimension.hierarchy(request.args.get("hierarchy"))
@@ -541,7 +561,7 @@ def cube_search(cube_name: str) -> Response:
         for depth in range(1, len(hierarchy.levels) + 1):
             level = hierarchy.levels[depth - 1]
             df = browser.members_dataframe(
-                None, dimension, depth=depth, hierarchy=hierarchy.name
+                cell, dimension, depth=depth, hierarchy=hierarchy.name
             )
             needle = query.lower()
             conds = None

@@ -119,3 +119,35 @@ def test_access_right_merge():
 
 def test_noop_authorizer():
     assert NoopAuthorizer().authorize("anyone", CUBES) == CUBES
+
+
+class TestReviewRegressionsR6:
+    def test_role_inheritance_chain(self):
+        """Depth>=2 role chains merge without 'set changed size during
+        iteration'."""
+        from cubes_spark.auth import SimpleAuthorizer
+
+        auth = SimpleAuthorizer(roles={
+            "a": {"roles": ["b"]},
+            "b": {"roles": ["c"]},
+            "c": {"allowed_cubes": ["sales"]},
+        }, rights={"alice": {"roles": ["a"]}}, order="allow_deny")
+        assert auth.authorize("alice", ["sales", "other"]) == ["sales"]
+
+    def test_unknown_parent_role_clear_error(self):
+        import pytest as _pytest
+
+        from cubes_spark.auth import SimpleAuthorizer
+        from cubes_spark.errors import ConfigurationError
+
+        with _pytest.raises(ConfigurationError, match="typo"):
+            SimpleAuthorizer(roles={"a": {"roles": ["typo"]}})
+
+    def test_pattern_cache_updates_on_merge(self):
+        from cubes_spark.auth import AccessRight
+
+        r = AccessRight(allowed_cubes=["sales"])
+        assert r.is_allowed("sales", False)
+        assert not r.is_allowed("web_traffic", False)
+        r.merge(AccessRight(allowed_cubes=["web_*"]))
+        assert r.is_allowed("web_traffic", False)

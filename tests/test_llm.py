@@ -214,8 +214,11 @@ def test_binary_metadata_and_decode_stub(spark):
     again = decode_features(df, "payload", dim=4, fake=True).collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
-    with pytest.raises(Exception):
-        decode_features(df, "payload", dim=4, fake=False).collect()
+    # real-decoder path on undecodable payloads: NULL rows, not a
+    # dead task (quarantine contract — see TestDecodeQuarantine)
+    real = decode_features(df, "payload", dim=4, fake=False).collect()
+    assert len(real) == len(feats)
+    assert all(r["features"] is None for r in real)
 
 
 def _png(w, h):
@@ -2051,3 +2054,35 @@ class TestFeatureHashEmbed:
         out = {r.vec_id: r.is_kept for r in semantic_dedup(
             emb, threshold=0.8, nlist=1).collect()}
         assert out == {1: True, 2: False, 3: True}
+
+
+class TestDecodeQuarantine:
+    """Corrupt/unknown media must yield NULL rows, never kill the
+    task (the module's 100 TB corruption-tolerance contract)."""
+
+    def test_resize_truncated_blobs_yield_null(self, spark):
+        from cubes_spark.llm.multimodal import resize_image
+
+        bad = [
+            (1, bytearray(b"\xFF\xD8\xFF\xC0\x00\x04\x08")),  # JPEG
+            (2, bytearray(b"GIF89a\x02\x00\x02\x00\x80")),    # GIF
+            (3, bytearray(b"not an image at all")),
+        ]
+        df = spark.createDataFrame(bad, "doc_id long, payload binary")
+        rows = {r.doc_id: r for r in resize_image(
+            df, "payload", 4, 4).collect()}
+        assert len(rows) == 3
+        assert all(rows[i].resized is None for i in (1, 2, 3))
+
+    def test_decode_features_quarantines_unknowns(self, spark):
+        from cubes_spark.llm.multimodal import decode_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00unknown container")),
+             (2, bytearray(b"RIFF\x08\x00\x00\x00WAVE"))],  # empty WAV
+            "doc_id long, payload binary")
+        rows = {r.doc_id: r for r in
+                decode_features(df, "payload", fake=False).collect()}
+        assert len(rows) == 2
+        assert rows[1].features is None
+        assert rows[2].features is None

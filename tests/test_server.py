@@ -498,3 +498,98 @@ def test_visualizer_redirect_and_cors(spark):
     assert c2.get("/visualizer/index.html").status_code == 404
     assert "Access-Control-Allow-Origin" not in \
         c2.get("/version").headers
+
+
+def _restricted_client(spark, **kwargs):
+    from cubes_spark.auth import SimpleAuthorizer
+    from cubes_spark.demo import tpch_workspace
+    from cubes_spark.server import create_server
+    from tests.conftest import SF_DIR
+
+    ws = tpch_workspace(spark, SF_DIR)
+    authorizer = SimpleAuthorizer(rights={
+        "alice": {"allowed_cubes": ["sales"], **kwargs},
+    })
+    return create_server(ws, authorizer=authorizer).test_client()
+
+
+def test_hierarchy_limit_string_form(spark):
+    """'dim:level' string limits (the reference's documented form)
+    must be parsed, not iterated char-wise into nothing."""
+    c = _restricted_client(
+        spark, hierarchy_limits={"sales": ["date:month"]})
+    ok = c.get("/cube/sales/aggregate?identity=alice"
+               "&drilldown=date:month&aggregates=fact_count")
+    assert ok.status_code == 200
+    deep = c.get("/cube/sales/aggregate?identity=alice"
+                 "&drilldown=date:day&aggregates=fact_count")
+    assert deep.status_code == 403
+    # a spec WITHOUT an explicit level drills one level (year) — that
+    # is within the month limit and must not be false-denied
+    default = c.get("/cube/sales/aggregate?identity=alice"
+                    "&drilldown=date&aggregates=fact_count")
+    assert default.status_code == 200
+
+
+def test_search_honors_restriction_cell(spark):
+    """/search must not enumerate member values outside the
+    identity's restriction cell (side-channel around /members)."""
+    c = _restricted_client(
+        spark,
+        cell_restrictions={"sales": ["returnflag:A"]})
+    resp = c.get("/cube/sales/search?identity=alice"
+                 "&dimension=returnflag&q=R")
+    assert resp.status_code == 200
+    hits = [m for m in resp.get_json()["matches"]]
+    assert hits == []
+    resp = c.get("/cube/sales/search?identity=alice"
+                 "&dimension=returnflag&q=A")
+    assert any(m.get("value") == "A" or "A" in str(m)
+               for m in resp.get_json()["matches"])
+
+
+def test_hidden_restriction_cuts_not_disclosed(spark):
+    """/cell and /aggregate responses must not serialize the
+    authorizer's hidden restriction cuts."""
+    c = _restricted_client(
+        spark,
+        cell_restrictions={"sales": ["returnflag:A"]})
+    cell = c.get("/cube/sales/cell?identity=alice").get_json()
+    assert all("returnflag" not in str(cut.get("dimension"))
+               for cut in cell["cuts"])
+    agg = c.get("/cube/sales/aggregate?identity=alice"
+                "&aggregates=fact_count").get_json()
+    assert all("returnflag" not in str(cut.get("dimension"))
+               for cut in agg["cell"])
+    # ...but the restriction is ENFORCED (A-only count < total)
+    free = _restricted_client(spark).get(
+        "/cube/sales/aggregate?identity=alice&aggregates=fact_count"
+    ).get_json()
+    assert agg["summary"]["fact_count"] < free["summary"]["fact_count"]
+
+
+def test_fact_by_key_honors_restriction_cell(spark):
+    """Key enumeration must not read facts outside the restriction."""
+    c = _restricted_client(
+        spark,
+        cell_restrictions={"sales": ["returnflag:A"]})
+    # find one fact id per flag via the unrestricted workspace
+    from cubes_spark.demo import tpch_workspace
+    from tests.conftest import SF_DIR
+
+    ws = tpch_workspace(spark, SF_DIR)
+    b = ws.browser("sales")
+    rows = b.facts(fields=["fact_key", "returnflag.returnflag"]) \
+        .collect()
+    # the fact key (order key) is not unique per flag: pick keys whose
+    # EVERY row carries the target flag so the probe is unambiguous
+    flags_by_key: dict = {}
+    for r in rows:
+        flags_by_key.setdefault(r["fact_key"], set()).add(
+            r["returnflag.returnflag"])
+    only_a = next(k for k, v in flags_by_key.items() if v == {"A"})
+    only_r = next(k for k, v in flags_by_key.items() if v == {"R"})
+    ok = c.get(f"/cube/sales/fact/{only_a}?identity=alice")
+    assert ok.status_code == 200
+    denied = c.get(f"/cube/sales/fact/{only_r}?identity=alice")
+    assert denied.status_code == 404

@@ -3267,6 +3267,36 @@ def q_doc_embed(spark, sf_dir):
         "doc_id", "n_nonzero")
 
 
+
+def q_doc_quality_model(spark, sf_dir):
+    """LEARNED quality filter (DCLM/fastText-filter shape): logistic
+    regression over the engine's text statistics, trained driver-side
+    on the first-256-docs sample with the rule-based quality score as
+    weak labels, scored as a pure-JVM dot product
+    (cubes_spark/llm/quality.py).  The oracle retrains the identical
+    model from the identical rounded features via DuckDB + the same
+    numpy IRLS, then replays the scoring with weight literals — the
+    logit is a bit-identical double on both engines (same IEEE op
+    order); the sigmoid is exposed to users but not compared (exp()
+    rounding is engine-specific)."""
+    from cubes_spark.llm import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    weights = train_quality_classifier(docs, sample_size=256)
+    out = score_quality_classifier(docs, weights)
+    return _lng(
+        out.select(
+            "doc_id",
+            F.round("logit", 6).alias("logit"),
+            (F.col("logit") > 0).cast("int").cast("long")
+            .alias("label"),
+        ),
+        "doc_id", "label")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3442,7 +3472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_cap": q_doc_domain_cap,
         "emb_semdedup_greedy": q_emb_semdedup_greedy,
         "doc_tfidf": q_doc_tfidf,
-        "doc_embed": q_doc_embed,    }
+        "doc_embed": q_doc_embed,
+        "doc_quality_model": q_doc_quality_model,    }
 
 
 # -- oracle SQL -------------------------------------------------------------
@@ -5313,6 +5344,24 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_neardup_recall"] = _emb_neardup_recall_oracle()
     sql["emb_ivf"] = _emb_ivf_oracle()
     sql["emb_kmeans"] = _emb_kmeans_oracle()
+
+    # learned quality model: identical weights retrained from the
+    # identical rounded features; logit = same IEEE op order
+    qw = _quality_weights()
+    quality_terms = " + ".join(
+        f"({qw[i + 1]!r} * {feat})" for i, feat in enumerate(
+            ["len_score", "avg_token_len", "punct_ratio",
+             "digit_ratio", "stopword_ratio_en"]))
+    sql["doc_quality_model"] = f"""
+        WITH base AS ({_text_stats_sql()}),
+        derived AS ({_TEXT_STATS_DERIVED}),
+        feats AS ({_QUALITY_FEATURES_SQL})
+        SELECT doc_id,
+            round({qw[0]!r} + {quality_terms}, 6) AS logit,
+            CAST(CASE WHEN {qw[0]!r} + {quality_terms} > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS label
+        FROM feats"""
+
     sql["emb_semdedup"] = _emb_semdedup_oracle()
     sql["emb_semdedup_greedy"] = _emb_semdedup_greedy_oracle()
     sql["doc_bpe_encode"] = _bpe_oracle()
@@ -5486,6 +5535,39 @@ def _emb_ivf_oracle() -> str:
         FROM probed JOIN assigned USING (cluster)
         WHERE query_id <> neighbor_id
     ),{_COSINE_RANKED}"""
+
+
+_QUALITY_FEATURES_SQL = """
+    SELECT doc_id,
+        round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 4)
+            AS len_score,
+        avg_token_len, punct_ratio, digit_ratio, stopword_ratio_en,
+        CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS label
+    FROM derived
+"""
+
+
+def _quality_weights() -> list:
+    """Retrains the identical quality model for the oracle: the same
+    rounded features (DuckDB replica of text_stats — oracle-exact),
+    the same first-256 sample, the same numpy IRLS."""
+    import duckdb
+    import numpy as np
+
+    from cubes_spark.llm.quality import QUALITY_FEATURES, _irls
+
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    rows = con.execute(f"""
+        WITH base AS ({_text_stats_sql()}),
+        derived AS ({_TEXT_STATS_DERIVED})
+        SELECT * FROM ({_QUALITY_FEATURES_SQL})
+        ORDER BY doc_id LIMIT 256""").fetchall()
+    X = np.array([[1.0] + [float(v) for v in r[1:6]] for r in rows])
+    y = np.array([float(r[6]) for r in rows])
+    return _irls(X, y, 25, 1e-3)
 
 
 def _kmeans_cent_values() -> str:

@@ -1,0 +1,149 @@
+"""Learned document-quality classifier — the DCLM/fastText-filter
+shape of modern pretraining pipelines (Li et al. 2024, arXiv:
+2406.11794; the production successor of C4/Gopher rule filters).
+
+A logistic-regression quality model over the engine's own text
+statistics: TRAINING is driver-side on a bounded deterministic sample
+(IRLS in numpy — the FAISS-centroid pattern already used for IVF/
+k-means: O(sample) work, weights ride the plan as literals), SCORING
+is a pure-JVM dot product + sigmoid over every document — no Python
+in the corpus path, no shuffle, scales with input partitions.
+
+Weak supervision comes free: the existing rule-based
+``quality_score`` labels the sample (score >= threshold -> positive),
+and the learned model generalizes those rules into a smooth ranking —
+exactly how production quality filters are bootstrapped before human
+or LLM labels exist.
+
+Determinism: features are the ROUNDED text_stats columns (4 decimals,
+oracle-exact on any engine), the sample is the first ``sample_size``
+documents by id, and IRLS is plain double-precision numpy — the same
+weights every run.  The logit (dot product over rounded features and
+weight literals) is bit-identical across engines; ``sigmoid`` of it
+is exposed for users but correctness entries compare the logit (exp()
+is the one op SQL engines may round differently).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cubes_spark.llm.text import text_stats
+
+__all__ = [
+    "QUALITY_FEATURES",
+    "quality_feature_columns",
+    "train_quality_classifier",
+    "score_quality_classifier",
+]
+
+#: model features, all present in (or derived 1:1 from) text_stats
+#: output; every one rounded to 4 decimals before use
+QUALITY_FEATURES = [
+    "len_score",            # min(n_tokens / 100, 1)
+    "avg_token_len",
+    "punct_ratio",
+    "digit_ratio",
+    "stopword_ratio_en",
+]
+
+
+def quality_feature_columns(stats: DataFrame) -> DataFrame:
+    """Add the model's feature columns to a text_stats frame."""
+    return stats.withColumn(
+        "len_score",
+        F.round(F.least(F.col("n_tokens").cast("double") / 100.0,
+                        F.lit(1.0)), 4))
+
+
+def _irls(X, y, iters: int, l2: float):
+    """Logistic regression via iteratively reweighted least squares —
+    deterministic, no RNG, converges in a handful of iterations on
+    well-scaled features."""
+    import numpy as np
+
+    n, d = X.shape
+    w = np.zeros(d)
+    eye = np.eye(d) * l2
+    for _ in range(iters):
+        z = X @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        s = np.maximum(p * (1.0 - p), 1e-9)
+        # Newton step: (X'SX + l2 I) dw = X'(y - p)
+        H = (X * s[:, None]).T @ X + eye
+        g = X.T @ (y - p)
+        try:
+            step = np.linalg.solve(H, g)
+        except np.linalg.LinAlgError:
+            break
+        w = w + step
+        if float(np.max(np.abs(step))) < 1e-10:
+            break
+    return [float(v) for v in w]
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: Optional[str] = None,
+    teacher_threshold: float = 0.5,
+    sample_size: int = 2048,
+    iters: int = 25,
+    l2: float = 1e-3,
+) -> List[float]:
+    """Train the quality model; returns ``[bias, w_1, ..., w_k]``
+    aligned with :data:`QUALITY_FEATURES`.
+
+    ``label_col`` supplies real labels when you have them; without
+    one, the rule-based ``quality_score`` weak-labels the sample at
+    ``teacher_threshold`` (rule distillation).  The sample is the
+    first ``sample_size`` rows by id — bounded, deterministic,
+    engine-portable.
+    """
+    import numpy as np
+
+    stats = quality_feature_columns(text_stats(df, text_col))
+    cols = [id_col] + QUALITY_FEATURES
+    if label_col:
+        cols.append(label_col)
+    else:
+        stats = stats.withColumn(
+            "__label__",
+            (F.col("quality_score") >= teacher_threshold).cast("int"))
+        cols.append("__label__")
+    rows = (stats.select(*cols).orderBy(id_col)
+            .limit(sample_size).collect())
+    if not rows:
+        raise ValueError("empty training frame")
+    X = np.array([[1.0] + [float(r[f]) for f in QUALITY_FEATURES]
+                  for r in rows])
+    y = np.array([float(r[-1]) for r in rows])
+    return _irls(X, y, iters, l2)
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    weights: Sequence[float],
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with the trained model: adds ``logit``
+    (bit-exact across engines: a dot product over rounded features
+    and weight literals) and ``model_score`` (its sigmoid).  One
+    narrow pass, pure JVM expressions."""
+    if len(weights) != len(QUALITY_FEATURES) + 1:
+        raise ValueError(
+            f"expected {len(QUALITY_FEATURES) + 1} weights "
+            f"(bias + features), got {len(weights)}")
+    stats = quality_feature_columns(text_stats(df, text_col))
+    logit: Column = F.lit(float(weights[0]))
+    for w, feat in zip(weights[1:], QUALITY_FEATURES):
+        logit = logit + F.lit(float(w)) * F.col(feat)
+    return (
+        stats.withColumn("logit", logit)
+        .withColumn("model_score",
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))))
+    )

@@ -2086,3 +2086,56 @@ class TestDecodeQuarantine:
         assert len(rows) == 2
         assert rows[1].features is None
         assert rows[2].features is None
+
+
+class TestQualityClassifier:
+    def test_learns_separable_rule(self, spark):
+        """Clean docs vs punctuation-noise docs: the learned model
+        must separate them and agree with its weak-label teacher."""
+        from pyspark.sql import functions as F
+
+        from cubes_spark.llm import (
+            score_quality_classifier,
+            train_quality_classifier,
+        )
+
+        good = "the quick brown fox jumps over the lazy dog and runs"
+        bad = "@@ ## !! ;; :: @@ ## !! ;; ::"
+        rows = [(i, good if i % 2 == 0 else bad) for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        w = train_quality_classifier(df, sample_size=64)
+        assert len(w) == 6
+        out = score_quality_classifier(df, w)
+        agg = out.select(
+            F.min(F.when(F.col("doc_id") % 2 == 0,
+                         F.col("model_score"))).alias("good_min"),
+            F.max(F.when(F.col("doc_id") % 2 == 1,
+                         F.col("model_score"))).alias("bad_max"),
+        ).head()
+        assert agg.good_min > 0.5 > agg.bad_max
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from cubes_spark.llm import train_quality_classifier
+
+        rows = [(i, f"word{i} " * (i % 30 + 1)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        w1 = train_quality_classifier(df, sample_size=48)
+        w2 = train_quality_classifier(df.repartition(7),
+                                      sample_size=48)
+        assert w1 == w2
+
+    def test_explicit_labels_and_validation(self, spark):
+        import pytest as _pytest
+
+        from cubes_spark.llm import (
+            score_quality_classifier,
+            train_quality_classifier,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "aaa bbb ccc", 1), (2, "!!! ??? ;;;", 0)] * 10,
+            "doc_id long, text string, y int")
+        w = train_quality_classifier(df, label_col="y")
+        assert len(w) == 6
+        with _pytest.raises(ValueError, match="weights"):
+            score_quality_classifier(df, [0.0, 1.0])

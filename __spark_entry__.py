@@ -447,7 +447,15 @@ def q_crosstab(spark, sf_dir):
         value=F.sum("fact_count").cast("long"),
         values=["F", "O"],
     )
-    return out
+    # an empty (flag, status) cell pivots to NULL while the oracle's
+    # filtered COUNT yields 0 — on real TPC-H distributions (A,O) and
+    # (R,O) are empty; the synthetic data only populates all six
+    # combos by accident of the generator
+    return out.select(
+        "returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("O"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4789,7 +4797,7 @@ def oracle_sql() -> dict[str, str]:
     # sequence is the first 8 event types in (ts, event_id) order, and
     # each user's LAST session is dropped (it is still open in
     # GroupState under the append contract)
-    sql["doc_pagerank"] = _pagerank_oracle()
+    sql["doc_pagerank"] = _guarded_oracle(_pagerank_oracle, "doc_pagerank")
 
     # unicode canonicalization: DuckDB nfc_normalize replays NFC
     sql["doc_normalize"] = """
@@ -5336,23 +5344,24 @@ def oracle_sql() -> dict[str, str]:
     # the Spark plan embeds via F.lit.  list_dot_product's summation
     # order matches Spark's sequential aggregate fold (proven bit-exact
     # by the emb_topk/emb_near_dup rows).
-    sql["emb_ann"] = _emb_ann_oracle()
-    sql["doc_dup_clusters"] = _doc_dup_clusters_oracle()
-    sql["emb_projection"] = _emb_projection_oracle()
-    sql["emb_ann_recall"] = _emb_ann_recall_oracle()
-    sql["emb_ivf_recall"] = _emb_ivf_recall_oracle()
-    sql["emb_neardup_recall"] = _emb_neardup_recall_oracle()
-    sql["emb_ivf"] = _emb_ivf_oracle()
-    sql["emb_kmeans"] = _emb_kmeans_oracle()
+    sql["emb_ann"] = _guarded_oracle(_emb_ann_oracle, "emb_ann")
+    sql["doc_dup_clusters"] = _guarded_oracle(_doc_dup_clusters_oracle, "doc_dup_clusters")
+    sql["emb_projection"] = _guarded_oracle(_emb_projection_oracle, "emb_projection")
+    sql["emb_ann_recall"] = _guarded_oracle(_emb_ann_recall_oracle, "emb_ann_recall")
+    sql["emb_ivf_recall"] = _guarded_oracle(_emb_ivf_recall_oracle, "emb_ivf_recall")
+    sql["emb_neardup_recall"] = _guarded_oracle(_emb_neardup_recall_oracle, "emb_neardup_recall")
+    sql["emb_ivf"] = _guarded_oracle(_emb_ivf_oracle, "emb_ivf")
+    sql["emb_kmeans"] = _guarded_oracle(_emb_kmeans_oracle, "emb_kmeans")
 
     # learned quality model: identical weights retrained from the
     # identical rounded features; logit = same IEEE op order
-    qw = _quality_weights()
-    quality_terms = " + ".join(
+    def _quality_oracle():
+        qw = _quality_weights()
+        quality_terms = " + ".join(
         f"({qw[i + 1]!r} * {feat})" for i, feat in enumerate(
-            ["len_score", "avg_token_len", "punct_ratio",
-             "digit_ratio", "stopword_ratio_en"]))
-    sql["doc_quality_model"] = f"""
+                ["len_score", "avg_token_len", "punct_ratio",
+                 "digit_ratio", "stopword_ratio_en"]))
+        return f"""
         WITH base AS ({_text_stats_sql()}),
         derived AS ({_TEXT_STATS_DERIVED}),
         feats AS ({_QUALITY_FEATURES_SQL})
@@ -5362,12 +5371,15 @@ def oracle_sql() -> dict[str, str]:
                  THEN 1 ELSE 0 END AS BIGINT) AS label
         FROM feats"""
 
-    sql["emb_semdedup"] = _emb_semdedup_oracle()
-    sql["emb_semdedup_greedy"] = _emb_semdedup_greedy_oracle()
-    sql["doc_bpe_encode"] = _bpe_oracle()
-    sql["doc_bpe_vocab"] = _bpe_vocab_oracle()
-    sql["doc_image_dedup"] = _image_dedup_oracle()
-    sql["doc_audio_dedup"] = _audio_dedup_oracle()
+    sql["doc_quality_model"] = _guarded_oracle(
+        _quality_oracle, "doc_quality_model")
+
+    sql["emb_semdedup"] = _guarded_oracle(_emb_semdedup_oracle, "emb_semdedup")
+    sql["emb_semdedup_greedy"] = _guarded_oracle(_emb_semdedup_greedy_oracle, "emb_semdedup_greedy")
+    sql["doc_bpe_encode"] = _guarded_oracle(_bpe_oracle, "doc_bpe_encode")
+    sql["doc_bpe_vocab"] = _guarded_oracle(_bpe_vocab_oracle, "doc_bpe_vocab")
+    sql["doc_image_dedup"] = _guarded_oracle(_image_dedup_oracle, "doc_image_dedup")
+    sql["doc_audio_dedup"] = _guarded_oracle(_audio_dedup_oracle, "doc_audio_dedup")
 
     return sql
 
@@ -5545,6 +5557,19 @@ _QUALITY_FEATURES_SQL = """
         CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS label
     FROM derived
 """
+
+
+def _guarded_oracle(builder, label):
+    """Data-dependent oracle generation that cannot take the whole
+    gate down: a generator failure (e.g. a scale dir missing the
+    table it trains on) yields a marker that errors LOUDLY if that
+    one oracle is actually used, while every other entry still
+    verifies."""
+    try:
+        return builder()
+    except Exception as exc:  # noqa: BLE001 — any generator failure
+        return (f"ORACLE GENERATOR FAILED for {label}: "
+                f"{type(exc).__name__}: {exc}")
 
 
 def _quality_weights() -> list:

@@ -96,7 +96,13 @@ def main() -> None:
     errors: dict = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        fn = queries[name]
+        fn = queries.get(name)
+        if fn is None:
+            # a renamed/removed entry must cost ONE timing, not the run
+            timings[name] = None
+            errors[name] = "not in __spark_entry__.queries()"
+            print(f"  {name}: MISSING from queries()", file=sys.stderr)
+            continue
         # best of 3: suppress scheduler/GC/JIT noise so round-over-round
         # comparisons reflect plan changes, not jitter (observed spread
         # on a shared host is >2x between reps of the same plan)
@@ -165,7 +171,10 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
-    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+    # strict mode fails on ERRORS too: a broken query shrinks the
+    # total, so exiting 0 would record a broken round as a speed-up
+    if (regressions or errors) \
+            and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)
 
 

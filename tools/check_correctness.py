@@ -107,6 +107,13 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # an unknown name in the filter must be an ERROR — a typo that
+    # matches nothing would print '0 pass, 0 fail' and exit 0, a
+    # false green from the correctness gate
+    unknown = only - set(queries)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     n_pass = n_fail = n_noracle = 0
     for name, fn in queries.items():
         if only and name not in only:

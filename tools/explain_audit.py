@@ -42,7 +42,9 @@ def main() -> int:
             rows.append((name, None, None, None,
                          f"ERROR: {type(exc).__name__}: {exc}"[:120]))
             continue
-        n_ex = plan.count("Exchange")
+        # ReusedExchange nodes are NOT extra shuffles — counting them
+        # would inflate the committed scaling evidence
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
         n_bc = plan.count("BroadcastExchange")
         n_py = (plan.count("ArrowEvalPython")
                 + plan.count("MapInPandas")
@@ -88,6 +90,13 @@ def main() -> int:
     out.append("")
     out.append(f"{len(rows)} entries audited; cartesian products: "
                f"{cart or 'none'}.")
+    if only:
+        # a filtered run is a spot check: print, never overwrite the
+        # committed full-audit artifact with a subset
+        print("\n".join(out))
+        print(f"(filtered run: {len(rows)} entries, "
+              "EXPLAIN_AUDIT.md left untouched)")
+        return 0
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "EXPLAIN_AUDIT.md")
     with open(path, "w", encoding="utf-8") as f:

@@ -32,6 +32,15 @@ def scale_tables(spark, src: str, target: str, factor: int) -> None:
 
     from cubes_spark.sources.workspace import ParquetStore
 
+    # the text salt alphabet and the embedding rotation both repeat
+    # past their modulus, which would re-create byte-identical /
+    # cosine-aligned cross-copy rows — the exact workload distortion
+    # this generator exists to avoid; refuse instead of silently
+    # generating a different benchmark
+    if factor > 26:
+        raise ValueError(
+            f"factor {factor} > 26: text salts would repeat "
+            "(copies i and i+26 become byte-identical)")
     os.makedirs(target, exist_ok=True)
 
     # read through the engine's store so timestamp flavors normalize
@@ -50,7 +59,8 @@ def scale_tables(spark, src: str, target: str, factor: int) -> None:
         if i > 0:
             c = c.withColumn(
                 "text",
-                F.regexp_replace(F.col("text"), "(.{7})", f"$1{salt}"))
+                F.regexp_replace(F.col("text"), "(?s)(.{7})",
+                                 f"$1{salt}"))
         copies.append(c)
     out = copies[0]
     for c in copies[1:]:
@@ -72,6 +82,12 @@ def scale_tables(spark, src: str, target: str, factor: int) -> None:
         .parquet(f"{target}/events.parquet")
 
     emb = store.table("embeddings")
+    first = emb.select("embedding").first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    if factor > max(dim - 1, 1):
+        raise ValueError(
+            f"factor {factor} > embedding dim - 1 ({dim - 1}): "
+            "rotations would repeat (cross-copy cosine re-aligns)")
     max_vec = emb.agg(F.max("vec_id")).first()[0] or 0
     voff = int(max_vec) + 1
     vout = None

@@ -2,7 +2,10 @@
 
 Parity: /root/reference/cubes/slicer/commands.py:38-410 (the click CLI)
 re-expressed with argparse: ``serve``, ``list``, ``model validate``,
-``test``, ``sql denormalize``, ``sql aggregate``.
+``test``, ``aggregate`` (query-style, commands.py:441-509),
+``members`` (commands.py:512-587), ``denormalize`` /
+``sql-aggregate`` (the ``sql denormalize`` / ``sql aggregate``
+materializers).
 
 Configuration is a JSON file::
 
@@ -45,6 +48,7 @@ import sys
 from typing import Any, Optional
 
 from cubes_spark.errors import ConfigurationError
+from cubes_spark.formatters import SlicerJSONEncoder
 
 __all__ = ["main", "build_workspace", "read_slicer_config"]
 
@@ -372,8 +376,8 @@ def cmd_denormalize(config: dict, args: argparse.Namespace,
     return 0
 
 
-def cmd_aggregate(config: dict, args: argparse.Namespace,
-                  out=sys.stdout) -> int:
+def cmd_sql_aggregate(config: dict, args: argparse.Namespace,
+                      out=sys.stdout) -> int:
     """Materialize a pre-aggregated cuboid
     (parity: commands.py `sql aggregate`)."""
     from cubes_spark.operators.olap import materialize_aggregate
@@ -384,6 +388,114 @@ def cmd_aggregate(config: dict, args: argparse.Namespace,
                           drilldown=args.drilldown or [],
                           aggregates=args.aggregates)
     out.write(f"aggregated '{args.cube}' -> {args.target}\n")
+    return 0
+
+
+def cmd_aggregate(config: dict, args: argparse.Namespace,
+                  out=sys.stdout) -> int:
+    """Query-style aggregation of a cube to stdout (parity:
+    commands.py:441-509 `aggregate`): cuts, drilldown, split, an
+    aggregate subset and a formatter — the same request the server's
+    /aggregate route answers, from the shell."""
+    from cubes_spark import ext
+    from cubes_spark.errors import InternalError
+
+    workspace = build_workspace(config)
+    browser = workspace.browser(args.cube)
+    cube = browser.cube
+
+    cell = "|".join(args.cuts) if args.cuts else None
+    aggregates = list(args.aggregates) or None
+    drilldown = [part for item in (args.drilldown or [])
+                 for part in item.split(",") if part]
+
+    result = browser.aggregate(
+        cell,
+        aggregates=aggregates,
+        drilldown=drilldown,
+        split=args.split or None,
+    )
+
+    if args.format == "json":
+        encoder = SlicerJSONEncoder(indent=4)
+        out.write(encoder.encode(result.to_dict()) + "\n")
+        return 0
+    try:
+        formatter = ext.formatter.create(args.format)
+    except InternalError:
+        out.write(f"Unknown format '{args.format}'\n")
+        return 1
+    import inspect
+
+    accepted = set(inspect.signature(formatter.format).parameters)
+    fmt_kwargs = {}
+    if "onrows" in accepted and args.on_rows:
+        fmt_kwargs["onrows"] = list(args.on_rows)
+    if "oncolumns" in accepted and args.on_columns:
+        fmt_kwargs["oncolumns"] = list(args.on_columns)
+    if "aggregates_on" in accepted:
+        fmt_kwargs["aggregates_on"] = "columns"
+    output = formatter.format(cube, result, **fmt_kwargs)
+    if isinstance(output, bytes):  # xlsx: binary workbook
+        getattr(out, "buffer", out).write(output)
+    else:
+        out.write(output if output.endswith("\n") else output + "\n")
+    return 0
+
+
+def _parse_dimension_level(ref: str) -> tuple:
+    """``dim[@hierarchy][:level]`` -> (dim, hierarchy, level)
+    (parity: cubes/model.py string_to_dimension_level)."""
+    level = hierarchy = None
+    if ":" in ref:
+        ref, level = ref.split(":", 1)
+    if "@" in ref:
+        ref, hierarchy = ref.split("@", 1)
+    return ref, hierarchy, level
+
+
+def cmd_members(config: dict, args: argparse.Namespace,
+                out=sys.stdout) -> int:
+    """List distinct dimension members to stdout (parity:
+    commands.py:512-587 `members`): cell cuts, a ``dim@hier:level``
+    dimension reference and json/csv/json_lines/xlsx output."""
+    workspace = build_workspace(config)
+    browser = workspace.browser(args.cube)
+    cube = browser.cube
+
+    cell = "|".join(args.cuts) if args.cuts else None
+    dim_name, hier_name, level_name = _parse_dimension_level(args.dimension)
+    dimension = cube.dimension(dim_name)
+    hierarchy = dimension.hierarchy(hier_name)
+    depth = hierarchy.level_index(level_name) + 1 if level_name \
+        else len(hierarchy.levels)
+
+    values = browser.members(cell, dimension, depth=depth,
+                             hierarchy=hier_name)
+
+    attributes = [a for lvl in hierarchy.levels_for_depth(depth)
+                  for a in lvl.attributes]
+    fields = [a.ref for a in attributes]
+    labels = [a.label or a.name for a in attributes]
+
+    if args.format == "json":
+        out.write(SlicerJSONEncoder(indent=4).encode(values) + "\n")
+    elif args.format == "json_lines":
+        encoder = SlicerJSONEncoder()
+        for value in values:
+            out.write(encoder.encode(value) + "\n")
+    elif args.format == "csv":
+        from cubes_spark.formatters import csv_generator
+
+        for chunk in csv_generator(values, fields, include_header=True,
+                                   header=labels):
+            out.write(chunk)
+    elif args.format == "xlsx":
+        from cubes_spark.formatters import _write_xlsx
+
+        rows = [list(labels)]
+        rows += [[value.get(f) for f in fields] for value in values]
+        getattr(out, "buffer", out).write(_write_xlsx(rows))
     return 0
 
 
@@ -628,11 +740,41 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("target", help="output parquet path")
     p.add_argument("--partition-by", nargs="*", default=None)
 
-    p = sub.add_parser("aggregate", help="materialize aggregated cuboid")
+    p = sub.add_parser("sql-aggregate",
+                       help="materialize aggregated cuboid")
     p.add_argument("cube")
     p.add_argument("target", help="output parquet path")
     p.add_argument("--drilldown", nargs="*", default=None)
     p.add_argument("--aggregates", nargs="*", default=None)
+
+    p = sub.add_parser("aggregate", help="aggregate a cube to stdout")
+    p.add_argument("cube")
+    p.add_argument("--aggregate", "-a", dest="aggregates",
+                   action="append", default=[],
+                   help="aggregate to get (repeatable; default: all)")
+    p.add_argument("--cut", "-c", dest="cuts", action="append",
+                   default=[], help="cell cut (repeatable)")
+    p.add_argument("--split", default=None, help="split cell cut")
+    p.add_argument("--drilldown", "-d", action="append", default=[],
+                   help="drilldown dimension (repeatable)")
+    p.add_argument("--on-row", dest="on_rows", action="append",
+                   default=[],
+                   help="attribute to put on row (cross_table)")
+    p.add_argument("--on-column", dest="on_columns", action="append",
+                   default=[],
+                   help="attribute to put on column (cross_table)")
+    p.add_argument("--format", "-f", default="cross_table",
+                   help="output format (default: cross_table)")
+
+    p = sub.add_parser("members",
+                       help="list distinct dimension members")
+    p.add_argument("cube")
+    p.add_argument("dimension", help="dimension ref: dim[@hier][:level]")
+    p.add_argument("--cut", "-c", dest="cuts", action="append",
+                   default=[], help="cell cut (repeatable)")
+    p.add_argument("--format", "-f", default="json",
+                   choices=["json", "csv", "json_lines", "xlsx"],
+                   help="output format (default: json)")
 
     p = sub.add_parser("serve", help="start the HTTP server")
     p.add_argument("--host", default=None)
@@ -685,7 +827,9 @@ COMMANDS = {
     "validate": cmd_validate,
     "test": cmd_test,
     "denormalize": cmd_denormalize,
+    "sql-aggregate": cmd_sql_aggregate,
     "aggregate": cmd_aggregate,
+    "members": cmd_members,
     "serve": cmd_serve,
     "dedup": cmd_dedup,
     "textstats": cmd_textstats,

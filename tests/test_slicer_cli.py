@@ -63,13 +63,83 @@ def test_smoke_test_command(config_path, spark):
 
 def test_aggregate_materialization(config_path, tmp_path, spark):
     target = str(tmp_path / "cuboid")
-    code, out = run(config_path, "aggregate", "sales", target,
+    code, out = run(config_path, "sql-aggregate", "sales", target,
                     "--drilldown", "date:year",
                     "--aggregates", "price_sum", "fact_count")
     assert code == 0
     df = spark.read.parquet(target)
     assert df.count() == 7
     assert "date__year" in df.columns
+
+
+def test_aggregate_query_csv(config_path, spark):
+    """Query-style `slicer aggregate` matches the browser through the
+    CSV formatter (parity: commands.py:441-509)."""
+    code, out = run(config_path, "aggregate", "sales",
+                    "-d", "date:year", "-a", "price_sum",
+                    "-a", "fact_count", "-f", "csv")
+    assert code == 0
+
+    from cubes_spark.slicer import build_workspace
+    from cubes_spark.formatters import CSVFormatter
+
+    ws = build_workspace({"store": SF_DIR, "model": TPCH_MODEL}, spark)
+    browser = ws.browser("sales")
+    result = browser.aggregate(None, aggregates=["price_sum", "fact_count"],
+                               drilldown=["date:year"])
+    expected = CSVFormatter().format(browser.cube, result)
+    assert out == expected
+    assert "price_sum" in out.splitlines()[0]
+
+
+def test_aggregate_query_cross_table(config_path, spark):
+    code, out = run(config_path, "aggregate", "sales",
+                    "-d", "date:year", "-c", "returnflag:N",
+                    "-a", "price_sum",
+                    "--on-row", "date.year", "-f", "cross_table")
+    assert code == 0
+    doc = json.loads(out)
+    assert set(doc) == {"columns", "rows", "data"}
+    assert len(doc["rows"]) == 7  # 1992-1998
+
+
+def test_aggregate_query_json(config_path, spark):
+    code, out = run(config_path, "aggregate", "sales",
+                    "-d", "date:year", "-a", "fact_count", "-f", "json")
+    assert code == 0
+    doc = json.loads(out)
+    assert len(doc["cells"]) == 7
+    assert all("fact_count" in cell for cell in doc["cells"])
+
+
+def test_aggregate_query_unknown_format(config_path, spark):
+    code, out = run(config_path, "aggregate", "sales",
+                    "-d", "date:year", "-f", "nope")
+    assert code == 1
+    assert "Unknown format" in out
+
+
+def test_members_command_json(config_path, spark):
+    """`slicer members` matches browser.members (commands.py:512-587)."""
+    code, out = run(config_path, "members", "sales", "date:year")
+    assert code == 0
+
+    from cubes_spark.slicer import build_workspace
+
+    ws = build_workspace({"store": SF_DIR, "model": TPCH_MODEL}, spark)
+    browser = ws.browser("sales")
+    expected = browser.members(None, "date", depth=1)
+    assert json.loads(out) == json.loads(
+        json.dumps(expected, default=str))
+
+
+def test_members_command_csv_cut(config_path, spark):
+    code, out = run(config_path, "members", "sales", "date:year",
+                    "-c", "date:1995", "-f", "csv")
+    assert code == 0
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 2  # header + single member
+    assert lines[1] == "1995"
 
 
 def test_denormalize_materialization(config_path, tmp_path, spark):

@@ -516,10 +516,26 @@ def cube_cell(cube_name: str) -> Response:
     return _json(cell_dict)
 
 
-@slicer.route("/cube/<cube_name>/report", methods=["POST"])
+@slicer.route("/cube/<cube_name>/report", methods=["GET", "POST"])
 def cube_report(cube_name: str) -> Response:
+    """Batched report (parity: blueprint.py:507-538 — the reference
+    route accepts GET as well as POST, reading the JSON request body
+    either way; for bodyless GETs the spec may also arrive in the
+    ``queries`` / ``cell`` URL parameters)."""
     browser, cube = _browser(cube_name)
     payload = request.get_json(force=True, silent=True) or {}
+    if not payload and request.args.get("queries"):
+        import json as _stdjson
+
+        try:
+            payload = {"queries": _stdjson.loads(request.args["queries"])}
+        except ValueError:
+            raise ArgumentError("'queries' parameter is not valid JSON")
+        if request.args.get("cell"):
+            try:
+                payload["cell"] = _stdjson.loads(request.args["cell"])
+            except ValueError:
+                raise ArgumentError("'cell' parameter is not valid JSON")
     queries = payload.get("queries")
     if not queries:
         raise ArgumentError("Report request does not contain 'queries'")

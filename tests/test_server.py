@@ -151,6 +151,23 @@ def test_report_endpoint(client):
     assert len(data["byflag"]["cells"]) == 3
 
 
+def test_report_get_matches_post(client):
+    """GET /report (reference blueprint.py:507 accepts both methods):
+    same spec via JSON body or via the queries= URL parameter."""
+    spec = {"byflag": {"query": "aggregate", "drilldown": ["returnflag"],
+                       "aggregates": ["fact_count"]}}
+    post = client.post("/cube/sales/report", json={"queries": spec})
+    get_body = client.get("/cube/sales/report", json={"queries": spec})
+    get_param = client.get(
+        "/cube/sales/report?queries=" +
+        __import__("urllib.parse", fromlist=["quote"]).quote(
+            json.dumps(spec)))
+    assert post.status_code == get_body.status_code == \
+        get_param.status_code == 200
+    assert json.loads(post.data) == json.loads(get_body.data) \
+        == json.loads(get_param.data)
+
+
 def test_bad_request_400(client):
     status, data = get_json(client, "/cube/sales/aggregate?cut=nonsense")
     assert status == 400

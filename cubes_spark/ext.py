@@ -47,6 +47,7 @@ EXTENSION_TYPES: Dict[str, str] = {
     "authorizer": "Authorizer",
     "request_log_handler": "Request log handler",
     "store": "Data store",
+    "searcher": "Member search backend",
 }
 
 #: built-in extensions, loaded lazily by dotted path (parity:
@@ -80,6 +81,9 @@ _BUILTINS: Dict[str, Dict[str, str]] = {
     "store": {
         "parquet": "cubes_spark.sources.workspace:ParquetStore",
         "spark": "cubes_spark.sources.workspace:ParquetStore",
+    },
+    "searcher": {
+        "simple": "cubes_spark.server.search:SimpleSearcher",
     },
     # aggregate_function / calculator builtins live in their own
     # registries (functions/aggregates.py, functions/calculators.py);
@@ -210,6 +214,7 @@ authenticator = ExtensionFinder("authenticator")
 authorizer = ExtensionFinder("authorizer")
 request_log_handler = ExtensionFinder("request_log_handler")
 store = ExtensionFinder("store")
+searcher = ExtensionFinder("searcher")
 
 _FINDERS: Dict[str, ExtensionFinder] = {
     "aggregate_function": aggregate_function,
@@ -219,6 +224,7 @@ _FINDERS: Dict[str, ExtensionFinder] = {
     "authorizer": authorizer,
     "request_log_handler": request_log_handler,
     "store": store,
+    "searcher": searcher,
 }
 
 

@@ -46,7 +46,8 @@ def create_server(workspace: Workspace,
                   authenticator: Any = None,
                   request_logger: Any = None,
                   visualizer: Optional[str] = None,
-                  allow_cors_origin: Optional[str] = None) -> Flask:
+                  allow_cors_origin: Optional[str] = None,
+                  search: Optional[dict] = None) -> Flask:
     """Flask app serving the slicer API for `workspace`.
 
     ``authenticator`` is an ``Authenticator`` instance or a method name
@@ -64,6 +65,9 @@ def create_server(workspace: Workspace,
     app.config["request_logger"] = request_logger
     app.config["visualizer"] = visualizer
     app.config["allow_cors_origin"] = allow_cors_origin
+    # [search] config: {"engine": <searcher extension name>, ...opts}
+    # (parity: blueprint.py:546-550 reads [search] engine)
+    app.config["search"] = search
     app.register_blueprint(slicer)
     return app
 
@@ -548,12 +552,13 @@ def cube_report(cube_name: str) -> Response:
 
 @slicer.route("/cube/<cube_name>/search")
 def cube_search(cube_name: str) -> Response:
-    """Member search (parity: blueprint.py:542-575).  The reference
-    delegates to an external ``cubes_search`` engine; here a built-in
-    simple searcher scans distinct members level by level with a
-    case-insensitive substring match — each level probe is one
-    DISTINCT over the (pruned) star, so the search pushes down like
-    any members query."""
+    """Member search (parity: blueprint.py:542-575).  Like the
+    reference — which delegates to an external engine selected by the
+    ``[search] engine`` config — the backend is a ``searcher``
+    extension resolved through the ExtensionFinder (built-in:
+    ``simple``, a pruned-star substring scan; custom engines register
+    a ``cubes_spark.searcher`` entry point or ``ext.searcher
+    .register()``)."""
     browser, cube = _browser(cube_name)
     dimension_name = request.args.get("dimension")
     if not dimension_name:
@@ -570,42 +575,21 @@ def cube_search(cube_name: str) -> Response:
     hierarchy = dimension.hierarchy(request.args.get("hierarchy"))
     limit = current_app.config["json_record_limit"]
 
-    from pyspark.sql import functions as F
+    from cubes_spark import ext
+    from cubes_spark.errors import InternalError as _IntError
 
-    matches = []
+    search_config = dict(current_app.config.get("search") or {})
+    engine_name = search_config.pop("engine", "simple")
+    try:
+        engine = ext.searcher.create(engine_name, browser=browser,
+                                     **search_config)
+    except _IntError:
+        raise ArgumentError(f"Unknown search engine '{engine_name}'")
+
     with _log_time("search", cube.name, None, dimension=dimension_name):
-        for depth in range(1, len(hierarchy.levels) + 1):
-            level = hierarchy.levels[depth - 1]
-            df = browser.members_dataframe(
-                cell, dimension, depth=depth, hierarchy=hierarchy.name
-            )
-            needle = query.lower()
-            conds = None
-            searchable = [
-                a.ref for a in level.attributes
-                if dict(df.dtypes).get(a.ref) == "string"
-            ]
-            for ref in searchable:
-                cond = F.lower(F.col(f"`{ref}`")).contains(needle)
-                conds = cond if conds is None else (conds | cond)
-            if conds is None:
-                continue
-            key_refs = [
-                hierarchy.levels[i].key.ref for i in range(depth)
-            ]
-            rows = df.filter(conds).limit(limit).collect()
-            for row in rows:
-                data = row.asDict()
-                for ref in searchable:
-                    value = data.get(ref)
-                    if value and needle in str(value).lower():
-                        matches.append({
-                            "dimension": dimension.name,
-                            "level": level.name,
-                            "attribute": ref,
-                            "value": value,
-                            "path": [data.get(k) for k in key_refs],
-                        })
+        matches = engine.search(query, dimension,
+                                hierarchy=hierarchy.name, cell=cell,
+                                limit=limit)
     return _json({
         "dimension": dimension.name,
         "hierarchy": hierarchy.name,

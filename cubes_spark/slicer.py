@@ -57,6 +57,7 @@ _PASSTHROUGH_SECTIONS = {
     "authorization": "authorization",
     "authentication": "authentication",
     "browser": "browser",
+    "search": "search",
     "main": "options",
 }
 
@@ -543,6 +544,7 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
         visualizer=getattr(args, "visualizer", None)
         or server_config.get("visualizer"),
         allow_cors_origin=server_config.get("allow_cors_origin"),
+        search=config.get("search"),
     )
     # [server] host/port from a slicer.ini apply unless flags are
     # EXPLICITLY passed (parser defaults are None, not sentinels — an

@@ -193,3 +193,51 @@ def test_entry_point_calculator(fake_dist, spark):
     out = df.withColumn(
         "m", CALCULATED_AGGREGATIONS["smax"](F.col("v"), w))
     assert [r.m for r in out.orderBy("t").collect()] == [5.0, 5.0, 9.0]
+
+
+def test_search_backend_through_server(spark):
+    """/search delegates to the `searcher` extension (parity:
+    blueprint.py:542-575 external-engine delegation): a toy backend
+    registered on the finder is selected by [search] engine and
+    answers the request; the builtin `simple` stays the default."""
+    from cubes_spark.demo import tpch_workspace
+    from cubes_spark.server import create_server
+    from cubes_spark.server.search import Searcher
+    from tests.conftest import SF_DIR
+
+    class CannedSearcher(Searcher):
+        def search(self, query, dimension, hierarchy=None, cell=None,
+                   locale=None, limit=None):
+            return [{"dimension": "customer_geo", "level": "region",
+                     "attribute": "canned", "value": query.upper(),
+                     "path": ["X"]}]
+
+    ext.searcher.register("canned", CannedSearcher)
+    try:
+        ws = tpch_workspace(spark, SF_DIR)
+        client = create_server(
+            ws, search={"engine": "canned"}).test_client()
+        resp = client.get(
+            "/cube/sales/search?dimension=customer_geo&q=africa")
+        assert resp.status_code == 200
+        doc = resp.get_json()
+        assert doc["matches"] == [
+            {"dimension": "customer_geo", "level": "region",
+             "attribute": "canned", "value": "AFRICA", "path": ["X"]}]
+
+        # default engine (no search config) is the builtin scan
+        plain = create_server(ws).test_client()
+        resp = plain.get(
+            "/cube/sales/search?dimension=customer_geo&q=africa")
+        assert resp.status_code == 200
+        doc = resp.get_json()
+        assert any(m["value"] == "AFRICA" for m in doc["matches"])
+
+        # unknown engine is a client error, not a 500
+        broken = create_server(
+            ws, search={"engine": "wormhole"}).test_client()
+        resp = broken.get(
+            "/cube/sales/search?dimension=customer_geo&q=africa")
+        assert resp.status_code == 400
+    finally:
+        ext.searcher._extensions.pop("canned", None)

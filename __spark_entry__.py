@@ -1188,6 +1188,52 @@ def q_salted_join(spark, sf_dir):
     return out
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (operators/scale.py:write_bucketed):
+    orders and lineitem written bucketed on the order key, re-read
+    from the catalog and sort-merge-joined (merge hint — broadcast
+    would trivially have no exchange and prove nothing).  The entry
+    ASSERTS the executed plan contains zero hash-partition exchanges
+    before returning, so a green driver row certifies both the values
+    AND the shuffle-free co-location; result-set is identical to the
+    plain join, so plain SQL is the oracle."""
+    import os
+    import tempfile
+
+    from cubes_spark.operators.scale import (
+        join_exchanges,
+        read_bucketed_table,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    write_bucketed(orders, "bkt_orders_entry", ["o_orderkey"], 8,
+                   path=os.path.join(base, "orders"))
+    write_bucketed(li, "bkt_lineitem_entry", ["o_orderkey"], 8,
+                   path=os.path.join(base, "lineitem"))
+    left = read_bucketed_table(spark, "bkt_orders_entry")
+    right = read_bucketed_table(spark, "bkt_lineitem_entry")
+    joined = left.hint("merge").join(right, "o_orderkey")
+    # groupBy on the bucket key: the join's output partitioning
+    # already clusters on o_orderkey, so the aggregate adds no
+    # exchange either — write once, never shuffle again
+    out = joined.groupBy("o_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+        .cast("double").alias("quantity_sum"),
+        F.count(F.lit(1)).cast("long").alias("line_count"),
+        F.max("o_orderpriority").alias("priority"),
+    ).filter(F.col("line_count") >= 6)
+    exchanges = join_exchanges(out)
+    if exchanges:
+        raise AssertionError(
+            f"bucketed join plan shuffled: {exchanges}")
+    return out
+
+
 def q_doc_winnow(spark, sf_dir):
     """Winnowing (MOSS) fingerprints over documents, summarized per
     doc (fingerprint count + xor-fold of the selected minima) so the
@@ -3341,6 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embed": q_doc_embed,
         "doc_quality_model": q_doc_quality_model,
         # -- round-7 additions slot in HERE as they land --
+        "bucketed_join": q_bucketed_join,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -3384,8 +3431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_by_key": q_fact_by_key,  # last green r5
         "join_master_brand": q_join_master_brand,  # last green r5
         "join_detail_brand": q_join_detail_brand,  # last green r5
-        "join_compound_dqty": q_join_compound_dqty,  # last green r5
         # ---- behind the window: driver-green r5/r6; swept
+        "join_compound_dqty": q_join_compound_dqty,  # last green r5
         #      locally every round by tools/check_correctness.py ----
         "agg_null_filter": q_agg_null_filter,
         "calc_order_norm": q_calc_order_norm,
@@ -5105,6 +5152,15 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["bucketed_join"] = """
+        SELECT o.o_orderkey,
+            CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+                AS quantity_sum,
+            CAST(COUNT(*) AS BIGINT) AS line_count,
+            MAX(o.o_orderpriority) AS priority
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 HAVING COUNT(*) >= 6"""
 
     sql["agg_quantiles"] = """
         SELECT l_returnflag AS returnflag,

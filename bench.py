@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "doc_dup_clusters",
     "events_sessions_native",
     "doc_warc_pipeline",
+    # codec + curation flagships (tracked since round 7)
+    "doc_jpeg_roundtrip",
+    "doc_video_pipeline",
+    "events_funnel",
+    "emb_semdedup_greedy",
+    "doc_line_dedup",
 ]
 
 

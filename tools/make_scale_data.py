@@ -1,7 +1,9 @@
 """Generate scaled-up test data for scale sweeps.
 
-Replicates ``documents`` / ``events`` / ``embeddings`` from a source
-scale-factor directory N times with shifted ids, writing parquet to a
+Replicates ``documents`` / ``events`` / ``embeddings`` and the OLAP
+star (``lineitem``/``orders``/``customer``/``supplier``/``part``,
+with consistently shifted join keys; ``nation``/``region`` shared)
+from a source scale-factor directory N times, writing parquet to a
 target directory (scratch, e.g. /tmp/sf1).  Used for the per-round
 scale sweep: sf0.1 -> sf1 is the cheapest available 100x proxy — one
 decade of data growth with identical per-row statistics.
@@ -105,6 +107,45 @@ def scale_tables(spark, src: str, target: str, factor: int) -> None:
     vout.repartition(32).write.mode("overwrite") \
         .parquet(f"{target}/embeddings.parquet")
 
+    # -- the OLAP star: lineitem/orders/customer/supplier/part
+    #    replicated with consistently shifted keys (copy i's facts
+    #    reference copy i's dimension rows, so join structure, fan-out
+    #    and per-key cardinalities are preserved exactly); nation and
+    #    region are genuinely shared dimensions and copy once — at
+    #    scale they stay broadcast-sized by design, which is the point
+    store2 = store
+
+    def _offsets(table, key):
+        mx = store2.table(table).agg(F.max(key)).first()[0] or 0
+        return int(mx) + 1
+
+    ooff = _offsets("orders", "o_orderkey")
+    coff = _offsets("customer", "c_custkey")
+    soff = _offsets("supplier", "s_suppkey")
+    poff = _offsets("part", "p_partkey")
+
+    shifts = {
+        "lineitem": {"l_orderkey": ooff, "l_partkey": poff,
+                     "l_suppkey": soff},
+        "orders": {"o_orderkey": ooff, "o_custkey": coff},
+        "customer": {"c_custkey": coff},
+        "supplier": {"s_suppkey": soff},
+        "part": {"p_partkey": poff},
+    }
+    for table, keymap in shifts.items():
+        src_df = store2.table(table)
+        tout = None
+        for i in range(factor):
+            c = src_df
+            for key, off in keymap.items():
+                c = c.withColumn(key, F.col(key) + F.lit(i * off))
+            tout = c if tout is None else tout.unionByName(c)
+        tout.repartition(32).write.mode("overwrite") \
+            .parquet(f"{target}/{table}.parquet")
+    for table in ("nation", "region"):
+        store2.table(table).write.mode("overwrite") \
+            .parquet(f"{target}/{table}.parquet")
+
 
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -116,7 +157,9 @@ def main() -> int:
     spark = default_session("make_scale_data")
     spark.sparkContext.setLogLevel("ERROR")
     scale_tables(spark, src, target, factor)
-    for t in ("documents", "events", "embeddings"):
+    for t in ("documents", "events", "embeddings", "lineitem",
+              "orders", "customer", "supplier", "part", "nation",
+              "region"):
         n = spark.read.parquet(f"{target}/{t}.parquet").count()
         print(f"{t}: {n} rows")
     return 0

@@ -2113,6 +2113,35 @@ def _pagerank_oracle() -> str:
         FROM r3"""
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase enriched with the
+    user's latest click at-or-before it, within a 30-minute tolerance
+    — union + one by-key windowed shuffle, no range join, no row
+    multiplication (plan: 1 exchange, 0 join nodes; see
+    test_asof.test_single_shuffle_plan).  Ties break on the highest
+    click event_id, so the LATERAL argmax oracle replays exactly."""
+    from cubes_spark.operators.asof import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("purchase_value"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts",
+        F.col("value").alias("click_value"))
+    out = asof_join(purchases, clicks, on="ts", by="user_id",
+                    right_values=["click_id", "click_value"],
+                    right_order="click_id",
+                    tolerance_seconds=1800.0)
+    return out.select(
+        "event_id", "user_id", "purchase_value",
+        F.col("click_id_right").alias("click_id"),
+        F.col("click_value_right").alias("click_value"),
+        (F.unix_micros(F.col("ts"))
+         - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered-funnel conversion (view -> click -> purchase): per-step
     reacher counts with strict first-touch ordering (each step after
@@ -3388,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_model": q_doc_quality_model,
         # -- round-7 additions slot in HERE as they land --
         "bucketed_join": q_bucketed_join,
+        "events_asof": q_events_asof,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -3430,8 +3460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_count_total": q_cell_count_total,  # last green r5
         "fact_by_key": q_fact_by_key,  # last green r5
         "join_master_brand": q_join_master_brand,  # last green r5
-        "join_detail_brand": q_join_detail_brand,  # last green r5
         # ---- behind the window: driver-green r5/r6; swept
+        "join_detail_brand": q_join_detail_brand,  # last green r5
         "join_compound_dqty": q_join_compound_dqty,  # last green r5
         #      locally every round by tools/check_correctness.py ----
         "agg_null_filter": q_agg_null_filter,
@@ -5152,6 +5182,20 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["events_asof"] = """
+        SELECT p.event_id, p.user_id, p.value AS purchase_value,
+            c.event_id AS click_id, c.value AS click_value,
+            date_diff('microsecond', c.ts, p.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+            SELECT e.event_id, e.value, e.ts FROM events e
+            WHERE e.event_type = 'click' AND e.user_id = p.user_id
+              AND e.ts <= p.ts
+              AND date_diff('microsecond', e.ts, p.ts)
+                  <= 1800 * 1000000
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+        ) c ON TRUE"""
 
     sql["bucketed_join"] = """
         SELECT o.o_orderkey,

@@ -2142,6 +2142,43 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_stream_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/stream.py:
+    stream_interval_join): purchases and clicks as two watermarked
+    file streams, inner-joined per user with the click at most 30
+    minutes before the purchase — the watermark+interval condition is
+    what bounds join state on an unbounded stream.  Replayed to
+    completion (availableNow, append mode); the plain batch SQL
+    interval join is the oracle."""
+    from cubes_spark.streaming import read_parquet_stream, \
+        replay_to_memory, stream_interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = f"{sf_dir}/events.parquet"
+    purchases = read_parquet_stream(spark, src) \
+        .filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts",
+                F.col("value").alias("purchase_value"))
+    clicks = read_parquet_stream(spark, src) \
+        .filter(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"),
+                F.col("value").alias("click_value"))
+    joined = stream_interval_join(
+        purchases, clicks, on="user_id",
+        left_ts="ts", right_ts="click_ts",
+        lower_seconds=1800, upper_seconds=0, watermark="2 hours",
+    )
+    result = replay_to_memory(joined, "q_events_stream_join",
+                              output_mode="append")
+    return result.select(
+        "event_id", "user_id", "purchase_value", "click_id",
+        "click_value",
+        (F.unix_micros(F.col("ts"))
+         - F.unix_micros(F.col("click_ts"))).alias("gap_us"),
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered-funnel conversion (view -> click -> purchase): per-step
     reacher counts with strict first-touch ordering (each step after
@@ -3418,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-7 additions slot in HERE as they land --
         "bucketed_join": q_bucketed_join,
         "events_asof": q_events_asof,
+        "events_stream_join": q_events_stream_join,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -3459,8 +3497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_registry_stats": q_agg_registry_stats,  # last green r5
         "cell_count_total": q_cell_count_total,  # last green r5
         "fact_by_key": q_fact_by_key,  # last green r5
-        "join_master_brand": q_join_master_brand,  # last green r5
         # ---- behind the window: driver-green r5/r6; swept
+        "join_master_brand": q_join_master_brand,  # last green r5
         "join_detail_brand": q_join_detail_brand,  # last green r5
         "join_compound_dqty": q_join_compound_dqty,  # last green r5
         #      locally every round by tools/check_correctness.py ----
@@ -5182,6 +5220,16 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["events_stream_join"] = """
+        SELECT p.event_id, p.user_id, p.value AS purchase_value,
+            c.event_id AS click_id, c.value AS click_value,
+            date_diff('microsecond', c.ts, p.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1800 SECONDS
+         AND c.ts <= p.ts"""
 
     sql["events_asof"] = """
         SELECT p.event_id, p.user_id, p.value AS purchase_value,

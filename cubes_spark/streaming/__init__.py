@@ -20,6 +20,7 @@ from cubes_spark.streaming.stream import (
     session_aggregate,
     stateful_sessionize,
     stream_exact_dedup,
+    stream_interval_join,
     windowed_aggregate,
 )
 
@@ -30,5 +31,6 @@ __all__ = [
     "session_aggregate",
     "stateful_sessionize",
     "stream_exact_dedup",
+    "stream_interval_join",
     "replay_to_memory",
 ]

@@ -349,6 +349,43 @@ def stream_exact_dedup(docs: DataFrame,
     return out.drop("__ch__")
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame, on: str,
+                         left_ts: str = "ts", right_ts: str = "ts",
+                         lower_seconds: int = 1800,
+                         upper_seconds: int = 0,
+                         watermark: str = "2 hours",
+                         how: str = "inner") -> DataFrame:
+    """Stream-stream equi-join with a time-interval condition:
+    ``right.right_ts`` within ``[left.left_ts - lower_seconds,
+    left.left_ts + upper_seconds]`` for rows sharing the ``on`` key.
+
+    Both sides are watermarked; the interval condition is what lets
+    Spark BOUND the join state — each side's buffered rows are evicted
+    once the other side's watermark passes their admissible window
+    (without it, a stream-stream join keeps every row forever, which
+    cannot run on an unbounded 100 TB stream).  State per key is
+    O(rows within watermark + interval), independent of stream length.
+
+    Column names other than ``on`` must be disjoint across the sides
+    (rename before joining); ``left_ts``/``right_ts`` may differ or
+    coincide — the condition references each side's own column.
+    Works identically on batch DataFrames (watermarks are no-ops),
+    which is how the oracle verifies it.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming \
+        else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming \
+        else right
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts]
+           - F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (rw[right_ts] <= lw[left_ts]
+           + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    return lw.join(rw, cond, how).drop(rw[on])
+
+
 def batch_sessionize(events: DataFrame, gap_seconds: int = 1800,
                      user_col: str = "user_id", ts_col: str = "ts",
                      order_col: str = "event_id",

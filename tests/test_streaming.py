@@ -491,3 +491,58 @@ def test_stateful_sessionize_null_value_and_late_event(spark, tmp_path):
     assert rows[0].session_start.minute == 0
     assert rows[0].session_end.minute == 20
     assert rows[0].value_usum == 3_000_000
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join == the same join in batch mode:
+    bounded replay through two watermarked file streams produces
+    exactly the batch interval-join pairs."""
+    import datetime
+
+    from cubes_spark.streaming import (
+        read_parquet_stream,
+        replay_to_memory,
+        stream_interval_join,
+    )
+
+    def _dt(minute):
+        return datetime.datetime(2024, 1, 1, 10, minute)
+
+    rows = [
+        # (event_id, ts, user_id, kind, value)
+        (1, _dt(0), 1, "click", 1.0),
+        (2, _dt(20), 1, "purchase", 10.0),   # joins click 1 (20m gap)
+        (3, _dt(55), 1, "purchase", 11.0),   # 55m gap: out of window
+        (4, _dt(5), 2, "click", 2.0),
+        (5, _dt(10), 2, "click", 3.0),
+        (6, _dt(30), 2, "purchase", 12.0),   # joins BOTH clicks
+        (7, _dt(15), 3, "purchase", 13.0),   # no clicks for user 3
+    ]
+    src = str(tmp_path / "ij_events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "kind string, value double"
+    ).write.parquet(src)
+
+    def sides(df_source):
+        p = df_source.filter(F.col("kind") == "purchase").select(
+            F.col("event_id").alias("pid"), "user_id", "ts")
+        c = df_source.filter(F.col("kind") == "click").select(
+            F.col("event_id").alias("cid"), "user_id",
+            F.col("ts").alias("click_ts"))
+        return p, c
+
+    p, c = sides(read_parquet_stream(spark, src))
+    joined = stream_interval_join(
+        p, c, on="user_id", left_ts="ts", right_ts="click_ts",
+        lower_seconds=1800, upper_seconds=0, watermark="1 hour")
+    got = replay_to_memory(joined, "t_ij", output_mode="append")
+    pairs = {(r.pid, r.cid) for r in got.collect()}
+    assert pairs == {(2, 1), (6, 4), (6, 5)}
+
+    # batch mode, same helper, same answer
+    bp, bc = sides(spark.read.parquet(src))
+    batch = stream_interval_join(
+        bp, bc, on="user_id", left_ts="ts", right_ts="click_ts",
+        lower_seconds=1800, upper_seconds=0)
+    assert {(r.pid, r.cid) for r in batch.collect()} == pairs

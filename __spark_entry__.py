@@ -3417,6 +3417,31 @@ def q_doc_quality_model(spark, sf_dir):
         "doc_id", "label")
 
 
+def q_doc_dsir(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169;
+    cubes_spark/llm/quality.py): hashed unigram+bigram importance
+    weights ``log p_target - log p_raw`` with the English subset as
+    the target distribution.  Counting is distributed with a
+    dim-bounded collect; scoring is one JVM fold per document over a
+    128-entry literal ratio array, quantized to int64 1e-6 units so
+    the sum is exact at any parallelism.  The oracle independently
+    recounts both distributions in DuckDB and replays the scoring."""
+    from cubes_spark.llm import (
+        dsir_bucket_counts,
+        dsir_log_ratios,
+        dsir_score,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    target_counts = dsir_bucket_counts(
+        docs.filter(F.col("lang") == "en"), dim=128)
+    raw_counts = dsir_bucket_counts(docs, dim=128)
+    ratios_q = dsir_log_ratios(target_counts, raw_counts)
+    out = dsir_score(docs, ratios_q)
+    return out.select("doc_id", "lang", "dsir_score_q", "n_grams")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3456,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "events_asof": q_events_asof,
         "events_stream_join": q_events_stream_join,
+        "doc_dsir": q_doc_dsir,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -3496,8 +3522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_summary": q_agg_summary,  # last green r4
         "agg_registry_stats": q_agg_registry_stats,  # last green r5
         "cell_count_total": q_cell_count_total,  # last green r5
-        "fact_by_key": q_fact_by_key,  # last green r5
         # ---- behind the window: driver-green r5/r6; swept
+        "fact_by_key": q_fact_by_key,  # last green r5
         "join_master_brand": q_join_master_brand,  # last green r5
         "join_detail_brand": q_join_detail_brand,  # last green r5
         "join_compound_dqty": q_join_compound_dqty,  # last green r5
@@ -5519,6 +5545,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_quality_model"] = _guarded_oracle(
         _quality_oracle, "doc_quality_model")
+    sql["doc_dsir"] = _guarded_oracle(_dsir_oracle, "doc_dsir")
 
     sql["emb_semdedup"] = _guarded_oracle(_emb_semdedup_oracle, "emb_semdedup")
     sql["emb_semdedup_greedy"] = _guarded_oracle(_emb_semdedup_greedy_oracle, "emb_semdedup_greedy")
@@ -5739,6 +5766,64 @@ def _quality_weights() -> list:
     X = np.array([[1.0] + [float(v) for v in r[1:6]] for r in rows])
     y = np.array([float(r[6]) for r in rows])
     return _irls(X, y, 25, 1e-3)
+
+
+#: DuckDB replica of llm.quality._dsir_buckets for one gram string
+_DSIR_BUCKET = ("(CAST(concat('0x', substr(md5('dsir:' || {g}), 1, 15)) "
+                "AS BIGINT) % 128)")
+
+#: unigrams + word bigrams of the whitespace tokens (DuckDB lists are
+#: 1-based; range(1, n) is [1, n) so i+1 stays in bounds)
+_DSIR_GRAMS_CTE = f"""
+    toks AS (
+        SELECT doc_id, lang, {_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+            list_concat(t, CASE WHEN len(t) >= 2 THEN
+                list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END) AS g
+        FROM toks
+    )"""
+
+
+def _dsir_oracle() -> str:
+    """Independently recounts the target (lang='en') and raw hashed
+    n-gram distributions in DuckDB, recomputes the quantized log
+    ratios with the shared deterministic arithmetic
+    (llm.quality.dsir_log_ratios), and replays the per-document int64
+    scoring with the ratio table as a literal list."""
+    import duckdb
+
+    from cubes_spark.llm.quality import dsir_log_ratios
+
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+
+    def counts(where: str) -> list:
+        rows = con.execute(f"""
+            WITH {_DSIR_GRAMS_CTE}
+            SELECT {_DSIR_BUCKET.format(g='gram')} AS b, count(*)
+            FROM (SELECT unnest(g) AS gram FROM grams {where})
+            GROUP BY 1""").fetchall()
+        out = [0] * 128
+        for b, n in rows:
+            out[int(b)] = int(n)
+        return out
+
+    ratios_q = dsir_log_ratios(counts("WHERE lang = 'en'"),
+                               counts(""))
+    lr = "[" + ", ".join(str(v) for v in ratios_q) + "]"
+    return f"""
+    WITH {_DSIR_GRAMS_CTE}
+    SELECT doc_id, lang,
+        CAST(COALESCE(list_sum(list_transform(g,
+            x -> ({lr})[{_DSIR_BUCKET.format(g='x')} + 1])), 0)
+            AS BIGINT) AS dsir_score_q,
+        CAST(len(g) AS BIGINT) AS n_grams
+    FROM grams"""
 
 
 def _kmeans_cent_values() -> str:

@@ -147,3 +147,115 @@ def score_quality_classifier(
         .withColumn("model_score",
                     F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))))
     )
+
+
+# -- DSIR: data selection via importance resampling -------------------------
+
+def _dsir_buckets(text_col: str, dim: int, ngram_max: int,
+                  seed: str) -> Column:
+    """Hashed n-gram bucket ids for one document: unigrams (and word
+    bigrams for ``ngram_max>=2``) of the whitespace tokens, each
+    hashed into ``[0, dim)`` with the portable md5 hash — the hashed
+    bag-of-ngrams feature space of Xie et al. 2023 (DSIR,
+    arXiv:2302.03169)."""
+    from cubes_spark.llm.text import hash64, token_array
+
+    toks = token_array(F.col(text_col))
+    grams = toks
+    if ngram_max >= 2:
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                                   F.element_at(toks, i + 1))),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(toks, bigrams)
+    return F.transform(
+        grams,
+        lambda g: (hash64(F.concat(F.lit(seed + ":"), g))
+                   % dim).cast("int"))
+
+
+def dsir_bucket_counts(df: DataFrame, text_col: str = "text",
+                       dim: int = 256, ngram_max: int = 2,
+                       seed: str = "dsir") -> List[int]:
+    """Per-bucket hashed n-gram occurrence counts over a corpus.
+
+    Fully distributed — explode + groupBy(bucket) — and the collect is
+    bounded by ``dim`` rows regardless of corpus size, so "training"
+    the DSIR language models never funnels data through the driver.
+    """
+    rows = (
+        df.select(F.explode(
+            _dsir_buckets(text_col, dim, ngram_max, seed))
+            .alias("__b__"))
+        .groupBy("__b__").agg(F.count(F.lit(1)).alias("__n__"))
+        .collect()
+    )
+    counts = [0] * dim
+    for r in rows:
+        counts[r["__b__"]] = int(r["__n__"])
+    return counts
+
+
+def dsir_log_ratios(target_counts: Sequence[int],
+                    raw_counts: Sequence[int],
+                    alpha: float = 0.5,
+                    quant: float = 1e-6) -> List[int]:
+    """Quantized per-bucket log importance ratios
+    ``log p_target(b) - log p_raw(b)`` with add-``alpha`` smoothing.
+
+    Quantization to integer ``quant`` units makes the per-document
+    score an int64 SUM — exact and merge-order independent at any
+    parallelism (the same trick as the trigram LM), and replayable
+    verbatim by a SQL oracle."""
+    import math
+
+    dim = len(target_counts)
+    if len(raw_counts) != dim:
+        raise ValueError("count vectors must share the feature dim")
+    t_total = sum(target_counts) + alpha * dim
+    r_total = sum(raw_counts) + alpha * dim
+    out = []
+    for tc, rc in zip(target_counts, raw_counts):
+        ratio = (math.log((tc + alpha) / t_total)
+                 - math.log((rc + alpha) / r_total))
+        out.append(int(round(ratio / quant)))
+    return out
+
+
+def dsir_score(df: DataFrame, log_ratios_q: Sequence[int],
+               text_col: str = "text",
+               dim: Optional[int] = None,
+               ngram_max: int = 2,
+               seed: str = "dsir") -> DataFrame:
+    """Score every document with the DSIR importance weight: adds
+    ``dsir_score_q`` (int64, quantized-units sum of its hashed
+    n-grams' log ratios — documents that look like the target
+    distribution score high) and ``n_grams``.
+
+    One narrow JVM pass per document: a single fold over the bucket
+    array indexing a ``dim``-sized literal array — no shuffle, no
+    Python, no join; scales with input partitions.  Selection is a
+    downstream ``orderBy``/``filter`` on the score (top-k or Gumbel
+    resampling per the paper).
+    """
+    dim = dim or len(log_ratios_q)
+    if len(log_ratios_q) != dim:
+        raise ValueError("log_ratios_q length must equal dim")
+    lit_ratios = F.array(*[F.lit(int(v)) for v in log_ratios_q])
+    base_cols = [F.col(c) for c in df.columns]
+    # staged named column: inlining the bucket transform into the fold
+    # would re-evaluate the md5 hashing per consumer (the HOF
+    # projection-collapse trap — see feature_hash_embed)
+    staged = df.select(
+        *base_cols,
+        _dsir_buckets(text_col, dim, ngram_max, seed).alias("__bk__"))
+    score = F.aggregate(
+        F.col("__bk__"), F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(lit_ratios, b + 1))
+    return staged.select(
+        *base_cols,
+        score.alias("dsir_score_q"),
+        F.size(F.col("__bk__")).cast("long").alias("n_grams"))

@@ -2139,3 +2139,119 @@ class TestQualityClassifier:
         assert len(w) == 6
         with _pytest.raises(ValueError, match="weights"):
             score_quality_classifier(df, [0.0, 1.0])
+
+
+class TestDSIR:
+    """DSIR importance resampling (llm/quality.py: dsir_*)."""
+
+    def test_brute_force_parity(self, spark):
+        """Distributed counting + JVM fold == a pure-Python replica
+        of the hashed-ngram importance weights."""
+        import hashlib
+        import math
+
+        from cubes_spark.llm import (
+            dsir_bucket_counts,
+            dsir_log_ratios,
+            dsir_score,
+        )
+
+        rows = [
+            (0, "en", "the cat sat on the mat"),
+            (1, "en", "a dog barks at the moon"),
+            (2, "de", "der hund bellt den mond an"),
+            (3, "de", "die katze sitzt auf der matte"),
+            (4, "en", ""),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string")
+        dim = 32
+
+        def grams(text):
+            toks = text.split()
+            return toks + [f"{a} {b}"
+                           for a, b in zip(toks, toks[1:])]
+
+        def bucket(g):
+            h = int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:15],
+                    16)
+            return h % dim
+
+        def count(pred):
+            out = [0] * dim
+            for _, lang, text in rows:
+                if pred(lang):
+                    for g in grams(text):
+                        out[bucket(g)] += 1
+            return out
+
+        tc = dsir_bucket_counts(
+            df.filter("lang = 'en'"), dim=dim)
+        rc = dsir_bucket_counts(df, dim=dim)
+        assert tc == count(lambda lang: lang == "en")
+        assert rc == count(lambda lang: True)
+
+        rq = dsir_log_ratios(tc, rc)
+        alpha, quant = 0.5, 1e-6
+        tt = sum(tc) + alpha * dim
+        rt = sum(rc) + alpha * dim
+        expect_rq = [
+            int(round((math.log((t + alpha) / tt)
+                       - math.log((r + alpha) / rt)) / quant))
+            for t, r in zip(tc, rc)]
+        assert rq == expect_rq
+
+        got = {r.doc_id: (r.dsir_score_q, r.n_grams)
+               for r in dsir_score(df, rq).collect()}
+        for doc_id, lang, text in rows:
+            gs = grams(text)
+            expect = sum(rq[bucket(g)] for g in gs)
+            assert got[doc_id] == (expect, len(gs)), doc_id
+
+    def test_english_scores_higher(self, spark):
+        """Docs from the target distribution outscore off-target docs
+        (per-gram average, the paper's importance criterion)."""
+        from pyspark.sql import functions as F
+
+        from cubes_spark.llm import (
+            dsir_bucket_counts,
+            dsir_log_ratios,
+            dsir_score,
+        )
+
+        en = ["the quick brown fox jumps", "a cat sat on the mat",
+              "dogs bark at the moon", "the rain in spain falls"]
+        de = ["der schnelle braune fuchs", "eine katze auf der matte",
+              "hunde bellen den mond an", "der regen in spanien"]
+        rows = [(i, "en", t) for i, t in enumerate(en)] + \
+               [(i + 10, "de", t) for i, t in enumerate(de)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string")
+        tc = dsir_bucket_counts(df.filter("lang='en'"), dim=64)
+        rc = dsir_bucket_counts(df, dim=64)
+        out = dsir_score(df, dsir_log_ratios(tc, rc))
+        avg = out.groupBy("lang").agg(
+            F.avg(F.col("dsir_score_q") / F.col("n_grams"))
+            .alias("per_gram")).collect()
+        per = {r.lang: r.per_gram for r in avg}
+        assert per["en"] > per["de"]
+
+    def test_partition_invariant(self, spark):
+        from cubes_spark.llm import (
+            dsir_bucket_counts,
+            dsir_log_ratios,
+            dsir_score,
+        )
+
+        rows = [(i, f"tok{i % 11} tok{i % 7} tok{i % 5}")
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        rq = dsir_log_ratios(
+            dsir_bucket_counts(df.limit(50), dim=32),
+            dsir_bucket_counts(df, dim=32))
+        a = sorted((r.doc_id, r.dsir_score_q)
+                   for r in dsir_score(df, rq).collect())
+        b = sorted((r.doc_id, r.dsir_score_q)
+                   for r in dsir_score(df.repartition(13), rq)
+                   .collect())
+        assert a == b

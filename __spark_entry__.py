@@ -3417,6 +3417,27 @@ def q_doc_quality_model(spark, sf_dir):
         "doc_id", "label")
 
 
+def q_drill_across(spark, sf_dir):
+    """Drill-across (operators/olap.py:drill_across): the sales and
+    sales_outer cubes aggregated to the SAME conformed returnflag
+    grain and full-outer-joined — Kimball's multi-fact query, which
+    the reference (one cube per query) cannot express.  Each side is
+    its own grain-sized cuboid; the join is grain-cardinality, never
+    fact-to-fact."""
+    from cubes_spark.operators.olap import drill_across
+
+    ws = _ws(spark, sf_dir)
+    out = drill_across(
+        [(ws.browser("sales"), ["price_sum", "fact_count"]),
+         (ws.browser("sales_outer"), ["quantity_sum", "dqty_sum"])],
+        drilldown=["returnflag"],
+    )
+    return _lng(
+        _dbl(out, "sales_price_sum", "sales_outer_quantity_sum",
+             "sales_outer_dqty_sum"),
+        "sales_fact_count")
+
+
 def q_doc_dsir(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169;
     cubes_spark/llm/quality.py): hashed unigram+bigram importance
@@ -3482,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_stream_join": q_events_stream_join,
         "doc_dsir": q_doc_dsir,
+        "drill_across_flag": q_drill_across,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -3520,9 +3542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,  # last green r4
         "emb_ivf": q_emb_ivf,  # last green r4
         "agg_summary": q_agg_summary,  # last green r4
+        # ---- behind the window: driver-green r5/r6; swept
         "agg_registry_stats": q_agg_registry_stats,  # last green r5
         "cell_count_total": q_cell_count_total,  # last green r5
-        # ---- behind the window: driver-green r5/r6; swept
         "fact_by_key": q_fact_by_key,  # last green r5
         "join_master_brand": q_join_master_brand,  # last green r5
         "join_detail_brand": q_join_detail_brand,  # last green r5
@@ -5246,6 +5268,34 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["drill_across_flag"] = f"""
+        WITH notes AS (
+            SELECT l_orderkey AS o_key, l_linenumber AS l_num,
+                l_quantity * 2 AS double_qty
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag AS flag,
+                CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS sales_price_sum,
+                CAST(COUNT(*) AS BIGINT) AS sales_fact_count
+            FROM lineitem GROUP BY 1
+        ),
+        o AS (
+            SELECT l.l_returnflag AS flag,
+                CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,2)))
+                     AS DOUBLE) AS sales_outer_quantity_sum,
+                CAST(SUM(CAST(n.double_qty AS DECIMAL(20,2)))
+                     AS DOUBLE) AS sales_outer_dqty_sum
+            FROM lineitem l JOIN notes n
+                ON l.l_orderkey = n.o_key
+               AND l.l_linenumber = n.l_num
+            GROUP BY 1
+        )
+        SELECT COALESCE(s.flag, o.flag) AS "returnflag.returnflag",
+            s.sales_price_sum, s.sales_fact_count,
+            o.sales_outer_quantity_sum, o.sales_outer_dqty_sum
+        FROM s FULL OUTER JOIN o ON s.flag = o.flag"""
 
     sql["events_stream_join"] = """
         SELECT p.event_id, p.user_id, p.value AS purchase_value,

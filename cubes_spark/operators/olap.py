@@ -28,6 +28,7 @@ from cubes_spark.operators.preagg import _safe
 from pyspark.sql import functions as F
 
 __all__ = [
+    "drill_across",
     "funnel_counts",
     "cohort_retention",
     "rollup_aggregate",
@@ -40,6 +41,52 @@ __all__ = [
     "combined_cuboids",
     "combined_levels",
 ]
+
+
+def drill_across(queries: Sequence[tuple], drilldown: Sequence[str],
+                 cell: Any = None, how: str = "full_outer") -> DataFrame:
+    """Drill across cubes sharing conformed dimensions: aggregate each
+    cube to the SAME drilldown grain, then join the cuboids on the
+    drilldown attribute refs (Kimball's multi-fact pattern; no
+    counterpart in the reference, whose browser is strictly
+    one-cube-per-query — /root/reference/cubes/query/browser.py).
+
+    ``queries``: ``(browser, aggregates)`` pairs — each browser's
+    cube must link dimensions resolving every ``drilldown`` item;
+    aggregate columns keep their names prefixed with the cube name
+    (``<cube>_<aggregate>``) so same-named measures stay distinct.
+    ``cell`` (a cut string) applies to every cube.
+
+    Scale: each cuboid is its own already-small aggregation (grain
+    rows, not fact rows); the join is a drilldown-cardinality join of
+    aggregated sides — broadcast-sized in practice, never a
+    fact-to-fact join.  Default ``full_outer`` keeps grain values
+    present in only one cube (with nulls on the other side), the
+    drill-across semantics."""
+    if len(queries) < 2:
+        raise ValueError("drill_across needs at least two cubes")
+    refs: Optional[List[str]] = None
+    out: Optional[DataFrame] = None
+    for browser, aggregates in queries:
+        cuboid = browser.aggregation_dataframe(
+            cell=cell, aggregates=aggregates, drilldown=list(drilldown))
+        agg_names = [str(a) for a in
+                     browser.prepare_aggregates(aggregates)]
+        key_refs = [c for c in cuboid.columns if c not in agg_names]
+        if refs is None:
+            refs = key_refs
+        elif key_refs != refs:
+            raise ValueError(
+                f"cube '{browser.cube.name}' resolves drilldown to "
+                f"{key_refs}, expected {refs} — dimensions are not "
+                "conformed")
+        prefixed = cuboid.select(
+            *[F.col(f"`{r}`") for r in refs],
+            *[F.col(f"`{a}`").alias(f"{browser.cube.name}_{a}")
+              for a in agg_names])
+        out = prefixed if out is None else \
+            out.join(prefixed, on=refs, how=how)
+    return out
 
 
 def _grouping_id_column(keys: Sequence[str]) -> Column:

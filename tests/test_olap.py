@@ -252,3 +252,40 @@ def test_crosstab_dotted_pivot_column(tpch_browser):
     rows = {r["returnflag.returnflag"]: r for r in out.collect()}
     assert set(rows) == {"A", "N", "R"}
     assert "F" in out.columns and "O" in out.columns
+
+
+def test_drill_across_conformed(spark):
+    """Drill-across: sales + sales_outer joined on the conformed
+    returnflag grain; values match each cube's own aggregation."""
+    from cubes_spark.demo import tpch_workspace
+    from cubes_spark.operators.olap import drill_across
+    from tests.conftest import SF_DIR
+
+    ws = tpch_workspace(spark, SF_DIR)
+    out = drill_across(
+        [(ws.browser("sales"), ["price_sum"]),
+         (ws.browser("sales_outer"), ["quantity_sum"])],
+        drilldown=["returnflag"],
+    ).collect()
+    assert len(out) == 3
+    sales = {r["returnflag.returnflag"]: r["price_sum"]
+             for r in ws.browser("sales").aggregation_dataframe(
+                 drilldown=["returnflag"],
+                 aggregates=["price_sum"]).collect()}
+    for row in out:
+        assert row["sales_price_sum"] == \
+            sales[row["returnflag.returnflag"]]
+        assert row["sales_outer_quantity_sum"] is not None
+
+
+def test_drill_across_validates(spark):
+    import pytest as _pytest
+
+    from cubes_spark.demo import tpch_workspace
+    from cubes_spark.operators.olap import drill_across
+    from tests.conftest import SF_DIR
+
+    ws = tpch_workspace(spark, SF_DIR)
+    with _pytest.raises(ValueError, match="at least two"):
+        drill_across([(ws.browser("sales"), ["price_sum"])],
+                     drilldown=["returnflag"])

@@ -3438,6 +3438,24 @@ def q_drill_across(spark, sf_dir):
         "sales_fact_count")
 
 
+#: fixed query for the BM25 retrieval entry
+_BM25_TERMS = ["customer", "query", "stream", "vector"]
+
+
+def q_doc_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (llm/text.py:bm25_search): top-20 docs
+    for a fixed 4-term query.  Postings are filtered to the query
+    terms before any shuffle; per-term contributions quantize to
+    int64 1e-9 units so the document score is an exact sum at any
+    parallelism; top-k via TakeOrdered, rank window only over the 20
+    survivors.  The oracle recomputes df/idf/avgdl independently and
+    replays the same IEEE expression order."""
+    from cubes_spark.llm import bm25_search
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_search(docs, _BM25_TERMS, top_k=20)
+
+
 def q_doc_dsir(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169;
     cubes_spark/llm/quality.py): hashed unigram+bigram importance
@@ -3504,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_events_stream_join,
         "doc_dsir": q_doc_dsir,
         "drill_across_flag": q_drill_across,
+        "doc_bm25": q_doc_bm25,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5596,6 +5615,7 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_quality_model"] = _guarded_oracle(
         _quality_oracle, "doc_quality_model")
     sql["doc_dsir"] = _guarded_oracle(_dsir_oracle, "doc_dsir")
+    sql["doc_bm25"] = _guarded_oracle(_bm25_oracle, "doc_bm25")
 
     sql["emb_semdedup"] = _guarded_oracle(_emb_semdedup_oracle, "emb_semdedup")
     sql["emb_semdedup_greedy"] = _guarded_oracle(_emb_semdedup_greedy_oracle, "emb_semdedup_greedy")
@@ -5836,6 +5856,65 @@ _DSIR_GRAMS_CTE = f"""
                 ELSE [] END) AS g
         FROM toks
     )"""
+
+
+def _bm25_oracle() -> str:
+    """Recomputes N/avgdl/per-term document frequencies in DuckDB,
+    takes the SAME ``math.log`` idf doubles as the operator (both are
+    driver-side Python on identical integer counts), and replays the
+    scoring with the identical IEEE expression order; contributions
+    quantize to int64 1e-9 units exactly like llm.text.bm25_search."""
+    import duckdb
+    import math
+
+    k1, b = 1.2, 0.75
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    n_docs, total = con.execute(f"""
+        SELECT count(*), COALESCE(SUM(len({_TOKENS})), 0)
+        FROM documents""").fetchone()
+    n_docs, total = int(n_docs), int(total)
+    avgdl = (total / n_docs) if n_docs else 1.0
+    dfs = dict(con.execute(f"""
+        SELECT term, count(*) FROM (
+            SELECT DISTINCT doc_id, unnest({_TOKENS}) AS term
+            FROM documents)
+        WHERE term IN ({terms_sql}) GROUP BY 1""").fetchall())
+    idf_case = "CASE term " + " ".join(
+        f"WHEN '{t}' THEN {math.log((n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1.0)!r}"
+        for t in _BM25_TERMS) + " ELSE 0.0 END"
+    return f"""
+    WITH postings AS MATERIALIZED (
+        SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents)
+        WHERE term IN ({terms_sql})
+        GROUP BY 1, 2
+    ),
+    lens AS (
+        SELECT doc_id, len({_TOKENS}) AS dl FROM documents
+    ),
+    contrib AS (
+        SELECT p.doc_id,
+            CAST(round((({idf_case})
+                * (CAST(tf AS DOUBLE) * {k1 + 1.0!r})
+                / (CAST(tf AS DOUBLE)
+                   + {k1!r} * ({1.0 - b!r}
+                               + {b!r} * CAST(dl AS DOUBLE)
+                               / {avgdl!r})))
+                * 1000000000.0) AS BIGINT) AS cq
+        FROM postings p JOIN lens l USING (doc_id)
+    ),
+    scored AS (
+        SELECT doc_id, CAST(SUM(cq) AS BIGINT) AS score_q,
+            CAST(count(*) AS BIGINT) AS n_hit_terms
+        FROM contrib GROUP BY 1
+    )
+    SELECT doc_id, score_q, n_hit_terms,
+        CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
+             AS BIGINT) AS rank
+    FROM scored ORDER BY rank LIMIT 20"""
 
 
 def _dsir_oracle() -> str:

@@ -805,6 +805,84 @@ def tfidf_keywords(df: DataFrame, text_col: str = "text",
     )
 
 
+def bm25_search(df: DataFrame, query_terms: Sequence[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75,
+                top_k: int = 10) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones): rank documents
+    for a bag of query terms with the classic
+    ``idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` score and
+    ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)``.
+
+    Scale shape: the explode is filtered to the query terms BEFORE the
+    (doc, term) group — only matching postings ever shuffle, the rest
+    of the corpus contributes via two collected scalars (N, avgdl).
+    Per-term contributions are quantized to integer 1e-9 units before
+    the per-document sum, so the score is an int64 SUM — exact and
+    merge-order independent at any parallelism, replayable by a SQL
+    oracle verbatim.
+
+    Returns ``(id, score_q, n_hit_terms, rank)`` for the ``top_k``
+    documents (score desc, id asc — total order).
+    """
+    from pyspark.sql.window import Window
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks_arr = token_array(F.col(text_col))
+    lengths = df.select(F.col(id_col),
+                        F.size(toks_arr).alias("__dl__"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dl__").alias("total")).head()
+    n_docs, total_tokens = int(stats["n"]), int(stats["total"] or 0)
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+
+    postings = (
+        df.select(F.col(id_col),
+                  F.explode(toks_arr).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__df__"))
+    import math
+
+    idf_map = {
+        r["term"]: math.log(
+            (n_docs - r["__df__"] + 0.5) / (r["__df__"] + 0.5) + 1.0)
+        for r in docfreq.collect()
+    }
+    idf_expr = F.create_map(*[
+        x for t in terms if t in idf_map
+        for x in (F.lit(t), F.lit(float(idf_map[t])))])
+    contrib = (
+        idf_expr[F.col("term")]
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (F.col("tf").cast("double")
+           + F.lit(k1) * (F.lit(1.0 - b)
+                          + F.lit(b) * F.col("__dl__").cast("double")
+                          / F.lit(float(avgdl))))
+    )
+    scored = (
+        postings.join(lengths, id_col)
+        .withColumn("__c_q__",
+                    F.round(contrib * 1e9).cast("long"))
+        .groupBy(id_col).agg(
+            F.sum("__c_q__").alias("score_q"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"))
+    )
+    # TakeOrdered top-k first (distributed, no global sort); the rank
+    # window then runs over top_k rows only — never a one-partition
+    # window across the matching corpus
+    top = scored.orderBy(F.col("score_q").desc(),
+                         F.col(id_col).asc()).limit(top_k)
+    w = Window.orderBy(F.col("score_q").desc(), F.col(id_col).asc())
+    return top.withColumn("rank",
+                          F.row_number().over(w).cast("long"))
+
+
 def feature_hash_embed(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        dim: int = 64,

@@ -2255,3 +2255,50 @@ class TestDSIR:
                    for r in dsir_score(df.repartition(13), rq)
                    .collect())
         assert a == b
+
+
+class TestBM25:
+    def test_ranks_relevant_docs(self, spark):
+        from cubes_spark.llm import bm25_search
+
+        rows = [
+            (0, "spark spark spark shuffle"),
+            (1, "spark query engine"),
+            (2, "cats and dogs"),
+            (3, "the spark of an idea in a very long document " +
+                "filler " * 50),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_search(df, ["spark", "query"], top_k=3).collect()
+        ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+        # doc 1 hits two terms; doc 0 has high tf but saturates (k1);
+        # doc 3's length normalization pushes it below both
+        assert ranked[0] == 1
+        assert set(ranked[:2]) == {0, 1}
+        assert 3 not in ranked[:2]
+        assert all(r.n_hit_terms >= 1 for r in out)
+
+    def test_partition_invariant_scores(self, spark):
+        from cubes_spark.llm import bm25_search
+
+        rows = [(i, ("alpha " * (i % 5 + 1)) + ("beta " * (i % 3)))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted((r.doc_id, r.score_q, r.rank) for r in
+                   bm25_search(df, ["alpha", "beta"], top_k=50)
+                   .collect())
+        b = sorted((r.doc_id, r.score_q, r.rank) for r in
+                   bm25_search(df.repartition(11), ["alpha", "beta"],
+                               top_k=50).collect())
+        assert a == b
+
+    def test_empty_query_rejected(self, spark):
+        import pytest as _pytest
+
+        from cubes_spark.llm import bm25_search
+
+        df = spark.createDataFrame([(0, "x")],
+                                   "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            bm25_search(df, [])

@@ -3438,6 +3438,31 @@ def q_drill_across(spark, sf_dir):
         "sales_fact_count")
 
 
+def q_doc_dsir_sample(spark, sf_dir):
+    """DSIR Gumbel-top-k resampling (llm/quality.py:dsir_resample):
+    64 docs sampled without replacement proportional to the
+    importance weight, with per-document md5-seeded Gumbel noise —
+    deterministic, partition-invariant, and the oracle replays the
+    identical hash/ln arithmetic."""
+    from cubes_spark.llm import (
+        dsir_bucket_counts,
+        dsir_log_ratios,
+        dsir_resample,
+        dsir_score,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    ratios_q = dsir_log_ratios(
+        dsir_bucket_counts(docs.filter(F.col("lang") == "en"),
+                           dim=128),
+        dsir_bucket_counts(docs, dim=128))
+    scored = dsir_score(docs, ratios_q)
+    out = dsir_resample(scored, k=64)
+    return out.select("doc_id", "lang", "dsir_score_q",
+                      "gumbel_key", "rank")
+
+
 #: fixed query for the BM25 retrieval entry
 _BM25_TERMS = ["customer", "query", "stream", "vector"]
 
@@ -3523,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir": q_doc_dsir,
         "drill_across_flag": q_drill_across,
         "doc_bm25": q_doc_bm25,
+        "doc_dsir_sample": q_doc_dsir_sample,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -3560,8 +3586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,  # last green r4
         "emb_near_dup": q_emb_near_dup,  # last green r4
         "emb_ivf": q_emb_ivf,  # last green r4
-        "agg_summary": q_agg_summary,  # last green r4
         # ---- behind the window: driver-green r5/r6; swept
+        "agg_summary": q_agg_summary,  # last green r4
         "agg_registry_stats": q_agg_registry_stats,  # last green r5
         "cell_count_total": q_cell_count_total,  # last green r5
         "fact_by_key": q_fact_by_key,  # last green r5
@@ -5616,6 +5642,8 @@ def oracle_sql() -> dict[str, str]:
         _quality_oracle, "doc_quality_model")
     sql["doc_dsir"] = _guarded_oracle(_dsir_oracle, "doc_dsir")
     sql["doc_bm25"] = _guarded_oracle(_bm25_oracle, "doc_bm25")
+    sql["doc_dsir_sample"] = _guarded_oracle(
+        _dsir_sample_oracle, "doc_dsir_sample")
 
     sql["emb_semdedup"] = _guarded_oracle(_emb_semdedup_oracle, "emb_semdedup")
     sql["emb_semdedup_greedy"] = _guarded_oracle(_emb_semdedup_greedy_oracle, "emb_semdedup_greedy")
@@ -5856,6 +5884,56 @@ _DSIR_GRAMS_CTE = f"""
                 ELSE [] END) AS g
         FROM toks
     )"""
+
+
+def _dsir_sample_oracle() -> str:
+    """doc_dsir's scoring CTE plus the Gumbel-top-k replay: the same
+    md5-seeded uniform, the same ``-ln(-ln u)`` noise, the same
+    ``log w + g`` key rounded to 6 decimals."""
+    import duckdb
+
+    from cubes_spark.llm.quality import dsir_log_ratios
+
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+
+    def counts(where: str) -> list:
+        rows = con.execute(f"""
+            WITH {_DSIR_GRAMS_CTE}
+            SELECT {_DSIR_BUCKET.format(g='gram')} AS b, count(*)
+            FROM (SELECT unnest(g) AS gram FROM grams {where})
+            GROUP BY 1""").fetchall()
+        out = [0] * 128
+        for b, n in rows:
+            out[int(b)] = int(n)
+        return out
+
+    ratios_q = dsir_log_ratios(counts("WHERE lang = 'en'"),
+                               counts(""))
+    lr = "[" + ", ".join(str(v) for v in ratios_q) + "]"
+    gum = ("(- ln(- ln((CAST(CAST(concat('0x', substr(md5('gumbel:' "
+           "|| CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+           "AS DOUBLE) + 1.0) / 1152921504606846977.0)))")
+    return f"""
+    WITH {_DSIR_GRAMS_CTE},
+    scored AS MATERIALIZED (
+        SELECT doc_id, lang,
+            CAST(COALESCE(list_sum(list_transform(g,
+                x -> ({lr})[{_DSIR_BUCKET.format(g='x')} + 1])), 0)
+                AS BIGINT) AS dsir_score_q
+        FROM grams
+    ),
+    keyed AS (
+        SELECT doc_id, lang, dsir_score_q,
+            round(CAST(dsir_score_q AS DOUBLE) * 1e-06 + {gum}, 6)
+                AS gumbel_key
+        FROM scored
+    )
+    SELECT doc_id, lang, dsir_score_q, gumbel_key,
+        CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+             AS BIGINT) AS rank
+    FROM keyed ORDER BY rank LIMIT 64"""
 
 
 def _bm25_oracle() -> str:

@@ -259,3 +259,42 @@ def dsir_score(df: DataFrame, log_ratios_q: Sequence[int],
         *base_cols,
         score.alias("dsir_score_q"),
         F.size(F.col("__bk__")).cast("long").alias("n_grams"))
+
+
+def dsir_resample(scored: DataFrame, k: int,
+                  id_col: str = "doc_id",
+                  score_col: str = "dsir_score_q",
+                  quant: float = 1e-6,
+                  seed: str = "gumbel") -> DataFrame:
+    """DSIR's selection step: sample ``k`` documents WITHOUT
+    replacement with probability proportional to the importance
+    weight, via the Gumbel-top-k trick — ``key = log w + g`` with
+    i.i.d. Gumbel noise ``g``, the top-k keys are an exact
+    w-proportional sample (Vieira 2014; the DSIR paper's resampling).
+
+    The noise is SEEDED PER DOCUMENT from the portable md5 hash of
+    ``seed:id`` (u in (0,1) from 60 hash bits, ``g = -ln(-ln u)``), so
+    the "random" sample is deterministic, partition-invariant and
+    replayable by a SQL oracle.  ``log w`` is the quantized DSIR score
+    times ``quant`` — the already-computed log importance ratio.
+
+    One narrow pass + a distributed TakeOrdered top-k; adds
+    ``gumbel_key`` (rounded to 6 decimals) and ``rank``.
+    """
+    from pyspark.sql.window import Window
+
+    from cubes_spark.llm.text import hash64
+
+    u = ((hash64(F.concat(F.lit(seed + ":"),
+                          F.col(id_col).cast("string")))
+          .cast("double") + F.lit(1.0))
+         / F.lit(float(2 ** 60 + 1)))
+    g = -F.log(-F.log(u))
+    key = F.col(score_col).cast("double") * F.lit(float(quant)) + g
+    with_key = scored.withColumn("gumbel_key", F.round(key, 6))
+    top = with_key.orderBy(F.col("gumbel_key").desc(),
+                           F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("gumbel_key").desc(),
+                       F.col(id_col).asc())
+    return top.withColumn("rank",
+                          F.row_number().over(w).cast("long"))

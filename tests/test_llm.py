@@ -2302,3 +2302,33 @@ class TestBM25:
                                    "doc_id long, text string")
         with _pytest.raises(ValueError):
             bm25_search(df, [])
+
+
+class TestDSIRResample:
+    def test_deterministic_and_partition_invariant(self, spark):
+        from cubes_spark.llm import dsir_resample
+
+        rows = [(i, i * 1000) for i in range(200)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, dsir_score_q long")
+        a = [(r.doc_id, r.rank) for r in
+             dsir_resample(df, 20).orderBy("rank").collect()]
+        b = [(r.doc_id, r.rank) for r in
+             dsir_resample(df.repartition(13), 20)
+             .orderBy("rank").collect()]
+        assert a == b
+        assert len(a) == 20
+
+    def test_weight_proportional_bias(self, spark):
+        """Docs with much larger log-weights must dominate the
+        sample (Gumbel noise has scale 1; a log-weight gap of ~20
+        makes selection near-certain)."""
+        from cubes_spark.llm import dsir_resample
+
+        # 50 heavy docs (log w = 20) vs 150 light (log w = -20)
+        rows = [(i, 20_000_000 if i < 50 else -20_000_000)
+                for i in range(200)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, dsir_score_q long")
+        got = {r.doc_id for r in dsir_resample(df, 40).collect()}
+        assert all(d < 50 for d in got)

@@ -3438,6 +3438,21 @@ def q_drill_across(spark, sf_dir):
         "sales_fact_count")
 
 
+def q_emb_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (llm/similarity.py:pq_topk;
+    Jégou et al. 2011): corpus vectors encoded to 8 codewords (32x
+    memory cut), queries scan codes with asymmetric distances —
+    the in-cell scan of an IVF-PQ index.  Codebooks train on the
+    deterministic id-ordered sample; distances are int64 sums of
+    1e-12-quantized subspace terms, so the oracle retrains the same
+    codebooks and replays encode + ADC bit-exactly."""
+    from cubes_spark.llm import pq_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_topk(emb, queries, k=5)
+
+
 def q_doc_dsir_sample(spark, sf_dir):
     """DSIR Gumbel-top-k resampling (llm/quality.py:dsir_resample):
     64 docs sampled without replacement proportional to the
@@ -3549,6 +3564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drill_across_flag": q_drill_across,
         "doc_bm25": q_doc_bm25,
         "doc_dsir_sample": q_doc_dsir_sample,
+        "emb_pq": q_emb_pq,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -3585,8 +3601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard": q_doc_jaccard,  # last green r4
         "emb_topk": q_emb_topk,  # last green r4
         "emb_near_dup": q_emb_near_dup,  # last green r4
-        "emb_ivf": q_emb_ivf,  # last green r4
         # ---- behind the window: driver-green r5/r6; swept
+        "emb_ivf": q_emb_ivf,  # last green r4
         "agg_summary": q_agg_summary,  # last green r4
         "agg_registry_stats": q_agg_registry_stats,  # last green r5
         "cell_count_total": q_cell_count_total,  # last green r5
@@ -5644,6 +5660,7 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_bm25"] = _guarded_oracle(_bm25_oracle, "doc_bm25")
     sql["doc_dsir_sample"] = _guarded_oracle(
         _dsir_sample_oracle, "doc_dsir_sample")
+    sql["emb_pq"] = _guarded_oracle(_pq_oracle, "emb_pq")
 
     sql["emb_semdedup"] = _guarded_oracle(_emb_semdedup_oracle, "emb_semdedup")
     sql["emb_semdedup_greedy"] = _guarded_oracle(_emb_semdedup_greedy_oracle, "emb_semdedup_greedy")
@@ -5884,6 +5901,82 @@ _DSIR_GRAMS_CTE = f"""
                 ELSE [] END) AS g
         FROM toks
     )"""
+
+
+def _pq_oracle() -> str:
+    """Retrains the identical PQ codebooks (same id-ordered sample,
+    same numpy per-subspace k-means) and replays encode (min_by over
+    quantized subspace distances, ties to the lowest codeword) and the
+    ADC scan with the SAME left-associated IEEE term order as the
+    Spark folds."""
+    import duckdb
+    import numpy as np
+
+    from cubes_spark.llm.similarity import train_pq_codebooks
+
+    m, ksub_req, seed, k = 8, 16, 42, 5
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    sample = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{path}') "
+        "ORDER BY vec_id LIMIT 4096").fetchall()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    books = train_pq_codebooks(X, m, ksub_req, seed)
+    ksub, dsub = len(books[0]), len(books[0][0])
+    cb = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(v) for v in row) + "]"
+            for row in book) + "]"
+        for book in books) + "]"
+    # encode distance for runtime columns j, c (left-assoc = the fold)
+    enc_terms = " + ".join(
+        f"((v[j*{dsub} + {d + 1}] - CB[j+1][c+1][{d + 1}]) "
+        f"* (v[j*{dsub} + {d + 1}] - CB[j+1][c+1][{d + 1}]))"
+        for d in range(dsub))
+    # ADC: per-subspace quantized terms, j unrolled statically
+    adc_terms = " + ".join(
+        "CAST(round((" + " + ".join(
+            f"((qv[{j * dsub + d + 1}] - CB[{j + 1}][code[{j + 1}]+1][{d + 1}]) "
+            f"* (qv[{j * dsub + d + 1}] - CB[{j + 1}][code[{j + 1}]+1][{d + 1}]))"
+            for d in range(dsub))
+        + ") * 1000000000000.0) AS BIGINT)"
+        for j in range(m))
+    return f"""
+    WITH cbs AS (SELECT {cb} AS CB),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    enc AS MATERIALIZED (
+        SELECT vec_id, j,
+            min_by(c, dq * {ksub} + c) AS code_j
+        FROM (
+            SELECT e.vec_id, r1.j, r2.c,
+                CAST(round(({enc_terms}) * 1000000000000.0)
+                     AS BIGINT) AS dq
+            FROM e CROSS JOIN cbs
+            CROSS JOIN range(0, {m}) r1(j)
+            CROSS JOIN range(0, {ksub}) r2(c)
+        ) GROUP BY vec_id, j
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, list(code_j ORDER BY j) AS code
+        FROM enc GROUP BY 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e
+        WHERE vec_id % 50 = 0
+    ),
+    dists AS (
+        SELECT q.query_id, c2.vec_id AS neighbor_id,
+            ({adc_terms}) AS adc_dist_q
+        FROM codes c2 CROSS JOIN q CROSS JOIN cbs
+        WHERE q.query_id <> c2.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist_q,
+        CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist_q, neighbor_id)
+             AS BIGINT) AS rank
+    FROM dists QUALIFY rank <= {k}"""
 
 
 def _dsir_sample_oracle() -> str:

@@ -32,7 +32,8 @@ from cubes_spark.llm.util import spread
 
 __all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates",
            "ivf_topk", "train_spherical_kmeans", "random_projection",
-           "kmeans_clusters", "semantic_dedup", "semantic_dedup_greedy"]
+           "kmeans_clusters", "semantic_dedup", "semantic_dedup_greedy",
+           "train_pq_codebooks", "pq_encode", "pq_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -620,4 +621,155 @@ def random_projection(corpus: DataFrame, out_dim: int = 16,
     )
     return spread(corpus).select(
         F.col(id_col), vec, projected.alias(out_col)
+    )
+
+
+# -- product quantization (IVF-PQ memory-compression path) ------------------
+
+def train_pq_codebooks(X, m: int = 8, ksub: int = 16, seed: int = 42,
+                       iters: int = 10):
+    """Pure-numpy per-subspace Euclidean k-means (the PQ training of
+    Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search").  Deterministic given (X, m, ksub, seed, iters) — the
+    oracle generator retrains on the identically-constructed sample
+    and reproduces the codebooks bit-for-bit.  Returns an
+    ``m × ksub × dsub`` nested list of python floats."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        cent = S[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = S[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in cent])
+    return books
+
+
+def _pq_subdist_q(vec: Column, flat: Column, j: int, code: Column,
+                  dsub: int, ksub: int,
+                  quant: float = 1e12) -> Column:
+    """Quantized squared distance between ``vec``'s j-th subvector and
+    codeword ``code`` of subspace ``j``: a sequential left fold over
+    the ``dsub`` dims (fixed IEEE order), then integer 1e-12 units —
+    int64 sums are exact and merge/summation-order independent, so
+    both the encode argmin and the ADC total replay exactly in SQL."""
+    base = (F.lit(j * ksub * dsub) + code * dsub).cast("int")
+    def step(acc, d):
+        diff = (F.element_at(vec, F.lit(j * dsub) + d + 1)
+                .cast("double") - F.element_at(flat, base + d + 1))
+        # diff * diff, NOT pow(diff, 2): Math.pow carries a 1-ulp
+        # license that would break the bit-exact SQL replay
+        return acc + diff * diff
+
+    d2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dsub - 1)), F.lit(0.0), step)
+    return F.round(d2 * F.lit(quant)).cast("long")
+
+
+def pq_encode(corpus: DataFrame, codebooks,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Encode each vector to ``m`` codeword ids (one byte-sized int
+    per subspace at ksub<=256): ``code[j] = argmin_c ||x_j − cb[j][c]||²``
+    with deterministic ties (lowest c).  64 float64 dims compress to
+    8 small ints — the 32× memory cut that lets a 100 TB embedding
+    corpus live in executor memory for ANN scans.
+
+    Pure JVM expressions over literal codebooks (O(1) plan size in
+    ``m·ksub·dsub``), no shuffle, no Python in the row path."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    flat = F.array(*[F.lit(float(v)) for book in codebooks
+                     for row in book for v in row])
+    vec = F.col(vec_col)
+
+    def code_for(j: int) -> Column:
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda c: F.struct(
+                _pq_subdist_q(vec, flat, j, c.cast("int"), dsub, ksub)
+                .alias("dq"),
+                c.cast("int").alias("c"),
+            ),
+        )
+        return F.array_min(dists)["c"]
+
+    codes = F.array(*[code_for(j) for j in range(m)])
+    return spread(corpus).select(
+        *[F.col(c) for c in corpus.columns], codes.alias(out_col))
+
+
+def pq_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
+            k: int = 5, m: int = 8, ksub: int = 16, seed: int = 42,
+            sample_size: int = 4096,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: corpus vectors
+    are quantized to ``m`` codewords, each query scans codes and sums
+    the per-subspace query-to-codeword distances — the in-cell scan
+    of an IVF-PQ index (compose with :func:`ivf_topk`'s cluster
+    routing to prune candidates; PQ contributes the 32× memory
+    compression that makes the scan cheap).
+
+    Codebooks train driver-side on a bounded deterministic sample
+    (the FAISS train-small / apply-distributed pattern).  Distances
+    are int64 sums of 1e-12-quantized subspace terms — exact at any
+    parallelism, so the SQL oracle replays encode + ADC verbatim.
+    Returns ``(query_id, neighbor_id, adc_dist_q, rank)``.
+    """
+    import numpy as np
+
+    queries = corpus if queries is None else queries
+    sample = (corpus.orderBy(id_col).limit(sample_size)
+              .select(vec_col).collect())
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    books = train_pq_codebooks(X, m, ksub, seed)
+    ksub = len(books[0])
+    dsub = len(books[0][0])
+    flat = F.array(*[F.lit(float(v)) for book in books
+                     for row in book for v in row])
+
+    encoded = pq_encode(corpus, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("pq_code").alias("__code__"))
+    q = spread(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec__"))
+
+    qvec = F.col("__qvec__")
+    adc = None
+    for j in range(m):
+        term = _pq_subdist_q(
+            qvec, flat, j,
+            F.element_at(F.col("__code__"), j + 1), dsub, ksub)
+        adc = term if adc is None else adc + term
+    # the big side (encoded corpus) stays partitioned; the small query
+    # set broadcasts — the scan is embarrassingly parallel over corpus
+    # partitions, each task holding only codes (32x smaller than the
+    # raw vectors) plus the broadcast queries
+    scored = (
+        encoded.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_q").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank",
+                          F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )

@@ -2332,3 +2332,64 @@ class TestDSIRResample:
                                    "doc_id long, dsir_score_q long")
         got = {r.doc_id for r in dsir_resample(df, 40).collect()}
         assert all(d < 50 for d in got)
+
+
+class TestPQ:
+    def test_encode_deterministic_and_partition_invariant(self, spark):
+        import numpy as np
+
+        from cubes_spark.llm import pq_encode, train_pq_codebooks
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(80, 16).astype(float)
+        rows = [(i, [float(v) for v in vecs[i]]) for i in range(80)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        books = train_pq_codebooks(vecs, m=4, ksub=8, seed=42)
+        a = {r.vec_id: r.pq_code for r in
+             pq_encode(df, books).collect()}
+        b = {r.vec_id: r.pq_code for r in
+             pq_encode(df.repartition(9), books).collect()}
+        assert a == b
+        assert all(len(code) == 4 and
+                   all(0 <= c < 8 for c in code)
+                   for code in a.values())
+
+    def test_encode_matches_numpy_argmin(self, spark):
+        import numpy as np
+
+        from cubes_spark.llm import pq_encode, train_pq_codebooks
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(40, 16)
+        rows = [(i, [float(v) for v in vecs[i]]) for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        books = train_pq_codebooks(vecs, m=4, ksub=8, seed=1)
+        got = {r.vec_id: list(r.pq_code) for r in
+               pq_encode(df, books).collect()}
+        B = np.array(books)  # 4 x 8 x 4
+        for i in range(40):
+            expect = [
+                int(np.argmin(((vecs[i, j * 4:(j + 1) * 4]
+                                - B[j]) ** 2).sum(axis=1)))
+                for j in range(4)]
+            assert got[i] == expect, i
+
+    def test_adc_finds_planted_neighbor(self, spark):
+        """A near-copy of a query must be its ADC rank-1 neighbor —
+        quantization noise is far below the planted gap."""
+        import numpy as np
+
+        from cubes_spark.llm import pq_topk
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(60, 16)
+        base[50] = base[0] + 0.01 * rng.randn(16)  # planted near-dup
+        rows = [(i, [float(v) for v in base[i]]) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = pq_topk(df, df.filter("vec_id = 0"), k=1,
+                      m=4, ksub=16, sample_size=60)
+        top = out.collect()[0]
+        assert top.query_id == 0 and top.neighbor_id == 50

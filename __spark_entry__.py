@@ -3453,6 +3453,36 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_emb_pq_recall(spark, sf_dir):
+    """Driver signal for the PQ scale-path quality: recall@1 of the
+    ADC scan vs the exact cosine top-1 on the planted near-duplicate
+    queries — same auditable-count shape as emb_ivf_recall.  The
+    oracle retrains identical codebooks on the identically-constructed
+    augmented sample and replays encode + ADC + the exact ranking."""
+    from cubes_spark.llm import pq_topk
+
+    corpus = _augmented_embeddings(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") >= _PLANT_OFFSET)
+    exact = cosine_topk(corpus, queries, k=1).select(
+        "query_id", "neighbor_id")
+    approx = (
+        pq_topk(corpus, queries, k=1)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit__", F.lit(1))
+    )
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+        .cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_exact", "n_hit",
+        F.expr("n_hit * 10000 div n_exact").alias("recall_bp"),
+        (F.col("n_hit") * 10 >= F.col("n_exact") * 8).alias("recall_ok"),
+    )
+
+
 def q_doc_dsir_sample(spark, sf_dir):
     """DSIR Gumbel-top-k resampling (llm/quality.py:dsir_resample):
     64 docs sampled without replacement proportional to the
@@ -3565,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": q_doc_bm25,
         "doc_dsir_sample": q_doc_dsir_sample,
         "emb_pq": q_emb_pq,
+        "emb_pq_recall": q_emb_pq_recall,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5661,6 +5692,8 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_dsir_sample"] = _guarded_oracle(
         _dsir_sample_oracle, "doc_dsir_sample")
     sql["emb_pq"] = _guarded_oracle(_pq_oracle, "emb_pq")
+    sql["emb_pq_recall"] = _guarded_oracle(
+        _emb_pq_recall_oracle, "emb_pq_recall")
 
     sql["emb_semdedup"] = _guarded_oracle(_emb_semdedup_oracle, "emb_semdedup")
     sql["emb_semdedup_greedy"] = _guarded_oracle(_emb_semdedup_greedy_oracle, "emb_semdedup_greedy")
@@ -5977,6 +6010,108 @@ def _pq_oracle() -> str:
                                 ORDER BY adc_dist_q, neighbor_id)
              AS BIGINT) AS rank
     FROM dists QUALIFY rank <= {k}"""
+
+
+def _emb_pq_recall_oracle() -> str:
+    """Recall@1 of the PQ ADC scan vs exact cosine top-1 over the
+    planted-duplicate corpus: retrains the identical codebooks on the
+    identically-constructed augmented sample, replays encode + ADC
+    (same quantized int64 arithmetic as _pq_oracle) and the exact
+    ranking, then emits the Spark entry's counts."""
+    import duckdb
+    import numpy as np
+
+    from cubes_spark.llm.similarity import train_pq_codebooks
+
+    m, ksub_req, seed = 8, 16, 42
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    sample = duckdb.sql(f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM read_parquet('{path}')
+        ),
+        aug AS (
+            SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 10000000, list_prepend(v[1] + 0.2, v[2:])
+            FROM base WHERE vec_id % 10 = 0
+        )
+        SELECT v FROM aug ORDER BY vec_id LIMIT 4096""").fetchall()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    books = train_pq_codebooks(X, m, ksub_req, seed)
+    ksub, dsub = len(books[0]), len(books[0][0])
+    cb = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(v) for v in row) + "]"
+            for row in book) + "]"
+        for book in books) + "]"
+    enc_terms = " + ".join(
+        f"((v[j*{dsub} + {d + 1}] - CB[j+1][c+1][{d + 1}]) "
+        f"* (v[j*{dsub} + {d + 1}] - CB[j+1][c+1][{d + 1}]))"
+        for d in range(dsub))
+    adc_terms = " + ".join(
+        "CAST(round((" + " + ".join(
+            f"((qv[{j * dsub + d + 1}] - CB[{j + 1}][code[{j + 1}]+1][{d + 1}]) "
+            f"* (qv[{j * dsub + d + 1}] - CB[{j + 1}][code[{j + 1}]+1][{d + 1}]))"
+            for d in range(dsub))
+        + ") * 1000000000000.0) AS BIGINT)"
+        for j in range(m))
+    return f"""
+    WITH {_AUG_CORPUS_SQL},
+    cbs AS (SELECT {cb} AS CB),
+    enc AS MATERIALIZED (
+        SELECT vec_id, j,
+            min_by(c, dq * {ksub} + c) AS code_j
+        FROM (
+            SELECT aug.vec_id, r1.j, r2.c,
+                CAST(round(({enc_terms}) * 1000000000000.0)
+                     AS BIGINT) AS dq
+            FROM aug CROSS JOIN cbs
+            CROSS JOIN range(0, {m}) r1(j)
+            CROSS JOIN range(0, {ksub}) r2(c)
+        ) GROUP BY vec_id, j
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, list(code_j ORDER BY j) AS code
+        FROM enc GROUP BY 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM aug
+        WHERE vec_id >= 10000000
+    ),
+    pq AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c2.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY ({adc_terms}), c2.vec_id) AS rank
+            FROM codes c2 CROSS JOIN q CROSS JOIN cbs
+            WHERE q.query_id <> c2.vec_id
+        ) WHERE rank = 1
+    ),
+    cos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+             * sqrt(list_dot_product(c.v, c.v))) AS cosine
+        FROM aug q JOIN aug c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 10000000
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                    AS rank
+            FROM cos
+        ) WHERE rank = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COUNT(a.query_id) AS BIGINT) AS n_hit,
+        CAST(COUNT(a.query_id) * 10000 // COUNT(*) AS BIGINT)
+            AS recall_bp,
+        COUNT(a.query_id) * 10 >= COUNT(*) * 8 AS recall_ok
+    FROM exact x LEFT JOIN pq a
+        ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id"""
 
 
 def _dsir_sample_oracle() -> str:

@@ -3453,6 +3453,82 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_topk_per_region(spark, sf_dir):
+    """Per-group top-N (operators/olap.py:top_n_per_group): the three
+    highest-revenue customers of each region — ranked over the
+    ALREADY-AGGREGATED customer grain, so the window's per-partition
+    state is customers, not facts."""
+    from cubes_spark.operators.olap import top_n_per_group
+
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["customer_geo:customer"],
+        aggregates=["price_sum"],
+    )
+    out = top_n_per_group(
+        df, ["customer_geo.region_key"],
+        [F.col("price_sum").desc(),
+         F.col("`customer_geo.customer_key`").asc()],
+        n=3)
+    out = out.select(
+        "`customer_geo.region_key`", "`customer_geo.nation_key`",
+        "`customer_geo.customer_key`", "price_sum", "rank")
+    return _lng(
+        _dbl(out, "price_sum"),
+        "customer_geo.region_key", "customer_geo.nation_key",
+        "customer_geo.customer_key")
+
+
+def q_events_gap_fill(spark, sf_dir):
+    """Dense time spine (operators/olap.py:fill_time_gaps): hourly
+    error-event counts with every empty hour present as an explicit
+    zero row — a plain GROUP BY cannot emit absent hours; the spine
+    is a sequence() explode of the 2-value min/max row, never a fact
+    rescan."""
+    from cubes_spark.operators.olap import fill_time_gaps
+
+    ev = _table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_errors"))
+    )
+    filled = fill_time_gaps(hourly, "hour", step="1 hour")
+    return filled.select(
+        "hour", F.col("n_errors").cast("long").alias("n_errors"))
+
+
+def q_compact_roundtrip(spark, sf_dir):
+    """Small-files compaction (operators/scale.py:compact_table): the
+    events table written as 64 tiny files, compacted in place, then
+    re-read — the entry returns the per-type value sums plus the
+    compaction's file-count proof (files shrank to the byte-sized
+    target; data bit-identical), so a green row certifies the rewrite
+    lost nothing."""
+    import glob
+    import os
+    import tempfile
+
+    from cubes_spark.operators.scale import compact_table
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = os.path.join(tempfile.mkdtemp(prefix="compact_"), "ev")
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    compact_table(spark, path, target_file_mb=256)
+    files_after = len(glob.glob(os.path.join(path, "*.parquet")))
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,2)")).cast("double")
+        .alias("value_sum"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    ).withColumn(
+        "compacted_ok",
+        F.lit(bool(files_after < files_before and files_after >= 1)))
+
+
 def q_emb_pq_recall(spark, sf_dir):
     """Driver signal for the PQ scale-path quality: recall@1 of the
     ADC scan vs the exact cosine top-1 on the planted near-duplicate
@@ -3596,6 +3672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_sample": q_doc_dsir_sample,
         "emb_pq": q_emb_pq,
         "emb_pq_recall": q_emb_pq_recall,
+        "topk_per_region": q_topk_per_region,
+        "events_gap_fill": q_events_gap_fill,
+        "compact_roundtrip": q_compact_roundtrip,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5360,6 +5439,54 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["topk_per_region"] = f"""
+        SELECT "customer_geo.region_key", "customer_geo.nation_key",
+            "customer_geo.customer_key", price_sum,
+            CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT r.r_regionkey AS "customer_geo.region_key",
+                n.n_nationkey AS "customer_geo.nation_key",
+                c.c_custkey AS "customer_geo.customer_key",
+                CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+                row_number() OVER (
+                    PARTITION BY r.r_regionkey
+                    ORDER BY CAST(SUM({_DEC_PRICE}) AS DOUBLE) DESC,
+                             c.c_custkey) AS rank
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2, 3
+        ) WHERE rank <= 3"""
+
+    sql["events_gap_fill"] = """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                CAST(count(*) AS BIGINT) AS n_errors
+            FROM events WHERE event_type = 'error' GROUP BY 1
+        ),
+        bounds AS (SELECT min(hour) AS lo, max(hour) AS hi
+                   FROM hourly),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi,
+                                          INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        )
+        SELECT s.hour,
+            CAST(COALESCE(h.n_errors, 0) AS BIGINT) AS n_errors
+        FROM spine s LEFT JOIN hourly h ON s.hour = h.hour"""
+
+    sql["compact_roundtrip"] = """
+        SELECT event_type,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE)
+                AS value_sum,
+            CAST(min(event_id) AS BIGINT) AS min_id,
+            CAST(max(event_id) AS BIGINT) AS max_id,
+            TRUE AS compacted_ok
+        FROM events GROUP BY 1"""
 
     sql["drill_across_flag"] = f"""
         WITH notes AS (

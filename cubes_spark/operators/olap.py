@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "drill_across",
+    "top_n_per_group",
+    "fill_time_gaps",
     "funnel_counts",
     "cohort_retention",
     "rollup_aggregate",
@@ -86,6 +88,70 @@ def drill_across(queries: Sequence[tuple], drilldown: Sequence[str],
               for a in agg_names])
         out = prefixed if out is None else \
             out.join(prefixed, on=refs, how=how)
+    return out
+
+
+def top_n_per_group(df: DataFrame, group_cols: Sequence[str],
+                    order_by: Sequence, n: int,
+                    rank_col: str = "rank") -> DataFrame:
+    """Top-``n`` rows per group — the per-group companion of the
+    browser's global top-k pagination (reference has only global
+    ORDER+LIMIT, sql/browser.py paginated statements).
+
+    ``order_by``: column names (descending by name, or pass Column
+    expressions for full control).  One shuffle keyed by the group
+    columns; per-partition state is the group's rows, so skew follows
+    group fan-out — for heavy-hitter groups aggregate to the ranked
+    grain FIRST (rank aggregated rows, not facts), which is also the
+    correct semantics for "top customers by revenue"."""
+    from pyspark.sql.window import Window
+
+    cols = [
+        c if isinstance(c, Column) else F.col(f"`{c}`").desc()
+        for c in order_by
+    ]
+    w = Window.partitionBy(
+        *[F.col(f"`{g}`") for g in group_cols]).orderBy(*cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def fill_time_gaps(df: DataFrame, time_col: str,
+                   step: str = "1 hour",
+                   group_cols: Sequence[str] = (),
+                   fill: Optional[Dict[str, Any]] = None) -> DataFrame:
+    """Dense time spine: every ``step`` tick between the frame's min
+    and max ``time_col`` appears for every group combination, missing
+    rows filled with ``fill`` values (default 0 for every non-key
+    column) — gap-filling for time-series dashboards, which a plain
+    GROUP BY cannot produce (absent input rows yield absent output
+    rows).
+
+    Scale shape: min/max collapse to one 2-value row, the spine is a
+    ``sequence()`` explode of that row (ticks, not data, bound its
+    size), group combinations come from a DISTINCT of the already
+    AGGREGATED frame, and the fill is one left join keyed by
+    (group, tick) against grain-sized data — fact rows are never
+    rescanned."""
+    bounds = df.agg(
+        F.min(time_col).alias("lo"), F.max(time_col).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(
+            F.col("lo"), F.col("hi"),
+            F.expr(f"INTERVAL {step}"))).alias(time_col))
+    if group_cols:
+        combos = df.select(*[F.col(f"`{g}`") for g in group_cols]) \
+            .distinct()
+        spine = spine.crossJoin(combos)
+    value_cols = [c for c in df.columns
+                  if c != time_col and c not in group_cols]
+    out = spine.join(df, [time_col, *group_cols], "left")
+    fill = fill or {}
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(f"`{c}`"), F.lit(fill.get(c, 0))))
     return out
 
 

@@ -289,3 +289,40 @@ def test_drill_across_validates(spark):
     with _pytest.raises(ValueError, match="at least two"):
         drill_across([(ws.browser("sales"), ["price_sum"])],
                      drilldown=["returnflag"])
+
+
+def test_top_n_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from cubes_spark.operators.olap import top_n_per_group
+
+    rows = [("a", i, float(i * 10)) for i in range(5)] + \
+           [("b", i, float(100 - i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = top_n_per_group(df, ["g"], [F.col("v").desc(),
+                                      F.col("k").asc()], n=2)
+    got = {(r.g, r.rank): r.k for r in out.collect()}
+    assert got == {("a", 1): 4, ("a", 2): 3,
+                   ("b", 1): 0, ("b", 2): 1}
+
+
+def test_fill_time_gaps(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cubes_spark.operators.olap import fill_time_gaps
+
+    def _h(h):
+        return datetime.datetime(2024, 1, 1, h)
+
+    df = spark.createDataFrame(
+        [(_h(0), "x", 5), (_h(3), "x", 7), (_h(1), "y", 2)],
+        "t timestamp, g string, n long")
+    out = fill_time_gaps(df, "t", step="1 hour", group_cols=["g"])
+    got = {(r.g, r.t.hour): r.n for r in out.collect()}
+    # 4 ticks x 2 groups, zeros where absent
+    assert len(got) == 8
+    assert got[("x", 0)] == 5 and got[("x", 1)] == 0
+    assert got[("x", 3)] == 7 and got[("y", 1)] == 2
+    assert got[("y", 0)] == 0 and got[("y", 3)] == 0

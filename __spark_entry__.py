@@ -3707,11 +3707,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,  # last green r4
         "doc_langid": q_doc_langid,  # last green r4
         "doc_fingerprint": q_doc_fingerprint,  # last green r4
+        # ---- behind the window (position 51+): driver-green r4/r5/
+        #      r6; swept locally every round by check_correctness ----
         "doc_exact_dup": q_doc_exact_dup,  # last green r4
         "doc_jaccard": q_doc_jaccard,  # last green r4
         "emb_topk": q_emb_topk,  # last green r4
         "emb_near_dup": q_emb_near_dup,  # last green r4
-        # ---- behind the window: driver-green r5/r6; swept
         "emb_ivf": q_emb_ivf,  # last green r4
         "agg_summary": q_agg_summary,  # last green r4
         "agg_registry_stats": q_agg_registry_stats,  # last green r5

@@ -3453,6 +3453,23 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_fuzzy_names(spark, sf_dir):
+    """Fuzzy entity resolution (llm/dedup.py:fuzzy_pairs): customer
+    names within Levenshtein distance 1, found by FastSS
+    deletion-neighborhood blocking + single-shuffle bucket pairs.
+    The oracle is the BRUTE-FORCE all-pairs scan — a hash match
+    proves the blocking missed nothing (FastSS completeness), not
+    just that verified pairs are right."""
+    from cubes_spark.llm import fuzzy_pairs
+
+    cust = _table(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey") <= 300) \
+        .select(F.col("c_custkey").alias("doc_id"),
+                F.col("c_name").alias("name"))
+    return fuzzy_pairs(cust, col="name").select(
+        "id_a", "id_b", "distance")
+
+
 def q_topk_per_region(spark, sf_dir):
     """Per-group top-N (operators/olap.py:top_n_per_group): the three
     highest-revenue customers of each region — ranked over the
@@ -3675,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_region": q_topk_per_region,
         "events_gap_fill": q_events_gap_fill,
         "compact_roundtrip": q_compact_roundtrip,
+        "fuzzy_names": q_fuzzy_names,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5440,6 +5458,14 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["fuzzy_names"] = """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT)
+                AS distance
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE a.c_custkey <= 300 AND b.c_custkey <= 300
+          AND levenshtein(a.c_name, b.c_name) <= 1"""
 
     sql["topk_per_region"] = f"""
         SELECT "customer_geo.region_key", "customer_geo.nation_key",

@@ -45,6 +45,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "connected_components",
     "duplicate_clusters",
+    "fuzzy_pairs",
     "DEFAULT_MAX_BUCKET_SIZE",
 ]
 
@@ -635,3 +636,63 @@ def dedup_against(df: DataFrame, reference: DataFrame,
         "content_hash", content_hash(F.col(text_col), normalize))
     return hashed.join(ref_hashes, "content_hash", "left_anti") \
         .drop("content_hash")
+
+
+def fuzzy_pairs(df: DataFrame, col: str = "text",
+                id_col: str = "doc_id",
+                max_distance: int = 1,
+                max_bucket_size: Optional[int] = DEFAULT_MAX_BUCKET_SIZE,
+                ) -> DataFrame:
+    """Edit-distance-bounded candidate pairs via deletion-neighborhood
+    blocking (FastSS, Bocek et al. 2007) — fuzzy entity resolution
+    over short strings (names, codes, URLs) without an all-pairs
+    scan.
+
+    Two strings within Levenshtein distance 1 necessarily share a
+    member of each other's {self} ∪ {one-char deletions} neighborhood,
+    so blocking on those variants is COMPLETE for ``max_distance=1``
+    (the brute-force oracle in the correctness gate confirms no pair
+    is missed).  Candidates then verify with the built-in
+    ``levenshtein`` — JVM-side, no Python.
+
+    Scale shape: the variant explode is narrow (L+1 variants per row),
+    pair generation is the shared single-shuffle
+    :func:`_bucket_pairs` (groupBy variant, skew-capped), and each
+    verified pair carries its exact distance.  Output:
+    ``(id_a, id_b, val_a, val_b, distance)`` with ``id_a < id_b``.
+
+    Only ``max_distance=1`` blocks exactly; deeper neighborhoods grow
+    as L^k — for larger distances compose with n-gram or phonetic
+    blocking instead.
+    """
+    if max_distance != 1:
+        raise ValueError(
+            "fuzzy_pairs blocks exactly for max_distance=1; larger "
+            "distances need L^k deletion neighborhoods — use n-gram "
+            "blocking (minhash_candidate_pairs) for looser matching")
+    s = F.col(col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - 1),
+            s.substr(i + 1, F.greatest(F.length(s) - i, F.lit(0)))),
+    )
+    variants = F.array_distinct(F.concat(F.array(s), deletions))
+    banded = spread(df).select(
+        F.col(id_col), s.alias("__val__"),
+        F.explode(variants).alias("__v__"),
+    )
+    pairs = _bucket_pairs(banded, ["__v__"], id_col, "__val__",
+                          max_bucket_size)
+    verified = (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn("distance",
+                    F.levenshtein(F.col("payload_a"),
+                                  F.col("payload_b")).cast("long"))
+        .filter(F.col("distance") <= max_distance)
+    )
+    return verified.select(
+        "id_a", "id_b",
+        F.col("payload_a").alias("val_a"),
+        F.col("payload_b").alias("val_b"),
+        "distance")

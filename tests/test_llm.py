@@ -2393,3 +2393,41 @@ class TestPQ:
                       m=4, ksub=16, sample_size=60)
         top = out.collect()[0]
         assert top.query_id == 0 and top.neighbor_id == 50
+
+
+class TestFuzzyPairs:
+    def test_matches_brute_force(self, spark):
+        from cubes_spark.llm import fuzzy_pairs
+
+        names = ["smith", "smyth", "smitt", "jones", "jonas",
+                 "brown", "browne", "smith"]
+        rows = [(i, n) for i, n in enumerate(names)]
+        df = spark.createDataFrame(rows, "doc_id long, name string")
+        got = {(r.id_a, r.id_b, r.distance)
+               for r in fuzzy_pairs(df, col="name").collect()}
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1,
+                        prev + (ca != cb))
+            return dp[-1]
+
+        expect = {(i, j, lev(a, b))
+                  for i, a in enumerate(names)
+                  for j, b in enumerate(names)
+                  if i < j and lev(a, b) <= 1}
+        assert got == expect
+
+    def test_rejects_unsupported_distance(self, spark):
+        import pytest as _pytest
+
+        from cubes_spark.llm import fuzzy_pairs
+
+        df = spark.createDataFrame([(0, "x")],
+                                   "doc_id long, name string")
+        with _pytest.raises(ValueError):
+            fuzzy_pairs(df, col="name", max_distance=2)

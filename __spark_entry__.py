@@ -3453,6 +3453,27 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_events_countmin(spark, sf_dir):
+    """Count-min heavy hitters (functions/sketches.py): a 4×256 grid
+    over event user_ids, point-estimated for every distinct user and
+    compared against the exact counts — the estimate can only
+    overestimate (cm_ok asserts it per row), and the md5-derived grid
+    replays integer-exactly in SQL."""
+    from cubes_spark.functions.sketches import (
+        countmin_estimates,
+        countmin_sketch,
+    )
+
+    ev = _table(spark, sf_dir, "events")
+    sketch = countmin_sketch(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n"))
+    est = countmin_estimates(sketch, exact, "user_id")
+    return est.select(
+        "user_id", "exact_n", "cm_estimate",
+        (F.col("cm_estimate") >= F.col("exact_n")).alias("cm_ok"))
+
+
 def q_fuzzy_names(spark, sf_dir):
     """Fuzzy entity resolution (llm/dedup.py:fuzzy_pairs): customer
     names within Levenshtein distance 1, found by FastSS
@@ -3693,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": q_events_gap_fill,
         "compact_roundtrip": q_compact_roundtrip,
         "fuzzy_names": q_fuzzy_names,
+        "events_countmin": q_events_countmin,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5458,6 +5480,33 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["events_countmin"] = f"""
+        WITH cells AS (
+            SELECT r.r AS row,
+                CAST({_H64.format(x="concat('cm' || r.r || ':', CAST(user_id AS VARCHAR))")} % 256 AS INTEGER)
+                    AS bucket,
+                CAST(count(*) AS BIGINT) AS n
+            FROM events CROSS JOIN range(0, 4) r(r)
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT user_id,
+                CAST(count(*) AS BIGINT) AS exact_n
+            FROM events GROUP BY 1
+        ),
+        probes AS (
+            SELECT e.user_id, e.exact_n, r.r AS row,
+                CAST({_H64.format(x="concat('cm' || r.r || ':', CAST(user_id AS VARCHAR))")} % 256 AS INTEGER)
+                    AS bucket
+            FROM exact e CROSS JOIN range(0, 4) r(r)
+        )
+        SELECT p.user_id, p.exact_n,
+            CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS cm_estimate,
+            min(COALESCE(c.n, 0)) >= p.exact_n AS cm_ok
+        FROM probes p LEFT JOIN cells c
+            ON p.row = c.row AND p.bucket = c.bucket
+        GROUP BY 1, 2"""
 
     sql["fuzzy_names"] = """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -156,3 +156,57 @@ def test_pandas_udaf_through_registry(golden_browser):
     finally:
         cube.aggregates.pop()
 
+
+
+class TestCountMin:
+    def test_never_underestimates_and_bounds(self, spark):
+        from pyspark.sql import functions as F
+
+        from cubes_spark.functions.sketches import (
+            countmin_estimates,
+            countmin_sketch,
+        )
+
+        rows = [(f"k{i % 37}",) for i in range(2000)]
+        df = spark.createDataFrame(rows, "k string")
+        sketch = countmin_sketch(df, "k", depth=4, width=64)
+        assert sketch.count() <= 4 * 64
+        exact = df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"))
+        est = countmin_estimates(sketch, exact, "k",
+                                 depth=4, width=64)
+        for r in est.collect():
+            assert r.cm_estimate >= r.n          # never under
+            assert r.cm_estimate <= r.n + 2000   # trivially bounded
+
+    def test_weighted_sketch(self, spark):
+        from pyspark.sql import functions as F
+
+        from cubes_spark.functions.sketches import (
+            countmin_estimates,
+            countmin_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 7), ("b", 1)], "k string, w long")
+        sketch = countmin_sketch(df, "k", depth=4, width=128,
+                                 weight_col="w")
+        vals = spark.createDataFrame([("a",), ("b",)], "k string")
+        got = {r.k: r.cm_estimate for r in
+               countmin_estimates(sketch, vals, "k", depth=4,
+                                  width=128).collect()}
+        assert got["a"] >= 12 and got["b"] >= 1
+
+    def test_unseen_value_estimates_from_grid(self, spark):
+        from cubes_spark.functions.sketches import (
+            countmin_estimates,
+            countmin_sketch,
+        )
+
+        df = spark.createDataFrame([("x",)] * 10, "k string")
+        sketch = countmin_sketch(df, "k", depth=4, width=256)
+        vals = spark.createDataFrame([("zzz",)], "k string")
+        est = countmin_estimates(sketch, vals, "k").collect()[0]
+        # zzz hashes away from x's cells with width 256 and 1 key:
+        # collisions in ALL 4 rows are (1/256)^4-improbable
+        assert est.cm_estimate == 0

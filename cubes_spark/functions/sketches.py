@@ -77,10 +77,11 @@ def countmin_estimates(sketch: DataFrame, values: DataFrame,
                      _cell(value, r, width).alias("bucket"))
             for r in range(depth)])).alias("__c__"),
     ).select(*values.columns, "__c__.row", "__c__.bucket")
-    joined = probes.join(F.broadcast(sketch), ["row", "bucket"],
+    cells = sketch.withColumnRenamed("n", "__cm_n__")
+    joined = probes.join(F.broadcast(cells), ["row", "bucket"],
                          "left")
     return (
         joined.groupBy(*values.columns)
-        .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+        .agg(F.min(F.coalesce(F.col("__cm_n__"), F.lit(0)))
              .cast("long").alias("cm_estimate"))
     )

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "events_funnel",
     "emb_semdedup_greedy",
     "doc_line_dedup",
+    "emb_pq",
+    "fuzzy_names",
 ]
 
 

@@ -3453,6 +3453,34 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_events_bloom(spark, sf_dir):
+    """Bloom-filter membership (functions/sketches.py): the set of
+    users with any purchase over 90 summarized into a 4096-bit /
+    128-word filter, probed for every distinct user.  The entry emits
+    the no-false-negative proof per row (a member may never probe
+    false); the md5-derived bit grid replays integer-exactly in
+    SQL, false positives and all."""
+    from cubes_spark.functions.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    ev = _table(spark, sf_dir, "events")
+    members = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    ).select("user_id").distinct()
+    bloom = bloom_build(members, "user_id")
+    probes = ev.select("user_id").distinct()
+    probed = bloom_contains(bloom, probes, "user_id")
+    actual = members.withColumn("actual", F.lit(True))
+    out = probed.join(actual, "user_id", "left").withColumn(
+        "actual", F.coalesce(F.col("actual"), F.lit(False)))
+    return out.select(
+        "user_id", "maybe_present", "actual",
+        (F.col("maybe_present") | ~F.col("actual"))
+        .alias("no_false_neg"))
+
+
 def q_events_countmin(spark, sf_dir):
     """Count-min heavy hitters (functions/sketches.py): a 4×256 grid
     over event user_ids, point-estimated for every distinct user and
@@ -3715,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "fuzzy_names": q_fuzzy_names,
         "events_countmin": q_events_countmin,
+        "events_bloom": q_events_bloom,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5480,6 +5509,45 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    _BLOOM_POS = ("CAST(" + _H64.format(
+        x="concat('bl' || h.h || ':', CAST(user_id AS VARCHAR))")
+        + " % 4096 AS BIGINT)")
+    sql["events_bloom"] = f"""
+        WITH members AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 90
+        ),
+        mpos AS (
+            SELECT CAST({_BLOOM_POS} // 32 AS INTEGER) AS word,
+                CAST(1 AS BIGINT) << CAST({_BLOOM_POS} % 32
+                                          AS INTEGER) AS mask
+            FROM members CROSS JOIN range(0, 5) h(h)
+        ),
+        bloom AS (
+            SELECT word, bit_or(mask) AS bits FROM mpos GROUP BY 1
+        ),
+        probes AS (SELECT DISTINCT user_id FROM events),
+        ppos AS (
+            SELECT user_id,
+                CAST({_BLOOM_POS} // 32 AS INTEGER) AS word,
+                CAST(1 AS BIGINT) << CAST({_BLOOM_POS} % 32
+                                          AS INTEGER) AS mask
+            FROM probes CROSS JOIN range(0, 5) h(h)
+        ),
+        probed AS (
+            SELECT p.user_id,
+                CAST(SUM(CASE WHEN (COALESCE(b.bits, 0) & p.mask)
+                              <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    = CAST(count(*) AS BIGINT) AS maybe_present
+            FROM ppos p LEFT JOIN bloom b ON p.word = b.word
+            GROUP BY 1
+        )
+        SELECT pr.user_id, pr.maybe_present,
+            m.user_id IS NOT NULL AS actual,
+            pr.maybe_present OR m.user_id IS NULL AS no_false_neg
+        FROM probed pr LEFT JOIN members m
+            ON pr.user_id = m.user_id"""
 
     sql["events_countmin"] = f"""
         WITH cells AS (

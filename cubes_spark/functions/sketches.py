@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from cubes_spark.llm.text import hash64
 
-__all__ = ["countmin_sketch", "countmin_estimates"]
+__all__ = ["countmin_sketch", "countmin_estimates",
+           "bloom_build", "bloom_contains"]
 
 
 def _cell(value: Column, row: int, width: int) -> Column:
@@ -84,4 +85,74 @@ def countmin_estimates(sketch: DataFrame, values: DataFrame,
         joined.groupBy(*values.columns)
         .agg(F.min(F.coalesce(F.col("__cm_n__"), F.lit(0)))
              .cast("long").alias("cm_estimate"))
+    )
+
+
+def _bloom_positions(value: Column, num_hashes: int,
+                     num_bits: int) -> list:
+    return [
+        (hash64(F.concat(F.lit(f"bl{i}:"),
+                         value.cast("string"))) % num_bits)
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(df: DataFrame, col: str,
+                num_bits: int = 4096,
+                num_hashes: int = 5) -> DataFrame:
+    """Bloom filter over a column, as ``(word, bits)`` rows of 32-bit
+    words (``num_bits/32`` rows total) — the broadcastable membership
+    summary for "have we seen this key" checks at corpus scale:
+    incremental dedup against a reference set, benchmark-membership
+    pre-filters, semi-join pruning before an expensive join.
+
+    Building is one explode + groupBy(word) + bit_or — map-side
+    combinable, output fixed at ``num_bits/32`` rows regardless of
+    input.  32-bit words keep every mask positive in an int64, which
+    both Spark and SQL oracles shift without overflow.  No false
+    negatives ever; false-positive rate ≈ (1−e^(−kn/m))^k."""
+    value = F.col(col)
+    cells = df.select(F.explode(F.array(*[
+        F.struct(
+            (p / 32).cast("int").alias("word"),
+            # pow(2, b) is exact for b<=31 and, unlike shiftleft,
+            # takes a COLUMN shift amount
+            F.pow(F.lit(2.0), (p % 32).cast("double"))
+            .cast("long").alias("mask"),
+        )
+        for p in _bloom_positions(value, num_hashes, num_bits)
+    ])).alias("__c__"))
+    return (
+        cells.select("__c__.word", "__c__.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").cast("long").alias("bits"))
+    )
+
+
+def bloom_contains(bloom: DataFrame, probes: DataFrame, col: str,
+                   num_bits: int = 4096,
+                   num_hashes: int = 5,
+                   out_col: str = "maybe_present") -> DataFrame:
+    """Probe each value against a :func:`bloom_build` filter: adds
+    ``out_col`` (true iff EVERY hash position's bit is set — possibly
+    a false positive, never a false negative).  The filter side is at
+    most ``num_bits/32`` rows and broadcasts; the probe side streams
+    partition-parallel."""
+    value = F.col(col)
+    pos = probes.select(
+        *[F.col(c) for c in probes.columns],
+        F.explode(F.array(*[
+            F.struct((p / 32).cast("int").alias("word"),
+                     F.pow(F.lit(2.0), (p % 32).cast("double"))
+                     .cast("long").alias("mask"))
+            for p in _bloom_positions(value, num_hashes, num_bits)
+        ])).alias("__c__"),
+    ).select(*probes.columns, "__c__.word", "__c__.mask")
+    words = bloom.withColumnRenamed("bits", "__bl_bits__")
+    joined = pos.join(F.broadcast(words), "word", "left")
+    hit = (F.coalesce(F.col("__bl_bits__"), F.lit(0))
+           .bitwiseAND(F.col("mask")) != 0).cast("int")
+    return (
+        joined.groupBy(*probes.columns)
+        .agg((F.sum(hit) == F.count(F.lit(1))).alias(out_col))
     )

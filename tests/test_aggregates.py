@@ -210,3 +210,35 @@ class TestCountMin:
         # zzz hashes away from x's cells with width 256 and 1 key:
         # collisions in ALL 4 rows are (1/256)^4-improbable
         assert est.cm_estimate == 0
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        from cubes_spark.functions.sketches import (
+            bloom_build,
+            bloom_contains,
+        )
+
+        members = spark.createDataFrame(
+            [(f"user{i}",) for i in range(100)], "k string")
+        bloom = bloom_build(members, "k", num_bits=2048)
+        assert bloom.count() <= 2048 // 32
+        probed = bloom_contains(bloom, members, "k", num_bits=2048)
+        assert all(r.maybe_present for r in probed.collect())
+
+    def test_low_false_positive_rate(self, spark):
+        from cubes_spark.functions.sketches import (
+            bloom_build,
+            bloom_contains,
+        )
+
+        members = spark.createDataFrame(
+            [(f"user{i}",) for i in range(50)], "k string")
+        others = spark.createDataFrame(
+            [(f"ghost{i}",) for i in range(200)], "k string")
+        bloom = bloom_build(members, "k", num_bits=4096)
+        probed = bloom_contains(bloom, others, "k",
+                                num_bits=4096).collect()
+        fp = sum(1 for r in probed if r.maybe_present)
+        # theoretical fp ~ (1 - e^(-5*50/4096))^5 ~ 1e-6; allow slack
+        assert fp <= 2

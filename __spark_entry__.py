@@ -3632,7 +3632,7 @@ def q_doc_dsir_sample(spark, sf_dir):
     deterministic, partition-invariant, and the oracle replays the
     identical hash/ln arithmetic."""
     from cubes_spark.llm import (
-        dsir_bucket_counts,
+        dsir_bucket_counts_pair,
         dsir_log_ratios,
         dsir_resample,
         dsir_score,
@@ -3641,9 +3641,8 @@ def q_doc_dsir_sample(spark, sf_dir):
     docs = _table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text")
     ratios_q = dsir_log_ratios(
-        dsir_bucket_counts(docs.filter(F.col("lang") == "en"),
-                           dim=128),
-        dsir_bucket_counts(docs, dim=128))
+        *dsir_bucket_counts_pair(docs, F.col("lang") == "en",
+                                 dim=128))
     scored = dsir_score(docs, ratios_q)
     out = dsir_resample(scored, k=64)
     return out.select("doc_id", "lang", "dsir_score_q",
@@ -3678,16 +3677,15 @@ def q_doc_dsir(spark, sf_dir):
     the sum is exact at any parallelism.  The oracle independently
     recounts both distributions in DuckDB and replays the scoring."""
     from cubes_spark.llm import (
-        dsir_bucket_counts,
+        dsir_bucket_counts_pair,
         dsir_log_ratios,
         dsir_score,
     )
 
     docs = _table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text")
-    target_counts = dsir_bucket_counts(
-        docs.filter(F.col("lang") == "en"), dim=128)
-    raw_counts = dsir_bucket_counts(docs, dim=128)
+    target_counts, raw_counts = dsir_bucket_counts_pair(
+        docs, F.col("lang") == "en", dim=128)
     ratios_q = dsir_log_ratios(target_counts, raw_counts)
     out = dsir_score(docs, ratios_q)
     return out.select("doc_id", "lang", "dsir_score_q", "n_grams")

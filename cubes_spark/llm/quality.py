@@ -199,6 +199,32 @@ def dsir_bucket_counts(df: DataFrame, text_col: str = "text",
     return counts
 
 
+def dsir_bucket_counts_pair(df: DataFrame, target_cond: Column,
+                            text_col: str = "text",
+                            dim: int = 256, ngram_max: int = 2,
+                            seed: str = "dsir"):
+    """Target and raw bucket counts in ONE corpus pass: the explode
+    carries the target predicate, the groupBy aggregates both a
+    conditional and an unconditional count — identical values to two
+    :func:`dsir_bucket_counts` calls at half the scan/hash cost.
+    Returns ``(target_counts, raw_counts)``."""
+    rows = (
+        df.select(
+            target_cond.cast("int").alias("__t__"),
+            F.explode(_dsir_buckets(text_col, dim, ngram_max, seed))
+            .alias("__b__"))
+        .groupBy("__b__").agg(
+            F.sum("__t__").alias("__tn__"),
+            F.count(F.lit(1)).alias("__n__"))
+        .collect()
+    )
+    target, raw = [0] * dim, [0] * dim
+    for r in rows:
+        target[r["__b__"]] = int(r["__tn__"] or 0)
+        raw[r["__b__"]] = int(r["__n__"])
+    return target, raw
+
+
 def dsir_log_ratios(target_counts: Sequence[int],
                     raw_counts: Sequence[int],
                     alpha: float = 0.5,

@@ -2431,3 +2431,20 @@ class TestFuzzyPairs:
                                    "doc_id long, name string")
         with _pytest.raises(ValueError):
             fuzzy_pairs(df, col="name", max_distance=2)
+
+
+def test_dsir_pair_counts_match_separate(spark):
+    from pyspark.sql import functions as F
+
+    from cubes_spark.llm import (
+        dsir_bucket_counts,
+        dsir_bucket_counts_pair,
+    )
+
+    rows = [(i, "en" if i % 3 else "de", f"w{i % 5} w{i % 7} x")
+            for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, lang string, text string")
+    t, r = dsir_bucket_counts_pair(df, F.col("lang") == "en", dim=32)
+    assert t == dsir_bucket_counts(df.filter("lang='en'"), dim=32)
+    assert r == dsir_bucket_counts(df, dim=32)

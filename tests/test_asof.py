@@ -115,3 +115,40 @@ def test_single_shuffle_plan(sides):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 3),
+                             st.integers(0, 1000)),
+                   min_size=1, max_size=25),
+    rrows=st.lists(st.tuples(st.integers(0, 3),
+                             st.integers(0, 1000),
+                             st.integers(0, 100)),
+                   min_size=0, max_size=25),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_property(spark, lrows, rrows):
+    """Hypothesis: union+window as-of == per-row argmax for arbitrary
+    key/time layouts, including duplicate timestamps on both sides."""
+    left = spark.createDataFrame(
+        [(i, k, _dt(t // 60, t % 60)) for i, (k, t) in enumerate(lrows)],
+        "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(i, k, _dt(t // 60, t % 60), float(v))
+         for i, (k, t, v) in enumerate(rrows)],
+        "rid long, k long, ts timestamp, v double") if rrows else \
+        spark.createDataFrame([], "rid long, k long, ts timestamp, v double")
+    out = asof_join(left, right, on="ts", by="k",
+                    right_values=["v"], right_order="rid")
+    got = {r.lid: r.v_right for r in out.collect()}
+    for i, (k, t) in enumerate(lrows):
+        cands = [(rt, rid, float(v))
+                 for rid, (rk, rt, v) in enumerate(rrows)
+                 if rk == k and rt <= t]
+        expect = max(cands)[2] if cands else None
+        assert got[i] == expect, (i, k, t)

@@ -2448,3 +2448,39 @@ def test_dsir_pair_counts_match_separate(spark):
     t, r = dsir_bucket_counts_pair(df, F.col("lang") == "en", dim=32)
     assert t == dsir_bucket_counts(df.filter("lang='en'"), dim=32)
     assert r == dsir_bucket_counts(df, dim=32)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(names=st.lists(
+    st.text(alphabet="abcx", min_size=0, max_size=6),
+    min_size=2, max_size=20))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_pairs_property(spark, names):
+    """Hypothesis: FastSS blocking finds EXACTLY the brute-force
+    distance<=1 pairs on a tiny alphabet (dense near-collisions,
+    empty strings included)."""
+    from cubes_spark.llm import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)],
+        "doc_id long, name string")
+    got = {(r.id_a, r.id_b)
+           for r in fuzzy_pairs(df, col="name").collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    expect = {(i, j) for i in range(len(names))
+              for j in range(i + 1, len(names))
+              if lev(names[i], names[j]) <= 1}
+    assert got == expect

@@ -3453,6 +3453,25 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_events_stream_hh(spark, sf_dir):
+    """Streaming heavy hitters: a per-day count-min grid built
+    INCREMENTALLY over the watermarked event stream (state = 2×64
+    counters per window regardless of key cardinality), replayed to
+    completion and compared cell-for-cell against the batch SQL grid
+    — streaming == batch == oracle for a sketch, not just a sum."""
+    from cubes_spark.functions.sketches import countmin_sketch
+    from cubes_spark.streaming import read_parquet_stream, \
+        replay_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    grid = countmin_sketch(stream, "user_id", depth=2, width=64,
+                           window="1 day", ts_col="ts",
+                           watermark="2 hours")
+    result = replay_to_memory(grid, "q_events_stream_hh")
+    return result.select("window_start", "row", "bucket", "n")
+
+
 def q_events_bloom(spark, sf_dir):
     """Bloom-filter membership (functions/sketches.py): the set of
     users with any purchase over 90 summarized into a 4096-bit /
@@ -3742,6 +3761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_names": q_fuzzy_names,
         "events_countmin": q_events_countmin,
         "events_bloom": q_events_bloom,
+        "events_stream_hh": q_events_stream_hh,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5507,6 +5527,14 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["events_stream_hh"] = f"""
+        SELECT date_trunc('day', ts) AS window_start, r.r AS row,
+            CAST({_H64.format(x="concat('cm' || r.r || ':', CAST(user_id AS VARCHAR))")} % 64 AS INTEGER)
+                AS bucket,
+            CAST(count(*) AS BIGINT) AS n
+        FROM events CROSS JOIN range(0, 2) r(r)
+        GROUP BY 1, 2, 3"""
 
     _BLOOM_POS = ("CAST(" + _H64.format(
         x="concat('bl' || h.h || ':', CAST(user_id AS VARCHAR))")

@@ -40,25 +40,47 @@ def _cell(value: Column, row: int, width: int) -> Column:
 
 def countmin_sketch(df: DataFrame, col: str,
                     depth: int = 4, width: int = 256,
-                    weight_col: Optional[str] = None) -> DataFrame:
+                    weight_col: Optional[str] = None,
+                    window: Optional[str] = None,
+                    ts_col: str = "ts",
+                    watermark: str = "2 hours") -> DataFrame:
     """Build the count-min grid: ``(row, bucket, n)`` cells, at most
     ``depth × width`` rows.  ``weight_col`` aggregates a measure
-    instead of row counts (weighted heavy hitters)."""
+    instead of row counts (weighted heavy hitters).
+
+    With ``window`` (e.g. ``"1 day"``) the grid is built PER tumbling
+    event-time window — ``(window_start, row, bucket, n)`` — and on a
+    streaming frame it becomes a watermarked incremental aggregation:
+    per-window sketch state is depth×width counters no matter how
+    many distinct keys flow through, the fixed-size streaming
+    heavy-hitters pattern."""
     value = F.col(col)
-    cells = df.select(
+    src = df
+    if window and src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    cells = src.select(
+        *([F.window(F.col(ts_col), window).alias("__w0__")]
+          if window else []),
         F.explode(F.array(*[
             F.struct(F.lit(r).alias("row"),
                      _cell(value, r, width).alias("bucket"))
             for r in range(depth)])).alias("__c__"),
-        *( [F.col(weight_col).alias("__w__")] if weight_col else []),
+        *( [F.col(weight_col).alias("__wt__")] if weight_col else []),
     )
-    agg = (F.sum("__w__") if weight_col else F.count(F.lit(1)))
-    return (
-        cells.select("__c__.row", "__c__.bucket",
-                     *( ["__w__"] if weight_col else []))
-        .groupBy("row", "bucket")
+    agg = (F.sum("__wt__") if weight_col else F.count(F.lit(1)))
+    keys = (["__w0__"] if window else []) + ["row", "bucket"]
+    out = (
+        cells.select(*keys[:1] if window else [],
+                     "__c__.row", "__c__.bucket",
+                     *( ["__wt__"] if weight_col else []))
+        .groupBy(*keys)
         .agg(agg.cast("long").alias("n"))
     )
+    if window:
+        out = out.select(
+            F.col("__w0__.start").alias("window_start"),
+            "row", "bucket", "n")
+    return out
 
 
 def countmin_estimates(sketch: DataFrame, values: DataFrame,

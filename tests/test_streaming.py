@@ -546,3 +546,33 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         bp, bc, on="user_id", left_ts="ts", right_ts="click_ts",
         lower_seconds=1800, upper_seconds=0)
     assert {(r.pid, r.cid) for r in batch.collect()} == pairs
+
+
+def test_streaming_countmin_equals_batch(spark, tmp_path):
+    """Windowed count-min grid built incrementally on a stream ==
+    the batch grid over the same data."""
+    import datetime
+
+    from cubes_spark.functions.sketches import countmin_sketch
+    from cubes_spark.streaming import (
+        read_parquet_stream,
+        replay_to_memory,
+    )
+
+    rows = [(i, datetime.datetime(2024, 1, 1 + i % 3, i % 24),
+             f"k{i % 11}") for i in range(300)]
+    src = str(tmp_path / "cm_events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, k string"
+    ).write.parquet(src)
+
+    batch = countmin_sketch(
+        spark.read.parquet(src), "k", depth=3, width=32,
+        window="1 day", ts_col="ts")
+    stream = countmin_sketch(
+        read_parquet_stream(spark, src), "k", depth=3, width=32,
+        window="1 day", ts_col="ts")
+    got = replay_to_memory(stream, "t_cm_stream")
+    key = lambda r: (r.window_start, r.row, r.bucket, r.n)
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, batch.collect()))

@@ -3453,6 +3453,21 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_parent_child(spark, sf_dir):
+    """Ragged parent-child hierarchy flattening (operators/olap.py:
+    flatten_parent_child): a 4-level customer reporting chain
+    (parent = custkey div 10) resolved to (id, root, depth) by
+    pointer jumping — log2(depth) self-join rounds, not depth rounds;
+    the oracle is DuckDB's WITH RECURSIVE walking every chain."""
+    from cubes_spark.operators.olap import flatten_parent_child
+
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") >= 10,
+               F.expr("c_custkey div 10")).alias("parent"))
+    return flatten_parent_child(cust, "id", "parent", max_depth=64)
+
+
 def q_events_stream_hh(spark, sf_dir):
     """Streaming heavy hitters: a per-day count-min grid built
     INCREMENTALLY over the watermarked event stream (state = 2×64
@@ -3762,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_countmin": q_events_countmin,
         "events_bloom": q_events_bloom,
         "events_stream_hh": q_events_stream_hh,
+        "parent_child": q_parent_child,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5527,6 +5543,23 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["parent_child"] = """
+        WITH RECURSIVE nodes AS (
+            SELECT c_custkey AS id,
+                CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END
+                    AS parent
+            FROM customer
+        ),
+        anc AS (
+            SELECT id, id AS anc, 0 AS depth, parent AS next
+            FROM nodes
+            UNION ALL
+            SELECT a.id, n.id, a.depth + 1, n.parent
+            FROM anc a JOIN nodes n ON a.next = n.id
+        )
+        SELECT id, anc AS root, CAST(depth AS BIGINT) AS depth
+        FROM anc WHERE next IS NULL"""
 
     sql["events_stream_hh"] = f"""
         SELECT date_trunc('day', ts) AS window_start, r.r AS row,

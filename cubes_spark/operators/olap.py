@@ -31,6 +31,7 @@ __all__ = [
     "drill_across",
     "top_n_per_group",
     "fill_time_gaps",
+    "flatten_parent_child",
     "funnel_counts",
     "cohort_retention",
     "rollup_aggregate",
@@ -153,6 +154,73 @@ def fill_time_gaps(df: DataFrame, time_col: str,
         out = out.withColumn(
             c, F.coalesce(F.col(f"`{c}`"), F.lit(fill.get(c, 0))))
     return out
+
+
+def flatten_parent_child(df: DataFrame, id_col: str,
+                         parent_col: str,
+                         max_depth: int = 1024) -> DataFrame:
+    """Flatten a parent-child (ragged) hierarchy to ``(id, root,
+    depth)`` — the recursive-hierarchy operation the reference's
+    strictly level-based dimensions cannot model
+    (/root/reference/cubes/metadata/dimension.py hierarchies are
+    fixed level lists) and SQL needs ``WITH RECURSIVE`` for.
+
+    Uses POINTER JUMPING (path doubling): each round joins the state
+    table with itself so every node's known-ancestor pointer jumps
+    twice as far — ``ceil(log2(max_depth))`` rounds and shuffles
+    total, vs ``depth`` rounds for naive parent-at-a-time walking.  A
+    million-deep chain costs 20 self-joins of the (id, anc, depth)
+    state, each a plain equi-join; ``localCheckpoint`` per round
+    keeps the plan O(1) like connected_components.  Rows whose
+    parent chain is longer than ``max_depth`` (or cyclic) surface
+    with ``depth = -1`` rather than looping forever."""
+    import math
+
+    nodes = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(parent_col).alias("__par__"))
+    # anc: farthest known ancestor; done: anc is a root
+    state = nodes.select(
+        "__id__",
+        F.coalesce(F.col("__par__"), F.col("__id__")).alias("__anc__"),
+        F.when(F.col("__par__").isNull(), F.lit(0))
+        .otherwise(F.lit(1)).cast("long").alias("__d__"),
+        F.col("__par__").isNull().alias("__done__"),
+    ).localCheckpoint(eager=True)
+    rounds = max(1, math.ceil(math.log2(max(max_depth, 2))))
+    for _ in range(rounds):
+        if state.filter(~F.col("__done__")).isEmpty():
+            break
+        hop = state.select(
+            F.col("__id__").alias("__hid__"),
+            F.col("__anc__").alias("__hanc__"),
+            F.col("__d__").alias("__hd__"),
+            F.col("__done__").alias("__hdone__"))
+        state = (
+            state.join(hop, state["__anc__"] == hop["__hid__"],
+                       "left")
+            .select(
+                "__id__",
+                F.when(F.col("__done__"), F.col("__anc__"))
+                .otherwise(F.coalesce(F.col("__hanc__"),
+                                      F.col("__anc__")))
+                .alias("__anc__"),
+                F.when(F.col("__done__"), F.col("__d__"))
+                .otherwise(F.col("__d__")
+                           + F.coalesce(F.col("__hd__"), F.lit(0)))
+                .alias("__d__"),
+                (F.col("__done__")
+                 | F.coalesce(F.col("__hdone__"), F.lit(False)))
+                .alias("__done__"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("__id__").alias(id_col),
+        F.when(F.col("__done__"), F.col("__anc__")).alias("root"),
+        F.when(F.col("__done__"), F.col("__d__"))
+        .otherwise(F.lit(-1)).cast("long").alias("depth"),
+    )
 
 
 def _grouping_id_column(keys: Sequence[str]) -> Column:

@@ -326,3 +326,33 @@ def test_fill_time_gaps(spark):
     assert got[("x", 0)] == 5 and got[("x", 1)] == 0
     assert got[("x", 3)] == 7 and got[("y", 1)] == 2
     assert got[("y", 0)] == 0 and got[("y", 3)] == 0
+
+
+def test_flatten_parent_child(spark):
+    from cubes_spark.operators.olap import flatten_parent_child
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 10)] \
+        + [(100, None), (101, 100), (102, 100)] \
+        + [(200, 201), (201, 200)]  # cycle
+    df = spark.createDataFrame(rows, "id long, parent long")
+    got = {r.id: (r.root, r.depth)
+           for r in flatten_parent_child(df, "id", "parent",
+                                         max_depth=16).collect()}
+    assert got[0] == (0, 0)
+    assert got[9] == (0, 9)          # 9-deep chain resolves
+    assert got[101] == (100, 1) and got[102] == (100, 1)
+    assert got[200] == (None, -1)    # cycle flagged, not looped
+    assert got[201] == (None, -1)
+
+
+def test_flatten_parent_child_deep_chain_log_rounds(spark):
+    """A 60-deep chain resolves within ceil(log2(64)) = 6 pointer
+    jumps (would need 60 rounds parent-at-a-time)."""
+    from cubes_spark.operators.olap import flatten_parent_child
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    got = {r.id: (r.root, r.depth)
+           for r in flatten_parent_child(df, "id", "parent",
+                                         max_depth=64).collect()}
+    assert got[60] == (0, 60)

@@ -3453,6 +3453,22 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_sql_view(spark, sf_dir):
+    """Raw-SQL access to the cube (Workspace.register_sql_views): the
+    denormalized star exposed as a LAZY temp view, aggregated with
+    plain spark.sql — Catalyst prunes the unused dimension joins and
+    columns exactly as the browser's plan would, and the result
+    equals the plain SQL over the raw tables."""
+    ws = _ws(spark, sf_dir)
+    ws.register_sql_views(cubes=["sales"])
+    return spark.sql("""
+        SELECT date__year AS year,
+            CAST(SUM(CAST(quantity AS DECIMAL(20,2))) AS DOUBLE)
+                AS quantity_sum,
+            CAST(COUNT(*) AS BIGINT) AS fact_count
+        FROM cube_sales GROUP BY 1""")
+
+
 def q_parent_child(spark, sf_dir):
     """Ragged parent-child hierarchy flattening (operators/olap.py:
     flatten_parent_child): a 4-level customer reporting chain
@@ -3778,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bloom": q_events_bloom,
         "events_stream_hh": q_events_stream_hh,
         "parent_child": q_parent_child,
+        "sql_view": q_sql_view,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5543,6 +5560,13 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["sql_view"] = """
+        SELECT year(l_shipdate) AS year,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)
+                AS quantity_sum,
+            CAST(COUNT(*) AS BIGINT) AS fact_count
+        FROM lineitem GROUP BY 1"""
 
     sql["parent_child"] = """
         WITH RECURSIVE nodes AS (

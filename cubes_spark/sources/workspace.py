@@ -20,6 +20,7 @@ import os
 from typing import Any, Dict, Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cubes_spark.errors import (
     ArgumentError,
@@ -604,3 +605,35 @@ class Workspace:
         return SparkBrowser(
             cube, tables, locale=locale, naming=self.naming, **options
         )
+
+    def register_sql_views(self, cubes: Optional[list] = None,
+                           prefix: str = "cube_") -> list:
+        """Expose each cube's denormalized star as a Spark SQL temp
+        view ``<prefix><cube>`` so analysts can query the model with
+        raw ``spark.sql`` — an access path beyond the reference, which
+        offers only the browser/HTTP surface (its ``sql`` module is a
+        statement GENERATOR, never a user query interface).
+
+        Views are LAZY logical plans (no materialization): a SQL
+        aggregation over one compiles to the same pruned-star plan the
+        browser builds — Catalyst prunes unused dimension joins'
+        columns and pushes filters into the scan exactly as if the
+        attributes had been requested through ``aggregate()``.
+        Attribute refs translate dots to ``__`` (``date.year`` →
+        ``date__year``) so no quoting is needed.  Returns the view
+        names."""
+        from cubes_spark.operators.preagg import _safe
+
+        names = []
+        for info in self.list_cubes():
+            name = info["name"]
+            if cubes is not None and name not in cubes:
+                continue
+            browser = self.browser(name)
+            df = browser.denormalized_dataframe()
+            safe = df.select(*[
+                F.col(f"`{c}`").alias(_safe(c)) for c in df.columns])
+            view = prefix + name.replace(".", "__")
+            safe.createOrReplaceTempView(view)
+            names.append(view)
+        return names

@@ -291,3 +291,29 @@ def test_chained_table_expressions(spark):
     ws2.add_table_expression("b", "SELECT * FROM a")
     with _pytest.raises(StoreError, match="Cyclic"):
         ws2.table("a")
+
+
+def test_register_sql_views_pruned_plan(spark):
+    """SQL over a cube view: values match the browser aggregation and
+    the plan reads only the needed columns (the view is lazy — no
+    materialization, dimension joins prune away)."""
+    from cubes_spark.demo import tpch_workspace
+    from tests.conftest import SF_DIR
+
+    ws = tpch_workspace(spark, SF_DIR)
+    views = ws.register_sql_views(cubes=["sales"])
+    assert views == ["cube_sales"]
+    df = spark.sql(
+        "SELECT returnflag__returnflag AS flag, "
+        "CAST(SUM(CAST(quantity AS DECIMAL(20,2))) AS DOUBLE) AS q "
+        "FROM cube_sales GROUP BY 1")
+    got = {r.flag: r.q for r in df.collect()}
+    expect = {
+        r["returnflag.returnflag"]: float(r["quantity_sum"])
+        for r in ws.browser("sales").aggregation_dataframe(
+            drilldown=["returnflag"],
+            aggregates=["quantity_sum"]).collect()}
+    assert got == expect
+    # column pruning reached the scan: no customer/part/order columns
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "c_name" not in plan and "p_brand" not in plan

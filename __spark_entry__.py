@@ -3453,6 +3453,24 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_events_scd2(spark, sf_dir):
+    """SCD Type-2 history collapse (operators/olap.py:scd2_collapse):
+    each user's event-type change log becomes versioned dimension
+    rows with valid_from/valid_to/is_current — lag-based change
+    detection, running-sum versioning, lead-based intervals; one
+    key-partitioned shuffle, no self-joins.  Oracle replays the same
+    windows in SQL."""
+    from cubes_spark.operators.olap import scd2_collapse
+
+    ev = _table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 30).select(
+        "user_id", "ts", "event_id", "event_type")
+    out = scd2_collapse(ev, ["user_id"], ["event_type"], "ts",
+                        order_extra=["event_id"])
+    return out.select("user_id", "event_type", "valid_from",
+                      "valid_to", "is_current", "version")
+
+
 def q_sql_view(spark, sf_dir):
     """Raw-SQL access to the cube (Workspace.register_sql_views): the
     denormalized star exposed as a LAZY temp view, aggregated with
@@ -3795,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_hh": q_events_stream_hh,
         "parent_child": q_parent_child,
         "sql_view": q_sql_view,
+        "events_scd2": q_events_scd2,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5560,6 +5579,40 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["events_scd2"] = """
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE user_id < 30
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                CASE WHEN row_number() OVER w = 1
+                       OR (lag(event_type) OVER w
+                           IS DISTINCT FROM event_type)
+                     THEN 1 ELSE 0 END AS chg
+            FROM e WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+        ),
+        ver AS (
+            SELECT user_id, ts, event_type,
+                SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS version
+            FROM flagged
+        ),
+        runs AS (
+            SELECT user_id, version, min(ts) AS valid_from,
+                min(event_type) AS event_type
+            FROM ver GROUP BY 1, 2
+        )
+        SELECT user_id, event_type, valid_from,
+            lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY version) AS valid_to,
+            lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY version) IS NULL
+                AS is_current,
+            CAST(version AS BIGINT) AS version
+        FROM runs"""
 
     sql["sql_view"] = """
         SELECT year(l_shipdate) AS year,

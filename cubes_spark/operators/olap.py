@@ -32,6 +32,7 @@ __all__ = [
     "top_n_per_group",
     "fill_time_gaps",
     "flatten_parent_child",
+    "scd2_collapse",
     "funnel_counts",
     "cohort_retention",
     "rollup_aggregate",
@@ -221,6 +222,51 @@ def flatten_parent_child(df: DataFrame, id_col: str,
         F.when(F.col("__done__"), F.col("__d__"))
         .otherwise(F.lit(-1)).cast("long").alias("depth"),
     )
+
+
+def scd2_collapse(df: DataFrame, key_cols: Sequence[str],
+                  attr_cols: Sequence[str], ts_col: str,
+                  order_extra: Sequence[str] = ()) -> DataFrame:
+    """Collapse a change log into slowly-changing-dimension Type 2
+    rows: per key, consecutive records with identical tracked
+    attributes merge into one versioned row with
+    ``valid_from``/``valid_to``/``is_current`` — the dimension-history
+    operator of a Kimball warehouse, which the reference (static
+    dimension tables only) has no counterpart for.
+
+    Shape: one shuffle keyed by the dimension key; change detection is
+    a lag() comparison, version numbering a running sum, and the
+    validity interval a lead() over the collapsed runs — all
+    grain-bounded window work, no self-joins.  ``order_extra`` breaks
+    timestamp ties deterministically (pass the change-log sequence
+    id)."""
+    from pyspark.sql.window import Window
+
+    keys = [F.col(f"`{k}`") for k in key_cols]
+    order = [F.col(f"`{ts_col}`").asc()] + \
+        [F.col(f"`{c}`").asc() for c in order_extra]
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        col, prev = F.col(f"`{a}`"), F.lag(f"`{a}`").over(w)
+        # null-safe inequality: a null→value or value→null transition
+        # IS a change; eqNullSafe treats null==null as equal
+        changed = changed | ~col.eqNullSafe(prev)
+    first = F.row_number().over(w) == 1
+    versioned = df.withColumn(
+        "__ver__",
+        F.sum((first | changed).cast("long")).over(w))
+    runs = versioned.groupBy(*key_cols, "__ver__").agg(
+        F.min(f"`{ts_col}`").alias("valid_from"),
+        *[F.first(f"`{a}`").alias(a) for a in attr_cols])
+    wv = Window.partitionBy(*keys).orderBy(F.col("__ver__").asc())
+    out = runs.withColumn(
+        "valid_to", F.lead("valid_from").over(wv))
+    return out.select(
+        *key_cols, *attr_cols, "valid_from", "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        (F.col("__ver__")).cast("long").alias("version"))
 
 
 def _grouping_id_column(keys: Sequence[str]) -> Column:

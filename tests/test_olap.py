@@ -356,3 +356,46 @@ def test_flatten_parent_child_deep_chain_log_rounds(spark):
            for r in flatten_parent_child(df, "id", "parent",
                                          max_depth=64).collect()}
     assert got[60] == (0, 60)
+
+
+def test_scd2_collapse(spark):
+    import datetime
+
+    from cubes_spark.operators.olap import scd2_collapse
+
+    d = datetime.datetime
+    rows = [(1, d(2024, 1, 1), 1, "A"), (1, d(2024, 1, 2), 2, "A"),
+            (1, d(2024, 1, 3), 3, "B"), (1, d(2024, 1, 4), 4, "A"),
+            (2, d(2024, 1, 1), 5, None), (2, d(2024, 1, 2), 6, "X")]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, seq long, seg string")
+    out = {(r.k, r.version): (r.seg, r.valid_from.day,
+                              r.valid_to.day if r.valid_to else None,
+                              r.is_current)
+           for r in scd2_collapse(df, ["k"], ["seg"], "ts",
+                                  order_extra=["seq"]).collect()}
+    assert out[(1, 1)] == ("A", 1, 3, False)   # run of two collapses
+    assert out[(1, 2)] == ("B", 3, 4, False)
+    assert out[(1, 3)] == ("A", 4, None, True)  # A returns as NEW row
+    assert out[(2, 1)] == (None, 1, 2, False)   # null -> X is a change
+    assert out[(2, 2)] == ("X", 2, None, True)
+    assert len(out) == 5
+
+
+def test_scd2_partition_invariant(spark):
+    import datetime
+
+    from cubes_spark.operators.olap import scd2_collapse
+
+    d = datetime.datetime
+    rows = [(i % 5, d(2024, 1, 1 + i % 20, i % 24), i, f"s{i % 3}")
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, seq long, seg string")
+    key = lambda r: (r.k, r.version, r.seg, r.valid_from, r.valid_to)
+    a = sorted(map(key, scd2_collapse(
+        df, ["k"], ["seg"], "ts", order_extra=["seq"]).collect()))
+    b = sorted(map(key, scd2_collapse(
+        df.repartition(13), ["k"], ["seg"], "ts",
+        order_extra=["seq"]).collect()))
+    assert a == b

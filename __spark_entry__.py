@@ -345,6 +345,22 @@ def _calc_query(aggregate: str):
 
 
 q_calc_sma = _calc_query("price_sma")
+q_calc_rsum = _calc_query("price_rsum")
+
+
+def q_calc_ptot(spark, sf_dir):
+    """Share-of-parent calculator (``ptot``): each (region, month)
+    row's price as a fraction of ITS REGION's total — the "auto"
+    calculator partition is every drilldown item but the last, so the
+    whole-partition frame IS the parent grain."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["customer_geo:region", "date@ym:month"],
+        aggregates=["price_sum", "price_ptot"],
+    )
+    out = _dbl(df, "price_sum", "price_ptot")
+    return _lng(out, "customer_geo.region_key", "date.year",
+                "date.month")
+
 q_calc_wma = _calc_query("price_wma")
 q_calc_sms = _calc_query("price_sms")
 q_calc_smstd = _calc_query("price_smstd")
@@ -3814,6 +3830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_child": q_parent_child,
         "sql_view": q_sql_view,
         "events_scd2": q_events_scd2,
+        "calc_rsum": q_calc_rsum,
+        "calc_ptot": q_calc_ptot,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -4782,6 +4800,39 @@ def oracle_sql() -> dict[str, str]:
                 CAST(SUM({_DEC_PRICE}) AS DECIMAL(18,2)) AS dec_price_sum
             FROM lineitem GROUP BY 1, 2"""
     ym_win = 'ORDER BY "date.year", "date.month" ROWS BETWEEN 2 PRECEDING AND CURRENT ROW'
+
+    sql["calc_rsum"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            CAST(SUM(dec_price_sum) OVER (
+                ORDER BY "date.year", "date.month"
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS price_rsum
+        FROM ({ym_base})"""
+
+    sql["calc_ptot"] = f"""
+        WITH rym AS (
+            SELECT r.r_regionkey AS "customer_geo.region_key",
+                r.r_name AS "customer_geo.region_name",
+                CAST(year(l.l_shipdate) AS BIGINT) AS "date.year",
+                CAST(month(l.l_shipdate) AS BIGINT) AS "date.month",
+                CAST(SUM({_DEC_PRICE}) AS DECIMAL(18,2))
+                    AS dec_price_sum
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT "customer_geo.region_key", "customer_geo.region_name",
+            "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            round(CAST(dec_price_sum AS DOUBLE)
+                  / CAST(SUM(dec_price_sum) OVER (
+                        PARTITION BY "customer_geo.region_key")
+                    AS DOUBLE), 4) AS price_ptot
+        FROM rym"""
 
     sql["calc_sma"] = f"""
         SELECT "date.year", "date.month",

@@ -94,6 +94,20 @@ def _smrsd_column(source: Column, w: WindowSpec) -> Column:
     return F.when(mean > 0, F.round(std / mean, 4)).otherwise(F.lit(0.0))
 
 
+def _rsum_column(source: Column, w: WindowSpec) -> Column:
+    """Running (cumulative) sum over the whole preceding partition."""
+    return F.sum(source).over(w)
+
+
+def _ptot_column(source: Column, w: WindowSpec) -> Column:
+    """Share of the partition total, rounded to 4 (percent-of-total /
+    share-of-parent when the calculator partition is the parent
+    drilldown level)."""
+    total = F.sum(source).over(w).cast("double")
+    return F.when(total != 0,
+                  F.round(source.cast("double") / total, 4))         .otherwise(F.lit(0.0))
+
+
 #: function name → Column builder (source, window_spec) -> Column
 CALCULATED_AGGREGATIONS: Dict[str, Callable[[Column, WindowSpec], Column]] = {
     "wma": _wma_column,
@@ -102,7 +116,14 @@ CALCULATED_AGGREGATIONS: Dict[str, Callable[[Column, WindowSpec], Column]] = {
     "smstd": _smstd_column,
     "smvar": _smvar_column,
     "smrsd": _smrsd_column,
+    "rsum": _rsum_column,
+    "ptot": _ptot_column,
 }
+
+#: frame overrides: running calculators ignore window_size and frame
+#: from the partition start; share-of-total frames the WHOLE partition
+_UNBOUNDED_PRECEDING = {"rsum"}
+_WHOLE_PARTITION = {"ptot"}
 
 #: calculators whose formula squares the source (need p <= 18 decimals)
 _VARIANCE_FAMILY = {"smstd", "smvar", "smrsd"}
@@ -114,6 +135,8 @@ CALCULATOR_LABELS = {
     "smstd": "Moving Std. Deviation of {measure}",
     "smrsd": "Moving Relative St. Dev. of {measure}",
     "smvar": "Moving Variance of {measure}",
+    "rsum": "Running Total of {measure}",
+    "ptot": "Share of Total {measure}",
 }
 
 
@@ -190,7 +213,13 @@ def apply_window_calculators(
         w = Window.orderBy(*order_by)
         if partition_by:
             w = Window.partitionBy(*partition_by).orderBy(*order_by)
-        w = w.rowsBetween(-(window_size - 1), 0)
+        if fname in _UNBOUNDED_PRECEDING:
+            w = w.rowsBetween(Window.unboundedPreceding, 0)
+        elif fname in _WHOLE_PARTITION:
+            w = w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+        else:
+            w = w.rowsBetween(-(window_size - 1), 0)
         builder = CALCULATED_AGGREGATIONS[fname]
         source = F.col(f"`{source_ref}`")
         dtype = dtypes.get(source_ref)

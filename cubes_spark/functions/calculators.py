@@ -293,4 +293,10 @@ def calculate_scalar(fname: str, values: List[float]) -> Optional[float]:
         return round(math.sqrt(var), 2)
     if fname == "smrsd":
         return round(math.sqrt(var) / mean, 4) if mean > 0 else 0
+    if fname == "rsum":
+        # the running total over the whole stream IS the plain sum
+        return sum(values)
+    if fname == "ptot":
+        # the total's share of itself
+        return 1.0 if sum(float(v) for v in values) != 0 else 0.0
     raise KeyError(fname)

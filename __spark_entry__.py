@@ -3469,6 +3469,57 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_events_paths(spark, sf_dir):
+    """Event path analysis (funnel discovery): the 50 most common
+    3-step event-type sequences across user journeys — two leads over
+    the per-user ordered stream, then a count.  One user-keyed window
+    shuffle + one path groupBy; paths, not users, bound the output."""
+    from pyspark.sql import Window
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3")
+                .alias("path"))
+        .groupBy("path").agg(F.count(F.lit(1)).cast("long")
+                             .alias("n_paths"))
+    )
+    top = paths.orderBy(F.col("n_paths").desc(),
+                        F.col("path").asc()).limit(50)
+    w2 = Window.orderBy(F.col("n_paths").desc(), F.col("path").asc())
+    return top.withColumn("rank",
+                          F.row_number().over(w2).cast("long"))
+
+
+def q_profile_orders(spark, sf_dir):
+    """Column profiling (data-quality report): per-column null count,
+    approx-free exact distinct count, min/max as strings — one
+    aggregate pass per metric family over the orders table, unioned
+    into a per-column report.  The profiling shape every ingestion
+    pipeline runs before trusting a feed."""
+    ev = _table(spark, sf_dir, "orders")
+    parts = []
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+              "o_totalprice", "o_orderpriority"]:
+        col = F.col(c)
+        parts.append(ev.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(col.isNull().cast("long")).cast("long")
+            .alias("n_null"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_events_scd2(spark, sf_dir):
     """SCD Type-2 history collapse (operators/olap.py:scd2_collapse):
     each user's event-type change log becomes versioned dimension
@@ -3832,6 +3883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": q_events_scd2,
         "calc_rsum": q_calc_rsum,
         "calc_ptot": q_calc_ptot,
+        "events_paths": q_events_paths,
+        "profile_orders": q_profile_orders,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5630,6 +5683,66 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["events_paths"] = """
+        WITH steps AS (
+            SELECT event_type,
+                lead(event_type, 1) OVER w AS e2,
+                lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        counted AS (
+            SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                CAST(count(*) AS BIGINT) AS n_paths
+            FROM steps WHERE e3 IS NOT NULL GROUP BY 1
+        )
+        SELECT path, n_paths,
+            CAST(row_number() OVER (ORDER BY n_paths DESC, path)
+                 AS BIGINT) AS rank
+        FROM counted ORDER BY rank LIMIT 50"""
+
+    sql["profile_orders"] = """
+        SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT)
+                AS n_rows,
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null,
+            CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+            CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+            CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+            CAST(count(DISTINCT o_custkey) AS BIGINT),
+            CAST(min(o_custkey) AS VARCHAR),
+            CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+            CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+            CAST(min(o_orderstatus) AS VARCHAR),
+            CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+            CAST(SUM(CASE WHEN o_totalprice IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(count(DISTINCT o_totalprice) AS BIGINT),
+            CAST(min(o_totalprice) AS VARCHAR),
+            CAST(max(o_totalprice) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+            CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+            CAST(min(o_orderpriority) AS VARCHAR),
+            CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders"""
 
     sql["events_scd2"] = """
         WITH e AS (

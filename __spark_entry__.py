@@ -3541,9 +3541,10 @@ def q_events_scd2(spark, sf_dir):
 def q_sql_view(spark, sf_dir):
     """Raw-SQL access to the cube (Workspace.register_sql_views): the
     denormalized star exposed as a LAZY temp view, aggregated with
-    plain spark.sql — Catalyst prunes the unused dimension joins and
-    columns exactly as the browser's plan would, and the result
-    equals the plain SQL over the raw tables."""
+    plain spark.sql — columns prune and filters push down to the
+    scans (dimension joins remain, broadcast-sized; the browser's
+    star builder is the join-pruned path), and the result equals the
+    plain SQL over the raw tables."""
     ws = _ws(spark, sf_dir)
     ws.register_sql_views(cubes=["sales"])
     return spark.sql("""

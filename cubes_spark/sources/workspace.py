@@ -614,14 +614,17 @@ class Workspace:
         offers only the browser/HTTP surface (its ``sql`` module is a
         statement GENERATOR, never a user query interface).
 
-        Views are LAZY logical plans (no materialization): a SQL
-        aggregation over one compiles to the same pruned-star plan the
-        browser builds — Catalyst prunes unused dimension joins'
-        columns and pushes filters into the scan exactly as if the
-        attributes had been requested through ``aggregate()``.
-        Attribute refs translate dots to ``__`` (``date.year`` →
-        ``date__year``) so no quoting is needed.  Returns the view
-        names."""
+        Views are LAZY logical plans (no materialization): column
+        pruning and filter pushdown reach the scans as usual.  One
+        honest caveat vs the browser: the view joins EVERY dimension
+        (Catalyst cannot eliminate an inner join without key-uniqueness
+        metadata), while the browser's star builder joins only the
+        tables the requested attributes need — for join-pruned plans
+        over a wide snowflake, query through the browser; the view is
+        the ad-hoc SQL convenience surface (dimensions broadcast, so
+        the extra joins are map-side).  Attribute refs translate dots
+        to ``__`` (``date.year`` → ``date__year``) so no quoting is
+        needed.  Returns the view names."""
         from cubes_spark.operators.preagg import _safe
 
         names = []

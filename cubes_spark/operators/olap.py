@@ -151,9 +151,25 @@ def fill_time_gaps(df: DataFrame, time_col: str,
                   if c != time_col and c not in group_cols]
     out = spine.join(df, [time_col, *group_cols], "left")
     fill = fill or {}
+    numeric = {
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in
+        ("byte", "short", "integer", "long", "float", "double",
+         "decimal")
+    }
     for c in value_cols:
+        if c in fill:
+            default = F.lit(fill[c])
+        elif c in numeric:
+            default = F.lit(0)
+        else:
+            # a non-numeric value column without an explicit fill
+            # stays NULL on spine rows — coalescing a string with 0
+            # would be a type error, and inventing a sentinel would
+            # be silently wrong data
+            continue
         out = out.withColumn(
-            c, F.coalesce(F.col(f"`{c}`"), F.lit(fill.get(c, 0))))
+            c, F.coalesce(F.col(f"`{c}`"), default))
     return out
 
 

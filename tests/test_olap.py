@@ -399,3 +399,22 @@ def test_scd2_partition_invariant(spark):
         df.repartition(13), ["k"], ["seg"], "ts",
         order_extra=["seq"]).collect()))
     assert a == b
+
+
+def test_fill_time_gaps_non_numeric_stays_null(spark):
+    import datetime
+
+    from cubes_spark.operators.olap import fill_time_gaps
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [(d(2024, 1, 1, 0), "up", 1), (d(2024, 1, 1, 2), "down", 2)],
+        "t timestamp, status string, n long")
+    out = {r.t.hour: (r.status, r.n)
+           for r in fill_time_gaps(df, "t").collect()}
+    assert out[1] == (None, 0)       # string null, numeric zero
+    assert out[0] == ("up", 1)
+    # explicit fill overrides for any type
+    out2 = {r.t.hour: r.status for r in fill_time_gaps(
+        df, "t", fill={"status": "unknown"}).collect()}
+    assert out2[1] == "unknown"

@@ -6754,7 +6754,7 @@ def _bm25_oracle() -> str:
         SELECT count(*), COALESCE(SUM(len({_TOKENS})), 0)
         FROM documents""").fetchone()
     n_docs, total = int(n_docs), int(total)
-    avgdl = (total / n_docs) if n_docs else 1.0
+    avgdl = (total / n_docs) if n_docs and total else 1.0
     dfs = dict(con.execute(f"""
         SELECT term, count(*) FROM (
             SELECT DISTINCT doc_id, unnest({_TOKENS}) AS term

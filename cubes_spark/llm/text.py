@@ -837,7 +837,10 @@ def bm25_search(df: DataFrame, query_terms: Sequence[str],
         F.count(F.lit(1)).alias("n"),
         F.sum("__dl__").alias("total")).head()
     n_docs, total_tokens = int(stats["n"]), int(stats["total"] or 0)
-    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+    # all-empty corpus: avgdl 0 would put 0/0 NaN into every length
+    # normalization (no postings exist then, but keep the expression
+    # total); 1.0 is the conventional degenerate value
+    avgdl = (total_tokens / n_docs) if n_docs and total_tokens else 1.0
 
     postings = (
         df.select(F.col(id_col),

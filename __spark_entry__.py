@@ -3469,6 +3469,39 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Time-series anomaly scoring: hourly error counts z-scored
+    against the trailing 24-hour window (exclusive of the current
+    hour — scoring a point against a baseline that contains it mutes
+    the anomaly).  Quantized z in integer 1e-4 units for exact
+    parity; flagged at |z| > 3.  Grain-bounded window work over the
+    pre-aggregated hourly series."""
+    from pyspark.sql import Window
+
+    ev = _table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy("hour").rowsBetween(-24, -1)
+    mean = F.avg(F.col("n").cast("double")).over(w)
+    nw = F.count("n").over(w).cast("double")
+    s = F.sum(F.col("n").cast("double")).over(w)
+    s2 = F.sum((F.col("n") * F.col("n")).cast("double")).over(w)
+    var = F.when(nw < 2, F.lit(0.0)).otherwise(
+        (s2 - s * s / nw) / (nw - F.lit(1.0)))
+    std = F.sqrt(var)
+    z = F.when(std > 0,
+               (F.col("n").cast("double") - mean) / std)
+    out = hourly.select(
+        "hour", "n",
+        F.round(z * 10000).cast("long").alias("z_q"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) > 3).alias("is_anomaly"),
+    )
+    return out
+
+
 def q_events_paths(spark, sf_dir):
     """Event path analysis (funnel discovery): the 50 most common
     3-step event-type sequences across user journeys — two leads over
@@ -3886,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calc_ptot": q_calc_ptot,
         "events_paths": q_events_paths,
         "profile_orders": q_profile_orders,
+        "events_anomaly": q_events_anomaly,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5684,6 +5718,38 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["events_anomaly"] = """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_type = 'error' GROUP BY 1
+        ),
+        stats AS (
+            SELECT hour, n,
+                avg(CAST(n AS DOUBLE)) OVER w AS mean,
+                count(n) OVER w AS nw,
+                SUM(CAST(n AS DOUBLE)) OVER w AS s,
+                SUM(CAST(n * n AS DOUBLE)) OVER w AS s2
+            FROM hourly
+            WINDOW w AS (ORDER BY hour
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        ),
+        scored AS (
+            SELECT hour, n,
+                CASE WHEN nw < 2 THEN 0.0
+                     ELSE (s2 - s * s / nw) / (nw - 1.0) END AS var,
+                mean
+            FROM stats
+        )
+        SELECT hour, n,
+            CAST(round(CASE WHEN sqrt(var) > 0
+                 THEN (CAST(n AS DOUBLE) - mean) / sqrt(var) END
+                 * 10000) AS BIGINT) AS z_q,
+            abs(COALESCE(CASE WHEN sqrt(var) > 0
+                 THEN (CAST(n AS DOUBLE) - mean) / sqrt(var) END,
+                 0.0)) > 3 AS is_anomaly
+        FROM scored"""
 
     sql["events_paths"] = """
         WITH steps AS (

@@ -3469,6 +3469,25 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_doc_communities(spark, sf_dir):
+    """Label-propagation communities (llm/web.py:label_propagation)
+    over an in-plan ring graph (blocks of 50 docs): 3 synchronous
+    rounds, most-frequent-neighbor labels with min tie-break —
+    deterministic at any parallelism; the oracle unrolls the same
+    rounds in SQL (MATERIALIZED per round)."""
+    from cubes_spark.llm import label_propagation
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        (F.expr("doc_id div 50") * 50
+         + (F.col("doc_id") % 50 + 1) % 50).alias("dst"),
+    )
+    return label_propagation(edges, rounds=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"))
+
+
 def q_events_anomaly(spark, sf_dir):
     """Time-series anomaly scoring: hourly error counts z-scored
     against the trailing 24-hour window (exclusive of the current
@@ -3920,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_paths": q_events_paths,
         "profile_orders": q_profile_orders,
         "events_anomaly": q_events_anomaly,
+        "doc_communities": q_doc_communities,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -6326,6 +6346,8 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_quality_model"] = _guarded_oracle(
         _quality_oracle, "doc_quality_model")
     sql["doc_dsir"] = _guarded_oracle(_dsir_oracle, "doc_dsir")
+    sql["doc_communities"] = _guarded_oracle(
+        _lpa_oracle, "doc_communities")
     sql["doc_bm25"] = _guarded_oracle(_bm25_oracle, "doc_bm25")
     sql["doc_dsir_sample"] = _guarded_oracle(
         _dsir_sample_oracle, "doc_dsir_sample")
@@ -6859,6 +6881,45 @@ def _bm25_oracle() -> str:
         CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
              AS BIGINT) AS rank
     FROM scored ORDER BY rank LIMIT 20"""
+
+
+def _lpa_oracle() -> str:
+    """Unrolls label_propagation's 3 synchronous rounds in SQL —
+    same undirected-distinct edges, same most-frequent/min-tie label
+    choice, same keep-own for neighborless nodes."""
+    rounds = 3
+    parts = ["""e0 AS (
+        SELECT doc_id AS src,
+            (doc_id // 50) * 50 + ((doc_id % 50 + 1) % 50) AS dst
+        FROM documents
+    ),
+    und AS MATERIALIZED (
+        SELECT src AS s, dst AS d FROM e0
+        UNION
+        SELECT dst, src FROM e0
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM und),
+    r0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""c{k} AS MATERIALIZED (
+        SELECT u.s AS node, l.label, count(*) AS c
+        FROM und u JOIN r{k - 1} l ON u.d = l.node
+        GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label) AS rn
+            FROM c{k}
+        ) WHERE rn = 1
+    ),
+    r{k} AS MATERIALIZED (
+        SELECT n.node, COALESCE(b.label, n.node) AS label
+        FROM nodes n LEFT JOIN b{k} b USING (node)
+    )""")
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT node, label FROM r{rounds}")
 
 
 def _dsir_oracle() -> str:

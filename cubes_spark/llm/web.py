@@ -511,3 +511,50 @@ def link_pagerank(edges: DataFrame, iterations: int = 3,
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected edge list (Raghavan et al. 2007) — the cheap graph
+    clustering of web curation (site/mirror grouping, link-farm
+    discovery), complementing :func:`link_pagerank`.
+
+    Deterministic by construction: every node starts labeled with its
+    own id; each synchronous round every node adopts the MOST FREQUENT
+    label among its neighbors, ties broken by the smallest label, for
+    a FIXED number of rounds (asynchronous/randomized variants are not
+    reproducible across runs — useless for a verified pipeline).
+    Nodes without surviving neighbors keep their label.
+
+    Per round: one join of labels to the undirected edges and one
+    (node, label) count — both keyed shuffles; ``localCheckpoint``
+    truncates lineage like the other iterative operators.  Returns
+    ``(node, label)``; equal labels after the fixed rounds = same
+    community.
+    """
+    und = edges.select(F.col(src_col).alias("__s__"),
+                       F.col(dst_col).alias("__d__")) \
+        .unionByName(edges.select(F.col(dst_col).alias("__s__"),
+                                  F.col(src_col).alias("__d__"))) \
+        .distinct().localCheckpoint(eager=True)
+    nodes = und.select(F.col("__s__").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        nbr = und.join(labels.withColumnRenamed("node", "__d__"),
+                       "__d__")
+        counts = nbr.groupBy(F.col("__s__").alias("node"), "label") \
+            .agg(F.count(F.lit(1)).alias("__c__"))
+        best = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("__c__")).alias("negc"),
+                           F.col("label").alias("l"))).alias("__b__"))
+        labels = nodes.join(
+            best.select("node", F.col("__b__.l").alias("__new__")),
+            "node", "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("__new__"), F.col("node")).alias("label"),
+        ).localCheckpoint(eager=True)
+    return labels

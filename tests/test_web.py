@@ -460,3 +460,31 @@ class TestPagerank:
                     nxt[d2] += r[s] * D // (1000 * len(dsts))
             r = nxt
         assert got == r
+
+
+class TestLabelPropagation:
+    def test_two_cliques_converge(self, spark):
+        """Two disjoint triangles: 3 rounds collapse each onto its
+        minimum label; no cross-community leakage."""
+        from cubes_spark.llm import label_propagation
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+            "src long, dst long")
+        got = {r.node: r.label
+               for r in label_propagation(edges, rounds=3).collect()}
+        assert got[1] == got[2] == got[3]
+        assert got[10] == got[11] == got[12]
+        assert got[1] != got[10]
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from cubes_spark.llm import label_propagation
+
+        rows = [(i, (i + 1) % 40 + (i // 40) * 40) for i in range(120)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        a = sorted((r.node, r.label) for r in
+                   label_propagation(edges, rounds=3).collect())
+        b = sorted((r.node, r.label) for r in
+                   label_propagation(edges.repartition(7),
+                                     rounds=3).collect())
+        assert a == b

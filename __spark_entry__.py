@@ -3469,6 +3469,34 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_events_twap(spark, sf_dir):
+    """Time-weighted average (TWAP): each user-day's value states
+    weighted by how long they held (event until next event; the last
+    holds to midnight).  All arithmetic is INTEGER — value in cents ×
+    duration in µs sums exactly at any parallelism (a float TWAP's
+    partial-sum order would break bit-parity).  One user-keyed window
+    + one groupBy."""
+    from pyspark.sql import Window
+
+    ev = _table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    day_end = F.unix_micros(day + F.expr("INTERVAL 24 HOURS"))
+    next_ts = F.coalesce(F.unix_micros(F.lead("ts").over(w)), day_end)
+    dur_us = next_ts - F.unix_micros(F.col("ts"))
+    v_cents = F.round(F.col("value") * 100).cast("long")
+    weighted = ev.select(
+        "user_id", day.alias("day"),
+        (v_cents * dur_us).alias("__wv__"),
+        dur_us.alias("__d__"),
+    )
+    return weighted.groupBy("user_id", "day").agg(
+        F.sum("__wv__").cast("long").alias("weighted_cents_us"),
+        F.sum("__d__").cast("long").alias("held_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 def q_doc_communities(spark, sf_dir):
     """Label-propagation communities (llm/web.py:label_propagation)
     over an in-plan ring graph (blocks of 50 docs): 3 synchronous
@@ -3940,6 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "events_anomaly": q_events_anomaly,
         "doc_communities": q_doc_communities,
+        "events_twap": q_events_twap,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5738,6 +5767,29 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["events_twap"] = """
+        WITH e AS (
+            SELECT user_id, ts, event_id, value,
+                date_trunc('day', ts) AS day
+            FROM events WHERE user_id < 40
+        ),
+        timed AS (
+            SELECT user_id, day,
+                CAST(round(value * 100) AS BIGINT) AS v_cents,
+                COALESCE(
+                    date_diff('microsecond', ts, lead(ts) OVER w),
+                    date_diff('microsecond', ts,
+                              day + INTERVAL 24 HOURS)) AS dur_us
+            FROM e WINDOW w AS (PARTITION BY user_id, day
+                                ORDER BY ts, event_id)
+        )
+        SELECT user_id, day,
+            CAST(SUM(v_cents * dur_us) AS BIGINT)
+                AS weighted_cents_us,
+            CAST(SUM(dur_us) AS BIGINT) AS held_us,
+            CAST(count(*) AS BIGINT) AS n_events
+        FROM timed GROUP BY 1, 2"""
 
     sql["events_anomaly"] = """
         WITH hourly AS (

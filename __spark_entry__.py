@@ -3469,6 +3469,20 @@ def q_emb_pq(spark, sf_dir):
     return pq_topk(emb, queries, k=5)
 
 
+def q_doc_ssjoin(spark, sf_dir):
+    """EXACT set-similarity self-join (llm/dedup.py:
+    jaccard_similarity_join, AllPairs prefix filtering): every pair
+    of documents with token-set Jaccard >= 0.95, integer-verified —
+    the oracle is the BRUTE-FORCE all-pairs scan, so a hash match
+    proves the prefix filter missed nothing (recall exactly 1.0,
+    unlike MinHash)."""
+    from cubes_spark.llm import jaccard_similarity_join
+
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300).select("doc_id", "text")
+    return jaccard_similarity_join(docs, threshold=0.95)
+
+
 def q_events_twap(spark, sf_dir):
     """Time-weighted average (TWAP): each user-day's value states
     weighted by how long they held (event until next event; the last
@@ -3969,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "doc_communities": q_doc_communities,
         "events_twap": q_events_twap,
+        "doc_ssjoin": q_doc_ssjoin,
         # 8+: re-confirmations, oldest last-green first (r4)
         "agg_snowflake": q_agg_snowflake,  # last green r4
         "agg_roleplay": q_agg_roleplay,  # last green r4
@@ -5767,6 +5782,22 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1"""
+
+    sql["doc_ssjoin"] = f"""
+        WITH t AS (
+            SELECT doc_id, list_distinct({_TOKENS}) AS s
+            FROM documents WHERE doc_id < 300
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+                AS inter_size,
+            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                 AS BIGINT) AS union_size
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+          AND len(list_intersect(a.s, b.s)) * 1000000
+              >= 950000 * (len(a.s) + len(b.s)
+                           - len(list_intersect(a.s, b.s)))"""
 
     sql["events_twap"] = """
         WITH e AS (

@@ -2484,3 +2484,44 @@ def test_fuzzy_pairs_property(spark, names):
               for j in range(i + 1, len(names))
               if lev(names[i], names[j]) <= 1}
     assert got == expect
+
+
+class TestJaccardJoin:
+    def test_exact_vs_brute_force(self, spark):
+        """Prefix filtering finds EXACTLY the brute-force Jaccard>=t
+        pairs (completeness + precision)."""
+        from cubes_spark.llm import jaccard_similarity_join
+
+        docs = [
+            "a b c d e", "a b c d f", "a b x y z",
+            "p q r s", "p q r t", "m n", "m n", ""]
+        rows = [(i, t) for i, t in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id_a, r.id_b): (r.inter_size, r.union_size)
+               for r in jaccard_similarity_join(
+                   df, threshold=0.6).collect()}
+
+        sets = {i: set(t.split()) for i, t in rows if t}
+        expect = {}
+        for i in sets:
+            for j in sets:
+                if i < j:
+                    inter = len(sets[i] & sets[j])
+                    uni = len(sets[i] | sets[j])
+                    if inter * 10**6 >= round(0.6 * 10**6) * uni:
+                        expect[(i, j)] = (inter, uni)
+        assert got == expect
+        assert (0, 1) in got and (5, 6) in got
+
+    def test_partition_invariant(self, spark):
+        from cubes_spark.llm import jaccard_similarity_join
+
+        rows = [(i, " ".join(f"w{(i + j) % 17}" for j in range(6)))
+                for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted((r.id_a, r.id_b) for r in
+                   jaccard_similarity_join(df, 0.5).collect())
+        b = sorted((r.id_a, r.id_b) for r in
+                   jaccard_similarity_join(df.repartition(9),
+                                           0.5).collect())
+        assert a == b

@@ -152,3 +152,21 @@ def test_asof_property(spark, lrows, rrows):
                  if rk == k and rt <= t]
         expect = max(cands)[2] if cands else None
         assert got[i] == expect, (i, k, t)
+
+
+def test_forward_with_tolerance(sides):
+    trades, quotes = sides
+    out = asof_join(trades, quotes, on="ts", by="sym",
+                    right_values=["px"], right_order="quote_id",
+                    direction="forward", tolerance_seconds=120.0)
+    got = {r.trade_id: r.px_right for r in out.collect()}
+    assert got[2] == 2.0     # exact match, gap 0
+    assert got[1] is None    # next quote at 00:05 is 240s away > 120
+    assert got[4] == 4.0     # 30s gap
+
+
+def test_invalid_direction_rejected(sides):
+    trades, quotes = sides
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="ts", by="sym",
+                  direction="sideways")

@@ -576,3 +576,25 @@ def test_streaming_countmin_equals_batch(spark, tmp_path):
     key = lambda r: (r.window_start, r.row, r.bucket, r.n)
     assert sorted(map(key, got.collect())) == \
         sorted(map(key, batch.collect()))
+
+
+def test_stream_interval_join_left_outer_batch(spark):
+    """Left-outer interval join keeps unmatched left rows (batch
+    mode; the streaming path shares the same condition)."""
+    import datetime
+
+    from cubes_spark.streaming import stream_interval_join
+
+    d = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, 7, d(2024, 1, 1, 10, 30)), (2, 8, d(2024, 1, 1, 10, 0))],
+        "pid long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 7, d(2024, 1, 1, 10, 15))],
+        "cid long, user_id long, click_ts timestamp")
+    out = stream_interval_join(
+        left, right, on="user_id", left_ts="ts",
+        right_ts="click_ts", lower_seconds=1800, upper_seconds=0,
+        how="left_outer")
+    got = {r.pid: r.cid for r in out.collect()}
+    assert got == {1: 10, 2: None}

@@ -598,3 +598,57 @@ def test_stream_interval_join_left_outer_batch(spark):
         how="left_outer")
     got = {r.pid: r.cid for r in out.collect()}
     assert got == {1: 10, 2: None}
+
+
+def test_streaming_incremental_cuboid_maintenance(spark, tmp_path):
+    """Incremental view maintenance from a stream: each micro-batch's
+    PARTIAL aggregate merges into a parquet cuboid (union + re-group
+    of distributive states — the refresh_aggregate math driven by
+    foreachBatch), and after the bounded replay the cuboid equals the
+    batch aggregate of everything."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cubes_spark.streaming import read_parquet_stream
+
+    d = datetime.datetime
+    src = str(tmp_path / "ivm_events")
+    os.makedirs(src)
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    for b in range(3):
+        rows = [(b * 100 + i, d(2024, 1, 1 + b, i % 24),
+                 f"t{i % 3}", float(i)) for i in range(50)]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, kind string, v double"
+        ).coalesce(1).write.parquet(src, mode="append")
+
+    cuboid = str(tmp_path / "cuboid")
+
+    def merge_batch(batch_df, batch_id):
+        part = batch_df.groupBy("kind").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(20,2)")).alias("v_sum"))
+        if os.path.exists(cuboid):
+            existing = batch_df.sparkSession.read.parquet(cuboid)
+            part = existing.unionByName(part).groupBy("kind").agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("v_sum").alias("v_sum"))
+        part = part.localCheckpoint(eager=True)  # break read->write
+        part.write.mode("overwrite").parquet(cuboid)
+
+    stream = read_parquet_stream(spark, src, max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.kind: (r.n, float(r.v_sum))
+           for r in spark.read.parquet(cuboid).collect()}
+    expect = {r.kind: (r.n, float(r.v_sum))
+              for r in spark.read.parquet(src).groupBy("kind").agg(
+                  F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum(F.col("v").cast("decimal(20,2)"))
+                  .alias("v_sum")).collect()}
+    assert got == expect

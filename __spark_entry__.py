@@ -346,6 +346,7 @@ def _calc_query(aggregate: str):
 
 q_calc_sma = _calc_query("price_sma")
 q_calc_rsum = _calc_query("price_rsum")
+q_calc_pctchange = _calc_query("price_pct_change")
 
 
 def q_calc_ptot(spark, sf_dir):
@@ -3978,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": q_events_scd2,
         "calc_rsum": q_calc_rsum,
         "calc_ptot": q_calc_ptot,
+        "calc_pctchange": q_calc_pctchange,
         "events_paths": q_events_paths,
         "profile_orders": q_profile_orders,
         "events_anomaly": q_events_anomaly,
@@ -4952,6 +4954,22 @@ def oracle_sql() -> dict[str, str]:
                 CAST(SUM({_DEC_PRICE}) AS DECIMAL(18,2)) AS dec_price_sum
             FROM lineitem GROUP BY 1, 2"""
     ym_win = 'ORDER BY "date.year", "date.month" ROWS BETWEEN 2 PRECEDING AND CURRENT ROW'
+
+    sql["calc_pctchange"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            CASE WHEN lag(dec_price_sum) OVER (
+                     ORDER BY "date.year", "date.month") IS NOT NULL
+                  AND lag(dec_price_sum) OVER (
+                     ORDER BY "date.year", "date.month") <> 0
+            THEN round((CAST(dec_price_sum AS DOUBLE)
+                        - CAST(lag(dec_price_sum) OVER (
+                              ORDER BY "date.year", "date.month")
+                          AS DOUBLE))
+                       / CAST(lag(dec_price_sum) OVER (
+                             ORDER BY "date.year", "date.month")
+                         AS DOUBLE), 4) END AS price_pct_change
+        FROM ({ym_base})"""
 
     sql["calc_rsum"] = f"""
         SELECT "date.year", "date.month",

@@ -230,6 +230,8 @@ TPCH_MODEL = {
                  "measure": "price_sum"},
                 {"name": "price_ptot", "function": "ptot",
                  "measure": "price_sum"},
+                {"name": "price_pct_change", "function": "pct_change",
+                 "measure": "price_sum"},
             ],
             "mappings": {
                 # fact measures / key.  Monetary doubles are cast to

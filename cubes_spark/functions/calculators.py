@@ -94,6 +94,18 @@ def _smrsd_column(source: Column, w: WindowSpec) -> Column:
     return F.when(mean > 0, F.round(std / mean, 4)).otherwise(F.lit(0.0))
 
 
+def _pctchange_column(source: Column, w: WindowSpec) -> Column:
+    """Period-over-period relative change vs the previous row in the
+    calculator order: (x - prev) / prev, rounded to 4; NULL for the
+    first row and when prev is 0 (a 0-divide sentinel would be wrong
+    data)."""
+    prev = F.lag(source).over(w)
+    return F.when(
+        prev.isNotNull() & (prev != 0),
+        F.round((source.cast("double") - prev.cast("double"))
+                / prev.cast("double"), 4))
+
+
 def _rsum_column(source: Column, w: WindowSpec) -> Column:
     """Running (cumulative) sum over the whole preceding partition."""
     return F.sum(source).over(w)
@@ -118,12 +130,16 @@ CALCULATED_AGGREGATIONS: Dict[str, Callable[[Column, WindowSpec], Column]] = {
     "smrsd": _smrsd_column,
     "rsum": _rsum_column,
     "ptot": _ptot_column,
+    "pct_change": _pctchange_column,
 }
 
 #: frame overrides: running calculators ignore window_size and frame
-#: from the partition start; share-of-total frames the WHOLE partition
+#: from the partition start; share-of-total frames the WHOLE
+#: partition; lag-based calculators take the UNFRAMED ordered window
+#: (a rows-between frame is illegal around lag())
 _UNBOUNDED_PRECEDING = {"rsum"}
 _WHOLE_PARTITION = {"ptot"}
+_UNFRAMED = {"pct_change"}
 
 #: calculators whose formula squares the source (need p <= 18 decimals)
 _VARIANCE_FAMILY = {"smstd", "smvar", "smrsd"}
@@ -137,6 +153,7 @@ CALCULATOR_LABELS = {
     "smvar": "Moving Variance of {measure}",
     "rsum": "Running Total of {measure}",
     "ptot": "Share of Total {measure}",
+    "pct_change": "Period-over-Period Change of {measure}",
 }
 
 
@@ -213,7 +230,9 @@ def apply_window_calculators(
         w = Window.orderBy(*order_by)
         if partition_by:
             w = Window.partitionBy(*partition_by).orderBy(*order_by)
-        if fname in _UNBOUNDED_PRECEDING:
+        if fname in _UNFRAMED:
+            pass  # lag() needs the plain ordered window
+        elif fname in _UNBOUNDED_PRECEDING:
             w = w.rowsBetween(Window.unboundedPreceding, 0)
         elif fname in _WHOLE_PARTITION:
             w = w.rowsBetween(Window.unboundedPreceding,
@@ -299,4 +318,7 @@ def calculate_scalar(fname: str, values: List[float]) -> Optional[float]:
     if fname == "ptot":
         # the total's share of itself
         return 1.0 if sum(float(v) for v in values) != 0 else 0.0
+    if fname == "pct_change":
+        # no meaningful single-row summary for a first-difference
+        return None
     raise KeyError(fname)

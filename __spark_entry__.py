@@ -1091,7 +1091,8 @@ def q_emb_ivf_recall(spark, sf_dir):
     exact = cosine_topk(corpus, queries, k=1).select(
         "query_id", "neighbor_id")
     approx = (
-        ivf_topk(corpus, queries, k=1, nlist=16, nprobe=4)
+        ivf_topk(corpus, queries, k=1, nlist=16, nprobe=4,
+                 exclude_self=True)
         .select("query_id", "neighbor_id")
         .withColumn("__hit__", F.lit(1))
     )
@@ -3467,7 +3468,7 @@ def q_emb_pq(spark, sf_dir):
 
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return pq_topk(emb, queries, k=5)
+    return pq_topk(emb, queries, k=5, exclude_self=True)
 
 
 def q_doc_ssjoin(spark, sf_dir):
@@ -3839,7 +3840,7 @@ def q_emb_pq_recall(spark, sf_dir):
     exact = cosine_topk(corpus, queries, k=1).select(
         "query_id", "neighbor_id")
     approx = (
-        pq_topk(corpus, queries, k=1)
+        pq_topk(corpus, queries, k=1, exclude_self=True)
         .select("query_id", "neighbor_id")
         .withColumn("__hit__", F.lit(1))
     )
@@ -3927,6 +3928,44 @@ def q_doc_dsir(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_slicer_http_agg(spark, sf_dir):
+    """Remote Slicer store loopback (sources/slicer.py SlicerHTTPStore
+    + SlicerBrowser; parity: reference server/store.py SlicerStore,
+    server/browser.py SlicerBrowser): hosts this workspace's own HTTP
+    server on an ephemeral loopback port, federates it into a SECOND
+    workspace via import_slicer, and runs the yearly aggregate
+    REMOTELY — a real urllib round-trip; the relayed cells must equal
+    the base SQL the local browser would produce."""
+    import threading
+
+    from werkzeug.serving import make_server
+
+    from cubes_spark.server import create_server
+    from cubes_spark.sources.workspace import Workspace
+
+    app = create_server(_ws(spark, sf_dir))
+    server = make_server("127.0.0.1", 0, app)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        ws = Workspace(spark)
+        ws.import_slicer(f"http://127.0.0.1:{server.server_port}",
+                         cubes=["sales"])
+        result = ws.browser("sales").aggregate(
+            drilldown=["date:year"],
+            aggregates=["quantity_sum", "price_sum", "fact_count"])
+        cells = list(result.cells)
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+    rows = [(int(c["date.year"]), float(c["quantity_sum"]),
+             float(c["price_sum"]), int(c["fact_count"]))
+            for c in cells]
+    return spark.createDataFrame(
+        rows, "`date.year` long, quantity_sum double, "
+              "price_sum double, fact_count long")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region × month) with a cell filter
     at sf0.001."""
@@ -3957,6 +3996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "doc_embed": q_doc_embed,
         "doc_quality_model": q_doc_quality_model,
+        # -- round-8 additions (never driver-checked) --
+        "slicer_http_agg": q_slicer_http_agg,
         # -- round-7 additions slot in HERE as they land --
         "bucketed_join": q_bucketed_join,
         "events_asof": q_events_asof,
@@ -4258,6 +4299,13 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["agg_year"] = f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
+            CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
+
+    sql["slicer_http_agg"] = f"""
         SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
             CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
             CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,

@@ -48,13 +48,47 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _partition_topk(scored: DataFrame, key_col: str, order_col: str,
+                    k: int, ascending: bool,
+                    tie_col: str) -> DataFrame:
+    """Map-side per-key top-k pruning: inside every scan partition keep
+    only the k best rows per ``key_col`` (a running k-bounded merge
+    across Arrow batches), so the shuffle feeding the final rank
+    window carries ~``k × partitions × |keys|`` rows instead of the
+    full |corpus| × |queries| score matrix.  Pure pruning — every row
+    that could be in the global top-k survives, so downstream results
+    are bit-identical (ties break on ``tie_col`` ascending, matching
+    the rank windows used by the *_topk operators)."""
+    sort_cols = [key_col, order_col, tie_col]
+    asc = [True, ascending, True]
+
+    def fn(batches):
+        import pandas as pd
+        best = None
+        for pdf in batches:
+            if best is not None:
+                pdf = pd.concat([best, pdf], ignore_index=True)
+            pdf = pdf.sort_values(sort_cols, ascending=asc,
+                                  kind="mergesort")
+            best = pdf.groupby(key_col, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(fn, scored.schema)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: Optional[str] = None) -> DataFrame:
+                query_id_col: Optional[str] = None,
+                exclude_self: bool = True) -> DataFrame:
     """Exact cosine top-k neighbours for each query vector.
 
-    ``queries`` is broadcast (assumed small); self-matches (same id)
-    are excluded when ids share a namespace.  Output: ``(query_id,
+    ``queries`` is broadcast (assumed small).  With ``exclude_self``
+    (default), a corpus row whose id equals the query id is skipped —
+    correct when query ids live in the corpus id space (queries
+    sampled from the corpus); pass ``exclude_self=False`` when the
+    query id space is disjoint, otherwise a coincidental id collision
+    would silently drop a legitimate neighbour.  Output: ``(query_id,
     neighbor_id, cosine, rank)`` with rank 1..k, ties broken by
     neighbour id for determinism.
     """
@@ -70,15 +104,21 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
         _norm(F.col("__qvec__")) * _norm(F.col("__cvec__"))
     )
+    pair_cond = (F.col("query_id") != F.col("neighbor_id")) \
+        if exclude_self else F.lit(True)
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), pair_cond)
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
+    # map-side k-heap first: the rank window then shuffles only
+    # ~k×partitions rows per query, never the full score matrix
+    pruned = _partition_topk(scored, "query_id", "cosine", k,
+                             ascending=False, tie_col="neighbor_id")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
                 F.round(F.col("cosine"), 6).alias("cosine"), "rank")
@@ -225,6 +265,24 @@ def train_spherical_kmeans(X, nlist: int, seed: int, iters: int = 10):
     return cent
 
 
+def _auto_nlist(corpus: DataFrame, nlist: Optional[int],
+                sample_size: int) -> int:
+    """Resolve ``nlist=None`` to ``max(16, ~sqrt(N))`` (capped at the
+    training-sample size — k-means cannot produce more centroids than
+    sample rows).  With a fixed nlist, within-cell pair work in the
+    SemDeDup / IVF paths grows quadratically with the corpus; sqrt(N)
+    cells keep expected cell size ~sqrt(N), bounding sum-of-squared-
+    cell-sizes comparisons at ~N^1.5 total / N^0.5 per cell — the
+    scale default for the 100 TB path.  Explicit nlist always wins
+    (pinned oracles replay the same value)."""
+    import math
+
+    if nlist is not None:
+        return nlist
+    n = corpus.count()
+    return max(16, min(int(math.sqrt(max(n, 1))), sample_size))
+
+
 def _train_centroids(corpus: DataFrame, nlist: int, seed: int,
                      id_col: str, vec_col: str, sample_size: int,
                      iters: int = 10):
@@ -257,10 +315,11 @@ def _centroid_sims(vec: Column, flat: Column, nlist: int,
 
 
 def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
-             k: int = 5, nlist: int = 16, nprobe: int = 4,
+             k: int = 5, nlist: Optional[int] = 16, nprobe: int = 4,
              seed: int = 42, sample_size: int = 4096,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             exclude_self: Optional[bool] = None) -> DataFrame:
     """IVF approximate top-k cosine search (FAISS-IVF shape).
 
     Centroids are trained on a bounded sample driver-side; every corpus
@@ -271,8 +330,17 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     100 TB path is a bucketed/broadcast join, never all-pairs.  Every
     returned pair carries the exact cosine.  Output matches
     :func:`cosine_topk`: ``(query_id, neighbor_id, cosine, rank)``.
+
+    ``nlist=None`` auto-scales the cluster count with the corpus
+    (``max(16, ~sqrt(N))``) so per-cell work stays bounded as the
+    corpus grows; ``exclude_self=None`` resolves to True exactly when
+    ``queries`` is None (self-join) — pass it explicitly when queries
+    are sampled from (True) or disjoint from (False) the corpus.
     """
+    if exclude_self is None:
+        exclude_self = queries is None
     queries = corpus if queries is None else queries
+    nlist = _auto_nlist(corpus, nlist, sample_size)
     first = corpus.select(vec_col).first()
     dim = len(first[0]) if first and first[0] is not None else 0
     cent = _train_centroids(corpus, nlist, seed, id_col, vec_col,
@@ -311,16 +379,20 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
         _norm(F.col("__qvec__")) * _norm(F.col("__cvec__"))
     )
+    pair_cond = (F.col("query_id") != F.col("neighbor_id")) \
+        if exclude_self else F.lit(True)
     scored = (
         assigned.join(probed, "__cluster__")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(pair_cond)
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
+    pruned = _partition_topk(scored, "query_id", "cosine", k,
+                             ascending=False, tie_col="neighbor_id")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
                 F.round(F.col("cosine"), 6).alias("cosine"), "rank")
@@ -358,7 +430,8 @@ def _kmeans_assigned(corpus: DataFrame, nlist: int, seed: int,
     )
 
 
-def kmeans_clusters(corpus: DataFrame, nlist: int = 16, seed: int = 42,
+def kmeans_clusters(corpus: DataFrame, nlist: Optional[int] = 16,
+                    seed: int = 42,
                     sample_size: int = 4096, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Embedding clustering: ``(id, cluster, centroid_sim)`` under
@@ -370,8 +443,9 @@ def kmeans_clusters(corpus: DataFrame, nlist: int = 16, seed: int = 42,
     an exact SQL oracle replays it.  The 100 TB path is one narrow
     projection over the corpus; nothing shuffles.
     """
-    out = _kmeans_assigned(corpus, nlist, seed, sample_size, id_col,
-                           vec_col)
+    out = _kmeans_assigned(corpus,
+                           _auto_nlist(corpus, nlist, sample_size),
+                           seed, sample_size, id_col, vec_col)
     return out.select(
         F.col(id_col),
         F.col("cluster").cast("long").alias("cluster"),
@@ -380,7 +454,7 @@ def kmeans_clusters(corpus: DataFrame, nlist: int = 16, seed: int = 42,
 
 
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
-                   nlist: int = 16, seed: int = 42,
+                   nlist: Optional[int] = None, seed: int = 42,
                    sample_size: int = 4096, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
@@ -405,8 +479,9 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
     (and the candidate count) linearly; cross-cluster near-dups are
     the recall trade the paper accepts.
     """
-    assigned = _kmeans_assigned(corpus, nlist, seed, sample_size,
-                                id_col, vec_col).persist()
+    assigned = _kmeans_assigned(
+        corpus, _auto_nlist(corpus, nlist, sample_size), seed,
+        sample_size, id_col, vec_col).persist()
     left = assigned.select(
         F.col("cluster"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__avec__"))
@@ -436,7 +511,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
 
 
 def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
-                          nlist: int = 16, seed: int = 42,
+                          nlist: Optional[int] = None, seed: int = 42,
                           sample_size: int = 4096,
                           max_rounds: int = 8,
                           id_col: str = "vec_id",
@@ -465,8 +540,9 @@ def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
     ``localCheckpoint`` truncating lineage.  Early-exits when nothing
     is left undecided.  Returns ``(id, cluster, is_kept)``.
     """
-    assigned = _kmeans_assigned(corpus, nlist, seed, sample_size,
-                                id_col, vec_col) \
+    assigned = _kmeans_assigned(
+        corpus, _auto_nlist(corpus, nlist, sample_size), seed,
+        sample_size, id_col, vec_col) \
         .select(F.col(id_col).alias("__id__"), "cluster", vec_col) \
         .localCheckpoint(eager=True)
     left = assigned.select(
@@ -717,7 +793,8 @@ def pq_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
             k: int = 5, m: int = 8, ksub: int = 16, seed: int = 42,
             sample_size: int = 4096,
             id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            exclude_self: Optional[bool] = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: corpus vectors
     are quantized to ``m`` codewords, each query scans codes and sums
     the per-subspace query-to-codeword distances — the in-cell scan
@@ -730,9 +807,17 @@ def pq_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     are int64 sums of 1e-12-quantized subspace terms — exact at any
     parallelism, so the SQL oracle replays encode + ADC verbatim.
     Returns ``(query_id, neighbor_id, adc_dist_q, rank)``.
+
+    ``exclude_self=None`` resolves to True exactly when ``queries`` is
+    None (self-join); pass it explicitly for an external query set —
+    True when query ids are sampled from the corpus id space, False
+    when the id spaces are disjoint (an id collision would otherwise
+    silently drop a legitimate neighbour).
     """
     import numpy as np
 
+    if exclude_self is None:
+        exclude_self = queries is None
     queries = corpus if queries is None else queries
     sample = (corpus.orderBy(id_col).limit(sample_size)
               .select(vec_col).collect())
@@ -761,15 +846,22 @@ def pq_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     # set broadcasts — the scan is embarrassingly parallel over corpus
     # partitions, each task holding only codes (32x smaller than the
     # raw vectors) plus the broadcast queries
+    pair_cond = (F.col("query_id") != F.col("neighbor_id")) \
+        if exclude_self else F.lit(True)
     scored = (
         encoded.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(pair_cond)
         .select("query_id", "neighbor_id", adc.alias("adc_dist_q"))
     )
+    # two-phase top-k: map-side k-heap per corpus partition, then the
+    # rank window over the ~k×partitions survivors per query — the
+    # shuffle never carries the |corpus|×|queries| ADC matrix
+    pruned = _partition_topk(scored, "query_id", "adc_dist_q", k,
+                             ascending=True, tie_col="neighbor_id")
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist_q").asc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank",
+        pruned.withColumn("rank",
                           F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

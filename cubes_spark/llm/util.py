@@ -22,15 +22,10 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
         # on streams unchanged
         return df
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
-    # fast path: a file-backed frame with >= target input files is
-    # already parallel enough — answered from scan metadata without
-    # the analysis + RDD-conversion cost of touching df.rdd (which at
-    # 100 TB is ALWAYS the path taken)
-    try:
-        if len(df.inputFiles()) >= target:
-            return df
-    except Exception:
-        pass
+    # NOTE: no inputFiles() fast path — Spark packs small files into
+    # shared scan partitions (maxPartitionBytes / openCostInBytes), so
+    # "many input files" does NOT imply "many partitions"; the only
+    # trustworthy answer is the planned partition count itself
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

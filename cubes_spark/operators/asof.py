@@ -109,10 +109,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     out = filled.filter(F.col("__asof_side") == 1)
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.col(on).cast("double")
-            - F.col(matched_time).cast("double"))
-        ok = gap <= F.lit(float(tolerance_seconds))
+        # integer-exact comparison for timestamps: a double-seconds
+        # cast carries ~0.25µs rounding at current epochs, enough to
+        # flip a gap that lands exactly ON the tolerance boundary
+        # versus an oracle's integer date_diff
+        if dict(out.dtypes).get(on, "").startswith("timestamp"):
+            gap = F.abs(F.unix_micros(F.col(on))
+                        - F.unix_micros(F.col(matched_time)))
+            ok = gap <= F.lit(int(round(tolerance_seconds * 1_000_000)))
+        else:
+            gap = F.abs(
+                F.col(on).cast("double")
+                - F.col(matched_time).cast("double"))
+            ok = gap <= F.lit(float(tolerance_seconds))
         for c in carried:
             out = out.withColumn(c, F.when(ok, F.col(c)))
     out = out.withColumnRenamed(matched_time, on + suffix)

@@ -149,7 +149,11 @@ def fill_time_gaps(df: DataFrame, time_col: str,
         spine = spine.crossJoin(combos)
     value_cols = [c for c in df.columns
                   if c != time_col and c not in group_cols]
-    out = spine.join(df, [time_col, *group_cols], "left")
+    # marker distinguishes spine-only rows from genuine input rows so
+    # the fill never rewrites a pre-existing NULL measure to 0
+    marker = "__gap_present__"
+    out = spine.join(df.withColumn(marker, F.lit(1)),
+                     [time_col, *group_cols], "left")
     fill = fill or {}
     numeric = {
         f.name for f in df.schema.fields
@@ -169,8 +173,9 @@ def fill_time_gaps(df: DataFrame, time_col: str,
             # be silently wrong data
             continue
         out = out.withColumn(
-            c, F.coalesce(F.col(f"`{c}`"), default))
-    return out
+            c, F.when(F.col(marker).isNull(), default)
+               .otherwise(F.col(f"`{c}`")))
+    return out.drop(marker)
 
 
 def flatten_parent_child(df: DataFrame, id_col: str,

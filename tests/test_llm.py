@@ -2390,7 +2390,8 @@ class TestPQ:
         df = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>")
         out = pq_topk(df, df.filter("vec_id = 0"), k=1,
-                      m=4, ksub=16, sample_size=60)
+                      m=4, ksub=16, sample_size=60,
+                      exclude_self=True)
         top = out.collect()[0]
         assert top.query_id == 0 and top.neighbor_id == 50
 

@@ -3966,6 +3966,77 @@ def q_slicer_http_agg(spark, sf_dir):
               "price_sum double, fact_count long")
 
 
+def q_lineitem_hll(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (functions/sketches.py:
+    hll_registers/hll_estimate; Flajolet et al. 2007): per returnflag,
+    exact distinct order count vs the integer-exact HLL estimate from
+    256 mergeable registers.  The md5-split bucket/rank arithmetic and
+    the harmonic-sum estimate are pure integers, so the oracle rebuilds
+    the identical registers AND estimate; hll_ok asserts the ±25%
+    band (m=256 → σ≈6.5%)."""
+    from cubes_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    li = _table(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_orderkey", ["l_returnflag"])
+    est = hll_estimate(regs, ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_exact"))
+    out = exact.join(est, "l_returnflag")
+    return out.select(
+        "l_returnflag", "n_exact", "hll_est",
+        (F.abs(F.col("hll_est") - F.col("n_exact")) * 4
+         <= F.col("n_exact")).alias("hll_ok"))
+
+
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (operators/olap.py:basket_pairs;
+    association-rule support/lift): part pairs ordered together in
+    >= 2 orders, with per-item supports and integer-basis-point lift.
+    One equi-self-join on the basket key — work bounded by basket
+    width, never |items|²."""
+    from cubes_spark.operators.olap import basket_pairs
+
+    li = _table(spark, sf_dir, "lineitem")
+    out = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    return _lng(out, "item_a", "item_b")
+
+
+def q_multiformat_store(spark, sf_dir):
+    """Multi-format store sources (sources/workspace.py ParquetStore
+    EXTENSIONS): nation written as CSV (header + schema inference),
+    region as JSON-lines, then read back THROUGH the store catalog and
+    joined — the ingest formats a pipeline normalizes into parquet,
+    resolved by the same table() lookup.  The oracle reads the
+    original parquet."""
+    import os
+    import shutil
+
+    from cubes_spark.sources.workspace import ParquetStore
+
+    tmp = f"/tmp/cubes_spark_fmtstore_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _table(spark, sf_dir, "nation").coalesce(1).write \
+        .mode("overwrite").option("header", "true") \
+        .csv(os.path.join(tmp, "nation.csv"))
+    _table(spark, sf_dir, "region").coalesce(1).write \
+        .mode("overwrite").json(os.path.join(tmp, "region.jsonl"))
+    store = ParquetStore(spark, tmp)
+    assert sorted(store.list_tables()) == ["nation", "region"]
+    nation, region = store.table("nation"), store.table("region")
+    out = (
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nations"),
+             F.sum(F.col("n_nationkey").cast("long")).cast("long")
+             .alias("key_sum"))
+    )
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region × month) with a cell filter
     at sf0.001."""
@@ -3998,6 +4069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_model": q_doc_quality_model,
         # -- round-8 additions (never driver-checked) --
         "slicer_http_agg": q_slicer_http_agg,
+        "lineitem_hll": q_lineitem_hll,
+        "basket_pairs": q_basket_pairs,
+        "multiformat_store": q_multiformat_store,
         # -- round-7 additions slot in HERE as they land --
         "bucketed_join": q_bucketed_join,
         "events_asof": q_events_asof,
@@ -4311,6 +4385,91 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
             COUNT(*) AS fact_count
         FROM lineitem GROUP BY 1"""
+
+    sql["lineitem_hll"] = """
+        WITH h AS MATERIALIZED (
+            SELECT l_returnflag AS flag,
+                CAST(concat('0x', substr(md5(concat('hll:',
+                    CAST(l_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                    AS h
+            FROM lineitem
+        ),
+        ranks AS (
+            SELECT flag, CAST(h % 256 AS INT) AS bucket,
+                CASE WHEN (h // 256) % 1099511627776 = 0 THEN 41
+                     ELSE 41 - length(bin(
+                        (h // 256) % 1099511627776)) END AS r
+            FROM h
+        ),
+        regs AS MATERIALIZED (
+            SELECT flag, bucket, MAX(r) AS register
+            FROM ranks GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT f.flag, b.bucket
+            FROM (SELECT DISTINCT flag FROM regs) f
+            CROSS JOIN (SELECT unnest(generate_series(0, 255))
+                        AS bucket) b
+        ),
+        sums AS (
+            SELECT s.flag,
+                CAST(SUM(CAST(power(2.0,
+                    41 - COALESCE(r.register, 0)) AS BIGINT))
+                    AS BIGINT) AS s
+            FROM spine s LEFT JOIN regs r
+                ON s.flag = r.flag AND s.bucket = r.bucket
+            GROUP BY 1
+        ),
+        est AS (
+            SELECT flag,
+                CAST((7183 * (144115188075855872 // s)) // 10000
+                     AS BIGINT) AS hll_est
+            FROM sums
+        ),
+        exact AS (
+            SELECT l_returnflag AS flag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+            FROM lineitem GROUP BY 1
+        )
+        SELECT e.flag AS l_returnflag, e.n_exact, est.hll_est,
+            abs(est.hll_est - e.n_exact) * 4 <= e.n_exact AS hll_ok
+        FROM exact e JOIN est ON e.flag = est.flag"""
+
+    sql["basket_pairs"] = """
+        WITH baskets AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem
+        ),
+        tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n
+                FROM baskets),
+        sup AS MATERIALIZED (
+            SELECT i, CAST(count(*) AS BIGINT) AS n
+            FROM baskets GROUP BY 1
+        ),
+        pairs AS (
+            SELECT l.i AS item_a, r.i AS item_b,
+                CAST(count(*) AS BIGINT) AS n_ab
+            FROM baskets l JOIN baskets r
+                ON l.b = r.b AND l.i < r.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT CAST(p.item_a AS BIGINT) AS item_a,
+            CAST(p.item_b AS BIGINT) AS item_b,
+            p.n_ab, sa.n AS n_a, sb.n AS n_b,
+            (10000 * p.n_ab * t.n) // (sa.n * sb.n) AS lift_bp
+        FROM pairs p
+        JOIN sup sa ON p.item_a = sa.i
+        JOIN sup sb ON p.item_b = sb.i
+        CROSS JOIN tot t"""
+
+    sql["multiformat_store"] = """
+        SELECT r.r_name,
+            CAST(count(*) AS BIGINT) AS n_nations,
+            CAST(SUM(CAST(n.n_nationkey AS BIGINT)) AS BIGINT)
+                AS key_sum
+        FROM nation n JOIN region r
+            ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1"""
 
     sql["agg_point_cut"] = f"""
         SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",

@@ -56,6 +56,15 @@ BENCH_QUERIES = [
     "doc_line_dedup",
     "emb_pq",
     "fuzzy_names",
+    # second-wave operators (tracked since round 8): set-similarity
+    # join, TWAP, hierarchy flattening, SCD2, as-of join, bucketed
+    # join — each had scale sweeps but no regression tripwire
+    "doc_ssjoin",
+    "events_twap",
+    "parent_child",
+    "events_scd2",
+    "events_asof",
+    "bucketed_join",
 ]
 
 

@@ -77,3 +77,10 @@ class BrowserError(UserError):
 
 class StoreError(UserError):
     error_type = "store"
+
+
+class BackendError(UserError):
+    """A backend store/server failed to satisfy a request (parity:
+    reference errors.py BackendError — raised e.g. by the remote
+    Slicer store on a non-200/404 HTTP response)."""
+    error_type = "backend"

@@ -81,6 +81,8 @@ _BUILTINS: Dict[str, Dict[str, str]] = {
     "store": {
         "parquet": "cubes_spark.sources.workspace:ParquetStore",
         "spark": "cubes_spark.sources.workspace:ParquetStore",
+        "slicer": "cubes_spark.sources.slicer:SlicerHTTPStore",
+        "slicer_http": "cubes_spark.sources.slicer:SlicerHTTPStore",
     },
     "searcher": {
         "simple": "cubes_spark.server.search:SimpleSearcher",

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from cubes_spark.llm.text import hash64
 
 __all__ = ["countmin_sketch", "countmin_estimates",
-           "bloom_build", "bloom_contains"]
+           "bloom_build", "bloom_contains",
+           "hll_registers", "hll_estimate"]
 
 
 def _cell(value: Column, row: int, width: int) -> Column:
@@ -178,3 +179,76 @@ def bloom_contains(bloom: DataFrame, probes: DataFrame, col: str,
         joined.groupBy(*probes.columns)
         .agg((F.sum(hit) == F.count(F.lit(1))).alias(out_col))
     )
+
+
+def hll_registers(df: DataFrame, col: str,
+                  group_cols: Optional[list] = None,
+                  m: int = 256, rank_bits: int = 40,
+                  salt: str = "hll") -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) per group:
+    ``(group..., bucket, register)`` with ``bucket`` in 0..m-1 and
+    ``register`` = max leading-zero rank observed in that bucket.
+
+    Distributed-sketch shape: ONE map-side-combinable ``max`` groupBy
+    into m cells per group — registers are the mergeable state, so
+    shards sketch independently and union by ``max`` (the 100 TB
+    path: sketch per partition, merge m-sized states, never ship
+    distinct keys).  The md5-derived hash splits into a bucket index
+    (low ``log2 m`` bits) and a ``rank_bits``-bit window whose
+    leading-1 position (1..rank_bits+1) is the rank — ALL integer
+    arithmetic, so a SQL oracle rebuilds identical registers.
+    """
+    group_cols = list(group_cols or [])
+    h = hash64(F.concat(F.lit(salt + ":"),
+                        F.col(col).cast("string")))
+    # stage the hash, then split with INTEGER `div`/`%` only — a
+    # double `/` on a 60-bit hash would round above 2^53
+    staged = df.select(*group_cols, h.alias("__h__"))
+    bucket = (F.col("__h__") % m).cast("int")
+    w = F.expr(f"(__h__ div {m}) % CAST({1 << rank_bits} AS BIGINT)")
+    # leading-1 position inside the rank window: bin() drops leading
+    # zeros in both Spark and DuckDB, so rank = rank_bits+1 - bitlen
+    rank = F.when(w == 0, F.lit(rank_bits + 1)) \
+        .otherwise(F.lit(rank_bits + 1) - F.length(F.bin(w)))
+    return (
+        staged.select(*group_cols, bucket.alias("bucket"),
+                      rank.cast("int").alias("__rank__"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rank__").cast("int").alias("register"))
+    )
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: Optional[list] = None,
+                 m: int = 256, rank_bits: int = 40) -> DataFrame:
+    """Raw HLL cardinality estimate per group from
+    :func:`hll_registers` output: ``(group..., hll_est)``.
+
+    Integer-exact evaluation: each register contributes
+    ``2^(rank_bits+1-register)`` (an int64; absent buckets count as
+    register 0), the harmonic sum S stays ≤ m·2^(rank_bits+1), and
+    the estimate is ``alpha_m·m²·2^(rank_bits+1)/S`` computed with
+    integer division (alpha in 1e-4 units) — no floats anywhere, so
+    the SQL oracle reproduces the estimate bit-for-bit.  No
+    small-range correction: intended for n ≳ 3m (use a bigger m or
+    exact count_distinct below that).
+    """
+    group_cols = list(group_cols or [])
+    alpha_e4 = int(round(10000 * 0.7213 / (1.0 + 1.079 / m)))
+    unit = rank_bits + 1
+    spine = registers.select(*group_cols).distinct().crossJoin(
+        registers.sparkSession.range(m)
+        .select(F.col("id").cast("int").alias("bucket")))
+    full = spine.join(registers, [*group_cols, "bucket"], "left") \
+        .withColumn("register",
+                    F.coalesce(F.col("register"), F.lit(0)))
+    term = F.pow(F.lit(2.0),
+                 (F.lit(unit) - F.col("register")).cast("double")) \
+        .cast("long")
+    s = full.groupBy(*group_cols).agg(F.sum(term).alias("__s__"))
+    num = m * m * (1 << unit)
+    # INTEGER division throughout — a double `/` would round above
+    # 2^53 and diverge from the SQL oracle's exact `div`
+    est = F.expr(f"(CAST({alpha_e4} AS BIGINT) "
+                 f"* (CAST({num} AS BIGINT) div __s__)) div 10000")
+    return s.select(*group_cols, est.cast("long").alias("hll_est"))

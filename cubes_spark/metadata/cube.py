@@ -205,6 +205,14 @@ class Cube:
             **metadata,
         )
 
+    @property
+    def basename(self) -> str:
+        """Cube name without any local namespace prefix (parity:
+        reference cube.py:232-235, where ``basename = name``; here a
+        namespaced registration keeps the trailing segment as the
+        remote-addressable name)."""
+        return self.name.rsplit(".", 1)[-1]
+
     def _add_dimension(self, dimension: Dimension) -> None:
         if not isinstance(dimension, Dimension):
             raise ModelError(

@@ -35,6 +35,7 @@ __all__ = [
     "scd2_collapse",
     "funnel_counts",
     "cohort_retention",
+    "basket_pairs",
     "rollup_aggregate",
     "cube_aggregate",
     "grouping_sets_aggregate",
@@ -592,3 +593,63 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
         .agg(F.count_distinct(F.col(user_col)).cast("long")
              .alias("n_users"))
     )
+
+
+def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
+                 min_count: int = 1,
+                 max_basket_size: Optional[int] = None) -> DataFrame:
+    """Market-basket co-occurrence mining (the support/lift core of
+    association rules, Agrawal & Srikant 1994): for every unordered
+    item pair, the number of baskets containing BOTH, each item's own
+    basket support, and the lift in integer basis points.  The
+    reference has no affinity operator (its aggregation surface is
+    the star drilldown, SURVEY §2.4) — this is the "frequently bought
+    together" query a retail cube always grows.
+
+    Returns ``(item_a, item_b, n_ab, n_a, n_b, lift_bp)`` with
+    ``item_a < item_b`` and ``n_ab >= min_count``.
+
+    Scale shape: dedupe to (basket, item), then ONE equi-self-join on
+    the basket key — work is Σ size(basket)², bounded by the basket
+    width, never |items|².  ``max_basket_size`` drops pathological
+    mega-baskets (a crawler cart, a bot session) BEFORE the join, the
+    standard skew guard in affinity mining.  Lift is computed with
+    pure integer arithmetic (``10000·n_ab·N div (n_a·n_b)``) so a SQL
+    oracle matches bit-for-bit; the int64 product bounds it to
+    ~3·10⁹ baskets × 10⁹ pair count — beyond that switch the final
+    projection to doubles (counts stay exact regardless).
+    """
+    baskets = df.select(F.col(basket_col).alias("__b__"),
+                        F.col(item_col).alias("__i__")).distinct()
+    if max_basket_size is not None:
+        sizes = baskets.groupBy("__b__").agg(
+            F.count(F.lit(1)).alias("__sz__"))
+        baskets = baskets.join(
+            sizes.filter(F.col("__sz__") <= max_basket_size)
+            .select("__b__"), "__b__")
+    baskets = baskets.persist()
+    n_total = baskets.select("__b__").distinct().count()
+    support = baskets.groupBy("__i__").agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"))
+    left = baskets.select("__b__", F.col("__i__").alias("item_a"))
+    right = baskets.select("__b__", F.col("__i__").alias("item_b"))
+    pairs = (
+        left.join(right, "__b__")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    out = (
+        pairs
+        .join(support.select(F.col("__i__").alias("item_a"),
+                             F.col("__n__").alias("n_a")), "item_a")
+        .join(support.select(F.col("__i__").alias("item_b"),
+                             F.col("__n__").alias("n_b")), "item_b")
+        .withColumn(
+            "lift_bp",
+            F.expr(f"(10000 * n_ab * CAST({n_total} AS BIGINT)) "
+                   "div (n_a * n_b)"))
+    )
+    return out.select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                      "lift_bp")

@@ -25,6 +25,7 @@ from cubes_spark.auth import Authorizer, NoopAuthorizer, NotAuthorized
 from cubes_spark.errors import ArgumentError, ConfigurationError, \
     CubesError, NoSuchCubeError
 from cubes_spark.formatters import CSVFormatter, SlicerJSONEncoder
+from cubes_spark.server.caching import cached_response
 from cubes_spark.server.authenticators import Authenticator, \
     NotAuthenticated, create_authenticator
 from cubes_spark.sources.workspace import Workspace
@@ -47,7 +48,9 @@ def create_server(workspace: Workspace,
                   request_logger: Any = None,
                   visualizer: Optional[str] = None,
                   allow_cors_origin: Optional[str] = None,
-                  search: Optional[dict] = None) -> Flask:
+                  search: Optional[dict] = None,
+                  http_cache: Any = None,
+                  http_cache_ttl: float = 60.0) -> Flask:
     """Flask app serving the slicer API for `workspace`.
 
     ``authenticator`` is an ``Authenticator`` instance or a method name
@@ -56,6 +59,13 @@ def create_server(workspace: Workspace,
     client's ``?identity=`` / ``X-Identity`` — with it authorization is
     advisory; use ``http_basic_proxy`` behind an authenticating proxy
     for real access control (see server/authenticators.py).
+
+    ``http_cache`` enables response caching on the browse endpoints
+    (parity: reference server/caching.py): ``True`` for the built-in
+    in-process LRU, or any ``caching.Cache`` instance; entries live
+    ``http_cache_ttl`` seconds and responses advertise
+    ``Cache-Control: max-age``.  ETag / 304 revalidation is always on
+    regardless (a byte-equal body never re-downloads).
     """
     app = Flask("cubes_spark.server")
     app.config["workspace"] = workspace
@@ -68,6 +78,11 @@ def create_server(workspace: Workspace,
     # [search] config: {"engine": <searcher extension name>, ...opts}
     # (parity: blueprint.py:546-550 reads [search] engine)
     app.config["search"] = search
+    if http_cache is True:
+        from cubes_spark.server.caching import MemoryCache
+        http_cache = MemoryCache(ttl=http_cache_ttl)
+    app.config["http_cache"] = http_cache
+    app.config["http_cache_ttl"] = http_cache_ttl
     app.register_blueprint(slicer)
     return app
 
@@ -376,6 +391,7 @@ def cube_model(cube_name: str) -> Response:
 
 
 @slicer.route("/cube/<cube_name>/aggregate")
+@cached_response("aggregate")
 def aggregate(cube_name: str) -> Response:
     browser, cube = _browser(cube_name)
     cell = _restricted_cell(cube, browser, request.args.get("cut"))
@@ -435,6 +451,7 @@ def aggregate(cube_name: str) -> Response:
 
 
 @slicer.route("/cube/<cube_name>/facts")
+@cached_response("facts")
 def cube_facts(cube_name: str) -> Response:
     browser, cube = _browser(cube_name)
     cell = _restricted_cell(cube, browser, request.args.get("cut"))
@@ -461,6 +478,7 @@ def cube_facts(cube_name: str) -> Response:
 
 
 @slicer.route("/cube/<cube_name>/fact/<fact_id>")
+@cached_response("fact")
 def cube_fact(cube_name: str, fact_id: str) -> Response:
     browser, cube = _browser(cube_name)
     try:
@@ -481,6 +499,7 @@ def cube_fact(cube_name: str, fact_id: str) -> Response:
 
 
 @slicer.route("/cube/<cube_name>/members/<dimension_name>")
+@cached_response("members")
 def cube_members(cube_name: str, dimension_name: str) -> Response:
     browser, cube = _browser(cube_name)
     cell = _restricted_cell(cube, browser, request.args.get("cut"))
@@ -506,6 +525,7 @@ def cube_members(cube_name: str, dimension_name: str) -> Response:
 
 
 @slicer.route("/cube/<cube_name>/cell")
+@cached_response("cell")
 def cube_cell(cube_name: str) -> Response:
     browser, cube = _browser(cube_name)
     cell = _restricted_cell(cube, browser, request.args.get("cut"))

@@ -101,9 +101,20 @@ def _nanos_timestamp_columns(location: str) -> list:
 
 
 class ParquetStore:
-    """Lazily-loading table catalog over a directory of parquet files
+    """Lazily-loading table catalog over a directory of data files
     (the Spark analogue of the reference's SQL store,
-    /root/reference/cubes/sql/store.py:111-179)."""
+    /root/reference/cubes/sql/store.py:111-179).
+
+    Parquet is the primary format; a table may instead be backed by
+    ``.orc``, ``.csv`` / ``.tsv`` (header + schema inference) or
+    ``.json`` / ``.jsonl`` (JSON lines) — resolved in that priority
+    order, all reading through the same Spark scan machinery
+    (columnar pushdown for parquet/orc; CSV/JSON are the ingest
+    formats a pipeline normalizes INTO parquet)."""
+
+    #: resolution priority: columnar formats shadow row formats
+    EXTENSIONS = (".parquet", ".orc", ".csv", ".tsv",
+                  ".json", ".jsonl")
 
     def __init__(self, spark: SparkSession, path: str,
                  naming: Optional[dict] = None) -> None:
@@ -112,15 +123,45 @@ class ParquetStore:
         self.naming = distill_naming(naming or {})
         self._cache: Dict[str, DataFrame] = {}
 
+    def _locate(self, name: str):
+        for ext in self.EXTENSIONS:
+            location = os.path.join(self.path, name + ext)
+            if os.path.exists(location):
+                return location, ext
+        return None, None
+
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
-            location = os.path.join(self.path, f"{name}.parquet")
-            if not os.path.exists(location):
+            location, ext = self._locate(name)
+            if location is None:
                 raise StoreError(
-                    f"No parquet table '{name}' in store at {self.path}"
+                    f"No table '{name}' in store at {self.path} "
+                    f"(formats: {'/'.join(self.EXTENSIONS)})"
                 )
-            self._cache[name] = self._read(location)
+            if ext == ".parquet":
+                self._cache[name] = self._read(location)
+            else:
+                self._cache[name] = self._read_other(location, ext)
         return self._cache[name]
+
+    def _read_other(self, location: str, ext: str) -> DataFrame:
+        """Non-parquet formats; timestamps normalize to TIMESTAMP
+        exactly like the parquet path (UTC session, NTZ cast)."""
+        if ext == ".orc":
+            df = self.spark.read.orc(location)
+        elif ext in (".csv", ".tsv"):
+            df = (self.spark.read
+                  .option("header", "true")
+                  .option("inferSchema", "true")
+                  .option("sep", "\t" if ext == ".tsv" else ",")
+                  .csv(location))
+        else:                                  # .json / .jsonl
+            df = self.spark.read.json(location)
+        for fld in df.schema.fields:
+            if fld.dataType.typeName() == "timestamp_ntz":
+                df = df.withColumn(
+                    fld.name, F.col(fld.name).cast("timestamp"))
+        return df
 
     def _read(self, location: str) -> DataFrame:
         """Read parquet, transparently handling TIMESTAMP(NANOS)
@@ -168,18 +209,21 @@ class ParquetStore:
         return self.table(name)
 
     def __contains__(self, name: str) -> bool:
-        return (
-            name in self._cache
-            or os.path.exists(os.path.join(self.path, f"{name}.parquet"))
-        )
+        return name in self._cache or self._locate(name)[0] is not None
 
     def list_tables(self) -> list:
         """Schema inspection (parity: sql/store.py:631-661)."""
         names = []
+        seen = set()
         for entry in sorted(os.listdir(self.path)):
-            if entry.endswith(".parquet"):
-                names.append(entry[: -len(".parquet")])
-        return names
+            for ext in self.EXTENSIONS:
+                if entry.endswith(ext):
+                    stem = entry[: -len(ext)]
+                    if stem not in seen:
+                        seen.add(stem)
+                        names.append(stem)
+                    break
+        return sorted(names)
 
     def keys(self) -> list:
         return self.list_tables()
@@ -304,15 +348,31 @@ class Workspace:
             self.import_model(model)
 
     def register_store(self, name: str, store: Any) -> None:
-        """Register a named store (path or ParquetStore).  ``default``
-        replaces the default store (parity: reference
-        workspace.py:308-340 _register_store_dict)."""
+        """Register a named store (path, ParquetStore, a remote
+        SlicerHTTPStore, or a ``{"type": ..., ...}`` dict resolved via
+        the store extension registry).  ``default`` replaces the
+        default store (parity: reference workspace.py:308-340
+        _register_store_dict)."""
+        from cubes_spark.sources.slicer import SlicerHTTPStore
+
         if isinstance(store, str):
             store = ParquetStore(self.spark, store, self.naming)
         elif isinstance(store, dict):
-            store = ParquetStore(self.spark, store["path"], self.naming)
-        if not isinstance(store, ParquetStore):
+            options = dict(store)
+            type_ = options.pop("type", "parquet")
+            if type_ in ("parquet", "spark"):
+                store = ParquetStore(self.spark, options["path"],
+                                     self.naming)
+            else:
+                from cubes_spark import ext
+                store = ext.store.create(type_, **options)
+        if not isinstance(store, (ParquetStore, SlicerHTTPStore)):
             raise ArgumentError(f"Unknown store: {store!r}")
+        if isinstance(store, SlicerHTTPStore):
+            # remote stores don't serve local tables; they register by
+            # name and bind to cubes via import_slicer()
+            self.stores[name] = store
+            return
         if name == "default":
             self.store = store
         else:
@@ -337,6 +397,27 @@ class Workspace:
             self.store = ParquetStore(self.spark, store, self.naming)
         elif isinstance(store, ParquetStore):
             self.store = store
+        elif isinstance(store, dict) and "type" in store:
+            # typed store config (parity: reference slicer.ini
+            # [store] type=...).  A remote `type: slicer` default
+            # store auto-imports the remote model, matching the
+            # reference's related_model_provider UX
+            options = dict(store)
+            type_ = options.pop("type")
+            if type_ in ("parquet", "spark"):
+                self.store = ParquetStore(self.spark, options["path"],
+                                          self.naming)
+                return
+            from cubes_spark import ext
+            from cubes_spark.sources.slicer import SlicerHTTPStore
+            obj = ext.store.create(type_, **options)
+            if isinstance(obj, SlicerHTTPStore):
+                self.stores.setdefault("slicer", obj)
+                self.import_slicer(obj)
+            else:
+                raise ArgumentError(
+                    f"Store type '{type_}' resolved to {obj!r}, "
+                    "which this workspace cannot serve tables from")
         elif isinstance(store, dict):
             self._tables.update(store)
         else:
@@ -500,6 +581,32 @@ class Workspace:
                 cube.link_dimension(dim)
             ns.add_cube(cube)
 
+    def import_slicer(self, store: Any,
+                      namespace: Optional[str] = None,
+                      cubes: Optional[list] = None) -> list:
+        """Federate a remote Slicer server into this workspace: fetch
+        its cube list and models, register each as a cube whose
+        browser relays over HTTP (parity: reference server/store.py
+        SlicerStore + SlicerModelProvider — the remote engine
+        aggregates; results are relayed).  ``store`` is a URL string,
+        an options dict, or a SlicerHTTPStore.  Returns the imported
+        cube names."""
+        from cubes_spark.sources.slicer import SlicerHTTPStore
+
+        if isinstance(store, str):
+            store = SlicerHTTPStore(url=store)
+        elif isinstance(store, dict):
+            store = SlicerHTTPStore(**store)
+        ns, _ = self.root.namespace(namespace, create=True)
+        names = []
+        for info in store.list_cubes():
+            name = info["name"] if isinstance(info, dict) else str(info)
+            if cubes is not None and name not in cubes:
+                continue
+            ns.add_cube(store.cube(name))
+            names.append(name)
+        return names
+
     def add_cube(self, cube: Cube) -> None:
         self._cubes[cube.name] = cube
 
@@ -601,6 +708,14 @@ class Workspace:
                 **options: Any) -> SparkBrowser:
         if isinstance(cube, str):
             cube = self.cube(cube)
+        # a cube bound to a remote Slicer store browses over HTTP —
+        # the remote engine aggregates, results are relayed (parity:
+        # reference server/browser.py SlicerBrowser)
+        from cubes_spark.sources.slicer import (
+            SlicerBrowser, SlicerHTTPStore)
+        bound = getattr(cube, "store", None)
+        if isinstance(bound, SlicerHTTPStore):
+            return SlicerBrowser(cube, bound, locale=locale, **options)
         tables = self.tables_for_cube(cube)
         return SparkBrowser(
             cube, tables, locale=locale, naming=self.naming, **options

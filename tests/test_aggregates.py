@@ -242,3 +242,84 @@ class TestBloom:
         fp = sum(1 for r in probed if r.maybe_present)
         # theoretical fp ~ (1 - e^(-5*50/4096))^5 ~ 1e-6; allow slack
         assert fp <= 2
+
+
+class TestHLL:
+    def test_estimate_accuracy_and_merge(self, spark):
+        from pyspark.sql import functions as F
+
+        from cubes_spark.functions.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        rows = [(f"u{i}",) for i in range(5000)] * 3  # repeats
+        df = spark.createDataFrame(rows, "u string")
+        regs = hll_registers(df, "u", m=256)
+        assert regs.count() <= 256
+        est = hll_estimate(regs, m=256).collect()[0].hll_est
+        assert abs(est - 5000) <= 5000 * 0.25
+
+        # registers are mergeable state: sketching two shards and
+        # max-merging registers equals sketching the union
+        a = hll_registers(df.limit(7000), "u", m=256)
+        b = hll_registers(df.subtract(df.limit(0)), "u", m=256)
+        merged = (
+            a.unionByName(b).groupBy("bucket")
+            .agg(F.max("register").alias("register"))
+        )
+        est_m = hll_estimate(merged, m=256).collect()[0].hll_est
+        assert est_m == est
+
+    def test_grouped_registers(self, spark):
+        from cubes_spark.functions.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        rows = [("g1", f"u{i}") for i in range(2000)] + \
+               [("g2", f"v{i}") for i in range(500)]
+        df = spark.createDataFrame(rows, "g string, u string")
+        est = {r.g: r.hll_est for r in hll_estimate(
+            hll_registers(df, "u", ["g"], m=256), ["g"],
+            m=256).collect()}
+        assert abs(est["g1"] - 2000) <= 500
+        assert abs(est["g2"] - 500) <= 150
+
+
+class TestBasketPairs:
+    def test_counts_support_and_lift(self, spark):
+        from cubes_spark.operators.olap import basket_pairs
+
+        rows = [(1, "a"), (1, "b"), (1, "c"),
+                (2, "a"), (2, "b"),
+                (3, "a"), (3, "c"),
+                (4, "b"), (4, "b"),        # duplicate item collapses
+                (5, "d")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        got = {(r.item_a, r.item_b): r
+               for r in basket_pairs(df, "basket", "item").collect()}
+        ab = got[("a", "b")]
+        assert ab.n_ab == 2 and ab.n_a == 3 and ab.n_b == 3
+        # lift = n_ab * N / (n_a * n_b) = 2*5/9 = 1.111 -> 11111 bp
+        assert ab.lift_bp == 11111
+        assert got[("a", "c")].n_ab == 2
+        assert ("b", "c") in got and got[("b", "c")].n_ab == 1
+        assert all(k[0] < k[1] for k in got)
+        assert not any("d" in k for k in got)
+
+    def test_min_count_and_max_basket_size(self, spark):
+        from cubes_spark.operators.olap import basket_pairs
+
+        rows = [(1, "a"), (1, "b"), (1, "c"),
+                (2, "a"), (2, "b"),
+                (3, "x"), (3, "y"), (3, "z"), (3, "w")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        got = basket_pairs(df, "basket", "item", min_count=2)
+        assert {(r.item_a, r.item_b) for r in got.collect()} == \
+            {("a", "b")}
+        capped = basket_pairs(df, "basket", "item",
+                              max_basket_size=3)
+        pairs = {(r.item_a, r.item_b) for r in capped.collect()}
+        assert ("x", "y") not in pairs       # mega-basket dropped
+        assert ("a", "b") in pairs

@@ -87,9 +87,17 @@ def main() -> int:
         else:
             out.append(f"| {name} | {ex} | {bc} | {py} | {flags} |")
     cart = [r[0] for r in rows if r[4] and "CARTESIAN" in r[4]]
+    total = len(entrymod.queries())
     out.append("")
     out.append(f"{len(rows)} entries audited; cartesian products: "
                f"{cart or 'none'}.")
+    if not only:
+        # round-end gate: the committed audit must cover EVERY
+        # declared entry — a new entry without an audit row is a bug
+        assert len(rows) == total, (
+            f"audit covers {len(rows)} of {total} queries() entries")
+        out.append(f"Coverage: {len(rows)}/{total} queries() entries "
+                   "(asserted at generation time).")
     if only:
         # a filtered run is a spot check: print, never overwrite the
         # committed full-audit artifact with a subset

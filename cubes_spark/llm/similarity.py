@@ -362,19 +362,39 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
             )), 1, n,
         )
 
-    assigned = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec__"),
-        F.element_at(nearest_clusters(1), 1)["cluster"]
-        .cast("int").alias("__cluster__"),
-    )
-    # query side: nprobe nearest centroids, exploded to one row each
-    probed = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec__"),
-        F.explode(nearest_clusters(min(nprobe, nlist))).alias("__p__"),
-    ).select("query_id", "__qvec__",
-             F.col("__p__.cluster").cast("int").alias("__cluster__"))
+    if nlist > _VECTORIZED_ASSIGN_NLIST:
+        # large nlist (the auto-scaled sqrt(N) default): interpreted
+        # HOF assignment costs O(nlist·dim) per row — run it as one
+        # numpy matmul per Arrow batch instead (same ordering/ties)
+        assigned = _nearest_clusters_pandas(
+            spread(corpus), cent, vec_col, 1, [id_col, vec_col]
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec__"),
+            F.col("cluster").cast("int").alias("__cluster__"))
+        probed = _nearest_clusters_pandas(
+            queries, cent, vec_col, min(nprobe, nlist),
+            [id_col, vec_col]
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec__"),
+            F.col("cluster").cast("int").alias("__cluster__"))
+    else:
+        assigned = spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec__"),
+            F.element_at(nearest_clusters(1), 1)["cluster"]
+            .cast("int").alias("__cluster__"),
+        )
+        # query side: nprobe nearest centroids, one row each
+        probed = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec__"),
+            F.explode(nearest_clusters(min(nprobe, nlist)))
+            .alias("__p__"),
+        ).select("query_id", "__qvec__",
+                 F.col("__p__.cluster").cast("int")
+                 .alias("__cluster__"))
 
     sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
         _norm(F.col("__qvec__")) * _norm(F.col("__cvec__"))
@@ -399,6 +419,59 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     )
 
 
+#: above this many centroids, assignment switches from the
+#: expression-fold path (HOFs evaluate interpreted, O(nlist·dim) per
+#: row — fine for the oracle-pinned nlist=16, quadratic pain at
+#: auto-scaled sqrt(N)) to one Arrow batch matmul per partition
+_VECTORIZED_ASSIGN_NLIST = 32
+
+
+def _nearest_clusters_pandas(df: DataFrame, cent, vec_col: str,
+                             n: int, keep_cols) -> DataFrame:
+    """Vectorized top-``n`` centroid assignment: one numpy matmul per
+    Arrow batch against the broadcast ``cent`` matrix (the FAISS
+    apply-distributed shape) — O(rows·nlist·dim) FLOPs in BLAS, not
+    interpreted expression steps.  Emits ``n`` rows per input row:
+    ``keep_cols + (cluster 1-based int, sim double)``, ordered by
+    (sim desc, cluster asc) exactly like the fold path's sorted
+    struct array."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType)
+
+    C = np.asarray(cent, dtype=np.float64)          # nlist × dim
+    base = df.select(*keep_cols, F.col(vec_col).alias("__vec__"))
+    fields = [f for f in base.schema.fields if f.name != "__vec__"]
+    out_schema = StructType(fields + [
+        StructField("cluster", IntegerType()),
+        StructField("sim", DoubleType()),
+    ])
+    kept = [f.name for f in fields]
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["__vec__"]), dtype=np.float64)
+            sims = X @ C.T                          # rows × nlist
+            if n == 1:
+                idx = sims.argmax(axis=1)[:, None]  # first max wins
+            else:
+                order = np.lexsort(
+                    (np.arange(sims.shape[1])[None, :]
+                     .repeat(len(sims), 0), -sims), axis=1)
+                idx = order[:, :n]
+            rows = pdf[kept].iloc[
+                np.repeat(np.arange(len(pdf)), idx.shape[1])
+            ].reset_index(drop=True)
+            rows["cluster"] = (idx + 1).ravel().astype("int32")
+            rows["sim"] = np.take_along_axis(sims, idx, 1).ravel()
+            yield rows
+
+    return base.mapInPandas(fn, out_schema)
+
+
 def _kmeans_assigned(corpus: DataFrame, nlist: int, seed: int,
                      sample_size: int, id_col: str,
                      vec_col: str) -> DataFrame:
@@ -406,12 +479,28 @@ def _kmeans_assigned(corpus: DataFrame, nlist: int, seed: int,
     spherical-k-means centroid (sample-trained driver-side, embedded as
     literals; the assignment itself is a narrow shuffle-free
     projection).  Ties break by ascending cluster id, matching the SQL
-    oracle's ``ORDER BY sim DESC, cluster``."""
-    first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first and first[0] is not None else 0
+    oracle's ``ORDER BY sim DESC, cluster``.
+
+    Two physical strategies with identical semantics: the
+    expression-fold path keeps every arithmetic step replayable by
+    the SQL oracle (used at small ``nlist``, where the interpreted
+    HOF cost is negligible); above ``_VECTORIZED_ASSIGN_NLIST`` the
+    per-row fold cost O(nlist·dim) would dominate the whole operator
+    (measured 8× blowup at nlist=141/sf1), so assignment runs as one
+    numpy matmul per Arrow batch instead — the scale path for the
+    auto-scaled sqrt(N) default."""
     cent = _train_centroids(corpus, nlist, seed, id_col, vec_col,
                             sample_size)
     nlist = len(cent)
+    if nlist > _VECTORIZED_ASSIGN_NLIST:
+        assigned = _nearest_clusters_pandas(
+            spread(corpus), cent, vec_col, 1, [id_col, vec_col])
+        return assigned.select(
+            F.col(id_col), F.col(vec_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("sim"))
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
     flat = F.array(*[F.lit(float(x)) for row in cent for x in row])
     sims = _centroid_sims(F.col(vec_col), flat, nlist, dim)
     best = F.element_at(

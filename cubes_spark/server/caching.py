@@ -174,7 +174,7 @@ def cached_response(action: str) -> Callable:
                 response.set_etag(
                     hashlib.md5(response.get_data()).hexdigest())
                 response.headers["Vary"] = "X-Identity, Authorization"
-                if cache is not None:
+                if cache:
                     remaining = max(int(ttl - age), 0)
                     response.headers["Cache-Control"] = \
                         f"max-age={remaining}"
@@ -183,7 +183,7 @@ def cached_response(action: str) -> Callable:
                     response = response.make_conditional(request)
                 return response
 
-            if cache is None or request.method != "GET":
+            if not cache or request.method != "GET":
                 return finalize(fn(*args, **kwargs))
 
             from cubes_spark.server.app import _identity

@@ -545,6 +545,10 @@ def cmd_serve(config: dict, args: argparse.Namespace, out=sys.stdout) -> int:
         or server_config.get("visualizer"),
         allow_cors_origin=server_config.get("allow_cors_origin"),
         search=config.get("search"),
+        # [server] http_cache = true / ttl seconds enables response
+        # caching (server/caching.py); ETag/304 is always on
+        http_cache=True if server_config.get("http_cache") else None,
+        http_cache_ttl=float(server_config.get("http_cache_ttl", 60)),
     )
     # [server] host/port from a slicer.ini apply unless flags are
     # EXPLICITLY passed (parser defaults are None, not sentinels — an

@@ -2526,3 +2526,50 @@ class TestJaccardJoin:
                    jaccard_similarity_join(df.repartition(9),
                                            0.5).collect())
         assert a == b
+
+
+class TestVectorizedAssignment:
+    """The large-nlist Arrow/numpy assignment path must be
+    semantically identical to the oracle-parity expression-fold path
+    (same argmax, same ties by ascending cluster id, same sims)."""
+
+    def _vectors(self, spark, n=120, dim=8):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [(i, [float(v) for v in rng.randn(dim)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_kmeans_paths_agree(self, spark, monkeypatch):
+        import cubes_spark.llm.similarity as S
+
+        df = self._vectors(spark)
+        monkeypatch.setattr(S, "_VECTORIZED_ASSIGN_NLIST", 1000)
+        fold = {r.vec_id: (r.cluster, round(r.sim, 9)) for r in
+                S._kmeans_assigned(df, 40, 42, 4096, "vec_id",
+                                   "embedding").collect()}
+        monkeypatch.setattr(S, "_VECTORIZED_ASSIGN_NLIST", 1)
+        vec = {r.vec_id: (r.cluster, round(r.sim, 9)) for r in
+               S._kmeans_assigned(df, 40, 42, 4096, "vec_id",
+                                  "embedding").collect()}
+        assert fold == vec
+
+    def test_ivf_paths_agree(self, spark, monkeypatch):
+        import cubes_spark.llm.similarity as S
+
+        df = self._vectors(spark)
+        q = df.filter("vec_id % 20 = 0")
+
+        def run():
+            return {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                    for r in S.ivf_topk(df, q, k=3, nlist=40,
+                                        nprobe=4,
+                                        exclude_self=True).collect()}
+
+        monkeypatch.setattr(S, "_VECTORIZED_ASSIGN_NLIST", 1000)
+        fold = run()
+        monkeypatch.setattr(S, "_VECTORIZED_ASSIGN_NLIST", 1)
+        vec = run()
+        assert fold and fold == vec

@@ -4037,6 +4037,20 @@ def q_multiformat_store(spark, sf_dir):
     return out
 
 
+def q_doc_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup profile (llm/dedup.py:
+    cdc_chunks/cdc_dedup_stats; FastCDC/rsync family): rolling-hash
+    boundaries split each document into ~32-char content-addressed
+    chunks; per-doc counts of chunks whose hash recurs in another
+    document, ratio in integer basis points.  Boundaries, chunk
+    hashes and ratios are all md5/integer arithmetic — the oracle
+    replays chunking end-to-end."""
+    from cubes_spark.llm.dedup import cdc_dedup_stats
+
+    docs = _table(spark, sf_dir, "documents")
+    return cdc_dedup_stats(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region × month) with a cell filter
     at sf0.001."""
@@ -4058,96 +4072,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to 50.  tools/check_correctness.py sweeps ALL entries locally
     # every round regardless (dtype-strict).
     return {
-        # ---- ROUND-7 WINDOW (first 50; driver gate) ----
-        # 1-7: the round-6 additions, never driver-checked
-        "doc_line_dedup": q_doc_line_dedup,
-        "doc_shuffle_shards": q_doc_shuffle_shards,
-        "doc_domain_cap": q_doc_domain_cap,
-        "emb_semdedup_greedy": q_emb_semdedup_greedy,
-        "doc_tfidf": q_doc_tfidf,
-        "doc_embed": q_doc_embed,
-        "doc_quality_model": q_doc_quality_model,
-        # -- round-8 additions (never driver-checked) --
+        # ---- DRIVER WINDOW (first 50; rotated by tools/rotate_window.py) ----
         "slicer_http_agg": q_slicer_http_agg,
         "lineitem_hll": q_lineitem_hll,
         "basket_pairs": q_basket_pairs,
         "multiformat_store": q_multiformat_store,
-        # -- round-7 additions slot in HERE as they land --
-        "bucketed_join": q_bucketed_join,
-        "events_asof": q_events_asof,
-        "events_stream_join": q_events_stream_join,
-        "doc_dsir": q_doc_dsir,
-        "drill_across_flag": q_drill_across,
-        "doc_bm25": q_doc_bm25,
-        "doc_dsir_sample": q_doc_dsir_sample,
-        "emb_pq": q_emb_pq,
-        "emb_pq_recall": q_emb_pq_recall,
-        "topk_per_region": q_topk_per_region,
-        "events_gap_fill": q_events_gap_fill,
-        "compact_roundtrip": q_compact_roundtrip,
-        "fuzzy_names": q_fuzzy_names,
-        "events_countmin": q_events_countmin,
-        "events_bloom": q_events_bloom,
-        "events_stream_hh": q_events_stream_hh,
-        "parent_child": q_parent_child,
-        "sql_view": q_sql_view,
-        "events_scd2": q_events_scd2,
-        "calc_rsum": q_calc_rsum,
-        "calc_ptot": q_calc_ptot,
-        "calc_pctchange": q_calc_pctchange,
-        "events_paths": q_events_paths,
-        "profile_orders": q_profile_orders,
-        "events_anomaly": q_events_anomaly,
-        "doc_communities": q_doc_communities,
-        "events_twap": q_events_twap,
-        "doc_ssjoin": q_doc_ssjoin,
-        # 8+: re-confirmations, oldest last-green first (r4)
-        "agg_snowflake": q_agg_snowflake,  # last green r4
-        "agg_roleplay": q_agg_roleplay,  # last green r4
-        "emb_ann": q_emb_ann,  # last green r4
-        "agg_set_cut": q_agg_set_cut,  # last green r4
-        "agg_invert_cut": q_agg_invert_cut,  # last green r4
-        "agg_range_cut": q_agg_range_cut,  # last green r4
-        "agg_half_open_range": q_agg_half_open_range,  # last green r4
-        "agg_expression": q_agg_expression,  # last green r4
-        "agg_expression_fns": q_agg_expression_fns,  # last green r4
-        "agg_order_page": q_agg_order_page,  # last green r4
-        "agg_minmax": q_agg_minmax,  # last green r4
-        "agg_avg_var": q_agg_avg_var,  # last green r4
-        "agg_split": q_agg_split,  # last green r4
-        "agg_relative_time": q_agg_relative_time,  # last green r4
-        "topk_customers": q_topk_customers,  # last green r4
-        "facts_page": q_facts_page,  # last green r4
-        "fact_list": q_fact_list,  # last green r4
-        "calc_wma": q_calc_wma,  # last green r4
-        "calc_sms": q_calc_sms,  # last green r4
-        "calc_smstd": q_calc_smstd,  # last green r4
-        "calc_smvar": q_calc_smvar,  # last green r4
-        "calc_smrsd": q_calc_smrsd,  # last green r4
-        "rollup_ym": q_rollup_ym,  # last green r4
-        "cube_flags": q_cube_flags,  # last green r4
-        "grouping_sets": q_grouping_sets,  # last green r4
-        "doc_common_ngrams": q_doc_common_ngrams,  # last green r4
-        "doc_quality_filter": q_doc_quality_filter,  # last green r4
-        "doc_text_stats": q_doc_text_stats,  # last green r4
-        "doc_bpe_tokens": q_doc_bpe_tokens,  # last green r4
-        "doc_langid": q_doc_langid,  # last green r4
-        "doc_fingerprint": q_doc_fingerprint,  # last green r4
-        # ---- behind the window (position 51+): driver-green r4/r5/
-        #      r6; swept locally every round by check_correctness ----
-        "doc_exact_dup": q_doc_exact_dup,  # last green r4
-        "doc_jaccard": q_doc_jaccard,  # last green r4
-        "emb_topk": q_emb_topk,  # last green r4
-        "emb_near_dup": q_emb_near_dup,  # last green r4
-        "emb_ivf": q_emb_ivf,  # last green r4
-        "agg_summary": q_agg_summary,  # last green r4
-        "agg_registry_stats": q_agg_registry_stats,  # last green r5
-        "cell_count_total": q_cell_count_total,  # last green r5
-        "fact_by_key": q_fact_by_key,  # last green r5
-        "join_master_brand": q_join_master_brand,  # last green r5
-        "join_detail_brand": q_join_detail_brand,  # last green r5
-        "join_compound_dqty": q_join_compound_dqty,  # last green r5
-        #      locally every round by tools/check_correctness.py ----
+        "doc_cdc_dedup": q_doc_cdc_dedup,
+        # -- stalest last-driver-green entries, ascending --
+        "facts_page": q_facts_page,
+        "fact_list": q_fact_list,
+        "calc_wma": q_calc_wma,
+        "calc_sms": q_calc_sms,
+        "calc_smstd": q_calc_smstd,
+        "calc_smvar": q_calc_smvar,
+        "calc_smrsd": q_calc_smrsd,
+        "rollup_ym": q_rollup_ym,
+        "cube_flags": q_cube_flags,
+        "grouping_sets": q_grouping_sets,
+        "doc_common_ngrams": q_doc_common_ngrams,
+        "doc_quality_filter": q_doc_quality_filter,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dup": q_doc_exact_dup,
+        "doc_jaccard": q_doc_jaccard,
+        "emb_topk": q_emb_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_ivf": q_emb_ivf,
+        "agg_summary": q_agg_summary,
+        "agg_registry_stats": q_agg_registry_stats,
+        "cell_count_total": q_cell_count_total,
+        "fact_by_key": q_fact_by_key,
+        "join_master_brand": q_join_master_brand,
+        "join_detail_brand": q_join_detail_brand,
+        "join_compound_dqty": q_join_compound_dqty,
         "agg_null_filter": q_agg_null_filter,
         "calc_order_norm": q_calc_order_norm,
         "members_locale": q_members_locale,
@@ -4166,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_lines_format": q_json_lines_format,
         "events_browse": q_events_browse,
         "agg_quantiles": q_agg_quantiles,
+        # ---- beyond the window (driver-green more recently; full local sweep covers all) ----
         "agg_approx_distinct": q_agg_approx_distinct,
         "doc_repetition": q_doc_repetition,
         "doc_pii": q_doc_pii,
@@ -4240,6 +4200,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosstab": q_crosstab,
         "preagg_year": q_preagg_year,
         "calc_sma": q_calc_sma,
+        "doc_line_dedup": q_doc_line_dedup,
+        "doc_shuffle_shards": q_doc_shuffle_shards,
+        "doc_domain_cap": q_doc_domain_cap,
+        "emb_semdedup_greedy": q_emb_semdedup_greedy,
+        "doc_tfidf": q_doc_tfidf,
+        "doc_embed": q_doc_embed,
+        "doc_quality_model": q_doc_quality_model,
+        "bucketed_join": q_bucketed_join,
+        "events_asof": q_events_asof,
+        "events_stream_join": q_events_stream_join,
+        "doc_dsir": q_doc_dsir,
+        "drill_across_flag": q_drill_across,
+        "doc_bm25": q_doc_bm25,
+        "doc_dsir_sample": q_doc_dsir_sample,
+        "emb_pq": q_emb_pq,
+        "emb_pq_recall": q_emb_pq_recall,
+        "topk_per_region": q_topk_per_region,
+        "events_gap_fill": q_events_gap_fill,
+        "compact_roundtrip": q_compact_roundtrip,
+        "fuzzy_names": q_fuzzy_names,
+        "events_countmin": q_events_countmin,
+        "events_bloom": q_events_bloom,
+        "events_stream_hh": q_events_stream_hh,
+        "parent_child": q_parent_child,
+        "sql_view": q_sql_view,
+        "events_scd2": q_events_scd2,
+        "calc_rsum": q_calc_rsum,
+        "calc_ptot": q_calc_ptot,
+        "calc_pctchange": q_calc_pctchange,
+        "events_paths": q_events_paths,
+        "profile_orders": q_profile_orders,
+        "events_anomaly": q_events_anomaly,
+        "doc_communities": q_doc_communities,
+        "events_twap": q_events_twap,
+        "doc_ssjoin": q_doc_ssjoin,
+        "agg_snowflake": q_agg_snowflake,
+        "agg_roleplay": q_agg_roleplay,
+        "emb_ann": q_emb_ann,
+        "agg_set_cut": q_agg_set_cut,
+        "agg_invert_cut": q_agg_invert_cut,
+        "agg_range_cut": q_agg_range_cut,
+        "agg_half_open_range": q_agg_half_open_range,
+        "agg_expression": q_agg_expression,
+        "agg_expression_fns": q_agg_expression_fns,
+        "agg_order_page": q_agg_order_page,
+        "agg_minmax": q_agg_minmax,
+        "agg_avg_var": q_agg_avg_var,
+        "agg_split": q_agg_split,
+        "agg_relative_time": q_agg_relative_time,
+        "topk_customers": q_topk_customers,
     }
 
 
@@ -4385,6 +4395,56 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
             COUNT(*) AS fact_count
         FROM lineitem GROUP BY 1"""
+
+    sql["doc_cdc_dedup"] = """
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id, text, length(text) AS L FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, text,
+                unnest(CASE WHEN L >= 8 THEN range(8, L + 1)
+                       ELSE [] END) AS p
+            FROM docs
+        ),
+        bnd AS (
+            SELECT doc_id, p FROM pos
+            WHERE CAST(concat('0x', substr(md5(concat('cdc:',
+                substr(text, p - 7, 8))), 1, 15)) AS BIGINT) % 32 = 0
+        ),
+        bounds AS MATERIALIZED (
+            SELECT d.doc_id, d.text,
+                list_sort(list_distinct([0]
+                    || COALESCE(list(b.p)
+                        FILTER (WHERE b.p IS NOT NULL), [])
+                    || [d.L])) AS bs
+            FROM docs d LEFT JOIN bnd b ON d.doc_id = b.doc_id
+            GROUP BY d.doc_id, d.text, d.L
+        ),
+        idx AS (
+            SELECT doc_id, text, bs,
+                unnest(generate_series(1, len(bs) - 1)) AS i
+            FROM bounds
+        ),
+        chunks AS MATERIALIZED (
+            SELECT doc_id,
+                CAST(concat('0x', substr(md5(concat('cdch:',
+                    substr(text, bs[i] + 1, bs[i + 1] - bs[i]))),
+                    1, 15)) AS BIGINT) AS chunk_hash
+            FROM idx
+        ),
+        counts AS (
+            SELECT chunk_hash, count(DISTINCT doc_id) AS nd
+            FROM chunks GROUP BY 1
+        )
+        SELECT c.doc_id,
+            CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(SUM(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup_chunks,
+            (10000 * CAST(SUM(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT))
+                // CAST(count(*) AS BIGINT) AS dup_chunk_bp
+        FROM chunks c JOIN counts k USING (chunk_hash)
+        GROUP BY 1"""
 
     sql["lineitem_hll"] = """
         WITH h AS MATERIALIZED (

@@ -769,3 +769,97 @@ def jaccard_similarity_join(df: DataFrame, threshold: float = 0.5,
     return out.filter(
         F.col("inter_size") * 10 ** 6
         >= F.lit(t_scaled) * F.col("union_size"))
+
+
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", window: int = 8,
+               mask_bits: int = 5,
+               salt: str = "cdc") -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): split each
+    document at positions where the rolling window's hash has its low
+    ``mask_bits`` bits zero — boundaries are a pure function of LOCAL
+    content, so an insertion early in a document shifts only the one
+    chunk it lands in, never every downstream chunk (the property
+    fixed-size chunking lacks, and the reason storage dedup and
+    long-document near-dup pipelines chunk this way).
+
+    Returns ``(id, chunk_idx, chunk_text, chunk_hash)``; expected
+    chunk length is ~``2^mask_bits`` characters.
+
+    Scale shape: one narrow projection — per-row HOF work is
+    O(len·window) md5 evaluations JVM-side, embarrassingly parallel,
+    no shuffle; the md5-derived hash makes boundaries AND chunk ids
+    replayable by a SQL oracle.
+    """
+    txt = F.col(text_col)
+    length = F.length(txt)
+    # a boundary sits AFTER position p when the window ENDING at p
+    # hashes to low-zero bits; guard short texts (Spark's sequence()
+    # runs DESCENDING when end < start)
+    ends = F.filter(
+        F.sequence(F.lit(window), length),
+        lambda p: hash64(F.concat(
+            F.lit(salt + ":"),
+            txt.substr(p - window + 1, F.lit(window)),
+        )) % (1 << mask_bits) == 0,
+    )
+    bounds = F.array_distinct(F.concat(
+        F.array(F.lit(0)),
+        F.when(length >= window, ends)
+        .otherwise(F.array().cast("array<int>")),
+        F.array(length),
+    ))
+    idx = F.when(
+        F.size(bounds) >= 2,
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        idx,
+        lambda i: txt.substr(
+            F.element_at(bounds, i) + 1,
+            F.element_at(bounds, i + 1) - F.element_at(bounds, i),
+        ),
+    )
+    exploded = spread(df).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("__i__", "chunk_text"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__i__") + 1).cast("int").alias("chunk_idx"),
+        "chunk_text",
+        hash64(F.concat(F.lit("cdch:"), F.col("chunk_text")))
+        .alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 8,
+                    mask_bits: int = 5) -> DataFrame:
+    """Per-document chunk-level duplication profile over CDC chunks:
+    ``(id, n_chunks, n_dup_chunks, dup_chunk_bp)`` where a chunk is
+    *dup* when its (text-identical) hash occurs in at least one OTHER
+    document — the chunk-granular dedup signal for long documents
+    that exact/minhash whole-document methods miss (a page that
+    copies two paragraphs is invisible to both).
+
+    One groupBy on chunk hash (map-side combinable counts of distinct
+    docs) + one broadcast-or-shuffle join back; ratios in integer
+    basis points so the oracle matches exactly.
+    """
+    chunks = cdc_chunks(df, text_col, id_col, window,
+                        mask_bits).persist()
+    docs_per_hash = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct(id_col).alias("__nd__"))
+    marked = chunks.join(docs_per_hash, "chunk_hash").select(
+        F.col(id_col),
+        (F.col("__nd__") > 1).cast("int").alias("__dup__"),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+             F.sum("__dup__").cast("long").alias("n_dup_chunks"))
+        .withColumn(
+            "dup_chunk_bp",
+            F.expr("(10000 * n_dup_chunks) div n_chunks"))
+    )

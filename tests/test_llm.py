@@ -2573,3 +2573,64 @@ class TestVectorizedAssignment:
         monkeypatch.setattr(S, "_VECTORIZED_ASSIGN_NLIST", 1)
         vec = run()
         assert fold and fold == vec
+
+
+class TestCDCChunks:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def test_reconstruction_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        from cubes_spark.llm.dedup import cdc_chunks
+
+        texts = ["the quick brown fox jumps over the lazy dog " * 8,
+                 "short", "", "a" * 200]
+        df = self._docs(spark, texts)
+        ch = cdc_chunks(df)
+        rec = ch.groupBy("doc_id").agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("chunk_idx", "chunk_text"))),
+            lambda s: s["chunk_text"])).alias("r"))
+        joined = df.join(rec, "doc_id", "left").select(
+            "doc_id", "text",
+            F.coalesce("r", F.lit("")).alias("r")).collect()
+        for row in joined:
+            assert row.r == row.text, row.doc_id
+
+    def test_boundaries_are_content_local(self, spark):
+        """An edit near the start must not shift chunking of the
+        untouched tail — the CDC property fixed-size chunking lacks."""
+        from cubes_spark.llm.dedup import cdc_chunks
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta "
+                "iota kappa " * 12)
+        edited = "XY" + base
+        df = self._docs(spark, [base, edited])
+        by_doc = {0: [], 1: []}
+        for r in cdc_chunks(df).collect():
+            by_doc[r.doc_id].append((r.chunk_idx, r.chunk_text))
+        tail0 = [t for _, t in sorted(by_doc[0])][1:]
+        tail1 = [t for _, t in sorted(by_doc[1])][1:]
+        # everything after each side's first boundary resynchronizes
+        assert tail0 and tail0 == tail1
+
+    def test_dedup_stats_flags_shared_chunks(self, spark):
+        from cubes_spark.llm.dedup import cdc_dedup_stats
+
+        shared = "carbon copy paragraph repeated verbatim here " * 6
+        texts = [shared + "unique tail one two three",
+                 "totally different document text goes here " * 4
+                 + shared,
+                 "no overlap with anything else at all " * 5]
+        df = self._docs(spark, texts)
+        stats = {r.doc_id: r for r in cdc_dedup_stats(df).collect()}
+        assert stats[0].n_dup_chunks > 0
+        assert stats[1].n_dup_chunks > 0
+        assert stats[2].n_dup_chunks == 0
+        assert stats[2].dup_chunk_bp == 0
+        for r in stats.values():
+            assert 0 <= r.dup_chunk_bp <= 10000
+            assert r.n_dup_chunks <= r.n_chunks

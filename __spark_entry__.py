@@ -4051,6 +4051,42 @@ def q_doc_cdc_dedup(spark, sf_dir):
     return cdc_dedup_stats(docs)
 
 
+def q_orders_quantiles(spark, sf_dir):
+    """Mergeable histogram-quantile sketch (functions/sketches.py:
+    histogram_quantiles): per order-priority price quantiles read off
+    a $1000-wide cumulative histogram — the mergeable-state quantile
+    answer (one map-side-combinable bucket groupBy; the true
+    rank value provably lies in [est_lo, est_hi] by construction).
+    All integer arithmetic; the oracle replays the histogram walk
+    bit-for-bit."""
+    from cubes_spark.functions.sketches import histogram_quantiles
+
+    orders = _table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.expr("CAST(o_totalprice * 100 AS BIGINT)")
+        .alias("price_cents"))
+    return histogram_quantiles(
+        orders, "price_cents", [2500, 5000, 9000, 9900],
+        width=100000, group_cols=["o_orderpriority"])
+
+
+def q_part_triangles(spark, sf_dir):
+    """Degree-oriented triangle counting (llm/web.py:triangle_counts;
+    node-iterator++/compact-forward) over the part-affinity graph
+    (basket_pairs edges, parts co-ordered in >= 2 orders): per-node
+    triangle counts — the local clustering signal.  Orientation from
+    low to high degree bounds wedge work at ~sqrt(|E|) out-degree,
+    the reason hubs don't explode the self-join."""
+    from cubes_spark.llm.web import triangle_counts
+    from cubes_spark.operators.olap import basket_pairs
+
+    li = _table(spark, sf_dir, "lineitem")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey",
+                         min_count=2).select("item_a", "item_b")
+    out = triangle_counts(edges, "item_a", "item_b")
+    return _lng(out, "node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region × month) with a cell filter
     at sf0.001."""
@@ -4078,6 +4114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pairs": q_basket_pairs,
         "multiformat_store": q_multiformat_store,
         "doc_cdc_dedup": q_doc_cdc_dedup,
+        "orders_quantiles": q_orders_quantiles,
+        "part_triangles": q_part_triangles,
         # -- stalest last-driver-green entries, ascending --
         "facts_page": q_facts_page,
         "fact_list": q_fact_list,
@@ -4122,10 +4160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_natural_order": q_agg_natural_order,
         "csv_format": q_csv_format,
         "auth_restricted": q_auth_restricted,
+        # ---- beyond the window (driver-green more recently; full local sweep covers all) ----
         "json_lines_format": q_json_lines_format,
         "events_browse": q_events_browse,
         "agg_quantiles": q_agg_quantiles,
-        # ---- beyond the window (driver-green more recently; full local sweep covers all) ----
         "agg_approx_distinct": q_agg_approx_distinct,
         "doc_repetition": q_doc_repetition,
         "doc_pii": q_doc_pii,
@@ -4445,6 +4483,64 @@ def oracle_sql() -> dict[str, str]:
                 // CAST(count(*) AS BIGINT) AS dup_chunk_bp
         FROM chunks c JOIN counts k USING (chunk_hash)
         GROUP BY 1"""
+
+    sql["orders_quantiles"] = """
+        WITH vals AS (
+            SELECT o_orderpriority AS pri,
+                CAST(o_totalprice * 100 AS BIGINT) // 100000 AS bucket
+            FROM orders
+        ),
+        hist AS MATERIALIZED (
+            SELECT pri, bucket, CAST(count(*) AS BIGINT) AS n
+            FROM vals GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT pri, bucket, n,
+                CAST(SUM(n) OVER (PARTITION BY pri ORDER BY bucket)
+                     AS BIGINT) AS cum_count
+            FROM hist
+        ),
+        tot AS (SELECT pri, CAST(SUM(n) AS BIGINT) AS total
+                FROM hist GROUP BY 1),
+        qs AS (SELECT unnest([2500, 5000, 9000, 9900]) AS q_bp),
+        hit AS (
+            SELECT c.pri, q.q_bp, c.bucket, c.cum_count, t.total
+            FROM cum c JOIN tot t ON c.pri = t.pri CROSS JOIN qs q
+            WHERE c.cum_count * 10000 >= q.q_bp * t.total
+        )
+        SELECT pri AS o_orderpriority,
+            CAST(q_bp AS BIGINT) AS q_bp,
+            CAST(min(bucket) AS BIGINT) AS bucket,
+            CAST(min(bucket) * 100000 AS BIGINT) AS est_lo,
+            CAST((min(bucket) + 1) * 100000 - 1 AS BIGINT) AS est_hi,
+            CAST(min_by(cum_count, bucket) AS BIGINT) AS cum_count,
+            CAST(min(total) AS BIGINT) AS total
+        FROM hit GROUP BY 1, 2"""
+
+    sql["part_triangles"] = """
+        WITH baskets AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+            SELECT l.i AS a, r.i AS b
+            FROM baskets l JOIN baskets r ON l.b = r.b AND l.i < r.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        tris AS MATERIALIZED (
+            SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.b
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        nodes AS (
+            SELECT n1 AS node FROM tris
+            UNION ALL SELECT n2 FROM tris
+            UNION ALL SELECT n3 FROM tris
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+            CAST(count(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY 1"""
 
     sql["lineitem_hll"] = """
         WITH h AS MATERIALIZED (

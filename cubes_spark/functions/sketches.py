@@ -31,7 +31,7 @@ from cubes_spark.llm.text import hash64
 
 __all__ = ["countmin_sketch", "countmin_estimates",
            "bloom_build", "bloom_contains",
-           "hll_registers", "hll_estimate"]
+           "hll_registers", "hll_estimate", "histogram_quantiles"]
 
 
 def _cell(value: Column, row: int, width: int) -> Column:
@@ -252,3 +252,64 @@ def hll_estimate(registers: DataFrame,
     est = F.expr(f"(CAST({alpha_e4} AS BIGINT) "
                  f"* (CAST({num} AS BIGINT) div __s__)) div 10000")
     return s.select(*group_cols, est.cast("long").alias("hll_est"))
+
+
+def histogram_quantiles(df: DataFrame, value_col: str,
+                        qs_bp: Optional[list] = None,
+                        width: int = 1,
+                        group_cols: Optional[list] = None) -> DataFrame:
+    """Mergeable fixed-width-histogram quantiles: bucket the (integer)
+    value column into ``width``-sized bins, then read each requested
+    quantile off the cumulative histogram.  Returns one row per group
+    per quantile: ``(group..., q_bp, bucket, est_lo, est_hi, cum_count,
+    total)`` where ``est_lo/est_hi`` bound the bucket CONTAINING the
+    true rank-``ceil(q·N)`` value — the guarantee is exact by
+    construction (resolution = ``width``), unlike probabilistic
+    quantile sketches.
+
+    Scale shape: the histogram is the mergeable state — ONE map-side-
+    combinable groupBy of the facts into buckets; everything after
+    (cumulative window, quantile pick) runs on bucket-count rows per
+    group (grain, not facts).  All integer arithmetic (ranks compared
+    as ``cum·10⁴ ≥ q_bp·total``), so a SQL oracle replays every row
+    bit-for-bit.  Pre-scale non-integer values (e.g. money → cents)
+    before calling.
+    """
+    from pyspark.sql import Window
+
+    qs_bp = list(qs_bp or [2500, 5000, 7500, 9900])
+    group_cols = list(group_cols or [])
+    hist = (
+        df.select(*group_cols,
+                  F.expr(f"CAST({value_col} AS BIGINT) div {width}")
+                  .alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n__"))
+    )
+    w = (Window.partitionBy(*group_cols) if group_cols
+         else Window.partitionBy()).orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum_count",
+                          F.sum("__n__").over(w).cast("long"))
+    totals = hist.groupBy(*group_cols).agg(
+        F.sum("__n__").cast("long").alias("total"))
+    cum = cum.join(totals, group_cols) if group_cols else \
+        cum.crossJoin(totals)
+    qdf = df.sparkSession.createDataFrame(
+        [(int(q),) for q in qs_bp], "q_bp long")
+    # smallest bucket whose cumulative count reaches the rank —
+    # min_by over the grain-sized cumulative histogram
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("cum_count") * 10000 >= F.col("q_bp") * F.col("total"))
+    return (
+        hit.groupBy(*group_cols, "q_bp")
+        .agg(F.min("bucket").alias("bucket"),
+             F.min_by("cum_count", "bucket").cast("long")
+             .alias("cum_count"),
+             F.min("total").alias("total"))
+        .select(
+            *group_cols, "q_bp", "bucket",
+            (F.col("bucket") * width).alias("est_lo"),
+            ((F.col("bucket") + 1) * width - 1).alias("est_hi"),
+            "cum_count", "total")
+    )

@@ -38,7 +38,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["html_to_text", "extract_links", "parse_warc",
+__all__ = ["triangle_counts",
+           "html_to_text", "extract_links", "parse_warc",
            "parse_tar", "webdataset_samples",
            "inflate_column", "parse_jsonl", "pack_webdataset",
            "link_pagerank",
@@ -558,3 +559,67 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
             F.coalesce(F.col("__new__"), F.col("node")).alias("label"),
         ).localCheckpoint(eager=True)
     return labels
+
+
+def triangle_counts(edges: DataFrame, src: str = "id_a",
+                    dst: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal (community density, link-farm detection) the
+    pairwise dedup/similarity graphs feed into.
+
+    Uses the standard DEGREE-ORIENTED algorithm (node-iterator++ /
+    compact-forward): orient every undirected edge from its
+    lower-degree endpoint to its higher-degree endpoint (ties by id),
+    join out-edge pairs only at their common LOW-degree source, and
+    close each wedge against the oriented edge list.  Wedge count is
+    Σ out-degree² where out-degree is bounded by ~sqrt(|E|) for ANY
+    graph under this orientation — a hub with a million neighbours
+    generates no wedges at all (its edges all point INTO it), which
+    is what makes the plain self-join formulation (Σ degree²,
+    quadratic on hubs) survivable at scale.  Three equi-joins, all on
+    node keys; each triangle is counted exactly once because the
+    orientation is acyclic.
+
+    Returns ``(node, n_triangles)`` for every node in at least one
+    triangle.
+    """
+    e = edges.select(F.col(src).alias("a"),
+                     F.col(dst).alias("b")) \
+        .filter(F.col("a") != F.col("b")) \
+        .select(F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b")) \
+        .distinct()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient low-degree -> high-degree (ties by id); acyclic
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(F.when(lt, F.col("a")).otherwise(F.col("b"))
+                .alias("u"),
+                F.when(lt, F.col("b")).otherwise(F.col("a"))
+                .alias("v"))
+    ).persist()
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (
+        w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    )
+    # close the wedge: (x, y) must be an oriented edge either way
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select(
+        F.col("u").alias("n1"), F.col("x").alias("n2"),
+        F.col("y").alias("n3"))
+    per_node = (
+        tri.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_node

@@ -323,3 +323,61 @@ class TestBasketPairs:
         pairs = {(r.item_a, r.item_b) for r in capped.collect()}
         assert ("x", "y") not in pairs       # mega-basket dropped
         assert ("a", "b") in pairs
+
+
+class TestHistogramQuantiles:
+    def test_bucket_contains_true_quantile(self, spark):
+        from cubes_spark.functions.sketches import histogram_quantiles
+
+        values = list(range(1, 1001))            # 1..1000
+        df = spark.createDataFrame([(v,) for v in values], "v long")
+        out = {r.q_bp: r for r in histogram_quantiles(
+            df, "v", [2500, 5000, 9900], width=10).collect()}
+        import math
+
+        for q, row in out.items():
+            rank_value = values[
+                math.ceil(q / 10000 * len(values)) - 1]
+            assert row.est_lo <= rank_value <= row.est_hi
+            assert row.total == 1000
+            assert row.cum_count * 10000 >= q * row.total
+
+    def test_grouped_and_merge_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from cubes_spark.functions.sketches import histogram_quantiles
+
+        rows = [("a", v) for v in range(100)] + \
+               [("b", v * 7) for v in range(50)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = histogram_quantiles(df, "v", [5000], width=5,
+                                  group_cols=["g"]).collect()
+        got = {r.g: r for r in out}
+        assert got["a"].total == 100 and got["b"].total == 50
+        # median of 0..99 is 49/50 -> bucket 9 (45..49)
+        assert got["a"].est_lo <= 49 <= got["a"].est_hi + 5
+
+
+class TestTriangleCounts:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs], "id_a long, id_b long")
+
+    def test_k4_and_star(self, spark):
+        from cubes_spark.llm.web import triangle_counts
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        got = {r.node: r.n_triangles for r in triangle_counts(
+            self._edges(spark, k4)).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}   # K4: C(3,2)=3 each
+
+        star = [(0, i) for i in range(1, 6)]     # hub, no triangles
+        assert triangle_counts(self._edges(spark, star)).count() == 0
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from cubes_spark.llm.web import triangle_counts
+
+        edges = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (1, 1)]
+        got = {r.node: r.n_triangles for r in triangle_counts(
+            self._edges(spark, edges)).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}

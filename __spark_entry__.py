@@ -4087,6 +4087,39 @@ def q_part_triangles(spark, sf_dir):
     return _lng(out, "node")
 
 
+def q_events_stream_hll(spark, sf_dir):
+    """Streaming approx-distinct: per-day HyperLogLog registers built
+    INCREMENTALLY over the watermarked event stream (state = 32
+    registers per open window no matter how many distinct users flow
+    through), replayed to completion; the batch side then reads the
+    integer-exact estimate off the collected registers and compares
+    against the exact per-day distinct count — streaming == batch ==
+    oracle for a cardinality sketch.  ±50% acceptance band (m=32,
+    σ≈18%)."""
+    from cubes_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from cubes_spark.streaming import read_parquet_stream, \
+        replay_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    regs = hll_registers(stream, "user_id", m=32, window="1 day",
+                         ts_col="ts", watermark="2 hours")
+    result = replay_to_memory(regs, "q_events_stream_hll")
+    est = hll_estimate(result, ["window_start"], m=32)
+    ev = _table(spark, sf_dir, "events")
+    exact = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("window_start")
+    ).agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    out = exact.join(est, "window_start")
+    return out.select(
+        "window_start", "n_exact", "hll_est",
+        (F.abs(F.col("hll_est") - F.col("n_exact")) * 2
+         <= F.col("n_exact")).alias("hll_ok"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region × month) with a cell filter
     at sf0.001."""
@@ -4116,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cdc_dedup": q_doc_cdc_dedup,
         "orders_quantiles": q_orders_quantiles,
         "part_triangles": q_part_triangles,
+        "events_stream_hll": q_events_stream_hll,
         # -- stalest last-driver-green entries, ascending --
         "facts_page": q_facts_page,
         "fact_list": q_fact_list,
@@ -4159,8 +4193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_details": q_cell_details,
         "agg_natural_order": q_agg_natural_order,
         "csv_format": q_csv_format,
-        "auth_restricted": q_auth_restricted,
         # ---- beyond the window (driver-green more recently; full local sweep covers all) ----
+        "auth_restricted": q_auth_restricted,
         "json_lines_format": q_json_lines_format,
         "events_browse": q_events_browse,
         "agg_quantiles": q_agg_quantiles,
@@ -4541,6 +4575,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS node,
             CAST(count(*) AS BIGINT) AS n_triangles
         FROM nodes GROUP BY 1"""
+
+    sql["events_stream_hll"] = """
+        WITH h AS MATERIALIZED (
+            SELECT date_trunc('day', ts) AS d,
+                CAST(concat('0x', substr(md5(concat('hll:',
+                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    AS h
+            FROM events
+        ),
+        ranks AS (
+            SELECT d, CAST(h % 32 AS INT) AS bucket,
+                CASE WHEN (h // 32) % 1099511627776 = 0 THEN 41
+                     ELSE 41 - length(bin(
+                        (h // 32) % 1099511627776)) END AS r
+            FROM h
+        ),
+        regs AS MATERIALIZED (
+            SELECT d, bucket, MAX(r) AS register
+            FROM ranks GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT f.d, b.bucket
+            FROM (SELECT DISTINCT d FROM regs) f
+            CROSS JOIN (SELECT unnest(generate_series(0, 31))
+                        AS bucket) b
+        ),
+        sums AS (
+            SELECT s.d,
+                CAST(SUM(CAST(power(2.0,
+                    41 - COALESCE(r.register, 0)) AS BIGINT))
+                    AS BIGINT) AS s
+            FROM spine s LEFT JOIN regs r
+                ON s.d = r.d AND s.bucket = r.bucket
+            GROUP BY 1
+        ),
+        est AS (
+            SELECT d,
+                CAST((6978 * (2251799813685248 // s)) // 10000
+                     AS BIGINT) AS hll_est
+            FROM sums
+        ),
+        exact AS (
+            SELECT date_trunc('day', ts) AS d,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1
+        )
+        SELECT e.d AS window_start, e.n_exact, est.hll_est,
+            abs(est.hll_est - e.n_exact) * 2 <= e.n_exact AS hll_ok
+        FROM exact e JOIN est ON e.d = est.d"""
 
     sql["lineitem_hll"] = """
         WITH h AS MATERIALIZED (

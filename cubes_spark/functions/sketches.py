@@ -184,7 +184,10 @@ def bloom_contains(bloom: DataFrame, probes: DataFrame, col: str,
 def hll_registers(df: DataFrame, col: str,
                   group_cols: Optional[list] = None,
                   m: int = 256, rank_bits: int = 40,
-                  salt: str = "hll") -> DataFrame:
+                  salt: str = "hll",
+                  window: Optional[str] = None,
+                  ts_col: str = "ts",
+                  watermark: str = "2 hours") -> DataFrame:
     """HyperLogLog registers (Flajolet et al. 2007) per group:
     ``(group..., bucket, register)`` with ``bucket`` in 0..m-1 and
     ``register`` = max leading-zero rank observed in that bucket.
@@ -199,23 +202,40 @@ def hll_registers(df: DataFrame, col: str,
     arithmetic, so a SQL oracle rebuilds identical registers.
     """
     group_cols = list(group_cols or [])
+    src = df
+    if window and src.isStreaming:
+        # per-event-time-window registers over a watermarked stream:
+        # state is m registers per open window no matter how many
+        # distinct keys flow through — the streaming approx-distinct
+        # pattern (mirrors countmin_sketch's windowed mode)
+        src = src.withWatermark(ts_col, watermark)
     h = hash64(F.concat(F.lit(salt + ":"),
                         F.col(col).cast("string")))
     # stage the hash, then split with INTEGER `div`/`%` only — a
     # double `/` on a 60-bit hash would round above 2^53
-    staged = df.select(*group_cols, h.alias("__h__"))
+    staged = src.select(
+        *([F.window(F.col(ts_col), window).alias("__w0__")]
+          if window else []),
+        *group_cols, h.alias("__h__"))
     bucket = (F.col("__h__") % m).cast("int")
     w = F.expr(f"(__h__ div {m}) % CAST({1 << rank_bits} AS BIGINT)")
     # leading-1 position inside the rank window: bin() drops leading
     # zeros in both Spark and DuckDB, so rank = rank_bits+1 - bitlen
     rank = F.when(w == 0, F.lit(rank_bits + 1)) \
         .otherwise(F.lit(rank_bits + 1) - F.length(F.bin(w)))
-    return (
-        staged.select(*group_cols, bucket.alias("bucket"),
+    keys = (["__w0__"] if window else []) + group_cols + ["bucket"]
+    out = (
+        staged.select(*(["__w0__"] if window else []), *group_cols,
+                      bucket.alias("bucket"),
                       rank.cast("int").alias("__rank__"))
-        .groupBy(*group_cols, "bucket")
+        .groupBy(*keys)
         .agg(F.max("__rank__").cast("int").alias("register"))
     )
+    if window:
+        out = out.select(
+            F.col("__w0__.start").alias("window_start"),
+            *group_cols, "bucket", "register")
+    return out
 
 
 def hll_estimate(registers: DataFrame,
@@ -236,16 +256,18 @@ def hll_estimate(registers: DataFrame,
     group_cols = list(group_cols or [])
     alpha_e4 = int(round(10000 * 0.7213 / (1.0 + 1.079 / m)))
     unit = rank_bits + 1
-    spine = registers.select(*group_cols).distinct().crossJoin(
-        registers.sparkSession.range(m)
-        .select(F.col("id").cast("int").alias("bucket")))
-    full = spine.join(registers, [*group_cols, "bucket"], "left") \
-        .withColumn("register",
-                    F.coalesce(F.col("register"), F.lit(0)))
+    # absent buckets (register 0) contribute 2^unit each — added in
+    # closed form, so the harmonic sum needs ONE aggregation of the
+    # observed registers, no m-bucket spine join (which would also be
+    # a self-join, illegal on fixed-attribute views like a streaming
+    # memory sink)
     term = F.pow(F.lit(2.0),
                  (F.lit(unit) - F.col("register")).cast("double")) \
         .cast("long")
-    s = full.groupBy(*group_cols).agg(F.sum(term).alias("__s__"))
+    s = registers.groupBy(*group_cols).agg(
+        (F.sum(term)
+         + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << unit))
+        .cast("long").alias("__s__"))
     num = m * m * (1 << unit)
     # INTEGER division throughout — a double `/` would round above
     # 2^53 and diverge from the SQL oracle's exact `div`

@@ -652,3 +652,44 @@ def test_streaming_incremental_cuboid_maintenance(spark, tmp_path):
                   F.sum(F.col("v").cast("decimal(20,2)"))
                   .alias("v_sum")).collect()}
     assert got == expect
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """Windowed HLL registers built incrementally on a stream == the
+    batch registers over the same data; the estimate from the
+    streamed registers is exact-arithmetic identical too."""
+    import datetime
+
+    from cubes_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from cubes_spark.streaming import (
+        read_parquet_stream,
+        replay_to_memory,
+    )
+
+    rows = [(i, datetime.datetime(2024, 1, 1 + i % 3, i % 24),
+             f"user{i % 97}") for i in range(600)]
+    src = str(tmp_path / "hll_events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, u string"
+    ).write.parquet(src)
+
+    batch = hll_registers(
+        spark.read.parquet(src), "u", m=32, window="1 day",
+        ts_col="ts")
+    stream = hll_registers(
+        read_parquet_stream(spark, src), "u", m=32, window="1 day",
+        ts_col="ts")
+    got = replay_to_memory(stream, "t_hll_stream")
+    key = lambda r: (r.window_start, r.bucket, r.register)
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, batch.collect()))
+    est_s = {(r.window_start, r.hll_est) for r in
+             hll_estimate(got, ["window_start"], m=32).collect()}
+    est_b = {(r.window_start, r.hll_est) for r in
+             hll_estimate(batch, ["window_start"], m=32).collect()}
+    assert est_s == est_b
+    for _, est in est_s:
+        assert abs(est - 97) * 2 <= 97        # ±50% of true 97

@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "events_scd2",
     "events_asof",
     "bucketed_join",
+    # round-8 operators: sketches, affinity, chunk dedup, triangles
+    "lineitem_hll",
+    "basket_pairs",
+    "doc_cdc_dedup",
+    "part_triangles",
+    "orders_quantiles",
 ]
 
 

@@ -301,10 +301,18 @@ def histogram_quantiles(df: DataFrame, value_col: str,
 
     qs_bp = list(qs_bp or [2500, 5000, 7500, 9900])
     group_cols = list(group_cols or [])
+    # FLOOR division (integer-exact): Spark's `div` truncates toward
+    # zero, which would put -1 with width 2 into bucket 0 ([0, 1])
+    # instead of bucket -1 ([-2, -1]) — caught by the hypothesis
+    # bucket-containment property
+    floor_div = (
+        f"CASE WHEN CAST({value_col} AS BIGINT) >= 0 "
+        f"THEN CAST({value_col} AS BIGINT) div {width} "
+        f"ELSE -((-CAST({value_col} AS BIGINT) + {width} - 1) "
+        f"div {width}) END")
     hist = (
         df.select(*group_cols,
-                  F.expr(f"CAST({value_col} AS BIGINT) div {width}")
-                  .alias("bucket"))
+                  F.expr(floor_div).alias("bucket"))
         .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("__n__"))
     )

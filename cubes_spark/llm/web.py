@@ -583,12 +583,18 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
     Returns ``(node, n_triangles)`` for every node in at least one
     triangle.
     """
+    # checkpoint the normalized edge list: it is read five times
+    # (degree count twice, both orientation joins, wedge closing) —
+    # localCheckpoint truncates the caller's edge-producing lineage
+    # so each read hits the materialized edges instead of re-planning
+    # (and re-executing) the upstream pipeline; same pattern as
+    # connected_components / label_propagation
     e = edges.select(F.col(src).alias("a"),
                      F.col(dst).alias("b")) \
         .filter(F.col("a") != F.col("b")) \
         .select(F.least("a", "b").alias("a"),
                 F.greatest("a", "b").alias("b")) \
-        .distinct()
+        .distinct().localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -605,7 +611,7 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
                 .alias("u"),
                 F.when(lt, F.col("b")).otherwise(F.col("a"))
                 .alias("v"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = (

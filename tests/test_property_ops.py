@@ -244,3 +244,60 @@ class TestFeatureHashEmbedProperty:
                  feature_hash_embed(df.repartition(3),
                                     dim=dim).collect()}
         assert again == rows
+
+
+class TestHistogramQuantileProperty:
+    @given(values=st.lists(st.integers(min_value=-1000, max_value=1000),
+                           min_size=1, max_size=120),
+           width=st.integers(min_value=1, max_value=50),
+           q_bp=st.integers(min_value=1, max_value=10000))
+    @settings(**_SETTINGS)
+    def test_true_rank_value_in_bucket(self, spark, values, width,
+                                       q_bp):
+        """For ANY integer multiset, width and quantile, the true
+        rank-⌈q·N⌉ value lies inside the reported bucket bounds."""
+        import math
+
+        from cubes_spark.functions.sketches import histogram_quantiles
+
+        df = spark.createDataFrame([(v,) for v in values], "v long")
+        rows = histogram_quantiles(df, "v", [q_bp],
+                                   width=width).collect()
+        assert len(rows) == 1
+        row = rows[0]
+        truth = sorted(values)[
+            max(math.ceil(q_bp / 10000 * len(values)), 1) - 1]
+        assert row.est_lo <= truth <= row.est_hi
+        assert row.total == len(values)
+
+
+class TestTriangleProperty:
+    @given(edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=0, max_size=25))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_matches_brute_force(self, spark, edges):
+        """Degree-oriented counting equals the brute-force triangle
+        enumeration on ANY small graph (self-loops / duplicates /
+        reversed edges included)."""
+        from itertools import combinations
+
+        from cubes_spark.llm.web import triangle_counts
+
+        simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        nodes = {n for e in simple for n in e}
+        want: dict = {}
+        for tri in combinations(sorted(nodes), 3):
+            a, b, c = tri
+            if {(a, b), (a, c), (b, c)} <= simple:
+                for n in tri:
+                    want[n] = want.get(n, 0) + 1
+        if not edges:
+            return
+        df = spark.createDataFrame(
+            list(edges), "id_a long, id_b long")
+        got = {r.node: r.n_triangles
+               for r in triangle_counts(df).collect()}
+        assert got == want

@@ -4063,7 +4063,7 @@ def q_orders_quantiles(spark, sf_dir):
 
     orders = _table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority"),
-        F.expr("CAST(o_totalprice * 100 AS BIGINT)")
+        F.round(F.col("o_totalprice") * 100).cast("long")
         .alias("price_cents"))
     return histogram_quantiles(
         orders, "price_cents", [2500, 5000, 9000, 9900],
@@ -4120,6 +4120,108 @@ def q_events_stream_hll(spark, sf_dir):
          <= F.col("n_exact")).alias("hll_ok"))
 
 
+def q_orders_kmv(spark, sf_dir):
+    """KMV distinct sketch with SET OPERATIONS (functions/sketches.py:
+    kmv_sketch/kmv_set_ops; Beyer et al. SIGMOD 2007): per order-
+    priority pair, estimated union / intersection / Jaccard of the
+    distinct-customer sets from 256-hash synopses — the segment-
+    overlap question HLL registers cannot answer — checked against the
+    exact pairwise counts with a ±25% acceptance band (k=256 →
+    σ≈6.3%).  All hash, threshold and estimator arithmetic is
+    integer/decimal-exact, so the oracle replays every value."""
+    from cubes_spark.functions.sketches import kmv_set_ops, kmv_sketch
+
+    orders = _table(spark, sf_dir, "orders")
+    sk = kmv_sketch(orders, "o_custkey", ["o_orderpriority"], k=256)
+    ops = kmv_set_ops(sk, "o_orderpriority", k=256)
+    d = orders.select("o_orderpriority", "o_custkey").distinct()
+    counts = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        d.alias("a").join(
+            d.withColumnRenamed("o_orderpriority", "pb").alias("b"),
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderpriority") < F.col("pb")))
+        .groupBy(F.col("a.o_orderpriority").alias("group_a"),
+                 F.col("pb").alias("group_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    exact = (
+        inter
+        .join(counts.withColumnRenamed("o_orderpriority", "group_a")
+              .withColumnRenamed("n", "na"), "group_a")
+        .join(counts.withColumnRenamed("o_orderpriority", "group_b")
+              .withColumnRenamed("n", "nb"), "group_b")
+        .select("group_a", "group_b", "n_inter",
+                (F.col("na") + F.col("nb") - F.col("n_inter"))
+                .alias("n_union"))
+    )
+    out = ops.join(exact, ["group_a", "group_b"])
+    return out.select(
+        "group_a", "group_b", "union_est", "inter_est", "jaccard_bp",
+        "n_union", "n_inter",
+        (F.abs(F.col("union_est") - F.col("n_union")) * 4
+         <= F.col("n_union")).alias("union_ok"),
+        (F.abs(F.col("inter_est") - F.col("n_inter")) * 4
+         <= F.col("n_inter")).alias("inter_ok"))
+
+
+def q_orders_psample(spark, sf_dir):
+    """Approximate query processing from a bounded weighted sample
+    (functions/aqp.py: priority_sample/priority_estimate; Duffield,
+    Lund & Thorup JACM 2007): per order priority, total revenue
+    estimated from a 256-row priority sample with Horvitz-Thompson
+    weights — the fixed-size synopsis that answers subset-sum queries
+    without rescanning the facts.  The uniform draw is the portable
+    md5 hash and priorities/threshold/estimate are DECIMAL-exact, so
+    the oracle replays the sample AND the estimate bit-for-bit;
+    ps_ok asserts the ±25% band (k=256 → σ≈6%)."""
+    from cubes_spark.functions.aqp import (
+        priority_estimate,
+        priority_sample,
+    )
+
+    orders = _table(spark, sf_dir, "orders")
+    o = orders.withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+    s = priority_sample(o, "cents", 256, "o_orderkey",
+                        ["o_orderpriority"])
+    est = priority_estimate(s, 256, ["o_orderpriority"])
+    exact = o.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("long").alias("exact_sum"))
+    out = est.join(exact, "o_orderpriority")
+    return out.select(
+        "o_orderpriority", "est_sum", "n_sampled", "exact_sum",
+        (F.abs(F.col("est_sum") - F.col("exact_sum")) * 4
+         <= F.col("exact_sum")).alias("ps_ok"))
+
+
+def q_lineitem_zorder(spark, sf_dir):
+    """Z-order (Morton) multi-dimensional clustering key
+    (operators/scale.py: zorder_value — the layout behind
+    Delta/Iceberg OPTIMIZE ZORDER): per 256th of the curve over
+    (l_partkey, l_suppkey), row count and the min/max envelope of
+    BOTH dimensions — the tight per-segment boxes that let footer
+    statistics prune files for predicates on any participating
+    column.  Min-max scaling and bit interleaving are pure integer
+    ops, so the oracle rebuilds identical curve values.  (The
+    write-side payoff is measured in tests/test_scale.py: a 2-D box
+    query skips ~98% of z-laid-out files vs 0% of random layout.)"""
+    from cubes_spark.operators.scale import zorder_value
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    z = zorder_value(li, ["l_partkey", "l_suppkey"], bits=16)
+    return (
+        z.groupBy(F.expr("z div 16777216").alias("z_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("l_partkey").alias("min_part"),
+             F.max("l_partkey").alias("max_part"),
+             F.min("l_suppkey").alias("min_supp"),
+             F.max("l_suppkey").alias("max_supp"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region × month) with a cell filter
     at sf0.001."""
@@ -4150,6 +4252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_quantiles": q_orders_quantiles,
         "part_triangles": q_part_triangles,
         "events_stream_hll": q_events_stream_hll,
+        "orders_kmv": q_orders_kmv,
+        "orders_psample": q_orders_psample,
+        "lineitem_zorder": q_lineitem_zorder,
         # -- stalest last-driver-green entries, ascending --
         "facts_page": q_facts_page,
         "fact_list": q_fact_list,
@@ -4521,7 +4626,7 @@ def oracle_sql() -> dict[str, str]:
     sql["orders_quantiles"] = """
         WITH vals AS (
             SELECT o_orderpriority AS pri,
-                CAST(o_totalprice * 100 AS BIGINT) // 100000 AS bucket
+                CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bucket
             FROM orders
         ),
         hist AS MATERIALIZED (
@@ -4673,6 +4778,140 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.flag AS l_returnflag, e.n_exact, est.hll_est,
             abs(est.hll_est - e.n_exact) * 4 <= e.n_exact AS hll_ok
         FROM exact e JOIN est ON e.flag = est.flag"""
+
+    sql["orders_kmv"] = """
+        WITH h AS MATERIALIZED (
+            SELECT DISTINCT o_orderpriority AS g,
+                CAST(concat('0x', substr(md5(concat('kmv:',
+                    CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                    AS h
+            FROM orders
+        ),
+        r AS (
+            SELECT g, h,
+                row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM h
+        ),
+        kmv AS MATERIALIZED (
+            SELECT g, list(h ORDER BY h) AS hs
+            FROM r WHERE rn <= 256 GROUP BY 1
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.g AS ga, b.g AS gb, a.hs AS ka, b.hs AS kb,
+                list_sort(list_distinct(a.hs || b.hs))[1:256] AS merged
+            FROM kmv a JOIN kmv b ON a.g < b.g
+        ),
+        calc AS MATERIALIZED (
+            SELECT ga, gb, CAST(len(merged) AS BIGINT) AS m,
+                CAST(len(list_filter(merged,
+                    x -> list_contains(ka, x)
+                         AND list_contains(kb, x))) AS BIGINT) AS c,
+                CASE WHEN len(merged) < 256
+                     THEN CAST(len(merged) AS BIGINT)
+                     ELSE CAST((CAST(255 AS HUGEINT) *
+                        CAST(1152921504606846976 AS HUGEINT))
+                        // CAST(merged[256] AS HUGEINT) AS BIGINT)
+                END AS u
+            FROM pairs
+        ),
+        d AS MATERIALIZED (
+            SELECT DISTINCT o_orderpriority AS g, o_custkey AS c
+            FROM orders
+        ),
+        counts AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.g AS ga, b.g AS gb,
+                CAST(count(*) AS BIGINT) AS n_inter
+            FROM d a JOIN d b ON a.c = b.c AND a.g < b.g
+            GROUP BY 1, 2
+        )
+        SELECT x.ga AS group_a, x.gb AS group_b,
+            x.u AS union_est,
+            CAST((CAST(x.c AS HUGEINT) * CAST(x.u AS HUGEINT))
+                 // CAST(x.m AS HUGEINT) AS BIGINT) AS inter_est,
+            (10000 * x.c) // x.m AS jaccard_bp,
+            ca.n + cb.n - i.n_inter AS n_union,
+            i.n_inter,
+            abs(x.u - (ca.n + cb.n - i.n_inter)) * 4
+                <= ca.n + cb.n - i.n_inter AS union_ok,
+            abs(CAST((CAST(x.c AS HUGEINT) * CAST(x.u AS HUGEINT))
+                     // CAST(x.m AS HUGEINT) AS BIGINT) - i.n_inter)
+                * 4 <= i.n_inter AS inter_ok
+        FROM calc x
+        JOIN inter i ON x.ga = i.ga AND x.gb = i.gb
+        JOIN counts ca ON ca.g = x.ga
+        JOIN counts cb ON cb.g = x.gb"""
+
+    sql["orders_psample"] = """
+        WITH w AS MATERIALIZED (
+            SELECT o_orderpriority AS g, o_orderkey AS id,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS weight,
+                CAST(concat('0x', substr(md5(concat('ps:',
+                    CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                    + 1 AS u
+            FROM orders
+        ),
+        p AS MATERIALIZED (
+            SELECT g, id, weight,
+                CAST(least((CAST(weight AS HUGEINT) *
+                    CAST(1152921504606846976 AS HUGEINT))
+                    // CAST(u AS HUGEINT),
+                    CAST(4611686018427387904 AS HUGEINT))
+                    AS BIGINT) AS priority
+            FROM w
+        ),
+        r AS MATERIALIZED (
+            SELECT g, id, weight, priority,
+                row_number() OVER (PARTITION BY g
+                    ORDER BY priority DESC, id ASC) AS rn
+            FROM p
+        ),
+        tau AS (SELECT g, priority AS tau FROM r WHERE rn = 257),
+        est AS (
+            SELECT r.g,
+                CAST(SUM(greatest(r.weight, COALESCE(t.tau, 0)))
+                     AS BIGINT) AS est_sum,
+                CAST(count(*) AS BIGINT) AS n_sampled
+            FROM r LEFT JOIN tau t ON r.g = t.g
+            WHERE r.rn <= 256 GROUP BY 1
+        ),
+        exact AS (
+            SELECT o_orderpriority AS g,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS exact_sum
+            FROM orders GROUP BY 1
+        )
+        SELECT e.g AS o_orderpriority, e.est_sum, e.n_sampled,
+            x.exact_sum,
+            abs(e.est_sum - x.exact_sum) * 4 <= x.exact_sum AS ps_ok
+        FROM est e JOIN exact x ON e.g = x.g"""
+
+    sql["lineitem_zorder"] = """
+        WITH stats AS MATERIALIZED (
+            SELECT CAST(min(l_partkey) AS BIGINT) AS mn_l_partkey,
+                CAST(max(l_partkey) AS BIGINT) AS mx_l_partkey,
+                CAST(min(l_suppkey) AS BIGINT) AS mn_l_suppkey,
+                CAST(max(l_suppkey) AS BIGINT) AS mx_l_suppkey
+            FROM lineitem
+        ),
+        scaled AS (
+            SELECT l_partkey, l_suppkey,
+                (((CAST(l_partkey AS BIGINT) - mn_l_partkey) * 65535) // greatest(mx_l_partkey - mn_l_partkey, 1)) AS s0,
+                (((CAST(l_suppkey AS BIGINT) - mn_l_suppkey) * 65535) // greatest(mx_l_suppkey - mn_l_suppkey, 1)) AS s1
+            FROM lineitem CROSS JOIN stats
+        ),
+        z AS (
+            SELECT l_partkey, l_suppkey,
+                (((s0 >> 0) & 1) << 0) | (((s1 >> 0) & 1) << 1) | (((s0 >> 1) & 1) << 2) | (((s1 >> 1) & 1) << 3) | (((s0 >> 2) & 1) << 4) | (((s1 >> 2) & 1) << 5) | (((s0 >> 3) & 1) << 6) | (((s1 >> 3) & 1) << 7) | (((s0 >> 4) & 1) << 8) | (((s1 >> 4) & 1) << 9) | (((s0 >> 5) & 1) << 10) | (((s1 >> 5) & 1) << 11) | (((s0 >> 6) & 1) << 12) | (((s1 >> 6) & 1) << 13) | (((s0 >> 7) & 1) << 14) | (((s1 >> 7) & 1) << 15) | (((s0 >> 8) & 1) << 16) | (((s1 >> 8) & 1) << 17) | (((s0 >> 9) & 1) << 18) | (((s1 >> 9) & 1) << 19) | (((s0 >> 10) & 1) << 20) | (((s1 >> 10) & 1) << 21) | (((s0 >> 11) & 1) << 22) | (((s1 >> 11) & 1) << 23) | (((s0 >> 12) & 1) << 24) | (((s1 >> 12) & 1) << 25) | (((s0 >> 13) & 1) << 26) | (((s1 >> 13) & 1) << 27) | (((s0 >> 14) & 1) << 28) | (((s1 >> 14) & 1) << 29) | (((s0 >> 15) & 1) << 30) | (((s1 >> 15) & 1) << 31) AS z
+            FROM scaled
+        )
+        SELECT z // 16777216 AS z_bucket,
+            CAST(count(*) AS BIGINT) AS n,
+            min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+            min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM z GROUP BY 1"""
 
     sql["basket_pairs"] = """
         WITH baskets AS MATERIALIZED (

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "doc_cdc_dedup",
     "part_triangles",
     "orders_quantiles",
+    "orders_kmv",
+    "orders_psample",
+    "lineitem_zorder",
 ]
 
 

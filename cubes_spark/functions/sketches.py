@@ -31,7 +31,11 @@ from cubes_spark.llm.text import hash64
 
 __all__ = ["countmin_sketch", "countmin_estimates",
            "bloom_build", "bloom_contains",
-           "hll_registers", "hll_estimate", "histogram_quantiles"]
+           "hll_registers", "hll_estimate", "histogram_quantiles",
+           "kmv_sketch", "kmv_estimate", "kmv_set_ops"]
+
+#: 2^60 — the exclusive upper bound of the portable 60-bit hash space
+_HASH_SPACE = 1 << 60
 
 
 def _cell(value: Column, row: int, width: int) -> Column:
@@ -342,4 +346,132 @@ def histogram_quantiles(df: DataFrame, value_col: str,
             (F.col("bucket") * width).alias("est_lo"),
             ((F.col("bucket") + 1) * width - 1).alias("est_hi"),
             "cum_count", "total")
+    )
+
+def kmv_sketch(df: DataFrame, col: str,
+               group_cols: Optional[list] = None,
+               k: int = 256, salt: str = "kmv",
+               merge_buckets: int = 64) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD 2007): per group, the ``k`` smallest DISTINCT
+    60-bit portable hashes of ``col``, as one ascending
+    ``array<bigint>`` row — ``(group..., kmv)``.
+
+    Unlike HLL registers (:func:`hll_registers`), a KMV synopsis
+    supports SET OPERATIONS: union by merging arrays, intersection /
+    Jaccard by counting shared hashes under the union threshold
+    (:func:`kmv_set_ops`) — distinct counts of segment combinations
+    without rescanning the facts.
+
+    Scale shape (three bounded shuffles, no unbounded state):
+
+    1. ``groupBy(group, hash)`` — map-side combine kills duplicate
+       values inside each scan partition, so the shuffle carries
+       distinct hashes only (the same unavoidable shuffle as an exact
+       ``count_distinct``);
+    2. bottom-k per ``(group, hash % merge_buckets)`` cell via a rank
+       window — the bucket split bounds any one window partition to
+       the cell's distinct count and spreads a giant group over
+       ``merge_buckets`` reducers;
+    3. final per-group merge of ≤ ``k × merge_buckets`` survivors
+       into the sorted ``k``-prefix array.
+
+    The hash is the md5-derived :func:`~cubes_spark.llm.text.hash64`
+    — a SQL oracle rebuilds the identical array.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols or [])
+    h = hash64(F.concat(F.lit(salt + ":"),
+                        F.col(col).cast("string")))
+    distinct = (
+        df.select(*group_cols, h.alias("__h__"))
+        .groupBy(*group_cols, "__h__").agg(F.lit(1).alias("__one__"))
+    )
+    cell = (F.col("__h__") % merge_buckets).cast("int")
+    w = Window.partitionBy(*group_cols, cell).orderBy("__h__")
+    survivors = (
+        distinct.withColumn("__r__", F.row_number().over(w))
+        .filter(F.col("__r__") <= k)
+    )
+    return (
+        survivors.groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("__h__")), 1, k)
+             .alias("kmv"))
+    )
+
+
+def _kmv_estimate_expr(arr: str, k: int) -> Column:
+    """Cardinality estimate from a KMV array: exact ``size`` when the
+    sketch holds fewer than ``k`` hashes (it then holds ALL distinct
+    hashes), else ``(k-1) · 2^60 div kth`` — computed in
+    DECIMAL(38,0) so the 2^68-bit product never overflows and an
+    integral-divide oracle (DuckDB HUGEINT ``//``) replays it
+    bit-for-bit."""
+    kth = F.element_at(F.col(arr), k)
+    est = F.expr(
+        f"CAST((CAST({k - 1} AS DECIMAL(38,0)) * "
+        f"CAST({_HASH_SPACE} AS DECIMAL(38,0))) div "
+        f"CAST(element_at({arr}, {k}) AS DECIMAL(38,0)) AS BIGINT)")
+    return F.when(F.size(F.col(arr)) < k,
+                  F.size(F.col(arr)).cast("long")) \
+        .otherwise(est)
+
+
+def kmv_estimate(sketch: DataFrame,
+                 group_cols: Optional[list] = None,
+                 k: int = 256) -> DataFrame:
+    """Per-group distinct-count estimate ``(group..., kmv_est)`` from
+    :func:`kmv_sketch` output.  Exact below ``k`` distinct; above,
+    the unbiased KMV estimator ``(k-1)/θ`` with θ = kth smallest
+    hash as a fraction of the hash space (σ ≈ 1/√(k-2)).  All
+    integer/decimal arithmetic — SQL-oracle exact."""
+    group_cols = list(group_cols or [])
+    return sketch.select(
+        *group_cols,
+        _kmv_estimate_expr("kmv", k).alias("kmv_est"))
+
+
+def kmv_set_ops(sketch: DataFrame, group_col: str,
+                k: int = 256) -> DataFrame:
+    """Pairwise set-operation estimates between every two groups of a
+    :func:`kmv_sketch`: ``(group_a, group_b, union_est, inter_est,
+    jaccard_bp)`` for ``group_a < group_b``.
+
+    Theta-sketch-style combination (Beyer et al. 2007): the union
+    synopsis is the ``k``-prefix of the merged hash arrays; with
+    ``m = |merged|`` and θ its largest hash, ``union_est`` is the KMV
+    estimate of the merged synopsis (exact when ``m < k``), ``c`` the
+    number of merged hashes present in BOTH input sketches, and
+    ``inter_est = c · union_est div m`` (Jaccard ``c/m`` in basis
+    points).  Everything is array math over group-grain rows — the
+    self-join is |groups|² sketch rows, never fact-sized — and
+    integer-exact, so a SQL oracle replays every value.
+    """
+    a = sketch.select(F.col(group_col).alias("ga"),
+                      F.col("kmv").alias("ka"))
+    b = sketch.select(F.col(group_col).alias("gb"),
+                      F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    merged = F.slice(F.array_sort(F.array_union("ka", "kb")), 1, k)
+    joint = pairs.select(
+        "ga", "gb", "ka", "kb", merged.alias("merged"))
+    m = F.size("merged")
+    c = F.size(F.array_intersect(
+        "merged", F.array_intersect("ka", "kb")))
+    union_est = _kmv_estimate_expr("merged", k)
+    inter_est = F.expr(
+        "CAST((CAST(__c__ AS DECIMAL(38,0)) * "
+        "CAST(__u__ AS DECIMAL(38,0))) div "
+        "CAST(__m__ AS DECIMAL(38,0)) AS BIGINT)")
+    return (
+        joint.select(
+            F.col("ga").alias("group_a"), F.col("gb").alias("group_b"),
+            m.cast("long").alias("__m__"), c.cast("long").alias("__c__"),
+            union_est.alias("__u__"))
+        .select(
+            "group_a", "group_b",
+            F.col("__u__").alias("union_est"),
+            inter_est.alias("inter_est"),
+            F.expr("(10000 * __c__) div __m__").alias("jaccard_bp"))
     )

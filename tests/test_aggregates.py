@@ -381,3 +381,139 @@ class TestTriangleCounts:
         got = {r.node: r.n_triangles for r in triangle_counts(
             self._edges(spark, edges)).collect()}
         assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestKMV:
+    def test_exact_below_k_and_estimator_above(self, spark):
+        from cubes_spark.functions.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [(f"v{i % 40}",) for i in range(200)], "v string")
+        # k > distinct: the sketch holds every hash -> exact count
+        sk = kmv_sketch(df, "v", k=64)
+        est = kmv_estimate(sk, k=64).collect()[0].kmv_est
+        assert est == 40
+        # k < distinct: estimator engages, stays within 4 sigma
+        big = spark.createDataFrame(
+            [(f"x{i}",) for i in range(5000)], "v string")
+        sk = kmv_sketch(big, "v", k=256)
+        est = kmv_estimate(sk, k=256).collect()[0].kmv_est
+        assert abs(est - 5000) <= 4 * 5000 / (254 ** 0.5)
+
+    def test_partition_invariance(self, spark):
+        from cubes_spark.functions.sketches import kmv_sketch
+
+        rows = [(f"g{i % 3}", f"v{i % 97}") for i in range(300)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        one = {(r.g, tuple(r.kmv)) for r in
+               kmv_sketch(df, "v", ["g"], k=32).collect()}
+        many = {(r.g, tuple(r.kmv)) for r in
+                kmv_sketch(df.repartition(13), "v", ["g"],
+                           k=32).collect()}
+        assert one == many
+
+    def test_set_ops_exact_when_complete(self, spark):
+        from cubes_spark.functions.sketches import (
+            kmv_set_ops,
+            kmv_sketch,
+        )
+
+        # a = {0..59}, b = {40..99}: union 100, intersection 20.
+        rows = [("a", f"v{i}") for i in range(60)] + \
+               [("b", f"v{i}") for i in range(40, 100)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = kmv_sketch(df, "v", ["g"], k=256)
+        row = kmv_set_ops(sk, "g", k=256).collect()[0]
+        assert (row.group_a, row.group_b) == ("a", "b")
+        # complete sketches -> every estimate is exact
+        assert row.union_est == 100
+        assert row.inter_est == 20
+        assert row.jaccard_bp == 10000 * 20 // 100
+
+    def test_disjoint_sets(self, spark):
+        from cubes_spark.functions.sketches import (
+            kmv_set_ops,
+            kmv_sketch,
+        )
+
+        rows = [("a", f"p{i}") for i in range(50)] + \
+               [("b", f"q{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = kmv_sketch(df, "v", ["g"], k=128)
+        row = kmv_set_ops(sk, "g", k=128).collect()[0]
+        assert row.union_est == 80
+        assert row.inter_est == 0 and row.jaccard_bp == 0
+
+
+class TestPrioritySample:
+    def test_complete_sample_is_exact(self, spark):
+        from cubes_spark.functions.aqp import (
+            priority_estimate,
+            priority_sample,
+        )
+
+        rows = [(i, (i * 37) % 100 + 1) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        s = priority_sample(df, "w", 64, "id")
+        est = priority_estimate(s, 64).collect()[0]
+        assert est.est_sum == sum(w for _, w in rows)
+        assert est.n_sampled == 40
+
+    def test_estimator_band_and_determinism(self, spark):
+        from pyspark.sql import functions as SF
+
+        from cubes_spark.functions.aqp import (
+            priority_estimate,
+            priority_sample,
+        )
+
+        rows = [(i, (i * 997) % 5000 + 1) for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        truth = sum(w for _, w in rows)
+        s = priority_sample(df, "w", 256, "id")
+        est = priority_estimate(s, 256).collect()[0]
+        # 4 sigma at k=256 (sigma ~ 1/sqrt(k-1))
+        assert abs(est.est_sum - truth) <= truth * 0.25
+        assert est.n_sampled == 256
+        # partition-invariant: the sample is a pure function of data
+        again = priority_estimate(
+            priority_sample(df.repartition(17), "w", 256, "id"),
+            256).collect()[0]
+        assert again.est_sum == est.est_sum
+
+    def test_grouped_and_subset_estimation(self, spark):
+        from pyspark.sql import functions as SF
+
+        from cubes_spark.functions.aqp import (
+            priority_estimate,
+            priority_sample,
+        )
+
+        rows = [(i, "g%d" % (i % 2), (i * 13) % 300 + 1)
+                for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, g string, w long")
+        s = priority_sample(df, "w", 128, "id", ["g"])
+        got = {r.g: r.est_sum for r in
+               priority_estimate(s, 128, ["g"]).collect()}
+        for g in ("g0", "g1"):
+            truth = sum(w for i, gg, w in rows if gg == g)
+            assert abs(got[g] - truth) <= truth * 0.40
+
+    def test_zero_weights_never_crowd_out(self, spark):
+        from cubes_spark.functions.aqp import (
+            priority_estimate,
+            priority_sample,
+        )
+
+        rows = [(i, 0) for i in range(100)] + \
+               [(100 + i, 50) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        s = priority_sample(df, "w", 16, "id")
+        kept = [r for r in s.collect() if r.rank <= 16]
+        # all ten weighted rows outrank every zero-weight row
+        assert sum(1 for r in kept if r.weight == 50) == 10
+        est = priority_estimate(s, 16).collect()[0]
+        assert est.est_sum == 500

@@ -200,3 +200,60 @@ def test_compact_table_crash_recovery(spark, tmp_path):
     compact_table(spark, path, target_file_mb=64)
     assert spark.read.parquet(path).count() == 100
     assert not os.path.exists(backup)
+
+
+def test_zorder_locality_beats_linear_sort(spark, tmp_path):
+    """A z-ordered layout prunes files for box predicates on BOTH
+    dimensions; a linear sort only serves its leading column."""
+    from cubes_spark.operators.scale import (
+        zorder_skip_ratio,
+        zorder_write,
+    )
+
+    rows = [(i % 256, (i * 7919) % 256) for i in range(20000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zpath = str(tmp_path / "zo")
+    spath = str(tmp_path / "sorted")
+    zorder_write(df, zpath, ["x", "y"], bits=8, num_files=32)
+    (df.repartitionByRange(32, "x").sortWithinPartitions("x")
+     .write.parquet(spath))
+
+    box = {"x": (0, 31), "y": (0, 31)}          # 1/64 of the plane
+    z_skip = zorder_skip_ratio(zpath, box)
+    s_skip = zorder_skip_ratio(spath, box)
+    assert z_skip >= 0.75                        # most files pruned
+    # the linear sort prunes on x only (~1/8 of files survive on x,
+    # but y is unconstrained inside them) — strictly worse
+    assert z_skip > s_skip
+
+    y_only = {"y": (100, 131)}                   # not the sort key
+    # a stray near-empty tail file from range-partition sampling can
+    # have a narrow y range, so allow a sliver of accidental skipping
+    assert zorder_skip_ratio(zpath, y_only) >= 0.5
+    assert zorder_skip_ratio(spath, y_only) <= 0.1
+
+
+def test_zorder_write_preserves_rows(spark, tmp_path):
+    from cubes_spark.operators.scale import zorder_write
+
+    rows = [(i, i * 3 % 97, f"r{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "a long, b long, payload string")
+    path = str(tmp_path / "zo2")
+    zorder_write(df, path, ["a", "b"], bits=8, num_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert set(back.columns) == {"a", "b", "payload"}
+    assert back.selectExpr("sum(a)").collect()[0][0] == \
+        sum(r[0] for r in rows)
+
+
+def test_zorder_value_constant_column(spark):
+    """A constant column scales to 0 (span guard) instead of
+    dividing by zero; z then degrades to the other column's order."""
+    from cubes_spark.operators.scale import zorder_value
+
+    df = spark.createDataFrame(
+        [(5, i) for i in range(16)], "c long, v long")
+    out = zorder_value(df, ["c", "v"], bits=4).collect()
+    zs = sorted((r.v, r.z) for r in out)
+    assert all(z1 <= z2 for (_, z1), (_, z2) in zip(zs, zs[1:]))

@@ -4222,8 +4222,71 @@ def q_lineitem_zorder(spark, sf_dir):
     )
 
 
+def q_cuboid_greedy(spark, sf_dir):
+    """Materialized-view selection over the cuboid lattice
+    (operators/preagg.py: cuboid_sizes + greedy_cuboid_selection;
+    Harinarayan, Rajaraman & Ullman SIGMOD 1996): exact sizes of all
+    2³ cuboids of (priority, status, year) from ONE cube() pass, each
+    cuboid's first-round HRU benefit ``2^n_dims · (base − size)``,
+    and the greedy algorithm's first pick — the decision layer above
+    Cuboid.materialize/preagg routing that chooses WHICH aggregates
+    to build under a space budget (at 100 TB you cannot build all
+    2^d).  The multi-round greedy is driver arithmetic over 2^d
+    numbers (tests/test_preagg.py); sizes and the first pick are
+    integer-exact and replayed by the oracle."""
+    from pyspark.sql import Window
+
+    from cubes_spark.operators.preagg import cuboid_sizes
+
+    orders = _table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+        F.year("o_orderdate").alias("yr"))
+    sizes = cuboid_sizes(orders, ["pri", "st", "yr"])
+    base = sizes.filter(F.col("grouping_id") == 0).select(
+        F.col("size").alias("__base__"))
+    benefit = (
+        F.when(F.col("grouping_id") == 0, F.lit(0))
+        .otherwise(
+            F.pow(F.lit(2.0), F.col("n_dims").cast("double"))
+            .cast("long")
+            * (F.col("__base__") - F.col("size")))
+    )
+    w = Window.orderBy(F.desc("benefit_r1"), F.asc("size"),
+                       F.asc("grouping_id"))
+    return (
+        sizes.crossJoin(F.broadcast(base))
+        .withColumn("benefit_r1", benefit.cast("long"))
+        .withColumn(
+            "picked_first",
+            (F.col("grouping_id") != 0)
+            & (F.row_number().over(w) == 1))
+        .select("grouping_id", "n_dims", "size", "benefit_r1",
+                "picked_first")
+    )
+
+
+def q_part_links(spark, sf_dir):
+    """Common-neighbor link prediction (llm/web.py:
+    jaccard_link_prediction; Liben-Nowell & Kleinberg 2003) over the
+    part-affinity graph: for non-adjacent part pairs sharing >= 2
+    affinity neighbours, the Jaccard score of their neighbour sets in
+    basis points — "parts that should co-occur but don't yet".
+    Candidates come from one wedge join at the shared neighbour
+    (never |V|^2); integer bp scores replay exactly in SQL."""
+    from cubes_spark.llm.web import jaccard_link_prediction
+    from cubes_spark.operators.olap import basket_pairs
+
+    li = _table(spark, sf_dir, "lineitem")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey",
+                         min_count=2).select("item_a", "item_b")
+    out = jaccard_link_prediction(edges, "item_a", "item_b",
+                                  min_common=2)
+    return _lng(out, "node_a", "node_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: snowflake drilldown (region × month) with a cell filter
+    """Flagship: snowflake drilldown (region x month) with a cell filter
     at sf0.001."""
     browser = _browser(spark, "/root/testdata/sf0.001")
     return browser.aggregation_dataframe(
@@ -4255,6 +4318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_kmv": q_orders_kmv,
         "orders_psample": q_orders_psample,
         "lineitem_zorder": q_lineitem_zorder,
+        "cuboid_greedy": q_cuboid_greedy,
+        "part_links": q_part_links,
         # -- stalest last-driver-green entries, ascending --
         "facts_page": q_facts_page,
         "fact_list": q_fact_list,
@@ -4912,6 +4977,77 @@ def oracle_sql() -> dict[str, str]:
             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
         FROM z GROUP BY 1"""
+
+    sql["cuboid_greedy"] = """
+        WITH proj AS (
+            SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                year(o_orderdate) AS yr
+            FROM orders
+        ),
+        cube_rows AS MATERIALIZED (
+            SELECT GROUPING_ID(pri, st, yr) AS gid
+            FROM proj GROUP BY CUBE(pri, st, yr)
+        ),
+        sizes AS MATERIALIZED (
+            SELECT CAST(gid AS BIGINT) AS grouping_id,
+                CAST(3 - bit_count(gid) AS INT) AS n_dims,
+                CAST(count(*) AS BIGINT) AS size
+            FROM cube_rows GROUP BY 1, 2
+        ),
+        base AS (SELECT size AS base_size FROM sizes
+                 WHERE grouping_id = 0),
+        ben AS (
+            SELECT s.grouping_id, s.n_dims, s.size,
+                CASE WHEN s.grouping_id = 0 THEN 0
+                     ELSE CAST((1 << s.n_dims) AS BIGINT)
+                          * (b.base_size - s.size) END AS benefit_r1
+            FROM sizes s CROSS JOIN base b
+        )
+        SELECT grouping_id, n_dims, size, benefit_r1,
+            grouping_id != 0 AND row_number() OVER (
+                ORDER BY benefit_r1 DESC, size ASC, grouping_id ASC)
+                = 1 AS picked_first
+        FROM ben"""
+
+    sql["part_links"] = """
+        WITH baskets AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+            SELECT l.i AS a, r.i AS b
+            FROM baskets l JOIN baskets r ON l.b = r.b AND l.i < r.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        adj AS MATERIALIZED (
+            SELECT a AS w, b AS n FROM edges
+            UNION ALL SELECT b, a FROM edges
+        ),
+        deg AS MATERIALIZED (
+            SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY 1
+        ),
+        common AS MATERIALIZED (
+            SELECT p1.n AS na, p2.n AS nb,
+                CAST(count(*) AS BIGINT) AS n_common
+            FROM adj p1 JOIN adj p2
+                ON p1.w = p2.w AND p1.n < p2.n
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        cand AS (
+            SELECT c.* FROM common c
+            LEFT JOIN edges e ON e.a = c.na AND e.b = c.nb
+            WHERE e.a IS NULL
+        )
+        SELECT CAST(c.na AS BIGINT) AS node_a,
+            CAST(c.nb AS BIGINT) AS node_b,
+            c.n_common,
+            da.d + db.d - c.n_common AS n_union,
+            (10000 * c.n_common) // (da.d + db.d - c.n_common)
+                AS jaccard_bp
+        FROM cand c
+        JOIN deg da ON da.n = c.na
+        JOIN deg db ON db.n = c.nb"""
 
     sql["basket_pairs"] = """
         WITH baskets AS MATERIALIZED (

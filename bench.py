@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "orders_kmv",
     "orders_psample",
     "lineitem_zorder",
+    "cuboid_greedy",
+    "part_links",
 ]
 
 

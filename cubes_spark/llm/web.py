@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["triangle_counts",
+__all__ = ["triangle_counts", "jaccard_link_prediction",
            "html_to_text", "extract_links", "parse_warc",
            "parse_tar", "webdataset_samples",
            "inflate_column", "parse_jsonl", "pack_webdataset",
@@ -629,3 +629,69 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return per_node
+
+
+def jaccard_link_prediction(edges: DataFrame, src: str = "id_a",
+                            dst: str = "id_b",
+                            min_common: int = 1,
+                            max_wedge_degree: Optional[int] = None
+                            ) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph:
+    for every NON-adjacent node pair sharing at least ``min_common``
+    neighbours, the Jaccard similarity of their neighbour sets —
+    ``(node_a, node_b, n_common, n_union, jaccard_bp)`` — the
+    classic "who should be connected" score (Liben-Nowell & Kleinberg
+    2003) over the co-occurrence / dedup-cluster graphs this module
+    builds.
+
+    Scale shape: candidate pairs come from ONE wedge self-join at the
+    shared neighbour, so only pairs with ≥1 common neighbour are ever
+    materialized (never |V|²).  A hub of degree d contributes d²
+    wedges; ``max_wedge_degree`` drops hub CENTERS above the cap
+    before the join (standard practice — a node adjacent to everyone
+    predicts nothing), bounding wedge work at |V|·cap².  Degrees and
+    the adjacency anti-join are plain shuffles on node keys.  Integer
+    basis-point scores — SQL-oracle exact.
+    """
+    e = edges.select(F.col(src).alias("a"),
+                     F.col(dst).alias("b")) \
+        .filter(F.col("a") != F.col("b")) \
+        .select(F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b")) \
+        .distinct().localCheckpoint(eager=True)
+    # symmetric adjacency: (center w, endpoint n)
+    adj = e.select(F.col("a").alias("w"), F.col("b").alias("n")) \
+        .unionAll(e.select(F.col("b").alias("w"),
+                           F.col("a").alias("n")))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    centers = adj
+    if max_wedge_degree is not None:
+        wdeg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("wd"))
+        centers = adj.join(
+            wdeg.filter(F.col("wd") <= max_wedge_degree).select("w"),
+            "w")
+    p1 = centers.select("w", F.col("n").alias("na"))
+    p2 = centers.select("w", F.col("n").alias("nb"))
+    common = (
+        p1.join(p2, "w").filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    # drop already-adjacent pairs (prediction = absent links only)
+    candidates = common.join(
+        e.select(F.col("a").alias("na"), F.col("b").alias("nb")),
+        ["na", "nb"], "left_anti")
+    da = deg.select(F.col("n").alias("na"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("nb"), F.col("d").alias("db"))
+    out = (
+        candidates.join(da, "na").join(db, "nb")
+        .select(
+            F.col("na").alias("node_a"), F.col("nb").alias("node_b"),
+            "n_common",
+            (F.col("da") + F.col("db") - F.col("n_common"))
+            .cast("long").alias("n_union"))
+    )
+    return out.withColumn(
+        "jaccard_bp",
+        F.expr("(10000 * n_common) div n_union"))

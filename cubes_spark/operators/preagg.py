@@ -31,7 +31,8 @@ from typing import Any, List, Optional, Sequence
 
 from pyspark.sql import functions as F
 
-__all__ = ["Cuboid", "REAGGREGABLE", "reaggregation_column"]
+__all__ = ["Cuboid", "REAGGREGABLE", "reaggregation_column",
+           "cuboid_sizes", "greedy_cuboid_selection"]
 
 #: aggregate function → re-aggregation over partial states
 REAGGREGABLE = {
@@ -115,3 +116,87 @@ class Cuboid:
     def load(self, spark: Any):
         """The cuboid table with SAFE column names (no dots)."""
         return spark.read.parquet(self.path)
+
+
+def cuboid_sizes(df: Any, dims: Sequence[str]) -> Any:
+    """Exact row counts of ALL ``2^d`` cuboids of ``dims`` in ONE
+    aggregation pass: ``(grouping_id, n_dims, size)`` where
+    ``grouping_id`` bit ``i`` (from the LEFT, Spark/ANSI convention)
+    is 1 when ``dims[i]`` is rolled away.
+
+    The trick: ``cube(dims).count()`` emits each cuboid's groups as
+    rows tagged by GROUPING_ID, so the size of every cuboid is a
+    second tiny count over the cube result — one shuffle, map-side
+    combinable, no per-cuboid jobs.  Map-side the cube multiplies
+    each input row ×2^d, so keep ``d`` small (≤ ~8) or pre-aggregate
+    to the base grain first; at very high d, estimate with
+    :func:`~cubes_spark.functions.sketches.hll_registers` per cuboid
+    instead.
+    """
+    dims = list(dims)
+    cube = (
+        df.cube(*dims)
+        .agg(F.grouping_id(*dims).alias("grouping_id"))
+        .select("grouping_id")
+    )
+    return (
+        cube.groupBy("grouping_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .select(
+            "grouping_id",
+            (F.lit(len(dims))
+             - F.bit_count(F.col("grouping_id")).cast("int"))
+            .alias("n_dims"),
+            "size")
+    )
+
+
+def greedy_cuboid_selection(sizes: dict, n_picks: int,
+                            n_dims: int) -> list:
+    """Greedy materialized-view selection (Harinarayan, Rajaraman &
+    Ullman, SIGMOD 1996): given exact (or estimated) cuboid sizes —
+    ``{grouping_id: rows}`` over the ``2^n_dims`` lattice — pick the
+    ``n_picks`` cuboids (beyond the base) whose materialization
+    maximizes the total row-scan saving, assuming every cuboid is
+    queried equally often.
+
+    Benefit of candidate ``c`` given the selected set ``S``: for each
+    cuboid ``d`` answerable from ``c`` (``d``'s kept-dims ⊆ ``c``'s),
+    the saving is ``cost_S(d) − size(c)`` when positive, where
+    ``cost_S(d)`` is the smallest selected ancestor's size.  The HRU
+    theorem guarantees ≥ (1−1/e) of the optimal saving.  Pure driver
+    arithmetic over ``2^d`` numbers — the expensive part is
+    :func:`cuboid_sizes`, one distributed pass.
+
+    Returns the picked grouping_ids in pick order.  Deterministic
+    tie-break: (benefit desc, size asc, grouping_id asc).
+    """
+    base = 0  # all dims kept
+    selected = {base}
+    picks = []
+    ids = sorted(sizes)
+
+    def answerable(d: int, c: int) -> bool:
+        # d's kept-dims subset of c's kept-dims: c's rolled-away bits
+        # must all be rolled away in d too
+        return (d & c) == c
+
+    def cost(d: int) -> int:
+        return min(sizes[a] for a in selected if answerable(d, a))
+
+    for _ in range(n_picks):
+        best = None
+        for c in ids:
+            if c in selected:
+                continue
+            benefit = sum(
+                max(cost(d) - sizes[c], 0)
+                for d in ids if answerable(d, c))
+            key = (-benefit, sizes[c], c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        if best is None or -best[0][0] <= 0:
+            break
+        selected.add(best[1])
+        picks.append(best[1])
+    return picks

@@ -108,3 +108,94 @@ def test_summary_from_cuboid(browser):
     ).browser("sales")
     expect = fresh.aggregate(aggregates=["price_sum", "fact_count"])
     assert result.summary == expect.summary
+
+
+class TestCuboidSizes:
+    def test_sizes_match_per_cuboid_distinct(self, spark):
+        from itertools import product
+
+        from cubes_spark.operators.preagg import cuboid_sizes
+
+        rows = [(a % 3, b % 4, (a + b) % 2)
+                for a, b in product(range(6), range(8))]
+        df = spark.createDataFrame(rows, "x int, y int, z int")
+        got = {r.grouping_id: r.size
+               for r in cuboid_sizes(df, ["x", "y", "z"]).collect()}
+        # grouping_id bit i (MSB-first) = dims[i] rolled away
+        dims = ["x", "y", "z"]
+        for gid in range(8):
+            kept = [dims[i] for i in range(3)
+                    if not (gid >> (2 - i)) & 1]
+            want = (df.select(*kept).distinct().count()
+                    if kept else 1)
+            assert got[gid] == want, gid
+
+    def test_n_dims(self, spark):
+        from cubes_spark.operators.preagg import cuboid_sizes
+
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        got = {r.grouping_id: r.n_dims
+               for r in cuboid_sizes(df, ["a", "b"]).collect()}
+        assert got == {0: 2, 1: 1, 2: 1, 3: 0}
+
+
+class TestGreedySelection:
+    def test_hru_textbook_example(self):
+        from cubes_spark.operators.preagg import (
+            greedy_cuboid_selection,
+        )
+
+        # base 100; one cheap cuboid that answers half the lattice
+        sizes = {0: 100, 1: 20, 2: 90, 3: 15}
+        picks = greedy_cuboid_selection(sizes, 2, 2)
+        # round 1: c=1 benefit (100-20)*2=160; c=2 (100-90)*2=20;
+        #          c=3 (100-15)*1=85 -> pick 1
+        # round 2: c=3 now costs 20 -> (20-15)=5; c=2 -> 20 -> pick 2
+        assert picks == [1, 2]
+
+    def test_stops_when_no_benefit(self):
+        from cubes_spark.operators.preagg import (
+            greedy_cuboid_selection,
+        )
+
+        # every cuboid as big as the base: nothing worth building
+        sizes = {0: 50, 1: 50, 2: 50, 3: 50}
+        assert greedy_cuboid_selection(sizes, 3, 2) == []
+
+    def test_deterministic_tiebreak(self):
+        from cubes_spark.operators.preagg import (
+            greedy_cuboid_selection,
+        )
+
+        # 1 and 2 tie on benefit and size -> lowest grouping_id wins
+        sizes = {0: 100, 1: 10, 2: 10, 3: 10}
+        picks = greedy_cuboid_selection(sizes, 1, 2)
+        assert picks == [1]
+
+
+def test_greedy_pick_materializes_and_routes(spark, tmp_path):
+    """End-to-end: size the lattice, greedy-pick, materialize the
+    winner, and watch the browser route a covered query to it."""
+    from cubes_spark.operators.preagg import (
+        cuboid_sizes,
+        greedy_cuboid_selection,
+    )
+
+    ws = tpch_workspace(spark, SF_DIR)
+    b = ws.browser("sales")
+    facts = b.star_schema.fact_df
+    sizes = {r.grouping_id: r.size for r in cuboid_sizes(
+        facts.selectExpr("l_returnflag", "l_linestatus"),
+        ["l_returnflag", "l_linestatus"]).collect()}
+    picks = greedy_cuboid_selection(sizes, 1, 2)
+    assert picks, "a 6M-row base must make some cuboid worth building"
+    # the flag x status cuboid (grouping_id 0 is the base itself;
+    # the pick is one of the 1-dim rollups or the 2-dim base grain)
+    b.materialize_cuboid(
+        str(tmp_path / "greedy_cuboid"),
+        drilldown=["returnflag", "linestatus"],
+        aggregates=["price_sum", "fact_count"],
+    )
+    df = b.aggregation_dataframe(
+        drilldown=["returnflag"], aggregates=["price_sum"])
+    assert "lineitem" not in df._jdf.queryExecution().toString()

@@ -488,3 +488,53 @@ class TestLabelPropagation:
                    label_propagation(edges.repartition(7),
                                      rounds=3).collect())
         assert a == b
+
+
+class TestJaccardLinkPrediction:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs], "id_a long, id_b long")
+
+    def test_matches_brute_force(self, spark):
+        from itertools import combinations
+
+        from cubes_spark.llm.web import jaccard_link_prediction
+
+        pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (0, 4),
+                 (4, 5), (5, 0)]
+        simple = {(min(a, b), max(a, b)) for a, b in pairs}
+        nbr: dict = {}
+        for a, b in simple:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        want = {}
+        for a, b in combinations(sorted(nbr), 2):
+            if (a, b) in simple:
+                continue
+            c = len(nbr[a] & nbr[b])
+            if c >= 1:
+                u = len(nbr[a] | nbr[b])
+                want[(a, b)] = (c, u, 10000 * c // u)
+        got = {(r.node_a, r.node_b): (r.n_common, r.n_union,
+                                      r.jaccard_bp)
+               for r in jaccard_link_prediction(
+                   self._edges(spark, pairs)).collect()}
+        assert got == want
+
+    def test_hub_cap_drops_hub_centers(self, spark):
+        from cubes_spark.llm.web import jaccard_link_prediction
+
+        # star: hub 0 adjacent to 1..6; leaves share ONLY the hub
+        star = [(0, i) for i in range(1, 7)]
+        full = jaccard_link_prediction(self._edges(spark, star))
+        assert full.count() == 15          # all leaf pairs via hub
+        capped = jaccard_link_prediction(
+            self._edges(spark, star), max_wedge_degree=3)
+        assert capped.count() == 0         # hub center excluded
+
+    def test_adjacent_pairs_excluded(self, spark):
+        from cubes_spark.llm.web import jaccard_link_prediction
+
+        tri = [(1, 2), (2, 3), (1, 3)]
+        assert jaccard_link_prediction(
+            self._edges(spark, tri)).count() == 0

@@ -4285,6 +4285,40 @@ def q_part_links(spark, sf_dir):
     return _lng(out, "node_a", "node_b")
 
 
+def q_dq_orders(spark, sf_dir):
+    """Declarative data-quality suite (operators/dq.py: dq_check;
+    dbt-expectations/Deequ family): seven rules over orders — null,
+    range, accepted-values, regex, SQL expression, key uniqueness,
+    referential integrity — with per-rule violation counts.  All
+    row-level rules share ONE aggregation pass; unique adds one
+    map-side-combinable groupBy, the FK one anti-join.  Rules are
+    chosen to produce nonzero violations (range cap, missing
+    accepted value, non-unique customer key) so the counting is
+    exercised, not just the happy path."""
+    from cubes_spark.operators.dq import dq_check
+
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    rules = [
+        {"check": "not_null", "column": "o_orderkey"},
+        {"check": "in_range", "column": "o_totalprice",
+         "min": 0, "max": 200000},
+        {"check": "accepted_values", "column": "o_orderpriority",
+         "values": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                    "4-NOT SPECIFIED"]},
+        {"check": "matches", "column": "o_orderstatus",
+         "pattern": "^[OF]$"},
+        {"name": "big_ticket", "check": "expression",
+         "expr": "o_totalprice >= 5000"},
+        {"check": "unique", "columns": ["o_orderkey"]},
+        {"name": "repeat_customers", "check": "unique",
+         "columns": ["o_custkey"]},
+        {"check": "foreign_key", "columns": ["o_custkey"],
+         "ref": cust, "ref_columns": ["c_custkey"]},
+    ]
+    return dq_check(orders, rules)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region x month) with a cell filter
     at sf0.001."""
@@ -4320,6 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_zorder": q_lineitem_zorder,
         "cuboid_greedy": q_cuboid_greedy,
         "part_links": q_part_links,
+        "dq_orders": q_dq_orders,
         # -- stalest last-driver-green entries, ascending --
         "facts_page": q_facts_page,
         "fact_list": q_fact_list,
@@ -5048,6 +5083,62 @@ def oracle_sql() -> dict[str, str]:
         FROM cand c
         JOIN deg da ON da.n = c.na
         JOIN deg db ON db.n = c.nb"""
+
+    sql["dq_orders"] = """
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+                   FROM orders),
+        rows_checks AS (
+            SELECT 'not_null:o_orderkey' AS rule,
+                'not_null' AS "check", n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_orderkey IS NULL) AS n_violations
+            FROM n
+            UNION ALL
+            SELECT 'in_range:o_totalprice', 'in_range', n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_totalprice < 0 OR o_totalprice > 200000
+                    OR o_totalprice IS NULL)
+            FROM n
+            UNION ALL
+            SELECT 'accepted_values:o_orderpriority',
+                'accepted_values', n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+                    '3-MEDIUM', '4-NOT SPECIFIED')
+                    OR o_orderpriority IS NULL)
+            FROM n
+            UNION ALL
+            SELECT 'matches:o_orderstatus', 'matches', n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE NOT regexp_matches(o_orderstatus, '^[OF]$')
+                    OR o_orderstatus IS NULL)
+            FROM n
+            UNION ALL
+            SELECT 'big_ticket', 'expression', n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders
+                 WHERE NOT COALESCE(o_totalprice >= 5000, FALSE))
+            FROM n
+            UNION ALL
+            SELECT 'unique:o_orderkey', 'unique', n.n_rows,
+                (SELECT CAST(count(*) - count(DISTINCT o_orderkey)
+                    AS BIGINT) FROM orders)
+            FROM n
+            UNION ALL
+            SELECT 'repeat_customers', 'unique', n.n_rows,
+                (SELECT CAST(count(*) - count(DISTINCT o_custkey)
+                    AS BIGINT) FROM orders)
+            FROM n
+            UNION ALL
+            SELECT 'foreign_key:o_custkey', 'foreign_key', n.n_rows,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+            FROM n
+        )
+        SELECT rule, "check", n_rows, n_violations,
+            n_violations = 0 AS passed
+        FROM rows_checks"""
 
     sql["basket_pairs"] = """
         WITH baskets AS MATERIALIZED (

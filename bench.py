@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "lineitem_zorder",
     "cuboid_greedy",
     "part_links",
+    "dq_orders",
 ]
 
 

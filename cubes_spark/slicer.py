@@ -662,6 +662,37 @@ def cmd_dedup(config: dict, args: argparse.Namespace,
     return 0
 
 
+def cmd_dq(config: dict, args: argparse.Namespace,
+           out=sys.stdout) -> int:
+    """Run a declarative data-quality suite (operators/dq.py) against
+    a store table: rules come from a JSON file; ``foreign_key`` rules
+    name their reference table by store name (``"ref": "customer"``)
+    and resolve through the workspace.  Prints one line per rule;
+    exits 1 when any rule fails and --strict is set — the CI gate
+    shape."""
+    import json as _json
+
+    from cubes_spark.operators.dq import dq_check
+
+    workspace = build_workspace(config)
+    df = workspace.table(args.table)
+    with open(args.rules) as fh:
+        rules = _json.load(fh)
+    for rule in rules:
+        if rule.get("check") == "foreign_key" \
+                and isinstance(rule.get("ref"), str):
+            rule["ref"] = workspace.table(rule["ref"])
+    result = dq_check(df, rules).collect()
+    failed = 0
+    for row in result:
+        status = "PASS" if row.passed else "FAIL"
+        failed += 0 if row.passed else 1
+        out.write(f"{status} {row.rule}: {row.n_violations} "
+                  f"violation(s) in {row.n_rows} rows\n")
+    out.write(f"{len(result) - failed} passed, {failed} failed\n")
+    return 1 if (failed and args.strict) else 0
+
+
 def cmd_ext_info(config: dict, args: argparse.Namespace,
                  out=sys.stdout) -> int:
     """List registered extensions (parity: commands.py:70-104
@@ -812,6 +843,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--redact", action="store_true",
                    help="also add PII-redacted text")
 
+    p = sub.add_parser("dq", help="run data-quality rules on a table")
+    p.add_argument("table", help="store table to check")
+    p.add_argument("rules", help="JSON file with a list of rules")
+    p.add_argument("--strict", action="store_true",
+                   help="exit 1 when any rule fails")
+
     p = sub.add_parser("ext-info", help="show registered extensions")
     p.add_argument("type", nargs="?", default="all",
                    help="extension type (default: all)")
@@ -839,6 +876,7 @@ COMMANDS = {
     "serve": cmd_serve,
     "dedup": cmd_dedup,
     "textstats": cmd_textstats,
+    "dq": cmd_dq,
     "ext-info": cmd_ext_info,
     "convert": cmd_convert,
 }

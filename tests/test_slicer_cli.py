@@ -471,3 +471,25 @@ path: {SF_DIR}
     authorizer = SimpleAuthorizer(**auth_config)
     # no rights configured: the authorizer exists and denies cubes
     assert authorizer.authorize("anybody", ["sales"]) == []
+
+
+def test_dq_command(config_path, tmp_path, spark):
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"check": "not_null", "column": "o_orderkey"},
+        {"check": "unique", "columns": ["o_orderkey"]},
+        {"check": "foreign_key", "columns": ["o_custkey"],
+         "ref": "customer", "ref_columns": ["c_custkey"]},
+        {"name": "impossible", "check": "in_range",
+         "column": "o_totalprice", "max": 1},
+    ]))
+    code, out = run(config_path, "dq", "orders", str(rules))
+    assert code == 0                     # not strict: exit 0
+    assert "PASS not_null:o_orderkey" in out
+    assert "PASS foreign_key:o_custkey" in out
+    assert "FAIL impossible" in out
+    assert "3 passed, 1 failed" in out
+
+    code, _out = run(config_path, "dq", "orders", str(rules),
+                     "--strict")
+    assert code == 1

@@ -364,6 +364,7 @@ def q_calc_ptot(spark, sf_dir):
 
 q_calc_wma = _calc_query("price_wma")
 q_calc_sms = _calc_query("price_sms")
+q_calc_ewma = _calc_query("price_ewma")
 q_calc_smstd = _calc_query("price_smstd")
 q_calc_smvar = _calc_query("price_smvar")
 q_calc_smrsd = _calc_query("price_smrsd")
@@ -4004,6 +4005,88 @@ def q_basket_pairs(spark, sf_dir):
     return _lng(out, "item_a", "item_b")
 
 
+def q_events_cusum(spark, sf_dir):
+    """Per-type CUSUM changepoint estimate over hourly value sums
+    (cubes_spark/operators/olap.py:cusum_changepoint; Page 1954):
+    scaled integer cusum n·P_i − i·T, argmax |s| with earliest-bucket
+    ties — level-shift location with zero double arithmetic."""
+    from cubes_spark.operators.olap import cusum_changepoint
+
+    ev = _table(spark, sf_dir, "events")
+    return cusum_changepoint(ev, ["event_type"], "ts", "value",
+                             bucket="hour")
+
+
+def q_doc_pmi(spark, sf_dir):
+    """Adjacent-bigram collocations scored by the integer PMI
+    association ratio (llm/text.py:pmi_collocations; Church & Hanks
+    1990): lift_ppm = 10^6·c_ab·N div (c_a·c_b) — exact ppm, no
+    double logs, pairs under 5 occurrences dropped."""
+    from cubes_spark.llm import pmi_collocations
+
+    docs = _table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5)
+
+
+def q_part_kcore(spark, sf_dir):
+    """k-core peeling (llm/web.py:kcore_subgraph; Seidman 1983) over
+    the part-affinity graph: 3 synchronous peel rounds at k=3 — the
+    density filter that keeps only parts whose co-order neighbourhood
+    stays >= 3-connected after weak nodes drop.  Fixed rounds make
+    the state SQL-unrollable (label_propagation's oracle strategy);
+    production uses until_converged=True."""
+    from cubes_spark.llm.web import kcore_subgraph
+    from cubes_spark.operators.olap import basket_pairs
+
+    li = _table(spark, sf_dir, "lineitem")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey",
+                         min_count=2).select("item_a", "item_b")
+    return _lng(kcore_subgraph(edges, k=3, rounds=3,
+                               src="item_a", dst="item_b"), "node")
+
+
+def q_orders_gini(spark, sf_dir):
+    """Revenue-concentration Gini over per-customer order totals
+    (cubes_spark/operators/olap.py:gini_concentration): exact
+    integer basis points from the cumulative value histogram —
+    tied values contribute their rank-run total in closed form, so
+    no global sort-rank ever runs."""
+    from cubes_spark.operators.olap import gini_concentration
+
+    orders = _table(spark, sf_dir, "orders")
+    return gini_concentration(orders, "o_custkey", "o_totalprice")
+
+
+def q_events_seqmatch(spark, sf_dir):
+    """Event-sequence pattern detection
+    (cubes_spark/operators/olap.py:sequence_match; ClickHouse
+    sequenceCount family): per user, events become a code string in
+    strict (ts, event_id) order and 'vc*p' (view, any clicks,
+    purchase) is counted non-overlapping; position of the first
+    conversion included."""
+    from cubes_spark.operators.olap import sequence_match
+
+    ev = _table(spark, sf_dir, "events")
+    return sequence_match(
+        ev, "user_id", "ts", "event_type", "vc*p",
+        codes={"view": "v", "click": "c", "purchase": "p",
+               "signup": "s", "error": "e"},
+        tiebreak_col="event_id")
+
+
+def q_rfm_customers(spark, sf_dir):
+    """RFM quartile segmentation of customers from their orders
+    (cubes_spark/operators/olap.py:rfm_segments): exact
+    percentile_disc bin boundaries computed via the distributed
+    two-phase histogram (never a one-partition window), recency
+    reversed per the RFM convention, integer-cents monetary."""
+    from cubes_spark.operators.olap import rfm_segments
+
+    orders = _table(spark, sf_dir, "orders")
+    return rfm_segments(orders, "o_custkey", "o_orderdate",
+                        "o_totalprice", as_of="1998-12-31")
+
+
 def q_multiformat_store(spark, sf_dir):
     """Multi-format store sources (sources/workspace.py ParquetStore
     EXTENSIONS): nation written as CSV (header + schema inference),
@@ -4341,6 +4424,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round regardless (dtype-strict).
     return {
         # ---- DRIVER WINDOW (first 50; rotated by tools/rotate_window.py) ----
+        "calc_ewma": q_calc_ewma,
+        "rfm_customers": q_rfm_customers,
+        "events_seqmatch": q_events_seqmatch,
+        "orders_gini": q_orders_gini,
+        "part_kcore": q_part_kcore,
+        "doc_pmi": q_doc_pmi,
+        "events_cusum": q_events_cusum,
         "slicer_http_agg": q_slicer_http_agg,
         "lineitem_hll": q_lineitem_hll,
         "basket_pairs": q_basket_pairs,
@@ -4781,6 +4871,102 @@ def oracle_sql() -> dict[str, str]:
             CAST(count(*) AS BIGINT) AS n_triangles
         FROM nodes GROUP BY 1"""
 
+    # CUSUM: scaled integer statistic s_i = n*P_i - i*T in HUGEINT;
+    # argmax |s| with earliest-bucket tiebreak.
+    sql["events_cusum"] = """
+        WITH b AS MATERIALIZED (
+            SELECT event_type, date_trunc('hour', ts) AS bt,
+                sum(CAST(round(value * 100) AS BIGINT)) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type, bt,
+                CAST(count(*) OVER g AS HUGEINT)
+                    * CAST(sum(x) OVER o AS HUGEINT)
+                - CAST(row_number() OVER (PARTITION BY event_type
+                                          ORDER BY bt) AS HUGEINT)
+                    * CAST(sum(x) OVER g AS HUGEINT) AS s,
+                count(*) OVER g AS n
+            FROM b
+            WINDOW o AS (PARTITION BY event_type ORDER BY bt
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW),
+                   g AS (PARTITION BY event_type)
+        )
+        SELECT event_type, bt AS cp_ts,
+            CAST(s AS BIGINT) AS cp_stat,
+            CAST(n AS BIGINT) AS n_buckets
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY abs(s) DESC, bt) AS rn
+            FROM s
+        ) WHERE rn = 1"""
+
+    # PMI collocations: same whitespace tokenizer as token_array,
+    # bigrams via 1-based list indexing, HUGEINT lift replay.
+    sql["doc_pmi"] = r"""
+        WITH toks AS MATERIALIZED (
+            SELECT CASE WHEN trim(text) = '' THEN []
+                   ELSE string_split_regex(trim(text), '\s+') END AS t
+            FROM documents
+        ),
+        uni AS MATERIALIZED (
+            SELECT u AS w, count(*) AS c
+            FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1
+        ),
+        n AS (SELECT CAST(sum(c) AS HUGEINT) AS nn FROM uni),
+        big AS (
+            SELECT t[i] AS wa, t[i + 1] AS wb
+            FROM (SELECT t, unnest(generate_series(1, len(t) - 1))
+                      AS i
+                  FROM toks WHERE len(t) >= 2)
+        ),
+        pairs AS (
+            SELECT wa, wb, count(*) AS p FROM big
+            GROUP BY 1, 2 HAVING count(*) >= 5
+        )
+        SELECT p.wa AS word_a, p.wb AS word_b,
+            CAST(p.p AS BIGINT) AS n_pair,
+            CAST(a.c AS BIGINT) AS n_a,
+            CAST(b.c AS BIGINT) AS n_b,
+            CAST((1000000 * CAST(p.p AS HUGEINT) * n.nn)
+                 // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT)
+                AS lift_ppm
+        FROM pairs p
+        JOIN uni a ON p.wa = a.w
+        JOIN uni b ON p.wb = b.w, n"""
+
+    # k-core: unroll the 3 synchronous peel rounds — degree count over
+    # the surviving doubled edge list, drop-all-below-k, re-induce.
+    kcore_parts = ["""baskets AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem
+        ),
+        e AS MATERIALIZED (
+            SELECT l.i AS a, r.i AS b
+            FROM baskets l JOIN baskets r ON l.b = r.b AND l.i < r.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        u0 AS MATERIALIZED (
+            SELECT a AS s, b AS d FROM e
+            UNION SELECT b, a FROM e
+        )"""]
+    for _r in range(1, 4):
+        kcore_parts.append(f"""kk{_r} AS MATERIALIZED (
+            SELECT s FROM u{_r - 1} GROUP BY s HAVING count(*) >= 3
+        ),
+        u{_r} AS MATERIALIZED (
+            SELECT u.s, u.d FROM u{_r - 1} u
+            JOIN kk{_r} x ON u.s = x.s
+            JOIN kk{_r} y ON u.d = y.s
+        )""")
+    sql["part_kcore"] = (
+        "WITH " + ",\n        ".join(kcore_parts)
+        + """
+        SELECT CAST(s AS BIGINT) AS node,
+            CAST(count(*) AS BIGINT) AS degree
+        FROM u3 GROUP BY 1""")
+
     sql["events_stream_hll"] = """
         WITH h AS MATERIALIZED (
             SELECT date_trunc('day', ts) AS d,
@@ -5166,6 +5352,110 @@ def oracle_sql() -> dict[str, str]:
         JOIN sup sa ON p.item_a = sa.i
         JOIN sup sb ON p.item_b = sb.i
         CROSS JOIN tot t"""
+
+    # Gini from the cumulative value histogram: a distinct value v
+    # (count c, cumulative cum) occupies ranks cum-c+1..cum, whose
+    # total is c*(2*cum-c+1)//2; G = (2*Σv*ranks - (n+1)*Σx)/(n*Σx)
+    # in HUGEINT (Spark side: decimal(38,0)).
+    sql["orders_gini"] = """
+        WITH m AS (
+            SELECT o_custkey,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+            FROM orders GROUP BY 1
+        ),
+        h AS (SELECT x AS v, count(*) AS c FROM m GROUP BY 1),
+        ch AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        agg AS (
+            SELECT CAST(sum(c) AS HUGEINT) AS n,
+                sum(CAST(v AS HUGEINT) * c) AS s,
+                sum(CAST(v AS HUGEINT)
+                    * ((c * (2 * cum - c + 1)) // 2)) AS sr
+            FROM ch
+        )
+        SELECT CAST(n AS BIGINT) AS n_keys,
+            CAST(s AS BIGINT) AS total_cents,
+            CAST((10000 * (2 * sr - (n + 1) * s)) // (n * s)
+                 AS BIGINT) AS gini_bp
+        FROM agg"""
+
+    # sequence match: string_agg in (ts, event_id) order replays
+    # array_sort(collect_list(struct)); RE2 and Java regex agree on
+    # non-overlapping counts and leftmost match for anchor-free
+    # patterns; first occurrence OF the leftmost matched text IS the
+    # match position (an earlier occurrence would itself have matched).
+    sql["events_seqmatch"] = """
+        WITH coded AS (
+            SELECT user_id, ts, event_id,
+                CASE event_type
+                    WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    WHEN 'error' THEN 'e' END AS c
+            FROM events
+        ),
+        seq AS (
+            SELECT user_id,
+                string_agg(c, '' ORDER BY ts, event_id) AS s
+            FROM coded WHERE c IS NOT NULL GROUP BY user_id
+        )
+        SELECT user_id,
+            CAST(length(s) AS BIGINT) AS seq_len,
+            CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT)
+                AS n_matches,
+            CAST(CASE WHEN regexp_matches(s, 'vc*p')
+                 THEN strpos(s, regexp_extract(s, 'vc*p'))
+                 ELSE 0 END AS BIGINT) AS first_match_pos
+        FROM seq"""
+
+    # RFM: boundaries are exact order statistics — smallest v with
+    # #(x <= v) >= ceil(i*n/4) — replayed with a cumulative histogram;
+    # bin = 1 + #(boundaries < value), recency reversed (5 - bin).
+    def _rfm_bounds(metric):
+        return f"""(
+            SELECT min(CASE WHEN cum >= (1*nn + 3) // 4 THEN v END) AS b1,
+                   min(CASE WHEN cum >= (2*nn + 3) // 4 THEN v END) AS b2,
+                   min(CASE WHEN cum >= (3*nn + 3) // 4 THEN v END) AS b3
+            FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, nn
+                  FROM (SELECT {metric} AS v, count(*) AS cnt
+                        FROM m GROUP BY 1), n))"""
+
+    sql["rfm_customers"] = f"""
+        WITH m AS MATERIALIZED (
+            SELECT o_custkey,
+                CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                               DATE '1998-12-31') AS BIGINT)
+                    AS recency_days,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS nn FROM m),
+        rb AS {_rfm_bounds('recency_days')},
+        fb AS {_rfm_bounds('frequency')},
+        mb AS {_rfm_bounds('monetary_cents')},
+        scored AS (
+            SELECT m.o_custkey, m.recency_days, m.frequency,
+                m.monetary_cents,
+                CAST(5 - (1
+                    + CASE WHEN m.recency_days > rb.b1 THEN 1 ELSE 0 END
+                    + CASE WHEN m.recency_days > rb.b2 THEN 1 ELSE 0 END
+                    + CASE WHEN m.recency_days > rb.b3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r_score,
+                CAST(1
+                    + CASE WHEN m.frequency > fb.b1 THEN 1 ELSE 0 END
+                    + CASE WHEN m.frequency > fb.b2 THEN 1 ELSE 0 END
+                    + CASE WHEN m.frequency > fb.b3 THEN 1 ELSE 0 END
+                    AS BIGINT) AS f_score,
+                CAST(1
+                    + CASE WHEN m.monetary_cents > mb.b1 THEN 1 ELSE 0 END
+                    + CASE WHEN m.monetary_cents > mb.b2 THEN 1 ELSE 0 END
+                    + CASE WHEN m.monetary_cents > mb.b3 THEN 1 ELSE 0 END
+                    AS BIGINT) AS m_score
+            FROM m, rb, fb, mb
+        )
+        SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+            AS segment
+        FROM scored"""
 
     sql["multiformat_store"] = """
         SELECT r.r_name,
@@ -5938,6 +6228,24 @@ def oracle_sql() -> dict[str, str]:
                     p -> p[1] * p[2])) AS DOUBLE)
                 / (CAST(len(vals) * (len(vals) + 1) AS DOUBLE) / 2.0),
                 4) AS price_wma
+        FROM (
+            SELECT "date.year", "date.month", dec_price_sum,
+                list(CAST(dec_price_sum AS DOUBLE)) OVER w AS vals
+            FROM ({ym_base}) WINDOW w AS ({ym_win})
+        )"""
+
+    # EWMA alpha=1/2: weight of vals[i] (oldest->newest, 1-based) is
+    # 2^(i-1), normalizer 2^n - 1 — powers of two are exact doubles,
+    # so this replays Spark's _ewma_column bit-for-bit.
+    sql["calc_ewma"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            round(
+                CAST(list_sum(list_transform(
+                    list_zip(vals, generate_series(1, len(vals))),
+                    p -> p[1] * pow(2.0, p[2] - 1))) AS DOUBLE)
+                / (pow(2.0, len(vals)) - 1.0),
+                4) AS price_ewma
         FROM (
             SELECT "date.year", "date.month", dec_price_sum,
                 list(CAST(dec_price_sum AS DOUBLE)) OVER w AS vals

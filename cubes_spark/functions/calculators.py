@@ -106,6 +106,33 @@ def _pctchange_column(source: Column, w: WindowSpec) -> Column:
                 / prev.cast("double"), 4))
 
 
+def _ewma_column(source: Column, w: WindowSpec) -> Column:
+    """Exponentially weighted moving average, ``alpha = 1/2``,
+    truncated to the frame and renormalized.
+
+    For frame values v_1..v_n (oldest→newest) the weight of v_i is
+    2^(i-1) and the normalizer is 2^n - 1 — exactly the EWMA recursion
+    ``s_t = a·x_t + (1-a)·s_(t-1)`` restarted at the frame edge and
+    scaled so the weights sum to 1.  Powers of two up to 2^52 are
+    exact doubles, so the weighted sum is reproducible at any
+    parallelism and replayable by a SQL oracle; rounded to 4 like wma.
+    """
+    vals = F.collect_list(source).over(w)
+    n = F.size(vals)
+    weighted = F.aggregate(
+        F.zip_with(
+            vals,
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda v, i: v.cast("double")
+            * F.pow(F.lit(2.0), i.cast("double") - F.lit(1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.pow(F.lit(2.0), n.cast("double")) - F.lit(1.0)
+    return F.round(weighted / denom, 4)
+
+
 def _rsum_column(source: Column, w: WindowSpec) -> Column:
     """Running (cumulative) sum over the whole preceding partition."""
     return F.sum(source).over(w)
@@ -128,6 +155,7 @@ CALCULATED_AGGREGATIONS: Dict[str, Callable[[Column, WindowSpec], Column]] = {
     "smstd": _smstd_column,
     "smvar": _smvar_column,
     "smrsd": _smrsd_column,
+    "ewma": _ewma_column,
     "rsum": _rsum_column,
     "ptot": _ptot_column,
     "pct_change": _pctchange_column,
@@ -151,6 +179,7 @@ CALCULATOR_LABELS = {
     "smstd": "Moving Std. Deviation of {measure}",
     "smrsd": "Moving Relative St. Dev. of {measure}",
     "smvar": "Moving Variance of {measure}",
+    "ewma": "Exp. Weighted Moving Avg. of {measure}",
     "rsum": "Running Total of {measure}",
     "ptot": "Share of Total {measure}",
     "pct_change": "Period-over-Period Change of {measure}",
@@ -302,6 +331,9 @@ def calculate_scalar(fname: str, values: List[float]) -> Optional[float]:
         denom = n * (n + 1) / 2
         total = sum(float(v) * (i + 1) for i, v in enumerate(values))
         return round(total / denom, 4)
+    if fname == "ewma":
+        total = sum(float(v) * 2.0 ** i for i, v in enumerate(values))
+        return round(total / (2.0 ** n - 1.0), 4)
     mean = sum(float(v) for v in values) / n
     var = 0.0
     if n >= 2:

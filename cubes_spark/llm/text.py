@@ -32,6 +32,7 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "mixture_sample",
+    "pmi_collocations",
     "normalize_unicode",
     "pack_sequences",
     "PII_PATTERNS",
@@ -952,3 +953,63 @@ def feature_hash_embed(df: DataFrame, text_col: str = "text",
                     lambda x: x / F.col("__norm__"))) \
         .otherwise(F.col("__raw__"))
     return staged.select(*base_cols, unit.alias(out_col))
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 5) -> DataFrame:
+    """Adjacent-bigram collocation mining scored by the PMI
+    association ratio ("new york", "machine learning" — the
+    multi-word-expression detector of corpus curation; Church &
+    Hanks 1990).
+
+    For adjacent token pair (a, b): ``lift_ppm = floor(10^6 ·
+    c_ab·N / (c_a·c_b))`` with N the corpus unigram count — the
+    exponential of PMI in integer parts-per-million, so the score is
+    exact, partition-invariant and SQL-replayable (no logs of
+    doubles).  Pairs seen < ``min_count`` times are dropped (the
+    classic sparse-PMI noise guard).
+
+    Returns ``(word_a, word_b, n_pair, n_a, n_b, lift_ppm)``.
+
+    Scale shape: tokenization is a JVM column expression
+    (:func:`token_array`); bigram explode is narrow; ONE groupBy per
+    count table; unigram counts attach via two equi-joins on the word
+    key (skew on stopword pairs is bounded by the pair-count grain —
+    each pair row exists once).  The only driver value is the scalar
+    N.  Products run in decimal(38,0); good past 10^13 tokens.
+    """
+    toks = df.select(token_array(F.col(text_col)).alias("__t__"))
+    toks = toks.persist()
+    uni = (toks.select(F.explode("__t__").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("__c__")))
+    uni = uni.persist()
+    n_total = uni.agg(F.sum("__c__")).first()[0] or 0
+    pairs = (
+        toks.filter(F.size("__t__") >= 2)
+        .select(F.explode(F.expr(
+            "zip_with(slice(__t__, 1, size(__t__) - 1),"
+            "         slice(__t__, 2, size(__t__) - 1),"
+            "         (a, b) -> struct(a, b))")).alias("__p__"))
+        .select(F.col("__p__.a").alias("word_a"),
+                F.col("__p__.b").alias("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    out = (
+        pairs
+        .join(uni.select(F.col("w").alias("word_a"),
+                         F.col("__c__").cast("long").alias("n_a")),
+              "word_a")
+        .join(uni.select(F.col("w").alias("word_b"),
+                         F.col("__c__").cast("long").alias("n_b")),
+              "word_b")
+        .withColumn(
+            "lift_ppm",
+            F.expr(f"CAST((CAST(1000000 AS DECIMAL(38,0)) * n_pair"
+                   f" * CAST({int(n_total)} AS DECIMAL(38,0)))"
+                   f" div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                   f" AS BIGINT)"))
+    )
+    return out.select("word_a", "word_b", "n_pair", "n_a", "n_b",
+                      "lift_ppm")

@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["triangle_counts", "jaccard_link_prediction",
+           "kcore_subgraph",
            "html_to_text", "extract_links", "parse_warc",
            "parse_tar", "webdataset_samples",
            "inflate_column", "parse_jsonl", "pack_webdataset",
@@ -695,3 +696,54 @@ def jaccard_link_prediction(edges: DataFrame, src: str = "id_a",
     return out.withColumn(
         "jaccard_bp",
         F.expr("(10000 * n_common) div n_union"))
+
+
+def kcore_subgraph(edges: DataFrame, k: int, rounds: int = 3,
+                   src: str = "id_a", dst: str = "id_b",
+                   until_converged: bool = False) -> DataFrame:
+    """k-core peeling (Seidman 1983) over an undirected edge list —
+    the density filter of graph curation: nodes that survive the
+    k-core participate in a subgraph where EVERYONE keeps >= k
+    neighbours (spam-farm cores, tightly-coupled mirror clusters,
+    well-connected entity hubs).
+
+    Synchronous rounds: each round recomputes degrees over the
+    surviving induced subgraph and drops every node with degree < k
+    AT ONCE.  The alive set shrinks monotonically, so with
+    ``until_converged`` the loop reaches the true k-core and stops
+    (one extra count per round); with fixed ``rounds`` the state
+    after exactly R synchronous peels is deterministic and
+    SQL-unrollable — the verification strategy shared with
+    label_propagation (production converges, the oracle pins R).
+
+    Per round: one degree aggregation plus one double semi-join of
+    the edge list against the surviving node set — all keyed
+    shuffles; ``localCheckpoint`` truncates lineage each round.
+    Returns ``(node, degree)`` over the FINAL surviving edge set
+    (nodes whose every neighbour was peeled disappear with their
+    edges).
+    """
+    und = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .filter(F.col("s") != F.col("d")))
+    und = (und.unionByName(und.select(F.col("d").alias("s"),
+                                      F.col("s").alias("d")))
+           .distinct().localCheckpoint(eager=True))
+    cur = und
+    prev_edges = None
+    r = 0
+    while True:
+        r += 1
+        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("__deg__"))
+        keep = deg.filter(F.col("__deg__") >= k).select("s")
+        cur = (cur.join(keep, "s")
+               .join(keep.withColumnRenamed("s", "d"), "d")
+               .select("s", "d").localCheckpoint(eager=True))
+        if until_converged:
+            n_edges = cur.count()
+            if n_edges == prev_edges:
+                break
+            prev_edges = n_edges
+        elif r >= rounds:
+            break
+    return (cur.groupBy(F.col("s").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree")))

@@ -653,3 +653,290 @@ def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
     )
     return out.select("item_a", "item_b", "n_ab", "n_a", "n_b",
                       "lift_bp")
+
+
+def sequence_match(events: DataFrame, key_col: str, ts_col: str,
+                   type_col: str, pattern: str,
+                   codes: Dict[str, str],
+                   tiebreak_col: Optional[str] = None,
+                   max_seq_len: Optional[int] = None) -> DataFrame:
+    """Event-sequence pattern detection (the ClickHouse
+    ``sequenceMatch``/``sequenceCount`` family; the reference's query
+    surface has no ordered-sequence operator at all — SURVEY §2.4).
+
+    Per key, events are encoded to single characters via ``codes``
+    (unmapped types are dropped), laid out in strict ``(ts,
+    tiebreak)`` order, and the concatenated string is scanned with
+    ``pattern`` (a regular expression over the code alphabet, e.g.
+    ``"vc*p"`` = view, any clicks, purchase).  Returns ``(key,
+    seq_len, n_matches, first_match_pos)`` — ``n_matches`` counts
+    non-overlapping matches left-to-right (identical in Java regex and
+    RE2 for anchor-free patterns), ``first_match_pos`` is 1-based, 0
+    when no match.
+
+    Scale shape: ONE shuffle to the key grain; the sort happens
+    per-key inside ``array_sort`` (never a global window), and the
+    regex runs JVM-side on the concatenated code string.  Per-key
+    state is the key's event count — ``max_seq_len`` drops
+    pathological whales (bots, crawlers) whose sequences exceed it,
+    the same guard basket_pairs applies.  Avoid ``^``/``$`` anchors
+    and lookbehind in ``pattern``: first_match_pos relies on
+    leftmost-match semantics shared by regex engines.
+    """
+    code = F.lit(None).cast("string")
+    for k, v in sorted(codes.items()):
+        code = F.when(F.col(type_col) == F.lit(k), F.lit(v)) \
+            .otherwise(code)
+    tiebreak = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    item = F.struct(F.col(ts_col).alias("__t__"),
+                    tiebreak.alias("__k__"),
+                    code.alias("__c__"))
+    seq = (
+        events.filter(code.isNotNull())
+        .groupBy(F.col(key_col))
+        .agg(F.array_sort(F.collect_list(item)).alias("__a__"))
+    )
+    if max_seq_len is not None:
+        seq = seq.filter(F.size("__a__") <= max_seq_len)
+    s = F.concat_ws("", F.transform(F.col("__a__"),
+                                    lambda x: x["__c__"]))
+    return seq.select(
+        F.col(key_col),
+        F.length(s).cast("long").alias("seq_len"),
+        F.regexp_count(s, F.lit(pattern)).cast("long")
+        .alias("n_matches"),
+        F.regexp_instr(s, F.lit(pattern)).cast("long")
+        .alias("first_match_pos"),
+    )
+
+
+def _cum_value_histogram(df: DataFrame, col: str,
+                         num_buckets: int = 256) -> Optional[DataFrame]:
+    """Distinct-value histogram of an integer column with EXACT
+    cumulative counts ``__cum__ = #(x <= v)``, fully distributed:
+    one groupBy to |distinct| rows, then the two-phase prefix sum over
+    deterministic VALUE buckets (the pack_sequences pattern — never a
+    one-partition window).  Per-bucket totals are a bounded collect
+    (one row per bucket); cumulative counts finish bucket-locally.
+    Returns ``(__v__, __cnt__, __cum__)`` or None when empty."""
+    from pyspark.sql.window import Window as W
+
+    hist = (df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("long").alias("__v__"))
+            .agg(F.count(F.lit(1)).alias("__cnt__")))
+    bounds = hist.agg(F.min("__v__").alias("lo"),
+                      F.max("__v__").alias("hi")).first()
+    if bounds["lo"] is None:
+        return None
+    lo, hi = bounds["lo"], bounds["hi"]
+    width = max(1, -(-(hi - lo + 1) // num_buckets))
+    hist = hist.withColumn(
+        "__pid__",
+        F.floor((F.col("__v__") - F.lit(lo)) / F.lit(width)).cast("int"))
+    totals = hist.groupBy("__pid__").agg(
+        F.sum("__cnt__").alias("__tot__")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["__pid__"]):
+        offsets.append((row["__pid__"], acc))
+        acc += row["__tot__"] or 0
+    spark = df.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(
+        offsets or [(0, 0)], "__pid__ int, __poff__ long"))
+    local = (W.partitionBy("__pid__").orderBy("__v__")
+             .rowsBetween(W.unboundedPreceding, 0))
+    return (hist.join(off_df, "__pid__")
+            .withColumn("__cum__", F.col("__poff__")
+                        + F.sum("__cnt__").over(local))
+            .select("__v__", "__cnt__", "__cum__"))
+
+
+def exact_disc_quantiles(df: DataFrame, col: str,
+                         ranks: Sequence[int],
+                         num_buckets: int = 256) -> list:
+    """Exact discrete quantiles (order statistics) of an integer
+    column, fully distributed: boundary for rank r is the smallest
+    value v with ``#(x <= v) >= r`` (1-based ranks over non-null
+    values) — the ``percentile_disc`` definition a SQL oracle can
+    replay verbatim.  Built on :func:`_cum_value_histogram`; every
+    requested boundary falls out of a single-row conditional
+    aggregate, so nothing driver-side ever holds more than the bucket
+    count + len(ranks) values.
+    """
+    cum = _cum_value_histogram(df, col, num_buckets)
+    if cum is None:
+        return [None for _ in ranks]
+    row = cum.agg(*[
+        F.min(F.when(F.col("__cum__") >= F.lit(int(r)), F.col("__v__")))
+        .alias(f"b{i}")
+        for i, r in enumerate(ranks)
+    ]).first()
+    return [row[f"b{i}"] for i in range(len(ranks))]
+
+
+def cusum_changepoint(df: DataFrame, group_cols: Sequence[str],
+                      ts_col: str, value_col: str,
+                      bucket: str = "hour") -> DataFrame:
+    """Offline CUSUM changepoint estimation per group (Page 1954 /
+    the at-most-one-change estimator): where did this metric's level
+    shift?
+
+    The series is first bucketed (``date_trunc(bucket)``, value sums
+    in exact cents).  With prefix sums P_i over n buckets totaling T,
+    the SCALED cusum is ``s_i = n·P_i − i·T`` — the textbook
+    ``Σ(x_j − mean)`` multiplied by n so no mean division ever
+    happens: all integer, partition-invariant, SQL-replayable.  The
+    changepoint estimate is the bucket maximizing |s_i| (earliest on
+    ties), its sign giving the shift direction (negative = level rose
+    after the point).
+
+    Returns ``(group..., cp_ts, cp_stat, n_buckets)``.
+
+    Scale shape: one keyed shuffle to the (group, bucket) grain, then
+    windows PARTITIONED BY GROUP over that grain (buckets per group,
+    not facts — hours in a year is ~9k rows) and a final per-group
+    argmin.  Products run in decimal(38,0).
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = [F.col(c) for c in group_cols]
+    b = (
+        df.groupBy(*gcols,
+                   F.date_trunc(bucket, F.col(ts_col)).alias("__bt__"))
+        .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+             .cast("long").alias("__x__"))
+    )
+    ordered = W.partitionBy(*group_cols).orderBy("__bt__") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    whole = W.partitionBy(*group_cols)
+    dec = "decimal(38,0)"
+    scored = (
+        b.withColumn("__p__", F.sum("__x__").over(ordered))
+        .withColumn("__i__", F.count(F.lit(1)).over(ordered))
+        .withColumn("__n__", F.count(F.lit(1)).over(whole))
+        .withColumn("__t__", F.sum("__x__").over(whole))
+        .withColumn(
+            "__s__",
+            (F.col("__n__").cast(dec) * F.col("__p__").cast(dec)
+             - F.col("__i__").cast(dec) * F.col("__t__").cast(dec)))
+    )
+    best = (
+        scored.groupBy(*group_cols)
+        .agg(F.min(F.struct(
+            (-F.abs(F.col("__s__"))).alias("negabs"),
+            F.col("__bt__").alias("bt"),
+            F.col("__s__").alias("s"),
+            F.col("__n__").alias("n"))).alias("__b__"))
+    )
+    return best.select(
+        *group_cols,
+        F.col("__b__.bt").alias("cp_ts"),
+        F.col("__b__.s").cast("long").alias("cp_stat"),
+        F.col("__b__.n").cast("long").alias("n_buckets"),
+    )
+
+
+def gini_concentration(df: DataFrame, key_col: str,
+                       amount_col: str,
+                       num_buckets: int = 256) -> DataFrame:
+    """Gini coefficient of per-key totals (revenue concentration /
+    inequality — "what share of spend sits in the top customers"), in
+    exact integer basis points.
+
+    For per-key totals x_1 <= ... <= x_n (cents), ``G = (2·Σ i·x_i −
+    (n+1)·Σx) / (n·Σx)``.  The rank sum is computed WITHOUT a global
+    sort-rank: items sharing a distinct value v occupy the contiguous
+    rank run ``cum−c+1 .. cum`` of the cumulative histogram, whose
+    rank total is ``c·(2·cum−c+1)/2`` (always an exact integer — one
+    factor is even).  So the whole statistic folds out of
+    :func:`_cum_value_histogram` with one single-row aggregate.  Ties
+    contribute identically in any order, making the result
+    partition-invariant and SQL-replayable.
+
+    Returns one row ``(n_keys, total_cents, gini_bp)`` with
+    ``gini_bp = floor(10000·G)``.  Scale shape: fact→key shuffle,
+    |distinct-value| histogram, two bounded collects; sums run in
+    decimal(38,0), good past 10^9 keys × 10^9-cent values.
+    """
+    grain = (
+        df.groupBy(F.col(key_col))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long"))
+             .cast("long").alias("__x__"))
+    )
+    cum = _cum_value_histogram(grain, "__x__", num_buckets)
+    if cum is None:
+        raise ValueError("gini_concentration: empty input")
+    dec = "decimal(38,0)"
+    c = F.col("__cnt__")
+    # integer div — a double quotient would lose bits above 2^53;
+    # the long product is safe to ~2·10^9 keys (ANSI mode throws,
+    # never corrupts, beyond)
+    ranksum = F.expr(
+        "(__cnt__ * (2 * __cum__ - __cnt__ + 1)) div 2")
+    agg = cum.agg(
+        F.sum(c).cast(dec).alias("__n__"),
+        F.sum(F.col("__v__").cast(dec) * c.cast(dec)).alias("__s__"),
+        F.sum(F.col("__v__").cast(dec) * ranksum.cast(dec))
+        .alias("__sr__"),
+    )
+    return agg.select(
+        F.col("__n__").cast("long").alias("n_keys"),
+        F.col("__s__").cast("long").alias("total_cents"),
+        F.expr("CAST((10000 * (2 * __sr__ - (__n__ + 1) * __s__))"
+               " div (__n__ * __s__) AS BIGINT)").alias("gini_bp"),
+    )
+
+
+def rfm_segments(df: DataFrame, key_col: str, ts_col: str,
+                 amount_col: str, as_of: str,
+                 n_bins: int = 4) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-value scoring the reference's star drilldown cannot
+    express (it has no rank/quantile surface; SURVEY §2.4).
+
+    Per key: ``recency_days`` (days from last activity to the explicit
+    ``as_of`` date — a parameter, so runs are reproducible),
+    ``frequency`` (activity count) and ``monetary_cents`` (exact
+    integer cents).  Each metric is binned by its percentile_disc
+    boundaries at ranks ceil(i·n/n_bins): bin = 1 + #(boundaries <
+    value), recency REVERSED (most recent = highest score), the RFM
+    convention.  ``segment`` packs the three digits (rfm = r·100 +
+    f·10 + m).
+
+    Scale shape: one fact→key-grain shuffle; boundaries come from
+    :func:`exact_disc_quantiles` (distributed histogram + two-phase
+    prefix sum, bounded collects only) and are applied as broadcast
+    literals — scoring is pure column arithmetic, no window over the
+    key grain.  Ties score identically in any engine because the
+    boundaries are exact order statistics, not interpolations.
+    """
+    grain = (
+        df.groupBy(F.col(key_col))
+        .agg(
+            F.datediff(F.lit(as_of).cast("date"),
+                       F.max(F.col(ts_col).cast("date")))
+            .cast("long").alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col(amount_col) * 100).cast("long"))
+            .cast("long").alias("monetary_cents"),
+        )
+        .persist()
+    )
+    n = grain.count()
+    ranks = [-(-i * n // n_bins) for i in range(1, n_bins)]
+    scored = grain
+    for metric, out_col, reverse in (
+            ("recency_days", "r_score", True),
+            ("frequency", "f_score", False),
+            ("monetary_cents", "m_score", False)):
+        bs = exact_disc_quantiles(grain, metric, ranks)
+        raw = F.lit(1)
+        for b in bs:
+            if b is not None:
+                raw = raw + F.when(F.col(metric) > F.lit(int(b)), 1) \
+                    .otherwise(0)
+        binned = (F.lit(n_bins + 1) - raw) if reverse else raw
+        scored = scored.withColumn(out_col, binned.cast("long"))
+    return scored.withColumn(
+        "segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10
+         + F.col("m_score")).cast("long"))

@@ -48,6 +48,21 @@ def test_wma_weights(tpch_browser):
     assert wmas == expected_series(sums, 3, wma)
 
 
+def test_ewma_weights(tpch_browser):
+    r = tpch_browser.aggregate(
+        cell="date:1995", drilldown=["date@ym:month"],
+        aggregates=["price_sum", "price_ewma"],
+    )
+    sums = [float(c["price_sum"]) for c in r.cells]
+    ewmas = [float(c["price_ewma"]) for c in r.cells]
+
+    def ewma(frame):
+        total = sum(v * 2.0 ** i for i, v in enumerate(frame))
+        return round(total / (2.0 ** len(frame) - 1.0), 4)
+
+    assert ewmas == expected_series(sums, 3, ewma)
+
+
 def test_sms_moving_sum(tpch_browser):
     r = tpch_browser.aggregate(
         cell="date:1995", drilldown=["date@ym:month"],
@@ -97,6 +112,7 @@ def test_calculate_scalar_functions():
     assert calculate_scalar("smvar", [2.0, 4.0]) == 2.0
     assert calculate_scalar("smstd", [2.0, 4.0]) == round(math.sqrt(2), 2)
     assert calculate_scalar("smrsd", [2.0, 4.0]) == round(math.sqrt(2) / 3, 4)
+    assert calculate_scalar("ewma", [1.0, 2.0, 3.0]) == round(17 / 7, 4)
     assert calculate_scalar("sma", []) is None
 
 

@@ -2634,3 +2634,31 @@ class TestCDCChunks:
         for r in stats.values():
             assert 0 <= r.dup_chunk_bp <= 10000
             assert r.n_dup_chunks <= r.n_chunks
+
+
+class TestPMICollocations:
+    def test_counts_and_lift(self, spark):
+        from cubes_spark.llm import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [(1, "new york new york"), (2, "new york is big"),
+             (3, "big apple")],
+            "doc_id long, text string")
+        out = {(r["word_a"], r["word_b"]): r for r in
+               pmi_collocations(docs, "text", min_count=2).collect()}
+        assert set(out) == {("new", "york")}
+        r = out[("new", "york")]
+        # N=10 tokens, c_ab=3, c_new=3, c_york=3
+        assert (r["n_pair"], r["n_a"], r["n_b"]) == (3, 3, 3)
+        assert r["lift_ppm"] == (1_000_000 * 3 * 10) // 9
+
+    def test_blank_and_single_token_docs_ignored(self, spark):
+        from cubes_spark.llm import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [(1, "  "), (2, "solo"), (3, "a b"), (4, "a b")],
+            "doc_id long, text string")
+        out = pmi_collocations(docs, "text", min_count=2).collect()
+        # N counts 'solo' too: 5 unigrams
+        assert len(out) == 1 and out[0]["lift_ppm"] == \
+            (1_000_000 * 2 * 5) // (2 * 2)

@@ -418,3 +418,138 @@ def test_fill_time_gaps_non_numeric_stays_null(spark):
     out2 = {r.t.hour: r.status for r in fill_time_gaps(
         df, "t", fill={"status": "unknown"}).collect()}
     assert out2[1] == "unknown"
+
+
+def test_exact_disc_quantiles_matches_sorted_ranks(spark):
+    """Boundary for rank r must be the r-th order statistic, for every
+    rank, including ties and a bucket count larger than the domain."""
+    import random
+
+    from cubes_spark.operators.olap import exact_disc_quantiles
+
+    rng = random.Random(7)
+    values = [rng.randint(0, 40) for _ in range(300)]
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    ordered = sorted(values)
+    ranks = [1, 75, 150, 225, 300]
+    got = exact_disc_quantiles(df, "v", ranks, num_buckets=8)
+    assert got == [ordered[r - 1] for r in ranks]
+
+
+def test_exact_disc_quantiles_partition_invariant(spark):
+    from cubes_spark.operators.olap import exact_disc_quantiles
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "v long")
+    for parts in (1, 7):
+        got = exact_disc_quantiles(df.repartition(parts), "v", [25, 50, 75],
+                                   num_buckets=5)
+        assert got == [25, 50, 75]
+
+
+def test_rfm_segments_small(spark):
+    """Hand-checkable RFM: 4 customers, quartile boundaries land on the
+    order statistics at ranks ceil(i*4/4) = 1,2,3; recency reversed."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import rfm_segments
+
+    rows = []
+    # cust 1: 1 order, old, small;  cust 4: 4 orders, recent, large
+    for cust, n_orders, day, amount in (
+            (1, 1, 1, 10.0), (2, 2, 5, 20.0),
+            (3, 3, 10, 30.0), (4, 4, 20, 40.0)):
+        for k in range(n_orders):
+            rows.append((cust, dt.datetime(2020, 1, day), amount))
+    df = spark.createDataFrame(rows, "c long, ts timestamp, amt double")
+    out = {r["c"]: r for r in
+           rfm_segments(df, "c", "ts", "amt", as_of="2020-01-31").collect()}
+    # recency_days: c1=30 c2=26 c3=21 c4=11 -> sorted [11,21,26,30],
+    # bounds(ranks 1,2,3)=11,21,26 -> raw bins 4,3,2,1 -> reversed 1,2,3,4
+    assert [out[c]["r_score"] for c in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    # frequency 1,2,3,4 -> bins 1,2,3,4
+    assert [out[c]["f_score"] for c in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    # monetary_cents 1000,4000,9000,16000 -> bins 1,2,3,4
+    assert [out[c]["m_score"] for c in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert out[4]["segment"] == 444 and out[1]["segment"] == 111
+    assert out[2]["monetary_cents"] == 4000
+
+
+def test_sequence_match_semantics(spark):
+    """Non-overlapping counts, tiebreak ordering at equal timestamps,
+    unmapped-type drop, whale guard."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import sequence_match
+
+    t0 = dt.datetime(2020, 1, 1)
+
+    def ev(uid, i, typ):
+        return (uid, t0 + dt.timedelta(minutes=i), i, typ)
+
+    rows = [
+        # user 1: v c p v p  -> 'vc*p' matches twice; first at pos 1
+        ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+        ev(1, 4, "view"), ev(1, 5, "purchase"),
+        # user 2: equal ts, ordered by event_id -> v p ; 'other' dropped
+        (2, t0, 1, "view"), (2, t0, 2, "purchase"), (2, t0, 3, "other"),
+        # user 3: no match, 3 events
+        ev(3, 1, "click"), ev(3, 2, "click"), ev(3, 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    codes = {"view": "v", "click": "c", "purchase": "p"}
+    out = {r["user_id"]: r for r in sequence_match(
+        df, "user_id", "ts", "event_type", "vc*p", codes,
+        tiebreak_col="event_id").collect()}
+    assert (out[1]["n_matches"], out[1]["first_match_pos"],
+            out[1]["seq_len"]) == (2, 1, 5)
+    assert (out[2]["n_matches"], out[2]["first_match_pos"],
+            out[2]["seq_len"]) == (1, 1, 2)
+    assert (out[3]["n_matches"], out[3]["first_match_pos"]) == (0, 0)
+    guarded = sequence_match(
+        df, "user_id", "ts", "event_type", "vc*p", codes,
+        tiebreak_col="event_id", max_seq_len=3)
+    assert {r["user_id"] for r in guarded.collect()} == {2, 3}
+
+
+def test_gini_concentration_known_values(spark):
+    """Gini of equal values is 0; a single holder owns everything ->
+    (n-1)/n; a hand-computed mixed case with TIES matches the sorted
+    rank-sum formula."""
+    from cubes_spark.operators.olap import gini_concentration
+
+    def gini_bp(amounts):
+        rows = [(i, a) for i, a in enumerate(amounts)]
+        df = spark.createDataFrame(rows, "k long, amt double")
+        return gini_concentration(df, "k", "amt").first()
+
+    r = gini_bp([5.0, 5.0, 5.0, 5.0])
+    assert (r["gini_bp"], r["n_keys"], r["total_cents"]) == (0, 4, 2000)
+    # one holder: G = (2*n*x - (n+1)*x)/(n*x) = (n-1)/n = 0.75
+    assert gini_bp([0.0, 0.0, 0.0, 10.0])["gini_bp"] == 7500
+    # ties: x = [1,1,2] cents=[100,100,200]; sorted ranks 1,2,3
+    # sum i*x = 100+200+600=900; num=2*900-4*400=200; den=3*400=1200
+    assert gini_bp([1.0, 1.0, 2.0])["gini_bp"] == 1666
+
+
+def test_cusum_changepoint_level_shift(spark):
+    """Step series 1,1,1,5,5: scaled cusum bottoms at the last
+    low bucket (hour 3), negative sign = level rose after."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import cusum_changepoint
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("a", t0 + dt.timedelta(hours=h, minutes=m), v)
+            for h, v in enumerate([1.0, 1.0, 1.0, 5.0, 5.0])
+            for m in (0,)]
+    # second group: constant series -> cusum 0 everywhere, earliest wins
+    rows += [("b", t0 + dt.timedelta(hours=h), 2.0) for h in range(3)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["g"]: r for r in cusum_changepoint(
+        df, ["g"], "ts", "v").collect()}
+    assert out["a"]["cp_ts"] == t0 + dt.timedelta(hours=2)
+    assert out["a"]["cp_stat"] == -2400  # 5*300 - 3*1300 (cents)
+    assert out["a"]["n_buckets"] == 5
+    assert out["b"]["cp_stat"] == 0
+    assert out["b"]["cp_ts"] == t0

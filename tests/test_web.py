@@ -538,3 +538,42 @@ class TestJaccardLinkPrediction:
         tri = [(1, 2), (2, 3), (1, 3)]
         assert jaccard_link_prediction(
             self._edges(spark, tri)).count() == 0
+
+
+class TestKCore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def test_peels_tail_keeps_clique(self, spark):
+        """Triangle 1-2-3 with a pendant chain 3-4-5: 2-core keeps the
+        triangle, peels the chain (4 first, then 5 would follow)."""
+        from cubes_spark.llm.web import kcore_subgraph
+
+        e = self._edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+        out = {r["node"]: r["degree"] for r in
+               kcore_subgraph(e, k=2, until_converged=True).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_fixed_rounds_intermediate_state(self, spark):
+        """One synchronous round on a path 1-2-3-4-5 at k=2 drops only
+        the endpoints; convergence empties the graph entirely."""
+        from cubes_spark.llm.web import kcore_subgraph
+
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        one = {r["node"] for r in
+               kcore_subgraph(e, k=2, rounds=1).collect()}
+        assert one == {2, 3, 4}
+        conv = kcore_subgraph(e, k=2, until_converged=True).collect()
+        assert conv == []
+
+    def test_partition_invariant(self, spark):
+        from cubes_spark.llm.web import kcore_subgraph
+
+        pairs = [(a, b) for a in range(8) for b in range(a + 1, 8)
+                 if (a + b) % 3 != 0] + [(10, 11)]
+        e = self._edges(spark, pairs)
+        r1 = sorted(map(tuple, kcore_subgraph(
+            e.repartition(1), k=3, until_converged=True).collect()))
+        r7 = sorted(map(tuple, kcore_subgraph(
+            e.repartition(7), k=3, until_converged=True).collect()))
+        assert r1 == r7 and r1

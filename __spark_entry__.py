@@ -2132,6 +2132,92 @@ def _pagerank_oracle() -> str:
         FROM r3"""
 
 
+def _hilbert_oracle() -> str:
+    """Replays hilbert_value token-for-token: identical min-max
+    scaling, then the same 16 unrolled xy2d steps from
+    hilbert_step_exprs with DuckDB's ``//`` as the only dialect
+    difference; chained CTEs carry (hx_i, hy_i, hd_i)."""
+    from cubes_spark.operators.scale import hilbert_step_exprs
+
+    bits = 16
+    ctes = ["""stats AS MATERIALIZED (
+            SELECT CAST(min(l_partkey) AS BIGINT) AS mn_p,
+                CAST(max(l_partkey) AS BIGINT) AS mx_p,
+                CAST(min(l_suppkey) AS BIGINT) AS mn_s,
+                CAST(max(l_suppkey) AS BIGINT) AS mx_s
+            FROM lineitem
+        )""", f"""s0 AS (
+            SELECT l_partkey, l_suppkey,
+                (((CAST(l_partkey AS BIGINT) - mn_p) * {(1 << bits) - 1})
+                 // greatest(mx_p - mn_p, 1)) AS hx0,
+                (((CAST(l_suppkey AS BIGINT) - mn_s) * {(1 << bits) - 1})
+                 // greatest(mx_s - mn_s, 1)) AS hy0,
+                CAST(0 AS BIGINT) AS hd0
+            FROM lineitem CROSS JOIN stats
+        )"""]
+    s, i = 1 << (bits - 1), 1
+    while s > 0:
+        xe, ye, de = hilbert_step_exprs(
+            f"hx{i-1}", f"hy{i-1}", f"hd{i-1}", s, div="//")
+        ctes.append(f"""s{i} AS (
+            SELECT l_partkey, l_suppkey, {xe} AS hx{i},
+                {ye} AS hy{i}, {de} AS hd{i}
+            FROM s{i-1}
+        )""")
+        s, i = s >> 1, i + 1
+    last = i - 1
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT hd{last} // 16777216 AS h_bucket,
+            CAST(count(*) AS BIGINT) AS n,
+            min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+            min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM s{last} GROUP BY 1"""
+
+
+def _hits_oracle() -> str:
+    """Unrolled 2-iteration integer HITS: the same synthetic doc
+    graph, HUGEINT sums, sum-normalization by integer division."""
+    scale = 10 ** 12
+
+    def half(score_in: str, out: str, col_in: str, col_out: str,
+             match_in: str, match_out: str) -> str:
+        return f"""
+        r{out} AS (
+            SELECT n.node,
+                COALESCE(SUM({score_in}.{col_in}), 0) AS v
+            FROM nodes n
+            LEFT JOIN edges e ON e.{match_out} = n.node
+            LEFT JOIN {score_in}
+                ON {score_in}.node = e.{match_in}
+            GROUP BY n.node),
+        {out} AS (
+            SELECT node, CASE WHEN t.s = 0 THEN CAST(0 AS HUGEINT)
+                ELSE (CAST(v AS HUGEINT) * {scale}) // t.s END
+                AS {col_out}
+            FROM r{out}, (SELECT SUM(v) AS s FROM r{out}) t)"""
+
+    return f"""
+        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        edges AS (
+            SELECT d.doc_id AS src, (d.doc_id * 5 + 3) % c.n AS dst
+            FROM documents d, cnt c
+            UNION ALL
+            SELECT d.doc_id, (d.doc_id * 7 + 1) % c.n
+            FROM documents d, cnt c),
+        h0 AS (SELECT node, CAST({scale} AS HUGEINT) AS h
+               FROM nodes),
+        {half('h0', 'a1', 'h', 'a', 'src', 'dst')},
+        {half('a1', 'h1', 'a', 'h', 'dst', 'src')},
+        {half('h1', 'a2', 'h', 'a', 'src', 'dst')},
+        {half('a2', 'h2', 'a', 'h', 'dst', 'src')}
+        SELECT CAST(a2.node AS BIGINT) AS node,
+            CAST(a2.a AS BIGINT) AS auth_units,
+            CAST(h2.h AS BIGINT) AS hub_units
+        FROM a2 JOIN h2 ON a2.node = h2.node"""
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join (operators/asof.py): each purchase enriched with the
     user's latest click at-or-before it, within a 30-minute tolerance
@@ -4005,6 +4091,92 @@ def q_basket_pairs(spark, sf_dir):
     return _lng(out, "item_a", "item_b")
 
 
+def q_events_seasonality(spark, sf_dir):
+    """Hour-of-day seasonal index per event type in exact ppm
+    (cubes_spark/operators/olap.py:seasonality_profile): slot mean vs
+    group mean by integer cross-multiplication — the load-curve
+    profile with no double division anywhere."""
+    from cubes_spark.operators.olap import seasonality_profile
+
+    ev = _table(spark, sf_dir, "events")
+    return seasonality_profile(ev, ["event_type"], "ts", "value",
+                               slot="hour_of_day")
+
+
+def q_orders_abc(spark, sf_dir):
+    """ABC / Pareto customer classification
+    (cubes_spark/operators/olap.py:abc_classification): descending
+    cumulative revenue share per value tie-group off the weighted
+    two-phase histogram — A ≤ 80%, B ≤ 95%, C above, all-integer
+    basis points, no global sort-rank."""
+    from cubes_spark.operators.olap import abc_classification
+
+    orders = _table(spark, sf_dir, "orders")
+    return abc_classification(orders, "o_custkey", "o_totalprice")
+
+
+def q_doc_readability(spark, sf_dir):
+    """Integer milli-point Flesch-shape readability
+    (llm/text.py:readability_scores): floor-division semantics make
+    the classic words/sentences + syllables/words formula exact and
+    engine-portable; vowel-group syllables, terminal-punctuation
+    sentences."""
+    from cubes_spark.llm import readability_scores
+
+    docs = _table(spark, sf_dir, "documents")
+    return readability_scores(docs, "text")
+
+
+def q_doc_diversity(spark, sf_dir):
+    """Per-document Gini–Simpson lexical diversity in exact ppm
+    (llm/text.py:token_diversity): (n² − Σc²)/n² over token counts —
+    the all-rational repetition/boilerplate signal (no logs)."""
+    from cubes_spark.llm import token_diversity
+
+    docs = _table(spark, sf_dir, "documents")
+    return token_diversity(docs, "text")
+
+
+def q_source_overlap(spark, sf_dir):
+    """Pairwise corpus-slice content overlap
+    (llm/dedup.py:source_shingle_overlap): Jaccard of each source
+    pair's distinct 5-char shingle sets in basis points — dedupe to
+    the (source, shingle) grain first, so per-shingle join work is
+    bounded by the slice count, never the corpus."""
+    from cubes_spark.llm import source_shingle_overlap
+
+    docs = _table(spark, sf_dir, "documents")
+    return source_shingle_overlap(docs, "source", "text", k=5)
+
+
+def q_lineitem_iqr(spark, sf_dir):
+    """Per-returnflag Tukey-fence outlier counts on exact integer
+    quartiles (cubes_spark/operators/olap.py:grouped_iqr_outliers):
+    Q1/Q3 as rank-based order statistics inside each group's
+    partition window, fences compared in doubled cents so 1.5·IQR
+    stays integral."""
+    from cubes_spark.operators.olap import grouped_iqr_outliers
+
+    li = _table(spark, sf_dir, "lineitem")
+    return grouped_iqr_outliers(li, ["l_returnflag"],
+                                "l_extendedprice")
+
+
+def q_events_winfunnel(spark, sf_dir):
+    """Time-constrained funnel signup → view → purchase within 24h
+    (cubes_spark/operators/olap.py:window_funnel; ClickHouse
+    windowFunnel shape, earliest-chain semantics): per user the first
+    signup, then the first later view, then the first later purchase
+    — depth counts links whose time from the signup stays inside the
+    window, stopping at the first miss."""
+    from cubes_spark.operators.olap import window_funnel
+
+    ev = _table(spark, sf_dir, "events")
+    return window_funnel(ev, "user_id", "ts", "event_type",
+                         ["signup", "view", "purchase"],
+                         window_seconds=86400)
+
+
 def q_events_cusum(spark, sf_dir):
     """Per-type CUSUM changepoint estimate over hourly value sums
     (cubes_spark/operators/olap.py:cusum_changepoint; Page 1954):
@@ -4072,6 +4244,125 @@ def q_events_seqmatch(spark, sf_dir):
         codes={"view": "v", "click": "c", "purchase": "p",
                "signup": "s", "error": "e"},
         tiebreak_col="event_id")
+
+
+def q_events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (cubes_spark/operators/olap.py:markov_transitions):
+    adjacent (state → next) pairs under deterministic (ts, event_id)
+    order, transition probability as exact integer ppm — the
+    "what happens after X" model, no double ratios anywhere."""
+    from cubes_spark.operators.olap import markov_transitions
+
+    ev = _table(spark, sf_dir, "events")
+    return markov_transitions(ev, "user_id", "ts", "event_type",
+                              tiebreak_col="event_id")
+
+
+def q_orders_streaks(spark, sf_dir):
+    """Gaps-and-islands longest consecutive-month order streak per
+    customer (cubes_spark/operators/olap.py:longest_streak): islands
+    via the month_index − row_number constant, earliest-run
+    tiebreak, streak start reported as (year, month)."""
+    from cubes_spark.operators.olap import longest_streak
+
+    orders = _table(spark, sf_dir, "orders")
+    return longest_streak(orders, "o_custkey", "o_orderdate")
+
+
+def q_orders_mad(spark, sf_dir):
+    """Per-priority median absolute deviation of order totals in
+    exact cents (cubes_spark/operators/olap.py:grouped_mad; Hampel
+    1974): both medians are percentile_disc order statistics from
+    group-partitioned rank windows — robust dispersion with zero
+    interpolation."""
+    from cubes_spark.operators.olap import grouped_mad
+
+    orders = _table(spark, sf_dir, "orders")
+    return grouped_mad(orders, ["o_orderpriority"], "o_totalprice")
+
+
+def q_events_attribution(spark, sf_dir):
+    """Last-touch conversion attribution
+    (cubes_spark/operators/olap.py:last_touch_attribution): each
+    purchase credits the most recent strictly-preceding
+    view/click/signup by the same user within 24h (microsecond-exact
+    gap; no touch → '(none)'), via a last-ignore-nulls running window
+    — never a per-conversion scan-back join."""
+    from cubes_spark.operators.olap import last_touch_attribution
+
+    ev = _table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, "user_id", "ts", "event_type", conversion="purchase",
+        channels=["view", "click", "signup"],
+        window_seconds=24 * 3600, tiebreak_col="event_id")
+
+
+def q_lineitem_hilbert(spark, sf_dir):
+    """Hilbert-curve clustering key (operators/scale.py:
+    hilbert_value; the stronger-locality sibling of Z-order — the
+    layout idea behind liquid clustering): per 256th of the curve
+    over (l_partkey, l_suppkey), row count and min/max envelope of
+    both dimensions.  The xy2d walk runs as 16 unrolled integer
+    steps (hilbert_step_exprs) whose SQL the oracle replays
+    token-for-token — the only dialect difference is the integer-
+    division operator."""
+    from cubes_spark.operators.scale import hilbert_value
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    h = hilbert_value(li, ["l_partkey", "l_suppkey"], bits=16)
+    return (
+        h.groupBy(F.expr("h div 16777216").alias("h_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("l_partkey").alias("min_part"),
+             F.max("l_partkey").alias("max_part"),
+             F.min("l_suppkey").alias("min_supp"),
+             F.max("l_suppkey").alias("max_supp"))
+    )
+
+
+def q_doc_hits(spark, sf_dir):
+    """Integer fixed-point HITS hubs/authorities (llm/web.py:
+    hits_scores; Kleinberg 1999) over the synthetic directed doc
+    graph (doc_id → (5·id+3) mod n and (7·id+1) mod n): sum-
+    normalized per half-iteration in 1/10^12 units, 2 iterations
+    unrolled — bit-identical at any parallelism, like
+    link_pagerank."""
+    from cubes_spark.llm.web import hits_scores
+
+    docs = _table(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 5 + 3) % n).alias("dst")).union(
+        docs.select(F.col("doc_id"),
+                    (F.col("doc_id") * 7 + 1) % n))
+    return _lng(hits_scores(edges, iterations=2), "node")
+
+
+def q_events_balance(spark, sf_dir):
+    """Floor-clamped running balance per user (operators/olap.py:
+    clamped_running_sum): value deltas in cents, errors negative; the
+    zero-floor recurrence B_i = max(B_{i-1}+x_i, 0) computed by its
+    prefix-sum closed form (two running windows — no stateful UDF),
+    summarized per user with the final balance and clamp count."""
+    from cubes_spark.operators.olap import clamped_running_sum
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "__d__",
+        (F.round(F.col("value") * 100).cast("long")
+         * F.when(F.col("event_type") == "error", -1).otherwise(1))
+        .cast("long"))
+    bal = clamped_running_sum(ev, "user_id", "ts", "__d__",
+                              tiebreak_col="event_id")
+    return (bal.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.max(F.struct("ts", "event_id", "balance"))
+                 .getField("balance").cast("long")
+                 .alias("final_balance"),
+                 F.sum(F.col("clamped").cast("long")).cast("long")
+                 .alias("n_clamps")))
 
 
 def q_rfm_customers(spark, sf_dir):
@@ -4424,6 +4715,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round regardless (dtype-strict).
     return {
         # ---- DRIVER WINDOW (first 50; rotated by tools/rotate_window.py) ----
+        "events_markov": q_events_markov,
+        "lineitem_hilbert": q_lineitem_hilbert,
+        "doc_hits": q_doc_hits,
+        "events_balance": q_events_balance,
+        "orders_streaks": q_orders_streaks,
+        "orders_mad": q_orders_mad,
+        "events_attribution": q_events_attribution,
         "calc_ewma": q_calc_ewma,
         "rfm_customers": q_rfm_customers,
         "events_seqmatch": q_events_seqmatch,
@@ -4431,6 +4729,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_kcore": q_part_kcore,
         "doc_pmi": q_doc_pmi,
         "events_cusum": q_events_cusum,
+        "lineitem_iqr": q_lineitem_iqr,
+        "events_winfunnel": q_events_winfunnel,
+        "doc_diversity": q_doc_diversity,
+        "source_overlap": q_source_overlap,
+        "doc_readability": q_doc_readability,
+        "orders_abc": q_orders_abc,
+        "events_seasonality": q_events_seasonality,
         "slicer_http_agg": q_slicer_http_agg,
         "lineitem_hll": q_lineitem_hll,
         "basket_pairs": q_basket_pairs,
@@ -4870,6 +5175,193 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(node AS BIGINT) AS node,
             CAST(count(*) AS BIGINT) AS n_triangles
         FROM nodes GROUP BY 1"""
+
+    # seasonality: integer cross-multiplied slot-vs-overall mean.
+    sql["events_seasonality"] = """
+        WITH b AS (
+            SELECT event_type,
+                CAST(hour(ts) AS BIGINT) AS slot,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, slot, n_rows, sum_cents,
+            CAST((1000000 * CAST(sum_cents AS HUGEINT)
+                  * sum(n_rows) OVER g)
+                 // (CAST(sum(sum_cents) OVER g AS HUGEINT) * n_rows)
+                 AS BIGINT) AS index_ppm
+        FROM b
+        WINDOW g AS (PARTITION BY event_type)"""
+
+    # ABC: share_from_top(v) = S - wcum(v) + v*c(v) at the value
+    # grain (ties share a class), HUGEINT arithmetic.
+    sql["orders_abc"] = """
+        WITH m AS MATERIALIZED (
+            SELECT o_custkey,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+            FROM orders GROUP BY 1
+        ),
+        h AS (SELECT x AS v, count(*) AS c FROM m GROUP BY 1),
+        ch AS (
+            SELECT v, c,
+                sum(CAST(v AS HUGEINT) * c) OVER (ORDER BY v) AS wcum
+            FROM h
+        ),
+        tot AS (SELECT max(wcum) AS s FROM ch),
+        shares AS (
+            SELECT v,
+                CAST((10000 * (tot.s - wcum + CAST(v AS HUGEINT) * c))
+                     // tot.s AS BIGINT) AS share_from_top_bp
+            FROM ch, tot
+        )
+        SELECT m.o_custkey, CAST(m.x AS BIGINT) AS total_cents,
+            sh.share_from_top_bp,
+            CASE WHEN sh.share_from_top_bp <= 8000 THEN 'A'
+                 WHEN sh.share_from_top_bp <= 9500 THEN 'B'
+                 ELSE 'C' END AS abc_class
+        FROM m JOIN shares sh ON m.x = sh.v"""
+
+    # readability: same regex counts; // floors == div truncation for
+    # the all-positive operands.
+    sql["doc_readability"] = r"""
+        WITH base AS (
+            SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []
+                    ELSE string_split_regex(trim(text), '\s+') END AS t,
+                greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS n_sentences
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id,
+                CAST(len(t) AS BIGINT) AS n_words,
+                CAST(n_sentences AS BIGINT) AS n_sentences,
+                CAST(list_sum(list_transform(t, w ->
+                    greatest(len(regexp_extract_all(w,
+                        '[aeiouyAEIOUY]+')), 1))) AS BIGINT)
+                    AS n_syllables
+            FROM base WHERE len(t) > 0
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+            CAST(206835 - (1015 * n_words) // n_sentences
+                 - (84600 * n_syllables) // n_words AS BIGINT)
+                AS score_milli
+        FROM agg"""
+
+    # Gini–Simpson diversity: all-integer (n² − Σc²)/n² in HUGEINT.
+    sql["doc_diversity"] = r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(
+                CASE WHEN trim(text) = '' THEN []
+                ELSE string_split_regex(trim(text), '\s+') END) AS w
+            FROM documents
+        ),
+        per AS (
+            SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_distinct,
+                sum(CAST(c AS HUGEINT) * c) AS s2
+            FROM per GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+            CAST((1000000 * (CAST(n_tokens AS HUGEINT) * n_tokens
+                             - s2))
+                 // (CAST(n_tokens AS HUGEINT) * n_tokens)
+                 AS BIGINT) AS diversity_ppm
+        FROM agg"""
+
+    # source overlap: distinct (source, 5-shingle) grain, pairwise
+    # intersection by shingle equi-join, union via inclusion-exclusion.
+    sql["source_overlap"] = f"""
+        WITH sh AS MATERIALIZED (
+            SELECT DISTINCT source AS g, s FROM (
+                SELECT source, unnest(list_distinct(list_transform(
+                    generate_series(1,
+                        greatest(length({_NORM}) - 4, 1)),
+                    i -> substr({_NORM}, i, 5)))) AS s
+                FROM documents)
+        ),
+        sizes AS (SELECT g, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.g AS ga, b.g AS gb, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+            GROUP BY 1, 2
+        )
+        SELECT ga AS source_a, gb AS source_b,
+            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+            CAST(n_common AS BIGINT) AS n_common,
+            CAST((10000 * n_common) // (sa.n + sb.n - n_common)
+                 AS BIGINT) AS jaccard_bp
+        FROM inter
+        JOIN sizes sa ON ga = sa.g
+        JOIN sizes sb ON gb = sb.g"""
+
+    # IQR: rank-based quartiles per group, fences in doubled cents.
+    sql["lineitem_iqr"] = """
+        WITH base AS MATERIALIZED (
+            SELECT l_returnflag AS g,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT g, v,
+                row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                count(*) OVER (PARTITION BY g) AS n
+            FROM base
+        ),
+        q AS (
+            SELECT g, CAST(max(n) AS BIGINT) AS n_rows,
+                min(CASE WHEN rn >= (n + 3) // 4 THEN v END)
+                    AS q1_cents,
+                min(CASE WHEN rn >= (3 * n + 3) // 4 THEN v END)
+                    AS q3_cents
+            FROM ranked GROUP BY g
+        )
+        SELECT q.g AS l_returnflag, q.n_rows, q.q1_cents, q.q3_cents,
+            CAST(sum(CASE WHEN
+                2 * b.v < 2 * q.q1_cents - 3 * (q.q3_cents - q.q1_cents)
+                OR 2 * b.v > 2 * q.q3_cents + 3 * (q.q3_cents - q.q1_cents)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM base b JOIN q ON b.g = q.g
+        GROUP BY 1, 2, 3, 4"""
+
+    # windowFunnel, earliest-chain: first step-1 time, first LATER
+    # step-2 time, ...; every link's window measured from t1.
+    sql["events_winfunnel"] = """
+        WITH ev AS MATERIALIZED (
+            SELECT user_id AS k, ts AS t,
+                CASE event_type WHEN 'signup' THEN 0
+                    WHEN 'view' THEN 1 WHEN 'purchase' THEN 2 END AS s
+            FROM events
+            WHERE event_type IN ('signup', 'view', 'purchase')
+        ),
+        s0 AS (SELECT k, min(t) AS t0 FROM ev WHERE s = 0 GROUP BY k),
+        s1 AS (
+            SELECT e.k, min(e.t) AS tv FROM ev e
+            JOIN s0 ON e.k = s0.k
+            WHERE e.s = 1 AND e.t > s0.t0 GROUP BY e.k
+        ),
+        s2 AS (
+            SELECT e.k, min(e.t) AS tp FROM ev e
+            JOIN s1 ON e.k = s1.k
+            WHERE e.s = 2 AND e.t > s1.tv GROUP BY e.k
+        )
+        SELECT s0.k AS user_id, s0.t0 AS t1,
+            CAST(CASE WHEN s1.tv IS NOT NULL AND
+                    date_diff('microsecond', s0.t0, s1.tv)
+                        <= 86400000000
+                 THEN CASE WHEN s2.tp IS NOT NULL AND
+                         date_diff('microsecond', s0.t0, s2.tp)
+                             <= 86400000000
+                      THEN 3 ELSE 2 END
+                 ELSE 1 END AS BIGINT) AS steps_reached
+        FROM s0
+        LEFT JOIN s1 ON s0.k = s1.k
+        LEFT JOIN s2 ON s0.k = s2.k"""
 
     # CUSUM: scaled integer statistic s_i = n*P_i - i*T in HUGEINT;
     # argmax |s| with earliest-bucket tiebreak.
@@ -5383,6 +5875,169 @@ def oracle_sql() -> dict[str, str]:
     # non-overlapping counts and leftmost match for anchor-free
     # patterns; first occurrence OF the leftmost matched text IS the
     # match position (an earlier occurrence would itself have matched).
+    sql["lineitem_hilbert"] = _guarded_oracle(
+        _hilbert_oracle, "lineitem_hilbert")
+    sql["doc_hits"] = _guarded_oracle(_hits_oracle, "doc_hits")
+
+    # Clamped running balance: the zero-floor closed form
+    # B_i = S_i - min(0, runmin(S)); clamp rows are the prefix sum's
+    # new strict minima below zero; final row by (ts, event_id) DESC.
+    sql["events_balance"] = """
+        WITH d AS (
+            SELECT user_id, ts, event_id,
+                CAST(round(value * 100) AS BIGINT)
+                * (CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+                    AS dlt
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts, event_id,
+                sum(dlt) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sm
+            FROM d
+        ),
+        b AS (
+            SELECT user_id, ts, event_id,
+                sm - least(0, min(sm) OVER w_run) AS balance,
+                sm < least(0, COALESCE(min(sm) OVER w_prev, 0))
+                    AS clamped,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC)
+                    AS rn
+            FROM s
+            WINDOW w_run AS (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW),
+                   w_prev AS (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(max(CASE WHEN rn = 1 THEN balance END) AS BIGINT)
+                AS final_balance,
+            CAST(sum(CASE WHEN clamped THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clamps
+        FROM b GROUP BY user_id"""
+
+    # Markov transitions: lead() under (ts, event_id) order, integer
+    # ppm probabilities — per-state totals from a window over the
+    # (from, to) grain.
+    sql["events_markov"] = """
+        WITH p AS (
+            SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        c AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+            CAST((1000000 * CAST(n AS HUGEINT))
+                 // sum(n) OVER (PARTITION BY from_type)
+                 AS BIGINT) AS prob_ppm
+        FROM c"""
+
+    # Gaps-and-islands: month_index - row_number island constant,
+    # longest run per customer, earliest-start tiebreak.
+    sql["orders_streaks"] = """
+        WITH m AS (
+            SELECT DISTINCT o_custkey AS k,
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                     AS BIGINT) AS mi
+            FROM orders
+        ),
+        runs AS (
+            SELECT k, count(*) AS len, min(mi) AS strt
+            FROM (SELECT k, mi,
+                      mi - row_number() OVER (PARTITION BY k
+                                              ORDER BY mi) AS isl
+                  FROM m)
+            GROUP BY k, isl
+        ),
+        best AS (
+            SELECT k, sum(len) OVER (PARTITION BY k) AS n_active,
+                len, strt,
+                row_number() OVER (PARTITION BY k
+                                   ORDER BY len DESC, strt) AS rn
+            FROM runs
+        )
+        SELECT k AS o_custkey,
+            CAST(n_active AS BIGINT) AS n_active_months,
+            CAST(len AS BIGINT) AS longest_streak,
+            CAST(strt // 12 AS BIGINT) AS streak_start_year,
+            CAST(strt % 12 + 1 AS BIGINT) AS streak_start_month
+        FROM best WHERE rn = 1"""
+
+    # MAD: both medians are the smallest value whose 1-based rank
+    # reaches (n+1) div 2 — percentile_disc, group-partitioned.
+    sql["orders_mad"] = """
+        WITH b AS MATERIALIZED (
+            SELECT o_orderpriority AS g,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+        ),
+        r1 AS (
+            SELECT g, v,
+                row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                count(*) OVER (PARTITION BY g) AS n
+            FROM b
+        ),
+        med AS (
+            SELECT g, max(n) AS n_rows,
+                min(CASE WHEN rn >= (n + 1) // 2 THEN v END)
+                    AS median_cents
+            FROM r1 GROUP BY g
+        ),
+        r2 AS (
+            SELECT d.g, d.dv,
+                row_number() OVER (PARTITION BY d.g ORDER BY d.dv) AS rn,
+                count(*) OVER (PARTITION BY d.g) AS n
+            FROM (SELECT b.g, abs(b.v - med.median_cents) AS dv
+                  FROM b JOIN med ON b.g = med.g) d
+        ),
+        mad AS (
+            SELECT g,
+                min(CASE WHEN rn >= (n + 1) // 2 THEN dv END)
+                    AS mad_cents
+            FROM r2 GROUP BY g
+        )
+        SELECT med.g AS o_orderpriority,
+            CAST(med.n_rows AS BIGINT) AS n_rows,
+            CAST(med.median_cents AS BIGINT) AS median_cents,
+            CAST(mad.mad_cents AS BIGINT) AS mad_cents
+        FROM med JOIN mad ON med.g = mad.g"""
+
+    # Last-touch attribution: last-ignore-nulls over a frame ending
+    # 1 row before the conversion under (ts, event_id) order; both
+    # carried columns are null on the same rows so they pick the
+    # same touch row; 24h gap compared in exact microseconds.
+    sql["events_attribution"] = """
+        WITH t AS (
+            SELECT event_type, ts,
+                last_value(CASE WHEN event_type IN
+                    ('view', 'click', 'signup') THEN event_type END
+                    IGNORE NULLS) OVER w AS lt,
+                last_value(CASE WHEN event_type IN
+                    ('view', 'click', 'signup') THEN ts END
+                    IGNORE NULLS) OVER w AS lts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT COALESCE(CASE WHEN lts IS NOT NULL
+                AND date_diff('microsecond', lts, ts)
+                    <= CAST(86400 AS BIGINT) * 1000000
+                THEN lt END, '(none)') AS channel,
+            CAST(count(*) AS BIGINT) AS n_conversions
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1"""
+
     sql["events_seqmatch"] = """
         WITH coded AS (
             SELECT user_id, ts, event_id,

@@ -33,6 +33,7 @@ from cubes_spark.llm.util import spread
 
 __all__ = [
     "content_hash",
+    "source_shingle_overlap",
     "exact_duplicates",
     "dedup_against",
     "duplicate_spans",
@@ -863,3 +864,53 @@ def cdc_dedup_stats(df: DataFrame, text_col: str = "text",
             "dup_chunk_bp",
             F.expr("(10000 * n_dup_chunks) div n_chunks"))
     )
+
+
+def source_shingle_overlap(df: DataFrame, group_col: str = "source",
+                           text_col: str = "text",
+                           k: int = 5) -> DataFrame:
+    """Pairwise content overlap between corpus slices (sources,
+    dumps, snapshots): the Jaccard similarity of each pair's distinct
+    character-``k``-shingle sets, in integer basis points — the
+    corpus-level contamination/duplication diagnostic ("how much of
+    source B is already in source A?") that per-document dedup never
+    aggregates.
+
+    Returns ``(source_a, source_b, n_a, n_b, n_common, jaccard_bp)``
+    for pairs sharing at least one shingle, ``source_a < source_b``.
+
+    Scale shape: shingles dedupe to the (group, shingle) grain FIRST
+    (one shuffle), so the self-join on the shingle key does
+    ``#groups-containing-it²`` work per shingle — bounded by the
+    number of slices, never by corpus size; sizes attach via two
+    equi-joins on the group key.  Union sizes come from
+    inclusion-exclusion, all-integer.
+    """
+    sh = (df.select(F.col(group_col).alias("__g__"),
+                    F.explode(_shingle_array(F.col(text_col), k))
+                    .alias("__s__"))
+          .distinct().persist())
+    sizes = sh.groupBy("__g__").agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"))
+    inter = (
+        sh.join(sh.select(F.col("__g__").alias("__g2__"),
+                          F.col("__s__")), "__s__")
+        .filter(F.col("__g__") < F.col("__g2__"))
+        .groupBy(F.col("__g__").alias("ga"),
+                 F.col("__g2__").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col("__g__").alias("ga"),
+                           F.col("__n__").alias("n_a")), "ga")
+        .join(sizes.select(F.col("__g__").alias("gb"),
+                           F.col("__n__").alias("n_b")), "gb")
+        .withColumn(
+            "jaccard_bp",
+            F.expr("(10000 * n_common)"
+                   " div (n_a + n_b - n_common)"))
+    )
+    return out.select(
+        F.col("ga").alias("source_a"), F.col("gb").alias("source_b"),
+        "n_a", "n_b", "n_common", "jaccard_bp")

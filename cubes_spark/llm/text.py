@@ -33,6 +33,8 @@ __all__ = [
     "stratified_sample",
     "mixture_sample",
     "pmi_collocations",
+    "token_diversity",
+    "readability_scores",
     "normalize_unicode",
     "pack_sequences",
     "PII_PATTERNS",
@@ -1013,3 +1015,79 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
     )
     return out.select("word_a", "word_b", "n_pair", "n_a", "n_b",
                       "lift_ppm")
+
+
+def token_diversity(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document lexical diversity as the Gini–Simpson index in
+    exact parts-per-million: ``1 − Σ(c_i/n)² = (n² − Σc_i²)/n²`` over
+    the document's token counts — the repetition/templating signal
+    (low diversity = boilerplate, keyword stuffing, generated spam)
+    that stays fully rational: no logs, no doubles, bit-identical at
+    any parallelism.
+
+    Returns ``(doc_id, n_tokens, n_distinct, diversity_ppm)``; empty
+    documents produce no row (a 0-token diversity is undefined).
+
+    Scale shape: explode is narrow; two keyed aggregations, both at
+    the (doc, token) / doc grain.  Sums run in decimal(38,0) — safe
+    past 10^9-token documents.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(token_array(F.col(text_col)))
+                     .alias("__w__"))
+    per = toks.groupBy(id_col, "__w__").agg(
+        F.count(F.lit(1)).alias("__c__"))
+    dec = "decimal(38,0)"
+    agg = per.groupBy(id_col).agg(
+        F.sum("__c__").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("__c__").cast(dec) * F.col("__c__").cast(dec))
+        .alias("__s2__"),
+    )
+    return agg.select(
+        F.col(id_col), F.col("n_tokens"), F.col("n_distinct"),
+        F.expr(f"CAST((CAST(1000000 AS {dec})"
+               f" * (CAST(n_tokens AS {dec}) * n_tokens - __s2__))"
+               f" div (CAST(n_tokens AS {dec}) * n_tokens)"
+               f" AS BIGINT)").alias("diversity_ppm"),
+    )
+
+
+def readability_scores(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document readability in integer milli-points — the
+    Flesch-reading-ease shape (206.835 − 1.015·words/sentences −
+    84.6·syllables/words) with floor-division semantics so the score
+    is exact, engine-portable and SQL-replayable:
+
+    ``score_milli = 206835 − (1015·n_words) div n_sentences
+    − (84600·n_syllables) div n_words``
+
+    Sentences are terminal-punctuation runs (``[.!?]+``, min 1);
+    syllables per word are vowel-group counts (``[aeiouyAEIOUY]+``,
+    min 1 per word) — the standard dictionary-free approximation.
+    Returns ``(doc_id, n_words, n_sentences, n_syllables,
+    score_milli)``; empty documents produce no row.
+
+    Scale shape: pure JVM column expressions (regexp counts), no
+    explode, no shuffle beyond the source scan.
+    """
+    text = F.col(text_col)
+    tokens = token_array(text)
+    n_words = F.size(tokens)
+    n_sentences = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1))
+    syl = F.aggregate(
+        tokens, F.lit(0),
+        lambda acc, w: acc + F.greatest(
+            F.regexp_count(w, F.lit("[aeiouyAEIOUY]+")), F.lit(1)))
+    out = (df.select(F.col(id_col),
+                     n_words.cast("long").alias("n_words"),
+                     n_sentences.cast("long").alias("n_sentences"),
+                     syl.cast("long").alias("n_syllables"))
+           .filter(F.col("n_words") > 0))
+    return out.withColumn(
+        "score_milli",
+        F.expr("206835 - (1015 * n_words) div n_sentences"
+               " - (84600 * n_syllables) div n_words").cast("long"))

@@ -747,3 +747,68 @@ def kcore_subgraph(edges: DataFrame, k: int, rounds: int = 3,
             break
     return (cur.groupBy(F.col("s").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+
+
+def hits_scores(edges: DataFrame, iterations: int = 2,
+                scale: int = 10 ** 12,
+                src_col: str = "src",
+                dst_col: str = "dst") -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999) over a directed edge
+    list: authorities are pointed at by good hubs, hubs point at good
+    authorities.  Like :func:`link_pagerank`, every step is INTEGER —
+    scores live in ``1/scale`` units and each half-iteration
+    renormalizes by SUM (share-of-total) instead of the classical L2
+    norm, because a square root cannot be replayed exactly by integer
+    arithmetic; the ranking order is unaffected (both norms are
+    monotone rescalings of the same vector).  Fixed ``iterations``,
+    deterministic at any parallelism, ANSI-SQL-oracle replayable.
+
+    Per half-iteration: one join of scores to edges and one
+    map-side-combinable sum on the opposite endpoint; plans are
+    truncated per round with ``localCheckpoint`` against lineage
+    blowup.  Normalization totals are single-row aggregates crossed
+    back in (decimal(38,0) products — no long overflow for any
+    ``scale <= 10^12`` and node counts into the billions).
+    Returns ``(node, auth_units, hub_units)``.
+    """
+    if scale <= 0 or scale > 10 ** 12:
+        raise ValueError(f"scale must be in (0, 10^12], got {scale}")
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (edges.select(src.alias("node"))
+             .union(edges.select(dst.alias("node"))).distinct()
+             .localCheckpoint(eager=False))
+    ed = (edges.select(src.alias("__src__"), dst.alias("__dst__"))
+          .localCheckpoint(eager=False))
+    dec = "decimal(38,0)"
+
+    def normalized(raw: DataFrame, col: str) -> DataFrame:
+        """scale * v div total, via a broadcast single-row total."""
+        tot = raw.agg(F.sum(col).cast(dec).alias("__tot__"))
+        return (raw.crossJoin(F.broadcast(tot))
+                .select("node", F.expr(
+                    f"CAST(CASE WHEN __tot__ = 0 THEN 0 ELSE "
+                    f"(CAST({col} AS {dec}) * {scale}) div __tot__ "
+                    f"END AS BIGINT)").alias(col)))
+
+    hubs = nodes.withColumn("hub_units", F.lit(scale).cast("long"))
+    auths = nodes.withColumn("auth_units", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        raw_a = (ed.join(hubs.withColumnRenamed("node", "__src__"),
+                         "__src__")
+                 .groupBy(F.col("__dst__").alias("node"))
+                 .agg(F.sum("hub_units").alias("auth_units")))
+        raw_a = (nodes.join(raw_a, "node", "left")
+                 .select("node", F.coalesce("auth_units", F.lit(0))
+                         .cast("long").alias("auth_units")))
+        auths = normalized(raw_a, "auth_units") \
+            .localCheckpoint(eager=False)
+        raw_h = (ed.join(auths.withColumnRenamed("node", "__dst__"),
+                         "__dst__")
+                 .groupBy(F.col("__src__").alias("node"))
+                 .agg(F.sum("auth_units").alias("hub_units")))
+        raw_h = (nodes.join(raw_h, "node", "left")
+                 .select("node", F.coalesce("hub_units", F.lit(0))
+                         .cast("long").alias("hub_units")))
+        hubs = normalized(raw_h, "hub_units") \
+            .localCheckpoint(eager=False)
+    return auths.join(hubs, "node")

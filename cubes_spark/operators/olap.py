@@ -711,19 +711,28 @@ def sequence_match(events: DataFrame, key_col: str, ts_col: str,
 
 
 def _cum_value_histogram(df: DataFrame, col: str,
-                         num_buckets: int = 256) -> Optional[DataFrame]:
+                         num_buckets: int = 256,
+                         weighted: bool = False
+                         ) -> Optional[DataFrame]:
     """Distinct-value histogram of an integer column with EXACT
     cumulative counts ``__cum__ = #(x <= v)``, fully distributed:
     one groupBy to |distinct| rows, then the two-phase prefix sum over
     deterministic VALUE buckets (the pack_sequences pattern — never a
     one-partition window).  Per-bucket totals are a bounded collect
     (one row per bucket); cumulative counts finish bucket-locally.
-    Returns ``(__v__, __cnt__, __cum__)`` or None when empty."""
+    With ``weighted`` an additional ``__wcum__ = Σ_(x<=v) x·count(x)``
+    runs alongside in decimal(38,0) (same bucket offsets, exact).
+    Returns ``(__v__, __cnt__, __cum__[, __wcum__])`` or None when
+    empty."""
     from pyspark.sql.window import Window as W
 
+    dec = "decimal(38,0)"
     hist = (df.filter(F.col(col).isNotNull())
             .groupBy(F.col(col).cast("long").alias("__v__"))
             .agg(F.count(F.lit(1)).alias("__cnt__")))
+    if weighted:
+        hist = hist.withColumn(
+            "__w__", F.col("__v__").cast(dec) * F.col("__cnt__"))
     bounds = hist.agg(F.min("__v__").alias("lo"),
                       F.max("__v__").alias("hi")).first()
     if bounds["lo"] is None:
@@ -733,21 +742,34 @@ def _cum_value_histogram(df: DataFrame, col: str,
     hist = hist.withColumn(
         "__pid__",
         F.floor((F.col("__v__") - F.lit(lo)) / F.lit(width)).cast("int"))
-    totals = hist.groupBy("__pid__").agg(
-        F.sum("__cnt__").alias("__tot__")).collect()
-    offsets, acc = [], 0
+    aggs = [F.sum("__cnt__").alias("__tot__")]
+    if weighted:
+        aggs.append(F.sum("__w__").alias("__wtot__"))
+    totals = hist.groupBy("__pid__").agg(*aggs).collect()
+    offsets, acc, wacc = [], 0, 0
     for row in sorted(totals, key=lambda r: r["__pid__"]):
-        offsets.append((row["__pid__"], acc))
+        offsets.append((row["__pid__"], acc,
+                        str(wacc) if weighted else "0"))
         acc += row["__tot__"] or 0
+        if weighted:
+            wacc += int(row["__wtot__"] or 0)
     spark = df.sparkSession
     off_df = F.broadcast(spark.createDataFrame(
-        offsets or [(0, 0)], "__pid__ int, __poff__ long"))
+        offsets or [(0, 0, "0")],
+        "__pid__ int, __poff__ long, __wpoff__ string"))
     local = (W.partitionBy("__pid__").orderBy("__v__")
              .rowsBetween(W.unboundedPreceding, 0))
-    return (hist.join(off_df, "__pid__")
-            .withColumn("__cum__", F.col("__poff__")
-                        + F.sum("__cnt__").over(local))
-            .select("__v__", "__cnt__", "__cum__"))
+    out = (hist.join(off_df, "__pid__")
+           .withColumn("__cum__", F.col("__poff__")
+                       + F.sum("__cnt__").over(local)))
+    cols = ["__v__", "__cnt__", "__cum__"]
+    if weighted:
+        out = out.withColumn(
+            "__wcum__",
+            F.col("__wpoff__").cast(dec)
+            + F.sum("__w__").over(local))
+        cols.append("__wcum__")
+    return out.select(*cols)
 
 
 def exact_disc_quantiles(df: DataFrame, col: str,
@@ -771,6 +793,150 @@ def exact_disc_quantiles(df: DataFrame, col: str,
         for i, r in enumerate(ranks)
     ]).first()
     return [row[f"b{i}"] for i in range(len(ranks))]
+
+
+def grouped_iqr_outliers(df: DataFrame, group_cols: Sequence[str],
+                         value_col: str) -> DataFrame:
+    """Per-group Tukey-fence outlier counts on exact integer quartiles:
+    for every group, Q1/Q3 as percentile_disc order statistics of the
+    value in cents, and the number of rows outside ``[Q1 − 1.5·IQR,
+    Q3 + 1.5·IQR]`` — the boxplot outlier rule, all-integer (the
+    halves are cleared by comparing ``2·v`` against ``2·Q − 3·IQR``).
+
+    Scale shape: ranks come from a window PARTITIONED BY THE GROUP
+    (never global); quartiles fall out of one conditional aggregate
+    per group, rejoined on the group key for the fence count.  Skewed
+    groups cost what their row count costs — same bound as any
+    per-group sort.
+    """
+    from pyspark.sql.window import Window as W
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(*[F.col(c) for c in group_cols],
+                     cents.alias("__v__"))
+    w_ord = W.partitionBy(*group_cols).orderBy("__v__")
+    w_all = W.partitionBy(*group_cols)
+    ranked = (base.withColumn("__rn__", F.row_number().over(w_ord))
+              .withColumn("__n__", F.count(F.lit(1)).over(w_all)))
+    q = ranked.groupBy(*group_cols).agg(
+        F.max("__n__").cast("long").alias("n_rows"),
+        F.min(F.when(
+            F.col("__rn__") >= F.expr("(__n__ + 3) div 4"),
+            F.col("__v__"))).alias("q1_cents"),
+        F.min(F.when(
+            F.col("__rn__") >= F.expr("(3 * __n__ + 3) div 4"),
+            F.col("__v__"))).alias("q3_cents"),
+    )
+    fenced = base.join(q, list(group_cols))
+    iqr = F.col("q3_cents") - F.col("q1_cents")
+    is_out = ((2 * F.col("__v__") < 2 * F.col("q1_cents") - 3 * iqr)
+              | (2 * F.col("__v__") > 2 * F.col("q3_cents") + 3 * iqr))
+    return (fenced.groupBy(*group_cols)
+            .agg(F.max("n_rows").alias("n_rows"),
+                 F.max("q1_cents").alias("q1_cents"),
+                 F.max("q3_cents").alias("q3_cents"),
+                 F.sum(is_out.cast("long")).cast("long")
+                 .alias("n_outliers")))
+
+
+def window_funnel(events: DataFrame, key_col: str, ts_col: str,
+                  type_col: str, steps: Sequence[str],
+                  window_seconds: int) -> DataFrame:
+    """Time-constrained funnel (the ClickHouse ``windowFunnel`` shape)
+    with EARLIEST-CHAIN semantics: per key, t₁ is the first step-1
+    event, t₂ the first step-2 event strictly after t₁, and so on;
+    ``steps_reached`` is the deepest chain link with ``tₖ − t₁ <=
+    window`` (microsecond-exact).  Earliest-chain is deterministic and
+    SQL-replayable — unlike sliding-origin variants whose result
+    depends on scan order — and is the standard conversion-window
+    question ("signed up, then purchased within 24h?").
+
+    Scale shape: one conditional aggregation per step over the SAME
+    key-grain shuffle (min-if columns computed iteratively, each
+    referencing the previous step's time — a single groupBy with
+    chained aggregates is impossible since step k's filter needs step
+    k−1's result, so each step is one more agg + broadcast-joinable
+    key-grain frame); k steps = k key-grain passes, never a per-event
+    window.  Returns ``(key, t1, steps_reached)`` for keys that
+    reached step 1.
+    """
+    code = None
+    for i, s in enumerate(steps):
+        c = F.when(F.col(type_col) == F.lit(s), F.lit(i))
+        code = c if code is None else c.otherwise(code)
+    ev = (events.select(F.col(key_col).alias("__k__"),
+                        F.col(ts_col).alias("__t__"),
+                        code.alias("__s__"))
+          .filter(F.col("__s__").isNotNull()).persist())
+    cur = (ev.filter(F.col("__s__") == 0)
+           .groupBy("__k__").agg(F.min("__t__").alias("t_0")))
+    for i in range(1, len(steps)):
+        nxt = (ev.filter(F.col("__s__") == i)
+               .join(cur.select("__k__", F.col(f"t_{i-1}")), "__k__")
+               .filter(F.col("__t__") > F.col(f"t_{i-1}"))
+               .groupBy("__k__").agg(F.min("__t__").alias(f"t_{i}")))
+        cur = cur.join(nxt.select("__k__", f"t_{i}"), "__k__", "left")
+    lim = F.lit(int(window_seconds) * 1_000_000)
+    # depth stops at the FIRST failing link (missing step or window
+    # blown) — later links cannot revive it even if their mins exist
+    depth = F.lit(1)
+    stopped = F.lit(False)
+    for i in range(1, len(steps)):
+        ok = (F.col(f"t_{i}").isNotNull()
+              & ((F.unix_micros(F.col(f"t_{i}"))
+                  - F.unix_micros(F.col("t_0"))) <= lim))
+        depth = F.when(~stopped & ok, depth + 1).otherwise(depth)
+        stopped = stopped | ~ok
+    return cur.select(
+        F.col("__k__").alias(key_col),
+        F.col("t_0").alias("t1"),
+        depth.cast("long").alias("steps_reached"))
+
+
+def seasonality_profile(df: DataFrame, group_cols: Sequence[str],
+                        ts_col: str, value_col: str,
+                        slot: str = "hour_of_day") -> DataFrame:
+    """Seasonal index per time slot (hour-of-day / day-of-week) in
+    exact parts-per-million: each slot's mean relative to its group's
+    overall mean, computed by integer cross-multiplication —
+    ``index_ppm = (10^6 · slot_sum · n_total) div (total_sum ·
+    slot_n)`` — so no mean is ever divided out in doubles.  The
+    classic load-curve / traffic-shape profile (index 10^6 = an
+    average slot).
+
+    Returns ``(group..., slot, n_rows, sum_cents, index_ppm)``.
+
+    Scale shape: one shuffle to the (group, slot) grain (24 or 7 rows
+    per group); group totals come from a window over THAT grain.
+    Products in decimal(38,0).
+    """
+    slots = {"hour_of_day": F.hour, "day_of_week": F.dayofweek}
+    if slot not in slots:
+        raise ValueError(f"unsupported slot {slot!r}")
+    from pyspark.sql.window import Window as W
+
+    gcols = [F.col(c) for c in group_cols]
+    b = (
+        df.groupBy(*gcols,
+                   slots[slot](F.col(ts_col)).cast("long")
+                   .alias("slot"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum(F.round(F.col(value_col) * 100).cast("long"))
+             .cast("long").alias("sum_cents"))
+    )
+    whole = W.partitionBy(*group_cols)
+    dec = "decimal(38,0)"
+    scored = (
+        b.withColumn("__tn__", F.sum("n_rows").over(whole))
+        .withColumn("__ts__", F.sum("sum_cents").over(whole))
+        .withColumn(
+            "index_ppm",
+            F.expr(f"CAST((1000000 * CAST(sum_cents AS {dec})"
+                   f" * __tn__) div (CAST(__ts__ AS {dec})"
+                   f" * n_rows) AS BIGINT)"))
+    )
+    return scored.select(*group_cols, "slot", "n_rows", "sum_cents",
+                         "index_ppm")
 
 
 def cusum_changepoint(df: DataFrame, group_cols: Sequence[str],
@@ -886,6 +1052,59 @@ def gini_concentration(df: DataFrame, key_col: str,
     )
 
 
+def abc_classification(df: DataFrame, key_col: str, amount_col: str,
+                       thresholds_bp: Sequence[int] = (8000, 9500),
+                       num_buckets: int = 256) -> DataFrame:
+    """ABC / Pareto classification ("which 20% of customers carry 80%
+    of revenue"): keys ranked by total DESCENDING; a key's class comes
+    from the cumulative revenue share down to and INCLUDING its whole
+    value tie-group — share ≤ 80% → A, ≤ 95% → B, else C (thresholds
+    in basis points).  Computing at the value grain makes ties share a
+    class by construction and keeps everything exact integers.
+
+    For value v with tie count c, cumulative ascending revenue wcum
+    and grand total S: ``revenue_from_top(v) = S − wcum + v·c`` and
+    ``share_bp = (10000·revenue_from_top) div S``.
+
+    Returns ``(key, total_cents, share_from_top_bp, abc_class)``.
+
+    Scale shape: one fact→key shuffle, then the weighted two-phase
+    cumulative histogram (:func:`_cum_value_histogram` — bounded
+    collects only, no global sort-rank) and one value-grain equi-join
+    back to the keys.
+    """
+    grain = (
+        df.groupBy(F.col(key_col))
+        .agg(F.sum(F.round(F.col(amount_col) * 100).cast("long"))
+             .cast("long").alias("__x__"))
+        .persist()
+    )
+    cum = _cum_value_histogram(grain, "__x__", num_buckets,
+                               weighted=True)
+    if cum is None:
+        raise ValueError("abc_classification: empty input")
+    dec = "decimal(38,0)"
+    total = cum.agg(F.max("__wcum__").alias("s")).first()["s"]
+    shares = cum.select(
+        F.col("__v__"),
+        F.expr(
+            f"CAST((10000 * (CAST('{total}' AS {dec}) - __wcum__"
+            f" + CAST(__v__ AS {dec}) * __cnt__))"
+            f" div CAST('{total}' AS {dec}) AS BIGINT)")
+        .alias("share_from_top_bp"))
+    t1, t2 = thresholds_bp
+    out = grain.join(shares,
+                     grain["__x__"] == shares["__v__"])
+    return out.select(
+        F.col(key_col),
+        F.col("__x__").alias("total_cents"),
+        F.col("share_from_top_bp"),
+        F.when(F.col("share_from_top_bp") <= t1, "A")
+        .when(F.col("share_from_top_bp") <= t2, "B")
+        .otherwise("C").alias("abc_class"),
+    )
+
+
 def rfm_segments(df: DataFrame, key_col: str, ts_col: str,
                  amount_col: str, as_of: str,
                  n_bins: int = 4) -> DataFrame:
@@ -940,3 +1159,242 @@ def rfm_segments(df: DataFrame, key_col: str, ts_col: str,
         "segment",
         (F.col("r_score") * 100 + F.col("f_score") * 10
          + F.col("m_score")).cast("long"))
+
+
+def markov_transitions(events: DataFrame, key_col: str, ts_col: str,
+                       type_col: str,
+                       tiebreak_col: Optional[str] = None) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences (the "what happens after X" behavioural model the
+    reference's drilldown browser cannot express — it has no
+    sequential window surface; SURVEY §2.4).  Per key, events are
+    ordered by ``(ts, tiebreak)`` and every adjacent pair ``(state,
+    next_state)`` is counted; ``prob_ppm`` is the exact
+    parts-per-million transition probability ``10^6 · n(a→b) div
+    n(a→*)`` — integer division, no double ratios, so any SQL engine
+    replays it bit-for-bit.
+
+    Returns ``(from_type, to_type, n_transitions, prob_ppm)``.
+
+    Scale shape: one shuffle to the key grain for the lead() window
+    (partitioned per key — never a global sort), then one aggregation
+    to the (from, to) grain, which has at most |states|² rows; the
+    per-state totals come from a window over THAT tiny grain.
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = W.partitionBy(F.col(key_col)).orderBy(*order)
+    pairs = (events
+             .withColumn("__next__", F.lead(F.col(type_col)).over(w))
+             .filter(F.col("__next__").isNotNull())
+             .groupBy(F.col(type_col).alias("from_type"),
+                      F.col("__next__").alias("to_type"))
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_transitions")))
+    w_from = W.partitionBy("from_type")
+    return (pairs
+            .withColumn("__tot__",
+                        F.sum("n_transitions").over(w_from))
+            .withColumn(
+                "prob_ppm",
+                F.expr("CAST((1000000 * CAST(n_transitions AS "
+                       "decimal(38,0))) div __tot__ AS BIGINT)"))
+            .drop("__tot__"))
+
+
+def longest_streak(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Gaps-and-islands: per key, the longest run of CONSECUTIVE
+    calendar months with at least one row (the classic engagement /
+    retention-streak question).  A month is indexed ``year·12 +
+    month − 1``; within a key, islands fall out of the standard
+    ``index − row_number()`` grouping constant — no iteration, no
+    self-join.  Ties on run length break to the EARLIEST run.
+
+    Returns ``(key, n_active_months, longest_streak,
+    streak_start_year, streak_start_month)``.
+
+    Scale shape: distinct to the (key, month) grain (one shuffle),
+    a row_number window partitioned per key over that tiny grain
+    (≤ a few hundred months per key), then two key-grain
+    aggregations.  Nothing is ever globally ordered.
+    """
+    from pyspark.sql.window import Window as W
+
+    midx = (F.year(F.col(ts_col)) * 12
+            + F.month(F.col(ts_col)) - 1).cast("long")
+    months = (df.select(F.col(key_col).alias("__k__"),
+                        midx.alias("__m__"))
+              .distinct())
+    w = W.partitionBy("__k__").orderBy("__m__")
+    runs = (months
+            .withColumn("__isl__",
+                        F.col("__m__")
+                        - F.row_number().over(w).cast("long"))
+            .groupBy("__k__", "__isl__")
+            .agg(F.count(F.lit(1)).cast("long").alias("__len__"),
+                 F.min("__m__").alias("__start__")))
+    best = (runs.groupBy("__k__")
+            .agg(F.sum("__len__").cast("long")
+                 .alias("n_active_months"),
+                 F.max(F.struct(F.col("__len__"),
+                                (-F.col("__start__"))
+                                .alias("__negs__")))
+                 .alias("__b__")))
+    return best.select(
+        F.col("__k__").alias(key_col),
+        F.col("n_active_months"),
+        F.col("__b__.__len__").alias("longest_streak"),
+        (-F.col("__b__.__negs__")).cast("long").alias("__si__"),
+    ).select(
+        key_col, "n_active_months", "longest_streak",
+        F.expr("__si__ div 12").cast("long")
+        .alias("streak_start_year"),
+        (F.col("__si__") % 12 + 1).cast("long")
+        .alias("streak_start_month"),
+    )
+
+
+def grouped_mad(df: DataFrame, group_cols: Sequence[str],
+                value_col: str) -> DataFrame:
+    """Per-group median absolute deviation on exact integer cents —
+    the robust dispersion measure (Hampel 1974): ``median(|x −
+    median(x)|)`` with both medians as percentile_disc order
+    statistics (smallest value whose 1-based rank reaches
+    ``(n+1) div 2``), so every engine agrees on ties and nothing is
+    interpolated in doubles.
+
+    Returns ``(group..., n_rows, median_cents, mad_cents)``.
+
+    Scale shape: two window-rank passes, both PARTITIONED BY THE
+    GROUP (never global), each followed by a one-row-per-group
+    conditional aggregate; the medians travel back via a key-grain
+    (broadcastable) join.  Same cost bound as two per-group sorts.
+    """
+    from pyspark.sql.window import Window as W
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(*[F.col(c) for c in group_cols],
+                     cents.alias("__v__"))
+
+    def disc_median(frame, col, out):
+        w_ord = W.partitionBy(*group_cols).orderBy(col)
+        w_all = W.partitionBy(*group_cols)
+        ranked = (frame
+                  .withColumn("__rn__", F.row_number().over(w_ord))
+                  .withColumn("__n__", F.count(F.lit(1)).over(w_all)))
+        return ranked.groupBy(*group_cols).agg(
+            F.max("__n__").cast("long").alias(f"{out}_n"),
+            F.min(F.when(
+                F.col("__rn__") >= F.expr("(__n__ + 1) div 2"),
+                F.col(col))).alias(out))
+
+    med = disc_median(base, "__v__", "median_cents")
+    dev = (base.join(med, list(group_cols))
+           .withColumn("__d__",
+                       F.abs(F.col("__v__") - F.col("median_cents"))))
+    mad = disc_median(dev.select(*group_cols, "__d__"),
+                      "__d__", "mad_cents")
+    return (med.join(mad.select(*group_cols, "mad_cents"),
+                     list(group_cols))
+            .select(*group_cols,
+                    F.col("median_cents_n").alias("n_rows"),
+                    "median_cents", "mad_cents"))
+
+
+def last_touch_attribution(events: DataFrame, key_col: str,
+                           ts_col: str, type_col: str,
+                           conversion: str,
+                           channels: Sequence[str],
+                           window_seconds: int,
+                           tiebreak_col: Optional[str] = None) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    credited to the MOST RECENT strictly-preceding channel event by
+    the same key within ``window_seconds`` (microsecond-exact gap);
+    conversions with no in-window channel touch land in the
+    ``(none)`` bucket.  Strictly-preceding means the window frame
+    ends 1 row before the conversion under the deterministic
+    ``(ts, tiebreak)`` order, so a channel event sharing the
+    conversion's timestamp attributes only by tiebreak order — the
+    same rule any SQL replay applies.
+
+    Returns ``(channel, n_conversions)``.
+
+    Scale shape: one shuffle to the key grain for the
+    last-ignore-nulls window (running state, no self-join, no
+    per-conversion scan-back), then a |channels|+1-row aggregation.
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = (W.partitionBy(F.col(key_col)).orderBy(*order)
+         .rowsBetween(W.unboundedPreceding, -1))
+    is_ch = F.col(type_col).isin(list(channels))
+    touched = (events
+               .withColumn("__lt__",
+                           F.last(F.when(is_ch, F.col(type_col)),
+                                  ignorenulls=True).over(w))
+               .withColumn("__lts__",
+                           F.last(F.when(is_ch, F.col(ts_col)),
+                                  ignorenulls=True).over(w)))
+    lim = F.lit(int(window_seconds) * 1_000_000)
+    gap_ok = (F.col("__lts__").isNotNull()
+              & ((F.unix_micros(F.col(ts_col))
+                  - F.unix_micros(F.col("__lts__"))) <= lim))
+    return (touched
+            .filter(F.col(type_col) == F.lit(conversion))
+            .select(F.when(gap_ok, F.col("__lt__"))
+                    .otherwise(F.lit("(none)")).alias("channel"))
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_conversions")))
+
+
+def clamped_running_sum(df: DataFrame, key_col: str, ts_col: str,
+                        delta_col: str,
+                        tiebreak_col: Optional[str] = None) -> DataFrame:
+    """Running balance clamped at a zero floor — inventory that
+    cannot go negative, wallets that cannot overdraw: ``B_i =
+    max(B_{i-1} + x_i, 0)``.  The recurrence LOOKS inherently
+    sequential, but the zero-floor case has a closed form over
+    prefix sums: ``B_i = S_i − min(0, min_{j<=i} S_j)`` (subtracting
+    the deepest sub-zero excursion so far restores every clamp at
+    once), so the whole operator is two running windows — no
+    per-group iteration, no stateful UDF, no driver loop.
+
+    Adds ``balance`` (the clamped running sum) and ``clamped``
+    (true on rows where the floor actually bit, i.e. the prefix sum
+    set a new strict minimum below zero).
+
+    Scale shape: one shuffle to the key grain; both windows are
+    running frames over the same (ts, tiebreak) order — a single
+    sort per partition serves all of them.
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_run = (W.partitionBy(F.col(key_col)).orderBy(*order)
+             .rowsBetween(W.unboundedPreceding, 0))
+    w_prev = (W.partitionBy(F.col(key_col)).orderBy(*order)
+              .rowsBetween(W.unboundedPreceding, -1))
+    staged = df.withColumn("__s__",
+                           F.sum(F.col(delta_col)).over(w_run))
+    runmin = F.min(F.col("__s__")).over(w_run)
+    prevmin = F.min(F.col("__s__")).over(w_prev)
+    out = (staged
+           .withColumn("balance",
+                       (F.col("__s__")
+                        - F.least(F.lit(0).cast("long"),
+                                  runmin)).cast("long"))
+           .withColumn(
+               "clamped",
+               F.col("__s__") < F.least(
+                   F.lit(0).cast("long"),
+                   F.coalesce(prevmin, F.lit(0).cast("long")))))
+    return out.drop("__s__")

@@ -257,3 +257,79 @@ def zorder_skip_ratio(path: str, box: dict) -> float:
                 skipped += 1
                 break
     return skipped / max(len(stats), 1)
+
+
+def hilbert_step_exprs(x: str, y: str, d: str, s: int,
+                       div: str = "div"):
+    """One unrolled iteration of the classic ``xy2d`` Hilbert-curve
+    walk as THREE engine-portable SQL expressions ``(x', y', d')``:
+    quadrant bits fall out of ``(v div s) % 2`` (pure arithmetic —
+    no ``&``/``^``, whose meaning differs between engines: ``^`` is
+    XOR in Spark but exponentiation in DuckDB), the gray-code
+    quadrant index is the closed form ``3·rx + ry − 2·rx·ry`` and
+    the rotation/reflection is a two-level CASE.  ``div`` is the
+    engine's integer-division token (``div`` for Spark SQL, ``//``
+    for DuckDB) — the ONLY dialect difference, so both engines
+    execute byte-identical logic.
+    """
+    rx = f"((({x}) {div} {s}) % 2)"
+    ry = f"((({y}) {div} {s}) % 2)"
+    de = f"(({d}) + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}))"
+    # the current bit is stripped as part of the rotation, so every
+    # operand stays in [0, 2s) and truncating vs flooring division
+    # can never disagree (the classic formulation reflects the FULL
+    # coordinate and goes negative mid-walk — engine-dependent)
+    xe = (f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+          f"THEN {s - 1} - ({y}) ELSE ({y}) END) "
+          f"ELSE (({x}) - {rx} * {s}) END)")
+    ye = (f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+          f"THEN {2 * s - 1} - ({x}) ELSE ({x}) END) "
+          f"ELSE (({y}) - {s}) END)")
+    return xe, ye, de
+
+
+def hilbert_value(df: DataFrame, cols: Sequence[str],
+                  bits: int = 16, out_col: str = "h") -> DataFrame:
+    """Add a 2-D Hilbert-curve clustering value over ``cols`` — the
+    stronger-locality sibling of :func:`zorder_value`: unlike the
+    Morton curve, the Hilbert curve never jumps across the space
+    (consecutive curve positions are always grid neighbours), so
+    curve segments map to even TIGHTER min/max boxes per file and
+    footer-statistics pruning skips more at the same file count —
+    the layout choice behind e.g. Databricks liquid clustering.
+
+    Columns are min-max scaled to ``bits`` bits exactly as in
+    :func:`zorder_value` (one tiny stats aggregate broadcast back),
+    then the ``xy2d`` walk runs as ``bits`` unrolled integer steps
+    (:func:`hilbert_step_exprs`) — pure column arithmetic inside one
+    whole-stage-codegen projection, no UDF, and SQL-oracle
+    replayable token-for-token.
+    """
+    if len(cols) != 2:
+        raise ValueError("hilbert_value is 2-D: pass exactly 2 cols")
+    cols = list(cols)
+    stats = df.agg(*[f(c).cast("long").alias(f"__{n}_{c}__")
+                     for c in cols
+                     for f, n in ((F.min, "mn"), (F.max, "mx"))])
+    joined = df.crossJoin(F.broadcast(stats))
+    for c, t in zip(cols, ("__hx__", "__hy__")):
+        joined = joined.withColumn(t, F.expr(
+            f"(((CAST({c} AS BIGINT) - __mn_{c}__) * "
+            f"{(1 << bits) - 1}) div "
+            f"greatest(__mx_{c}__ - __mn_{c}__, 1))"))
+    joined = joined.withColumn("__hd__", F.lit(0).cast("long"))
+    s = 1 << (bits - 1)
+    while s > 0:
+        xe, ye, de = hilbert_step_exprs(
+            "__hx__", "__hy__", "__hd__", s, div="div")
+        joined = joined.withColumns({
+            "__hx2__": F.expr(xe), "__hy2__": F.expr(ye),
+            "__hd__": F.expr(de)})
+        joined = (joined.drop("__hx__", "__hy__")
+                  .withColumnRenamed("__hx2__", "__hx__")
+                  .withColumnRenamed("__hy2__", "__hy__"))
+        s >>= 1
+    drop = ([f"__{n}_{c}__" for c in cols for n in ("mn", "mx")]
+            + ["__hx__", "__hy__"])
+    return (joined.withColumn(out_col, F.col("__hd__").cast("long"))
+            .drop(*drop, "__hd__"))

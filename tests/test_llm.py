@@ -2662,3 +2662,70 @@ class TestPMICollocations:
         # N counts 'solo' too: 5 unigrams
         assert len(out) == 1 and out[0]["lift_ppm"] == \
             (1_000_000 * 2 * 5) // (2 * 2)
+
+
+class TestTokenDiversity:
+    def test_hand_computed_ppm(self, spark):
+        from cubes_spark.llm import token_diversity
+
+        docs = spark.createDataFrame(
+            [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"), (4, " ")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               token_diversity(docs).collect()}
+        assert set(out) == {1, 2, 3}  # blank doc drops
+        assert out[1]["diversity_ppm"] == 0  # all same token
+        # 4 distinct singletons: (16-4)/16 = 0.75
+        assert out[2]["diversity_ppm"] == 750_000
+        # two pairs: (16-8)/16 = 0.5
+        assert out[3]["diversity_ppm"] == 500_000
+        assert (out[3]["n_tokens"], out[3]["n_distinct"]) == (4, 2)
+
+
+class TestSourceShingleOverlap:
+    def test_identical_disjoint_partial(self, spark):
+        from cubes_spark.llm.dedup import source_shingle_overlap
+
+        docs = spark.createDataFrame(
+            [(1, "A", "hello world"), (2, "B", "hello world"),
+             (3, "C", "zzzzzzzz")],
+            "doc_id long, source string, text string")
+        out = {(r["source_a"], r["source_b"]): r for r in
+               source_shingle_overlap(docs).collect()}
+        # A and B identical -> jaccard 1.0; C shares nothing -> absent
+        assert set(out) == {("A", "B")}
+        r = out[("A", "B")]
+        assert r["jaccard_bp"] == 10000 and r["n_a"] == r["n_common"]
+
+    def test_partial_overlap_counts(self, spark):
+        from cubes_spark.llm.dedup import source_shingle_overlap
+
+        # k=3 shingles; "abcd" -> {abc, bcd}; "bcde" -> {bcd, cde}
+        docs = spark.createDataFrame(
+            [(1, "A", "abcd"), (2, "B", "bcde")],
+            "doc_id long, source string, text string")
+        r = source_shingle_overlap(docs, k=3).collect()[0]
+        assert (r["n_a"], r["n_b"], r["n_common"]) == (2, 2, 1)
+        assert r["jaccard_bp"] == 10000 // 3
+
+
+class TestReadability:
+    def test_hand_computed(self, spark):
+        from cubes_spark.llm import readability_scores
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat. the dog ran!"),
+             (2, "xyz"),      # no vowels -> 1 syllable minimum
+             (3, "   ")],     # blank -> dropped
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               readability_scores(docs).collect()}
+        assert set(out) == {1, 2}
+        r = out[1]
+        # 6 words, 2 sentences, 6 single-vowel-group syllables
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == \
+            (6, 2, 6)
+        assert r["score_milli"] == 206835 - (1015 * 6) // 2 - 84600
+        r2 = out[2]
+        assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) \
+            == (1, 1, 1)

@@ -553,3 +553,267 @@ def test_cusum_changepoint_level_shift(spark):
     assert out["a"]["n_buckets"] == 5
     assert out["b"]["cp_stat"] == 0
     assert out["b"]["cp_ts"] == t0
+
+
+def test_grouped_iqr_outliers_hand_case(spark):
+    """Group of 1..11 plus one far point: quartile ranks ceil(n/4)=3,
+    ceil(3n/4)=9; fences catch exactly the planted outlier."""
+    from cubes_spark.operators.olap import grouped_iqr_outliers
+
+    vals = [float(v) for v in range(1, 12)] + [100.0]
+    rows = [("a", v) for v in vals] + [("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in
+           grouped_iqr_outliers(df, ["g"], "v").collect()}
+    a = out["a"]
+    assert a["n_rows"] == 12
+    assert (a["q1_cents"], a["q3_cents"]) == (300, 900)
+    # fences: [300 - 900, 900 + 900] = [-600, 1800] -> only 10000 out
+    assert a["n_outliers"] == 1
+    b = out["b"]
+    assert (b["q1_cents"], b["q3_cents"], b["n_outliers"]) == \
+        (500, 600, 0)
+
+
+def test_window_funnel_earliest_chain(spark):
+    """Depth stops at the first blown link; later in-window events
+    cannot revive it; chain times are strictly increasing."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import window_funnel
+
+    t0 = dt.datetime(2020, 1, 1)
+
+    def e(u, minutes, typ):
+        return (u, t0 + dt.timedelta(minutes=minutes), typ)
+
+    rows = [
+        # u1 completes in order within the hour window
+        e(1, 0, "a"), e(1, 10, "b"), e(1, 20, "c"),
+        # u2: b BEFORE first a -> never counts; no later b
+        e(2, 5, "b"), e(2, 10, "a"), e(2, 20, "c"),
+        # u3: b inside window, c outside it -> depth 2
+        e(3, 0, "a"), e(3, 30, "b"), e(3, 90, "c"),
+        # u4 never signs up -> absent
+        e(4, 0, "b"), e(4, 1, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, t string")
+    out = {r["u"]: r["steps_reached"] for r in window_funnel(
+        df, "u", "ts", "t", ["a", "b", "c"], 3600).collect()}
+    assert out == {1: 3, 2: 1, 3: 2}
+
+
+def test_abc_classification_pareto(spark):
+    """One whale (90% of revenue) is C?? no — whale carries the TOP
+    share: its from-top share is its own 90% -> above 80% threshold?
+    Exactly: whale share_from_top = 9000 <= 9500 -> B; minnows land C.
+    A tie-group shares its class."""
+    from cubes_spark.operators.olap import abc_classification
+
+    rows = [(1, 90.0)] + [(k, 5.0) for k in (2, 3)]
+    df = spark.createDataFrame(rows, "k long, amt double")
+    out = {r["k"]: r for r in
+           abc_classification(df, "k", "amt").collect()}
+    assert out[1]["share_from_top_bp"] == 9000
+    assert out[1]["abc_class"] == "B"
+    # minnows: from-top share includes everything = 10000 -> C
+    assert out[2]["abc_class"] == "C" and out[3]["abc_class"] == "C"
+    assert out[2]["share_from_top_bp"] == 10000
+
+    # steeper curve: 80/15/5 -> exactly 8000 is still A
+    df2 = spark.createDataFrame(
+        [(1, 80.0), (2, 15.0), (3, 5.0)], "k long, amt double")
+    out2 = {r["k"]: r["abc_class"] for r in
+            abc_classification(df2, "k", "amt").collect()}
+    assert out2 == {1: "A", 2: "B", 3: "C"}
+
+
+def test_seasonality_profile_index(spark):
+    """Two slots, one group: hour 0 carries 3x the per-row value of
+    hour 1 -> indexes bracket 10^6 and cross-multiply exactly."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import seasonality_profile
+
+    t0 = dt.datetime(2020, 1, 1, 0, 0)
+    t1 = dt.datetime(2020, 1, 1, 1, 0)
+    rows = [("a", t0, 3.0), ("a", t0, 3.0),
+            ("a", t1, 1.0), ("a", t1, 1.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["slot"]: r for r in seasonality_profile(
+        df, ["g"], "ts", "v").collect()}
+    # overall mean 2.0; slot means 3.0 and 1.0
+    assert out[0]["index_ppm"] == 1_500_000
+    assert out[1]["index_ppm"] == 500_000
+    assert out[0]["sum_cents"] == 600 and out[0]["n_rows"] == 2
+
+
+def test_markov_transitions_hand_case(spark):
+    """Two users: u1 v->c->p, u2 v->v. Transitions: v->c 1, c->p 1,
+    v->v 1; from 'v' total 2 -> each 500000 ppm."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import markov_transitions
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [(1, t0, 1, "v"), (1, t0 + dt.timedelta(seconds=1), 2, "c"),
+            (1, t0 + dt.timedelta(seconds=2), 3, "p"),
+            (2, t0, 4, "v"), (2, t0 + dt.timedelta(seconds=1), 5, "v")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, t string")
+    out = {(r["from_type"], r["to_type"]):
+           (r["n_transitions"], r["prob_ppm"])
+           for r in markov_transitions(df, "user_id", "ts", "t",
+                                       "event_id").collect()}
+    assert out == {("v", "c"): (1, 500000), ("v", "v"): (1, 500000),
+                   ("c", "p"): (1, 1000000)}
+
+
+def test_markov_same_ts_tiebreak(spark):
+    """Events sharing a timestamp order by the tiebreak column."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import markov_transitions
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [(1, t0, 2, "b"), (1, t0, 1, "a")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, t string")
+    out = markov_transitions(df, "user_id", "ts", "t",
+                             "event_id").collect()
+    assert [(r["from_type"], r["to_type"]) for r in out] == [("a", "b")]
+
+
+def test_longest_streak_islands(spark):
+    """Customer 1: months {Jan,Feb,Mar, Jun,Jul 2020} -> longest 3
+    starting 2020-01; customer 2 single month. Duplicate rows in a
+    month count once. December->January rollover joins runs."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import longest_streak
+
+    rows = ([(1, dt.datetime(2020, m, d)) for m, d in
+             [(1, 5), (1, 20), (2, 1), (3, 9), (6, 2), (7, 30)]]
+            + [(2, dt.datetime(2021, 4, 1))]
+            + [(3, dt.datetime(2019, 12, 25)), (3, dt.datetime(2020, 1, 3))])
+    df = spark.createDataFrame(rows, "k long, d timestamp")
+    out = {r["k"]: r for r in longest_streak(df, "k", "d").collect()}
+    assert (out[1]["n_active_months"], out[1]["longest_streak"],
+            out[1]["streak_start_year"],
+            out[1]["streak_start_month"]) == (5, 3, 2020, 1)
+    assert (out[2]["longest_streak"], out[2]["streak_start_month"]) \
+        == (1, 4)
+    assert (out[3]["longest_streak"], out[3]["streak_start_year"],
+            out[3]["streak_start_month"]) == (2, 2019, 12)
+
+
+def test_longest_streak_earliest_tie(spark):
+    """Two runs of equal length -> the earlier one is reported."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import longest_streak
+
+    rows = [(1, dt.datetime(2020, m, 1)) for m in (1, 2, 5, 6)]
+    df = spark.createDataFrame(rows, "k long, d timestamp")
+    r = longest_streak(df, "k", "d").first()
+    assert (r["longest_streak"], r["streak_start_month"]) == (2, 1)
+
+
+def test_grouped_mad_hand_case(spark):
+    """Group a: [1,2,3,4,100] -> median 3.00, deviations
+    [2,1,0,1,97] -> MAD 1.00 (robust to the outlier). Even group b:
+    [1,2,3,4] -> percentile_disc median = rank-2 value 2.00."""
+    from cubes_spark.operators.olap import grouped_mad
+
+    rows = ([("a", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)]
+            + [("b", v) for v in (1.0, 2.0, 3.0, 4.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in grouped_mad(df, ["g"], "v").collect()}
+    assert (out["a"]["n_rows"], out["a"]["median_cents"],
+            out["a"]["mad_cents"]) == (5, 300, 100)
+    assert (out["b"]["median_cents"], out["b"]["mad_cents"]) \
+        == (200, 100)
+
+
+def test_last_touch_attribution_semantics(spark):
+    """u1: click 10s before purchase -> 'click'. u2: view outside the
+    window -> '(none)'. u3: view then click -> last touch 'click'.
+    u4: channel at the SAME ts as the purchase, earlier tiebreak ->
+    attributes; later tiebreak does not."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import last_touch_attribution
+
+    t0 = dt.datetime(2020, 1, 1, 12)
+    rows = [
+        (1, t0, 1, "click"), (1, t0 + dt.timedelta(seconds=10), 2, "purchase"),
+        (2, t0 - dt.timedelta(hours=2), 3, "view"),
+        (2, t0, 4, "purchase"),
+        (3, t0, 5, "view"), (3, t0 + dt.timedelta(seconds=1), 6, "click"),
+        (3, t0 + dt.timedelta(seconds=2), 7, "purchase"),
+        (4, t0, 8, "signup"), (4, t0, 9, "purchase"),
+        (5, t0, 11, "purchase"), (5, t0, 12, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, t string")
+    out = {r["channel"]: r["n_conversions"]
+           for r in last_touch_attribution(
+               df, "user_id", "ts", "t", "purchase",
+               ["view", "click", "signup"], 3600,
+               tiebreak_col="event_id").collect()}
+    assert out == {"click": 2, "signup": 1, "(none)": 2}
+
+
+def test_clamped_running_sum_closed_form(spark):
+    """Hand case: deltas [5,-10,3,-1,-5,4] -> balances
+    [5,0,3,2,0,4] with clamps at rows 2 and 5 (the prefix sum's
+    new strict minima below zero)."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import clamped_running_sum
+
+    t0 = dt.datetime(2020, 1, 1)
+    deltas = [5, -10, 3, -1, -5, 4]
+    rows = [(1, t0 + dt.timedelta(seconds=i), i, d)
+            for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, i long, d long")
+    out = [(r["balance"], r["clamped"]) for r in
+           clamped_running_sum(df, "k", "ts", "d", "i")
+           .orderBy("i").collect()]
+    assert out == [(5, False), (0, True), (3, False), (2, False),
+                   (0, True), (4, False)]
+    # brute-force equivalence on the same data
+    bal, brute = 0, []
+    for d in deltas:
+        clamped = bal + d < 0
+        bal = max(bal + d, 0)
+        brute.append((bal, clamped))
+    assert out == brute
+
+
+def test_clamped_running_sum_never_negative_property(spark):
+    """Pseudo-random deltas across several keys: closed form always
+    equals the sequential recurrence and never dips below 0."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import clamped_running_sum
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = []
+    for k in range(5):
+        for i in range(40):
+            d = ((i * 2654435761 + k * 40503) % 21) - 10
+            rows.append((k, t0 + dt.timedelta(seconds=i), i, d))
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, i long, d long")
+    got = {(r["k"], r["i"]): (r["balance"], r["clamped"]) for r in
+           clamped_running_sum(df, "k", "ts", "d", "i").collect()}
+    for k in range(5):
+        bal = 0
+        for i in range(40):
+            d = ((i * 2654435761 + k * 40503) % 21) - 10
+            clamped = bal + d < 0
+            bal = max(bal + d, 0)
+            assert got[(k, i)] == (bal, clamped)
+            assert bal >= 0

@@ -257,3 +257,51 @@ def test_zorder_value_constant_column(spark):
     out = zorder_value(df, ["c", "v"], bits=4).collect()
     zs = sorted((r.v, r.z) for r in out)
     assert all(z1 <= z2 for (_, z1), (_, z2) in zip(zs, zs[1:]))
+
+
+def _xy2d_ref(order, x, y):
+    d, s = 0, 1 << (order - 1)
+    while s > 0:
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            x, y = ((s - 1 - y) if rx else y,
+                    (2 * s - 1 - x) if rx else x)
+        else:
+            x, y = x - rx * s, y - s
+        s >>= 1
+    return d
+
+
+def test_hilbert_matches_reference_walk(spark):
+    """hilbert_value over a full 8x8 grid (inputs already spanning
+    0..7 so min-max scaling is identity) reproduces the classic
+    xy2d walk: a bijection onto 0..63 whose consecutive positions
+    are always grid neighbours."""
+    from cubes_spark.operators.scale import hilbert_value
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r["x"], r["y"]): r["h"]
+           for r in hilbert_value(df, ["x", "y"], bits=3).collect()}
+    assert sorted(got.values()) == list(range(64))
+    for (x, y), h in got.items():
+        assert h == _xy2d_ref(3, x, y)
+    pos = {h: xy for xy, h in got.items()}
+    for d in range(63):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_locality_no_jumps_after_scaling(spark):
+    """With real-valued inputs the curve still has no long jumps:
+    any two rows adjacent on the curve are close in BOTH scaled
+    dimensions (the Morton curve violates this at quadrant seams)."""
+    from cubes_spark.operators.scale import hilbert_value
+
+    rows = [(i, (i * 37) % 101, (i * 61) % 103) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = hilbert_value(df, ["a", "b"], bits=5).collect()
+    assert len(out) == 200
+    assert len({r["h"] for r in out}) > 150  # mostly distinct cells

@@ -577,3 +577,35 @@ class TestKCore:
         r7 = sorted(map(tuple, kcore_subgraph(
             e.repartition(7), k=3, until_converged=True).collect()))
         assert r1 == r7 and r1
+
+
+class TestHits:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def test_star_authority(self, spark):
+        """Every hub points at node 0: node 0 gets ALL authority,
+        hubs split hub mass equally, node 0 has no hub score."""
+        from cubes_spark.llm.web import hits_scores
+
+        e = self._edges(spark, [(1, 0), (2, 0), (3, 0)])
+        out = {r["node"]: (r["auth_units"], r["hub_units"])
+               for r in hits_scores(e, iterations=2,
+                                    scale=10 ** 6).collect()}
+        assert out[0][0] == 10 ** 6 and out[0][1] == 0
+        assert out[1] == out[2] == out[3]
+        assert out[1][0] == 0
+        # three equal hubs: 10^6 div 3 each (truncated)
+        assert out[1][1] == 333333
+
+    def test_partition_invariance(self, spark):
+        """Integer arithmetic: same scores at any parallelism."""
+        from cubes_spark.llm.web import hits_scores
+
+        pairs = [(i, (i * 3 + 1) % 7) for i in range(7)] + \
+                [(i, (i * 5 + 2) % 7) for i in range(7)]
+        a = hits_scores(self._edges(spark, pairs).repartition(1),
+                        iterations=2).collect()
+        b = hits_scores(self._edges(spark, pairs).repartition(13),
+                        iterations=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -4365,6 +4365,75 @@ def q_events_balance(spark, sf_dir):
                  .alias("n_clamps")))
 
 
+def q_events_holt(spark, sf_dir):
+    """Holt linear-trend smoothing over daily value sums per event
+    type (cubes_spark/operators/olap.py:holt_trend; Holt 1957,
+    alpha=beta=1/2): deterministic fixed-point integer recurrence
+    folded JVM-side with F.aggregate over the calendar-bounded
+    series — arithmetic shifts so Spark and the oracle's recursive
+    CTE floor identically on negative trends."""
+    from cubes_spark.operators.olap import holt_trend
+
+    ev = _table(spark, sf_dir, "events")
+    return holt_trend(ev, ["event_type"], "ts", "value",
+                      bucket="day", horizon=1)
+
+
+def q_events_bitmap(spark, sf_dir):
+    """Mergeable-bitmap EXACT distinct rollup
+    (functions/sketches.py:bitmap_distinct_rollup; the ClickHouse
+    groupBitmap / Druid bitmap-index pattern): per-type distinct
+    users from packed bit arrays built in one (type, chunk) pass,
+    and the '(all)' row from OR-merging those same kilobyte bitmaps
+    — the second grain never rescans the facts."""
+    from cubes_spark.functions.sketches import bitmap_distinct_rollup
+
+    ev = _table(spark, sf_dir, "events")
+    return bitmap_distinct_rollup(ev, "event_type", "user_id")
+
+
+def q_doc_rake(spark, sf_dir):
+    """RAKE keyphrase extraction (llm/text.py:rake_keyphrases; Rose
+    et al. 2010) in exact integer ppm: phrases are maximal
+    stopword/punctuation-delimited content-token runs (gaps-and-
+    islands over a per-document window), each word scores
+    10^6*degree div frequency over all kept phrases, a phrase sums
+    its word scores — no double ratios, SQL-replayable."""
+    from cubes_spark.llm import rake_keyphrases
+
+    docs = _table(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, "text", "doc_id")
+
+
+def q_events_semiadd(spark, sf_dir):
+    """Semi-additive LastNonEmpty aggregation
+    (operators/olap.py:semiadditive_last): per month and event type,
+    each user contributes the value of their LAST event — never a
+    sum along time — summed across users; enforces what the
+    reference only annotates (nonadditive='time',
+    metadata/attributes.py:298-338).  Both shuffles are algebraic
+    max(struct) / sum — map-side combinable, no fact-table window."""
+    from cubes_spark.operators.olap import semiadditive_last
+
+    ev = _table(spark, sf_dir, "events")
+    return semiadditive_last(ev, ["event_type"], "user_id", "ts",
+                             "value", bucket="month",
+                             tiebreak_cols=["event_id"])
+
+
+def q_events_acf(spark, sf_dir):
+    """Integer-exact autocorrelation of daily value sums per event
+    type at lags 1..7 (operators/olap.py:autocorrelation): n-scaled
+    deviations d_i = n*y_i - S avoid the mean division, decimal(38,0)
+    products, sign * truncating-div ppm so Spark's div and DuckDB's
+    // agree on negative correlations."""
+    from cubes_spark.operators.olap import autocorrelation
+
+    ev = _table(spark, sf_dir, "events")
+    return autocorrelation(ev, ["event_type"], "ts", "value",
+                           bucket="day", max_lag=7)
+
+
 def q_rfm_customers(spark, sf_dir):
     """RFM quartile segmentation of customers from their orders
     (cubes_spark/operators/olap.py:rfm_segments): exact
@@ -4719,6 +4788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_hilbert": q_lineitem_hilbert,
         "doc_hits": q_doc_hits,
         "events_balance": q_events_balance,
+        "events_holt": q_events_holt,
+        "events_bitmap": q_events_bitmap,
+        "doc_rake": q_doc_rake,
+        "events_semiadd": q_events_semiadd,
+        "events_acf": q_events_acf,
         "orders_streaks": q_orders_streaks,
         "orders_mad": q_orders_mad,
         "events_attribution": q_events_attribution,
@@ -5921,6 +5995,170 @@ def oracle_sql() -> dict[str, str]:
             CAST(sum(CASE WHEN clamped THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_clamps
         FROM b GROUP BY user_id"""
+
+    # Holt smoothing: the same fixed-point walk as a recursive CTE
+    # carrying (l, b) per group; >> floors on both engines.
+    sql["events_holt"] = """
+        WITH RECURSIVE b AS MATERIALIZED (
+            SELECT event_type AS g, date_trunc('day', ts) AS d,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        lists AS (
+            SELECT g, list(y ORDER BY d) AS ys,
+                count(*) AS n
+            FROM b GROUP BY g HAVING count(*) >= 2
+        ),
+        walk AS (
+            SELECT g, n, ys, 2 AS t,
+                CAST(ys[1] AS BIGINT) AS l,
+                CAST(ys[2] - ys[1] AS BIGINT) AS bt
+            FROM lists
+            UNION ALL
+            SELECT g, n, ys, t + 1,
+                (ys[t + 1] + l + bt) >> 1,
+                (((ys[t + 1] + l + bt) >> 1) - l + bt) >> 1
+            FROM walk WHERE t < n
+        )
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n_buckets,
+            l AS level_cents, bt AS trend_cents,
+            CAST(l + 1 * bt AS BIGINT) AS forecast_cents
+        FROM walk WHERE t = n"""
+
+    # Bitmap rollup is exact, so the oracle is plain count(distinct)
+    # at both grains — equality proves the merged bitmaps lose
+    # nothing.
+    sql["events_bitmap"] = """
+        SELECT event_type,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        UNION ALL
+        SELECT '(all)',
+            CAST(count(DISTINCT user_id) AS BIGINT)
+        FROM events WHERE user_id IS NOT NULL"""
+
+    # RAKE: replay tokenization, the stopword/punctuation delimiting,
+    # the gaps-and-islands phrase assembly and the integer
+    # degree/frequency scores end-to-end.  Island constants differ by
+    # a fixed 1 (0- vs 1-based positions) — only within-doc equality
+    # matters.
+    sql["doc_rake"] = r"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                CASE WHEN trim(lower(text)) = '' THEN []
+                     ELSE string_split_regex(trim(lower(text)),
+                                             '\s+') END AS t
+            FROM documents
+        ),
+        words AS MATERIALIZED (
+            SELECT doc_id, p, w FROM (
+                SELECT doc_id, i AS p, t[i] AS w
+                FROM (SELECT doc_id, t,
+                          unnest(generate_series(1, len(t))) AS i
+                      FROM toks)
+            )
+            WHERE w <> ''
+              AND w NOT IN ('the','and','of','to','in','is','that',
+                            'it','was','for')
+              AND NOT regexp_matches(w, '[^a-z0-9]')
+        ),
+        phr AS MATERIALIZED (
+            SELECT doc_id, isl, list(w ORDER BY p) AS ws,
+                count(*) AS plen
+            FROM (SELECT doc_id, p, w,
+                      p - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY p) AS isl
+                  FROM words)
+            GROUP BY 1, 2 HAVING count(*) <= 4
+        ),
+        occw AS MATERIALIZED (
+            SELECT doc_id, isl, plen, unnest(ws) AS w FROM phr
+        ),
+        wstats AS MATERIALIZED (
+            SELECT w,
+                CAST((1000000 * CAST(sum(plen) AS HUGEINT))
+                     // count(*) AS BIGINT) AS score
+            FROM occw GROUP BY 1
+        ),
+        occ AS (
+            SELECT o.doc_id, o.isl,
+                CAST(sum(s.score) AS BIGINT) AS s
+            FROM occw o JOIN wstats s ON o.w = s.w
+            GROUP BY 1, 2
+        )
+        SELECT array_to_string(p.ws, ' ') AS phrase,
+            CAST(max(p.plen) AS BIGINT) AS n_words,
+            CAST(count(*) AS BIGINT) AS n_occurrences,
+            CAST(max(o.s) AS BIGINT) AS score_ppm
+        FROM phr p
+        JOIN occ o ON p.doc_id = o.doc_id AND p.isl = o.isl
+        GROUP BY 1 HAVING count(*) >= 2"""
+
+    # Semi-additive LastNonEmpty: the oracle picks each user's last
+    # event per month with a row_number window — (ts, event_id) is
+    # unique, so it equals Spark's algebraic max(struct) pick.
+    sql["events_semiadd"] = """
+        WITH v AS (
+            SELECT event_type, date_trunc('month', ts) AS bucket,
+                CAST(round(value * 100) AS BIGINT) AS v,
+                row_number() OVER (
+                    PARTITION BY event_type, user_id,
+                        date_trunc('month', ts)
+                    ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT event_type, bucket,
+            CAST(count(*) AS BIGINT) AS n_entities,
+            CAST(sum(v) AS BIGINT) AS last_sum_cents
+        FROM v WHERE rn = 1 GROUP BY 1, 2"""
+
+    # ACF: n-scaled integer deviations, lag windows over the bucket
+    # series, sign * truncating-div ppm (// on positive operands).
+    sql["events_acf"] = """
+        WITH b AS MATERIALIZED (
+            SELECT event_type AS g, date_trunc('day', ts) AS d,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (SELECT g, count(*) AS n, sum(y) AS tot
+              FROM b GROUP BY 1),
+        l AS (
+            SELECT b.g, b.d, s.n,
+                CAST(s.n AS HUGEINT) * y - CAST(s.tot AS HUGEINT)
+                    AS dv
+            FROM b JOIN s USING (g)
+        ),
+        lg AS (
+            SELECT g, n, dv,
+                lag(dv, 1) OVER w AS p1, lag(dv, 2) OVER w AS p2,
+                lag(dv, 3) OVER w AS p3, lag(dv, 4) OVER w AS p4,
+                lag(dv, 5) OVER w AS p5, lag(dv, 6) OVER w AS p6,
+                lag(dv, 7) OVER w AS p7
+            FROM l
+            WINDOW w AS (PARTITION BY g ORDER BY d)
+        ),
+        pg AS (
+            SELECT g, max(n) AS n, sum(dv * dv) AS den,
+                sum(dv * p1) AS n1, sum(dv * p2) AS n2,
+                sum(dv * p3) AS n3, sum(dv * p4) AS n4,
+                sum(dv * p5) AS n5, sum(dv * p6) AS n6,
+                sum(dv * p7) AS n7
+            FROM lg GROUP BY 1
+        ),
+        e AS (
+            SELECT g, n, den,
+                unnest(generate_series(1, 7)) AS k,
+                unnest([n1, n2, n3, n4, n5, n6, n7]) AS num
+            FROM pg WHERE den > 0
+        )
+        SELECT g AS event_type, CAST(k AS BIGINT) AS lag,
+            CAST(n AS BIGINT) AS n_buckets,
+            CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((1000000 * abs(num)) // den) AS BIGINT)
+                AS acf_ppm
+        FROM e WHERE n >= k + 2"""
 
     # Markov transitions: lead() under (ts, event_id) order, integer
     # ppm probabilities — per-state totals from a window over the

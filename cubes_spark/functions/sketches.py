@@ -475,3 +475,77 @@ def kmv_set_ops(sketch: DataFrame, group_col: str,
             inter_est.alias("inter_est"),
             F.expr("(10000 * __c__) div __m__").alias("jaccard_bp"))
     )
+
+
+def bitmap_distinct_rollup(df: DataFrame, group_col: str,
+                           id_col: str, chunk_bits: int = 20,
+                           all_label: str = "(all)") -> DataFrame:
+    """EXACT distinct counting at two grains from one pass over the
+    facts, via mergeable roaring-style bitmaps (the ClickHouse
+    ``groupBitmap`` / Druid bitmap-index pattern): integer ids are
+    chunked into ``2^chunk_bits``-wide ranges, each (group, chunk)
+    builds a packed bit array with one Arrow-batched applyInPandas,
+    and the GROUP rollup ORs chunk bitmaps across groups — so the
+    global distinct count comes from the per-group bitmaps, never a
+    second scan of the raw facts.
+
+    Why it matters at 100 TB: ``count(distinct)`` at two grains
+    normally costs two full shuffles of the fact table; here the
+    facts shuffle once to the (group, chunk) grain — the heavy
+    step — and the rollup merges KILOBYTE bitmaps (2^chunk_bits/8
+    bytes each, dense ranges only), the same way a pre-aggregated
+    bitmap index answers any slice's exact distinct by ORing
+    segment bitmaps.  Unlike HLL/KMV this is exact; unlike
+    collect_set it is bounded per task by the chunk width.
+
+    Returns ``(group, n_distinct)`` with one extra ``all_label`` row
+    for the across-groups rollup.  Ids must be non-negative.
+    """
+    import pandas as pd
+
+    chunk_size = 1 << chunk_bits
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(id_col).cast("long").alias("__id__"),
+    ).filter(F.col("__id__").isNotNull())
+    keyed = base.select(
+        "g",
+        F.expr(f"__id__ div {chunk_size}").alias("chunk"),
+        (F.col("__id__") % chunk_size).alias("off"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bits = np.zeros(chunk_size, dtype=bool)
+        bits[pdf["off"].to_numpy()] = True
+        return pd.DataFrame({
+            "g": [pdf["g"].iloc[0]],
+            "chunk": [pdf["chunk"].iloc[0]],
+            "bitmap": [np.packbits(bits).tobytes()],
+            "n_bits": [int(bits.sum())],
+        })
+
+    chunked = keyed.groupBy("g", "chunk").applyInPandas(
+        build, "g string, chunk long, bitmap binary, n_bits long")
+    chunked = chunked.persist()
+    per_group = (chunked.groupBy("g")
+                 .agg(F.sum("n_bits").cast("long")
+                      .alias("n_distinct")))
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        arrs = [np.frombuffer(b, dtype=np.uint8)
+                for b in pdf["bitmap"]]
+        merged = np.bitwise_or.reduce(arrs)
+        n = int(np.unpackbits(merged).sum())
+        return pd.DataFrame({"chunk": [pdf["chunk"].iloc[0]],
+                             "n_bits": [n]})
+
+    rolled = (chunked.groupBy("chunk")
+              .applyInPandas(merge, "chunk long, n_bits long")
+              .agg(F.sum("n_bits").cast("long").alias("n_distinct"))
+              .select(F.lit(all_label).alias("g"), "n_distinct"))
+    return (per_group.unionByName(rolled)
+            .select(F.col("g").alias(group_col),
+                    F.col("n_distinct")))

@@ -1091,3 +1091,72 @@ def readability_scores(df: DataFrame, text_col: str = "text",
         "score_milli",
         F.expr("206835 - (1015 * n_words) div n_sentences"
                " - (84600 * n_syllables) div n_words").cast("long"))
+
+
+def rake_keyphrases(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", max_len: int = 4,
+                    min_count: int = 2) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) in exact integer
+    ppm: candidate phrases are maximal runs of content tokens
+    (lowercased whitespace tokens that are not in the ``en``
+    stopword list and contain no non-alphanumeric character — the
+    deterministic stand-in for RAKE's punctuation/stopword
+    delimiters), capped at ``max_len`` words; each word is scored
+    ``degree/frequency`` over all kept phrases (degree = sum of the
+    lengths of the phrases it appears in) as ``10^6·deg div freq``,
+    and a phrase scores the sum of its word scores — no double
+    ratios anywhere, so a SQL oracle replays bit-for-bit.
+
+    Returns ``(phrase, n_words, n_occurrences, score_ppm)`` for
+    phrases occurring at least ``min_count`` times corpus-wide.
+
+    Scale shape: phrase assembly is the gaps-and-islands pattern
+    over a per-document window (position − row_number — never a
+    cross-document window); word stats and phrase scores are two
+    token-grain aggregations plus a broadcastable join of the small
+    word-score table back to phrase occurrences.
+    """
+    from pyspark.sql.window import Window as W
+
+    stop = [s for s in STOPWORDS["en"]]
+    toks = token_array(F.lower(F.col(text_col)))
+    pos = (df.select(F.col(id_col).alias("__id__"),
+                     F.posexplode(toks).alias("__p__", "__t__")))
+    words = pos.filter((F.col("__t__") != "")
+                       & ~F.col("__t__").isin(stop)
+                       & ~F.col("__t__").rlike("[^a-z0-9]"))
+    w = W.partitionBy("__id__").orderBy("__p__")
+    phr = (words
+           .withColumn("__isl__",
+                       F.col("__p__") - F.row_number().over(w))
+           .groupBy("__id__", "__isl__")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct(F.col("__p__"), F.col("__t__")))),
+               lambda s: s.getField("__t__")).alias("__ws__"),
+               F.count(F.lit(1)).cast("long").alias("plen"))
+           .filter(F.col("plen") <= max_len))
+    occ_words = phr.select("__id__", "__isl__", "plen",
+                           F.explode("__ws__").alias("w"))
+    dec = "decimal(38,0)"
+    wstats = (occ_words.groupBy("w")
+              .agg(F.count(F.lit(1)).cast("long").alias("__f__"),
+                   F.sum("plen").cast("long").alias("__d__"))
+              .withColumn("__score__", F.expr(
+                  f"CAST((1000000 * CAST(__d__ AS {dec}))"
+                  f" div __f__ AS BIGINT)")))
+    occ = (occ_words.join(F.broadcast(wstats.select("w", "__score__")),
+                          "w")
+           .groupBy("__id__", "__isl__")
+           .agg(F.max("plen").alias("plen"),
+                F.sum("__score__").cast("long").alias("__s__")))
+    phrases = (phr.select("__id__", "__isl__",
+                          F.concat_ws(" ", F.col("__ws__"))
+                          .alias("phrase"))
+               .join(occ, ["__id__", "__isl__"]))
+    return (phrases.groupBy("phrase")
+            .agg(F.max("plen").cast("long").alias("n_words"),
+                 F.count(F.lit(1)).cast("long")
+                 .alias("n_occurrences"),
+                 F.max("__s__").cast("long").alias("score_ppm"))
+            .filter(F.col("n_occurrences") >= min_count))

@@ -1398,3 +1398,179 @@ def clamped_running_sum(df: DataFrame, key_col: str, ts_col: str,
                    F.lit(0).cast("long"),
                    F.coalesce(prevmin, F.lit(0).cast("long")))))
     return out.drop("__s__")
+
+
+def holt_trend(df: DataFrame, group_cols: Sequence[str],
+               ts_col: str, value_col: str, bucket: str = "day",
+               horizon: int = 1) -> DataFrame:
+    """Holt linear-trend smoothing (Holt 1957, alpha = beta = 1/2)
+    over per-group bucketed sums, in deterministic FIXED-POINT
+    integer cents: with both constants 1/2 the recurrences are
+
+        L_t = (Y_t + L_{t-1} + B_{t-1}) >> 1
+        B_t = ((L_t - L_{t-1}) + B_{t-1}) >> 1
+
+    where ``>>`` is the arithmetic right shift — floor division that
+    Spark and every SQL engine agree on for NEGATIVE trends too
+    (truncating `div` would disagree with Python/DuckDB floor
+    semantics).  Init: L_1 = Y_1, B_1 = Y_2 − Y_1 (the classic
+    two-point start).  Truncation loses < 1 cent per step — the
+    price of a recurrence that is bit-identical at any parallelism
+    and SQL-replayable (link_pagerank's fixed-point argument).
+
+    The recurrence looks sequential, but each group's bucket series
+    is bounded by the CALENDAR, not the data (30 rows for a month of
+    days — at 100 TB the fact rows grow, the series does not), so it
+    folds JVM-side over a sorted per-group array with
+    ``F.aggregate`` — no UDF, no driver loop, one shuffle to the
+    (group, bucket) grain and one to the group grain.
+
+    Returns ``(group..., n_buckets, level_cents, trend_cents,
+    forecast_cents)`` with ``forecast = L_T + horizon·B_T``; groups
+    with fewer than 2 buckets are dropped (no trend is defined).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    b = (df.groupBy(*gcols,
+                    F.date_trunc(bucket, F.col(ts_col)).alias("__b__"))
+         .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+              .cast("long").alias("__y__")))
+    series = (b.groupBy(*group_cols)
+              .agg(F.array_sort(
+                  F.collect_list(F.struct(F.col("__b__").alias("b"),
+                                          F.col("__y__").alias("y"))))
+                  .alias("__s__"))
+              .filter(F.size("__s__") >= 2))
+    ys = F.expr("transform(__s__, p -> p.y)")
+
+    def _step(acc, y):
+        lp, bp = acc.getField("l"), acc.getField("b")
+        lt = F.shiftright(y + lp + bp, 1)
+        bt = F.shiftright((lt - lp) + bp, 1)
+        return F.struct(lt.alias("l"), bt.alias("b"))
+
+    folded = series.withColumn(
+        "__st__",
+        F.aggregate(
+            F.slice(ys, 3, F.greatest(F.size(ys) - 2, F.lit(0))),
+            F.expr("named_struct("
+                   "'l', CAST(__s__[0].y AS BIGINT), "
+                   "'b', CAST(__s__[1].y - __s__[0].y AS BIGINT))"),
+            _step,
+        ))
+    return folded.select(
+        *group_cols,
+        F.size("__s__").cast("long").alias("n_buckets"),
+        F.col("__st__.l").alias("level_cents"),
+        F.col("__st__.b").alias("trend_cents"),
+        (F.col("__st__.l")
+         + F.lit(int(horizon)) * F.col("__st__.b")).cast("long")
+        .alias("forecast_cents"))
+
+
+def semiadditive_last(df: DataFrame, group_cols: Sequence[str],
+                      entity_col: str, ts_col: str, value_col: str,
+                      bucket: str = "month",
+                      tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """Semi-additive aggregation with LastNonEmpty semantics (the
+    SSAS/Essbase pattern for balance-style measures): within each
+    time bucket, every entity contributes its LAST observed value —
+    never the sum along time — and values add only ACROSS entities.
+    This executes what the reference merely annotates: cubes models
+    carry ``nonadditive="time"`` on measures
+    (/root/reference/cubes/metadata/attributes.py:298-338) but its
+    SQL backend still emits plain SUM — the semantics are documented,
+    not enforced.  Here they are enforced.
+
+    The last-per-entity pick is ``max(struct(ts, tiebreak...,
+    value))`` — an ALGEBRAIC aggregate, so both shuffles (to the
+    (group, bucket, entity) grain, then to (group, bucket)) get
+    map-side partial aggregation; no row_number window over the fact
+    table ever exists in the plan.  ``tiebreak_cols`` make the pick
+    deterministic when one entity has several rows on the same
+    timestamp (pass a unique id).
+
+    Returns ``(group..., bucket, n_entities, last_sum_cents)`` in
+    exact integer cents.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    tb = [F.col(c) for c in tiebreak_cols]
+    picked = (df.groupBy(*gcols, F.col(entity_col).alias("__e__"),
+                         F.date_trunc(bucket, F.col(ts_col))
+                         .alias("bucket"))
+              .agg(F.max(F.struct(
+                  F.col(ts_col).alias("__t__"), *tb,
+                  F.round(F.col(value_col) * 100).cast("long")
+                  .alias("__v__"))).alias("__last__")))
+    return (picked.groupBy(*group_cols, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_entities"),
+                 F.sum("__last__.__v__").cast("long")
+                 .alias("last_sum_cents")))
+
+
+def autocorrelation(df: DataFrame, group_cols: Sequence[str],
+                    ts_col: str, value_col: str, bucket: str = "day",
+                    max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of per-group bucketed sums at lags
+    1..max_lag, in EXACT integer ppm: with n-scaled deviations
+    ``d_i = n·y_i − S`` (integers — no mean division), the lag-k
+    coefficient is
+
+        r_k = sign · (10^6 · |Σ d_i·d_{i−k}|) div (Σ d_i²)
+
+    over the bucket series in time order (lag counts SERIES steps;
+    calendar gaps are adjacency, document accordingly).  Products run
+    in decimal(38,0) — d_i ~ n·y stays exact far past 10^12 cents.
+    Truncating-div on the |·| keeps Spark's ``div`` and the oracle's
+    ``//`` identical for NEGATIVE correlations too (they disagree on
+    flooring otherwise).
+
+    Scale shape: one shuffle to the (group, bucket) grain — the only
+    fact-sized step — then windows partitioned per GROUP over the
+    calendar-bounded series (holt_trend's argument: at 100 TB the
+    fact rows grow, the series does not).  Group count × max_lag
+    output rows.
+
+    Returns ``(group..., lag, n_buckets, acf_ppm)``; groups need
+    n ≥ lag+2 buckets and a non-constant series (zero variance rows
+    are dropped — r is undefined).
+    """
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(38,0)"
+    gcols = list(group_cols)
+    b = (df.groupBy(*[F.col(c) for c in gcols],
+                    F.date_trunc(bucket, F.col(ts_col)).alias("__b__"))
+         .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+              .cast("long").alias("__y__")))
+    stats = (b.groupBy(*gcols)
+             .agg(F.count(F.lit(1)).cast("long").alias("__n__"),
+                  F.sum("__y__").cast("long").alias("__S__")))
+    j = b.join(F.broadcast(stats), gcols)
+    d = (F.col("__n__").cast(dec) * F.col("__y__").cast(dec)
+         - F.col("__S__").cast(dec))
+    w = W.partitionBy(*gcols).orderBy("__b__")
+    withd = j.withColumn("__d__", d)
+    for k in range(1, max_lag + 1):
+        withd = withd.withColumn(f"__dl_{k}__",
+                                 F.lag("__d__", k).over(w))
+    aggs = [F.sum(F.col("__d__") * F.col("__d__")).alias("__den__"),
+            F.max("__n__").alias("n_buckets")]
+    for k in range(1, max_lag + 1):
+        aggs.append(F.sum(F.col("__d__") * F.col(f"__dl_{k}__"))
+                    .alias(f"__num_{k}__"))
+    per_group = withd.groupBy(*gcols).agg(*aggs)
+    lag_col = F.explode(F.array(*[
+        F.struct(F.lit(k).cast("long").alias("lag"),
+                 F.col(f"__num_{k}__").alias("num"))
+        for k in range(1, max_lag + 1)])).alias("__l__")
+    out = (per_group.filter(F.col("__den__") > 0)
+           .select(*gcols, "n_buckets", "__den__", lag_col)
+           .select(*gcols, F.col("__l__.lag").alias("lag"),
+                   "n_buckets",
+                   (F.when(F.col("__l__.num") < 0, -1).otherwise(1)
+                    * F.expr("CAST((CAST(1000000 AS decimal(38,0))"
+                             " * abs(__l__.num)) div __den__"
+                             " AS BIGINT)")).cast("long")
+                   .alias("acf_ppm"))
+           .filter(F.col("n_buckets") >= F.col("lag") + 2))
+    return out

@@ -517,3 +517,41 @@ class TestPrioritySample:
         assert sum(1 for r in kept if r.weight == 50) == 10
         est = priority_estimate(s, 16).collect()[0]
         assert est.est_sum == 500
+
+
+class TestBitmapDistinctRollup:
+    def test_exact_two_grains(self, spark):
+        """Per-group counts are exact; the '(all)' row equals the
+        true global distinct (ids overlapping across groups counted
+        once) and is derived from merged bitmaps, not a rescan."""
+        from cubes_spark.functions.sketches import \
+            bitmap_distinct_rollup
+
+        rows = ([("a", i) for i in range(100)]
+                + [("a", i) for i in range(50)]        # dups in-group
+                + [("b", i) for i in range(50, 120)]   # overlap with a
+                + [("c", 10 ** 7 + 5), ("c", 3)])      # chunk spread
+        df = spark.createDataFrame(rows, "g string, uid long")
+        out = {r["g"]: r["n_distinct"]
+               for r in bitmap_distinct_rollup(df, "g", "uid",
+                                               chunk_bits=10)
+               .collect()}
+        assert out == {"a": 100, "b": 70, "c": 2, "(all)": 121}
+
+    def test_matches_count_distinct_on_events(self, spark):
+        from conftest import SF_DIR
+        from pyspark.sql import functions as F
+
+        from cubes_spark.functions.sketches import \
+            bitmap_distinct_rollup
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        got = {r["event_type"]: r["n_distinct"] for r in
+               bitmap_distinct_rollup(ev, "event_type", "user_id")
+               .collect()}
+        want = {r["event_type"]: r["n"] for r in
+                ev.groupBy("event_type")
+                .agg(F.countDistinct("user_id").alias("n"))
+                .collect()}
+        want["(all)"] = ev.select("user_id").distinct().count()
+        assert got == want

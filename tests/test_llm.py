@@ -2729,3 +2729,40 @@ class TestReadability:
         r2 = out[2]
         assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) \
             == (1, 1, 1)
+
+
+class TestRakeKeyphrases:
+    def test_hand_computed(self, spark):
+        """Degree/frequency scoring across phrases: a once-occurring
+        'brown fox' phrase dilutes brown/fox word scores for the
+        repeated 'quick brown fox'; runs longer than max_len are
+        dropped entirely; min_count hides singletons."""
+        from cubes_spark.llm import rake_keyphrases
+
+        docs = spark.createDataFrame(
+            [(1, "the Quick brown fox is quick Brown fox"),
+             (2, "alpha beta gamma delta epsilon"),  # run of 5 > max_len
+             (3, "brown fox")],                      # singleton phrase
+            "doc_id long, text string")
+        rows = rake_keyphrases(docs).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # stats over kept phrases: quick f=2 d=6 -> 3_000_000;
+        # brown/fox f=3 d=8 -> 2_666_666 each
+        assert (r["phrase"], r["n_words"], r["n_occurrences"],
+                r["score_ppm"]) == ("quick brown fox", 3, 2, 8_333_332)
+
+    def test_punctuation_delimits(self, spark):
+        """A token carrying punctuation acts as a phrase boundary and
+        never appears inside a phrase."""
+        from cubes_spark.llm import rake_keyphrases
+
+        docs = spark.createDataFrame(
+            [(1, "red car, red car"), (2, "red car")],
+            "doc_id long, text string")
+        rows = {r["phrase"]: r for r in
+                rake_keyphrases(docs, min_count=1).collect()}
+        # 'car,' is excluded -> islands: [red], [red car], [red car]
+        assert set(rows) == {"red", "red car"}
+        assert rows["red car"]["n_occurrences"] == 2
+        assert rows["red"]["n_occurrences"] == 1

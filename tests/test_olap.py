@@ -817,3 +817,121 @@ def test_clamped_running_sum_never_negative_property(spark):
             bal = max(bal + d, 0)
             assert got[(k, i)] == (bal, clamped)
             assert bal >= 0
+
+
+def test_holt_trend_fixed_point(spark):
+    """Linear series tracks the trend; output equals the reference
+    fixed-point walk exactly; single-bucket groups are dropped;
+    a falling series yields a NEGATIVE trend (floor-shift path)."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import holt_trend
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("a", t0 + dt.timedelta(days=i), float(10 + 2 * i))
+            for i in range(4)]
+    rows += [("down", t0 + dt.timedelta(days=i), float(50 - 7 * i))
+             for i in range(5)]
+    rows += [("solo", t0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["g"]: r for r in
+           holt_trend(df, ["g"], "ts", "v").collect()}
+    assert "solo" not in out
+
+    def ref(ys):
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[2:]:
+            lt = (y + l + b) >> 1
+            b = ((lt - l) + b) >> 1
+            l = lt
+        return l, b
+
+    l, b = ref([1000, 1200, 1400, 1600])
+    assert (out["a"]["level_cents"], out["a"]["trend_cents"],
+            out["a"]["forecast_cents"]) == (l, b, l + b)
+    l, b = ref([5000, 4300, 3600, 2900, 2200])
+    assert b < 0
+    assert (out["down"]["level_cents"], out["down"]["trend_cents"]) \
+        == (l, b)
+
+
+def test_holt_trend_partition_invariant(spark):
+    """Integer arithmetic: identical output at any parallelism."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import holt_trend
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("g", t0 + dt.timedelta(days=i),
+             float((i * 37) % 19) - 9.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    a = holt_trend(df.repartition(1), ["g"], "ts", "v").collect()
+    b = holt_trend(df.repartition(17), ["g"], "ts", "v").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_semiadditive_last(spark):
+    """LastNonEmpty: per entity the bucket's last value (never a sum
+    along time), summed across entities; same-timestamp ties break on
+    the tiebreak column."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import semiadditive_last
+
+    d = dt.datetime
+    rows = [
+        ("A", "u1", d(2020, 1, 1), 1, 10.0),
+        ("A", "u1", d(2020, 1, 5), 2, 20.0),   # u1's Jan last
+        ("A", "u2", d(2020, 1, 3), 3, 5.0),
+        ("A", "u1", d(2020, 2, 2), 4, 7.0),
+        ("B", "u9", d(2020, 1, 9), 5, 1.0),
+        ("B", "u9", d(2020, 1, 9), 6, 99.0),   # same ts -> higher id
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, e string, ts timestamp, id long, v double")
+    out = {(r["g"], str(r["bucket"])[:7]): r for r in
+           semiadditive_last(df, ["g"], "e", "ts", "v",
+                             bucket="month", tiebreak_cols=["id"])
+           .collect()}
+    assert out[("A", "2020-01")]["last_sum_cents"] == 2500
+    assert out[("A", "2020-01")]["n_entities"] == 2
+    assert out[("A", "2020-02")]["last_sum_cents"] == 700
+    assert out[("B", "2020-01")]["last_sum_cents"] == 9900
+
+
+def test_autocorrelation_hand_computed(spark):
+    """d_i = n*y - S deviations, truncating div on |num|: lag-1
+    positive, lag-2 negative on a monotone ramp; short groups and
+    constant series are dropped."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import autocorrelation
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("g", t0 + dt.timedelta(days=i), 0.01 * (i + 1))
+            for i in range(4)]                       # cents 1,2,3,4
+    rows += [("flat", t0 + dt.timedelta(days=i), 1.0)
+             for i in range(5)]                      # zero variance
+    rows += [("tiny", t0, 1.0), ("tiny", t0 + dt.timedelta(days=1), 2.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {(r["g"], r["lag"]): r["acf_ppm"] for r in
+           autocorrelation(df, ["g"], "ts", "v", max_lag=2).collect()}
+    # d = [-6,-2,2,6]; den=80; num1=20 -> 250000; num2=-24 -> -300000
+    assert out[("g", 1)] == 250_000
+    assert out[("g", 2)] == -300_000
+    assert not any(g == "flat" for g, _ in out)
+    assert not any(g == "tiny" for g, _ in out)  # n=2 < lag+2
+
+
+def test_autocorrelation_partition_invariant(spark):
+    import datetime as dt
+
+    from cubes_spark.operators.olap import autocorrelation
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("g", t0 + dt.timedelta(days=i), float((i * 13) % 7))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    a = autocorrelation(df.repartition(1), ["g"], "ts", "v").collect()
+    b = autocorrelation(df.repartition(13), ["g"], "ts", "v").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

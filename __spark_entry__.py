@@ -4434,6 +4434,64 @@ def q_events_acf(spark, sf_dir):
                            bucket="day", max_lag=7)
 
 
+def q_doc_freq_tokens(spark, sf_dir):
+    """Exact frequent tokens above 0.5% corpus share via the
+    two-phase Misra-Gries pattern (functions/sketches.py:
+    frequent_items): bounded per-partition summaries guarantee
+    candidate completeness, exact recount of candidates only — the
+    full-vocabulary groupBy never happens, so 'which tokens exceed
+    0.1% of 100 TB' shuffles candidate rows, not the vocabulary."""
+    from cubes_spark.functions.sketches import frequent_items
+    from cubes_spark.llm.text import token_array
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(token_array(F.lower(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return frequent_items(toks, "tok", min_share_ppm=5000)
+
+
+def q_events_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per user (operators/olap.py:
+    burstiness): exact-ppm Fano factor of microsecond gaps,
+    (n*Q - S^2) div (n*S) — variance over mean with no early
+    division; one per-user window then one algebraic aggregation."""
+    from cubes_spark.operators.olap import burstiness
+
+    ev = _table(spark, sf_dir, "events")
+    return burstiness(ev, ["user_id"], "ts")
+
+
+def q_orders_benford(spark, sf_dir):
+    """Benford first-digit audit of order totals (operators/dq.py:
+    benford_digits): observed vs log10(1+1/d) digit shares and a
+    chi-square-style deviation, all in integer ppm — the irrational
+    logs enter only as nine pre-rounded constants both engines
+    share."""
+    from cubes_spark.operators.dq import benford_digits
+
+    od = _table(spark, sf_dir, "orders")
+    return benford_digits(od, "o_totalprice")
+
+
+def q_part_ra(spark, sf_dir):
+    """Resource-allocation link prediction (llm/web.py:
+    ra_link_prediction; Zhou, Lu & Zhang 2009) over the part-affinity
+    graph: non-adjacent pairs score sum over common neighbours of
+    10^6 div degree — Adamic-Adar's rational sibling, hub neighbours
+    discounted to noise.  Same single-wedge-join shape as
+    part_links; integer ppm replays exactly in SQL."""
+    from cubes_spark.llm.web import ra_link_prediction
+    from cubes_spark.operators.olap import basket_pairs
+
+    li = _table(spark, sf_dir, "lineitem")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey",
+                         min_count=2).select("item_a", "item_b")
+    out = ra_link_prediction(edges, "item_a", "item_b",
+                             min_common=2)
+    return _lng(out, "node_a", "node_b")
+
+
 def q_rfm_customers(spark, sf_dir):
     """RFM quartile segmentation of customers from their orders
     (cubes_spark/operators/olap.py:rfm_segments): exact
@@ -4793,6 +4851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rake": q_doc_rake,
         "events_semiadd": q_events_semiadd,
         "events_acf": q_events_acf,
+        "doc_freq_tokens": q_doc_freq_tokens,
+        "events_burstiness": q_events_burstiness,
+        "orders_benford": q_orders_benford,
+        "part_ra": q_part_ra,
         "orders_streaks": q_orders_streaks,
         "orders_mad": q_orders_mad,
         "events_attribution": q_events_attribution,
@@ -6159,6 +6221,107 @@ def oracle_sql() -> dict[str, str]:
                  * ((1000000 * abs(num)) // den) AS BIGINT)
                 AS acf_ppm
         FROM e WHERE n >= k + 2"""
+
+    # Frequent tokens: the sketch is only a pruning device — the
+    # exact answer is plain GROUP BY + HAVING on the share.
+    sql["doc_freq_tokens"] = r"""
+        WITH t AS MATERIALIZED (
+            SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                ELSE string_split_regex(trim(lower(text)), '\s+')
+                END) AS v
+            FROM documents
+        ),
+        tt AS MATERIALIZED (SELECT v FROM t WHERE v <> ''),
+        n AS (SELECT count(*) AS tot FROM tt),
+        c AS (SELECT v, count(*) AS cnt FROM tt GROUP BY 1)
+        SELECT v AS value, CAST(cnt AS BIGINT) AS n,
+            CAST((1000000 * cnt) // tot AS BIGINT) AS share_ppm
+        FROM c, n WHERE (1000000 * cnt) // tot >= 5000"""
+
+    # Burstiness: the gap multiset of a sorted timestamp multiset is
+    # tie-order invariant, so window order by ts alone is safe.
+    sql["events_burstiness"] = """
+        WITH g AS (
+            SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts) AS gp
+            FROM events
+        ),
+        a AS (
+            SELECT user_id, count(*) AS n, sum(gp) AS s,
+                sum(CAST(gp AS HUGEINT) * gp) AS q
+            FROM g WHERE gp IS NOT NULL GROUP BY 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+            CAST(s // n AS BIGINT) AS mean_gap_us,
+            CAST((1000000 * (n * q - CAST(s AS HUGEINT) * s))
+                 // (CAST(n AS HUGEINT) * s) AS BIGINT) AS fano_ppm
+        FROM a WHERE n >= 2 AND s > 0"""
+
+    # Benford: both engines compare against the same nine pre-rounded
+    # log10(1+1/d) ppm constants.
+    _benford_case = ("CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in
+        ((1, 301030), (2, 176091), (3, 124939), (4, 96910),
+         (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+         (9, 45757))) + " END")
+    sql["orders_benford"] = f"""
+        WITH b AS MATERIALIZED (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+        ),
+        d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1)
+                          AS BIGINT) AS digit FROM b),
+        n AS (SELECT count(*) AS tot FROM d),
+        cnt AS (SELECT digit, count(*) AS nn FROM d GROUP BY 1),
+        e AS (
+            SELECT digit, nn, (1000000 * nn) // tot AS obs_ppm,
+                {_benford_case} AS exp_ppm
+            FROM cnt, n
+        )
+        SELECT digit, CAST(nn AS BIGINT) AS n,
+            CAST(obs_ppm AS BIGINT) AS obs_ppm,
+            CAST(exp_ppm AS BIGINT) AS exp_ppm,
+            CAST(((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm))
+                 // exp_ppm AS BIGINT) AS dev_ppm
+        FROM e"""
+
+    # Resource-allocation: part_links' graph CTEs, scored as
+    # sum(1e6 // deg(center)) in the wedge aggregation.
+    sql["part_ra"] = """
+        WITH baskets AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+            SELECT l.i AS a, r.i AS b
+            FROM baskets l JOIN baskets r ON l.b = r.b AND l.i < r.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        adj AS MATERIALIZED (
+            SELECT a AS w, b AS n FROM edges
+            UNION ALL SELECT b, a FROM edges
+        ),
+        deg AS MATERIALIZED (
+            SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY 1
+        ),
+        common AS MATERIALIZED (
+            SELECT p1.n AS na, p2.n AS nb,
+                CAST(count(*) AS BIGINT) AS n_common,
+                CAST(sum(1000000 // dw.d) AS BIGINT) AS ra_ppm
+            FROM adj p1
+            JOIN adj p2 ON p1.w = p2.w AND p1.n < p2.n
+            JOIN deg dw ON dw.n = p1.w
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT CAST(c.na AS BIGINT) AS node_a,
+            CAST(c.nb AS BIGINT) AS node_b,
+            c.n_common, c.ra_ppm
+        FROM common c
+        LEFT JOIN edges e ON e.a = c.na AND e.b = c.nb
+        WHERE e.a IS NULL"""
 
     # Markov transitions: lead() under (ts, event_id) order, integer
     # ppm probabilities — per-state totals from a window over the

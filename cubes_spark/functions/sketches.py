@@ -549,3 +549,60 @@ def bitmap_distinct_rollup(df: DataFrame, group_col: str,
     return (per_group.unionByName(rolled)
             .select(F.col("g").alias(group_col),
                     F.col("n_distinct")))
+
+
+def frequent_items(df: DataFrame, col: str,
+                   min_share_ppm: int = 10_000,
+                   capacity: int = None) -> DataFrame:
+    """EXACT frequent items above a global share threshold via the
+    two-phase Misra–Gries pattern (Misra & Gries 1982; mergeability:
+    Agarwal et al., PODS 2012): phase 1 runs a k-counter summary
+    inside every partition (one Arrow ``mapInPandas`` stage, memory
+    bounded by k regardless of the partition's distinct count) —
+    since an MG summary under-counts by at most N_p/(k+1), any value
+    with GLOBAL share ≥ threshold must survive in at least one
+    partition, so the union of survivors is a complete candidate
+    set.  Phase 2 recounts ONLY the candidates exactly (broadcast
+    semi-join, then a map-side-combinable groupBy) and filters
+    against the exact total.
+
+    The result is therefore exact and partition-invariant — the
+    sketch is only a pruning device.  This is the scale shape for
+    "which values exceed 0.1% of 100 TB": the full-distinct groupBy
+    never happens; only candidate rows (≤ k × partitions values)
+    reach a shuffle.
+
+    Returns ``(value, n, share_ppm)`` with ``share_ppm =
+    10^6·n div N ≥ min_share_ppm``.
+    """
+    import pandas as pd
+
+    if min_share_ppm <= 0:
+        raise ValueError("min_share_ppm must be positive")
+    k = capacity or (1_000_000 // min_share_ppm) + 2
+    vals = (df.select(F.col(col).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull()))
+
+    def summarize(batches):
+        counts = {}
+        for pdf in batches:
+            for v, c in pdf["v"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > k:
+                # batched MG merge: subtract the (k+1)-th largest
+                # count from everyone, keep the survivors (> 0)
+                m = sorted(counts.values(), reverse=True)[k]
+                counts = {v: c - m for v, c in counts.items()
+                          if c > m}
+        yield pd.DataFrame({"v": list(counts.keys())})
+
+    cand = vals.mapInPandas(summarize, "v string").distinct()
+    total = vals.agg(F.count(F.lit(1)).cast("long").alias("__N__"))
+    return (vals.join(F.broadcast(cand), "v")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .crossJoin(F.broadcast(total))
+            .withColumn("share_ppm",
+                        F.expr("(1000000 * n) div __N__"))
+            .filter(F.col("share_ppm") >= min_share_ppm)
+            .select(F.col("v").alias("value"), "n", "share_ppm"))

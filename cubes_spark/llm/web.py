@@ -812,3 +812,62 @@ def hits_scores(edges: DataFrame, iterations: int = 2,
         hubs = normalized(raw_h, "hub_units") \
             .localCheckpoint(eager=False)
     return auths.join(hubs, "node")
+
+
+def ra_link_prediction(edges: DataFrame, src: str = "id_a",
+                       dst: str = "id_b",
+                       min_common: int = 1,
+                       max_wedge_degree: Optional[int] = None
+                       ) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009)
+    — the rational-arithmetic sibling of Adamic–Adar: a non-adjacent
+    pair scores the sum over common neighbours z of 1/deg(z), here
+    as Σ 10^6 div deg(z) in exact integer ppm (Adamic–Adar's
+    1/log deg is irrational, RA's 1/deg replays in SQL bit-for-bit
+    and empirically predicts better on dense co-occurrence graphs).
+    Low-degree shared neighbours carry the signal; hubs contribute
+    ≈ nothing — exactly the weighting a co-purchase or co-citation
+    graph wants.
+
+    Same wedge shape as :func:`jaccard_link_prediction`: candidates
+    come from ONE self-join at the shared neighbour (never |V|²),
+    each wedge carries its center's degree so the score is a plain
+    integer sum in the pair aggregation, and ``max_wedge_degree``
+    bounds hub centers at |V|·cap² wedges (a dropped hub center of
+    degree d would have added ≤ 10^6/d per pair — the term RA
+    already discounts to noise).
+
+    Returns ``(node_a, node_b, n_common, ra_ppm)`` for non-adjacent
+    pairs with at least ``min_common`` common neighbours.
+    """
+    e = edges.select(F.col(src).alias("a"),
+                     F.col(dst).alias("b")) \
+        .filter(F.col("a") != F.col("b")) \
+        .select(F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b")) \
+        .distinct().localCheckpoint(eager=True)
+    adj = e.select(F.col("a").alias("w"), F.col("b").alias("n")) \
+        .unionAll(e.select(F.col("b").alias("w"),
+                           F.col("a").alias("n")))
+    wdeg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("wd"))
+    centers = adj.join(wdeg, "w")
+    if max_wedge_degree is not None:
+        centers = centers.filter(F.col("wd") <= max_wedge_degree)
+    p1 = centers.select("w", "wd", F.col("n").alias("na"))
+    p2 = centers.select(F.col("w").alias("w2"),
+                        F.col("n").alias("nb"))
+    pairs = (
+        p1.join(p2, F.col("w") == F.col("w2"))
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+             F.sum(F.expr("1000000 div wd")).cast("long")
+             .alias("ra_ppm"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    out = pairs.join(
+        e.select(F.col("a").alias("na"), F.col("b").alias("nb")),
+        ["na", "nb"], "left_anti")
+    return out.select(F.col("na").alias("node_a"),
+                      F.col("nb").alias("node_b"),
+                      "n_common", "ra_ppm")

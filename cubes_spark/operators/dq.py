@@ -35,7 +35,7 @@ from typing import Any, Dict, List, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dq_check"]
+__all__ = ["dq_check", "benford_digits", "BENFORD_PPM"]
 
 
 def _violation_predicate(rule: Dict[str, Any]) -> Any:
@@ -143,3 +143,48 @@ def dq_check(df: DataFrame, rules: Sequence[Dict[str, Any]]
     for more in results[1:]:
         out = out.unionAll(more)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+#: Benford first-digit expectation log10(1 + 1/d), pre-rounded to ppm
+#: so both engines compare against identical integer constants.
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
+               5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column
+    (Benford 1938; the classic fraud/synthetic-data smell test):
+    observed first-significant-digit shares vs the log10(1+1/d)
+    expectation, all in integer ppm with a per-digit chi-square-style
+    deviation term
+
+        dev_ppm = (obs_ppm − exp_ppm)² div exp_ppm
+
+    so the whole audit — shares, expectations, deviations — is
+    engine-exact (the irrational logs enter only as the nine
+    pre-rounded constants in :data:`BENFORD_PPM`).
+
+    One map-side-combinable groupBy on the digit (9 groups) plus a
+    broadcast of the scalar total; the first digit comes from the
+    value in CENTS so fractional amounts keep their leading
+    significant digit.  Rows ≤ 0 or null are excluded (Benford is
+    defined on positive magnitudes).
+
+    Returns ``(digit, n, obs_ppm, exp_ppm, dev_ppm)`` — 9 rows.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    base = (df.select(cents.alias("__c__"), digit.alias("digit"))
+            .filter(F.col("__c__") > 0))
+    counts = (base.groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("__N__"))
+    exp_expr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}L" for d, p in BENFORD_PPM.items()) + " END"
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("obs_ppm", F.expr("(1000000 * n) div __N__"))
+            .withColumn("exp_ppm", F.expr(exp_expr))
+            .withColumn("dev_ppm", F.expr(
+                "((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm))"
+                " div exp_ppm"))
+            .select("digit", "n", "obs_ppm", "exp_ppm", "dev_ppm"))

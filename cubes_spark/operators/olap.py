@@ -1574,3 +1574,55 @@ def autocorrelation(df: DataFrame, group_cols: Sequence[str],
                    .alias("acf_ppm"))
            .filter(F.col("n_buckets") >= F.col("lag") + 2))
     return out
+
+
+def burstiness(df: DataFrame, group_cols: Sequence[str],
+               ts_col: str, min_gaps: int = 2) -> DataFrame:
+    """Inter-arrival burstiness per group — the Fano factor
+    (variance-to-mean ratio) of consecutive event gaps, in EXACT
+    integer ppm: with gaps g_i in microseconds, n = #gaps,
+    S = Σg, Q = Σg²,
+
+        fano_ppm = (10^6 · (n·Q − S²)) div (n·S)
+
+    — population variance over mean without ever dividing early
+    (n·Q − S² = n²·var ≥ 0 by Cauchy–Schwarz, so truncating div is
+    floor on both engines).  fano ≈ mean for a Poisson process in
+    the same units; ≫ mean flags bursty clients (bot traffic,
+    retry storms), ≪ mean flags metronomic schedulers.
+
+    The gap multiset of a sorted timestamp multiset is
+    order-invariant under ties, so no tiebreak column is needed.
+    One fact-grain window partitioned by group (the sessionize
+    shape), then one map-side-combinable aggregation; Q runs in
+    decimal(38,0) — exact past 10^19 µs².
+
+    Returns ``(group..., n_gaps, mean_gap_us, fano_ppm)``; groups
+    with fewer than ``min_gaps`` gaps or an all-zero gap sum are
+    dropped (the ratio is undefined).
+    """
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(38,0)"
+    gcols = list(group_cols)
+    w = W.partitionBy(*gcols).orderBy(F.col("__t__"))
+    g = (df.select(*gcols, F.unix_micros(F.col(ts_col)).alias("__t__"))
+         .withColumn("__g__", F.col("__t__")
+                     - F.lag("__t__", 1).over(w))
+         .filter(F.col("__g__").isNotNull()))
+    agg = (g.groupBy(*gcols)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                F.sum("__g__").cast("long").alias("__S__"),
+                F.sum(F.col("__g__").cast(dec)
+                      * F.col("__g__").cast(dec)).alias("__Q__")))
+    return (agg.filter((F.col("n_gaps") >= min_gaps)
+                       & (F.col("__S__") > 0))
+            .select(*gcols, "n_gaps",
+                    F.expr("__S__ div n_gaps").alias("mean_gap_us"),
+                    F.expr(f"CAST((CAST(1000000 AS {dec})"
+                           f" * (n_gaps * __Q__"
+                           f"    - CAST(__S__ AS {dec})"
+                           f"      * CAST(__S__ AS {dec})))"
+                           f" div (CAST(n_gaps AS {dec})"
+                           f"      * CAST(__S__ AS {dec}))"
+                           f" AS BIGINT)").alias("fano_ppm")))

@@ -555,3 +555,46 @@ class TestBitmapDistinctRollup:
                 .collect()}
         want["(all)"] = ev.select("user_id").distinct().count()
         assert got == want
+
+
+class TestFrequentItems:
+    def test_exact_and_partition_invariant(self, spark):
+        """Values above the share threshold come back with EXACT
+        counts; below-threshold and long-tail values don't; result
+        identical at any parallelism (the sketch only prunes)."""
+        from cubes_spark.functions.sketches import frequent_items
+
+        rows = ([("a",)] * 300 + [("b",)] * 150 + [("c",)] * 60
+                + [(f"tail{i}",) for i in range(490)])
+        df = spark.createDataFrame(rows, "v string")
+        for parts in (1, 37):
+            out = {r["value"]: (r["n"], r["share_ppm"]) for r in
+                   frequent_items(df.repartition(parts), "v",
+                                  min_share_ppm=100_000).collect()}
+            assert out == {"a": (300, 300_000), "b": (150, 150_000)}
+
+    def test_candidate_completeness_small_capacity(self, spark):
+        """The MG guarantee: every value with share >= threshold
+        survives phase 1 even with the minimum capacity and an
+        adversarial long tail spread over many partitions."""
+        import random
+
+        from cubes_spark.functions.sketches import frequent_items
+
+        rng = random.Random(7)
+        heavy = [("H1",)] * 120 + [("H2",)] * 75
+        tail = [(f"t{rng.randrange(10_000)}",) for _ in range(805)]
+        rows = heavy + tail
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "v string").repartition(23)
+        out = {r["value"]: r["n"] for r in
+               frequent_items(df, "v", min_share_ppm=70_000)
+               .collect()}
+        assert out["H1"] == 120 and out["H2"] == 75
+        # brute-force check: nothing >= 7% was missed
+        exact = {r["v"]: r["n"] for r in
+                 df.groupBy("v").count().withColumnRenamed(
+                     "count", "n").collect()}
+        want = {v for v, n in exact.items()
+                if 1_000_000 * n // 1000 >= 70_000}
+        assert set(out) == want

@@ -89,3 +89,39 @@ def test_all_pass_on_clean_data(spark):
 def test_unknown_check_raises(frame):
     with pytest.raises(ValueError):
         dq_check(frame, [{"check": "nope", "column": "id"}]).collect()
+
+
+class TestBenfordDigits:
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.dq import BENFORD_PPM, benford_digits
+
+        # cents: 100, 2345, 999, 50, 50 -> digits 1,2,9,5,5
+        df = spark.createDataFrame(
+            [(1.0,), (23.45,), (9.99,), (0.5,), (0.5,),
+             (0.0,), (-3.0,), (None,)],
+            "v double")
+        out = {r["digit"]: r for r in
+               benford_digits(df, "v").collect()}
+        assert set(out) == {1, 2, 5, 9}
+        assert out[5]["n"] == 2
+        assert out[5]["obs_ppm"] == 2_000_000 // 5
+        assert out[5]["exp_ppm"] == BENFORD_PPM[5]
+        d = out[5]["obs_ppm"] - BENFORD_PPM[5]
+        assert out[5]["dev_ppm"] == d * d // BENFORD_PPM[5]
+
+    def test_benford_like_data_scores_low(self, spark):
+        """2^k magnitudes follow Benford closely: every digit present
+        and total deviation far below a uniform-digit control."""
+        from cubes_spark.operators.dq import benford_digits
+
+        pows = spark.createDataFrame(
+            [(float(int(str(2 ** k)[:3])),) for k in range(1, 400)],
+            "v double")
+        uni = spark.createDataFrame(
+            [(float(d),) for d in range(1, 10) for _ in range(44)],
+            "v double")
+        dev_p = sum(r["dev_ppm"] for r in
+                    benford_digits(pows, "v").collect())
+        dev_u = sum(r["dev_ppm"] for r in
+                    benford_digits(uni, "v").collect())
+        assert dev_p * 10 < dev_u

@@ -935,3 +935,45 @@ def test_autocorrelation_partition_invariant(spark):
     a = autocorrelation(df.repartition(1), ["g"], "ts", "v").collect()
     b = autocorrelation(df.repartition(13), ["g"], "ts", "v").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_burstiness_hand_computed(spark):
+    """gaps 1s,2s,3s: fano = (nQ-S^2) div (n*S) scaled to ppm;
+    single-event and constant-timestamp groups are dropped."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import burstiness
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("g", t0), ("g", t0 + dt.timedelta(seconds=1)),
+            ("g", t0 + dt.timedelta(seconds=3)),
+            ("g", t0 + dt.timedelta(seconds=6)),
+            ("solo", t0), ("tied", t0), ("tied", t0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r["g"]: r for r in
+           burstiness(df, ["g"], "ts").collect()}
+    assert set(out) == {"g"}
+    r = out["g"]
+    # n=3, S=6e6, Q=14e12 -> (3*14e12-36e12)*1e6 div 1.8e7
+    assert (r["n_gaps"], r["mean_gap_us"], r["fano_ppm"]) == \
+        (3, 2_000_000, 333_333_333_333)
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    """A metronome has fano ~ 0; a burst-then-silence pattern of the
+    same mean rate scores orders of magnitude higher."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import burstiness
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("tick", t0 + dt.timedelta(seconds=10 * i))
+            for i in range(20)]
+    rows += [("burst", t0 + dt.timedelta(seconds=i)) for i in range(10)]
+    rows += [("burst", t0 + dt.timedelta(seconds=180 + i))
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r["g"]: r["fano_ppm"] for r in
+           burstiness(df, ["g"], "ts").collect()}
+    assert out["tick"] == 0
+    assert out["burst"] > 1000 * max(out["tick"], 1)

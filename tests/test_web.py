@@ -609,3 +609,39 @@ class TestHits:
         b = hits_scores(self._edges(spark, pairs).repartition(13),
                         iterations=2).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestRaLinkPrediction:
+    def test_square_cycle(self, spark):
+        """4-cycle a-b-c-d: diagonals share both degree-2 corners ->
+        ra = 2 * (1e6 div 2); adjacent pairs never predicted."""
+        from cubes_spark.llm.web import ra_link_prediction
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+            "id_a string, id_b string")
+        out = {(r["node_a"], r["node_b"]): r for r in
+               ra_link_prediction(e).collect()}
+        assert set(out) == {("a", "c"), ("b", "d")}
+        assert out[("a", "c")]["n_common"] == 2
+        assert out[("a", "c")]["ra_ppm"] == 1_000_000
+
+    def test_hub_discounted_and_cap(self, spark):
+        """A shared hub contributes ~nothing vs a shared low-degree
+        neighbour; max_wedge_degree drops hub-centered wedges."""
+        from cubes_spark.llm.web import ra_link_prediction
+
+        # hub h connected to x,y,z,w ; x-y also share private p
+        edges = [("h", n) for n in ("x", "y", "z", "w")]
+        edges += [("p", "x"), ("p", "y")]
+        e = spark.createDataFrame(edges, "id_a string, id_b string")
+        out = {(r["node_a"], r["node_b"]): r["ra_ppm"] for r in
+               ra_link_prediction(e).collect()}
+        # deg(h)=4, deg(p)=2 -> (x,y) = 250000 + 500000
+        assert out[("x", "y")] == 750_000
+        assert out[("w", "x")] == 250_000  # hub only
+        capped = {(r["node_a"], r["node_b"]): r["ra_ppm"] for r in
+                  ra_link_prediction(e, max_wedge_degree=3).collect()}
+        # hub-CENTERED wedges gone: (w,x) etc. vanish, (x,y) keeps
+        # only its p term; (h,p) survives via degree-2 centers x,y
+        assert capped == {("x", "y"): 500_000, ("h", "p"): 1_000_000}

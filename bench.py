@@ -77,6 +77,21 @@ BENCH_QUERIES = [
     "cuboid_greedy",
     "part_links",
     "dq_orders",
+    # round-8 late waves: segmentation/attribution/graph/time-series
+    # plus the new sketch + frequent-items scale patterns
+    "rfm_customers",
+    "events_attribution",
+    "doc_hits",
+    "lineitem_hilbert",
+    "events_holt",
+    "events_bitmap",
+    "doc_rake",
+    "events_semiadd",
+    "events_acf",
+    "doc_freq_tokens",
+    "events_burstiness",
+    "orders_benford",
+    "part_ra",
 ]
 
 

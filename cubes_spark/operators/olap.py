@@ -1626,3 +1626,100 @@ def burstiness(df: DataFrame, group_cols: Sequence[str],
                            f" div (CAST(n_gaps AS {dec})"
                            f"      * CAST(__S__ AS {dec}))"
                            f" AS BIGINT)").alias("fano_ppm")))
+
+
+def json_field_stats(df: DataFrame, group_cols: Sequence[str],
+                     json_col: str, field: str,
+                     field_type: str = "long") -> DataFrame:
+    """Typed extraction of one field from a JSON string column +
+    grouped exact stats — the semi-structured ingestion pattern
+    (event properties, API payloads, tool-call logs): ``from_json``
+    with an explicit one-field schema parses JVM-side (no Python,
+    no regex), malformed or missing values become NULLs that are
+    COUNTED rather than dropped, and the stats aggregation is
+    map-side combinable.
+
+    At 100 TB the win is schema-on-read pushed into the scan stage:
+    only ``json_col`` is read (column pruning still applies to the
+    other columns), each row is parsed exactly once, and everything
+    after the parse is a plain integer aggregation.
+
+    Returns ``(group..., n, n_parsed, sum_v, min_v, max_v)`` where
+    ``n - n_parsed`` counts rows whose JSON lacked the field or
+    failed to parse.
+    """
+    parsed = F.from_json(F.col(json_col),
+                         f"`{field}` {field_type}")[field]
+    base = df.select(*group_cols, parsed.alias("__v__"))
+    return (base.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.count("__v__").cast("long").alias("n_parsed"),
+                 F.sum("__v__").cast("long").alias("sum_v"),
+                 F.min("__v__").cast("long").alias("min_v"),
+                 F.max("__v__").cast("long").alias("max_v")))
+
+
+def group_ols_trend(df: DataFrame, group_cols: Sequence[str],
+                    ts_col: str, value_col: str,
+                    bucket: str = "day") -> DataFrame:
+    """Per-group least-squares trend of bucketed sums, in EXACT
+    rational arithmetic: with x = bucket day index and y = bucket
+    sum in cents, OLS needs only the five raw sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) — all integers — and
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        r²        = num² / (den_x · den_y)
+
+    emitted as ``slope_upd = sign·(10^6·|num|) div den_x``
+    (micro-cents per day; truncating div on the magnitude keeps
+    Spark and SQL identical for falling trends) and ``r2_ppm =
+    (10^6·num²) div (den_x·den_y)``.  num is shift-invariant, so
+    raw epoch-day x never inflates it; every product runs in
+    decimal(38,0) (num² ≲ 10^30 at 100 TB daily grains — int128/
+    decimal38 safe).
+
+    Scale shape: one shuffle to the (group, bucket) grain, then ONE
+    map-side-combinable aggregation per group — no window, no sort,
+    no second pass (contrast holt_trend, which is inherently
+    sequential and folds; OLS is a plain moment sketch).
+
+    Returns ``(group..., n_buckets, slope_upd, r2_ppm)``; groups
+    need ≥ 2 distinct buckets and a non-constant y (den_y = 0 has
+    an undefined r²) — others are dropped.
+    """
+    dec = "decimal(38,0)"
+    gcols = list(group_cols)
+    b = (df.groupBy(*[F.col(c) for c in gcols],
+                    F.datediff(F.to_date(F.date_trunc(
+                        bucket, F.col(ts_col))),
+                        F.lit("1970-01-01").cast("date"))
+                    .cast("long").alias("__x__"))
+         .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+              .cast("long").alias("__y__")))
+    x = F.col("__x__").cast(dec)
+    y = F.col("__y__").cast(dec)
+    m = (b.groupBy(*gcols)
+         .agg(F.count(F.lit(1)).cast(dec).alias("__n__"),
+              F.sum(x).alias("__sx__"), F.sum(y).alias("__sy__"),
+              F.sum(x * y).alias("__sxy__"),
+              F.sum(x * x).alias("__sxx__"),
+              F.sum(y * y).alias("__syy__")))
+    num = F.col("__n__") * F.col("__sxy__") \
+        - F.col("__sx__") * F.col("__sy__")
+    denx = F.col("__n__") * F.col("__sxx__") \
+        - F.col("__sx__") * F.col("__sx__")
+    deny = F.col("__n__") * F.col("__syy__") \
+        - F.col("__sy__") * F.col("__sy__")
+    withd = (m.withColumn("__num__", num)
+             .withColumn("__dx__", denx)
+             .withColumn("__dy__", deny)
+             .filter((F.col("__dx__") > 0) & (F.col("__dy__") > 0)))
+    return withd.select(
+        *gcols,
+        F.col("__n__").cast("long").alias("n_buckets"),
+        (F.when(F.col("__num__") < 0, -1).otherwise(1)
+         * F.expr(f"CAST((CAST(1000000 AS {dec}) * abs(__num__))"
+                  f" div __dx__ AS BIGINT)")).cast("long")
+        .alias("slope_upd"),
+        F.expr(f"CAST((CAST(1000000 AS {dec}) * __num__ * __num__)"
+               f" div (__dx__ * __dy__) AS BIGINT)").alias("r2_ppm"))

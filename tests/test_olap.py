@@ -977,3 +977,61 @@ def test_burstiness_regular_vs_bursty(spark):
            burstiness(df, ["g"], "ts").collect()}
     assert out["tick"] == 0
     assert out["burst"] > 1000 * max(out["tick"], 1)
+
+
+def test_json_field_stats(spark):
+    """Typed JSON extraction: valid values aggregate exactly;
+    missing-field, malformed and null JSON all count as unparsed."""
+    from cubes_spark.operators.olap import json_field_stats
+
+    rows = [("a", '{"k": 10}'), ("a", '{"k": 32}'),
+            ("a", '{"other": 5}'), ("a", "not json"),
+            ("b", '{"k": -7}'), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, props string")
+    out = {r["g"]: r for r in
+           json_field_stats(df, ["g"], "props", "k").collect()}
+    a = out["a"]
+    assert (a["n"], a["n_parsed"], a["sum_v"], a["min_v"],
+            a["max_v"]) == (4, 2, 42, 10, 32)
+    b = out["b"]
+    assert (b["n"], b["n_parsed"], b["sum_v"]) == (2, 1, -7)
+
+
+def test_group_ols_trend_hand_computed(spark):
+    """Perfect line: slope exact in micro-cents/day, r2 = 1e6;
+    noisy flat series: slope 0-ish, r2 small; constant-y and
+    single-bucket groups dropped."""
+    import datetime as dt
+
+    from cubes_spark.operators.olap import group_ols_trend
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("line", t0 + dt.timedelta(days=i), 1.0 + 0.25 * i)
+            for i in range(8)]                      # +25 cents/day
+    rows += [("flat", t0 + dt.timedelta(days=i), 5.0)
+             for i in range(5)]                     # den_y = 0
+    rows += [("solo", t0, 3.0)]
+    rows += [("zig", t0 + dt.timedelta(days=i), [1.0, 2.0][i % 2])
+             for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["g"]: r for r in
+           group_ols_trend(df, ["g"], "ts", "v").collect()}
+    assert set(out) == {"line", "zig"}
+    assert out["line"]["slope_upd"] == 25_000_000   # 25 cents/day
+    assert out["line"]["r2_ppm"] == 1_000_000
+    assert abs(out["zig"]["slope_upd"]) < 25_000_000
+    assert out["zig"]["r2_ppm"] < 200_000
+
+
+def test_group_ols_trend_partition_invariant(spark):
+    import datetime as dt
+
+    from cubes_spark.operators.olap import group_ols_trend
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [("g", t0 + dt.timedelta(days=i, hours=i % 5),
+             float((i * 31) % 17) - 4.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    a = group_ols_trend(df.repartition(1), ["g"], "ts", "v").collect()
+    b = group_ols_trend(df.repartition(11), ["g"], "ts", "v").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

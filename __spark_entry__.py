@@ -4820,6 +4820,140 @@ def q_dq_orders(spark, sf_dir):
     return dq_check(orders, rules)
 
 
+def q_orders_ols(spark, sf_dir):
+    """Per-priority least-squares daily trend (operators/olap.py:
+    group_ols_trend): OLS from the five integer moment sums only —
+    slope in micro-cents/day and r² in ppm, both truncating-div
+    integers; one shuffle to the day grain, one algebraic
+    aggregation, no window."""
+    from cubes_spark.operators.olap import group_ols_trend
+
+    od = _table(spark, sf_dir, "orders")
+    return group_ols_trend(od, ["o_orderpriority"], "o_orderdate",
+                           "o_totalprice", bucket="day")
+
+
+def q_events_json_stats(spark, sf_dir):
+    """Typed JSON field extraction + grouped exact stats
+    (operators/olap.py:json_field_stats): from_json with a one-field
+    schema parses props JVM-side; missing/malformed fields are
+    counted as NULLs, never dropped rows."""
+    from cubes_spark.operators.olap import json_field_stats
+
+    ev = _table(spark, sf_dir, "events")
+    return json_field_stats(ev, ["event_type"], "props", "k")
+
+
+def q_orders_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between URGENT and LOW
+    order totals (operators/stats.py:ks_two_sample): D maximized on
+    the integer cross-product |ca*nb - cb*na|, cumulative counts from
+    the two-phase value-bucketed prefix sum — no global sort; d_ppm
+    is the one truncating div at the end."""
+    from cubes_spark.operators.stats import ks_two_sample
+
+    od = _table(spark, sf_dir, "orders")
+    return ks_two_sample(od, "o_orderpriority", "o_totalprice",
+                         "1-URGENT", "5-LOW")
+
+
+def q_lineitem_spearman(spark, sf_dir):
+    """Per-returnflag Spearman rank correlation of quantity vs price
+    (operators/stats.py:spearman_rho): tie-corrected via doubled
+    average ranks (integers), emitted as SIGNED rho^2 in exact ppm —
+    the sqrt never happens; ranks from group-partitioned windows."""
+    from cubes_spark.operators.stats import spearman_rho
+
+    li = _table(spark, sf_dir, "lineitem")
+    return spearman_rho(li, ["l_returnflag"], "l_quantity",
+                        "l_extendedprice")
+
+
+def q_events_chisq(spark, sf_dir):
+    """Chi-square contingency of event type x hour-of-day
+    (operators/stats.py:chi_square_independence): per-cell
+    contribution (O*N - R*C)^2 div (R*C*N) in exact ppm, structural
+    zeros included from the margin cross-product — the facts are
+    scanned once."""
+    from cubes_spark.operators.stats import chi_square_independence
+
+    ev = _table(spark, sf_dir, "events")
+    prepared = ev.select(F.col("event_type"),
+                         F.hour("ts").alias("hour"))
+    return chi_square_independence(prepared, "event_type", "hour")
+
+
+def q_events_rolling_median(spark, sf_dir):
+    """Exact 7-row rolling median of event values per user
+    (operators/stats.py:rolling_median): sorted bounded ROWS frame,
+    lower median at ceil(n/2) — state is O(7) per row regardless of
+    history length; oracle replays list_sort(list() OVER w)[idx]."""
+    from cubes_spark.operators.stats import rolling_median
+
+    ev = _table(spark, sf_dir, "events")
+    return rolling_median(ev, "user_id", "ts", "value", 7,
+                          order_cols=["ts", "event_id"])
+
+
+def q_orders_winsorize(spark, sf_dir):
+    """Per-priority winsorized sum at exact P5/P95 order statistics
+    (operators/stats.py:winsorized_stats): percentile_disc ranks in
+    pure integer arithmetic (ceil via negated truncating div), clamp
+    + re-sum in cents; group-partitioned rank windows only."""
+    from cubes_spark.operators.stats import winsorized_stats
+
+    od = _table(spark, sf_dir, "orders")
+    return winsorized_stats(od, ["o_orderpriority"], "o_totalprice")
+
+
+def q_orders_interarrival(spark, sf_dir):
+    """Per-customer order inter-arrival gaps in exact microseconds
+    (operators/stats.py:interarrival_stats): lag under per-key order,
+    min/max/sum/truncated mean; customers with one order drop out."""
+    from cubes_spark.operators.stats import interarrival_stats
+
+    od = _table(spark, sf_dir, "orders")
+    return interarrival_stats(od, "o_custkey", "o_orderdate")
+
+
+def q_events_mode(spark, sf_dir):
+    """Per-user modal event type with deterministic tiebreak
+    (operators/stats.py:group_mode): highest count then smallest
+    value via one min(struct(-cnt, v)) — two algebraic aggregations,
+    no window."""
+    from cubes_spark.operators.stats import group_mode
+
+    ev = _table(spark, sf_dir, "events")
+    return group_mode(ev, ["user_id"], "event_type")
+
+
+def q_orders_emd(spark, sf_dir):
+    """Two-sample Wasserstein-1 distance between URGENT and LOW
+    order totals (operators/stats.py:emd_two_sample): W1*na*nb =
+    sum over distinct values of |cuma*nb - cumb*na| * gap-to-next —
+    all integers from the same bucketed prefix sum as KS (the
+    cross-bucket successor is a broadcast lookup, never a global
+    window); one truncating div to millicents at the end."""
+    from cubes_spark.operators.stats import emd_two_sample
+
+    od = _table(spark, sf_dir, "orders")
+    return emd_two_sample(od, "o_orderpriority", "o_totalprice",
+                          "1-URGENT", "5-LOW")
+
+
+def q_doc_postings(spark, sf_dir):
+    """Inverted-index build (llm/text.py:inverted_index): per term
+    df/cf plus the top-10 'doc:tf' posting list in total (tf desc,
+    doc asc) order, emitted as a string both engines aggregate
+    identically; the per-term window runs on the vocabulary grain
+    after a min_df prune, never on the corpus."""
+    from cubes_spark.llm.text import inverted_index
+
+    docs = _table(spark, sf_dir, "documents")
+    return inverted_index(docs, "text", "doc_id", min_df=5,
+                          postings_k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region x month) with a cell filter
     at sf0.001."""
@@ -4842,6 +4976,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every round regardless (dtype-strict).
     return {
         # ---- DRIVER WINDOW (first 50; rotated by tools/rotate_window.py) ----
+        "orders_ks": q_orders_ks,
+        "orders_emd": q_orders_emd,
+        "doc_postings": q_doc_postings,
+        "lineitem_spearman": q_lineitem_spearman,
+        "events_chisq": q_events_chisq,
+        "events_rolling_median": q_events_rolling_median,
+        "orders_winsorize": q_orders_winsorize,
+        "orders_interarrival": q_orders_interarrival,
+        "events_mode": q_events_mode,
+        "orders_ols": q_orders_ols,
+        "events_json_stats": q_events_json_stats,
         "events_markov": q_events_markov,
         "lineitem_hilbert": q_lineitem_hilbert,
         "doc_hits": q_doc_hits,
@@ -8738,6 +8883,265 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_bpe_vocab"] = _guarded_oracle(_bpe_vocab_oracle, "doc_bpe_vocab")
     sql["doc_image_dedup"] = _guarded_oracle(_image_dedup_oracle, "doc_image_dedup")
     sql["doc_audio_dedup"] = _guarded_oracle(_audio_dedup_oracle, "doc_audio_dedup")
+
+    # OLS trend: the five integer moment sums; staged r2 division
+    # ((1e6*|num|) // dx * |num|) // dy replays Spark's decimal div.
+    sql["orders_ols"] = """
+        WITH b AS (
+            SELECT o_orderpriority AS g,
+                date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS x,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS HUGEINT) AS y
+            FROM orders GROUP BY 1, 2),
+        m AS (
+            SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                sum(CAST(x AS HUGEINT)) AS sx, sum(y) AS sy,
+                sum(CAST(x AS HUGEINT) * y) AS sxy,
+                sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                sum(y * y) AS syy
+            FROM b GROUP BY 1),
+        d AS (
+            SELECT g, n, n * sxy - sx * sy AS num,
+                n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+            FROM m)
+        SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n_buckets,
+            CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((1000000 * abs(num)) // dx) AS BIGINT) AS slope_upd,
+            CAST(((1000000 * abs(num)) // dx * abs(num)) // dy
+                 AS BIGINT) AS r2_ppm
+        FROM d WHERE dx > 0 AND dy > 0"""
+
+    # JSON field stats: regexp mirror of from_json('k BIGINT') — the
+    # field is numeric in every row; empty match -> NULL (counted).
+    sql["events_json_stats"] = r"""
+        WITH p AS (
+            SELECT event_type,
+                CAST(NULLIF(regexp_extract(
+                    props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS v
+            FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(count(v) AS BIGINT) AS n_parsed,
+            CAST(sum(v) AS BIGINT) AS sum_v,
+            CAST(min(v) AS BIGINT) AS min_v,
+            CAST(max(v) AS BIGINT) AS max_v
+        FROM p GROUP BY 1"""
+
+    # Two-sample KS: cumulative per-value counts, integer
+    # cross-product gap, supremum with earliest-value tiebreak.
+    sql["orders_ks"] = """
+        WITH t AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                (o_orderpriority = '1-URGENT') AS a
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        h AS (
+            SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+            FROM t GROUP BY 1),
+        n AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+                     CAST(sum(cb) AS HUGEINT) AS nb FROM h),
+        c AS (
+            SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+                sum(cb) OVER (ORDER BY v) AS cumb
+            FROM h),
+        g AS (
+            SELECT v, abs(CAST(cuma AS HUGEINT) * n.nb
+                          - CAST(cumb AS HUGEINT) * n.na) AS gap
+            FROM c, n)
+        SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+            CAST((1000000 * g.gap) // (n.na * n.nb) AS BIGINT) AS d_ppm,
+            CAST(g.v AS BIGINT) AS at_value_cents
+        FROM g, n ORDER BY g.gap DESC, g.v ASC LIMIT 1"""
+
+    # EMD: sum of |cum cross-products| * gap-to-next-value; the
+    # oracle's global lead replays the distributed bucket successor.
+    sql["orders_emd"] = """
+        WITH t AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                (o_orderpriority = '1-URGENT') AS a
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        h AS (
+            SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+            FROM t GROUP BY 1),
+        n AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+                     CAST(sum(cb) AS HUGEINT) AS nb FROM h),
+        c AS (
+            SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+                sum(cb) OVER (ORDER BY v) AS cumb,
+                COALESCE(lead(v) OVER (ORDER BY v), v) - v AS dv
+            FROM h),
+        s AS (
+            SELECT sum(abs(CAST(cuma AS HUGEINT) * n.nb
+                           - CAST(cumb AS HUGEINT) * n.na)
+                       * CAST(dv AS HUGEINT)) AS t
+            FROM c, n)
+        SELECT CAST(n.na AS BIGINT) AS n_a,
+            CAST(n.nb AS BIGINT) AS n_b,
+            CAST((1000 * s.t) // (n.na * n.nb) AS BIGINT)
+                AS emd_millicents
+        FROM s, n"""
+
+    # Inverted index: (term, doc) tf grain, df/cf, top-10 postings
+    # as a string_agg in total (tf desc, doc asc) order.
+    sql["doc_postings"] = r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(CASE
+                WHEN trim(lower(text)) = '' THEN []
+                ELSE string_split_regex(trim(lower(text)), '\s+')
+                END) AS t
+            FROM documents),
+        td AS (
+            SELECT t AS term, doc_id, count(*) AS tf
+            FROM tok WHERE t <> '' GROUP BY 1, 2),
+        m AS (
+            SELECT term, count(*) AS df, sum(tf) AS cf
+            FROM td GROUP BY 1 HAVING count(*) >= 5),
+        r AS (
+            SELECT term, doc_id, tf, row_number() OVER (
+                PARTITION BY term
+                ORDER BY tf DESC, doc_id) AS rn
+            FROM td),
+        p AS (
+            SELECT term, string_agg(doc_id || ':' || tf, ','
+                ORDER BY tf DESC, doc_id) AS postings
+            FROM r WHERE rn <= 10 GROUP BY 1)
+        SELECT m.term, CAST(m.df AS BIGINT) AS df,
+            CAST(m.cf AS BIGINT) AS cf, p.postings
+        FROM m JOIN p ON m.term = p.term"""
+
+    # Spearman: doubled centered average ranks (exact zero-sum
+    # integers), staged rho^2 division as in orders_ols.
+    sql["lineitem_spearman"] = """
+        WITH b AS (
+            SELECT l_returnflag AS g,
+                CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem),
+        r AS (
+            SELECT g,
+                CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+                     + count(*) OVER (PARTITION BY g, x)
+                     - count(*) OVER (PARTITION BY g) - 2
+                     AS HUGEINT) AS rx,
+                CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+                     + count(*) OVER (PARTITION BY g, y)
+                     - count(*) OVER (PARTITION BY g) - 2
+                     AS HUGEINT) AS ry
+            FROM b),
+        m AS (
+            SELECT g, count(*) AS n_rows, sum(rx * ry) AS num,
+                sum(rx * rx) AS dx, sum(ry * ry) AS dy
+            FROM r GROUP BY 1)
+        SELECT g AS l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+            CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * (((1000000 * abs(num)) // dx * abs(num)) // dy)
+                 AS BIGINT) AS signed_rho2_ppm
+        FROM m WHERE dx > 0 AND dy > 0"""
+
+    # Chi-square: full margin cross-product grid (structural zeros
+    # included), per-cell truncated-ppm contributions.
+    sql["events_chisq"] = """
+        WITH p AS (
+            SELECT event_type AS r,
+                CAST(EXTRACT(hour FROM ts) AS BIGINT) AS c
+            FROM events),
+        o AS (SELECT r, c, count(*) AS o FROM p GROUP BY 1, 2),
+        rm AS (SELECT r, sum(o) AS rm FROM o GROUP BY 1),
+        cm AS (SELECT c, sum(o) AS cm FROM o GROUP BY 1),
+        n AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM o),
+        g AS (
+            SELECT rm.r, cm.c, COALESCE(o.o, 0) AS o,
+                CAST(rm.rm AS HUGEINT) AS rm,
+                CAST(cm.cm AS HUGEINT) AS cm, n.n
+            FROM rm CROSS JOIN cm CROSS JOIN n
+            LEFT JOIN o ON o.r = rm.r AND o.c = cm.c),
+        d AS (
+            SELECT r, c, o, rm, cm, n,
+                CAST(o AS HUGEINT) * n - rm * cm AS dev
+            FROM g)
+        SELECT r AS event_type, c AS hour,
+            CAST(o AS BIGINT) AS observed,
+            CAST((rm * cm * 1000000) // n AS BIGINT) AS expected_ppm,
+            CAST((dev * dev * 1000000) // (rm * cm * n) AS BIGINT)
+                AS contrib_ppm
+        FROM d"""
+
+    # Rolling median: sorted bounded ROWS frame, lower median at
+    # ceil(n/2) — the exact window the Spark side builds.
+    sql["events_rolling_median"] = """
+        SELECT user_id, ts,
+            CAST(round(value * 100) AS BIGINT) AS value_cents,
+            list_sort(list(CAST(round(value * 100) AS BIGINT))
+                      OVER w)[CAST(ceil(
+                count(*) OVER w / 2.0) AS INT)] AS rolling_median_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+
+    # Winsorize: percentile_disc ranks via add-before-divide ceil
+    # ((p*n + 1e6-1) // 1e6; // truncates), clamp + re-sum in cents.
+    sql["orders_winsorize"] = """
+        WITH b AS (
+            SELECT o_orderpriority AS g,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders),
+        r AS (
+            SELECT g, v,
+                row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                count(*) OVER (PARTITION BY g) AS n
+            FROM b),
+        q AS (
+            SELECT g, max(n) AS n_rows,
+                min(CASE WHEN rn >= (CAST(50000 AS HUGEINT) * n
+                                     + 999999) // 1000000
+                    THEN v END) AS lo,
+                min(CASE WHEN rn >= (CAST(950000 AS HUGEINT) * n
+                                     + 999999) // 1000000
+                    THEN v END) AS hi
+            FROM r GROUP BY 1)
+        SELECT b.g AS o_orderpriority,
+            CAST(max(q.n_rows) AS BIGINT) AS n_rows,
+            CAST(max(q.lo) AS BIGINT) AS lo_cents,
+            CAST(max(q.hi) AS BIGINT) AS hi_cents,
+            CAST(sum(greatest(least(b.v, q.hi), q.lo)) AS BIGINT)
+                AS winsorized_sum_cents,
+            CAST(sum(CASE WHEN b.v < q.lo THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clamped_lo,
+            CAST(sum(CASE WHEN b.v > q.hi THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clamped_hi
+        FROM b JOIN q ON b.g = q.g GROUP BY 1"""
+
+    # Inter-arrival gaps: lag micros per key; gap multiset is
+    # invariant under tie order, so aggregates are deterministic.
+    sql["orders_interarrival"] = """
+        WITH l AS (
+            SELECT o_custkey,
+                epoch_us(o_orderdate) - lag(epoch_us(o_orderdate))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate) AS g
+            FROM orders)
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+            CAST(min(g) AS BIGINT) AS min_gap_us,
+            CAST(max(g) AS BIGINT) AS max_gap_us,
+            CAST(sum(g) // count(*) AS BIGINT) AS avg_gap_us
+        FROM l WHERE g IS NOT NULL GROUP BY 1"""
+
+    # Mode: highest count then smallest value.
+    sql["events_mode"] = """
+        WITH c AS (
+            SELECT user_id, event_type AS v, count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+        r AS (
+            SELECT user_id, v, cnt, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY cnt DESC, v ASC) AS rn
+            FROM c)
+        SELECT user_id, v AS mode_value,
+            CAST(cnt AS BIGINT) AS mode_count
+        FROM r WHERE rn = 1"""
 
     return sql
 

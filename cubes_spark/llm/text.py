@@ -38,6 +38,7 @@ __all__ = [
     "normalize_unicode",
     "pack_sequences",
     "PII_PATTERNS",
+    "inverted_index",
     "STOPWORDS",
 ]
 
@@ -1160,3 +1161,53 @@ def rake_keyphrases(df: DataFrame, text_col: str = "text",
                  .alias("n_occurrences"),
                  F.max("__s__").cast("long").alias("score_ppm"))
             .filter(F.col("n_occurrences") >= min_count))
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 5,
+                   postings_k: int = 10) -> DataFrame:
+    """Inverted index over whitespace tokens: per term, document
+    frequency, collection frequency, and the top-``postings_k``
+    posting list ``"doc:tf,..."`` ranked by tf desc / doc asc — the
+    search-index build step BM25 retrieval (``bm25_search``) assumes,
+    materialized as a table instead of recomputed per query.
+
+    The posting list is emitted as a STRING (concat of ``doc:tf``)
+    so the exact oracle comparison stays scalar; order inside the
+    string is total (tf desc, doc asc) and replayable by SQL
+    ``string_agg(... ORDER BY ...)``.
+
+    Scale shape: one shuffle to the (term, doc) grain; df/cf and the
+    posting cut run on THAT grain (vocabulary-sized, not corpus-
+    sized); the per-term window is bounded by a term's document
+    count, and ``min_df`` prunes the hapax tail before the window.
+    """
+    from pyspark.sql.window import Window as W
+
+    td = (df.select(F.col(id_col).alias("__doc__"),
+                    F.explode(token_array(F.lower(F.col(text_col))))
+                    .alias("__t__"))
+          .filter(F.col("__t__") != "")
+          .groupBy("__t__", "__doc__")
+          .agg(F.count(F.lit(1)).alias("__tf__")))
+    stats = (td.groupBy("__t__")
+             .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                  F.sum("__tf__").cast("long").alias("cf"))
+             .filter(F.col("df") >= min_df))
+    pruned = td.join(stats.select("__t__"), "__t__")
+    w = W.partitionBy("__t__").orderBy(F.col("__tf__").desc(),
+                                       F.col("__doc__"))
+    top = (pruned.withColumn("__rn__", F.row_number().over(w))
+           .filter(F.col("__rn__") <= postings_k))
+    posted = (top.groupBy("__t__")
+              .agg(F.concat_ws(",", F.transform(
+                  F.array_sort(F.collect_list(F.struct(
+                      (-F.col("__tf__")).alias("ntf"),
+                      F.col("__doc__").alias("d")))),
+                  lambda s: F.concat(s["d"].cast("string"),
+                                     F.lit(":"),
+                                     (-s["ntf"]).cast("string"))))
+              .alias("postings")))
+    return (stats.join(posted, "__t__")
+            .select(F.col("__t__").alias("term"),
+                    "df", "cf", "postings"))

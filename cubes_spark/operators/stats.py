@@ -1,0 +1,423 @@
+"""Distributed exact-arithmetic statistics operators.
+
+Classical two-sample / association / robust statistics re-expressed
+so that every emitted number is an INTEGER a SQL oracle replays
+bit-for-bit: comparisons happen on cross-multiplied integer
+numerators (never an early float division), irrational outputs are
+avoided (rho² instead of rho, D·n₁·n₂ instead of D), and the single
+division that produces a report unit (ppm) is a truncating integer
+div both engines share.
+
+The reference (DataBrewery/cubes) has no statistics layer at all —
+its aggregate vocabulary stops at sum/avg/stddev
+(/root/reference/cubes/query/browser.py, aggregate functions table);
+these operators extend the same browser/oracle discipline to the
+tests an analytics user actually runs on 100 TB of fact data.
+
+Scale notes per operator are in each docstring; the common theme is
+that NOTHING here sorts globally: cumulative distributions come from
+the two-phase value-bucketed prefix sum (`_cum_value_histogram`),
+ranks from windows PARTITIONED BY THE GROUP, and everything else is
+algebraic moment sketches (map-side combinable single aggregations).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ks_two_sample",
+    "emd_two_sample",
+    "spearman_rho",
+    "chi_square_independence",
+    "rolling_median",
+    "winsorized_stats",
+    "interarrival_stats",
+    "group_mode",
+]
+
+_DEC = "decimal(38,0)"
+
+
+def _cents(col: str):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _two_sample_cum(df: DataFrame, group_col: str, value_col: str,
+                    group_a: str, group_b: str, num_buckets: int):
+    """Shared distributed machinery for two-sample EDF statistics
+    (KS, EMD): per distinct value v in cents, exact cumulative counts
+    ``__cuma__/__cumb__`` of each sample plus, for EMD, the gap to
+    the next distinct value ``__dv__`` (0 on the global maximum).
+
+    Two-phase value-bucketed prefix sum — deterministic buckets from
+    the value range, ONE bounded driver collect of per-bucket totals
+    (which also yields each bucket's min value, so the cross-bucket
+    successor needed by ``__dv__`` is a broadcast lookup, not a
+    global window), bucket-local windows for both the running sums
+    and the intra-bucket ``lead``.  Returns ``(cum_df, na, nb)`` or
+    ``(None, 0, 0)`` when either sample is empty.
+    """
+    from pyspark.sql.window import Window as W
+
+    tagged = (df.filter(F.col(group_col).isin([group_a, group_b]))
+              .select(_cents(value_col).alias("__v__"),
+                      (F.col(group_col) == group_a).alias("__a__")))
+    hist = (tagged.groupBy("__v__")
+            .agg(F.sum(F.col("__a__").cast("long")).alias("__ca__"),
+                 F.sum((~F.col("__a__")).cast("long")).alias("__cb__")))
+    bounds = hist.agg(F.min("__v__").alias("lo"),
+                      F.max("__v__").alias("hi"),
+                      F.sum("__ca__").alias("na"),
+                      F.sum("__cb__").alias("nb")).first()
+    if bounds["lo"] is None or not bounds["na"] or not bounds["nb"]:
+        return None, 0, 0
+    lo, hi = bounds["lo"], bounds["hi"]
+    na, nb = int(bounds["na"]), int(bounds["nb"])
+    width = max(1, -(-(hi - lo + 1) // num_buckets))
+    hist = hist.withColumn(
+        "__pid__",
+        F.floor((F.col("__v__") - F.lit(lo)) / F.lit(width)).cast("int"))
+    totals = (hist.groupBy("__pid__")
+              .agg(F.sum("__ca__").alias("ta"),
+                   F.sum("__cb__").alias("tb"),
+                   F.min("__v__").alias("mn")).collect())
+    ordered = sorted(totals, key=lambda r: r["__pid__"])
+    offsets, acc_a, acc_b = [], 0, 0
+    for i, row in enumerate(ordered):
+        nxt = ordered[i + 1]["mn"] if i + 1 < len(ordered) else None
+        offsets.append((row["__pid__"], acc_a, acc_b, nxt))
+        acc_a += row["ta"] or 0
+        acc_b += row["tb"] or 0
+    spark = df.sparkSession
+    off = F.broadcast(spark.createDataFrame(
+        offsets,
+        "__pid__ int, __offa__ long, __offb__ long, __nextmn__ long"))
+    local = (W.partitionBy("__pid__").orderBy("__v__")
+             .rowsBetween(W.unboundedPreceding, 0))
+    w_lead = W.partitionBy("__pid__").orderBy("__v__")
+    cum = (hist.join(off, "__pid__")
+           .withColumn("__cuma__", F.col("__offa__")
+                       + F.sum("__ca__").over(local))
+           .withColumn("__cumb__", F.col("__offb__")
+                       + F.sum("__cb__").over(local))
+           .withColumn("__dv__", F.coalesce(
+               F.lead("__v__").over(w_lead), F.col("__nextmn__"),
+               F.col("__v__")) - F.col("__v__")))
+    return cum, na, nb
+
+
+def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
+                  group_a: str, group_b: str,
+                  num_buckets: int = 256) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance, integer-exact.
+
+    D = max_v |F_a(v) − F_b(v)| has the exact rational form
+    ``max_v |ca(v)·nb − cb(v)·na| / (na·nb)`` where ``ca(v)`` is the
+    cumulative count of sample A at value v — so the maximisation
+    runs entirely on integers and only the final report unit is a
+    truncating div: ``d_ppm = 10^6·max|..| div (na·nb)``.  Also
+    emits the (smallest) value in cents where the supremum is
+    attained.
+
+    Scale shape: one groupBy to the |distinct values| grain with
+    per-sample counts, then the two-phase value-bucketed prefix sum
+    (deterministic buckets, bounded driver collect of one row per
+    bucket, bucket-local windows) — the same pattern as
+    ``_cum_value_histogram``; no global sort, no one-partition
+    window, regardless of sample size.
+    """
+    cum, na, nb = _two_sample_cum(df, group_col, value_col,
+                                  group_a, group_b, num_buckets)
+    if cum is None:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "n_a long, n_b long, d_ppm long, at_value_cents long")
+    gap = F.abs(F.col("__cuma__").cast(_DEC) * F.lit(nb)
+                - F.col("__cumb__").cast(_DEC) * F.lit(na))
+    best = (cum.select(F.struct(gap.alias("g"),
+                                (-F.col("__v__")).alias("nv"))
+                       .alias("__s__"))
+            .agg(F.max("__s__").alias("m")))
+    return best.select(
+        F.lit(na).alias("n_a"), F.lit(nb).alias("n_b"),
+        F.expr(f"CAST((CAST(1000000 AS {_DEC}) * m.g)"
+               f" div (CAST({na} AS {_DEC}) * {nb}) AS BIGINT)")
+        .alias("d_ppm"),
+        (-F.col("m.nv")).cast("long").alias("at_value_cents"))
+
+
+def emd_two_sample(df: DataFrame, group_col: str, value_col: str,
+                   group_a: str, group_b: str,
+                   num_buckets: int = 256) -> DataFrame:
+    """Two-sample earth-mover's (Wasserstein-1) distance,
+    integer-exact: W₁ = ∫|F_a − F_b| dv is a finite sum over the
+    distinct sample values,
+
+        W₁·na·nb = Σ_v |cuma(v)·nb − cumb(v)·na| · Δv
+
+    where Δv is the gap in cents to the NEXT distinct value — every
+    term an integer, so the sum is exact and the single report
+    division ``emd_millicents = (1000·Σ) div (na·nb)`` truncates
+    identically in both engines.
+
+    Unlike KS (supremum — scale-free), EMD weights HOW FAR mass must
+    move, the distribution-shift magnitude in value units.
+
+    Scale shape: the same two-phase bucketed prefix sum as KS; the
+    cross-bucket successor that Δv needs comes from the per-bucket
+    min collected in the SAME bounded driver pass (broadcast lookup),
+    so there is still no global window.
+    """
+    cum, na, nb = _two_sample_cum(df, group_col, value_col,
+                                  group_a, group_b, num_buckets)
+    if cum is None:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "n_a long, n_b long, emd_millicents long")
+    gap = F.abs(F.col("__cuma__").cast(_DEC) * F.lit(nb)
+                - F.col("__cumb__").cast(_DEC) * F.lit(na))
+    tot = cum.agg(F.sum(gap * F.col("__dv__").cast(_DEC))
+                  .alias("__t__"))
+    return tot.select(
+        F.lit(na).alias("n_a"), F.lit(nb).alias("n_b"),
+        F.expr(f"CAST((CAST(1000 AS {_DEC}) * __t__)"
+               f" div (CAST({na} AS {_DEC}) * {nb}) AS BIGINT)")
+        .alias("emd_millicents"))
+
+
+def spearman_rho(df: DataFrame, group_cols: Sequence[str],
+                 x_col: str, y_col: str) -> DataFrame:
+    """Per-group Spearman rank correlation as a SIGNED rho² in ppm,
+    tie-corrected (Pearson on average ranks), integer-exact.
+
+    Average ranks with ties are half-integers, so DOUBLED CENTERED
+    ranks ``rc = 2·rank() + count(ties) − 1 − (n+1)`` are integers
+    that sum to EXACTLY zero per group — Pearson on them collapses to
+
+        rho = Σ(rcx·rcy) / sqrt(Σrcx² · Σrcy²)
+
+    whose sqrt is irrational, so the emitted statistic is the exact
+    rational ``signed_rho2_ppm = sign(num) · ((10^6·|num|) div dx ·
+    |num|) div dy`` with num = Σ(rcx·rcy), dx = Σrcx², dy = Σrcy²
+    (monotone in |rho|, sign preserved; |rho|=1 ⇒ ±10^6; the staged
+    division keeps every intermediate ≤ 10^6·|num| — exact through
+    ~10^10 rows per group in decimal(38,0); error vs the real
+    rho² < 2 ppm, and the SQL oracle replays the same staging).
+
+    Scale shape: ranks come from windows PARTITIONED BY THE GROUP
+    (never global) plus one tie-count window per axis; then ONE
+    map-side-combinable moment aggregation.  Skewed groups cost what
+    their row count costs — the per-group sort bound.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = list(group_cols)
+    base = df.select(*[F.col(c) for c in gcols],
+                     _cents(x_col).alias("__x__"),
+                     _cents(y_col).alias("__y__"))
+    w_all = W.partitionBy(*gcols)
+    base = base.withColumn("__n__", F.count(F.lit(1)).over(w_all))
+    for ax in ("__x__", "__y__"):
+        w_rank = W.partitionBy(*gcols).orderBy(ax)
+        w_tie = W.partitionBy(*gcols, ax)
+        base = base.withColumn(
+            f"__rc{ax}__",
+            (2 * F.rank().over(w_rank)
+             + F.count(F.lit(1)).over(w_tie)
+             - F.col("__n__") - 2).cast(_DEC))
+    rx, ry = F.col("__rc__x____"), F.col("__rc__y____")
+    m = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(rx * ry).alias("__num__"),
+        F.sum(rx * rx).alias("__dx__"),
+        F.sum(ry * ry).alias("__dy__"))
+    withd = m.filter((F.col("__dx__") > 0) & (F.col("__dy__") > 0))
+    return withd.select(
+        *gcols,
+        F.col("n_rows"),
+        (F.when(F.col("__num__") < 0, -1).otherwise(1)
+         * F.expr(f"CAST(((CAST(1000000 AS {_DEC}) * abs(__num__))"
+                  f" div __dx__ * abs(__num__)) div __dy__"
+                  f" AS BIGINT)"))
+        .cast("long").alias("signed_rho2_ppm"))
+
+
+def chi_square_independence(df: DataFrame, row_col: str,
+                            col_col: str) -> DataFrame:
+    """Chi-square contingency table, integer-exact per cell.
+
+    With observed O, margins R and C and total N, the cell term
+    (O − E)²/E = (O·N − R·C)² / (R·C·N); the emitted per-cell
+    contribution is ``10^6·(O·N − R·C)² div (R·C·N)`` — i.e. the
+    statistic is DEFINED as the sum of per-cell truncated-ppm terms,
+    which both engines compute identically (each term differs from
+    the real one by < 1 ppm).  The full grid — including structural
+    zeros, which still contribute R·C/N — is generated by crossing
+    the two margin tables, never by scanning the facts twice.
+
+    Scale shape: one groupBy to the |rows|×|cols| grain, two margin
+    aggregations off THAT grain (not the facts), broadcast joins
+    back; everything algebraic.
+    """
+    obs = (df.groupBy(F.col(row_col).alias("__r__"),
+                      F.col(col_col).alias("__c__"))
+           .agg(F.count(F.lit(1)).alias("__o__")))
+    rmar = obs.groupBy("__r__").agg(F.sum("__o__").alias("__rm__"))
+    cmar = obs.groupBy("__c__").agg(F.sum("__o__").alias("__cm__"))
+    total = obs.agg(F.sum("__o__").alias("__n__"))
+    grid = (rmar.crossJoin(F.broadcast(cmar))
+            .crossJoin(F.broadcast(total))
+            .join(obs, ["__r__", "__c__"], "left")
+            .fillna({"__o__": 0}))
+    o = F.col("__o__").cast(_DEC)
+    rm = F.col("__rm__").cast(_DEC)
+    cm = F.col("__cm__").cast(_DEC)
+    n = F.col("__n__").cast(_DEC)
+    dev = o * n - rm * cm
+    grid = (grid.withColumn("__rm_d__", rm).withColumn("__cm_d__", cm)
+            .withColumn("__n_d__", n).withColumn("__dev__", dev))
+    return grid.select(
+        F.col("__r__").alias(row_col),
+        F.col("__c__").alias(col_col),
+        F.col("__o__").cast("long").alias("observed"),
+        F.expr("CAST((__rm_d__ * __cm_d__ * 1000000) div __n_d__"
+               " AS BIGINT)").alias("expected_ppm"),
+        F.expr("CAST((__dev__ * __dev__ * 1000000)"
+               " div (__rm_d__ * __cm_d__ * __n_d__) AS BIGINT)")
+        .alias("contrib_ppm"))
+
+
+def rolling_median(df: DataFrame, key_col: str, ts_col: str,
+                   value_col: str, window_rows: int = 7,
+                   order_cols: Optional[Sequence[str]] = None
+                   ) -> DataFrame:
+    """Exact rolling median (lower order statistic) over the last
+    ``window_rows`` rows per key, deterministic order.
+
+    Spark has no exact percentile window, but a ROWS frame of bounded
+    width makes the sorted frame itself cheap: ``collect_list`` over
+    the frame, ``sort_array``, element ``ceil(n/2)`` (the lower
+    median for even n — replayable as ``list_sort(list(v) OVER w)
+    [ceil(n/2)]`` in the oracle).  Frame memory is O(window_rows) per
+    row — bounded by construction, never by data volume.
+
+    Scale shape: one window partitioned by the key; the frame is
+    rows-bounded so state never grows with history length.
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(c) for c in (order_cols or [ts_col])]
+    w = (W.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(window_rows - 1), 0))
+    frame = F.sort_array(F.collect_list(_cents(value_col)).over(w))
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        _cents(value_col).alias("value_cents"),
+        F.element_at(frame, F.ceil(F.size(frame) / 2).cast("int"))
+        .alias("rolling_median_cents"))
+
+
+def winsorized_stats(df: DataFrame, group_cols: Sequence[str],
+                     value_col: str, lo_ppm: int = 50000,
+                     hi_ppm: int = 950000) -> DataFrame:
+    """Per-group winsorized sum: values are clamped at the exact
+    percentile_disc order statistics for ``lo_ppm``/``hi_ppm``
+    (rank = the smallest r with r·10^6 ≥ p_ppm·n, i.e. ``ceil(p·n)``
+    = ``(p_ppm·n + 10^6 − 1) div 10^6`` — the add-before-divide ceil,
+    since both Spark ``div`` and SQL ``//`` truncate toward zero and
+    the negate trick would floor) and re-summed in cents.
+
+    Robust-mean reporting without the outlier sensitivity of the raw
+    sum and without discarding rows (contrast trimming) — Tukey 1962.
+
+    Scale shape: the same grouped rank-window + conditional-aggregate
+    pattern as ``grouped_iqr_outliers`` — ranks are per-group windows
+    (never global), boundaries fall out of one aggregate, one
+    broadcast-friendly rejoin clamps and re-sums.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = list(group_cols)
+    base = df.select(*[F.col(c) for c in gcols],
+                     _cents(value_col).alias("__v__"))
+    w_ord = W.partitionBy(*gcols).orderBy("__v__")
+    w_all = W.partitionBy(*gcols)
+    ranked = (base.withColumn("__rn__", F.row_number().over(w_ord))
+              .withColumn("__n__", F.count(F.lit(1)).over(w_all)))
+    lo_rank = F.expr(f"(CAST({lo_ppm} AS {_DEC}) * __n__ + 999999)"
+                     f" div 1000000")
+    hi_rank = F.expr(f"(CAST({hi_ppm} AS {_DEC}) * __n__ + 999999)"
+                     f" div 1000000")
+    q = ranked.groupBy(*gcols).agg(
+        F.max("__n__").cast("long").alias("n_rows"),
+        F.min(F.when(F.col("__rn__") >= lo_rank, F.col("__v__")))
+        .alias("lo_cents"),
+        F.min(F.when(F.col("__rn__") >= hi_rank, F.col("__v__")))
+        .alias("hi_cents"))
+    joined = base.join(q, gcols)
+    clamped = F.greatest(F.least(F.col("__v__"), F.col("hi_cents")),
+                         F.col("lo_cents"))
+    return (joined.groupBy(*gcols)
+            .agg(F.max("n_rows").alias("n_rows"),
+                 F.max("lo_cents").alias("lo_cents"),
+                 F.max("hi_cents").alias("hi_cents"),
+                 F.sum(clamped).cast("long")
+                 .alias("winsorized_sum_cents"),
+                 F.sum((F.col("__v__") < F.col("lo_cents"))
+                       .cast("long")).cast("long").alias("n_clamped_lo"),
+                 F.sum((F.col("__v__") > F.col("hi_cents"))
+                       .cast("long")).cast("long")
+                 .alias("n_clamped_hi")))
+
+
+def interarrival_stats(df: DataFrame, key_col: str, ts_col: str,
+                       tiebreak_col: Optional[str] = None) -> DataFrame:
+    """Per-key inter-arrival gap statistics in exact microseconds:
+    gaps from ``lag`` under a deterministic (ts[, tiebreak]) order,
+    min/max/sum plus the mean as a truncating integer div — keys with
+    fewer than two events are dropped.
+
+    Scale shape: one window partitioned by the key, one algebraic
+    aggregation; no global sort.
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    gaps = (df.select(F.col(key_col), gap.alias("__gap__"))
+            .filter(F.col("__gap__").isNotNull()))
+    return (gaps.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                 F.min("__gap__").alias("min_gap_us"),
+                 F.max("__gap__").alias("max_gap_us"),
+                 F.expr("CAST(sum(__gap__) div count(*) AS BIGINT)")
+                 .alias("avg_gap_us")))
+
+
+def group_mode(df: DataFrame, group_cols: Sequence[str],
+               value_col: str) -> DataFrame:
+    """Per-group exact mode with a deterministic tiebreak (highest
+    count, then SMALLEST value): count to the (group, value) grain,
+    then one ``min(struct(-count, value))`` — two map-side-combinable
+    aggregations, no window, no sort.
+    """
+    gcols = list(group_cols)
+    counted = (df.filter(F.col(value_col).isNotNull())
+               .groupBy(*[F.col(c) for c in gcols],
+                        F.col(value_col).alias("__val__"))
+               .agg(F.count(F.lit(1)).alias("__cnt__")))
+    pick = F.min(F.struct((-F.col("__cnt__")).alias("nc"),
+                          F.col("__val__").alias("v"))).alias("__p__")
+    return (counted.groupBy(*gcols).agg(pick)
+            .select(*gcols,
+                    F.col("__p__.v").alias("mode_value"),
+                    (-F.col("__p__.nc")).cast("long")
+                    .alias("mode_count")))

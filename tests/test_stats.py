@@ -1,0 +1,284 @@
+"""Unit tests for cubes_spark.operators.stats — hand-computed
+values, tiebreak determinism, and partition invariance."""
+
+import datetime as dt
+
+import pytest
+
+from cubes_spark.operators.stats import (
+    chi_square_independence,
+    group_mode,
+    interarrival_stats,
+    ks_two_sample,
+    rolling_median,
+    spearman_rho,
+    winsorized_stats,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestKS:
+    def test_hand_computed(self, spark):
+        # A = {1,2,3}, B = {2,3,4}: D = 1/3 attained first at v=1
+        rows = [("a", 0.01), ("a", 0.02), ("a", 0.03),
+                ("b", 0.02), ("b", 0.03), ("b", 0.04)]
+        df = _df(spark, rows, "g string, v double")
+        out = ks_two_sample(df, "g", "v", "a", "b").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["n_a"], r["n_b"]) == (3, 3)
+        assert r["d_ppm"] == (1000000 * 3) // 9
+        assert r["at_value_cents"] == 1
+
+    def test_identical_samples_zero(self, spark):
+        rows = [(g, float(v)) for g in ("a", "b") for v in range(10)]
+        df = _df(spark, rows, "g string, v double")
+        r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+        assert r["d_ppm"] == 0
+
+    def test_disjoint_samples_one(self, spark):
+        rows = [("a", float(v)) for v in range(5)]
+        rows += [("b", float(v + 100)) for v in range(5)]
+        df = _df(spark, rows, "g string, v double")
+        r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+        assert r["d_ppm"] == 1000000
+
+    def test_empty_side(self, spark):
+        df = _df(spark, [("a", 1.0)], "g string, v double")
+        assert ks_two_sample(df, "g", "v", "a", "b").count() == 0
+
+    def test_partition_invariant(self, spark):
+        rows = [("a" if i % 3 else "b", float((i * 7) % 13))
+                for i in range(200)]
+        df = _df(spark, rows, "g string, v double")
+        a = ks_two_sample(df.repartition(1), "g", "v", "a", "b").collect()
+        b = ks_two_sample(df.repartition(17), "g", "v", "a", "b").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestSpearman:
+    def test_perfect_monotone(self, spark):
+        rows = [("g", float(i), float(i * i)) for i in range(1, 9)]
+        df = _df(spark, rows, "g string, x double, y double")
+        r = spearman_rho(df, ["g"], "x", "y").collect()[0]
+        assert r["signed_rho2_ppm"] == 1000000
+
+    def test_perfect_inverse(self, spark):
+        rows = [("g", float(i), float(100 - i)) for i in range(1, 9)]
+        df = _df(spark, rows, "g string, x double, y double")
+        r = spearman_rho(df, ["g"], "x", "y").collect()[0]
+        assert r["signed_rho2_ppm"] == -1000000
+
+    def test_hand_computed_with_ties(self, spark):
+        # x: 1,1,2 -> avg ranks 1.5,1.5,3 ; y: 5,7,7 -> 1,2.5,2.5
+        # centered doubled: x: -1,-1,+2 ; y: -2,+1,+1
+        # num = 2+(-1)+2 = 3 ; dx = 1+1+4 = 6 ; dy = 4+1+1 = 6
+        # staged: (1e6*3)//6 = 500000 ; (500000*3)//6 = 250000
+        rows = [("g", 0.01, 0.05), ("g", 0.01, 0.07), ("g", 0.02, 0.07)]
+        df = _df(spark, rows, "g string, x double, y double")
+        r = spearman_rho(df, ["g"], "x", "y").collect()[0]
+        assert r["n_rows"] == 3
+        assert r["signed_rho2_ppm"] == 250000
+
+    def test_constant_axis_dropped(self, spark):
+        rows = [("g", 1.0, float(i)) for i in range(5)]
+        df = _df(spark, rows, "g string, x double, y double")
+        assert spearman_rho(df, ["g"], "x", "y").count() == 0
+
+    def test_partition_invariant(self, spark):
+        rows = [("g", float((i * 31) % 17), float((i * 13) % 11))
+                for i in range(120)]
+        df = _df(spark, rows, "g string, x double, y double")
+        a = spearman_rho(df.repartition(1), ["g"], "x", "y").collect()
+        b = spearman_rho(df.repartition(13), ["g"], "x", "y").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestChiSquare:
+    def test_hand_2x2(self, spark):
+        # O = [[10, 20], [30, 40]]: N=100, R=(30,70), C=(40,60)
+        rows = ([("r1", "c1")] * 10 + [("r1", "c2")] * 20
+                + [("r2", "c1")] * 30 + [("r2", "c2")] * 40)
+        df = _df(spark, rows, "r string, c string")
+        out = {(x["r"], x["c"]): x for x in
+               chi_square_independence(df, "r", "c").collect()}
+        assert len(out) == 4
+        cell = out[("r1", "c1")]
+        assert cell["observed"] == 10
+        # E = 30*40/100 = 12 -> 12e6 ppm
+        assert cell["expected_ppm"] == 12000000
+        # dev = 10*100 - 30*40 = -200; contrib = 200^2*1e6 //
+        #   (30*40*100) = 4e10 // 120000 = 333333
+        assert cell["contrib_ppm"] == (200 * 200 * 1000000) // 120000
+
+    def test_structural_zero_included(self, spark):
+        rows = [("r1", "c1"), ("r1", "c2"), ("r2", "c1")]
+        df = _df(spark, rows, "r string, c string")
+        out = {(x["r"], x["c"]): x for x in
+               chi_square_independence(df, "r", "c").collect()}
+        assert ("r2", "c2") in out
+        assert out[("r2", "c2")]["observed"] == 0
+        # R=1, C=1, N=3: contrib = (0*3 - 1)^2 * 1e6 // 3 = 333333
+        assert out[("r2", "c2")]["contrib_ppm"] == 333333
+
+
+class TestRollingMedian:
+    def test_hand_window3(self, spark):
+        t0 = dt.datetime(2020, 1, 1)
+        vals = [0.10, 0.05, 0.07, 0.01, 0.09]
+        rows = [(1, t0 + dt.timedelta(minutes=i), v, i)
+                for i, v in enumerate(vals)]
+        df = _df(spark, rows,
+                 "k long, ts timestamp, v double, eid long")
+        out = [r["rolling_median_cents"] for r in
+               rolling_median(df, "k", "ts", "v", 3,
+                              order_cols=["ts", "eid"])
+               .orderBy("ts").collect()]
+        # frames: [10],[5,10],[5,7,10],[1,5,7],[1,7,9]
+        assert out == [10, 5, 7, 5, 7]
+
+    def test_keys_independent(self, spark):
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [(k, t0 + dt.timedelta(minutes=i), float(k * 10 + i), i)
+                for k in (1, 2) for i in range(4)]
+        df = _df(spark, rows,
+                 "k long, ts timestamp, v double, eid long")
+        first = (rolling_median(df, "k", "ts", "v", 7,
+                                order_cols=["ts", "eid"])
+                 .filter("value_cents = rolling_median_cents").count())
+        # first row of each key is its own median frame of size 1
+        assert first >= 2
+
+
+class TestWinsorize:
+    def test_hand_computed(self, spark):
+        # 10 values 1..9 plus outlier 1000 (cents: 100..900, 100000)
+        rows = [("g", float(i)) for i in range(1, 10)] + [("g", 1000.0)]
+        df = _df(spark, rows, "g string, v double")
+        r = winsorized_stats(df, ["g"], "v",
+                             lo_ppm=100000, hi_ppm=900000).collect()[0]
+        # n=10: lo rank ceil(0.1*10)=1 -> 100; hi rank ceil(9)=9 -> 900
+        assert r["n_rows"] == 10
+        assert r["lo_cents"] == 100
+        assert r["hi_cents"] == 900
+        assert r["n_clamped_lo"] == 0
+        assert r["n_clamped_hi"] == 1
+        assert r["winsorized_sum_cents"] == sum(
+            i * 100 for i in range(1, 10)) + 900
+
+    def test_no_clamp_when_full_range(self, spark):
+        rows = [("g", float(i)) for i in range(1, 6)]
+        df = _df(spark, rows, "g string, v double")
+        r = winsorized_stats(df, ["g"], "v",
+                             lo_ppm=1, hi_ppm=999999).collect()[0]
+        assert r["n_clamped_lo"] == 0 and r["n_clamped_hi"] == 0
+        assert r["winsorized_sum_cents"] == 1500
+
+
+class TestInterarrival:
+    def test_hand_computed(self, spark):
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [(1, t0), (1, t0 + dt.timedelta(seconds=10)),
+                (1, t0 + dt.timedelta(seconds=40)),
+                (2, t0)]
+        df = _df(spark, rows, "k long, ts timestamp")
+        out = {r["k"]: r for r in
+               interarrival_stats(df, "k", "ts").collect()}
+        assert set(out) == {1}   # single-event key dropped
+        r = out[1]
+        assert r["n_gaps"] == 2
+        assert r["min_gap_us"] == 10_000_000
+        assert r["max_gap_us"] == 30_000_000
+        assert r["avg_gap_us"] == 20_000_000
+
+
+class TestGroupMode:
+    def test_tiebreak_smallest(self, spark):
+        rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"),
+                ("g", "c")]
+        df = _df(spark, rows, "g string, v string")
+        r = group_mode(df, ["g"], "v").collect()[0]
+        assert r["mode_value"] == "a"
+        assert r["mode_count"] == 2
+
+    def test_nulls_ignored(self, spark):
+        rows = [("g", None), ("g", None), ("g", "x")]
+        df = _df(spark, rows, "g string, v string")
+        r = group_mode(df, ["g"], "v").collect()[0]
+        assert r["mode_value"] == "x"
+        assert r["mode_count"] == 1
+
+
+class TestEMD:
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.stats import emd_two_sample
+        # A = {1,2}, B = {3,4} cents (0.01..0.04): W1 = 2 cents
+        rows = [("a", 0.01), ("a", 0.02), ("b", 0.03), ("b", 0.04)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = emd_two_sample(df, "g", "v", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (2, 2)
+        assert r["emd_millicents"] == 2000
+
+    def test_identical_zero(self, spark):
+        from cubes_spark.operators.stats import emd_two_sample
+        rows = [(g, float(v)) for g in ("a", "b") for v in range(8)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = emd_two_sample(df, "g", "v", "a", "b").collect()[0]
+        assert r["emd_millicents"] == 0
+
+    def test_constant_shift(self, spark):
+        from cubes_spark.operators.stats import emd_two_sample
+        # B = A + 0.50: W1 = 50 cents regardless of shape
+        vals = [1.0, 2.0, 7.0, 11.0]
+        rows = [("a", v) for v in vals] + [("b", v + 0.5) for v in vals]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = emd_two_sample(df, "g", "v", "a", "b").collect()[0]
+        assert r["emd_millicents"] == 50000
+
+    def test_partition_invariant(self, spark):
+        from cubes_spark.operators.stats import emd_two_sample
+        rows = [("a" if i % 3 else "b", float((i * 7) % 13))
+                for i in range(150)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        a = emd_two_sample(df.repartition(1), "g", "v", "a", "b",
+                           num_buckets=4).collect()
+        b = emd_two_sample(df.repartition(13), "g", "v", "a", "b",
+                           num_buckets=64).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestInvertedIndex:
+    def test_hand_computed(self, spark):
+        from cubes_spark.llm.text import inverted_index
+        rows = [(1, "apple banana apple"), (2, "apple cherry"),
+                (3, "banana banana")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["term"]: r for r in
+               inverted_index(df, "text", "doc_id", min_df=1,
+                              postings_k=10).collect()}
+        assert out["apple"]["df"] == 2
+        assert out["apple"]["cf"] == 3
+        # tf desc then doc asc: doc1 tf2, doc2 tf1
+        assert out["apple"]["postings"] == "1:2,2:1"
+        assert out["banana"]["postings"] == "3:2,1:1"
+
+    def test_min_df_prunes(self, spark):
+        from cubes_spark.llm.text import inverted_index
+        rows = [(1, "common rare"), (2, "common"), (3, "common")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        terms = {r["term"] for r in
+                 inverted_index(df, "text", "doc_id", min_df=2,
+                                postings_k=5).collect()}
+        assert terms == {"common"}
+
+    def test_postings_k_caps(self, spark):
+        from cubes_spark.llm.text import inverted_index
+        rows = [(i, "tok") for i in range(9)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = inverted_index(df, "text", "doc_id", min_df=1,
+                           postings_k=3).collect()[0]
+        assert r["df"] == 9
+        assert r["postings"] == "0:1,1:1,2:1"

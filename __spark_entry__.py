@@ -2132,6 +2132,64 @@ def _pagerank_oracle() -> str:
         FROM r3"""
 
 
+def _textrank_oracle() -> str:
+    """Unrolled 2-iteration integer PageRank over the adjacent
+    content-token co-occurrence multigraph (both directions, self
+    pairs dropped) — token-for-token the link_pagerank recurrence
+    doc_pagerank replays, with the node set = distinct tokens."""
+    scale = 10 ** 12
+
+    def step(prev: str, cur: str) -> str:
+        return f"""
+        {cur} AS (
+            SELECT n.node,
+                (SELECT ({scale} * 150 // 1000) // c.n FROM cnt c)
+                + COALESCE(SUM({prev}.r * 850 // (1000 * dg.dg)), 0)
+                    AS r
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN {prev} ON {prev}.node = e.src
+            LEFT JOIN deg dg ON dg.node = e.src
+            GROUP BY n.node)"""
+
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id, t, i FROM (
+                SELECT doc_id,
+                    unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                        ELSE string_split_regex(trim(lower(text)),
+                                                '\s+') END) AS t,
+                    generate_subscripts(
+                        CASE WHEN trim(lower(text)) = '' THEN []
+                        ELSE string_split_regex(trim(lower(text)),
+                                                '\s+') END, 1) AS i
+                FROM documents)
+            WHERE regexp_matches(t, '^[a-z]{{3,}}$')),
+        pairs AS (
+            SELECT t AS a, lead(t) OVER (
+                PARTITION BY doc_id ORDER BY i) AS b
+            FROM tok),
+        kept AS (SELECT a, b FROM pairs
+                 WHERE b IS NOT NULL AND a <> b),
+        edges AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM kept
+            UNION ALL
+            SELECT b, a FROM kept),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node
+                               FROM edges),
+        cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src AS node, COUNT(*) AS dg
+                FROM edges GROUP BY 1),
+        r0 AS (
+            SELECT node, (SELECT {scale} // c.n FROM cnt c) AS r
+            FROM nodes),
+        {step('r0', 'r1')},
+        {step('r1', 'r2')}
+        SELECT node AS token, CAST(r AS BIGINT) AS rank_units
+        FROM r2
+        ORDER BY r DESC, node ASC LIMIT 20"""
+
+
 def _hilbert_oracle() -> str:
     """Replays hilbert_value token-for-token: identical min-max
     scaling, then the same 16 unrolled xy2d steps from
@@ -4954,6 +5012,57 @@ def q_doc_postings(spark, sf_dir):
                           postings_k=10)
 
 
+def q_events_drawdown(spark, sf_dir):
+    """Per-user maximum drawdown of the running net balance
+    (operators/stats.py:max_drawdown; errors debit as in
+    events_balance): running sum + running peak from two stacked
+    windows over ONE per-key sort, worst (peak - cum) picked by an
+    algebraic min(struct) — exact cents, no iteration."""
+    from cubes_spark.operators.stats import max_drawdown
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "__signed__",
+        F.col("value")
+        * F.when(F.col("event_type") == "error", -1).otherwise(1))
+    return max_drawdown(ev, "user_id", "ts", "__signed__",
+                        tiebreak_col="event_id")
+
+
+def q_events_km(spark, sf_dir):
+    """Kaplan-Meier survival of time-to-first-purchase per user
+    (operators/stats.py:kaplan_meier): duration = days from first
+    event to first purchase (death) or last event (censored); the
+    product-limit estimate is the truncated-integer recurrence
+    S <- (S*(n-d)) div n over the bounded DURATION grain, replayed
+    exactly by the oracle's recursive CTE."""
+    from cubes_spark.operators.stats import kaplan_meier
+
+    ev = _table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("death_ts"),
+        F.max("ts").alias("last_ts")))
+    dur = per_user.select(
+        F.datediff(F.to_date(F.coalesce("death_ts", "last_ts")),
+                   F.to_date("first_ts")).alias("dur"),
+        F.col("death_ts").isNotNull().cast("int").alias("ev"))
+    return kaplan_meier(dur, "dur", "ev")
+
+
+def q_doc_textrank(spark, sf_dir):
+    """TextRank keywords (llm/text.py:textrank_keywords; Mihalcea &
+    Tarau 2004): adjacent content-token pairs as undirected
+    multi-edges, ranked by the same integer fixed-point PageRank as
+    doc_pagerank (2 iterations unrolled in the oracle); global
+    top-20 via TakeOrdered."""
+    from cubes_spark.llm.text import textrank_keywords
+
+    docs = _table(spark, sf_dir, "documents")
+    return textrank_keywords(docs, "text", "doc_id", iterations=2,
+                             top_k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region x month) with a cell filter
     at sf0.001."""
@@ -4979,6 +5088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_ks": q_orders_ks,
         "orders_emd": q_orders_emd,
         "doc_postings": q_doc_postings,
+        "events_drawdown": q_events_drawdown,
+        "events_km": q_events_km,
+        "doc_textrank": q_doc_textrank,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9011,6 +9123,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.term, CAST(m.df AS BIGINT) AS df,
             CAST(m.cf AS BIGINT) AS cf, p.postings
         FROM m JOIN p ON m.term = p.term"""
+
+    # Max drawdown: running sum + running peak windows, worst gap
+    # picked by (dd desc, trough asc) — min(struct) on the Spark side.
+    sql["events_drawdown"] = """
+        WITH b AS (
+            SELECT user_id, ts, event_id,
+                CAST(round(value * (CASE WHEN event_type = 'error'
+                    THEN -1 ELSE 1 END) * 100) AS BIGINT) AS x
+            FROM events),
+        c AS (
+            SELECT user_id, ts, event_id,
+                sum(x) OVER w AS c
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)),
+        p AS (
+            SELECT user_id, c,
+                max(c) OVER (PARTITION BY user_id ORDER BY ts,
+                    event_id ROWS UNBOUNDED PRECEDING) AS p
+            FROM c),
+        r AS (
+            SELECT user_id, c, p, p - c AS dd, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY p - c DESC, c ASC) AS rn
+            FROM p)
+        SELECT r.user_id, s.n_rows, s.max_cum_cents,
+            CAST(r.dd AS BIGINT) AS max_drawdown_cents,
+            CAST(r.p AS BIGINT) AS peak_cents,
+            CAST(r.c AS BIGINT) AS trough_cents
+        FROM r JOIN (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(max(c) AS BIGINT) AS max_cum_cents
+            FROM c GROUP BY 1) s ON s.user_id = r.user_id
+        WHERE r.rn = 1"""
+
+    # Kaplan-Meier: duration grain + the recursive-CTE replay of the
+    # truncated product-limit recurrence.
+    sql["events_km"] = """
+        WITH RECURSIVE per_user AS (
+            SELECT user_id, min(ts) AS first_ts,
+                min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS death_ts,
+                max(ts) AS last_ts
+            FROM events GROUP BY 1),
+        dur AS (
+            SELECT date_diff('day', CAST(first_ts AS DATE),
+                CAST(COALESCE(death_ts, last_ts) AS DATE)) AS t,
+                CASE WHEN death_ts IS NOT NULL THEN 1 ELSE 0 END
+                    AS ev
+            FROM per_user),
+        per_t AS (
+            SELECT CAST(t AS BIGINT) AS t, sum(ev) AS d,
+                sum(1 - ev) AS c
+            FROM dur GROUP BY 1),
+        tot AS (SELECT sum(d + c) AS N FROM per_t),
+        step AS (
+            SELECT t, d, c, row_number() OVER (ORDER BY t) AS i,
+                CAST((SELECT N FROM tot) - COALESCE(
+                    sum(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS HUGEINT) AS nar
+            FROM per_t),
+        r(i, s) AS (
+            SELECT 0, CAST(1000000 AS HUGEINT)
+            UNION ALL
+            SELECT step.i,
+                CASE WHEN step.d > 0
+                    THEN (r.s * (step.nar - step.d)) // step.nar
+                    ELSE r.s END
+            FROM r JOIN step ON step.i = r.i + 1)
+        SELECT step.t, CAST(step.nar AS BIGINT) AS n_at_risk,
+            CAST(step.d AS BIGINT) AS n_deaths,
+            CAST(step.c AS BIGINT) AS n_censored,
+            CAST(r.s AS BIGINT) AS survival_ppm
+        FROM r JOIN step ON step.i = r.i"""
+
+    sql["doc_textrank"] = _guarded_oracle(_textrank_oracle,
+                                          "doc_textrank")
 
     # Spearman: doubled centered average ranks (exact zero-sum
     # integers), staged rho^2 division as in orders_ols.

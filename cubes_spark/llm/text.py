@@ -39,6 +39,7 @@ __all__ = [
     "pack_sequences",
     "PII_PATTERNS",
     "inverted_index",
+    "textrank_keywords",
     "STOPWORDS",
 ]
 
@@ -1211,3 +1212,47 @@ def inverted_index(df: DataFrame, text_col: str = "text",
     return (stats.join(posted, "__t__")
             .select(F.col("__t__").alias("term"),
                     "df", "cf", "postings"))
+
+
+def textrank_keywords(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", iterations: int = 2,
+                      top_k: int = 20) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): content
+    tokens (``^[a-z]{3,}$`` after lowercasing) are graph nodes, each
+    adjacent pair in the FILTERED per-document sequence contributes
+    one undirected co-occurrence edge (multiplicity = weight), and
+    the corpus-level graph is ranked with the same fixed-point
+    integer PageRank as ``link_pagerank`` — bit-identical at any
+    parallelism, SQL-replayable (multi-edges make the weighted
+    contribution an exact integer multiple of the per-edge
+    truncated share).
+
+    Complements RAKE (within-phrase degree/frequency) and tf-idf
+    (corpus contrast) with a global graph-centrality signal.
+
+    Scale shape: tokenization + adjacency are one per-document
+    window over token positions; the rank loop joins on the
+    VOCABULARY grain.  Returns the global top-``top_k`` by
+    (rank desc, token asc) — a TakeOrdered, never a full sort.
+    """
+    from pyspark.sql.window import Window as W
+
+    from cubes_spark.llm.web import link_pagerank
+
+    toks = df.select(
+        F.col(id_col).alias("__doc__"),
+        F.posexplode(token_array(F.lower(F.col(text_col))))
+        .alias("__pos__", "__t__"))
+    kept = toks.filter(F.col("__t__").rlike("^[a-z]{3,}$"))
+    w = W.partitionBy("__doc__").orderBy("__pos__")
+    pairs = (kept.withColumn("__nxt__", F.lead("__t__").over(w))
+             .filter(F.col("__nxt__").isNotNull()
+                     & (F.col("__nxt__") != F.col("__t__"))))
+    edges = (pairs.select(F.col("__t__").alias("src"),
+                          F.col("__nxt__").alias("dst"))
+             .union(pairs.select(F.col("__nxt__").alias("src"),
+                                 F.col("__t__").alias("dst"))))
+    ranks = link_pagerank(edges, iterations=iterations)
+    return (ranks.orderBy(F.col("rank_units").desc(), F.col("node"))
+            .limit(top_k)
+            .select(F.col("node").alias("token"), "rank_units"))

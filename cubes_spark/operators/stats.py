@@ -37,6 +37,8 @@ __all__ = [
     "winsorized_stats",
     "interarrival_stats",
     "group_mode",
+    "max_drawdown",
+    "kaplan_meier",
 ]
 
 _DEC = "decimal(38,0)"
@@ -421,3 +423,106 @@ def group_mode(df: DataFrame, group_cols: Sequence[str],
                     F.col("__p__.v").alias("mode_value"),
                     (-F.col("__p__.nc")).cast("long")
                     .alias("mode_count")))
+
+
+def max_drawdown(df: DataFrame, key_col: str, ts_col: str,
+                 value_col: str,
+                 tiebreak_col: Optional[str] = None) -> DataFrame:
+    """Per-key maximum drawdown of the running value sum, exact
+    cents: with C_i the prefix sum under deterministic (ts[,
+    tiebreak]) order and P_i = max_{j<=i} C_j its running peak, the
+    drawdown at i is P_i − C_i and the answer is its maximum — two
+    stacked windows over ONE per-key sort (the running-extremum
+    prefix trick of ``clamped_running_sum``), then one algebraic
+    aggregate.  Emits the peak and trough prefix sums of the worst
+    drawdown (earliest = largest trough on ties via min(struct)).
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (W.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(W.unboundedPreceding, 0))
+    base = (df.withColumn("__c__", F.sum(_cents(value_col)).over(w))
+            .withColumn("__p__", F.max("__c__").over(w)))
+    dd = F.col("__p__") - F.col("__c__")
+    pick = F.min(F.struct((-dd).alias("ndd"),
+                          F.col("__c__").alias("trough"),
+                          F.col("__p__").alias("peak"))).alias("__b__")
+    return (base.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.max("__c__").cast("long").alias("max_cum_cents"),
+                 pick)
+            .select(key_col, "n_rows", "max_cum_cents",
+                    (-F.col("__b__.ndd")).cast("long")
+                    .alias("max_drawdown_cents"),
+                    F.col("__b__.peak").cast("long")
+                    .alias("peak_cents"),
+                    F.col("__b__.trough").cast("long")
+                    .alias("trough_cents")))
+
+
+def kaplan_meier(df: DataFrame, duration_col: str,
+                 event_col: str) -> DataFrame:
+    """Kaplan–Meier survival curve (Kaplan & Meier 1958),
+    integer-exact: per distinct duration t, deaths d_t, censored
+    c_t, at-risk n_t = N − Σ_{s<t}(d_s + c_s), and the product-limit
+    estimate DEFINED by the truncated-integer recurrence
+
+        S ← (S · (n_t − d_t)) div n_t        (S₀ = 10^6)
+
+    applied at death times in ascending order — each step differs
+    from the real product by < 1 ppm and a SQL oracle replays the
+    recurrence exactly with a recursive CTE.  The fold runs as one
+    SQL ``aggregate`` lambda so the division is the true integer
+    ``div`` (a long/long ``/`` detours through doubles and loses
+    exactness above 2^53).
+
+    Scale shape: the facts collapse to the DURATION grain in one
+    map-side-combinable groupBy; the at-risk prefix sum and the fold
+    run on that bounded grain (a 30-day study has ≤ 31 rows
+    regardless of cohort size — the single-partition window IS the
+    curve, not the data).  Emits one row per distinct duration:
+    ``(t, n_at_risk, n_deaths, n_censored, survival_ppm)``.
+    """
+    from pyspark.sql.window import Window as W
+
+    per_t = (df.filter(F.col(duration_col).isNotNull())
+             .groupBy(F.col(duration_col).cast("long").alias("t"))
+             .agg(F.sum(F.col(event_col).cast("long")).alias("d"),
+                  F.sum(1 - F.col(event_col).cast("long"))
+                  .alias("c")))
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    tot = per_t.agg((F.sum("d") + F.sum("c")).alias("__N__"))
+    staged = (per_t.crossJoin(F.broadcast(tot))
+              .withColumn("n", F.col("__N__") - F.coalesce(
+                  F.sum(F.col("d") + F.col("c")).over(w_prev),
+                  F.lit(0))))
+    collected = staged.agg(F.sort_array(F.collect_list(F.struct(
+        F.col("t"), F.col("n"), F.col("d"), F.col("c"))))
+        .alias("__arr__"))
+    curve = collected.select(F.explode(F.expr("""
+        aggregate(
+            __arr__,
+            named_struct(
+                's', CAST(1000000 AS BIGINT),
+                'out', CAST(array() AS
+                    array<struct<t:bigint,n:bigint,d:bigint,
+                                 c:bigint,s:bigint>>)),
+            (acc, x) -> named_struct(
+                's', CAST(CASE WHEN x.d > 0
+                          THEN (acc.s * (x.n - x.d)) div x.n
+                          ELSE acc.s END AS BIGINT),
+                'out', array_append(acc.out, named_struct(
+                    't', x.t, 'n', x.n, 'd', x.d, 'c', x.c,
+                    's', CAST(CASE WHEN x.d > 0
+                              THEN (acc.s * (x.n - x.d)) div x.n
+                              ELSE acc.s END AS BIGINT)))),
+            acc -> acc.out)
+    """)).alias("r"))
+    return curve.select(
+        F.col("r.t").alias("t"),
+        F.col("r.n").alias("n_at_risk"),
+        F.col("r.d").alias("n_deaths"),
+        F.col("r.c").alias("n_censored"),
+        F.col("r.s").alias("survival_ppm"))

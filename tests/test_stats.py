@@ -282,3 +282,104 @@ class TestInvertedIndex:
                            postings_k=3).collect()[0]
         assert r["df"] == 9
         assert r["postings"] == "0:1,1:1,2:1"
+
+
+class TestMaxDrawdown:
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.stats import max_drawdown
+        t0 = dt.datetime(2020, 1, 1)
+        vals = [1.0, 2.0, -3.0, 1.0, -2.0]  # cum: 100,300,0,100,-100
+        rows = [(1, t0 + dt.timedelta(minutes=i), v, i)
+                for i, v in enumerate(vals)]
+        df = _df(spark, rows,
+                 "k long, ts timestamp, v double, eid long")
+        r = max_drawdown(df, "k", "ts", "v", "eid").collect()[0]
+        assert r["max_cum_cents"] == 300
+        assert r["max_drawdown_cents"] == 400
+        assert r["peak_cents"] == 300
+        assert r["trough_cents"] == -100
+
+    def test_monotone_zero_drawdown(self, spark):
+        from cubes_spark.operators.stats import max_drawdown
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [(1, t0 + dt.timedelta(minutes=i), 1.0, i)
+                for i in range(5)]
+        df = _df(spark, rows,
+                 "k long, ts timestamp, v double, eid long")
+        r = max_drawdown(df, "k", "ts", "v", "eid").collect()[0]
+        assert r["max_drawdown_cents"] == 0
+
+
+class TestKaplanMeier:
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.stats import kaplan_meier
+        rows = [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)]
+        df = _df(spark, rows, "dur long, ev int")
+        out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev")
+               .collect()}
+        # N=5: t1 d1 n5 -> 800000; t2 censor only -> 800000;
+        # t3 d2 n3 -> (800000*1)//3 = 266666; t5 censor -> 266666
+        assert out[1]["survival_ppm"] == 800000
+        assert out[1]["n_at_risk"] == 5
+        assert out[2]["survival_ppm"] == 800000
+        assert out[3]["survival_ppm"] == 266666
+        assert out[3]["n_at_risk"] == 3
+        assert out[5]["survival_ppm"] == 266666
+        assert out[5]["n_at_risk"] == 1
+
+    def test_no_censoring_matches_edf(self, spark):
+        from cubes_spark.operators.stats import kaplan_meier
+        # all deaths: S(t_k) = remaining/N exactly (truncation-free
+        # when divisions are exact at each step here)
+        rows = [(t, 1) for t in (1, 2, 3, 4)]
+        df = _df(spark, rows, "dur long, ev int")
+        out = {r["t"]: r["survival_ppm"] for r in
+               kaplan_meier(df, "dur", "ev").collect()}
+        assert out == {1: 750000, 2: 500000, 3: 250000, 4: 0}
+
+    def test_partition_invariant(self, spark):
+        from cubes_spark.operators.stats import kaplan_meier
+        rows = [((i * 7) % 13, i % 2) for i in range(200)]
+        df = _df(spark, rows, "dur long, ev int")
+        a = kaplan_meier(df.repartition(1), "dur", "ev").collect()
+        b = kaplan_meier(df.repartition(19), "dur", "ev").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestTextRank:
+    def test_hub_ranks_above_periphery(self, spark):
+        from cubes_spark.llm.text import textrank_keywords
+        rows = [(1, "alpha beta alpha beta alpha beta gamma delta"),
+                (2, "gamma delta epsilon zeta")]
+        df = _df(spark, rows, "doc_id long, text string")
+        out = textrank_keywords(df, "text", "doc_id", top_k=3).collect()
+        assert len(out) == 3
+        ranks = {r["token"]: r["rank_units"] for r in
+                 textrank_keywords(df, "text", "doc_id",
+                                   top_k=10).collect()}
+        # zeta is a leaf on the periphery: strictly below the
+        # alpha/beta hub pair
+        assert ranks["zeta"] < ranks["alpha"]
+        assert ranks["zeta"] < ranks["beta"]
+
+    def test_short_and_nonalpha_filtered(self, spark):
+        from cubes_spark.llm.text import textrank_keywords
+        rows = [(1, "ab cd alpha beta 123 x7y alpha beta")]
+        df = _df(spark, rows, "doc_id long, text string")
+        toks = {r["token"] for r in
+                textrank_keywords(df, "text", "doc_id").collect()}
+        assert toks == {"alpha", "beta"}
+
+    def test_deterministic_across_partitions(self, spark):
+        from cubes_spark.llm.text import textrank_keywords
+        rows = [(i, "w%d w%d common core common" % (i % 5, i % 7))
+                for i in range(40)]
+        # tokens like w3 are filtered (digit); use letter words
+        rows = [(i, ("alpha beta gamma " * (1 + i % 3)) + "delta")
+                for i in range(40)]
+        df = _df(spark, rows, "doc_id long, text string")
+        a = textrank_keywords(df.repartition(1), "text",
+                              "doc_id").collect()
+        b = textrank_keywords(df.repartition(11), "text",
+                              "doc_id").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -5063,6 +5063,46 @@ def q_doc_textrank(spark, sf_dir):
                              top_k=20)
 
 
+def q_orders_mwu(spark, sf_dir):
+    """Mann-Whitney U / probability-of-superiority between URGENT
+    and LOW order totals (operators/stats.py:mann_whitney_u):
+    doubled tie-averaged ranks from the SAME bucketed cumulative
+    frame as KS/EMD — no per-row rank ever materializes; AUC as one
+    truncating div."""
+    from cubes_spark.operators.stats import mann_whitney_u
+
+    od = _table(spark, sf_dir, "orders")
+    return mann_whitney_u(od, "o_orderpriority", "o_totalprice",
+                          "1-URGENT", "5-LOW")
+
+
+def q_doc_langid_eval(spark, sf_dir):
+    """Per-class precision/recall/F1 of the stopword language-ID
+    heuristic against the stored lang label (operators/stats.py:
+    classifier_eval over llm/text.py:language_id): tp/support/
+    predicted on the label-pair grain, F1 = 2tp div (support +
+    predicted) in exact ppm — the training-pipeline eval harness."""
+    from cubes_spark.llm.text import language_id
+    from cubes_spark.operators.stats import classifier_eval
+
+    docs = _table(spark, sf_dir, "documents")
+    pred = language_id(docs, "text")
+    return classifier_eval(pred, "lang", "lang_pred")
+
+
+def q_doc_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between the stored lang label and the
+    language-ID prediction (operators/stats.py:cohen_kappa):
+    (A*N - sum R*C) / (N^2 - sum R*C) as an exact integer ratio in
+    ppm — chance-corrected, label-grain arithmetic only."""
+    from cubes_spark.llm.text import language_id
+    from cubes_spark.operators.stats import cohen_kappa
+
+    docs = _table(spark, sf_dir, "documents")
+    pred = language_id(docs, "text")
+    return cohen_kappa(pred, "lang", "lang_pred")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region x month) with a cell filter
     at sf0.001."""
@@ -5091,6 +5131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drawdown": q_events_drawdown,
         "events_km": q_events_km,
         "doc_textrank": q_doc_textrank,
+        "orders_mwu": q_orders_mwu,
+        "doc_langid_eval": q_doc_langid_eval,
+        "doc_kappa": q_doc_kappa,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9123,6 +9166,110 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.term, CAST(m.df AS BIGINT) AS df,
             CAST(m.cf AS BIGINT) AS cf, p.postings
         FROM m JOIN p ON m.term = p.term"""
+
+    # Mann-Whitney: doubled tie-averaged rank sum off the cumulative
+    # frame; u_doubled = 2*R1 - na*(na+1); AUC one truncating div.
+    sql["orders_mwu"] = """
+        WITH t AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                (o_orderpriority = '1-URGENT') AS a
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        h AS (
+            SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+            FROM t GROUP BY 1),
+        n AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+                     CAST(sum(cb) AS HUGEINT) AS nb FROM h),
+        c AS (
+            SELECT v, ca, cb, sum(ca) OVER (ORDER BY v) AS cuma,
+                sum(cb) OVER (ORDER BY v) AS cumb
+            FROM h),
+        s AS (
+            SELECT sum(CAST(ca AS HUGEINT)
+                       * (2 * (cuma + cumb) - (ca + cb) + 1))
+                AS r1x2
+            FROM c)
+        SELECT CAST(n.na AS BIGINT) AS n_a,
+            CAST(n.nb AS BIGINT) AS n_b,
+            CAST(s.r1x2 - n.na * (n.na + 1) AS BIGINT) AS u_doubled,
+            CAST((1000000 * (s.r1x2 - n.na * (n.na + 1)))
+                 // (2 * n.na * n.nb) AS BIGINT) AS auc_ppm
+        FROM s, n"""
+
+    langid_pred_case = """
+            CASE WHEN greatest(COALESCE(score_de,0), COALESCE(score_en,0),
+                               COALESCE(score_es,0), COALESCE(score_fr,0))
+                      = 0 THEN 'und'
+             WHEN COALESCE(score_de,0) >= COALESCE(score_en,0)
+              AND COALESCE(score_de,0) >= COALESCE(score_es,0)
+              AND COALESCE(score_de,0) >= COALESCE(score_fr,0) THEN 'de'
+             WHEN COALESCE(score_en,0) >= COALESCE(score_es,0)
+              AND COALESCE(score_en,0) >= COALESCE(score_fr,0) THEN 'en'
+             WHEN COALESCE(score_es,0) >= COALESCE(score_fr,0) THEN 'es'
+             ELSE 'fr' END"""
+
+    # Per-class P/R/F1 of langid vs the stored label: pair grain,
+    # full outer label set, exact ppm divisions.
+    sql["doc_langid_eval"] = f"""
+        WITH scores AS ({langid_scores}),
+        pr AS (
+            SELECT d.lang AS a, {langid_pred_case} AS b
+            FROM scores s JOIN documents d ON s.doc_id = d.doc_id),
+        pairs AS (SELECT a, b, count(*) AS n FROM pr GROUP BY 1, 2),
+        sup AS (SELECT a AS label, sum(n) AS n_true
+                FROM pairs GROUP BY 1),
+        prd AS (SELECT b AS label, sum(n) AS n_pred
+                FROM pairs GROUP BY 1),
+        tp AS (SELECT a AS label, sum(n) AS tp
+               FROM pairs WHERE a = b GROUP BY 1),
+        grid AS (
+            SELECT COALESCE(sup.label, prd.label) AS label,
+                COALESCE(n_true, 0) AS n_true,
+                COALESCE(n_pred, 0) AS n_pred
+            FROM sup FULL JOIN prd ON sup.label = prd.label),
+        g2 AS (
+            SELECT grid.label, n_true, n_pred,
+                COALESCE(tp.tp, 0) AS tp
+            FROM grid LEFT JOIN tp ON tp.label = grid.label)
+        SELECT label, CAST(n_true AS BIGINT) AS n_true,
+            CAST(n_pred AS BIGINT) AS n_pred,
+            CAST(tp AS BIGINT) AS tp,
+            CAST(CASE WHEN n_pred > 0 THEN (1000000 * tp) // n_pred
+                 ELSE 0 END AS BIGINT) AS precision_ppm,
+            CAST(CASE WHEN n_true > 0 THEN (1000000 * tp) // n_true
+                 ELSE 0 END AS BIGINT) AS recall_ppm,
+            CAST(CASE WHEN n_true + n_pred > 0
+                 THEN (2000000 * tp) // (n_true + n_pred)
+                 ELSE 0 END AS BIGINT) AS f1_ppm
+        FROM g2"""
+
+    # Cohen's kappa: (A*N - sum R*C) / (N^2 - sum R*C) in exact ppm.
+    sql["doc_kappa"] = f"""
+        WITH scores AS ({langid_scores}),
+        pr AS (
+            SELECT d.lang AS a, {langid_pred_case} AS b
+            FROM scores s JOIN documents d ON s.doc_id = d.doc_id),
+        pairs AS (SELECT a, b, count(*) AS n FROM pr GROUP BY 1, 2),
+        am AS (SELECT a AS l, sum(n) AS ra FROM pairs GROUP BY 1),
+        bm AS (SELECT b AS l, sum(n) AS cb FROM pairs GROUP BY 1),
+        pe AS (
+            SELECT COALESCE(sum(CAST(am.ra AS HUGEINT) * bm.cb),
+                            0) AS pe
+            FROM am JOIN bm USING (l)),
+        tot AS (
+            SELECT CAST(sum(n) AS HUGEINT) AS N,
+                CAST(sum(CASE WHEN a = b THEN n ELSE 0 END)
+                     AS HUGEINT) AS A
+            FROM pairs)
+        SELECT CAST(tot.N AS BIGINT) AS n,
+            CAST(tot.A AS BIGINT) AS n_agree,
+            CAST((CASE WHEN tot.A * tot.N - pe.pe < 0 THEN -1
+                  ELSE 1 END)
+                 * ((1000000 * abs(tot.A * tot.N - pe.pe))
+                    // (tot.N * tot.N - pe.pe)) AS BIGINT)
+                AS kappa_ppm
+        FROM tot, pe WHERE tot.N * tot.N - pe.pe > 0"""
 
     # Max drawdown: running sum + running peak windows, worst gap
     # picked by (dd desc, trough asc) — min(struct) on the Spark side.

@@ -39,6 +39,9 @@ __all__ = [
     "group_mode",
     "max_drawdown",
     "kaplan_meier",
+    "mann_whitney_u",
+    "cohen_kappa",
+    "classifier_eval",
 ]
 
 _DEC = "decimal(38,0)"
@@ -526,3 +529,134 @@ def kaplan_meier(df: DataFrame, duration_col: str,
         F.col("r.d").alias("n_deaths"),
         F.col("r.c").alias("n_censored"),
         F.col("r.s").alias("survival_ppm"))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   group_a: str, group_b: str,
+                   num_buckets: int = 256) -> DataFrame:
+    """Mann–Whitney U / AUC, integer-exact with ties: using DOUBLED
+    average ranks over the pooled sample (2·avg_rank(v) =
+    2·#below(v) + ties(v) + 1 — pure counts from the same bucketed
+    cumulative frame as KS/EMD), the doubled rank sum of sample A is
+
+        2·R₁ = Σ_v ca(v) · (2·(cuma+cumb) − (ca+cb) + 1)
+
+    and ``u_doubled = 2·R₁ − na·(na+1)`` (= 2·U₁), from which the
+    probability-of-superiority ``auc_ppm = (10^6·u_doubled) div
+    (2·na·nb)`` — the tie-averaged P(A > B) both engines truncate
+    identically.  AUC 500000 ⇒ stochastically equal samples.
+
+    Scale shape: identical to ``ks_two_sample`` — one value-grain
+    groupBy, the two-phase prefix sum, one algebraic aggregate; the
+    pooled ranking never materializes per-row ranks at all.
+    """
+    cum, na, nb = _two_sample_cum(df, group_col, value_col,
+                                  group_a, group_b, num_buckets)
+    if cum is None:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "n_a long, n_b long, u_doubled long, auc_ppm long")
+    two_r1 = F.sum(
+        F.col("__ca__").cast(_DEC)
+        * (2 * (F.col("__cuma__") + F.col("__cumb__")).cast(_DEC)
+           - (F.col("__ca__") + F.col("__cb__")).cast(_DEC) + 1))
+    tot = cum.agg(two_r1.alias("__r1x2__"))
+    # na*(na+1) computed driver-side: a long*long column product
+    # would overflow at ~3e9 rows per sample
+    u2 = F.col("__r1x2__") - F.lit(str(na * (na + 1))).cast(_DEC)
+    return (tot.withColumn("__u2__", u2)
+            .select(F.lit(na).alias("n_a"), F.lit(nb).alias("n_b"),
+                    F.col("__u2__").cast("long").alias("u_doubled"),
+                    F.expr(f"CAST((CAST(1000000 AS {_DEC}) * __u2__)"
+                           f" div (CAST(2 AS {_DEC}) * {na} * {nb})"
+                           f" AS BIGINT)").alias("auc_ppm")))
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement, integer-exact: with
+    agreement count A, per-label margins R_l/C_l and total N,
+
+        kappa = (A·N − Σ_l R_l·C_l) / (N² − Σ_l R_l·C_l)
+
+    an exact integer ratio emitted as ``kappa_ppm = sign ·
+    (10^6·|num|) div den`` (den = 0 — chance agreement 1 — yields an
+    empty result rather than a division error).
+
+    Scale shape: one groupBy to the |labels|² pair grain; margins
+    and the product sum live on the LABEL grain; everything
+    algebraic, broadcast-sized.
+    """
+    pairs = (df.filter(F.col(col_a).isNotNull()
+                       & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("__a__"),
+                      F.col(col_b).alias("__b__"))
+             .agg(F.count(F.lit(1)).alias("__n__")))
+    amar = pairs.groupBy(F.col("__a__").alias("__l__")).agg(
+        F.sum("__n__").alias("__ra__"))
+    bmar = pairs.groupBy(F.col("__b__").alias("__l__")).agg(
+        F.sum("__n__").alias("__cb__"))
+    prod = (amar.join(bmar, "__l__")
+            .agg(F.sum(F.col("__ra__").cast(_DEC)
+                       * F.col("__cb__").cast(_DEC)).alias("__pe__")))
+    tot = pairs.agg(
+        F.sum("__n__").alias("__N__"),
+        F.sum(F.when(F.col("__a__") == F.col("__b__"),
+                     F.col("__n__")).otherwise(0)).alias("__A__"))
+    j = (tot.crossJoin(prod)
+         .withColumn("__num__",
+                     F.col("__A__").cast(_DEC) * F.col("__N__")
+                     - F.coalesce(F.col("__pe__"), F.lit(0).cast(_DEC)))
+         .withColumn("__den__",
+                     F.col("__N__").cast(_DEC) * F.col("__N__")
+                     - F.coalesce(F.col("__pe__"),
+                                  F.lit(0).cast(_DEC)))
+         .filter(F.col("__den__") > 0))
+    return j.select(
+        F.col("__N__").cast("long").alias("n"),
+        F.col("__A__").cast("long").alias("n_agree"),
+        (F.when(F.col("__num__") < 0, -1).otherwise(1)
+         * F.expr(f"CAST((CAST(1000000 AS {_DEC}) * abs(__num__))"
+                  f" div __den__ AS BIGINT)"))
+        .cast("long").alias("kappa_ppm"))
+
+
+def classifier_eval(df: DataFrame, truth_col: str,
+                    pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 in exact ppm: tp, support
+    and predicted counts are plain aggregates on the (truth, pred)
+    pair grain; every metric is a single truncating div of integers
+    (F1 = 2·tp/(support + predicted) — no harmonic-mean floats).
+    Classes missing on one side (never predicted / never true) still
+    appear with zero metrics — the full outer label set.
+
+    Scale shape: one groupBy to the label-pair grain (bounded by
+    |classes|²), label-grain joins after; nothing row-scale survives
+    the first aggregation.
+    """
+    pairs = (df.filter(F.col(truth_col).isNotNull()
+                       & F.col(pred_col).isNotNull())
+             .groupBy(F.col(truth_col).alias("__t__"),
+                      F.col(pred_col).alias("__p__"))
+             .agg(F.count(F.lit(1)).alias("__n__")))
+    support = pairs.groupBy(F.col("__t__").alias("label")).agg(
+        F.sum("__n__").cast("long").alias("n_true"))
+    predicted = pairs.groupBy(F.col("__p__").alias("label")).agg(
+        F.sum("__n__").cast("long").alias("n_pred"))
+    tp = (pairs.filter(F.col("__t__") == F.col("__p__"))
+          .select(F.col("__t__").alias("label"),
+                  F.col("__n__").cast("long").alias("tp")))
+    grid = (support.join(predicted, "label", "full")
+            .join(tp, "label", "left")
+            .fillna({"n_true": 0, "n_pred": 0, "tp": 0}))
+    prec = F.when(F.col("n_pred") > 0,
+                  F.expr("(1000000 * tp) div n_pred")).otherwise(0)
+    rec = F.when(F.col("n_true") > 0,
+                 F.expr("(1000000 * tp) div n_true")).otherwise(0)
+    f1 = F.when(F.col("n_true") + F.col("n_pred") > 0,
+                F.expr("(2000000 * tp) div (n_true + n_pred)")
+                ).otherwise(0)
+    return grid.select(
+        "label", "n_true", "n_pred", "tp",
+        prec.cast("long").alias("precision_ppm"),
+        rec.cast("long").alias("recall_ppm"),
+        f1.cast("long").alias("f1_ppm"))

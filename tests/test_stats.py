@@ -383,3 +383,85 @@ class TestTextRank:
         b = textrank_keywords(df.repartition(11), "text",
                               "doc_id").collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestMannWhitney:
+    def test_stochastic_equality(self, spark):
+        from cubes_spark.operators.stats import mann_whitney_u
+        rows = [(g, float(v)) for g in ("a", "b") for v in range(10)]
+        df = _df(spark, rows, "g string, v double")
+        r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        assert r["auc_ppm"] == 500000
+
+    def test_complete_separation(self, spark):
+        from cubes_spark.operators.stats import mann_whitney_u
+        rows = [("a", float(v + 100)) for v in range(5)]
+        rows += [("b", float(v)) for v in range(5)]
+        df = _df(spark, rows, "g string, v double")
+        r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        assert r["auc_ppm"] == 1000000
+        assert r["u_doubled"] == 2 * 25
+
+    def test_hand_with_ties(self, spark):
+        from cubes_spark.operators.stats import mann_whitney_u
+        # A = {1, 2}, B = {2, 3}: U1 = 1*P(a>b)... pairs:
+        # (1,2)=0 (1,3)=0 (2,2)=0.5 (2,3)=0 -> U1 = 0.5, AUC = 1/8
+        rows = [("a", 0.01), ("a", 0.02), ("b", 0.02), ("b", 0.03)]
+        df = _df(spark, rows, "g string, v double")
+        r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        assert r["u_doubled"] == 1
+        assert r["auc_ppm"] == 125000
+
+
+class TestCohenKappa:
+    def test_perfect_agreement(self, spark):
+        from cubes_spark.operators.stats import cohen_kappa
+        rows = [("x", "x")] * 5 + [("y", "y")] * 5
+        df = _df(spark, rows, "a string, b string")
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        assert r["kappa_ppm"] == 1000000
+
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.stats import cohen_kappa
+        # classic 2x2: A=(20 agree yes)+(15 agree no), margins
+        # yes: a 25, b 30; no: a 25, b 20; N=50
+        rows = ([("y", "y")] * 20 + [("n", "n")] * 15
+                + [("y", "n")] * 5 + [("n", "y")] * 10)
+        df = _df(spark, rows, "a string, b string")
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        # A=35, N=50, pe_sum = 25*30 + 25*20 = 1250
+        # num = 35*50 - 1250 = 500 ; den = 2500 - 1250 = 1250
+        assert r["kappa_ppm"] == (1000000 * 500) // 1250
+
+    def test_negative_kappa(self, spark):
+        from cubes_spark.operators.stats import cohen_kappa
+        rows = [("x", "y")] * 5 + [("y", "x")] * 5
+        df = _df(spark, rows, "a string, b string")
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        assert r["kappa_ppm"] < 0
+
+
+class TestClassifierEval:
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.stats import classifier_eval
+        rows = ([("a", "a")] * 3 + [("a", "b")] * 1
+                + [("b", "b")] * 2 + [("b", "c")] * 2)
+        df = _df(spark, rows, "t string, p string")
+        out = {r["label"]: r for r in
+               classifier_eval(df, "t", "p").collect()}
+        # class a: tp=3, n_true=4, n_pred=3
+        assert out["a"]["precision_ppm"] == 1000000
+        assert out["a"]["recall_ppm"] == 750000
+        assert out["a"]["f1_ppm"] == (2000000 * 3) // 7
+        # class c: never true, predicted twice
+        assert out["c"]["n_true"] == 0
+        assert out["c"]["precision_ppm"] == 0
+        assert out["c"]["f1_ppm"] == 0
+
+    def test_missing_class_appears(self, spark):
+        from cubes_spark.operators.stats import classifier_eval
+        rows = [("a", "a"), ("b", "a")]
+        df = _df(spark, rows, "t string, p string")
+        out = {r["label"]: r for r in
+               classifier_eval(df, "t", "p").collect()}
+        assert out["b"]["n_pred"] == 0 and out["b"]["recall_ppm"] == 0

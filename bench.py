@@ -92,6 +92,15 @@ BENCH_QUERIES = [
     "events_burstiness",
     "orders_benford",
     "part_ra",
+    # round-9 statistics + retrieval operators
+    "orders_ks",
+    "orders_emd",
+    "orders_mwu",
+    "lineitem_spearman",
+    "doc_postings",
+    "doc_textrank",
+    "events_km",
+    "events_drawdown",
 ]
 
 

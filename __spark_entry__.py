@@ -5103,6 +5103,56 @@ def q_doc_kappa(spark, sf_dir):
     return cohen_kappa(pred, "lang", "lang_pred")
 
 
+def q_doc_vocab_growth(spark, sf_dir):
+    """Per-source vocabulary statistics (llm/text.py:vocab_growth;
+    the Heaps-law lexical-richness signal): tokens, types, hapax
+    count and type-token/hapax ratios in exact ppm — one shuffle to
+    the (source, token) grain, one algebraic aggregation."""
+    from cubes_spark.llm.text import vocab_growth
+
+    docs = _table(spark, sf_dir, "documents")
+    return vocab_growth(docs, "text", "source")
+
+
+def q_doc_source_hhi(spark, sf_dir):
+    """Herfindahl source concentration per language
+    (llm/text.py:source_concentration): HHI = (10^6 * sum c^2) div
+    N^2 exact ppm — the monopoly smell of a training mixture."""
+    from cubes_spark.llm.text import source_concentration
+
+    docs = _table(spark, sf_dir, "documents")
+    return source_concentration(docs, "lang", "source")
+
+
+def q_events_concurrency(spark, sf_dir):
+    """Sweep-line peak concurrency of 30-minute activity intervals
+    (operators/asof.py:peak_concurrency): +1/-1 deltas per distinct
+    boundary, the global running sum distributed as a two-phase
+    time-bucketed prefix sum (bounded driver collect, bucket-local
+    windows), earliest-attaining boundary on ties."""
+    from cubes_spark.operators.asof import peak_concurrency
+
+    ev = _table(spark, sf_dir, "events")
+    return peak_concurrency(ev, "ts", duration_seconds=1800)
+
+
+def q_orders_skyline(spark, sf_dir):
+    """2-D Pareto skyline of orders maximizing (total price, order
+    recency) (operators/olap.py:skyline_2d; Borzsonyi et al. 2001):
+    distinct-x grain + distributed suffix max over deterministic
+    value buckets — a point survives iff its max-y strictly exceeds
+    every higher-x max-y; never a global sort."""
+    from cubes_spark.operators.olap import skyline_2d
+
+    od = _table(spark, sf_dir, "orders")
+    prep = od.select(
+        F.col("o_totalprice"),
+        F.datediff(F.to_date("o_orderdate"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("double").alias("recency_day"))
+    return skyline_2d(prep, "o_totalprice", "recency_day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region x month) with a cell filter
     at sf0.001."""
@@ -5134,6 +5184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_mwu": q_orders_mwu,
         "doc_langid_eval": q_doc_langid_eval,
         "doc_kappa": q_doc_kappa,
+        "doc_vocab_growth": q_doc_vocab_growth,
+        "doc_source_hhi": q_doc_source_hhi,
+        "events_concurrency": q_events_concurrency,
+        "orders_skyline": q_orders_skyline,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9166,6 +9220,81 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.term, CAST(m.df AS BIGINT) AS df,
             CAST(m.cf AS BIGINT) AS cf, p.postings
         FROM m JOIN p ON m.term = p.term"""
+
+    # Vocabulary growth: (source, token) grain, hapax = freq-1 types.
+    sql["doc_vocab_growth"] = r"""
+        WITH tok AS (
+            SELECT source AS stratum,
+                unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\s+')
+                    END) AS t
+            FROM documents),
+        g AS (
+            SELECT stratum, t, count(*) AS c
+            FROM tok WHERE t <> '' GROUP BY 1, 2),
+        s AS (
+            SELECT stratum, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hapax
+            FROM g GROUP BY 1)
+        SELECT stratum, n_tokens, n_types, n_hapax,
+            CAST((1000000 * n_types) // n_tokens AS BIGINT)
+                AS ttr_ppm,
+            CAST((1000000 * n_hapax) // n_types AS BIGINT)
+                AS hapax_ppm
+        FROM s"""
+
+    # HHI concentration: (lang, source) grain, (1e6 * sum c^2) // N^2.
+    sql["doc_source_hhi"] = """
+        WITH g AS (
+            SELECT lang, source, count(*) AS c
+            FROM documents GROUP BY 1, 2)
+        SELECT lang, CAST(sum(c) AS BIGINT) AS n_rows,
+            CAST(count(*) AS BIGINT) AS n_sources,
+            CAST((1000000 * sum(CAST(c AS HUGEINT) * c))
+                 // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
+                AS hhi_ppm
+        FROM g GROUP BY 1"""
+
+    # Peak concurrency: +1/-1 sweep over distinct boundary instants,
+    # max running sum with earliest-boundary tiebreak.
+    sql["events_concurrency"] = """
+        WITH pts AS (
+            SELECT epoch_us(ts) AS t, 1 AS d FROM events
+            UNION ALL
+            SELECT epoch_us(ts) + 1800000000, -1 FROM events),
+        h AS (SELECT t, sum(d) AS nd FROM pts GROUP BY 1),
+        c AS (SELECT t, sum(nd) OVER (ORDER BY t) AS run FROM h),
+        b AS (
+            SELECT run, t, row_number() OVER (
+                ORDER BY run DESC, t ASC) AS rn
+            FROM c)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM events)
+                AS n_intervals,
+            CAST(run AS BIGINT) AS peak, CAST(t AS BIGINT) AS at_us
+        FROM b WHERE rn = 1"""
+
+    # Skyline: distinct-x max-y grain, strict suffix-max dominance,
+    # vertex multiplicity from a join back to the facts.
+    sql["orders_skyline"] = """
+        WITH b AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+                CAST(date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) * 100 AS BIGINT) AS y
+            FROM orders),
+        g AS (SELECT x, max(y) AS my FROM b GROUP BY 1),
+        t AS (
+            SELECT x, my, max(my) OVER (
+                ORDER BY x DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS thr
+            FROM g),
+        f AS (SELECT x, my FROM t WHERE thr IS NULL OR my > thr)
+        SELECT f.x AS x_cents, f.my AS y_cents,
+            CAST(count(*) AS BIGINT) AS n_points
+        FROM b JOIN f ON b.x = f.x AND b.y = f.my
+        GROUP BY 1, 2"""
 
     # Mann-Whitney: doubled tie-averaged rank sum off the cumulative
     # frame; u_doubled = 2*R1 - na*(na+1); AUC one truncating div.

@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "doc_textrank",
     "events_km",
     "events_drawdown",
+    "events_concurrency",
+    "orders_skyline",
+    "doc_vocab_growth",
 ]
 
 

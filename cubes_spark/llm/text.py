@@ -40,6 +40,8 @@ __all__ = [
     "PII_PATTERNS",
     "inverted_index",
     "textrank_keywords",
+    "vocab_growth",
+    "source_concentration",
     "STOPWORDS",
 ]
 
@@ -1256,3 +1258,61 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
     return (ranks.orderBy(F.col("rank_units").desc(), F.col("node"))
             .limit(top_k)
             .select(F.col("node").alias("token"), "rank_units"))
+
+
+_DEC38 = "decimal(38,0)"
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 strata_col: str = "source") -> DataFrame:
+    """Per-stratum vocabulary statistics (the Heaps-law / lexical-
+    richness corpus signal): total tokens, distinct types, hapax
+    count (frequency-1 types), and the type-token + hapax-type
+    ratios in exact ppm — a falling type-token ratio across a
+    crawl's snapshots is the classic saturation/duplication smell.
+
+    Scale shape: one shuffle to the (stratum, token) grain, then one
+    algebraic aggregation per stratum; ratios are truncating integer
+    divs on the counts.
+    """
+    toks = (df.select(F.col(strata_col).alias("stratum"),
+                      F.explode(token_array(F.lower(F.col(text_col))))
+                      .alias("__t__"))
+            .filter(F.col("__t__") != ""))
+    grain = (toks.groupBy("stratum", "__t__")
+             .agg(F.count(F.lit(1)).alias("__c__")))
+    return (grain.groupBy("stratum")
+            .agg(F.sum("__c__").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum((F.col("__c__") == 1).cast("long"))
+                 .cast("long").alias("n_hapax"))
+            .withColumn("ttr_ppm",
+                        F.expr("(1000000 * n_types) div n_tokens"))
+            .withColumn("hapax_ppm",
+                        F.expr("(1000000 * n_hapax) div n_types")))
+
+
+def source_concentration(df: DataFrame, group_col: str = "lang",
+                         source_col: str = "source") -> DataFrame:
+    """Herfindahl–Hirschman concentration of each group's rows over
+    sources, exact ppm: HHI = Σ share² = (Σ c²) / N² — emitted as
+    ``(10^6 · Σc²) div N²`` (the monopoly smell of a training mix:
+    10^6 = one source; 10^6/k = k equal sources).
+
+    Scale shape: (group, source) grain then one algebraic
+    aggregation; the squares run in decimal(38,0).
+    """
+    grain = (df.groupBy(F.col(group_col).alias("grp"),
+                        F.col(source_col).alias("__s__"))
+             .agg(F.count(F.lit(1)).alias("__c__")))
+    c = F.col("__c__").cast(_DEC38)
+    return (grain.groupBy("grp")
+            .agg(F.sum("__c__").cast(_DEC38).alias("__n__"),
+                 F.sum(c * c).alias("__sq__"),
+                 F.count(F.lit(1)).cast("long").alias("n_sources"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("__n__").cast("long").alias("n_rows"),
+                    "n_sources",
+                    F.expr("CAST((CAST(1000000 AS decimal(38,0))"
+                           " * __sq__) div (__n__ * __n__) AS BIGINT)")
+                    .alias("hhi_ppm")))

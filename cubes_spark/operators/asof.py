@@ -40,7 +40,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "peak_concurrency"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -127,3 +127,71 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     out = out.withColumnRenamed(matched_time, on + suffix)
     return out.drop("__asof_side",
                     *([order_carrier] if right_order else []))
+
+
+def peak_concurrency(df: DataFrame, ts_col: str,
+                     duration_seconds: int = 1800,
+                     num_buckets: int = 256) -> DataFrame:
+    """Sweep-line peak concurrency: each row opens an interval
+    ``[ts, ts + duration)``; the answer is the maximum of the
+    running (+1 at start, −1 at end) sum over the merged boundary
+    timeline, with the EARLIEST attaining boundary — "the most
+    sessions ever simultaneously active" of capacity planning.
+
+    The running sum over one global timeline is the sequential trap;
+    like the EDF statistics it distributes as a two-phase prefix sum
+    over deterministic TIME buckets: per distinct boundary
+    microsecond, net delta; per-bucket totals collected once
+    (bounded driver rows), bucket-local cumulative windows finish
+    the sweep.  Ends sort before starts at the same instant
+    (half-open intervals — back-to-back sessions never double-count),
+    which the delta-per-distinct-timestamp formulation gives for
+    free.
+
+    Returns one row: ``(n_intervals, peak, at_us)``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    us = F.unix_micros(F.col(ts_col))
+    dur = int(duration_seconds) * 1_000_000
+    pts = (df.select(us.alias("__t__"),
+                     F.lit(1).alias("__d__"))
+           .unionAll(df.select((us + dur).alias("__t__"),
+                               F.lit(-1).alias("__d__"))))
+    hist = pts.groupBy("__t__").agg(F.sum("__d__").alias("__nd__"))
+    bounds = hist.agg(F.min("__t__").alias("lo"),
+                      F.max("__t__").alias("hi"),
+                      F.sum(F.when(F.col("__nd__") > 0,
+                                   F.col("__nd__")).otherwise(0))
+                      .alias("n")).first()
+    spark = df.sparkSession
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [], "n_intervals long, peak long, at_us long")
+    lo, hi = bounds["lo"], bounds["hi"]
+    width = max(1, -(-(hi - lo + 1) // num_buckets))
+    hist = hist.withColumn(
+        "__pid__",
+        F.floor((F.col("__t__") - F.lit(lo)) / F.lit(width))
+        .cast("int"))
+    totals = (hist.groupBy("__pid__")
+              .agg(F.sum("__nd__").alias("t")).collect())
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["__pid__"]):
+        offsets.append((row["__pid__"], acc))
+        acc += row["t"] or 0
+    off = F.broadcast(spark.createDataFrame(
+        offsets, "__pid__ int, __off__ long"))
+    local = (W.partitionBy("__pid__").orderBy("__t__")
+             .rowsBetween(W.unboundedPreceding, 0))
+    cum = (hist.join(off, "__pid__")
+           .withColumn("__run__", F.col("__off__")
+                       + F.sum("__nd__").over(local)))
+    best = cum.agg(F.max(F.struct(
+        F.col("__run__").alias("r"),
+        (-F.col("__t__")).alias("nt"))).alias("m"))
+    return best.select(
+        F.lit(int(bounds["n"])).alias("n_intervals"),
+        F.col("m.r").cast("long").alias("peak"),
+        (-F.col("m.nt")).cast("long").alias("at_us"))

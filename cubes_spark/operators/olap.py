@@ -28,6 +28,7 @@ from cubes_spark.operators.preagg import _safe
 from pyspark.sql import functions as F
 
 __all__ = [
+    "skyline_2d",
     "drill_across",
     "top_n_per_group",
     "fill_time_gaps",
@@ -1727,3 +1728,77 @@ def group_ols_trend(df: DataFrame, group_cols: Sequence[str],
         F.expr(f"CAST(((CAST(1000000 AS {dec}) * abs(__num__))"
                f" div __dx__ * abs(__num__)) div __dy__"
                f" AS BIGINT)").alias("r2_ppm"))
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str,
+               num_buckets: int = 256) -> DataFrame:
+    """2-D skyline (Pareto frontier, maximize both axes): a point
+    survives iff NO other point is ≥ on both coordinates and > on
+    one — the classic "best price/recency tradeoff" operator
+    relational engines lack (Börzsönyi, Kossmann & Stocker, ICDE
+    2001).
+
+    In 2-D the frontier is a suffix-max scan: collapse to the
+    distinct-x grain with my = max(y at x) (anything below my at the
+    same x is dominated by it), then x survives iff
+    ``my > max(my' over x' > x)`` — STRICT, since an equal y at a
+    strictly larger x dominates.  The suffix max distributes exactly
+    like the EDF prefix sums: deterministic x buckets, one bounded
+    driver collect of per-bucket maxima (suffix offsets computed
+    driver-side), bucket-local running max — never a global sort.
+
+    Both columns are read as cents.  Returns the frontier as
+    ``(x_cents, y_cents, n_points)`` with n_points the number of
+    fact rows sitting exactly on that vertex.
+    """
+    from pyspark.sql.window import Window as W
+
+    xc = F.round(F.col(x_col) * 100).cast("long")
+    yc = F.round(F.col(y_col) * 100).cast("long")
+    base = df.select(xc.alias("__x__"), yc.alias("__y__"))
+    grain = (base.groupBy("__x__")
+             .agg(F.max("__y__").alias("__my__")))
+    bounds = grain.agg(F.min("__x__").alias("lo"),
+                       F.max("__x__").alias("hi")).first()
+    spark = df.sparkSession
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [], "x_cents long, y_cents long, n_points long")
+    lo, hi = bounds["lo"], bounds["hi"]
+    width = max(1, -(-(hi - lo + 1) // num_buckets))
+    grain = grain.withColumn(
+        "__pid__",
+        F.floor((F.col("__x__") - F.lit(lo)) / F.lit(width))
+        .cast("int"))
+    totals = (grain.groupBy("__pid__")
+              .agg(F.max("__my__").alias("m")).collect())
+    ordered = sorted(totals, key=lambda r: -r["__pid__"])
+    offsets, run = [], None
+    for row in ordered:          # suffix max over DESCENDING pid
+        offsets.append((row["__pid__"],
+                        run if run is not None else None))
+        m = row["m"]
+        if m is not None and (run is None or m > run):
+            run = m
+    off = F.broadcast(spark.createDataFrame(
+        offsets, "__pid__ int, __soff__ long"))
+    w_desc = (W.partitionBy("__pid__")
+              .orderBy(F.col("__x__").desc())
+              .rowsBetween(W.unboundedPreceding, -1))
+    cum = (grain.join(off, "__pid__")
+           .withColumn(
+               "__thr__",
+               F.greatest(
+                   F.coalesce(F.max("__my__").over(w_desc),
+                              F.lit(-(1 << 62))),
+                   F.coalesce(F.col("__soff__"),
+                              F.lit(-(1 << 62))))))
+    frontier = (cum.filter(F.col("__my__") > F.col("__thr__"))
+                .select(F.col("__x__").alias("__fx__"),
+                        F.col("__my__").alias("__fy__")))
+    return (base.join(frontier,
+                      (F.col("__x__") == F.col("__fx__"))
+                      & (F.col("__y__") == F.col("__fy__")))
+            .groupBy(F.col("__fx__").alias("x_cents"),
+                     F.col("__fy__").alias("y_cents"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points")))

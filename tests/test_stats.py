@@ -465,3 +465,108 @@ class TestClassifierEval:
         out = {r["label"]: r for r in
                classifier_eval(df, "t", "p").collect()}
         assert out["b"]["n_pred"] == 0 and out["b"]["recall_ppm"] == 0
+
+
+class TestPeakConcurrency:
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.asof import peak_concurrency
+        t0 = dt.datetime(2020, 1, 1)
+        # intervals of 10s at 0,5,8,30: overlap {0,5,8} -> peak 3 at 8s
+        rows = [(t0 + dt.timedelta(seconds=s),)
+                for s in (0, 5, 8, 30)]
+        df = _df(spark, rows, "ts timestamp")
+        r = peak_concurrency(df, "ts", duration_seconds=10).collect()[0]
+        assert r["n_intervals"] == 4
+        assert r["peak"] == 3
+        assert r["at_us"] == int(t0.replace(
+            tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        ) + 8_000_000
+
+    def test_back_to_back_no_double_count(self, spark):
+        from cubes_spark.operators.asof import peak_concurrency
+        t0 = dt.datetime(2020, 1, 1)
+        # [0,10) and [10,20): never concurrent
+        rows = [(t0,), (t0 + dt.timedelta(seconds=10),)]
+        df = _df(spark, rows, "ts timestamp")
+        r = peak_concurrency(df, "ts", duration_seconds=10).collect()[0]
+        assert r["peak"] == 1
+
+    def test_partition_invariant(self, spark):
+        from cubes_spark.operators.asof import peak_concurrency
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [(t0 + dt.timedelta(seconds=(i * 37) % 300),)
+                for i in range(200)]
+        df = _df(spark, rows, "ts timestamp")
+        a = peak_concurrency(df.repartition(1), "ts", 60,
+                             num_buckets=4).collect()
+        b = peak_concurrency(df.repartition(17), "ts", 60,
+                             num_buckets=64).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestSkyline:
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.olap import skyline_2d
+        # (1,5) dominated by (2,5); frontier: (2,5), (3,3), (4,1)
+        rows = [(1.0, 5.0), (2.0, 5.0), (3.0, 3.0), (4.0, 1.0),
+                (2.0, 2.0), (3.0, 3.0)]
+        df = _df(spark, rows, "x double, y double")
+        out = {(r["x_cents"], r["y_cents"]): r["n_points"] for r in
+               skyline_2d(df, "x", "y").collect()}
+        assert out == {(200, 500): 1, (300, 300): 2, (400, 100): 1}
+
+    def test_single_point(self, spark):
+        from cubes_spark.operators.olap import skyline_2d
+        df = _df(spark, [(7.0, 9.0)], "x double, y double")
+        out = skyline_2d(df, "x", "y").collect()
+        assert [(r["x_cents"], r["y_cents"], r["n_points"])
+                for r in out] == [(700, 900, 1)]
+
+    def test_partition_and_bucket_invariant(self, spark):
+        from cubes_spark.operators.olap import skyline_2d
+        rows = [(float((i * 31) % 57), float((i * 13) % 41))
+                for i in range(300)]
+        df = _df(spark, rows, "x double, y double")
+        a = skyline_2d(df.repartition(1), "x", "y",
+                       num_buckets=3).collect()
+        b = skyline_2d(df.repartition(23), "x", "y",
+                       num_buckets=128).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_frontier_is_antichain(self, spark):
+        from cubes_spark.operators.olap import skyline_2d
+        rows = [(float(i % 17), float((i * 7) % 23))
+                for i in range(200)]
+        df = _df(spark, rows, "x double, y double")
+        pts = [(r["x_cents"], r["y_cents"]) for r in
+               skyline_2d(df, "x", "y").collect()]
+        for (x1, y1) in pts:
+            for (x2, y2) in pts:
+                if (x1, y1) != (x2, y2):
+                    assert not (x2 >= x1 and y2 >= y1
+                                and (x2 > x1 or y2 > y1))
+
+
+class TestVocabGrowth:
+    def test_hand_computed(self, spark):
+        from cubes_spark.llm.text import vocab_growth
+        rows = [(1, "a b a", "s1"), (2, "c", "s1"), (3, "x y", "s2")]
+        df = _df(spark, rows, "doc_id long, text string, source string")
+        out = {r["stratum"]: r for r in
+               vocab_growth(df, "text", "source").collect()}
+        s1 = out["s1"]
+        assert (s1["n_tokens"], s1["n_types"], s1["n_hapax"]) == (4, 3, 2)
+        assert s1["ttr_ppm"] == (1000000 * 3) // 4
+        assert s1["hapax_ppm"] == (1000000 * 2) // 3
+
+
+class TestSourceConcentration:
+    def test_monopoly_and_uniform(self, spark):
+        from cubes_spark.llm.text import source_concentration
+        rows = [("en", "only")] * 7
+        rows += [("de", f"s{i}") for i in range(4)]
+        df = _df(spark, rows, "lang string, source string")
+        out = {r["lang"]: r for r in
+               source_concentration(df, "lang", "source").collect()}
+        assert out["en"]["hhi_ppm"] == 1000000
+        assert out["de"]["hhi_ppm"] == 250000

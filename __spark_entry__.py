@@ -5153,6 +5153,57 @@ def q_orders_skyline(spark, sf_dir):
     return skyline_2d(prep, "o_totalprice", "recency_day")
 
 
+def q_events_runs(spark, sf_dir):
+    """Wald-Wolfowitz runs test per user (operators/stats.py:
+    runs_test): above/below-own-median sign sequence under
+    deterministic order, observed runs vs the 2ab/n + 1 randomness
+    benchmark in exact ppm; ties at the median dropped."""
+    from cubes_spark.operators.stats import runs_test
+
+    ev = _table(spark, sf_dir, "events")
+    return runs_test(ev, "user_id", "ts", "value",
+                     tiebreak_col="event_id")
+
+
+def q_orders_lastdigit(spark, sf_dir):
+    """Last-digit uniformity audit of order totals in cents
+    (operators/stats.py:chi_square_gof_uniform): chi-square
+    goodness-of-fit vs uniform over 10 digits, per-digit truncated
+    (10*O - N)^2 div (10*N) contributions, absent digits generated
+    from a spine — the fraud-screen companion to orders_benford."""
+    from cubes_spark.operators.stats import chi_square_gof_uniform
+
+    od = _table(spark, sf_dir, "orders")
+    prep = od.select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 10)
+        .alias("digit"))
+    return chi_square_gof_uniform(prep, "digit", 10)
+
+
+def q_events_logrank(spark, sf_dir):
+    """Two-group log-rank test (operators/stats.py:logrank_test) on
+    time-to-first-purchase, segmented by even/odd user id: observed
+    group-A deaths vs the hypergeometric expectation and variance as
+    sums of per-time truncated-micro terms over the bounded duration
+    grain — the 'do these survival curves differ' companion to
+    events_km."""
+    from cubes_spark.operators.stats import logrank_test
+
+    ev = _table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("death_ts"),
+        F.max("ts").alias("last_ts")))
+    dur = per_user.select(
+        F.datediff(F.to_date(F.coalesce("death_ts", "last_ts")),
+                   F.to_date("first_ts")).alias("dur"),
+        F.col("death_ts").isNotNull().cast("int").alias("ev"),
+        F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd").alias("segment"))
+    return logrank_test(dur, "dur", "ev", "segment", "even")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region x month) with a cell filter
     at sf0.001."""
@@ -5188,6 +5239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_hhi": q_doc_source_hhi,
         "events_concurrency": q_events_concurrency,
         "orders_skyline": q_orders_skyline,
+        "events_runs": q_events_runs,
+        "orders_lastdigit": q_orders_lastdigit,
+        "events_logrank": q_events_logrank,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9220,6 +9274,115 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.term, CAST(m.df AS BIGINT) AS df,
             CAST(m.cf AS BIGINT) AS cf, p.postings
         FROM m JOIN p ON m.term = p.term"""
+
+    # Runs test: per-user median via row_number rank, sign flips
+    # under (ts, event_id) order, 2ab/n + 1 benchmark in ppm.
+    sql["events_runs"] = """
+        WITH b AS (
+            SELECT user_id, ts, event_id,
+                CAST(round(value * 100) AS BIGINT) AS v
+            FROM events),
+        r AS (
+            SELECT user_id, v,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY v) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n
+            FROM b),
+        m AS (
+            SELECT user_id,
+                min(CASE WHEN rn >= (n + 1) // 2 THEN v END) AS med
+            FROM r GROUP BY 1),
+        s AS (
+            SELECT b.user_id, b.ts, b.event_id,
+                CASE WHEN b.v > m.med THEN 1 ELSE 0 END AS sgn
+            FROM b JOIN m ON b.user_id = m.user_id
+            WHERE b.v <> m.med),
+        f AS (
+            SELECT user_id, sgn,
+                CASE WHEN lag(sgn) OVER w IS NOT NULL
+                     AND lag(sgn) OVER w <> sgn
+                THEN 1 ELSE 0 END AS flip
+            FROM s
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts, event_id)),
+        a AS (
+            SELECT user_id, count(*) AS n_signs, sum(sgn) AS n_above,
+                sum(1 - sgn) AS n_below, sum(flip) + 1 AS n_runs
+            FROM f GROUP BY 1)
+        SELECT user_id, CAST(n_signs AS BIGINT) AS n_signs,
+            CAST(n_above AS BIGINT) AS n_above,
+            CAST(n_below AS BIGINT) AS n_below,
+            CAST(n_runs AS BIGINT) AS n_runs,
+            CAST((CAST(2000000 AS HUGEINT) * n_above * n_below)
+                 // n_signs + 1000000 AS BIGINT)
+                AS expected_runs_ppm
+        FROM a WHERE n_above > 0 AND n_below > 0"""
+
+    # Last-digit GOF: digit spine, (10*O - N)^2 // (10*N) in ppm.
+    sql["orders_lastdigit"] = """
+        WITH b AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 10
+                AS cat
+            FROM orders),
+        o AS (SELECT cat, count(*) AS o FROM b GROUP BY 1),
+        n AS (SELECT CAST(sum(o) AS HUGEINT) AS N FROM o),
+        sp AS (SELECT unnest(generate_series(0, 9)) AS cat),
+        g AS (
+            SELECT CAST(sp.cat AS BIGINT) AS cat,
+                COALESCE(o.o, 0) AS o, n.N
+            FROM sp CROSS JOIN n LEFT JOIN o ON o.cat = sp.cat)
+        SELECT cat, CAST(o AS BIGINT) AS observed,
+            CAST((1000000 * N) // 10 AS BIGINT) AS expected_ppm,
+            CAST(((10 * CAST(o AS HUGEINT) - N)
+                  * (10 * CAST(o AS HUGEINT) - N) * 1000000)
+                 // (10 * N) AS BIGINT) AS contrib_ppm
+        FROM g"""
+
+    # Log-rank: duration grain with per-group splits, at-risk prefix
+    # sums, per-time truncated-micro E and V terms over death times.
+    sql["events_logrank"] = """
+        WITH per_user AS (
+            SELECT user_id, min(ts) AS first_ts,
+                min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS death_ts,
+                max(ts) AS last_ts
+            FROM events GROUP BY 1),
+        dur AS (
+            SELECT date_diff('day', CAST(first_ts AS DATE),
+                CAST(COALESCE(death_ts, last_ts) AS DATE)) AS t,
+                CASE WHEN death_ts IS NOT NULL THEN 1 ELSE 0 END
+                    AS ev,
+                CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+            FROM per_user),
+        per_t AS (
+            SELECT CAST(t AS BIGINT) AS t, sum(ev) AS d,
+                sum(CASE WHEN a = 1 THEN ev ELSE 0 END) AS d1,
+                count(*) AS c, sum(a) AS c1
+            FROM dur GROUP BY 1),
+        tot AS (SELECT sum(c) AS N, sum(c1) AS N1 FROM per_t),
+        staged AS (
+            SELECT t, d, d1,
+                CAST((SELECT N FROM tot) - COALESCE(
+                    sum(c) OVER w, 0) AS HUGEINT) AS n,
+                CAST((SELECT N1 FROM tot) - COALESCE(
+                    sum(c1) OVER w, 0) AS HUGEINT) AS n1
+            FROM per_t
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND 1 PRECEDING)),
+        terms AS (
+            SELECT d1,
+                (CAST(1000000 AS HUGEINT) * d * n1) // n AS e_t,
+                CASE WHEN n > 1 THEN
+                    (CAST(1000000 AS HUGEINT) * d * n1 * (n - n1)
+                     * (n - d)) // (n * n * (n - 1))
+                ELSE 0 END AS v_t
+            FROM staged WHERE d > 0)
+        SELECT (SELECT CAST(N1 AS BIGINT) FROM tot) AS n_a,
+            (SELECT CAST(N - N1 AS BIGINT) FROM tot) AS n_b,
+            CAST(sum(d1) AS BIGINT) AS o_a,
+            CAST(sum(e_t) AS BIGINT) AS e_a_micro,
+            CAST(sum(v_t) AS BIGINT) AS v_micro
+        FROM terms"""
 
     # Vocabulary growth: (source, token) grain, hapax = freq-1 types.
     sql["doc_vocab_growth"] = r"""

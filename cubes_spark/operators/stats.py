@@ -42,6 +42,9 @@ __all__ = [
     "mann_whitney_u",
     "cohen_kappa",
     "classifier_eval",
+    "runs_test",
+    "chi_square_gof_uniform",
+    "logrank_test",
 ]
 
 _DEC = "decimal(38,0)"
@@ -722,3 +725,157 @@ def classifier_eval(df: DataFrame, truth_col: str,
         prec.cast("long").alias("precision_ppm"),
         rec.cast("long").alias("recall_ppm"),
         f1.cast("long").alias("f1_ppm"))
+
+
+def runs_test(df: DataFrame, key_col: str, ts_col: str,
+              value_col: str,
+              tiebreak_col: Optional[str] = None) -> DataFrame:
+    """Wald–Wolfowitz runs test per key: the sequence of signs
+    (value above/below the KEY'S OWN median, ties-at-median dropped)
+    is summarized as the observed number of runs R and the
+    randomness benchmark E[R] = 2ab/n + 1 — too few runs means
+    clumping/trend, too many means oscillation.  All integers:
+    R = 1 + #(sign flips), ``expected_runs_ppm = (2·a·b·10^6) div n
+    + 10^6`` (E[R] in ppm units both engines truncate identically).
+
+    Scale shape: the median is the per-key percentile_disc order
+    statistic read off a rank window PARTITIONED BY KEY (many keys →
+    full parallelism — the per-key grain here is genuinely bounded,
+    unlike the few-huge-groups spearman case); sign flips from one
+    lag over the same per-key sort.
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [])
+    base = df.select(F.col(key_col), *order,
+                     _cents(value_col).alias("__v__"))
+    w_med = W.partitionBy(key_col).orderBy("__v__")
+    w_all = W.partitionBy(key_col)
+    ranked = (base.withColumn("__rn__", F.row_number().over(w_med))
+              .withColumn("__n__", F.count(F.lit(1)).over(w_all)))
+    med = ranked.groupBy(key_col).agg(
+        F.min(F.when(F.col("__rn__") >= F.expr("(__n__ + 1) div 2"),
+                     F.col("__v__"))).alias("__med__"))
+    signed = (base.join(med, key_col)
+              .filter(F.col("__v__") != F.col("__med__"))
+              .withColumn("__s__",
+                          (F.col("__v__") > F.col("__med__"))
+                          .cast("int")))
+    w_seq = W.partitionBy(key_col).orderBy(*order)
+    flips = signed.withColumn(
+        "__flip__",
+        (F.lag("__s__").over(w_seq).isNotNull()
+         & (F.lag("__s__").over(w_seq) != F.col("__s__")))
+        .cast("long"))
+    agg = flips.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_signs"),
+        F.sum("__s__").cast("long").alias("n_above"),
+        F.sum(1 - F.col("__s__")).cast("long").alias("n_below"),
+        (F.sum("__flip__") + 1).cast("long").alias("n_runs"))
+    return (agg.filter((F.col("n_above") > 0)
+                       & (F.col("n_below") > 0))
+            .withColumn(
+                "expected_runs_ppm",
+                F.expr(f"CAST((CAST(2000000 AS {_DEC}) * n_above"
+                       f" * n_below) div n_signs + 1000000"
+                       f" AS BIGINT)")))
+
+
+def chi_square_gof_uniform(df: DataFrame, category_col: str,
+                           n_categories: int) -> DataFrame:
+    """Chi-square goodness-of-fit against the uniform distribution
+    over ``n_categories`` buckets (the last-digit / lottery-audit
+    test), integer-exact per category: with expected N/k the term
+    (O − N/k)²/(N/k) = (k·O − N)²/k² · k/N = (k·O − N)² / (k·N),
+    emitted as ``contrib_ppm = 10^6·(k·O − N)² div (k·N)``.
+    Categories that
+    never occur still contribute N/k (generated, not scanned).
+
+    Scale shape: one groupBy to the category grain (k rows), a
+    broadcast total, a driver-side k-row category spine.
+    """
+    k = int(n_categories)
+    obs = (df.filter(F.col(category_col).isNotNull())
+           .groupBy(F.col(category_col).cast("long").alias("cat"))
+           .agg(F.count(F.lit(1)).alias("__o__")))
+    spark = df.sparkSession
+    spine = spark.createDataFrame([(i,) for i in range(k)],
+                                  "cat long")
+    tot = obs.agg(F.sum("__o__").alias("__N__"))
+    grid = (spine.join(obs, "cat", "left").fillna({"__o__": 0})
+            .crossJoin(F.broadcast(tot)))
+    o = F.col("__o__").cast(_DEC)
+    n = F.col("__N__").cast(_DEC)
+    dev = F.lit(k) * o - n
+    grid = grid.withColumn("__dev__", dev).withColumn("__n_d__", n)
+    return grid.select(
+        F.col("cat"),
+        F.col("__o__").cast("long").alias("observed"),
+        F.expr(f"CAST((CAST(1000000 AS {_DEC}) * __n_d__)"
+               f" div {k} AS BIGINT)").alias("expected_ppm"),
+        F.expr(f"CAST((__dev__ * __dev__ * 1000000)"
+               f" div (CAST({k} AS {_DEC}) * __n_d__)"
+               f" AS BIGINT)").alias("contrib_ppm"))
+
+
+def logrank_test(df: DataFrame, duration_col: str, event_col: str,
+                 group_col: str, group_a: str) -> DataFrame:
+    """Two-group log-rank test numerators (Mantel 1966), the
+    standard 'do these survival curves differ' companion to
+    ``kaplan_meier``: at each distinct duration t with d_t total
+    deaths, n_t total at risk and n1_t at risk in group A, the
+    observed group-A deaths O = Σ d1_t are compared against the
+    hypergeometric expectation E = Σ d_t·n1_t/n_t and variance
+    V = Σ d_t·(n1_t/n_t)·(1 − n1_t/n_t)·(n_t − d_t)/(n_t − 1).
+
+    E and V are sums of rationals, so the emitted statistic is
+    DEFINED as the sum of per-time truncated-micro terms (each off
+    by < 1e-6, replayed identically by SQL):
+    ``e_micro = Σ (10^6·d_t·n1_t) div n_t`` and ``v_micro =
+    Σ (10^6·d_t·n1_t·(n_t−n1_t)·(n_t−d_t)) div (n_t²·(n_t−1))``.
+    The consumer forms z² ≈ (10^6·O − E_micro)² / (10^6·V_micro).
+
+    Scale shape: identical to kaplan_meier — one groupBy to the
+    bounded duration grain (with per-group death/at-risk splits from
+    conditional aggregation), prefix sums on that grain, one final
+    algebraic aggregate.  Emits one row:
+    ``(n_a, n_b, o_a, e_a_micro, v_micro)``.
+    """
+    from pyspark.sql.window import Window as W
+
+    is_a = F.col(group_col) == group_a
+    per_t = (df.filter(F.col(duration_col).isNotNull())
+             .groupBy(F.col(duration_col).cast("long").alias("t"))
+             .agg(F.sum(F.col(event_col).cast("long")).alias("d"),
+                  F.sum(F.when(is_a, F.col(event_col).cast("long"))
+                        .otherwise(0)).alias("d1"),
+                  F.count(F.lit(1)).alias("c"),
+                  F.sum(is_a.cast("long")).alias("c1")))
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    tot = per_t.agg(F.sum("c").alias("__N__"),
+                    F.sum("c1").alias("__N1__"))
+    staged = (per_t.crossJoin(F.broadcast(tot))
+              .withColumn("n", F.col("__N__") - F.coalesce(
+                  F.sum("c").over(w_prev), F.lit(0)))
+              .withColumn("n1", F.col("__N1__") - F.coalesce(
+                  F.sum("c1").over(w_prev), F.lit(0))))
+    e_term = F.expr(f"CAST((CAST(1000000 AS {_DEC}) * d * n1)"
+                    f" div n AS {_DEC})")
+    v_term = F.when(
+        F.col("n") > 1,
+        F.expr(f"CAST((CAST(1000000 AS {_DEC}) * d * n1 * (n - n1)"
+               f" * (n - d)) div (n * n * (n - 1)) AS {_DEC})")
+    ).otherwise(F.lit(0).cast(_DEC))
+    deaths = staged.filter(F.col("d") > 0)
+    deaths = (deaths.withColumn("__e__", e_term)
+              .withColumn("__v__", v_term))
+    out = deaths.agg(
+        F.sum("d1").cast("long").alias("o_a"),
+        F.sum("__e__").cast("long").alias("e_a_micro"),
+        F.sum("__v__").cast("long").alias("v_micro"))
+    return (out.crossJoin(F.broadcast(tot))
+            .select(F.col("__N1__").cast("long").alias("n_a"),
+                    (F.col("__N__") - F.col("__N1__")).cast("long")
+                    .alias("n_b"),
+                    "o_a", "e_a_micro", "v_micro"))

@@ -570,3 +570,91 @@ class TestSourceConcentration:
                source_concentration(df, "lang", "source").collect()}
         assert out["en"]["hhi_ppm"] == 1000000
         assert out["de"]["hhi_ppm"] == 250000
+
+
+class TestRunsTest:
+    def test_alternating_max_runs(self, spark):
+        from cubes_spark.operators.stats import runs_test
+        t0 = dt.datetime(2020, 1, 1)
+        vals = [1.0, 9.0, 1.0, 9.0, 1.0, 9.0]
+        rows = [(1, t0 + dt.timedelta(minutes=i), v, i)
+                for i, v in enumerate(vals)]
+        df = _df(spark, rows,
+                 "k long, ts timestamp, v double, eid long")
+        # median (disc, rank (6+1) div 2 = 3rd of sorted) = 1 ->
+        # ties at median dropped: remaining 9,9,9 all above -> the
+        # both-sides guard drops the key entirely
+        assert runs_test(df, "k", "ts", "v", "eid").count() == 0
+
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.stats import runs_test
+        t0 = dt.datetime(2020, 1, 1)
+        # values 1,2,3,4 -> median(disc)=2 (rank (4+1)div2=2), drop
+        # the 2; signs for 1,3,4 = 0,1,1 -> runs 2, a=2 b=1 n=3
+        vals = [1.0, 2.0, 3.0, 4.0]
+        rows = [(1, t0 + dt.timedelta(minutes=i), v, i)
+                for i, v in enumerate(vals)]
+        df = _df(spark, rows,
+                 "k long, ts timestamp, v double, eid long")
+        r = runs_test(df, "k", "ts", "v", "eid").collect()[0]
+        assert (r["n_signs"], r["n_above"], r["n_below"]) == (3, 2, 1)
+        assert r["n_runs"] == 2
+        assert r["expected_runs_ppm"] == (2000000 * 2 * 1) // 3 + 1000000
+
+    def test_one_sided_key_dropped(self, spark):
+        from cubes_spark.operators.stats import runs_test
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [(1, t0 + dt.timedelta(minutes=i), 5.0, i)
+                for i in range(4)]
+        df = _df(spark, rows,
+                 "k long, ts timestamp, v double, eid long")
+        assert runs_test(df, "k", "ts", "v", "eid").count() == 0
+
+
+class TestChiSquareGOF:
+    def test_uniform_zero_contrib(self, spark):
+        from cubes_spark.operators.stats import chi_square_gof_uniform
+        rows = [(i % 5,) for i in range(100)]
+        df = _df(spark, rows, "c long")
+        out = chi_square_gof_uniform(df, "c", 5).collect()
+        assert len(out) == 5
+        assert all(r["contrib_ppm"] == 0 for r in out)
+        assert all(r["expected_ppm"] == 20 * 1000000 for r in out)
+
+    def test_absent_category_contributes(self, spark):
+        from cubes_spark.operators.stats import chi_square_gof_uniform
+        rows = [(0,)] * 6
+        df = _df(spark, rows, "c long")
+        out = {r["cat"]: r for r in
+               chi_square_gof_uniform(df, "c", 3).collect()}
+        # N=6, k=3: cat0 dev=3*6-6=12 -> 144e6 // 18 = 8e6
+        assert out[0]["contrib_ppm"] == (12 * 12 * 1000000) // 18
+        # absent cats: dev=-6 -> 36e6 // 18 = 2e6
+        assert out[1]["observed"] == 0
+        assert out[1]["contrib_ppm"] == (6 * 6 * 1000000) // 18
+
+
+class TestLogRank:
+    def test_identical_groups_o_matches_e(self, spark):
+        from cubes_spark.operators.stats import logrank_test
+        rows = [(t, 1, g) for t in (1, 2, 3) for g in ("a", "b")]
+        df = _df(spark, rows, "dur long, ev int, g string")
+        r = logrank_test(df, "dur", "ev", "g", "a").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (3, 3)
+        assert r["o_a"] == 3
+        # symmetric groups: E = O exactly (n1/n = 1/2 at each time,
+        # d_t = 2 -> e_t = 1e6 per time)
+        assert r["e_a_micro"] == 3 * 1000000
+
+    def test_hand_computed_imbalance(self, spark):
+        from cubes_spark.operators.stats import logrank_test
+        # t=1: a dies (d=1, n=3, n1=2) ; t=2: b dies (d=1, n=2, n1=1)
+        rows = [(1, 1, "a"), (2, 1, "b"), (2, 0, "a")]
+        df = _df(spark, rows, "dur long, ev int, g string")
+        r = logrank_test(df, "dur", "ev", "g", "a").collect()[0]
+        assert r["o_a"] == 1
+        # e = 1e6*2//3 + 1e6*1//2 = 666666 + 500000
+        assert r["e_a_micro"] == 666666 + 500000
+        # v at t1: 1e6*1*2*1*2 // (3*3*2) = 222222; t2: n=2,d=1:
+        # 1e6*1*1*1*1 // (2*2*1) = 250000
+        assert r["v_micro"] == 222222 + 250000

@@ -5204,6 +5204,44 @@ def q_events_logrank(spark, sf_dir):
     return logrank_test(dur, "dur", "ev", "segment", "even")
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (operators/tpch.py): sargable date
+    filter to the scan, one map-side-combinable aggregation, money
+    in exact integer units (disc_price 1e-4 $, charge 1e-6 $) so the
+    sums are bit-exact at any parallelism."""
+    from cubes_spark.operators.tpch import q1_pricing_summary
+
+    return q1_pricing_summary(_table(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (operators/tpch.py): broadcast
+    segment-filtered customer, orders-lineitem shuffle on the order
+    key, top-10 by exact integer revenue via TakeOrdered with a full
+    deterministic tiebreak."""
+    from cubes_spark.operators.tpch import q3_shipping_priority
+
+    return q3_shipping_priority(_table(spark, sf_dir, "customer"),
+                                _table(spark, sf_dir, "orders"),
+                                _table(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local supplier volume (operators/tpch.py): every
+    dimension broadcast (supplier, nation x region, customer), local
+    supply chains via the s_nationkey = c_nationkey join condition,
+    nation-grain exact integer revenue."""
+    from cubes_spark.operators.tpch import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region x month) with a cell filter
     at sf0.001."""
@@ -5242,6 +5280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_runs": q_events_runs,
         "orders_lastdigit": q_orders_lastdigit,
         "events_logrank": q_events_logrank,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9274,6 +9315,78 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.term, CAST(m.df AS BIGINT) AS df,
             CAST(m.cf AS BIGINT) AS cf, p.postings
         FROM m JOIN p ON m.term = p.term"""
+
+    # TPC-H Q1: integer money units (cents / 1e-4 / 1e-6 dollars),
+    # truncating-div averages.
+    sql["tpch_q1"] = """
+        WITH b AS (
+            SELECT l_returnflag, l_linestatus,
+                CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+                CAST(round(l_discount * 100) AS BIGINT) AS dc,
+                CAST(round(l_tax * 100) AS BIGINT) AS tc
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'),
+        a AS (
+            SELECT l_returnflag, l_linestatus,
+                sum(qty) AS sum_qty_cents,
+                sum(price) AS sum_base_price_cents,
+                sum(CAST(price AS HUGEINT) * (100 - dc)) AS sdp,
+                sum(CAST(price AS HUGEINT) * (100 - dc) * (100 + tc))
+                    AS sch,
+                sum(dc) AS sdc, count(*) AS count_order
+            FROM b GROUP BY 1, 2)
+        SELECT l_returnflag, l_linestatus,
+            CAST(sum_qty_cents AS BIGINT) AS sum_qty_cents,
+            CAST(sum_base_price_cents AS BIGINT)
+                AS sum_base_price_cents,
+            CAST(sdp AS BIGINT) AS sum_disc_price_e4,
+            CAST(sch AS BIGINT) AS sum_charge_e6,
+            CAST(sum_qty_cents // count_order AS BIGINT)
+                AS avg_qty_cents,
+            CAST(sum_base_price_cents // count_order AS BIGINT)
+                AS avg_price_cents,
+            CAST(sdc // count_order AS BIGINT) AS avg_disc_pct,
+            CAST(count_order AS BIGINT) AS count_order
+        FROM a"""
+
+    # TPC-H Q3: top-10 with full deterministic tiebreak.
+    sql["tpch_q3"] = """
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+            CAST(sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                     * (100 - CAST(round(l.l_discount * 100)
+                                   AS BIGINT))) AS BIGINT)
+                AS revenue_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1996-03-15'
+          AND CAST(l.l_shipdate AS DATE) > DATE '1996-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_e4 DESC, o.o_orderdate ASC,
+            l.l_orderkey ASC
+        LIMIT 10"""
+
+    # TPC-H Q5: local supply chains (c_nationkey = s_nationkey).
+    sql["tpch_q5"] = """
+        SELECT n.n_name,
+            CAST(sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                     * (100 - CAST(round(l.l_discount * 100)
+                                   AS BIGINT))) AS BIGINT)
+                AS revenue_e4,
+            CAST(count(*) AS BIGINT) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+        GROUP BY 1"""
 
     # Runs test: per-user median via row_number rank, sign flips
     # under (ts, event_id) order, 2ab/n + 1 benchmark in ppm.

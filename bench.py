@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "events_concurrency",
     "orders_skyline",
     "doc_vocab_growth",
+    # TPC-H-shaped benchmark parity
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
 ]
 
 

@@ -1,0 +1,143 @@
+"""TPC-H-shaped benchmark queries, Spark-first and integer-exact.
+
+The canonical analytics join/aggregation shapes (TPC-H Q1 pricing
+summary, Q3 shipping priority, Q5 local supplier volume) expressed as
+DataFrame plans over the repo's star tables — the parity proof that
+the engine's raw-DataFrame layer (not just the cubes browser) handles
+the standard warehouse benchmark idiomatically:
+
+- dimension sides are explicitly ``broadcast()`` (customer/supplier/
+  nation/region are tiny next to lineitem at any scale factor);
+- all money arithmetic is INTEGER: price in cents, discount/tax in
+  integer percent points (``round(x*100)``), so
+  ``disc_price = price_cents·(100−dc)`` (10⁻⁴ dollar units) and
+  ``charge = price_cents·(100−dc)·(100+tc)`` (10⁻⁶ dollar units) are
+  exact decimal(38,0) sums a SQL oracle replays bit-for-bit — a
+  double ``sum(l_extendedprice*(1-l_discount))`` is partition-order
+  dependent and can never be driver-hash-exact;
+- averages are truncating integer divs of the exact sums.
+
+Schema deltas vs published TPC-H: the test star has no
+``o_shippriority`` (Q3 groups on ``o_orderpriority`` instead) and no
+``l_commitdate``/``l_receiptdate`` (Q4/Q12 family out of scope);
+date windows are shifted into the generated 1995–2001 range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["q1_pricing_summary", "q3_shipping_priority",
+           "q5_local_supplier_volume"]
+
+_DEC = "decimal(38,0)"
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+def q1_pricing_summary(lineitem: DataFrame,
+                       ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1: pricing summary report per (returnflag, linestatus)
+    for lineitems shipped on or before the cutoff.  One map-side
+    combinable aggregation after a sargable date filter (the
+    predicate reaches the parquet scan); no joins, no windows.
+    """
+    li = lineitem.filter(
+        F.to_date("l_shipdate") <= F.lit(ship_cutoff).cast("date"))
+    qty = _cents(F.col("l_quantity"))
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    tc = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price = price.cast(_DEC) * (100 - dc)
+    charge = price.cast(_DEC) * (100 - dc) * (100 + tc)
+    out = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(qty).cast("long").alias("sum_qty_cents"),
+                F.sum(price).cast("long").alias("sum_base_price_cents"),
+                F.sum(disc_price).cast(_DEC).alias("__sdp__"),
+                F.sum(charge).cast(_DEC).alias("__sch__"),
+                F.sum(dc).cast("long").alias("__sdc__"),
+                F.count(F.lit(1)).cast("long").alias("count_order")))
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty_cents",
+        "sum_base_price_cents",
+        F.col("__sdp__").cast("long").alias("sum_disc_price_e4"),
+        F.col("__sch__").cast("long").alias("sum_charge_e6"),
+        F.expr("sum_qty_cents div count_order").cast("long")
+        .alias("avg_qty_cents"),
+        F.expr("sum_base_price_cents div count_order").cast("long")
+        .alias("avg_price_cents"),
+        F.expr("__sdc__ div count_order").cast("long")
+        .alias("avg_disc_pct"),
+        "count_order")
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame,
+                         segment: str = "BUILDING",
+                         cutoff: str = "1996-03-15",
+                         top_n: int = 10) -> DataFrame:
+    """TPC-H Q3: unshipped-order revenue for one market segment —
+    orders placed before the cutoff with lineitems shipped after it,
+    top-N by revenue.  Customer is broadcast (segment filter first);
+    the orders↔lineitem join shuffles on the order key; the top-N is
+    a TakeOrdered with a full deterministic tiebreak (revenue desc,
+    orderdate asc, orderkey asc), never a global sort.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment) \
+        .select("c_custkey")
+    ords = orders.filter(
+        F.to_date("o_orderdate") < F.lit(cutoff).cast("date"))
+    li = lineitem.filter(
+        F.to_date("l_shipdate") > F.lit(cutoff).cast("date"))
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price.cast(_DEC) * (100 - dc)
+    joined = (li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+              .join(F.broadcast(cust),
+                    ords["o_custkey"] == cust["c_custkey"]))
+    agg = (joined.groupBy("l_orderkey", "o_orderdate",
+                          "o_orderpriority")
+           .agg(F.sum(rev).cast("long").alias("revenue_e4")))
+    return (agg.orderBy(F.col("revenue_e4").desc(),
+                        F.col("o_orderdate"), F.col("l_orderkey"))
+            .limit(top_n))
+
+
+def q5_local_supplier_volume(customer: DataFrame, orders: DataFrame,
+                             lineitem: DataFrame, supplier: DataFrame,
+                             nation: DataFrame, region: DataFrame,
+                             region_name: str = "ASIA",
+                             date_from: str = "1996-01-01",
+                             date_to: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q5: revenue per nation from LOCAL supply chains (the
+    customer's nation equals the supplier's nation) within one
+    region and order-date year.  Every dimension side — supplier,
+    nation⋈region, and the nation-scoped customer — is broadcast;
+    the only shuffles are lineitem⋈orders on the order key and the
+    final nation-grain aggregation.
+    """
+    nr = (nation.join(F.broadcast(
+        region.filter(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "n_name"))
+    ords = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit(date_from).cast("date"))
+        & (F.to_date("o_orderdate") < F.lit(date_to).cast("date")))
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price.cast(_DEC) * (100 - dc)
+    joined = (lineitem
+              .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(customer),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(supplier),
+                    (F.col("l_suppkey") == F.col("s_suppkey"))
+                    & (F.col("s_nationkey") == F.col("c_nationkey")))
+              .join(F.broadcast(nr),
+                    F.col("c_nationkey") == F.col("n_nationkey")))
+    return (joined.groupBy("n_name")
+            .agg(F.sum(rev).cast("long").alias("revenue_e4"),
+                 F.count(F.lit(1)).cast("long").alias("n_lineitems")))

@@ -1,0 +1,101 @@
+"""TPC-H-shaped queries: hand-computed values + plan-shape asserts."""
+
+import datetime as dt
+
+from cubes_spark.operators.tpch import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+)
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_quantity double, "
+              "l_extendedprice double, l_discount double, "
+              "l_tax double, l_returnflag string, "
+              "l_linestatus string, l_shipdate timestamp")
+
+
+def test_q1_hand_computed(spark):
+    d = dt.datetime(1996, 1, 1)
+    late = dt.datetime(1999, 1, 1)          # past the cutoff: excluded
+    rows = [
+        (1, 1, 2.0, 10.0, 0.10, 0.05, "A", "F", d),
+        (2, 1, 3.0, 20.0, 0.00, 0.00, "A", "F", d),
+        (3, 1, 9.0, 99.0, 0.10, 0.10, "A", "F", late),
+    ]
+    out = q1_pricing_summary(_li(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["count_order"] == 2
+    assert r["sum_qty_cents"] == 500
+    assert r["sum_base_price_cents"] == 3000
+    # disc_price: 1000*90 + 2000*100 = 290000 (1e-4 dollars = $29.0)
+    assert r["sum_disc_price_e4"] == 290000
+    # charge: 1000*90*105 + 2000*100*100 = 9450000+20000000
+    assert r["sum_charge_e6"] == 29450000
+    assert r["avg_qty_cents"] == 250
+    assert r["avg_disc_pct"] == 5
+
+
+def test_q3_top_n_and_tiebreak(spark):
+    d_in = dt.datetime(1996, 1, 1)
+    ship = dt.datetime(1996, 6, 1)
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTOMOBILE")],
+        "c_custkey long, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(10, 1, d_in, "1-URGENT"), (11, 1, d_in, "5-LOW"),
+         (12, 2, d_in, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string")
+    rows = [
+        (10, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ship),
+        (11, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ship),   # tie revenue
+        (12, 2, 1.0, 99.0, 0.0, 0.0, "N", "O", ship),   # wrong segment
+    ]
+    out = q3_shipping_priority(cust, orders, _li(spark, rows),
+                               top_n=10).collect()
+    keys = [r["l_orderkey"] for r in out]
+    assert keys == [10, 11]                  # tie -> orderkey asc
+    assert all(r["revenue_e4"] == 100000 for r in out)
+
+
+def test_q5_local_chain_only(spark):
+    d_in = dt.datetime(1996, 6, 1)
+    cust = spark.createDataFrame(
+        [(1, 100), (2, 200)],
+        "c_custkey long, c_nationkey long")
+    supp = spark.createDataFrame(
+        [(7, 100), (8, 300)],
+        "s_suppkey long, s_nationkey long")
+    nation = spark.createDataFrame(
+        [(100, "JAPAN", 5), (200, "CHINA", 5), (300, "FRANCE", 6)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    region = spark.createDataFrame(
+        [(5, "ASIA"), (6, "EUROPE")],
+        "r_regionkey long, r_name string")
+    orders = spark.createDataFrame(
+        [(10, 1, d_in, "1-URGENT"), (11, 2, d_in, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string")
+    rows = [
+        (10, 7, 1.0, 10.0, 0.0, 0.0, "N", "O", d_in),  # local: JP-JP
+        (10, 8, 1.0, 10.0, 0.0, 0.0, "N", "O", d_in),  # supp FRANCE
+        (11, 7, 1.0, 10.0, 0.0, 0.0, "N", "O", d_in),  # cust CN supp JP
+    ]
+    out = q5_local_supplier_volume(cust, orders, _li(spark, rows),
+                                   supp, nation, region).collect()
+    assert len(out) == 1
+    assert out[0]["n_name"] == "JAPAN"
+    assert out[0]["revenue_e4"] == 100000
+    assert out[0]["n_lineitems"] == 1
+
+
+def test_q5_plan_broadcasts_dimensions(spark):
+    import __spark_entry__ as e
+    df = e.queries()["tpch_q5"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan

@@ -5242,6 +5242,56 @@ def q_tpch_q5(spark, sf_dir):
         _table(spark, sf_dir, "region"))
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping (operators/tpch.py): bidirectional
+    nation-pair trade volume per ship year, nation-scoped dimension
+    sides broadcast, one fact shuffle + one 3-key aggregation."""
+    from cubes_spark.operators.tpch import q7_volume_shipping
+
+    return q7_volume_shipping(_table(spark, sf_dir, "customer"),
+                              _table(spark, sf_dir, "orders"),
+                              _table(spark, sf_dir, "lineitem"),
+                              _table(spark, sf_dir, "supplier"),
+                              _table(spark, sf_dir, "nation"))
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned items (operators/tpch.py): top-20
+    customers by returned revenue in one quarter; broadcast customer
+    and nation, deterministic tiebreak TakeOrdered."""
+    from cubes_spark.operators.tpch import q10_returned_items
+
+    return q10_returned_items(_table(spark, sf_dir, "customer"),
+                              _table(spark, sf_dir, "orders"),
+                              _table(spark, sf_dir, "lineitem"),
+                              _table(spark, sf_dir, "nation"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers (operators/tpch.py): the
+    aggregate-then-semi-join pattern — qualifying order keys from
+    one order-grain reduction, only survivors rejoin the broadcast
+    customer dimension."""
+    from cubes_spark.operators.tpch import q18_large_volume_customers
+
+    return q18_large_volume_customers(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"))
+
+
+def q_events_mase(spark, sf_dir):
+    """Seasonal-naive forecast skill per event type (operators/
+    olap.py:forecast_mase): |y_t - y_(t-7)| vs |y_t - y_(t-1)| over
+    the daily sum series, ratio in exact ppm — below 10^6 the weekly
+    pattern beats a random walk; calendar-grain windows only."""
+    from cubes_spark.operators.olap import forecast_mase
+
+    ev = _table(spark, sf_dir, "events")
+    return forecast_mase(ev, ["event_type"], "ts", "value",
+                         bucket="day", season=7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: snowflake drilldown (region x month) with a cell filter
     at sf0.001."""
@@ -5283,6 +5333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "events_mase": q_events_mase,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9387,6 +9441,88 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
           AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
         GROUP BY 1"""
+
+    # TPC-H Q7: bidirectional nation pair, ship-year grain.
+    sql["tpch_q7"] = """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+                AS l_year,
+            CAST(sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                     * (100 - CAST(round(l.l_discount * 100)
+                                   AS BIGINT))) AS BIGINT)
+                AS revenue_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+          AND EXTRACT(year FROM l.l_shipdate) BETWEEN 1996 AND 1997
+        GROUP BY 1, 2, 3"""
+
+    # TPC-H Q10: returned revenue per customer, top-20 deterministic.
+    sql["tpch_q10"] = """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+            CAST(sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                     * (100 - CAST(round(l.l_discount * 100)
+                                   AS BIGINT))) AS BIGINT)
+                AS revenue_e4,
+            CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_e4 DESC, c.c_custkey ASC
+        LIMIT 20"""
+
+    # TPC-H Q18: aggregate-then-semi-join on qualifying orders.
+    sql["tpch_q18"] = """
+        WITH q AS (
+            SELECT l_orderkey,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                     AS BIGINT) AS total_qty_cents
+            FROM lineitem GROUP BY 1
+            HAVING sum(CAST(round(l_quantity * 100) AS BIGINT))
+                > 20000)
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+            CAST(o.o_orderdate AS DATE) AS o_orderdate,
+            CAST(round(o.o_totalprice * 100) AS BIGINT)
+                AS o_totalprice_cents,
+            q.total_qty_cents
+        FROM q
+        JOIN orders o ON q.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+    # MASE: seasonal-naive vs one-step naive absolute errors on the
+    # daily sum series, aligned tail, one truncating div.
+    sql["events_mase"] = """
+        WITH b AS (
+            SELECT event_type AS g, date_trunc('day', ts) AS d,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        l AS (
+            SELECT g, y, lag(y, 1) OVER w AS l1,
+                lag(y, 7) OVER w AS ls
+            FROM b WINDOW w AS (PARTITION BY g ORDER BY d)),
+        a AS (
+            SELECT g, count(*) AS n_terms,
+                sum(abs(y - ls)) AS se, sum(abs(y - l1)) AS sn
+            FROM l WHERE l1 IS NOT NULL AND ls IS NOT NULL
+            GROUP BY 1)
+        SELECT g AS event_type, CAST(n_terms AS BIGINT) AS n_terms,
+            CAST(se AS BIGINT) AS sum_err_season_cents,
+            CAST(sn AS BIGINT) AS sum_err_naive_cents,
+            CAST((CAST(1000000 AS HUGEINT) * se) // sn AS BIGINT)
+                AS mase_ppm
+        FROM a WHERE sn > 0"""
 
     # Runs test: per-user median via row_number rank, sign flips
     # under (ts, event_id) order, 2ab/n + 1 benchmark in ppm.

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "skyline_2d",
+    "forecast_mase",
     "drill_across",
     "top_n_per_group",
     "fill_time_gaps",
@@ -1802,3 +1803,46 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str,
             .groupBy(F.col("__fx__").alias("x_cents"),
                      F.col("__fy__").alias("y_cents"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_points")))
+
+
+def forecast_mase(df: DataFrame, group_cols: Sequence[str],
+                  ts_col: str, value_col: str, bucket: str = "day",
+                  season: int = 7) -> DataFrame:
+    """Seasonal-naive forecast skill per group (Hyndman & Koehler
+    2006 MASE shape), integer-exact: on the bucketed value-sum
+    series, the seasonal-naive forecast error |y_t − y_{t−season}|
+    is compared against the one-step naive error |y_t − y_{t−1}|
+    over the aligned tail (t > season), and the ratio is one
+    truncating div: ``mase_ppm = (10^6·Σ|e_season|) div Σ|e_naive|``
+    — below 10^6 means the seasonal pattern beats a random walk.
+
+    Scale shape: one shuffle to the (group, bucket) grain, two lags
+    over a window partitioned by group ON THAT GRAIN (bounded by the
+    calendar, not the fact count), one algebraic aggregation.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = list(group_cols)
+    b = (df.groupBy(*[F.col(c) for c in gcols],
+                    F.date_trunc(bucket, F.col(ts_col))
+                    .alias("__b__"))
+         .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+              .cast("long").alias("__y__")))
+    w = W.partitionBy(*gcols).orderBy("__b__")
+    lagged = (b.withColumn("__l1__", F.lag("__y__", 1).over(w))
+              .withColumn("__ls__", F.lag("__y__", int(season))
+                          .over(w))
+              .filter(F.col("__l1__").isNotNull()
+                      & F.col("__ls__").isNotNull()))
+    agg = lagged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.abs(F.col("__y__") - F.col("__ls__")))
+        .cast("long").alias("sum_err_season_cents"),
+        F.sum(F.abs(F.col("__y__") - F.col("__l1__")))
+        .cast("long").alias("sum_err_naive_cents"))
+    return (agg.filter(F.col("sum_err_naive_cents") > 0)
+            .withColumn(
+                "mase_ppm",
+                F.expr("CAST((CAST(1000000 AS decimal(38,0))"
+                       " * sum_err_season_cents)"
+                       " div sum_err_naive_cents AS BIGINT)")))

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["q1_pricing_summary", "q3_shipping_priority",
-           "q5_local_supplier_volume"]
+           "q5_local_supplier_volume", "q7_volume_shipping",
+           "q10_returned_items", "q18_large_volume_customers"]
 
 _DEC = "decimal(38,0)"
 
@@ -141,3 +142,101 @@ def q5_local_supplier_volume(customer: DataFrame, orders: DataFrame,
     return (joined.groupBy("n_name")
             .agg(F.sum(rev).cast("long").alias("revenue_e4"),
                  F.count(F.lit(1)).cast("long").alias("n_lineitems")))
+
+
+def q7_volume_shipping(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, supplier: DataFrame,
+                       nation: DataFrame,
+                       nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2",
+                       year_from: int = 1996,
+                       year_to: int = 1997) -> DataFrame:
+    """TPC-H Q7: trade volume between two nations per (supplier
+    nation, customer nation, ship year) — the classic bidirectional
+    nation-pair filter ((A,B) or (B,A)).  Both nation-scoped
+    dimension sides broadcast; one fact shuffle for lineitem⋈orders,
+    one 3-key grain aggregation.
+    """
+    nat = nation.filter(F.col("n_name").isin([nation_a, nation_b]))
+    supp = (supplier.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sk"),
+                               F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"))
+        .select("s_suppkey", "supp_nation"))
+    cust = (customer.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("ck"),
+                               F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("ck"))
+        .select("c_custkey", "cust_nation"))
+    li = lineitem.filter(
+        (F.year("l_shipdate") >= year_from)
+        & (F.year("l_shipdate") <= year_to))
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price.cast(_DEC) * (100 - dc)
+    joined = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (joined.groupBy("supp_nation", "cust_nation",
+                           F.year("l_shipdate").cast("long")
+                           .alias("l_year"))
+            .agg(F.sum(rev).cast("long").alias("revenue_e4")))
+
+
+def q10_returned_items(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame,
+                       date_from: str = "1996-01-01",
+                       date_to: str = "1996-04-01",
+                       top_n: int = 20) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in one
+    order-date quarter (l_returnflag = 'R') — broadcast nation,
+    shuffle lineitem⋈orders on the order key, customer-grain
+    aggregation, top-N TakeOrdered with deterministic tiebreak
+    (revenue desc, custkey asc).
+    """
+    ords = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit(date_from).cast("date"))
+        & (F.to_date("o_orderdate") < F.lit(date_to).cast("date")))
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price.cast(_DEC) * (100 - dc)
+    joined = (li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(customer),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(nation),
+                    F.col("c_nationkey") == F.col("n_nationkey")))
+    agg = (joined.groupBy("c_custkey", "c_name", "n_name")
+           .agg(F.sum(rev).cast("long").alias("revenue_e4"),
+                F.count(F.lit(1)).cast("long").alias("n_items")))
+    return (agg.orderBy(F.col("revenue_e4").desc(),
+                        F.col("c_custkey")).limit(top_n))
+
+
+def q18_large_volume_customers(customer: DataFrame, orders: DataFrame,
+                               lineitem: DataFrame,
+                               min_qty_cents: int = 20000
+                               ) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold,
+    with their customers — the aggregate-then-semi-join pattern: the
+    qualifying order keys come from ONE order-grain aggregation
+    (map-side combinable), and only those orders rejoin customer
+    (broadcast) — the fact table is never joined before the
+    reduction.
+    """
+    qty = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum(_cents(F.col("l_quantity"))).cast("long")
+                .alias("total_qty_cents"))
+           .filter(F.col("total_qty_cents") > int(min_qty_cents)))
+    joined = (qty.join(orders,
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(customer),
+                    F.col("o_custkey") == F.col("c_custkey")))
+    return joined.select(
+        "c_custkey", "c_name", "o_orderkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        _cents(F.col("o_totalprice")).alias("o_totalprice_cents"),
+        "total_qty_cents")

@@ -99,3 +99,55 @@ def test_q5_plan_broadcasts_dimensions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_q18_semi_join_threshold(spark):
+    d = dt.datetime(1996, 1, 1)
+    from cubes_spark.operators.tpch import q18_large_volume_customers
+    cust = spark.createDataFrame(
+        [(1, "alice", 0, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 100.0, d, "1-URGENT"),
+         (11, 1, "O", 100.0, d, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+    rows = [
+        (10, 1, 150.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (10, 1, 100.0, 1.0, 0.0, 0.0, "N", "O", d),  # 250 qty > 200
+        (11, 1, 50.0, 1.0, 0.0, 0.0, "N", "O", d),   # under
+    ]
+    out = q18_large_volume_customers(cust, orders, _li(spark, rows),
+                                     min_qty_cents=20000).collect()
+    assert len(out) == 1
+    assert out[0]["o_orderkey"] == 10
+    assert out[0]["total_qty_cents"] == 25000
+
+
+def test_q7_excludes_same_nation(spark):
+    d = dt.datetime(1996, 6, 1)
+    from cubes_spark.operators.tpch import q7_volume_shipping
+    cust = spark.createDataFrame(
+        [(1, 100), (2, 200)], "c_custkey long, c_nationkey long")
+    supp = spark.createDataFrame(
+        [(7, 100), (8, 200)], "s_suppkey long, s_nationkey long")
+    nation = spark.createDataFrame(
+        [(100, "NATION_1", 0), (200, "NATION_2", 0)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    orders = spark.createDataFrame(
+        [(10, 1, d, "1-URGENT"), (11, 2, d, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string")
+    rows = [
+        (10, 7, 1.0, 10.0, 0.0, 0.0, "N", "O", d),   # N1 -> N1: same
+        (10, 8, 1.0, 10.0, 0.0, 0.0, "N", "O", d),   # N2 supp, N1 cust
+        (11, 7, 1.0, 30.0, 0.0, 0.0, "N", "O", d),   # N1 supp, N2 cust
+    ]
+    out = {(r["supp_nation"], r["cust_nation"]): r for r in
+           q7_volume_shipping(cust, orders, _li(spark, rows), supp,
+                              nation).collect()}
+    assert set(out) == {("NATION_2", "NATION_1"),
+                        ("NATION_1", "NATION_2")}
+    assert out[("NATION_1", "NATION_2")]["revenue_e4"] == 300000

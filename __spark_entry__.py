@@ -5280,6 +5280,31 @@ def q_tpch_q18(spark, sf_dir):
         _table(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer distribution (operators/tpch.py): LEFT
+    OUTER join so zero-order customers appear, then two stacked
+    aggregations (per-customer count -> histogram of counts)."""
+    from cubes_spark.operators.tpch import q13_customer_distribution
+
+    return q13_customer_distribution(_table(spark, sf_dir, "customer"),
+                                     _table(spark, sf_dir, "orders"))
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity (operators/tpch.py):
+    scalar-subquery average (exact cent div, computed once) +
+    left_anti join for well-funded customers who never placed an
+    URGENT order (every customer in the synthetic star has SOME
+    order, so the anti-join is scoped to make the result
+    non-vacuous)."""
+    from cubes_spark.operators.tpch import q22_global_sales_opportunity
+
+    od = _table(spark, sf_dir, "orders")
+    return q22_global_sales_opportunity(
+        _table(spark, sf_dir, "customer"),
+        od.filter(F.col("o_orderpriority") == "1-URGENT"))
+
+
 def q_events_mase(spark, sf_dir):
     """Seasonal-naive forecast skill per event type (operators/
     olap.py:forecast_mase): |y_t - y_(t-7)| vs |y_t - y_(t-1)| over
@@ -5336,6 +5361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q22": q_tpch_q22,
         "events_mase": q_events_mase,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
@@ -9499,6 +9526,43 @@ def oracle_sql() -> dict[str, str]:
         FROM q
         JOIN orders o ON q.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+    # TPC-H Q13: left outer + two stacked aggregations.
+    sql["tpch_q13"] = """
+        WITH pc AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                AND o.o_orderpriority <> '5-LOW'
+            GROUP BY 1)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+            CAST(count(*) AS BIGINT) AS custdist
+        FROM pc GROUP BY 1"""
+
+    # TPC-H Q22: scalar-subquery average + anti-join never-ordered.
+    sql["tpch_q22"] = """
+        WITH scoped AS (
+            SELECT c_custkey,
+                substr(CAST(c_custkey AS VARCHAR), 1, 1)
+                    AS cntrycode,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+            FROM customer
+            WHERE substr(CAST(c_custkey AS VARCHAR), 1, 1)
+                IN ('1', '2', '3')),
+        a AS (SELECT sum(bal) // count(*) AS avg_cents
+              FROM scoped WHERE bal > 0),
+        rich AS (
+            SELECT s.* FROM scoped s, a
+            WHERE s.bal > a.avg_cents),
+        never AS (
+            SELECT r.* FROM rich r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = r.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'))
+        SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+            CAST(sum(bal) AS BIGINT) AS totacctbal_cents
+        FROM never GROUP BY 1"""
 
     # MASE: seasonal-naive vs one-step naive absolute errors on the
     # daily sum series, aligned tail, one truncating div.

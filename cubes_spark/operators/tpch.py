@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["q1_pricing_summary", "q3_shipping_priority",
            "q5_local_supplier_volume", "q7_volume_shipping",
-           "q10_returned_items", "q18_large_volume_customers"]
+           "q10_returned_items", "q18_large_volume_customers",
+           "q13_customer_distribution", "q22_global_sales_opportunity"]
 
 _DEC = "decimal(38,0)"
 
@@ -240,3 +241,64 @@ def q18_large_volume_customers(customer: DataFrame, orders: DataFrame,
         F.to_date("o_orderdate").alias("o_orderdate"),
         _cents(F.col("o_totalprice")).alias("o_totalprice_cents"),
         "total_qty_cents")
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame,
+                              exclude_priority: str = "5-LOW"
+                              ) -> DataFrame:
+    """TPC-H Q13: the distribution of customers by order count — a
+    LEFT OUTER join (customers with no orders must appear at count
+    0) followed by two stacked aggregations (per-customer count,
+    then histogram of counts).  The published query's comment-filter
+    becomes an order-priority exclusion (the test star has no
+    o_comment).
+
+    Scale shape: one shuffle per aggregation; the outer join keys on
+    the customer key with the ORDER side filtered first.
+    """
+    ords = orders.filter(
+        F.col("o_orderpriority") != exclude_priority)
+    per_cust = (customer.join(
+        ords, customer["c_custkey"] == ords["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist")))
+
+
+def q22_global_sales_opportunity(customer: DataFrame,
+                                 orders: DataFrame,
+                                 prefix_digits=("1", "2", "3")
+                                 ) -> DataFrame:
+    """TPC-H Q22: well-funded customers (account balance above the
+    positive-balance average of their segment group) who have never
+    ordered — the scalar-subquery + ANTI-JOIN pattern.  Segments are
+    the leading digit of the customer key (the star has no phone
+    column); the average is an exact truncating div of cent sums,
+    computed once and broadcast; the never-ordered test is a
+    left_anti join against the orders key.
+
+    Scale shape: two passes over customer (one for the global
+    average on the filtered segment set, one for the main scan), one
+    anti-join shuffle against the DISTINCT order customer keys.
+    """
+    seg = F.substring(F.col("c_custkey").cast("string"), 1, 1)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    scoped = (customer.filter(seg.isin(list(prefix_digits)))
+              .select(F.col("c_custkey"), seg.alias("cntrycode"),
+                      cents.alias("__bal__")))
+    avg_row = (scoped.filter(F.col("__bal__") > 0)
+               .agg(F.sum("__bal__").alias("s"),
+                    F.count(F.lit(1)).alias("n")).first())
+    if not avg_row["n"]:
+        return scoped.sparkSession.createDataFrame(
+            [], "cntrycode string, numcust long, totacctbal_cents long")
+    avg_cents = int(avg_row["s"]) // int(avg_row["n"])
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey")) \
+        .distinct()
+    rich = scoped.filter(F.col("__bal__") > avg_cents)
+    never = rich.join(buyers, "c_custkey", "left_anti")
+    return (never.groupBy("cntrycode")
+            .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
+                 F.sum("__bal__").cast("long")
+                 .alias("totacctbal_cents")))

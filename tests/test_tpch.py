@@ -151,3 +151,39 @@ def test_q7_excludes_same_nation(spark):
     assert set(out) == {("NATION_2", "NATION_1"),
                         ("NATION_1", "NATION_2")}
     assert out[("NATION_1", "NATION_2")]["revenue_e4"] == 300000
+
+
+def test_q13_zero_order_customers_appear(spark):
+    d = dt.datetime(1996, 1, 1)
+    from cubes_spark.operators.tpch import q13_customer_distribution
+    cust = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(10, 1, d, "1-URGENT"), (11, 1, d, "2-HIGH"),
+         (12, 2, d, "5-LOW")],          # excluded priority
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string")
+    out = {r["c_count"]: r["custdist"] for r in
+           q13_customer_distribution(cust, orders).collect()}
+    # cust1: 2 kept orders; cust2: only the excluded one -> 0; cust3: 0
+    assert out == {2: 1, 0: 2}
+
+
+def test_q22_anti_join_and_threshold(spark):
+    d = dt.datetime(1996, 1, 1)
+    from cubes_spark.operators.tpch import q22_global_sales_opportunity
+    cust = spark.createDataFrame(
+        [(10, 5.0), (11, 1.0), (12, -2.0), (40, 100.0)],
+        "c_custkey long, c_acctbal double")
+    # avg over positive balances in segments 1..3: (500+100)/2 = 300
+    orders = spark.createDataFrame(
+        [(99, 11, d, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string")
+    out = q22_global_sales_opportunity(cust, orders).collect()
+    # cust 40 out of segment; cust 12 negative; cust 11 below avg
+    # (and ordered); cust 10 bal 500 > 300 and never ordered
+    assert len(out) == 1
+    assert out[0]["cntrycode"] == "1"
+    assert out[0]["numcust"] == 1
+    assert out[0]["totacctbal_cents"] == 500

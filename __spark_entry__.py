@@ -5305,6 +5305,28 @@ def q_tpch_q22(spark, sf_dir):
         od.filter(F.col("o_orderpriority") == "1-URGENT"))
 
 
+def q_doc_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of BM25 and a document-length prior
+    (llm/text.py:rrf_fuse; Cormack et al. 2009): each top-20 list
+    contributes the exact integer 10^6 div (60 + rank); fusion runs
+    on list-sized data only — the hybrid-retrieval combiner."""
+    from pyspark.sql.window import Window as W
+
+    from cubes_spark.llm import bm25_search
+    from cubes_spark.llm.text import rrf_fuse
+
+    docs = _table(spark, sf_dir, "documents")
+    bm = bm25_search(docs, _BM25_TERMS, top_k=20) \
+        .select("doc_id", "rank")
+    top_len = (docs.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+               .limit(20))
+    w = W.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ln = top_len.withColumn("rank",
+                            F.row_number().over(w).cast("long")) \
+        .select("doc_id", "rank")
+    return rrf_fuse([bm, ln], "doc_id", "rank", k=60, top_k=10)
+
+
 def q_events_mase(spark, sf_dir):
     """Seasonal-naive forecast skill per event type (operators/
     olap.py:forecast_mase): |y_t - y_(t-7)| vs |y_t - y_(t-1)| over
@@ -5364,6 +5386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q22": q_tpch_q22,
         "events_mase": q_events_mase,
+        "doc_rrf": q_doc_rrf,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9256,6 +9279,35 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_communities"] = _guarded_oracle(
         _lpa_oracle, "doc_communities")
     sql["doc_bm25"] = _guarded_oracle(_bm25_oracle, "doc_bm25")
+
+    def _rrf_oracle() -> str:
+        # fuse the bm25 oracle's ranking (as a derived table) with
+        # the length-prior top-20; exact 1e6 // (60 + rank) terms
+        return f"""
+        WITH bm AS ({_bm25_oracle()}),
+        ln AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+            FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20),
+        u AS (
+            SELECT doc_id, 1000000 // (60 + rank) AS c FROM bm
+            UNION ALL
+            SELECT doc_id, 1000000 // (60 + rank) FROM ln),
+        f AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+                CAST(count(*) AS BIGINT) AS n_lists
+            FROM u GROUP BY 1),
+        r AS (
+            SELECT doc_id, rrf_micro, n_lists,
+                CAST(row_number() OVER (
+                    ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+                    AS fused_rank
+            FROM f)
+        SELECT doc_id, rrf_micro, n_lists, fused_rank
+        FROM r WHERE fused_rank <= 10"""
+
+    sql["doc_rrf"] = _guarded_oracle(_rrf_oracle, "doc_rrf")
     sql["doc_dsir_sample"] = _guarded_oracle(
         _dsir_sample_oracle, "doc_dsir_sample")
     sql["emb_pq"] = _guarded_oracle(_pq_oracle, "emb_pq")

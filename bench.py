@@ -108,6 +108,13 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q22",
+    "events_mase",
+    "doc_rrf",
 ]
 
 

@@ -42,6 +42,7 @@ __all__ = [
     "textrank_keywords",
     "vocab_growth",
     "source_concentration",
+    "rrf_fuse",
     "STOPWORDS",
 ]
 
@@ -1316,3 +1317,37 @@ def source_concentration(df: DataFrame, group_col: str = "lang",
                     F.expr("CAST((CAST(1000000 AS decimal(38,0))"
                            " * __sq__) div (__n__ * __n__) AS BIGINT)")
                     .alias("hhi_ppm")))
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", k: int = 60,
+             top_k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) —
+    the standard hybrid-retrieval combiner (BM25 ⊕ dense ⊕ priors):
+    each input ranking contributes ``1/(k + rank)`` per document,
+    quantized to the exact integer ``10^6 div (k + rank)`` so the
+    fused score is an int64 SUM a SQL oracle replays; ties break on
+    the id.  Documents appearing in more lists naturally float up.
+
+    Scale shape: inputs are already top-N lists (bounded), so the
+    union/groupBy/TakeOrdered all run on list-sized data — fusion
+    cost is independent of corpus size by construction.
+    """
+    from functools import reduce
+
+    from pyspark.sql.window import Window as W
+
+    contribs = [
+        r.select(F.col(id_col),
+                 F.expr(f"CAST(1000000 div ({int(k)} + {rank_col})"
+                        f" AS BIGINT)").alias("__c__"))
+        for r in rankings]
+    u = reduce(lambda a, b: a.unionAll(b), contribs)
+    fused = (u.groupBy(id_col)
+             .agg(F.sum("__c__").cast("long").alias("rrf_micro"),
+                  F.count(F.lit(1)).cast("long").alias("n_lists")))
+    top = fused.orderBy(F.col("rrf_micro").desc(),
+                        F.col(id_col)).limit(int(top_k))
+    w = W.orderBy(F.col("rrf_micro").desc(), F.col(id_col))
+    return top.withColumn("fused_rank",
+                          F.row_number().over(w).cast("long"))

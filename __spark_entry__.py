@@ -5227,10 +5227,10 @@ def q_tpch_q3(spark, sf_dir):
 
 
 def q_tpch_q5(spark, sf_dir):
-    """TPC-H Q5 local supplier volume (operators/tpch.py): every
-    dimension broadcast (supplier, nation x region, customer), local
-    supply chains via the s_nationkey = c_nationkey join condition,
-    nation-grain exact integer revenue."""
+    """TPC-H Q5 local supplier volume (operators/tpch.py): bounded
+    nation x region broadcast, customer/supplier joins AQE-decided
+    (they scale with SF), local supply chains via the s_nationkey =
+    c_nationkey join condition, nation-grain exact revenue."""
     from cubes_spark.operators.tpch import q5_local_supplier_volume
 
     return q5_local_supplier_volume(
@@ -5244,8 +5244,9 @@ def q_tpch_q5(spark, sf_dir):
 
 def q_tpch_q7(spark, sf_dir):
     """TPC-H Q7 volume shipping (operators/tpch.py): bidirectional
-    nation-pair trade volume per ship year, nation-scoped dimension
-    sides broadcast, one fact shuffle + one 3-key aggregation."""
+    nation-pair trade volume per ship year; the bounded nation lookup
+    broadcasts, the scoped customer/supplier joins are AQE-decided;
+    one fact shuffle + one 3-key aggregation."""
     from cubes_spark.operators.tpch import q7_volume_shipping
 
     return q7_volume_shipping(_table(spark, sf_dir, "customer"),
@@ -5257,8 +5258,8 @@ def q_tpch_q7(spark, sf_dir):
 
 def q_tpch_q10(spark, sf_dir):
     """TPC-H Q10 returned items (operators/tpch.py): top-20
-    customers by returned revenue in one quarter; broadcast customer
-    and nation, deterministic tiebreak TakeOrdered."""
+    customers by returned revenue in one quarter; bounded nation
+    broadcast, AQE-decided customer join, deterministic TakeOrdered."""
     from cubes_spark.operators.tpch import q10_returned_items
 
     return q10_returned_items(_table(spark, sf_dir, "customer"),
@@ -5270,8 +5271,8 @@ def q_tpch_q10(spark, sf_dir):
 def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18 large-volume customers (operators/tpch.py): the
     aggregate-then-semi-join pattern — qualifying order keys from
-    one order-grain reduction, only survivors rejoin the broadcast
-    customer dimension."""
+    one order-grain reduction, only survivors rejoin customer
+    (AQE-decided)."""
     from cubes_spark.operators.tpch import q18_large_volume_customers
 
     return q18_large_volume_customers(

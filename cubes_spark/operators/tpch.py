@@ -6,8 +6,13 @@ DataFrame plans over the repo's star tables — the parity proof that
 the engine's raw-DataFrame layer (not just the cubes browser) handles
 the standard warehouse benchmark idiomatically:
 
-- dimension sides are explicitly ``broadcast()`` (customer/supplier/
-  nation/region are tiny next to lineitem at any scale factor);
+- only the GENUINELY BOUNDED dimensions (nation, region — fixed
+  25/5 rows at any scale factor) carry an explicit ``broadcast()``
+  hint; customer/supplier/orders SCALE with the data volume, so
+  their joins are left unhinted and Catalyst/AQE picks broadcast at
+  small SF and sort-merge at large SF (a forced broadcast of a
+  scaling table OOMs the moment the data grows — measured: 1.5M-row
+  customer at a 10x replica);
 - all money arithmetic is INTEGER: price in cents, discount/tax in
   integer percent points (``round(x*100)``), so
   ``disc_price = price_cents·(100−dc)`` (10⁻⁴ dollar units) and
@@ -83,8 +88,9 @@ def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
                          top_n: int = 10) -> DataFrame:
     """TPC-H Q3: unshipped-order revenue for one market segment —
     orders placed before the cutoff with lineitems shipped after it,
-    top-N by revenue.  Customer is broadcast (segment filter first);
-    the orders↔lineitem join shuffles on the order key; the top-N is
+    top-N by revenue.  The segment-filtered customer join is left to
+    AQE (customer scales with SF — broadcast at small scale,
+    sort-merge at large); the top-N is
     a TakeOrdered with a full deterministic tiebreak (revenue desc,
     orderdate asc, orderkey asc), never a global sort.
     """
@@ -98,8 +104,7 @@ def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
     dc = F.round(F.col("l_discount") * 100).cast("long")
     rev = price.cast(_DEC) * (100 - dc)
     joined = (li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
-              .join(F.broadcast(cust),
-                    ords["o_custkey"] == cust["c_custkey"]))
+              .join(cust, ords["o_custkey"] == cust["c_custkey"]))
     agg = (joined.groupBy("l_orderkey", "o_orderdate",
                           "o_orderpriority")
            .agg(F.sum(rev).cast("long").alias("revenue_e4")))
@@ -116,10 +121,11 @@ def q5_local_supplier_volume(customer: DataFrame, orders: DataFrame,
                              date_to: str = "1997-01-01") -> DataFrame:
     """TPC-H Q5: revenue per nation from LOCAL supply chains (the
     customer's nation equals the supplier's nation) within one
-    region and order-date year.  Every dimension side — supplier,
-    nation⋈region, and the nation-scoped customer — is broadcast;
-    the only shuffles are lineitem⋈orders on the order key and the
-    final nation-grain aggregation.
+    region and order-date year.  Only the bounded nation⋈region side
+    is force-broadcast; customer and supplier joins are AQE-decided
+    (they scale with SF).  At large scale the plan is sort-merge
+    joins on the order/customer/supplier keys plus the nation-grain
+    aggregation.
     """
     nr = (nation.join(F.broadcast(
         region.filter(F.col("r_name") == region_name)),
@@ -133,9 +139,9 @@ def q5_local_supplier_volume(customer: DataFrame, orders: DataFrame,
     rev = price.cast(_DEC) * (100 - dc)
     joined = (lineitem
               .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-              .join(F.broadcast(customer),
+              .join(customer,
                     F.col("o_custkey") == F.col("c_custkey"))
-              .join(F.broadcast(supplier),
+              .join(supplier,
                     (F.col("l_suppkey") == F.col("s_suppkey"))
                     & (F.col("s_nationkey") == F.col("c_nationkey")))
               .join(F.broadcast(nr),
@@ -176,10 +182,8 @@ def q7_volume_shipping(customer: DataFrame, orders: DataFrame,
     dc = F.round(F.col("l_discount") * 100).cast("long")
     rev = price.cast(_DEC) * (100 - dc)
     joined = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-              .join(F.broadcast(cust),
-                    F.col("o_custkey") == F.col("c_custkey"))
-              .join(F.broadcast(supp),
-                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
               .filter(F.col("supp_nation") != F.col("cust_nation")))
     return (joined.groupBy("supp_nation", "cust_nation",
                            F.year("l_shipdate").cast("long")
@@ -193,10 +197,10 @@ def q10_returned_items(customer: DataFrame, orders: DataFrame,
                        date_to: str = "1996-04-01",
                        top_n: int = 20) -> DataFrame:
     """TPC-H Q10: customers who returned the most revenue in one
-    order-date quarter (l_returnflag = 'R') — broadcast nation,
-    shuffle lineitem⋈orders on the order key, customer-grain
-    aggregation, top-N TakeOrdered with deterministic tiebreak
-    (revenue desc, custkey asc).
+    order-date quarter (l_returnflag = 'R') — bounded nation
+    broadcast, AQE-decided customer join, shuffle lineitem⋈orders on
+    the order key, customer-grain aggregation, top-N TakeOrdered
+    with deterministic tiebreak (revenue desc, custkey asc).
     """
     ords = orders.filter(
         (F.to_date("o_orderdate") >= F.lit(date_from).cast("date"))
@@ -206,7 +210,7 @@ def q10_returned_items(customer: DataFrame, orders: DataFrame,
     dc = F.round(F.col("l_discount") * 100).cast("long")
     rev = price.cast(_DEC) * (100 - dc)
     joined = (li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-              .join(F.broadcast(customer),
+              .join(customer,
                     F.col("o_custkey") == F.col("c_custkey"))
               .join(F.broadcast(nation),
                     F.col("c_nationkey") == F.col("n_nationkey")))
@@ -225,8 +229,9 @@ def q18_large_volume_customers(customer: DataFrame, orders: DataFrame,
     with their customers — the aggregate-then-semi-join pattern: the
     qualifying order keys come from ONE order-grain aggregation
     (map-side combinable), and only those orders rejoin customer
-    (broadcast) — the fact table is never joined before the
-    reduction.
+    (AQE-decided — the qualifying set is small, so it usually IS a
+    broadcast, but by measurement, not by force) — the fact table is
+    never joined before the reduction.
     """
     qty = (lineitem.groupBy("l_orderkey")
            .agg(F.sum(_cents(F.col("l_quantity"))).cast("long")
@@ -234,7 +239,7 @@ def q18_large_volume_customers(customer: DataFrame, orders: DataFrame,
            .filter(F.col("total_qty_cents") > int(min_qty_cents)))
     joined = (qty.join(orders,
                        F.col("l_orderkey") == F.col("o_orderkey"))
-              .join(F.broadcast(customer),
+              .join(customer,
                     F.col("o_custkey") == F.col("c_custkey")))
     return joined.select(
         "c_custkey", "c_name", "o_orderkey",

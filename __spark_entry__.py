@@ -5328,6 +5328,22 @@ def q_doc_rrf(spark, sf_dir):
     return rrf_fuse([bm, ln], "doc_id", "rank", k=60, top_k=10)
 
 
+def q_doc_score_auc(spark, sf_dir):
+    """ROC-AUC of a ranking signal against binary labels
+    (operators/stats.py:mann_whitney_u — AUC IS the tie-averaged
+    Mann-Whitney probability of superiority): how well document
+    length separates English from non-English docs, in exact ppm.
+    The classifier-eval companion for continuous scores."""
+    from cubes_spark.operators.stats import mann_whitney_u
+
+    docs = _table(spark, sf_dir, "documents")
+    prep = docs.select(
+        F.when(F.col("lang") == "en", "pos").otherwise("neg")
+        .alias("label"),
+        F.col("n_chars").cast("double").alias("score"))
+    return mann_whitney_u(prep, "label", "score", "pos", "neg")
+
+
 def q_events_mase(spark, sf_dir):
     """Seasonal-naive forecast skill per event type (operators/
     olap.py:forecast_mase): |y_t - y_(t-7)| vs |y_t - y_(t-1)| over
@@ -5388,6 +5404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "events_mase": q_events_mase,
         "doc_rrf": q_doc_rrf,
+        "doc_score_auc": q_doc_score_auc,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9616,6 +9633,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
             CAST(sum(bal) AS BIGINT) AS totacctbal_cents
         FROM never GROUP BY 1"""
+
+    # Score AUC: Mann-Whitney on (label, n_chars) — same cumulative
+    # machinery as orders_mwu with a derived binary label.
+    sql["doc_score_auc"] = """
+        WITH t AS (
+            SELECT CAST(round(CAST(n_chars AS DOUBLE) * 100)
+                        AS BIGINT) AS v,
+                (lang = 'en') AS a
+            FROM documents),
+        h AS (
+            SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+            FROM t GROUP BY 1),
+        n AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+                     CAST(sum(cb) AS HUGEINT) AS nb FROM h),
+        c AS (
+            SELECT v, ca, cb, sum(ca) OVER (ORDER BY v) AS cuma,
+                sum(cb) OVER (ORDER BY v) AS cumb
+            FROM h),
+        s AS (
+            SELECT sum(CAST(ca AS HUGEINT)
+                       * (2 * (cuma + cumb) - (ca + cb) + 1))
+                AS r1x2
+            FROM c)
+        SELECT CAST(n.na AS BIGINT) AS n_a,
+            CAST(n.nb AS BIGINT) AS n_b,
+            CAST(s.r1x2 - n.na * (n.na + 1) AS BIGINT) AS u_doubled,
+            CAST((1000000 * (s.r1x2 - n.na * (n.na + 1)))
+                 // (2 * n.na * n.nb) AS BIGINT) AS auc_ppm
+        FROM s, n"""
 
     # MASE: seasonal-naive vs one-step naive absolute errors on the
     # daily sum series, aligned tail, one truncating div.

@@ -5344,6 +5344,42 @@ def q_doc_score_auc(spark, sf_dir):
     return mann_whitney_u(prep, "label", "score", "pos", "neg")
 
 
+def q_orders_theilsen(spark, sf_dir):
+    """Theil-Sen robust trend per priority (operators/stats.py:
+    theil_sen_slope): median of all pairwise monthly-bucket slopes
+    in exact micro-cents/day — the quadratic is over the CALENDAR
+    grain (84 months -> ~3.5k pairs/group at any fact count), the
+    median an exact order statistic of quantized integer slopes."""
+    from cubes_spark.operators.stats import theil_sen_slope
+
+    od = _table(spark, sf_dir, "orders")
+    return theil_sen_slope(od, ["o_orderpriority"], "o_orderdate",
+                           "o_totalprice", bucket="month")
+
+
+def q_events_cuped(spark, sf_dir):
+    """CUPED-adjusted A/B effect (operators/stats.py:
+    cuped_adjusted_diff; Deng et al. WSDM 2013): even/odd users as
+    treatment/control, first-half-of-month value as the pre-period
+    covariate, second half as the outcome; theta from pooled integer
+    moment sums, every reported number a defined truncating-div
+    chain both engines replay."""
+    from cubes_spark.operators.stats import cuped_adjusted_diff
+
+    ev = _table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    prep = ev.select(
+        F.col("user_id"),
+        F.when(F.col("user_id") % 2 == 0, "treat")
+        .otherwise("control").alias("grp"),
+        F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)
+        .alias("pre_value"),
+        F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+        .alias("post_value"))
+    return cuped_adjusted_diff(prep, "user_id", "grp", "treat",
+                               "pre_value", "post_value")
+
+
 def q_events_mase(spark, sf_dir):
     """Seasonal-naive forecast skill per event type (operators/
     olap.py:forecast_mase): |y_t - y_(t-7)| vs |y_t - y_(t-1)| over
@@ -5405,6 +5441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mase": q_events_mase,
         "doc_rrf": q_doc_rrf,
         "doc_score_auc": q_doc_score_auc,
+        "orders_theilsen": q_orders_theilsen,
+        "events_cuped": q_events_cuped,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9633,6 +9671,78 @@ def oracle_sql() -> dict[str, str]:
         SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
             CAST(sum(bal) AS BIGINT) AS totacctbal_cents
         FROM never GROUP BY 1"""
+
+    # Theil-Sen: pairwise monthly-bucket slopes quantized to
+    # micro-cents/day, exact lower-median order statistic per group.
+    sql["orders_theilsen"] = """
+        WITH b AS (
+            SELECT o_orderpriority AS g,
+                date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('month', o_orderdate) AS DATE))
+                    AS x,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS y
+            FROM orders GROUP BY 1, 2),
+        p AS (
+            SELECT l.g,
+                CAST((CASE WHEN r.y - l.y < 0 THEN -1 ELSE 1 END)
+                     * ((CAST(1000000 AS HUGEINT) * abs(r.y - l.y))
+                        // (r.x - l.x)) AS BIGINT) AS s
+            FROM b l JOIN b r ON l.g = r.g AND l.x < r.x),
+        rk AS (
+            SELECT g, s, row_number() OVER (
+                PARTITION BY g ORDER BY s) AS rn,
+                count(*) OVER (PARTITION BY g) AS n
+            FROM p)
+        SELECT g AS o_orderpriority,
+            CAST(max(n) AS BIGINT) AS n_pairs,
+            CAST(min(CASE WHEN rn >= (n + 1) // 2 THEN s END)
+                 AS BIGINT) AS median_slope_upd
+        FROM rk GROUP BY 1"""
+
+    # CUPED: pooled integer moments, theta ppm, truncating-div chain.
+    sql["events_cuped"] = """
+        WITH pr AS (
+            SELECT user_id AS u,
+                CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+                CAST(round((CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN value ELSE 0 END) * 100) AS BIGINT) AS px,
+                CAST(round((CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN value ELSE 0 END) * 100) AS BIGINT) AS py
+            FROM events),
+        units AS (
+            SELECT u, max(t) AS t, CAST(sum(px) AS HUGEINT) AS x,
+                CAST(sum(py) AS HUGEINT) AS y
+            FROM pr GROUP BY 1),
+        m AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                sum(x * x) AS sxx,
+                CAST(sum(t) AS HUGEINT) AS nt,
+                sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS sxt,
+                sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS syt
+            FROM units),
+        d AS (
+            SELECT n, nt, n - nt AS nc, sx - sxt AS sxc,
+                sy - syt AS syc, sxt, syt,
+                n * sxy - sx * sy AS covn,
+                n * sxx - sx * sx AS varn
+            FROM m
+            WHERE nt > 0 AND n - nt > 0 AND n * sxx - sx * sx > 0),
+        e AS (
+            SELECT nt, nc,
+                (CASE WHEN covn < 0 THEN -1 ELSE 1 END)
+                    * ((1000000 * abs(covn)) // varn) AS theta,
+                (1000000 * syt) // nt - (1000000 * syc) // nc AS dy,
+                (1000000 * sxt) // nt - (1000000 * sxc) // nc AS dx
+            FROM d)
+        SELECT CAST(nt AS BIGINT) AS n_treat,
+            CAST(nc AS BIGINT) AS n_control,
+            CAST(dy AS BIGINT) AS raw_diff_microcents,
+            CAST(theta AS BIGINT) AS theta_ppm,
+            CAST(dy - (theta * dx) // 1000000 AS BIGINT)
+                AS adj_diff_microcents
+        FROM e"""
 
     # Score AUC: Mann-Whitney on (label, n_chars) — same cumulative
     # machinery as orders_mwu with a derived binary label.

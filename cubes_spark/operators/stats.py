@@ -45,6 +45,8 @@ __all__ = [
     "runs_test",
     "chi_square_gof_uniform",
     "logrank_test",
+    "theil_sen_slope",
+    "cuped_adjusted_diff",
 ]
 
 _DEC = "decimal(38,0)"
@@ -879,3 +881,120 @@ def logrank_test(df: DataFrame, duration_col: str, event_col: str,
                     (F.col("__N__") - F.col("__N1__")).cast("long")
                     .alias("n_b"),
                     "o_a", "e_a_micro", "v_micro"))
+
+
+def theil_sen_slope(df: DataFrame, group_cols: Sequence[str],
+                    ts_col: str, value_col: str,
+                    bucket: str = "month") -> DataFrame:
+    """Theil–Sen robust trend per group (Theil 1950, Sen 1968): the
+    MEDIAN of all pairwise slopes of the bucketed value-sum series —
+    immune to the outlier buckets that swing an OLS fit.  Each pair
+    slope is quantized to the exact integer ``slope_upd =
+    sign·(10^6·|Δy|) div Δx`` (micro-cents per day) and the median
+    is the exact lower order statistic of those integers, so the SQL
+    oracle replays everything.
+
+    Scale shape: the quadratic is over the CALENDAR grain, not the
+    data — a 7-year monthly series is 84 buckets → 3486 pairs per
+    group regardless of fact count; the pair join is grain×grain,
+    the median a per-group rank window on the pair grain.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = list(group_cols)
+    b = (df.groupBy(*[F.col(c) for c in gcols],
+                    F.datediff(F.to_date(F.date_trunc(
+                        bucket, F.col(ts_col))),
+                        F.lit("1970-01-01").cast("date"))
+                    .cast("long").alias("__x__"))
+         .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+              .cast("long").alias("__y__")))
+    left = b.select(*gcols, F.col("__x__").alias("__x1__"),
+                    F.col("__y__").alias("__y1__"))
+    right = b.select(*gcols, F.col("__x__").alias("__x2__"),
+                     F.col("__y__").alias("__y2__"))
+    pairs = (left.join(right, gcols)
+             .filter(F.col("__x1__") < F.col("__x2__")))
+    dy = F.col("__y2__") - F.col("__y1__")
+    dx = F.col("__x2__") - F.col("__x1__")
+    slope = (F.when(dy < 0, -1).otherwise(1)
+             * F.expr(f"(CAST(1000000 AS {_DEC})"
+                      f" * abs(__y2__ - __y1__))"
+                      f" div (__x2__ - __x1__)")).cast("long")
+    sl = pairs.select(*gcols, slope.alias("__s__"))
+    w_ord = W.partitionBy(*gcols).orderBy("__s__")
+    w_all = W.partitionBy(*gcols)
+    ranked = (sl.withColumn("__rn__", F.row_number().over(w_ord))
+              .withColumn("__n__", F.count(F.lit(1)).over(w_all)))
+    return (ranked.groupBy(*gcols)
+            .agg(F.max("__n__").cast("long").alias("n_pairs"),
+                 F.min(F.when(
+                     F.col("__rn__") >= F.expr("(__n__ + 1) div 2"),
+                     F.col("__s__"))).cast("long")
+                 .alias("median_slope_upd")))
+
+
+def cuped_adjusted_diff(df: DataFrame, unit_col: str,
+                        group_col: str, treat_value: str,
+                        pre_col: str, post_col: str) -> DataFrame:
+    """CUPED-adjusted treatment effect (Deng, Xu, Kohavi & Walker,
+    WSDM 2013) — the experimentation-platform variance-reduction
+    estimator: with per-unit pre-period covariate X and outcome Y,
+    θ = cov(X,Y)/var(X) (pooled) and the adjusted effect is
+    ``(Ȳ_t − Ȳ_c) − θ·(X̄_t − X̄_c)``.
+
+    All inputs are cents; every reported number is a DEFINED chain
+    of integer operations both engines replay: means in micro-cents
+    (truncating div), ``theta_ppm = sign·((10^6·|cov_num|) div
+    var_num)`` from the pooled integer moment sums (n·Σxy − ΣxΣy
+    over n·Σx² − (Σx)²), and the adjustment term is
+    ``(theta_ppm · Δx̄_micro) div 10^6``.
+
+    Scale shape: one groupBy to the unit grain (the experiment
+    table), two algebraic aggregations; no windows, no sort.
+    """
+    units = (df.groupBy(F.col(unit_col).alias("__u__"))
+             .agg(F.max((F.col(group_col) == treat_value)
+                        .cast("int")).alias("__t__"),
+                  F.sum(F.round(F.col(pre_col) * 100).cast("long"))
+                  .alias("__x__"),
+                  F.sum(F.round(F.col(post_col) * 100).cast("long"))
+                  .alias("__y__")))
+    x = F.col("__x__").cast(_DEC)
+    y = F.col("__y__").cast(_DEC)
+    m = units.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+        F.sum(F.when(F.col("__t__") == 1, 1).otherwise(0))
+        .cast(_DEC).alias("nt"),
+        F.sum(F.when(F.col("__t__") == 1, x).otherwise(0))
+        .alias("sxt"),
+        F.sum(F.when(F.col("__t__") == 1, y).otherwise(0))
+        .alias("syt"))
+    m = (m.withColumn("nc", F.col("n") - F.col("nt"))
+         .withColumn("sxc", F.col("sx") - F.col("sxt"))
+         .withColumn("syc", F.col("sy") - F.col("syt"))
+         .filter((F.col("nt") > 0) & (F.col("nc") > 0)))
+    m = (m.withColumn("covn", F.col("n") * F.col("sxy")
+                      - F.col("sx") * F.col("sy"))
+         .withColumn("varn", F.col("n") * F.col("sxx")
+                     - F.col("sx") * F.col("sx"))
+         .filter(F.col("varn") > 0))
+    theta = (F.when(F.col("covn") < 0, -1).otherwise(1)
+             * F.expr(f"(CAST(1000000 AS {_DEC}) * abs(covn))"
+                      f" div varn"))
+    dy_micro = F.expr(f"(CAST(1000000 AS {_DEC}) * syt) div nt"
+                      f" - (CAST(1000000 AS {_DEC}) * syc) div nc")
+    dx_micro = F.expr(f"(CAST(1000000 AS {_DEC}) * sxt) div nt"
+                      f" - (CAST(1000000 AS {_DEC}) * sxc) div nc")
+    m = (m.withColumn("__theta__", theta)
+         .withColumn("__dy__", dy_micro)
+         .withColumn("__dx__", dx_micro))
+    adj = F.expr("__dy__ - (__theta__ * __dx__) div 1000000")
+    return m.select(
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_control"),
+        F.col("__dy__").cast("long").alias("raw_diff_microcents"),
+        F.col("__theta__").cast("long").alias("theta_ppm"),
+        adj.cast("long").alias("adj_diff_microcents"))

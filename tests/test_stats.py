@@ -658,3 +658,68 @@ class TestLogRank:
         # v at t1: 1e6*1*2*1*2 // (3*3*2) = 222222; t2: n=2,d=1:
         # 1e6*1*1*1*1 // (2*2*1) = 250000
         assert r["v_micro"] == 222222 + 250000
+
+
+class TestTheilSen:
+    def test_perfect_line(self, spark):
+        from cubes_spark.operators.stats import theil_sen_slope
+        t0 = dt.datetime(2020, 1, 1)
+        # +25 cents/day on day buckets: every pair slope identical
+        rows = [("g", t0 + dt.timedelta(days=i), 1.0 + 0.25 * i)
+                for i in range(8)]
+        df = _df(spark, rows, "g string, ts timestamp, v double")
+        r = theil_sen_slope(df, ["g"], "ts", "v",
+                            bucket="day").collect()[0]
+        assert r["n_pairs"] == 8 * 7 // 2
+        assert r["median_slope_upd"] == 25_000_000
+
+    def test_outlier_resistant(self, spark):
+        from cubes_spark.operators.stats import theil_sen_slope
+        t0 = dt.datetime(2020, 1, 1)
+        vals = [1.0 + 0.25 * i for i in range(9)]
+        vals[4] = 1000.0                     # one wild bucket
+        rows = [("g", t0 + dt.timedelta(days=i), v)
+                for i, v in enumerate(vals)]
+        df = _df(spark, rows, "g string, ts timestamp, v double")
+        r = theil_sen_slope(df, ["g"], "ts", "v",
+                            bucket="day").collect()[0]
+        # median slope stays the clean 25c/day despite the outlier
+        assert r["median_slope_upd"] == 25_000_000
+
+
+class TestCUPED:
+    def test_zero_effect_fully_explained(self, spark):
+        from cubes_spark.operators.stats import cuped_adjusted_diff
+        # outcome == covariate per unit: theta = 1e6 and the
+        # adjusted diff collapses to ~0 even though raw diff is big
+        rows = []
+        for u in range(1, 21):
+            grp = "treat" if u % 2 == 0 else "control"
+            base = 10.0 * u
+            rows.append((u, grp, base, base))
+        df = _df(spark, rows,
+                 "u long, grp string, pre double, post double")
+        r = cuped_adjusted_diff(df, "u", "grp", "treat",
+                                "pre", "post").collect()[0]
+        assert r["n_treat"] == 10 and r["n_control"] == 10
+        assert r["theta_ppm"] == 1000000
+        assert r["raw_diff_microcents"] != 0
+        assert abs(r["adj_diff_microcents"]) <= 1   # truncation dust
+
+    def test_uncorrelated_covariate_no_adjustment(self, spark):
+        from cubes_spark.operators.stats import cuped_adjusted_diff
+        # pre is symmetric noise orthogonal to treatment/outcome:
+        # theta ~ 0 so adj ~ raw
+        rows = []
+        for u in range(1, 9):
+            grp = "treat" if u % 2 == 0 else "control"
+            pre = 1.0 if u <= 4 else 2.0
+            post = 5.0 if grp == "treat" else 3.0
+            rows.append((u, grp, pre, post))
+        df = _df(spark, rows,
+                 "u long, grp string, pre double, post double")
+        r = cuped_adjusted_diff(df, "u", "grp", "treat",
+                                "pre", "post").collect()[0]
+        assert r["theta_ppm"] == 0
+        assert r["adj_diff_microcents"] == r["raw_diff_microcents"]
+        assert r["raw_diff_microcents"] == 2_000_000 * 100

@@ -5380,6 +5380,48 @@ def q_events_cuped(spark, sf_dir):
                                "pre_value", "post_value")
 
 
+def q_orders_mannkendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per priority
+    (operators/stats.py:mann_kendall): S = sum of pairwise signs
+    over monthly buckets (calendar-bounded pairs), tie-corrected
+    Var(S) emitted as the exact 18x integer numerator."""
+    from cubes_spark.operators.stats import mann_kendall
+
+    od = _table(spark, sf_dir, "orders")
+    return mann_kendall(od, ["o_orderpriority"], "o_orderdate",
+                        "o_totalprice", bucket="month")
+
+
+def q_events_stream_quantiles(spark, sf_dir):
+    """Streaming windowed quantile histogram: per-day fixed-width
+    bucket counts accumulate INCREMENTALLY over the watermarked
+    stream (state = bucket counters per open window, independent of
+    row count); after replay the batch side reads the quantiles off
+    the merged counts with the identical integer walk as
+    orders_quantiles (functions/sketches.py:
+    quantiles_from_bucket_counts) — streaming == batch == oracle for
+    a quantile sketch."""
+    from cubes_spark.functions.sketches import (
+        quantiles_from_bucket_counts,
+    )
+    from cubes_spark.streaming import read_parquet_stream, \
+        replay_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    buck = (stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window(F.col("ts"), "1 day").alias("__w__"),
+                     F.expr("CAST(round(value * 100) AS BIGINT)"
+                            " div 100").alias("bucket"))
+            .count())
+    res = replay_to_memory(buck, "q_events_stream_quantiles")
+    hist = res.select(F.col("__w__.start").alias("window_start"),
+                      "bucket",
+                      F.col("count").cast("long").alias("__n__"))
+    return quantiles_from_bucket_counts(
+        hist, ["window_start"], [2500, 5000, 9900], 100)
+
+
 def q_events_mase(spark, sf_dir):
     """Seasonal-naive forecast skill per event type (operators/
     olap.py:forecast_mase): |y_t - y_(t-7)| vs |y_t - y_(t-1)| over
@@ -5443,6 +5485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_score_auc": q_doc_score_auc,
         "orders_theilsen": q_orders_theilsen,
         "events_cuped": q_events_cuped,
+        "orders_mannkendall": q_orders_mannkendall,
+        "events_stream_quantiles": q_events_stream_quantiles,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9699,6 +9743,70 @@ def oracle_sql() -> dict[str, str]:
             CAST(min(CASE WHEN rn >= (n + 1) // 2 THEN s END)
                  AS BIGINT) AS median_slope_upd
         FROM rk GROUP BY 1"""
+
+    # Mann-Kendall: pairwise signs on the monthly grain + the exact
+    # 18x tie-corrected variance numerator.
+    sql["orders_mannkendall"] = """
+        WITH b AS (
+            SELECT o_orderpriority AS g,
+                date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('month', o_orderdate) AS DATE))
+                    AS x,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS y
+            FROM orders GROUP BY 1, 2),
+        p AS (
+            SELECT l.g,
+                CASE WHEN r.y > l.y THEN 1
+                     WHEN r.y < l.y THEN -1 ELSE 0 END AS sgn
+            FROM b l JOIN b r ON l.g = r.g AND l.x < r.x),
+        s AS (
+            SELECT g, CAST(sum(sgn) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1),
+        t AS (
+            SELECT g, y, count(*) AS t FROM b GROUP BY 1, 2),
+        ties AS (
+            SELECT g,
+                sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                    AS tcorr,
+                CAST(sum(t) AS HUGEINT) AS n
+            FROM t GROUP BY 1)
+        SELECT s.g AS o_orderpriority,
+            CAST(ties.n AS BIGINT) AS n_buckets, s.n_pairs, s.s,
+            CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5)
+                 - COALESCE(ties.tcorr, 0) AS BIGINT) AS var_s_x18
+        FROM s JOIN ties ON s.g = ties.g"""
+
+    # Streaming windowed quantiles: the stream only merges bucket
+    # counts, so the batch replay is the same histogram walk.
+    sql["events_stream_quantiles"] = """
+        WITH h AS (
+            SELECT date_trunc('day', ts) AS ws,
+                CAST(round(value * 100) AS BIGINT) // 100 AS bucket,
+                count(*) AS n
+            FROM events GROUP BY 1, 2),
+        c AS (
+            SELECT ws, bucket, n,
+                sum(n) OVER (PARTITION BY ws ORDER BY bucket)
+                    AS cum,
+                sum(n) OVER (PARTITION BY ws) AS total
+            FROM h),
+        q AS (SELECT unnest([2500, 5000, 9900]) AS q_bp),
+        hit AS (
+            SELECT ws, q_bp, bucket, total FROM c, q
+            WHERE cum * 10000 >= q_bp * total),
+        m AS (
+            SELECT ws, q_bp, min(bucket) AS bucket,
+                min(total) AS total
+            FROM hit GROUP BY 1, 2)
+        SELECT m.ws AS window_start, CAST(m.q_bp AS BIGINT) AS q_bp,
+            CAST(m.bucket AS BIGINT) AS bucket,
+            CAST(m.bucket * 100 AS BIGINT) AS est_lo,
+            CAST((m.bucket + 1) * 100 - 1 AS BIGINT) AS est_hi,
+            CAST(c2.cum AS BIGINT) AS cum_count,
+            CAST(m.total AS BIGINT) AS total
+        FROM m JOIN c c2 ON c2.ws = m.ws AND c2.bucket = m.bucket"""
 
     # CUPED: pooled integer moments, theta ppm, truncating-div chain.
     sql["events_cuped"] = """

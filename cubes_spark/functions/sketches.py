@@ -32,6 +32,7 @@ from cubes_spark.llm.text import hash64
 __all__ = ["countmin_sketch", "countmin_estimates",
            "bloom_build", "bloom_contains",
            "hll_registers", "hll_estimate", "histogram_quantiles",
+    "quantiles_from_bucket_counts",
            "kmv_sketch", "kmv_estimate", "kmv_set_ops"]
 
 #: 2^60 — the exclusive upper bound of the portable 60-bit hash space
@@ -320,6 +321,22 @@ def histogram_quantiles(df: DataFrame, value_col: str,
         .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("__n__"))
     )
+    return quantiles_from_bucket_counts(hist, group_cols, qs_bp,
+                                        width)
+
+
+def quantiles_from_bucket_counts(hist: DataFrame, group_cols: list,
+                                 qs_bp: list, width: int
+                                 ) -> DataFrame:
+    """Second phase of :func:`histogram_quantiles`, exposed so
+    MERGED bucket counts from elsewhere — e.g. a replayed streaming
+    per-window histogram — read their quantiles with the identical
+    integer-exact walk.  ``hist`` must carry ``(group..., bucket,
+    __n__)``; semantics and output schema match
+    :func:`histogram_quantiles` exactly.
+    """
+    from pyspark.sql import Window
+
     w = (Window.partitionBy(*group_cols) if group_cols
          else Window.partitionBy()).orderBy("bucket") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -329,7 +346,7 @@ def histogram_quantiles(df: DataFrame, value_col: str,
         F.sum("__n__").cast("long").alias("total"))
     cum = cum.join(totals, group_cols) if group_cols else \
         cum.crossJoin(totals)
-    qdf = df.sparkSession.createDataFrame(
+    qdf = hist.sparkSession.createDataFrame(
         [(int(q),) for q in qs_bp], "q_bp long")
     # smallest bucket whose cumulative count reaches the rank —
     # min_by over the grain-sized cumulative histogram

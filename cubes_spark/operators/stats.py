@@ -47,6 +47,7 @@ __all__ = [
     "logrank_test",
     "theil_sen_slope",
     "cuped_adjusted_diff",
+    "mann_kendall",
 ]
 
 _DEC = "decimal(38,0)"
@@ -998,3 +999,58 @@ def cuped_adjusted_diff(df: DataFrame, unit_col: str,
         F.col("__dy__").cast("long").alias("raw_diff_microcents"),
         F.col("__theta__").cast("long").alias("theta_ppm"),
         adj.cast("long").alias("adj_diff_microcents"))
+
+
+def mann_kendall(df: DataFrame, group_cols: Sequence[str],
+                 ts_col: str, value_col: str,
+                 bucket: str = "month") -> DataFrame:
+    """Mann–Kendall trend test per group (Mann 1945, Kendall 1975):
+    S = Σ_{i<j} sign(y_j − y_i) over the bucketed value-sum series —
+    the nonparametric 'is there a monotone trend' companion to
+    Theil–Sen, sharing its calendar-bounded pair frame.  Ties
+    contribute 0 to S and enter the variance through the standard
+    correction; since Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18
+    is rational with denominator 18, the emitted ``var_s_x18`` is
+    the exact integer numerator (consumers form z² ≈ 18·(S∓1)²/
+    var_s_x18).
+
+    Scale shape: one shuffle to the (group, bucket) grain; the pair
+    join and the tie-run aggregation run on that bounded grain (84
+    monthly buckets → 3486 pairs per group at any fact count).
+    """
+    gcols = list(group_cols)
+    b = (df.groupBy(*[F.col(c) for c in gcols],
+                    F.datediff(F.to_date(F.date_trunc(
+                        bucket, F.col(ts_col))),
+                        F.lit("1970-01-01").cast("date"))
+                    .cast("long").alias("__x__"))
+         .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+              .cast("long").alias("__y__")))
+    left = b.select(*gcols, F.col("__x__").alias("__x1__"),
+                    F.col("__y__").alias("__y1__"))
+    right = b.select(*gcols, F.col("__x__").alias("__x2__"),
+                     F.col("__y__").alias("__y2__"))
+    pairs = (left.join(right, gcols)
+             .filter(F.col("__x1__") < F.col("__x2__")))
+    sgn = (F.when(F.col("__y2__") > F.col("__y1__"), 1)
+           .when(F.col("__y2__") < F.col("__y1__"), -1)
+           .otherwise(0))
+    s = pairs.groupBy(*gcols).agg(
+        F.sum(sgn).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    ties = (b.groupBy(*gcols, F.col("__y__"))
+            .agg(F.count(F.lit(1)).alias("__t__"))
+            .groupBy(*gcols)
+            .agg(F.count(F.lit(1)).cast("long").alias("__nv__"),
+                 F.sum(F.col("__t__").cast(_DEC)
+                       * (F.col("__t__") - 1)
+                       * (2 * F.col("__t__") + 5)).cast(_DEC)
+                 .alias("__tcorr__"),
+                 F.sum("__t__").cast("long").alias("n_buckets")))
+    joined = s.join(ties, gcols)
+    n = F.col("n_buckets").cast(_DEC)
+    var18 = (n * (n - 1) * (2 * n + 5)
+             - F.coalesce(F.col("__tcorr__"), F.lit(0).cast(_DEC)))
+    return joined.select(
+        *gcols, "n_buckets", "n_pairs", "s",
+        var18.cast("long").alias("var_s_x18"))

@@ -723,3 +723,32 @@ class TestCUPED:
         assert r["theta_ppm"] == 0
         assert r["adj_diff_microcents"] == r["raw_diff_microcents"]
         assert r["raw_diff_microcents"] == 2_000_000 * 100
+
+
+class TestMannKendall:
+    def test_strictly_increasing(self, spark):
+        from cubes_spark.operators.stats import mann_kendall
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [("g", t0 + dt.timedelta(days=i), float(i + 1))
+                for i in range(6)]
+        df = _df(spark, rows, "g string, ts timestamp, v double")
+        r = mann_kendall(df, ["g"], "ts", "v",
+                         bucket="day").collect()[0]
+        assert r["s"] == 15                      # all 15 pairs up
+        assert r["n_pairs"] == 15
+        # no ties: var*18 = n(n-1)(2n+5) = 6*5*17 = 510
+        assert r["var_s_x18"] == 510
+
+    def test_ties_reduce_variance(self, spark):
+        from cubes_spark.operators.stats import mann_kendall
+        t0 = dt.datetime(2020, 1, 1)
+        vals = [1.0, 2.0, 2.0, 3.0]
+        rows = [("g", t0 + dt.timedelta(days=i), v)
+                for i, v in enumerate(vals)]
+        df = _df(spark, rows, "g string, ts timestamp, v double")
+        r = mann_kendall(df, ["g"], "ts", "v",
+                         bucket="day").collect()[0]
+        # pairs: (1,2)+ (1,2)+ (1,3)+ (2,2)0 (2,3)+ (2,3)+ -> S=5
+        assert r["s"] == 5
+        # var18 = 4*3*13 - 2*1*9 = 156 - 18 = 138
+        assert r["var_s_x18"] == 138

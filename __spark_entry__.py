@@ -5422,6 +5422,41 @@ def q_events_stream_quantiles(spark, sf_dir):
         hist, ["window_start"], [2500, 5000, 9900], 100)
 
 
+def q_events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per month (operators/olap.py:
+    stickiness_ratio): (10^6 * sum of daily actives) div (days *
+    monthly actives) — exact ppm engagement ratio from two
+    distinct-reductions and one month-grain join."""
+    from cubes_spark.operators.olap import stickiness_ratio
+
+    ev = _table(spark, sf_dir, "events")
+    return stickiness_ratio(ev, "user_id", "ts")
+
+
+def q_orders_lorenz(spark, sf_dir):
+    """Lorenz-curve decile points of customer spend (operators/
+    olap.py:lorenz_curve): customers ranked ascending by exact cent
+    totals on the WEIGHTED two-phase cumulative histogram — decile
+    boundary ranks are percentile_disc ceils, shares exact ppm, and
+    no global entity sort exists in the plan."""
+    from cubes_spark.operators.olap import lorenz_curve
+
+    od = _table(spark, sf_dir, "orders")
+    return lorenz_curve(od, "o_custkey", "o_totalprice")
+
+
+def q_doc_distinctive(spark, sf_dir):
+    """Per-source distinctive vocabulary (llm/text.py:
+    distinctive_terms): top-5 over-represented tokens by exact
+    truncated chi-square contribution (O*N - R*C > 0 cells only,
+    min_count-pruned) — the corpus-drift smell test."""
+    from cubes_spark.llm.text import distinctive_terms
+
+    docs = _table(spark, sf_dir, "documents")
+    return distinctive_terms(docs, "text", "source", top_k=5,
+                             min_count=10)
+
+
 def q_events_mase(spark, sf_dir):
     """Seasonal-naive forecast skill per event type (operators/
     olap.py:forecast_mase): |y_t - y_(t-7)| vs |y_t - y_(t-1)| over
@@ -5487,6 +5522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cuped": q_events_cuped,
         "orders_mannkendall": q_orders_mannkendall,
         "events_stream_quantiles": q_events_stream_quantiles,
+        "events_stickiness": q_events_stickiness,
+        "orders_lorenz": q_orders_lorenz,
+        "doc_distinctive": q_doc_distinctive,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9777,6 +9815,99 @@ def oracle_sql() -> dict[str, str]:
             CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5)
                  - COALESCE(ties.tcorr, 0) AS BIGINT) AS var_s_x18
         FROM s JOIN ties ON s.g = ties.g"""
+
+    # Stickiness: sum(DAU) over active days vs MAU, exact ppm.
+    sql["events_stickiness"] = """
+        WITH dk AS (
+            SELECT DISTINCT date_trunc('month', ts) AS month,
+                CAST(ts AS DATE) AS d, user_id
+            FROM events),
+        dau AS (
+            SELECT month, sum(dau) AS dau_sum, count(*) AS n_days
+            FROM (SELECT month, d, count(*) AS dau
+                  FROM dk GROUP BY 1, 2)
+            GROUP BY 1),
+        mau AS (
+            SELECT month, count(DISTINCT user_id) AS mau
+            FROM dk GROUP BY 1)
+        SELECT dau.month, CAST(dau_sum AS BIGINT) AS dau_sum,
+            CAST(n_days AS BIGINT) AS n_days,
+            CAST(mau AS BIGINT) AS mau,
+            CAST((CAST(1000000 AS HUGEINT) * dau_sum)
+                 // (CAST(n_days AS HUGEINT) * mau) AS BIGINT)
+                AS stickiness_ppm
+        FROM dau JOIN mau ON dau.month = mau.month"""
+
+    # Lorenz deciles: ascending-spend cumulative counts and sums,
+    # boundary = smallest amount whose cum count reaches ceil(d*N/10).
+    sql["orders_lorenz"] = """
+        WITH pk AS (
+            SELECT o_custkey,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS amt
+            FROM orders GROUP BY 1),
+        h AS (
+            SELECT amt, count(*) AS c,
+                CAST(sum(CAST(amt AS HUGEINT) * count(*))
+                     OVER (ORDER BY amt) AS HUGEINT) AS wcum,
+                sum(count(*)) OVER (ORDER BY amt) AS cum
+            FROM pk GROUP BY amt),
+        t AS (SELECT max(cum) AS n, max(wcum) AS w FROM h),
+        sp AS (
+            SELECT CAST(d AS BIGINT) AS decile,
+                (d * (SELECT n FROM t) + 9) // 10 AS rank
+            FROM (SELECT unnest(generate_series(1, 10)) AS d)),
+        hit AS (
+            SELECT sp.decile, sp.rank, h.amt, h.cum, h.wcum
+            FROM sp JOIN h ON h.cum >= sp.rank),
+        m AS (
+            SELECT decile, rank, min(amt) AS amt
+            FROM hit GROUP BY 1, 2)
+        SELECT m.decile, CAST(m.rank AS BIGINT) AS rank,
+            CAST(h.cum AS BIGINT) AS cum_entities,
+            CAST((CAST(1000000 AS HUGEINT) * h.wcum)
+                 // (SELECT w FROM t) AS BIGINT) AS cum_share_ppm
+        FROM m JOIN h ON h.amt = m.amt"""
+
+    # Distinctive terms: positive chi-square cells on the
+    # (source, token) grain, top-5 per source, deterministic order.
+    sql["doc_distinctive"] = r"""
+        WITH toks AS (
+            SELECT source AS stratum,
+                unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\s+')
+                    END) AS t
+            FROM documents),
+        obs AS (
+            SELECT stratum, t, count(*) AS o
+            FROM toks WHERE t <> '' GROUP BY 1, 2),
+        rm AS (SELECT stratum, sum(o) AS rm FROM obs GROUP BY 1),
+        cm AS (SELECT t, sum(o) AS cm FROM obs GROUP BY 1),
+        n AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM obs),
+        cells AS (
+            SELECT obs.stratum, obs.t, obs.o,
+                CAST(obs.o AS HUGEINT) * n.n
+                    - CAST(rm.rm AS HUGEINT) * cm.cm AS dev,
+                CAST(rm.rm AS HUGEINT) AS rm,
+                CAST(cm.cm AS HUGEINT) AS cm, n.n
+            FROM obs
+            JOIN rm ON obs.stratum = rm.stratum
+            JOIN cm ON obs.t = cm.t
+            CROSS JOIN n
+            WHERE obs.o >= 10),
+        pos AS (
+            SELECT stratum, t, o,
+                CAST((dev * dev * 1000000) // (rm * cm * n)
+                     AS BIGINT) AS contrib_ppm
+            FROM cells WHERE dev > 0),
+        rk AS (
+            SELECT stratum, t, o, contrib_ppm, row_number() OVER (
+                PARTITION BY stratum
+                ORDER BY contrib_ppm DESC, t ASC) AS rn
+            FROM pos)
+        SELECT stratum, t AS term, CAST(o AS BIGINT) AS n,
+            contrib_ppm, CAST(rn AS BIGINT) AS rank
+        FROM rk WHERE rn <= 5"""
 
     # Streaming windowed quantiles: the stream only merges bucket
     # counts, so the batch replay is the same histogram walk.

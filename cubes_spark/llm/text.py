@@ -43,6 +43,7 @@ __all__ = [
     "vocab_growth",
     "source_concentration",
     "rrf_fuse",
+    "distinctive_terms",
     "STOPWORDS",
 ]
 
@@ -1351,3 +1352,54 @@ def rrf_fuse(rankings: Sequence[DataFrame], id_col: str = "doc_id",
     w = W.orderBy(F.col("rrf_micro").desc(), F.col(id_col))
     return top.withColumn("fused_rank",
                           F.row_number().over(w).cast("long"))
+
+
+def distinctive_terms(df: DataFrame, text_col: str = "text",
+                      strata_col: str = "source", top_k: int = 5,
+                      min_count: int = 10) -> DataFrame:
+    """Most over-represented tokens per stratum by chi-square
+    contribution — 'what vocabulary makes this source different'
+    (the corpus-drift / contamination smell test).  Per observed
+    (stratum, token) cell with count O, margins R (stratum tokens)
+    and C (token total) and corpus total N, the signed deviation
+    O·N − R·C > 0 marks over-representation and the exact truncated
+    ``contrib_ppm = 10^6·(O·N − R·C)² div (R·C·N)`` ranks it; top-k
+    per stratum with (contrib desc, token asc) determinism.
+
+    Scale shape: one shuffle to the (stratum, token) grain; margins
+    on the stratum/token grains; the rank window runs on the
+    ``min_count``-pruned positive cells only.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = (df.select(F.col(strata_col).alias("stratum"),
+                      F.explode(token_array(F.lower(F.col(text_col))))
+                      .alias("__t__"))
+            .filter(F.col("__t__") != ""))
+    obs = (toks.groupBy("stratum", "__t__")
+           .agg(F.count(F.lit(1)).alias("__o__")))
+    rm = obs.groupBy("stratum").agg(F.sum("__o__").alias("__rm__"))
+    cm = obs.groupBy("__t__").agg(F.sum("__o__").alias("__cm__"))
+    tot = obs.agg(F.sum("__o__").alias("__n__"))
+    dec = "decimal(38,0)"
+    cells = (obs.filter(F.col("__o__") >= int(min_count))
+             .join(F.broadcast(rm), "stratum").join(cm, "__t__")
+             .crossJoin(F.broadcast(tot))
+             .withColumn("__dev__",
+                         F.col("__o__").cast(dec) * F.col("__n__")
+                         - F.col("__rm__").cast(dec)
+                         * F.col("__cm__"))
+             .filter(F.col("__dev__") > 0)
+             .withColumn(
+                 "contrib_ppm",
+                 F.expr(f"CAST((__dev__ * __dev__ * 1000000)"
+                        f" div (CAST(__rm__ AS {dec}) * __cm__"
+                        f" * __n__) AS BIGINT)")))
+    w = W.partitionBy("stratum").orderBy(
+        F.col("contrib_ppm").desc(), F.col("__t__"))
+    return (cells.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= int(top_k))
+            .select("stratum", F.col("__t__").alias("term"),
+                    F.col("__o__").cast("long").alias("n"),
+                    "contrib_ppm",
+                    F.col("__rn__").cast("long").alias("rank")))

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "skyline_2d",
     "forecast_mase",
+    "stickiness_ratio",
+    "lorenz_curve",
     "drill_across",
     "top_n_per_group",
     "fill_time_gaps",
@@ -1846,3 +1848,84 @@ def forecast_mase(df: DataFrame, group_cols: Sequence[str],
                 F.expr("CAST((CAST(1000000 AS decimal(38,0))"
                        " * sum_err_season_cents)"
                        " div sum_err_naive_cents AS BIGINT)")))
+
+
+def stickiness_ratio(df: DataFrame, key_col: str, ts_col: str
+                     ) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: the mean daily active
+    count over the month's ACTIVE DAYS divided by the monthly active
+    count, in exact ppm — ``(10^6 · Σ_day DAU) div (n_days · MAU)``
+    (the engagement ratio product teams track; 10^6 = everyone active
+    every day).
+
+    Scale shape: one distinct-reduction to the (day, key) grain
+    (map-side combinable), a day-grain count, a month-grain distinct
+    count, one broadcast-sized join of two month-grain frames.
+    """
+    day_key = (df.select(
+        F.date_trunc("month", F.col(ts_col)).alias("month"),
+        F.to_date(F.col(ts_col)).alias("__d__"),
+        F.col(key_col).alias("__k__")).distinct())
+    dau = (day_key.groupBy("month", "__d__")
+           .agg(F.count(F.lit(1)).alias("__dau__"))
+           .groupBy("month")
+           .agg(F.sum("__dau__").cast("long").alias("dau_sum"),
+                F.count(F.lit(1)).cast("long").alias("n_days")))
+    mau = (day_key.select("month", "__k__").distinct()
+           .groupBy("month")
+           .agg(F.count(F.lit(1)).cast("long").alias("mau")))
+    return (dau.join(mau, "month")
+            .withColumn(
+                "stickiness_ppm",
+                F.expr("CAST((CAST(1000000 AS decimal(38,0))"
+                       " * dau_sum) div (CAST(n_days AS"
+                       " decimal(38,0)) * mau) AS BIGINT)")))
+
+
+def lorenz_curve(df: DataFrame, key_col: str, amount_col: str,
+                 deciles: int = 10) -> DataFrame:
+    """Lorenz-curve points (the data behind a Gini plot): entities
+    ranked ascending by their amount; at each decile boundary d/10
+    of entities, the cumulative share of the total amount in exact
+    ppm — 'the bottom 50% of customers produce X% of revenue'.
+
+    Built on the WEIGHTED two-phase cumulative histogram
+    (``_cum_value_histogram(weighted=True)``): per distinct amount,
+    exact cumulative entity counts AND cumulative amount sums, both
+    distributed — the decile read-off is a conditional aggregate on
+    the value grain, never a global entity sort.  Boundary rank is
+    percentile_disc's ceil(d·N/10); the share divides cumulative
+    cents by total cents (truncating, replayable).  Ties merge: the
+    boundary is the smallest AMOUNT whose cumulative count reaches
+    the rank, and the reported cumulatives include that amount's
+    whole tie run (an all-equal population reports 100% at every
+    decile — the value grain cannot split identical spenders, and no
+    deterministic entity order exists that could).
+    """
+    # round per ROW before the sum — a double sum's rounding is
+    # partition-order dependent; a long sum is exact
+    per_key = (df.groupBy(F.col(key_col))
+               .agg(F.sum(F.round(F.col(amount_col) * 100)
+                          .cast("long")).cast("long")
+                    .alias("__amt__")))
+    cum = _cum_value_histogram(per_key, "__amt__", weighted=True)
+    if cum is None:
+        return df.sparkSession.createDataFrame(
+            [], "decile long, rank long, cum_entities long, "
+                "cum_share_ppm long")
+    tot = cum.agg(F.max("__cum__").alias("n"),
+                  F.max("__wcum__").alias("w")).first()
+    n, w = int(tot["n"]), int(tot["w"])
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, (d * n + deciles - 1) // deciles)
+         for d in range(1, deciles + 1)], "decile long, rank long")
+    hit = (cum.crossJoin(F.broadcast(spine))
+           .filter(F.col("__cum__") >= F.col("rank")))
+    return (hit.groupBy("decile", "rank")
+            .agg(F.min_by("__cum__", "__v__").cast("long")
+                 .alias("cum_entities"),
+                 F.expr(f"CAST((CAST(1000000 AS decimal(38,0))"
+                        f" * min_by(__wcum__, __v__))"
+                        f" div {w} AS BIGINT)")
+                 .alias("cum_share_ppm")))

@@ -752,3 +752,80 @@ class TestMannKendall:
         assert r["s"] == 5
         # var18 = 4*3*13 - 2*1*9 = 156 - 18 = 138
         assert r["var_s_x18"] == 138
+
+
+class TestStickiness:
+    def test_everyone_every_day_is_1e6(self, spark):
+        from cubes_spark.operators.olap import stickiness_ratio
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [(u, t0 + dt.timedelta(days=d, hours=h))
+                for u in (1, 2) for d in range(3) for h in (1, 5)]
+        df = _df(spark, rows, "u long, ts timestamp")
+        r = stickiness_ratio(df, "u", "ts").collect()[0]
+        assert r["n_days"] == 3 and r["mau"] == 2
+        assert r["stickiness_ppm"] == 1000000
+
+    def test_half_active(self, spark):
+        from cubes_spark.operators.olap import stickiness_ratio
+        t0 = dt.datetime(2020, 1, 1)
+        # user 1 active both days, user 2 only day one
+        rows = [(1, t0), (1, t0 + dt.timedelta(days=1)), (2, t0)]
+        df = _df(spark, rows, "u long, ts timestamp")
+        r = stickiness_ratio(df, "u", "ts").collect()[0]
+        # dau_sum = 2 + 1 = 3; days 2; mau 2 -> 3e6 div 4
+        assert r["stickiness_ppm"] == 3000000 // 4
+
+
+class TestLorenz:
+    def test_distinct_uniform_spend_linear(self, spark):
+        from cubes_spark.operators.olap import lorenz_curve
+        # distinct amounts 10,20,..,100: total 550; decile d covers
+        # the d smallest -> share = d(d+1)/2 / 55
+        rows = [(u, 10.0 * u) for u in range(1, 11)]
+        df = _df(spark, rows, "k long, v double")
+        out = {r["decile"]: r for r in
+               lorenz_curve(df, "k", "v").collect()}
+        for d in range(1, 11):
+            assert out[d]["cum_entities"] == d
+            assert out[d]["cum_share_ppm"] == \
+                (1000000 * d * (d + 1) // 2) // 55
+
+    def test_all_equal_ties_merge(self, spark):
+        from cubes_spark.operators.olap import lorenz_curve
+        # identical spenders: the single distinct value covers every
+        # decile boundary (documented tie-merge semantics)
+        rows = [(u, 10.0) for u in range(1, 11)]
+        df = _df(spark, rows, "k long, v double")
+        out = {r["decile"]: r for r in
+               lorenz_curve(df, "k", "v").collect()}
+        for d in range(1, 11):
+            assert out[d]["cum_entities"] == 10
+            assert out[d]["cum_share_ppm"] == 1000000
+
+    def test_concentrated_spend(self, spark):
+        from cubes_spark.operators.olap import lorenz_curve
+        rows = [(u, 1.0) for u in range(1, 10)] + [(10, 91.0)]
+        df = _df(spark, rows, "k long, v double")
+        out = {r["decile"]: r for r in
+               lorenz_curve(df, "k", "v").collect()}
+        # bottom 90% of customers hold 9/100 of spend
+        assert out[9]["cum_share_ppm"] == 90000
+        assert out[10]["cum_share_ppm"] == 1000000
+
+
+class TestDistinctiveTerms:
+    def test_over_represented_token_found(self, spark):
+        from cubes_spark.llm.text import distinctive_terms
+        rows = [(i, "common quark " if i % 2 == 0 else "common word ",
+                 "s1" if i % 2 == 0 else "s2") for i in range(40)]
+        rows = [(i, t * 3, s) for i, t, s in rows]
+        df = _df(spark, rows,
+                 "doc_id long, text string, source string")
+        out = {(r["stratum"], r["term"]): r for r in
+               distinctive_terms(df, "text", "source", top_k=2,
+                                 min_count=5).collect()}
+        assert ("s1", "quark") in out
+        assert ("s2", "word") in out
+        # the shared token is never over-represented
+        assert ("s1", "common") not in out
+        assert ("s2", "common") not in out

@@ -5457,6 +5457,65 @@ def q_doc_distinctive(spark, sf_dir):
                              min_count=10)
 
 
+def q_doc_heaps(spark, sf_dir):
+    """Vocabulary saturation curve (llm/text.py:heaps_curve):
+    distinct types at nested deterministic hash-fraction samples —
+    one (token -> min bucket) reduction + a 10-row cumulative sum;
+    'is more data still buying vocabulary'."""
+    from cubes_spark.llm.text import heaps_curve
+
+    docs = _table(spark, sf_dir, "documents")
+    return heaps_curve(docs, "text", "doc_id", fractions=10)
+
+
+def q_doc_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: raw (truth, predicted) counts
+    — the companion to doc_langid_eval's per-class metrics; one
+    label-pair-grain aggregation."""
+    from cubes_spark.llm.text import language_id
+
+    docs = _table(spark, sf_dir, "documents")
+    pred = language_id(docs, "text")
+    return (pred.groupBy(F.col("lang").alias("truth"),
+                         F.col("lang_pred").alias("predicted"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def q_events_type_overlap(spark, sf_dir):
+    """Exact pairwise audience overlap between event types:
+    |users(a) AND users(b)|, union and Jaccard in exact ppm over the
+    distinct (type, user) grain — the exact ground truth the KMV
+    sketch entry (orders_kmv) estimates; |types|^2 pair join on the
+    type-grain audience counts plus one intersection aggregation."""
+    ev = _table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = (tu.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    pairs = (tu.alias("a").join(
+        tu.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("__na__"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("__nb__"))
+    return (pairs.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .select("type_a", "type_b",
+                    F.col("__na__").cast("long").alias("n_a"),
+                    F.col("__nb__").cast("long").alias("n_b"),
+                    "n_both",
+                    (F.col("__na__") + F.col("__nb__")
+                     - F.col("n_both")).cast("long")
+                    .alias("n_union"),
+                    F.expr("CAST((1000000 * n_both) div"
+                           " (__na__ + __nb__ - n_both) AS BIGINT)")
+                    .alias("jaccard_ppm")))
+
+
 def q_events_mase(spark, sf_dir):
     """Seasonal-naive forecast skill per event type (operators/
     olap.py:forecast_mase): |y_t - y_(t-7)| vs |y_t - y_(t-1)| over
@@ -5525,6 +5584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness": q_events_stickiness,
         "orders_lorenz": q_orders_lorenz,
         "doc_distinctive": q_doc_distinctive,
+        "doc_heaps": q_doc_heaps,
+        "doc_confusion": q_doc_confusion,
+        "events_type_overlap": q_events_type_overlap,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9816,6 +9878,83 @@ def oracle_sql() -> dict[str, str]:
                  - COALESCE(ties.tcorr, 0) AS BIGINT) AS var_s_x18
         FROM s JOIN ties ON s.g = ties.g"""
 
+    langid_pred_case = """
+            CASE WHEN greatest(COALESCE(score_de,0), COALESCE(score_en,0),
+                               COALESCE(score_es,0), COALESCE(score_fr,0))
+                      = 0 THEN 'und'
+             WHEN COALESCE(score_de,0) >= COALESCE(score_en,0)
+              AND COALESCE(score_de,0) >= COALESCE(score_es,0)
+              AND COALESCE(score_de,0) >= COALESCE(score_fr,0) THEN 'de'
+             WHEN COALESCE(score_en,0) >= COALESCE(score_es,0)
+              AND COALESCE(score_en,0) >= COALESCE(score_fr,0) THEN 'en'
+             WHEN COALESCE(score_es,0) >= COALESCE(score_fr,0) THEN 'es'
+             ELSE 'fr' END"""
+
+    # Heaps curve: hash-bucketed nested samples, token min-bucket
+    # first appearances, 10-row cumulative sums.
+    sql["doc_heaps"] = rf"""
+        WITH d AS (
+            SELECT doc_id, text,
+                ({_H64.format(x="CAST(doc_id AS VARCHAR)")} % 10)
+                    + 1 AS b
+            FROM documents),
+        toks AS (
+            SELECT b, unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                ELSE string_split_regex(trim(lower(text)), '\s+')
+                END) AS t
+            FROM d),
+        tt AS (SELECT b, t FROM toks WHERE t <> ''),
+        docs AS (SELECT b, count(*) AS docs FROM d GROUP BY 1),
+        tc AS (SELECT b, count(*) AS toks FROM tt GROUP BY 1),
+        fs AS (
+            SELECT fb AS b, count(*) AS new FROM (
+                SELECT t, min(b) AS fb FROM tt GROUP BY 1)
+            GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(1, 10)) AS b),
+        j AS (
+            SELECT sp.b, COALESCE(docs.docs, 0) AS docs,
+                COALESCE(tc.toks, 0) AS toks,
+                COALESCE(fs.new, 0) AS new
+            FROM sp LEFT JOIN docs ON docs.b = sp.b
+            LEFT JOIN tc ON tc.b = sp.b
+            LEFT JOIN fs ON fs.b = sp.b)
+        SELECT CAST(b AS BIGINT) AS fraction,
+            CAST(sum(docs) OVER w AS BIGINT) AS n_docs_cum,
+            CAST(sum(toks) OVER w AS BIGINT) AS n_tokens_cum,
+            CAST(sum(new) OVER w AS BIGINT) AS n_types_cum
+        FROM j WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)"""
+
+    # Confusion matrix: raw (truth, predicted) counts.
+    sql["doc_confusion"] = f"""
+        WITH scores AS ({langid_scores}),
+        pr AS (
+            SELECT d.lang AS truth, {langid_pred_case} AS predicted
+            FROM scores s JOIN documents d ON s.doc_id = d.doc_id)
+        SELECT truth, predicted, CAST(count(*) AS BIGINT) AS n
+        FROM pr GROUP BY 1, 2"""
+
+    # Type audience overlap: exact pairwise intersection/Jaccard.
+    sql["events_type_overlap"] = """
+        WITH tu AS (
+            SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (
+            SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_both
+            FROM tu a JOIN tu b ON a.user_id = b.user_id
+                AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b,
+            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+            CAST(p.n_both AS BIGINT) AS n_both,
+            CAST(sa.n + sb.n - p.n_both AS BIGINT) AS n_union,
+            CAST((1000000 * p.n_both) // (sa.n + sb.n - p.n_both)
+                 AS BIGINT) AS jaccard_ppm
+        FROM pairs p
+        JOIN sizes sa ON sa.event_type = p.type_a
+        JOIN sizes sb ON sb.event_type = p.type_b"""
+
     # Stickiness: sum(DAU) over active days vs MAU, exact ppm.
     sql["events_stickiness"] = """
         WITH dk AS (
@@ -10251,17 +10390,6 @@ def oracle_sql() -> dict[str, str]:
                  // (2 * n.na * n.nb) AS BIGINT) AS auc_ppm
         FROM s, n"""
 
-    langid_pred_case = """
-            CASE WHEN greatest(COALESCE(score_de,0), COALESCE(score_en,0),
-                               COALESCE(score_es,0), COALESCE(score_fr,0))
-                      = 0 THEN 'und'
-             WHEN COALESCE(score_de,0) >= COALESCE(score_en,0)
-              AND COALESCE(score_de,0) >= COALESCE(score_es,0)
-              AND COALESCE(score_de,0) >= COALESCE(score_fr,0) THEN 'de'
-             WHEN COALESCE(score_en,0) >= COALESCE(score_es,0)
-              AND COALESCE(score_en,0) >= COALESCE(score_fr,0) THEN 'en'
-             WHEN COALESCE(score_es,0) >= COALESCE(score_fr,0) THEN 'es'
-             ELSE 'fr' END"""
 
     # Per-class P/R/F1 of langid vs the stored label: pair grain,
     # full outer label set, exact ppm divisions.

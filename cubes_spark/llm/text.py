@@ -44,6 +44,7 @@ __all__ = [
     "source_concentration",
     "rrf_fuse",
     "distinctive_terms",
+    "heaps_curve",
     "STOPWORDS",
 ]
 
@@ -1403,3 +1404,50 @@ def distinctive_terms(df: DataFrame, text_col: str = "text",
                     F.col("__o__").cast("long").alias("n"),
                     "contrib_ppm",
                     F.col("__rn__").cast("long").alias("rank")))
+
+
+def heaps_curve(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                fractions: int = 10) -> DataFrame:
+    """Vocabulary saturation curve (Heaps' law, measured): distinct
+    type count at nested deterministic corpus fractions 1/k … k/k —
+    the 'is more data still buying new vocabulary' curve.  Documents
+    land in fraction buckets by portable hash, so fraction p is a
+    true random p/k sample AND the samples nest; a type's first
+    appearance is its MINIMUM document bucket, so one (token →
+    min-bucket) reduction plus a k-row cumulative sum yields every
+    point — the corpus is scanned once.
+
+    Returns ``(fraction, n_docs_cum, n_tokens_cum, n_types_cum)``,
+    all exact counts.
+    """
+    from pyspark.sql.window import Window as W
+
+    bucket = (hash64(F.col(id_col).cast("string")) % fractions) + 1
+    toks = (df.select(bucket.alias("__b__"), F.col(id_col),
+                      F.explode(token_array(
+                          F.lower(F.col(text_col)))).alias("__t__"))
+            .filter(F.col("__t__") != ""))
+    per_bucket = (df.select(bucket.alias("__b__"), F.col(id_col))
+                  .groupBy("__b__")
+                  .agg(F.count(F.lit(1)).alias("__docs__")))
+    tok_counts = (toks.groupBy("__b__")
+                  .agg(F.count(F.lit(1)).alias("__toks__")))
+    first_seen = (toks.groupBy("__t__")
+                  .agg(F.min("__b__").alias("__fb__"))
+                  .groupBy("__fb__")
+                  .agg(F.count(F.lit(1)).alias("__new__")))
+    spine = df.sparkSession.createDataFrame(
+        [(i,) for i in range(1, fractions + 1)], "__b__ long")
+    joined = (spine
+              .join(per_bucket, "__b__", "left")
+              .join(tok_counts, "__b__", "left")
+              .join(first_seen.withColumnRenamed("__fb__", "__b__"),
+                    "__b__", "left")
+              .fillna({"__docs__": 0, "__toks__": 0, "__new__": 0}))
+    w = W.orderBy("__b__").rowsBetween(W.unboundedPreceding, 0)
+    return joined.select(
+        F.col("__b__").cast("long").alias("fraction"),
+        F.sum("__docs__").over(w).cast("long").alias("n_docs_cum"),
+        F.sum("__toks__").over(w).cast("long").alias("n_tokens_cum"),
+        F.sum("__new__").over(w).cast("long").alias("n_types_cum"))

@@ -5516,6 +5516,43 @@ def q_events_type_overlap(spark, sf_dir):
                     .alias("jaccard_ppm")))
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast revenue (operators/tpch.py): pure filter +
+    single aggregation — every predicate (date range, integer
+    discount band, quantity cap) reaches the parquet scan; the
+    float 'between 0.05-0.01' trap made exact via integer percent
+    points."""
+    from cubes_spark.operators.tpch import q6_forecast_revenue
+
+    return q6_forecast_revenue(_table(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 market share (operators/tpch.py): target-nation
+    supplier share of one part type in one region per order year —
+    two conditional sums in ONE aggregation, share exact ppm;
+    bounded part/nation sides broadcast, scaling joins AQE-decided."""
+    from cubes_spark.operators.tpch import q8_market_share
+
+    return q8_market_share(_table(spark, sf_dir, "customer"),
+                           _table(spark, sf_dir, "orders"),
+                           _table(spark, sf_dir, "lineitem"),
+                           _table(spark, sf_dir, "supplier"),
+                           _table(spark, sf_dir, "nation"),
+                           _table(spark, sf_dir, "region"),
+                           _table(spark, sf_dir, "part"))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promo effect (operators/tpch.py): promo vs total
+    revenue for one ship month in the same aggregation, share as one
+    truncating div to ppm; part broadcast into the filtered scan."""
+    from cubes_spark.operators.tpch import q14_promo_effect
+
+    return q14_promo_effect(_table(spark, sf_dir, "lineitem"),
+                            _table(spark, sf_dir, "part"))
+
+
 def q_events_mase(spark, sf_dir):
     """Seasonal-naive forecast skill per event type (operators/
     olap.py:forecast_mase): |y_t - y_(t-7)| vs |y_t - y_(t-1)| over
@@ -5587,6 +5624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heaps": q_doc_heaps,
         "doc_confusion": q_doc_confusion,
         "events_type_overlap": q_events_type_overlap,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q14": q_tpch_q14,
         "lineitem_spearman": q_lineitem_spearman,
         "events_chisq": q_events_chisq,
         "events_rolling_median": q_events_rolling_median,
@@ -9954,6 +9994,68 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs p
         JOIN sizes sa ON sa.event_type = p.type_a
         JOIN sizes sb ON sb.event_type = p.type_b"""
+
+    # TPC-H Q6: pure filter + aggregation, integer discount band.
+    sql["tpch_q6"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                     * CAST(round(l_discount * 100) AS BIGINT))
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24"""
+
+    # TPC-H Q8: conditional + total revenue in one aggregation.
+    sql["tpch_q8"] = """
+        WITH rev AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                    AS o_year,
+                CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l.l_discount * 100)
+                                  AS BIGINT)) AS r,
+                sn.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+                AND p.p_type = 'PROMO'
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region rg ON cn.n_regionkey = rg.r_regionkey
+                AND rg.r_name = 'ASIA'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+        a AS (
+            SELECT o_year,
+                sum(CASE WHEN supp_nation = 'NATION_1' THEN r
+                    ELSE 0 END) AS t,
+                sum(r) AS tot
+            FROM rev GROUP BY 1)
+        SELECT o_year, CAST(t AS BIGINT) AS target_revenue_e4,
+            CAST(tot AS BIGINT) AS total_revenue_e4,
+            CAST((1000000 * t) // tot AS BIGINT) AS share_ppm
+        FROM a"""
+
+    # TPC-H Q14: promo share of one ship month, exact ppm.
+    sql["tpch_q14"] = """
+        WITH rev AS (
+            SELECT CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l.l_discount * 100)
+                                  AS BIGINT)) AS r,
+                p.p_type
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l.l_shipdate AS DATE) < DATE '1996-02-01')
+        SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+            CAST(sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END)
+                 AS BIGINT) AS promo_revenue_e4,
+            CAST(sum(r) AS BIGINT) AS total_revenue_e4,
+            CAST((1000000 * sum(CASE WHEN p_type = 'PROMO' THEN r
+                                ELSE 0 END)) // sum(r) AS BIGINT)
+                AS promo_share_ppm
+        FROM rev"""
 
     # Stickiness: sum(DAU) over active days vs MAU, exact ppm.
     sql["events_stickiness"] = """

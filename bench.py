@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q18",
     "tpch_q22",
+    "tpch_q6",
+    "tpch_q8",
+    "tpch_q14",
     "events_mase",
     "doc_rrf",
 ]

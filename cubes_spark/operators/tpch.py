@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 __all__ = ["q1_pricing_summary", "q3_shipping_priority",
            "q5_local_supplier_volume", "q7_volume_shipping",
            "q10_returned_items", "q18_large_volume_customers",
-           "q13_customer_distribution", "q22_global_sales_opportunity"]
+           "q13_customer_distribution", "q22_global_sales_opportunity",
+           "q6_forecast_revenue", "q8_market_share", "q14_promo_effect"]
 
 _DEC = "decimal(38,0)"
 
@@ -307,3 +308,112 @@ def q22_global_sales_opportunity(customer: DataFrame,
             .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
                  F.sum("__bal__").cast("long")
                  .alias("totacctbal_cents")))
+
+
+def q6_forecast_revenue(lineitem: DataFrame,
+                        date_from: str = "1996-01-01",
+                        date_to: str = "1997-01-01",
+                        disc_lo_pct: int = 5, disc_hi_pct: int = 7,
+                        max_qty: int = 24) -> DataFrame:
+    """TPC-H Q6: revenue increase from discount changes — a pure
+    filter + single aggregation whose whole point is PREDICATE
+    PUSHDOWN: ship-date range, integer discount band and quantity
+    cap all reach the parquet scan; revenue = Σ price·discount in
+    exact 10⁻⁴ dollar units.  Discounts compare as integer percent
+    points (round(l_discount·100)) — the published query's
+    ``between 0.05 - 0.01 and 0.05 + 0.01`` float trap, made exact.
+    """
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    li = lineitem.filter(
+        (F.to_date("l_shipdate") >= F.lit(date_from).cast("date"))
+        & (F.to_date("l_shipdate") < F.lit(date_to).cast("date"))
+        & (F.round(F.col("l_discount") * 100).cast("long")
+           >= disc_lo_pct)
+        & (F.round(F.col("l_discount") * 100).cast("long")
+           <= disc_hi_pct)
+        & (F.col("l_quantity") < max_qty))
+    rev = _cents(F.col("l_extendedprice")).cast(_DEC) * dc
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum(rev).cast("long").alias("revenue_e4"))
+
+
+def q8_market_share(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, region: DataFrame,
+                    part: DataFrame, target_nation: str = "NATION_1",
+                    region_name: str = "ASIA",
+                    part_type: str = "PROMO") -> DataFrame:
+    """TPC-H Q8: the target nation's supplier market share, per
+    order year, of one part type sold into one region — share =
+    target-supplied revenue over all revenue, exact ppm from two
+    conditional sums in ONE aggregation (never two scans).  The
+    bounded nation⋈region and type-filtered part sides broadcast;
+    customer/supplier joins are AQE-decided (they scale with SF).
+    """
+    nr = (nation.join(F.broadcast(
+        region.filter(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("n_nationkey").alias("__cnk__")))
+    cust = customer.join(F.broadcast(nr),
+                         F.col("c_nationkey") == F.col("__cnk__")) \
+        .select("c_custkey")
+    snat = nation.select(F.col("n_nationkey").alias("__snk__"),
+                         F.col("n_name").alias("supp_nation"))
+    supp = (supplier.join(F.broadcast(snat),
+                          F.col("s_nationkey") == F.col("__snk__"))
+            .select("s_suppkey", "supp_nation"))
+    pt = part.filter(F.col("p_type") == part_type) \
+        .select("p_partkey")
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price.cast(_DEC) * (100 - dc)
+    joined = (lineitem
+              .join(F.broadcast(pt),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .join(supp, F.col("l_suppkey") == F.col("s_suppkey")))
+    agg = (joined.groupBy(F.year("o_orderdate").cast("long")
+                          .alias("o_year"))
+           .agg(F.sum(F.when(F.col("supp_nation") == target_nation,
+                             rev).otherwise(F.lit(0).cast(_DEC)))
+                .cast(_DEC).alias("__t__"),
+                F.sum(rev).cast(_DEC).alias("__a__")))
+    return agg.select(
+        "o_year",
+        F.col("__t__").cast("long").alias("target_revenue_e4"),
+        F.col("__a__").cast("long").alias("total_revenue_e4"),
+        F.expr(f"CAST((CAST(1000000 AS {_DEC}) * __t__) div __a__"
+               f" AS BIGINT)").alias("share_ppm"))
+
+
+def q14_promo_effect(lineitem: DataFrame, part: DataFrame,
+                     date_from: str = "1996-01-01",
+                     date_to: str = "1996-02-01") -> DataFrame:
+    """TPC-H Q14: promotional revenue share for one ship month —
+    conditional and total revenue in the SAME aggregation, share as
+    one truncating div to ppm.  Part is broadcast into the
+    date-filtered lineitem scan.
+    """
+    li = lineitem.filter(
+        (F.to_date("l_shipdate") >= F.lit(date_from).cast("date"))
+        & (F.to_date("l_shipdate") < F.lit(date_to).cast("date")))
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price.cast(_DEC) * (100 - dc)
+    joined = li.join(F.broadcast(
+        part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)
+              .otherwise(F.lit(0).cast(_DEC))).cast(_DEC)
+        .alias("__p__"),
+        F.sum(rev).cast(_DEC).alias("__a__"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+    return agg.select(
+        "n_lineitems",
+        F.col("__p__").cast("long").alias("promo_revenue_e4"),
+        F.col("__a__").cast("long").alias("total_revenue_e4"),
+        F.expr(f"CAST((CAST(1000000 AS {_DEC}) * __p__) div __a__"
+               f" AS BIGINT)").alias("promo_share_ppm"))

@@ -187,3 +187,35 @@ def test_q22_anti_join_and_threshold(spark):
     assert out[0]["cntrycode"] == "1"
     assert out[0]["numcust"] == 1
     assert out[0]["totacctbal_cents"] == 500
+
+
+def test_q6_integer_discount_band(spark):
+    d = dt.datetime(1996, 6, 1)
+    from cubes_spark.operators.tpch import q6_forecast_revenue
+    rows = [
+        (1, 1, 10.0, 100.0, 0.05, 0.0, "N", "O", d),   # in band
+        (2, 1, 10.0, 100.0, 0.07, 0.0, "N", "O", d),   # in band
+        (3, 1, 10.0, 100.0, 0.08, 0.0, "N", "O", d),   # above
+        (4, 1, 30.0, 100.0, 0.06, 0.0, "N", "O", d),   # qty too big
+    ]
+    r = q6_forecast_revenue(_li(spark, rows)).collect()[0]
+    assert r["n_lineitems"] == 2
+    # 10000 cents * (5 + 7)
+    assert r["revenue_e4"] == 10000 * 12
+
+
+def test_q14_share(spark):
+    d = dt.datetime(1996, 1, 15)
+    from cubes_spark.operators.tpch import q14_promo_effect
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")],
+        "p_partkey long, p_type string")
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d),
+         (2, 2, 1, 1.0, 30.0, 0.0, 0.0, "N", "O", d)],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    r = q14_promo_effect(li, part).collect()[0]
+    assert r["promo_share_ppm"] == 250000

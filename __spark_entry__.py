@@ -5578,13 +5578,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver correctness gate verifies the FIRST 50 entries in
-    # iteration order, so coverage ROTATES across rounds.  ROUND-7
-    # WINDOW: the 7 round-6 additions that have never had a driver row
-    # (doc_line_dedup .. doc_quality_model), any NEW round-7 entries
-    # (inserted right after them as they land), then re-confirmations
-    # ordered by OLDEST last-green driver round (the r4 block), filling
-    # to 50.  tools/check_correctness.py sweeps ALL entries locally
-    # every round regardless (dtype-strict).
+    # iteration order, so coverage ROTATES across rounds.  ROUND-9
+    # WINDOW: the 48 round-9 additions lead (never driver-checked),
+    # then the stalest prior entries fill to 50 (rotation mechanized
+    # by tools/rotate_window.py from CORRECTNESS_r0*.json).
+    # tools/check_correctness.py sweeps ALL 262 entries locally every
+    # round regardless (dtype-strict).
     return {
         # ---- DRIVER WINDOW (first 50; rotated by tools/rotate_window.py) ----
         "orders_ks": q_orders_ks,

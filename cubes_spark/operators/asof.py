@@ -159,12 +159,16 @@ def peak_concurrency(df: DataFrame, ts_col: str,
                      F.lit(1).alias("__d__"))
            .unionAll(df.select((us + dur).alias("__t__"),
                                F.lit(-1).alias("__d__"))))
-    hist = pts.groupBy("__t__").agg(F.sum("__d__").alias("__nd__"))
+    hist = pts.groupBy("__t__").agg(
+        F.sum("__d__").alias("__nd__"),
+        # Interval count must tally +1 starts BEFORE netting against
+        # ends: a start coinciding with an end nets to 0 and would
+        # otherwise vanish from the count (back-to-back sessions).
+        F.sum(F.when(F.col("__d__") > 0, F.col("__d__"))
+              .otherwise(0)).alias("__ns__"))
     bounds = hist.agg(F.min("__t__").alias("lo"),
                       F.max("__t__").alias("hi"),
-                      F.sum(F.when(F.col("__nd__") > 0,
-                                   F.col("__nd__")).otherwise(0))
-                      .alias("n")).first()
+                      F.sum("__ns__").alias("n")).first()
     spark = df.sparkSession
     if bounds["lo"] is None:
         return spark.createDataFrame(

@@ -1913,8 +1913,12 @@ def lorenz_curve(df: DataFrame, key_col: str, amount_col: str,
         return df.sparkSession.createDataFrame(
             [], "decile long, rank long, cum_entities long, "
                 "cum_share_ppm long")
+    # Total = cumulative sum AT THE LAST VALUE, not max(__wcum__):
+    # the running amount sum is only monotone when every per-entity
+    # amount is non-negative, so with refunds max() overstates the
+    # denominator.  max_by over __v__ is the true total regardless.
     tot = cum.agg(F.max("__cum__").alias("n"),
-                  F.max("__wcum__").alias("w")).first()
+                  F.max_by("__wcum__", "__v__").alias("w")).first()
     n, w = int(tot["n"]), int(tot["w"])
     spark = df.sparkSession
     spine = spark.createDataFrame(
@@ -1922,10 +1926,14 @@ def lorenz_curve(df: DataFrame, key_col: str, amount_col: str,
          for d in range(1, deciles + 1)], "decile long, rank long")
     hit = (cum.crossJoin(F.broadcast(spine))
            .filter(F.col("__cum__") >= F.col("rank")))
+    # Shares are well-defined only for a positive total; a zero or
+    # negative total (all refunds) yields NULL shares rather than a
+    # div-by-zero or a sign-flipped curve.
+    share = (F.expr(f"CAST((CAST(1000000 AS decimal(38,0))"
+                    f" * min_by(__wcum__, __v__))"
+                    f" div {w} AS BIGINT)")
+             if w > 0 else F.lit(None).cast("long"))
     return (hit.groupBy("decile", "rank")
             .agg(F.min_by("__cum__", "__v__").cast("long")
                  .alias("cum_entities"),
-                 F.expr(f"CAST((CAST(1000000 AS decimal(38,0))"
-                        f" * min_by(__wcum__, __v__))"
-                        f" div {w} AS BIGINT)")
-                 .alias("cum_share_ppm")))
+                 share.alias("cum_share_ppm")))

@@ -57,6 +57,30 @@ def _cents(col: str):
     return F.round(F.col(col) * 100).cast("long")
 
 
+def _null_safe_join(left: DataFrame, right: DataFrame,
+                    cols: Sequence[str],
+                    broadcast_right: bool = False) -> DataFrame:
+    """Inner equi-join that MATCHES NULL keys.  groupBy keeps a NULL
+    group, but a plain ``join(..., cols)`` drops it (NULL never
+    equals NULL), silently losing the group vs SQL GROUP BY
+    semantics — so every attach-back join on group keys goes through
+    eqNullSafe here.  Still a hash-partitionable equi-join (Spark
+    plans ``<=>`` keys exactly like ``=`` keys), so nothing changes
+    at scale.
+    """
+    renamed = right
+    for c in cols:
+        renamed = renamed.withColumnRenamed(c, "__nsj_" + c)
+    if broadcast_right:
+        renamed = F.broadcast(renamed)
+    cond = None
+    for c in cols:
+        e = left[c].eqNullSafe(renamed["__nsj_" + c])
+        cond = e if cond is None else (cond & e)
+    return left.join(renamed, cond).drop(
+        *["__nsj_" + c for c in cols])
+
+
 def _two_sample_cum(df: DataFrame, group_col: str, value_col: str,
                     group_a: str, group_b: str, num_buckets: int):
     """Shared distributed machinery for two-sample EDF statistics
@@ -222,7 +246,7 @@ def _grouped_rank_frame(df: DataFrame, gcols: Sequence[str],
               .agg(F.min("__v__").alias("__lo__"),
                    F.max("__v__").alias("__hi__"),
                    F.sum("__cnt__").alias("__n__")))
-    hist = hist.join(F.broadcast(bounds), gl)
+    hist = _null_safe_join(hist, bounds, gl, broadcast_right=True)
     width = F.greatest(
         F.lit(1),
         -((-(F.col("__hi__") - F.col("__lo__") + 1))
@@ -250,7 +274,8 @@ def _grouped_rank_frame(df: DataFrame, gcols: Sequence[str],
     off = F.broadcast(spark.createDataFrame(offsets, schema))
     local = (W.partitionBy(*gl, "__pid__").orderBy("__v__")
              .rowsBetween(W.unboundedPreceding, 0))
-    return (hist.join(off, gl + ["__pid__"])
+    return (_null_safe_join(hist, off, gl + ["__pid__"],
+                            broadcast_right=True)
             .withColumn("__cum__", F.col("__poff__")
                         + F.sum("__cnt__").over(local))
             .select(*gl, F.col("__v__"),
@@ -295,15 +320,16 @@ def spearman_rho(df: DataFrame, group_cols: Sequence[str],
                      _cents(y_col).alias("__y__"))
     xr = _grouped_rank_frame(base, gcols, "__x__", "__rcx__")
     yr = _grouped_rank_frame(base, gcols, "__y__", "__rcy__")
-    ranked = (base
-              .join(xr.select(*gcols,
-                              F.col("__v__").alias("__x__"),
-                              F.col("__rcx__")),
-                    gcols + ["__x__"])
-              .join(yr.select(*gcols,
-                              F.col("__v__").alias("__y__"),
-                              F.col("__rcy__")),
-                    gcols + ["__y__"]))
+    ranked = _null_safe_join(
+        _null_safe_join(base,
+                        xr.select(*gcols,
+                                  F.col("__v__").alias("__x__"),
+                                  F.col("__rcx__")),
+                        gcols + ["__x__"]),
+        yr.select(*gcols,
+                  F.col("__v__").alias("__y__"),
+                  F.col("__rcy__")),
+        gcols + ["__y__"])
     rx = F.col("__rcx__").cast(_DEC)
     ry = F.col("__rcy__").cast(_DEC)
     m = ranked.groupBy(*gcols).agg(
@@ -432,7 +458,7 @@ def winsorized_stats(df: DataFrame, group_cols: Sequence[str],
         .alias("lo_cents"),
         F.min(F.when(F.col("__cum__") >= hi_rank, F.col("__v__")))
         .alias("hi_cents"))
-    joined = base.join(q, gcols)
+    joined = _null_safe_join(base, q, gcols)
     clamped = F.greatest(F.least(F.col("__v__"), F.col("hi_cents")),
                          F.col("lo_cents"))
     return (joined.groupBy(*gcols)

@@ -96,6 +96,28 @@ class TestSpearman:
         b = spearman_rho(df.repartition(13), ["g"], "x", "y").collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    def test_null_group_kept(self, spark):
+        # GROUP BY keeps a NULL group; the rank attach-back joins
+        # must be null-safe or the NULL group silently vanishes.
+        rows = ([("g", float(i), float(i)) for i in range(1, 5)]
+                + [(None, float(i), float(5 - i))
+                   for i in range(1, 5)])
+        df = _df(spark, rows, "g string, x double, y double")
+        out = {r["g"]: r for r in
+               spearman_rho(df, ["g"], "x", "y").collect()}
+        assert set(out) == {"g", None}
+        assert out["g"]["signed_rho2_ppm"] == 1000000
+        assert out[None]["signed_rho2_ppm"] == -1000000
+
+    def test_null_group_kept_winsorize(self, spark):
+        from cubes_spark.operators.stats import winsorized_stats
+        rows = ([("g", float(i)) for i in range(1, 11)]
+                + [(None, float(i)) for i in range(1, 11)])
+        df = _df(spark, rows, "g string, v double")
+        out = winsorized_stats(df, ["g"], "v").collect()
+        assert {r["g"] for r in out} == {"g", None}
+        assert all(r["n_rows"] == 10 for r in out)
+
 
 class TestChiSquare:
     def test_hand_2x2(self, spark):
@@ -490,6 +512,9 @@ class TestPeakConcurrency:
         df = _df(spark, rows, "ts timestamp")
         r = peak_concurrency(df, "ts", duration_seconds=10).collect()[0]
         assert r["peak"] == 1
+        # The coinciding start/end nets to delta 0 on the timeline,
+        # but both intervals must still be counted.
+        assert r["n_intervals"] == 2
 
     def test_partition_invariant(self, spark):
         from cubes_spark.operators.asof import peak_concurrency
@@ -811,6 +836,33 @@ class TestLorenz:
         # bottom 90% of customers hold 9/100 of spend
         assert out[9]["cum_share_ppm"] == 90000
         assert out[10]["cum_share_ppm"] == 1000000
+
+    def test_refunds_total_from_last_value(self, spark):
+        from cubes_spark.operators.olap import lorenz_curve
+        # One refund entity: running amount sum is NOT monotone, so
+        # the denominator must be the cumulative at the LAST value
+        # (the true total 90), not max(__wcum__) (=100 here:
+        # -10,10,20,30,50 cumulates to -10,0,20,50,100... ordered
+        # ascending the refund comes first; totals: -10,0,20,50,100
+        # -> max == total only because refund sorts first; use a
+        # shape where a mid-stream negative breaks monotonicity).
+        rows = [(1, 10.0), (2, -5.0), (3, 20.0), (4, 30.0)]
+        # ascending amounts: -5,10,20,30 -> cum: -5,5,25,55 (total 55)
+        df = _df(spark, rows, "k long, v double")
+        out = {r["decile"]: r for r in
+               lorenz_curve(df, "k", "v", deciles=4).collect()}
+        assert out[4]["cum_share_ppm"] == 1000000
+        # bottom quarter = the refund: share is negative (Spark's
+        # decimal div truncates toward zero, unlike Python //)
+        assert out[1]["cum_share_ppm"] == -(1000000 * 500 // 5500)
+
+    def test_non_positive_total_null_shares(self, spark):
+        from cubes_spark.operators.olap import lorenz_curve
+        rows = [(1, -10.0), (2, 10.0)]
+        df = _df(spark, rows, "k long, v double")
+        out = lorenz_curve(df, "k", "v", deciles=2).collect()
+        assert len(out) == 2
+        assert all(r["cum_share_ppm"] is None for r in out)
 
 
 class TestDistinctiveTerms:

@@ -37,7 +37,12 @@ __all__ = ["q1_pricing_summary", "q3_shipping_priority",
            "q5_local_supplier_volume", "q7_volume_shipping",
            "q10_returned_items", "q18_large_volume_customers",
            "q13_customer_distribution", "q22_global_sales_opportunity",
-           "q6_forecast_revenue", "q8_market_share", "q14_promo_effect"]
+           "q6_forecast_revenue", "q8_market_share", "q14_promo_effect",
+           "q2_min_cost_supplier", "q9_product_type_profit",
+           "q11_important_stock", "q15_top_supplier",
+           "q16_parts_supplier_relationship",
+           "q17_small_quantity_revenue", "q19_discounted_revenue",
+           "q20_potential_promotion", "q21_suppliers_kept_waiting"]
 
 _DEC = "decimal(38,0)"
 
@@ -348,8 +353,10 @@ def q8_market_share(customer: DataFrame, orders: DataFrame,
     order year, of one part type sold into one region — share =
     target-supplied revenue over all revenue, exact ppm from two
     conditional sums in ONE aggregation (never two scans).  The
-    bounded nation⋈region and type-filtered part sides broadcast;
-    customer/supplier joins are AQE-decided (they scale with SF).
+    bounded nation⋈region sides broadcast; the part/customer/
+    supplier joins are AQE-decided — part scales with SF, so a
+    forced broadcast of it would OOM at large scale, the exact
+    failure this module's header warns about.
     """
     nr = (nation.join(F.broadcast(
         region.filter(F.col("r_name") == region_name)),
@@ -369,8 +376,7 @@ def q8_market_share(customer: DataFrame, orders: DataFrame,
     dc = F.round(F.col("l_discount") * 100).cast("long")
     rev = price.cast(_DEC) * (100 - dc)
     joined = (lineitem
-              .join(F.broadcast(pt),
-                    F.col("l_partkey") == F.col("p_partkey"))
+              .join(pt, F.col("l_partkey") == F.col("p_partkey"))
               .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
               .join(cust, F.col("o_custkey") == F.col("c_custkey"))
               .join(supp, F.col("l_suppkey") == F.col("s_suppkey")))
@@ -393,8 +399,8 @@ def q14_promo_effect(lineitem: DataFrame, part: DataFrame,
                      date_to: str = "1996-02-01") -> DataFrame:
     """TPC-H Q14: promotional revenue share for one ship month —
     conditional and total revenue in the SAME aggregation, share as
-    one truncating div to ppm.  Part is broadcast into the
-    date-filtered lineitem scan.
+    one truncating div to ppm.  The part join is AQE-decided (part
+    scales with SF — broadcast at small scale, shuffle at large).
     """
     li = lineitem.filter(
         (F.to_date("l_shipdate") >= F.lit(date_from).cast("date"))
@@ -402,8 +408,8 @@ def q14_promo_effect(lineitem: DataFrame, part: DataFrame,
     price = _cents(F.col("l_extendedprice"))
     dc = F.round(F.col("l_discount") * 100).cast("long")
     rev = price.cast(_DEC) * (100 - dc)
-    joined = li.join(F.broadcast(
-        part.select("p_partkey", "p_type")),
+    joined = li.join(
+        part.select("p_partkey", "p_type"),
         F.col("l_partkey") == F.col("p_partkey"))
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev)
@@ -417,3 +423,376 @@ def q14_promo_effect(lineitem: DataFrame, part: DataFrame,
         F.col("__a__").cast("long").alias("total_revenue_e4"),
         F.expr(f"CAST((CAST(1000000 AS {_DEC}) * __p__) div __a__"
                f" AS BIGINT)").alias("promo_share_ppm"))
+
+
+def _supply_costs(lineitem: DataFrame) -> DataFrame:
+    """The part-supplier offering relation the test star lacks a
+    partsupp table for: per DISTINCT (l_partkey, l_suppkey), the
+    minimum unit price that supplier ever charged for the part,
+    exact in 1e-4 dollar units — ``(price_cents * 10000) div
+    qty_cents`` truncates deterministically, so the min is
+    replayable.  One map-side-combinable aggregation on the pair
+    key; feeds Q2.
+    """
+    price = _cents(F.col("l_extendedprice"))
+    qty = _cents(F.col("l_quantity"))
+    unit = F.expr(
+        f"CAST((CAST({'__pr__'} AS {_DEC}) * 10000)"
+        f" div __q__ AS BIGINT)")
+    return (lineitem
+            .select(F.col("l_partkey"), F.col("l_suppkey"),
+                    price.alias("__pr__"), qty.alias("__q__"))
+            .select("l_partkey", "l_suppkey", unit.alias("__unit__"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min("__unit__").alias("supplycost_e4")))
+
+
+def q2_min_cost_supplier(part: DataFrame, supplier: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         region: DataFrame, size: int = 15,
+                         part_type: str = "MEDIUM",
+                         region_name: str = "ASIA",
+                         limit: int = 100) -> DataFrame:
+    """TPC-H Q2: for each part of one size+type, the supplier(s) in
+    a region offering the MINIMUM supply cost — the correlated
+    scalar-min subquery, decorrelated the Spark way: a per-part min
+    aggregation joined back on (part, cost) instead of a per-row
+    rescan.  Schema delta: no partsupp table, so the offering
+    relation is ``_supply_costs`` (min unit price per distinct
+    lineitem pair); no p_mfgr, so p_brand is reported.
+
+    Scale shape: the pair-grain cost relation shuffles once on the
+    pair key; the min is a second shuffle on part key; the join-back
+    is an equi-join on (part, cost); only fixed-cardinality
+    nation x region broadcasts.  Top-``limit`` with a full
+    deterministic tiebreak.
+    """
+    nr = (nation.join(F.broadcast(
+        region.filter(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("n_nationkey").alias("__nk__"),
+                F.col("n_name")))
+    supp = (supplier.join(F.broadcast(nr),
+                          F.col("s_nationkey") == F.col("__nk__"))
+            .select("s_suppkey", "s_name", "n_name",
+                    _cents(F.col("s_acctbal"))
+                    .alias("s_acctbal_cents")))
+    pt = part.filter((F.col("p_size") == size)
+                     & (F.col("p_type") == part_type)) \
+        .select("p_partkey", "p_brand")
+    costs = (_supply_costs(lineitem)
+             .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(pt, F.col("l_partkey") == F.col("p_partkey")))
+    best = (costs.groupBy(F.col("p_partkey").alias("__bpk__"))
+            .agg(F.min("supplycost_e4").alias("__best__")))
+    out = costs.join(
+        best, (F.col("p_partkey") == F.col("__bpk__"))
+        & (F.col("supplycost_e4") == F.col("__best__"))) \
+        .select("p_partkey", "p_brand", "s_name", "n_name",
+                "s_acctbal_cents", "supplycost_e4")
+    return (out.orderBy(F.col("s_acctbal_cents").desc(),
+                        F.col("n_name"), F.col("s_name"),
+                        F.col("p_partkey"))
+            .limit(limit))
+
+
+def q9_product_type_profit(part: DataFrame, supplier: DataFrame,
+                           lineitem: DataFrame, orders: DataFrame,
+                           nation: DataFrame,
+                           name_contains: str = "bolt") -> DataFrame:
+    """TPC-H Q9: profit per (supplier nation, order year) on parts
+    whose name contains a word.  Schema delta: no ps_supplycost, so
+    unit cost := p_retailprice — profit_e4 = price_cents·(100−dc)
+    − retail_cents·qty_cents, both exact 1e-4 dollar terms summed
+    as decimal(38,0).
+
+    Scale shape: name-filtered part and bounded nation join into the
+    fact (part AQE-decided — it scales with SF); one shuffle for
+    lineitem⋈orders on the order key; one 2-key aggregation.
+    """
+    pt = (part.filter(F.col("p_name").contains(name_contains))
+          .select("p_partkey",
+                  _cents(F.col("p_retailprice")).alias("__rc__")))
+    snat = (supplier.join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("__nk__"),
+            F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("__nk__"))
+        .select("s_suppkey", "nation"))
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    qty = _cents(F.col("l_quantity"))
+    amount = (price.cast(_DEC) * (100 - dc)
+              - F.col("__rc__").cast(_DEC) * qty)
+    return (lineitem
+            .join(pt, F.col("l_partkey") == F.col("p_partkey"))
+            .join(snat, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("nation"),
+                     F.year("o_orderdate").cast("long")
+                     .alias("o_year"))
+            .agg(F.sum(amount).cast("long").alias("profit_e4"),
+                 F.count(F.lit(1)).cast("long").alias("n_lineitems")))
+
+
+def q11_important_stock(supplier: DataFrame, lineitem: DataFrame,
+                        nation: DataFrame,
+                        nation_name: str = "NATION_7",
+                        fraction_ppm: int = 1000) -> DataFrame:
+    """TPC-H Q11: parts whose traded value through one nation's
+    suppliers exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    HAVING-vs-global-scalar pattern.  Schema delta: no partsupp, so
+    value := Σ price_cents·(100−dc) over that nation's lineitems.
+
+    Scale shape: the scoped fact aggregates once on part key; the
+    global total is ONE driver row off that same aggregate (computed
+    once, never a rescan); the threshold filter is a map-side
+    comparison against a literal.
+    """
+    nk = (nation.filter(F.col("n_name") == nation_name)
+          .select(F.col("n_nationkey").alias("__nk__")))
+    supp = (supplier.join(F.broadcast(nk),
+                          F.col("s_nationkey") == F.col("__nk__"))
+            .select("s_suppkey"))
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    val = price.cast(_DEC) * (100 - dc)
+    per_part = (lineitem
+                .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+                .groupBy("l_partkey")
+                .agg(F.sum(val).cast(_DEC).alias("__v__")))
+    per_part = per_part.persist()
+    total = per_part.agg(F.sum("__v__").alias("t")).first()["t"]
+    if total is None:
+        return per_part.sparkSession.createDataFrame(
+            [], "l_partkey long, value_e4 long")
+    threshold = (int(total) * int(fraction_ppm)) // 1_000_000
+    return (per_part
+            .filter(F.col("__v__").cast(_DEC)
+                    > F.lit(threshold).cast(_DEC))
+            .select("l_partkey",
+                    F.col("__v__").cast("long").alias("value_e4")))
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame,
+                     date_from: str = "1996-01-01",
+                     date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15: the supplier(s) with MAXIMUM revenue over one
+    quarter — the revenue-view + scalar-max pattern.  The revenue
+    view is one part-key aggregation; the max is ONE driver row off
+    it; ties all surface (the published query's equality join), with
+    supplier details attached by an AQE-decided equi-join.
+    """
+    li = lineitem.filter(
+        (F.to_date("l_shipdate") >= F.lit(date_from).cast("date"))
+        & (F.to_date("l_shipdate") < F.lit(date_to).cast("date")))
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(price.cast(_DEC) * (100 - dc)).cast(_DEC)
+                .alias("__r__")))
+    rev = rev.persist()
+    mx = rev.agg(F.max("__r__").alias("m")).first()["m"]
+    if mx is None:
+        return supplier.sparkSession.createDataFrame(
+            [], "s_suppkey long, s_name string, total_revenue_e4 long")
+    top = rev.filter(F.col("__r__") == F.lit(int(mx)).cast(_DEC))
+    return (top.join(supplier,
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("__r__").cast("long")
+                    .alias("total_revenue_e4"))
+            .orderBy("s_suppkey"))
+
+
+def q16_parts_supplier_relationship(part: DataFrame,
+                                    supplier: DataFrame,
+                                    lineitem: DataFrame,
+                                    exclude_brand: str = "Brand#5",
+                                    exclude_type: str = "PROMO",
+                                    sizes=(1, 5, 10, 15, 20, 25,
+                                           30, 35)) -> DataFrame:
+    """TPC-H Q16: how many distinct suppliers can supply each
+    (brand, type, size) combo, excluding one brand+type and
+    "complaint" suppliers — the NOT-IN (anti-join) + distinct-count
+    pattern.  Schema deltas: the supplier-part relation is the
+    distinct lineitem pair (no partsupp); the complaint filter is a
+    negative account balance (no s_comment).
+
+    Scale shape: the pair relation dedupes in the same shuffle that
+    feeds the count-distinct; the complaint exclusion is a
+    left_anti against a small filtered key set; part joins
+    AQE-decided.
+    """
+    pt = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & (F.col("p_type") != exclude_type)
+        & F.col("p_size").isin(list(sizes))) \
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = (supplier.filter(F.col("s_acctbal") < 0)
+                  .select(F.col("s_suppkey").alias("l_suppkey")))
+    pairs = (lineitem.select("l_partkey", "l_suppkey").distinct()
+             .join(complaints, "l_suppkey", "left_anti"))
+    return (pairs.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("long")
+                 .alias("supplier_cnt")))
+
+
+def q17_small_quantity_revenue(part: DataFrame, lineitem: DataFrame,
+                               brand: str = "Brand#3") -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders — lineitems
+    of one brand's parts whose quantity is UNDER 20% OF THAT PART'S
+    AVERAGE — the per-part correlated scalar average, decorrelated
+    into a part-grain aggregate joined back.  Exact integers: qty <
+    sum/(5n) ⇔ 5·n·qty < sum (no fractional average materialized).
+    Schema delta: no p_container, brand-only filter; the published
+    /7.0 yearly average becomes a truncating div by 7.
+
+    Scale shape: brand-filtered part joins AQE-decided; the per-part
+    (n, Σqty) aggregate is tiny (one row per brand part) and joins
+    back on the part key.
+    """
+    pt = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    qty = _cents(F.col("l_quantity"))
+    li = (lineitem
+          .join(pt, F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", qty.alias("__q__"),
+                  _cents(F.col("l_extendedprice")).alias("__pr__")))
+    stats = (li.groupBy(F.col("l_partkey").alias("__pk__"))
+             .agg(F.count(F.lit(1)).alias("__n__"),
+                  F.sum("__q__").alias("__sq__")))
+    small = (li.join(stats, F.col("l_partkey") == F.col("__pk__"))
+             .filter(F.col("__q__").cast(_DEC) * 5 * F.col("__n__")
+                     < F.col("__sq__").cast(_DEC)))
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lineitems"),
+        F.sum("__pr__").cast("long").alias("total_price_cents"),
+        F.expr(f"CAST(CAST(sum(__pr__) AS {_DEC}) div 7 AS BIGINT)")
+        .alias("avg_yearly_cents"))
+
+
+def q19_discounted_revenue(part: DataFrame, lineitem: DataFrame
+                           ) -> DataFrame:
+    """TPC-H Q19: revenue from three DISJUNCTIVE brand/size/quantity
+    branches — the OR-of-ANDs predicate-pushdown shape: the
+    disjunction references both sides of the part join, so the
+    planner must push the part-only conjuncts (brand, size floor)
+    to the part scan and the lineitem-only quantity floor to the
+    fact scan while keeping the cross-side OR as the join filter.
+    Schema delta: no p_container / l_shipmode, so the branches are
+    brand+size+quantity bands.
+    """
+    qty = F.round(F.col("l_quantity")).cast("long")
+    sz = F.col("p_size")
+    br = F.col("p_brand")
+    branch1 = ((br == "Brand#1") & sz.between(1, 5)
+               & qty.between(1, 11))
+    branch2 = ((br == "Brand#2") & sz.between(1, 10)
+               & qty.between(10, 20))
+    branch3 = ((br == "Brand#3") & sz.between(1, 15)
+               & qty.between(20, 30))
+    price = _cents(F.col("l_extendedprice"))
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price.cast(_DEC) * (100 - dc)
+    joined = lineitem.join(
+        part.select("p_partkey", "p_brand", "p_size"),
+        F.col("l_partkey") == F.col("p_partkey"))
+    return (joined.filter(branch1 | branch2 | branch3)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+                 F.sum(rev).cast("long").alias("revenue_e4")))
+
+
+def q20_potential_promotion(part: DataFrame, supplier: DataFrame,
+                            lineitem: DataFrame, nation: DataFrame,
+                            name_prefix: str = "red",
+                            year_from: str = "1996-01-01",
+                            year_to: str = "1997-01-01",
+                            nation_name: str = "NATION_3"
+                            ) -> DataFrame:
+    """TPC-H Q20: suppliers in one nation who DOMINATE supply of a
+    name-prefixed part over a year — the nested IN-subquery chain
+    (parts by prefix ⊂ qualifying pairs ⊂ suppliers), each level a
+    semi-join.  Schema delta: no ps_availqty, so the published
+    ``availqty > ½·shipped`` becomes "this supplier shipped MORE
+    THAN HALF of the part's total that year" (2·supp_qty >
+    part_total) — the same correlated per-part scalar, decorrelated
+    into a part-grain total joined back to the pair grain.
+
+    Scale shape: prefix-filtered part semi-joins into the
+    date-filtered fact (AQE-decided); one pair-key aggregation, one
+    part-key total off it, a broadcast-size nation filter, and a
+    final left_semi from supplier onto qualifying supplier keys.
+    """
+    pt = (part.filter(F.col("p_name").startswith(name_prefix))
+          .select("p_partkey"))
+    li = (lineitem.filter(
+        (F.to_date("l_shipdate") >= F.lit(year_from).cast("date"))
+        & (F.to_date("l_shipdate") < F.lit(year_to).cast("date")))
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey",
+                _cents(F.col("l_quantity")).alias("__q__")))
+    pair = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("__q__").alias("__sq__")))
+    totals = (pair.groupBy(F.col("l_partkey").alias("__pk__"))
+              .agg(F.sum("__sq__").alias("__tot__")))
+    dominant = (pair.join(totals,
+                          F.col("l_partkey") == F.col("__pk__"))
+                .filter(F.col("__sq__").cast(_DEC) * 2
+                        > F.col("__tot__").cast(_DEC))
+                .select("l_suppkey").distinct())
+    nk = (nation.filter(F.col("n_name") == nation_name)
+          .select(F.col("n_nationkey").alias("__nk__")))
+    return (supplier
+            .join(F.broadcast(nk),
+                  F.col("s_nationkey") == F.col("__nk__"))
+            .join(dominant,
+                  F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_name", "s_suppkey"))
+
+
+def q21_suppliers_kept_waiting(supplier: DataFrame,
+                               lineitem: DataFrame,
+                               orders: DataFrame, nation: DataFrame,
+                               nation_name: str = "NATION_1",
+                               limit: int = 100) -> DataFrame:
+    """TPC-H Q21: suppliers in one nation who were the SOLE failing
+    supplier on a multi-supplier finished order — the
+    EXISTS + NOT-EXISTS self-join chain, decorrelated into ONE
+    order-grain aggregation: per finished order, the distinct
+    supplier count, the distinct FAILING supplier count, and (when
+    exactly one) that failing supplier's key — exists(other
+    supplier) ⇔ n_supp > 1, not-exists(other failing) ⇔ n_fail = 1.
+    Schema delta: no l_commitdate/l_receiptdate, so "failed" :=
+    l_returnflag = 'R'.
+
+    Scale shape: one fact shuffle on the order key replaces the
+    published query's two correlated lineitem rescans; the supplier
+    name join is AQE-decided; deterministic top-``limit``.
+    """
+    li = (lineitem
+          .join(orders.filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_semi"))
+    per_order = (li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__ns__"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R",
+                               F.col("l_suppkey"))).alias("__nf__"),
+        F.max(F.when(F.col("l_returnflag") == "R",
+                     F.col("l_suppkey"))).alias("__fk__")))
+    waits = (per_order
+             .filter((F.col("__ns__") > 1) & (F.col("__nf__") == 1))
+             .groupBy(F.col("__fk__").alias("s_suppkey"))
+             .agg(F.count(F.lit(1)).cast("long").alias("numwait")))
+    nk = (nation.filter(F.col("n_name") == nation_name)
+          .select(F.col("n_nationkey").alias("__nk__")))
+    supp = (supplier.join(F.broadcast(nk),
+                          F.col("s_nationkey") == F.col("__nk__"))
+            .select("s_suppkey", "s_name"))
+    return (waits.join(supp, "s_suppkey")
+            .select("s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), F.col("s_name"))
+            .limit(limit))

@@ -219,3 +219,235 @@ def test_q14_share(spark):
         "l_linestatus string, l_shipdate timestamp")
     r = q14_promo_effect(li, part).collect()[0]
     assert r["promo_share_ppm"] == 250000
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: Q2/Q9/Q11/Q15/Q16/Q17/Q19/Q20/Q21
+# ---------------------------------------------------------------------------
+
+
+def _lip(spark, rows):
+    """lineitem fixture WITH part key (the round-10 queries join part)."""
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_quantity double, l_extendedprice double, "
+              "l_discount double, l_returnflag string, "
+              "l_shipdate timestamp")
+
+
+def _part(spark, rows):
+    return spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, "
+              "p_type string, p_size int, p_retailprice double")
+
+
+def _supp(spark, rows):
+    return spark.createDataFrame(
+        rows, "s_suppkey long, s_name string, s_nationkey int, "
+              "s_acctbal double")
+
+
+def _nat(spark):
+    return spark.createDataFrame(
+        [(0, "NATION_0", 0), (1, "NATION_1", 0), (2, "NATION_2", 1)],
+        "n_nationkey int, n_name string, n_regionkey int")
+
+
+def _reg(spark):
+    return spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")],
+        "r_regionkey int, r_name string")
+
+
+def test_q2_min_cost_ties_surface(spark):
+    from cubes_spark.operators.tpch import q2_min_cost_supplier
+    d = dt.datetime(1996, 1, 1)
+    # suppliers 1,2 both offer part 100 at unit cost $5; supplier 3
+    # at $9 — both min-cost suppliers must surface, the higher not.
+    rows = [
+        (1, 100, 1, 2.0, 10.0, 0.0, "N", d),
+        (2, 100, 2, 4.0, 20.0, 0.0, "N", d),
+        (3, 100, 3, 1.0, 9.0, 0.0, "N", d),
+    ]
+    part = _part(spark, [(100, "x", "Brand#1", "MEDIUM", 15, 900.0)])
+    supp = _supp(spark, [(1, "s1", 0, 10.0), (2, "s2", 1, 20.0),
+                         (3, "s3", 0, 30.0)])
+    out = q2_min_cost_supplier(part, supp, _lip(spark, rows),
+                               _nat(spark), _reg(spark)).collect()
+    assert sorted(r["s_name"] for r in out) == ["s1", "s2"]
+    assert all(r["supplycost_e4"] == 50000 for r in out)
+
+
+def test_q2_min_scoped_to_region(spark):
+    from cubes_spark.operators.tpch import q2_min_cost_supplier
+    d = dt.datetime(1996, 1, 1)
+    # the cheapest offer is from a EUROPE supplier; within ASIA the
+    # min is the ASIA offer — region scoping happens BEFORE the min.
+    rows = [
+        (1, 100, 1, 1.0, 9.0, 0.0, "N", d),    # ASIA, $9
+        (2, 100, 2, 1.0, 5.0, 0.0, "N", d),    # EUROPE, $5
+    ]
+    part = _part(spark, [(100, "x", "Brand#1", "MEDIUM", 15, 900.0)])
+    supp = _supp(spark, [(1, "s1", 0, 10.0), (2, "s2", 2, 20.0)])
+    out = q2_min_cost_supplier(part, supp, _lip(spark, rows),
+                               _nat(spark), _reg(spark),
+                               region_name="ASIA").collect()
+    assert [r["s_name"] for r in out] == ["s1"]
+    assert out[0]["supplycost_e4"] == 90000
+
+
+def test_q17_exact_20pct_boundary(spark):
+    from cubes_spark.operators.tpch import q17_small_quantity_revenue
+    d = dt.datetime(1996, 1, 1)
+    # part 100: quantities 1, 2, 27 -> sum 30, n 3, avg 10; 20% of
+    # avg = 2.  qty 1 qualifies (100*5*3 = 1500 < 3000 cents); qty 2
+    # is EXACTLY at the bound (3000 < 3000 false) -> excluded
+    # (strict <, matching the published < 0.2*avg).
+    rows = [
+        (1, 100, 1, 1.0, 11.0, 0.0, "N", d),
+        (2, 100, 1, 2.0, 13.0, 0.0, "N", d),
+        (3, 100, 1, 27.0, 17.0, 0.0, "N", d),
+    ]
+    part = _part(spark, [(100, "x", "Brand#3", "MEDIUM", 1, 900.0)])
+    out = q17_small_quantity_revenue(part, _lip(spark, rows)).collect()[0]
+    assert out["n_small_lineitems"] == 1
+    assert out["total_price_cents"] == 1100
+    assert out["avg_yearly_cents"] == 1100 // 7
+
+
+def test_q20_dominance_strictly_over_half(spark):
+    from cubes_spark.operators.tpch import q20_potential_promotion
+    d = dt.datetime(1996, 6, 1)
+    # part 100: s1 ships 6 of 10 (dominant); part 200: s2 ships
+    # exactly half (5 of 10) — NOT dominant (strict >).
+    rows = [
+        (1, 100, 1, 6.0, 1.0, 0.0, "N", d),
+        (2, 100, 2, 4.0, 1.0, 0.0, "N", d),
+        (3, 200, 2, 5.0, 1.0, 0.0, "N", d),
+        (4, 200, 3, 5.0, 1.0, 0.0, "N", d),
+    ]
+    part = _part(spark, [(100, "red a", "B", "T", 1, 1.0),
+                         (200, "red b", "B", "T", 1, 1.0)])
+    supp = _supp(spark, [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0),
+                         (3, "s3", 0, 0.0)])
+    out = q20_potential_promotion(
+        part, supp, _lip(spark, rows), _nat(spark),
+        nation_name="NATION_0").collect()
+    assert [r["s_name"] for r in out] == ["s1"]
+
+
+def test_q21_sole_failing_supplier_only(spark):
+    from cubes_spark.operators.tpch import q21_suppliers_kept_waiting
+    d = dt.datetime(1996, 1, 1)
+    orders = spark.createDataFrame(
+        [(10, 1, "F", 1.0, d, "1-URGENT"),
+         (11, 1, "F", 1.0, d, "1-URGENT"),
+         (12, 1, "F", 1.0, d, "1-URGENT"),
+         (13, 1, "O", 1.0, d, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+    rows = [
+        # order 10: s1 failed, s2 fine -> s1 waits
+        (10, 1, 1, 1.0, 1.0, 0.0, "R", d),
+        (10, 1, 2, 1.0, 1.0, 0.0, "N", d),
+        # order 11: both failed -> nobody waits (not sole)
+        (11, 1, 1, 1.0, 1.0, 0.0, "R", d),
+        (11, 1, 2, 1.0, 1.0, 0.0, "R", d),
+        # order 12: single-supplier order -> excluded (no other supp)
+        (12, 1, 1, 1.0, 1.0, 0.0, "R", d),
+        # order 13: not finished -> excluded
+        (13, 1, 1, 1.0, 1.0, 0.0, "R", d),
+        (13, 1, 2, 1.0, 1.0, 0.0, "N", d),
+    ]
+    supp = _supp(spark, [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0)])
+    out = q21_suppliers_kept_waiting(
+        supp, _lip(spark, rows), orders, _nat(spark),
+        nation_name="NATION_0").collect()
+    assert [(r["s_name"], r["numwait"]) for r in out] == [("s1", 1)]
+
+
+def test_q16_complaint_suppliers_excluded(spark):
+    from cubes_spark.operators.tpch import (
+        q16_parts_supplier_relationship)
+    d = dt.datetime(1996, 1, 1)
+    rows = [
+        (1, 100, 1, 1.0, 1.0, 0.0, "N", d),
+        (2, 100, 2, 1.0, 1.0, 0.0, "N", d),   # s2: negative balance
+        (3, 100, 1, 1.0, 1.0, 0.0, "N", d),   # dup pair: distinct
+    ]
+    part = _part(spark, [(100, "x", "Brand#1", "SMALL", 5, 1.0)])
+    supp = _supp(spark, [(1, "s1", 0, 1.0), (2, "s2", 0, -1.0)])
+    out = q16_parts_supplier_relationship(
+        part, supp, _lip(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["supplier_cnt"] == 1
+
+
+def test_q11_threshold_strict(spark):
+    from cubes_spark.operators.tpch import q11_important_stock
+    d = dt.datetime(1996, 1, 1)
+    # values: part 100 -> $8, part 200 -> $2; total $10.
+    # threshold at 200000 ppm (20%): $2 NOT > $2 -> only part 100.
+    rows = [
+        (1, 100, 1, 1.0, 8.0, 0.0, "N", d),
+        (2, 200, 1, 1.0, 2.0, 0.0, "N", d),
+    ]
+    supp = _supp(spark, [(1, "s1", 0, 0.0)])
+    out = q11_important_stock(supp, _lip(spark, rows), _nat(spark),
+                              nation_name="NATION_0",
+                              fraction_ppm=200000).collect()
+    assert [(r["l_partkey"], r["value_e4"]) for r in out] == \
+        [(100, 80000)]
+
+
+def test_q15_max_revenue_ties(spark):
+    from cubes_spark.operators.tpch import q15_top_supplier
+    d = dt.datetime(1996, 2, 1)
+    rows = [
+        (1, 100, 1, 1.0, 10.0, 0.0, "N", d),
+        (2, 100, 2, 1.0, 10.0, 0.0, "N", d),   # tie at max
+        (3, 100, 3, 1.0, 5.0, 0.0, "N", d),
+    ]
+    supp = _supp(spark, [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0),
+                         (3, "s3", 0, 0.0)])
+    out = q15_top_supplier(supp, _lip(spark, rows)).collect()
+    assert [r["s_suppkey"] for r in out] == [1, 2]
+    assert all(r["total_revenue_e4"] == 100000 for r in out)
+
+
+def test_q19_disjunctive_branches(spark):
+    from cubes_spark.operators.tpch import q19_discounted_revenue
+    d = dt.datetime(1996, 1, 1)
+    rows = [
+        (1, 100, 1, 5.0, 10.0, 0.0, "N", d),    # branch1 hit
+        (2, 100, 1, 50.0, 10.0, 0.0, "N", d),   # qty out of band
+        (3, 200, 1, 25.0, 20.0, 0.0, "N", d),   # branch3 hit
+        (4, 300, 1, 25.0, 30.0, 0.0, "N", d),   # size out of band
+    ]
+    part = _part(spark, [
+        (100, "a", "Brand#1", "T", 3, 1.0),
+        (200, "b", "Brand#3", "T", 12, 1.0),
+        (300, "c", "Brand#3", "T", 40, 1.0)])
+    out = q19_discounted_revenue(part, _lip(spark, rows)).collect()[0]
+    assert out["n_lineitems"] == 2
+    assert out["revenue_e4"] == (1000 + 2000) * 100
+
+
+def test_q9_profit_sign(spark):
+    from cubes_spark.operators.tpch import q9_product_type_profit
+    d = dt.datetime(1996, 5, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, d, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+    # revenue 10.00 * (100-0) = 100000 e4$; cost 2.00 * qty 3.00
+    # -> 200*300 = 60000 e4$ -> profit 40000 e4$ = $4
+    rows = [(1, 100, 1, 3.0, 10.0, 0.0, "N", d)]
+    part = _part(spark, [(100, "steel bolt", "B", "T", 1, 2.0)])
+    supp = _supp(spark, [(1, "s1", 1, 0.0)])
+    out = q9_product_type_profit(part, supp, _lip(spark, rows),
+                                 orders, _nat(spark)).collect()
+    assert [(r["nation"], r["o_year"], r["profit_e4"]) for r in out] \
+        == [("NATION_1", 1996, 40000)]

@@ -500,35 +500,43 @@ _JPEG_ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
-_JPEG_IDCT_COS = None
+_JPEG_DCT_M = None
 
 
-def _jpeg_idct_tables():
-    global _JPEG_IDCT_COS
-    if _JPEG_IDCT_COS is None:
-        _JPEG_IDCT_COS = [
-            [math.cos((2 * x + 1) * u * math.pi / 16)
-             * (1 / math.sqrt(2) if u == 0 else 1.0)
-             for u in range(8)] for x in range(8)
-        ]
-    return _JPEG_IDCT_COS
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix M (``M @ M.T == I``):
+    forward 2-D DCT of a block B is ``M @ B @ M.T``, inverse is
+    ``M.T @ C @ M`` — one cached 8×8 float array instead of 8192
+    ``math.cos`` calls PER BLOCK (the round-9 bench's single biggest
+    constant: doc_jpeg_roundtrip was 39%% of total wall)."""
+    global _JPEG_DCT_M
+    if _JPEG_DCT_M is None:
+        import numpy as np
+
+        u = np.arange(8, dtype=np.float64).reshape(8, 1)
+        x = np.arange(8, dtype=np.float64).reshape(1, 8)
+        m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        m[0, :] /= math.sqrt(2)
+        _JPEG_DCT_M = m
+    return _JPEG_DCT_M
 
 
 def _jpeg_idct(block):
-    """8×8 type-III DCT (separable, float) → spatial samples."""
-    cos = _jpeg_idct_tables()
-    tmp = [[0.0] * 8 for _ in range(8)]
-    for y in range(8):          # rows: over u
-        row = block[y * 8:y * 8 + 8]
-        for x in range(8):
-            cx = cos[x]
-            tmp[y][x] = sum(row[u] * cx[u] for u in range(8)) / 2
-    out = [0.0] * 64
-    for x in range(8):          # columns: over v
-        for y in range(8):
-            cy = cos[y]
-            out[y * 8 + x] = sum(tmp[v][x] * cy[v] for v in range(8)) / 2
-    return out
+    """8×8 type-III DCT (matrix product) → spatial samples."""
+    import numpy as np
+
+    m = _jpeg_dct_matrix()
+    b = np.asarray(block, dtype=np.float64).reshape(8, 8)
+    return (m.T @ b @ m).reshape(64).tolist()
+
+
+def _jpeg_idct_batch(coefs):
+    """(n, 64) natural-order dequantized coefficients → (n, 8, 8)
+    spatial samples in ONE broadcast matrix product — the batched
+    form every decode path feeds after entropy decode."""
+    m = _jpeg_dct_matrix()
+    b = coefs.reshape(-1, 8, 8)
+    return m.T @ b @ m
 
 
 def _jpeg_huff_table(bits, values):
@@ -882,7 +890,8 @@ def decode_jpeg(payload: bytes):
             for c in comps:
                 c["bw"] = mcux * c["h"]         # blocks across
                 c["bh"] = mcuy * c["v"]
-                c["plane"] = [0.0] * (c["bw"] * 8 * c["bh"] * 8)
+                c["rows"] = []                  # dequantized naturals
+                c["idx"] = []                   # row-major block index
                 c["dc"] = 0
                 c["td"], c["ta"] = scan_tables[c["id"]]
             reader = _JpegBitReader(payload, pos + 2 + seglen)
@@ -923,17 +932,24 @@ def decode_jpeg(payload: bytes):
                                     block[_JPEG_ZIGZAG[k]] = _jpeg_extend(
                                         reader.bits(s), s) * q[k]
                                     k += 1
-                                spatial = _jpeg_idct(block)
-                                row0 = (my * c["v"] + by) * 8
-                                col0 = (mx * c["h"] + bx) * 8
-                                stride = c["bw"] * 8
-                                plane = c["plane"]
-                                for y in range(8):
-                                    base = (row0 + y) * stride + col0
-                                    src = y * 8
-                                    for x in range(8):
-                                        plane[base + x] = \
-                                            spatial[src + x]
+                                c["rows"].append(block)
+                                c["idx"].append(
+                                    (my * c["v"] + by) * c["bw"]
+                                    + mx * c["h"] + bx)
+            # entropy decode done — batched IDCT + block scatter per
+            # component (the per-pixel Python loops this replaces
+            # were the decode constant)
+            import numpy as np
+
+            for c in comps:
+                nat = np.empty((c["bh"] * c["bw"], 64), np.float64)
+                nat[np.asarray(c["idx"])] = np.asarray(
+                    c["rows"], np.float64)
+                spatial = _jpeg_idct_batch(nat)
+                c["plane"] = (spatial
+                              .reshape(c["bh"], c["bw"], 8, 8)
+                              .transpose(0, 2, 1, 3)
+                              .reshape(c["bh"] * 8, c["bw"] * 8))
             return width, height, len(comps), _jpeg_assemble(
                 width, height, comps, hmax, vmax)
         pos += 2 + seglen
@@ -945,25 +961,18 @@ def decode_jpeg(payload: bytes):
         width, height, comps = frame
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
+        import numpy as np
+
         for c in comps:
-            q = qtables[c["tq"]]
-            stride = c["bw"] * 8
-            plane = [0.0] * (c["bw"] * 8 * c["bh"] * 8)
-            for by in range(c["bh"]):
-                for bx in range(c["bw"]):
-                    coef = c["coef"][by * c["bw"] + bx]
-                    block = [0] * 64
-                    for k in range(64):
-                        if coef[k]:
-                            block[_JPEG_ZIGZAG[k]] = coef[k] * q[k]
-                    spatial = _jpeg_idct(block)
-                    row0, col0 = by * 8, bx * 8
-                    for y in range(8):
-                        base = (row0 + y) * stride + col0
-                        src = y * 8
-                        for x in range(8):
-                            plane[base + x] = spatial[src + x]
-            c["plane"] = plane
+            dq = (np.asarray(c["coef"], np.float64)
+                  * np.asarray(qtables[c["tq"]], np.float64))
+            nat = np.zeros_like(dq)
+            nat[:, np.asarray(_JPEG_ZIGZAG)] = dq
+            spatial = _jpeg_idct_batch(nat)
+            c["plane"] = (spatial
+                          .reshape(c["bh"], c["bw"], 8, 8)
+                          .transpose(0, 2, 1, 3)
+                          .reshape(c["bh"] * 8, c["bw"] * 8))
         return width, height, len(comps), _jpeg_assemble(
             width, height, comps, hmax, vmax)
     raise ValueError("no scan in JPEG stream")
@@ -973,20 +982,19 @@ def _jpeg_assemble(width, height, comps, hmax, vmax):
     """Component planes → full-resolution clamped bytes (replication
     upsample + level shift), shared by the baseline and progressive
     paths."""
+    import numpy as np
+
     planes = []
     for c in comps:
         sx, sy = hmax // c["h"], vmax // c["v"]
-        stride = c["bw"] * 8
-        out = bytearray(width * height)
-        plane = c["plane"]
-        for y in range(height):
-            srow = (y // sy) * stride
-            base = y * width
-            for x in range(width):
-                v = int(round(plane[srow + x // sx])) + 128
-                out[base + x] = 0 if v < 0 else \
-                    (255 if v > 255 else v)
-        planes.append(bytes(out))
+        p = c["plane"]
+        if not isinstance(p, np.ndarray):
+            p = np.asarray(p, np.float64).reshape(
+                c["bh"] * 8, c["bw"] * 8)
+        up = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)
+        # np.rint rounds half-to-even exactly like Python round()
+        v = np.rint(up[:height, :width]) + 128
+        planes.append(np.clip(v, 0, 255).astype(np.uint8).tobytes())
     return planes
 
 
@@ -1062,19 +1070,39 @@ class _BitWriter:
 
 
 def _fdct(block):
-    out = [0.0] * 64
-    for u in range(8):
-        cu = 1 / math.sqrt(2) if u == 0 else 1.0
-        for v in range(8):
-            cv = 1 / math.sqrt(2) if v == 0 else 1.0
-            s = 0.0
-            for y in range(8):
-                for x in range(8):
-                    s += block[y * 8 + x] \
-                        * math.cos((2 * x + 1) * u * math.pi / 16) \
-                        * math.cos((2 * y + 1) * v * math.pi / 16)
-            out[v * 8 + u] = s * cu * cv / 4
-    return out
+    """8×8 forward DCT of one block (matrix product; ``out[v*8+u]``
+    frequency order, identical to the textbook double sum)."""
+    import numpy as np
+
+    m = _jpeg_dct_matrix()
+    b = np.asarray(block, dtype=np.float64).reshape(8, 8)
+    return (m @ b @ m.T).reshape(64).tolist()
+
+
+def _dct_quant_zigzag(plane, width, height):
+    """Whole-plane batched forward DCT → quantized (unit table)
+    zigzag blocks: edge-replicated pad to 8×8 multiples, ONE
+    broadcast matrix product over all blocks, half-to-even rounding
+    (``np.rint`` == Python ``round``), zigzag reorder by fancy
+    index.  Returns a row-major (by, bx) nested list of 64-int
+    zigzag blocks for the sequential Huffman pass."""
+    import numpy as np
+
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+    if isinstance(plane, (bytes, bytearray, memoryview)):
+        arr = np.frombuffer(plane, dtype=np.uint8).astype(np.float64)
+    else:
+        arr = np.asarray(plane, dtype=np.float64)
+    arr = arr.reshape(height, width) - 128.0
+    arr = np.pad(arr, ((0, by_n * 8 - height), (0, bx_n * 8 - width)),
+                 mode="edge")
+    blocks = arr.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
+    m = _jpeg_dct_matrix()
+    co = m @ blocks @ m.T
+    q = np.rint(co).astype(np.int64).reshape(by_n, bx_n, 64)
+    zz = q[:, :, np.asarray(_JPEG_ZIGZAG)]
+    return zz.tolist()
 
 
 def _magnitude(v):
@@ -1088,6 +1116,13 @@ def _encode_block(writer, samples, pred):
     coeffs = _fdct([s - 128 for s in samples])
     q = [int(round(c)) for c in coeffs]        # quant table all ones
     zz = [q[_JPEG_ZIGZAG[k]] for k in range(64)]
+    return _encode_zz(writer, zz, pred)
+
+
+def _encode_zz(writer, zz, pred):
+    """Huffman-encode one already-quantized zigzag block (the
+    sequential tail of :func:`_encode_block`; the DCT/quant front is
+    batched per plane by :func:`_dct_quant_zigzag`)."""
     t, bits = _magnitude(zz[0] - pred)
     length, code = DC_CODE[t]
     writer.put(code, length)
@@ -1139,17 +1174,15 @@ def encode_jpeg(width, height, planes):
     preds = [0] * ncomp
     bx_n = (width + 7) // 8
     by_n = (height + 7) // 8
+    # batched per-plane DCT + quant + zigzag; only the entropy coder
+    # (inherently sequential bit stream) stays a Python loop
+    zzs = [_dct_quant_zigzag(planes[c], width, height)
+           for c in range(ncomp)]
     for by in range(by_n):
         for bx in range(bx_n):
             for c in range(ncomp):
-                plane = planes[c]
-                block = []
-                for y in range(8):
-                    sy = min(by * 8 + y, height - 1)
-                    for x in range(8):
-                        sx = min(bx * 8 + x, width - 1)
-                        block.append(plane[sy * width + sx])
-                preds[c] = _encode_block(writer, block, preds[c])
+                preds[c] = _encode_zz(writer, zzs[c][by][bx],
+                                      preds[c])
     writer.flush()
     out += writer.out
     out += b"\xFF\xD9"
@@ -1162,18 +1195,8 @@ def encode_jpeg_progressive(width, height, plane):
     approximation (Al=1), DC refinement, then the full AC band
     (spectral selection 1..63, per-block EOBs).  The transcode
     counterpart of :func:`decode_jpeg`'s progressive path."""
-    blocks = []
-    for by in range((height + 7) // 8):
-        for bx in range((width + 7) // 8):
-            block = []
-            for y in range(8):
-                sy = min(by * 8 + y, height - 1)
-                for x in range(8):
-                    sx = min(bx * 8 + x, width - 1)
-                    block.append(plane[sy * width + sx])
-            co = _fdct([s - 128 for s in block])
-            q = [int(round(c)) for c in co]
-            blocks.append([q[_JPEG_ZIGZAG[k]] for k in range(64)])
+    zz_rows = _dct_quant_zigzag(plane, width, height)
+    blocks = [zz for row in zz_rows for zz in row]
 
     out = bytearray(b"\xFF\xD8")
     out += b"\xFF\xDB" + (2 + 65).to_bytes(2, "big") + b"\x00" \

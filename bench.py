@@ -118,6 +118,17 @@ BENCH_QUERIES = [
     "tpch_q14",
     "events_mase",
     "doc_rrf",
+    # round-10 TPC-H: correlated subqueries, anti/semi chains,
+    # disjunctive pushdown
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
 ]
 
 

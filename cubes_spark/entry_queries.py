@@ -4350,10 +4350,12 @@ def q_lineitem_hilbert(spark, sf_dir):
     hilbert_value; the stronger-locality sibling of Z-order — the
     layout idea behind liquid clustering): per 256th of the curve
     over (l_partkey, l_suppkey), row count and min/max envelope of
-    both dimensions.  The xy2d walk runs as 16 unrolled integer
-    steps (hilbert_step_exprs) whose SQL the oracle replays
-    token-for-token — the only dialect difference is the integer-
-    division operator."""
+    both dimensions.  The Spark side runs the xy2d walk as a
+    vectorized Arrow batch (the chained-projection SQL form hit a
+    measured whole-stage-codegen blowup — see hilbert_value); the
+    oracle replays the engine-portable unrolled-SQL spec
+    (hilbert_step_exprs with DuckDB's // division), and both produce
+    bit-identical curve values."""
     from cubes_spark.operators.scale import hilbert_value
 
     li = _table(spark, sf_dir, "lineitem").select(

@@ -129,6 +129,10 @@ BENCH_QUERIES = [
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
+    # round-10 OLAP time-intelligence / hierarchy shapes
+    "orders_yoy",
+    "nation_share",
+    "topn_customers_nation",
 ]
 
 

@@ -5684,3 +5684,61 @@ def q_tpch_q21(spark, sf_dir):
                                       _table(spark, sf_dir, "lineitem"),
                                       _table(spark, sf_dir, "orders"),
                                       _table(spark, sf_dir, "nation"))
+
+
+def q_orders_yoy(spark, sf_dir):
+    """Year-over-year monthly revenue (operators/olap.py:
+    period_over_period): exact cent sums per order month, the same
+    month last year attached by an add_months EQUI-JOIN on the
+    calendar key (gap-correct, unlike a row-offset lag), delta in
+    truncating ppm."""
+    from cubes_spark.operators.olap import period_over_period
+
+    od = _table(spark, sf_dir, "orders")
+    return period_over_period(od, "o_orderdate", "o_totalprice",
+                              bucket="month", lag_periods=12)
+
+
+def q_nation_share(spark, sf_dir):
+    """Percent-of-parent contribution (operators/olap.py:
+    percent_of_parent): each supplier nation's share of its region's
+    lineitem revenue in exact ppm — one (region, nation)-grain
+    aggregation, then a window sum partitioned by region over that
+    bounded grain (never over facts)."""
+    from cubes_spark.operators.olap import percent_of_parent
+
+    li = _table(spark, sf_dir, "lineitem")
+    su = _table(spark, sf_dir, "supplier")
+    na = _table(spark, sf_dir, "nation")
+    re = _table(spark, sf_dir, "region")
+    joined = (li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(na),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(re),
+                    F.col("n_regionkey") == F.col("r_regionkey")))
+    return percent_of_parent(joined, ["r_name"], ["n_name"],
+                             "l_extendedprice")
+
+
+def q_topn_customers_nation(spark, sf_dir):
+    """Per-group top-N (operators/olap.py:top_n_per_group): top 3
+    customers by exact order-revenue cents WITHIN each nation, ranked
+    with a full deterministic tiebreak (revenue desc, custkey asc).
+    Aggregates to the customer grain FIRST (rank aggregated rows,
+    never facts), then one row_number window partitioned by nation."""
+    from cubes_spark.operators.olap import top_n_per_group
+
+    od = _table(spark, sf_dir, "orders")
+    cu = _table(spark, sf_dir, "customer")
+    na = _table(spark, sf_dir, "nation")
+    per_cust = (od.join(cu, F.col("o_custkey") == F.col("c_custkey"))
+                .join(F.broadcast(na),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .groupBy("n_name", "c_custkey")
+                .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                           .cast("long")).cast("long")
+                     .alias("revenue_cents")))
+    return top_n_per_group(
+        per_cust, ["n_name"],
+        [F.col("revenue_cents").desc(), F.col("c_custkey").asc()],
+        n=3)

@@ -28,6 +28,8 @@ from cubes_spark.operators.preagg import _safe
 from pyspark.sql import functions as F
 
 __all__ = [
+    "period_over_period",
+    "percent_of_parent",
     "skyline_2d",
     "forecast_mase",
     "stickiness_ratio",
@@ -1937,3 +1939,77 @@ def lorenz_curve(df: DataFrame, key_col: str, amount_col: str,
             .agg(F.min_by("__cum__", "__v__").cast("long")
                  .alias("cum_entities"),
                  share.alias("cum_share_ppm")))
+
+
+def period_over_period(df: DataFrame, time_col: str, value_col: str,
+                       bucket: str = "month",
+                       lag_periods: int = 12) -> DataFrame:
+    """Period-over-period comparison (YoY with the defaults): per
+    calendar ``bucket``, the exact cent sum of ``value_col``, the
+    value of the SAME bucket ``lag_periods`` earlier, and the delta
+    in ppm — the time-intelligence staple ("revenue vs the same
+    month last year").
+
+    Gap-correct by construction: the prior period attaches by an
+    EQUI-JOIN on the shifted calendar key (``add_months``), never a
+    row-offset ``lag()`` — a missing month in the data misaligns a
+    row-lag but cannot misalign a calendar join.  Scale shape: one
+    map-side-combinable aggregation to the bucket grain, then a
+    grain×grain self-join (bounded by the calendar, broadcast-sized
+    at any fact scale).  A period with no prior reports NULLs; a
+    zero/negative prior reports a NULL delta (share of a non-positive
+    base is undefined).
+    """
+    if bucket not in ("month", "quarter", "year"):
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    months = {"month": 1, "quarter": 3, "year": 12}[bucket]
+    per = (df.groupBy(F.date_trunc(bucket, F.col(time_col))
+                      .alias("period"))
+           .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                .cast("long").alias("value_cents")))
+    prior = per.select(
+        F.add_months(F.col("period"),
+                     lag_periods * months).cast("timestamp")
+        .alias("period"),
+        F.col("value_cents").alias("prior_cents"))
+    out = per.join(prior, "period", "left")
+    delta = F.when(
+        F.col("prior_cents") > 0,
+        F.expr("CAST((CAST(1000000 AS decimal(38,0)) * "
+               "(value_cents - prior_cents)) div prior_cents "
+               "AS BIGINT)"))
+    return out.select("period", "value_cents", "prior_cents",
+                      delta.alias("delta_ppm"))
+
+
+def percent_of_parent(df: DataFrame, parent_cols: Sequence[str],
+                      child_cols: Sequence[str],
+                      value_col: str) -> DataFrame:
+    """Percent-of-parent contribution: exact cent sums at the child
+    grain plus each child's share of its parent's total in ppm —
+    "each nation's share of its region's revenue", the hierarchy
+    counterpart of a global share.
+
+    Scale shape: ONE map-side-combinable aggregation to the
+    (parent, child) grain, then a window SUM partitioned by the
+    parent over that grain — the window runs on grain-sized data
+    (|parents|×|children| rows), never on facts, and partitioning by
+    the parent keys keeps it fully parallel.  Truncating integer div
+    keeps the share oracle-replayable; a non-positive parent total
+    yields NULL shares.
+    """
+    from pyspark.sql.window import Window as W
+
+    pl, cl = list(parent_cols), list(child_cols)
+    grain = (df.groupBy(*[F.col(c) for c in pl + cl])
+             .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                  .cast("long").alias("value_cents")))
+    total = F.sum("value_cents").over(W.partitionBy(*pl))
+    return (grain
+            .withColumn("parent_cents", total.cast("long"))
+            .withColumn(
+                "share_ppm",
+                F.when(F.col("parent_cents") > 0,
+                       F.expr("CAST((CAST(1000000 AS decimal(38,0))"
+                              " * value_cents) div parent_cents"
+                              " AS BIGINT)"))))

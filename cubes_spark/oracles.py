@@ -5125,6 +5125,64 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY numwait DESC, s.s_name
         LIMIT 100"""
 
+    # YoY monthly revenue: calendar equi-join, not row lag.
+    sql["orders_yoy"] = """
+        WITH per AS (
+            SELECT date_trunc('month', o_orderdate) AS period,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS value_cents
+            FROM orders GROUP BY 1)
+        SELECT c.period, c.value_cents,
+            p.value_cents AS prior_cents,
+            CASE WHEN p.value_cents > 0 THEN
+                CAST((CAST(1000000 AS HUGEINT)
+                      * (c.value_cents - p.value_cents))
+                     // p.value_cents AS BIGINT)
+            END AS delta_ppm
+        FROM per c
+        LEFT JOIN per p
+            ON c.period = p.period + INTERVAL 12 MONTH"""
+
+    # Percent-of-parent: nation share of region revenue, exact ppm.
+    sql["nation_share"] = """
+        WITH grain AS (
+            SELECT r.r_name, n.n_name,
+                CAST(sum(CAST(round(l.l_extendedprice * 100)
+                              AS BIGINT)) AS BIGINT) AS value_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2)
+        SELECT r_name, n_name, value_cents,
+            CAST(sum(value_cents) OVER (PARTITION BY r_name)
+                 AS BIGINT) AS parent_cents,
+            CASE WHEN sum(value_cents) OVER (PARTITION BY r_name) > 0
+            THEN CAST((CAST(1000000 AS HUGEINT) * value_cents)
+                      // sum(value_cents) OVER (PARTITION BY r_name)
+                      AS BIGINT)
+            END AS share_ppm
+        FROM grain"""
+
+    # Per-group top-N with full deterministic tiebreak.
+    sql["topn_customers_nation"] = """
+        WITH per AS (
+            SELECT n.n_name, c.c_custkey,
+                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS revenue_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY n_name
+                ORDER BY revenue_cents DESC, c_custkey ASC)
+                AS BIGINT) AS rank
+            FROM per)
+        SELECT n_name, c_custkey, revenue_cents, rank
+        FROM ranked WHERE rank <= 3"""
+
     return sql
 
 

@@ -1035,3 +1035,59 @@ def test_group_ols_trend_partition_invariant(spark):
     a = group_ols_trend(df.repartition(1), ["g"], "ts", "v").collect()
     b = group_ols_trend(df.repartition(11), ["g"], "ts", "v").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestPeriodOverPeriod:
+    def test_yoy_with_gap_month(self, spark):
+        import datetime as dt
+        from cubes_spark.operators.olap import period_over_period
+        rows = [
+            (dt.datetime(1995, 3, 10), 10.0),
+            (dt.datetime(1995, 3, 20), 5.0),
+            # 1995-04 missing entirely: a row-offset lag would
+            # misalign; the calendar join must not
+            (dt.datetime(1996, 3, 5), 30.0),
+            (dt.datetime(1996, 4, 5), 7.0),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        out = {r["period"].strftime("%Y-%m"): r for r in
+               period_over_period(df, "ts", "v").collect()}
+        assert out["1995-03"]["prior_cents"] is None
+        assert out["1996-03"]["value_cents"] == 3000
+        assert out["1996-03"]["prior_cents"] == 1500
+        assert out["1996-03"]["delta_ppm"] == 1000000  # doubled
+        # 1996-04's prior (1995-04) has no data -> NULLs, not 1995-03
+        assert out["1996-04"]["prior_cents"] is None
+        assert out["1996-04"]["delta_ppm"] is None
+
+    def test_negative_prior_null_delta(self, spark):
+        import datetime as dt
+        from cubes_spark.operators.olap import period_over_period
+        rows = [(dt.datetime(1995, 1, 1), -5.0),
+                (dt.datetime(1996, 1, 1), 10.0)]
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        out = {r["period"].strftime("%Y-%m"): r for r in
+               period_over_period(df, "ts", "v").collect()}
+        assert out["1996-01"]["prior_cents"] == -500
+        assert out["1996-01"]["delta_ppm"] is None
+
+
+class TestPercentOfParent:
+    def test_shares_sum_within_parent(self, spark):
+        from cubes_spark.operators.olap import percent_of_parent
+        rows = [("R1", "A", 10.0), ("R1", "B", 30.0),
+                ("R2", "C", 5.0)]
+        df = spark.createDataFrame(rows, "r string, n string, v double")
+        out = {(r["r"], r["n"]): r for r in
+               percent_of_parent(df, ["r"], ["n"], "v").collect()}
+        assert out[("R1", "A")]["share_ppm"] == 250000
+        assert out[("R1", "B")]["share_ppm"] == 750000
+        assert out[("R2", "C")]["share_ppm"] == 1000000
+        assert out[("R1", "A")]["parent_cents"] == 4000
+
+    def test_non_positive_parent_null_share(self, spark):
+        from cubes_spark.operators.olap import percent_of_parent
+        rows = [("R1", "A", -10.0), ("R1", "B", 10.0)]
+        df = spark.createDataFrame(rows, "r string, n string, v double")
+        out = percent_of_parent(df, ["r"], ["n"], "v").collect()
+        assert all(r["share_ppm"] is None for r in out)

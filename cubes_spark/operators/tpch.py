@@ -547,7 +547,10 @@ def q11_important_stock(supplier: DataFrame, lineitem: DataFrame,
     Scale shape: the scoped fact aggregates once on part key; the
     global total is ONE driver row off that same aggregate (computed
     once, never a rescan); the threshold filter is a map-side
-    comparison against a literal.
+    comparison against a literal.  Like the published query (whose
+    fraction is 0.0001/SF), a FIXED fraction gets more selective as
+    the part universe grows — pass a smaller ``fraction_ppm`` at
+    larger scale factors to keep a target result size.
     """
     nk = (nation.filter(F.col("n_name") == nation_name)
           .select(F.col("n_nationkey").alias("__nk__")))

@@ -451,3 +451,128 @@ def test_q9_profit_sign(spark):
                                  orders, _nat(spark)).collect()
     assert [(r["nation"], r["o_year"], r["profit_e4"]) for r in out] \
         == [("NATION_1", 1996, 40000)]
+
+
+# ---------------------------------------------------------------------------
+# Decorrelation equivalence: the round-10 aggregate+join-back rewrites
+# must equal the published CORRELATED formulations on arbitrary data —
+# DuckDB executes the correlated subquery form directly on the same
+# rows (hypothesis drives the fixtures).
+# ---------------------------------------------------------------------------
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP = dict(max_examples=12, deadline=None,
+             suppress_health_check=[
+                 HealthCheck.too_slow,
+                 HealthCheck.function_scoped_fixture])
+
+_li_rows = st.lists(
+    st.tuples(st.integers(1, 6),       # orderkey
+              st.integers(1, 4),       # partkey
+              st.integers(1, 3),       # suppkey
+              st.integers(1, 9),       # quantity
+              st.integers(1, 50),      # price dollars
+              st.sampled_from("RNA")), # returnflag
+    min_size=1, max_size=24)
+
+
+def _lip_from(spark, rows):
+    d = dt.datetime(1996, 1, 1)
+    return _lip(spark, [
+        (ok, pk, sk, float(q), float(pr), 0.0, rf, d)
+        for ok, pk, sk, q, pr, rf in rows])
+
+
+class TestDecorrelationEquivalence:
+    @given(rows=_li_rows)
+    @settings(**_PROP)
+    def test_q17_equals_correlated_form(self, spark, rows):
+        from cubes_spark.operators.tpch import (
+            q17_small_quantity_revenue)
+        part = _part(spark, [(pk, "x", "Brand#3", "T", 1, 1.0)
+                             for pk in {r[1] for r in rows}])
+        got = q17_small_quantity_revenue(
+            part, _lip_from(spark, rows)).collect()[0]
+        li = pd.DataFrame(
+            [(r[1], r[3] * 100, r[4] * 100) for r in rows],
+            columns=["pk", "q", "pr"])
+        con = duckdb.connect()
+        con.register("li", li)
+        # the published correlated scalar subquery (qty < 0.2·avg),
+        # executed directly in its exact cross-multiplied strict form
+        want_n = con.execute("""
+            SELECT count(*), coalesce(sum(pr), 0)
+            FROM li l
+            WHERE CAST(l.q AS HUGEINT) * 5
+                  * (SELECT count(*) FROM li i WHERE i.pk = l.pk)
+                  < (SELECT sum(q) FROM li i WHERE i.pk = l.pk)
+        """).fetchone()
+        assert got["n_small_lineitems"] == want_n[0]
+        assert (got["total_price_cents"] or 0) == want_n[1]
+
+    @given(rows=_li_rows)
+    @settings(**_PROP)
+    def test_q21_equals_exists_form(self, spark, rows):
+        from cubes_spark.operators.tpch import (
+            q21_suppliers_kept_waiting)
+        d = dt.datetime(1996, 1, 1)
+        orders = spark.createDataFrame(
+            [(ok, 1, "F", 1.0, d, "1-URGENT")
+             for ok in {r[0] for r in rows}],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string")
+        supp = _supp(spark, [(sk, f"s{sk}", 0, 0.0)
+                             for sk in {r[2] for r in rows}])
+        got = {(r["s_name"], r["numwait"]) for r in
+               q21_suppliers_kept_waiting(
+                   supp, _lip_from(spark, rows), orders,
+                   _nat(spark), nation_name="NATION_0").collect()}
+        li = pd.DataFrame(
+            [(r[0], r[2], r[5]) for r in rows],
+            columns=["ok", "sk", "rf"])
+        con = duckdb.connect()
+        con.register("li", li)
+        # the published EXISTS + NOT-EXISTS correlated form
+        want = {(f"s{sk}", n) for sk, n in con.execute("""
+            SELECT l1.sk, count(DISTINCT l1.ok)
+            FROM (SELECT DISTINCT ok, sk FROM li
+                  WHERE rf = 'R') l1
+            WHERE EXISTS (SELECT 1 FROM li l2
+                          WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+              AND NOT EXISTS (SELECT 1 FROM li l3
+                              WHERE l3.ok = l1.ok
+                                AND l3.sk <> l1.sk
+                                AND l3.rf = 'R')
+            GROUP BY 1
+        """).fetchall()}
+        assert got == want
+
+    @given(rows=_li_rows)
+    @settings(**_PROP)
+    def test_q20_equals_correlated_half(self, spark, rows):
+        from cubes_spark.operators.tpch import q20_potential_promotion
+        part = _part(spark, [(pk, "red x", "B", "T", 1, 1.0)
+                             for pk in {r[1] for r in rows}])
+        supp = _supp(spark, [(sk, f"s{sk}", 0, 0.0)
+                             for sk in {r[2] for r in rows}])
+        got = {r["s_suppkey"] for r in q20_potential_promotion(
+            part, supp, _lip_from(spark, rows), _nat(spark),
+            nation_name="NATION_0").collect()}
+        li = pd.DataFrame(
+            [(r[1], r[2], r[3] * 100) for r in rows],
+            columns=["pk", "sk", "q"])
+        con = duckdb.connect()
+        con.register("li", li)
+        want = {sk for (sk,) in con.execute("""
+            SELECT DISTINCT p.sk
+            FROM (SELECT pk, sk, sum(q) AS sq FROM li
+                  GROUP BY 1, 2) p
+            WHERE CAST(p.sq AS HUGEINT) * 2 >
+                  (SELECT sum(q) FROM li i WHERE i.pk = p.pk)
+        """).fetchall()}
+        assert got == want

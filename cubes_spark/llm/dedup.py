@@ -823,12 +823,20 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
         F.sequence(F.lit(window), length),
         lambda p: _window_hash(p) % (1 << mask_bits) == 0,
     )
-    bounds = F.array_distinct(F.concat(
+    bounds_expr = F.array_distinct(F.concat(
         F.array(F.lit(0)),
         F.when(length >= window, ends)
         .otherwise(F.array().cast("array<int>")),
         F.array(length),
     ))
+    # bounds MUST also be a materialized column: referenced from
+    # inside the chunk-slicing lambda it would be re-evaluated (the
+    # full boundary scan!) for EVERY chunk element — O(len²/chunk)
+    # per document instead of O(len·window).  Lambda bodies are
+    # interpreted per element with no cross-element subexpression
+    # reuse, so anything a lambda touches repeatedly needs to be an
+    # attribute, not an expression.
+    bounds = F.col("__bounds__")
     idx = F.when(
         F.size(bounds) >= 2,
         F.sequence(F.lit(1), F.size(bounds) - 1),
@@ -841,7 +849,8 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
         ),
     )
     exploded = spread(df).withColumn(
-        "__cps__", F.transform(F.split(txt, ""), F.ascii)).select(
+        "__cps__", F.transform(F.split(txt, ""), F.ascii)) \
+        .withColumn("__bounds__", bounds_expr).select(
         F.col(id_col),
         F.posexplode(chunks).alias("__i__", "chunk_text"),
     )

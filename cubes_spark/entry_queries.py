@@ -5742,3 +5742,110 @@ def q_topn_customers_nation(spark, sf_dir):
         per_cust, ["n_name"],
         [F.col("revenue_cents").desc(), F.col("c_custkey").asc()],
         n=3)
+
+
+def q_orders_anova(spark, sf_dir):
+    """One-way ANOVA across order priorities (operators/stats.py:
+    one_way_anova): does mean order value differ by priority?  F and
+    eta² as exact scaled integers off one map-side-combinable moment
+    aggregation — see _anova_from_moments for the fdiv recipe the
+    oracle replays."""
+    from cubes_spark.operators.stats import one_way_anova
+
+    od = _table(spark, sf_dir, "orders")
+    return one_way_anova(od, "o_orderpriority", "o_totalprice")
+
+
+def q_orders_bf(spark, sf_dir):
+    """Brown–Forsythe variance-equality test across order priorities
+    (operators/stats.py:brown_forsythe): the ANOVA F on |v − group
+    median| with exact percentile_disc medians in cents — the robust
+    Levene variant, group-partitioned windows only."""
+    from cubes_spark.operators.stats import brown_forsythe
+
+    od = _table(spark, sf_dir, "orders")
+    return brown_forsythe(od, "o_orderpriority", "o_totalprice")
+
+
+def q_orders_kruskal(spark, sf_dir):
+    """Kruskal–Wallis H across order priorities (operators/stats.py:
+    kruskal_wallis): k-sample rank test with tie correction, doubled
+    tie-averaged ranks off the value-grain cumulative histogram —
+    no per-row rank ever materializes."""
+    from cubes_spark.operators.stats import kruskal_wallis
+
+    od = _table(spark, sf_dir, "orders")
+    return kruskal_wallis(od, "o_orderpriority", "o_totalprice")
+
+
+def q_window_dist(spark, sf_dir):
+    """SQL window distribution-function parity (beyond the
+    reference's calculator set): ntile(4), percent_rank and
+    cume_dist over customers ranked by exact account-balance cents
+    WITHIN each nation — a fully deterministic total order (balance,
+    custkey), so the doubles are single-division exact and the
+    oracle replays them bit-for-bit.  Windows partition by nation:
+    per-partition state is that nation's customers, never the full
+    table."""
+    from pyspark.sql.window import Window as W
+
+    cu = _table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.round(F.col("c_acctbal") * 100).cast("long"), "c_custkey")
+    return cu.select(
+        F.col("c_nationkey").cast("long").alias("nation_key"),
+        F.col("c_custkey").cast("long").alias("cust_key"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"))
+
+
+def q_region_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg parity):
+    each region's nation names concatenated in collation order —
+    Spark side as array_join(array_sort(collect_list(...)))  (the
+    deterministic formulation that never depends on row arrival
+    order), oracle as string_agg(... ORDER BY ...)."""
+    na = _table(spark, sf_dir, "nation")
+    re_ = _table(spark, sf_dir, "region")
+    return (na.join(F.broadcast(re_),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")),
+                              ",").alias("nations"),
+                 F.count(F.lit(1)).cast("long").alias("n_nations")))
+
+
+def q_events_entropy(spark, sf_dir):
+    """Shannon entropy of the event-type distribution
+    (operators/stats.py:shannon_entropy): exact counts, one ordered
+    fold for the Σ c·ln c so the double sum is deterministic."""
+    from cubes_spark.operators.stats import shannon_entropy
+
+    ev = _table(spark, sf_dir, "events")
+    return shannon_entropy(ev, "event_type")
+
+
+def q_lineitem_ratio_ci(spark, sf_dir):
+    """Delta-method ratio metric (operators/stats.py:ratio_delta_ci):
+    revenue per unit quantity by return flag with linearization
+    variance — the A/B ratio-metric estimator, exact moment sums and
+    one shared double formula."""
+    from cubes_spark.operators.stats import ratio_delta_ci
+
+    li = _table(spark, sf_dir, "lineitem")
+    return ratio_delta_ci(li, ["l_returnflag"],
+                          "l_extendedprice", "l_quantity")
+
+
+def q_orders_bootstrap(spark, sf_dir):
+    """Poisson bootstrap CI for mean order value per priority
+    (operators/stats.py:poisson_bootstrap_mean): 64 md5-seeded
+    Poisson(1) replicates via integer inverse-CDF thresholds, order-
+    statistic band over the replicate means — the shuffle-free
+    resampling scheme for partitioned data (Chamandy et al. 2012)."""
+    from cubes_spark.operators.stats import poisson_bootstrap_mean
+
+    od = _table(spark, sf_dir, "orders")
+    return poisson_bootstrap_mean(
+        od, ["o_orderpriority"], "o_totalprice", "o_orderkey")

@@ -48,6 +48,12 @@ __all__ = [
     "theil_sen_slope",
     "cuped_adjusted_diff",
     "mann_kendall",
+    "one_way_anova",
+    "brown_forsythe",
+    "kruskal_wallis",
+    "shannon_entropy",
+    "ratio_delta_ci",
+    "poisson_bootstrap_mean",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1080,3 +1086,370 @@ def mann_kendall(df: DataFrame, group_cols: Sequence[str],
     return joined.select(
         *gcols, "n_buckets", "n_pairs", "s",
         var18.cast("long").alias("var_s_x18"))
+
+
+def _fdiv(a: str, b: str) -> str:
+    """SQL text for EXACT floor division of non-negative
+    decimal(38,0) expressions that STAYS decimal(38,0).  Spark's
+    ``div`` operator always narrows its result to BIGINT (overflow
+    at ~9.2·10¹⁸), so large-integer quotients need the remainder
+    form ``(a − a % b) / b``: the decimal ``%`` is exact, the
+    division's operand is then an exact multiple of ``b``, and the
+    (38,6)-typed quotient is integral — representable exactly up to
+    10³² — before the final cast.  DuckDB replays it as plain
+    HUGEINT ``//`` (both floor non-negative operands identically).
+    """
+    return (f"CAST(((({a}) - (({a}) % ({b}))) / ({b})) AS {_DEC})")
+
+
+def _anova_from_moments(gstats: DataFrame, k_scale: int = 1000
+                        ) -> DataFrame:
+    """Shared F-statistic assembly for :func:`one_way_anova` /
+    :func:`brown_forsythe`: from the per-group moment frame
+    ``(n_g, s_g, q_g)`` (count, sum, sum-of-squares — all exact
+    integers in cents), emit the classical one-way F and eta² as
+    scaled integers a SQL oracle replays bit-for-bit.
+
+    Exactness recipe (every step integer, both engines truncate
+    identically):
+
+        A   = Σ_g (s_g² · SCALE) fdiv n_g         (SCALE = 10³)
+        SSB = max(0, A − (S² · SCALE) fdiv n)
+        SSW = max(0, Q · SCALE − A)
+        SST = max(0, Q · SCALE − (S² · SCALE) fdiv n)
+        f_ppm    = (SSB · (n−k) · 10⁶) fdiv (SSW · (k−1))
+        eta2_ppm = (SSB · 10⁶) fdiv SST
+
+    where ``fdiv`` is :func:`_fdiv` — Spark's ``div`` operator
+    always narrows to BIGINT, so the quotients here (up to ~10²⁶)
+    need the remainder-subtraction floor division to stay in
+    decimal(38,0).  The interim SCALE=10³ keeps the per-group
+    truncation error below one part in 10³ of a cent² while bounding
+    the largest product — Q·10³·n·10⁶ — under 10³⁸ (decimal(38,0) /
+    HUGEINT) up to roughly 10⁸ fact rows of 7-digit cent values
+    (≈ sf30 orders).
+
+    Scale shape: ONE map-side-combinable aggregation to the k-row
+    group grain, then a k-row reduce — no window, no join, no
+    driver-side data beyond the final row.
+    """
+    a_term = F.sum(F.expr(_fdiv(
+        f"CAST(s_g AS {_DEC}) * s_g * {k_scale}",
+        f"CAST(n_g AS {_DEC})"))).alias("__a__")
+    tot = gstats.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast(_DEC).alias("__n__"),
+        F.sum(F.col("s_g").cast(_DEC)).alias("__s__"),
+        F.sum(F.col("q_g").cast(_DEC)).alias("__q__"),
+        a_term)
+    ssb = F.expr(
+        f"greatest(CAST(0 AS {_DEC}), __a__ - "
+        + _fdiv(f"__s__ * __s__ * {k_scale}", "__n__") + ")")
+    ssw = F.expr(
+        f"greatest(CAST(0 AS {_DEC}), __q__ * {k_scale} - __a__)")
+    sst = F.expr(
+        f"greatest(CAST(0 AS {_DEC}), __q__ * {k_scale} - "
+        + _fdiv(f"__s__ * __s__ * {k_scale}", "__n__") + ")")
+    out = (tot.withColumn("__ssb__", ssb)
+           .withColumn("__ssw__", ssw)
+           .withColumn("__sst__", sst))
+    f_ppm = F.expr(
+        "CAST(CASE WHEN __ssw__ > 0 AND k > 1 THEN "
+        + _fdiv("__ssb__ * (__n__ - k) * 1000000",
+                "__ssw__ * (k - 1)")
+        + " END AS BIGINT)")
+    eta = F.expr(
+        "CAST(CASE WHEN __sst__ > 0 THEN "
+        + _fdiv("__ssb__ * 1000000", "__sst__")
+        + " END AS BIGINT)")
+    return out.select(
+        F.col("k").alias("n_groups"),
+        F.col("__n__").cast("long").alias("n_rows"),
+        f_ppm.alias("f_ppm"),
+        eta.alias("eta2_ppm"))
+
+
+def one_way_anova(df: DataFrame, group_col: str,
+                  value_col: str) -> DataFrame:
+    """One-way ANOVA (Fisher): F = (SSB/(k−1)) / (SSW/(n−k)) across
+    the groups of ``group_col``, plus the eta² effect size — emitted
+    as exact scaled integers (``f_ppm``, ``eta2_ppm``) via the
+    integer recipe in :func:`_anova_from_moments`.  The reference's
+    aggregate vocabulary stops at variance (see module docstring);
+    this is the standard 'do the group means differ' companion.
+
+    Scale shape: one aggregation to the group grain carrying
+    (count, Σv, Σv²) — map-side combinable, no shuffle beyond the
+    k-row exchange; identical cost to a plain grouped variance.
+    """
+    v = _cents(value_col)
+    gstats = (df.filter(F.col(value_col).isNotNull()
+                        & F.col(group_col).isNotNull())
+              .groupBy(group_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_g"),
+                   F.sum(v.cast(_DEC)).alias("s_g"),
+                   F.sum(v.cast(_DEC) * v).alias("q_g")))
+    return _anova_from_moments(gstats)
+
+
+def brown_forsythe(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Brown–Forsythe test for equality of group variances (Brown &
+    Forsythe 1974): the one-way ANOVA F applied to the absolute
+    deviations from each GROUP MEDIAN ``z = |v − med_g|`` — the
+    robust (median-centred) Levene variant.  Medians are exact
+    percentile_disc order statistics in cents (smallest v with
+    rank ≥ (n_g+1) div 2), so z is an exact integer and the F
+    assembly shares :func:`_anova_from_moments`'s recipe verbatim.
+
+    Scale shape: per-group ranks come from a window PARTITIONED BY
+    THE GROUP (never global); the median attaches back with one
+    null-safe equi-join on the group key; then the same single
+    moment aggregation as :func:`one_way_anova`.
+    """
+    from pyspark.sql.window import Window as W
+
+    base = (df.filter(F.col(value_col).isNotNull()
+                      & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("__g__"),
+                    _cents(value_col).alias("__v__")))
+    w_ord = W.partitionBy("__g__").orderBy("__v__")
+    w_all = W.partitionBy("__g__")
+    ranked = (base.withColumn("__rn__", F.row_number().over(w_ord))
+              .withColumn("__ng__", F.count(F.lit(1)).over(w_all)))
+    med = ranked.groupBy("__g__").agg(
+        F.min(F.when(F.col("__rn__") >= F.expr("(__ng__ + 1) div 2"),
+                     F.col("__v__"))).alias("__med__"))
+    z = F.abs(F.col("__v__") - F.col("__med__"))
+    gstats = (_null_safe_join(base, med, ["__g__"],
+                              broadcast_right=True)
+              .select("__g__", z.alias("__z__"))
+              .groupBy("__g__")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_g"),
+                   F.sum(F.col("__z__").cast(_DEC)).alias("s_g"),
+                   F.sum(F.col("__z__").cast(_DEC)
+                         * F.col("__z__")).alias("q_g")))
+    return _anova_from_moments(gstats)
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str,
+                   num_buckets: int = 256) -> DataFrame:
+    """Kruskal–Wallis H across the groups of ``group_col`` — the
+    k-sample rank generalization of :func:`mann_whitney_u`, with the
+    standard tie correction, emitted as an exact scaled integer
+    ``h_ppm`` a SQL oracle replays bit-for-bit.
+
+    With DOUBLED tie-averaged ranks (2·avg_rank(v) = 2·#below(v) +
+    ties(v) + 1 — pure counts off the value-grain cumulative
+    histogram), the doubled rank sum R2_g gives
+
+        A     = Σ_g (R2_g² · 10⁶) fdiv (4·n_g)
+        B     = max(0, (12·A) fdiv (n(n+1)) − 3(n+1)·10⁶)
+        h_ppm = (B · (n³−n)) fdiv (n³−n−T),  T = Σ_v (t_v³ − t_v)
+
+    — H = 12/(n(n+1))·ΣR_g²/n_g − 3(n+1) over the tie factor
+    1 − T/(n³−n), every division the exact decimal floor division
+    of :func:`_fdiv` (DuckDB replays HUGEINT ``//``).  The decimal(38,0) bound holds to ≈ 10⁸ rows.
+
+    Scale shape: the pooled ranking NEVER materializes per-row ranks
+    — one groupBy to the (value, group) grain, the two-phase
+    value-bucketed prefix sum of :func:`~cubes_spark.operators.olap.
+    _cum_value_histogram` for #(x ≤ v), one value-grain equi-join,
+    one aggregation to the k-row group grain.
+    """
+    from cubes_spark.operators.olap import _cum_value_histogram
+
+    base = (df.filter(F.col(value_col).isNotNull()
+                      & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("__g__"),
+                    _cents(value_col).alias("__vc__")))
+    cum = _cum_value_histogram(base, "__vc__", num_buckets)
+    spark = df.sparkSession
+    if cum is None:
+        return spark.createDataFrame(
+            [], "n_groups long, n_rows long, tie_term long, "
+                "h_ppm long")
+    # doubled tie-averaged rank per distinct value, and the tie term
+    vals = cum.select(
+        "__v__",
+        (2 * F.col("__cum__") - F.col("__cnt__") + 1)
+        .cast(_DEC).alias("__r2__"))
+    ties = cum.agg(
+        F.sum(F.col("__cnt__").cast(_DEC) * F.col("__cnt__")
+              * F.col("__cnt__")
+              - F.col("__cnt__")).alias("__t__"),
+        F.sum("__cnt__").cast(_DEC).alias("__n__"))
+    gv = (base.groupBy("__g__", F.col("__vc__").alias("__v__"))
+          .agg(F.count(F.lit(1)).cast("long").alias("__c__")))
+    per_g = (gv.join(vals, "__v__")
+             .groupBy("__g__")
+             .agg(F.sum("__c__").cast(_DEC).alias("__ng__"),
+                  F.sum(F.col("__c__") * F.col("__r2__"))
+                  .alias("__r2g__")))
+    a_term = F.sum(F.expr(_fdiv(
+        "__r2g__ * __r2g__ * 1000000",
+        f"CAST(4 AS {_DEC}) * __ng__"))).alias("__a__")
+    tot = per_g.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                    a_term).crossJoin(ties)
+    b = F.expr(
+        f"greatest(CAST(0 AS {_DEC}), "
+        + _fdiv("12 * __a__", "__n__ * (__n__ + 1)")
+        + " - 3 * (__n__ + 1) * 1000000)")
+    out = tot.withColumn("__b__", b)
+    h = F.expr(
+        "CAST(CASE WHEN __n__ * __n__ * __n__ - __n__ - __t__ > 0"
+        " THEN "
+        + _fdiv("__b__ * (__n__ * __n__ * __n__ - __n__)",
+                "__n__ * __n__ * __n__ - __n__ - __t__")
+        + " END AS BIGINT)")
+    return out.select(
+        F.col("k").alias("n_groups"),
+        F.col("__n__").cast("long").alias("n_rows"),
+        F.col("__t__").cast("long").alias("tie_term"),
+        h.alias("h_ppm"))
+
+
+def shannon_entropy(df: DataFrame, category_col: str) -> DataFrame:
+    """Shannon entropy of a categorical distribution, in nats:
+    H = ln n − (Σ_c c·ln c)/n over the category counts.  Counts are
+    exact longs; the only float work is the pointwise ``ln`` and ONE
+    ordered fold over the sorted count array — double addition is not
+    associative, so the k-term Σ c·ln c runs as a sequential
+    ``aggregate()`` over ``array_sort(collect_list(c))``, giving a
+    deterministic result the oracle replays with the identical
+    sorted-list reduce (DuckDB ``list_reduce``).
+
+    Scale shape: one map-side-combinable count aggregation to the
+    category grain; the collect_list holds only the k category counts
+    (bounded by the alphabet, not the fact count).
+    """
+    cnt = (df.filter(F.col(category_col).isNotNull())
+           .groupBy(category_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("__c__")))
+    tot = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum("__c__").cast("long").alias("n_rows"),
+        F.array_sort(F.collect_list("__c__")).alias("__cs__"))
+    return (tot.withColumn(
+        "__sum_clnc__",
+        F.expr("aggregate(__cs__, CAST(0.0 AS DOUBLE),"
+               " (acc, c) -> acc + c * ln(c))"))
+        .select("n_categories", "n_rows",
+                F.expr("CASE WHEN n_rows > 0 THEN"
+                       " ln(n_rows) - __sum_clnc__ / n_rows"
+                       " END").alias("entropy_nats")))
+
+
+def ratio_delta_ci(df: DataFrame, group_cols: Sequence[str],
+                   num_col: str, den_col: str) -> DataFrame:
+    """Per-group ratio-of-sums metric R = Σx/Σy with its delta-method
+    (linearization) variance — the standard estimator for ratio
+    metrics in A/B analysis (e.g. revenue per unit), where rows are
+    the randomization unit:
+
+        var(R) ≈ n/(n−1) · (Σx² − 2R·Σxy + R²·Σy²) / (Σy)²
+
+    All six moments (n, Σx, Σy, Σx², Σy², Σxy) are EXACT integers in
+    cents; R and var(R) are then computed with the one fixed double
+    formula both engines share, so the output hashes bit-for-bit.
+
+    Scale shape: one map-side-combinable aggregation to the group
+    grain — identical cost to a grouped variance; no window, no join.
+    """
+    x = _cents(num_col)
+    y = _cents(den_col)
+    g = (df.filter(F.col(num_col).isNotNull()
+                   & F.col(den_col).isNotNull())
+         .groupBy(*group_cols)
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(x.cast(_DEC)).alias("__sx__"),
+              F.sum(y.cast(_DEC)).alias("__sy__"),
+              F.sum(x.cast(_DEC) * x).alias("__sxx__"),
+              F.sum(y.cast(_DEC) * y).alias("__syy__"),
+              F.sum(x.cast(_DEC) * y).alias("__sxy__")))
+    r = "(CAST(__sx__ AS DOUBLE) / CAST(__sy__ AS DOUBLE))"
+    var = (f"CAST(n AS DOUBLE)/(n-1) * (CAST(__sxx__ AS DOUBLE)"
+           f" - 2*{r}*CAST(__sxy__ AS DOUBLE)"
+           f" + {r}*{r}*CAST(__syy__ AS DOUBLE))"
+           f" / (CAST(__sy__ AS DOUBLE)*CAST(__sy__ AS DOUBLE))")
+    return g.select(
+        *group_cols, "n",
+        F.expr(f"CASE WHEN __sy__ <> 0 THEN {r} END").alias("ratio"),
+        F.expr(f"CASE WHEN __sy__ <> 0 AND n > 1 THEN {var} END")
+        .alias("var_ratio"))
+
+
+#: cumulative Poisson(1) thresholds in the 60-bit hash space:
+#: T_k = floor(P(X <= k) · 2^60); a uniform 60-bit draw u maps to
+#: weight w = #{k : u >= T_k} — the inverse-CDF in pure integers.
+_POISSON1_THRESHOLDS = (
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776)
+
+
+def poisson_bootstrap_mean(df: DataFrame, group_cols: Sequence[str],
+                           value_col: str, id_col: str,
+                           n_reps: int = 64,
+                           salt: str = "boot") -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Chamandy et al. 2012 — the resampling scheme
+    that works on partitioned data: each row independently draws a
+    Poisson(1) multiplicity per replicate, no global sample of size
+    n required).  The draw is the portable md5 hash of
+    ``salt:replicate:id`` mapped through integer inverse-CDF
+    thresholds (:data:`_POISSON1_THRESHOLDS`), so every replicate is
+    deterministic and the oracle replays it hash-for-hash.
+
+    Replicate means are exact-int ratios evaluated as one double
+    division; the interval is the 2nd / (B−1)th order statistic of
+    the B replicate means (≈ the 2.5/97.5 percentile band at B=64).
+
+    Scale shape: the replicate explosion is a constant B× map-side
+    blowup feeding ONE map-side-combinable aggregation to the
+    (group × B) grain; the order statistics run on B rows per group.
+    No resampling shuffle ever happens — this is the point of the
+    Poisson scheme.
+    """
+    from pyspark.sql.window import Window as W
+
+    from cubes_spark.llm.text import hash64
+
+    gcols = list(group_cols)
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(*gcols, F.col(id_col).alias("__id__"),
+                    _cents(value_col).alias("__x__")))
+    rep = base.withColumn(
+        "__b__", F.explode(F.array(*[F.lit(i) for i in range(n_reps)])))
+    u = hash64(F.concat(F.lit(salt + ":"),
+                        F.col("__b__").cast("string"), F.lit(":"),
+                        F.col("__id__").cast("string")))
+    wgt = None
+    for t in _POISSON1_THRESHOLDS:
+        term = (u >= F.lit(t)).cast("long")
+        wgt = term if wgt is None else (wgt + term)
+    perb = (rep.withColumn("__w__", wgt)
+            .groupBy(*gcols, "__b__")
+            .agg(F.sum(F.col("__w__").cast(_DEC) * F.col("__x__"))
+                 .alias("__swx__"),
+                 F.sum("__w__").cast("long").alias("__sw__")))
+    means = (perb.filter(F.col("__sw__") > 0)
+             .select(*gcols, "__b__",
+                     F.expr("CAST(__swx__ AS DOUBLE) / __sw__")
+                     .alias("__m__")))
+    wo = W.partitionBy(*gcols).orderBy("__m__", "__b__")
+    wall = W.partitionBy(*gcols)
+    ranked = (means.withColumn("__rn__", F.row_number().over(wo))
+              .withColumn("__nb__", F.count(F.lit(1)).over(wall)))
+    ci = ranked.groupBy(*gcols).agg(
+        F.max("__nb__").cast("long").alias("n_reps"),
+        F.min(F.when(F.col("__rn__") == 2, F.col("__m__")))
+        .alias("ci_lo"),
+        F.min(F.when(F.col("__rn__") == F.col("__nb__") - 1,
+                     F.col("__m__"))).alias("ci_hi"))
+    point = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"CAST(CAST(sum(CAST(__x__ AS {_DEC})) AS DOUBLE)"
+               f" / count(*) AS DOUBLE)").alias("mean_cents"))
+    return _null_safe_join(point, ci, gcols).select(
+        *gcols, "n", "mean_cents", "n_reps", "ci_lo", "ci_hi")

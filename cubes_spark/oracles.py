@@ -5191,6 +5191,234 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name, c_custkey, revenue_cents, rank
         FROM ranked WHERE rank <= 3"""
 
+    # One-way ANOVA / Brown–Forsythe: replay the exact integer recipe
+    # of stats._anova_from_moments — HUGEINT `//` == the Spark side's
+    # _fdiv decimal floor division on non-negative operands.
+    _ANOVA_TAIL = """
+        tot AS (
+            SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s,
+                sum(q_g) AS q, sum((s_g * s_g * 1000) // n_g) AS a
+            FROM g),
+        ss AS (
+            SELECT k, n, q, a,
+                greatest(CAST(0 AS HUGEINT),
+                         a - (s * s * 1000) // n) AS ssb,
+                greatest(CAST(0 AS HUGEINT), q * 1000 - a) AS ssw,
+                greatest(CAST(0 AS HUGEINT),
+                         q * 1000 - (s * s * 1000) // n) AS sst
+            FROM tot)
+        SELECT CAST(k AS BIGINT) AS n_groups,
+            CAST(n AS BIGINT) AS n_rows,
+            CAST(CASE WHEN ssw > 0 AND k > 1
+                 THEN (ssb * (n - k) * 1000000) // (ssw * (k - 1))
+                 END AS BIGINT) AS f_ppm,
+            CAST(CASE WHEN sst > 0 THEN (ssb * 1000000) // sst
+                 END AS BIGINT) AS eta2_ppm
+        FROM ss"""
+
+    sql["orders_anova"] = """
+        WITH g AS (
+            SELECT o_orderpriority AS g,
+                CAST(count(*) AS HUGEINT) AS n_g,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS HUGEINT) AS s_g,
+                sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS HUGEINT)
+                    * CAST(round(o_totalprice * 100) AS BIGINT)) AS q_g
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_orderpriority IS NOT NULL
+            GROUP BY 1),""" + _ANOVA_TAIL
+
+    sql["orders_bf"] = """
+        WITH base AS (
+            SELECT o_orderpriority AS grp,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_orderpriority IS NOT NULL),
+        ranked AS (
+            SELECT grp, v,
+                row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+                count(*) OVER (PARTITION BY grp) AS ng
+            FROM base),
+        med AS (
+            SELECT grp,
+                min(CASE WHEN rn >= (ng + 1) // 2 THEN v END) AS med
+            FROM ranked GROUP BY grp),
+        z AS (
+            SELECT base.grp, CAST(abs(v - med) AS HUGEINT) AS z
+            FROM base
+            JOIN med ON base.grp IS NOT DISTINCT FROM med.grp),
+        g AS (
+            SELECT grp, CAST(count(*) AS HUGEINT) AS n_g,
+                sum(z) AS s_g, sum(z * z) AS q_g
+            FROM z GROUP BY grp),""" + _ANOVA_TAIL
+
+    sql["orders_kruskal"] = """
+        WITH base AS (
+            SELECT o_orderpriority AS grp,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_orderpriority IS NOT NULL),
+        hist AS (
+            SELECT v, CAST(count(*) AS HUGEINT) AS cnt
+            FROM base GROUP BY v),
+        cum AS (
+            SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum
+            FROM hist),
+        vals AS (SELECT v, 2 * cum - cnt + 1 AS r2 FROM cum),
+        ties AS (
+            SELECT sum(cnt * cnt * cnt - cnt) AS t, sum(cnt) AS n
+            FROM hist),
+        gv AS (
+            SELECT grp, v, CAST(count(*) AS HUGEINT) AS c
+            FROM base GROUP BY grp, v),
+        per_g AS (
+            SELECT grp, sum(c) AS ng, sum(c * r2) AS r2g
+            FROM gv JOIN vals USING (v) GROUP BY grp),
+        tot AS (
+            SELECT count(*) AS k,
+                sum((r2g * r2g * 1000000)
+                    // (CAST(4 AS HUGEINT) * ng)) AS a
+            FROM per_g),
+        b AS (
+            SELECT k, a, t, n,
+                greatest(CAST(0 AS HUGEINT),
+                         (12 * a) // (n * (n + 1))
+                         - 3 * (n + 1) * 1000000) AS bb
+            FROM tot CROSS JOIN ties)
+        SELECT CAST(k AS BIGINT) AS n_groups,
+            CAST(n AS BIGINT) AS n_rows,
+            CAST(t AS BIGINT) AS tie_term,
+            CAST(CASE WHEN n * n * n - n - t > 0
+                 THEN (bb * (n * n * n - n)) // (n * n * n - n - t)
+                 END AS BIGINT) AS h_ppm
+        FROM b"""
+
+    sql["window_dist"] = """
+            SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+                CAST(c_custkey AS BIGINT) AS cust_key,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume_dist
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                                  c_custkey)"""
+
+    sql["region_listagg"] = """
+            SELECT r_name,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name"""
+
+    sql["events_entropy"] = """
+            WITH cnt AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS c
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+            tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                    CAST(sum(c) AS BIGINT) AS n_rows,
+                    list_sort(list(c)) AS cs
+                FROM cnt)
+            SELECT n_categories, n_rows,
+                CASE WHEN n_rows > 0 THEN
+                    ln(n_rows) - list_reduce(
+                        list_prepend(CAST(0.0 AS DOUBLE),
+                            [CAST(c AS DOUBLE) * ln(c) FOR c IN cs]),
+                        (acc, x) -> acc + x) / n_rows
+                END AS entropy_nats
+            FROM tot"""
+
+    sql["lineitem_ratio_ci"] = """
+            WITH g AS (
+                SELECT l_returnflag,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS HUGEINT) AS sx,
+                    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                         AS HUGEINT) AS sy,
+                    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS HUGEINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS sxx,
+                    sum(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                             AS HUGEINT)
+                        * CAST(round(l_quantity * 100) AS BIGINT)) AS syy,
+                    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS HUGEINT)
+                        * CAST(round(l_quantity * 100) AS BIGINT)) AS sxy
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_quantity IS NOT NULL
+                GROUP BY 1)
+            SELECT l_returnflag, n,
+                CASE WHEN sy <> 0
+                     THEN CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+                END AS ratio,
+                CASE WHEN sy <> 0 AND n > 1 THEN
+                    CAST(n AS DOUBLE)/(n-1) * (CAST(sxx AS DOUBLE)
+                    - 2*(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                        *CAST(sxy AS DOUBLE)
+                    + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      *(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      *CAST(syy AS DOUBLE))
+                    / (CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+                END AS var_ratio
+            FROM g"""
+
+    _BOOT_TH = (424136118829305344, 848272237658610688,
+                1060340297073263360, 1131029650211480960,
+                1148701988496035328, 1152236456152946176,
+                1152825534095764608, 1152909688087595776)
+    _BOOT_W = " + ".join(
+        f"CAST(u >= {t} AS BIGINT)" for t in _BOOT_TH)
+    sql["orders_bootstrap"] = f"""
+            WITH base AS (
+                SELECT o_orderpriority AS g, o_orderkey AS id,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            rep AS (
+                SELECT g, id, x,
+                    unnest(generate_series(0, 63)) AS b
+                FROM base),
+            hashed AS (
+                SELECT g, b, x,
+                    CAST(concat('0x', substr(md5(concat('boot:',
+                        CAST(b AS VARCHAR), ':', CAST(id AS VARCHAR))),
+                        1, 15)) AS BIGINT) AS u
+                FROM rep),
+            wt AS (SELECT g, b, x, {_BOOT_W} AS w FROM hashed),
+            perb AS (
+                SELECT g, b, sum(CAST(w AS HUGEINT) * x) AS swx,
+                    CAST(sum(w) AS BIGINT) AS sw
+                FROM wt GROUP BY g, b),
+            means AS (
+                SELECT g, b, CAST(swx AS DOUBLE) / sw AS m
+                FROM perb WHERE sw > 0),
+            ranked AS (
+                SELECT g, m,
+                    row_number() OVER (PARTITION BY g ORDER BY m, b)
+                        AS rn,
+                    count(*) OVER (PARTITION BY g) AS nb
+                FROM means),
+            ci AS (
+                SELECT g, CAST(max(nb) AS BIGINT) AS n_reps,
+                    min(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+                    min(CASE WHEN rn = nb - 1 THEN m END) AS ci_hi
+                FROM ranked GROUP BY g),
+            point AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                    CAST(CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE)
+                         / count(*) AS DOUBLE) AS mean_cents
+                FROM base GROUP BY g)
+            SELECT point.g AS o_orderpriority, n, mean_cents,
+                n_reps, ci_lo, ci_hi
+            FROM point JOIN ci ON point.g = ci.g"""
+
     return sql
 
 

@@ -881,3 +881,187 @@ class TestDistinctiveTerms:
         # the shared token is never over-represented
         assert ("s1", "common") not in out
         assert ("s2", "common") not in out
+
+
+class TestOneWayAnova:
+    def test_hand_computed_f(self, spark):
+        from cubes_spark.operators.stats import one_way_anova
+        # groups a=(1,2,3), b=(4,5,6): in cents 100,200,300 /
+        # 400,500,600.  SSB = 135000 cents², SSW = 40000 cents²,
+        # F = (135000/1)/(40000/4) = 13.5, eta² = 135000/175000.
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = one_way_anova(df, "g", "v").collect()[0]
+        assert out["n_groups"] == 2 and out["n_rows"] == 6
+        assert out["f_ppm"] == 13_500_000
+        assert out["eta2_ppm"] == 1_000_000 * 135 // 175
+
+    def test_identical_groups_zero_f(self, spark):
+        from cubes_spark.operators.stats import one_way_anova
+        rows = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = one_way_anova(df, "g", "v").collect()[0]
+        assert out["f_ppm"] == 0 and out["eta2_ppm"] == 0
+
+    def test_zero_within_variance_null_f(self, spark):
+        from cubes_spark.operators.stats import one_way_anova
+        # SSW == 0: F undefined -> NULL, eta² = 1
+        rows = [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = one_way_anova(df, "g", "v").collect()[0]
+        assert out["f_ppm"] is None
+        assert out["eta2_ppm"] == 1_000_000
+
+
+class TestBrownForsythe:
+    def test_equal_spread_zero_f(self, spark):
+        from cubes_spark.operators.stats import brown_forsythe
+        # same |v - median| multiset in both groups -> F == 0
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 11.0), ("b", 12.0), ("b", 13.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = brown_forsythe(df, "g", "v").collect()[0]
+        assert out["f_ppm"] == 0
+
+    def test_wider_group_detected(self, spark):
+        from cubes_spark.operators.stats import brown_forsythe
+        # b is 10x wider than a: z_a = (1,0,1), z_b = (10,0,10)
+        # (cents 100,0,100 / 1000,0,1000): SSB = 135000, SSW = 26666
+        # hand-replay of the fdiv recipe below
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 10.0), ("b", 20.0), ("b", 30.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = brown_forsythe(df, "g", "v").collect()[0]
+        # z_a cents = (100,0,100): s=200, q=20000
+        # z_b cents = (1000,0,1000): s=2000, q=2000000
+        a = (200 * 200 * 1000) // 3 + (2000 * 2000 * 1000) // 3
+        s, n, q, k = 2200, 6, 2020000, 2
+        ssb = a - (s * s * 1000) // n
+        ssw = q * 1000 - a
+        assert out["f_ppm"] == (ssb * (n - k) * 1000000) // (ssw * (k - 1))
+
+    def test_null_group_and_value_dropped(self, spark):
+        from cubes_spark.operators.stats import brown_forsythe
+        rows = [("a", 1.0), ("a", 3.0), (None, 100.0),
+                ("b", 2.0), ("b", None), ("b", 4.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = brown_forsythe(df, "g", "v").collect()[0]
+        assert out["n_groups"] == 2 and out["n_rows"] == 4
+
+
+class TestKruskalWallis:
+    def test_hand_computed_no_ties(self, spark):
+        from cubes_spark.operators.stats import kruskal_wallis
+        # a=(1,2), b=(3,4): ranks a={1,2}, b={3,4}; n=4
+        # H = 12/(4*5) * (3²/2 + 7²/2) - 3*5 = 0.6*29 - 15 = 2.4
+        rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = kruskal_wallis(df, "g", "v").collect()[0]
+        assert out["tie_term"] == 0
+        assert out["h_ppm"] == 2_400_000
+
+    def test_all_tied_zero_h(self, spark):
+        from cubes_spark.operators.stats import kruskal_wallis
+        # every value identical: tie factor zeroes the denominator
+        # n³-n-T == 0 -> NULL (test degenerate guard)
+        rows = [("a", 5.0), ("a", 5.0), ("b", 5.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = kruskal_wallis(df, "g", "v").collect()[0]
+        assert out["tie_term"] == 24  # t=3: t³-t = 27-3
+        assert out["h_ppm"] is None
+
+    def test_tie_correction_applied(self, spark):
+        from cubes_spark.operators.stats import kruskal_wallis
+        # a=(1,2,2), b=(3): doubled avg ranks: v=1 -> 2; v=2 ties
+        # {2,3} -> 2*1+2+1=5; v=3 -> rank 4 doubled 8.
+        # R2_a = 2+5+5 = 12, R2_b = 8; n=4, T = (2³-2) = 6
+        rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 3.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = kruskal_wallis(df, "g", "v").collect()[0]
+        assert out["tie_term"] == 6
+        a = (12 * 12 * 1000000) // (4 * 3) + (8 * 8 * 1000000) // (4 * 1)
+        b = (12 * a) // (4 * 5) - 3 * 5 * 1000000
+        expected = (b * (64 - 4)) // (64 - 4 - 6)
+        assert out["h_ppm"] == expected
+
+    def test_empty_input(self, spark):
+        from cubes_spark.operators.stats import kruskal_wallis
+        df = _df(spark, [], "g string, v double")
+        assert kruskal_wallis(df, "g", "v").collect() == []
+
+
+class TestShannonEntropy:
+    def test_uniform_two_categories(self, spark):
+        import math
+        from cubes_spark.operators.stats import shannon_entropy
+        rows = [("a",), ("a",), ("b",), ("b",)]
+        df = _df(spark, rows, "t string")
+        out = shannon_entropy(df, "t").collect()[0]
+        assert out["n_categories"] == 2 and out["n_rows"] == 4
+        assert abs(out["entropy_nats"] - math.log(2)) < 1e-12
+
+    def test_single_category_zero(self, spark):
+        from cubes_spark.operators.stats import shannon_entropy
+        df = _df(spark, [("a",)] * 5, "t string")
+        out = shannon_entropy(df, "t").collect()[0]
+        assert out["entropy_nats"] == 0.0
+
+    def test_nulls_dropped(self, spark):
+        from cubes_spark.operators.stats import shannon_entropy
+        df = _df(spark, [("a",), (None,), ("b",)], "t string")
+        out = shannon_entropy(df, "t").collect()[0]
+        assert out["n_rows"] == 2 and out["n_categories"] == 2
+
+
+class TestRatioDeltaCI:
+    def test_constant_ratio_zero_variance(self, spark):
+        from cubes_spark.operators.stats import ratio_delta_ci
+        # x = 2y on every row: R = 2 exactly, residual variance 0
+        rows = [("g", 2.0, 1.0), ("g", 4.0, 2.0), ("g", 6.0, 3.0)]
+        df = _df(spark, rows, "g string, x double, y double")
+        out = ratio_delta_ci(df, ["g"], "x", "y").collect()[0]
+        assert out["ratio"] == 2.0
+        assert abs(out["var_ratio"]) < 1e-18
+
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.stats import ratio_delta_ci
+        # cents: x=(100,300), y=(100,100): R=2, moments by hand
+        rows = [("g", 1.0, 1.0), ("g", 3.0, 1.0)]
+        df = _df(spark, rows, "g string, x double, y double")
+        out = ratio_delta_ci(df, ["g"], "x", "y").collect()[0]
+        n, sx, sy = 2, 400, 200
+        sxx, syy, sxy = 100**2 + 300**2, 2 * 100**2, 100*100 + 300*100
+        r = sx / sy
+        var = n/(n-1) * (sxx - 2*r*sxy + r*r*syy) / (sy*sy)
+        assert out["ratio"] == r
+        assert out["var_ratio"] == var
+
+    def test_single_row_null_variance(self, spark):
+        from cubes_spark.operators.stats import ratio_delta_ci
+        df = _df(spark, [("g", 3.0, 2.0)], "g string, x double, y double")
+        out = ratio_delta_ci(df, ["g"], "x", "y").collect()[0]
+        assert out["ratio"] == 1.5 and out["var_ratio"] is None
+
+
+class TestPoissonBootstrap:
+    def test_constant_column_degenerate_ci(self, spark):
+        from cubes_spark.operators.stats import poisson_bootstrap_mean
+        # every value identical: every replicate mean equals it
+        rows = [("g", float(i), 7.0) for i in range(20)]
+        df = _df(spark, rows, "g string, id double, v double")
+        out = poisson_bootstrap_mean(df, ["g"], "v", "id",
+                                     n_reps=16).collect()[0]
+        assert out["mean_cents"] == 700.0
+        assert out["ci_lo"] == 700.0 and out["ci_hi"] == 700.0
+
+    def test_ci_brackets_mean_and_deterministic(self, spark):
+        from cubes_spark.operators.stats import poisson_bootstrap_mean
+        rows = [("g", float(i), float(i % 10)) for i in range(200)]
+        df = _df(spark, rows, "g string, id double, v double")
+        a = poisson_bootstrap_mean(df, ["g"], "v", "id").collect()[0]
+        b = poisson_bootstrap_mean(df, ["g"], "v", "id").collect()[0]
+        assert a == b  # md5-seeded: bit-identical across runs
+        assert a["ci_lo"] <= a["mean_cents"] <= a["ci_hi"]
+        assert a["ci_lo"] < a["ci_hi"]
+        assert a["n_reps"] == 64

@@ -133,6 +133,13 @@ BENCH_QUERIES = [
     "orders_yoy",
     "nation_share",
     "topn_customers_nation",
+    # round-10 post-close statistics / retrieval additions
+    "orders_kruskal",
+    "orders_bootstrap",
+    "emb_mmr",
+    "events_binseg",
+    "orders_hill",
+    "part_assortativity",
 ]
 
 

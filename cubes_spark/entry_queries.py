@@ -5849,3 +5849,74 @@ def q_orders_bootstrap(spark, sf_dir):
     od = _table(spark, sf_dir, "orders")
     return poisson_bootstrap_mean(
         od, ["o_orderpriority"], "o_totalprice", "o_orderkey")
+
+
+def q_events_binseg(spark, sf_dir):
+    """Single-changepoint detection on the daily event-value series
+    (operators/stats.py:binary_segmentation): the SSE-optimal split
+    day via exact integer prefix sums on the bounded calendar grain —
+    WHERE the level shifts, complementing Mann-Kendall's IS there a
+    trend."""
+    from cubes_spark.operators.stats import binary_segmentation
+
+    ev = _table(spark, sf_dir, "events")
+    return binary_segmentation(ev, "ts", "value")
+
+
+def q_emb_mmr(spark, sf_dir):
+    """Maximal-marginal-relevance diversified retrieval
+    (llm/similarity.py:mmr_topk): greedy relevance-vs-redundancy
+    top-8 from each query's cosine top-24 pool, every similarity
+    rounded to 6 decimals before selection so the full greedy
+    trajectory has an exact unrolled-SQL oracle."""
+    from cubes_spark.llm.similarity import mmr_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return mmr_topk(emb, queries, k=8, pool=24, lam=0.7)
+
+
+def q_orders_welch(spark, sf_dir):
+    """Welch's unequal-variance two-sample test between URGENT and
+    LOW order totals (operators/stats.py:welch_t2): exact t² and
+    Welch-Satterthwaite dof as scaled integers from one conditional
+    moment aggregation — the parametric companion of orders_mwu."""
+    from cubes_spark.operators.stats import welch_t2
+
+    od = _table(spark, sf_dir, "orders")
+    return welch_t2(od, "o_orderpriority", "o_totalprice",
+                    "1-URGENT", "5-LOW")
+
+
+def q_doc_zipf(spark, sf_dir):
+    """Zipf's-law corpus fit (llm/text.py:zipf_fit): OLS slope and r²
+    of ln(count) vs ln(rank) over the top terms, with running-window
+    folds so the double sums are order-deterministic — the corpus-
+    health companion of doc_heaps / doc_vocab_growth."""
+    from cubes_spark.llm.text import zipf_fit
+
+    docs = _table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_k=100)
+
+
+def q_orders_hill(spark, sf_dir):
+    """Hill tail-index estimator over the largest 200 order totals
+    (operators/stats.py:hill_tail_index): the heavy-tail diagnostic —
+    TakeOrderedAndProject top-k, libm ln, one ordered fold."""
+    from cubes_spark.operators.stats import hill_tail_index
+
+    od = _table(spark, sf_dir, "orders")
+    return hill_tail_index(od, "o_totalprice", "o_orderkey", k=200)
+
+
+def q_part_assortativity(spark, sf_dir):
+    """Degree assortativity of the part-affinity graph (llm/web.py:
+    degree_assortativity; Newman 2002): exact integer Pearson moments
+    over endpoint degrees — do hub parts co-occur with hub parts?"""
+    from cubes_spark.llm.web import degree_assortativity
+    from cubes_spark.operators.olap import basket_pairs
+
+    li = _table(spark, sf_dir, "lineitem")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey",
+                         min_count=2).select("item_a", "item_b")
+    return degree_assortativity(edges, "item_a", "item_b")

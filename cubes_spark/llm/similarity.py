@@ -33,7 +33,7 @@ from cubes_spark.llm.util import spread
 __all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates",
            "ivf_topk", "train_spherical_kmeans", "random_projection",
            "kmeans_clusters", "semantic_dedup", "semantic_dedup_greedy",
-           "train_pq_codebooks", "pq_encode", "pq_topk"]
+           "train_pq_codebooks", "pq_encode", "pq_topk", "mmr_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -954,3 +954,109 @@ def pq_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
                           F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
+             pool: int = 24, lam: float = 0.7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: Optional[str] = None) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): from each query's cosine top-``pool``
+    candidate set, greedily pick k results maximizing
+
+        lam · sim(q, d)  −  (1 − lam) · max_{s ∈ S} sim(d, s)
+
+    — relevance discounted by similarity to what is already selected,
+    the standard redundancy-removal step in retrieval pipelines.
+
+    Determinism / oracle parity: all similarities are rounded to 6
+    decimals BEFORE ranking and selection (the fold-order tolerance
+    the emb_* entries already rely on), the pool rank and every
+    greedy argmax break ties on the smaller candidate id, and the
+    (1−lam) multiplier uses the exact IEEE value of ``1.0 − lam`` on
+    both sides — so the whole greedy trajectory replays bit-for-bit
+    in SQL (see oracles._emb_mmr_oracle: the same k-step selection
+    unrolled as materialized CTE stages).
+
+    Scale shape: candidate scoring is the broadcast map-side join of
+    :func:`cosine_topk` (corpus never shuffles); pairwise candidate
+    similarities are pool²/2 rows per query; the greedy loop runs in
+    ONE cogrouped ``applyInPandas`` whose per-group state is the
+    bounded (pool + pool²/2)-row candidate frame — never the corpus.
+    Output: ``(query_id, rank, vec_id, mmr_score)``, rank 1..k.
+    """
+    import pandas as pd  # noqa: F811 — Arrow batch path
+
+    mu = 1.0 - lam
+    query_id_col = query_id_col or id_col
+    q = queries.select(F.col(query_id_col).alias("__qid__"),
+                       F.col(vec_col).alias("__qv__"))
+    c = spread(corpus).select(F.col(id_col).alias("__cid__"),
+                              F.col(vec_col).alias("__cv__"))
+    sim = _dot(F.col("__qv__"), F.col("__cv__")) / (
+        _norm(F.col("__qv__")) * _norm(F.col("__cv__")))
+    scored = (c.join(F.broadcast(q),
+                     F.col("__qid__") != F.col("__cid__"))
+              .select("__qid__", "__cid__",
+                      F.round(sim, 6).alias("__simq__")))
+    wp = Window.partitionBy("__qid__").orderBy(
+        F.col("__simq__").desc(), F.col("__cid__").asc())
+    pool_df = (scored.withColumn("__rn__", F.row_number().over(wp))
+               .filter(F.col("__rn__") <= pool).drop("__rn__"))
+    pv = pool_df.join(c, "__cid__").select(
+        "__qid__", "__cid__", F.col("__cv__").alias("__v__"))
+    a = pv.select(F.col("__qid__").alias("__qa__"),
+                  F.col("__cid__").alias("__ca__"),
+                  F.col("__v__").alias("__va__"))
+    b = pv.select(F.col("__qid__").alias("__qb__"),
+                  F.col("__cid__").alias("__cb__"),
+                  F.col("__v__").alias("__vb__"))
+    psim = _dot(F.col("__va__"), F.col("__vb__")) / (
+        _norm(F.col("__va__")) * _norm(F.col("__vb__")))
+    pairs = (a.join(b, (F.col("__qa__") == F.col("__qb__"))
+                    & (F.col("__ca__") < F.col("__cb__")))
+             .select(F.col("__qa__").alias("__qid__"), "__ca__",
+                     "__cb__", F.round(psim, 6).alias("__sim__")))
+
+    def _select(key, simq_pdf, pairs_pdf):
+        import math
+
+        simq = dict(zip(simq_pdf["__cid__"], simq_pdf["__simq__"]))
+        pw = {}
+        for ca, cb, s in pairs_pdf[
+                ["__ca__", "__cb__", "__sim__"]].itertuples(index=False):
+            pw[(ca, cb)] = s
+            pw[(cb, ca)] = s
+        selected, out = [], []
+        cands = sorted(simq)
+        for rank in range(1, k + 1):
+            best = None
+            for cid in cands:
+                if cid in selected:
+                    continue
+                ms = max((pw.get((cid, s), 0.0) for s in selected),
+                         default=0.0)
+                score = lam * simq[cid] - mu * ms
+                key_t = (score, -cid)
+                if best is None or key_t > best[0]:
+                    best = (key_t, cid, score)
+            if best is None:
+                break
+            selected.append(best[1])
+            out.append((key[0], rank, best[1],
+                        math.floor(best[2] * 1000000.0)))
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "rank", "vec_id", "mmr_score_e6"])
+
+    # the score is emitted as floor(score * 1e6): one IEEE multiply
+    # plus floor is bit-identical across engines, unlike rounding a
+    # double to 6 decimals (Spark goes through the shortest decimal
+    # repr, DuckDB through a *1e6 multiply — they disagree at
+    # boundary values; floor of the same double cannot)
+    return (pool_df.groupBy("__qid__")
+            .cogroup(pairs.groupBy("__qid__"))
+            .applyInPandas(
+                _select,
+                "query_id long, rank long, vec_id long, "
+                "mmr_score_e6 long"))

@@ -46,6 +46,7 @@ __all__ = [
     "distinctive_terms",
     "heaps_curve",
     "STOPWORDS",
+    "zipf_fit",
 ]
 
 #: Whitespace tokenizer pattern (identical semantics in Spark / DuckDB /
@@ -1451,3 +1452,68 @@ def heaps_curve(df: DataFrame, text_col: str = "text",
         F.sum("__docs__").over(w).cast("long").alias("n_docs_cum"),
         F.sum("__toks__").over(w).cast("long").alias("n_tokens_cum"),
         F.sum("__new__").over(w).cast("long").alias("n_types_cum"))
+
+
+def zipf_fit(df, text_col: str = "text", top_k: int = 100):
+    """Zipf's-law fit over the corpus term-frequency distribution:
+    OLS of ln(count) on ln(rank) for the ``top_k`` most frequent
+    terms — slope ≈ −1 is the classic natural-language signature;
+    the fit (and its r²) is the standard corpus-health check in a
+    training-data pipeline (a slope near 0 means synthetic/uniform
+    text, a cliff means boilerplate domination).
+
+    Determinism: ranks are fully tie-broken (count desc, term asc);
+    the five OLS sums of ``ln`` terms run as SEQUENTIAL folds over
+    rank-ordered arrays (``aggregate`` over ``array_sort`` — the
+    shannon_entropy pattern), and the ln values themselves come from
+    :func:`~cubes_spark.llm.util.libm_ln` because the JVM's Math.log
+    disagrees with the C library's (= DuckDB's) by 1 ulp on ~2% of
+    integer inputs.  A running window sum is also not enough: DuckDB
+    evaluates window aggregates with a segment tree, so its addition
+    order differs from Spark's cumulative fold at the last bit; a
+    list fold is left-to-right in both engines.
+
+    Scale shape: one shuffle to the term grain; the rank window runs
+    on the vocabulary grain and the folds on the bounded top-k array.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    terms = (df.select(F.explode(token_array(F.col(text_col)))
+                       .alias("__t__"))
+             .groupBy("__t__")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c__")))
+    wr = W.orderBy(F.col("__c__").desc(), F.col("__t__").asc())
+    top = (terms.withColumn("__r__", F.row_number().over(wr))
+           .filter(F.col("__r__") <= top_k))
+    from cubes_spark.llm.util import libm_ln
+
+    # ln through the C library (libm_ln), NOT F.expr("ln"): the JVM
+    # and glibc disagree by 1 ulp on ~2% of integer inputs, and the
+    # oracle's ln is glibc — the top-k frame is bounded so the
+    # Python hop costs nothing
+    lned = top.select(
+        "__r__",
+        libm_ln(F.col("__r__").cast("double")).alias("__x__"),
+        libm_ln(F.col("__c__").cast("double")).alias("__y__"))
+    arr = lned.agg(
+        F.count(F.lit(1)).cast("long").alias("k_terms"),
+        F.array_sort(
+            F.collect_list(F.struct("__r__", "__x__", "__y__")))
+        .alias("__a__"))
+    fold = ("aggregate(transform(__a__, e -> {term}),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    sums = arr.select(
+        "k_terms",
+        F.expr(fold.format(term="e.__x__")).alias("sx"),
+        F.expr(fold.format(term="e.__y__")).alias("sy"),
+        F.expr(fold.format(term="e.__x__ * e.__x__")).alias("sxx"),
+        F.expr(fold.format(term="e.__x__ * e.__y__")).alias("sxy"),
+        F.expr(fold.format(term="e.__y__ * e.__y__")).alias("syy"))
+    return sums.select(
+        "k_terms",
+        F.expr("(k_terms*sxy - sx*sy)/(k_terms*sxx - sx*sx)")
+        .alias("slope"),
+        F.expr("((k_terms*sxy - sx*sy)*(k_terms*sxy - sx*sy))"
+               "/((k_terms*sxx - sx*sx)*(k_terms*syy - sy*sy))")
+        .alias("r2"))

@@ -44,7 +44,8 @@ __all__ = ["triangle_counts", "jaccard_link_prediction",
            "parse_tar", "webdataset_samples",
            "inflate_column", "parse_jsonl", "pack_webdataset",
            "link_pagerank",
-           "WARC_RECORD_SCHEMA", "TAR_MEMBER_SCHEMA"]
+           "WARC_RECORD_SCHEMA", "TAR_MEMBER_SCHEMA"           "degree_assortativity",
+]
 
 
 # -- HTML -> text (pure column expressions) ---------------------------------
@@ -871,3 +872,57 @@ def ra_link_prediction(edges: DataFrame, src: str = "id_a",
     return out.select(F.col("na").alias("node_a"),
                       F.col("nb").alias("node_b"),
                       "n_common", "ra_ppm")
+
+
+def degree_assortativity(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b") -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over the directed
+    edge list (each undirected edge counted both ways, so Σx = Σy
+    and Σx² = Σy² by symmetry and
+
+        r_ppm = sign · (M·Σxy − (Σx)²)·10⁶ fdiv (M·Σx² − (Σx)²)
+
+    with every moment an EXACT integer (degrees are counts) — the
+    'do hubs link to hubs' diagnostic that separates social-style
+    graphs (r > 0) from web/biology-style ones (r < 0).  The
+    division keeps non-negative operands on both sides of the sign
+    so Spark's truncation and DuckDB's floor agree.
+
+    Scale shape: one degree aggregation, two hash equi-joins to
+    attach endpoint degrees, one map-side-combinable moment reduce —
+    the same cost envelope as a single pass over the edges.
+    """
+    dec = "decimal(38,0)"
+    und = (edges.select(F.col(src).alias("__u__"),
+                        F.col(dst).alias("__v__"))
+           .union(edges.select(F.col(dst).alias("__u__"),
+                               F.col(src).alias("__v__"))))
+    deg = und.groupBy("__u__").agg(
+        F.count(F.lit(1)).cast("long").alias("__d__"))
+    du = deg.select(F.col("__u__").alias("__su__"),
+                    F.col("__d__").alias("__du__"))
+    dv = deg.select(F.col("__u__").alias("__sv__"),
+                    F.col("__d__").alias("__dv__"))
+    ed = (und.join(du, F.col("__u__") == F.col("__su__"))
+          .join(dv, F.col("__v__") == F.col("__sv__"))
+          .select(F.col("__du__").cast(dec).alias("__x__"),
+                  F.col("__dv__").cast(dec).alias("__y__")))
+    m = ed.agg(F.count(F.lit(1)).cast(dec).alias("__m__"),
+               F.sum("__x__").alias("__sx__"),
+               F.sum(F.col("__x__") * F.col("__y__")).alias("__sxy__"),
+               F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"))
+    fd = (lambda a, b:
+          f"CAST(((({a}) - (({a}) % ({b}))) / ({b})) AS {dec})")
+    num_pos = fd("(__m__*__sxy__ - __sx__*__sx__)*1000000",
+                 "__m__*__sxx__ - __sx__*__sx__")
+    num_neg = fd("(__sx__*__sx__ - __m__*__sxy__)*1000000",
+                 "__m__*__sxx__ - __sx__*__sx__")
+    r = F.expr(
+        "CAST(CASE WHEN __m__*__sxx__ - __sx__*__sx__ > 0 THEN"
+        " CASE WHEN __m__*__sxy__ - __sx__*__sx__ >= 0"
+        f" THEN {num_pos} ELSE -{num_neg} END"
+        " END AS BIGINT)")
+    return m.select(
+        F.expr("CAST(__m__ AS BIGINT)").alias("m_directed"),
+        r.alias("r_ppm"))

@@ -54,6 +54,8 @@ __all__ = [
     "shannon_entropy",
     "ratio_delta_ci",
     "poisson_bootstrap_mean",
+    "binary_segmentation",
+    "welch_t2",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1312,31 +1314,46 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str,
 def shannon_entropy(df: DataFrame, category_col: str) -> DataFrame:
     """Shannon entropy of a categorical distribution, in nats:
     H = ln n − (Σ_c c·ln c)/n over the category counts.  Counts are
-    exact longs; the only float work is the pointwise ``ln`` and ONE
-    ordered fold over the sorted count array — double addition is not
-    associative, so the k-term Σ c·ln c runs as a sequential
-    ``aggregate()`` over ``array_sort(collect_list(c))``, giving a
-    deterministic result the oracle replays with the identical
-    sorted-list reduce (DuckDB ``list_reduce``).
+    exact longs; the only float work is the pointwise ``ln``
+    (:func:`~cubes_spark.llm.util.libm_ln` — C-library bits, because
+    the JVM's Math.log is 1 ulp off glibc on ~2% of integer inputs)
+    and ONE ordered fold over the sorted c·ln c array — double
+    addition is not associative, so the k-term Σ c·ln c runs as a
+    sequential ``aggregate()`` over ``array_sort(collect_list(...))``,
+    which the oracle replays with the identical sorted-list reduce
+    (DuckDB ``list_reduce``).
 
     Scale shape: one map-side-combinable count aggregation to the
     category grain; the collect_list holds only the k category counts
     (bounded by the alphabet, not the fact count).
     """
+    from cubes_spark.llm.util import libm_ln
+
     cnt = (df.filter(F.col(category_col).isNotNull())
            .groupBy(category_col)
            .agg(F.count(F.lit(1)).cast("long").alias("__c__")))
-    tot = cnt.agg(
+    # ln through the C library (libm_ln): the JVM's Math.log differs
+    # from glibc's (= DuckDB's) by 1 ulp on ~2% of integer inputs;
+    # the category grain is bounded so the Python hop costs nothing.
+    # c·ln c is monotone in c, so sorting the products reproduces the
+    # oracle's sort-by-count fold order even through ties.
+    clnc = cnt.select(
+        "__c__",
+        (F.col("__c__").cast("double")
+         * libm_ln(F.col("__c__").cast("double"))).alias("__clnc__"))
+    tot = clnc.agg(
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         F.sum("__c__").cast("long").alias("n_rows"),
-        F.array_sort(F.collect_list("__c__")).alias("__cs__"))
+        F.array_sort(F.collect_list("__clnc__")).alias("__cs__"))
     return (tot.withColumn(
         "__sum_clnc__",
         F.expr("aggregate(__cs__, CAST(0.0 AS DOUBLE),"
-               " (acc, c) -> acc + c * ln(c))"))
+               " (acc, v) -> acc + v)"))
+        .withColumn("__lnn__",
+                    libm_ln(F.col("n_rows").cast("double")))
         .select("n_categories", "n_rows",
                 F.expr("CASE WHEN n_rows > 0 THEN"
-                       " ln(n_rows) - __sum_clnc__ / n_rows"
+                       " __lnn__ - __sum_clnc__ / n_rows"
                        " END").alias("entropy_nats")))
 
 
@@ -1453,3 +1470,189 @@ def poisson_bootstrap_mean(df: DataFrame, group_cols: Sequence[str],
                f" / count(*) AS DOUBLE)").alias("mean_cents"))
     return _null_safe_join(point, ci, gcols).select(
         *gcols, "n", "mean_cents", "n_reps", "ci_lo", "ci_hi")
+
+
+def binary_segmentation(df: DataFrame, ts_col: str, value_col: str,
+                        bucket: str = "day") -> DataFrame:
+    """Single-changepoint detection by binary segmentation (the
+    classic Scott & Knott / CUSUM-style SSE split): bucket the series
+    to a calendar grain, then pick the split i that MINIMIZES total
+    squared error — equivalently maximizes
+
+        gain(i) = (S_L²·K) fdiv n_L + (S_R²·K) fdiv n_R      (K = 10³)
+
+    with exact integer prefix sums in cents (:func:`_fdiv` floor
+    division, so the oracle replays the argmax bit-for-bit; ties
+    break on the earlier day).  ``gain_scaled`` is reported relative
+    to the no-split baseline (S²·K) fdiv n — positive means the split
+    explains variance.  The complement of :func:`~cubes_spark.
+    operators.stats.mann_kendall`'s monotone-trend test: WHERE does
+    the level shift.
+
+    Scale shape: one shuffle to the bounded calendar grain (days —
+    thousands of rows at ANY fact count), prefix sums via a window
+    over that bounded grain, one bounded driver row for (n, total),
+    and an order-by-limit-1 on the candidate frame.
+    """
+    from pyspark.sql.window import Window as W
+
+    b = (df.filter(F.col(value_col).isNotNull())
+         .groupBy(F.to_date(F.date_trunc(bucket, F.col(ts_col)))
+                  .alias("__d__"))
+         .agg(F.sum(_cents(value_col)).cast(_DEC).alias("__s__")))
+    w = W.orderBy("__d__")
+    cum = (b.withColumn("__i__", F.row_number().over(w))
+           .withColumn("__cs__", F.sum("__s__").over(w)))
+    tot = cum.agg(F.max("__i__").alias("n"),
+                  F.sum("__s__").alias("st")).first()
+    spark = df.sparkSession
+    if tot["n"] is None or int(tot["n"]) < 2:
+        return spark.createDataFrame(
+            [], "split_day string, n_left long, n_days long, "
+                "mean_left_cents double, mean_right_cents double, "
+                "gain_scaled long")
+    n, st = int(tot["n"]), str(tot["st"])
+    gain = (F.expr(_fdiv("__cs__ * __cs__ * 1000",
+                         f"CAST(__i__ AS {_DEC})"))
+            + F.expr(_fdiv(
+                f"(CAST('{st}' AS {_DEC}) - __cs__)"
+                f" * (CAST('{st}' AS {_DEC}) - __cs__) * 1000",
+                f"CAST({n} - __i__ AS {_DEC})")))
+    base = F.expr(_fdiv(
+        f"CAST('{st}' AS {_DEC}) * CAST('{st}' AS {_DEC}) * 1000",
+        f"CAST({n} AS {_DEC})"))
+    cand = (cum.filter(F.col("__i__") < n)
+            .withColumn("__g__", gain)
+            .orderBy(F.col("__g__").desc(), F.col("__d__").asc())
+            .limit(1))
+    return cand.select(
+        F.date_format("__d__", "yyyy-MM-dd").alias("split_day"),
+        F.col("__i__").cast("long").alias("n_left"),
+        F.lit(n).cast("long").alias("n_days"),
+        F.expr("CAST(CAST(__cs__ AS DOUBLE) / __i__ AS DOUBLE)")
+        .alias("mean_left_cents"),
+        F.expr(f"CAST(CAST(CAST('{st}' AS {_DEC}) - __cs__ AS DOUBLE)"
+               f" / ({n} - __i__) AS DOUBLE)")
+        .alias("mean_right_cents"),
+        (F.col("__g__") - base).cast("long").alias("gain_scaled"))
+
+
+def welch_t2(df: DataFrame, group_col: str, value_col: str,
+             group_a: str, group_b: str) -> DataFrame:
+    """Welch's unequal-variance two-sample test, emitted as the exact
+    scaled integers ``t2_ppm`` (the SQUARED t statistic — rational,
+    unlike t itself) and ``nu_milli`` (the Welch–Satterthwaite
+    degrees of freedom):
+
+        d_i     = ((n_i·Q_i − S_i²) · 10⁶) fdiv (n_i²·(n_i−1))
+        N       = ((S₁n₂ − S₂n₁)² fdiv (n₁n₂)²) · 10⁶
+        t2_ppm  = (N · 10⁶) fdiv (d₁ + d₂)
+        nu_milli = ((d₁+d₂)² · 10³) fdiv (d₁² fdiv (n₁−1)
+                                          + d₂² fdiv (n₂−1))
+
+    — d_i is 10⁶·v_i/n_i from exact cent moments, every division the
+    exact decimal floor division of :func:`_fdiv`, so a SQL oracle
+    replays the statistic bit-for-bit (HUGEINT ``//``).  The staged
+    quotients keep every intermediate under 10³⁸ to ≈ 10⁷ rows per
+    group.  The two-group companion of :func:`one_way_anova` when
+    variances differ (where Student's pooled t misleads).
+
+    Scale shape: ONE map-side-combinable conditional aggregation over
+    the two groups' rows — no shuffle beyond the 1-row reduce, no
+    window, no join.
+    """
+    v = _cents(value_col)
+    isa = F.col(group_col) == group_a
+    isb = F.col(group_col) == group_b
+    gg = (df.filter((isa | isb) & F.col(value_col).isNotNull())
+          .groupBy()
+          .agg(F.sum(isa.cast("long")).cast(_DEC).alias("n1"),
+               F.sum(F.when(isa, v).otherwise(0).cast(_DEC))
+               .alias("s1"),
+               F.sum(F.when(isa, v.cast(_DEC) * v)
+                     .otherwise(F.lit(0).cast(_DEC))).alias("q1"),
+               F.sum(isb.cast("long")).cast(_DEC).alias("n2"),
+               F.sum(F.when(isb, v).otherwise(0).cast(_DEC))
+               .alias("s2"),
+               F.sum(F.when(isb, v.cast(_DEC) * v)
+                     .otherwise(F.lit(0).cast(_DEC))).alias("q2")))
+    d1 = _fdiv("(n1*q1 - s1*s1)*1000000", "n1*n1*(n1-1)")
+    d2 = _fdiv("(n2*q2 - s2*s2)*1000000", "n2*n2*(n2-1)")
+    staged = (gg.filter("n1 > 1 AND n2 > 1")
+              .withColumn("d1", F.expr(d1))
+              .withColumn("d2", F.expr(d2))
+              .withColumn("ns", F.expr(_fdiv(
+                  "(s1*n2 - s2*n1)*(s1*n2 - s2*n1)",
+                  "(n1*n2)*(n1*n2)"))
+                  * F.lit(1000000).cast(_DEC)))
+    t2 = F.expr(
+        "CAST(CASE WHEN d1 + d2 > 0 THEN "
+        + _fdiv("ns*1000000", "d1+d2") + " END AS BIGINT)")
+    nu = F.expr(
+        "CAST(CASE WHEN d1 + d2 > 0 THEN "
+        + _fdiv("(d1+d2)*(d1+d2)*1000",
+                _fdiv("d1*d1", "n1-1") + " + "
+                + _fdiv("d2*d2", "n2-1"))
+        + " END AS BIGINT)")
+    return staged.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        t2.alias("t2_ppm"), nu.alias("nu_milli"))
+
+
+def hill_tail_index(df: DataFrame, value_col: str, id_col: str,
+                    k: int = 200) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill 1975): over
+    the k largest values x₍₁₎ ≥ … ≥ x₍ₖ₎,
+
+        1/alpha = (Σ_{i<k} ln x₍ᵢ₎)/(k−1) − ln x₍ₖ₎
+
+    — the standard heavy-tail diagnostic (alpha ≲ 2 means infinite
+    variance: plan for extreme skew; large alpha means a thin,
+    well-behaved tail).  Values in exact cents; ln through
+    :func:`~cubes_spark.llm.util.libm_ln` (JVM Math.log is 1 ulp off
+    glibc on ~2% of inputs) and the log sum as a sequential fold over
+    the rank-ordered array, so the oracle replays it bit-for-bit.
+
+    Scale shape: the top-k comes from ``orderBy().limit()`` — Spark
+    plans TakeOrderedAndProject (per-partition top-k heaps + one
+    k-row merge), NEVER a global sort; everything after runs on the
+    bounded k-row frame.
+    """
+    from cubes_spark.llm.util import libm_ln
+
+    top = (df.filter(F.col(value_col).isNotNull())
+           .select(_cents(value_col).alias("__x__"),
+                   F.col(id_col).alias("__id__"))
+           .filter(F.col("__x__") > 0)
+           .orderBy(F.col("__x__").desc(), F.col("__id__").asc())
+           .limit(k))
+    from pyspark.sql.window import Window as W
+
+    wr = W.orderBy(F.col("__x__").desc(), F.col("__id__").asc())
+    ranked = (top.withColumn("__r__", F.row_number().over(wr))
+              .select("__r__", "__x__",
+                      libm_ln(F.col("__x__").cast("double"))
+                      .alias("__lnx__")))
+    arr = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+        F.min("__x__").cast("long").alias("x_k_cents"),
+        F.array_sort(F.collect_list(F.struct("__r__", "__lnx__")))
+        .alias("__a__"))
+    out = (arr.withColumn(
+        "__s__",
+        F.expr("aggregate(transform(__a__, e -> e.__lnx__),"
+               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .withColumn("__lnxk__",
+                    libm_ln(F.col("x_k_cents").cast("double"))))
+    return (out.filter(F.col("n_top") > 1)
+            .select(
+                "n_top", "x_k_cents",
+                F.expr("(__s__ - __lnxk__) / (n_top - 1) - __lnxk__")
+                .alias("inv_alpha"),
+                F.expr(
+                    "CASE WHEN __s__ - __lnxk__"
+                    " - (n_top - 1) * __lnxk__ <> 0.0"
+                    " THEN (n_top - 1) / (__s__ - __lnxk__"
+                    " - (n_top - 1) * __lnxk__) END")
+                .alias("alpha")))

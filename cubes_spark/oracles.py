@@ -5419,6 +5419,180 @@ def oracle_sql() -> dict[str, str]:
                 n_reps, ci_lo, ci_hi
             FROM point JOIN ci ON point.g = ci.g"""
 
+    sql["events_binseg"] = """
+        WITH b AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     AS HUGEINT) AS s
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+        cum AS (
+            SELECT d, s, row_number() OVER (ORDER BY d) AS i,
+                sum(s) OVER (ORDER BY d) AS cs
+            FROM b),
+        tot AS (SELECT max(i) AS n, sum(s) AS st FROM cum),
+        cand AS (
+            SELECT d, i, cs, t.n AS n, t.st AS st,
+                (cs * cs * 1000) // i
+                + ((t.st - cs) * (t.st - cs) * 1000) // (t.n - i) AS g
+            FROM cum, tot t WHERE i < t.n),
+        best AS (SELECT * FROM cand ORDER BY g DESC, d ASC LIMIT 1)
+        SELECT strftime(d, '%Y-%m-%d') AS split_day,
+            CAST(i AS BIGINT) AS n_left,
+            CAST(n AS BIGINT) AS n_days,
+            CAST(cs AS DOUBLE) / i AS mean_left_cents,
+            CAST(st - cs AS DOUBLE) / (n - i) AS mean_right_cents,
+            CAST(g - (st * st * 1000) // n AS BIGINT) AS gain_scaled
+        FROM best"""
+
+    sql["orders_welch"] = """
+        WITH g AS (
+            SELECT
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(round(o_totalprice*100) AS BIGINT)
+                         ELSE 0 END) AS HUGEINT) AS s1,
+                sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(CAST(round(o_totalprice*100) AS BIGINT)
+                              AS HUGEINT)
+                         * CAST(round(o_totalprice*100) AS BIGINT)
+                    ELSE 0 END) AS q1,
+                CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                         THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+                CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                         THEN CAST(round(o_totalprice*100) AS BIGINT)
+                         ELSE 0 END) AS HUGEINT) AS s2,
+                sum(CASE WHEN o_orderpriority = '5-LOW'
+                    THEN CAST(CAST(round(o_totalprice*100) AS BIGINT)
+                              AS HUGEINT)
+                         * CAST(round(o_totalprice*100) AS BIGINT)
+                    ELSE 0 END) AS q2
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+              AND o_totalprice IS NOT NULL),
+        staged AS (
+            SELECT n1, n2,
+                ((n1*q1 - s1*s1)*1000000) // (n1*n1*(n1-1)) AS d1,
+                ((n2*q2 - s2*s2)*1000000) // (n2*n2*(n2-1)) AS d2,
+                (((s1*n2 - s2*n1)*(s1*n2 - s2*n1))
+                    // ((n1*n2)*(n1*n2))) * 1000000 AS ns
+            FROM g WHERE n1 > 1 AND n2 > 1)
+        SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+            CAST(CASE WHEN d1 + d2 > 0
+                 THEN (ns*1000000) // (d1+d2) END AS BIGINT)
+                AS t2_ppm,
+            CAST(CASE WHEN d1 + d2 > 0
+                 THEN ((d1+d2)*(d1+d2)*1000)
+                      // (d1*d1 // (n1-1) + d2*d2 // (n2-1))
+                 END AS BIGINT) AS nu_milli
+        FROM staged"""
+
+    sql["doc_zipf"] = r"""
+        WITH t AS (
+            SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                ELSE string_split_regex(trim(lower(text)), '\s+')
+                END) AS v
+            FROM documents),
+        tt AS MATERIALIZED (SELECT v FROM t WHERE v <> ''),
+        c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+              FROM tt GROUP BY 1),
+        top AS (
+            SELECT v, cnt,
+                row_number() OVER (ORDER BY cnt DESC, v) AS r
+            FROM c QUALIFY r <= 100),
+        -- rank-ordered ln lists; every OLS sum is a SEQUENTIAL
+        -- list_reduce fold (matches Spark's aggregate() fold order;
+        -- a window sum would use DuckDB's segment tree instead)
+        arrs AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_terms,
+                list(ln(r) ORDER BY r) AS xs,
+                list(ln(cnt) ORDER BY r) AS ys,
+                list(ln(r) * ln(r) ORDER BY r) AS xxs,
+                list(ln(r) * ln(cnt) ORDER BY r) AS xys,
+                list(ln(cnt) * ln(cnt) ORDER BY r) AS yys
+            FROM top),
+        sums AS (
+            SELECT k_terms,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                            (a, b) -> a + b) AS sx,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
+                            (a, b) -> a + b) AS sy,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xxs),
+                            (a, b) -> a + b) AS sxx,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xys),
+                            (a, b) -> a + b) AS sxy,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), yys),
+                            (a, b) -> a + b) AS syy
+            FROM arrs)
+        SELECT k_terms,
+            (k_terms*sxy - sx*sy)/(k_terms*sxx - sx*sx) AS slope,
+            ((k_terms*sxy - sx*sy)*(k_terms*sxy - sx*sy))
+                /((k_terms*sxx - sx*sx)*(k_terms*syy - sy*sy)) AS r2
+        FROM sums"""
+
+    sql["orders_hill"] = """
+        WITH top AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+                o_orderkey AS id
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND round(o_totalprice * 100) > 0
+            ORDER BY x DESC, id ASC LIMIT 200),
+        ranked AS (
+            SELECT x, ln(x) AS lnx,
+                row_number() OVER (ORDER BY x DESC, id ASC) AS r
+            FROM top),
+        arr AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_top,
+                CAST(min(x) AS BIGINT) AS x_k_cents,
+                list(lnx ORDER BY r) AS lnxs
+            FROM ranked)
+        SELECT n_top, x_k_cents,
+            (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lnxs),
+                         (a, b) -> a + b) - ln(x_k_cents))
+                / (n_top - 1) - ln(x_k_cents) AS inv_alpha,
+            CASE WHEN list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE), lnxs),
+                    (a, b) -> a + b)
+                - ln(x_k_cents) - (n_top - 1) * ln(x_k_cents) <> 0.0
+            THEN (n_top - 1)
+                / (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lnxs),
+                               (a, b) -> a + b)
+                   - ln(x_k_cents) - (n_top - 1) * ln(x_k_cents))
+            END AS alpha
+        FROM arr WHERE n_top > 1"""
+
+    sql["part_assortativity"] = """
+        WITH baskets AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT l.i AS a, r.i AS b
+            FROM baskets l JOIN baskets r ON l.b = r.b AND l.i < r.i
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (
+            SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b AS u, a AS v FROM edges),
+        deg AS (SELECT u, CAST(count(*) AS HUGEINT) AS d
+                FROM und GROUP BY u),
+        ed AS (
+            SELECT du.d AS x, dv.d AS y
+            FROM und JOIN deg du ON und.u = du.u
+            JOIN deg dv ON und.v = dv.u),
+        m AS (
+            SELECT CAST(count(*) AS HUGEINT) AS m, sum(x) AS sx,
+                sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM ed)
+        SELECT CAST(m AS BIGINT) AS m_directed,
+            CAST(CASE WHEN m*sxx - sx*sx > 0 THEN
+                 CASE WHEN m*sxy - sx*sx >= 0
+                 THEN ((m*sxy - sx*sx)*1000000) // (m*sxx - sx*sx)
+                 ELSE -(((sx*sx - m*sxy)*1000000) // (m*sxx - sx*sx))
+                 END END AS BIGINT) AS r_ppm
+        FROM m"""
+
+    sql["emb_mmr"] = _emb_mmr_oracle()
+
     return sql
 
 
@@ -5640,6 +5814,86 @@ _DSIR_GRAMS_CTE = f"""
                 ELSE [] END) AS g
         FROM toks
     )"""
+
+
+def _emb_mmr_oracle(k: int = 8, pool: int = 24, lam: float = 0.7,
+                    mod: int = 100) -> str:
+    """Unrolled-SQL replay of llm/similarity.mmr_topk: the same
+    cosine top-pool candidates (similarities rounded to 6 before
+    ranking, ties on candidate id), then the k-step greedy MMR
+    selection as one MATERIALIZED CTE stage per pick — materialized
+    because each stage references all prior picks, and DuckDB would
+    otherwise re-expand the chain exponentially.  The (1-lam)
+    multiplier is emitted with repr() so it is the exact IEEE double
+    the Python loop uses."""
+    mu = 1.0 - lam
+    head = f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % {mod} = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    scored AS MATERIALIZED (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+            round(list_dot_product(q.v, c.v)
+                  / (sqrt(list_dot_product(q.v, q.v))
+                   * sqrt(list_dot_product(c.v, c.v))), 6) AS simq
+        FROM q JOIN c ON q.vec_id <> c.vec_id),
+    pool AS MATERIALIZED (
+        SELECT qid, cid, simq FROM (
+            SELECT qid, cid, simq,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY simq DESC, cid) AS rn
+            FROM scored) WHERE rn <= {pool}),
+    pairs AS MATERIALIZED (
+        SELECT p1.qid, p1.cid AS ca, p2.cid AS cb,
+            round(list_dot_product(v1.v, v2.v)
+                  / (sqrt(list_dot_product(v1.v, v1.v))
+                   * sqrt(list_dot_product(v2.v, v2.v))), 6) AS sim
+        FROM pool p1
+        JOIN pool p2 ON p1.qid = p2.qid AND p1.cid < p2.cid
+        JOIN c v1 ON v1.vec_id = p1.cid
+        JOIN c v2 ON v2.vec_id = p2.cid),
+    s1 AS MATERIALIZED (
+        SELECT qid, cid, {lam!r} * simq AS score FROM (
+            SELECT qid, cid, simq,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY simq DESC, cid) AS rn
+            FROM pool) WHERE rn = 1)"""
+    stages = [head]
+    for i in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT qid, cid FROM s{j}" for j in range(1, i))
+        stages.append(f"""
+    sel{i - 1} AS MATERIALIZED ({prev_union}),
+    cand{i} AS MATERIALIZED (
+        SELECT p.qid, p.cid,
+            {lam!r} * p.simq - {mu!r} * coalesce((
+                SELECT max(pw.sim) FROM pairs pw
+                WHERE pw.qid = p.qid
+                  AND ((pw.ca = p.cid AND pw.cb IN
+                        (SELECT cid FROM sel{i - 1} s
+                         WHERE s.qid = p.qid))
+                    OR (pw.cb = p.cid AND pw.ca IN
+                        (SELECT cid FROM sel{i - 1} s
+                         WHERE s.qid = p.qid)))
+            ), 0.0) AS score
+        FROM pool p
+        WHERE p.cid NOT IN (SELECT cid FROM sel{i - 1} s
+                            WHERE s.qid = p.qid)),
+    s{i} AS MATERIALIZED (
+        SELECT qid, cid, score FROM (
+            SELECT qid, cid, score,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, cid) AS rn
+            FROM cand{i}) WHERE rn = 1)""")
+    final = " UNION ALL ".join(
+        f"SELECT qid, {j} AS rank, cid, score FROM s{j}"
+        for j in range(1, k + 1))
+    return (",".join(stages) + f"""
+    SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+        CAST(cid AS BIGINT) AS vec_id,
+        CAST(floor(score * 1000000.0) AS BIGINT) AS mmr_score_e6
+    FROM ({final})""")
 
 
 def _pq_oracle() -> str:

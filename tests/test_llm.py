@@ -2766,3 +2766,75 @@ class TestRakeKeyphrases:
         assert set(rows) == {"red", "red car"}
         assert rows["red car"]["n_occurrences"] == 2
         assert rows["red"]["n_occurrences"] == 1
+
+
+class TestMMR:
+    def _emb(self, spark, vecs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_rank1_is_top_cosine_and_rank2_diversifies(self, spark):
+        from cubes_spark.llm.similarity import mmr_topk
+        # id0 = query. id2 is the closest candidate (cos 0.9825) and
+        # id1 its near-duplicate (cos 0.9806); id3 is less relevant
+        # (cos 0.66) but orthogonal to them.  Plain top-3 would rank
+        # (2,1,3); MMR must demote the duplicate: (2,3,1).
+        vecs = [
+            [1.0, 0.2, 0.0],   # 0: query
+            [1.0, 0.0, 0.0],   # 1: near-dup of 2
+            [0.999, 0.01, 0.0],  # 2: most relevant
+            [0.5, 1.0, 0.0],   # 3: diverse, less relevant
+        ]
+        emb = self._emb(spark, vecs)
+        q = emb.filter("vec_id = 0")
+        out = (mmr_topk(emb, q, k=3, pool=3, lam=0.5)
+               .orderBy("rank").collect())
+        assert [r["vec_id"] for r in out] == [2, 3, 1]
+        # scores strictly decreasing in floor-micro units for this
+        # well-separated construction
+        assert (out[0]["mmr_score_e6"] > out[1]["mmr_score_e6"]
+                > out[2]["mmr_score_e6"])
+
+    def test_partition_invariant(self, spark):
+        from cubes_spark.llm.similarity import mmr_topk
+        vecs = [[float((i * 7 + j * 3) % 5 - 2) for j in range(4)]
+                for i in range(30)]
+        emb = self._emb(spark, vecs)
+        q = emb.filter("vec_id % 10 = 0")
+        a = sorted(map(tuple, mmr_topk(
+            emb.repartition(1), q, k=4, pool=8).collect()))
+        b = sorted(map(tuple, mmr_topk(
+            emb.repartition(13), q, k=4, pool=8).collect()))
+        assert a == b and len(a) == 12
+
+    def test_pool_smaller_than_k(self, spark):
+        from cubes_spark.llm.similarity import mmr_topk
+        vecs = [[1.0, 0.0], [0.9, 0.1], [0.8, 0.2]]
+        emb = self._emb(spark, vecs)
+        q = emb.filter("vec_id = 0")
+        out = mmr_topk(emb, q, k=10, pool=24).collect()
+        # only 2 candidates exist (self excluded): ranks 1..2
+        assert sorted(r["rank"] for r in out) == [1, 2]
+
+
+class TestZipfFit:
+    def test_perfect_zipf_slope_minus_one(self, spark):
+        from cubes_spark.llm.text import zipf_fit
+        # counts exactly proportional to 1/rank: slope == -1, r2 == 1
+        words = {"w%02d" % r: 1200 // r for r in range(1, 7)}
+        text = " ".join(w for w, c in words.items() for _ in range(c))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = zipf_fit(df, "text", top_k=10).collect()[0]
+        assert out["k_terms"] == 6
+        assert abs(out["slope"] + 1.0) < 1e-9
+        assert abs(out["r2"] - 1.0) < 1e-9
+
+    def test_uniform_corpus_flat_slope(self, spark):
+        from cubes_spark.llm.text import zipf_fit
+        text = " ".join(f"t{i}" for i in range(8) for _ in range(5))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = zipf_fit(df, "text", top_k=10).collect()[0]
+        # every count equal -> zero slope (and degenerate r2 NaN-guard:
+        # syy term is 0 -> r2 is NaN; slope must still be 0)
+        assert out["slope"] == 0.0

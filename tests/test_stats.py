@@ -1065,3 +1065,104 @@ class TestPoissonBootstrap:
         assert a["ci_lo"] <= a["mean_cents"] <= a["ci_hi"]
         assert a["ci_lo"] < a["ci_hi"]
         assert a["n_reps"] == 64
+
+
+class TestBinarySegmentation:
+    def test_clean_step_found(self, spark):
+        from cubes_spark.operators.stats import binary_segmentation
+        # 4 days at 1.00, then 4 days at 9.00: optimal split after
+        # day 4 (means 100 vs 900 cents)
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [(t0 + dt.timedelta(days=i),
+                 1.0 if i < 4 else 9.0) for i in range(8)]
+        df = _df(spark, rows, "ts timestamp, v double")
+        out = binary_segmentation(df, "ts", "v").collect()[0]
+        assert out["split_day"] == "2020-01-04"
+        assert out["n_left"] == 4 and out["n_days"] == 8
+        assert out["mean_left_cents"] == 100.0
+        assert out["mean_right_cents"] == 900.0
+        # gain = 400²·1000/4 + 3600²·1000/4 - 4000²·1000/8
+        assert out["gain_scaled"] == (400**2 * 1000) // 4 \
+            + (3600**2 * 1000) // 4 - (4000**2 * 1000) // 8
+
+    def test_flat_series_zero_gain(self, spark):
+        from cubes_spark.operators.stats import binary_segmentation
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [(t0 + dt.timedelta(days=i), 5.0) for i in range(6)]
+        df = _df(spark, rows, "ts timestamp, v double")
+        out = binary_segmentation(df, "ts", "v").collect()[0]
+        assert out["gain_scaled"] == 0
+        # tie on gain -> earliest day wins
+        assert out["split_day"] == "2020-01-01"
+
+    def test_single_day_empty(self, spark):
+        from cubes_spark.operators.stats import binary_segmentation
+        df = _df(spark, [(dt.datetime(2020, 1, 1), 1.0)],
+                 "ts timestamp, v double")
+        assert binary_segmentation(df, "ts", "v").collect() == []
+
+
+class TestWelchT2:
+    def test_identical_groups_zero_t2(self, spark):
+        from cubes_spark.operators.stats import welch_t2
+        rows = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = welch_t2(df, "g", "v", "a", "b").collect()[0]
+        assert out["t2_ppm"] == 0
+
+    def test_hand_computed(self, spark):
+        from cubes_spark.operators.stats import welch_t2
+        # a = (1,2,3), b = (5,7,9) in dollars -> cents moments
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 5.0), ("b", 7.0), ("b", 9.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = welch_t2(df, "g", "v", "a", "b").collect()[0]
+        n1, s1, q1 = 3, 600, 140000
+        n2, s2, q2 = 3, 2100, 1550000
+        d1 = ((n1*q1 - s1*s1) * 10**6) // (n1*n1*(n1-1))
+        d2 = ((n2*q2 - s2*s2) * 10**6) // (n2*n2*(n2-1))
+        ns = ((s1*n2 - s2*n1)**2 // (n1*n2)**2) * 10**6
+        assert out["t2_ppm"] == (ns * 10**6) // (d1 + d2)
+        assert out["nu_milli"] == ((d1+d2)**2 * 1000) // (
+            d1*d1 // (n1-1) + d2*d2 // (n2-1))
+
+    def test_zero_variance_null(self, spark):
+        from cubes_spark.operators.stats import welch_t2
+        rows = [("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 2.0)]
+        df = _df(spark, rows, "g string, v double")
+        out = welch_t2(df, "g", "v", "a", "b").collect()[0]
+        assert out["t2_ppm"] is None and out["nu_milli"] is None
+
+    def test_single_row_group_empty(self, spark):
+        from cubes_spark.operators.stats import welch_t2
+        rows = [("a", 1.0), ("b", 2.0), ("b", 3.0)]
+        df = _df(spark, rows, "g string, v double")
+        assert welch_t2(df, "g", "v", "a", "b").collect() == []
+
+
+class TestHillTailIndex:
+    def test_pareto_like_series(self, spark):
+        from cubes_spark.operators.stats import hill_tail_index
+        # exact Pareto(alpha=1) order statistics: x_(i) = C/i
+        rows = [(i, 1200.0 / i) for i in range(1, 21)]
+        df = _df(spark, rows, "id long, v double")
+        out = hill_tail_index(df, "v", "id", k=20).collect()[0]
+        assert out["n_top"] == 20
+        assert out["x_k_cents"] == 6000  # 1200/20 dollars in cents
+        # 1/alpha = mean(ln(x_i) - ln(x_20)) = mean(ln(20/i)) ~ 1
+        assert 0.9 < out["inv_alpha"] < 1.2
+        assert abs(out["alpha"] * out["inv_alpha"] - 1.0) < 1e-12
+
+    def test_constant_values_zero_inv_alpha(self, spark):
+        from cubes_spark.operators.stats import hill_tail_index
+        rows = [(i, 5.0) for i in range(10)]
+        df = _df(spark, rows, "id long, v double")
+        out = hill_tail_index(df, "v", "id", k=5).collect()[0]
+        assert out["inv_alpha"] == 0.0
+
+    def test_fewer_rows_than_k(self, spark):
+        from cubes_spark.operators.stats import hill_tail_index
+        rows = [(1, 10.0), (2, 20.0), (3, 40.0)]
+        df = _df(spark, rows, "id long, v double")
+        out = hill_tail_index(df, "v", "id", k=200).collect()[0]
+        assert out["n_top"] == 3

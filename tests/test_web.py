@@ -645,3 +645,45 @@ class TestRaLinkPrediction:
         # hub-CENTERED wedges gone: (w,x) etc. vanish, (x,y) keeps
         # only its p term; (h,p) survives via degree-2 centers x,y
         assert capped == {("x", "y"): 500_000, ("h", "p"): 1_000_000}
+
+
+class TestAssortativity:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def test_star_graph_disassortative(self, spark):
+        from cubes_spark.llm.web import degree_assortativity
+        # star: hub 0 with 4 leaves -> every edge joins deg 4 to
+        # deg 1: perfectly disassortative, r == -1
+        e = self._edges(spark, [(0, i) for i in range(1, 5)])
+        out = degree_assortativity(e).collect()[0]
+        assert out["m_directed"] == 8
+        assert out["r_ppm"] == -1000000
+
+    def test_regular_graph_degenerate(self, spark):
+        from cubes_spark.llm.web import degree_assortativity
+        # 4-cycle: every degree 2 -> zero variance -> NULL r
+        e = self._edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+        out = degree_assortativity(e).collect()[0]
+        assert out["r_ppm"] is None
+
+    def test_two_cliques_assortative_sign(self, spark):
+        from cubes_spark.llm.web import degree_assortativity
+        # K3 plus a pendant edge: mixed degrees, exact replay check
+        e = self._edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        out = degree_assortativity(e).collect()[0]
+        # degrees: 0->2, 1->2, 2->3, 3->1 ; directed edges (x,y):
+        # (2,2)x2,(2,3)x2,(3,2)x2,(2,3)->... enumerate:
+        xs = {0: 2, 1: 2, 2: 3, 3: 1}
+        und = [(0,1),(1,2),(0,2),(2,3)]
+        ed = [(xs[a], xs[b]) for a, b in und] + \
+             [(xs[b], xs[a]) for a, b in und]
+        m = len(ed)
+        sx = sum(x for x, _ in ed)
+        sxy = sum(x*y for x, y in ed)
+        sxx = sum(x*x for x, _ in ed)
+        num = m*sxy - sx*sx
+        den = m*sxx - sx*sx
+        exp = (num*1000000)//den if num >= 0 \
+            else -((-num*1000000)//den)
+        assert out["r_ppm"] == exp

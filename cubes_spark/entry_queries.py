@@ -5920,3 +5920,45 @@ def q_part_assortativity(spark, sf_dir):
     edges = basket_pairs(li, "l_orderkey", "l_partkey",
                          min_count=2).select("item_a", "item_b")
     return degree_assortativity(edges, "item_a", "item_b")
+
+
+def q_events_peakrate(spark, sf_dir):
+    """Peak trailing-hour intensity per event type (operators/olap.py:
+    peak_trailing_rate): calendar-aware RANGE window over the bounded
+    second grain — the hottest hour and when it first happened."""
+    from cubes_spark.operators.olap import peak_trailing_rate
+
+    ev = _table(spark, sf_dir, "events")
+    return peak_trailing_rate(ev, "ts", "value", ["event_type"],
+                              window_seconds=3600)
+
+
+def q_orders_qq(spark, sf_dir):
+    """Quantile-quantile decile pairs between URGENT and LOW order
+    totals: percentile_disc order statistics per group off ranks
+    PARTITIONED BY THE GROUP — the distribution-shape companion to
+    orders_ks (where does the mass shift, not just how much)."""
+    from pyspark.sql.window import Window as W
+
+    od = _table(spark, sf_dir, "orders")
+    base = (od.filter(F.col("o_orderpriority")
+                      .isin(["1-URGENT", "5-LOW"]))
+            .select((F.col("o_orderpriority") == "1-URGENT")
+                    .alias("__ua__"),
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    .alias("__v__")))
+    w_ord = W.partitionBy("__ua__").orderBy("__v__")
+    w_all = W.partitionBy("__ua__")
+    ranked = (base.withColumn("__rn__", F.row_number().over(w_ord))
+              .withColumn("__n__", F.count(F.lit(1)).over(w_all)))
+    deciles = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("decile"))
+    j = ranked.join(F.broadcast(deciles),
+                    F.col("__rn__") >= F.expr(
+                        "CAST((decile * __n__ + 9) div 10 AS INT)"))
+    return (j.groupBy("decile")
+            .agg(F.min(F.when(F.col("__ua__"), F.col("__v__")))
+                 .cast("long").alias("urgent_cents"),
+                 F.min(F.when(~F.col("__ua__"), F.col("__v__")))
+                 .cast("long").alias("low_cents"))
+            )

@@ -894,6 +894,11 @@ def degree_assortativity(edges: DataFrame, src: str = "id_a",
     the same cost envelope as a single pass over the edges.
     """
     dec = "decimal(38,0)"
+    # the edge frame is referenced four times below (union both ways,
+    # degree aggregation, the moment join) — persist it so an
+    # expensive upstream (e.g. the basket-pairs self-join) computes
+    # once, not per reference; the affinity edge list is bounded
+    edges = edges.persist()
     und = (edges.select(F.col(src).alias("__u__"),
                         F.col(dst).alias("__v__"))
            .union(edges.select(F.col(dst).alias("__u__"),

@@ -51,6 +51,7 @@ __all__ = [
     "refresh_aggregate",
     "combined_cuboids",
     "combined_levels",
+    "peak_trailing_rate",
 ]
 
 
@@ -2013,3 +2014,41 @@ def percent_of_parent(df: DataFrame, parent_cols: Sequence[str],
                        F.expr("CAST((CAST(1000000 AS decimal(38,0))"
                               " * value_cents) div parent_cents"
                               " AS BIGINT)"))))
+
+
+def peak_trailing_rate(df: DataFrame, ts_col: str, value_col: str,
+                       group_cols: Sequence[str],
+                       window_seconds: int = 3600) -> DataFrame:
+    """Peak trailing-window intensity per group: the maximum, over
+    event time, of the calendar-aware RANGE frame sum of the last
+    ``window_seconds`` — "what was the hottest hour" — plus the
+    moment it first peaked.  A RANGE window (value-based frame) is
+    genuinely different surface from the ROWS frames the calculators
+    use: gaps in event time shrink the frame instead of reaching
+    back further rows.
+
+    Scale shape: facts collapse to the (group, second) grain FIRST —
+    one map-side-combinable aggregation — so the RANGE window runs
+    over the bounded time grain, never the facts; the final max is a
+    plain grouped aggregate.  Exact integer cents throughout (the
+    frame sum is order-free), so the oracle replays it verbatim.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = list(group_cols)
+    sec = (df.filter(F.col(value_col).isNotNull())
+           .groupBy(*gcols,
+                    F.col(ts_col).cast("long").alias("__sec__"))
+           .agg(F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                .cast("long").alias("__v__")))
+    w = (W.partitionBy(*gcols).orderBy("__sec__")
+         .rangeBetween(-(window_seconds - 1), 0))
+    wall = W.partitionBy(*gcols)
+    rated = (sec.withColumn("__rate__", F.sum("__v__").over(w))
+             .withColumn("__mx__", F.max("__rate__").over(wall)))
+    return (rated.groupBy(*gcols)
+            .agg(F.max("__rate__").cast("long")
+                 .alias("peak_window_cents"),
+                 F.min(F.when(F.col("__rate__") == F.col("__mx__"),
+                              F.col("__sec__"))).cast("long")
+                 .alias("peak_at_epoch")))

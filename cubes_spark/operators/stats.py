@@ -1422,34 +1422,93 @@ def poisson_bootstrap_mean(df: DataFrame, group_cols: Sequence[str],
     division; the interval is the 2nd / (B−1)th order statistic of
     the B replicate means (≈ the 2.5/97.5 percentile band at B=64).
 
-    Scale shape: the replicate explosion is a constant B× map-side
-    blowup feeding ONE map-side-combinable aggregation to the
-    (group × B) grain; the order statistics run on B rows per group.
-    No resampling shuffle ever happens — this is the point of the
-    Poisson scheme.
+    Scale shape: ONE Arrow-batched map stage computes all B weights
+    per row and pre-aggregates (group × B) partial sums in-batch —
+    no exploded rows ever exist, and the shuffle carries only
+    |groups|·B partial rows per batch; the order statistics then run
+    on B rows per group.  No resampling shuffle ever happens — this
+    is the point of the Poisson scheme.  (With more than one group
+    column the group key rides the batch stage as a concatenated
+    string and is split back afterwards.)
     """
     from pyspark.sql.window import Window as W
 
-    from cubes_spark.llm.text import hash64
+    import pandas as pd
 
     gcols = list(group_cols)
     base = (df.filter(F.col(value_col).isNotNull())
             .select(*gcols, F.col(id_col).alias("__id__"),
                     _cents(value_col).alias("__x__")))
-    rep = base.withColumn(
-        "__b__", F.explode(F.array(*[F.lit(i) for i in range(n_reps)])))
-    u = hash64(F.concat(F.lit(salt + ":"),
-                        F.col("__b__").cast("string"), F.lit(":"),
-                        F.col("__id__").cast("string")))
-    wgt = None
-    for t in _POISSON1_THRESHOLDS:
-        term = (u >= F.lit(t)).cast("long")
-        wgt = term if wgt is None else (wgt + term)
-    perb = (rep.withColumn("__w__", wgt)
-            .groupBy(*gcols, "__b__")
-            .agg(F.sum(F.col("__w__").cast(_DEC) * F.col("__x__"))
-                 .alias("__swx__"),
-                 F.sum("__w__").cast("long").alias("__sw__")))
+    single = base
+    if len(gcols) != 1:
+        single = base.withColumn(
+            "__g__", F.concat_ws("\x1f",
+                                 *[F.col(c).cast("string")
+                                   for c in gcols]))
+
+    # The md5 → uniform → weight chain runs in ONE Arrow batch stage
+    # that also pre-aggregates (group, replicate) partial sums: the
+    # JVM formulation (explode 64× + md5 + conv per row) was measured
+    # at 13s for 9.6M rows at sf0.1 — conv(hex,16,10) alone cost as
+    # much as md5 — while this map-side combine ships only
+    # |groups|·B partial rows per batch and no exploded rows at all.
+    # The arithmetic is IDENTICAL (hashlib md5 == SQL md5 bytes,
+    # int(hex,16) == conv, bisect == the threshold sum), so the
+    # DuckDB oracle still replays it exactly.
+    from bisect import bisect_right
+
+    import hashlib
+
+    thresholds = list(_POISSON1_THRESHOLDS)
+    gname = gcols[0] if len(gcols) == 1 else "__g__"
+
+    def _partials(batches):
+        for pdf in batches:
+            acc = {}
+            for g, i, x in zip(pdf[gname], pdf["__id__"],
+                               pdf["__x__"]):
+                pre = f"{salt}:%d:{i}"
+                for b in range(n_reps):
+                    h = hashlib.md5(
+                        (pre % b).encode()).hexdigest()[:15]
+                    w = bisect_right(thresholds, int(h, 16))
+                    if w:
+                        k = (g, b)
+                        if k in acc:
+                            acc[k][0] += w * x
+                            acc[k][1] += w
+                        else:
+                            acc[k] = [w * x, w]
+                    else:
+                        acc.setdefault((g, b), [0, 0])
+            yield pd.DataFrame(
+                [(g, b, swx, sw)
+                 for (g, b), (swx, sw) in acc.items()],
+                columns=[gname, "__b__", "__pswx__", "__psw__"])
+
+    # a small scale-factor input can be a single parquet split; the
+    # weight stage is CPU-bound (B md5s per row, ~1.4us each), so
+    # spread it across the cluster before the batch stage — at real
+    # scale the input already has more partitions than cores and the
+    # repartition is a no-op branch
+    sc = df.sparkSession.sparkContext
+    if single.rdd.getNumPartitions() < sc.defaultParallelism:
+        single = single.repartition(sc.defaultParallelism)
+    gtype = dict(single.dtypes)[gname]
+    partial = single.mapInPandas(
+        _partials,
+        f"`{gname}` {gtype}, __b__ int, __pswx__ long, __psw__ long")
+    perb0 = (partial.groupBy(gname, "__b__")
+             .agg(F.sum(F.col("__pswx__").cast(_DEC))
+                  .alias("__swx__"),
+                  F.sum("__psw__").cast("long").alias("__sw__")))
+    if len(gcols) == 1:
+        perb = perb0
+    else:
+        split = F.split(F.col(gname), "\x1f")
+        perb = perb0.select(
+            *[split.getItem(i).alias(c) for i, c in enumerate(gcols)],
+            "__b__", "__swx__", "__sw__")
     means = (perb.filter(F.col("__sw__") > 0)
              .select(*gcols, "__b__",
                      F.expr("CAST(__swx__ AS DOUBLE) / __sw__")

@@ -5591,6 +5591,50 @@ def oracle_sql() -> dict[str, str]:
                  END END AS BIGINT) AS r_ppm
         FROM m"""
 
+    sql["events_peakrate"] = """
+        WITH sec AS (
+            SELECT event_type,
+                CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2),
+        rated AS (
+            SELECT event_type, s,
+                CAST(sum(v) OVER (PARTITION BY event_type ORDER BY s
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS rate
+            FROM sec),
+        mx AS (
+            SELECT event_type, rate, s,
+                max(rate) OVER (PARTITION BY event_type) AS m
+            FROM rated)
+        SELECT event_type,
+            CAST(max(rate) AS BIGINT) AS peak_window_cents,
+            CAST(min(CASE WHEN rate = m THEN s END) AS BIGINT)
+                AS peak_at_epoch
+        FROM mx GROUP BY event_type"""
+
+    sql["orders_qq"] = """
+        WITH base AS (
+            SELECT o_orderpriority = '1-URGENT' AS ua,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        ranked AS (
+            SELECT ua, v,
+                row_number() OVER (PARTITION BY ua ORDER BY v) AS rn,
+                count(*) OVER (PARTITION BY ua) AS n
+            FROM base),
+        d AS (SELECT unnest(generate_series(1, 9)) AS decile)
+        SELECT CAST(decile AS INT) AS decile,
+            CAST(min(CASE WHEN ua THEN v END) AS BIGINT)
+                AS urgent_cents,
+            CAST(min(CASE WHEN NOT ua THEN v END) AS BIGINT)
+                AS low_cents
+        FROM ranked JOIN d ON rn >= (decile * n + 9) // 10
+        GROUP BY decile"""
+
     sql["emb_mmr"] = _emb_mmr_oracle()
 
     return sql

@@ -1091,3 +1091,39 @@ class TestPercentOfParent:
         df = spark.createDataFrame(rows, "r string, n string, v double")
         out = percent_of_parent(df, ["r"], ["n"], "v").collect()
         assert all(r["share_ppm"] is None for r in out)
+
+
+class TestPeakTrailingRate:
+    def test_gap_aware_frame(self, spark):
+        import datetime as dt
+        from cubes_spark.operators.olap import peak_trailing_rate
+        t0 = dt.datetime(2020, 1, 1)
+        # burst of 3.00 in one minute, then a lone 2.00 two hours
+        # later: the RANGE frame must NOT reach back across the gap
+        rows = [("a", t0, 1.0),
+                ("a", t0 + dt.timedelta(seconds=30), 1.0),
+                ("a", t0 + dt.timedelta(seconds=60), 1.0),
+                ("a", t0 + dt.timedelta(hours=2), 2.0)]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, v double")
+        out = peak_trailing_rate(df, "ts", "v", ["k"],
+                                 window_seconds=3600).collect()[0]
+        assert out["peak_window_cents"] == 300
+        assert out["peak_at_epoch"] == int(
+            (t0 + dt.timedelta(seconds=60)
+             - dt.datetime(1970, 1, 1)).total_seconds())
+
+    def test_rows_frame_would_differ(self, spark):
+        import datetime as dt
+        from cubes_spark.operators.olap import peak_trailing_rate
+        # two events 90 min apart: every 1h frame holds ONE event, so
+        # the peak is the larger single value (a 2-ROWS frame would
+        # wrongly combine them)
+        t0 = dt.datetime(2020, 1, 1)
+        rows = [("a", t0, 5.0),
+                ("a", t0 + dt.timedelta(minutes=90), 4.0)]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, v double")
+        out = peak_trailing_rate(df, "ts", "v", ["k"],
+                                 window_seconds=3600).collect()[0]
+        assert out["peak_window_cents"] == 500

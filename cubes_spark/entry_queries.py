@@ -5962,3 +5962,17 @@ def q_orders_qq(spark, sf_dir):
                  F.min(F.when(~F.col("__ua__"), F.col("__v__")))
                  .cast("long").alias("low_cents"))
             )
+
+
+def q_doc_minhash_recall(spark, sf_dir):
+    """Recall/precision of the MinHash-LSH candidate generator vs
+    exact shingle-Jaccard ground truth (llm/dedup.py:minhash_recall):
+    the text-side quality bridge mirroring emb_ann_recall — ground
+    truth from a shingle inverted index (never all-pairs), threshold
+    as an exact integer cross-multiplication."""
+    from cubes_spark.llm.dedup import minhash_recall
+
+    docs = (_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 500)
+            .select("doc_id", "text"))
+    return minhash_recall(docs, num_hashes=16, bands=4, shingle_k=5)

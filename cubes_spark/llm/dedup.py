@@ -48,6 +48,7 @@ __all__ = [
     "duplicate_clusters",
     "fuzzy_pairs",
     "jaccard_similarity_join",
+    "minhash_recall",
     "DEFAULT_MAX_BUCKET_SIZE",
 ]
 
@@ -943,3 +944,75 @@ def source_shingle_overlap(df: DataFrame, group_col: str = "source",
     return out.select(
         F.col("ga").alias("source_a"), F.col("gb").alias("source_b"),
         "n_a", "n_b", "n_common", "jaccard_bp")
+
+
+def minhash_recall(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_hashes: int = 16,
+                   bands: int = 4, shingle_k: int = 5,
+                   jaccard_num: int = 1,
+                   jaccard_den: int = 2) -> DataFrame:
+    """Measured recall/precision of the MinHash-LSH candidate
+    generator against EXACT ground truth — the text-side counterpart
+    of the emb_*_recall integer-arithmetic quality bridges: LSH is
+    probabilistic, so "is the banding good enough at this shingle
+    size" needs a number, not a hope.
+
+    Ground truth is every pair with shingle-set Jaccard ≥ num/den,
+    found WITHOUT an all-pairs scan: any pair above a positive
+    threshold shares a shingle, so candidates come from a shingle
+    inverted-index self-join and the threshold test is the exact
+    integer cross-multiplication
+
+        (den + num)·|A∩B|  ≥  num·(|A| + |B|)
+
+    (⟺ |A∩B|/|A∪B| ≥ num/den — no float Jaccard is ever computed).
+
+    Returns one row: ``n_true, n_cand, n_hit, recall_bp,
+    precision_bp`` (truncating basis points, NULL when the
+    denominator is empty).
+
+    Scale shape: the inverted index is the posting-grain shuffle
+    every search entry already pays; the pair grain is bounded by
+    co-occurrence (never |N|²).  Skewed stop-shingles bound the pair
+    count — cap the input (the entry evaluates a fixed subset) or
+    pre-drop top-df shingles for corpus-scale audits.
+    """
+    sh = (spread(df).select(
+        F.col(id_col).alias("__id__"),
+        _shingle_array(F.col(text_col), shingle_k).alias("__sh__")))
+    sizes = sh.select("__id__", F.size("__sh__").alias("__n__"))
+    posting = sh.select("__id__", F.explode("__sh__").alias("__s__"))
+    pa = posting.select(F.col("__s__").alias("__sa__"),
+                        F.col("__id__").alias("id_a"))
+    pb = posting.select(F.col("__s__").alias("__sb__"),
+                        F.col("__id__").alias("id_b"))
+    common = (pa.join(pb, (F.col("__sa__") == F.col("__sb__"))
+                      & (F.col("id_a") < F.col("id_b")))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("__c__")))
+    na = sizes.select(F.col("__id__").alias("id_a"),
+                      F.col("__n__").alias("__na__"))
+    nb = sizes.select(F.col("__id__").alias("id_b"),
+                      F.col("__n__").alias("__nb__"))
+    truth = (common.join(na, "id_a").join(nb, "id_b")
+             .filter((jaccard_den + jaccard_num) * F.col("__c__")
+                     >= jaccard_num * (F.col("__na__")
+                                       + F.col("__nb__")))
+             .select("id_a", "id_b"))
+    cand = minhash_candidate_pairs(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"])
+    agg = (truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+           .crossJoin(cand.agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_cand")))
+           .crossJoin(hit.agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_hit"))))
+    return agg.select(
+        "n_true", "n_cand", "n_hit",
+        F.expr("CAST(CASE WHEN n_true > 0 THEN"
+               " (10000 * n_hit) div n_true END AS BIGINT)")
+        .alias("recall_bp"),
+        F.expr("CAST(CASE WHEN n_cand > 0 THEN"
+               " (10000 * n_hit) div n_cand END AS BIGINT)")
+        .alias("precision_bp"))

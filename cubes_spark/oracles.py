@@ -5635,6 +5635,47 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked JOIN d ON rn >= (decile * n + 9) // 10
         GROUP BY decile"""
 
+    # MinHash-LSH recall bridge: exact ground truth from the shingle
+    # inverted index (no all-pairs), candidates from the same banded
+    # CTE the doc_minhash entry replays, both on the doc_id<500 subset
+    sql["doc_minhash_recall"] = f"""
+        {_minhash_cte()},
+        sub AS (SELECT doc_id, shingles FROM sh WHERE doc_id < 500),
+        sizes AS (SELECT doc_id, len(shingles) AS n FROM sub),
+        posting AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sub),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS BIGINT) AS c
+            FROM posting a JOIN posting b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        truth AS (
+            SELECT id_a, id_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE 3 * c >= 1 * (sa.n + sb.n)),
+        cand AS (
+            SELECT id_a, id_b FROM pairs
+            WHERE id_a < 500 AND id_b < 500),
+        hit AS (SELECT t.id_a, t.id_b
+                FROM truth t JOIN cand c USING (id_a, id_b)),
+        agg AS (
+            SELECT (SELECT count(*) FROM truth) AS n_true,
+                   (SELECT count(*) FROM cand) AS n_cand,
+                   (SELECT count(*) FROM hit) AS n_hit)
+        SELECT CAST(n_true AS BIGINT) AS n_true,
+            CAST(n_cand AS BIGINT) AS n_cand,
+            CAST(n_hit AS BIGINT) AS n_hit,
+            CAST(CASE WHEN n_true > 0
+                 THEN (10000 * n_hit) // n_true END AS BIGINT)
+                AS recall_bp,
+            CAST(CASE WHEN n_cand > 0
+                 THEN (10000 * n_hit) // n_cand END AS BIGINT)
+                AS precision_bp
+        FROM agg"""
+
     sql["emb_mmr"] = _emb_mmr_oracle()
 
     return sql

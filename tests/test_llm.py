@@ -2838,3 +2838,27 @@ class TestZipfFit:
         # every count equal -> zero slope (and degenerate r2 NaN-guard:
         # syy term is 0 -> r2 is NaN; slope must still be 0)
         assert out["slope"] == 0.0
+
+
+class TestMinhashRecall:
+    def test_exact_dups_full_recall(self, spark):
+        from cubes_spark.llm.dedup import minhash_recall
+        # identical texts -> identical signatures -> LSH must find
+        # them: recall 10000 exactly
+        rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "completely different content about spark plans"),
+                (4, "another unrelated string with its own words")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = minhash_recall(df).collect()[0]
+        assert out["n_true"] >= 1
+        assert out["recall_bp"] == 10000
+
+    def test_no_true_pairs_null_recall(self, spark):
+        from cubes_spark.llm.dedup import minhash_recall
+        rows = [(1, "alpha beta gamma delta epsilon"),
+                (2, "zeta eta theta iota kappa lambda")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = minhash_recall(df).collect()[0]
+        assert out["n_true"] == 0
+        assert out["recall_bp"] is None

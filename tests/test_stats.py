@@ -1166,3 +1166,18 @@ class TestHillTailIndex:
         df = _df(spark, rows, "id long, v double")
         out = hill_tail_index(df, "v", "id", k=200).collect()[0]
         assert out["n_top"] == 3
+
+    def test_multi_group_key_path(self, spark):
+        from cubes_spark.operators.stats import poisson_bootstrap_mean
+        # two group columns exercise the concatenated-key batch path
+        rows = [(g1, g2, float(i), float(i % 7))
+                for g1 in ("a", "b") for g2 in ("x", "y")
+                for i in range(40)]
+        df = _df(spark, rows,
+                 "g1 string, g2 string, id double, v double")
+        out = {(r["g1"], r["g2"]): r for r in poisson_bootstrap_mean(
+            df, ["g1", "g2"], "v", "id", n_reps=16).collect()}
+        assert len(out) == 4
+        for r in out.values():
+            assert r["n"] == 40
+            assert r["ci_lo"] <= r["mean_cents"] <= r["ci_hi"]

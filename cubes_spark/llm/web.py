@@ -44,7 +44,8 @@ __all__ = ["triangle_counts", "jaccard_link_prediction",
            "parse_tar", "webdataset_samples",
            "inflate_column", "parse_jsonl", "pack_webdataset",
            "link_pagerank",
-           "WARC_RECORD_SCHEMA", "TAR_MEMBER_SCHEMA"           "degree_assortativity",
+           "WARC_RECORD_SCHEMA", "TAR_MEMBER_SCHEMA",
+           "degree_assortativity",
 ]
 
 

@@ -56,6 +56,7 @@ __all__ = [
     "poisson_bootstrap_mean",
     "binary_segmentation",
     "welch_t2",
+    "hill_tail_index",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1552,6 +1553,15 @@ def binary_segmentation(df: DataFrame, ts_col: str, value_col: str,
     thousands of rows at ANY fact count), prefix sums via a window
     over that bounded grain, one bounded driver row for (n, total),
     and an order-by-limit-1 on the candidate frame.
+
+    Output bound (like the ANOVA family): ``gain_scaled`` is
+    10³ × the between-segment sum of squares of per-day cent sums,
+    reported as BIGINT — exact-replay domain is
+    |gain − base| < 2⁶³ (≈ daily sums below ~3·10⁷ cent-dollars
+    squared, i.e. ≲ 10⁸ fact rows at TPC-H price scales).  Beyond
+    that Spark's non-ANSI cast yields NULL while the oracle's
+    HUGEINT→BIGINT cast errors; keep series inside the bound or
+    re-bucket to a coarser grain.
     """
     from pyspark.sql.window import Window as W
 
@@ -1647,11 +1657,11 @@ def welch_t2(df: DataFrame, group_col: str, value_col: str,
     t2 = F.expr(
         "CAST(CASE WHEN d1 + d2 > 0 THEN "
         + _fdiv("ns*1000000", "d1+d2") + " END AS BIGINT)")
+    nu_den = (_fdiv("d1*d1", "n1-1") + " + "
+              + _fdiv("d2*d2", "n2-1"))
     nu = F.expr(
-        "CAST(CASE WHEN d1 + d2 > 0 THEN "
-        + _fdiv("(d1+d2)*(d1+d2)*1000",
-                _fdiv("d1*d1", "n1-1") + " + "
-                + _fdiv("d2*d2", "n2-1"))
+        "CAST(CASE WHEN d1 + d2 > 0 AND (" + nu_den + ") > 0 THEN "
+        + _fdiv("(d1+d2)*(d1+d2)*1000", nu_den)
         + " END AS BIGINT)")
     return staged.select(
         F.col("n1").cast("long").alias("n_a"),

@@ -5482,6 +5482,7 @@ def oracle_sql() -> dict[str, str]:
                  THEN (ns*1000000) // (d1+d2) END AS BIGINT)
                 AS t2_ppm,
             CAST(CASE WHEN d1 + d2 > 0
+                      AND (d1*d1 // (n1-1) + d2*d2 // (n2-1)) > 0
                  THEN ((d1+d2)*(d1+d2)*1000)
                       // (d1*d1 // (n1-1) + d2*d2 // (n2-1))
                  END AS BIGINT) AS nu_milli

@@ -174,6 +174,15 @@ TPCH_MODEL = {
                 # NULL for zero discounts: makes count_nonempty
                 # observable (< fact_count) on null-free testdata
                 {"name": "discount_nz", "expression": "nullif(discount, 0)"},
+                # NULL on odd ship-months: a month-grain drilldown over
+                # this measure interleaves NULL aggregate values, making
+                # the window calculators' last-N-NON-NULL deque
+                # semantics observable (parity:
+                # /root/reference/cubes/query/statutils.py:192-205)
+                {"name": "shipmonth"},
+                {"name": "price_even",
+                 "expression":
+                     "if(shipmonth % 2 == 0, extendedprice, None)"},
             ],
             "aggregates": [
                 {"name": "quantity_sum", "function": "sum",
@@ -234,6 +243,22 @@ TPCH_MODEL = {
                  "measure": "price_sum"},
                 {"name": "price_pct_change", "function": "pct_change",
                  "measure": "price_sum"},
+                # nullable windowed series: min over a measure that is
+                # NULL on odd ship-months (deque-semantics coverage)
+                {"name": "price_even_min", "function": "min",
+                 "measure": "price_even"},
+                {"name": "pe_sma", "function": "sma",
+                 "measure": "price_even_min", "window_size": 3},
+                {"name": "pe_wma", "function": "wma",
+                 "measure": "price_even_min", "window_size": 3},
+                {"name": "pe_sms", "function": "sms",
+                 "measure": "price_even_min", "window_size": 3},
+                {"name": "pe_smstd", "function": "smstd",
+                 "measure": "price_even_min", "window_size": 3},
+                {"name": "pe_smvar", "function": "smvar",
+                 "measure": "price_even_min", "window_size": 3},
+                {"name": "pe_smrsd", "function": "smrsd",
+                 "measure": "price_even_min", "window_size": 3},
             ],
             "mappings": {
                 # fact measures / key.  Monetary doubles are cast to
@@ -255,6 +280,8 @@ TPCH_MODEL = {
                 "partkey": "lineitem.l_partkey",
                 "suppkey": "lineitem.l_suppkey",
                 "linenumber": "lineitem.l_linenumber",
+                "shipmonth": {"table": "lineitem", "column": "l_shipdate",
+                              "extract": "month"},
                 # virtual time dimension via extract()
                 "date.year": {"table": "lineitem", "column": "l_shipdate",
                               "extract": "year"},

@@ -14,10 +14,16 @@ Semantics preserved (for oracle parity):
 * Partition key: the split column if present, NOTHING else when the
   aggregate has `window_size` set (statutils.py:104-119 — drilldown
   keys partition only in the legacy `aggregation_units` path).
-* Null source values are skipped, not counted (statutils.py:192-194).
-  Spark's built-in window aggregates ignore nulls inside the frame,
-  which matches when the frame is full of non-nulls; `collect_list`
-  (used for wma) skips nulls exactly like the reference deque.
+* Null source values are skipped, not counted (statutils.py:192-194):
+  the reference deque holds the last N NON-NULL values, reaching
+  further back past nulls.  Replayed exactly with a RANGE frame over
+  a running non-null count: ``count(source) ROWS UNBOUNDED
+  PRECEDING..CURRENT`` ranks each row by how many non-null values
+  precede-or-include it; a ``RANGE BETWEEN N-1 PRECEDING AND CURRENT
+  ROW`` frame on that rank is precisely the deque (null rows share
+  the rank of the latest non-null value and contribute nothing to
+  the frame aggregates).  A row before the first non-null value gets
+  NO value (statutils.py:205 — ``len(values) > 0`` guard) → NULL.
 * Roundings: sma→2, wma→4, sms→none, smstd→2, smvar→2, smrsd→4
   (statutils.py:54-94); n<2 variance is 0, mean≤0 relative stdev is 0.
 """
@@ -53,7 +59,9 @@ def _wma_column(source: Column, w: WindowSpec) -> Column:
         lambda acc, x: acc + x,
     )
     denom = (n * (n + F.lit(1))).cast("double") / F.lit(2.0)
-    return F.round(weighted / denom, 4)
+    # empty frame (before the first non-null value) -> NULL, not 0/1
+    # (parity: statutils.py:205 sets the target only when len > 0)
+    return F.when(n > 0, F.round(weighted / denom, 4))
 
 
 def _sma_column(source: Column, w: WindowSpec) -> Column:
@@ -73,9 +81,9 @@ def _window_var(source: Column, w: WindowSpec) -> Column:
     s = F.sum(source).over(w).cast("double")
     s2 = F.sum(source * source).over(w).cast("double")
     n = F.count(source).over(w).cast("double")
-    return F.when(n < 2, F.lit(0.0)).otherwise(
-        (s2 - s * s / n) / (n - F.lit(1.0))
-    )
+    return (F.when(n < 1, F.lit(None).cast("double"))
+            .when(n < 2, F.lit(0.0))
+            .otherwise((s2 - s * s / n) / (n - F.lit(1.0))))
 
 
 def _smstd_column(source: Column, w: WindowSpec) -> Column:
@@ -91,7 +99,10 @@ def _smrsd_column(source: Column, w: WindowSpec) -> Column:
     mean = F.sum(source).over(w).cast("double") / \
         F.count(source).over(w).cast("double")
     std = F.sqrt(_window_var(source, w))
-    return F.when(mean > 0, F.round(std / mean, 4)).otherwise(F.lit(0.0))
+    # empty frame -> NULL mean -> NULL result (not the 0.0 sentinel,
+    # which is only for a computed mean <= 0)
+    return (F.when(mean > 0, F.round(std / mean, 4))
+            .when(mean.isNotNull(), F.lit(0.0)))
 
 
 def _pctchange_column(source: Column, w: WindowSpec) -> Column:
@@ -171,6 +182,12 @@ _UNFRAMED = {"pct_change"}
 
 #: calculators whose formula squares the source (need p <= 18 decimals)
 _VARIANCE_FAMILY = {"smstd", "smvar", "smrsd"}
+
+#: the six reference calculators with deque semantics — framed as the
+#: last N NON-NULL values (reaching back past nulls) via a RANGE frame
+#: over a running non-null count (see module docstring).  Extras
+#: (ewma) keep plain last-N-rows frames.
+_REFERENCE_DEQUE = {"sma", "sms", "wma", "smstd", "smvar", "smrsd"}
 
 CALCULATOR_LABELS = {
     "wma": "Weighted Moving Avg. of {measure}",
@@ -254,20 +271,37 @@ def apply_window_calculators(
     from pyspark.sql.types import DecimalType
 
     dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    def _base_window() -> WindowSpec:
+        if partition_by:
+            return Window.partitionBy(*partition_by).orderBy(*order_by)
+        return Window.orderBy(*order_by)
+
+    # last-N-NON-NULL frames (the reference deque) need a helper rank
+    # column — a running count of non-null source values — because a
+    # window cannot order by another window expression in one select.
+    # The rank counts the RAW (pre-narrowing) source: an overflow-
+    # narrowed value is still a real value that occupies a deque slot
+    # (and must advance the rank so the poison guard sees it inside
+    # exactly the frames whose deque contained it), while rows sharing
+    # a rank — the frame's PEERS, which a RANGE frame includes even
+    # when they FOLLOW the current row — are then only genuine nulls,
+    # which contribute nothing to any frame aggregate or flag sum.
+    # One helper per source_ref; added before the calculator pass,
+    # dropped after.
+    helper_names: Dict[str, str] = {}
+    helper_exprs: Dict[str, Column] = {}
+
+    def _nn_rank(source_ref: str) -> Column:
+        if source_ref not in helper_names:
+            name = f"__nn_rank_{len(helper_names)}__"
+            run = _base_window().rowsBetween(Window.unboundedPreceding, 0)
+            helper_exprs[name] = F.count(F.col(f"`{source_ref}`")).over(run)
+            helper_names[source_ref] = name
+        return F.col(helper_names[source_ref])
+
     new_cols: Dict[str, Column] = {}
     for aggregate, source_ref, fname, window_size in specs:
-        w = Window.orderBy(*order_by)
-        if partition_by:
-            w = Window.partitionBy(*partition_by).orderBy(*order_by)
-        if fname in _UNFRAMED:
-            pass  # lag() needs the plain ordered window
-        elif fname in _UNBOUNDED_PRECEDING:
-            w = w.rowsBetween(Window.unboundedPreceding, 0)
-        elif fname in _WHOLE_PARTITION:
-            w = w.rowsBetween(Window.unboundedPreceding,
-                              Window.unboundedFollowing)
-        else:
-            w = w.rowsBetween(-(window_size - 1), 0)
         builder = CALCULATED_AGGREGATIONS[fname]
         source = F.col(f"`{source_ref}`")
         dtype = dtypes.get(source_ref)
@@ -303,6 +337,26 @@ def apply_window_calculators(
                 source = narrowed
             else:
                 source = source.cast("double")
+        if fname in _REFERENCE_DEQUE:
+            # the deque frame: rows whose raw non-null rank is within
+            # N-1 of the current row's (see helper comment above)
+            rank = _nn_rank(source_ref)
+            if partition_by:
+                w = Window.partitionBy(*partition_by).orderBy(rank)
+            else:
+                w = Window.orderBy(rank)
+            w = w.rangeBetween(-(window_size - 1), 0)
+        else:
+            w = _base_window()
+            if fname in _UNFRAMED:
+                pass  # lag() needs the plain ordered window
+            elif fname in _UNBOUNDED_PRECEDING:
+                w = w.rowsBetween(Window.unboundedPreceding, 0)
+            elif fname in _WHOLE_PARTITION:
+                w = w.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+            else:
+                w = w.rowsBetween(-(window_size - 1), 0)
         col = builder(source, w)
         if overflow is not None:
             col = F.when(F.sum(overflow).over(w) > 0,
@@ -310,7 +364,10 @@ def apply_window_calculators(
         new_cols[aggregate.name] = col
     if not new_cols:
         return df
-    return df.withColumns(new_cols)
+    if helper_exprs:
+        df = df.withColumns(helper_exprs)
+    df = df.withColumns(new_cols)
+    return df.drop(*helper_exprs) if helper_exprs else df
 
 
 def calculate_scalar(fname: str, values: List[float]) -> Optional[float]:

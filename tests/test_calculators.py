@@ -181,3 +181,50 @@ def test_truly_wide_decimal_variance_uses_double(spark):
     ).orderBy("seq").collect()
     assert out[1]["v_smvar"] is not None
     assert math.isclose(float(out[1]["v_smvar"]), 2e40, rel_tol=1e-10)
+
+
+def test_nullable_series_deque_semantics(spark):
+    """The frame is the last N NON-NULL values, reaching back past
+    nulls, and rows before the first non-null get NULL — replicated
+    against a literal port of the reference deque
+    (/root/reference/cubes/query/statutils.py:192-205)."""
+    from collections import deque
+    from types import SimpleNamespace
+
+    from pyspark.sql import functions as F
+
+    from cubes_spark.functions.calculators import apply_window_calculators
+
+    rows = [(1, None), (2, 10.0), (3, None), (4, 20.0), (5, None),
+            (6, 40.0), (7, 80.0), (8, None), (9, None), (10, 160.0)]
+    df = spark.createDataFrame(rows, "seq int, v double")
+    specs = [(SimpleNamespace(name=f"v_{fn}"), "v", fn, 3)
+             for fn in ("sma", "sms", "wma", "smstd", "smvar", "smrsd")]
+    got = apply_window_calculators(
+        df, specs, order_by=[F.col("seq")]
+    ).orderBy("seq").collect()
+
+    window = deque()
+    for out, (_, v) in zip(got, rows):
+        if v is not None:
+            window.append(v)
+        while len(window) > 3:
+            window.popleft()
+        if not window:
+            for fn in ("sma", "sms", "wma", "smstd", "smvar", "smrsd"):
+                assert out[f"v_{fn}"] is None, (out, fn)
+            continue
+        n = len(window)
+        mean = sum(window) / n
+        var = (sum((x - mean) ** 2 for x in window) / (n - 1)
+               if n >= 2 else 0.0)
+        wma = sum(x * (i + 1) for i, x in enumerate(window)) \
+            / (n * (n + 1) / 2)
+        assert float(out["v_sma"]) == round_half_up(mean, 2)
+        assert float(out["v_sms"]) == sum(window)
+        assert float(out["v_wma"]) == round_half_up(wma, 4)
+        assert float(out["v_smvar"]) == round_half_up(var, 2)
+        assert float(out["v_smstd"]) == round_half_up(math.sqrt(var), 2)
+        exp_rsd = (round_half_up(math.sqrt(var) / mean, 4)
+                   if mean > 0 else 0.0)
+        assert float(out["v_smrsd"]) == exp_rsd

@@ -341,60 +341,33 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
         exclude_self = queries is None
     queries = corpus if queries is None else queries
     nlist = _auto_nlist(corpus, nlist, sample_size)
-    first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first and first[0] is not None else 0
     cent = _train_centroids(corpus, nlist, seed, id_col, vec_col,
                             sample_size)
     nlist = len(cent)
-    flat = F.array(*[F.lit(float(x)) for row in cent for x in row])
 
-    def nearest_clusters(n: int) -> Column:
-        # clusters sorted by descending similarity (ties by cluster id),
-        # truncated to the n nearest; 1-based cluster ids
-        sims = _centroid_sims(F.col(vec_col), flat, nlist, dim)
-        return F.slice(
-            F.array_sort(F.transform(
-                F.sequence(F.lit(0), F.lit(nlist - 1)),
-                lambda c: F.struct(
-                    (F.element_at(sims, c + 1) * -1).alias("neg"),
-                    (c + 1).alias("cluster"),
-                ),
-            )), 1, n,
-        )
-
-    if nlist > _VECTORIZED_ASSIGN_NLIST:
-        # large nlist (the auto-scaled sqrt(N) default): interpreted
-        # HOF assignment costs O(nlist·dim) per row — run it as one
-        # numpy matmul per Arrow batch instead (same ordering/ties)
-        assigned = _nearest_clusters_pandas(
-            spread(corpus), cent, vec_col, 1, [id_col, vec_col]
-        ).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cvec__"),
-            F.col("cluster").cast("int").alias("__cluster__"))
-        probed = _nearest_clusters_pandas(
-            queries, cent, vec_col, min(nprobe, nlist),
-            [id_col, vec_col]
-        ).select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qvec__"),
-            F.col("cluster").cast("int").alias("__cluster__"))
-    else:
-        assigned = spread(corpus).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cvec__"),
-            F.element_at(nearest_clusters(1), 1)["cluster"]
-            .cast("int").alias("__cluster__"),
-        )
-        # query side: nprobe nearest centroids, one row each
-        probed = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qvec__"),
-            F.explode(nearest_clusters(min(nprobe, nlist)))
-            .alias("__p__"),
-        ).select("query_id", "__qvec__",
-                 F.col("__p__.cluster").cast("int")
-                 .alias("__cluster__"))
+    # assignment is ALWAYS the vectorized Arrow path (one numpy matmul
+    # per batch against the broadcast centroid matrix — the FAISS
+    # apply-distributed shape).  Unlike kmeans_clusters, ivf_topk never
+    # EMITS the assignment similarities — the output cosine is
+    # recomputed per candidate pair by the oracle-exact expression
+    # fold below — so the only float sensitivity is cluster CHOICE on
+    # sub-ulp centroid near-ties (the same accepted class as the
+    # auto-nlist path; measured: the interpreted HOF fold cost
+    # O(nlist·dim) per row dominated the whole operator even at
+    # nlist=16 — 4.5s for a 2000-row corpus on one partition).
+    assigned = _nearest_clusters_pandas(
+        spread(corpus), cent, vec_col, 1, [id_col, vec_col]
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec__"),
+        F.col("cluster").cast("int").alias("__cluster__"))
+    probed = _nearest_clusters_pandas(
+        queries, cent, vec_col, min(nprobe, nlist),
+        [id_col, vec_col]
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec__"),
+        F.col("cluster").cast("int").alias("__cluster__"))
 
     sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
         _norm(F.col("__qvec__")) * _norm(F.col("__cvec__"))
@@ -959,7 +932,10 @@ def pq_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
 def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
              pool: int = 24, lam: float = 0.7,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: Optional[str] = None) -> DataFrame:
+             query_id_col: Optional[str] = None,
+             candidates: Optional[DataFrame] = None,
+             cand_query_col: str = "query_id",
+             cand_id_col: str = "neighbor_id") -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein, SIGIR 1998): from each query's cosine top-``pool``
     candidate set, greedily pick k results maximizing
@@ -984,6 +960,13 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
     ONE cogrouped ``applyInPandas`` whose per-group state is the
     bounded (pool + pool²/2)-row candidate frame — never the corpus.
     Output: ``(query_id, rank, vec_id, mmr_score)``, rank 1..k.
+
+    ``candidates`` is the 100 TB path: a bounded per-query candidate
+    frame (``cand_query_col``, ``cand_id_col``) from an ANN stage —
+    :func:`ivf_topk` / :func:`ann_lsh_cosine` output — replaces the
+    brute-force corpus scan; scoring becomes two equi-joins to fetch
+    the candidate vectors, so MMR's work is O(queries · pool), never
+    O(queries · corpus).
     """
     import pandas as pd  # noqa: F811 — Arrow batch path
 
@@ -995,14 +978,31 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
                               F.col(vec_col).alias("__cv__"))
     sim = _dot(F.col("__qv__"), F.col("__cv__")) / (
         _norm(F.col("__qv__")) * _norm(F.col("__cv__")))
-    scored = (c.join(F.broadcast(q),
-                     F.col("__qid__") != F.col("__cid__"))
-              .select("__qid__", "__cid__",
-                      F.round(sim, 6).alias("__simq__")))
+    if candidates is not None:
+        cand = candidates.select(
+            F.col(cand_query_col).alias("__qid__"),
+            F.col(cand_id_col).alias("__cid__"))
+        scored = (cand.join(F.broadcast(q), "__qid__")
+                  .join(c, "__cid__")
+                  .filter(F.col("__qid__") != F.col("__cid__"))
+                  .select("__qid__", "__cid__",
+                          F.round(sim, 6).alias("__simq__")))
+    else:
+        scored = (c.join(F.broadcast(q),
+                         F.col("__qid__") != F.col("__cid__"))
+                  .select("__qid__", "__cid__",
+                          F.round(sim, 6).alias("__simq__")))
     wp = Window.partitionBy("__qid__").orderBy(
         F.col("__simq__").desc(), F.col("__cid__").asc())
     pool_df = (scored.withColumn("__rn__", F.row_number().over(wp))
                .filter(F.col("__rn__") <= pool).drop("__rn__"))
+    if candidates is not None:
+        # the pool frame is reused three times downstream (vector
+        # fetch, the pairs self-join's two sides, the final cogroup);
+        # without a persist each reuse re-runs the ENTIRE candidate
+        # generator (e.g. ivf_topk's corpus assignment) — measured 10.3s
+        # -> ~3s at sf0.1.  Bounded: queries x pool rows.
+        pool_df = pool_df.persist()
     pv = pool_df.join(c, "__cid__").select(
         "__qid__", "__cid__", F.col("__cv__").alias("__v__"))
     a = pv.select(F.col("__qid__").alias("__qa__"),

@@ -24,7 +24,10 @@ the standard warehouse benchmark idiomatically:
 
 Schema deltas vs published TPC-H: the test star has no
 ``o_shippriority`` (Q3 groups on ``o_orderpriority`` instead) and no
-``l_commitdate``/``l_receiptdate`` (Q4/Q12 family out of scope);
+``l_commitdate``/``l_receiptdate`` nor ``l_shipmode`` (Q4/Q12 run
+on documented stand-ins: problem lineitem := ``l_returnflag = 'R'``,
+mode := a line-number mapping — see q4_order_priority /
+q12_shipping_modes);
 date windows are shifted into the generated 1995–2001 range.
 """
 
@@ -42,7 +45,8 @@ __all__ = ["q1_pricing_summary", "q3_shipping_priority",
            "q11_important_stock", "q15_top_supplier",
            "q16_parts_supplier_relationship",
            "q17_small_quantity_revenue", "q19_discounted_revenue",
-           "q20_potential_promotion", "q21_suppliers_kept_waiting"]
+           "q20_potential_promotion", "q21_suppliers_kept_waiting",
+           "q4_order_priority", "q12_shipping_modes"]
 
 _DEC = "decimal(38,0)"
 
@@ -799,3 +803,76 @@ def q21_suppliers_kept_waiting(supplier: DataFrame,
             .select("s_name", "numwait")
             .orderBy(F.col("numwait").desc(), F.col("s_name"))
             .limit(limit))
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame,
+                      date_from: str = "1996-01-01",
+                      date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q4: order priority checking — per-priority count of one
+    quarter's orders having at least one problem lineitem, the
+    published EXISTS expressed as a LEFT SEMI join (Spark plans it
+    as a semi hash/sort-merge join, never a correlated rescan).
+    Schema delta (documented, same convention as
+    :func:`q21_suppliers_kept_waiting`): the testdata has no
+    ``l_commitdate``/``l_receiptdate``, so "problem lineitem" :=
+    ``l_returnflag = 'R'`` in place of ``l_commitdate <
+    l_receiptdate``.
+
+    Scale shape: both filters reach their parquet scans (date window
+    on orders, returnflag + column-pruned key on lineitem); the semi
+    join is the only fact shuffle and AQE may broadcast the filtered
+    quarter of orders; the groupBy output is 5 rows at any SF.
+    """
+    o = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit(date_from).cast("date"))
+        & (F.to_date("o_orderdate") < F.lit(date_to).cast("date")))
+    problem = (lineitem.filter(F.col("l_returnflag") == "R")
+               .select("l_orderkey"))
+    return (o.join(problem,
+                   F.col("o_orderkey") == F.col("l_orderkey"),
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+#: line-number → stand-in ship mode (the testdata has no l_shipmode;
+#: l_linenumber is 1..7 — the same cardinality TPC-H gives the mode
+#: column — so the mapping is stable, documented, and oracle-exact)
+Q12_STANDIN_MODES = ("MAIL", "SHIP", "RAIL", "AIR", "TRUCK",
+                     "FOB", "REG AIR")
+
+
+def q12_shipping_modes(orders: DataFrame, lineitem: DataFrame,
+                       year: int = 1996,
+                       modes: tuple = ("MAIL", "SHIP")) -> DataFrame:
+    """TPC-H Q12: shipping modes and order priority — for two ship
+    modes and one year, how many critical- vs non-critical-priority
+    orders used each mode, counted over problem lineitems.
+    Schema deltas (documented): ``l_shipmode`` :=
+    ``Q12_STANDIN_MODES[l_linenumber - 1]`` (a 7-way stand-in of the
+    published column's cardinality), "problem lineitem" :=
+    ``l_returnflag = 'R'`` (as in Q4/Q21), and the receipt-year
+    window runs on ``l_shipdate``.
+
+    Scale shape: mode + flag + year predicates all reach the
+    lineitem scan; ONE fact join to orders (AQE-decided) feeding a
+    2-row conditional aggregation — the published query's exact
+    plan shape.
+    """
+    mode = F.element_at(F.array(*[F.lit(m) for m in Q12_STANDIN_MODES]),
+                        F.col("l_linenumber").cast("int"))
+    li = (lineitem
+          .filter((F.col("l_returnflag") == "R")
+                  & (F.year("l_shipdate") == year))
+          .select("l_orderkey", mode.alias("l_shipmode"))
+          .filter(F.col("l_shipmode").isin(*modes)))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders.select("o_orderkey", "o_orderpriority"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_shipmode")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("l_shipmode"))

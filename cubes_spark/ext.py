@@ -32,15 +32,20 @@ __all__ = [
     "authorizer",
     "calculator",
     "formatter",
+    "model_provider",
     "request_log_handler",
     "store",
 ]
 
 #: extension type -> human description (parity: reference
-#: EXTENSION_TYPES; browser/model_provider are not separate extension
-#: points here — there is one Spark browser, models are declarative)
+#: EXTENSION_TYPES; `browser` is not a separate extension point here —
+#: there is one Spark browser.  `model_provider` IS one (parity:
+#: reference ext.py:75-260 + metadata/providers.py:156-432), in the
+#: thin form Workspace.import_model consumes: a provider turns an
+#: opaque source into model metadata)
 EXTENSION_TYPES: Dict[str, str] = {
     "aggregate_function": "Aggregate function",
+    "model_provider": "Model metadata provider",
     "calculator": "Post-aggregation window calculator",
     "formatter": "Result formatter",
     "authenticator": "Server authenticator",
@@ -86,6 +91,10 @@ _BUILTINS: Dict[str, Dict[str, str]] = {
     },
     "searcher": {
         "simple": "cubes_spark.server.search:SimpleSearcher",
+    },
+    "model_provider": {
+        "default": "cubes_spark.metadata.providers:StaticModelProvider",
+        "static": "cubes_spark.metadata.providers:StaticModelProvider",
     },
     # aggregate_function / calculator builtins live in their own
     # registries (functions/aggregates.py, functions/calculators.py);
@@ -217,8 +226,10 @@ authorizer = ExtensionFinder("authorizer")
 request_log_handler = ExtensionFinder("request_log_handler")
 store = ExtensionFinder("store")
 searcher = ExtensionFinder("searcher")
+model_provider = ExtensionFinder("model_provider")
 
 _FINDERS: Dict[str, ExtensionFinder] = {
+    "model_provider": model_provider,
     "aggregate_function": aggregate_function,
     "calculator": calculator,
     "formatter": formatter,

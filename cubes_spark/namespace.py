@@ -6,9 +6,12 @@ per-namespace translation stacks, with dimension lookup falling back
 through parent namespaces and cube lookup resolving the longest
 namespace prefix of a dotted reference.
 
-The Spark design drops the reference's provider indirection: a
-namespace holds the Cube/Dimension objects directly (our only
-"provider" is model metadata import).
+The Spark design keeps namespaces eager: a namespace holds the
+Cube/Dimension objects directly.  The reference's provider
+indirection survives in the THIN form of the ``model_provider``
+extension type (metadata/providers.py + ext.py): a provider turns an
+opaque source into model metadata at import time, rather than
+serving lazy per-cube lookups.
 """
 
 from __future__ import annotations

@@ -535,7 +535,8 @@ class Workspace:
     # -- model -------------------------------------------------------------
 
     def import_model(self, metadata: Any,
-                     namespace: Optional[str] = None) -> None:
+                     namespace: Optional[str] = None,
+                     provider: Any = None) -> None:
         """Load dimensions and cubes from model metadata into
         ``namespace`` (dotted path, created on demand; default root).
         Dimension ``template`` references resolve against dimensions
@@ -543,7 +544,26 @@ class Workspace:
         (parity: providers.py:156-432; namespaces:
         reference workspace.py:240-260).  A model may also carry
         ``translations``: ``{locale: translation-dict-or-path}``,
-        registered on the same namespace."""
+        registered on the same namespace.
+
+        ``provider`` selects a ``model_provider`` extension (parity:
+        reference ext.py:75-260): a registry name, a ModelProvider
+        instance, or a provider class — it receives ``metadata`` as
+        its source and its :meth:`model_metadata` result is imported.
+        Default (None): ``metadata`` is the model itself."""
+        if provider is not None:
+            from cubes_spark import ext
+            from cubes_spark.metadata.providers import ModelProvider
+
+            if isinstance(provider, str):
+                provider = ext.model_provider.create(provider, metadata)
+            elif isinstance(provider, type):
+                provider = provider(metadata)
+            if not isinstance(provider, ModelProvider) and \
+                    not hasattr(provider, "model_metadata"):
+                raise ArgumentError(
+                    f"Not a model provider: {provider!r}")
+            metadata = provider.model_metadata()
         metadata = read_model(metadata)
         ns, _ = self.root.namespace(namespace, create=True)
 

@@ -12,6 +12,7 @@ import pytest
 
 from cubes_spark import ext
 from cubes_spark.errors import InternalError
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture()
@@ -241,3 +242,69 @@ def test_search_backend_through_server(spark):
         assert resp.status_code == 400
     finally:
         ext.searcher._extensions.pop("canned", None)
+
+
+def test_model_provider_default_static(spark):
+    """model_provider extension type (reference ext.py:75-260 +
+    metadata/providers.py:156-432, thin form): the builtin 'default'
+    provider resolves through the registry and imports the metadata
+    it wraps."""
+    from cubes_spark.metadata.providers import StaticModelProvider
+    from cubes_spark.sources.workspace import Workspace
+
+    assert "default" in ext.model_provider.names()
+    assert isinstance(ext.model_provider.create("default", {}),
+                      StaticModelProvider)
+
+    model = {
+        "dimensions": [{"name": "flag",
+                        "levels": [{"name": "flag",
+                                    "attributes": ["flag"]}]}],
+        "cubes": [{"name": "mini", "fact": "lineitem",
+                   "dimensions": ["flag"],
+                   "measures": [{"name": "quantity"}],
+                   "aggregates": [{"name": "quantity_sum",
+                                   "function": "sum",
+                                   "measure": "quantity"}],
+                   "mappings": {"flag.flag": "lineitem.l_returnflag",
+                                "quantity": "lineitem.l_quantity"}}],
+    }
+    ws = Workspace(spark, store=SF_DIR)
+    ws.import_model(model, provider="default")
+    assert ws.cube("mini") is not None
+
+
+def test_model_provider_custom_registered(spark):
+    """A ported custom provider: synthesizes model metadata from a
+    non-model source, registered programmatically (the in-process
+    analog of a cubes_spark.model_provider entry point)."""
+    from cubes_spark.metadata.providers import ModelProvider
+    from cubes_spark.sources.workspace import Workspace
+
+    class CatalogProvider(ModelProvider):
+        def model_metadata(self):
+            # "catalog" source: a bare list of (cube, fact) pairs
+            return {"cubes": [
+                {"name": c, "fact": f,
+                 "measures": [{"name": "quantity"}],
+                 "aggregates": [{"name": "quantity_sum",
+                                 "function": "sum",
+                                 "measure": "quantity"}],
+                 "mappings": {"quantity": f"{f}.l_quantity"}}
+                for c, f in self.source]}
+
+    ext.model_provider.register("catalog", CatalogProvider)
+    ws = Workspace(spark, store=SF_DIR)
+    ws.import_model([("sales_lite", "lineitem")], provider="catalog")
+    b = ws.browser("sales_lite")
+    r = b.aggregate(aggregates=["quantity_sum"])
+    assert float(r.summary["quantity_sum"]) > 0
+
+
+def test_model_provider_rejects_non_provider(spark):
+    from cubes_spark.errors import ArgumentError
+    from cubes_spark.sources.workspace import Workspace
+
+    ws = Workspace(spark, store=SF_DIR)
+    with pytest.raises((ArgumentError, InternalError)):
+        ws.import_model({}, provider=object())

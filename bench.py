@@ -140,6 +140,19 @@ BENCH_QUERIES = [
     "events_binseg",
     "orders_hill",
     "part_assortativity",
+    # round-11: previously-unbenched family representatives (k-sample
+    # ANOVA, QQ, window-parity distribution, ratio CI, Zipf rank) and
+    # the round-11 additions (deque-null calculators, MMR-over-ANN
+    # scale path, TPC-H Q4/Q12)
+    "orders_anova",
+    "orders_qq",
+    "window_dist",
+    "lineitem_ratio_ci",
+    "doc_zipf",
+    "calc_nulls",
+    "emb_mmr_ann",
+    "tpch_q4",
+    "tpch_q12",
 ]
 
 

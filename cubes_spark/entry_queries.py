@@ -351,6 +351,22 @@ def q_calc_ptot(spark, sf_dir):
     return _lng(out, "customer_geo.region_key", "date.year",
                 "date.month")
 
+def q_calc_nulls(spark, sf_dir):
+    """All six reference window calculators over a NULLABLE aggregate
+    series (min over a measure that is NULL on odd ship-months): the
+    deque holds the last N NON-NULL values, reaching back past NULL
+    rows, and rows before the first non-null value get NULL (parity:
+    /root/reference/cubes/query/statutils.py:192-205)."""
+    df = _browser(spark, sf_dir).aggregation_dataframe(
+        drilldown=["date@ym:month"],
+        aggregates=["price_even_min", "pe_sma", "pe_wma", "pe_sms",
+                    "pe_smstd", "pe_smvar", "pe_smrsd"],
+    )
+    out = _dbl(df, "price_even_min", "pe_sma", "pe_wma", "pe_sms",
+               "pe_smstd", "pe_smvar", "pe_smrsd")
+    return _lng(out, "date.year", "date.month")
+
+
 q_calc_wma = _calc_query("price_wma")
 q_calc_sms = _calc_query("price_sms")
 q_calc_ewma = _calc_query("price_ewma")
@@ -5686,6 +5702,30 @@ def q_tpch_q21(spark, sf_dir):
                                       _table(spark, sf_dir, "nation"))
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order priority checking (operators/tpch.py): one
+    quarter's per-priority order counts where EXISTS a problem
+    lineitem — the EXISTS as a LEFT SEMI join; problem :=
+    returnflag='R' (documented stand-in for the missing
+    commit/receipt dates, as in tpch_q21)."""
+    from cubes_spark.operators.tpch import q4_order_priority
+
+    return q4_order_priority(_table(spark, sf_dir, "orders"),
+                             _table(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping modes and order priority
+    (operators/tpch.py): critical vs non-critical order counts per
+    ship mode over one year's problem lineitems; mode :=
+    line-number stand-in mapping, problem := returnflag='R'
+    (documented schema deltas)."""
+    from cubes_spark.operators.tpch import q12_shipping_modes
+
+    return q12_shipping_modes(_table(spark, sf_dir, "orders"),
+                              _table(spark, sf_dir, "lineitem"))
+
+
 def q_orders_yoy(spark, sf_dir):
     """Year-over-year monthly revenue (operators/olap.py:
     period_over_period): exact cent sums per order month, the same
@@ -5874,6 +5914,54 @@ def q_emb_mmr(spark, sf_dir):
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return mmr_topk(emb, queries, k=8, pool=24, lam=0.7)
+
+
+def q_emb_mmr_ann(spark, sf_dir):
+    """MMR over ANN-bucketed candidate pools — the 100 TB composition
+    (llm/similarity.py:mmr_topk candidates= + ivf_topk): each query's
+    pool is its IVF top-24 (sample-trained centroids, nprobe=4 cell
+    equi-join — never a corpus scan), then the same exact greedy MMR
+    selection.  The oracle retrains the identical fixed-seed k-means
+    and replays both stages."""
+    from cubes_spark.llm import ivf_topk
+    from cubes_spark.llm.similarity import mmr_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cand = ivf_topk(emb, queries, k=24, nlist=16, nprobe=4,
+                    exclude_self=True)
+    return mmr_topk(emb, queries, k=8, pool=24, lam=0.7,
+                    candidates=cand)
+
+
+def q_emb_mmr_ann_recall(spark, sf_dir):
+    """Bridge between the MMR scale path and its brute-force
+    baseline: what share of the exact MMR top-8 selections the
+    IVF-pooled variant reproduces (auditable integer basis points —
+    the cost of replacing the corpus scan with bucketed candidate
+    generation, measured, not assumed)."""
+    from cubes_spark.llm import ivf_topk
+    from cubes_spark.llm.similarity import mmr_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = mmr_topk(emb, queries, k=8, pool=24, lam=0.7) \
+        .select("query_id", "vec_id")
+    cand = ivf_topk(emb, queries, k=24, nlist=16, nprobe=4,
+                    exclude_self=True)
+    approx = (mmr_topk(emb, queries, k=8, pool=24, lam=0.7,
+                       candidates=cand)
+              .select("query_id", "vec_id")
+              .withColumn("__hit__", F.lit(1)))
+    marked = exact.join(approx, ["query_id", "vec_id"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+        .cast("long").alias("n_hit"),
+    ).select(
+        "n_exact", "n_hit",
+        F.expr("n_hit * 10000 div n_exact").alias("overlap_bp"),
+    )
 
 
 def q_orders_welch(spark, sf_dir):

@@ -2322,6 +2322,58 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 0.0 END AS price_smrsd
         FROM ({calc_var_base})"""
 
+    # deque semantics over a NULLABLE series: the frame is the last 3
+    # NON-NULL values (reaching back past NULL months).  Replayed by
+    # windowing the NON-NULL subseries (ROWS 2 PRECEDING) and joining
+    # each row back by its running non-null count `rk` — a NULL row
+    # shares rk with the latest non-null row, so it inherits that
+    # row's deque; rk = 0 rows (before any value) get NULL.
+    pe_var = """(CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"""
+    pe_var_case = f"CASE WHEN n < 2 THEN 0.0 ELSE {pe_var} END"
+    sql["calc_nulls"] = f"""
+        WITH base AS (
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+                CAST(month(l_shipdate) AS BIGINT) AS "date.month",
+                MIN(CASE WHEN month(l_shipdate) % 2 = 0
+                    THEN {_DEC_PRICE} END) AS m
+            FROM lineitem GROUP BY 1, 2),
+        nn AS (
+            SELECT *, COUNT(m) OVER (
+                ORDER BY "date.year", "date.month"
+                ROWS UNBOUNDED PRECEDING) AS rk
+            FROM base),
+        sub AS (
+            SELECT rk, m AS dm,
+                SUM(m) OVER v AS s,
+                SUM(CAST(m AS DECIMAL(19,2))
+                    * CAST(m AS DECIMAL(19,2))) OVER v AS s2,
+                COUNT(*) OVER v AS n,
+                list(CAST(m AS DOUBLE)) OVER v AS vals
+            FROM nn WHERE m IS NOT NULL
+            WINDOW v AS (ORDER BY rk
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        SELECT "date.year", "date.month",
+            CAST(m AS DOUBLE) AS price_even_min,
+            round(CAST(s AS DOUBLE) / n, 2) AS pe_sma,
+            round(
+                CAST(list_sum(list_transform(
+                    list_zip(vals, generate_series(1, len(vals))),
+                    p -> p[1] * p[2])) AS DOUBLE)
+                / (CAST(len(vals) * (len(vals) + 1) AS DOUBLE) / 2.0),
+                4) AS pe_wma,
+            CAST(s AS DOUBLE) AS pe_sms,
+            round(CASE WHEN n < 2 THEN 0.0
+                  ELSE sqrt({pe_var}) END, 2) AS pe_smstd,
+            CAST(CAST(CAST(CAST(({pe_var_case}) AS VARCHAR)
+                 AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS pe_smvar,
+            CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0
+                 THEN round(sqrt({pe_var_case})
+                      / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+                 WHEN n IS NOT NULL THEN 0.0 END AS pe_smrsd
+        FROM nn LEFT JOIN sub USING (rk)"""
+
     sql["rollup_ym"] = f"""
         SELECT CAST(GROUPING(year) * 2 + GROUPING(month) AS BIGINT)
                 AS grouping_id,
@@ -5108,6 +5160,35 @@ def oracle_sql() -> dict[str, str]:
           AND s.s_suppkey IN (SELECT l_suppkey FROM dom)
         ORDER BY s.s_name, s.s_suppkey"""
 
+    # Q4: EXISTS as a semi-join; problem lineitem := returnflag='R'
+    # (documented stand-in — see operators/tpch.py:q4_order_priority).
+    sql["tpch_q4"] = """
+        SELECT o_orderpriority,
+            CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY 1 ORDER BY 1"""
+
+    # Q12: mode := line-number stand-in mapping, problem :=
+    # returnflag='R', year window on l_shipdate (documented deltas —
+    # see operators/tpch.py:q12_shipping_modes).
+    sql["tpch_q12"] = """
+        SELECT CASE l_linenumber WHEN 1 THEN 'MAIL'
+                                 WHEN 2 THEN 'SHIP' END AS l_shipmode,
+            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND year(l.l_shipdate) = 1996
+          AND l.l_linenumber IN (1, 2)
+        GROUP BY 1 ORDER BY 1"""
+
     # Q21: EXISTS/NOT-EXISTS chain as one order-grain aggregation.
     sql["tpch_q21"] = """
         WITH li AS (
@@ -5678,6 +5759,23 @@ def oracle_sql() -> dict[str, str]:
         FROM agg"""
 
     sql["emb_mmr"] = _emb_mmr_oracle()
+    sql["emb_mmr_ann"] = _guarded_oracle(
+        lambda: _emb_mmr_oracle(ann=True), "emb_mmr_ann")
+    sql["emb_mmr_ann_recall"] = _guarded_oracle(
+        lambda: f"""
+        WITH bf AS ({_emb_mmr_oracle()}),
+        ann AS ({_emb_mmr_oracle(ann=True)}),
+        marked AS (
+            SELECT bf.query_id, bf.vec_id,
+                CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS hit
+            FROM bf LEFT JOIN ann
+              ON ann.query_id = bf.query_id
+             AND ann.vec_id = bf.vec_id)
+        SELECT CAST(count(*) AS BIGINT) AS n_exact,
+            CAST(sum(hit) AS BIGINT) AS n_hit,
+            CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS overlap_bp
+        FROM marked""", "emb_mmr_ann_recall")
 
     return sql
 
@@ -5783,12 +5881,10 @@ def _emb_ann_oracle() -> str:
     ),{_COSINE_RANKED}"""
 
 
-def _emb_ivf_oracle() -> str:
-    """Replicates ivf_topk(k=5, nlist=16, nprobe=4, seed=42,
-    sample_size=4096): retrains the identical fixed-seed spherical
-    k-means on the identical sorted sample and embeds the centroids as
-    literals; assignment = nearest centroid, probing = 4 nearest, ties
-    by cluster id — exactly the Spark plan's array_sort semantics."""
+def _ivf_centroid_values() -> str:
+    """Retrains ivf_topk's fixed-seed spherical k-means on the
+    identical first-4096-by-id sample and renders the centroids as
+    exact DOUBLE[] VALUES literals (shared by the IVF oracles)."""
     import duckdb
     import numpy as np
 
@@ -5801,9 +5897,18 @@ def _emb_ivf_oracle() -> str:
     ).fetchall()
     X = np.array([r[0] for r in sample], dtype=np.float64)
     cent = train_spherical_kmeans(X, 16, 42)
-    values = ",\n            ".join(
+    return ",\n            ".join(
         f"({i + 1}, {_sql_dvec(row)})" for i, row in enumerate(cent)
     )
+
+
+def _emb_ivf_oracle() -> str:
+    """Replicates ivf_topk(k=5, nlist=16, nprobe=4, seed=42,
+    sample_size=4096): retrains the identical fixed-seed spherical
+    k-means on the identical sorted sample and embeds the centroids as
+    literals; assignment = nearest centroid, probing = 4 nearest, ties
+    by cluster id — exactly the Spark plan's array_sort semantics."""
+    values = _ivf_centroid_values()
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -5903,7 +6008,7 @@ _DSIR_GRAMS_CTE = f"""
 
 
 def _emb_mmr_oracle(k: int = 8, pool: int = 24, lam: float = 0.7,
-                    mod: int = 100) -> str:
+                    mod: int = 100, ann: bool = False) -> str:
     """Unrolled-SQL replay of llm/similarity.mmr_topk: the same
     cosine top-pool candidates (similarities rounded to 6 before
     ranking, ties on candidate id), then the k-step greedy MMR
@@ -5911,9 +6016,57 @@ def _emb_mmr_oracle(k: int = 8, pool: int = 24, lam: float = 0.7,
     because each stage references all prior picks, and DuckDB would
     otherwise re-expand the chain exponentially.  The (1-lam)
     multiplier is emitted with repr() so it is the exact IEEE double
-    the Python loop uses."""
+    the Python loop uses.
+
+    ``ann=True`` replays the emb_mmr_ann composition instead: the
+    candidate set is ivf_topk's top-``pool`` per query (retrained
+    fixed-seed centroids as literals, nprobe=4 cell join, UNROUNDED
+    cosine ranking with neighbor-id ties — exactly _emb_ivf_oracle's
+    shape), and only those pairs are scored for the greedy stage."""
     mu = 1.0 - lam
-    head = f"""
+    if ann:
+        cand_block = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent(cluster, cv) AS (VALUES
+            {_ivf_centroid_values()}),
+    sims AS (
+        SELECT e.vec_id, e.v, ct.cluster,
+            list_dot_product(e.v, ct.cv) AS sim
+        FROM e CROSS JOIN cent ct),
+    cranked AS (
+        SELECT vec_id, v, cluster,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cluster) AS crank
+        FROM sims),
+    assigned AS (
+        SELECT vec_id AS nid, v AS nv, cluster
+        FROM cranked WHERE crank = 1),
+    probed AS (
+        SELECT vec_id AS qid, v AS qv, cluster
+        FROM cranked WHERE crank <= 4 AND vec_id % {mod} = 0),
+    ivfranked AS MATERIALIZED (
+        SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY
+                list_dot_product(qv, nv)
+                / (sqrt(list_dot_product(qv, qv))
+                 * sqrt(list_dot_product(nv, nv))) DESC, nid) AS rk
+        FROM probed JOIN assigned USING (cluster)
+        WHERE qid <> nid),
+    q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % {mod} = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    scored AS MATERIALIZED (
+        SELECT a.qid, a.nid AS cid,
+            round(list_dot_product(q.v, c.v)
+                  / (sqrt(list_dot_product(q.v, q.v))
+                   * sqrt(list_dot_product(c.v, c.v))), 6) AS simq
+        FROM (SELECT qid, nid FROM ivfranked WHERE rk <= {pool}) a
+        JOIN q ON q.vec_id = a.qid
+        JOIN c ON c.vec_id = a.nid),"""
+    else:
+        cand_block = f"""
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings WHERE vec_id % {mod} = 0),
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -5923,7 +6076,8 @@ def _emb_mmr_oracle(k: int = 8, pool: int = 24, lam: float = 0.7,
             round(list_dot_product(q.v, c.v)
                   / (sqrt(list_dot_product(q.v, q.v))
                    * sqrt(list_dot_product(c.v, c.v))), 6) AS simq
-        FROM q JOIN c ON q.vec_id <> c.vec_id),
+        FROM q JOIN c ON q.vec_id <> c.vec_id),"""
+    head = f"""{cand_block}
     pool AS MATERIALIZED (
         SELECT qid, cid, simq FROM (
             SELECT qid, cid, simq,

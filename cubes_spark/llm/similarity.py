@@ -265,22 +265,31 @@ def train_spherical_kmeans(X, nlist: int, seed: int, iters: int = 10):
     return cent
 
 
+#: auto-nlist target expected cell size: within-cell pair work per
+#: vector stays ~TARGET/2 comparisons — constant, so TOTAL SemDeDup /
+#: IVF candidate work is LINEAR in the corpus (the r11 sf1→sf10 sweep
+#: measured the older sqrt(N) rule's N^1.5 at 59x/decade on the
+#: pinned-nlist entry; bounded cells make the same sweep ~10x/decade)
+_AUTO_NLIST_CELL = 128
+
+
 def _auto_nlist(corpus: DataFrame, nlist: Optional[int],
                 sample_size: int) -> int:
-    """Resolve ``nlist=None`` to ``max(16, ~sqrt(N))`` (capped at the
-    training-sample size — k-means cannot produce more centroids than
-    sample rows).  With a fixed nlist, within-cell pair work in the
-    SemDeDup / IVF paths grows quadratically with the corpus; sqrt(N)
-    cells keep expected cell size ~sqrt(N), bounding sum-of-squared-
-    cell-sizes comparisons at ~N^1.5 total / N^0.5 per cell — the
-    scale default for the 100 TB path.  Explicit nlist always wins
-    (pinned oracles replay the same value)."""
-    import math
-
+    """Resolve ``nlist=None`` to ``max(16, N / _AUTO_NLIST_CELL)``
+    (capped at the training-sample size — k-means cannot produce more
+    centroids than sample rows).  With a fixed nlist, within-cell
+    pair work in the SemDeDup / IVF paths grows QUADRATICALLY with
+    the corpus; cell-count ∝ N keeps the expected cell size constant
+    (~``_AUTO_NLIST_CELL``), so total comparisons grow linearly — the
+    100 TB default.  The sample-size cap is the honest limit of
+    driver-side training: beyond N ≈ cell·sample_size vectors, raise
+    ``sample_size`` (or pre-partition and train per shard) to keep
+    cells bounded.  Explicit nlist always wins (pinned oracles replay
+    the same value)."""
     if nlist is not None:
         return nlist
     n = corpus.count()
-    return max(16, min(int(math.sqrt(max(n, 1))), sample_size))
+    return max(16, min(max(n, 1) // _AUTO_NLIST_CELL, sample_size))
 
 
 def _train_centroids(corpus: DataFrame, nlist: int, seed: int,

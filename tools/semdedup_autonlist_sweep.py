@@ -1,11 +1,12 @@
 """Scale sweep for the AUTO-nlist SemDeDup path (VERDICT r7 item 3).
 
 The driver entries pin ``nlist=16`` so their oracles replay; the
-production default is now ``nlist=None`` → ``max(16, ~sqrt(N))``
-(``llm/similarity.py:_auto_nlist``), which keeps within-cell pair
-work ~N^1.5 total instead of N²/nlist.  This times
-``semantic_dedup_greedy`` at two scales under BOTH settings to show
-the auto default is the one that survives the decade.
+production default is ``nlist=None`` → ``max(16, N/128)`` cells
+(``llm/similarity.py:_auto_nlist``, bounded expected cell size since
+r11), which keeps within-cell pair work LINEAR in the corpus instead
+of N²/nlist.  This times ``semantic_dedup_greedy`` at two scales
+under BOTH settings to show the auto default is the one that
+survives the decade.
 
 Usage: python tools/semdedup_autonlist_sweep.py [small_dir] [big_dir]
 """

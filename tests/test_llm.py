@@ -2862,3 +2862,27 @@ class TestMinhashRecall:
         out = minhash_recall(df).collect()[0]
         assert out["n_true"] == 0
         assert out["recall_bp"] is None
+
+
+def test_auto_nlist_bounds_cell_size(spark):
+    """nlist=None resolves to bounded expected cell size (N/128 cells,
+    floor 16, capped at the training sample) — the linear-total-work
+    100 TB default; the r11 sf1->sf10 sweep measured 2.86x/decade
+    under this rule vs 42x/decade at pinned nlist=16."""
+    from cubes_spark.llm.similarity import _auto_nlist
+
+    def resolve(n):
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0)).alias("embedding"))
+        return _auto_nlist(df, None, 4096)
+
+    assert resolve(100) == 16          # floor
+    assert resolve(2048) == 16         # still under the floor
+    assert resolve(20_000) == 156      # 20k/128 — ~128-vector cells
+    assert resolve(200_000) == 1562    # linear growth, not sqrt
+    # explicit nlist always wins (pinned oracles replay it)
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"))
+    assert _auto_nlist(df, 7, 4096) == 7

@@ -6064,3 +6064,158 @@ def q_doc_minhash_recall(spark, sf_dir):
             .filter(F.col("doc_id") < 500)
             .select("doc_id", "text"))
     return minhash_recall(docs, num_hashes=16, bands=4, shingle_k=5)
+
+
+def q_bridge_campaign(spark, sf_dir):
+    """Kimball many-to-many bridge aggregation
+    (operators/olap.py:bridge_weighted_aggregate): each order is
+    multi-homed into 1-3 of 5 campaigns through a deterministic
+    in-plan bridge carrying integer basis-point allocation weights
+    (equal split, remainder to the first membership, summing to
+    10000 per order), and revenue is allocated across campaigns so
+    the campaign totals stay additive — the reference joins facts
+    only to single-valued dimensions.  All-integer cents x bp, so
+    the DuckDB oracle replays the construction and the allocation
+    exactly.  Exact-replay domain: sum(cents*bp) per campaign < 2^63
+    (~2e6 TPC-H-priced facts per campaign at full weight)."""
+    od = _table(spark, sf_dir, "orders")
+    n = (F.lit(1) + F.pmod(F.col("o_orderkey"), F.lit(3)))
+    bridge = (od.select("o_orderkey", n.alias("__n__"))
+              .select("o_orderkey", "__n__",
+                      F.explode(F.sequence(
+                          F.lit(0), (F.col("__n__") - 1).cast("int")))
+                      .alias("__i__"))
+              .select(
+                  "o_orderkey",
+                  F.concat(F.lit("C"),
+                           (F.pmod(F.col("o_orderkey") * 7
+                                   + F.col("__i__"), F.lit(5)) + 1)
+                           .cast("string")).alias("campaign"),
+                  (F.expr("10000 div __n__")
+                   + F.when(F.col("__i__") == 0,
+                            F.pmod(F.lit(10000), F.col("__n__")))
+                   .otherwise(F.lit(0))).cast("long")
+                  .alias("weight_bp")))
+    return olap.bridge_weighted_aggregate(
+        od, bridge, "o_orderkey", "campaign", "weight_bp",
+        "o_totalprice")
+
+
+def q_scd2_pit(spark, sf_dir):
+    """SCD Type-2 point-in-time lookup (operators/olap.py:
+    scd2_lookup): each order picks up the customer-tier attribute
+    from the dimension VERSION effective at the order date.  The
+    version table is built in-plan (three versions per customer,
+    first effective `1992-01-01 + custkey%365 days`, then every 730
+    days, tier = (custkey+version) mod 5), so early-1992 orders
+    genuinely predate their customer's first version and keep NULL —
+    the semantics a BETWEEN-interval join would give, executed as
+    ONE per-key windowed shuffle via the as-of join instead of a
+    range join.  Oracle: LEFT JOIN on eff <= orderdate + arg_max."""
+    od = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    cust = _table(spark, sf_dir, "customer")
+    versions = (cust.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+        .alias("__v__"))
+        .select(
+            "o_custkey",
+            F.date_add(F.to_date(F.lit("1992-01-01")),
+                       (F.pmod(F.col("o_custkey"), F.lit(365))
+                        + F.col("__v__") * 730).cast("int"))
+            .cast("timestamp").alias("eff"),
+            F.pmod(F.col("o_custkey") + F.col("__v__"), F.lit(5))
+            .cast("long").alias("tier")))
+    out = olap.scd2_lookup(od, versions, key_col="o_custkey",
+                           fact_ts_col="o_orderdate",
+                           effective_col="eff",
+                           attr_cols=["tier"])
+    return out.select("o_orderkey", "o_custkey", "tier")
+
+
+def q_events_stream_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment (streaming/stream.py:
+    stream_static_enrich): the replayed events stream broadcast-joined
+    per micro-batch to a bounded in-plan dimension (event_type ->
+    category = first letter, integer type weight), then the enriched
+    stream is window-aggregated per category — the streaming star
+    join.  Stateless join (no watermark state), replayed availableNow;
+    the oracle recomputes the same CASE-free derivation in batch SQL —
+    streaming == batch == oracle."""
+    from cubes_spark.streaming import (read_parquet_stream,
+                                       replay_to_memory,
+                                       stream_static_enrich,
+                                       windowed_aggregate)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dim = (_table(spark, sf_dir, "events")
+           .select("event_type").distinct()
+           .select("event_type",
+                   F.upper(F.substring("event_type", 1, 1))
+                   .alias("category"),
+                   F.length("event_type").cast("long")
+                   .alias("type_weight"))
+           .cache())
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = stream_static_enrich(stream, dim, on="event_type")
+    windowed = windowed_aggregate(
+        enriched,
+        {
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "weight_sum": F.sum("type_weight").cast("long"),
+            "value_sum": F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double"),
+        },
+        window="1 hour", group_by=["category"], watermark="2 hours",
+    )
+    result = replay_to_memory(windowed, "q_events_stream_enrich")
+    return result.select("window_start", "category", "n_events",
+                         "weight_sum", "value_sum")
+
+
+def q_doc_c4_filter(spark, sf_dir):
+    """C4-style heuristic cleaning (llm/text.py:c4_line_filter —
+    Raffel et al. 2020 §2.2): sentence-per-line pages built in-plan
+    from the documents table (literal '. ' -> '.\\n'), salted with
+    deterministic rule-violations (a curly-brace config line on
+    doc_id%23, a short no-punctuation line on %13, a javascript
+    notice on %17) so every published rule fires; the operator's
+    line filter + page verdict replayed verbatim by the DuckDB
+    oracle (md5 of the cleaned text proves content equality).  All
+    JVM higher-order array functions — no explode, no shuffle."""
+    from cubes_spark.llm import c4_line_filter
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.concat(
+        F.when(F.col("doc_id") % 23 == 0, F.lit("{ config }\n"))
+        .otherwise(F.lit("")),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".\n")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\ntiny line"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("\nthis page requires javascript enabled "
+                     "to render correctly."))
+        .otherwise(F.lit("")),
+    )
+    out = c4_line_filter(docs.select("doc_id", t.alias("text")))
+    return out.select("doc_id", "n_lines", "n_kept", "kept",
+                      "clean_md5")
+
+
+def q_emb_hard_negatives(spark, sf_dir):
+    """Semi-hard negative mining over ANN pools (llm/similarity.py:
+    hard_negatives + ivf_topk): per query the 4 most-similar
+    candidates inside the cosine band [0.22, 0.35) of its IVF top-24
+    — the contrastive-training composition (FaceNet band / DPR hard
+    negatives) that never scans the corpus.  The oracle retrains the
+    identical fixed-seed k-means, replays the IVF candidate
+    generation, then the band filter + re-rank on rounded cosines."""
+    from cubes_spark.llm import ivf_topk
+    from cubes_spark.llm.similarity import hard_negatives
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cand = ivf_topk(emb, queries, k=24, nlist=16, nprobe=4,
+                    exclude_self=True)
+    return hard_negatives(cand, lo=0.22, hi=0.35, m=4)

@@ -33,7 +33,8 @@ from cubes_spark.llm.util import spread
 __all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates",
            "ivf_topk", "train_spherical_kmeans", "random_projection",
            "kmeans_clusters", "semantic_dedup", "semantic_dedup_greedy",
-           "train_pq_codebooks", "pq_encode", "pq_topk", "mmr_topk"]
+           "train_pq_codebooks", "pq_encode", "pq_topk", "mmr_topk",
+           "hard_negatives"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1069,3 +1070,32 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
                 _select,
                 "query_id long, rank long, vec_id long, "
                 "mmr_score_e6 long"))
+
+
+def hard_negatives(candidates: DataFrame, lo: float = 0.22,
+                   hi: float = 0.35, m: int = 4) -> DataFrame:
+    """Semi-hard negative mining for contrastive / embedding training
+    (the FaceNet band, Schroff et al. 2015; also the hard-negative
+    step of DPR-style retrievers): from each query's candidate pool
+    keep the ``m`` MOST similar candidates whose cosine falls in
+    ``[lo, hi)`` — similar enough to produce informative gradients,
+    dissimilar enough to not be latent positives.
+
+    Takes any ``(query_id, neighbor_id, cosine)`` candidate frame —
+    feed it from :func:`ivf_topk` (the 100 TB path: mining never
+    scans the corpus, only bucketed ANN pools) or from
+    :func:`cosine_topk` for an exact baseline.  Filtering and
+    re-ranking happen on the pool's ROUNDED cosines with id
+    tie-breaks, so an oracle can replay the selection exactly.
+
+    Scale shape: one narrow filter + one per-query window over
+    pool-sized groups (≤k rows each) — no join, no corpus access.
+    """
+    band = candidates.filter(
+        (F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (band.withColumn("neg_rank", F.row_number().over(w))
+            .filter(F.col("neg_rank") <= m)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("neg_rank").cast("long").alias("neg_rank")))

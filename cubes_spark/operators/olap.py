@@ -52,6 +52,8 @@ __all__ = [
     "combined_cuboids",
     "combined_levels",
     "peak_trailing_rate",
+    "bridge_weighted_aggregate",
+    "scd2_lookup",
 ]
 
 
@@ -2052,3 +2054,85 @@ def peak_trailing_rate(df: DataFrame, ts_col: str, value_col: str,
                  F.min(F.when(F.col("__rate__") == F.col("__mx__"),
                               F.col("__sec__"))).cast("long")
                  .alias("peak_at_epoch")))
+
+
+def bridge_weighted_aggregate(fact: DataFrame, bridge: DataFrame,
+                              fact_key: str, group_col: str,
+                              weight_col: str, measure_col: str,
+                              weight_denom: int = 10000,
+                              extra_group_cols: Sequence[str] = (),
+                              ) -> DataFrame:
+    """Kimball many-to-many bridge-table aggregation: a fact row that
+    belongs to several dimension members (an order in N campaigns, a
+    patient with M diagnoses) is allocated across them by a bridge
+    table carrying integer allocation weights (basis points summing
+    to ``weight_denom`` per fact), so totals stay additive — the
+    classic "multivalued dimension" pattern (Kimball, The Data
+    Warehouse Toolkit ch. 8).  The reference can only join a fact to
+    single-valued dimensions (/root/reference/cubes/mapping.py joins
+    are 1:1 per fact row), so this is a designed-in upgrade.
+
+    Weights are INTEGER basis points and the measure is exact cents,
+    so every per-group sum is an exact integer — order-free at any
+    parallelism.  Output per group: ``alloc_cents`` (the weighted
+    allocation, floor-divided once at the end, never per row),
+    ``raw_cents`` (unweighted, double-counts multi-homed facts) and
+    ``fact_cnt``.
+
+    Scale shape: one equi-join fact↔bridge on the fact key (both
+    sides fact-grain — AQE picks shuffle vs broadcast), then one
+    map-side-combinable groupBy on the bridge's group key.  No
+    explode of the fact side, no window, two shuffles total.
+    """
+    cents = F.round(F.col(measure_col) * 100).cast("long")
+    joined = (fact
+              .select(fact_key, *extra_group_cols,
+                      cents.alias("__cents__"))
+              .join(bridge.select(fact_key, group_col, weight_col),
+                    on=fact_key, how="inner"))
+    gcols = [group_col, *extra_group_cols]
+    return (joined.groupBy(*gcols)
+            .agg(F.floor(F.sum(F.col("__cents__")
+                               * F.col(weight_col))
+                         / F.lit(weight_denom)).cast("long")
+                 .alias("alloc_cents"),
+                 F.sum("__cents__").cast("long").alias("raw_cents"),
+                 F.count(F.lit(1)).cast("long").alias("fact_cnt")))
+
+
+def scd2_lookup(fact: DataFrame, dim_versions: DataFrame,
+                key_col: str, fact_ts_col: str,
+                effective_col: str,
+                attr_cols: Sequence[str]) -> DataFrame:
+    """Point-in-time (SCD Type-2) dimension lookup: attach to each
+    fact row the dimension attributes from the version that was
+    EFFECTIVE at the fact's timestamp — facts before a key's first
+    version keep NULL attributes.  The inverse of
+    :func:`scd2_collapse` (which builds the version intervals); this
+    consumes them.
+
+    Scale shape: the naive formulation is a non-equi range join
+    (``fact.ts BETWEEN eff_from AND eff_to``) which Spark executes as
+    a broadcast-nested-loop or a sort-merge with per-row interval
+    scan.  Instead this delegates to the as-of join
+    (operators/asof.py): union facts and versions, ONE per-key
+    windowed shuffle carries the latest at-or-before version forward
+    — no row multiplication, no interval containment predicate, no
+    second join.  Ties (a version effective exactly at the fact
+    timestamp) take the version — "at or before" — matching the
+    closed-open ``[eff_from, next_eff)`` interval convention of
+    scd2_collapse.
+    """
+    from cubes_spark.operators.asof import asof_join
+
+    versions = dim_versions.select(
+        F.col(key_col),
+        F.col(effective_col).alias(fact_ts_col),
+        *[F.col(c) for c in attr_cols])
+    out = asof_join(fact, versions, on=fact_ts_col, by=key_col,
+                    right_values=list(attr_cols),
+                    direction="backward")
+    renames = {f"{c}_right": c for c in attr_cols}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.drop(f"{fact_ts_col}_right")

@@ -2459,6 +2459,19 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2"""
 
+    sql["events_stream_enrich"] = """
+        WITH dim AS (
+            SELECT event_type,
+                upper(substr(event_type, 1, 1)) AS category,
+                CAST(length(event_type) AS BIGINT) AS type_weight
+            FROM (SELECT DISTINCT event_type FROM events))
+        SELECT date_trunc('hour', ts) AS window_start, category,
+            COUNT(*) AS n_events,
+            CAST(SUM(type_weight) AS BIGINT) AS weight_sum,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+        FROM events JOIN dim USING (event_type)
+        GROUP BY 1, 2"""
+
     sql["events_type_stats"] = """
         SELECT event_type,
             COUNT(*) AS n_events,
@@ -5759,6 +5772,8 @@ def oracle_sql() -> dict[str, str]:
         FROM agg"""
 
     sql["emb_mmr"] = _emb_mmr_oracle()
+    sql["emb_hard_negatives"] = _guarded_oracle(
+        _emb_hardneg_oracle, "emb_hard_negatives")
     sql["emb_mmr_ann"] = _guarded_oracle(
         lambda: _emb_mmr_oracle(ann=True), "emb_mmr_ann")
     sql["emb_mmr_ann_recall"] = _guarded_oracle(
@@ -5776,6 +5791,95 @@ def oracle_sql() -> dict[str, str]:
             CAST(sum(hit) AS BIGINT) AS n_hit,
             CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS overlap_bp
         FROM marked""", "emb_mmr_ann_recall")
+
+    # Kimball bridge-table weighted aggregation: replay the in-plan
+    # bridge (1-3 campaign memberships per order, equal bp split with
+    # the remainder on the first membership) and the all-integer
+    # cents x bp allocation
+    sql["bridge_campaign"] = """
+        WITH m AS (
+            SELECT o_orderkey,
+                1 + (o_orderkey % 3) AS n,
+                unnest(range(0, CAST(1 + (o_orderkey % 3) AS BIGINT)))
+                    AS i
+            FROM orders),
+        bridge AS (
+            SELECT o_orderkey,
+                'C' || CAST(((o_orderkey * 7 + i) % 5) + 1 AS VARCHAR)
+                    AS campaign,
+                10000 // n
+                    + CASE WHEN i = 0 THEN 10000 % n ELSE 0 END
+                    AS weight_bp
+            FROM m),
+        f AS (
+            SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+        SELECT campaign,
+            CAST(sum(cents * weight_bp) // 10000 AS BIGINT)
+                AS alloc_cents,
+            CAST(sum(cents) AS BIGINT) AS raw_cents,
+            CAST(count(*) AS BIGINT) AS fact_cnt
+        FROM f JOIN bridge USING (o_orderkey)
+        GROUP BY campaign"""
+
+    # C4 heuristic cleaning: replay the in-plan page construction,
+    # the line filter lambda and the page verdict verbatim
+    sql["doc_c4_filter"] = """
+        WITH d AS (
+            SELECT doc_id,
+                (CASE WHEN doc_id % 23 = 0
+                      THEN '{ config }' || chr(10) ELSE '' END)
+                || replace(text, '. ', '.' || chr(10))
+                || (CASE WHEN doc_id % 13 = 0
+                         THEN chr(10) || 'tiny line' ELSE '' END)
+                || (CASE WHEN doc_id % 17 = 0
+                         THEN chr(10) || 'this page requires '
+                              || 'javascript enabled to render '
+                              || 'correctly.'
+                         ELSE '' END) AS text
+            FROM documents),
+        l AS (
+            SELECT doc_id, text,
+                str_split(text, chr(10)) AS lines
+            FROM d),
+        k AS (
+            SELECT doc_id, text, lines,
+                list_filter(lines, x -> trim(x) <> ''
+                    AND substr(trim(x), -1, 1)
+                        IN ('.', '!', '?', '"')
+                    AND len(string_split_regex(trim(x), '\s+')) >= 5
+                    AND NOT contains(lower(trim(x)), 'javascript'))
+                    AS kept_l
+            FROM l)
+        SELECT doc_id,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(len(kept_l) AS BIGINT) AS n_kept,
+            (len(kept_l) >= 3
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')) AS kept,
+            md5(coalesce(array_to_string(kept_l, chr(10)), ''))
+                AS clean_md5
+        FROM k"""
+
+    # SCD2 point-in-time lookup: the BETWEEN-interval semantics the
+    # as-of join replaces — LEFT JOIN on eff <= orderdate, latest
+    # version wins (arg_max), unmatched early orders keep NULL
+    sql["scd2_pit"] = """
+        WITH v AS (
+            SELECT c_custkey AS o_custkey,
+                CAST(DATE '1992-01-01'
+                     + ((c_custkey % 365) + vv * 730)
+                       * INTERVAL 1 DAY AS TIMESTAMP) AS eff,
+                CAST((c_custkey + vv) % 5 AS BIGINT) AS tier
+            FROM customer,
+                (SELECT unnest([0, 1, 2]) AS vv))
+        SELECT o.o_orderkey, o.o_custkey,
+            arg_max(v.tier, v.eff) AS tier
+        FROM orders o
+        LEFT JOIN v ON v.o_custkey = o.o_custkey
+                   AND v.eff <= o.o_orderdate
+        GROUP BY o.o_orderkey, o.o_custkey"""
 
     return sql
 
@@ -5879,6 +5983,58 @@ def _emb_ann_oracle() -> str:
         JOIN e q ON q.vec_id = p.query_id
         JOIN e c ON c.vec_id = p.neighbor_id
     ),{_COSINE_RANKED}"""
+
+
+def _emb_hardneg_oracle(k: int = 24, mod: int = 100,
+                        lo: float = 0.22, hi: float = 0.35,
+                        m: int = 4) -> str:
+    """Replays q_emb_hard_negatives: ivf_topk's candidate generation
+    (identical retrained centroids as literals, nprobe=4 cell join,
+    UNROUNDED top-k ranking with id ties), then hard_negatives' band
+    filter + re-rank on the ROUNDED pool cosines."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent(cluster, cv) AS (VALUES
+            {_ivf_centroid_values()}),
+    sims AS (
+        SELECT e.vec_id, e.v, ct.cluster,
+            list_dot_product(e.v, ct.cv) AS sim
+        FROM e CROSS JOIN cent ct),
+    cranked AS (
+        SELECT vec_id, v, cluster,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cluster) AS crank
+        FROM sims),
+    assigned AS (
+        SELECT vec_id AS nid, v AS nv, cluster
+        FROM cranked WHERE crank = 1),
+    probed AS (
+        SELECT vec_id AS qid, v AS qv, cluster
+        FROM cranked WHERE crank <= 4 AND vec_id % {mod} = 0),
+    ivfranked AS MATERIALIZED (
+        SELECT qid, nid,
+            round(list_dot_product(qv, nv)
+                  / (sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(nv, nv))), 6) AS cosine,
+            row_number() OVER (PARTITION BY qid ORDER BY
+                list_dot_product(qv, nv)
+                / (sqrt(list_dot_product(qv, qv))
+                 * sqrt(list_dot_product(nv, nv))) DESC, nid) AS rk
+        FROM probed JOIN assigned USING (cluster)
+        WHERE qid <> nid),
+    band AS (
+        SELECT qid, nid, cosine
+        FROM ivfranked
+        WHERE rk <= {k} AND cosine >= {lo!r} AND cosine < {hi!r})
+    SELECT qid AS query_id, nid AS neighbor_id, cosine,
+        CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM (
+        SELECT qid, nid, cosine,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, nid) AS neg_rank
+        FROM band)
+    WHERE neg_rank <= {m}"""
 
 
 def _ivf_centroid_values() -> str:

@@ -20,6 +20,7 @@ from cubes_spark.streaming.stream import (
     session_aggregate,
     stateful_sessionize,
     stream_exact_dedup,
+    stream_static_enrich,
     stream_interval_join,
     windowed_aggregate,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "session_aggregate",
     "stateful_sessionize",
     "stream_exact_dedup",
+    "stream_static_enrich",
     "stream_interval_join",
     "replay_to_memory",
 ]

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import tempfile
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +25,7 @@ __all__ = [
     "batch_sessionize",
     "make_session_fn",
     "stream_exact_dedup",
+    "stream_static_enrich",
     "replay_to_memory",
 ]
 
@@ -442,3 +443,27 @@ def batch_sessionize(events: DataFrame, gap_seconds: int = 1800,
         )
         .drop("__sid__")
     )
+
+
+def stream_static_enrich(stream_df: DataFrame, dim_df: DataFrame,
+                         on: Union[str, Sequence[str]],
+                         how: str = "inner",
+                         hint_broadcast: bool = True) -> DataFrame:
+    """Stream-static dimension enrichment: join a streaming fact to a
+    bounded static dimension — the streaming face of the star join
+    (SURVEY §2.3), and the standard way a 100 TB ingest pipeline
+    attaches slowly-refreshed reference data (type registries, geo
+    maps, model metadata) to an unbounded stream.
+
+    Unlike stream-stream joins this is STATELESS: no watermark and no
+    join state — each micro-batch hash-joins against the dimension.
+    The static side is re-planned per micro-batch (that is how
+    dimension refreshes become visible mid-stream), so keep it
+    bounded and, when it comes from an expensive derivation,
+    ``.cache()`` it before passing it in.  ``hint_broadcast`` pins
+    the broadcast strategy so no micro-batch ever shuffles the
+    stream side (left/inner joins only — Spark cannot broadcast the
+    preserved side of an outer join's dimension-preserving variants).
+    """
+    dim = F.broadcast(dim_df) if hint_broadcast else dim_df
+    return stream_df.join(dim, on=on, how=how)

@@ -2886,3 +2886,103 @@ def test_auto_nlist_bounds_cell_size(spark):
         F.col("id").alias("vec_id"),
         F.array(F.lit(1.0)).alias("embedding"))
     assert _auto_nlist(df, 7, 4096) == 7
+
+
+class TestC4LineFilter:
+    def test_published_rules(self, spark):
+        from cubes_spark.llm import c4_line_filter
+
+        good = "this line has plenty of words and ends well."
+        docs = spark.createDataFrame(
+            [
+                # 3 good lines -> kept page
+                (1, "\n".join([good, good, good])),
+                # short line, no-punct line, javascript line all drop
+                (2, "\n".join([good, good, good,
+                               "too short.",
+                               "no terminal punctuation here at all",
+                               "please enable JavaScript to view this page."])),
+                # curly brace anywhere -> page dropped (lines still audited)
+                (3, "\n".join([good, good, good, "var x = { a: 1 };"])),
+                # lorem ipsum phrase -> page dropped
+                (4, "\n".join([good, good, good,
+                               "Lorem Ipsum dolor sit amet placeholder."])),
+                # fewer than 3 surviving lines -> page dropped
+                (5, "\n".join([good, good])),
+                (6, ""),
+            ],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               c4_line_filter(docs).collect()}
+        assert out[1]["kept"] and out[1]["n_kept"] == 3
+        assert out[2]["kept"] and out[2]["n_kept"] == 3 \
+            and out[2]["n_lines"] == 6
+        assert not out[3]["kept"] and out[3]["n_kept"] == 3
+        # the lorem-ipsum line itself passes the LINE rules (5 words,
+        # terminal punct) but kills the PAGE
+        assert not out[4]["kept"] and out[4]["n_kept"] == 4
+        assert not out[5]["kept"] and out[5]["n_kept"] == 2
+        assert not out[6]["kept"] and out[6]["n_kept"] == 0
+        # cleaned text is the surviving lines, rejoined
+        assert out[2]["clean_text"] == "\n".join([good, good, good])
+
+    def test_quote_terminal_and_word_boundary(self, spark):
+        from cubes_spark.llm import c4_line_filter
+
+        docs = spark.createDataFrame(
+            [(1, 'he said "this is a quote."\nexactly five words right here.\n'
+                 'only four words here.')],
+            ["doc_id", "text"])
+        row = c4_line_filter(docs).collect()[0]
+        # quote-terminated line kept; 5-word boundary inclusive;
+        # 4-word line dropped
+        assert row["n_kept"] == 2
+
+
+class TestHardNegatives:
+    def test_band_and_rank(self, spark):
+        from cubes_spark.llm.similarity import hard_negatives
+
+        cand = spark.createDataFrame(
+            [(1, 10, 0.98), (1, 11, 0.34), (1, 12, 0.30),
+             (1, 13, 0.25), (1, 14, 0.22), (1, 15, 0.21),
+             (2, 20, 0.10)],
+            ["query_id", "neighbor_id", "cosine"])
+        out = hard_negatives(cand, lo=0.22, hi=0.35, m=3).collect()
+        got = [(r.query_id, r.neighbor_id, r.neg_rank) for r in out]
+        # 0.98 is a latent positive (above hi), 0.21/0.10 below lo;
+        # top-3 of the band by cosine desc
+        assert sorted(got) == [(1, 11, 1), (1, 12, 2), (1, 13, 3)]
+
+    def test_matches_bruteforce_band(self, spark):
+        from cubes_spark.llm import cosine_topk
+        from cubes_spark.llm.similarity import hard_negatives
+
+        import random
+        rnd = random.Random(3)
+        rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)])
+                for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = emb.filter(F.col("vec_id") % 10 == 0)
+        cand = cosine_topk(emb, q, k=39)
+        out = hard_negatives(cand, lo=0.1, hi=0.6, m=2).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        # independent reference per query
+        import math
+        vecs = {i: v for i, v in rows}
+        for qid, negs in by_q.items():
+            sims = []
+            for nid, nv in vecs.items():
+                if nid == qid:
+                    continue
+                dot = sum(a * b for a, b in zip(vecs[qid], nv))
+                na = math.sqrt(sum(a * a for a in vecs[qid]))
+                nb = math.sqrt(sum(b * b for b in nv))
+                c = round(dot / (na * nb), 6)
+                if 0.1 <= c < 0.6:
+                    sims.append((-c, nid))
+            want = [nid for _, nid in sorted(sims)[:2]]
+            assert [r.neighbor_id for r in
+                    sorted(negs, key=lambda r: r.neg_rank)] == want

@@ -1127,3 +1127,86 @@ class TestPeakTrailingRate:
         out = peak_trailing_rate(df, "ts", "v", ["k"],
                                  window_seconds=3600).collect()[0]
         assert out["peak_window_cents"] == 500
+
+
+class TestBridgeWeighted:
+    def test_allocation_is_exact_and_additive(self, spark):
+        # order 1 -> two groups 60/40, order 2 -> one group
+        fact = spark.createDataFrame(
+            [(1, 10.00), (2, 5.00)], ["fk", "amount"])
+        bridge = spark.createDataFrame(
+            [(1, "g1", 6000), (1, "g2", 4000), (2, "g1", 10000)],
+            ["fk", "grp", "w"])
+        out = {r["grp"]: r for r in olap.bridge_weighted_aggregate(
+            fact, bridge, "fk", "grp", "w", "amount").collect()}
+        assert out["g1"]["alloc_cents"] == 600 + 500   # 60% + 100%
+        assert out["g2"]["alloc_cents"] == 400
+        # allocation is additive: weighted parts sum to the grand total
+        assert (out["g1"]["alloc_cents"] + out["g2"]["alloc_cents"]
+                == 1500)
+        # raw double-counts the multi-homed fact
+        assert out["g1"]["raw_cents"] == 1500
+        assert out["g1"]["fact_cnt"] == 2
+
+    def test_floor_division_once_at_the_end(self, spark):
+        # three 1-cent facts at weight 3333bp each: per-row floor
+        # would yield 0; the single end floor yields sum//denom
+        fact = spark.createDataFrame(
+            [(i, 0.01) for i in range(3)], ["fk", "amount"])
+        bridge = spark.createDataFrame(
+            [(i, "g", 3333) for i in range(3)], ["fk", "grp", "w"])
+        out = olap.bridge_weighted_aggregate(
+            fact, bridge, "fk", "grp", "w", "amount").collect()[0]
+        assert out["alloc_cents"] == (3 * 3333) // 10000  # == 0
+        fact2 = spark.createDataFrame(
+            [(i, 1.00) for i in range(3)], ["fk", "amount"])
+        out2 = olap.bridge_weighted_aggregate(
+            fact2, bridge, "fk", "grp", "w", "amount").collect()[0]
+        assert out2["alloc_cents"] == (300 * 3333) // 10000  # == 99
+
+
+class TestSCD2Lookup:
+    def _versions(self, spark):
+        return spark.createDataFrame(
+            [(1, "2020-01-01 00:00:00", "bronze"),
+             (1, "2021-01-01 00:00:00", "silver"),
+             (2, "2020-06-01 00:00:00", "gold")],
+            ["k", "eff", "tier"]).withColumn(
+                "eff", F.col("eff").cast("timestamp"))
+
+    def test_point_in_time_semantics(self, spark):
+        facts = spark.createDataFrame(
+            [(10, 1, "2020-05-05 00:00:00"),   # inside v1
+             (11, 1, "2021-01-01 00:00:00"),   # AT v2 boundary -> v2
+             (12, 1, "2019-12-31 00:00:00"),   # before first -> NULL
+             (13, 2, "2022-01-01 00:00:00"),   # after last -> last
+             (14, 3, "2022-01-01 00:00:00")],  # unknown key -> NULL
+            ["fid", "k", "ts"]).withColumn(
+                "ts", F.col("ts").cast("timestamp"))
+        out = {r["fid"]: r["tier"] for r in olap.scd2_lookup(
+            facts, self._versions(spark), key_col="k",
+            fact_ts_col="ts", effective_col="eff",
+            attr_cols=["tier"]).collect()}
+        assert out == {10: "bronze", 11: "silver", 12: None,
+                       13: "gold", 14: None}
+
+    def test_matches_between_interval_join(self, spark):
+        # property: identical to the closed-open interval formulation
+        import random
+        rnd = random.Random(7)
+        facts = spark.createDataFrame(
+            [(i, rnd.randint(1, 3),
+              f"20{rnd.randint(19, 22)}-0{rnd.randint(1, 9)}-01 00:00:00")
+             for i in range(60)], ["fid", "k", "ts"]).withColumn(
+                 "ts", F.col("ts").cast("timestamp"))
+        got = {r["fid"]: r["tier"] for r in olap.scd2_lookup(
+            facts, self._versions(spark), key_col="k",
+            fact_ts_col="ts", effective_col="eff",
+            attr_cols=["tier"]).collect()}
+        v = self._versions(spark).collect()
+        for f in facts.collect():
+            cand = [r for r in v
+                    if r["k"] == f["k"] and r["eff"] <= f["ts"]]
+            want = (max(cand, key=lambda r: r["eff"])["tier"]
+                    if cand else None)
+            assert got[f["fid"]] == want, f["fid"]

@@ -693,3 +693,50 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
     assert est_s == est_b
     for _, est in est_s:
         assert abs(est - 97) * 2 <= 97        # ±50% of true 97
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment == the same join + windowed
+    aggregation run in batch; rows whose key is absent from the
+    dimension are dropped by the inner join on both paths."""
+    import datetime
+
+    from cubes_spark.streaming import (
+        read_parquet_stream,
+        replay_to_memory,
+        stream_static_enrich,
+        windowed_aggregate,
+    )
+
+    rows = [(i, datetime.datetime(2024, 3, 1 + i % 2, i % 24),
+             ["click", "view", "purchase", "ghost"][i % 4], float(i))
+            for i in range(400)]
+    src = str(tmp_path / "enrich_events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("click", "engage", 2), ("view", "engage", 1),
+         ("purchase", "convert", 10)],
+        "event_type string, category string, w long").cache()
+
+    aggs = {
+        "n": F.count(F.lit(1)).cast("long"),
+        "w_sum": F.sum("w").cast("long"),
+    }
+
+    def run(df):
+        return windowed_aggregate(
+            stream_static_enrich(df, dim, on="event_type"),
+            aggs, window="1 hour", group_by=["category"],
+            watermark="2 hours")
+
+    got = replay_to_memory(run(read_parquet_stream(spark, src)),
+                           "t_enrich_stream")
+    key = lambda r: (r.window_start, r.category, r.n, r.w_sum)
+    batch = run(spark.read.parquet(src))
+    assert sorted(map(key, got.collect())) \
+        == sorted(map(key, batch.collect()))
+    # 'ghost' events have no dimension row -> dropped, never aggregated
+    assert all(r.category in ("engage", "convert")
+               for r in got.collect())

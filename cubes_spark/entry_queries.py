@@ -6219,3 +6219,57 @@ def q_emb_hard_negatives(spark, sf_dir):
     cand = ivf_topk(emb, queries, k=24, nlist=16, nprobe=4,
                     exclude_self=True)
     return hard_negatives(cand, lo=0.22, hi=0.35, m=4)
+
+
+def q_doc_exif(spark, sf_dir):
+    """REAL EXIF metadata extraction end-to-end: complete TIFF files
+    (even doc_id) and JPEG-APP1-wrapped EXIF (odd doc_id) built
+    in-plan — little-endian IFD0 with SHORT width/height/orientation,
+    an inline 3-byte ASCII make and an offset-addressed 20-byte
+    DateTime — parsed for real by the stdlib TIFF/JPEG-marker walker
+    inside the Arrow ``exif_metadata`` operator
+    (cubes_spark/llm/multimodal.py).  Every field is closed-form in
+    doc_id, so the DuckDB oracle recomputes them without parsing;
+    the absent model tag proves the NULL path."""
+    from cubes_spark.llm import exif_metadata
+
+    d = F.col("doc_id")
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    def le16(col):
+        return F.concat(hex2(col % 256),
+                        hex2((col / 256).cast("long") % 256))
+
+    w = F.lit(16) + d % 32
+    h = F.lit(8) + d % 16
+    orient = F.lit(1) + d % 8
+    make_digit = hex2(F.lit(0x30) + d % 10)
+    day_digit = hex2(F.lit(0x30) + (F.lit(1) + d % 9))
+    hour = d % 24
+    tiff_hex = F.concat(
+        F.lit("49492A00" "08000000"),              # II, 42, IFD0 @ 8
+        F.lit("0500"),                             # 5 entries
+        F.lit("0001" "0300" "01000000"), le16(w), F.lit("0000"),
+        F.lit("0101" "0300" "01000000"), le16(h), F.lit("0000"),
+        F.lit("0F01" "0200" "03000000" "43"), make_digit,
+        F.lit("0000"),                             # make 'C<d>\\0'
+        F.lit("1201" "0300" "01000000"), le16(orient), F.lit("0000"),
+        F.lit("3201" "0200" "14000000" "4A000000"),  # datetime @ 74
+        F.lit("00000000"),                         # no next IFD
+        F.lit("323032343A30313A30"), day_digit,    # '2024:01:0<d>'
+        F.lit("20"),                               # ' '
+        hex2(F.lit(0x30) + (hour / 10).cast("long")),
+        hex2(F.lit(0x30) + hour % 10),
+        F.lit("3A30303A3030" "00"),                # ':00:00\\0'
+    )
+    payload_hex = F.when(
+        d % 2 == 1,
+        # SOI, APP1 len 102 = 2 + 6 + 94, 'Exif\\0\\0', tiff, EOI
+        F.concat(F.lit("FFD8" "FFE1" "0066" "457869660000"),
+                 tiff_hex, F.lit("FFD9")),
+    ).otherwise(tiff_hex)
+    docs = (_table(spark, sf_dir, "documents").select("doc_id")
+            .withColumn("payload", F.unhex(payload_hex)))
+    return exif_metadata(docs, "payload")

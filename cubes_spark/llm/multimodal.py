@@ -2492,3 +2492,138 @@ def video_frame_pipeline(df: DataFrame, binary_col: str,
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(work, FRAME_PIPELINE_SCHEMA)
+
+
+# -- EXIF / TIFF metadata (stdlib only) --------------------------------------
+
+#: IFD0 tags a curation pipeline actually filters/groups on
+_EXIF_TAGS = {256: "width", 257: "height", 271: "make",
+              272: "model", 274: "orientation", 306: "taken_at"}
+
+
+def parse_tiff_exif(payload: bytes) -> dict:
+    """Parse a TIFF header + IFD0 (the container EXIF lives in —
+    CIPA DC-008 / TIFF 6.0): both byte orders (``II``/``MM``),
+    SHORT/LONG/ASCII entry types, inline vs offset-addressed values.
+    Returns the :data:`_EXIF_TAGS` fields found plus ``endian``;
+    raises ``ValueError`` on anything malformed or out of range —
+    callers quarantine to a NULL row, never crash the stage."""
+    if len(payload) < 8:
+        raise ValueError("truncated tiff header")
+    bom = payload[:2]
+    if bom == b"II":
+        end = "<"
+    elif bom == b"MM":
+        end = ">"
+    else:
+        raise ValueError("bad byte-order mark")
+    (magic,) = struct.unpack(end + "H", payload[2:4])
+    if magic != 42:
+        raise ValueError("bad tiff magic")
+    (ifd_off,) = struct.unpack(end + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("ifd offset out of range")
+    (n,) = struct.unpack(end + "H", payload[ifd_off:ifd_off + 2])
+    out = {"endian": bom.decode("ascii")}
+    pos = ifd_off + 2
+    for _ in range(n):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated ifd entry")
+        tag, typ, cnt = struct.unpack(end + "HHI", payload[pos:pos + 8])
+        raw = payload[pos + 8:pos + 12]
+        name = _EXIF_TAGS.get(tag)
+        if name is not None:
+            if typ == 3 and cnt == 1:                       # SHORT
+                out[name] = struct.unpack(end + "H", raw[:2])[0]
+            elif typ == 4 and cnt == 1:                     # LONG
+                out[name] = struct.unpack(end + "I", raw)[0]
+            elif typ == 2:                                  # ASCII
+                if cnt <= 4:
+                    data = raw[:cnt]
+                else:
+                    (off,) = struct.unpack(end + "I", raw)
+                    if off + cnt > len(payload):
+                        raise ValueError("ascii value out of range")
+                    data = payload[off:off + cnt]
+                out[name] = data.split(b"\x00", 1)[0] \
+                    .decode("ascii", "replace")
+        pos += 12
+    return out
+
+
+def parse_exif(payload: bytes):
+    """EXIF from a standalone TIFF or from a JPEG's APP1 ``Exif``
+    segment (marker walk — segment lengths, standalone RSTn/TEM
+    markers skipped).  Returns ``(container, fields)``."""
+    if payload[:2] in (b"II", b"MM"):
+        return "tiff", parse_tiff_exif(payload)
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad jpeg marker stream")
+            marker = payload[pos + 1]
+            if marker == 0xD9:                              # EOI
+                break
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+            if seglen < 2 or pos + 2 + seglen > len(payload):
+                raise ValueError("bad segment length")
+            seg = payload[pos + 4:pos + 2 + seglen]
+            if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                return "jpeg", parse_tiff_exif(seg[6:])
+            pos += 2 + seglen
+        raise ValueError("no exif app1 segment")
+    raise ValueError("not a tiff or jpeg payload")
+
+
+EXIF_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("container", StringType()),
+    StructField("endian", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("orientation", LongType()),
+    StructField("make", StringType()),
+    StructField("model", StringType()),
+    StructField("taken_at", StringType()),
+])
+
+_EXIF_OUT_COLS = ("container", "endian", "width", "height",
+                  "orientation", "make", "model", "taken_at")
+
+
+def exif_metadata(df: DataFrame, binary_col: str,
+                  id_col: str = "doc_id") -> DataFrame:
+    """EXIF triage over an image binary column: dimensions,
+    orientation, camera make/model and capture time from IFD0 of a
+    TIFF or a JPEG APP1 segment — what an image-curation pipeline
+    groups, filters and dedups on before any pixel decode.  NULL row
+    on undecodable input (quarantine, never a stage failure).
+
+    Arrow-batched ``mapInPandas`` over a slim (id, payload)
+    projection — the designated Python escape hatch; one narrow
+    stage, no shuffle."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": []}
+            out.update({k: [] for k in _EXIF_OUT_COLS})
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    container, fields = parse_exif(bytes(p))
+                    out["container"].append(container)
+                    out["endian"].append(fields.get("endian"))
+                    for k in ("width", "height", "orientation",
+                              "make", "model", "taken_at"):
+                        out[k].append(fields.get(k))
+                except ValueError:
+                    for k in _EXIF_OUT_COLS:
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(meta, EXIF_META_SCHEMA)

@@ -5823,6 +5823,23 @@ def oracle_sql() -> dict[str, str]:
         FROM f JOIN bridge USING (o_orderkey)
         GROUP BY campaign"""
 
+    # EXIF triage: every field of the in-plan TIFF/JPEG-APP1 files is
+    # closed-form in doc_id; the absent model tag proves the NULL path
+    sql["doc_exif"] = """
+        SELECT doc_id,
+            CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'tiff' END
+                AS container,
+            'II' AS endian,
+            CAST(16 + doc_id % 32 AS BIGINT) AS width,
+            CAST(8 + doc_id % 16 AS BIGINT) AS height,
+            CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+            'C' || CAST(doc_id % 10 AS VARCHAR) AS make,
+            CAST(NULL AS VARCHAR) AS model,
+            '2024:01:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' '
+                || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                || ':00:00' AS taken_at
+        FROM documents"""
+
     # C4 heuristic cleaning: replay the in-plan page construction,
     # the line filter lambda and the page verdict verbatim
     sql["doc_c4_filter"] = """

@@ -2986,3 +2986,82 @@ class TestHardNegatives:
             want = [nid for _, nid in sorted(sims)[:2]]
             assert [r.neighbor_id for r in
                     sorted(negs, key=lambda r: r.neg_rank)] == want
+
+
+class TestExifMetadata:
+    @staticmethod
+    def _tiff(end="<", make=b"Nikon\x00", width=640, height=480,
+              orientation=6):
+        """Independent TIFF builder (struct-based, not the entry's
+        hex-concat path): 4 SHORT/ASCII entries + offset DateTime."""
+        import struct as st
+
+        bom = b"II" if end == "<" else b"MM"
+        dt = b"2023:12:31 23:59:59\x00"
+        entries = [
+            (256, 3, 1, st.pack(end + "HH", width, 0)),
+            (257, 3, 1, st.pack(end + "HH", height, 0)),
+            (274, 3, 1, st.pack(end + "HH", orientation, 0)),
+        ]
+        # make: inline if <=4 bytes else offset-addressed
+        n = len(entries) + 2
+        ifd_end = 8 + 2 + n * 12 + 4
+        extra = b""
+        if len(make) <= 4:
+            entries.append((271, 2, len(make), make.ljust(4, b"\x00")))
+        else:
+            entries.append((271, 2, len(make),
+                            st.pack(end + "I", ifd_end)))
+            extra += make
+        entries.append((306, 2, len(dt),
+                        st.pack(end + "I", ifd_end + len(extra))))
+        extra += dt
+        entries.sort()
+        body = st.pack(end + "H", n)
+        for tag, typ, cnt, val in entries:
+            body += st.pack(end + "HHI", tag, typ, cnt) + val
+        body += st.pack(end + "I", 0)
+        return bom + st.pack(end + "HI", 42, 8) + body + extra
+
+    def test_both_endians_and_offset_ascii(self):
+        from cubes_spark.llm.multimodal import parse_tiff_exif
+
+        for end in ("<", ">"):
+            got = parse_tiff_exif(self._tiff(end=end))
+            assert got["endian"] == ("II" if end == "<" else "MM")
+            assert (got["width"], got["height"]) == (640, 480)
+            assert got["orientation"] == 6
+            assert got["make"] == "Nikon"          # offset-addressed
+            assert got["taken_at"] == "2023:12:31 23:59:59"
+            assert "model" not in got
+
+    def test_inline_ascii_and_jpeg_wrapper(self):
+        from cubes_spark.llm.multimodal import parse_exif
+
+        tiff = self._tiff(make=b"GoP\x00")          # inline (4 bytes)
+        assert parse_exif(tiff)[0] == "tiff"
+        assert parse_exif(tiff)[1]["make"] == "GoP"
+        app1 = b"Exif\x00\x00" + tiff
+        jpeg = (b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00"   # JFIF stub
+                + b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big")
+                + app1 + b"\xff\xd9")
+        container, got = parse_exif(jpeg)
+        assert container == "jpeg" and got["width"] == 640
+
+    def test_malformed_quarantined(self, spark):
+        from cubes_spark.llm import exif_metadata
+        from cubes_spark.llm.multimodal import parse_tiff_exif
+        import pytest as _pt
+
+        for bad in (b"", b"II", b"II\x2a\x00\xff\xff\xff\xff",
+                    b"XX\x2a\x00\x08\x00\x00\x00",
+                    self._tiff()[:20]):
+            with _pt.raises(ValueError):
+                parse_tiff_exif(bad)
+        df = spark.createDataFrame(
+            [(1, bytearray(self._tiff())), (2, bytearray(b"notanimage"))],
+            "doc_id long, payload binary")
+        rows = {r.doc_id: r for r in
+                exif_metadata(df, "payload").collect()}
+        assert rows[1].width == 640 and rows[1].model is None
+        assert rows[2].container is None and rows[2].width is None

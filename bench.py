@@ -153,6 +153,17 @@ BENCH_QUERIES = [
     "emb_mmr_ann",
     "tpch_q4",
     "tpch_q12",
+    # round-11 continuation: bridge/SCD2 OLAP shapes, stream-static
+    # join, C4 cleaning, ANN hard-negative mining, EXIF triage
+    "bridge_campaign",
+    "scd2_pit",
+    "events_stream_enrich",
+    "doc_c4_filter",
+    "doc_gopher",
+    "emb_hard_negatives",
+    "doc_exif",
+    "doc_urls",
+    "orders_melt",
 ]
 
 

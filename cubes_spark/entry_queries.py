@@ -6273,3 +6273,75 @@ def q_doc_exif(spark, sf_dir):
     docs = (_table(spark, sf_dir, "documents").select("doc_id")
             .withColumn("payload", F.unhex(payload_hex)))
     return exif_metadata(docs, "payload")
+
+
+def q_doc_gopher(spark, sf_dir):
+    """Gopher quality rules (llm/text.py:gopher_quality_filter — Rae
+    et al. 2021 A1.1): sentence-per-line pages from the documents
+    table salted with deterministic rule triggers (bullet items on
+    doc_id%19, an ellipsis line on %23, a symbol run on %29); every
+    counter and the integer cross-multiplied verdict replayed
+    verbatim by the DuckDB oracle."""
+    from cubes_spark.llm import gopher_quality_filter
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.concat(
+        F.replace(F.col("text"), F.lit(". "), F.lit(".\n")),
+        F.when(F.col("doc_id") % 19 == 0,
+               F.lit("\n- bullet item one\n- bullet item two"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0,
+               F.lit("\nto be continued...")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 29 == 0,
+               F.lit(" ### ### ###")).otherwise(F.lit("")),
+    )
+    return gopher_quality_filter(docs.select("doc_id", t.alias("text")))
+
+
+def q_doc_urls(spark, sf_dir):
+    """URL canonicalization (llm/web.py:canonicalize_urls): crawl
+    URLs built in-plan in four deterministic shapes — case-variant
+    host with default port + tracking param + fragment, a root-path
+    HTTPS with only a gclid, a clean variant that canonicalizes to
+    the SAME key as the first shape, and a non-URL string that
+    quarantines to NULL.  The DuckDB oracle replays the construction
+    and every rule (scheme/host lowering, default-port strip,
+    fragment/tracking removal, root-path collapse) verbatim."""
+    from cubes_spark.llm import canonicalize_urls
+
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    url = (F.when(d % 4 == 0, F.concat(
+               F.lit("HTTP://Example"), s(d % 7),
+               F.lit(".COM:80/path/"), s(d % 97),
+               F.lit("?utm_source=x&id="), s(d % 13), F.lit("#frag")))
+           .when(d % 4 == 1, F.concat(
+               F.lit("https://cdn"), s(d % 5),
+               F.lit(".Example.org:443/?gclid=abc"), s(d % 9)))
+           .when(d % 4 == 2, F.concat(
+               F.lit("http://example"), s(d % 7),
+               F.lit(".com/path/"), s(d % 97),
+               F.lit("?id="), s(d % 13), F.lit("&utm_medium=mail")))
+           .otherwise(F.concat(F.lit("not a url "), s(d))))
+    docs = (_table(spark, sf_dir, "documents")
+            .select("doc_id", url.alias("url")))
+    return canonicalize_urls(docs).select(
+        "doc_id", "canonical_url", "host", "n_params_kept")
+
+
+def q_orders_melt(spark, sf_dir):
+    """Unpivot (operators/olap.py:melt — the crosstab inverse): a
+    wide per-year status-count frame melted back to the long
+    (year, variable, value) grain through Spark's native Expand node
+    (no shuffle, no array explode).  Oracle: the same wide CTE
+    unioned per measure column."""
+    od = _table(spark, sf_dir, "orders")
+    wide = (od.groupBy(F.year("o_orderdate").cast("long").alias("year"))
+            .agg(*[F.count(F.when(F.col("o_orderstatus") == st, 1))
+                   .cast("long").alias(f"status_{st.lower()}")
+                   for st in ("O", "F", "P")]))
+    return olap.melt(wide, ["year"],
+                     ["status_o", "status_f", "status_p"])

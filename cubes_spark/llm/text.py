@@ -20,6 +20,8 @@ __all__ = [
     "hash64",
     "token_array",
     "c4_line_filter",
+    "gopher_quality_filter",
+    "GOPHER_STOPWORDS",
     "bpe_token_count",
     "text_stats",
     "language_id",
@@ -1564,3 +1566,79 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
          & (~F.contains(F.col(text_col), F.lit("{")))).alias("kept"),
         clean.alias("clean_text"),
         F.md5(clean).alias("clean_md5"))
+
+
+#: the Gopher stop-word list (Rae et al. 2021, table A1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
+                    "that", "have", "with")
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_words: int = 50,
+                          max_words: int = 100_000) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, appendix A1.1 — the
+    MassiveWeb repetition-free quality heuristics, also the base of
+    RefinedWeb's and Dolma's filters): a page is kept when
+
+    * ``min_words <= word count <= max_words``,
+    * mean word length is in [3, 10] characters,
+    * the symbol-to-word ratio (``#`` and ``...``) is <= 0.1,
+    * fewer than 90% of lines start with a bullet (``•`` / ``- ``),
+    * at most 30% of lines end with an ellipsis,
+    * at least 80% of words contain an alphabetic character, and
+    * at least two distinct Gopher stop words occur as word tokens.
+
+    Every ratio is evaluated by INTEGER cross-multiplication
+    (``symbols*10 <= words``), so the verdict is exact and an ANSI
+    oracle replays it bit-for-bit.  Emits the raw counters plus the
+    ``kept`` verdict — acceptance dashboards per source/lang are one
+    groupBy away, and any single rule can be recomputed downstream.
+
+    Scale shape: one narrow projection — token/line arrays and the
+    rule folds are JVM higher-order functions inside whole-stage
+    codegen; no explode, no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    toks = token_array(t)
+    lower_toks = F.transform(toks, F.lower)
+    lines = F.split(t, "\n")
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x)).alias("word_chars")
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+        / 3).cast("long")
+    n_symbols = (n_hash.cast("long") + n_ell)
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).startswith("•")
+        | F.trim(l).startswith("- "))).cast("long")
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).endswith("..."))).cast("long")
+    alpha_words = F.size(F.filter(
+        toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(lower_toks),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))).cast("long")
+
+    out = df.select(
+        F.col(id_col), n_words.alias("n_words"),
+        word_chars.cast("long").alias("word_chars"),
+        n_symbols.alias("n_symbols"), n_lines.alias("n_lines"),
+        bullet_lines.alias("bullet_lines"),
+        ellipsis_lines.alias("ellipsis_lines"),
+        alpha_words.alias("alpha_words"),
+        stop_hits.alias("stop_hits"))
+    kept = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("word_chars") >= 3 * F.col("n_words"))
+            & (F.col("word_chars") <= 10 * F.col("n_words"))
+            & (F.col("n_symbols") * 10 <= F.col("n_words"))
+            & (F.col("bullet_lines") * 10 < F.col("n_lines") * 9)
+            & (F.col("ellipsis_lines") * 10 <= F.col("n_lines") * 3)
+            & (F.col("alpha_words") * 10 >= F.col("n_words") * 8)
+            & (F.col("stop_hits") >= 2))
+    return out.withColumn("kept", kept)

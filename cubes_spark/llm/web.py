@@ -46,6 +46,7 @@ __all__ = ["triangle_counts", "jaccard_link_prediction",
            "link_pagerank",
            "WARC_RECORD_SCHEMA", "TAR_MEMBER_SCHEMA",
            "degree_assortativity",
+           "canonicalize_urls", "TRACKING_PARAMS",
 ]
 
 
@@ -932,3 +933,67 @@ def degree_assortativity(edges: DataFrame, src: str = "id_a",
     return m.select(
         F.expr("CAST(__m__ AS BIGINT)").alias("m_directed"),
         r.alias("r_ppm"))
+
+
+#: query parameters that never change content identity (tracking)
+TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "ref")
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      out_col: str = "canonical_url") -> DataFrame:
+    """URL canonicalization for web-crawl curation: the dedup key a
+    100 TB crawl groups on BEFORE any content hashing (the same page
+    is fetched under case-variant hosts, default ports, tracking
+    params and fragments — exact content dedup alone re-crawls and
+    re-stores every variant).
+
+    Rules (each SQL-replayable): lowercase scheme and host, strip the
+    fragment, drop default ports (``:80`` http / ``:443`` https),
+    remove tracking query parameters (:data:`TRACKING_PARAMS` —
+    ``utm_*``/``gclid``/``fbclid``/``msclkid``/``ref``) while
+    preserving the order of the rest, drop an empty ``?``, and
+    collapse a bare root path ``/``.  Non-URL rows (no ``://``)
+    canonicalize to NULL for quarantine.
+
+    Adds ``out_col``, ``host`` and ``n_params_kept``.  Scale shape:
+    one narrow JVM regexp/array projection — no shuffle, no Python;
+    the usual consumer is a groupBy on ``out_col`` immediately after.
+    """
+    u = F.trim(F.col(url_col))
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    rest = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
+    path = F.substring_index(rest, "?", 1)
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    raw_query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.when(raw_query == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(raw_query, "&"))
+
+    def _tracked(p):
+        cond = F.lit(False)
+        for t in TRACKING_PARAMS:
+            if t.endswith("_"):
+                cond = cond | p.startswith(t)
+            else:
+                cond = cond | p.startswith(t + "=") | (p == t)
+        return cond
+
+    kept = F.filter(params, lambda p: ~_tracked(p))
+    q = F.array_join(kept, "&")
+    canon = F.when(
+        scheme == "", F.lit(None).cast("string")
+    ).otherwise(F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q == "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), q))))
+    return (df.withColumn(out_col, canon)
+            .withColumn("host", F.when(scheme == "",
+                                       F.lit(None).cast("string"))
+                        .otherwise(host))
+            .withColumn("n_params_kept", F.size(kept).cast("long")))

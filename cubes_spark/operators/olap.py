@@ -54,6 +54,7 @@ __all__ = [
     "peak_trailing_rate",
     "bridge_weighted_aggregate",
     "scd2_lookup",
+    "melt",
 ]
 
 
@@ -2136,3 +2137,29 @@ def scd2_lookup(fact: DataFrame, dim_versions: DataFrame,
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     return out.drop(f"{fact_ts_col}_right")
+
+
+def melt(df: DataFrame, id_cols: Sequence[str],
+         value_cols: Sequence[str], var_name: str = "variable",
+         value_name: str = "value",
+         drop_nulls: bool = False) -> DataFrame:
+    """Unpivot — the inverse of :func:`crosstab`: wide measure
+    columns become (variable, value) rows, the long grain every
+    drilldown/calculator operator in the engine consumes.  The
+    reference's CrossTableFormatter only ever widens
+    (/root/reference/cubes/formatters.py); round-tripping back is a
+    designed-in upgrade.
+
+    Delegates to the native ``DataFrame.unpivot`` (Spark's
+    ``Expand`` node: one projection emitting len(value_cols) rows per
+    input row inside whole-stage codegen — no shuffle, no explode of
+    a built array).  ``drop_nulls`` mirrors SQL UNPIVOT's default of
+    omitting NULL measures; off by default because OLAP consumers
+    usually want the explicit NULL cell.
+    """
+    out = df.unpivot([F.col(c) for c in id_cols],
+                     [F.col(c) for c in value_cols],
+                     var_name, value_name)
+    if drop_nulls:
+        out = out.filter(F.col(value_name).isNotNull())
+    return out

@@ -5823,6 +5823,152 @@ def oracle_sql() -> dict[str, str]:
         FROM f JOIN bridge USING (o_orderkey)
         GROUP BY campaign"""
 
+    # Unpivot: the wide CTE unioned per measure column
+    sql["orders_melt"] = """
+        WITH w AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                     AS BIGINT) AS status_o,
+                CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                     AS BIGINT) AS status_f,
+                CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                     AS BIGINT) AS status_p
+            FROM orders GROUP BY 1)
+        SELECT year, 'status_o' AS variable, status_o AS value FROM w
+        UNION ALL
+        SELECT year, 'status_f', status_f FROM w
+        UNION ALL
+        SELECT year, 'status_p', status_p FROM w"""
+
+    # URL canonicalization: replay the in-plan construction and every
+    # rule of canonicalize_urls generically (not closed-form)
+    sql["doc_urls"] = """
+        WITH d AS (
+            SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN
+                        'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.COM:80/path/' || CAST(doc_id % 97 AS VARCHAR)
+                        || '?utm_source=x&id='
+                        || CAST(doc_id % 13 AS VARCHAR) || '#frag'
+                     WHEN doc_id % 4 = 1 THEN
+                        'https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.Example.org:443/?gclid=abc'
+                        || CAST(doc_id % 9 AS VARCHAR)
+                     WHEN doc_id % 4 = 2 THEN
+                        'http://example' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.com/path/' || CAST(doc_id % 97 AS VARCHAR)
+                        || '?id=' || CAST(doc_id % 13 AS VARCHAR)
+                        || '&utm_medium=mail'
+                     ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+                END AS url
+            FROM documents),
+        parts AS (
+            SELECT doc_id, url,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                    '^[^:/?#]+://([^/?#]*)', 1)) AS host0,
+                regexp_extract(url,
+                    '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS rest
+            FROM d),
+        norm AS (
+            SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http'
+                     THEN regexp_replace(host0, ':80$', '')
+                     WHEN scheme = 'https'
+                     THEN regexp_replace(host0, ':443$', '')
+                     ELSE host0 END AS host,
+                CASE WHEN instr(rest, '?') > 0
+                     THEN substr(rest, 1, instr(rest, '?') - 1)
+                     ELSE rest END AS path0,
+                regexp_extract(rest, '\?(.*)$', 1) AS rq
+            FROM parts),
+        filt AS (
+            SELECT doc_id, scheme, host,
+                CASE WHEN path0 = '/' THEN '' ELSE path0 END AS path,
+                CASE WHEN rq = '' THEN []
+                     ELSE list_filter(str_split(rq, '&'), p ->
+                        NOT (starts_with(p, 'utm_')
+                             OR starts_with(p, 'gclid=') OR p = 'gclid'
+                             OR starts_with(p, 'fbclid=') OR p = 'fbclid'
+                             OR starts_with(p, 'msclkid=')
+                             OR p = 'msclkid'
+                             OR starts_with(p, 'ref=') OR p = 'ref'))
+                END AS kept
+            FROM norm)
+        SELECT doc_id,
+            CASE WHEN scheme = '' THEN NULL
+                 ELSE scheme || '://' || host || path
+                      || CASE WHEN coalesce(
+                                array_to_string(kept, '&'), '') = ''
+                              THEN ''
+                              ELSE '?' || array_to_string(kept, '&')
+                         END
+            END AS canonical_url,
+            CASE WHEN scheme = '' THEN NULL ELSE host END AS host,
+            CAST(len(kept) AS BIGINT) AS n_params_kept
+        FROM filt"""
+
+    # Gopher quality rules: replay the salted page construction, the
+    # counters and the integer cross-multiplied verdict
+    sql["doc_gopher"] = """
+        WITH d AS (
+            SELECT doc_id,
+                replace(text, '. ', '.' || chr(10))
+                || (CASE WHEN doc_id % 19 = 0
+                         THEN chr(10) || '- bullet item one'
+                              || chr(10) || '- bullet item two'
+                         ELSE '' END)
+                || (CASE WHEN doc_id % 23 = 0
+                         THEN chr(10) || 'to be continued...'
+                         ELSE '' END)
+                || (CASE WHEN doc_id % 29 = 0
+                         THEN ' ### ### ###' ELSE '' END) AS text
+            FROM documents),
+        c AS (
+            SELECT doc_id, text,
+                CASE WHEN trim(text) = '' THEN []
+                     ELSE string_split_regex(trim(text), '\s+') END
+                    AS t,
+                str_split(text, chr(10)) AS lines
+            FROM d),
+        m AS (
+            SELECT doc_id,
+                CAST(len(t) AS BIGINT) AS n_words,
+                CAST(coalesce(
+                    list_sum(list_transform(t, x -> len(x))), 0)
+                    AS BIGINT) AS word_chars,
+                CAST((len(text) - len(replace(text, '#', '')))
+                     + (len(text) - len(replace(text, '...', ''))) // 3
+                    AS BIGINT) AS n_symbols,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(lines,
+                    l -> left(trim(l), 1) = chr(8226)
+                         OR trim(l) LIKE '- %')) AS BIGINT)
+                    AS bullet_lines,
+                CAST(len(list_filter(lines,
+                    l -> trim(l) LIKE '%...')) AS BIGINT)
+                    AS ellipsis_lines,
+                CAST(len(list_filter(t,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                    AS alpha_words,
+                CAST(len(list_intersect(
+                    list_distinct(list_transform(t, x -> lower(x))),
+                    ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                     'with'])) AS BIGINT) AS stop_hits
+            FROM c)
+        SELECT doc_id, n_words, word_chars, n_symbols, n_lines,
+            bullet_lines, ellipsis_lines, alpha_words, stop_hits,
+            (n_words >= 50 AND n_words <= 100000
+             AND word_chars >= 3 * n_words
+             AND word_chars <= 10 * n_words
+             AND n_symbols * 10 <= n_words
+             AND bullet_lines * 10 < n_lines * 9
+             AND ellipsis_lines * 10 <= n_lines * 3
+             AND alpha_words * 10 >= n_words * 8
+             AND stop_hits >= 2) AS kept
+        FROM m"""
+
     # EXIF triage: every field of the in-plan TIFF/JPEG-APP1 files is
     # closed-form in doc_id; the absent model tag proves the NULL path
     sql["doc_exif"] = """

@@ -3065,3 +3065,52 @@ class TestExifMetadata:
                 exif_metadata(df, "payload").collect()}
         assert rows[1].width == 640 and rows[1].model is None
         assert rows[2].container is None and rows[2].width is None
+
+
+class TestGopherQualityFilter:
+    def _run(self, spark, text, **kw):
+        from cubes_spark.llm import gopher_quality_filter
+
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        return gopher_quality_filter(df, **kw).collect()[0]
+
+    def test_good_page_kept(self, spark):
+        good = ("the quick brown fox jumps over that lazy dog and "
+                "all of them have fun with everyone nearby. ") * 5
+        r = self._run(spark, good.strip())
+        assert r.kept and r.n_words >= 50 and r.stop_hits >= 2
+
+    def test_each_rule_flips(self, spark):
+        base = ("the quick brown fox jumps over that lazy dog and "
+                "all of them have fun with everyone nearby. ") * 5
+        base = base.strip()
+        # word count below the floor
+        assert not self._run(spark, "the cat sat with that.").kept
+        # mean word length too long (one 60-char token repeated)
+        assert not self._run(
+            spark, " ".join(["x" * 60] * 60) + " the of").kept
+        # symbol ratio: >10% hashes
+        assert not self._run(spark, base + " " + "#" * 20).kept
+        # ellipsis lines over 30%
+        assert not self._run(
+            spark, base + "\nmore soon...\nmore soon...\n"
+            "more soon...\nmore soon...").kept
+        # bullets on >= 90% of lines
+        bullets = "\n".join(["- the item of note here"] * 30)
+        assert not self._run(spark, bullets).kept or True  # word floor
+        r = self._run(spark, bullets, min_words=10)
+        assert not r.kept and r.bullet_lines == 30
+        # alphabetic-word share below 80%
+        nums = base + " " + " ".join(str(i) for i in range(40))
+        assert not self._run(spark, nums).kept
+        # fewer than two stop words
+        assert not self._run(
+            spark, " ".join(["alpha beta gamma delta"] * 20)).kept
+
+    def test_counters_exact(self, spark):
+        r = self._run(spark, "the fox... ran #fast\n- went up\n"
+                             "plain line here")
+        assert r.n_lines == 3 and r.bullet_lines == 1
+        assert r.ellipsis_lines == 0   # '...' mid-line, not line end
+        assert r.n_symbols == 1 + 1    # one '#', one '...'
+        assert r.stop_hits == 1        # only 'the'

@@ -1210,3 +1210,25 @@ class TestSCD2Lookup:
             want = (max(cand, key=lambda r: r["eff"])["tier"]
                     if cand else None)
             assert got[f["fid"]] == want, f["fid"]
+
+
+class TestMelt:
+    def test_roundtrip_with_crosstab_grain(self, spark):
+        wide = spark.createDataFrame(
+            [("a", 1, 2, None), ("b", 3, None, 4)],
+            "k string, x long, y long, z long")
+        out = olap.melt(wide, ["k"], ["x", "y", "z"]).collect()
+        assert len(out) == 6
+        got = {(r.k, r.variable): r.value for r in out}
+        assert got[("a", "x")] == 1 and got[("b", "z")] == 4
+        assert got[("a", "z")] is None
+        dropped = olap.melt(wide, ["k"], ["x", "y", "z"],
+                            drop_nulls=True).collect()
+        assert len(dropped) == 4
+
+    def test_no_shuffle_plan(self, spark):
+        wide = spark.createDataFrame(
+            [("a", 1, 2)], "k string, x long, y long")
+        plan = olap.melt(wide, ["k"], ["x", "y"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

@@ -687,3 +687,44 @@ class TestAssortativity:
         exp = (num*1000000)//den if num >= 0 \
             else -((-num*1000000)//den)
         assert out["r_ppm"] == exp
+
+
+class TestCanonicalizeUrls:
+    def _canon(self, spark, urls):
+        from cubes_spark.llm import canonicalize_urls
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], ["doc_id", "url"])
+        return [r.canonical_url
+                for r in canonicalize_urls(df).orderBy("doc_id").collect()]
+
+    def test_rules(self, spark):
+        got = self._canon(spark, [
+            "HTTP://WWW.Example.COM:80/Path/x?utm_source=a&id=1#frag",
+            "https://example.org:443/",
+            "https://example.org:8443/",        # non-default port kept
+            "http://a.com/p?gclid=x&fbclid=y&msclkid=z&ref=tw",
+            "http://a.com/p?keep=1&utm_medium=m&also=2",
+            "http://a.com/p?",                  # empty query dropped
+            "not a url at all",
+            "ftp://Files.Example.net:80/x",     # :80 kept (not http)
+        ])
+        assert got == [
+            "http://www.example.com/Path/x?id=1",
+            "https://example.org",
+            "https://example.org:8443",     # root '/' collapses
+            "http://a.com/p",
+            "http://a.com/p?keep=1&also=2",
+            "http://a.com/p",
+            None,
+            "ftp://files.example.net:80/x",
+        ]
+
+    def test_dedup_key_collapses_variants(self, spark):
+        variants = [
+            "http://Site.com/a?utm_campaign=x",
+            "HTTP://site.COM:80/a#top",
+            "http://site.com/a",
+        ]
+        got = set(self._canon(spark, variants))
+        assert got == {"http://site.com/a"}

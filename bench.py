@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "doc_exif",
     "doc_urls",
     "orders_melt",
+    "doc_rag_topk",
+    "doc_keep_best",
 ]
 
 

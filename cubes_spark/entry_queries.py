@@ -6345,3 +6345,44 @@ def q_orders_melt(spark, sf_dir):
                    for st in ("O", "F", "P")]))
     return olap.melt(wide, ["year"],
                      ["status_o", "status_f", "status_p"])
+
+
+def q_doc_rag_topk(spark, sf_dir):
+    """End-to-end in-engine retrieval (RAG shape): documents ->
+    feature-hash embeddings (llm/text.py:feature_hash_embed, dim=16)
+    -> exact cosine top-5 per NATURAL-LANGUAGE query
+    (llm/similarity.py:cosine_topk) — three fixed query strings
+    embedded by the SAME operator, no external model anywhere.  The
+    oracle replays both md5 hash folds (corpus + query literals),
+    normalization and the unrounded cosine ranking in SQL."""
+    from cubes_spark.llm import feature_hash_embed
+    from cubes_spark.llm.similarity import cosine_topk
+
+    docs = (_table(spark, sf_dir, "documents")
+            .filter(F.length(F.trim(F.col("text"))) > 0))
+    emb = feature_hash_embed(docs, dim=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding")
+    qdf = spark.createDataFrame(
+        [(0, "data quality and cleaning"),
+         (1, "machine learning training data"),
+         (2, "the weather in paris")], ["doc_id", "text"])
+    qemb = feature_hash_embed(qdf, dim=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding")
+    return cosine_topk(emb, qemb, k=5, exclude_self=False)
+
+
+def q_doc_keep_best(spark, sf_dir):
+    """Quality-aware cluster dedup (llm/dedup.py:dedup_keep_best):
+    MinHash-LSH pairs -> connected components -> keep the LONGEST
+    member per cluster (score = n_chars, ties by lowest id) — the
+    RefinedWeb/FineWeb representative-selection policy.  The oracle
+    recomputes the pairs (doc_minhash's full SQL replica) and the
+    components independently via union-find, then replays the
+    selection window."""
+    from cubes_spark.llm import dedup_keep_best
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, num_hashes=16, bands=4,
+                                    shingle_k=5)
+    out = dedup_keep_best(docs, pairs, score_col="n_chars")
+    return _lng(out, "doc_id", "component", "n_chars")

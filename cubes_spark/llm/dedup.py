@@ -49,6 +49,7 @@ __all__ = [
     "fuzzy_pairs",
     "jaccard_similarity_join",
     "minhash_recall",
+    "dedup_keep_best",
     "DEFAULT_MAX_BUCKET_SIZE",
 ]
 
@@ -1016,3 +1017,37 @@ def minhash_recall(df: DataFrame, text_col: str = "text",
         F.expr("CAST(CASE WHEN n_cand > 0 THEN"
                " (10000 * n_hit) div n_cand END AS BIGINT)")
         .alias("precision_bp"))
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
+                    id_col: str = "doc_id",
+                    id_a: str = "id_a", id_b: str = "id_b",
+                    ascending: bool = False) -> DataFrame:
+    """Quality-aware cluster dedup: cluster the near-duplicate PAIRS
+    (:func:`connected_components`) and keep per cluster the member
+    with the BEST score — highest ``score_col`` (or lowest with
+    ``ascending``), ties by lowest id.  The representative-selection
+    policy RefinedWeb/FineWeb-style pipelines use instead of
+    :func:`duplicate_clusters`' arbitrary min-id canonical: when a
+    page was crawled five times, keep the longest / highest-quality
+    capture, not the one with the smallest id.
+
+    Emits every document with its ``component``, ``score_col`` and
+    the ``keep`` verdict (downstream dedup = ``filter('keep')``).
+    Scale shape: CC is the bounded iterative min-label propagation;
+    the selection window partitions by component — groups are
+    cluster-sized (singletons dominate), never corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    comps = connected_components(pairs, id_a, id_b)
+    out = df.select(F.col(id_col), F.col(score_col)).join(
+        comps.withColumnRenamed("node", id_col), id_col, "left")
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    out = out.select(F.col(id_col), component.alias("component"),
+                     F.col(score_col))
+    order = (F.col(score_col).asc() if ascending
+             else F.col(score_col).desc())
+    w = Window.partitionBy("component").orderBy(
+        order, F.col(id_col).asc())
+    return out.withColumn("keep", F.row_number().over(w) == 1)

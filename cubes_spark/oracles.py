@@ -3729,6 +3729,8 @@ def oracle_sql() -> dict[str, str]:
     # order matches Spark's sequential aggregate fold (proven bit-exact
     # by the emb_topk/emb_near_dup rows).
     sql["emb_ann"] = _guarded_oracle(_emb_ann_oracle, "emb_ann")
+    sql["doc_keep_best"] = _guarded_oracle(
+        _doc_keep_best_oracle, "doc_keep_best")
     sql["doc_dup_clusters"] = _guarded_oracle(_doc_dup_clusters_oracle, "doc_dup_clusters")
     sql["emb_projection"] = _guarded_oracle(_emb_projection_oracle, "emb_projection")
     sql["emb_ann_recall"] = _guarded_oracle(_emb_ann_recall_oracle, "emb_ann_recall")
@@ -5772,6 +5774,8 @@ def oracle_sql() -> dict[str, str]:
         FROM agg"""
 
     sql["emb_mmr"] = _emb_mmr_oracle()
+    sql["doc_rag_topk"] = _guarded_oracle(
+        _doc_rag_oracle, "doc_rag_topk")
     sql["emb_hard_negatives"] = _guarded_oracle(
         _emb_hardneg_oracle, "emb_hard_negatives")
     sql["emb_mmr_ann"] = _guarded_oracle(
@@ -6198,6 +6202,74 @@ def _emb_hardneg_oracle(k: int = 24, mod: int = 100,
                                ORDER BY cosine DESC, nid) AS neg_rank
         FROM band)
     WHERE neg_rank <= {m}"""
+
+
+_RAG_QUERIES = [
+    (0, ["data", "quality", "and", "cleaning"]),
+    (1, ["machine", "learning", "training", "data"]),
+    (2, ["the", "weather", "in", "paris"]),
+]
+
+
+def _feat_unitv_cte(src: str, idc: str, prefix: str,
+                    dim: int = 16) -> str:
+    """The feature_hash_embed replay (same two md5 hashes, same fold,
+    same norm guard) as a CTE chain producing {prefix}v(id, v)."""
+    return f"""
+    {prefix}contribs AS (
+        SELECT {idc} AS id,
+            list_transform(t, x -> struct_pack(
+                c := CAST(concat('0x', substr(md5(concat('feat:',
+                    x)), 1, 15)) AS BIGINT) % {dim},
+                s := CASE WHEN CAST(concat('0x',
+                    substr(md5(concat('feat#:', x)), 1, 8))
+                    AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)) AS cs
+        FROM {src}),
+    {prefix}rawv AS (
+        SELECT id,
+            list_transform(range({dim}), d ->
+                list_sum(list_transform(cs, e ->
+                    CASE WHEN e.c = d THEN e.s ELSE 0.0 END)))
+                AS raw
+        FROM {prefix}contribs),
+    {prefix}v AS (
+        SELECT id,
+            CASE WHEN sqrt(list_sum(list_transform(raw,
+                     x -> x * x))) > 0
+                 THEN list_transform(raw, x -> x
+                      / sqrt(list_sum(list_transform(raw,
+                            y -> y * y))))
+                 ELSE raw END AS v
+        FROM {prefix}rawv)"""
+
+
+def _doc_rag_oracle(k: int = 5) -> str:
+    qvals = ",\n            ".join(
+        "({}, {})".format(qid, "[" + ", ".join(
+            f"'{t}'" for t in toks) + "]")
+        for qid, toks in _RAG_QUERIES)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+        WHERE length(trim(text)) > 0),
+    qtoks(qid, t) AS (VALUES
+            {qvals}),{_feat_unitv_cte("toks", "doc_id", "c")},{_feat_unitv_cte("qtoks", "qid", "q")},
+    scored AS (
+        SELECT q.id AS query_id, c.id AS neighbor_id,
+            list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+             * sqrt(list_dot_product(c.v, c.v))) AS cosine
+        FROM qv q CROSS JOIN cv c)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+        CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id)
+                AS rank
+        FROM scored)
+    WHERE rank <= {k}"""
 
 
 def _ivf_centroid_values() -> str:
@@ -6993,6 +7065,52 @@ def _emb_projection_oracle() -> str:
         SELECT e.vec_id, CAST(p.idx AS BIGINT) AS idx,
             round(list_dot_product(e.v, p.pv), 6) AS value
         FROM e CROSS JOIN planes p"""
+
+
+def _doc_keep_best_oracle() -> str:
+    """Union-find over the doc_minhash oracle pairs (independent
+    DuckDB recomputation), components as literal rows, then the
+    keep-best selection (max n_chars, ties by lowest id) replayed as
+    a window over the join with documents."""
+    import duckdb
+
+    con = duckdb.connect()
+    path = _oracle_sf_dir()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet')"
+    )
+    pairs = con.execute(f"""
+        {_minhash_cte()}
+        SELECT id_a, id_b FROM pairs""").fetchall()
+    doc_ids = [r[0] for r in
+               con.execute("SELECT doc_id FROM documents").fetchall()]
+    con.close()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    values = ",\n            ".join(
+        f"({doc_id}, {find(doc_id)})" for doc_id in sorted(doc_ids))
+    return f"""
+        WITH comp(doc_id, component) AS (VALUES
+            {values})
+        SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+            CAST(c.component AS BIGINT) AS component,
+            CAST(d.n_chars AS BIGINT) AS n_chars,
+            (row_number() OVER (PARTITION BY c.component
+                ORDER BY d.n_chars DESC, c.doc_id) = 1) AS keep
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id"""
 
 
 def _doc_dup_clusters_oracle() -> str:

@@ -3114,3 +3114,58 @@ class TestGopherQualityFilter:
         assert r.ellipsis_lines == 0   # '...' mid-line, not line end
         assert r.n_symbols == 1 + 1    # one '#', one '...'
         assert r.stop_hits == 1        # only 'the'
+
+
+class TestDedupKeepBest:
+    def test_best_per_cluster(self, spark):
+        from cubes_spark.llm import dedup_keep_best
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 50), (3, 50), (4, 7), (5, 99)],
+            "doc_id long, n_chars long")
+        # cluster {1,2,3} (chained pairs), {4} via pair with itself? no:
+        # 4 unpaired singleton, 5 unpaired singleton
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long")
+        out = {r.doc_id: r for r in dedup_keep_best(
+            docs, pairs, "n_chars").collect()}
+        # cluster component = min id = 1; best score 50, tie -> id 2
+        assert out[2].keep and not out[1].keep and not out[3].keep
+        assert out[1].component == out[3].component == 1
+        # singletons keep themselves
+        assert out[4].keep and out[5].keep
+        assert sum(1 for r in out.values() if r.keep) == 3
+
+    def test_ascending_policy(self, spark):
+        from cubes_spark.llm import dedup_keep_best
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 5)], "doc_id long, score long")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = {r.doc_id: r.keep for r in dedup_keep_best(
+            docs, pairs, "score", ascending=True).collect()}
+        assert out == {1: False, 2: True}
+
+
+class TestRagComposition:
+    def test_query_embedding_space_matches_docs(self, spark):
+        from cubes_spark.llm import feature_hash_embed
+        from cubes_spark.llm.similarity import cosine_topk
+
+        docs = spark.createDataFrame(
+            [(1, "apples and oranges are fruit"),
+             (2, "trains and planes move fast"),
+             (3, "apples oranges fruit fruit fruit")],
+            ["doc_id", "text"])
+        emb = feature_hash_embed(docs, dim=32).select(
+            F.col("doc_id").alias("vec_id"), "embedding")
+        q = feature_hash_embed(
+            spark.createDataFrame([(0, "fruit apples")],
+                                  ["doc_id", "text"]),
+            dim=32).select(F.col("doc_id").alias("vec_id"),
+                           "embedding")
+        top = cosine_topk(emb, q, k=3, exclude_self=False).collect()
+        ranked = [r.neighbor_id for r in
+                  sorted(top, key=lambda r: r.rank)]
+        # fruit-heavy docs outrank the transport doc
+        assert set(ranked[:2]) == {1, 3} and ranked[2] == 2

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "orders_melt",
     "doc_rag_topk",
     "doc_keep_best",
+    "doc_id3",
 ]
 
 

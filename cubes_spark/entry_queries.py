@@ -6386,3 +6386,33 @@ def q_doc_keep_best(spark, sf_dir):
                                     shingle_k=5)
     out = dedup_keep_best(docs, pairs, score_col="n_chars")
     return _lng(out, "doc_id", "component", "n_chars")
+
+
+def q_doc_id3(spark, sf_dir):
+    """REAL ID3v2 metadata extraction end-to-end: complete ID3v2.3
+    (even doc_id) / v2.4 (odd) tags built in-plan — a latin-1 TIT2
+    title and a UTF-16-with-BOM TPE1 artist, both closed-form in
+    doc_id — parsed for real by the stdlib tag walker inside the
+    Arrow ``id3_metadata`` operator (cubes_spark/llm/multimodal.py).
+    The absent TALB frame proves the NULL path; the oracle recomputes
+    every field without parsing."""
+    from cubes_spark.llm import id3_metadata
+
+    d = F.col("doc_id")
+
+    def hex2(col):
+        return F.lpad(F.hex(col.cast("long")), 2, "0")
+
+    ver = F.when(d % 2 == 1, F.lit("04")).otherwise(F.lit("03"))
+    tens = hex2(F.lit(0x30) + ((d % 100) / 10).cast("long"))
+    ones = hex2(F.lit(0x30) + d % 10)
+    tag_hex = F.concat(
+        F.lit("494433"), ver, F.lit("0000" "00000022"),   # hdr, size 34
+        F.lit("54495432" "00000007" "0000" "00" "536F6E67"),
+        tens, ones,                                        # Song<dd>
+        F.lit("54504531" "00000007" "0000" "01" "FFFE" "4100"),
+        hex2(F.lit(0x30) + d % 10), F.lit("00"),           # A<d> utf16le
+    )
+    docs = (_table(spark, sf_dir, "documents").select("doc_id")
+            .withColumn("payload", F.unhex(tag_hex)))
+    return id3_metadata(docs, "payload")

@@ -2627,3 +2627,100 @@ def exif_metadata(df: DataFrame, binary_col: str,
             yield pd.DataFrame(out)
 
     return slim.mapInPandas(meta, EXIF_META_SCHEMA)
+
+
+# -- ID3v2 audio metadata (stdlib only) --------------------------------------
+
+#: the ID3v2 text frames a curation pipeline actually uses
+_ID3_FRAMES = {"TIT2": "title", "TPE1": "artist", "TALB": "album"}
+
+
+def parse_id3(payload: bytes) -> dict:
+    """Parse an ID3v2.3/2.4 tag header + text frames (ISO 14496-style
+    MP3 metadata, informal spec id3.org): syncsafe tag size, plain
+    (v2.3) or syncsafe (v2.4) frame sizes, latin-1 (encoding 0) and
+    UTF-16-with-BOM (encoding 1) text payloads, NUL-terminated.
+    Returns ``version``, ``n_frames`` and the :data:`_ID3_FRAMES`
+    fields found; raises ``ValueError`` on malformed input."""
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        raise ValueError("no id3v2 header")
+    ver = payload[3]
+    if ver not in (3, 4):
+        raise ValueError(f"unsupported id3v2.{ver}")
+    if any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("tag size not syncsafe")
+    size = ((payload[6] << 21) | (payload[7] << 14)
+            | (payload[8] << 7) | payload[9])
+    end = min(10 + size, len(payload))
+    out = {"version": ver, "n_frames": 0}
+    pos = 10
+    while pos + 10 <= end:
+        fid = payload[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":          # padding
+            break
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError("bad frame id")
+        if ver == 4:
+            if any(b & 0x80 for b in payload[pos + 4:pos + 8]):
+                raise ValueError("frame size not syncsafe")
+            fsize = ((payload[pos + 4] << 21) | (payload[pos + 5] << 14)
+                     | (payload[pos + 6] << 7) | payload[pos + 7])
+        else:
+            fsize = int.from_bytes(payload[pos + 4:pos + 8], "big")
+        if pos + 10 + fsize > end:
+            raise ValueError("frame overruns tag")
+        body = payload[pos + 10:pos + 10 + fsize]
+        out["n_frames"] += 1
+        name = _ID3_FRAMES.get(fid.decode("ascii"))
+        if name is not None and fsize >= 1:
+            enc, text = body[0], body[1:]
+            if enc == 0:
+                out[name] = text.split(b"\x00", 1)[0] \
+                    .decode("latin-1")
+            elif enc == 1:
+                raw = text.split(b"\x00\x00", 1)[0]
+                if len(raw) % 2:
+                    raw += b"\x00"
+                out[name] = raw.decode("utf-16")
+            else:
+                raise ValueError(f"unsupported text encoding {enc}")
+        pos += 10 + fsize
+    return out
+
+
+ID3_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("version", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("title", StringType()),
+    StructField("artist", StringType()),
+    StructField("album", StringType()),
+])
+
+
+def id3_metadata(df: DataFrame, binary_col: str,
+                 id_col: str = "doc_id") -> DataFrame:
+    """ID3v2 triage over an MP3-style binary column: tag version,
+    frame count and title/artist/album — the audio-curation analogue
+    of :func:`exif_metadata`.  NULL row on undecodable input.
+    Arrow-batched ``mapInPandas``, one narrow stage, no shuffle."""
+    slim = df.select(F.col(id_col), F.col(binary_col))
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "version": [], "n_frames": [],
+                   "title": [], "artist": [], "album": []}
+            for did, p in zip(pdf[id_col], pdf[binary_col]):
+                out["doc_id"].append(did)
+                try:
+                    got = parse_id3(bytes(p))
+                    for k in ("version", "n_frames", "title",
+                              "artist", "album"):
+                        out[k].append(got.get(k))
+                except ValueError:
+                    for k in ("version", "n_frames", "title",
+                              "artist", "album"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(meta, ID3_META_SCHEMA)

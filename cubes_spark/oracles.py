@@ -5913,6 +5913,18 @@ def oracle_sql() -> dict[str, str]:
             CAST(len(kept) AS BIGINT) AS n_params_kept
         FROM filt"""
 
+    # ID3v2 triage: every field of the in-plan tags is closed-form
+    # in doc_id; the absent TALB frame proves the NULL path
+    sql["doc_id3"] = """
+        SELECT doc_id,
+            CAST(3 + doc_id % 2 AS BIGINT) AS version,
+            CAST(2 AS BIGINT) AS n_frames,
+            'Song' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                AS title,
+            'A' || CAST(doc_id % 10 AS VARCHAR) AS artist,
+            CAST(NULL AS VARCHAR) AS album
+        FROM documents"""
+
     # Gopher quality rules: replay the salted page construction, the
     # counters and the integer cross-multiplied verdict
     sql["doc_gopher"] = """

@@ -3169,3 +3169,69 @@ class TestRagComposition:
                   sorted(top, key=lambda r: r.rank)]
         # fruit-heavy docs outrank the transport doc
         assert set(ranked[:2]) == {1, 3} and ranked[2] == 2
+
+
+class TestId3Metadata:
+    @staticmethod
+    def _tag(ver=3, frames=None, pad=0):
+        """Independent ID3 builder: syncsafe tag size, v2.3 plain or
+        v2.4 syncsafe frame sizes."""
+        body = b""
+        for fid, enc, text in frames or []:
+            if enc == 0:
+                payload = b"\x00" + text.encode("latin-1")
+            else:
+                payload = b"\x01\xff\xfe" + text.encode("utf-16-le")
+            n = len(payload)
+            if ver == 4:
+                fsize = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                               (n >> 7) & 0x7F, n & 0x7F])
+            else:
+                fsize = n.to_bytes(4, "big")
+            body += fid.encode() + fsize + b"\x00\x00" + payload
+        body += b"\x00" * pad
+        n = len(body)
+        size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+        return b"ID3" + bytes([ver, 0, 0]) + size + body
+
+    def test_v23_and_v24_text_frames(self):
+        from cubes_spark.llm.multimodal import parse_id3
+
+        for ver in (3, 4):
+            got = parse_id3(self._tag(ver, [
+                ("TIT2", 0, "My Title"),
+                ("TPE1", 1, "Ärtist"),          # non-latin1, utf16
+                ("TALB", 0, "Album X"),
+                ("TXXX", 0, "ignored custom"),
+            ], pad=6))
+            assert got["version"] == ver and got["n_frames"] == 4
+            assert got["title"] == "My Title"
+            assert got["artist"] == "Ärtist"
+            assert got["album"] == "Album X"
+
+    def test_v24_syncsafe_size_over_127(self):
+        from cubes_spark.llm.multimodal import parse_id3
+
+        long_title = "x" * 200             # frame size 201 > 0x7F
+        got = parse_id3(self._tag(4, [("TIT2", 0, long_title)]))
+        assert got["title"] == long_title
+
+    def test_malformed_quarantined(self, spark):
+        from cubes_spark.llm import id3_metadata
+        from cubes_spark.llm.multimodal import parse_id3
+        import pytest as _pt
+
+        for bad in (b"", b"ID3", b"ID3\x02\x00\x00\x00\x00\x00\x00",
+                    b"MP3\x03\x00\x00\x00\x00\x00\x00",
+                    self._tag(3, [("TIT2", 0, "t")])[:-2]):
+            with _pt.raises(ValueError):
+                parse_id3(bad)
+        df = spark.createDataFrame(
+            [(1, bytearray(self._tag(3, [("TPE1", 0, "a")]))),
+             (2, bytearray(b"garbage"))],
+            "doc_id long, payload binary")
+        rows = {r.doc_id: r for r in
+                id3_metadata(df, "payload").collect()}
+        assert rows[1].artist == "a" and rows[1].title is None
+        assert rows[2].version is None

@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "doc_rag_topk",
     "doc_keep_best",
     "doc_id3",
+    "doc_line_dedup_intra",
+    "lineitem_wquantiles",
 ]
 
 

@@ -6416,3 +6416,43 @@ def q_doc_id3(spark, sf_dir):
     docs = (_table(spark, sf_dir, "documents").select("doc_id")
             .withColumn("payload", F.unhex(tag_hex)))
     return id3_metadata(docs, "payload")
+
+
+def q_doc_line_dedup_intra(spark, sf_dir):
+    """Intra-document line dedup (llm/text.py:
+    dedup_lines_within_doc): sentence-per-line pages with the first
+    line re-appended twice on doc_id%3 (a repeating nav/banner), the
+    repeats dropped keeping first occurrence — the within-page half
+    of boilerplate removal (doc_line_dedup is the across-pages
+    half).  The oracle replays the construction and the
+    first-occurrence filter with DuckDB's indexed list lambda; md5
+    proves the cleaned content."""
+    from cubes_spark.llm import dedup_lines_within_doc
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = F.replace(F.col("text"), F.lit(". "), F.lit(".\n"))
+    first = F.element_at(F.split(base, "\n"), 1)
+    t = F.when(F.col("doc_id") % 3 == 0,
+               F.concat(base, F.lit("\n"), first, F.lit("\n"), first)
+               ).otherwise(base)
+    out = dedup_lines_within_doc(docs.select("doc_id",
+                                             t.alias("text")))
+    return out.select("doc_id", "n_lines", "n_unique_lines",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+def q_lineitem_wquantiles(spark, sf_dir):
+    """Exact weighted quantiles (operators/olap.py:
+    weighted_quantiles): quartiles of the discount distribution
+    weighted by quantity, per return flag — facts collapse to the
+    ~11-value discount grain first, the cumulative window runs over
+    that grain, and the threshold is an integer cross-multiplication
+    the oracle replays verbatim."""
+    li = _table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.col("l_quantity").cast("long").alias("qty"))
+    return olap.weighted_quantiles(
+        base, "disc", "qty", group_cols=["flag"]).select(
+        "flag", "q_bp", F.col("value").cast("long").alias("value"))

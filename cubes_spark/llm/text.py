@@ -21,6 +21,7 @@ __all__ = [
     "token_array",
     "c4_line_filter",
     "gopher_quality_filter",
+    "dedup_lines_within_doc",
     "GOPHER_STOPWORDS",
     "bpe_token_count",
     "text_stats",
@@ -1642,3 +1643,28 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
             & (F.col("alpha_words") * 10 >= F.col("n_words") * 8)
             & (F.col("stop_hits") >= 2))
     return out.withColumn("kept", kept)
+
+
+def dedup_lines_within_doc(df: DataFrame, text_col: str = "text",
+                           out_col: str = "clean_text") -> DataFrame:
+    """Intra-document line dedup: drop REPEATED lines within each
+    page, keeping the first occurrence — the within-page half of
+    boilerplate removal (nav menus, cookie banners and footers repeat
+    inside a page as well as across pages; :func:`line_dedup` handles
+    the across-pages half globally).
+
+    Keeps a line iff its index equals the index of the line's first
+    occurrence (``array_position``), preserving order.  Adds
+    ``out_col`` plus ``n_lines``/``n_unique_lines``.
+
+    Scale shape: one narrow projection of JVM array functions — per
+    row O(lines²) string comparisons, fine at the page grain (tens of
+    lines); no explode, no shuffle, no Python.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines,
+                    lambda l, i: F.array_position(lines, l) == i + 1)
+    return (df
+            .withColumn(out_col, F.array_join(kept, "\n"))
+            .withColumn("n_lines", F.size(lines).cast("long"))
+            .withColumn("n_unique_lines", F.size(kept).cast("long")))

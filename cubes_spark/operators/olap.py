@@ -55,6 +55,7 @@ __all__ = [
     "bridge_weighted_aggregate",
     "scd2_lookup",
     "melt",
+    "weighted_quantiles",
 ]
 
 
@@ -2163,3 +2164,47 @@ def melt(df: DataFrame, id_cols: Sequence[str],
     if drop_nulls:
         out = out.filter(F.col(value_name).isNotNull())
     return out
+
+
+def weighted_quantiles(df: DataFrame, value_col: str, weight_col: str,
+                       group_cols: Sequence[str] = (),
+                       qs_bp: Sequence[int] = (2500, 5000, 7500),
+                       ) -> DataFrame:
+    """Exact WEIGHTED discrete quantiles: the smallest value whose
+    cumulative weight reaches q of the total — percentile_disc where
+    every row counts ``weight_col`` times (unit-weighted quantiles
+    are :func:`exact_disc_quantiles`).  The estimator behind weighted
+    medians of order sizes, token-weighted length percentiles, and
+    revenue-weighted price points.
+
+    Quantiles are INTEGER basis points and the threshold test is a
+    cross-multiplication (``cum_w * 10000 >= q_bp * total_w``) over
+    integer weight sums — exact at any parallelism, replayable by an
+    ANSI oracle.
+
+    Scale shape: facts collapse to the (group, value) grain FIRST
+    (one map-side-combinable aggregation); the cumulative window runs
+    over that bounded grain, never the facts; the per-quantile pick
+    is a grain-sized filter + min-groupBy.  Like
+    ``exact_disc_quantiles``, intended for bounded value grains
+    (discounts, sizes, bucketed amounts) — bucket first for
+    continuous measures.
+    """
+    from pyspark.sql.window import Window as W
+
+    gcols = list(group_cols)
+    grain = (df.groupBy(*gcols, F.col(value_col).alias("__v__"))
+             .agg(F.sum(F.col(weight_col).cast("long"))
+                  .alias("__w__")))
+    w = (W.partitionBy(*gcols).orderBy("__v__")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy(*gcols)
+    cum = (grain.withColumn("__cw__", F.sum("__w__").over(w))
+           .withColumn("__tw__", F.sum("__w__").over(wall)))
+    qarr = F.array(*[F.lit(int(q)) for q in qs_bp])
+    return (cum.select(*gcols, "__v__", "__cw__", "__tw__",
+                       F.explode(qarr).alias("q_bp"))
+            .filter(F.col("__cw__") * 10000
+                    >= F.col("q_bp") * F.col("__tw__"))
+            .groupBy(*gcols, "q_bp")
+            .agg(F.min("__v__").alias("value")))

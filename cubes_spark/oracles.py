@@ -5913,6 +5913,55 @@ def oracle_sql() -> dict[str, str]:
             CAST(len(kept) AS BIGINT) AS n_params_kept
         FROM filt"""
 
+    # weighted quantiles: grain collapse + cumulative window + the
+    # same integer cross-multiplied threshold
+    sql["lineitem_wquantiles"] = """
+        WITH grain AS (
+            SELECT l_returnflag AS flag,
+                CAST(round(l_discount * 100) AS BIGINT) AS v,
+                SUM(CAST(l_quantity AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2),
+        cum AS (
+            SELECT flag, v,
+                sum(w) OVER (PARTITION BY flag ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+                sum(w) OVER (PARTITION BY flag) AS tw
+            FROM grain),
+        q(q_bp) AS (VALUES (2500), (5000), (7500))
+        SELECT flag, q_bp, CAST(min(v) AS BIGINT) AS value
+        FROM cum JOIN q ON cw * 10000 >= q_bp * tw
+        GROUP BY flag, q_bp"""
+
+    # intra-document line dedup: replay the construction and the
+    # first-occurrence filter (DuckDB indexed list lambda, 1-based)
+    sql["doc_line_dedup_intra"] = """
+        WITH d AS (
+            SELECT doc_id,
+                replace(text, '. ', '.' || chr(10)) AS base
+            FROM documents),
+        d2 AS (
+            SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN base || chr(10)
+                          || str_split(base, chr(10))[1] || chr(10)
+                          || str_split(base, chr(10))[1]
+                     ELSE base END AS text
+            FROM d),
+        l AS (
+            SELECT doc_id, str_split(text, chr(10)) AS lines
+            FROM d2),
+        k AS (
+            SELECT doc_id, lines,
+                list_filter(lines, (x, i) ->
+                    list_position(lines, x) = i) AS kept
+            FROM l)
+        SELECT doc_id,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(len(kept) AS BIGINT) AS n_unique_lines,
+            md5(coalesce(array_to_string(kept, chr(10)), ''))
+                AS clean_md5
+        FROM k"""
+
     # ID3v2 triage: every field of the in-plan tags is closed-form
     # in doc_id; the absent TALB frame proves the NULL path
     sql["doc_id3"] = """

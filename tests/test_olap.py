@@ -1232,3 +1232,46 @@ class TestMelt:
         plan = olap.melt(wide, ["k"], ["x", "y"]) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestWeightedQuantiles:
+    def test_matches_expanded_percentile_disc(self, spark):
+        import random
+        rnd = random.Random(11)
+        rows = [(["a", "b"][i % 2], rnd.randint(0, 9),
+                 rnd.randint(1, 5)) for i in range(200)]
+        df = spark.createDataFrame(rows, "g string, v long, w long")
+        got = {(r.g, r.q_bp): r.value for r in olap.weighted_quantiles(
+            df, "v", "w", group_cols=["g"]).collect()}
+        # reference: expand each row w times, take percentile_disc
+        for g in ("a", "b"):
+            vals = sorted(v for gg, v, w in rows if gg == g
+                          for _ in range(w))
+            n = len(vals)
+            for q_bp in (2500, 5000, 7500):
+                import math
+                idx = math.ceil(q_bp * n / 10000) - 1
+                assert got[(g, q_bp)] == vals[idx], (g, q_bp)
+
+    def test_unit_weights_equal_disc_quantiles(self, spark):
+        df = spark.createDataFrame(
+            [("g", v, 1) for v in (1, 2, 3, 4)],
+            "g string, v long, w long")
+        got = {r.q_bp: r.value for r in olap.weighted_quantiles(
+            df, "v", "w", group_cols=["g"]).collect()}
+        assert got == {2500: 1, 5000: 2, 7500: 3}
+
+
+class TestDedupLinesWithinDoc:
+    def test_first_occurrence_kept(self, spark):
+        from cubes_spark.llm import dedup_lines_within_doc
+
+        df = spark.createDataFrame(
+            [(1, "nav\nbody one\nnav\nbody two\nnav"),
+             (2, "only\nunique\nlines")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in
+               dedup_lines_within_doc(df).collect()}
+        assert out[1].clean_text == "nav\nbody one\nbody two"
+        assert out[1].n_lines == 5 and out[1].n_unique_lines == 3
+        assert out[2].clean_text == "only\nunique\nlines"

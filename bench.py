@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "doc_id3",
     "doc_line_dedup_intra",
     "lineitem_wquantiles",
+    "doc_cluster_terms",
 ]
 
 

@@ -6456,3 +6456,40 @@ def q_lineitem_wquantiles(spark, sf_dir):
     return olap.weighted_quantiles(
         base, "disc", "qty", group_cols=["flag"]).select(
         "flag", "q_bp", F.col("value").cast("long").alias("value"))
+
+
+def q_doc_cluster_terms(spark, sf_dir):
+    """Corpus topic map: feature-hash embeddings -> fixed-seed
+    spherical k-means (llm/similarity.py:kmeans_clusters, nlist=4,
+    centroid literals in-plan) -> top-3 non-stopword terms per
+    cluster — the cluster-labeling composition a curation pipeline
+    uses to see WHAT each embedding cluster contains.  The oracle
+    recomputes the unit vectors with the SQL hash fold, retrains the
+    identical k-means on the identical id-sorted sample, and replays
+    assignment + term ranking."""
+    from cubes_spark.llm import feature_hash_embed, kmeans_clusters
+    from cubes_spark.llm.text import GOPHER_STOPWORDS, token_array
+
+    docs = (_table(spark, sf_dir, "documents")
+            .filter(F.length(F.trim(F.col("text"))) > 0)
+            .select("doc_id", "text"))
+    emb = feature_hash_embed(docs, dim=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding")
+    clusters = kmeans_clusters(emb, nlist=4, seed=42).select(
+        F.col("vec_id").alias("doc_id"), "cluster")
+    words = (docs.select(
+        "doc_id",
+        F.explode(token_array(F.col("text"))).alias("tok"))
+        .select("doc_id", F.lower(F.col("tok")).alias("term"))
+        .filter(~F.col("term").isin(list(GOPHER_STOPWORDS))))
+    counts = (words.join(clusters, "doc_id")
+              .groupBy("cluster", "term")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    from pyspark.sql.window import Window as W
+    w = W.partitionBy("cluster").orderBy(F.col("n").desc(),
+                                         F.col("term").asc())
+    return (counts.withColumn("term_rank", F.row_number().over(w))
+            .filter(F.col("term_rank") <= 3)
+            .select(F.col("cluster").cast("long").alias("cluster"),
+                    F.col("term_rank").cast("long").alias("term_rank"),
+                    "term", "n"))

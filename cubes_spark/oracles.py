@@ -5774,6 +5774,8 @@ def oracle_sql() -> dict[str, str]:
         FROM agg"""
 
     sql["emb_mmr"] = _emb_mmr_oracle()
+    sql["doc_cluster_terms"] = _guarded_oracle(
+        _doc_cluster_terms_oracle, "doc_cluster_terms")
     sql["doc_rag_topk"] = _guarded_oracle(
         _doc_rag_oracle, "doc_rag_topk")
     sql["emb_hard_negatives"] = _guarded_oracle(
@@ -6331,6 +6333,68 @@ def _doc_rag_oracle(k: int = 5) -> str:
                 AS rank
         FROM scored)
     WHERE rank <= {k}"""
+
+
+def _doc_cluster_terms_oracle(nlist: int = 4, topk: int = 3) -> str:
+    """Replays q_doc_cluster_terms: unit vectors from the SQL hash
+    fold, identical fixed-seed k-means retrained on the identical
+    id-sorted sample, 1-based assignment with sim-desc/cluster ties,
+    then the stopword-filtered per-cluster term ranking."""
+    import duckdb
+    import numpy as np
+
+    from cubes_spark.llm.similarity import train_spherical_kmeans
+
+    con = duckdb.connect()
+    path = _oracle_sf_dir()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet')")
+    rows = con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+            WHERE length(trim(text)) > 0),{_feat_unitv_cte("toks", "doc_id", "c")}
+        SELECT id, v FROM cv ORDER BY id LIMIT 4096""").fetchall()
+    con.close()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    cent = train_spherical_kmeans(X, nlist, 42)
+    values = ",\n            ".join(
+        f"({i + 1}, {_sql_dvec(row)})" for i, row in enumerate(cent))
+    stop = ", ".join(
+        f"'{w}'" for w in ("the", "be", "to", "of", "and", "that",
+                           "have", "with"))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS} AS t FROM documents
+        WHERE length(trim(text)) > 0),{_feat_unitv_cte("toks", "doc_id", "c")},
+    cent(cluster, cvv) AS (VALUES
+            {values}),
+    sims AS (
+        SELECT cv.id, ct.cluster,
+            list_dot_product(cv.v, ct.cvv) AS sim
+        FROM cv CROSS JOIN cent ct),
+    assigned AS (
+        SELECT id AS doc_id, cluster FROM (
+            SELECT id, cluster,
+                row_number() OVER (PARTITION BY id
+                                   ORDER BY sim DESC, cluster) AS rk
+            FROM sims) WHERE rk = 1),
+    words AS (
+        SELECT doc_id, lower(tok) AS term
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        WHERE lower(tok) NOT IN ({stop})),
+    counts AS (
+        SELECT a.cluster, w.term, count(*) AS n
+        FROM words w JOIN assigned a USING (doc_id)
+        GROUP BY 1, 2)
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+        CAST(rk AS BIGINT) AS term_rank, term,
+        CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT cluster, term, n,
+            row_number() OVER (PARTITION BY cluster
+                               ORDER BY n DESC, term) AS rk
+        FROM counts) WHERE rk <= {topk}"""
 
 
 def _ivf_centroid_values() -> str:

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "doc_line_dedup_intra",
     "lineitem_wquantiles",
     "doc_cluster_terms",
+    "orders_coverage",
 ]
 
 

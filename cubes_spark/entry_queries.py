@@ -6493,3 +6493,29 @@ def q_doc_cluster_terms(spark, sf_dir):
             .select(F.col("cluster").cast("long").alias("cluster"),
                     F.col("term_rank").cast("long").alias("term_rank"),
                     "term", "n"))
+
+
+def q_orders_coverage(spark, sf_dir):
+    """Factless coverage gaps (operators/olap.py:coverage_gaps):
+    which (nation, month) combinations placed NO orders across
+    1992-1998 — the Kimball coverage question, grid built without a
+    cartesian node (months exploded per nation row), observed facts
+    collapsed to the key grain before one anti-join."""
+    od = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    nat = _table(spark, sf_dir, "nation")
+    grid = nat.select(
+        "n_name",
+        F.explode(F.expr("sequence(to_date('1992-01-01'), "
+                         "to_date('1998-12-01'), "
+                         "interval 1 month)")).alias("__m__")
+    ).select("n_name",
+             F.date_format("__m__", "yyyy-MM").alias("ym"))
+    observed = (od.join(F.broadcast(cust),
+                        od.o_custkey == cust.c_custkey)
+                .join(F.broadcast(nat),
+                      cust.c_nationkey == nat.n_nationkey)
+                .select("n_name",
+                        F.date_format("o_orderdate", "yyyy-MM")
+                        .alias("ym")))
+    return olap.coverage_gaps(observed, grid, ["n_name", "ym"])

@@ -56,6 +56,7 @@ __all__ = [
     "scd2_lookup",
     "melt",
     "weighted_quantiles",
+    "coverage_gaps",
 ]
 
 
@@ -2208,3 +2209,24 @@ def weighted_quantiles(df: DataFrame, value_col: str, weight_col: str,
                     >= F.col("q_bp") * F.col("__tw__"))
             .groupBy(*gcols, "q_bp")
             .agg(F.min("__v__").alias("value")))
+
+
+def coverage_gaps(fact: DataFrame, grid: DataFrame,
+                  keys: Sequence[str]) -> DataFrame:
+    """Factless coverage analysis (Kimball's coverage/factless-fact
+    question): which dimension-grain combinations have NO facts —
+    products never sold in a region, months a customer went dark.
+    Answered as ``expected grid LEFT ANTI observed combinations``;
+    the classic formulation needs a factless coverage table, this
+    derives it from the grid the caller declares.
+
+    Scale shape: ``observed`` collapses the fact table to the
+    distinct key grain FIRST (map-side combinable); the anti-join
+    then runs at grid-vs-grain size — both dimension-grain, so AQE
+    broadcasts the smaller side.  Build the grid without a cartesian
+    node (explode a generated sequence per dimension row, as the
+    ``orders_coverage`` entry does) to keep the fully
+    cartesian-free plan property.
+    """
+    observed = fact.select(*[F.col(k) for k in keys]).distinct()
+    return grid.join(observed, list(keys), "left_anti")

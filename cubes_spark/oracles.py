@@ -5915,6 +5915,24 @@ def oracle_sql() -> dict[str, str]:
             CAST(len(kept) AS BIGINT) AS n_params_kept
         FROM filt"""
 
+    # factless coverage gaps: grid minus observed, anti-join
+    sql["orders_coverage"] = """
+        WITH months AS (
+            SELECT unnest(generate_series(DATE '1992-01-01',
+                DATE '1998-12-01', INTERVAL 1 MONTH)) AS m),
+        grid AS (
+            SELECT n_name, strftime(m, '%Y-%m') AS ym
+            FROM nation, months),
+        obs AS (
+            SELECT DISTINCT n.n_name,
+                strftime(o.o_orderdate, '%Y-%m') AS ym
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        SELECT g.n_name, g.ym
+        FROM grid g ANTI JOIN obs
+            ON g.n_name = obs.n_name AND g.ym = obs.ym"""
+
     # weighted quantiles: grain collapse + cumulative window + the
     # same integer cross-multiplied threshold
     sql["lineitem_wquantiles"] = """

@@ -1275,3 +1275,16 @@ class TestDedupLinesWithinDoc:
         assert out[1].clean_text == "nav\nbody one\nbody two"
         assert out[1].n_lines == 5 and out[1].n_unique_lines == 3
         assert out[2].clean_text == "only\nunique\nlines"
+
+
+class TestCoverageGaps:
+    def test_missing_combinations(self, spark):
+        grid = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 1), ("b", 2)],
+            "k string, t long")
+        fact = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 1, 11.0), ("b", 2, 12.0)],
+            "k string, t long, v double")
+        out = {(r.k, r.t) for r in olap.coverage_gaps(
+            fact, grid, ["k", "t"]).collect()}
+        assert out == {("a", 2), ("b", 1)}

@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "lineitem_wquantiles",
     "doc_cluster_terms",
     "orders_coverage",
+    "customer_upsert",
+    "doc_shard_bytes",
 ]
 
 

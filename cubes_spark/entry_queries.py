@@ -6519,3 +6519,38 @@ def q_orders_coverage(spark, sf_dir):
                         F.date_format("o_orderdate", "yyyy-MM")
                         .alias("ym")))
     return olap.coverage_gaps(observed, grid, ["n_name", "ym"])
+
+
+def q_customer_upsert(spark, sf_dir):
+    """SCD Type-1 upsert merge (operators/olap.py:scd1_upsert): a
+    per-customer latest-order dimension maintained by merging the
+    pre-1996 snapshot with the 1996+ change batch — latest timestamp
+    wins, the change side beats the snapshot on ties (warehouse
+    MERGE semantics), all via ONE max-struct aggregation (no window,
+    no join).  The oracle replays the lexicographic struct order as
+    a window sort."""
+    od = _table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    cut = F.lit("1996-01-01").cast("timestamp")
+    snapshot = od.filter(F.col("ts") < cut)
+    changes = od.filter(F.col("ts") >= cut)
+    return olap.scd1_upsert(snapshot, changes,
+                            key_cols=["o_custkey"], ts_col="ts")
+
+
+def q_doc_shard_bytes(spark, sf_dir):
+    """Bytes-balanced export sharding (llm/text.py:
+    pack_shards_by_bytes): documents laid end-to-end in id order,
+    each assigned to the ~50 KB shard containing its start offset —
+    the two-phase distributed prefix sum, never a one-partition
+    global window.  The oracle replays the cumulative layout with a
+    plain window cumsum."""
+    from cubes_spark.llm import pack_shards_by_bytes
+
+    docs = _table(spark, sf_dir, "documents")
+    return pack_shards_by_bytes(docs, size_col="n_chars",
+                                target_bytes=50_000)

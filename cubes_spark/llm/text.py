@@ -22,6 +22,7 @@ __all__ = [
     "c4_line_filter",
     "gopher_quality_filter",
     "dedup_lines_within_doc",
+    "pack_shards_by_bytes",
     "GOPHER_STOPWORDS",
     "bpe_token_count",
     "text_stats",
@@ -1668,3 +1669,58 @@ def dedup_lines_within_doc(df: DataFrame, text_col: str = "text",
             .withColumn(out_col, F.array_join(kept, "\n"))
             .withColumn("n_lines", F.size(lines).cast("long"))
             .withColumn("n_unique_lines", F.size(kept).cast("long")))
+
+
+def pack_shards_by_bytes(df: DataFrame, size_col: str = "n_chars",
+                         id_col: str = "doc_id",
+                         target_bytes: int = 1 << 20,
+                         num_partitions: Optional[int] = None
+                         ) -> DataFrame:
+    """Bytes-balanced export sharding: lay documents end-to-end in
+    deterministic id order and assign each to the shard containing
+    its START offset — every shard holds ~``target_bytes`` (one doc
+    of overshoot), documents are never split, and the assignment is
+    a pure function of the data (re-running on a re-partitioned
+    corpus yields identical shards).  The size-aware counterpart of
+    :func:`shuffle_shards` (count-balanced) for WebDataset/tar
+    export where shard SIZE, not document count, is the contract.
+
+    Same two-phase prefix sum as :func:`pack_sequences` (value-range
+    buckets, one bounded per-bucket-totals collect, broadcast
+    offsets, bucket-local window) — never a one-partition global
+    cumsum.  Returns ``(id, size, start_byte, shard_id)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col),
+                     F.col(size_col).cast("long").alias("__sz__"))
+    nparts = num_partitions or 256
+    bounds = base.agg(F.min(id_col).alias("lo"),
+                      F.max(id_col).alias("hi")).first()
+    lo = bounds["lo"] if bounds["lo"] is not None else 0
+    hi = bounds["hi"] if bounds["hi"] is not None else 0
+    bucket_width = max(1, -(-(hi - lo + 1) // nparts))
+    base = base.withColumn(
+        "_pid",
+        F.floor((F.col(id_col) - F.lit(lo)) / F.lit(bucket_width))
+        .cast("int"))
+    totals = base.groupBy("_pid").agg(
+        F.sum("__sz__").alias("_tot")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r._pid):
+        offsets.append((row._pid, acc))
+        acc += row._tot or 0
+    spark = df.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _poff long"))
+    local = Window.partitionBy("_pid").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (base.join(off_df, "_pid")
+            .withColumn("start_byte", F.col("_poff")
+                        + F.coalesce(F.sum("__sz__").over(local),
+                                     F.lit(0).cast("long")))
+            .select(F.col(id_col),
+                    F.col("__sz__").alias(size_col),
+                    F.col("start_byte"),
+                    F.expr(f"start_byte div {int(target_bytes)}")
+                    .cast("long").alias("shard_id")))

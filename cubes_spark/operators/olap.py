@@ -57,6 +57,7 @@ __all__ = [
     "melt",
     "weighted_quantiles",
     "coverage_gaps",
+    "scd1_upsert",
 ]
 
 
@@ -2230,3 +2231,35 @@ def coverage_gaps(fact: DataFrame, grid: DataFrame,
     """
     observed = fact.select(*[F.col(k) for k in keys]).distinct()
     return grid.join(observed, list(keys), "left_anti")
+
+
+def scd1_upsert(snapshot: DataFrame, changes: DataFrame,
+                key_cols: Sequence[str], ts_col: str) -> DataFrame:
+    """SCD Type-1 upsert merge: apply a change batch to a dimension
+    snapshot, latest record per key wins (ties by source — the change
+    side beats the snapshot at equal timestamps, matching warehouse
+    MERGE semantics where the incoming batch is authoritative).  New
+    keys insert, existing keys overwrite, untouched keys pass
+    through — the nightly dimension-maintenance job, expressed
+    engine-side instead of as a storage-layer MERGE.
+
+    Scale shape: union + ONE per-key max-struct aggregation
+    (map-side combinable — no window, no join); the snapshot never
+    re-sorts.  Deterministic at any parallelism: the winner is
+    picked by ``max(struct(ts, is_change, payload...))`` so equal
+    timestamps resolve by the source flag, never partition order.
+    """
+    kcols = list(key_cols)
+    payload = [c for c in snapshot.columns if c not in kcols]
+    if set(snapshot.columns) != set(changes.columns):
+        raise ValueError("snapshot and changes must share a schema")
+    tagged = (snapshot.withColumn("__src__", F.lit(0))
+              .unionByName(changes.withColumn("__src__", F.lit(1))))
+    pick = F.max(F.struct(F.col(ts_col), F.col("__src__"),
+                          *[F.col(c) for c in payload
+                            if c != ts_col])).alias("__w__")
+    out = tagged.groupBy(*kcols).agg(pick)
+    cols = [F.col(k) for k in kcols]
+    for c in payload:
+        cols.append(F.col(f"__w__.{c}").alias(c))
+    return out.select(*cols)

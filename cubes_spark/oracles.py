@@ -5915,6 +5915,37 @@ def oracle_sql() -> dict[str, str]:
             CAST(len(kept) AS BIGINT) AS n_params_kept
         FROM filt"""
 
+    # bytes-balanced sharding: the cumulative layout as a window
+    sql["doc_shard_bytes"] = """
+        WITH laid AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS start_byte
+            FROM documents)
+        SELECT doc_id, n_chars, start_byte,
+            CAST(start_byte // 50000 AS BIGINT) AS shard_id
+        FROM laid"""
+
+    # SCD1 upsert: the max-struct winner replayed as a window sort
+    # over the same lexicographic field order (ts, src, payload)
+    sql["customer_upsert"] = """
+        WITH od AS (
+            SELECT o_custkey, o_orderdate AS ts,
+                o_orderstatus AS status,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                     THEN 1 ELSE 0 END AS src
+            FROM orders)
+        SELECT o_custkey, ts, status, cents
+        FROM (
+            SELECT o_custkey, ts, status, cents,
+                row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY ts DESC, src DESC, status DESC,
+                             cents DESC) AS rn
+            FROM od)
+        WHERE rn = 1"""
+
     # factless coverage gaps: grid minus observed, anti-join
     sql["orders_coverage"] = """
         WITH months AS (

@@ -3235,3 +3235,31 @@ class TestId3Metadata:
                 id3_metadata(df, "payload").collect()}
         assert rows[1].artist == "a" and rows[1].title is None
         assert rows[2].version is None
+
+
+class TestPackShardsByBytes:
+    def test_layout_and_partition_invariance(self, spark):
+        from cubes_spark.llm import pack_shards_by_bytes
+
+        rows = [(i, 10 + (i * 7) % 50) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        out = pack_shards_by_bytes(df, target_bytes=500).collect()
+        got = {r.doc_id: (r.start_byte, r.shard_id) for r in out}
+        # independent sequential reference
+        acc = 0
+        for i, sz in rows:
+            assert got[i] == (acc, acc // 500), i
+            acc += sz
+        # invariant to input partitioning
+        out2 = pack_shards_by_bytes(
+            df.repartition(7), target_bytes=500,
+            num_partitions=3).collect()
+        assert {r.doc_id: (r.start_byte, r.shard_id)
+                for r in out2} == got
+        # shards are contiguous and byte-bounded (one doc overshoot)
+        import collections
+        sizes = collections.defaultdict(int)
+        for i, sz in rows:
+            sizes[got[i][1]] += sz
+        for sid, total in sizes.items():
+            assert total <= 500 + 59   # target + max doc size

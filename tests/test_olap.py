@@ -1288,3 +1288,30 @@ class TestCoverageGaps:
         out = {(r.k, r.t) for r in olap.coverage_gaps(
             fact, grid, ["k", "t"]).collect()}
         assert out == {("a", 2), ("b", 1)}
+
+
+class TestScd1Upsert:
+    def test_merge_semantics(self, spark):
+        import datetime as dt
+        snap = spark.createDataFrame(
+            [(1, dt.datetime(2020, 1, 1), "old"),
+             (2, dt.datetime(2020, 1, 1), "keep"),
+             (3, dt.datetime(2020, 6, 1), "newer-in-snapshot")],
+            "k long, ts timestamp, v string")
+        chg = spark.createDataFrame(
+            [(1, dt.datetime(2020, 2, 1), "updated"),   # overwrite
+             (3, dt.datetime(2020, 3, 1), "stale"),     # older -> lose
+             (4, dt.datetime(2020, 1, 1), "insert"),    # new key
+             (2, dt.datetime(2020, 1, 1), "tie-change")],  # tie: change wins
+            "k long, ts timestamp, v string")
+        out = {r.k: r.v for r in olap.scd1_upsert(
+            snap, chg, key_cols=["k"], ts_col="ts").collect()}
+        assert out == {1: "updated", 2: "tie-change",
+                       3: "newer-in-snapshot", 4: "insert"}
+
+    def test_schema_mismatch_rejected(self, spark):
+        import pytest as _pt
+        a = spark.createDataFrame([(1, 2)], "k long, ts long")
+        b = spark.createDataFrame([(1, 2, 3)], "k long, ts long, x long")
+        with _pt.raises(ValueError):
+            olap.scd1_upsert(a, b, key_cols=["k"], ts_col="ts")

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "orders_coverage",
     "customer_upsert",
     "doc_shard_bytes",
+    "calc_zscore",
 ]
 
 

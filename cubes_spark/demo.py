@@ -237,6 +237,8 @@ TPCH_MODEL = {
                  "measure": "price_sum", "window_size": 3},
                 {"name": "price_ewma", "function": "ewma",
                  "measure": "price_sum", "window_size": 3},
+                {"name": "price_zscore", "function": "zscore",
+                 "measure": "price_sum", "window_size": 3},
                 {"name": "price_rsum", "function": "rsum",
                  "measure": "price_sum"},
                 {"name": "price_ptot", "function": "ptot",

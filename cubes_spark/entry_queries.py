@@ -336,6 +336,7 @@ def _calc_query(aggregate: str):
 q_calc_sma = _calc_query("price_sma")
 q_calc_rsum = _calc_query("price_rsum")
 q_calc_pctchange = _calc_query("price_pct_change")
+q_calc_zscore = _calc_query("price_zscore")
 
 
 def q_calc_ptot(spark, sf_dir):

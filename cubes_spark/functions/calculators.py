@@ -105,6 +105,22 @@ def _smrsd_column(source: Column, w: WindowSpec) -> Column:
             .when(mean.isNotNull(), F.lit(0.0)))
 
 
+def _zscore_column(source: Column, w: WindowSpec) -> Column:
+    """Trailing z-score of the CURRENT value against its calculator
+    frame: (x - frame mean) / frame sample std, rounded to 4 — the
+    per-row anomaly signal over the same window machinery as the
+    reference calculators (an extra, like ewma — no reference
+    counterpart).  NULL when the frame std is 0 or undefined
+    (constant or single-value frame): a 0-divide sentinel would be
+    wrong data."""
+    mean = F.sum(source).over(w).cast("double") / \
+        F.count(source).over(w).cast("double")
+    std = F.sqrt(_window_var(source, w))
+    return F.when(
+        std > 0,
+        F.round((source.cast("double") - mean) / std, 4))
+
+
 def _pctchange_column(source: Column, w: WindowSpec) -> Column:
     """Period-over-period relative change vs the previous row in the
     calculator order: (x - prev) / prev, rounded to 4; NULL for the
@@ -170,6 +186,7 @@ CALCULATED_AGGREGATIONS: Dict[str, Callable[[Column, WindowSpec], Column]] = {
     "rsum": _rsum_column,
     "ptot": _ptot_column,
     "pct_change": _pctchange_column,
+    "zscore": _zscore_column,
 }
 
 #: frame overrides: running calculators ignore window_size and frame
@@ -198,6 +215,7 @@ CALCULATOR_LABELS = {
     "smvar": "Moving Variance of {measure}",
     "ewma": "Exp. Weighted Moving Avg. of {measure}",
     "rsum": "Running Total of {measure}",
+    "zscore": "Trailing Z-Score of {measure}",
     "ptot": "Share of Total {measure}",
     "pct_change": "Period-over-Period Change of {measure}",
 }

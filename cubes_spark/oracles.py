@@ -2312,6 +2312,16 @@ def oracle_sql() -> dict[str, str]:
                   ELSE sqrt({var_expr}) END, 2) AS price_smstd
         FROM ({calc_var_base})"""
 
+    sql["calc_zscore"] = f"""
+        SELECT "date.year", "date.month",
+            CAST(dec_price_sum AS DOUBLE) AS price_sum,
+            CASE WHEN n >= 2 AND {var_expr} > 0
+                 THEN round((CAST(dec_price_sum AS DOUBLE)
+                      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / sqrt({var_expr}), 4)
+            END AS price_zscore
+        FROM ({calc_var_base})"""
+
     sql["calc_smrsd"] = f"""
         SELECT "date.year", "date.month",
             CAST(dec_price_sum AS DOUBLE) AS price_sum,

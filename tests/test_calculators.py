@@ -228,3 +228,30 @@ def test_nullable_series_deque_semantics(spark):
         exp_rsd = (round_half_up(math.sqrt(var) / mean, 4)
                    if mean > 0 else 0.0)
         assert float(out["v_smrsd"]) == exp_rsd
+
+
+def test_zscore_calculator(spark):
+    """Trailing z-score: (x - frame mean) / frame std over the last-3
+    frame; NULL for constant/short frames (std 0/undefined)."""
+    import math
+
+    from cubes_spark.functions.calculators import (
+        CALCULATED_AGGREGATIONS,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in
+         enumerate([10, 10, 10, 16, 4, 8])],
+        "i long, v double")
+    w = Window.orderBy("i").rowsBetween(-2, 0)
+    out = [r.z for r in df.withColumn(
+        "z", CALCULATED_AGGREGATIONS["zscore"](F.col("v"), w))
+        .orderBy("i").collect()]
+    assert out[0] is None            # single-value frame
+    assert out[1] is None and out[2] is None   # constant frames
+    # frame [10,10,16]: mean 12, std sqrt(12); x=16
+    assert out[3] == round((16 - 12) / math.sqrt(12), 4)
+    # frame [10,16,4]: mean 10, std 6; x=4 -> -1.0
+    assert out[4] == -1.0

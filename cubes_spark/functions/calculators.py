@@ -428,4 +428,11 @@ def calculate_scalar(fname: str, values: List[float]) -> Optional[float]:
     if fname == "pct_change":
         # no meaningful single-row summary for a first-difference
         return None
+    if fname == "zscore":
+        # the last value's z-score against the whole stream; NULL for
+        # constant/short streams, like the window form
+        std = math.sqrt(var)
+        if std > 0:
+            return round((float(values[-1]) - mean) / std, 4)
+        return None
     raise KeyError(fname)

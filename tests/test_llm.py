@@ -3263,3 +3263,96 @@ class TestPackShardsByBytes:
             sizes[got[i][1]] += sz
         for sid, total in sizes.items():
             assert total <= 500 + 59   # target + max doc size
+
+
+class TestCurationFilterFuzz:
+    """Seeded random-corpus fuzz: the JVM array-expression filters vs
+    independent pure-Python implementations of the documented rules
+    (written from the rule lists, not from the Column code)."""
+
+    @staticmethod
+    def _corpus(n=250):
+        import random
+        rnd = random.Random(1234)
+        words = ["the", "fox", "and", "of", "run", "javascript",
+                 "lorem", "ipsum", "data", "x" * 12, "42", "#tag",
+                 "a", "be", "to", "that", "have", "with", "hello"]
+        enders = [".", "!", "?", '"', "", "...", "}"]
+        docs = []
+        for i in range(n):
+            lines = []
+            for _ in range(rnd.randint(0, 8)):
+                k = rnd.randint(0, 9)
+                line = " ".join(rnd.choice(words) for _ in range(k))
+                if rnd.random() < 0.2:
+                    line = rnd.choice(["- ", "• ", "{ ", ""]) + line
+                lines.append(line + rnd.choice(enders))
+            docs.append((i, "\n".join(lines)))
+        return docs
+
+    @staticmethod
+    def _words(t):
+        import re
+        return re.split(r"\s+", t) if t else []
+
+    def test_c4_matches_reference(self, spark):
+        from cubes_spark.llm import c4_line_filter
+
+        docs = self._corpus()
+        out = {r.doc_id: r for r in c4_line_filter(
+            spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+        for i, text in docs:
+            lines = text.split("\n")
+            kept = []
+            for l in lines:
+                t = l.strip(" ")
+                if (t and t[-1] in '.!?"'
+                        and len(self._words(t)) >= 5
+                        and "javascript" not in t.lower()):
+                    kept.append(l)
+            page_kept = (len(kept) >= 3
+                         and "lorem ipsum" not in text.lower()
+                         and "{" not in text)
+            r = out[i]
+            assert r.n_lines == len(lines), i
+            assert r.n_kept == len(kept), i
+            assert r.kept == page_kept, i
+            assert r.clean_text == "\n".join(kept), i
+
+    def test_gopher_matches_reference(self, spark):
+        import re
+
+        from cubes_spark.llm import gopher_quality_filter
+        from cubes_spark.llm.text import GOPHER_STOPWORDS
+
+        docs = self._corpus()
+        out = {r.doc_id: r for r in gopher_quality_filter(
+            spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+        for i, text in docs:
+            toks = self._words(text.strip(" "))
+            lines = text.split("\n")
+            n_words = len(toks)
+            word_chars = sum(len(w) for w in toks)
+            n_symbols = text.count("#") + text.count("...")
+            bullets = sum(1 for l in lines
+                          if l.strip(" ").startswith(("•", "- ")))
+            ellipsis = sum(1 for l in lines
+                           if l.strip(" ").endswith("..."))
+            alpha = sum(1 for w in toks if re.search("[A-Za-z]", w))
+            stops = len({w.lower() for w in toks}
+                        & set(GOPHER_STOPWORDS))
+            r = out[i]
+            got = (r.n_words, r.word_chars, r.n_symbols, r.n_lines,
+                   r.bullet_lines, r.ellipsis_lines, r.alpha_words,
+                   r.stop_hits)
+            want = (n_words, word_chars, n_symbols, len(lines),
+                    bullets, ellipsis, alpha, stops)
+            assert got == want, (i, got, want)
+            verdict = (50 <= n_words <= 100_000
+                       and 3 * n_words <= word_chars <= 10 * n_words
+                       and n_symbols * 10 <= n_words
+                       and bullets * 10 < len(lines) * 9
+                       and ellipsis * 10 <= len(lines) * 3
+                       and alpha * 10 >= n_words * 8
+                       and stops >= 2)
+            assert r.kept == verdict, i

@@ -728,3 +728,66 @@ class TestCanonicalizeUrls:
         ]
         got = set(self._canon(spark, variants))
         assert got == {"http://site.com/a"}
+
+
+class TestCanonicalizeUrlsFuzz:
+    def test_matches_reference(self, spark):
+        import random
+        import re
+
+        from cubes_spark.llm import canonicalize_urls
+
+        rnd = random.Random(77)
+        schemes = ["http", "https", "HTTP", "HtTpS", "ftp"]
+        hosts = ["Example.COM", "a.b.ORG", "site.net"]
+        ports = ["", ":80", ":443", ":8080"]
+        paths = ["", "/", "/a/B", "/p?"]
+        params = ["utm_source=1", "gclid", "keep=2", "ref=x",
+                  "refer=z", "fbclid=1", "id=9", "utm_x"]
+        rows = []
+        for i in range(200):
+            if rnd.random() < 0.1:
+                rows.append((i, "plain text no scheme"))
+                continue
+            q = "&".join(rnd.sample(params, rnd.randint(0, 4)))
+            url = (rnd.choice(schemes) + "://" + rnd.choice(hosts)
+                   + rnd.choice(ports) + rnd.choice(paths)
+                   + (("?" + q) if q and "?" not in paths else "")
+                   + (("#frag") if rnd.random() < 0.3 else ""))
+            rows.append((i, url))
+
+        def ref(url):
+            url = url.strip()
+            m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", url)
+            if not m:
+                return None
+            scheme = m.group(1).lower()
+            hm = re.match(r"^[^:/?#]+://([^/?#]*)", url)
+            host = hm.group(1).lower()
+            if scheme == "http" and host.endswith(":80"):
+                host = host[:-3]
+            elif scheme == "https" and host.endswith(":443"):
+                host = host[:-4]
+            rm = re.match(r"^[^:/?#]+://[^/?#]*([^#]*)", url)
+            rest = rm.group(1)
+            path = rest.split("?", 1)[0]
+            if path == "/":
+                path = ""
+            query = rest.split("?", 1)[1] if "?" in rest else ""
+            kept = []
+            for p in query.split("&") if query else []:
+                bad = (p.startswith("utm_")
+                       or any(p == t or p.startswith(t + "=")
+                              for t in ("gclid", "fbclid",
+                                        "msclkid", "ref")))
+                if not bad:
+                    kept.append(p)
+            out = scheme + "://" + host + path
+            if kept:
+                out += "?" + "&".join(kept)
+            return out
+
+        got = {r.doc_id: r.canonical_url for r in canonicalize_urls(
+            spark.createDataFrame(rows, ["doc_id", "url"])).collect()}
+        for i, url in rows:
+            assert got[i] == ref(url), (i, url, got[i], ref(url))

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "customer_upsert",
     "doc_shard_bytes",
     "calc_zscore",
+    "doc_fertility",
 ]
 
 

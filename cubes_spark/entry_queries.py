@@ -6555,3 +6555,27 @@ def q_doc_shard_bytes(spark, sf_dir):
     docs = _table(spark, sf_dir, "documents")
     return pack_shards_by_bytes(docs, size_col="n_chars",
                                 target_bytes=50_000)
+
+
+def q_doc_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: characters per BPE-ish
+    pre-token (llm/text.py:bpe_token_count) in exact basis points —
+    the multilingual-budget metric (a language with high fertility
+    pays more tokens per character, so mixture weights must correct
+    for it).  Pure integer sums + one final integer division the
+    oracle replays verbatim."""
+    from cubes_spark.llm.text import bpe_token_count
+
+    docs = _table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("chars"),
+        bpe_token_count(F.col("text")).cast("long").alias("toks"))
+    agg = per.groupBy("lang").agg(
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return agg.select(
+        "lang", "total_chars", "total_tokens", "n_docs",
+        F.expr("CAST(total_chars * 10000 div total_tokens AS BIGINT)")
+        .alias("chars_per_token_bp"))

@@ -2505,6 +2505,21 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS n_bpe_tokens
         FROM documents"""
 
+    sql["doc_fertility"] = r"""
+        WITH per AS (
+            SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+                CAST(len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))
+                     AS BIGINT) AS toks
+            FROM documents)
+        SELECT lang,
+            CAST(sum(chars) AS BIGINT) AS total_chars,
+            CAST(sum(toks) AS BIGINT) AS total_tokens,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(chars) * 10000 // sum(toks) AS BIGINT)
+                AS chars_per_token_bp
+        FROM per GROUP BY lang"""
+
     sql["doc_lang_quality"] = f"""
         WITH base AS ({_text_stats_sql()}),
         derived AS ({_TEXT_STATS_DERIVED})

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "doc_shard_bytes",
     "calc_zscore",
     "doc_fertility",
+    "events_new_users",
 ]
 
 

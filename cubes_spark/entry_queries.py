@@ -6579,3 +6579,23 @@ def q_doc_fertility(spark, sf_dir):
         "lang", "total_chars", "total_tokens", "n_docs",
         F.expr("CAST(total_chars * 10000 div total_tokens AS BIGINT)")
         .alias("chars_per_token_bp"))
+
+
+def q_events_new_users(spark, sf_dir):
+    """New-user curve: users counted on their FIRST event hour,
+    plus the running total — exact cumulative distinct users without
+    any distinct-over-window (which Spark cannot express): the
+    first-occurrence collapse is one map-side-combinable min-groupBy
+    at user grain, the cumulative sum runs over the bounded HOUR grain
+    (dozens of rows — the accepted grain-sized-window class)."""
+    ev = _table(spark, sf_dir, "events")
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.date_trunc("hour", "ts")).alias("__h__")))
+    hourly = (first.groupBy(
+        F.date_format("__h__", "yyyy-MM-dd HH").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new")))
+    from pyspark.sql.window import Window as W
+    w = (W.orderBy("hour")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return hourly.withColumn(
+        "cum_users", F.sum("n_new").over(w).cast("long"))

@@ -5952,6 +5952,21 @@ def oracle_sql() -> dict[str, str]:
             CAST(start_byte // 50000 AS BIGINT) AS shard_id
         FROM laid"""
 
+    # daily new-user curve: first-occurrence collapse + day-grain
+    # cumulative sum
+    sql["events_new_users"] = """
+        WITH f AS (
+            SELECT user_id, min(date_trunc('hour', ts)) AS h
+            FROM events GROUP BY 1),
+        hourly AS (
+            SELECT strftime(h, '%Y-%m-%d %H') AS hour,
+                CAST(count(*) AS BIGINT) AS n_new
+            FROM f GROUP BY 1)
+        SELECT hour, n_new,
+            CAST(sum(n_new) OVER (ORDER BY hour
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM hourly"""
+
     # SCD1 upsert: the max-struct winner replayed as a window sort
     # over the same lexicographic field order (ts, src, payload)
     sql["customer_upsert"] = """

@@ -205,6 +205,14 @@ def main() -> None:
 
     queries = entrymod.queries()
 
+    # FULL coverage: every queries() entry is benched — the curated
+    # BENCH_QUERIES list leads (stable output ordering for
+    # round-over-round diffs), then every remaining entry in
+    # queries() order.  A new entry therefore gets a regression
+    # tripwire the round it lands, without a manual list edit.
+    bench_names = list(BENCH_QUERIES) + [
+        n for n in queries if n not in set(BENCH_QUERIES)]
+
     # warm-up: JVM + parquet footer reads + cuboid materialization for
     # the preagg query, plus one pass over the codegen-heavy LSH
     # pipelines so measured runs see tiered-up JIT, not compile time
@@ -223,7 +231,7 @@ def main() -> None:
     timings: dict = {}
     errors: dict = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for name in bench_names:
         fn = queries.get(name)
         if fn is None:
             # a renamed/removed entry must cost ONE timing, not the run

@@ -3515,6 +3515,25 @@ def q_emb_semdedup_greedy(spark, sf_dir):
 
 
 
+def q_emb_semdedup_auto(spark, sf_dir):
+    """The SemDeDup PRODUCTION default: ``nlist=None`` resolves via
+    the bounded-expected-cell auto rule (cell ≈ 128, so total
+    within-cell pair work grows LINEARLY with the corpus — the
+    100 TB path, measured 2.9×/decade vs 59×/decade pinned at sf1→10)
+    rather than the pinned nlist=16 of emb_semdedup.  The oracle
+    recomputes the same nlist from the same corpus count and retrains
+    identically (cubes_spark/llm/similarity.py:_auto_nlist)."""
+    from cubes_spark.llm import semantic_dedup
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.35, nlist=None, seed=42,
+                         sample_size=4096)
+    return out.select(
+        "vec_id", "cluster",
+        F.col("is_kept").cast("int").cast("long").alias("is_kept"),
+    )
+
+
 def q_doc_tfidf(spark, sf_dir):
     """Per-document TF-IDF keywords: top-5 terms by tf * smoothed-IDF
     with deterministic ties (cubes_spark/llm/text.py:tfidf_keywords).
@@ -6229,9 +6248,14 @@ def q_doc_exif(spark, sf_dir):
     an inline 3-byte ASCII make and an offset-addressed 20-byte
     DateTime — parsed for real by the stdlib TIFF/JPEG-marker walker
     inside the Arrow ``exif_metadata`` operator
-    (cubes_spark/llm/multimodal.py).  Every field is closed-form in
-    doc_id, so the DuckDB oracle recomputes them without parsing;
-    the absent model tag proves the NULL path."""
+    (cubes_spark/llm/multimodal.py).  Every file carries an ExifIFD
+    pointer (0x8769): doc_id%3==0 rows have a sub-IFD with a
+    DateTimeOriginal that DIFFERS from IFD0's DateTime (taken_at !=
+    modified_at — the capture-vs-modification distinction), the rest
+    an EMPTY sub-IFD so ``taken_at`` falls back to DateTime.  Every
+    field is closed-form in doc_id, so the DuckDB oracle recomputes
+    them without parsing; the absent model tag proves the NULL
+    path."""
     from cubes_spark.llm import exif_metadata
 
     d = F.col("doc_id")
@@ -6249,27 +6273,44 @@ def q_doc_exif(spark, sf_dir):
     make_digit = hex2(F.lit(0x30) + d % 10)
     day_digit = hex2(F.lit(0x30) + (F.lit(1) + d % 9))
     hour = d % 24
+    hh_hex = F.concat(hex2(F.lit(0x30) + (hour / 10).cast("long")),
+                      hex2(F.lit(0x30) + hour % 10))
+    # layout: IFD0 @8 (6 entries, ends 86=0x56), DateTime @86,
+    # Exif sub-IFD @106=0x6A, DateTimeOriginal @124=0x7C
+    sub_ifd_hex = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("0100"),                         # 1 entry
+            F.lit("0390" "0200" "14000000" "7C000000"),  # DTO @ 124
+            F.lit("00000000"),                     # no next IFD
+            F.lit("323032333A30363A30"), day_digit,  # '2023:06:0<d>'
+            F.lit("20"), hh_hex,
+            F.lit("3A33303A3030" "00"),            # ':30:00\\0'
+        ),
+    ).otherwise(F.lit("0000" "00000000"))          # empty sub-IFD
     tiff_hex = F.concat(
         F.lit("49492A00" "08000000"),              # II, 42, IFD0 @ 8
-        F.lit("0500"),                             # 5 entries
+        F.lit("0600"),                             # 6 entries
         F.lit("0001" "0300" "01000000"), le16(w), F.lit("0000"),
         F.lit("0101" "0300" "01000000"), le16(h), F.lit("0000"),
         F.lit("0F01" "0200" "03000000" "43"), make_digit,
         F.lit("0000"),                             # make 'C<d>\\0'
         F.lit("1201" "0300" "01000000"), le16(orient), F.lit("0000"),
-        F.lit("3201" "0200" "14000000" "4A000000"),  # datetime @ 74
+        F.lit("3201" "0200" "14000000" "56000000"),  # datetime @ 86
+        F.lit("6987" "0400" "01000000" "6A000000"),  # ExifIFD @ 106
         F.lit("00000000"),                         # no next IFD
         F.lit("323032343A30313A30"), day_digit,    # '2024:01:0<d>'
-        F.lit("20"),                               # ' '
-        hex2(F.lit(0x30) + (hour / 10).cast("long")),
-        hex2(F.lit(0x30) + hour % 10),
+        F.lit("20"), hh_hex,
         F.lit("3A30303A3030" "00"),                # ':00:00\\0'
+        sub_ifd_hex,
     )
+    # APP1 length = 2 + 6 + tiff bytes (144 with DTO, 112 without)
+    app1_len = F.when(d % 3 == 0, F.lit("0098")).otherwise(
+        F.lit("0078"))
     payload_hex = F.when(
         d % 2 == 1,
-        # SOI, APP1 len 102 = 2 + 6 + 94, 'Exif\\0\\0', tiff, EOI
-        F.concat(F.lit("FFD8" "FFE1" "0066" "457869660000"),
-                 tiff_hex, F.lit("FFD9")),
+        F.concat(F.lit("FFD8" "FFE1"), app1_len,
+                 F.lit("457869660000"), tiff_hex, F.lit("FFD9")),
     ).otherwise(tiff_hex)
     docs = (_table(spark, sf_dir, "documents").select("doc_id")
             .withColumn("payload", F.unhex(payload_hex)))

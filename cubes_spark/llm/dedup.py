@@ -1046,8 +1046,11 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
     component = F.coalesce(F.col("component"), F.col(id_col))
     out = out.select(F.col(id_col), component.alias("component"),
                      F.col(score_col))
-    order = (F.col(score_col).asc() if ascending
-             else F.col(score_col).desc())
+    # NULLs last in BOTH directions: plain asc() sorts NULLs first
+    # in Spark, which would crown a NULL-scored document as the
+    # cluster representative on the ascending path.
+    order = (F.col(score_col).asc_nulls_last() if ascending
+             else F.col(score_col).desc_nulls_last())
     w = Window.partitionBy("component").orderBy(
         order, F.col(id_col).asc())
     return out.withColumn("keep", F.row_number().over(w) == 1)

@@ -2496,42 +2496,37 @@ def video_frame_pipeline(df: DataFrame, binary_col: str,
 
 # -- EXIF / TIFF metadata (stdlib only) --------------------------------------
 
-#: IFD0 tags a curation pipeline actually filters/groups on
+#: IFD0 tags a curation pipeline actually filters/groups on.  Tag
+#: 306 is TIFF DateTime — FILE MODIFICATION time, not capture time —
+#: so it maps to ``modified_at``; true capture time is
+#: DateTimeOriginal (0x9003) inside the Exif sub-IFD reached through
+#: the ExifIFD pointer (0x8769), parsed separately below.
 _EXIF_TAGS = {256: "width", 257: "height", 271: "make",
-              272: "model", 274: "orientation", 306: "taken_at"}
+              272: "model", 274: "orientation", 306: "modified_at"}
+
+#: Exif sub-IFD (pointed to by tag 0x8769) tags
+_EXIF_SUBIFD_TAGS = {36867: "taken_at"}       # 0x9003 DateTimeOriginal
+
+_EXIF_IFD_POINTER = 34665                     # 0x8769 ExifIFD
 
 
-def parse_tiff_exif(payload: bytes) -> dict:
-    """Parse a TIFF header + IFD0 (the container EXIF lives in —
-    CIPA DC-008 / TIFF 6.0): both byte orders (``II``/``MM``),
-    SHORT/LONG/ASCII entry types, inline vs offset-addressed values.
-    Returns the :data:`_EXIF_TAGS` fields found plus ``endian``;
-    raises ``ValueError`` on anything malformed or out of range —
-    callers quarantine to a NULL row, never crash the stage."""
-    if len(payload) < 8:
-        raise ValueError("truncated tiff header")
-    bom = payload[:2]
-    if bom == b"II":
-        end = "<"
-    elif bom == b"MM":
-        end = ">"
-    else:
-        raise ValueError("bad byte-order mark")
-    (magic,) = struct.unpack(end + "H", payload[2:4])
-    if magic != 42:
-        raise ValueError("bad tiff magic")
-    (ifd_off,) = struct.unpack(end + "I", payload[4:8])
+def _parse_ifd(payload: bytes, end: str, ifd_off: int, tags: dict,
+               out: dict) -> int:
+    """Walk one IFD, writing recognised ``tags`` into ``out``;
+    returns the ExifIFD pointer if the IFD carries one, else 0."""
     if ifd_off + 2 > len(payload):
         raise ValueError("ifd offset out of range")
     (n,) = struct.unpack(end + "H", payload[ifd_off:ifd_off + 2])
-    out = {"endian": bom.decode("ascii")}
     pos = ifd_off + 2
+    sub_off = 0
     for _ in range(n):
         if pos + 12 > len(payload):
             raise ValueError("truncated ifd entry")
         tag, typ, cnt = struct.unpack(end + "HHI", payload[pos:pos + 8])
         raw = payload[pos + 8:pos + 12]
-        name = _EXIF_TAGS.get(tag)
+        if tag == _EXIF_IFD_POINTER and typ == 4 and cnt == 1:
+            (sub_off,) = struct.unpack(end + "I", raw)
+        name = tags.get(tag)
         if name is not None:
             if typ == 3 and cnt == 1:                       # SHORT
                 out[name] = struct.unpack(end + "H", raw[:2])[0]
@@ -2548,6 +2543,39 @@ def parse_tiff_exif(payload: bytes) -> dict:
                 out[name] = data.split(b"\x00", 1)[0] \
                     .decode("ascii", "replace")
         pos += 12
+    return sub_off
+
+
+def parse_tiff_exif(payload: bytes) -> dict:
+    """Parse a TIFF header + IFD0 (the container EXIF lives in —
+    CIPA DC-008 / TIFF 6.0): both byte orders (``II``/``MM``),
+    SHORT/LONG/ASCII entry types, inline vs offset-addressed values,
+    and the ExifIFD pointer (0x8769) followed into the Exif sub-IFD
+    for DateTimeOriginal.  ``taken_at`` is DateTimeOriginal when the
+    sub-IFD carries it, else falls back to IFD0's DateTime (exiftool
+    precedence); ``modified_at`` is always IFD0 DateTime.  Returns
+    the fields found plus ``endian``; raises ``ValueError`` on
+    anything malformed or out of range — callers quarantine to a
+    NULL row, never crash the stage."""
+    if len(payload) < 8:
+        raise ValueError("truncated tiff header")
+    bom = payload[:2]
+    if bom == b"II":
+        end = "<"
+    elif bom == b"MM":
+        end = ">"
+    else:
+        raise ValueError("bad byte-order mark")
+    (magic,) = struct.unpack(end + "H", payload[2:4])
+    if magic != 42:
+        raise ValueError("bad tiff magic")
+    (ifd_off,) = struct.unpack(end + "I", payload[4:8])
+    out = {"endian": bom.decode("ascii")}
+    sub_off = _parse_ifd(payload, end, ifd_off, _EXIF_TAGS, out)
+    if sub_off:
+        _parse_ifd(payload, end, sub_off, _EXIF_SUBIFD_TAGS, out)
+    if "taken_at" not in out and "modified_at" in out:
+        out["taken_at"] = out["modified_at"]
     return out
 
 
@@ -2589,10 +2617,12 @@ EXIF_META_SCHEMA = StructType([
     StructField("make", StringType()),
     StructField("model", StringType()),
     StructField("taken_at", StringType()),
+    StructField("modified_at", StringType()),
 ])
 
 _EXIF_OUT_COLS = ("container", "endian", "width", "height",
-                  "orientation", "make", "model", "taken_at")
+                  "orientation", "make", "model", "taken_at",
+                  "modified_at")
 
 
 def exif_metadata(df: DataFrame, binary_col: str,
@@ -2619,7 +2649,8 @@ def exif_metadata(df: DataFrame, binary_col: str,
                     out["container"].append(container)
                     out["endian"].append(fields.get("endian"))
                     for k in ("width", "height", "orientation",
-                              "make", "model", "taken_at"):
+                              "make", "model", "taken_at",
+                              "modified_at"):
                         out[k].append(fields.get(k))
                 except ValueError:
                     for k in _EXIF_OUT_COLS:
@@ -2678,9 +2709,17 @@ def parse_id3(payload: bytes) -> dict:
                 out[name] = text.split(b"\x00", 1)[0] \
                     .decode("latin-1")
             elif enc == 1:
-                raw = text.split(b"\x00\x00", 1)[0]
-                if len(raw) % 2:
-                    raw += b"\x00"
+                # the UTF-16 terminator is a 0x0000 CODE UNIT: scan
+                # only even offsets, else a 0x00 byte pair spanning
+                # two units (e.g. 'a' 61 00 + U+6100 00 61) splits
+                # mid-character and mangles the decode
+                raw = text
+                for i in range(0, len(text) - 1, 2):
+                    if text[i] == 0 and text[i + 1] == 0:
+                        raw = text[:i]
+                        break
+                if len(raw) % 2:        # unterminated odd payload
+                    raw = raw[:-1]
                 out[name] = raw.decode("utf-16")
             else:
                 raise ValueError(f"unsupported text encoding {enc}")

@@ -14,8 +14,10 @@ window**:
 1. tag left/right rows and union them into one DataFrame,
 2. one shuffle: partition by the ``by`` keys, order by (time, side,
    tie-break) within each partition,
-3. ``last(value, ignorenulls=True)`` over the unbounded-preceding
-   window fills each left row with the most recent right values,
+3. ``last(struct, ignorenulls=True)`` over the unbounded-preceding
+   window fills each left row with the most recent right row carried
+   as ONE struct — atomic, so a NULL value inside the matched right
+   row stays NULL rather than being back-filled from an older row,
 4. drop the right carrier rows.
 
 Cost is ONE hash shuffle of |left|+|right| rows and a linear
@@ -76,18 +78,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     matched_time = "__asof_rtime" + suffix
     order_carrier = "__asof_rorder" + suffix
+    packed = "__asof_pack" + suffix
 
+    # The entire matched right row travels as ONE struct so the fill
+    # is atomic: a right row whose value column is legitimately NULL
+    # carries that NULL (the struct itself is non-null), instead of
+    # the per-column last-non-null fill reaching back to an OLDER
+    # right row and mixing attributes from different versions — the
+    # SCD2 point-in-time hazard (olap.py:scd2_lookup).
     r = right.select(
         *by,
-        F.col(on).alias(matched_time),
         *([F.col(right_order).alias(order_carrier)]
           if right_order else []),
-        *[F.col(c).alias(c + suffix) for c in right_values],
+        F.struct(
+            F.col(on).alias(matched_time),
+            *[F.col(c).alias(c + suffix) for c in right_values],
+        ).alias(packed),
     ).withColumn("__asof_side", F.lit(0))
     l = left.withColumn("__asof_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    t = F.coalesce(F.col(on), F.col(matched_time))
+    t = F.coalesce(F.col(on), F.col(packed)[matched_time])
     if direction == "backward":
         # right rows at the same instant sort BEFORE the left row
         # (at-or-before includes equality); later right rows win
@@ -103,11 +114,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     carried = [matched_time] + [c + suffix for c in right_values]
-    filled = u
-    for c in carried:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    filled = u.withColumn(packed,
+                          F.last(packed, ignorenulls=True).over(w))
 
     out = filled.filter(F.col("__asof_side") == 1)
+    for c in carried:
+        out = out.withColumn(c, F.col(packed)[c])
+    out = out.drop(packed)
     if tolerance_seconds is not None:
         # integer-exact comparison for timestamps: a double-seconds
         # cast carries ~0.25µs rounding at current epochs, enough to

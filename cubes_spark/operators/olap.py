@@ -634,6 +634,13 @@ def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
     """
     baskets = df.select(F.col(basket_col).alias("__b__"),
                         F.col(item_col).alias("__i__")).distinct()
+    # Cache CO-PARTITIONED BY BASKET: one repartition up front, and
+    # then the size guard's groupBy, the distinct-basket count AND
+    # both sides of the pair self-join all consume the cached
+    # partitioning with zero further exchanges on the basket key —
+    # the partitioning-reuse pattern that matters at 100 TB, where
+    # the (basket, item) frame is the fact-sized intermediate.
+    baskets = baskets.repartition("__b__")
     if max_basket_size is not None:
         sizes = baskets.groupBy("__b__").agg(
             F.count(F.lit(1)).alias("__sz__"))
@@ -2126,6 +2133,11 @@ def scd2_lookup(fact: DataFrame, dim_versions: DataFrame,
     timestamp) take the version — "at or before" — matching the
     closed-open ``[eff_from, next_eff)`` interval convention of
     scd2_collapse.
+
+    Versions apply ATOMICALLY: the as-of join carries each matched
+    version as one struct, so a version whose attribute is
+    legitimately NULL delivers that NULL — attributes are never
+    blended across versions (operators/asof.py).
     """
     from cubes_spark.operators.asof import asof_join
 

@@ -23,12 +23,26 @@ the standard warehouse benchmark idiomatically:
 - averages are truncating integer divs of the exact sums.
 
 Schema deltas vs published TPC-H: the test star has no
-``o_shippriority`` (Q3 groups on ``o_orderpriority`` instead) and no
-``l_commitdate``/``l_receiptdate`` nor ``l_shipmode`` (Q4/Q12 run
-on documented stand-ins: problem lineitem := ``l_returnflag = 'R'``,
-mode := a line-number mapping — see q4_order_priority /
-q12_shipping_modes);
+``o_shippriority`` (Q3 groups on ``o_orderpriority`` instead) and
 date windows are shifted into the generated 1995–2001 range.
+
+**Q4 and Q12 are STAND-INS, not published semantics** — "22/22"
+means 20 queries at published semantics plus these two at
+documented substitutes.  The published predicate for both is
+"problem lineitem" := ``l_commitdate < l_receiptdate`` (the order
+arrived later than promised), and Q12 additionally groups by
+``l_shipmode``; the driver-generated testdata carries NONE of those
+three lineitem columns, so the predicate is not computable here at
+all.  The stand-ins keep the published PLAN SHAPE exactly (Q4's
+EXISTS-as-semi-join into a 5-row priority count; Q12's
+two-mode/one-year scan into a 2-row conditional aggregation) while
+substituting: problem lineitem := ``l_returnflag = 'R'`` (the same
+convention Q21 uses) and ship mode :=
+``Q12_STANDIN_MODES[l_linenumber − 1]`` (a 7-way mapping matching
+the published column's cardinality).  Both are oracle-exact against
+DuckDB on the same stand-in semantics; on a real TPC-H dataset with
+the full schema, swap the two predicates back — the surrounding
+plan is unchanged.
 """
 
 from __future__ import annotations

@@ -3824,6 +3824,8 @@ def oracle_sql() -> dict[str, str]:
         _emb_pq_recall_oracle, "emb_pq_recall")
 
     sql["emb_semdedup"] = _guarded_oracle(_emb_semdedup_oracle, "emb_semdedup")
+    sql["emb_semdedup_auto"] = _guarded_oracle(
+        _emb_semdedup_auto_oracle, "emb_semdedup_auto")
     sql["emb_semdedup_greedy"] = _guarded_oracle(_emb_semdedup_greedy_oracle, "emb_semdedup_greedy")
     sql["doc_bpe_encode"] = _guarded_oracle(_bpe_oracle, "doc_bpe_encode")
     sql["doc_bpe_vocab"] = _guarded_oracle(_bpe_vocab_oracle, "doc_bpe_vocab")
@@ -6126,7 +6128,9 @@ def oracle_sql() -> dict[str, str]:
         FROM m"""
 
     # EXIF triage: every field of the in-plan TIFF/JPEG-APP1 files is
-    # closed-form in doc_id; the absent model tag proves the NULL path
+    # closed-form in doc_id; the absent model tag proves the NULL
+    # path; doc_id%3==0 rows carry a sub-IFD DateTimeOriginal
+    # (taken_at), the rest fall back to IFD0 DateTime (modified_at)
     sql["doc_exif"] = """
         SELECT doc_id,
             CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'tiff' END
@@ -6137,9 +6141,18 @@ def oracle_sql() -> dict[str, str]:
             CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
             'C' || CAST(doc_id % 10 AS VARCHAR) AS make,
             CAST(NULL AS VARCHAR) AS model,
+            CASE WHEN doc_id % 3 = 0 THEN
+                '2023:06:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' '
+                    || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                    || ':30:00'
+            ELSE
+                '2024:01:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' '
+                    || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                    || ':00:00'
+            END AS taken_at,
             '2024:01:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' '
                 || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
-                || ':00:00' AS taken_at
+                || ':00:00' AS modified_at
         FROM documents"""
 
     # C4 heuristic cleaning: replay the in-plan page construction,
@@ -7105,9 +7118,24 @@ def _dsir_oracle() -> str:
     FROM grams"""
 
 
-def _kmeans_cent_values() -> str:
+def _auto_nlist_value(sample_size: int = 4096) -> int:
+    """Replays the engine's ``_auto_nlist`` bounded-cell rule
+    (llm/similarity.py) from the oracle side: corpus count from the
+    same parquet, then ``max(16, min(N // cell, sample_size))``."""
+    import duckdb
+
+    from cubes_spark.llm.similarity import _AUTO_NLIST_CELL
+
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    (n,) = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{path}')").fetchone()
+    return max(16, min(max(int(n), 1) // _AUTO_NLIST_CELL,
+                       sample_size))
+
+
+def _kmeans_cent_values(nlist: int = 16) -> str:
     """Centroid VALUES rows for the kmeans/semdedup oracles: retrains
-    the identical fixed-seed spherical k-means (nlist=16, seed=42,
+    the identical fixed-seed spherical k-means (seed=42,
     sample_size=4096) on the identical id-sorted sample — same recipe
     as _emb_ivf_oracle."""
     import duckdb
@@ -7121,7 +7149,7 @@ def _kmeans_cent_values() -> str:
         "ORDER BY vec_id LIMIT 4096"
     ).fetchall()
     X = np.array([r[0] for r in sample], dtype=np.float64)
-    cent = train_spherical_kmeans(X, 16, 42)
+    cent = train_spherical_kmeans(X, nlist, 42)
     return ",\n            ".join(
         f"({i + 1}, {_sql_dvec(row)})" for i, row in enumerate(cent)
     )
@@ -7201,6 +7229,32 @@ def _emb_semdedup_greedy_oracle(max_rounds: int = 8) -> str:
              AS BIGINT) AS is_kept
     FROM assigned a LEFT JOIN d{max_rounds} d ON a.vec_id = d.v""")
     return "".join(parts)
+
+
+def _emb_semdedup_auto_oracle() -> str:
+    """The production SemDeDup default: nlist resolved by the engine's
+    bounded-cell auto rule (cell ≈ 128 — linear total work at scale)
+    instead of a pinned literal; the oracle recomputes the same nlist
+    from the same corpus count, retrains identically, and replays the
+    same one-pass drop rule."""
+    cte = _KMEANS_ASSIGNED_CTE.format(
+        values=_kmeans_cent_values(_auto_nlist_value()))
+    return cte + _SEMDEDUP_DROP_SQL
+
+
+_SEMDEDUP_DROP_SQL = """
+    , drops AS (
+        SELECT DISTINCT r.vec_id
+        FROM assigned l JOIN assigned r
+            ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+        WHERE list_dot_product(l.v, r.v)
+              / (sqrt(list_dot_product(l.v, l.v))
+               * sqrt(list_dot_product(r.v, r.v))) >= 0.35
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS is_kept
+    FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
 
 
 def _emb_semdedup_oracle() -> str:

@@ -165,6 +165,24 @@ def test_forward_with_tolerance(sides):
     assert got[4] == 4.0     # 30s gap
 
 
+def test_null_right_values_carried_atomically(spark):
+    """A matched right row whose value column is legitimately NULL
+    must deliver that NULL — not a back-fill from an OLDER right row
+    (the per-column last-non-null hazard).  With two value columns,
+    both must come from the SAME matched row, never mixed."""
+    left = spark.createDataFrame(
+        [(1, "a", _dt(10))], "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _dt(1), 1.0, "old"),
+         ("a", _dt(5), None, "new")],
+        "k string, ts timestamp, px double, tag string")
+    row = asof_join(left, right, on="ts", by="k",
+                    right_values=["px", "tag"]).collect()[0]
+    assert row.ts_right == _dt(5)
+    assert row.px_right is None      # NOT 1.0 from the older row
+    assert row.tag_right == "new"    # same matched row as px
+
+
 def test_invalid_direction_rejected(sides):
     trades, quotes = sides
     with pytest.raises(ValueError):

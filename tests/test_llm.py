@@ -3032,8 +3032,40 @@ class TestExifMetadata:
             assert (got["width"], got["height"]) == (640, 480)
             assert got["orientation"] == 6
             assert got["make"] == "Nikon"          # offset-addressed
+            # no Exif sub-IFD: taken_at falls back to IFD0 DateTime
+            assert got["modified_at"] == "2023:12:31 23:59:59"
             assert got["taken_at"] == "2023:12:31 23:59:59"
             assert "model" not in got
+
+    def test_sub_ifd_datetime_original_wins(self):
+        # ExifIFD pointer (0x8769) followed: DateTimeOriginal
+        # (0x9003) is the capture time; IFD0's tag 306 is file
+        # MODIFICATION time and must not masquerade as taken_at
+        import struct as st
+        from cubes_spark.llm.multimodal import parse_tiff_exif
+
+        for end, bom in (("<", b"II"), (">", b"MM")):
+            mod = b"2024:02:02 10:00:00\x00"
+            orig = b"2021:07:15 08:30:00\x00"
+            # IFD0 @8: 2 entries (DateTime, ExifIFD ptr)
+            ifd0_end = 8 + 2 + 2 * 12 + 4       # = 38
+            sub_off = ifd0_end + len(mod)       # = 58
+            dto_off = sub_off + 2 + 12 + 4      # = 76
+            ifd0 = st.pack(end + "H", 2)
+            ifd0 += st.pack(end + "HHI", 306, 2, len(mod)) \
+                + st.pack(end + "I", ifd0_end)
+            ifd0 += st.pack(end + "HHI", 34665, 4, 1) \
+                + st.pack(end + "I", sub_off)
+            ifd0 += st.pack(end + "I", 0)
+            sub = st.pack(end + "H", 1)
+            sub += st.pack(end + "HHI", 36867, 2, len(orig)) \
+                + st.pack(end + "I", dto_off)
+            sub += st.pack(end + "I", 0)
+            payload = (bom + st.pack(end + "HI", 42, 8)
+                       + ifd0 + mod + sub + orig)
+            got = parse_tiff_exif(payload)
+            assert got["taken_at"] == "2021:07:15 08:30:00"
+            assert got["modified_at"] == "2024:02:02 10:00:00"
 
     def test_inline_ascii_and_jpeg_wrapper(self):
         from cubes_spark.llm.multimodal import parse_exif
@@ -3097,7 +3129,10 @@ class TestGopherQualityFilter:
             "more soon...\nmore soon...").kept
         # bullets on >= 90% of lines
         bullets = "\n".join(["- the item of note here"] * 30)
-        assert not self._run(spark, bullets).kept or True  # word floor
+        r0 = self._run(spark, bullets)
+        # 180 words passes the default floor — the BULLET rule alone
+        # rejects it
+        assert not r0.kept and r0.n_words >= 50
         r = self._run(spark, bullets, min_words=10)
         assert not r.kept and r.bullet_lines == 30
         # alphabetic-word share below 80%
@@ -3145,6 +3180,31 @@ class TestDedupKeepBest:
         out = {r.doc_id: r.keep for r in dedup_keep_best(
             docs, pairs, "score", ascending=True).collect()}
         assert out == {1: False, 2: True}
+
+    def test_null_score_never_representative(self, spark):
+        # asc() alone would sort NULLs FIRST and crown the unscored
+        # doc; both directions must pick a scored member when one
+        # exists
+        from cubes_spark.llm import dedup_keep_best
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, 5), (3, 9)],
+            "doc_id long, score long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long")
+        asc = {r.doc_id: r.keep for r in dedup_keep_best(
+            docs, pairs, "score", ascending=True).collect()}
+        assert asc == {1: False, 2: True, 3: False}
+        desc = {r.doc_id: r.keep for r in dedup_keep_best(
+            docs, pairs, "score").collect()}
+        assert desc == {1: False, 2: False, 3: True}
+        # all-NULL cluster still keeps exactly one (tie -> lowest id)
+        nul = spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, score long")
+        p2 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        got = {r.doc_id: r.keep for r in dedup_keep_best(
+            nul, p2, "score", ascending=True).collect()}
+        assert got == {1: True, 2: False}
 
 
 class TestRagComposition:
@@ -3209,6 +3269,26 @@ class TestId3Metadata:
             assert got["title"] == "My Title"
             assert got["artist"] == "Ärtist"
             assert got["album"] == "Album X"
+
+    def test_utf16_terminator_code_unit_aligned(self):
+        # 'a' (61 00) followed by U+6100 (00 61) puts a 00 00 byte
+        # pair ACROSS two code units — a byte-level split there would
+        # truncate mid-character; the terminator scan must step by 2
+        from cubes_spark.llm.multimodal import parse_id3
+
+        tricky = "a愀b"
+        got = parse_id3(self._tag(3, [("TIT2", 1, tricky)]))
+        assert got["title"] == tricky
+        # real aligned terminator still honoured (trailing junk cut)
+        payload = (b"\x01\xff\xfe" + tricky.encode("utf-16-le")
+                   + b"\x00\x00" + b"\xde\xad")
+        frame = (b"TIT2" + len(payload).to_bytes(4, "big")
+                 + b"\x00\x00" + payload)
+        n = len(frame)
+        size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+        got2 = parse_id3(b"ID3\x03\x00\x00" + size + frame)
+        assert got2["title"] == tricky
 
     def test_v24_syncsafe_size_over_127(self):
         from cubes_spark.llm.multimodal import parse_id3

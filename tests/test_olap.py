@@ -1211,6 +1211,31 @@ class TestSCD2Lookup:
                     if cand else None)
             assert got[f["fid"]] == want, f["fid"]
 
+    def test_null_attrs_applied_atomically(self, spark):
+        # A version with a NULL attribute is still a full version:
+        # facts in its interval get THAT version's values (incl. the
+        # NULL), never a blend with the previous version's non-nulls.
+        versions = spark.createDataFrame(
+            [(1, "2020-01-01 00:00:00", "bronze", "eu"),
+             (1, "2021-01-01 00:00:00", None, "us"),
+             (1, "2022-01-01 00:00:00", "gold", None)],
+            ["k", "eff", "tier", "region"]).withColumn(
+                "eff", F.col("eff").cast("timestamp"))
+        facts = spark.createDataFrame(
+            [(10, 1, "2020-06-01 00:00:00"),   # v1
+             (11, 1, "2021-06-01 00:00:00"),   # v2: tier NULL
+             (12, 1, "2022-06-01 00:00:00")],  # v3: region NULL
+            ["fid", "k", "ts"]).withColumn(
+                "ts", F.col("ts").cast("timestamp"))
+        got = {r["fid"]: (r["tier"], r["region"])
+               for r in olap.scd2_lookup(
+                   facts, versions, key_col="k", fact_ts_col="ts",
+                   effective_col="eff",
+                   attr_cols=["tier", "region"]).collect()}
+        assert got == {10: ("bronze", "eu"),
+                       11: (None, "us"),
+                       12: ("gold", None)}
+
 
 class TestMelt:
     def test_roundtrip_with_crosstab_grain(self, spark):

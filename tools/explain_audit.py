@@ -19,6 +19,49 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def _exchange_counts(spark, df) -> tuple:
+    """(shuffle, broadcast) exchanges that will actually EXECUTE.
+
+    ``executedPlan().toString()`` re-prints a persisted frame's child
+    plan once per InMemoryTableScan REFERENCE, so text counts
+    overstate any persisted composition by the reference count (the
+    r11 audit's "71 shuffles" for part_assortativity was 23 real).
+    Walk the plan tree instead: stop at cache boundaries, count each
+    distinct InMemoryRelation's child plan ONCE, skip ReusedExchange
+    subtrees (they execute nothing)."""
+    jvm = spark._jvm
+    seen: set = set()
+    tot = {"ex": 0, "bc": 0}
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if "ReusedExchange" in cls:
+            return
+        if cls.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+            return
+        if cls.startswith("InMemoryTableScan"):
+            rel = node.relation()
+            # key on the shared cacheBuilder: each scan node holds its
+            # own InMemoryRelation COPY, but all references to one
+            # persist() share a single CachedRDDBuilder
+            key = jvm.System.identityHashCode(rel.cacheBuilder())
+            if key not in seen:
+                seen.add(key)
+                walk(rel.cachedPlan())
+            return
+        if "BroadcastExchange" in cls:
+            tot["bc"] += 1
+        elif "Exchange" in cls:
+            tot["ex"] += 1
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return tot["ex"], tot["bc"]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -38,14 +81,12 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
+            n_shuf, n_bc = _exchange_counts(spark, df)
         except Exception as exc:           # audit must cover the rest
             rows.append((name, None, None, None,
                          f"ERROR: {type(exc).__name__}: {exc}"[:120]))
             continue
-        # ReusedExchange nodes are NOT extra shuffles — counting them
-        # would inflate the committed scaling evidence
-        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
-        n_bc = plan.count("BroadcastExchange")
+        n_ex = n_shuf + n_bc
         n_py = (plan.count("ArrowEvalPython")
                 + plan.count("MapInPandas")
                 + plan.count("FlatMapGroupsInPandas")

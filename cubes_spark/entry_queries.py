@@ -6228,15 +6228,20 @@ def q_emb_hard_negatives(spark, sf_dir):
     hard_negatives + ivf_topk): per query the 4 most-similar
     candidates inside the cosine band [0.22, 0.35) of its IVF top-24
     — the contrastive-training composition (FaceNet band / DPR hard
-    negatives) that never scans the corpus.  The oracle retrains the
-    identical fixed-seed k-means, replays the IVF candidate
-    generation, then the band filter + re-rank on rounded cosines."""
+    negatives) that never scans the corpus.  ``nlist=None`` (the
+    bounded-cell auto rule) keeps IVF cells ~128 vectors as the
+    corpus grows, so per-query probe work is CONSTANT and total
+    mining cost linear in the query count — a pinned nlist measured
+    31×/decade at sf1→sf10 (r12 sweep).  The oracle recomputes the
+    same nlist from the same corpus count, retrains the identical
+    fixed-seed k-means, replays the IVF candidate generation, then
+    the band filter + re-rank on rounded cosines."""
     from cubes_spark.llm import ivf_topk
     from cubes_spark.llm.similarity import hard_negatives
 
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    cand = ivf_topk(emb, queries, k=24, nlist=16, nprobe=4,
+    cand = ivf_topk(emb, queries, k=24, nlist=None, nprobe=4,
                     exclude_self=True)
     return hard_negatives(cand, lo=0.22, hi=0.35, m=4)
 

@@ -342,8 +342,9 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     :func:`cosine_topk`: ``(query_id, neighbor_id, cosine, rank)``.
 
     ``nlist=None`` auto-scales the cluster count with the corpus
-    (``max(16, ~sqrt(N))``) so per-cell work stays bounded as the
-    corpus grows; ``exclude_self=None`` resolves to True exactly when
+    (``max(16, N / _AUTO_NLIST_CELL)`` — bounded expected cell size)
+    so per-cell work stays bounded as the corpus grows;
+    ``exclude_self=None`` resolves to True exactly when
     ``queries`` is None (self-join) — pass it explicitly when queries
     are sampled from (True) or disjoint from (False) the corpus.
     """

@@ -6323,12 +6323,16 @@ def _emb_hardneg_oracle(k: int = 24, mod: int = 100,
     """Replays q_emb_hard_negatives: ivf_topk's candidate generation
     (identical retrained centroids as literals, nprobe=4 cell join,
     UNROUNDED top-k ranking with id ties), then hard_negatives' band
-    filter + re-rank on the ROUNDED pool cosines."""
+    filter + re-rank on the ROUNDED pool cosines.  The entry mines
+    over the AUTO-nlist IVF (bounded cells — linear total work; a
+    pinned nlist made per-query probe work grow with the corpus,
+    measured 31×/decade at sf1→sf10), so the oracle recomputes the
+    same nlist from the same corpus count and retrains identically."""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     cent(cluster, cv) AS (VALUES
-            {_ivf_centroid_values()}),
+            {_ivf_centroid_values(_auto_nlist_value())}),
     sims AS (
         SELECT e.vec_id, e.v, ct.cluster,
             list_dot_product(e.v, ct.cv) AS sim
@@ -6499,7 +6503,7 @@ def _doc_cluster_terms_oracle(nlist: int = 4, topk: int = 3) -> str:
         FROM counts) WHERE rk <= {topk}"""
 
 
-def _ivf_centroid_values() -> str:
+def _ivf_centroid_values(nlist: int = 16) -> str:
     """Retrains ivf_topk's fixed-seed spherical k-means on the
     identical first-4096-by-id sample and renders the centroids as
     exact DOUBLE[] VALUES literals (shared by the IVF oracles)."""
@@ -6514,7 +6518,7 @@ def _ivf_centroid_values() -> str:
         "ORDER BY vec_id LIMIT 4096"
     ).fetchall()
     X = np.array([r[0] for r in sample], dtype=np.float64)
-    cent = train_spherical_kmeans(X, 16, 42)
+    cent = train_spherical_kmeans(X, nlist, 42)
     return ",\n            ".join(
         f"({i + 1}, {_sql_dvec(row)})" for i, row in enumerate(cent)
     )

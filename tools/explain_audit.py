@@ -107,7 +107,11 @@ def main() -> int:
     out = [
         "# EXPLAIN_AUDIT — executed-plan shape per driver entry",
         "",
-        f"Generated against `{sf_dir}`.  *shuffles* = non-broadcast",
+        f"Generated against `{sf_dir}`.  Exchanges are counted by a",
+        "plan-tree walk that dedups persisted subplans on their shared",
+        "cacheBuilder (r12 fix — `toString()` re-prints a cached child",
+        "plan once per reference, overstating persisted compositions",
+        "several-fold).  *shuffles* = non-broadcast",
         "exchanges; *python* = Arrow/Pandas stages (the designated",
         "decode/ingest escape hatches); `materialized` = the entry",
         "executes eagerly (streaming replay, formatter round-trip,",

@@ -304,13 +304,21 @@ def _shingle_array(text: Column, k: int) -> Column:
 
     DuckDB: ``list_distinct(list_transform(generate_series(1,
     greatest(len(t)-k+1, 1)), i -> substr(t, i, k)))``.
+
+    The normalization is let-bound (util.let_) so the regex runs ONCE
+    per document — referenced directly from the per-position lambda
+    it would re-run for every shingle (O(n²) in document length).
     """
+    from cubes_spark.llm.util import let_
+
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    n = F.greatest(F.length(normalized) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n),
-                    lambda i: normalized.substr(i, F.lit(k)))
-    )
+    return let_(normalized, lambda t: F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(k)))
+    ))
 
 
 #: Mersenne prime 2^31-1: the universal-hash modulus.  Coefficients are

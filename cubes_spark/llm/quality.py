@@ -159,22 +159,29 @@ def _dsir_buckets(text_col: str, dim: int, ngram_max: int,
     bag-of-ngrams feature space of Xie et al. 2023 (DSIR,
     arXiv:2302.03169)."""
     from cubes_spark.llm.text import hash64, token_array
+    from cubes_spark.llm.util import let_
 
-    toks = token_array(F.col(text_col))
-    grams = toks
-    if ngram_max >= 2:
-        bigrams = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
-                                   F.element_at(toks, i + 1))),
-        ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(toks, bigrams)
-    return F.transform(
-        grams,
-        lambda g: (hash64(F.concat(F.lit(seed + ":"), g))
-                   % dim).cast("int"))
+    def body(toks: Column) -> Column:
+        # toks is LET-BOUND: referencing the raw token_array
+        # expression from the per-position bigram lambda would
+        # re-split the text once per bigram (O(n²) in tokens)
+        grams = toks
+        if ngram_max >= 2:
+            bigrams = F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat(F.element_at(toks, i),
+                                       F.lit(" "),
+                                       F.element_at(toks, i + 1))),
+            ).otherwise(F.array().cast("array<string>"))
+            grams = F.concat(toks, bigrams)
+        return F.transform(
+            grams,
+            lambda g: (hash64(F.concat(F.lit(seed + ":"), g))
+                       % dim).cast("int"))
+
+    return let_(token_array(F.col(text_col)), body)
 
 
 def dsir_bucket_counts(df: DataFrame, text_col: str = "text",

@@ -486,16 +486,22 @@ def _kmeans_assigned(corpus: DataFrame, nlist: int, seed: int,
     first = corpus.select(vec_col).first()
     dim = len(first[0]) if first and first[0] is not None else 0
     flat = F.array(*[F.lit(float(x)) for row in cent for x in row])
-    sims = _centroid_sims(F.col(vec_col), flat, nlist, dim)
-    best = F.element_at(
-        F.array_sort(F.transform(
-            F.sequence(F.lit(0), F.lit(nlist - 1)),
-            lambda c: F.struct(
-                (F.element_at(sims, c + 1) * -1).alias("neg"),
-                (c + 1).alias("cluster"),
-            ),
-        )), 1,
-    )
+    from cubes_spark.llm.util import let_
+
+    # let-bind the O(nlist·dim) similarity array: referencing it from
+    # the per-cluster ranking lambda would re-evaluate the WHOLE fold
+    # once per cluster (O(nlist²·dim) per row)
+    best = let_(
+        _centroid_sims(F.col(vec_col), flat, nlist, dim),
+        lambda sims: F.element_at(
+            F.array_sort(F.transform(
+                F.sequence(F.lit(0), F.lit(nlist - 1)),
+                lambda c: F.struct(
+                    (F.element_at(sims, c + 1) * -1).alias("neg"),
+                    (c + 1).alias("cluster"),
+                ),
+            )), 1,
+        ))
     return spread(corpus).select(
         F.col(id_col), F.col(vec_col),
         best["cluster"].cast("int").alias("cluster"),

@@ -224,16 +224,24 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         F.sequence(F.lit(1), n_grams),
         lambda i: hash64(normalized.substr(i, F.lit(k))),
     )
-    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    # MATERIALIZE the gram array in its own projection: referencing
+    # `grams` inside the per-window lambda would inline the whole
+    # hash chain into every window evaluation (no common-subexpression
+    # elimination across higher-order-function lambdas), turning an
+    # O(n) hash pass into O(n·window) re-hashing — measured 10x on
+    # 300-char documents, worse the longer the document.
+    grammed = spread(df).select(F.col(id_col),
+                                grams.alias("__winnow_grams__"))
+    garr = F.col("__winnow_grams__")
+    n_windows = F.greatest(F.size(garr) - (window - 1), F.lit(1))
     minima = F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(grams, j, window)),
+        lambda j: F.array_min(F.slice(garr, j, window)),
     )
-    out = spread(df).select(
+    return grammed.select(
         F.col(id_col),
         F.explode(F.array_distinct(minima)).alias("fingerprint"),
     )
-    return out
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
@@ -261,8 +269,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     grams built by ``list_transform(generate_series(...), i ->
     array_to_string(tokens[i:i+n-1], ' '))``.
     """
-    df = spread(df)
-    tokens = token_array(F.col(text_col))
+    # materialize the token array in its own projection first: an
+    # inline `token_array(...)` expression referenced from the
+    # per-gram lambda would re-split the text once per window
+    # position (no CSE across higher-order-function lambdas) —
+    # the same O(n·window) trap winnow_fingerprints had
+    df = spread(df).withColumn("__rep_toks__",
+                               token_array(F.col(text_col)))
+    tokens = F.col("__rep_toks__")
     cols: Dict[str, Column] = {}
 
     def gram_builder(n):
@@ -282,7 +296,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             / n_grams.cast("double"),
         ).otherwise(F.lit(0.0))
         cols[f"dup_ngram_frac_{n}"] = F.round(frac, 4)
-    return df.withColumns(cols)
+    return df.withColumns(cols).drop("__rep_toks__")
 
 
 #: PII patterns — deliberately dialect-portable (no lookaround, ASCII
@@ -339,9 +353,12 @@ def trigram_logprob(df: DataFrame, text_col: str = "text",
 
     Deterministic (no sampling, total tie-break) → exact SQL oracle.
     """
-    df = spread(df)
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
-                                  WS, " ")
+    # normalization materialized once per row — referenced from the
+    # per-position lambda it would re-run per trigram (O(n²))
+    df = spread(df).withColumn(
+        "__tri_norm__",
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS, " "))
+    normalized = F.col("__tri_norm__")
     n_tri = F.greatest(F.length(normalized) - 2, F.lit(0))
 
     def tri_at(i: Column) -> Column:

@@ -2,10 +2,35 @@
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame
+from typing import Callable
 
-__all__ = ["spread", "libm_ln"]
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["spread", "libm_ln", "let_"]
+
+
+def let_(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Bind ``value`` ONCE and use it many times inside ``body`` — a
+    let-expression for the Column algebra.
+
+    Catalyst does NOT eliminate common subexpressions across
+    higher-order-function lambda bodies: a captured expression like a
+    ``regexp_replace`` normalization referenced from a per-element
+    ``transform`` lambda is re-evaluated for EVERY element, turning an
+    O(n) pass into O(n²) (measured 69 s vs 7 s on 10k-char documents
+    for character shingling).  Wrapping the expression as the single
+    element of an array and binding it through a ``transform`` lambda
+    variable forces one evaluation; lambda-variable references inside
+    ``body`` are plain value reads.
+
+    Prefer materializing a real column (``withColumn``) when a
+    DataFrame is at hand; ``let_`` is for pure Column-level helpers
+    that cannot see the DataFrame.
+    """
+    from pyspark.sql import functions as F
+
+    return F.get(F.transform(F.array(value), body), F.lit(0))
 
 
 def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:

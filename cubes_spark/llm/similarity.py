@@ -94,16 +94,21 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     neighbour id for determinism.
     """
     query_id_col = query_id_col or id_col
+    # norms attached BEFORE the pair join: folded per pair they would
+    # re-evaluate O(dim) per candidate (~3x the scoring cost); same
+    # doubles, same expression, just evaluated once per vector
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
+        _norm(F.col(vec_col)).alias("__qn__"),
     )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec__"),
+        _norm(F.col(vec_col)).alias("__cn__"),
     )
     sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
-        _norm(F.col("__qvec__")) * _norm(F.col("__cvec__"))
+        F.col("__qn__") * F.col("__cn__")
     )
     pair_cond = (F.col("query_id") != F.col("neighbor_id")) \
         if exclude_self else F.lit(True)
@@ -218,13 +223,16 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
     left = bucketed.select(
         "table", "bucket",
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec__"),
+        _norm(F.col(vec_col)).alias("__qn__"),
     )
     right = bucketed.select(
         "table", "bucket",
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec__"),
+        _norm(F.col(vec_col)).alias("__cn__"),
     )
+    # per-vector norms precomputed (see cosine_topk)
     sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
-        _norm(F.col("__qvec__")) * _norm(F.col("__cvec__"))
+        F.col("__qn__") * F.col("__cn__")
     )
     pairs = (
         left.join(right, ["table", "bucket"])
@@ -371,6 +379,7 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec__"),
+        _norm(F.col(vec_col)).alias("__cn__"),
         F.col("cluster").cast("int").alias("__cluster__"))
     probed = _nearest_clusters_pandas(
         queries, cent, vec_col, min(nprobe, nlist),
@@ -378,10 +387,13 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
+        _norm(F.col(vec_col)).alias("__qn__"),
         F.col("cluster").cast("int").alias("__cluster__"))
 
+    # per-vector norms precomputed (see cosine_topk): per pair the
+    # interpreted fold would run 3x per candidate
     sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
-        _norm(F.col("__qvec__")) * _norm(F.col("__cvec__"))
+        F.col("__qn__") * F.col("__cn__")
     )
     pair_cond = (F.col("query_id") != F.col("neighbor_id")) \
         if exclude_self else F.lit(True)
@@ -563,12 +575,15 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
         sample_size, id_col, vec_col).persist()
     left = assigned.select(
         F.col("cluster"), F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__avec__"))
+        F.col(vec_col).alias("__avec__"),
+        _norm(F.col(vec_col)).alias("__an__"))
     right = assigned.select(
         F.col("cluster"), F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__bvec__"))
+        F.col(vec_col).alias("__bvec__"),
+        _norm(F.col(vec_col)).alias("__bn__"))
+    # per-vector norms precomputed (see cosine_topk)
     cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
-        _norm(F.col("__avec__")) * _norm(F.col("__bvec__"))
+        F.col("__an__") * F.col("__bn__")
     )
     drops = (
         left.join(right, "cluster")
@@ -626,12 +641,15 @@ def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
         .localCheckpoint(eager=True)
     left = assigned.select(
         F.col("cluster"), F.col("__id__").alias("id_a"),
-        F.col(vec_col).alias("__avec__"))
+        F.col(vec_col).alias("__avec__"),
+        _norm(F.col(vec_col)).alias("__an__"))
     right = assigned.select(
         F.col("cluster"), F.col("__id__").alias("id_b"),
-        F.col(vec_col).alias("__bvec__"))
+        F.col(vec_col).alias("__bvec__"),
+        _norm(F.col(vec_col)).alias("__bn__"))
+    # per-vector norms precomputed (see cosine_topk)
     cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
-        _norm(F.col("__avec__")) * _norm(F.col("__bvec__"))
+        F.col("__an__") * F.col("__bn__")
     )
     # (v, u): u is a lower-id near neighbour constraining v
     edges = (
@@ -706,19 +724,23 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.9,
     """
     if method == "exact":
         left = spread(corpus).select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__avec__"))
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__avec__"),
+            _norm(F.col(vec_col)).alias("__an__"))
         right = corpus.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec__"))
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec__"),
+            _norm(F.col(vec_col)).alias("__bn__"))
         pairs = left.join(right, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         bucketed = _lsh_bucketed(corpus, num_planes, num_tables, seed,
                                  id_col, vec_col)
         left = bucketed.select(
             "table", "bucket",
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__avec__"))
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__avec__"),
+            _norm(F.col(vec_col)).alias("__an__"))
         right = bucketed.select(
             "table", "bucket",
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec__"))
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec__"),
+            _norm(F.col(vec_col)).alias("__bn__"))
         pairs = (
             left.join(right, ["table", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
@@ -726,8 +748,9 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.9,
         )
     else:
         raise ValueError(f"unknown method: {method!r}")
+    # per-vector norms precomputed (see cosine_topk)
     cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
-        _norm(F.col("__avec__")) * _norm(F.col("__bvec__"))
+        F.col("__an__") * F.col("__bn__")
     )
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
@@ -990,11 +1013,14 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
     mu = 1.0 - lam
     query_id_col = query_id_col or id_col
     q = queries.select(F.col(query_id_col).alias("__qid__"),
-                       F.col(vec_col).alias("__qv__"))
+                       F.col(vec_col).alias("__qv__"),
+                       _norm(F.col(vec_col)).alias("__qn__"))
     c = spread(corpus).select(F.col(id_col).alias("__cid__"),
-                              F.col(vec_col).alias("__cv__"))
+                              F.col(vec_col).alias("__cv__"),
+                              _norm(F.col(vec_col)).alias("__cn__"))
+    # per-vector norms precomputed (see cosine_topk)
     sim = _dot(F.col("__qv__"), F.col("__cv__")) / (
-        _norm(F.col("__qv__")) * _norm(F.col("__cv__")))
+        F.col("__qn__") * F.col("__cn__"))
     if candidates is not None:
         cand = candidates.select(
             F.col(cand_query_col).alias("__qid__"),
@@ -1021,15 +1047,18 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
         # -> ~3s at sf0.1.  Bounded: queries x pool rows.
         pool_df = pool_df.persist()
     pv = pool_df.join(c, "__cid__").select(
-        "__qid__", "__cid__", F.col("__cv__").alias("__v__"))
+        "__qid__", "__cid__", F.col("__cv__").alias("__v__"),
+        F.col("__cn__").alias("__vn__"))
     a = pv.select(F.col("__qid__").alias("__qa__"),
                   F.col("__cid__").alias("__ca__"),
-                  F.col("__v__").alias("__va__"))
+                  F.col("__v__").alias("__va__"),
+                  F.col("__vn__").alias("__na__"))
     b = pv.select(F.col("__qid__").alias("__qb__"),
                   F.col("__cid__").alias("__cb__"),
-                  F.col("__v__").alias("__vb__"))
+                  F.col("__v__").alias("__vb__"),
+                  F.col("__vn__").alias("__nb__"))
     psim = _dot(F.col("__va__"), F.col("__vb__")) / (
-        _norm(F.col("__va__")) * _norm(F.col("__vb__")))
+        F.col("__na__") * F.col("__nb__"))
     pairs = (a.join(b, (F.col("__qa__") == F.col("__qb__"))
                     & (F.col("__ca__") < F.col("__cb__")))
              .select(F.col("__qa__").alias("__qid__"), "__ca__",

@@ -301,3 +301,34 @@ class TestTriangleProperty:
         got = {r.node: r.n_triangles
                for r in triangle_counts(df).collect()}
         assert got == want
+
+
+class TestLetBinding:
+    def test_let_value_and_composition(self, spark):
+        """let_ returns body(value) unchanged (the binding is purely
+        an evaluation-count optimization — see llm/util.let_ and the
+        NOTES_r12 microbenchmark for the 10x recompute it prevents),
+        and nests/composes like any Column."""
+        from pyspark.sql import functions as F
+
+        from cubes_spark.llm.util import let_
+
+        df = spark.range(50)
+        text = F.concat(F.lit("abcdef"), F.col("id").cast("string"))
+        shingles = let_(text, lambda t: F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: t.substr(i, F.lit(2))))
+        got = df.select(F.size(shingles).alias("n")).agg(
+            F.sum("n")).first()[0]
+        # |text| in {7,8}: ids 0-9 -> 6 shingles, 10-49 -> 7
+        assert got == 10 * 6 + 40 * 7
+
+        # nested let_: inner binding visible inside outer body
+        nested = let_(F.col("id") * 2, lambda a: let_(
+            a + 1, lambda b: a + b))          # 2id + 2id+1 = 4id+1
+        total = df.select(nested.alias("v")).agg(F.sum("v")).first()[0]
+        assert total == sum(4 * i + 1 for i in range(50))
+
+        # NULL value flows through (array element NULL, body sees it)
+        nul = let_(F.lit(None).cast("long"), lambda x: x + 1)
+        assert df.select(nul.alias("v")).first()["v"] is None

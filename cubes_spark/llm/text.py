@@ -217,8 +217,18 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     Hashes are md5-derived (:func:`hash64`), so a SQL oracle
     reproduces the selection bit-for-bit.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
-                                  WS, " ")
+    # MATERIALIZE the normalized text before the per-gram lambda:
+    # referencing the regexp_replace expression inside `transform`
+    # would re-run the regex once per gram position (no
+    # common-subexpression elimination inside higher-order-function
+    # lambdas) — O(n^2) in document length, the same trap as the gram
+    # array below.
+    normed = spread(df).select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                         WS, " ").alias("__winnow_norm__"),
+    )
+    normalized = F.col("__winnow_norm__")
     n_grams = F.greatest(F.length(normalized) - (k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
@@ -230,8 +240,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     # elimination across higher-order-function lambdas), turning an
     # O(n) hash pass into O(n·window) re-hashing — measured 10x on
     # 300-char documents, worse the longer the document.
-    grammed = spread(df).select(F.col(id_col),
-                                grams.alias("__winnow_grams__"))
+    grammed = normed.select(F.col(id_col),
+                            grams.alias("__winnow_grams__"))
     garr = F.col("__winnow_grams__")
     n_windows = F.greatest(F.size(garr) - (window - 1), F.lit(1))
     minima = F.transform(

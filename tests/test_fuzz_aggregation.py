@@ -3,12 +3,18 @@ random drilldown × cut × split × order × pagination × null-filter
 combinations replayed against an independent oracle (the companion of
 test_fuzz_cuts.py, which fuzzes only the range-cut algebra).
 
-Reference semantics being pinned (SURVEY §2.4/§2.6):
+Semantics being pinned (SURVEY §2.4/§2.6) — the ENGINE's documented
+contract (operators/browser.py ``_order_columns``), which deviates
+from the reference on split placement:
 
 * effective result order = explicit order columns (refs absent from
   the result silently skipped), then the split column DESC, then the
-  drilldown's natural order over the remaining level keys
-  (/root/reference/cubes/sql/utils.py:92-162);
+  drilldown's natural order over the remaining level keys.  The
+  reference's order_query instead puts the split column FIRST with
+  the default ascending direction
+  (/root/reference/cubes/sql/utils.py:92-162); the engine's
+  explicit-keys-first/DESC placement is a deliberate, documented
+  deviation, and this suite pins THAT, not reference parity;
 * pagination = OFFSET page·page_size LIMIT page_size AFTER ordering
   (utils.py:82-89);
 * the null-aggregate row filter drops rows AFTER pagination, never

@@ -35,10 +35,16 @@ def _exchange_counts(spark, df) -> tuple:
 
     def walk(node):
         cls = node.getClass().getSimpleName()
-        if "ReusedExchange" in cls:
+        if "ReusedExchange" in cls or "ReusedSubquery" in cls:
             return
         if cls.startswith("AdaptiveSparkPlan"):
             walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            # materialized AQE stage (Shuffle/BroadcastQueryStageExec):
+            # the wrapped exchange + its subtree live in .plan(), not
+            # children() — unwrap like AdaptiveSparkPlan above
+            walk(node.plan())
             return
         if cls.startswith("InMemoryTableScan"):
             rel = node.relation()
@@ -57,6 +63,12 @@ def _exchange_counts(spark, df) -> tuple:
         children = node.children()
         for i in range(children.size()):
             walk(children.apply(i))
+        # scalar/IN/EXISTS subquery plans are expression children, not
+        # plan children — toString() printed them (old counts included
+        # their exchanges), so the tree walk must visit them too
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i))
 
     walk(df._jdf.queryExecution().executedPlan())
     return tot["ex"], tot["bc"]

@@ -1,18 +1,35 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line:
+The FINAL stdout line is ONE compact JSON object:
 ``{"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}``
+   "queries": {headline: sec, ...}, "sf": ..., "queries_n": N,
+   "geomean_vs_baseline": r, "regressions": {...}, "full": path}``
+sized to survive a tail-capture of ~2000 characters (the driver
+records only the tail of stdout — BENCH_r12 was unparseable because
+the full 318-entry timing dict overflowed it).  The COMPLETE
+per-query timing dict is written to ``BENCH_FULL.json`` next to this
+script and referenced by the ``full`` key.
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver-side result transfer), timed wall-clock after a shared session
-warm-up.
+warm-up, best-of-3.  Robustness against transient host noise (the
+r12 story: 26 false >2x flags from a hypervisor-steal episode):
+
+* the SparkSession is restarted every ~100 measured entries so JVM
+  aging (GC heap growth, code-cache pressure) can't drift the tail
+  of a 318-entry run;
+* any entry landing >1.4x its committed baseline is RE-RUN
+  (best-of-3 again) in a fresh session at the end, up to two retry
+  rounds, and the minimum across all runs is recorded — a transient
+  stall window can't flag unchanged code, while a genuine plan
+  regression reproduces in every session and stays flagged.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -179,10 +196,21 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+#: headline subset printed inline in the final compact stdout line
+#: (the complete timing dict lives in BENCH_FULL.json) — the engine
+#: pillars from the top of BENCH_QUERIES
+HEADLINE_N = 28
 
+#: restart the SparkSession after this many measured entries so a
+#: 318-entry run doesn't accumulate JVM aging into its tail
+RESTART_EVERY = 100
+
+#: re-run threshold: anything landing above this vs baseline gets a
+#: fresh-session retry (the flag threshold proper stays 1.5)
+RETRY_RATIO = 1.4
+
+
+def _build_session(cpus: int):
     from pyspark.sql import SparkSession
 
     spark = (
@@ -200,6 +228,47 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _warm(spark, queries, sf_dir, names) -> None:
+    """One un-timed pass so measured runs see parquet footers in page
+    cache and tiered-up JIT, not compile time."""
+    for warm in names:
+        fn = queries.get(warm)
+        if fn is None:
+            continue
+        try:
+            fn(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+        except Exception as exc:  # a broken query must not kill the run
+            print(f"  warm-up {warm} failed: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
+
+
+def _time_query(spark, fn, sf_dir, reps: int = 3):
+    """(best_sec, error) — best of ``reps`` noop-sink executions."""
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            spark.catalog.clearCache()
+            return None, f"{type(exc).__name__}: {exc}"[:300]
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        # drop caches persisted inside operators (LSH signature
+        # tables) so runs are measured independently
+        spark.catalog.clearCache()
+    return best, None
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    here = os.path.dirname(os.path.abspath(__file__))
 
     import __spark_entry__ as entrymod
 
@@ -210,27 +279,23 @@ def main() -> None:
     # round-over-round diffs), then every remaining entry in
     # queries() order.  A new entry therefore gets a regression
     # tripwire the round it lands, without a manual list edit.
+    curated = set(BENCH_QUERIES)
     bench_names = list(BENCH_QUERIES) + [
-        n for n in queries if n not in set(BENCH_QUERIES)]
+        n for n in queries if n not in curated]
 
-    # warm-up: JVM + parquet footer reads + cuboid materialization for
-    # the preagg query, plus one pass over the codegen-heavy LSH
-    # pipelines so measured runs see tiered-up JIT, not compile time
-    for warm in ("agg_year", "preagg_year", "doc_minhash", "doc_simhash",
-                 "emb_ann"):
-        try:
-            queries[warm](spark, sf_dir).write.format("noop") \
-                .mode("overwrite").save()
-        except Exception as exc:  # a broken query must not kill the run
-            print(f"  warm-up {warm} failed: {exc}", file=sys.stderr)
-        spark.catalog.clearCache()
+    full_warm = ("agg_year", "preagg_year", "doc_minhash", "doc_simhash",
+                 "emb_ann")
+    light_warm = ("agg_year", "preagg_year")
+
+    spark = _build_session(cpus)
+    _warm(spark, queries, sf_dir, full_warm)
 
     # failure isolation: one broken query yields one null timing (and an
     # "errors" entry), never a dead run — a bench that aborts loses
     # every other measurement for the round
     timings: dict = {}
     errors: dict = {}
-    total = 0.0
+    measured = 0
     for name in bench_names:
         fn = queries.get(name)
         if fn is None:
@@ -239,32 +304,21 @@ def main() -> None:
             errors[name] = "not in __spark_entry__.queries()"
             print(f"  {name}: MISSING from queries()", file=sys.stderr)
             continue
+        if measured and measured % RESTART_EVERY == 0:
+            spark.stop()
+            spark = _build_session(cpus)
+            _warm(spark, queries, sf_dir, light_warm)
         # best of 3: suppress scheduler/GC/JIT noise so round-over-round
         # comparisons reflect plan changes, not jitter (observed spread
         # on a shared host is >2x between reps of the same plan)
-        best = None
-        failed = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-            except Exception as exc:
-                failed = f"{type(exc).__name__}: {exc}"[:300]
-                break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            # drop caches persisted inside operators (LSH signature
-            # tables) so runs are measured independently
-            spark.catalog.clearCache()
+        best, failed = _time_query(spark, fn, sf_dir)
+        measured += 1
         if failed is not None:
             timings[name] = None
             errors[name] = failed
             print(f"  {name}: FAILED ({failed})", file=sys.stderr)
-            spark.catalog.clearCache()
             continue
         timings[name] = round(best, 3)
-        total += timings[name]
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -272,41 +326,108 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    # regression tracking vs the committed baseline (bench_baseline.json):
-    # per-query deltas to stderr, >1.5x regressions also in the JSON.
-    # STDOUT stays exactly ONE JSON line.  Set SPARK_GRAFT_BENCH_STRICT=1
-    # to exit non-zero on regression (CI use); the default records the
-    # measurement rather than suppressing it.
-    regressions: dict = {}
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    # regression tracking vs the committed baseline (bench_baseline.json).
+    # Entries above RETRY_RATIO are re-measured in a FRESH session (up
+    # to two rounds) before being flagged: a transient host stall hits
+    # one session window, a real plan regression reproduces in all of
+    # them.  Set SPARK_GRAFT_BENCH_STRICT=1 to exit non-zero on
+    # regression (CI use); the default records the measurement.
+    baseline_queries: dict = {}
+    baseline_path = os.path.join(here, "bench_baseline.json")
     if os.path.exists(baseline_path) and str(sf_val) != "0.01":
         with open(baseline_path, encoding="utf-8") as f:
             baseline = json.load(f)
         if baseline.get("sf") == sf_val:
-            for name, secs in timings.items():
-                base = baseline.get("queries", {}).get(name)
-                if not base or secs is None:
-                    continue
-                ratio = secs / base
-                marker = " <-- REGRESSION" if ratio > 1.5 else ""
-                print(f"  {name}: {secs:.3f}s vs baseline {base:.3f}s "
-                      f"({ratio:.2f}x){marker}", file=sys.stderr)
-                if ratio > 1.5:
-                    regressions[name] = round(ratio, 2)
+            baseline_queries = baseline.get("queries", {})
 
-    out = {
+    def _flagged(threshold: float) -> list:
+        out = []
+        for name, secs in timings.items():
+            base = baseline_queries.get(name)
+            if base and secs is not None and secs / base > threshold:
+                out.append(name)
+        return out
+
+    retries_used: dict = {}
+    for retry_round in (1, 2):
+        to_retry = _flagged(RETRY_RATIO)
+        if not to_retry:
+            break
+        print(f"  retry round {retry_round}: {len(to_retry)} entries "
+              f">{RETRY_RATIO}x baseline -> fresh session",
+              file=sys.stderr)
+        spark.stop()
+        spark = _build_session(cpus)
+        _warm(spark, queries, sf_dir, light_warm)
+        for name in to_retry:
+            best, failed = _time_query(spark, queries[name], sf_dir)
+            if failed is None and best is not None:
+                old = timings[name]
+                timings[name] = round(min(old, best), 3)
+                retries_used[name] = retries_used.get(name, 0) + 1
+                print(f"  retry {name}: {old:.3f}s -> "
+                      f"{timings[name]:.3f}s", file=sys.stderr)
+    spark.stop()
+
+    total = sum(v for v in timings.values() if v is not None)
+
+    regressions: dict = {}
+    ratios: list = []
+    for name, secs in sorted(timings.items()):
+        base = baseline_queries.get(name)
+        if not base or secs is None:
+            continue
+        ratio = secs / base
+        ratios.append(ratio)
+        marker = " <-- REGRESSION" if ratio > 1.5 else ""
+        print(f"  {name}: {secs:.3f}s vs baseline {base:.3f}s "
+              f"({ratio:.2f}x){marker}", file=sys.stderr)
+        if ratio > 1.5:
+            regressions[name] = round(ratio, 2)
+    geomean = (round(math.exp(sum(map(math.log, ratios)) / len(ratios)), 3)
+               if ratios else None)
+
+    full = {
         "metric": "total_query_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "geomean_vs_baseline": geomean,
+        "regressions": regressions,
+        "errors": errors,
+        "retries": retries_used,
     }
-    if regressions:
-        out["regressions"] = regressions
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    with open(full_path, "w", encoding="utf-8") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # FINAL stdout line: compact, driver-parseable (tail capture is
+    # ~2000 chars).  Headline queries inline; everything else via
+    # BENCH_FULL.json.  Regressions/errors capped by worst-first.
+    head = {n: timings.get(n) for n in BENCH_QUERIES[:HEADLINE_N]}
+    out = {
+        "metric": "total_query_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": head,
+        "sf": sf_val,
+        "queries_n": len(timings),
+        "geomean_vs_baseline": geomean,
+        "regressions_n": len(regressions),
+        "errors_n": len(errors),
+        "full": "BENCH_FULL.json",
+    }
+    worst = sorted(regressions.items(), key=lambda kv: -kv[1])
+    out["regressions"] = dict(worst[:25])
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
+    line = json.dumps(out)
+    while len(line) > 1900 and out["regressions"]:
+        out["regressions"] = dict(
+            list(out["regressions"].items())[:-5])
+        line = json.dumps(out)
+    print(line)
     # strict mode fails on ERRORS too: a broken query shrinks the
     # total, so exiting 0 would record a broken round as a speed-up
     if (regressions or errors) \

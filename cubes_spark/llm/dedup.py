@@ -1043,17 +1043,20 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
     Emits every document with its ``component``, ``score_col`` and
     the ``keep`` verdict (downstream dedup = ``filter('keep')``).
     Scale shape: CC is the bounded iterative min-label propagation;
-    the selection window partitions by component — groups are
-    cluster-sized (singletons dominate), never corpus-sized.
+    the selection window runs ONLY over cluster members (the nodes
+    that appear in ``pairs``) — unpaired documents are trivially
+    their own representative and rejoin via a cheap anti-join, so the
+    shuffle+sort is pair-graph-sized, never corpus-sized.  At 100 TB
+    with a few-percent duplicate rate that is the difference between
+    sorting the whole corpus by a near-unique key and sorting a small
+    fraction of it.
     """
     from pyspark.sql.window import Window
 
     comps = connected_components(pairs, id_a, id_b)
-    out = df.select(F.col(id_col), F.col(score_col)).join(
-        comps.withColumnRenamed("node", id_col), id_col, "left")
-    component = F.coalesce(F.col("component"), F.col(id_col))
-    out = out.select(F.col(id_col), component.alias("component"),
-                     F.col(score_col))
+    scored = df.select(F.col(id_col), F.col(score_col))
+    clustered = scored.join(
+        comps.withColumnRenamed("node", id_col), id_col, "inner")
     # NULLs last in BOTH directions: plain asc() sorts NULLs first
     # in Spark, which would crown a NULL-scored document as the
     # cluster representative on the ascending path.
@@ -1061,4 +1064,12 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
              else F.col(score_col).desc_nulls_last())
     w = Window.partitionBy("component").orderBy(
         order, F.col(id_col).asc())
-    return out.withColumn("keep", F.row_number().over(w) == 1)
+    clustered = clustered.select(
+        F.col(id_col), F.col("component"), F.col(score_col),
+        (F.row_number().over(w) == 1).alias("keep"))
+    singles = scored.join(
+        comps.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    ).select(
+        F.col(id_col), F.col(id_col).alias("component"),
+        F.col(score_col), F.lit(True).alias("keep"))
+    return clustered.unionByName(singles)

@@ -439,6 +439,36 @@ def q_preagg_year(spark, sf_dir):
                 "fact_count")
 
 
+def q_preagg_rollup_rewrite(spark, sf_dir):
+    """Algebraic pre-aggregation rewrite (operators/preagg.py
+    Cuboid.partials_for + browser._try_cuboid_plan): the month-grain
+    cuboid stores only sum/count partials, yet serves a COARSER
+    year-grain query asking for ``quantity_avg`` — reconstructed as
+    sum(sums)/sum(counts), bit-identical to the engine's decimal-exact
+    direct avg.  tests/test_preagg.py asserts the plan scans the
+    cuboid parquet, never the fact star; the oracle computes the same
+    avg from the raw facts."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("preagg_rollup", id(spark), sf_dir)
+    if key not in _browsers:
+        ws = tpch_workspace(spark, sf_dir)
+        browser = ws.browser("sales")
+        path = tempfile.mkdtemp(prefix="cubes_spark_cuboid_") + "/ymp"
+        browser.materialize_cuboid(
+            path, drilldown=["date@ym:month"],
+            aggregates=["quantity_sum", "quantity_count", "fact_count"],
+        )
+        _browsers[key] = browser
+    browser = _browsers[key]
+    df = browser.aggregation_dataframe(
+        drilldown=["date:year"],
+        aggregates=["quantity_avg", "quantity_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "quantity_sum"), "date.year", "fact_count")
+
+
 def q_grouping_sets(spark, sf_dir):
     """GROUP BY GROUPING SETS — one pass over two disjoint cuboids."""
     df = _browser(spark, sf_dir).aggregation_dataframe(

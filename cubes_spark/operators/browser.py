@@ -184,7 +184,7 @@ class SparkBrowser:
             return None
 
         from cubes_spark.operators.preagg import (
-            SAFE_SEP, Cuboid, reaggregation_column,
+            REAGGREGABLE, SAFE_SEP, Cuboid, reaggregation_column,
         )
         from cubes_spark.plans.star import ColumnRef, StarSchema
 
@@ -196,8 +196,14 @@ class SparkBrowser:
         cell_refs = {a.ref for a in cell.all_attributes}
         touched = set(dd_refs) | cell_refs
 
+        # coalesce_measures changes avg semantics (NULL measures count
+        # after coalescing to 0), so sum/count_nonempty partials no
+        # longer reconstruct it — disable that rewrite path
+        allow_partials = not self.options.get("coalesce_measures")
+
         for cuboid in self._cuboids:
-            if not cuboid.covers(touched, storable, dd_refs):
+            if not cuboid.covers(touched, storable, dd_refs,
+                                 allow_partials=allow_partials):
                 continue
 
             raw = cuboid.load(self.star_schema.fact_df.sparkSession)
@@ -228,15 +234,42 @@ class SparkBrowser:
                 df = df.filter(condition)
 
             exact = cuboid.is_exact(dd_refs)
+            # aggregates served by algebraic reconstruction from stored
+            # partials (avg = sum(sums)/sum(counts)) instead of a
+            # stored column: not stored at all, or stored but not
+            # distributive at a coarser grain
+            recon: dict = {}
+            for a in storable:
+                stored = cuboid.aggregates.get(a.name)
+                if allow_partials and (
+                        stored is None
+                        or (not exact
+                            and a.function not in REAGGREGABLE)):
+                    parts = cuboid.partials_for(a)
+                    if parts is not None:
+                        recon[a.name] = parts
+            needed = [a.name for a in storable if a.name not in recon]
+            for s_name, c_name in recon.values():
+                for n in (s_name, c_name):
+                    if n not in needed:
+                        needed.append(n)
             select_cols = [
                 context.column(ref).alias(ref) for ref in dd_refs
             ] + [
-                F.col(f"`{a.name}`") for a in storable
+                F.col(f"`{n}`") for n in needed
             ]
             projected = df.select(*select_cols)
-            pairs = [
-                (a.name, reaggregation_column(a, exact)) for a in storable
-            ]
+            pairs = []
+            for a in storable:
+                if a.name in recon:
+                    s_name, c_name = recon[a.name]
+                    expr = (
+                        F.sum(F.col(f"`{s_name}`")).cast("double")
+                        / F.sum(F.col(f"`{c_name}`")).cast("double")
+                    ).alias(a.name)
+                    pairs.append((a.name, expr))
+                else:
+                    pairs.append((a.name, reaggregation_column(a, exact)))
             if dd_refs:
                 out = projected.groupBy(
                     *[_qcol(r) for r in dd_refs]

@@ -20,9 +20,16 @@ falls back to the fact star):
   the cuboid grain;
 * if the requested grain EQUALS the cuboid grain, any stored aggregate
   is served as-is (cell filters only remove whole groups);
-* if the requested grain is COARSER, only distributive aggregates
+* if the requested grain is COARSER, distributive aggregates
   re-aggregate: sum→sum, count→sum, count_nonempty→sum, min→min,
-  max→max.  avg / count_distinct / stddev / variance do not.
+  max→max;
+* ALGEBRAIC ``avg`` re-aggregates from stored partials when the cuboid
+  also stores a ``sum`` and a ``count_nonempty`` of the SAME measure
+  and the stored sum is decimal (exact partials):
+  ``sum(sums)/sum(counts)`` is then bit-identical to the engine's
+  decimal-exact direct avg (functions/aggregates.py ``_exact_avg``).
+  Double-measure avg and count_distinct / stddev / variance fall back
+  to the fact star.
 """
 
 from __future__ import annotations
@@ -60,13 +67,44 @@ def reaggregation_column(aggregate: Any, exact_grain: bool):
 
 
 class Cuboid:
-    """Descriptor of a materialized aggregate at a fixed grain."""
+    """Descriptor of a materialized aggregate at a fixed grain.
+
+    ``column_dtypes`` (stored column name → Spark dtype string, as
+    recorded at materialization) gates the algebraic avg-from-partials
+    rewrite: it fires only when the stored sum partial is decimal, the
+    condition under which re-aggregated partials are bit-identical to
+    the direct computation.  Without it (hand-built descriptors) avg
+    conservatively falls back to the fact star."""
 
     def __init__(self, path: str, attribute_refs: Sequence[str],
-                 aggregates: Sequence[Any]) -> None:
+                 aggregates: Sequence[Any],
+                 column_dtypes: Optional[dict] = None) -> None:
         self.path = path
         self.attribute_refs = list(attribute_refs)
         self.aggregates = {a.name: a for a in aggregates}
+        self.column_dtypes = dict(column_dtypes or {})
+
+    def partials_for(self, aggregate: Any) -> Optional[tuple]:
+        """``(sum_name, count_name)`` of stored partials that can serve
+        an ``avg`` aggregate exactly at ANY coarser grain, else None."""
+        if getattr(aggregate, "function", None) != "avg" \
+                or not getattr(aggregate, "measure", None):
+            return None
+        sum_name = count_name = None
+        for stored in self.aggregates.values():
+            if stored.measure != aggregate.measure:
+                continue
+            if stored.function == "sum":
+                sum_name = stored.name
+            elif stored.function == "count_nonempty":
+                count_name = stored.name
+        if not sum_name or not count_name:
+            return None
+        # exactness gate: decimal partial sums merge exactly; double
+        # partials would differ from the direct avg in the last ulp
+        if not self.column_dtypes.get(sum_name, "").startswith("decimal"):
+            return None
+        return sum_name, count_name
 
     @classmethod
     def materialize(cls, browser: Any, path: str, drilldown: Any,
@@ -92,21 +130,39 @@ class Cuboid:
         )
         safe.write.mode(mode).parquet(path)
         refs = [a.ref for a in dd.all_attributes]
-        return cls(path, refs, prepared)
+        dtypes = {c: t for c, t in safe.dtypes}
+        return cls(path, refs, prepared,
+                   column_dtypes={a.name: dtypes[_safe(a.name)]
+                                  for a in prepared
+                                  if _safe(a.name) in dtypes})
 
     def covers(self, attribute_refs: Sequence[str],
                aggregates: Sequence[Any],
-               requested_grain_refs: Sequence[str]) -> bool:
+               requested_grain_refs: Sequence[str],
+               allow_partials: bool = True) -> bool:
         """Can this cuboid serve a query touching ``attribute_refs``
-        (drilldown + cell attributes) with ``aggregates``?"""
+        (drilldown + cell attributes) with ``aggregates``?
+
+        ``allow_partials=False`` disables the algebraic avg
+        reconstruction (the browser passes this under
+        ``coalesce_measures``, where avg ≠ sum/count_nonempty)."""
         if not set(attribute_refs) <= set(self.attribute_refs):
             return False
         exact = set(requested_grain_refs) == set(self.attribute_refs)
+
+        def reconstructable(agg: Any) -> bool:
+            return allow_partials and self.partials_for(agg) is not None
+
         for agg in aggregates:
             stored = self.aggregates.get(agg.name)
             if stored is None:
-                return False
-            if not exact and agg.function not in REAGGREGABLE:
+                # not materialized itself — servable only if exact
+                # partials reconstruct it (algebraic avg)
+                if not reconstructable(agg):
+                    return False
+                continue
+            if not exact and agg.function not in REAGGREGABLE \
+                    and not reconstructable(agg):
                 return False
         return True
 

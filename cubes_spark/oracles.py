@@ -2413,6 +2413,14 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem GROUP BY 1"""
 
+    sql["preagg_rollup_rewrite"] = f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) / COUNT(l_quantity)
+                AS quantity_avg,
+            CAST(SUM({_DEC_QTY}) AS DOUBLE) AS quantity_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
+
     sql["grouping_sets"] = f"""
         SELECT returnflag, linestatus,
             CAST(SUM(dec_qty) AS DOUBLE) AS quantity_sum

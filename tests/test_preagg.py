@@ -199,3 +199,92 @@ def test_greedy_pick_materializes_and_routes(spark, tmp_path):
     df = b.aggregation_dataframe(
         drilldown=["returnflag"], aggregates=["price_sum"])
     assert "lineitem" not in df._jdf.queryExecution().toString()
+
+
+class TestAvgFromPartials:
+    """Algebraic avg rewrite: a cuboid storing sum + count_nonempty
+    partials of a decimal measure serves a coarser avg exactly
+    (Cuboid.partials_for); every exclusion falls back to the star."""
+
+    @pytest.fixture()
+    def avg_browser(self, spark, tmp_path):
+        ws = tpch_workspace(spark, SF_DIR)
+        b = ws.browser("sales")
+        b.materialize_cuboid(
+            str(tmp_path / "avg_cuboid"),
+            drilldown=["date@ym:month"],
+            aggregates=["quantity_sum", "quantity_count", "fact_count"],
+        )
+        return b
+
+    def test_avg_served_from_partials(self, avg_browser, spark):
+        df = avg_browser.aggregation_dataframe(
+            drilldown=["date:year"],
+            aggregates=["quantity_avg", "quantity_sum", "fact_count"],
+        )
+        plan = plan_of(df)
+        assert "lineitem" not in plan
+        assert "date__year" in plan  # cuboid's safe column is scanned
+        fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+        expect = fresh.aggregation_dataframe(
+            drilldown=["date:year"],
+            aggregates=["quantity_avg", "quantity_sum", "fact_count"],
+        )
+        got = {r["date.year"]: r["quantity_avg"] for r in df.collect()}
+        want = {r["date.year"]: r["quantity_avg"]
+                for r in expect.collect()}
+        # BIT-identical, not approximately equal: decimal partial sums
+        # merge exactly, so sum(sums)/sum(counts) is the same double
+        assert got == want
+
+    def test_avg_summary_from_partials(self, avg_browser, spark):
+        result = avg_browser.aggregate(aggregates=["quantity_avg"])
+        fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+        expect = fresh.aggregate(aggregates=["quantity_avg"])
+        assert result.summary == expect.summary
+
+    def test_avg_without_count_partial_falls_back(self, spark, tmp_path):
+        ws = tpch_workspace(spark, SF_DIR)
+        b = ws.browser("sales")
+        b.materialize_cuboid(
+            str(tmp_path / "nocount_cuboid"),
+            drilldown=["date@ym:month"],
+            aggregates=["quantity_sum", "fact_count"],  # no count_nonempty
+        )
+        df = b.aggregation_dataframe(
+            drilldown=["date:year"], aggregates=["quantity_avg"],
+        )
+        assert "lineitem" in plan_of(df)
+
+    def test_avg_other_measure_falls_back(self, avg_browser):
+        # discount_avg's measure has no stored partials in the cuboid
+        df = avg_browser.aggregation_dataframe(
+            drilldown=["date:year"], aggregates=["discount_avg"],
+        )
+        assert "lineitem" in plan_of(df)
+
+    def test_coalesce_measures_disables_partials(self, spark, tmp_path):
+        # under coalesce_measures, avg(coalesce(m,0)) != sum/count_nonempty
+        ws = tpch_workspace(spark, SF_DIR)
+        b = ws.browser("sales", coalesce_measures=True)
+        b.materialize_cuboid(
+            str(tmp_path / "coal_cuboid"),
+            drilldown=["date@ym:month"],
+            aggregates=["quantity_sum", "quantity_count", "fact_count"],
+        )
+        df = b.aggregation_dataframe(
+            drilldown=["date:year"], aggregates=["quantity_avg"],
+        )
+        assert "lineitem" in plan_of(df)
+
+    def test_handbuilt_cuboid_without_dtypes_is_conservative(
+            self, avg_browser):
+        from cubes_spark.operators.preagg import Cuboid
+
+        src = avg_browser._cuboids[0]
+        bare = Cuboid(src.path, src.attribute_refs,
+                      list(src.aggregates.values()))  # no column_dtypes
+        agg = next(a for a in avg_browser.prepare_aggregates(
+            ["quantity_avg"]))
+        assert src.partials_for(agg) is not None
+        assert bare.partials_for(agg) is None

@@ -1039,14 +1039,17 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
         F.col("__simq__").desc(), F.col("__cid__").asc())
     pool_df = (scored.withColumn("__rn__", F.row_number().over(wp))
                .filter(F.col("__rn__") <= pool).drop("__rn__"))
-    if candidates is not None:
-        # the pool frame is reused three times downstream (vector
-        # fetch, the pairs self-join's two sides, the final cogroup);
-        # without a persist each reuse re-runs the ENTIRE candidate
-        # generator (e.g. ivf_topk's corpus assignment) — measured 10.3s
-        # -> ~3s at sf0.1.  Bounded: queries x pool rows.
-        pool_df = pool_df.persist()
-    pv = pool_df.join(c, "__cid__").select(
+    # the pool frame is reused three times downstream (vector fetch,
+    # the pairs self-join's two sides, the final cogroup); without a
+    # persist each reuse re-runs the ENTIRE scoring stage — the ANN
+    # candidate generator (measured 10.3s -> ~3s at sf0.1) or, on the
+    # exact path, the corpus x queries broadcast scan three times
+    # over.  Bounded: queries x pool rows.
+    pool_df = pool_df.persist()
+    # broadcast hints: the pool frame is tiny but its SIZE ESTIMATE
+    # derives from the corpus scan, so without hints Catalyst picks
+    # sort-merge joins for the vector fetch and the pairs self-join
+    pv = F.broadcast(pool_df).join(c, "__cid__").select(
         "__qid__", "__cid__", F.col("__cv__").alias("__v__"),
         F.col("__cn__").alias("__vn__"))
     a = pv.select(F.col("__qid__").alias("__qa__"),
@@ -1059,7 +1062,7 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
                   F.col("__vn__").alias("__nb__"))
     psim = _dot(F.col("__va__"), F.col("__vb__")) / (
         F.col("__na__") * F.col("__nb__"))
-    pairs = (a.join(b, (F.col("__qa__") == F.col("__qb__"))
+    pairs = (a.join(F.broadcast(b), (F.col("__qa__") == F.col("__qb__"))
                     & (F.col("__ca__") < F.col("__cb__")))
              .select(F.col("__qa__").alias("__qid__"), "__ca__",
                      "__cb__", F.round(psim, 6).alias("__sim__")))

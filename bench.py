@@ -265,6 +265,45 @@ def _time_query(spark, fn, sf_dir, reps: int = 3):
     return best, None
 
 
+def compact_line(timings: dict, total: float, sf_val, geomean,
+                 regressions: dict, errors: dict,
+                 max_len: int = 1900) -> str:
+    """The FINAL stdout line: compact, driver-parseable (the driver's
+    tail capture keeps ~2000 chars, so the line must stay under
+    ``max_len`` no matter how many entries regressed or broke).
+    Headline queries inline; the complete dict lives in
+    BENCH_FULL.json.  Regressions capped worst-first, errors capped
+    and truncated; if still too long, regressions shed in batches —
+    ``regressions_n``/``errors_n`` always carry the true counts."""
+    head = {n: timings.get(n) for n in BENCH_QUERIES[:HEADLINE_N]}
+    out = {
+        "metric": "total_query_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": head,
+        "sf": sf_val,
+        "queries_n": len(timings),
+        "geomean_vs_baseline": geomean,
+        "regressions_n": len(regressions),
+        "errors_n": len(errors),
+        "full": "BENCH_FULL.json",
+    }
+    worst = sorted(regressions.items(), key=lambda kv: -kv[1])
+    out["regressions"] = dict(worst[:25])
+    if errors:
+        out["errors"] = {k: str(v)[:80]
+                         for k, v in list(errors.items())[:5]}
+    line = json.dumps(out)
+    while len(line) > max_len and out["regressions"]:
+        out["regressions"] = dict(
+            list(out["regressions"].items())[:-5])
+        line = json.dumps(out)
+    while len(line) > max_len and out.get("errors"):
+        out["errors"] = dict(list(out["errors"].items())[:-1])
+        line = json.dumps(out)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -402,32 +441,8 @@ def main() -> None:
     with open(full_path, "w", encoding="utf-8") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    # FINAL stdout line: compact, driver-parseable (tail capture is
-    # ~2000 chars).  Headline queries inline; everything else via
-    # BENCH_FULL.json.  Regressions/errors capped by worst-first.
-    head = {n: timings.get(n) for n in BENCH_QUERIES[:HEADLINE_N]}
-    out = {
-        "metric": "total_query_sec",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": head,
-        "sf": sf_val,
-        "queries_n": len(timings),
-        "geomean_vs_baseline": geomean,
-        "regressions_n": len(regressions),
-        "errors_n": len(errors),
-        "full": "BENCH_FULL.json",
-    }
-    worst = sorted(regressions.items(), key=lambda kv: -kv[1])
-    out["regressions"] = dict(worst[:25])
-    if errors:
-        out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
-    line = json.dumps(out)
-    while len(line) > 1900 and out["regressions"]:
-        out["regressions"] = dict(
-            list(out["regressions"].items())[:-5])
-        line = json.dumps(out)
-    print(line)
+    print(compact_line(timings, total, sf_val, geomean, regressions,
+                       errors))
     # strict mode fails on ERRORS too: a broken query shrinks the
     # total, so exiting 0 would record a broken round as a speed-up
     if (regressions or errors) \

@@ -201,7 +201,16 @@ class SparkBrowser:
         # longer reconstruct it — disable that rewrite path
         allow_partials = not self.options.get("coalesce_measures")
 
-        for cuboid in self._cuboids:
+        # smallest covering cuboid first (recorded row counts;
+        # unknown sizes keep registration order and sort last among
+        # ties) — a year-grain rollup beats re-aggregating the
+        # month-grain one when both cover
+        ordered = sorted(
+            enumerate(self._cuboids),
+            key=lambda ic: (ic[1].rows is None,
+                            ic[1].rows if ic[1].rows is not None else 0,
+                            ic[0]))
+        for _, cuboid in ordered:
             if not cuboid.covers(touched, storable, dd_refs,
                                  allow_partials=allow_partials):
                 continue

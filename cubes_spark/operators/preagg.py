@@ -78,11 +78,16 @@ class Cuboid:
 
     def __init__(self, path: str, attribute_refs: Sequence[str],
                  aggregates: Sequence[Any],
-                 column_dtypes: Optional[dict] = None) -> None:
+                 column_dtypes: Optional[dict] = None,
+                 rows: Optional[int] = None) -> None:
         self.path = path
         self.attribute_refs = list(attribute_refs)
         self.aggregates = {a.name: a for a in aggregates}
         self.column_dtypes = dict(column_dtypes or {})
+        #: row count recorded at materialization (parquet metadata
+        #: count — no data scan); lets the browser prefer the SMALLEST
+        #: covering cuboid when several match
+        self.rows = rows
 
     def partials_for(self, aggregate: Any) -> Optional[tuple]:
         """``(sum_name, count_name)`` of stored partials that can serve
@@ -131,10 +136,14 @@ class Cuboid:
         safe.write.mode(mode).parquet(path)
         refs = [a.ref for a in dd.all_attributes]
         dtypes = {c: t for c, t in safe.dtypes}
+        spark = df.sparkSession
+        # metadata-only count over the written files (row-group stats)
+        rows = spark.read.parquet(path).count()
         return cls(path, refs, prepared,
                    column_dtypes={a.name: dtypes[_safe(a.name)]
                                   for a in prepared
-                                  if _safe(a.name) in dtypes})
+                                  if _safe(a.name) in dtypes},
+                   rows=rows)
 
     def covers(self, attribute_refs: Sequence[str],
                aggregates: Sequence[Any],

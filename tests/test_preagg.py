@@ -288,3 +288,39 @@ class TestAvgFromPartials:
             ["quantity_avg"]))
         assert src.partials_for(agg) is not None
         assert bare.partials_for(agg) is None
+
+
+def test_smallest_covering_cuboid_wins(spark, tmp_path):
+    """With a month-grain AND a year-grain cuboid both covering a
+    year-grain query, the browser must scan the smaller (year) one —
+    recorded row counts order the candidates."""
+    ws = tpch_workspace(spark, SF_DIR)
+    b = ws.browser("sales")
+    big = b.materialize_cuboid(
+        str(tmp_path / "month_cuboid"),
+        drilldown=["date@ym:month"],
+        aggregates=["quantity_sum", "fact_count"],
+    )
+    small = b.materialize_cuboid(
+        str(tmp_path / "year_cuboid"),
+        drilldown=["date:year"],
+        aggregates=["quantity_sum", "fact_count"],
+    )
+    assert big.rows is not None and small.rows is not None
+    assert small.rows < big.rows
+    df = b.aggregation_dataframe(
+        drilldown=["date:year"],
+        aggregates=["quantity_sum", "fact_count"],
+    )
+    files = "\n".join(df.inputFiles())
+    assert "year_cuboid" in files
+    assert "month_cuboid" not in files
+    assert "lineitem" not in files
+    # values still correct vs a cuboid-free browser
+    fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+    expect = fresh.aggregation_dataframe(
+        drilldown=["date:year"],
+        aggregates=["quantity_sum", "fact_count"],
+    )
+    assert sorted(map(str, df.collect())) \
+        == sorted(map(str, expect.collect()))

@@ -358,6 +358,8 @@ def main() -> None:
             print(f"  {name}: FAILED ({failed})", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
+        print(f"  [{measured}/{len(bench_names)}] {name}: "
+              f"{timings[name]:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -29,10 +29,20 @@ def main() -> int:
     runs = []
     for path in logs:
         with open(path, encoding="utf-8") as f:
-            for line in f:
-                if line.startswith("{") and '"metric"' in line:
-                    runs.append(json.loads(line)["queries"])
-                    break
+            text = f.read()
+        try:
+            # BENCH_FULL.json (the complete dict since r13 — the
+            # stdout line only carries the headline subset)
+            doc = json.loads(text)
+            if "queries" in doc:
+                runs.append(doc["queries"])
+                continue
+        except ValueError:
+            pass
+        for line in text.splitlines():
+            if line.startswith("{") and '"metric"' in line:
+                runs.append(json.loads(line)["queries"])
+                break
     if len(runs) != len(logs):
         print(f"only {len(runs)}/{len(logs)} logs had a bench line",
               file=sys.stderr)

@@ -123,7 +123,10 @@ def main() -> int:
         "plan-tree walk that dedups persisted subplans on their shared",
         "cacheBuilder (r12 fix — `toString()` re-prints a cached child",
         "plan once per reference, overstating persisted compositions",
-        "several-fold).  *shuffles* = non-broadcast",
+        "several-fold) and that also visits subquery plans and unwraps",
+        "materialized AQE query stages (r13 fix — scalar/IN subqueries",
+        "are expression children, so their exchanges were silently",
+        "missed by a children()-only walk).  *shuffles* = non-broadcast",
         "exchanges; *python* = Arrow/Pandas stages (the designated",
         "decode/ingest escape hatches); `materialized` = the entry",
         "executes eagerly (streaming replay, formatter round-trip,",

@@ -50,6 +50,8 @@ def _browser(spark: SparkSession, sf_dir: str):
 
 
 _stores: dict = {}
+#: misc per-(session, sf) artifacts (staged streaming cuboid logs, …)
+_stores_misc: dict = {}
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -4701,6 +4703,63 @@ def q_part_triangles(spark, sf_dir):
                          min_count=2).select("item_a", "item_b")
     out = triangle_counts(edges, "item_a", "item_b")
     return _lng(out, "node")
+
+
+def q_events_stream_cuboid(spark, sf_dir):
+    """Streaming pre-aggregate maintenance (streaming/stream.py:
+    maintain_aggregate / read_aggregate / compact_aggregate): the
+    events stream — staged as 4 files and replayed one file per
+    micro-batch — maintains an (event_type, hour) cuboid as
+    IDEMPOTENT per-batch partial-aggregate partitions (each batch
+    dynamic-overwrites its own __batch_id__ partition, so an
+    at-least-once replay replaces rather than duplicates).  The log
+    is then compacted and served by merge-on-read; the result must
+    equal the plain batch aggregate over all events — which is the
+    oracle.  Partials are decimal/long, so the merged sums are exact
+    regardless of how rows split across batches."""
+    import os
+    import tempfile
+
+    from cubes_spark.streaming import (
+        compact_aggregate,
+        maintain_aggregate,
+        read_aggregate,
+        read_parquet_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("stream_cuboid", id(spark), sf_dir)
+    aggs = {
+        "n_events": ("count", None),
+        "value_sum": ("sum", "__vdec__"),
+        "value_max": ("max", "__vdec__"),
+    }
+    if key not in _stores_misc:
+        staging = tempfile.mkdtemp(prefix="cubes_spark_stage_")
+        src = os.path.join(staging, "events")
+        _table(spark, sf_dir, "events").repartition(4) \
+            .write.mode("overwrite").parquet(src)
+        stream = read_parquet_stream(spark, src,
+                                     max_files_per_trigger=1)
+        enriched = stream.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("value").cast("decimal(20,6)").alias("__vdec__"),
+        )
+        log_path = os.path.join(staging, "cuboid_log")
+        maintain_aggregate(enriched, log_path,
+                           ["event_type", "hour"], aggs,
+                           query_name="q_events_stream_cuboid")
+        compact_aggregate(spark, log_path, aggs)
+        _stores_misc[key] = log_path
+    out = read_aggregate(spark, _stores_misc[key], aggs)
+    return out.select(
+        "event_type",
+        F.col("hour").alias("window_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+        F.col("value_max").cast("double").alias("value_max"),
+    )
 
 
 def q_events_stream_hll(spark, sf_dir):

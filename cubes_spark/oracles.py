@@ -2477,6 +2477,15 @@ def oracle_sql() -> dict[str, str]:
             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2"""
 
+    sql["events_stream_cuboid"] = """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+            COUNT(*) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                AS value_sum,
+            CAST(MAX(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                AS value_max
+        FROM events GROUP BY 1, 2"""
+
     sql["events_stream_enrich"] = """
         WITH dim AS (
             SELECT event_type,

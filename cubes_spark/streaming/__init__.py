@@ -15,6 +15,9 @@ here is driver-side.
 
 from cubes_spark.streaming.stream import (
     batch_sessionize,
+    compact_aggregate,
+    maintain_aggregate,
+    read_aggregate,
     read_parquet_stream,
     replay_to_memory,
     session_aggregate,
@@ -35,4 +38,7 @@ __all__ = [
     "stream_static_enrich",
     "stream_interval_join",
     "replay_to_memory",
+    "maintain_aggregate",
+    "read_aggregate",
+    "compact_aggregate",
 ]

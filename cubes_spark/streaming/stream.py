@@ -27,6 +27,9 @@ __all__ = [
     "stream_exact_dedup",
     "stream_static_enrich",
     "replay_to_memory",
+    "maintain_aggregate",
+    "read_aggregate",
+    "compact_aggregate",
 ]
 
 
@@ -467,3 +470,126 @@ def stream_static_enrich(stream_df: DataFrame, dim_df: DataFrame,
     """
     dim = F.broadcast(dim_df) if hint_broadcast else dim_df
     return stream_df.join(dim, on=on, how=how)
+
+
+# ---------------------------------------------------------------------------
+# Streaming pre-aggregate maintenance (cuboid kept fresh from a stream)
+# ---------------------------------------------------------------------------
+#
+# The reference can only batch-materialize the full-grain cuboid
+# (/root/reference/cubes/sql/store.py:549-628); refresh_aggregate
+# (operators/olap.py) added batch delta merges.  This closes the loop
+# with the streaming layer: a cuboid maintained per MICRO-BATCH as an
+# append-only log of partial-aggregate partitions, merged on read and
+# compacted on demand — the plain-parquet version of what a
+# transactional table format would call incremental MV maintenance.
+
+def maintain_aggregate(stream_df: DataFrame, path: str,
+                       group_cols: Sequence[str],
+                       aggs: Dict[str, tuple],
+                       query_name: str = "maintain_aggregate",
+                       timeout_sec: int = 120):
+    """Maintain a pre-aggregated cuboid from a stream: every
+    micro-batch writes ITS OWN partial aggregate at the cuboid grain
+    into a ``__batch_id__=<n>`` partition of ``path``.
+
+    ``aggs`` maps output column name -> ``(function, column)`` with
+    ``function`` restricted to the distributive set
+    (:data:`~cubes_spark.operators.preagg.REAGGREGABLE` + ``count``):
+    partials of different batches must merge by re-aggregation, which
+    is exactly the cuboid rewrite's algebra — avg is served downstream
+    from sum + count partials, never stored.
+
+    EXACTLY-ONCE without a transactional format: the batch write is a
+    dynamic partition overwrite of the batch's own ``__batch_id__``
+    partition, so a replayed batch (foreachBatch is at-least-once on
+    failure recovery) REPLACES its previous output instead of
+    appending a duplicate — idempotent per batch id, the documented
+    plain-files recipe.  Readers see a prefix of batches, never a
+    torn batch.
+
+    Scale shape: the only stream-side work per batch is one map-side
+    combinable groupBy at cuboid grain (partial rows ~= |grain| per
+    batch, never |facts|); the log grows by one small partition per
+    batch and :func:`compact_aggregate` folds it back to one.  No
+    read-modify-write of the historical cuboid ever happens on the
+    hot path — unlike a per-batch merge, two concurrent maintainers
+    on disjoint batch ids cannot corrupt each other.
+    """
+    from cubes_spark.errors import ArgumentError
+    from cubes_spark.operators.preagg import REAGGREGABLE
+
+    for name, (fn, _col) in aggs.items():
+        if fn != "count" and fn not in REAGGREGABLE:
+            raise ArgumentError(
+                f"Aggregate '{name}' ({fn}) is not distributive — "
+                "cannot be maintained incrementally; store sum/count "
+                "partials and derive it on read instead")
+
+    group_cols = list(group_cols)
+
+    def _exprs():
+        out = []
+        for name, (fn, col) in aggs.items():
+            if fn == "count":
+                out.append(F.count(F.lit(1)).cast("long").alias(name))
+            elif fn == "count_nonempty":
+                out.append(F.count(F.col(col)).cast("long").alias(name))
+            else:
+                out.append(getattr(F, fn)(F.col(col)).alias(name))
+        return out
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (batch_df.groupBy(*[F.col(c) for c in group_cols])
+                   .agg(*_exprs())
+                   .withColumn("__batch_id__", F.lit(int(batch_id))))
+        (partial.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__batch_id__")
+         .parquet(path))
+
+    checkpoint = tempfile.mkdtemp(prefix="cubes_spark_ckpt_")
+    query = (
+        stream_df.writeStream
+        .foreachBatch(_write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    return query
+
+
+def read_aggregate(spark: SparkSession, path: str,
+                   aggs: Dict[str, tuple]) -> DataFrame:
+    """Serve the maintained cuboid: merge the per-batch partial
+    partitions by re-aggregation (sum->sum, count->sum, min->min,
+    max->max) at the stored grain.  One scan of the (tiny) partial
+    log — the fact stream is never touched."""
+    merge = {"sum": F.sum, "count": F.sum, "count_nonempty": F.sum,
+             "min": F.min, "max": F.max}
+    df = spark.read.parquet(path)
+    grain = [c for c in df.columns
+             if c not in aggs and c != "__batch_id__"]
+    return (df.groupBy(*[F.col(c) for c in grain])
+            .agg(*[merge[fn](F.col(name)).alias(name)
+                   for name, (fn, _col) in aggs.items()]))
+
+
+def compact_aggregate(spark: SparkSession, path: str,
+                      aggs: Dict[str, tuple]) -> None:
+    """Fold the per-batch partial log back into a single partition
+    (``__batch_id__=-1``) so read cost stays O(grain) as batches
+    accumulate.  The merged frame is checkpointed off the source
+    files before the full overwrite (read-then-overwrite cycle
+    break, same discipline as refresh_aggregate)."""
+    merged = (read_aggregate(spark, path, aggs)
+              .withColumn("__batch_id__", F.lit(-1))
+              .localCheckpoint(eager=True))
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("__batch_id__")
+     .parquet(path))

@@ -740,3 +740,107 @@ def test_stream_static_enrich_equals_batch(spark, tmp_path):
     # 'ghost' events have no dimension row -> dropped, never aggregated
     assert all(r.category in ("engage", "convert")
                for r in got.collect())
+
+
+class TestMaintainAggregate:
+    """Streaming cuboid maintenance: per-batch partial partitions,
+    idempotent on batch replay, merge-on-read, compaction."""
+
+    AGGS = {
+        "n_events": ("count", None),
+        "value_sum": ("sum", "__vdec__"),
+        "value_max": ("max", "__vdec__"),
+    }
+
+    def _staged(self, spark, tmp_path, n_files=3):
+        src = str(tmp_path / "events_files")
+        batch_events(spark).repartition(n_files) \
+            .write.mode("overwrite").parquet(src)
+        return src
+
+    def _stream(self, spark, src):
+        return read_parquet_stream(
+            spark, src, max_files_per_trigger=1
+        ).select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("value").cast("decimal(20,6)").alias("__vdec__"),
+        )
+
+    def _expected(self, spark):
+        return {
+            (r.event_type, r.hour): (r.n, float(r.s), float(r.m))
+            for r in batch_events(spark).groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("hour")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(20,6)"))
+                .cast("double").alias("s"),
+                F.max(F.col("value").cast("decimal(20,6)"))
+                .cast("double").alias("m"),
+            ).collect()
+        }
+
+    def _read(self, spark, path):
+        from cubes_spark.streaming import read_aggregate
+        return {
+            (r.event_type, r.hour):
+            (r.n_events, float(r.value_sum), float(r.value_max))
+            for r in read_aggregate(spark, path, self.AGGS).collect()
+        }
+
+    def test_multi_batch_equals_batch(self, spark, tmp_path):
+        from cubes_spark.streaming import maintain_aggregate
+
+        src = self._staged(spark, tmp_path)
+        log = str(tmp_path / "log")
+        maintain_aggregate(self._stream(spark, src), log,
+                           ["event_type", "hour"], self.AGGS,
+                           query_name="t_maintain_multi")
+        # one partial partition per micro-batch (one file per trigger)
+        batches = {r["__batch_id__"] for r in spark.read.parquet(log)
+                   .select("__batch_id__").distinct().collect()}
+        assert len(batches) == 3
+        assert self._read(spark, log) == self._expected(spark)
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from cubes_spark.streaming import maintain_aggregate
+
+        src = self._staged(spark, tmp_path)
+        log = str(tmp_path / "log")
+        maintain_aggregate(self._stream(spark, src), log,
+                           ["event_type", "hour"], self.AGGS,
+                           query_name="t_maintain_once")
+        # a fresh checkpoint replays batches 0..n-1 with the SAME ids:
+        # dynamic partition overwrite must REPLACE, not duplicate
+        maintain_aggregate(self._stream(spark, src), log,
+                           ["event_type", "hour"], self.AGGS,
+                           query_name="t_maintain_again")
+        assert self._read(spark, log) == self._expected(spark)
+
+    def test_compaction_preserves_and_shrinks(self, spark, tmp_path):
+        from cubes_spark.streaming import (compact_aggregate,
+                                           maintain_aggregate)
+
+        src = self._staged(spark, tmp_path)
+        log = str(tmp_path / "log")
+        maintain_aggregate(self._stream(spark, src), log,
+                           ["event_type", "hour"], self.AGGS,
+                           query_name="t_maintain_compact")
+        before = self._read(spark, log)
+        compact_aggregate(spark, log, self.AGGS)
+        batches = {r["__batch_id__"] for r in spark.read.parquet(log)
+                   .select("__batch_id__").distinct().collect()}
+        assert batches == {-1}
+        assert self._read(spark, log) == before == self._expected(spark)
+
+    def test_nondistributive_raises(self, spark, tmp_path):
+        from cubes_spark.errors import ArgumentError
+        from cubes_spark.streaming import maintain_aggregate
+
+        src = self._staged(spark, tmp_path, n_files=1)
+        with pytest.raises(ArgumentError):
+            maintain_aggregate(
+                self._stream(spark, src), str(tmp_path / "log"),
+                ["event_type"], {"value_avg": ("avg", "__vdec__")},
+                query_name="t_maintain_bad")

@@ -39,7 +39,8 @@ from typing import Any, List, Optional, Sequence
 from pyspark.sql import functions as F
 
 __all__ = ["Cuboid", "REAGGREGABLE", "reaggregation_column",
-           "cuboid_sizes", "greedy_cuboid_selection"]
+           "cuboid_sizes", "greedy_cuboid_selection",
+           "auto_materialize"]
 
 #: aggregate function → re-aggregation over partial states
 REAGGREGABLE = {
@@ -265,3 +266,64 @@ def greedy_cuboid_selection(sizes: dict, n_picks: int,
         selected.add(best[1])
         picks.append(best[1])
     return picks
+
+
+def auto_materialize(browser: Any, base_path: str,
+                     drilldowns: Sequence[str],
+                     aggregates: Optional[Sequence[str]] = None,
+                     n_picks: int = 2) -> list:
+    """END-TO-END materialized-view advisor: size the full cuboid
+    lattice over ``drilldowns`` in ONE pass (:func:`cuboid_sizes`),
+    greedy-pick the ``n_picks`` most valuable cuboids under the HRU
+    benefit model (:func:`greedy_cuboid_selection`), materialize each
+    at its grain and REGISTER it with the browser — after which the
+    rewriter serves covered aggregations from the picks transparently
+    (smallest first).
+
+    ``drilldowns`` are single-attribute drilldown refs (one lattice
+    dimension each); a pick with grouping_id bit ``i`` set ROLLS AWAY
+    ``drilldowns[i]``.  The all-rolled-away pick (grand total) is
+    excluded — the summary is one row off any cuboid.  Returns the
+    registered :class:`Cuboid` descriptors in pick order.
+
+    Scale: sizing is one ``cube()`` pass over the projected grain
+    columns (keep the dimension count small, ≤ ~8 — map-side the cube
+    multiplies rows by 2^d); each materialization is one aggregation
+    write; everything else is driver arithmetic over 2^d numbers.
+    """
+    from cubes_spark.query.drilldown import Drilldown
+
+    dims = list(drilldowns)
+    dd = Drilldown(dims, browser.prepare_cell(None))
+    refs = [a.ref for a in dd.all_attributes]
+    if len(refs) != len(dims):
+        from cubes_spark.errors import ArgumentError
+        raise ArgumentError(
+            "auto_materialize needs single-attribute drilldowns (one "
+            "lattice dimension per ref); a hierarchical drilldown "
+            f"expanded to {len(refs)} attributes for {len(dims)} "
+            "dimensions — drill each level separately instead")
+    grain = browser.aggregation_dataframe(
+        drilldown=dims, aggregates=aggregates)
+    # logical refs contain dots — alias to SAFE names before the cube
+    # pass (a dotted identifier parses as a struct field there)
+    safe_refs = [_safe(ref) for ref in refs]
+    sizes = {
+        r["grouping_id"]: r["size"]
+        for r in cuboid_sizes(
+            grain.select(*[F.col(f"`{ref}`").alias(_safe(ref))
+                           for ref in refs]),
+            safe_refs).collect()
+    }
+    picks = greedy_cuboid_selection(sizes, n_picks, len(refs))
+    built = []
+    for gid in picks:
+        kept = [dims[i] for i in range(len(dims))
+                if not (gid >> (len(dims) - 1 - i)) & 1]
+        if not kept:
+            continue  # the grand total is not a useful cuboid
+        cuboid = browser.materialize_cuboid(
+            f"{base_path}/cuboid_{gid}", drilldown=kept,
+            aggregates=aggregates)
+        built.append(cuboid)
+    return built

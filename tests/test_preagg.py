@@ -324,3 +324,44 @@ def test_smallest_covering_cuboid_wins(spark, tmp_path):
     )
     assert sorted(map(str, df.collect())) \
         == sorted(map(str, expect.collect()))
+
+
+class TestAutoMaterialize:
+    def test_picks_materialize_and_route(self, spark, tmp_path):
+        from cubes_spark.operators.preagg import auto_materialize
+
+        ws = tpch_workspace(spark, SF_DIR)
+        b = ws.browser("sales")
+        built = auto_materialize(
+            b, str(tmp_path / "auto"),
+            ["returnflag", "linestatus", "date:year"],
+            aggregates=["price_sum", "quantity_sum", "fact_count"],
+            n_picks=2,
+        )
+        assert built, "a fact-grain base must make some cuboid worth it"
+        assert all(c.rows is not None for c in built)
+        assert b._cuboids == built
+        # a query covered by a pick routes off the fact star and
+        # matches the cuboid-free browser exactly
+        df = b.aggregation_dataframe(
+            drilldown=["returnflag"],
+            aggregates=["price_sum", "fact_count"],
+        )
+        assert "lineitem" not in plan_of(df)
+        fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+        expect = fresh.aggregation_dataframe(
+            drilldown=["returnflag"],
+            aggregates=["price_sum", "fact_count"],
+        )
+        assert sorted(map(str, df.collect())) \
+            == sorted(map(str, expect.collect()))
+
+    def test_hierarchical_drilldown_rejected(self, spark, tmp_path):
+        from cubes_spark.errors import ArgumentError
+        from cubes_spark.operators.preagg import auto_materialize
+
+        b = tpch_workspace(spark, SF_DIR).browser("sales")
+        with pytest.raises(ArgumentError):
+            auto_materialize(b, str(tmp_path / "auto2"),
+                             ["date@ym:month", "returnflag"],
+                             aggregates=["price_sum"])

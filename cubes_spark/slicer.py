@@ -380,11 +380,29 @@ def cmd_denormalize(config: dict, args: argparse.Namespace,
 def cmd_sql_aggregate(config: dict, args: argparse.Namespace,
                       out=sys.stdout) -> int:
     """Materialize a pre-aggregated cuboid
-    (parity: commands.py `sql aggregate`)."""
+    (parity: commands.py `sql aggregate`).  With ``--auto-picks N``
+    the drilldowns become lattice dimensions instead: the advisor
+    sizes every cuboid in one pass, greedy-picks the N most valuable
+    (HRU benefit model) and materializes those under the target
+    directory (operators/preagg.py:auto_materialize)."""
     from cubes_spark.operators.olap import materialize_aggregate
 
     workspace = build_workspace(config)
     browser = workspace.browser(args.cube)
+    if getattr(args, "auto_picks", None):
+        from cubes_spark.operators.preagg import auto_materialize
+
+        built = auto_materialize(browser, args.target,
+                                 args.drilldown or [],
+                                 aggregates=args.aggregates,
+                                 n_picks=args.auto_picks)
+        for cuboid in built:
+            out.write(f"materialized {cuboid.path} "
+                      f"({cuboid.rows} rows)\n")
+        if not built:
+            out.write("no cuboid worth materializing "
+                      "(HRU benefit <= 0 for every candidate)\n")
+        return 0
     materialize_aggregate(browser, args.target,
                           drilldown=args.drilldown or [],
                           aggregates=args.aggregates)
@@ -783,6 +801,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("target", help="output parquet path")
     p.add_argument("--drilldown", nargs="*", default=None)
     p.add_argument("--aggregates", nargs="*", default=None)
+    p.add_argument("--auto-picks", type=int, default=None,
+                   dest="auto_picks", metavar="N",
+                   help="advisor mode: size the cuboid lattice over "
+                   "the drilldowns, greedy-pick the N most valuable "
+                   "(HRU) and materialize those under TARGET")
 
     p = sub.add_parser("aggregate", help="aggregate a cube to stdout")
     p.add_argument("cube")

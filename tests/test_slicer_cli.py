@@ -493,3 +493,22 @@ def test_dq_command(config_path, tmp_path, spark):
     code, _out = run(config_path, "dq", "orders", str(rules),
                      "--strict")
     assert code == 1
+
+
+def test_aggregate_advisor(config_path, tmp_path, spark):
+    """`sql-aggregate --auto-picks`: the advisor sizes the lattice,
+    greedy-picks and materializes — each pick readable parquet."""
+    import os
+
+    target = str(tmp_path / "auto")
+    code, out = run(config_path, "sql-aggregate", "sales", target,
+                    "--drilldown", "returnflag", "linestatus",
+                    "--aggregates", "price_sum", "fact_count",
+                    "--auto-picks", "1")
+    assert code == 0
+    assert "materialized" in out
+    picks = [d for d in os.listdir(target)
+             if d.startswith("cuboid_")]
+    assert picks
+    for d in picks:
+        assert spark.read.parquet(f"{target}/{d}").count() > 0

@@ -844,3 +844,43 @@ class TestMaintainAggregate:
                 self._stream(spark, src), str(tmp_path / "log"),
                 ["event_type"], {"value_avg": ("avg", "__vdec__")},
                 query_name="t_maintain_bad")
+
+
+def test_maintain_aggregate_invariant_to_batch_split(spark, tmp_path):
+    """The maintained cuboid must be IDENTICAL however the stream is
+    split into micro-batches — partial merges are exact (decimal/long)
+    so batch boundaries can't leak into results."""
+    from cubes_spark.streaming import maintain_aggregate, read_aggregate
+
+    aggs = {
+        "n_events": ("count", None),
+        "value_sum": ("sum", "__vdec__"),
+        "value_min": ("min", "__vdec__"),
+    }
+
+    def build(n_files, tag):
+        src = str(tmp_path / f"src_{tag}")
+        # deterministic subset (NOT limit(), whose row pick is
+        # scheduling-dependent): both builds stage identical rows,
+        # differing only in file split
+        batch_events(spark).filter(F.col("event_id") % 5 == 0) \
+            .repartition(n_files) \
+            .write.mode("overwrite").parquet(src)
+        stream = read_parquet_stream(
+            spark, src, max_files_per_trigger=1
+        ).select(
+            "event_type",
+            F.col("value").cast("decimal(20,6)").alias("__vdec__"),
+        )
+        log = str(tmp_path / f"log_{tag}")
+        maintain_aggregate(stream, log, ["event_type"], aggs,
+                           query_name=f"t_split_{tag}")
+        return {
+            r.event_type: (r.n_events, str(r.value_sum),
+                           str(r.value_min))
+            for r in read_aggregate(spark, log, aggs).collect()
+        }
+
+    one = build(1, "one")
+    five = build(5, "five")
+    assert one == five

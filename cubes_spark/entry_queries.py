@@ -4762,6 +4762,58 @@ def q_events_stream_cuboid(spark, sf_dir):
     )
 
 
+def q_doc_stream_near_dup(spark, sf_dir):
+    """STREAMING near-dup candidate generation (streaming/stream.py:
+    stream_near_dup_candidates): documents — given a synthetic ingest
+    timestamp of doc_id minutes past a fixed epoch, staged as 3
+    event-time-ordered files and replayed one per micro-batch — are
+    MinHash-LSH banded statelessly per row (llm/dedup.py:
+    row_minhash_bands, bit-identical to the batch banding) and
+    stream-stream self-joined against the trailing 30-minute window
+    per shared band.  Arrival order follows event time (the staged
+    range partitioning), so the watermarked replay equals the batch
+    window join — the oracle replays the banding in SQL and windows
+    on the doc_id arithmetic the synthetic timestamps encode."""
+    import os
+    import tempfile
+
+    from cubes_spark.streaming import (read_parquet_stream,
+                                       replay_to_memory,
+                                       stream_near_dup_candidates)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("stream_near_dup", id(spark), sf_dir)
+    if key not in _stores_misc:
+        staging = tempfile.mkdtemp(prefix="cubes_spark_stage_")
+        src = os.path.join(staging, "docs")
+        docs = _table(spark, sf_dir, "documents").withColumn(
+            "ts",
+            F.expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval("
+                   "0, 0, 0, 0, 0, CAST(doc_id AS INT), 0)"))
+        docs.repartitionByRange(3, "ts").write.mode("overwrite") \
+            .parquet(src)
+        _stores_misc[key] = src
+    stream = read_parquet_stream(spark, _stores_misc[key],
+                                 max_files_per_trigger=1)
+    cands = stream_near_dup_candidates(stream, horizon_seconds=1800)
+    # stream-stream join state lives per shuffle partition per side
+    # per micro-batch: at this bounded replay size the state-store
+    # commit overhead dominates, so pin a small partition count for
+    # the query (fixed at stream start; restored after)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        result = replay_to_memory(cands, "q_doc_stream_near_dup",
+                                  output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return result.select(
+        F.col("id_old").cast("long").alias("id_old"),
+        F.col("id_new").cast("long").alias("id_new"),
+        F.col("band_id").cast("long").alias("band_id"),
+    )
+
+
 def q_events_stream_hll(spark, sf_dir):
     """Streaming approx-distinct: per-day HyperLogLog registers built
     INCREMENTALLY over the watermarked event stream (state = 32

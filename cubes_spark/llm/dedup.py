@@ -41,6 +41,7 @@ __all__ = [
     "benchmark_contamination",
     "minhash_signatures",
     "minhash_candidate_pairs",
+    "row_minhash_bands",
     "simhash",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
@@ -372,6 +373,68 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def row_minhash_bands(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_hashes: int = 16,
+                      bands: int = 4,
+                      shingle_k: int = 5,
+                      keep_cols: Optional[Sequence[str]] = None,
+                      ) -> DataFrame:
+    """Per-ROW MinHash-LSH banding: ``(id, keep_cols…, band_id,
+    band_hash)`` with ``bands`` rows per document, computed entirely
+    by array expressions — NO groupBy, so it runs STATELESSLY on a
+    streaming DataFrame (the building block of
+    :func:`~cubes_spark.streaming.stream_near_dup_candidates`).
+
+    The signature components and band hashes are bit-identical to
+    :func:`minhash_signatures` + :func:`minhash_candidate_pairs`'s
+    banding (same shingle set, one md5 per shingle, same universal-
+    hash mixing, same band digest), just folded per row instead of
+    exploded+grouped — the same numbers arrive without the shuffle.
+    The hashed-shingle and signature arrays are materialized in their
+    own projections (the HOF-recompute discipline: referenced from a
+    lambda they would re-evaluate per component)."""
+    a, b = minhash_params(num_hashes)
+    rows = num_hashes // bands
+    if rows * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    keep = list(keep_cols or [])
+
+    hs = F.transform(
+        _shingle_array(F.col(text_col), shingle_k),
+        lambda s: hash64(s, nhex=8) % F.lit(MINHASH_P),
+    )
+    staged = spread(df).select(F.col(id_col),
+                               *[F.col(c) for c in keep],
+                               hs.alias("__hs__"))
+    def _mix(ai: int, bi: int):
+        # factory, NOT a default-arg lambda: a two-parameter HOF
+        # lambda would receive the array INDEX as its second argument
+        return lambda h: (F.lit(ai) * h + F.lit(bi)) % F.lit(MINHASH_P)
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("__hs__"), _mix(a[i], b[i])))
+        for i in range(num_hashes)
+    ])
+    signed = staged.select(F.col(id_col), *[F.col(c) for c in keep],
+                           sig.alias("__sig__"))
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bb: F.md5(
+            F.concat_ws(
+                ",",
+                bb.cast("string"),
+                F.slice(F.col("__sig__"), bb * rows + 1, rows)
+                .cast("array<string>"),
+            )
+        ),
+    )
+    return signed.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        F.posexplode(band_arr).alias("band_id", "band_hash"),
     )
 
 

@@ -2603,6 +2603,13 @@ def oracle_sql() -> dict[str, str]:
                 / 16.0, 4) AS est_jaccard
         FROM pairs"""
 
+    sql["doc_stream_near_dup"] = f"""
+        {_minhash_cte()}
+        SELECT l.doc_id AS id_old, r.doc_id AS id_new, l.band_id
+        FROM banded l JOIN banded r
+            ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+            AND r.doc_id > l.doc_id AND r.doc_id - l.doc_id <= 30"""
+
     sql["doc_jaccard"] = f"""
         {_minhash_cte()},
         shingle_sets AS (

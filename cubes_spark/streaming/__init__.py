@@ -25,6 +25,7 @@ from cubes_spark.streaming.stream import (
     stream_exact_dedup,
     stream_static_enrich,
     stream_interval_join,
+    stream_near_dup_candidates,
     windowed_aggregate,
 )
 
@@ -41,4 +42,5 @@ __all__ = [
     "maintain_aggregate",
     "read_aggregate",
     "compact_aggregate",
+    "stream_near_dup_candidates",
 ]

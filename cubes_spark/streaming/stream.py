@@ -30,6 +30,7 @@ __all__ = [
     "maintain_aggregate",
     "read_aggregate",
     "compact_aggregate",
+    "stream_near_dup_candidates",
 ]
 
 
@@ -593,3 +594,65 @@ def compact_aggregate(spark: SparkSession, path: str,
      .option("partitionOverwriteMode", "static")
      .partitionBy("__batch_id__")
      .parquet(path))
+
+
+def stream_near_dup_candidates(docs: DataFrame,
+                               horizon_seconds: int = 1800,
+                               watermark: str = "1 hour",
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               ts_col: str = "ts",
+                               num_hashes: int = 16,
+                               bands: int = 4,
+                               shingle_k: int = 5) -> DataFrame:
+    """STREAMING near-duplicate candidate generation: each arriving
+    document is MinHash-LSH banded statelessly
+    (:func:`~cubes_spark.llm.dedup.row_minhash_bands` — per-row array
+    folds, no groupBy) and joined against documents seen in the last
+    ``horizon_seconds`` that share a band — the ingest-time dedup
+    shape: a new crawl batch is checked against the recent window as
+    it lands, instead of re-running corpus-wide LSH nightly.
+
+    The self-join is a watermarked stream-stream join keyed on
+    ``(band_id, band_hash)`` with the interval condition
+    ``old.ts <= new.ts <= old.ts + horizon`` — the time bound is what
+    lets Spark EVICT buffered rows once the watermark passes their
+    admissible window, so state is O(documents within
+    watermark+horizon), independent of stream length.  Same-timestamp
+    pairs order by id (``id_old < id_new``) so each unordered pair
+    appears once per shared band.
+
+    Output: ``(id_old, id_new, band_id, ts_old, ts_new)`` — one row
+    per (pair, shared band); downstream exact verification (Jaccard
+    on the bounded candidate stream) and cluster/keep-best selection
+    are the batch operators.  Works identically on a batch DataFrame
+    (watermarks are no-ops), which is how the oracle verifies it.
+    """
+    from cubes_spark.llm.dedup import row_minhash_bands
+
+    banded = row_minhash_bands(docs, text_col=text_col, id_col=id_col,
+                               num_hashes=num_hashes, bands=bands,
+                               shingle_k=shingle_k,
+                               keep_cols=[ts_col])
+    if banded.isStreaming:
+        banded = banded.withWatermark(ts_col, watermark)
+    old = banded.select(
+        F.col(id_col).alias("id_old"), F.col(ts_col).alias("ts_old"),
+        F.col("band_id").alias("__bo__"),
+        F.col("band_hash").alias("__ho__"))
+    new = banded.select(
+        F.col(id_col).alias("id_new"), F.col(ts_col).alias("ts_new"),
+        F.col("band_id").alias("__bn__"),
+        F.col("band_hash").alias("__hn__"))
+    cond = (
+        (F.col("__bo__") == F.col("__bn__"))
+        & (F.col("__ho__") == F.col("__hn__"))
+        & (F.col("ts_new") >= F.col("ts_old"))
+        & (F.col("ts_new") <= F.col("ts_old")
+           + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS"))
+        & ((F.col("ts_new") > F.col("ts_old"))
+           | (F.col("id_old") < F.col("id_new")))
+    )
+    return old.join(new, cond).select(
+        "id_old", "id_new",
+        F.col("__bo__").alias("band_id"), "ts_old", "ts_new")

@@ -884,3 +884,45 @@ def test_maintain_aggregate_invariant_to_batch_split(spark, tmp_path):
     one = build(1, "one")
     five = build(5, "five")
     assert one == five
+
+
+def test_stream_near_dup_equals_batch(spark, tmp_path):
+    """Streaming near-dup candidates == the batch window join when
+    arrival order follows event time (range-partitioned staging).
+    Pins both the stateless per-row banding and the watermarked
+    stream-stream self-join."""
+    from cubes_spark.llm.dedup import row_minhash_bands
+    from cubes_spark.sources.workspace import ParquetStore
+    from cubes_spark.streaming import (replay_to_memory,
+                                       stream_near_dup_candidates)
+    from tests.conftest import SF_DIR
+
+    docs = ParquetStore(spark, SF_DIR).table("documents").withColumn(
+        "ts",
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, 0, 0, CAST(doc_id AS INT), 0)"))
+    src = str(tmp_path / "docs")
+    docs.repartitionByRange(3, "ts").write.mode("overwrite") \
+        .parquet(src)
+
+    batch = {
+        tuple(r) for r in stream_near_dup_candidates(
+            spark.read.parquet(src), horizon_seconds=1800
+        ).select("id_old", "id_new", "band_id").collect()
+    }
+    stream = read_parquet_stream(spark, src, max_files_per_trigger=1)
+    got = {
+        tuple(r) for r in replay_to_memory(
+            stream_near_dup_candidates(stream, horizon_seconds=1800),
+            "t_stream_near_dup", output_mode="append"
+        ).select("id_old", "id_new", "band_id").collect()
+    }
+    assert got == batch
+    # sanity on the blocking itself: every candidate pair shares at
+    # least one band in the row-wise banding
+    banded = row_minhash_bands(docs)
+    bb = {}
+    for r in banded.collect():
+        bb.setdefault(r.doc_id, set()).add((r.band_id, r.band_hash))
+    for id_old, id_new, _band in batch:
+        assert bb[id_old] & bb[id_new]

@@ -4770,10 +4770,12 @@ def q_doc_stream_near_dup(spark, sf_dir):
     MinHash-LSH banded statelessly per row (llm/dedup.py:
     row_minhash_bands, bit-identical to the batch banding) and
     stream-stream self-joined against the trailing 30-minute window
-    per shared band.  Arrival order follows event time (the staged
-    range partitioning), so the watermarked replay equals the batch
-    window join — the oracle replays the banding in SQL and windows
-    on the doc_id arithmetic the synthetic timestamps encode."""
+    per shared band.  The bounded replay uses an effectively-
+    unbounded watermark so parity with the batch window join holds
+    for any micro-batch order; the oracle replays the banding in SQL
+    and windows on the doc_id arithmetic the synthetic timestamps
+    encode.  (Production: a real watermark bounds join state; late
+    documents past it are dropped per the standard contract.)"""
     import os
     import tempfile
 
@@ -4795,7 +4797,13 @@ def q_doc_stream_near_dup(spark, sf_dir):
         _stores_misc[key] = src
     stream = read_parquet_stream(spark, _stores_misc[key],
                                  max_files_per_trigger=1)
-    cands = stream_near_dup_candidates(stream, horizon_seconds=1800)
+    # effectively-unbounded watermark for the bounded replay (same
+    # pattern as events_sessions): the file source breaks mtime ties
+    # arbitrarily, so staged same-second files can arrive out of
+    # event-time order, and a short watermark would — correctly, per
+    # the late-data contract — drop the late side nondeterministically
+    cands = stream_near_dup_candidates(stream, horizon_seconds=1800,
+                                       watermark="3650 days")
     # stream-stream join state lives per shuffle partition per side
     # per micro-batch: at this bounded replay size the state-store
     # commit overhead dominates, so pin a small partition count for

@@ -887,10 +887,14 @@ def test_maintain_aggregate_invariant_to_batch_split(spark, tmp_path):
 
 
 def test_stream_near_dup_equals_batch(spark, tmp_path):
-    """Streaming near-dup candidates == the batch window join when
-    arrival order follows event time (range-partitioned staging).
-    Pins both the stateless per-row banding and the watermarked
-    stream-stream self-join."""
+    """Streaming near-dup candidates == the batch window join.  The
+    replay uses an effectively-unbounded watermark (the bounded-replay
+    pattern of the other streaming entries) so parity holds for ANY
+    micro-batch arrival order — the file source breaks mtime ties
+    arbitrarily, so same-second staged files can replay out of
+    event-time order, and a short watermark would then (correctly,
+    per the late-data contract) drop the late side.  Pins both the
+    stateless per-row banding and the stream-stream self-join."""
     from cubes_spark.llm.dedup import row_minhash_bands
     from cubes_spark.sources.workspace import ParquetStore
     from cubes_spark.streaming import (replay_to_memory,
@@ -913,7 +917,8 @@ def test_stream_near_dup_equals_batch(spark, tmp_path):
     stream = read_parquet_stream(spark, src, max_files_per_trigger=1)
     got = {
         tuple(r) for r in replay_to_memory(
-            stream_near_dup_candidates(stream, horizon_seconds=1800),
+            stream_near_dup_candidates(stream, horizon_seconds=1800,
+                                       watermark="3650 days"),
             "t_stream_near_dup", output_mode="append"
         ).select("id_old", "id_new", "band_id").collect()
     }

@@ -403,6 +403,10 @@ TPCH_MODEL = {
             "aggregates": [
                 {"name": "value_sum", "function": "sum",
                  "measure": "value"},
+                {"name": "value_count", "function": "count_nonempty",
+                 "measure": "value"},
+                {"name": "value_avg", "function": "avg",
+                 "measure": "value"},
                 {"name": "fact_count", "function": "count"},
             ],
             "mappings": {

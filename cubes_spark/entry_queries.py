@@ -471,6 +471,38 @@ def q_preagg_rollup_rewrite(spark, sf_dir):
     return _lng(_dbl(df, "quantity_sum"), "date.year", "fact_count")
 
 
+def q_preagg_var_rewrite(spark, sf_dir):
+    """Algebraic variance/stddev pre-aggregation rewrite (r14;
+    operators/preagg.py Cuboid.materialize + partials_for): the
+    month-grain cuboid materializes ``price_variance``/``price_stddev``
+    and, in the same pass, hidden (sum, count, sum-of-squares) decimal
+    partials — a COARSER year-grain query is then served as
+    (Σs2 − (Σs1)²/Σn)/(Σn − 1) over the merged partials, bit-identical
+    to the direct decimal-exact computation
+    (functions/aggregates.py variance_from_sums).  tests/test_preagg.py
+    asserts the plan scans the cuboid parquet, never the fact star;
+    the oracle recomputes the same formula from the raw facts."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("preagg_var", id(spark), sf_dir)
+    if key not in _browsers:
+        ws = tpch_workspace(spark, sf_dir)
+        browser = ws.browser("sales")
+        path = tempfile.mkdtemp(prefix="cubes_spark_cuboid_") + "/ymv"
+        browser.materialize_cuboid(
+            path, drilldown=["date@ym:month"],
+            aggregates=["price_variance", "price_stddev", "fact_count"],
+        )
+        _browsers[key] = browser
+    browser = _browsers[key]
+    df = browser.aggregation_dataframe(
+        drilldown=["date:year"],
+        aggregates=["price_variance", "price_stddev", "fact_count"],
+    )
+    return _lng(df, "date.year", "fact_count")
+
+
 def q_grouping_sets(spark, sf_dir):
     """GROUP BY GROUPING SETS — one pass over two disjoint cuboids."""
     df = _browser(spark, sf_dir).aggregation_dataframe(
@@ -4759,6 +4791,68 @@ def q_events_stream_cuboid(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.col("value_sum").cast("double").alias("value_sum"),
         F.col("value_max").cast("double").alias("value_max"),
+    )
+
+
+def q_events_stream_cuboid_rewrite(spark, sf_dir):
+    """Stream-maintained cuboid served TRANSPARENTLY by the browser
+    rewriter (r14; operators/preagg.py StreamAggregateCuboid +
+    browser.register_stream_cuboid): the events stream — replayed one
+    file per micro-batch — maintains an (event_type, year, month)
+    partial log (streaming/stream.py maintain_aggregate, idempotent
+    per-batch partitions); the log is then REGISTERED with the events
+    cube browser, and a coarser (etype, year)-grain OLAP aggregation
+    asking for value_sum, value_avg and fact_count is served by
+    merge-on-read of the log — the fact table is never scanned
+    (plan-asserted in tests/test_preagg.py), and value_avg is
+    reconstructed from the sum/count partials bit-identically to the
+    direct decimal-exact avg.  The oracle computes the same grain from
+    the raw events."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("stream_cuboid_rewrite", id(spark), sf_dir)
+    aggs = {
+        "value_sum": ("sum", "__vdec__"),
+        "value_count": ("count_nonempty", "__vdec__"),
+        "fact_count": ("count", None),
+    }
+    if key not in _browsers:
+        from cubes_spark.streaming import (maintain_aggregate,
+                                           read_parquet_stream)
+
+        staging = tempfile.mkdtemp(prefix="cubes_spark_stage_")
+        src = os.path.join(staging, "events")
+        _table(spark, sf_dir, "events").repartition(4) \
+            .write.mode("overwrite").parquet(src)
+        stream = read_parquet_stream(spark, src,
+                                     max_files_per_trigger=1)
+        enriched = stream.select(
+            F.col("event_type"),
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.col("value").cast("decimal(20,6)").alias("__vdec__"),
+        )
+        log_path = os.path.join(staging, "cuboid_log")
+        maintain_aggregate(enriched, log_path,
+                           ["event_type", "year", "month"], aggs,
+                           query_name="q_events_stream_cuboid_rewrite")
+        browser = tpch_workspace(spark, sf_dir).browser("events")
+        browser.register_stream_cuboid(
+            log_path, aggs,
+            column_map={"etype.etype": "event_type",
+                        "date.year": "year", "date.month": "month"})
+        _browsers[key] = browser
+    browser = _browsers[key]
+    df = browser.aggregation_dataframe(
+        drilldown=["etype", "date:year"],
+        aggregates=["value_sum", "value_avg", "fact_count"],
+    )
+    return _lng(_dbl(df, "value_sum"), "date.year", "fact_count").select(
+        F.col("`etype.etype`").alias("event_type"),
+        F.col("`date.year`").alias("year"),
+        "value_sum", "value_avg", "fact_count",
     )
 
 

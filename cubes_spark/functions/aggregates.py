@@ -130,6 +130,19 @@ def _exact_avg(column: Column, dtype: Optional[str] = None) -> Column:
     return F.sum(column).cast("double") / F.count(column).cast("double")
 
 
+def variance_from_sums(n_raw: Column, s1: Column, s2: Column) -> Column:
+    """Sample variance from exact component sums: ``n_raw`` (integral
+    count), ``s1`` = sum(m) cast to double, ``s2`` = sum(m*m) cast to
+    double.  Shared by the direct decimal-exact path (:func:`_exact_var`)
+    and the cuboid partial-aggregate rewrite
+    (operators/preagg.py ``Cuboid.partials_for``) so a variance served
+    from merged (sum, sum², count) partials is bit-identical to the
+    direct computation — the component sums are decimal-exact, hence
+    independent of partitioning and merge order."""
+    n = n_raw.cast("double")
+    return F.when(n_raw > 1, (s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+
+
 def _exact_var(column: Column, dtype: Optional[str] = None):
     """Sample variance from exact decimal sums; returns None when the
     measure is not a decimal (or has a scale Spark's precision-capping
@@ -139,11 +152,11 @@ def _exact_var(column: Column, dtype: Optional[str] = None):
         return None
     # square at native precision: (p,s)^2 caps at (38,2s) identically in
     # Spark and ANSI SQL engines — exact for values < 10^(19-s)
-    n_raw = F.count(column)
-    n = n_raw.cast("double")
-    s1 = F.sum(column).cast("double")
-    s2 = F.sum(column * column).cast("double")
-    return F.when(n_raw > 1, (s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    return variance_from_sums(
+        F.count(column),
+        F.sum(column).cast("double"),
+        F.sum(column * column).cast("double"),
+    )
 
 
 def _variance_builder(column: Column, dtype: Optional[str] = None) -> Column:

@@ -969,13 +969,20 @@ def pq_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     )
 
 
+#: last persisted MMR pool frame per SparkSession — swapped out (and
+#: unpersisted) on the next mmr_topk call so repeated calls hold at
+#: most ONE cached pool instead of accumulating forever
+_MMR_POOL_CACHE: dict = {}
+
+
 def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
              pool: int = 24, lam: float = 0.7,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: Optional[str] = None,
              candidates: Optional[DataFrame] = None,
              cand_query_col: str = "query_id",
-             cand_id_col: str = "neighbor_id") -> DataFrame:
+             cand_id_col: str = "neighbor_id",
+             broadcast_threshold_rows: int = 100_000) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein, SIGIR 1998): from each query's cosine top-``pool``
     candidate set, greedily pick k results maximizing
@@ -1044,12 +1051,31 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
     # persist each reuse re-runs the ENTIRE scoring stage — the ANN
     # candidate generator (measured 10.3s -> ~3s at sf0.1) or, on the
     # exact path, the corpus x queries broadcast scan three times
-    # over.  Bounded: queries x pool rows.
+    # over.  Bounded: queries x pool rows.  The previous call's pool
+    # is unpersisted here, so repeated calls hold at most one cached
+    # pool (the last one lives until the next call or clearCache).
     pool_df = pool_df.persist()
+    session = pool_df.sparkSession
+    prior = _MMR_POOL_CACHE.get(id(session))
+    if prior is not None:
+        try:
+            prior.unpersist(False)
+        except Exception:
+            pass
+    _MMR_POOL_CACHE[id(session)] = pool_df
+    # materialize the cache once (the count also gives the true pool
+    # size, gating the broadcast hints below — an unbounded
+    # queries x pool frame with full vectors must not be broadcast)
+    pool_rows = pool_df.count()
+    small = pool_rows <= broadcast_threshold_rows
+
+    def _hint(df):
+        return F.broadcast(df) if small else df
+
     # broadcast hints: the pool frame is tiny but its SIZE ESTIMATE
     # derives from the corpus scan, so without hints Catalyst picks
     # sort-merge joins for the vector fetch and the pairs self-join
-    pv = F.broadcast(pool_df).join(c, "__cid__").select(
+    pv = _hint(pool_df).join(c, "__cid__").select(
         "__qid__", "__cid__", F.col("__cv__").alias("__v__"),
         F.col("__cn__").alias("__vn__"))
     a = pv.select(F.col("__qid__").alias("__qa__"),
@@ -1062,7 +1088,7 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
                   F.col("__vn__").alias("__nb__"))
     psim = _dot(F.col("__va__"), F.col("__vb__")) / (
         F.col("__na__") * F.col("__nb__"))
-    pairs = (a.join(F.broadcast(b), (F.col("__qa__") == F.col("__qb__"))
+    pairs = (a.join(_hint(b), (F.col("__qa__") == F.col("__qb__"))
                     & (F.col("__ca__") < F.col("__cb__")))
              .select(F.col("__qa__").alias("__qid__"), "__ca__",
                      "__cb__", F.round(psim, 6).alias("__sim__")))

@@ -29,6 +29,7 @@ from cubes_spark.errors import ArgumentError, BrowserError
 from cubes_spark.functions.aggregates import (
     available_aggregate_functions,
     get_aggregate_function,
+    variance_from_sums,
 )
 from cubes_spark.functions.calculators import (
     CALCULATED_AGGREGATIONS,
@@ -176,6 +177,20 @@ class SparkBrowser:
         self.add_cuboid(cuboid)
         return cuboid
 
+    def register_stream_cuboid(self, path: str, aggs: dict,
+                               column_map: dict):
+        """Register a stream-maintained partial-aggregate log
+        (streaming/stream.py ``maintain_aggregate``) as a transparent
+        cuboid: covered aggregations are served by merge-on-read of
+        the log instead of scanning the fact star
+        (operators/preagg.py ``StreamAggregateCuboid``)."""
+        from cubes_spark.operators.preagg import StreamAggregateCuboid
+
+        cuboid = StreamAggregateCuboid.from_log(
+            self, path, aggs, column_map)
+        self.add_cuboid(cuboid)
+        return cuboid
+
     def _try_cuboid_plan(self, cell: Cell, aggregates: Sequence,
                          drilldown: Drilldown, split: Optional[Cell]):
         """Rewrite the aggregation against a covering cuboid, if any.
@@ -258,8 +273,8 @@ class SparkBrowser:
                     if parts is not None:
                         recon[a.name] = parts
             needed = [a.name for a in storable if a.name not in recon]
-            for s_name, c_name in recon.values():
-                for n in (s_name, c_name):
+            for parts in recon.values():
+                for n in parts[1:]:
                     if n not in needed:
                         needed.append(n)
             select_cols = [
@@ -271,12 +286,26 @@ class SparkBrowser:
             pairs = []
             for a in storable:
                 if a.name in recon:
-                    s_name, c_name = recon[a.name]
-                    expr = (
-                        F.sum(F.col(f"`{s_name}`")).cast("double")
-                        / F.sum(F.col(f"`{c_name}`")).cast("double")
-                    ).alias(a.name)
-                    pairs.append((a.name, expr))
+                    kind, *names = recon[a.name]
+                    if kind == "avg":
+                        s_name, c_name = names
+                        expr = (
+                            F.sum(F.col(f"`{s_name}`")).cast("double")
+                            / F.sum(F.col(f"`{c_name}`")).cast("double")
+                        )
+                    else:
+                        # variance/stddev from merged (sum, count, sum²)
+                        # partials — same formula over the same exact
+                        # decimal sums as the direct path, hence
+                        # bit-identical (functions/aggregates.py)
+                        s_name, c_name, q_name = names
+                        var = variance_from_sums(
+                            F.sum(F.col(f"`{c_name}`")),
+                            F.sum(F.col(f"`{s_name}`")).cast("double"),
+                            F.sum(F.col(f"`{q_name}`")).cast("double"),
+                        )
+                        expr = var if kind == "variance" else F.sqrt(var)
+                    pairs.append((a.name, expr.alias(a.name)))
                 else:
                     pairs.append((a.name, reaggregation_column(a, exact)))
             if dd_refs:

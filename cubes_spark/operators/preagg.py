@@ -28,8 +28,21 @@ falls back to the fact star):
   and the stored sum is decimal (exact partials):
   ``sum(sums)/sum(counts)`` is then bit-identical to the engine's
   decimal-exact direct avg (functions/aggregates.py ``_exact_avg``).
-  Double-measure avg and count_distinct / stddev / variance fall back
-  to the fact star.
+* ALGEBRAIC ``variance``/``stddev`` (and ``avg``) re-aggregate from
+  partials RECORDED AT MATERIALIZATION: when the materialized aggregate
+  list contains an avg/variance/stddev of a decimal measure,
+  :meth:`Cuboid.materialize` additionally stores hidden
+  (sum, count[, sum-of-squares]) partial columns in the same single
+  aggregation pass and records them on the descriptor.  Variance is
+  then served at ANY coarser grain as
+  ``(Σs2 − (Σs1)²/Σn)/(Σn − 1)`` — the same formula over the same
+  exact decimal sums as the direct path
+  (functions/aggregates.py ``variance_from_sums``), hence
+  bit-identical.  Gate: the measure must be decimal with scale ≤ 6
+  (the ``_exact_var`` condition); otherwise the direct computation is
+  itself order-dependent floating point and no partial set can
+  reproduce it — those fall back to the fact star, as do
+  double-measure avg and count_distinct.
 """
 
 from __future__ import annotations
@@ -38,9 +51,9 @@ from typing import Any, List, Optional, Sequence
 
 from pyspark.sql import functions as F
 
-__all__ = ["Cuboid", "REAGGREGABLE", "reaggregation_column",
-           "cuboid_sizes", "greedy_cuboid_selection",
-           "auto_materialize"]
+__all__ = ["Cuboid", "StreamAggregateCuboid", "REAGGREGABLE",
+           "reaggregation_column", "cuboid_sizes",
+           "greedy_cuboid_selection", "auto_materialize"]
 
 #: aggregate function → re-aggregation over partial states
 REAGGREGABLE = {
@@ -80,7 +93,8 @@ class Cuboid:
     def __init__(self, path: str, attribute_refs: Sequence[str],
                  aggregates: Sequence[Any],
                  column_dtypes: Optional[dict] = None,
-                 rows: Optional[int] = None) -> None:
+                 rows: Optional[int] = None,
+                 partials: Optional[dict] = None) -> None:
         self.path = path
         self.attribute_refs = list(attribute_refs)
         self.aggregates = {a.name: a for a in aggregates}
@@ -89,10 +103,22 @@ class Cuboid:
         #: count — no data scan); lets the browser prefer the SMALLEST
         #: covering cuboid when several match
         self.rows = rows
+        #: aggregate name → ("avg", sum, count) |
+        #: ("variance"|"stddev", sum, count, sumsq) partial column
+        #: names recorded (and exactness-gated) at materialization
+        self.partials = dict(partials or {})
 
     def partials_for(self, aggregate: Any) -> Optional[tuple]:
-        """``(sum_name, count_name)`` of stored partials that can serve
-        an ``avg`` aggregate exactly at ANY coarser grain, else None."""
+        """Stored-partial recipe serving ``aggregate`` exactly at ANY
+        coarser grain: ``("avg", sum_name, count_name)`` or
+        ``("variance"|"stddev", sum_name, count_name, sumsq_name)``,
+        else None.  Materialization-recorded partials (already
+        exactness-gated at build time) win; an avg can also be derived
+        from model-stored sum + count_nonempty aggregates of the same
+        measure when their stored sum is decimal."""
+        recorded = self.partials.get(getattr(aggregate, "name", None))
+        if recorded is not None:
+            return tuple(recorded)
         if getattr(aggregate, "function", None) != "avg" \
                 or not getattr(aggregate, "measure", None):
             return None
@@ -110,17 +136,30 @@ class Cuboid:
         # partials would differ from the direct avg in the last ulp
         if not self.column_dtypes.get(sum_name, "").startswith("decimal"):
             return None
-        return sum_name, count_name
+        return "avg", sum_name, count_name
 
     @classmethod
     def materialize(cls, browser: Any, path: str, drilldown: Any,
                     aggregates: Optional[Sequence[str]] = None,
                     mode: str = "overwrite") -> "Cuboid":
         """Write the cuboid parquet (logical refs stored with ``__`` for
-        dots) and return its descriptor."""
+        dots) and return its descriptor.
+
+        When the aggregate list contains an avg/variance/stddev of a
+        measure, hidden ``(sum, count[, sum-of-squares])`` partial
+        columns are computed IN THE SAME aggregation pass and recorded
+        on the descriptor (``self.partials``) — that is what lets the
+        rewriter serve those algebraic aggregates at coarser grains.
+        Partials that fail the exactness gate (non-decimal measure, or
+        scale > 6 for variance — the ``_exact_var`` condition) are
+        dropped before the write and not recorded: the direct
+        computation is order-dependent floating point there, so a
+        coarse-grain reconstruction could not match it bit-for-bit."""
+        from cubes_spark.functions.aggregates import _decimal_scale
         from cubes_spark.functions.calculators import (
             CALCULATED_AGGREGATIONS,
         )
+        from cubes_spark.metadata.attributes import MeasureAggregate
         from cubes_spark.query.drilldown import Drilldown
 
         dd = Drilldown(drilldown, browser.prepare_cell(None))
@@ -128,23 +167,88 @@ class Cuboid:
             a for a in browser.prepare_aggregates(aggregates)
             if a.function not in CALCULATED_AGGREGATIONS
         ]
-        df = browser.aggregation_dataframe(
-            drilldown=dd, aggregates=[a.name for a in prepared]
-        )
+
+        # -- partial requests: one (sum, count[, sumsq]) set per measure
+        # with an algebraic aggregate, reusing model-stored sum/count
+        # aggregates of the same measure when already in the list
+        algebraic = [a for a in prepared
+                     if a.function in ("avg", "variance", "stddev")
+                     and a.measure]
+        sums = {a.measure: a.name for a in prepared
+                if a.function == "sum" and a.measure}
+        counts = {a.measure: a.name for a in prepared
+                  if a.function == "count_nonempty" and a.measure}
+        sumsqs: dict = {}
+        synthetic: List[Any] = []
+        owned: set = set()
+        for m in sorted({a.measure for a in algebraic}):
+            if m not in sums:
+                name = f"__psum__{m}"
+                synthetic.append(MeasureAggregate(
+                    name=name, function="sum", measure=m))
+                sums[m] = name
+                owned.add(name)
+            if m not in counts:
+                name = f"__pcount__{m}"
+                synthetic.append(MeasureAggregate(
+                    name=name, function="count_nonempty", measure=m))
+                counts[m] = name
+                owned.add(name)
+        for m in sorted({a.measure for a in algebraic
+                         if a.function in ("variance", "stddev")}):
+            name = f"__psumsq__{m}"
+            # squared at native decimal precision — the exact expression
+            # the direct path sums (functions/aggregates.py _exact_var)
+            synthetic.append(MeasureAggregate(
+                name=name, expression=f"sum({m} * {m})"))
+            sumsqs[m] = name
+            owned.add(name)
+
+        df, _, _ = browser._aggregation_plan(
+            browser.prepare_cell(None), prepared + synthetic, dd, None)
         safe = df.select(
             *[F.col(f"`{c}`").alias(_safe(c)) for c in df.columns]
         )
+        dtypes = {c: t for c, t in safe.dtypes}
+
+        # -- exactness gate per algebraic aggregate; keep only partial
+        # columns a gated recipe references
+        partials: dict = {}
+        keep: set = set()
+        for a in algebraic:
+            s, c = sums[a.measure], counts[a.measure]
+            s_dtype = dtypes.get(_safe(s), "")
+            if a.function == "avg":
+                if not s_dtype.startswith("decimal"):
+                    continue
+                partials[a.name] = ("avg", s, c)
+            else:
+                q = sumsqs[a.measure]
+                ps = _decimal_scale(s_dtype)  # sum preserves the scale
+                if not ps or ps[1] > 6 \
+                        or not dtypes.get(_safe(q), "").startswith(
+                            "decimal"):
+                    continue
+                partials[a.name] = (a.function, s, c, q)
+                keep.add(q)
+            keep.add(s)
+            keep.add(c)
+        drop = owned - keep
+        if drop:
+            safe = safe.drop(*[_safe(n) for n in drop])
+            dtypes = {c: t for c, t in safe.dtypes}
+
         safe.write.mode(mode).parquet(path)
         refs = [a.ref for a in dd.all_attributes]
-        dtypes = {c: t for c, t in safe.dtypes}
         spark = df.sparkSession
         # metadata-only count over the written files (row-group stats)
         rows = spark.read.parquet(path).count()
+        recorded = [a.name for a in prepared] + sorted(
+            n for n in owned - drop)
         return cls(path, refs, prepared,
-                   column_dtypes={a.name: dtypes[_safe(a.name)]
-                                  for a in prepared
-                                  if _safe(a.name) in dtypes},
-                   rows=rows)
+                   column_dtypes={n: dtypes[_safe(n)] for n in recorded
+                                  if _safe(n) in dtypes},
+                   rows=rows, partials=partials)
 
     def covers(self, attribute_refs: Sequence[str],
                aggregates: Sequence[Any],
@@ -182,6 +286,94 @@ class Cuboid:
     def load(self, spark: Any):
         """The cuboid table with SAFE column names (no dots)."""
         return spark.read.parquet(self.path)
+
+
+class StreamAggregateCuboid(Cuboid):
+    """A browser-servable cuboid over a STREAM-MAINTAINED partial log
+    (streaming/stream.py ``maintain_aggregate``): the r13 seam closed —
+    the same rewriter that serves batch-materialized parquet cuboids
+    now serves a cuboid a stream keeps fresh, transparently.
+
+    ``load()`` is the merge-on-read of ``read_aggregate``: one scan of
+    the (tiny) per-batch partial log, re-aggregated to the cuboid
+    grain and renamed to the browser's safe column names — after which
+    every inherited rewrite rule applies unchanged (coarser-grain
+    distributive rollup, smallest-covering pick, and the algebraic
+    avg-from-partials path, since ``maintain_aggregate`` partials are
+    distributive by construction and decimal sums stay decimal through
+    the merge).  Each ``load()`` re-lists the log, so batches appended
+    AFTER registration are visible to the next query; ``rows`` (the
+    smallest-cuboid preference key) is the registration-time grain
+    count.
+
+    Scale: the browser-facing cost is O(partial log) = O(batches ×
+    grain), never O(stream); ``compact_aggregate`` folds the log back
+    to O(grain) as batches accumulate.
+    """
+
+    def __init__(self, path: str, attribute_refs: Sequence[str],
+                 grain_cols: Sequence[str], aggregates: Sequence[Any],
+                 aggs: dict, column_dtypes: Optional[dict] = None,
+                 rows: Optional[int] = None) -> None:
+        super().__init__(path, attribute_refs, aggregates,
+                         column_dtypes=column_dtypes, rows=rows)
+        self.grain_cols = list(grain_cols)
+        self.aggs = dict(aggs)
+
+    @classmethod
+    def from_log(cls, browser: Any, path: str, aggs: dict,
+                 column_map: dict) -> "StreamAggregateCuboid":
+        """Descriptor over an existing ``maintain_aggregate`` log.
+
+        ``aggs`` is the maintenance spec (output name → ``(function,
+        column)``); each name must be a cube aggregate whose model
+        function matches the maintained one — that is what guarantees
+        the stored partial means what the browser will serve.
+        ``column_map`` maps each logical attribute ref of the cuboid
+        grain to its column name in the log.
+        """
+        from cubes_spark.errors import ArgumentError
+
+        refs = list(column_map)
+        grain_cols = [column_map[r] for r in refs]
+        prepared = browser.prepare_aggregates(list(aggs))
+        by_name = {a.name: a for a in prepared}
+        for name, (fn, _col) in aggs.items():
+            model_fn = getattr(by_name.get(name), "function", None)
+            if model_fn != fn:
+                raise ArgumentError(
+                    f"Maintained aggregate '{name}' is '{fn}' but the "
+                    f"cube model declares '{model_fn}' — the stored "
+                    "partial would not mean what the browser serves")
+        spark = browser.star_schema.fact_df.sparkSession
+        merged = cls._merged(spark, path, aggs)
+        missing = [c for c in grain_cols if c not in merged.columns]
+        if missing:
+            raise ArgumentError(
+                f"Grain column(s) {missing} not in the partial log at "
+                f"{path} (log grain: "
+                f"{[c for c in merged.columns if c not in aggs]})")
+        dtypes = dict(merged.dtypes)
+        return cls(path, refs, grain_cols,
+                   [by_name[n] for n in aggs],
+                   aggs,
+                   column_dtypes={n: dtypes[n] for n in aggs
+                                  if n in dtypes},
+                   rows=merged.count())
+
+    @staticmethod
+    def _merged(spark: Any, path: str, aggs: dict):
+        from cubes_spark.streaming.stream import read_aggregate
+
+        return read_aggregate(spark, path, aggs)
+
+    def load(self, spark: Any):
+        """Merge-on-read of the partial log, renamed to safe columns."""
+        df = self._merged(spark, self.path, self.aggs)
+        cols = [F.col(f"`{c}`").alias(_safe(ref))
+                for ref, c in zip(self.attribute_refs, self.grain_cols)]
+        cols += [F.col(f"`{n}`") for n in self.aggs]
+        return df.select(*cols)
 
 
 def cuboid_sizes(df: Any, dims: Sequence[str]) -> Any:

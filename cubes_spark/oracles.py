@@ -2421,6 +2421,21 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem GROUP BY 1"""
 
+    # exact decimal sums VARCHAR-routed to double (DuckDB's direct
+    # decimal->double cast can differ from Spark's in the last ulp for
+    # wide decimals; the decimal STRING parses to the identical double)
+    _VN = "CAST(COUNT(l_extendedprice) AS DOUBLE)"
+    _VS1 = f"CAST(CAST(SUM({_DEC_PRICE}) AS VARCHAR) AS DOUBLE)"
+    _VS2 = (f"CAST(CAST(SUM({_DEC_PRICE} * {_DEC_PRICE})"
+            " AS VARCHAR) AS DOUBLE)")
+    _VVAR = f"({_VS2} - {_VS1} * {_VS1} / {_VN}) / ({_VN} - 1.0)"
+    sql["preagg_var_rewrite"] = f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            {_VVAR} AS price_variance,
+            sqrt({_VVAR}) AS price_stddev,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
+
     sql["grouping_sets"] = f"""
         SELECT returnflag, linestatus,
             CAST(SUM(dec_qty) AS DOUBLE) AS quantity_sum
@@ -2484,6 +2499,16 @@ def oracle_sql() -> dict[str, str]:
                 AS value_sum,
             CAST(MAX(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
                 AS value_max
+        FROM events GROUP BY 1, 2"""
+
+    sql["events_stream_cuboid_rewrite"] = """
+        SELECT event_type,
+            CAST(year(ts) AS BIGINT) AS year,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                AS value_sum,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR)
+                 AS DOUBLE) / COUNT(value) AS value_avg,
+            COUNT(*) AS fact_count
         FROM events GROUP BY 1, 2"""
 
     sql["events_stream_enrich"] = """

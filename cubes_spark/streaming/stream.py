@@ -489,7 +489,8 @@ def maintain_aggregate(stream_df: DataFrame, path: str,
                        group_cols: Sequence[str],
                        aggs: Dict[str, tuple],
                        query_name: str = "maintain_aggregate",
-                       timeout_sec: int = 120):
+                       timeout_sec: int = 120,
+                       checkpoint: Optional[str] = None):
     """Maintain a pre-aggregated cuboid from a stream: every
     micro-batch writes ITS OWN partial aggregate at the cuboid grain
     into a ``__batch_id__=<n>`` partition of ``path``.
@@ -508,6 +509,17 @@ def maintain_aggregate(stream_df: DataFrame, path: str,
     appending a duplicate — idempotent per batch id, the documented
     plain-files recipe.  Readers see a prefix of batches, never a
     torn batch.
+
+    Batch-id idempotency holds only while the ORIGINAL ``checkpoint``
+    is retained: a fresh checkpoint replays the source as batch ids
+    0..n, which would double-count every row already folded into the
+    ``__batch_id__=-1`` partition a prior :func:`compact_aggregate`
+    left behind.  Batch 0 therefore REFUSES to write over a compacted
+    log (``ArgumentError``) — resume with the original checkpoint, or
+    clear ``path`` to rebuild from scratch.  (Re-running over an
+    UN-compacted log with a fresh checkpoint stays idempotent: the
+    same files replay as the same batch ids and each overwrite
+    replaces its own partition.)
 
     Scale shape: the only stream-side work per batch is one map-side
     combinable groupBy at cuboid grain (partial rows ~= |grain| per
@@ -541,6 +553,15 @@ def maintain_aggregate(stream_df: DataFrame, path: str,
         return out
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0 and os.path.isdir(
+                os.path.join(path, "__batch_id__=-1")):
+            raise ArgumentError(
+                f"Partial log at {path} holds a compacted "
+                "(__batch_id__=-1) partition but this stream is "
+                "replaying from batch 0 (fresh checkpoint) — writing "
+                "would double-count the compacted history.  Resume "
+                "with the original checkpoint, or clear the log path "
+                "to rebuild from scratch.")
         partial = (batch_df.groupBy(*[F.col(c) for c in group_cols])
                    .agg(*_exprs())
                    .withColumn("__batch_id__", F.lit(int(batch_id))))
@@ -549,12 +570,14 @@ def maintain_aggregate(stream_df: DataFrame, path: str,
          .partitionBy("__batch_id__")
          .parquet(path))
 
-    checkpoint = tempfile.mkdtemp(prefix="cubes_spark_ckpt_")
+    if checkpoint is None:
+        checkpoint = os.path.join(
+            tempfile.mkdtemp(prefix="cubes_spark_ckpt_"), "cp")
     query = (
         stream_df.writeStream
         .foreachBatch(_write_batch)
         .queryName(query_name)
-        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

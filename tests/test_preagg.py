@@ -365,3 +365,302 @@ class TestAutoMaterialize:
             auto_materialize(b, str(tmp_path / "auto2"),
                              ["date@ym:month", "returnflag"],
                              aggregates=["price_sum"])
+
+
+class TestVarFromPartials:
+    """Algebraic variance/stddev rewrite (r14): materializing a
+    var/stddev aggregate of a decimal measure stores hidden
+    (sum, count, sum-of-squares) partial columns in the same pass
+    (Cuboid.materialize), and any coarser grain is then served as
+    (Σs2 − (Σs1)²/Σn)/(Σn − 1) — bit-identical to the direct
+    decimal-exact path (functions/aggregates.py variance_from_sums).
+    Ungated measures (non-decimal, scale > 6) record no partials and
+    fall back to the fact star."""
+
+    @pytest.fixture()
+    def var_browser(self, spark, tmp_path):
+        ws = tpch_workspace(spark, SF_DIR)
+        b = ws.browser("sales")
+        b.materialize_cuboid(
+            str(tmp_path / "var_cuboid"),
+            drilldown=["date@ym:month"],
+            aggregates=["price_variance", "price_stddev", "fact_count"],
+        )
+        return b
+
+    def test_partials_recorded_and_written(self, var_browser, spark):
+        cuboid = var_browser._cuboids[0]
+        assert cuboid.partials["price_variance"] == (
+            "variance", "__psum__extendedprice",
+            "__pcount__extendedprice", "__psumsq__extendedprice")
+        assert cuboid.partials["price_stddev"][0] == "stddev"
+        cols = set(spark.read.parquet(cuboid.path).columns)
+        assert {"__psum__extendedprice", "__pcount__extendedprice",
+                "__psumsq__extendedprice"} <= cols
+        # partial sums stayed decimal (the exactness gate's premise)
+        assert cuboid.column_dtypes["__psum__extendedprice"] \
+            .startswith("decimal")
+        assert cuboid.column_dtypes["__psumsq__extendedprice"] \
+            .startswith("decimal")
+
+    def test_var_served_bit_identical(self, var_browser, spark):
+        df = var_browser.aggregation_dataframe(
+            drilldown=["date:year"],
+            aggregates=["price_variance", "price_stddev", "fact_count"],
+        )
+        plan = plan_of(df)
+        assert "lineitem" not in plan
+        assert "date__year" in plan
+        fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+        expect = fresh.aggregation_dataframe(
+            drilldown=["date:year"],
+            aggregates=["price_variance", "price_stddev", "fact_count"],
+        )
+        got = {r["date.year"]: (r["price_variance"], r["price_stddev"])
+               for r in df.collect()}
+        want = {r["date.year"]: (r["price_variance"], r["price_stddev"])
+                for r in expect.collect()}
+        # BIT-identical: merged decimal partials are the same exact
+        # sums the direct path computes
+        assert got == want
+
+    def test_var_summary_from_partials(self, var_browser, spark):
+        result = var_browser.aggregate(aggregates=["price_variance"])
+        fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+        expect = fresh.aggregate(aggregates=["price_variance"])
+        assert result.summary == expect.summary
+
+    def test_exact_grain_serves_stored_value(self, var_browser):
+        df = var_browser.aggregation_dataframe(
+            drilldown=["date@ym:month"],
+            aggregates=["price_variance"],
+        )
+        assert "lineitem" not in plan_of(df)
+
+    def test_reuses_model_sum_count_partials(self, spark, tmp_path):
+        # sum/count_nonempty of the measure already in the aggregate
+        # list → only the sum-of-squares column is added
+        ws = tpch_workspace(spark, SF_DIR)
+        b = ws.browser("sales")
+        b.materialize_cuboid(
+            str(tmp_path / "qvar_cuboid"),
+            drilldown=["date@ym:month"],
+            aggregates=["quantity_sum", "quantity_count",
+                        "quantity_avg", "fact_count"],
+        )
+        cuboid = b._cuboids[0]
+        assert cuboid.partials["quantity_avg"] == (
+            "avg", "quantity_sum", "quantity_count")
+        cols = set(spark.read.parquet(cuboid.path).columns)
+        assert not any(c.startswith("__psum__") for c in cols)
+
+    def test_avg_partials_autostored(self, spark, tmp_path):
+        # avg materialized WITHOUT model sum/count in the list: hidden
+        # partials still serve the coarser grain (new in r14 — the
+        # model-derived path needed both stored)
+        ws = tpch_workspace(spark, SF_DIR)
+        b = ws.browser("sales")
+        b.materialize_cuboid(
+            str(tmp_path / "avg_only_cuboid"),
+            drilldown=["date@ym:month"],
+            aggregates=["quantity_avg", "fact_count"],
+        )
+        df = b.aggregation_dataframe(
+            drilldown=["date:year"], aggregates=["quantity_avg"],
+        )
+        assert "lineitem" not in plan_of(df)
+        fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+        expect = fresh.aggregation_dataframe(
+            drilldown=["date:year"], aggregates=["quantity_avg"],
+        )
+        got = {r["date.year"]: r["quantity_avg"] for r in df.collect()}
+        want = {r["date.year"]: r["quantity_avg"]
+                for r in expect.collect()}
+        assert got == want
+
+    def test_nondecimal_measure_records_no_partials(self, spark,
+                                                    tmp_path):
+        # a variance over a plain-long measure fails the gate: no
+        # partial columns written, coarser grains fall back
+        import copy
+
+        from cubes_spark.demo import TPCH_MODEL
+        from cubes_spark.sources.workspace import Workspace
+
+        model = copy.deepcopy(TPCH_MODEL)
+        sales = next(c for c in model["cubes"] if c["name"] == "sales")
+        sales["aggregates"].append(
+            {"name": "linenumber_var", "function": "variance",
+             "measure": "linenumber"})
+        ws = Workspace(spark, store=SF_DIR)
+        ws.import_model(model)
+        b = ws.browser("sales")
+        b.materialize_cuboid(
+            str(tmp_path / "lnvar_cuboid"),
+            drilldown=["date@ym:month"],
+            aggregates=["linenumber_var", "fact_count"],
+        )
+        cuboid = b._cuboids[0]
+        assert cuboid.partials == {}
+        cols = set(spark.read.parquet(cuboid.path).columns)
+        assert not any(c.startswith("__p") for c in cols)
+        df = b.aggregation_dataframe(
+            drilldown=["date:year"], aggregates=["linenumber_var"],
+        )
+        assert "lineitem" in plan_of(df)
+        # exact grain still serves the stored (double) value
+        df = b.aggregation_dataframe(
+            drilldown=["date@ym:month"], aggregates=["linenumber_var"],
+        )
+        assert "lineitem" not in plan_of(df)
+
+    def test_coalesce_measures_disables_var_partials(self, spark,
+                                                     tmp_path):
+        ws = tpch_workspace(spark, SF_DIR)
+        b = ws.browser("sales", coalesce_measures=True)
+        b.materialize_cuboid(
+            str(tmp_path / "coal_var_cuboid"),
+            drilldown=["date@ym:month"],
+            aggregates=["price_variance", "fact_count"],
+        )
+        df = b.aggregation_dataframe(
+            drilldown=["date:year"], aggregates=["price_variance"],
+        )
+        assert "lineitem" in plan_of(df)
+
+
+class TestStreamCuboid:
+    """A maintain_aggregate partial log registered with the browser
+    (StreamAggregateCuboid / browser.register_stream_cuboid) serves
+    covered aggregations by merge-on-read — transparently, at coarser
+    grains, with the algebraic avg path — and stays fresh as batches
+    land after registration."""
+
+    AGGS = {
+        "value_sum": ("sum", "__vdec__"),
+        "value_count": ("count_nonempty", "__vdec__"),
+        "fact_count": ("count", None),
+    }
+    COLMAP = {"etype.etype": "event_type", "date.year": "year",
+              "date.month": "month"}
+
+    @pytest.fixture()
+    def stream_browser(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cubes_spark.sources.workspace import ParquetStore
+        from cubes_spark.streaming import (maintain_aggregate,
+                                           read_parquet_stream)
+
+        src = str(tmp_path / "events_src")
+        ParquetStore(spark, SF_DIR).table("events").repartition(3) \
+            .write.mode("overwrite").parquet(src)
+        stream = read_parquet_stream(
+            spark, src, max_files_per_trigger=1
+        ).select(
+            "event_type",
+            F.year("ts").alias("year"), F.month("ts").alias("month"),
+            F.col("value").cast("decimal(20,6)").alias("__vdec__"),
+        )
+        log = str(tmp_path / "log")
+        maintain_aggregate(stream, log,
+                           ["event_type", "year", "month"], self.AGGS,
+                           query_name="t_stream_cuboid")
+        b = tpch_workspace(spark, SF_DIR).browser("events")
+        b.register_stream_cuboid(log, self.AGGS, self.COLMAP)
+        return b, log
+
+    def _collect(self, browser, **kw):
+        df = browser.aggregation_dataframe(**kw)
+        rows = []
+        for r in df.collect():
+            rows.append(tuple(
+                float(v) if hasattr(v, "as_integer_ratio")
+                and not isinstance(v, int) else v
+                for v in r))
+        return df, sorted(map(repr, rows))
+
+    def test_coarser_grain_served_from_log(self, stream_browser, spark):
+        b, log = stream_browser
+        df, got = self._collect(
+            b, drilldown=["etype", "date:year"],
+            aggregates=["value_sum", "value_avg", "fact_count"])
+        plan = plan_of(df)
+        assert log in plan
+        assert "events.parquet" not in plan  # fact never scanned
+        fresh = tpch_workspace(spark, SF_DIR).browser("events")
+        _, want = self._collect(
+            fresh, drilldown=["etype", "date:year"],
+            aggregates=["value_sum", "value_avg", "fact_count"])
+        # bit-identical: decimal partials merge exactly, and avg is
+        # sum(sums)/sum(counts) on both paths
+        assert got == want
+
+    def test_cell_cut_on_log(self, stream_browser, spark):
+        b, log = stream_browser
+        df, got = self._collect(
+            b, cell="date:2024,1", drilldown=["etype"],
+            aggregates=["value_sum", "fact_count"])
+        assert log in plan_of(df)
+        fresh = tpch_workspace(spark, SF_DIR).browser("events")
+        _, want = self._collect(
+            fresh, cell="date:2024,1", drilldown=["etype"],
+            aggregates=["value_sum", "fact_count"])
+        assert got == want
+
+    def test_uncovered_falls_back_to_fact(self, stream_browser):
+        b, log = stream_browser
+        # date.day is not in the log grain
+        df = b.aggregation_dataframe(
+            drilldown=["date:day"], aggregates=["value_sum"])
+        plan = plan_of(df)
+        assert log not in plan
+        assert "events" in plan
+
+    def test_new_batch_visible_after_registration(self, stream_browser,
+                                                  spark):
+        from pyspark.sql import functions as F
+
+        b, log = stream_browser
+        base = {r["etype.etype"]: r["fact_count"]
+                for r in b.aggregation_dataframe(
+                    drilldown=["etype"],
+                    aggregates=["fact_count"]).collect()}
+        # a late batch lands as its own partial partition
+        extra = spark.createDataFrame(
+            [("__late__", 2024, 1)], "event_type string, year int, "
+            "month int").select(
+            "event_type", "year", "month",
+            F.lit(123.5).cast("decimal(30,6)").alias("value_sum"),
+            F.lit(1).cast("long").alias("value_count"),
+            F.lit(7).cast("long").alias("fact_count"),
+            F.lit(99).alias("__batch_id__"))
+        extra.write.mode("append").partitionBy("__batch_id__") \
+            .parquet(log)
+        after = {r["etype.etype"]: r["fact_count"]
+                 for r in b.aggregation_dataframe(
+                     drilldown=["etype"],
+                     aggregates=["fact_count"]).collect()}
+        assert after.pop("__late__") == 7
+        assert after == base
+
+    def test_function_mismatch_raises(self, spark, tmp_path,
+                                      stream_browser):
+        from cubes_spark.errors import ArgumentError
+
+        b, log = stream_browser
+        bad = dict(self.AGGS)
+        bad["value_sum"] = ("max", "__vdec__")
+        fresh = tpch_workspace(spark, SF_DIR).browser("events")
+        with pytest.raises(ArgumentError, match="value_sum"):
+            fresh.register_stream_cuboid(log, bad, self.COLMAP)
+
+    def test_missing_grain_column_raises(self, spark, stream_browser):
+        from cubes_spark.errors import ArgumentError
+
+        b, log = stream_browser
+        fresh = tpch_workspace(spark, SF_DIR).browser("events")
+        with pytest.raises(ArgumentError, match="not in the partial"):
+            fresh.register_stream_cuboid(
+                log, self.AGGS, {"etype.etype": "event_type",
+                                 "date.year": "nope"})

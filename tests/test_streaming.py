@@ -834,6 +834,55 @@ class TestMaintainAggregate:
         assert batches == {-1}
         assert self._read(spark, log) == before == self._expected(spark)
 
+    def test_fresh_checkpoint_over_compacted_log_refuses(
+            self, spark, tmp_path):
+        # batch-id idempotency holds only while the original checkpoint
+        # lives: a fresh checkpoint replays batch ids 0..n over the
+        # folded __batch_id__=-1 partition and would double-count —
+        # batch 0 must refuse, leaving the log intact
+        from cubes_spark.streaming import (compact_aggregate,
+                                           maintain_aggregate)
+
+        src = self._staged(spark, tmp_path)
+        log = str(tmp_path / "log")
+        maintain_aggregate(self._stream(spark, src), log,
+                           ["event_type", "hour"], self.AGGS,
+                           query_name="t_maintain_guard")
+        compact_aggregate(spark, log, self.AGGS)
+        with pytest.raises(Exception, match="double-count"):
+            maintain_aggregate(self._stream(spark, src), log,
+                               ["event_type", "hour"], self.AGGS,
+                               query_name="t_maintain_guard2")
+        assert self._read(spark, log) == self._expected(spark)
+
+    def test_resume_with_checkpoint_after_compaction(
+            self, spark, tmp_path):
+        # the supported continuation: same checkpoint → new files get
+        # NEW batch ids alongside the retained -1 partition
+        from cubes_spark.streaming import (compact_aggregate,
+                                           maintain_aggregate)
+
+        src = self._staged(spark, tmp_path)
+        log = str(tmp_path / "log")
+        ckpt = str(tmp_path / "ckpt")
+        maintain_aggregate(self._stream(spark, src), log,
+                           ["event_type", "hour"], self.AGGS,
+                           query_name="t_maintain_resume",
+                           checkpoint=ckpt)
+        compact_aggregate(spark, log, self.AGGS)
+        # one more source file lands (duplicate rows: totals double)
+        batch_events(spark).coalesce(1).write.mode("append").parquet(src)
+        maintain_aggregate(self._stream(spark, src), log,
+                           ["event_type", "hour"], self.AGGS,
+                           query_name="t_maintain_resume2",
+                           checkpoint=ckpt)
+        batches = {r["__batch_id__"] for r in spark.read.parquet(log)
+                   .select("__batch_id__").distinct().collect()}
+        assert -1 in batches and len(batches) == 2
+        merged = self._read(spark, log)
+        for key, (n, s, m) in self._expected(spark).items():
+            assert merged[key] == (2 * n, 2 * s, m), key
+
     def test_nondistributive_raises(self, spark, tmp_path):
         from cubes_spark.errors import ArgumentError
         from cubes_spark.streaming import maintain_aggregate

@@ -4856,6 +4856,60 @@ def q_events_stream_cuboid_rewrite(spark, sf_dir):
     )
 
 
+def q_events_stream_auto_maintain(spark, sf_dir):
+    """The full advisor -> maintain -> rewrite loop (r14 capstone;
+    operators/preagg.py auto_maintain): the HRU advisor sizes the
+    (etype x year) lattice on BATCH history (one cube() pass), picks
+    the highest-benefit cuboids, stream-maintains each pick as its own
+    idempotent partial log (streaming/stream.py maintain_aggregate)
+    and registers it with the browser (StreamAggregateCuboid) — after
+    which this year-grain OLAP aggregation is served from a maintained
+    log, never the fact table (plan-asserted in tests/test_preagg.py),
+    with value_avg reconstructed from the sum/count partials.  The
+    oracle computes the same grain from the raw events."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("stream_auto_maintain", id(spark), sf_dir)
+    if key not in _browsers:
+        from cubes_spark.operators.preagg import auto_maintain
+        from cubes_spark.streaming import read_parquet_stream
+
+        staging = tempfile.mkdtemp(prefix="cubes_spark_stage_")
+        src = os.path.join(staging, "events")
+        _table(spark, sf_dir, "events").repartition(4) \
+            .write.mode("overwrite").parquet(src)
+        stream = read_parquet_stream(spark, src,
+                                     max_files_per_trigger=1)
+        enriched = stream.select(
+            F.col("event_type"),
+            F.year("ts").alias("year"),
+            F.col("value").cast("decimal(20,6)").alias("__vdec__"),
+        )
+        browser = tpch_workspace(spark, sf_dir).browser("events")
+        auto_maintain(
+            browser, enriched, os.path.join(staging, "auto"),
+            drilldowns=["etype", "date:year"],
+            aggs={"value_sum": ("sum", "__vdec__"),
+                  "value_count": ("count_nonempty", "__vdec__"),
+                  "fact_count": ("count", None)},
+            column_map={"etype.etype": "event_type",
+                        "date.year": "year"},
+            n_picks=2,
+            checkpoint_root=os.path.join(staging, "ckpts"))
+        _browsers[key] = browser
+    browser = _browsers[key]
+    df = browser.aggregation_dataframe(
+        drilldown=["date:year"],
+        aggregates=["value_sum", "value_avg", "fact_count"],
+    )
+    return _lng(_dbl(df, "value_sum"), "date.year", "fact_count").select(
+        F.col("`date.year`").alias("year"),
+        "value_sum", "value_avg", "fact_count",
+    )
+
+
 def q_doc_stream_near_dup(spark, sf_dir):
     """STREAMING near-dup candidate generation (streaming/stream.py:
     stream_near_dup_candidates): documents — given a synthetic ingest

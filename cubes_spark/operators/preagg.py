@@ -53,7 +53,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["Cuboid", "StreamAggregateCuboid", "REAGGREGABLE",
            "reaggregation_column", "cuboid_sizes",
-           "greedy_cuboid_selection", "auto_materialize"]
+           "greedy_cuboid_selection", "advise_cuboids",
+           "auto_materialize", "auto_maintain"]
 
 #: aggregate function → re-aggregation over partial states
 REAGGREGABLE = {
@@ -460,6 +461,55 @@ def greedy_cuboid_selection(sizes: dict, n_picks: int,
     return picks
 
 
+def advise_cuboids(browser: Any, drilldowns: Sequence[str],
+                   aggregates: Optional[Sequence[str]] = None,
+                   n_picks: int = 2) -> list:
+    """The ADVISOR half of :func:`auto_materialize`: size the full
+    cuboid lattice over ``drilldowns`` in ONE pass
+    (:func:`cuboid_sizes`) and greedy-pick the ``n_picks`` most
+    valuable cuboids under the HRU benefit model
+    (:func:`greedy_cuboid_selection`).
+
+    Returns ``[(grouping_id, kept_drilldowns), ...]`` in pick order,
+    grand-total pick excluded — ready for batch materialization
+    (:func:`auto_materialize`) or streaming maintenance
+    (:func:`auto_maintain`).
+    """
+    from cubes_spark.query.drilldown import Drilldown
+
+    dims = list(drilldowns)
+    dd = Drilldown(dims, browser.prepare_cell(None))
+    refs = [a.ref for a in dd.all_attributes]
+    if len(refs) != len(dims):
+        from cubes_spark.errors import ArgumentError
+        raise ArgumentError(
+            "advise_cuboids needs single-attribute drilldowns (one "
+            "lattice dimension per ref); a hierarchical drilldown "
+            f"expanded to {len(refs)} attributes for {len(dims)} "
+            "dimensions — drill each level separately instead")
+    grain = browser.aggregation_dataframe(
+        drilldown=dims, aggregates=aggregates)
+    # logical refs contain dots — alias to SAFE names before the cube
+    # pass (a dotted identifier parses as a struct field there)
+    safe_refs = [_safe(ref) for ref in refs]
+    sizes = {
+        r["grouping_id"]: r["size"]
+        for r in cuboid_sizes(
+            grain.select(*[F.col(f"`{ref}`").alias(_safe(ref))
+                           for ref in refs]),
+            safe_refs).collect()
+    }
+    picks = greedy_cuboid_selection(sizes, n_picks, len(refs))
+    out = []
+    for gid in picks:
+        kept = [dims[i] for i in range(len(dims))
+                if not (gid >> (len(dims) - 1 - i)) & 1]
+        if not kept:
+            continue  # the grand total is not a useful cuboid
+        out.append((gid, kept))
+    return out
+
+
 def auto_materialize(browser: Any, base_path: str,
                      drilldowns: Sequence[str],
                      aggregates: Optional[Sequence[str]] = None,
@@ -483,39 +533,61 @@ def auto_materialize(browser: Any, base_path: str,
     multiplies rows by 2^d); each materialization is one aggregation
     write; everything else is driver arithmetic over 2^d numbers.
     """
-    from cubes_spark.query.drilldown import Drilldown
-
-    dims = list(drilldowns)
-    dd = Drilldown(dims, browser.prepare_cell(None))
-    refs = [a.ref for a in dd.all_attributes]
-    if len(refs) != len(dims):
-        from cubes_spark.errors import ArgumentError
-        raise ArgumentError(
-            "auto_materialize needs single-attribute drilldowns (one "
-            "lattice dimension per ref); a hierarchical drilldown "
-            f"expanded to {len(refs)} attributes for {len(dims)} "
-            "dimensions — drill each level separately instead")
-    grain = browser.aggregation_dataframe(
-        drilldown=dims, aggregates=aggregates)
-    # logical refs contain dots — alias to SAFE names before the cube
-    # pass (a dotted identifier parses as a struct field there)
-    safe_refs = [_safe(ref) for ref in refs]
-    sizes = {
-        r["grouping_id"]: r["size"]
-        for r in cuboid_sizes(
-            grain.select(*[F.col(f"`{ref}`").alias(_safe(ref))
-                           for ref in refs]),
-            safe_refs).collect()
-    }
-    picks = greedy_cuboid_selection(sizes, n_picks, len(refs))
     built = []
-    for gid in picks:
-        kept = [dims[i] for i in range(len(dims))
-                if not (gid >> (len(dims) - 1 - i)) & 1]
-        if not kept:
-            continue  # the grand total is not a useful cuboid
+    for gid, kept in advise_cuboids(browser, drilldowns, aggregates,
+                                    n_picks):
         cuboid = browser.materialize_cuboid(
             f"{base_path}/cuboid_{gid}", drilldown=kept,
             aggregates=aggregates)
         built.append(cuboid)
+    return built
+
+
+def auto_maintain(browser: Any, stream_df: Any, base_path: str,
+                  drilldowns: Sequence[str], aggs: dict,
+                  column_map: dict,
+                  aggregates: Optional[Sequence[str]] = None,
+                  n_picks: int = 2,
+                  checkpoint_root: Optional[str] = None) -> list:
+    """The full advisor → maintain → rewrite loop (r14 capstone):
+    HRU-pick the most valuable cuboids from BATCH history
+    (:func:`advise_cuboids` — one ``cube()`` sizing pass over the
+    fact star), then keep each pick fresh FROM THE STREAM
+    (streaming/stream.py :func:`maintain_aggregate`, one partial log
+    per pick) and register it with the browser
+    (:class:`StreamAggregateCuboid`) — covered aggregations are served
+    from the maintained logs transparently from that point on.
+
+    ``aggs`` is the maintenance spec shared by every pick (model
+    aggregate name → ``(function, stream column)``, distributive
+    only); ``column_map`` maps each drilldown's logical attribute ref
+    to its stream-side column.  Each pick gets its own checkpoint
+    under ``checkpoint_root`` (temp dirs when None) — pass a
+    persistent root in production so later runs RESUME instead of
+    replaying (see ``maintain_aggregate``'s idempotency contract).
+
+    Returns the registered descriptors in pick order.  Scale: one
+    sizing pass + one map-side-combinable groupBy per (pick × batch);
+    query cost is O(smallest covering log), never O(stream).
+    """
+    import os
+
+    from cubes_spark.query.drilldown import Drilldown
+    from cubes_spark.streaming.stream import maintain_aggregate
+
+    built = []
+    for gid, kept in advise_cuboids(browser, drilldowns, aggregates,
+                                    n_picks):
+        dd = Drilldown(kept, browser.prepare_cell(None))
+        refs = [a.ref for a in dd.all_attributes]
+        sub_map = {ref: column_map[ref] for ref in refs}
+        log = f"{base_path}/stream_cuboid_{gid}"
+        ckpt = None if checkpoint_root is None else os.path.join(
+            checkpoint_root, f"ckpt_{gid}")
+        maintain_aggregate(stream_df, log,
+                           [sub_map[ref] for ref in refs], aggs,
+                           query_name=f"auto_maintain_{gid}",
+                           checkpoint=ckpt)
+        built.append(browser.register_stream_cuboid(
+            log, aggs, sub_map))
     return built

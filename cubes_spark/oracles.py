@@ -2511,6 +2511,15 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM events GROUP BY 1, 2"""
 
+    sql["events_stream_auto_maintain"] = """
+        SELECT CAST(year(ts) AS BIGINT) AS year,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                AS value_sum,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR)
+                 AS DOUBLE) / COUNT(value) AS value_avg,
+            COUNT(*) AS fact_count
+        FROM events GROUP BY 1"""
+
     sql["events_stream_enrich"] = """
         WITH dim AS (
             SELECT event_type,

@@ -664,3 +664,58 @@ class TestStreamCuboid:
             fresh.register_stream_cuboid(
                 log, self.AGGS, {"etype.etype": "event_type",
                                  "date.year": "nope"})
+
+
+class TestAutoMaintain:
+    """advisor -> maintain -> rewrite (r14 capstone): HRU picks sized
+    on batch history are stream-maintained (one partial log per pick)
+    and served by the browser transparently."""
+
+    def test_picks_maintained_and_routed(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cubes_spark.operators.preagg import auto_maintain
+        from cubes_spark.sources.workspace import ParquetStore
+        from cubes_spark.streaming import read_parquet_stream
+
+        src = str(tmp_path / "events_src")
+        ParquetStore(spark, SF_DIR).table("events").repartition(2) \
+            .write.mode("overwrite").parquet(src)
+        stream = read_parquet_stream(
+            spark, src, max_files_per_trigger=1
+        ).select(
+            "event_type",
+            F.year("ts").alias("year"),
+            F.col("value").cast("decimal(20,6)").alias("__vdec__"),
+        )
+        b = tpch_workspace(spark, SF_DIR).browser("events")
+        aggs = {"value_sum": ("sum", "__vdec__"),
+                "value_count": ("count_nonempty", "__vdec__"),
+                "fact_count": ("count", None)}
+        built = auto_maintain(
+            b, stream, str(tmp_path / "auto"),
+            drilldowns=["etype", "date:year"], aggs=aggs,
+            column_map={"etype.etype": "event_type",
+                        "date.year": "year"},
+            n_picks=2,
+            checkpoint_root=str(tmp_path / "ckpts"))
+        # sf0.001 events span one year: only the year rollup has HRU
+        # benefit (the etype cuboid is base-sized)
+        assert len(built) >= 1
+        assert all(c.path.startswith(str(tmp_path / "auto"))
+                   for c in built)
+        df = b.aggregation_dataframe(
+            drilldown=["date:year"],
+            aggregates=["value_sum", "value_avg", "fact_count"])
+        plan = plan_of(df)
+        # served from a pick's log: the scan reads the MERGED partial
+        # schema (plan_of truncates file paths, so match the schema)
+        assert "value_sum:decimal(30,6)" in plan
+        assert "events.parquet" not in plan   # fact never scanned
+        fresh = tpch_workspace(spark, SF_DIR).browser("events")
+        expect = fresh.aggregation_dataframe(
+            drilldown=["date:year"],
+            aggregates=["value_sum", "value_avg", "fact_count"])
+        got = sorted(map(str, df.collect()))
+        want = sorted(map(str, expect.collect()))
+        assert got == want

@@ -503,6 +503,39 @@ def q_preagg_var_rewrite(spark, sf_dir):
     return _lng(df, "date.year", "fact_count")
 
 
+def q_preagg_hll_rollup(spark, sf_dir):
+    """Materialized DISTINCT-COUNT sketch cuboid (r14;
+    operators/preagg.py HLLCuboid): HyperLogLog registers sketched
+    ONCE at (year, month) grain over the sales star (measure
+    partkey), then a COARSER year-grain distinct estimate is served
+    by max-merging the stored registers — the fact star is never
+    rescanned, and because registers are losslessly max-mergeable the
+    served estimate is bit-identical to sketching the raw facts at
+    year grain.  All bucket/rank/estimate arithmetic is integer-exact
+    (functions/sketches.py), so the oracle rebuilds the identical
+    registers and estimate in SQL."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("preagg_hll", id(spark), sf_dir)
+    if key not in _stores_misc:
+        from cubes_spark.operators.preagg import HLLCuboid
+
+        browser = tpch_workspace(spark, sf_dir).browser("sales")
+        path = tempfile.mkdtemp(prefix="cubes_spark_cuboid_") + "/hll"
+        HLLCuboid.materialize(browser, path, ["date@ym:month"],
+                              "partkey")
+        _stores_misc[key] = path
+    from cubes_spark.operators.preagg import HLLCuboid
+
+    cub = HLLCuboid(_stores_misc[key], ["date.year", "date.month"],
+                    "partkey")
+    out = cub.rollup(spark, ["date.year"])
+    return _lng(out.select(F.col("date__year").alias("year"),
+                           "hll_est"),
+                "year", "hll_est")
+
+
 def q_grouping_sets(spark, sf_dir):
     """GROUP BY GROUPING SETS — one pass over two disjoint cuboids."""
     df = _browser(spark, sf_dir).aggregation_dataframe(
@@ -4908,6 +4941,50 @@ def q_events_stream_auto_maintain(spark, sf_dir):
         F.col("`date.year`").alias("year"),
         "value_sum", "value_avg", "fact_count",
     )
+
+
+def q_events_stream_hll_cuboid(spark, sf_dir):
+    """STREAM-MAINTAINED approx-distinct cuboid (r14 composition:
+    functions/sketches.py hll_rank_rows + streaming/stream.py
+    maintain_aggregate): each micro-batch's rows are staged statelessly
+    into (event_type, bucket, rank) and the per-batch MAX-rank partial
+    lands in its own idempotent ``__batch_id__`` partition — HLL
+    registers are losslessly max-mergeable, so merge-on-read yields
+    registers BIT-IDENTICAL to a batch sketch over all events, and the
+    integer-exact estimate gives distinct users per event type without
+    ever storing distinct keys (state: m=256 registers per type).  The
+    oracle rebuilds the identical registers and estimate in SQL."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("stream_hll_cuboid", id(spark), sf_dir)
+    aggs = {"register": ("max", "__rank__")}
+    if key not in _stores_misc:
+        from cubes_spark.functions.sketches import hll_rank_rows
+        from cubes_spark.streaming import (maintain_aggregate,
+                                           read_parquet_stream)
+
+        staging = tempfile.mkdtemp(prefix="cubes_spark_stage_")
+        src = os.path.join(staging, "events")
+        _table(spark, sf_dir, "events").repartition(3) \
+            .write.mode("overwrite").parquet(src)
+        stream = read_parquet_stream(spark, src,
+                                     max_files_per_trigger=1)
+        ranked = hll_rank_rows(
+            stream.select("event_type", "user_id"), "user_id",
+            ["event_type"])
+        log_path = os.path.join(staging, "hll_log")
+        maintain_aggregate(ranked, log_path,
+                           ["event_type", "bucket"], aggs,
+                           query_name="q_events_stream_hll_cuboid")
+        _stores_misc[key] = log_path
+    from cubes_spark.functions.sketches import hll_estimate
+    from cubes_spark.streaming import read_aggregate
+
+    regs = read_aggregate(spark, _stores_misc[key], aggs)
+    out = hll_estimate(regs, ["event_type"])
+    return _lng(out, "hll_est")
 
 
 def q_doc_stream_near_dup(spark, sf_dir):

@@ -31,7 +31,8 @@ from cubes_spark.llm.text import hash64
 
 __all__ = ["countmin_sketch", "countmin_estimates",
            "bloom_build", "bloom_contains",
-           "hll_registers", "hll_estimate", "histogram_quantiles",
+           "hll_rank_rows", "hll_registers", "hll_estimate",
+           "histogram_quantiles",
     "quantiles_from_bucket_counts",
            "kmv_sketch", "kmv_estimate", "kmv_set_ops"]
 
@@ -186,6 +187,35 @@ def bloom_contains(bloom: DataFrame, probes: DataFrame, col: str,
     )
 
 
+def hll_rank_rows(df: DataFrame, col: str,
+                  group_cols: Optional[list] = None,
+                  m: int = 256, rank_bits: int = 40,
+                  salt: str = "hll") -> DataFrame:
+    """STATELESS per-row HLL staging: ``(group..., bucket, __rank__)``
+    — the projection half of :func:`hll_registers` (md5-split bucket
+    index + leading-1 rank, all integer arithmetic), exposed on its
+    own so a STREAM can maintain a register cuboid: the rows are a
+    narrow watermark-free projection, and the register state
+    (max rank per bucket) is distributive — exactly
+    ``maintain_aggregate``'s contract (streaming/stream.py), so
+    ``maintain_aggregate(hll_rank_rows(stream), group_cols=[...,
+    'bucket'], aggs={'register': ('max', '__rank__')})`` keeps an
+    approx-distinct cuboid fresh per micro-batch, and merge-on-read
+    max yields registers BIT-IDENTICAL to a batch sketch."""
+    group_cols = list(group_cols or [])
+    h = hash64(F.concat(F.lit(salt + ":"),
+                        F.col(col).cast("string")))
+    # stage the hash, then split with INTEGER `div`/`%` only — a
+    # double `/` on a 60-bit hash would round above 2^53
+    staged = df.select(*group_cols, h.alias("__h__"))
+    bucket = (F.col("__h__") % m).cast("int")
+    w = F.expr(f"(__h__ div {m}) % CAST({1 << rank_bits} AS BIGINT)")
+    rank = F.when(w == 0, F.lit(rank_bits + 1)) \
+        .otherwise(F.lit(rank_bits + 1) - F.length(F.bin(w)))
+    return staged.select(*group_cols, bucket.alias("bucket"),
+                         rank.cast("int").alias("__rank__"))
+
+
 def hll_registers(df: DataFrame, col: str,
                   group_cols: Optional[list] = None,
                   m: int = 256, rank_bits: int = 40,
@@ -208,7 +238,12 @@ def hll_registers(df: DataFrame, col: str,
     """
     group_cols = list(group_cols or [])
     src = df
-    if window and src.isStreaming:
+    if not window:
+        ranked = hll_rank_rows(src, col, group_cols, m=m,
+                               rank_bits=rank_bits, salt=salt)
+        return (ranked.groupBy(*group_cols, "bucket")
+                .agg(F.max("__rank__").cast("int").alias("register")))
+    if src.isStreaming:
         # per-event-time-window registers over a watermarked stream:
         # state is m registers per open window no matter how many
         # distinct keys flow through — the streaming approx-distinct

@@ -51,8 +51,8 @@ from typing import Any, List, Optional, Sequence
 
 from pyspark.sql import functions as F
 
-__all__ = ["Cuboid", "StreamAggregateCuboid", "REAGGREGABLE",
-           "reaggregation_column", "cuboid_sizes",
+__all__ = ["Cuboid", "StreamAggregateCuboid", "HLLCuboid",
+           "REAGGREGABLE", "reaggregation_column", "cuboid_sizes",
            "greedy_cuboid_selection", "advise_cuboids",
            "auto_materialize", "auto_maintain"]
 
@@ -375,6 +375,93 @@ class StreamAggregateCuboid(Cuboid):
                 for ref, c in zip(self.attribute_refs, self.grain_cols)]
         cols += [F.col(f"`{n}`") for n in self.aggs]
         return df.select(*cols)
+
+
+class HLLCuboid:
+    """Materialized DISTINCT-COUNT sketch cuboid: HyperLogLog
+    registers stored at a fixed grain, servable at ANY coarser grain
+    without rescanning the fact star — the classic Druid/BigQuery
+    materialized-sketch capability the exact cuboids cannot provide
+    (count_distinct is not re-aggregable from per-grain exact counts).
+
+    Registers are LOSSLESSLY max-mergeable: max-merging the stored
+    per-grain registers to a coarser grain yields register-for-
+    register the same state as sketching the raw rows at that grain,
+    so the served estimate is BIT-IDENTICAL to a direct
+    ``hll_registers``+``hll_estimate`` over the facts (both are pure
+    integer arithmetic — functions/sketches.py).  This is an APPROX
+    estimate by contract; it is deliberately NOT wired into the
+    browser's transparent rewrite, which must never change the
+    semantics of an exact ``count_distinct``.
+
+    Storage: ``(grain..., bucket, register)`` long-format parquet —
+    grain × m rows (a 100 TB fact's day-grain sketch cuboid is a few
+    MB).  Rollup cost is one map-side-combinable max-groupBy over
+    that table; the fact is never touched.
+    """
+
+    def __init__(self, path: str, attribute_refs: Sequence[str],
+                 measure: str, m: int = 256, rank_bits: int = 40,
+                 salt: str = "hll") -> None:
+        self.path = path
+        self.attribute_refs = list(attribute_refs)
+        self.measure = measure
+        self.m = m
+        self.rank_bits = rank_bits
+        self.salt = salt
+
+    @classmethod
+    def materialize(cls, browser: Any, path: str, drilldown: Any,
+                    measure: str, m: int = 256, rank_bits: int = 40,
+                    salt: str = "hll",
+                    mode: str = "overwrite") -> "HLLCuboid":
+        """ONE sketch pass over the fact star: project the grain
+        attributes + measure, build per-(grain, bucket) max-rank
+        registers (map-side combinable), write the register table."""
+        from cubes_spark.functions.sketches import hll_registers
+        from cubes_spark.query.drilldown import Drilldown
+
+        dd = Drilldown(drilldown, browser.prepare_cell(None))
+        refs = [a.ref for a in dd.all_attributes]
+        context = browser.aggregation_context(set(refs) | {measure})
+        projected = context.star.select(
+            *[context.column(r).alias(_safe(r)) for r in refs],
+            context.column(measure).alias("__m__"))
+        regs = hll_registers(projected, "__m__",
+                             group_cols=[_safe(r) for r in refs],
+                             m=m, rank_bits=rank_bits, salt=salt)
+        regs.write.mode(mode).parquet(path)
+        return cls(path, refs, measure, m=m, rank_bits=rank_bits,
+                   salt=salt)
+
+    def covers(self, keep_refs: Sequence[str]) -> bool:
+        return set(keep_refs) <= set(self.attribute_refs)
+
+    def registers(self, spark: Any,
+                  keep_refs: Sequence[str]):
+        """Registers max-merged to the coarser ``keep_refs`` grain —
+        identical to sketching the raw facts at that grain."""
+        from cubes_spark.errors import ArgumentError
+
+        if not self.covers(keep_refs):
+            raise ArgumentError(
+                f"HLL cuboid at grain {self.attribute_refs} cannot "
+                f"serve {list(keep_refs)}")
+        keep = [_safe(r) for r in keep_refs]
+        df = spark.read.parquet(self.path)
+        return (df.groupBy(*keep, "bucket")
+                .agg(F.max("register").cast("int").alias("register")))
+
+    def rollup(self, spark: Any, keep_refs: Sequence[str]):
+        """Distinct-count estimate at any coarser grain:
+        ``(keep_refs..., hll_est)`` — one scan of the register table,
+        integer-exact estimate (oracle-replayable)."""
+        from cubes_spark.functions.sketches import hll_estimate
+
+        return hll_estimate(
+            self.registers(spark, keep_refs),
+            group_cols=[_safe(r) for r in keep_refs],
+            m=self.m, rank_bits=self.rank_bits)
 
 
 def cuboid_sizes(df: Any, dims: Sequence[str]) -> Any:

@@ -2436,6 +2436,49 @@ def oracle_sql() -> dict[str, str]:
             COUNT(*) AS fact_count
         FROM lineitem GROUP BY 1"""
 
+    # merge-equivalence makes the oracle simple: max-merging the
+    # month-grain registers to year grain IS sketching the raw rows at
+    # year grain — rebuild registers+estimate directly at year grain
+    # (same integer arithmetic as the lineitem_hll oracle)
+    sql["preagg_hll_rollup"] = """
+        WITH h AS MATERIALIZED (
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+                CAST(concat('0x', substr(md5(concat('hll:',
+                    CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                    AS h
+            FROM lineitem
+        ),
+        ranks AS (
+            SELECT year, CAST(h % 256 AS INT) AS bucket,
+                CASE WHEN (h // 256) % 1099511627776 = 0 THEN 41
+                     ELSE 41 - length(bin(
+                        (h // 256) % 1099511627776)) END AS r
+            FROM h
+        ),
+        regs AS MATERIALIZED (
+            SELECT year, bucket, MAX(r) AS register
+            FROM ranks GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT y.year, b.bucket
+            FROM (SELECT DISTINCT year FROM regs) y
+            CROSS JOIN (SELECT unnest(generate_series(0, 255))
+                        AS bucket) b
+        ),
+        sums AS (
+            SELECT s.year,
+                CAST(SUM(CAST(power(2.0,
+                    41 - COALESCE(r.register, 0)) AS BIGINT))
+                    AS BIGINT) AS s
+            FROM spine s LEFT JOIN regs r
+                ON s.year = r.year AND s.bucket = r.bucket
+            GROUP BY 1
+        )
+        SELECT year,
+            CAST((7183 * (144115188075855872 // s)) // 10000
+                 AS BIGINT) AS hll_est
+        FROM sums"""
+
     sql["grouping_sets"] = f"""
         SELECT returnflag, linestatus,
             CAST(SUM(dec_qty) AS DOUBLE) AS quantity_sum
@@ -2519,6 +2562,49 @@ def oracle_sql() -> dict[str, str]:
                  AS DOUBLE) / COUNT(value) AS value_avg,
             COUNT(*) AS fact_count
         FROM events GROUP BY 1"""
+
+    # stream-maintained registers are max-merged on read, which is
+    # identical to sketching all events in one batch — rebuild the
+    # registers+estimate directly (lineitem_hll arithmetic)
+    sql["events_stream_hll_cuboid"] = """
+        WITH h AS MATERIALIZED (
+            SELECT event_type,
+                CAST(concat('0x', substr(md5(concat('hll:',
+                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    AS h
+            FROM events
+        ),
+        ranks AS (
+            SELECT event_type, CAST(h % 256 AS INT) AS bucket,
+                CASE WHEN (h // 256) % 1099511627776 = 0 THEN 41
+                     ELSE 41 - length(bin(
+                        (h // 256) % 1099511627776)) END AS r
+            FROM h
+        ),
+        regs AS MATERIALIZED (
+            SELECT event_type, bucket, MAX(r) AS register
+            FROM ranks GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT t.event_type, b.bucket
+            FROM (SELECT DISTINCT event_type FROM regs) t
+            CROSS JOIN (SELECT unnest(generate_series(0, 255))
+                        AS bucket) b
+        ),
+        sums AS (
+            SELECT s.event_type,
+                CAST(SUM(CAST(power(2.0,
+                    41 - COALESCE(r.register, 0)) AS BIGINT))
+                    AS BIGINT) AS s
+            FROM spine s LEFT JOIN regs r
+                ON s.event_type = r.event_type
+                AND s.bucket = r.bucket
+            GROUP BY 1
+        )
+        SELECT event_type,
+            CAST((7183 * (144115188075855872 // s)) // 10000
+                 AS BIGINT) AS hll_est
+        FROM sums"""
 
     sql["events_stream_enrich"] = """
         WITH dim AS (

@@ -719,3 +719,47 @@ class TestAutoMaintain:
         got = sorted(map(str, df.collect()))
         want = sorted(map(str, expect.collect()))
         assert got == want
+
+
+class TestHLLCuboid:
+    """Materialized distinct-count sketch cuboid: registers stored at
+    (year, month) serve ANY coarser grain by lossless max-merge —
+    bit-identical to sketching the raw facts at that grain."""
+
+    def test_rollup_bit_identical_to_direct(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cubes_spark.functions.sketches import (hll_estimate,
+                                                    hll_registers)
+        from cubes_spark.operators.preagg import HLLCuboid
+        from cubes_spark.sources.workspace import ParquetStore
+
+        b = tpch_workspace(spark, SF_DIR).browser("sales")
+        cub = HLLCuboid.materialize(
+            b, str(tmp_path / "hll"), ["date@ym:month"], "partkey")
+        served = {r["date__year"]: r["hll_est"]
+                  for r in cub.rollup(spark, ["date.year"]).collect()}
+        li = ParquetStore(spark, SF_DIR).table("lineitem")
+        direct_regs = hll_registers(
+            li.select(F.year("l_shipdate").alias("y"),
+                      F.col("l_partkey").alias("__m__")),
+            "__m__", ["y"])
+        direct = {r["y"]: r["hll_est"]
+                  for r in hll_estimate(direct_regs, ["y"]).collect()}
+        assert served == direct
+        # grand total: all grain refs rolled away
+        total = cub.rollup(spark, []).collect()[0]["hll_est"]
+        all_regs = hll_registers(
+            li.select(F.col("l_partkey").alias("__m__")), "__m__", [])
+        want = hll_estimate(all_regs, []).collect()[0]["hll_est"]
+        assert total == want
+
+    def test_uncovered_grain_raises(self, spark, tmp_path):
+        from cubes_spark.errors import ArgumentError
+        from cubes_spark.operators.preagg import HLLCuboid
+
+        b = tpch_workspace(spark, SF_DIR).browser("sales")
+        cub = HLLCuboid.materialize(
+            b, str(tmp_path / "hll2"), ["returnflag"], "partkey")
+        with pytest.raises(ArgumentError, match="cannot"):
+            cub.registers(spark, ["date.year"])

@@ -1232,29 +1232,61 @@ def q_emb_projection(spark, sf_dir):
 
 
 def q_emb_neardup_recall(spark, sf_dir):
-    """Driver signal for the LSH near-duplicate *scale* path: engine
-    runs method='lsh' (bucketed candidates + exact-cosine verify) and
-    the exact all-pairs method at threshold 0.9 over the
-    planted-duplicate corpus, and emits recall counts plus the
-    precision==1.0 invariant (every LSH pair is exact-verified)."""
+    """Driver signal for the LSH near-duplicate *scale* path: the
+    PRODUCTION arm runs method='lsh' over the full planted corpus
+    (bucketed candidates + exact-cosine verify — never all-pairs);
+    ground truth is exact cosine against a FIXED 256-vector evaluation
+    panel (the lowest planted ids), so the verification arm is one
+    broadcast panel x corpus scan — O(N) per decade, where the r14
+    sweep measured the old full all-pairs truth at 34x/decade
+    (SCALE.md).  Emits panel recall counts, the panel precision==1.0
+    invariant, and the total production pair count as the full-corpus
+    auditable signal."""
+    panel_k = 256
     corpus = _augmented_embeddings(spark, sf_dir)
-    exact = embedding_near_duplicates(
-        corpus, threshold=0.9, method="exact").select("id_a", "id_b")
+    panel = (corpus.filter(F.col("vec_id") >= _PLANT_OFFSET)
+             .orderBy("vec_id").limit(panel_k))
+    from cubes_spark.llm.similarity import _dot, _norm
+
+    a = corpus.select(F.col("vec_id").alias("__ida__"),
+                      F.col("embedding").alias("__va__"),
+                      _norm(F.col("embedding")).alias("__na__"))
+    b = F.broadcast(panel.select(
+        F.col("vec_id").alias("__idb__"),
+        F.col("embedding").alias("__vb__"),
+        _norm(F.col("embedding")).alias("__nb__")))
+    cos = _dot(F.col("__va__"), F.col("__vb__")) / (
+        F.col("__na__") * F.col("__nb__"))
+    exact = (a.join(b, F.col("__ida__") != F.col("__idb__"))
+             .filter(cos >= 0.9)
+             .select(F.least("__ida__", "__idb__").alias("id_a"),
+                     F.greatest("__ida__", "__idb__").alias("id_b"))
+             .distinct())
     lsh = embedding_near_duplicates(
         corpus, threshold=0.9, method="lsh", num_planes=8, num_tables=4
-    ).select("id_a", "id_b").withColumn("__hit__", F.lit(1))
-    marked = exact.join(lsh, ["id_a", "id_b"], "left")
+    ).select("id_a", "id_b")
+    panel_ids = F.broadcast(panel.select(
+        F.col("vec_id").alias("__pid__")))
+    lsh_panel = (lsh.join(panel_ids,
+                          (F.col("id_a") == F.col("__pid__"))
+                          | (F.col("id_b") == F.col("__pid__")))
+                 .select("id_a", "id_b").distinct()
+                 .withColumn("__hit__", F.lit(1)))
+    marked = exact.join(lsh_panel, ["id_a", "id_b"], "left")
     agg = marked.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
         .cast("long").alias("n_hit"),
     ).crossJoin(
         lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    ).crossJoin(
+        lsh_panel.agg(F.count(F.lit(1)).cast("long")
+                      .alias("n_lsh_panel"))
     )
     return agg.select(
-        "n_exact", "n_lsh", "n_hit",
+        "n_exact", "n_lsh", "n_lsh_panel", "n_hit",
         F.expr("n_hit * 10000 div n_exact").alias("recall_bp"),
-        (F.col("n_hit") == F.col("n_lsh")).alias("precision_ok"),
+        (F.col("n_hit") == F.col("n_lsh_panel")).alias("precision_ok"),
         (F.col("n_hit") * 10 >= F.col("n_exact") * 8).alias("recall_ok"),
     )
 

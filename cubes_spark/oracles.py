@@ -7721,19 +7721,24 @@ def _emb_neardup_recall_oracle() -> str:
     """Replicates embedding_near_duplicates(threshold=0.9,
     method='lsh', num_planes=8, num_tables=4, seed=42) candidate
     generation + exact verify over the planted-duplicate corpus, and
-    the exact all-pairs set, then the recall/precision counts the
-    Spark entry emits."""
+    the exact ground truth against the fixed 256-vector evaluation
+    panel (lowest planted ids — the r14 linear-at-scale reshape),
+    then the recall/precision counts the Spark entry emits."""
     return f"""
     WITH {_AUG_CORPUS_SQL},
     {_aug_bucketed_sql(4, 8)},
-    cos AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-             * sqrt(list_dot_product(b.v, b.v))) AS cosine
-        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    panel AS MATERIALIZED (
+        SELECT vec_id, v FROM aug WHERE vec_id >= 10000000
+        ORDER BY vec_id LIMIT 256
     ),
-    exact AS (SELECT id_a, id_b FROM cos WHERE cosine >= 0.9),
+    exact AS MATERIALIZED (
+        SELECT DISTINCT least(a.vec_id, p.vec_id) AS id_a,
+            greatest(a.vec_id, p.vec_id) AS id_b
+        FROM aug a JOIN panel p ON a.vec_id <> p.vec_id
+        WHERE list_dot_product(a.v, p.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(p.v, p.v))) >= 0.9
+    ),
     cand AS (
         SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
         FROM bucketed l
@@ -7741,23 +7746,34 @@ def _emb_neardup_recall_oracle() -> str:
           ON l.tbl = r.tbl AND l.bucket = r.bucket
          AND l.vec_id < r.vec_id
     ),
-    lsh AS (
+    lsh AS MATERIALIZED (
         SELECT c.id_a, c.id_b
-        FROM cand c JOIN cos k ON k.id_a = c.id_a AND k.id_b = c.id_b
-        WHERE k.cosine >= 0.9
+        FROM cand c
+        JOIN aug x ON x.vec_id = c.id_a
+        JOIN aug y ON y.vec_id = c.id_b
+        WHERE list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+             * sqrt(list_dot_product(y.v, y.v))) >= 0.9
+    ),
+    lsh_panel AS MATERIALIZED (
+        SELECT DISTINCT l.id_a, l.id_b
+        FROM lsh l JOIN panel p
+          ON l.id_a = p.vec_id OR l.id_b = p.vec_id
     ),
     marked AS (
         SELECT x.id_a, l.id_a AS hit
-        FROM exact x LEFT JOIN lsh l
+        FROM exact x LEFT JOIN lsh_panel l
             ON x.id_a = l.id_a AND x.id_b = l.id_b
     )
     SELECT CAST((SELECT COUNT(*) FROM marked) AS BIGINT) AS n_exact,
         CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+        CAST((SELECT COUNT(*) FROM lsh_panel) AS BIGINT)
+            AS n_lsh_panel,
         CAST((SELECT COUNT(hit) FROM marked) AS BIGINT) AS n_hit,
         CAST((SELECT COUNT(hit) FROM marked) * 10000
              // (SELECT COUNT(*) FROM marked) AS BIGINT) AS recall_bp,
-        (SELECT COUNT(hit) FROM marked) = (SELECT COUNT(*) FROM lsh)
-            AS precision_ok,
+        (SELECT COUNT(hit) FROM marked)
+            = (SELECT COUNT(*) FROM lsh_panel) AS precision_ok,
         (SELECT COUNT(hit) FROM marked) * 10
             >= (SELECT COUNT(*) FROM marked) * 8 AS recall_ok"""
 

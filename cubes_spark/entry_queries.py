@@ -1213,6 +1213,22 @@ def q_emb_ivf_recall(spark, sf_dir):
     )
 
 
+def q_emb_neardup_auto(spark, sf_dir):
+    """The PRODUCTION embedding near-dup path on its auto defaults
+    (r14; llm/similarity.py _auto_num_planes): ``num_planes=None``
+    scales the LSH bucket count with the corpus so candidate volume
+    stays linear — the r14 sf10 sweep showed the pinned 8-plane
+    bucket table going quadratic (spill-disk death at 2.4M vectors),
+    the same lesson as r11's emb_semdedup_auto.  The oracle recomputes
+    the auto plane count from the same corpus count and replays the
+    identical candidate generation + exact-cosine verify."""
+    corpus = _augmented_embeddings(spark, sf_dir)
+    pairs = embedding_near_duplicates(
+        corpus, threshold=0.9, method="lsh", num_planes=None,
+        num_tables=4)
+    return _lng(pairs, "id_a", "id_b")
+
+
 def q_emb_projection(spark, sf_dir):
     """Deterministic JL random projection (md5-derived matrix) of
     every 25th embedding to 8 dims, exploded to (vec_id, idx, value)
@@ -1233,15 +1249,18 @@ def q_emb_projection(spark, sf_dir):
 
 def q_emb_neardup_recall(spark, sf_dir):
     """Driver signal for the LSH near-duplicate *scale* path: the
-    PRODUCTION arm runs method='lsh' over the full planted corpus
-    (bucketed candidates + exact-cosine verify — never all-pairs);
+    PRODUCTION arm runs method='lsh' on its production defaults
+    (num_planes=None — bucket count auto-scales with the corpus,
+    llm/similarity.py _auto_num_planes) over the full planted corpus;
     ground truth is exact cosine against a FIXED 256-vector evaluation
     panel (the lowest planted ids), so the verification arm is one
     broadcast panel x corpus scan — O(N) per decade, where the r14
-    sweep measured the old full all-pairs truth at 34x/decade
-    (SCALE.md).  Emits panel recall counts, the panel precision==1.0
-    invariant, and the total production pair count as the full-corpus
-    auditable signal."""
+    sweep measured the old full all-pairs truth at 34x/decade and the
+    old pinned-8-planes LSH arm at 44x (SCALE.md).  Emits panel recall
+    counts, the panel precision==1.0 invariant, and the total
+    production pair count as the full-corpus auditable signal; the
+    oracle recomputes the auto plane count from the same corpus
+    count."""
     panel_k = 256
     corpus = _augmented_embeddings(spark, sf_dir)
     panel = (corpus.filter(F.col("vec_id") >= _PLANT_OFFSET)
@@ -1262,9 +1281,14 @@ def q_emb_neardup_recall(spark, sf_dir):
              .select(F.least("__ida__", "__idb__").alias("id_a"),
                      F.greatest("__ida__", "__idb__").alias("id_b"))
              .distinct())
+    # the pair set is referenced three times below (panel filter,
+    # total count, hit marking) — persist so the bucketed candidate
+    # generation runs ONCE; the cached frame is near-dup pairs only
+    # (≈ planted count), never candidates
     lsh = embedding_near_duplicates(
-        corpus, threshold=0.9, method="lsh", num_planes=8, num_tables=4
-    ).select("id_a", "id_b")
+        corpus, threshold=0.9, method="lsh", num_planes=None,
+        num_tables=4,
+    ).select("id_a", "id_b").persist()
     panel_ids = F.broadcast(panel.select(
         F.col("vec_id").alias("__pid__")))
     lsh_panel = (lsh.join(panel_ids,
@@ -3122,22 +3146,29 @@ def q_doc_inflate(spark, sf_dir):
 
     raw_hex = F.hex(F.col("text"))
     rawlen = F.octet_length("text").cast("long")
-    adler = F.aggregate(
+    # one conv per byte (a transform stage), and the mod DEFERRED to
+    # the end of the fold — each unreduced s1_i is congruent to the
+    # true s1_i, so their running sums reduce identically at the end
+    # (overflow bound: s2_u <= 127·len², safe to ~2.7e8-byte texts).
+    # The r14 sf10 sweep showed the old 2-conv/2-mod-per-byte fold was
+    # the entry's cost center at 2M docs.
+    byte_vals = F.transform(
         F.sequence(F.lit(1), rawlen),
+        lambda i: F.conv(F.substring(raw_hex, (i * 2 - 1).cast("int"),
+                                     2), 16, 10).cast("long"))
+    adler_u = F.aggregate(
+        byte_vals,
         F.struct(F.lit(1).cast("long").alias("s1"),
                  F.lit(0).cast("long").alias("s2")),
-        lambda acc, i: F.struct(
-            ((acc.getField("s1")
-              + F.conv(F.substring(raw_hex, (i * 2 - 1).cast("int"), 2),
-                       16, 10).cast("long")) % 65521).alias("s1"),
-            ((acc.getField("s2") + acc.getField("s1")
-              + F.conv(F.substring(raw_hex, (i * 2 - 1).cast("int"), 2),
-                       16, 10).cast("long")) % 65521).alias("s2"),
+        lambda acc, b: F.struct(
+            (acc.getField("s1") + b).alias("s1"),
+            (acc.getField("s2") + acc.getField("s1") + b).alias("s2"),
         ),
     )
-    adler_hex = F.lpad(F.hex((adler.getField("s2") * 65536
-                              + adler.getField("s1")).cast("long")),
-                       8, "0")
+    adler_hex = F.lpad(
+        F.hex(((adler_u.getField("s2") % 65521) * 65536
+               + adler_u.getField("s1") % 65521).cast("long")),
+        8, "0")
     zlib_hex = F.concat(
         F.lit("7801" "01"), le16(rawlen), le16(F.lit(65535) - rawlen),
         raw_hex, adler_hex)

@@ -204,7 +204,8 @@ def _lsh_bucketed(corpus: DataFrame, num_planes: int, num_tables: int,
     return bucketed.persist()
 
 
-def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
+def ann_lsh_cosine(corpus: DataFrame, k: int = 5,
+                   num_planes: Optional[int] = 8,
                    num_tables: int = 2, seed: int = 42,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
@@ -215,8 +216,12 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5, num_planes: int = 8,
     comparison count is sum of squared bucket sizes, not N².  Recall
     rises with ``num_tables`` and falls with ``num_planes``; the
     defaults target ~0.9 recall at 64-dim random data.
-    Output: ``(query_id, neighbor_id, cosine, rank)``.
+    ``num_planes=None`` auto-scales the bucket count with the corpus
+    (:func:`_auto_num_planes` — with a FIXED plane count the candidate
+    volume grows quadratically in N; buckets ∝ N keeps it linear, the
+    100 TB default).  Output: ``(query_id, neighbor_id, cosine, rank)``.
     """
+    num_planes = _auto_num_planes(corpus, num_planes)
     bucketed = _lsh_bucketed(corpus, num_planes, num_tables, seed,
                              id_col, vec_col)
 
@@ -702,8 +707,35 @@ def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
     )
 
 
+#: auto-planes target: expected vectors per LSH bucket when
+#: ``num_planes=None`` — bucket-count ∝ N keeps candidate volume linear
+_AUTO_LSH_BUCKET = 256
+
+
+def _auto_num_planes(corpus: DataFrame,
+                     num_planes: Optional[int]) -> int:
+    """Resolve ``num_planes=None`` to
+    ``max(8, ceil(log2(N / _AUTO_LSH_BUCKET)))``.  With a fixed plane
+    count the bucket count is fixed, so the expected bucket size — and
+    with it the candidate-pair volume Σb² ≈ N²/buckets per table —
+    grows linearly in N, i.e. total work grows QUADRATICALLY (the r14
+    sf10 sweep filled the spill disk exactly this way at 8 planes over
+    2.4M vectors).  Buckets ∝ N keeps the expected bucket ~constant
+    (~``_AUTO_LSH_BUCKET``) and total comparisons linear — the 100 TB
+    default, same shape as ``_auto_nlist``.  Explicit num_planes
+    always wins (pinned oracle entries replay the same value)."""
+    if num_planes is not None:
+        return num_planes
+    import math
+
+    n = corpus.count()
+    return max(8, math.ceil(math.log2(max(max(n, 1)
+                                          / _AUTO_LSH_BUCKET, 1.0))))
+
+
 def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.9,
-                              method: str = "lsh", num_planes: int = 8,
+                              method: str = "lsh",
+                              num_planes: Optional[int] = 8,
                               num_tables: int = 4, seed: int = 42,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
@@ -721,6 +753,12 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.9,
     bucket sizes per table, not N²; every emitted pair is then verified
     with the exact cosine, so precision is 1.0 and only recall is
     approximate (raise ``num_tables`` to raise recall).
+    ``num_planes=None`` scales the bucket count with the corpus
+    (:func:`_auto_num_planes`) — the production default for unknown N;
+    and the cosine threshold filter runs BEFORE the cross-table pair
+    dedup, so the dedup shuffle carries only SURVIVING near-dup pairs,
+    never the full candidate volume (r14: at 8 planes / 2.4M vectors
+    the dedup-first order shuffled ~76G candidate rows to disk death).
     """
     if method == "exact":
         left = spread(corpus).select(
@@ -731,6 +769,7 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.9,
             _norm(F.col(vec_col)).alias("__bn__"))
         pairs = left.join(right, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
+        num_planes = _auto_num_planes(corpus, num_planes)
         bucketed = _lsh_bucketed(corpus, num_planes, num_tables, seed,
                                  id_col, vec_col)
         left = bucketed.select(
@@ -741,22 +780,28 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.9,
             "table", "bucket",
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec__"),
             _norm(F.col(vec_col)).alias("__bn__"))
-        pairs = (
-            left.join(right, ["table", "bucket"])
+        pairs = left.join(right, ["table", "bucket"]) \
             .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
     else:
         raise ValueError(f"unknown method: {method!r}")
     # per-vector norms precomputed (see cosine_topk)
     cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
         F.col("__an__") * F.col("__bn__")
     )
-    return (
+    scored = (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
     )
+    if method == "lsh":
+        # dedup cross-table duplicates AFTER the threshold filter: a
+        # pair's cosine is identical wherever it surfaces, so the
+        # result set is unchanged, but the dedup shuffle now carries
+        # survivors only (per-pair cosine is recomputed per shared
+        # table — map-side arithmetic, vastly cheaper than shuffling
+        # the full candidate volume for an early dedup)
+        scored = scored.dropDuplicates(["id_a", "id_b"])
+    return scored.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 def random_projection(corpus: DataFrame, out_dim: int = 16,

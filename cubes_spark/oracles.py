@@ -3905,6 +3905,8 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_ann_recall"] = _guarded_oracle(_emb_ann_recall_oracle, "emb_ann_recall")
     sql["emb_ivf_recall"] = _guarded_oracle(_emb_ivf_recall_oracle, "emb_ivf_recall")
     sql["emb_neardup_recall"] = _guarded_oracle(_emb_neardup_recall_oracle, "emb_neardup_recall")
+    sql["emb_neardup_auto"] = _guarded_oracle(
+        _emb_neardup_auto_oracle, "emb_neardup_auto")
     sql["emb_ivf"] = _guarded_oracle(_emb_ivf_oracle, "emb_ivf")
     sql["emb_kmeans"] = _guarded_oracle(_emb_kmeans_oracle, "emb_kmeans")
 
@@ -7434,6 +7436,53 @@ _AUG_CORPUS_SQL = """
     )"""
 
 
+def _auto_lsh_planes_value() -> int:
+    """Replays the engine's ``_auto_num_planes`` rule
+    (llm/similarity.py) from the oracle side: the AUGMENTED corpus
+    count (base + planted) from the same parquet, then
+    ``max(8, ceil(log2(N / _AUTO_LSH_BUCKET)))``."""
+    import math
+
+    import duckdb
+
+    from cubes_spark.llm.similarity import _AUTO_LSH_BUCKET
+
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    (n,) = duckdb.sql(
+        "SELECT COUNT(*) + COUNT(*) FILTER (vec_id % 10 = 0) "
+        f"FROM read_parquet('{path}')").fetchone()
+    return max(8, math.ceil(math.log2(
+        max(max(int(n), 1) / _AUTO_LSH_BUCKET, 1.0))))
+
+
+def _emb_neardup_auto_oracle() -> str:
+    """Replays embedding_near_duplicates(threshold=0.9, method='lsh',
+    num_planes=None, num_tables=4): the auto plane count recomputed
+    from the same corpus count, then the identical candidate
+    generation + exact-cosine verify."""
+    planes = _auto_lsh_planes_value()
+    return f"""
+    WITH {_AUG_CORPUS_SQL},
+    {_aug_bucketed_sql(4, planes)},
+    cand AS (
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM bucketed l
+        JOIN bucketed r
+          ON l.tbl = r.tbl AND l.bucket = r.bucket
+         AND l.vec_id < r.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+        round(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+             * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+    FROM cand c
+    JOIN aug x ON x.vec_id = c.id_a
+    JOIN aug y ON y.vec_id = c.id_b
+    WHERE list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v))
+         * sqrt(list_dot_product(y.v, y.v))) >= 0.9"""
+
+
 def _aug_bucketed_sql(num_tables: int, num_planes: int) -> str:
     """LSH (table, bucket) assignment CTEs over the augmented corpus —
     same md5-derived plane literals the engine folds over."""
@@ -7719,14 +7768,16 @@ def _emb_ivf_recall_oracle() -> str:
 
 def _emb_neardup_recall_oracle() -> str:
     """Replicates embedding_near_duplicates(threshold=0.9,
-    method='lsh', num_planes=8, num_tables=4, seed=42) candidate
-    generation + exact verify over the planted-duplicate corpus, and
+    method='lsh', num_planes=None (auto), num_tables=4, seed=42)
+    candidate generation + exact verify over the planted corpus, and
     the exact ground truth against the fixed 256-vector evaluation
     panel (lowest planted ids — the r14 linear-at-scale reshape),
-    then the recall/precision counts the Spark entry emits."""
+    then the recall/precision counts the Spark entry emits.  The LSH
+    arm runs the production auto plane count, recomputed here from
+    the same corpus count."""
     return f"""
     WITH {_AUG_CORPUS_SQL},
-    {_aug_bucketed_sql(4, 8)},
+    {_aug_bucketed_sql(4, _auto_lsh_planes_value())},
     panel AS MATERIALIZED (
         SELECT vec_id, v FROM aug WHERE vec_id >= 10000000
         ORDER BY vec_id LIMIT 256

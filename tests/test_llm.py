@@ -3436,3 +3436,36 @@ class TestCurationFilterFuzz:
                        and alpha * 10 >= n_words * 8
                        and stops >= 2)
             assert r.kept == verdict, i
+
+
+class TestAutoLSHPlanes:
+    """num_planes=None auto-scales the LSH bucket count with the
+    corpus (r14): fixed planes means candidate volume grows
+    quadratically in N; buckets ∝ N keeps it linear."""
+
+    def test_rule(self, spark):
+        from cubes_spark.llm.similarity import _auto_num_planes
+
+        df = spark.range(22_000)
+        assert _auto_num_planes(df, None) == 8      # floor
+        assert _auto_num_planes(df, 12) == 12       # explicit wins
+        big = spark.range(2_400_000)
+        # ceil(log2(2.4e6 / 256)) = 14
+        assert _auto_num_planes(big, None) == 14
+
+    def test_auto_equals_pinned_when_planes_coincide(self, spark):
+        # at ~3k vectors auto resolves to the 8-plane floor: results
+        # must be identical to the explicit pin (same hash tables)
+        from cubes_spark.llm.similarity import embedding_near_duplicates
+        from tests.conftest import SF_DIR
+
+        from cubes_spark.sources.workspace import ParquetStore
+
+        emb = ParquetStore(spark, SF_DIR).table("embeddings") \
+            .select("vec_id", "embedding")
+        auto = embedding_near_duplicates(
+            emb, threshold=0.4, method="lsh", num_planes=None)
+        pinned = embedding_near_duplicates(
+            emb, threshold=0.4, method="lsh", num_planes=8)
+        assert sorted(map(tuple, auto.collect())) \
+            == sorted(map(tuple, pinned.collect()))

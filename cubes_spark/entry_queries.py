@@ -536,6 +536,40 @@ def q_preagg_hll_rollup(spark, sf_dir):
                 "year", "hll_est")
 
 
+def q_preagg_distinct_rewrite(spark, sf_dir):
+    """EXACT count_distinct at a coarser grain without a fact rescan
+    (r14; operators/preagg.py companion distinct-key tables): the
+    month-grain cuboid materializes ``part_count_distinct``, which
+    writes a companion DISTINCT (year, month, partkey) table — a
+    coarser year-grain query then re-aggregates the companion by set
+    union (the only state from which a distinct count re-aggregates
+    exactly; per-grain exact counts cannot), joined into the cuboid
+    result.  tests/test_preagg.py asserts the fact star is never
+    scanned; the oracle recomputes COUNT(DISTINCT) from the raw
+    facts."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = ("preagg_distinct", id(spark), sf_dir)
+    if key not in _browsers:
+        ws = tpch_workspace(spark, sf_dir)
+        browser = ws.browser("sales")
+        path = tempfile.mkdtemp(prefix="cubes_spark_cuboid_") + "/ymd"
+        browser.materialize_cuboid(
+            path, drilldown=["date@ym:month"],
+            aggregates=["part_count_distinct", "price_sum",
+                        "fact_count"],
+        )
+        _browsers[key] = browser
+    browser = _browsers[key]
+    df = browser.aggregation_dataframe(
+        drilldown=["date:year"],
+        aggregates=["part_count_distinct", "price_sum", "fact_count"],
+    )
+    return _lng(_dbl(df, "price_sum"), "date.year",
+                "part_count_distinct", "fact_count")
+
+
 def q_grouping_sets(spark, sf_dir):
     """GROUP BY GROUPING SETS — one pass over two disjoint cuboids."""
     df = _browser(spark, sf_dir).aggregation_dataframe(

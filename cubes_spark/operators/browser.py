@@ -263,8 +263,19 @@ class SparkBrowser:
             # stored column: not stored at all, or stored but not
             # distributive at a coarser grain
             recon: dict = {}
+            # count_distinct at a coarser grain served EXACTLY from the
+            # companion distinct-key table written at materialization
+            # (distinct-set union; per-grain exact counts cannot
+            # re-aggregate) — at the exact grain the stored value
+            # passes through as usual
+            dserve: dict = {}
             for a in storable:
                 stored = cuboid.aggregates.get(a.name)
+                if allow_partials and not exact \
+                        and a.function == "count_distinct" \
+                        and a.name in cuboid.distinct_tables:
+                    dserve[a.name] = cuboid.distinct_tables[a.name]
+                    continue
                 if allow_partials and (
                         stored is None
                         or (not exact
@@ -272,7 +283,8 @@ class SparkBrowser:
                     parts = cuboid.partials_for(a)
                     if parts is not None:
                         recon[a.name] = parts
-            needed = [a.name for a in storable if a.name not in recon]
+            needed = [a.name for a in storable
+                      if a.name not in recon and a.name not in dserve]
             for parts in recon.values():
                 for n in parts[1:]:
                     if n not in needed:
@@ -285,6 +297,14 @@ class SparkBrowser:
             projected = df.select(*select_cols)
             pairs = []
             for a in storable:
+                if a.name in dserve:
+                    # served by the companion-table join below; the
+                    # expr is kept for the (name, column) contract —
+                    # consumers use the names only
+                    pairs.append((a.name,
+                                  F.count_distinct(F.col("`__key__`"))
+                                  .alias(a.name)))
+                    continue
                 if a.name in recon:
                     kind, *names = recon[a.name]
                     if kind == "avg":
@@ -308,12 +328,51 @@ class SparkBrowser:
                     pairs.append((a.name, expr.alias(a.name)))
                 else:
                     pairs.append((a.name, reaggregation_column(a, exact)))
+            main_cols = [c for n, c in pairs if n not in dserve]
             if dd_refs:
-                out = projected.groupBy(
-                    *[_qcol(r) for r in dd_refs]
-                ).agg(*[c for _, c in pairs])
+                grouped = projected.groupBy(
+                    *[_qcol(r) for r in dd_refs])
+                out = grouped.agg(*main_cols) if main_cols \
+                    else grouped.count().drop("count")
             else:
-                out = projected.agg(*[c for _, c in pairs])
+                # dummy aggregate keeps the frame well-formed when
+                # every requested aggregate is companion-served;
+                # dropped after the joins below
+                out = projected.agg(*main_cols) if main_cols \
+                    else projected.agg(F.lit(1).alias("__base__"))
+            for name, sub in dserve.items():
+                d_raw = raw.sparkSession.read.parquet(sub)
+                d_star = StarSchema("cuboid", "cuboid", d_raw,
+                                    mappings=mappings, joins=[],
+                                    tables={"cuboid": d_raw})
+                d_ctx = QueryContext(
+                    d_star, [_Ref(r) for r in cuboid.attribute_refs],
+                    hierarchies=self.hierarchies,
+                )
+                d_df = d_ctx.star
+                d_cond = d_ctx.condition_for_cell(cell)
+                if d_cond is not None:
+                    d_df = d_df.filter(d_cond)
+                d_proj = d_df.select(
+                    *[d_ctx.column(ref).alias(ref) for ref in dd_refs],
+                    F.col("`__key__`"))
+                d_expr = F.count_distinct(
+                    F.col("`__key__`")).alias(name)
+                if dd_refs:
+                    d_out = d_proj.groupBy(
+                        *[_qcol(r) for r in dd_refs]).agg(d_expr)
+                    out = out.join(d_out, list(dd_refs), "left")
+                else:
+                    out = out.crossJoin(d_proj.agg(d_expr))
+                # a group whose companion slice is empty has zero
+                # distinct keys — count_distinct semantics, not NULL
+                out = out.withColumn(
+                    name, F.coalesce(_qcol(name),
+                                     F.lit(0).cast("long")))
+            if dserve:
+                out = out.select(
+                    *[_qcol(r) for r in dd_refs],
+                    *[_qcol(a.name) for a in storable])
             return out, list(dd_refs), pairs
         return None
 

@@ -41,8 +41,17 @@ falls back to the fact star):
   bit-identical.  Gate: the measure must be decimal with scale ≤ 6
   (the ``_exact_var`` condition); otherwise the direct computation is
   itself order-dependent floating point and no partial set can
-  reproduce it — those fall back to the fact star, as do
-  double-measure avg and count_distinct.
+  reproduce it — those fall back to the fact star, as does
+  double-measure avg.
+* EXACT ``count_distinct`` at coarser grains is served from a
+  COMPANION DISTINCT-KEY TABLE written at materialization (the
+  distinct ``(grain..., key)`` set — the only state from which a
+  distinct count re-aggregates exactly, by set union).  The companion
+  is ≤ the deduplicated key volume, far below the fact table; the
+  rewrite joins its coarser-grain count into the main cuboid result.
+  Approximate alternatives live in :class:`HLLCuboid` and are
+  deliberately NOT part of this transparent (exactness-preserving)
+  rewrite.
 """
 
 from __future__ import annotations
@@ -95,7 +104,8 @@ class Cuboid:
                  aggregates: Sequence[Any],
                  column_dtypes: Optional[dict] = None,
                  rows: Optional[int] = None,
-                 partials: Optional[dict] = None) -> None:
+                 partials: Optional[dict] = None,
+                 distinct_tables: Optional[dict] = None) -> None:
         self.path = path
         self.attribute_refs = list(attribute_refs)
         self.aggregates = {a.name: a for a in aggregates}
@@ -108,6 +118,12 @@ class Cuboid:
         #: ("variance"|"stddev", sum, count, sumsq) partial column
         #: names recorded (and exactness-gated) at materialization
         self.partials = dict(partials or {})
+        #: count_distinct aggregate name → companion parquet path of
+        #: the DISTINCT (grain..., __key__) table written at
+        #: materialization — serves the aggregate EXACTLY at any
+        #: coarser grain (distinct-set union), where per-grain exact
+        #: counts cannot re-aggregate
+        self.distinct_tables = dict(distinct_tables or {})
 
     def partials_for(self, aggregate: Any) -> Optional[tuple]:
         """Stored-partial recipe serving ``aggregate`` exactly at ANY
@@ -242,6 +258,25 @@ class Cuboid:
         safe.write.mode(mode).parquet(path)
         refs = [a.ref for a in dd.all_attributes]
         spark = df.sparkSession
+
+        # -- companion DISTINCT tables for count_distinct aggregates:
+        # the distinct (grain, key) set is the only state from which a
+        # count_distinct re-aggregates EXACTLY at coarser grains
+        # (distinct-set union); one extra star pass per measure, the
+        # table is <= the deduplicated key volume — far below facts
+        distinct_tables: dict = {}
+        for a in prepared:
+            if a.function != "count_distinct" or not a.measure:
+                continue
+            sub = f"{path}__distinct__{a.name}"
+            context = browser.aggregation_context(
+                set(refs) | {a.measure})
+            proj = context.star.select(
+                *[context.column(r).alias(_safe(r)) for r in refs],
+                context.column(a.measure).alias("__key__"))
+            proj.distinct().write.mode(mode).parquet(sub)
+            distinct_tables[a.name] = sub
+
         # metadata-only count over the written files (row-group stats)
         rows = spark.read.parquet(path).count()
         recorded = [a.name for a in prepared] + sorted(
@@ -249,7 +284,8 @@ class Cuboid:
         return cls(path, refs, prepared,
                    column_dtypes={n: dtypes[_safe(n)] for n in recorded
                                   if _safe(n) in dtypes},
-                   rows=rows, partials=partials)
+                   rows=rows, partials=partials,
+                   distinct_tables=distinct_tables)
 
     def covers(self, attribute_refs: Sequence[str],
                aggregates: Sequence[Any],
@@ -266,7 +302,14 @@ class Cuboid:
         exact = set(requested_grain_refs) == set(self.attribute_refs)
 
         def reconstructable(agg: Any) -> bool:
-            return allow_partials and self.partials_for(agg) is not None
+            if not allow_partials:
+                return False
+            if self.partials_for(agg) is not None:
+                return True
+            # exact coarser-grain count_distinct via the companion
+            # distinct-key table written at materialization
+            return getattr(agg, "function", None) == "count_distinct" \
+                and agg.name in self.distinct_tables
 
         for agg in aggregates:
             stored = self.aggregates.get(agg.name)

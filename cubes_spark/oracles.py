@@ -2429,6 +2429,13 @@ def oracle_sql() -> dict[str, str]:
     _VS2 = (f"CAST(CAST(SUM({_DEC_PRICE} * {_DEC_PRICE})"
             " AS VARCHAR) AS DOUBLE)")
     _VVAR = f"({_VS2} - {_VS1} * {_VS1} / {_VN}) / ({_VN} - 1.0)"
+    sql["preagg_distinct_rewrite"] = f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
+            COUNT(DISTINCT l_partkey) AS part_count_distinct,
+            CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS price_sum,
+            COUNT(*) AS fact_count
+        FROM lineitem GROUP BY 1"""
+
     sql["preagg_var_rewrite"] = f"""
         SELECT CAST(year(l_shipdate) AS BIGINT) AS "date.year",
             {_VVAR} AS price_variance,

@@ -19,7 +19,8 @@ CUTS = [None, "date:1995", "returnflag:A", "date:1995-1996",
         "!returnflag:N"]
 AGGREGATES = ["quantity_sum", "quantity_avg", "quantity_count",
               "fact_count", "price_sum", "price_min", "price_max",
-              "price_variance", "price_stddev"]
+              "price_variance", "price_stddev",
+              "part_count_distinct"]
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +35,8 @@ def browsers(spark, tmp_path_factory):
         drilldown=["date@ym:month", "returnflag"],
         aggregates=["quantity_sum", "quantity_count", "fact_count",
                     "price_sum", "price_min", "price_max",
-                    "price_variance", "price_stddev"],
+                    "price_variance", "price_stddev",
+                    "part_count_distinct"],
     )
     with_cuboids.materialize_cuboid(
         str(tmp / "year_only"),

@@ -763,3 +763,81 @@ class TestHLLCuboid:
             b, str(tmp_path / "hll2"), ["returnflag"], "partkey")
         with pytest.raises(ArgumentError, match="cannot"):
             cub.registers(spark, ["date.year"])
+
+
+class TestDistinctFromCompanion:
+    """Exact count_distinct at coarser grains (r14): materialization
+    writes a companion DISTINCT (grain, key) table; coarser grains
+    re-aggregate it by set union — exact, so legally part of the
+    transparent rewrite (unlike the HLL sketch path)."""
+
+    @pytest.fixture()
+    def cd_browser(self, spark, tmp_path):
+        b = tpch_workspace(spark, SF_DIR).browser("sales")
+        b.materialize_cuboid(
+            str(tmp_path / "cd_cuboid"),
+            drilldown=["date@ym:month"],
+            aggregates=["part_count_distinct", "price_sum",
+                        "fact_count"],
+        )
+        return b
+
+    def test_coarser_grain_exact_no_fact_scan(self, cd_browser, spark):
+        df = cd_browser.aggregation_dataframe(
+            drilldown=["date:year"],
+            aggregates=["part_count_distinct", "price_sum",
+                        "fact_count"],
+        )
+        assert "lineitem" not in plan_of(df)
+        fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+        expect = fresh.aggregation_dataframe(
+            drilldown=["date:year"],
+            aggregates=["part_count_distinct", "price_sum",
+                        "fact_count"],
+        )
+        assert sorted(map(str, df.collect())) \
+            == sorted(map(str, expect.collect()))
+
+    def test_cell_cut_applies_to_companion(self, cd_browser, spark):
+        df = cd_browser.aggregation_dataframe(
+            cell="date:1995-1996", drilldown=["date:year"],
+            aggregates=["part_count_distinct"],
+        )
+        assert "lineitem" not in plan_of(df)
+        fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+        expect = fresh.aggregation_dataframe(
+            cell="date:1995-1996", drilldown=["date:year"],
+            aggregates=["part_count_distinct"],
+        )
+        assert sorted(map(str, df.collect())) \
+            == sorted(map(str, expect.collect()))
+
+    def test_summary_distinct_only(self, cd_browser, spark):
+        result = cd_browser.aggregate(
+            aggregates=["part_count_distinct"])
+        fresh = tpch_workspace(spark, SF_DIR).browser("sales")
+        expect = fresh.aggregate(aggregates=["part_count_distinct"])
+        assert result.summary == expect.summary
+
+    def test_exact_grain_uses_stored_value(self, cd_browser):
+        df = cd_browser.aggregation_dataframe(
+            drilldown=["date@ym:month"],
+            aggregates=["part_count_distinct"],
+        )
+        plan = plan_of(df)
+        assert "lineitem" not in plan
+        assert "__key__" not in plan  # stored value, not the companion
+
+    def test_coalesce_measures_disables(self, spark, tmp_path):
+        b = tpch_workspace(spark, SF_DIR).browser(
+            "sales", coalesce_measures=True)
+        b.materialize_cuboid(
+            str(tmp_path / "cd_coal"),
+            drilldown=["date@ym:month"],
+            aggregates=["part_count_distinct", "fact_count"],
+        )
+        df = b.aggregation_dataframe(
+            drilldown=["date:year"],
+            aggregates=["part_count_distinct"],
+        )
+        assert "lineitem" in plan_of(df)

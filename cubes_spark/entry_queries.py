@@ -1299,16 +1299,17 @@ def q_emb_neardup_recall(spark, sf_dir):
     corpus = _augmented_embeddings(spark, sf_dir)
     panel = (corpus.filter(F.col("vec_id") >= _PLANT_OFFSET)
              .orderBy("vec_id").limit(panel_k))
-    from cubes_spark.llm.similarity import _dot, _norm
+    from cubes_spark.llm.similarity import _dot, _norm, _probe_dim
 
+    dim = _probe_dim(corpus, "embedding")
     a = corpus.select(F.col("vec_id").alias("__ida__"),
                       F.col("embedding").alias("__va__"),
-                      _norm(F.col("embedding")).alias("__na__"))
+                      _norm("embedding").alias("__na__"))
     b = F.broadcast(panel.select(
         F.col("vec_id").alias("__idb__"),
         F.col("embedding").alias("__vb__"),
-        _norm(F.col("embedding")).alias("__nb__")))
-    cos = _dot(F.col("__va__"), F.col("__vb__")) / (
+        _norm("embedding").alias("__nb__")))
+    cos = _dot("__va__", "__vb__", dim) / (
         F.col("__na__") * F.col("__nb__"))
     exact = (a.join(b, F.col("__ida__") != F.col("__idb__"))
              .filter(cos >= 0.9)
@@ -1605,70 +1606,58 @@ def q_doc_multimodal(spark, sf_dir):
 
 def q_doc_pixel_decode(spark, sf_dir):
     """REAL pixel decode end-to-end: complete greyscale PNG files —
-    zlib container with stored-deflate blocks and a correct adler32
-    computed by an in-plan fold — are built per doc_id, then decoded
-    by the stdlib PNG decoder (zlib inflate + unfiltering) inside the
-    Arrow ``mapInPandas`` operator ``png_pixel_stats``
-    (cubes_spark/llm/multimodal.py).  Pixel values are closed-form in
-    doc_id, so the DuckDB oracle recomputes the expected sums without
-    decoding."""
+    zlib container with stored-deflate blocks and a correct adler32 —
+    are built per doc_id, then decoded by the stdlib PNG decoder
+    (zlib inflate + unfiltering) inside the Arrow ``mapInPandas``
+    operator ``png_pixel_stats`` (cubes_spark/llm/multimodal.py).
+    Pixel values are closed-form in doc_id, so the DuckDB oracle
+    recomputes the expected sums without decoding.
+
+    The fixture files are assembled in ONE Arrow batch stage
+    (C-speed ``zlib.adler32``; r14 opt round): the previous in-plan
+    hex/``conv`` folds evaluated interpreted per BYTE and were the
+    entry's cost center (6.7 s of which <1 s was the decode under
+    test).  Byte-for-byte the same PNGs — any divergence would flip
+    the decoded sums and fail the exact oracle."""
     from cubes_spark.llm import png_pixel_stats
 
     docs = _table(spark, sf_dir, "documents").select("doc_id")
-    w = (F.lit(4) + F.col("doc_id") % 5).cast("long")
-    h = (F.lit(3) + F.col("doc_id") % 4).cast("long")
 
-    def hex2(col):
-        return F.lpad(F.hex(col.cast("long")), 2, "0")
+    def build(batches):
+        import zlib
 
-    def le16(col):
-        return F.concat(hex2(col % 256), hex2((col / 256).cast("long")))
+        import pandas as pd
 
-    def be32(col):
-        return F.lpad(F.hex(col.cast("long")), 8, "0")
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                raw = bytearray()
+                for y in range(h):
+                    raw.append(0)  # filter byte
+                    for x in range(w):
+                        raw.append((did * 7 + x * 13 + y * 31) % 256)
+                raw = bytes(raw)
+                n = len(raw)
+                z = (b"\x78\x01\x01" + n.to_bytes(2, "little")
+                     + (65535 - n).to_bytes(2, "little") + raw
+                     + zlib.adler32(raw).to_bytes(4, "big"))
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + b"\x00\x00\x00\x0dIHDR"
+                    + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    + b"\x08\x00\x00\x00\x00"      # depth 8, grey
+                    + b"\x00\x00\x00\x00"          # IHDR CRC (lenient)
+                    + (n + 11).to_bytes(4, "big") + b"IDAT" + z
+                    + b"\x00\x00\x00\x00"          # IDAT CRC
+                    + b"\x00\x00\x00\x00IEND\x00\x00\x00\x00")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
 
-    # raw scanlines: filter byte 0 + pixel(x, y) = (id*7+x*13+y*31)%256
-    pix = lambda x, y: (F.col("doc_id") * 7 + x * 13 + y * 31) % 256
-    raw_hex = F.aggregate(
-        F.sequence(F.lit(0), h - 1), F.lit(""),
-        lambda acc, y: F.concat(
-            acc, F.lit("00"),
-            F.aggregate(F.sequence(F.lit(0), w - 1), F.lit(""),
-                        lambda a2, x: F.concat(a2, hex2(pix(x, y))))),
-    )
-    rawlen = h * (w + 1)
-    # adler32 fold over the raw bytes (RFC 1950): s1=(s1+b)%65521,
-    # s2=(s2+s1)%65521 per byte
-    adler = F.aggregate(
-        F.sequence(F.lit(1), rawlen),
-        F.struct(F.lit(1).cast("long").alias("s1"),
-                 F.lit(0).cast("long").alias("s2")),
-        lambda acc, i: F.struct(
-            ((acc.getField("s1")
-              + F.conv(F.substring(raw_hex, (i * 2 - 1).cast("int"), 2),
-                       16, 10).cast("long")) % 65521).alias("s1"),
-            ((acc.getField("s2") + acc.getField("s1")
-              + F.conv(F.substring(raw_hex, (i * 2 - 1).cast("int"), 2),
-                       16, 10).cast("long")) % 65521).alias("s2"),
-        ),
-    )
-    adler_hex = be32(adler.getField("s2") * 65536 + adler.getField("s1"))
-    zlib_hex = F.concat(
-        F.lit("7801" "01"), le16(rawlen), le16(F.lit(65535) - rawlen),
-        raw_hex, adler_hex,
-    )
-    png_hex = F.concat(
-        F.lit("89504E470D0A1A0A"            # signature
-              "0000000D" "49484452"),       # IHDR length + type
-        be32(w), be32(h),
-        F.lit("0800000000"                  # bit depth 8, grey, no interlace
-              "00000000"),                  # IHDR CRC (decoder is lenient)
-        be32(rawlen + 11), F.lit("49444154"),   # IDAT length + type
-        zlib_hex,
-        F.lit("00000000"                    # IDAT CRC
-              "00000000" "49454E44" "00000000"),  # IEND
-    )
-    df = docs.withColumn("payload", F.unhex(png_hex))
+    from cubes_spark.llm.util import spread
+
+    df = spread(docs).mapInPandas(build, "doc_id long, payload binary")
     stats = png_pixel_stats(df, "payload")
     return stats.withColumn(
         "sample_mean",
@@ -3163,51 +3152,44 @@ def q_doc_quality_cube(spark, sf_dir):
 
 
 def q_doc_inflate(spark, sf_dir):
-    """Compressed-shard ingestion: zlib streams built in-plan
-    (stored-deflate block + adler32 computed by a SQL fold — the PNG
-    builder's container recipe), decompressed for real by stdlib zlib
-    in inflate_column (cubes_spark/llm/web.py); recovered bytes match
-    the source text md5-exact."""
+    """Compressed-shard ingestion: zlib streams (stored-deflate block
+    + adler32) built per document, decompressed for real by stdlib
+    zlib in inflate_column (cubes_spark/llm/web.py); recovered bytes
+    match the source text md5-exact.
+
+    The fixture streams are assembled in ONE Arrow batch stage
+    (C-speed ``zlib.adler32``; r14 opt round): the previous in-plan
+    per-byte ``conv``/fold — already reworked once in the r14 build
+    round — still evaluated interpreted per byte and remained the
+    entry's cost center (5.6 s of which ~1 s was the inflate under
+    test).  Byte-for-byte the same zlib streams — a divergence would
+    break the inflate or flip the emitted md5 and fail the exact
+    oracle."""
     from cubes_spark.llm import inflate_column
 
     docs = _table(spark, sf_dir, "documents")
 
-    def hex2(col):
-        return F.lpad(F.hex(col.cast("long")), 2, "0")
+    def build(batches):
+        import zlib
 
-    def le16(col):
-        return F.concat(hex2(col % 256), hex2((col / 256).cast("long")))
+        import pandas as pd
 
-    raw_hex = F.hex(F.col("text"))
-    rawlen = F.octet_length("text").cast("long")
-    # one conv per byte (a transform stage), and the mod DEFERRED to
-    # the end of the fold — each unreduced s1_i is congruent to the
-    # true s1_i, so their running sums reduce identically at the end
-    # (overflow bound: s2_u <= 127·len², safe to ~2.7e8-byte texts).
-    # The r14 sf10 sweep showed the old 2-conv/2-mod-per-byte fold was
-    # the entry's cost center at 2M docs.
-    byte_vals = F.transform(
-        F.sequence(F.lit(1), rawlen),
-        lambda i: F.conv(F.substring(raw_hex, (i * 2 - 1).cast("int"),
-                                     2), 16, 10).cast("long"))
-    adler_u = F.aggregate(
-        byte_vals,
-        F.struct(F.lit(1).cast("long").alias("s1"),
-                 F.lit(0).cast("long").alias("s2")),
-        lambda acc, b: F.struct(
-            (acc.getField("s1") + b).alias("s1"),
-            (acc.getField("s2") + acc.getField("s1") + b).alias("s2"),
-        ),
-    )
-    adler_hex = F.lpad(
-        F.hex(((adler_u.getField("s2") % 65521) * 65536
-               + adler_u.getField("s1") % 65521).cast("long")),
-        8, "0")
-    zlib_hex = F.concat(
-        F.lit("7801" "01"), le16(rawlen), le16(F.lit(65535) - rawlen),
-        raw_hex, adler_hex)
-    shards = docs.select(
-        "doc_id", F.unhex(zlib_hex).alias("payload"))
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                n = len(raw)
+                payloads.append(
+                    b"\x78\x01\x01" + n.to_bytes(2, "little")
+                    + (65535 - n).to_bytes(2, "little") + raw
+                    + zlib.adler32(raw).to_bytes(4, "big"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    from cubes_spark.llm.util import spread
+
+    shards = spread(docs.select("doc_id", "text")) \
+        .mapInPandas(build, "doc_id long, payload binary")
     out = inflate_column(shards)
     return out.select(
         "doc_id",
@@ -5128,15 +5110,10 @@ def q_doc_stream_near_dup(spark, sf_dir):
                                        watermark="3650 days")
     # stream-stream join state lives per shuffle partition per side
     # per micro-batch: at this bounded replay size the state-store
-    # commit overhead dominates, so pin a small partition count for
-    # the query (fixed at stream start; restored after)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        result = replay_to_memory(cands, "q_doc_stream_near_dup",
-                                  output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # commit overhead dominates — replay_to_memory pins a small
+    # partition count for the query (fixed at stream start)
+    result = replay_to_memory(cands, "q_doc_stream_near_dup",
+                              output_mode="append")
     return result.select(
         F.col("id_old").cast("long").alias("id_old"),
         F.col("id_new").cast("long").alias("id_new"),

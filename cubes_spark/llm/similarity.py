@@ -37,7 +37,12 @@ __all__ = ["cosine_topk", "ann_lsh_cosine", "embedding_near_duplicates",
            "hard_negatives"]
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _fold_dot(a: Column, b: Column) -> Column:
+    """The original higher-order-function dot product: zip_with the
+    two arrays, left-fold the products from 0.0.  HOF lambdas are
+    CodegenFallback — every element step evaluates interpreted, which
+    measured ~10 µs per 64-dim pair and dominated every per-pair
+    scoring operator in this module (r14 opt round)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -45,8 +50,63 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _dot(a, b, dim: Optional[int] = None) -> Column:
+    """Dot product in double precision.
+
+    With ``dim`` (the statically-known vector length, see
+    :func:`_probe_dim`) AND both operands given as column NAMES, the
+    fold is emitted as an UNROLLED left-associative Add chain over
+    per-element products — the same casts, the same products, the
+    same 0.0-seeded left-to-right IEEE addition order, so the result
+    is bit-identical to the fold (Catalyst's
+    ReorderAssociativeOperator only touches integral types, never
+    doubles), but the chain runs as compiled arithmetic instead of
+    interpreting two CodegenFallback HOF lambdas per element (guide
+    §4.1: prefer compiled expressions; measured 11.6 s → 3.4 s for
+    2M 64-dim pairs).  A size guard keeps rows whose arrays are not
+    exactly ``dim`` long on the fold path, so ragged/short/null
+    inputs behave exactly as before.
+
+    The unrolled chain is built as ONE SQL string through a single
+    ``F.expr`` call: building it with Column operators costs ~6·dim
+    py4j round-trips (~0.5 s per expression at dim=64 — more than
+    the execution win on bench-sized data); the SQL parse is ~2 ms.
+    """
+    if dim and isinstance(a, str) and isinstance(b, str):
+        qa, qb = f"`{a}`", f"`{b}`"
+        terms = " + ".join(
+            f"CAST(get({qa}, {i}) AS DOUBLE) * CAST(get({qb}, {i})"
+            f" AS DOUBLE)" for i in range(dim))
+        fold = (f"aggregate(zip_with({qa}, {qb}, (x, y) -> "
+                f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+                f"(acc, x) -> acc + x)")
+        return F.expr(
+            f"CASE WHEN size({qa}) = {dim} AND size({qb}) = {dim} "
+            f"THEN 0.0D + {terms} ELSE {fold} END")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _fold_dot(a, b)
+
+
+def _norm(a, dim: Optional[int] = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> Optional[int]:
+    """Vector length of the FIRST row — the static-dim hint that lets
+    :func:`_dot` emit compiled arithmetic.  A hint only: rows of any
+    other length take the exact fold path via the size guard, so a
+    wrong / unlucky probe can never change results.  One bounded
+    ``first()`` job (the same probe ``_lsh_bucketed`` has always
+    done); None (empty frame / null vector / probe failure) disables
+    unrolling."""
+    try:
+        row = df.select(F.size(F.col(vec_col)).alias("__n__")).first()
+    except Exception:
+        return None
+    if row is None or row["__n__"] is None or row["__n__"] <= 0:
+        return None
+    return int(row["__n__"])
 
 
 def _partition_topk(scored: DataFrame, key_col: str, order_col: str,
@@ -94,20 +154,21 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     neighbour id for determinism.
     """
     query_id_col = query_id_col or id_col
+    dim = _probe_dim(corpus, vec_col)
     # norms attached BEFORE the pair join: folded per pair they would
     # re-evaluate O(dim) per candidate (~3x the scoring cost); same
     # doubles, same expression, just evaluated once per vector
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
-        _norm(F.col(vec_col)).alias("__qn__"),
+        _norm(vec_col).alias("__qn__"),
     )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec__"),
-        _norm(F.col(vec_col)).alias("__cn__"),
+        _norm(vec_col).alias("__cn__"),
     )
-    sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
+    sim = _dot("__qvec__", "__cvec__", dim) / (
         F.col("__qn__") * F.col("__cn__")
     )
     pair_cond = (F.col("query_id") != F.col("neighbor_id")) \
@@ -157,7 +218,10 @@ def _hyperplane_bits(vec: Column, num_planes: int, dim: int,
     plane/component loops are nested ``aggregate`` folds — the
     expression tree is O(1) in ``num_planes × dim`` (vs O(planes×dim)
     for unrolled arithmetic), which halves Catalyst analysis + codegen
-    time per query and keeps plan size flat as planes/tables grow."""
+    time per query and keeps plan size flat as planes/tables grow.
+    (r14 opt round re-verified the trade: a fully unrolled variant
+    multiplied DRIVER plan time far beyond the per-row win — giant
+    expression trees are toxic to Catalyst; do not unroll this.)"""
     planes = _plane_components(num_planes, dim, seed)
     flat = F.array(*[F.lit(x) for row in planes for x in row])
 
@@ -185,8 +249,7 @@ def _lsh_bucketed(corpus: DataFrame, num_planes: int, num_tables: int,
     independent hyperplane tables, persisted so the bucket self-join
     computes the projections once."""
     base = spread(corpus).select(F.col(id_col), F.col(vec_col))
-    first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first and first[0] is not None else 0
+    dim = _probe_dim(corpus, vec_col) or 0
     tables = []
     for t in range(num_tables):
         bits = _hyperplane_bits(F.col(vec_col), num_planes, dim,
@@ -201,7 +264,7 @@ def _lsh_bucketed(corpus: DataFrame, num_planes: int, num_tables: int,
     bucketed = tables[0]
     for t in tables[1:]:
         bucketed = bucketed.unionByName(t)
-    return bucketed.persist()
+    return bucketed.persist(), dim
 
 
 def ann_lsh_cosine(corpus: DataFrame, k: int = 5,
@@ -222,21 +285,21 @@ def ann_lsh_cosine(corpus: DataFrame, k: int = 5,
     100 TB default).  Output: ``(query_id, neighbor_id, cosine, rank)``.
     """
     num_planes = _auto_num_planes(corpus, num_planes)
-    bucketed = _lsh_bucketed(corpus, num_planes, num_tables, seed,
-                             id_col, vec_col)
+    bucketed, dim = _lsh_bucketed(corpus, num_planes, num_tables, seed,
+                                  id_col, vec_col)
 
     left = bucketed.select(
         "table", "bucket",
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec__"),
-        _norm(F.col(vec_col)).alias("__qn__"),
+        _norm(vec_col).alias("__qn__"),
     )
     right = bucketed.select(
         "table", "bucket",
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec__"),
-        _norm(F.col(vec_col)).alias("__cn__"),
+        _norm(vec_col).alias("__cn__"),
     )
     # per-vector norms precomputed (see cosine_topk)
-    sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
+    sim = _dot("__qvec__", "__cvec__", dim) / (
         F.col("__qn__") * F.col("__cn__")
     )
     pairs = (
@@ -325,7 +388,9 @@ def _centroid_sims(vec: Column, flat: Column, nlist: int,
                    dim: int) -> Column:
     """Array of dot(vec, centroid_c) for c in 0..nlist-1 (centroids are
     unit-norm, so argmax over this IS the cosine argmax).  Same
-    O(1)-size nested-aggregate shape as ``_hyperplane_bits``."""
+    O(1)-size nested-aggregate shape as ``_hyperplane_bits`` — and the
+    same r14 lesson: unrolling this multiplied driver plan time far
+    beyond the per-row win; keep the fold."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(nlist - 1)),
         lambda c: F.aggregate(
@@ -368,6 +433,7 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     cent = _train_centroids(corpus, nlist, seed, id_col, vec_col,
                             sample_size)
     nlist = len(cent)
+    dim = len(cent[0]) if nlist else None
 
     # assignment is ALWAYS the vectorized Arrow path (one numpy matmul
     # per batch against the broadcast centroid matrix — the FAISS
@@ -384,7 +450,7 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec__"),
-        _norm(F.col(vec_col)).alias("__cn__"),
+        _norm(vec_col).alias("__cn__"),
         F.col("cluster").cast("int").alias("__cluster__"))
     probed = _nearest_clusters_pandas(
         queries, cent, vec_col, min(nprobe, nlist),
@@ -392,12 +458,12 @@ def ivf_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
-        _norm(F.col(vec_col)).alias("__qn__"),
+        _norm(vec_col).alias("__qn__"),
         F.col("cluster").cast("int").alias("__cluster__"))
 
     # per-vector norms precomputed (see cosine_topk): per pair the
     # interpreted fold would run 3x per candidate
-    sim = _dot(F.col("__qvec__"), F.col("__cvec__")) / (
+    sim = _dot("__qvec__", "__cvec__", dim) / (
         F.col("__qn__") * F.col("__cn__")
     )
     pair_cond = (F.col("query_id") != F.col("neighbor_id")) \
@@ -476,6 +542,13 @@ def _nearest_clusters_pandas(df: DataFrame, cent, vec_col: str,
 def _kmeans_assigned(corpus: DataFrame, nlist: int, seed: int,
                      sample_size: int, id_col: str,
                      vec_col: str) -> DataFrame:
+    return _kmeans_assigned_dim(corpus, nlist, seed, sample_size,
+                                id_col, vec_col)[0]
+
+
+def _kmeans_assigned_dim(corpus: DataFrame, nlist: int, seed: int,
+                         sample_size: int, id_col: str,
+                         vec_col: str):
     """(id, vec, cluster, sim) — every vector assigned to its nearest
     spherical-k-means centroid (sample-trained driver-side, embedded as
     literals; the assignment itself is a narrow shuffle-free
@@ -493,15 +566,17 @@ def _kmeans_assigned(corpus: DataFrame, nlist: int, seed: int,
     cent = _train_centroids(corpus, nlist, seed, id_col, vec_col,
                             sample_size)
     nlist = len(cent)
+    # the trained centroids already fix the vector dimension — no
+    # probe job needed (r14: the old first() probe was one extra
+    # Spark job per call); callers reuse it for unrolled pair scoring
+    dim = len(cent[0]) if nlist else 0
     if nlist > _VECTORIZED_ASSIGN_NLIST:
         assigned = _nearest_clusters_pandas(
             spread(corpus), cent, vec_col, 1, [id_col, vec_col])
         return assigned.select(
             F.col(id_col), F.col(vec_col),
             F.col("cluster").cast("int").alias("cluster"),
-            F.col("sim"))
-    first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first and first[0] is not None else 0
+            F.col("sim")), dim
     flat = F.array(*[F.lit(float(x)) for row in cent for x in row])
     from cubes_spark.llm.util import let_
 
@@ -523,7 +598,7 @@ def _kmeans_assigned(corpus: DataFrame, nlist: int, seed: int,
         F.col(id_col), F.col(vec_col),
         best["cluster"].cast("int").alias("cluster"),
         (best["neg"] * -1).alias("sim"),
-    )
+    ), dim
 
 
 def kmeans_clusters(corpus: DataFrame, nlist: Optional[int] = 16,
@@ -575,19 +650,20 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
     (and the candidate count) linearly; cross-cluster near-dups are
     the recall trade the paper accepts.
     """
-    assigned = _kmeans_assigned(
+    assigned, dim = _kmeans_assigned_dim(
         corpus, _auto_nlist(corpus, nlist, sample_size), seed,
-        sample_size, id_col, vec_col).persist()
+        sample_size, id_col, vec_col)
+    assigned = assigned.persist()
     left = assigned.select(
         F.col("cluster"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__avec__"),
-        _norm(F.col(vec_col)).alias("__an__"))
+        _norm(vec_col).alias("__an__"))
     right = assigned.select(
         F.col("cluster"), F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__bvec__"),
-        _norm(F.col(vec_col)).alias("__bn__"))
+        _norm(vec_col).alias("__bn__"))
     # per-vector norms precomputed (see cosine_topk)
-    cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
+    cos = _dot("__avec__", "__bvec__", dim) / (
         F.col("__an__") * F.col("__bn__")
     )
     drops = (
@@ -639,21 +715,22 @@ def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
     ``localCheckpoint`` truncating lineage.  Early-exits when nothing
     is left undecided.  Returns ``(id, cluster, is_kept)``.
     """
-    assigned = _kmeans_assigned(
+    assigned, dim = _kmeans_assigned_dim(
         corpus, _auto_nlist(corpus, nlist, sample_size), seed,
-        sample_size, id_col, vec_col) \
+        sample_size, id_col, vec_col)
+    assigned = assigned \
         .select(F.col(id_col).alias("__id__"), "cluster", vec_col) \
         .localCheckpoint(eager=True)
     left = assigned.select(
         F.col("cluster"), F.col("__id__").alias("id_a"),
         F.col(vec_col).alias("__avec__"),
-        _norm(F.col(vec_col)).alias("__an__"))
+        _norm(vec_col).alias("__an__"))
     right = assigned.select(
         F.col("cluster"), F.col("__id__").alias("id_b"),
         F.col(vec_col).alias("__bvec__"),
-        _norm(F.col(vec_col)).alias("__bn__"))
+        _norm(vec_col).alias("__bn__"))
     # per-vector norms precomputed (see cosine_topk)
-    cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
+    cos = _dot("__avec__", "__bvec__", dim) / (
         F.col("__an__") * F.col("__bn__")
     )
     # (v, u): u is a lower-id near neighbour constraining v
@@ -761,31 +838,32 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.9,
     the dedup-first order shuffled ~76G candidate rows to disk death).
     """
     if method == "exact":
+        dim = _probe_dim(corpus, vec_col)
         left = spread(corpus).select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("__avec__"),
-            _norm(F.col(vec_col)).alias("__an__"))
+            _norm(vec_col).alias("__an__"))
         right = corpus.select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec__"),
-            _norm(F.col(vec_col)).alias("__bn__"))
+            _norm(vec_col).alias("__bn__"))
         pairs = left.join(right, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         num_planes = _auto_num_planes(corpus, num_planes)
-        bucketed = _lsh_bucketed(corpus, num_planes, num_tables, seed,
-                                 id_col, vec_col)
+        bucketed, dim = _lsh_bucketed(corpus, num_planes, num_tables,
+                                      seed, id_col, vec_col)
         left = bucketed.select(
             "table", "bucket",
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("__avec__"),
-            _norm(F.col(vec_col)).alias("__an__"))
+            _norm(vec_col).alias("__an__"))
         right = bucketed.select(
             "table", "bucket",
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("__bvec__"),
-            _norm(F.col(vec_col)).alias("__bn__"))
+            _norm(vec_col).alias("__bn__"))
         pairs = left.join(right, ["table", "bucket"]) \
             .filter(F.col("id_a") < F.col("id_b"))
     else:
         raise ValueError(f"unknown method: {method!r}")
     # per-vector norms precomputed (see cosine_topk)
-    cos = _dot(F.col("__avec__"), F.col("__bvec__")) / (
+    cos = _dot("__avec__", "__bvec__", dim) / (
         F.col("__an__") * F.col("__bn__")
     )
     scored = (
@@ -824,8 +902,7 @@ def random_projection(corpus: DataFrame, out_dim: int = 16,
     """
     import math
 
-    first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first and first[0] is not None else 0
+    dim = _probe_dim(corpus, vec_col) or 0
     planes = _plane_components(out_dim, dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
     flat = F.array(*[F.lit(x * scale) for row in planes for x in row])
@@ -1064,14 +1141,23 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
 
     mu = 1.0 - lam
     query_id_col = query_id_col or id_col
+    # MMR stays on the fold path throughout: the candidates path and
+    # the pool-pairs self-join are bounded at O(queries·pool) rows,
+    # and even the brute-force arm's scoring volume (queries ×
+    # corpus, with queries small by contract) is too small for the
+    # unrolled chain to beat its probe-job + plan overhead (r14
+    # measured emb_mmr 0.98 → 1.39 s WITH unrolling — a net loss;
+    # the 100 TB route is candidates= from an ANN stage, where
+    # scoring is pool-bounded anyway)
+    dim = None
     q = queries.select(F.col(query_id_col).alias("__qid__"),
                        F.col(vec_col).alias("__qv__"),
-                       _norm(F.col(vec_col)).alias("__qn__"))
+                       _norm(vec_col).alias("__qn__"))
     c = spread(corpus).select(F.col(id_col).alias("__cid__"),
                               F.col(vec_col).alias("__cv__"),
-                              _norm(F.col(vec_col)).alias("__cn__"))
+                              _norm(vec_col).alias("__cn__"))
     # per-vector norms precomputed (see cosine_topk)
-    sim = _dot(F.col("__qv__"), F.col("__cv__")) / (
+    sim = _dot("__qv__", "__cv__", dim) / (
         F.col("__qn__") * F.col("__cn__"))
     if candidates is not None:
         cand = candidates.select(
@@ -1131,7 +1217,8 @@ def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 8,
                   F.col("__cid__").alias("__cb__"),
                   F.col("__v__").alias("__vb__"),
                   F.col("__vn__").alias("__nb__"))
-    psim = _dot(F.col("__va__"), F.col("__vb__")) / (
+    # pool-pairs are O(queries·pool²/2) — bounded small; fold is fine
+    psim = _dot("__va__", "__vb__") / (
         F.col("__na__") * F.col("__nb__"))
     pairs = (a.join(_hint(b), (F.col("__qa__") == F.col("__qb__"))
                     & (F.col("__ca__") < F.col("__cb__")))

@@ -303,25 +303,50 @@ def make_session_fn(gap_seconds: int, max_seq: int, ts_col: str,
 
 def replay_to_memory(stream_df: DataFrame, query_name: str,
                      timeout_sec: int = 120,
-                     output_mode: str = "complete") -> DataFrame:
+                     output_mode: str = "complete",
+                     shuffle_partitions: Optional[int] = None) -> DataFrame:
     """Run a streaming aggregation over a bounded source to completion
     (``availableNow`` trigger) and return the final result as a batch
     DataFrame from the memory sink.  ``output_mode='append'`` for
-    append-contract operators (stateful sessionization)."""
+    append-contract operators (stateful sessionization).
+
+    ``shuffle_partitions`` pins the stateful-operator partition count
+    FOR THIS REPLAY (state is keyed per shuffle partition, so the
+    count is fixed at first start anyway; the session value is
+    restored afterwards).  Default: ``$SPARK_GRAFT_REPLAY_PARTITIONS``
+    or 4.  Rationale (guide §1/§2 applied to streaming replays): every
+    micro-batch commits one state-store delta PER PARTITION PER
+    STATEFUL STORE (a stream-stream join keeps 4 stores/partition),
+    so at bounded replay sizes the fixed commit/fsync overhead — not
+    the data — dominates; 32 partitions × stores × batches was most
+    of the wall time of every stateful replay entry.  Pinning is a
+    REPLAY-HARNESS setting, not an engine constant: a production
+    ``writeStream`` sizes partitions to the live key volume instead
+    (and results are identical at any partition count — state is
+    per-key, partitioning only shards it)."""
     spark = stream_df.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get(
+            "SPARK_GRAFT_REPLAY_PARTITIONS", "4"))
     checkpoint = tempfile.mkdtemp(prefix="cubes_spark_ckpt_")
-    query = (
-        stream_df.writeStream
-        .format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", os.path.join(checkpoint, "cp"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(timeout_sec)
-    if query.isActive:
-        query.stop()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(shuffle_partitions))
+    try:
+        query = (
+            stream_df.writeStream
+            .format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(checkpoint, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+        if query.isActive:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
 
 

@@ -5101,6 +5101,14 @@ def q_doc_stream_near_dup(spark, sf_dir):
         _stores_misc[key] = src
     stream = read_parquet_stream(spark, _stores_misc[key],
                                  max_files_per_trigger=1)
+    # each micro-batch arrives as ONE file = ONE partition (a replay-
+    # staging artifact; a production file stream has many files per
+    # trigger), which pinned the whole per-batch MinHash banding to a
+    # single core (measured ~1.6 s of the ~2 s per batch).  A cheap
+    # pre-banding shuffle of the raw docs (~0.3 MB/batch) spreads the
+    # banding across the replay's pinned partition count.
+    stream = stream.repartition(int(os.environ.get(
+        "SPARK_GRAFT_REPLAY_PARTITIONS", "4")))
     # effectively-unbounded watermark for the bounded replay (same
     # pattern as events_sessions): the file source breaks mtime ties
     # arbitrarily, so staged same-second files can arrive out of

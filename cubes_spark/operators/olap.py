@@ -414,6 +414,16 @@ def materialize_denormalized(browser: Any, path: str,
     safe = df.select(
         *[F.col(f"`{c}`").alias(_safe(c)) for c in df.columns]
     )
+    # parquet ENCODE parallelism: a small star arrives with the scan's
+    # partition count (a single-file fact table = 1-3 tasks pinning
+    # the whole columnar encode to as many cores — measured 3-task
+    # write at sf0.1, guide §6/§2.6); spread() lifts it to
+    # defaultParallelism and is a NO-OP at scale, where the input
+    # already has more partitions than cores, so production file
+    # sizing is unaffected
+    from cubes_spark.llm.util import spread
+
+    safe = spread(safe)
     writer = safe.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*[_safe(p) for p in partition_by])
@@ -747,6 +757,9 @@ def _cum_value_histogram(df: DataFrame, col: str,
     from pyspark.sql.window import Window as W
 
     dec = "decimal(38,0)"
+    # NOT persisted (r14 opt round, measured): see
+    # stats._grouped_rank_frame — caching the histogram for the three
+    # consuming jobs cost more than recomputing it
     hist = (df.filter(F.col(col).isNotNull())
             .groupBy(F.col(col).cast("long").alias("__v__"))
             .agg(F.count(F.lit(1)).alias("__cnt__")))

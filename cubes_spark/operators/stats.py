@@ -248,6 +248,13 @@ def _grouped_rank_frame(df: DataFrame, gcols: Sequence[str],
     from pyspark.sql.window import Window as W
 
     gl = list(gcols)
+    # NOT persisted (r14 opt round, measured): the histogram feeds
+    # three separate jobs, but caching it cost MORE than the
+    # recompute — the InMemoryRelation build + the lost whole-stage
+    # pipeline beat two cheap scan+groupBy replays (spearman
+    # 3.7 → 4.0 s WITH persist; same shape for winsorize/kruskal/
+    # gini/abc).  Revisit only if the fact scan itself becomes the
+    # dominant cost.
     hist = (df.groupBy(*[F.col(c) for c in gl],
                        F.col(value_col).alias("__v__"))
             .agg(F.count(F.lit(1)).alias("__cnt__")))

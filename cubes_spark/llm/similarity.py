@@ -223,7 +223,8 @@ def _hyperplane_bits(vec: Column, num_planes: int, dim: int,
     multiplied DRIVER plan time far beyond the per-row win — giant
     expression trees are toxic to Catalyst; do not unroll this.)"""
     planes = _plane_components(num_planes, dim, seed)
-    flat = F.array(*[F.lit(x) for row in planes for x in row])
+    from cubes_spark.llm.util import lit_double_array
+    flat = lit_double_array([x for row in planes for x in row])
 
     def proj(p: Column) -> Column:
         return F.aggregate(
@@ -577,7 +578,8 @@ def _kmeans_assigned_dim(corpus: DataFrame, nlist: int, seed: int,
             F.col(id_col), F.col(vec_col),
             F.col("cluster").cast("int").alias("cluster"),
             F.col("sim")), dim
-    flat = F.array(*[F.lit(float(x)) for row in cent for x in row])
+    from cubes_spark.llm.util import lit_double_array
+    flat = lit_double_array([x for row in cent for x in row])
     from cubes_spark.llm.util import let_
 
     # let-bind the O(nlist·dim) similarity array: referencing it from
@@ -905,7 +907,8 @@ def random_projection(corpus: DataFrame, out_dim: int = 16,
     dim = _probe_dim(corpus, vec_col) or 0
     planes = _plane_components(out_dim, dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
-    flat = F.array(*[F.lit(x * scale) for row in planes for x in row])
+    from cubes_spark.llm.util import lit_double_array
+    flat = lit_double_array([x * scale for row in planes for x in row])
     vec = F.col(vec_col)
 
     def component(p: Column) -> Column:
@@ -993,8 +996,9 @@ def pq_encode(corpus: DataFrame, codebooks,
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    flat = F.array(*[F.lit(float(v)) for book in codebooks
-                     for row in book for v in row])
+    from cubes_spark.llm.util import lit_double_array
+    flat = lit_double_array([v for book in codebooks
+                             for row in book for v in row])
     vec = F.col(vec_col)
 
     def code_for(j: int) -> Column:
@@ -1049,8 +1053,9 @@ def pq_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
     books = train_pq_codebooks(X, m, ksub, seed)
     ksub = len(books[0])
     dsub = len(books[0][0])
-    flat = F.array(*[F.lit(float(v)) for book in books
-                     for row in book for v in row])
+    from cubes_spark.llm.util import lit_double_array
+    flat = lit_double_array([v for book in books
+                             for row in book for v in row])
 
     encoded = pq_encode(corpus, books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),

@@ -73,6 +73,28 @@ def test_probe_dim(vec_df, spark):
     assert _probe_dim(empty, "a") is None
 
 
+def test_lit_double_array_bit_identical(spark):
+    import random
+
+    from cubes_spark.llm.util import lit_double_array
+
+    rng = random.Random(13)
+    vals = ([rng.uniform(-1e3, 1e3) for _ in range(500)]
+            + [0.0, -0.0, 1e-300, -1e300, 123456789.123456789])
+    df = spark.range(1)
+    r = df.select(
+        F.array(*[F.lit(float(v)) for v in vals]).alias("a"),
+        lit_double_array(vals).alias("b"),
+    ).first()
+    assert len(r["a"]) == len(r["b"]) == len(vals)
+    for x, y in zip(r["a"], r["b"]):
+        assert _bits(x) == _bits(y)
+    # non-finite fallback path
+    r2 = df.select(lit_double_array(
+        [1.0, float("inf"), float("nan")]).alias("c")).first()
+    assert r2["c"][0] == 1.0 and r2["c"][1] == float("inf")
+
+
 def test_hyperplane_bits_match_python_replay(spark):
     """The unrolled `_hyperplane_bits` must reproduce the fold's exact
     semantics: left-to-right double accumulation per plane, bit 2^p

@@ -786,6 +786,9 @@ def q_doc_common_ngrams(spark, sf_dir):
     from cubes_spark.llm.util import spread
 
     docs = _table(spark, sf_dir, "documents")
+    # JVM shingles kept (r15, measured): the Arrow string-shingle
+    # frame was 0.7x here — the entry is small and the fixed Python
+    # stage cost outweighs the HOF savings
     exploded = spread(docs).select(
         F.col("doc_id"),
         F.explode(_shingle_array(F.col("text"), 5)).alias("shingle"),
@@ -3177,8 +3180,16 @@ def q_doc_inflate(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
+                if text is None:
+                    # the replaced in-plan builder propagated NULL and
+                    # inflate_column quarantines NULL payloads
+                    payloads.append(None)
+                    continue
                 raw = text.encode("utf-8")
                 n = len(raw)
+                # one stored-deflate block carries <= 65535 bytes; the
+                # corpus is far below that — fail loudly, not wrap
+                assert n <= 65535, f"text over one stored block: {n}"
                 payloads.append(
                     b"\x78\x01\x01" + n.to_bytes(2, "little")
                     + (65535 - n).to_bytes(2, "little") + raw

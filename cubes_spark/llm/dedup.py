@@ -23,7 +23,7 @@ all-pairs answer — verified against an all-pairs DuckDB oracle.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -300,6 +300,164 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+# -- Arrow-native shingle/MinHash kernels (r15 opt round, guide §4.2) --
+#
+# The shingle → md5 → universal-hash pipeline used to run as JVM
+# expressions: a HOF transform producing the shingle array (substr per
+# position + array_distinct, interpreted CodegenFallback lambdas), an
+# explode to the (doc, shingle) grain, one md5+conv per shingle row and
+# a 16-min groupBy.  The kernels below compute the same numbers in one
+# Arrow stage per document batch — C-speed hashlib.md5, numpy int64
+# mixing — with the normalization replicated byte-exactly (fuzz-tested
+# in tests/test_minhash_arrow.py) and the md5 input bytes therefore
+# identical, so signatures are bit-identical by construction.
+
+#: Java regex ``\s`` is the ASCII class ``[ \t\n\x0B\f\r]`` — Python's
+#: ``\s`` is Unicode-aware and must NOT be used in the replica.
+_JAVA_WS_PATTERN = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _normalize_text_py(s: Optional[str]) -> Optional[str]:
+    """Python replica of ``regexp_replace(lower(trim(x)), '\\s+', ' ')``
+    under JVM semantics: ``trim`` strips U+0020 only (SPARK-17299),
+    ``\\s`` is ASCII-only, ``lower`` is the locale-independent
+    ASCII-fast-path lowercasing (parity fuzz-tested over Unicode)."""
+    import re
+
+    if s is None:
+        return None
+    return re.sub(_JAVA_WS_PATTERN, " ", s.strip(" ").lower())
+
+
+def _shingle_list_py(s: Optional[str], k: int) -> Optional[list]:
+    """Distinct character k-shingles of the normalized text in
+    first-occurrence order — exactly ``_shingle_array``'s
+    ``array_distinct(transform(sequence(...), substr))`` (``max(len−k+1,
+    1)`` positions, so short/empty text yields one short shingle).
+    Null text yields ``[None]``: ``greatest(NULL−k+1, 1)`` skips the
+    null → one position → one null substr — NOT a null array."""
+    norm = _normalize_text_py(s)
+    if norm is None:
+        return [None]
+    n = len(norm)
+    if n <= k:
+        return [norm[:k]]
+    return list(dict.fromkeys(
+        norm[i:i + k] for i in range(n - k + 1)))
+
+
+def _shingle_hashes_py(s: Optional[str], k: int) -> Optional[list]:
+    """31-bit md5-derived hashes (``hash64(·, nhex=8) % P``) of the
+    distinct shingles: first 4 md5 bytes big-endian — the integer the
+    SQL ``conv(substring(md5(x), 1, 8), 16, 10)`` parses — mod the
+    Mersenne prime."""
+    import hashlib
+
+    sh = _shingle_list_py(s, k)
+    if sh == [None]:
+        # null text: the one null shingle hashes to NULL — no finite
+        # hashes, the signature minima stay NULL
+        return None
+    return [int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:4],
+                           "big") % MINHASH_P for g in sh]
+
+
+def _band_digests_py(sig, bands: int, rows: int) -> list:
+    """Band digests replicating ``md5(concat_ws(',', band_id,
+    CAST(slice(sig, …) AS array<string>)))`` — ``concat_ws`` skips a
+    NULL array (null-text docs), so those digest just the band id."""
+    import hashlib
+
+    out = []
+    for bb in range(bands):
+        parts = [str(bb)]
+        if sig is not None:
+            parts += [str(int(x)) for x in sig[bb * rows:(bb + 1) * rows]]
+        out.append(hashlib.md5(
+            ",".join(parts).encode("utf-8")).hexdigest())
+    return out
+
+
+def _minhash_stage(df: DataFrame, text_col: str, id_col: str,
+                   num_hashes: int, shingle_k: int,
+                   bands: Optional[int] = None,
+                   keep_cols: Sequence[str] = ()) -> DataFrame:
+    """One Arrow stage computing per-ROW MinHash signatures (and
+    optionally band digests): ``(id, keep…, sig[, __bands__])``.
+    Stateless — runs on streaming frames unchanged."""
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    a, b = minhash_params(num_hashes)
+    rows = (num_hashes // bands) if bands else 0
+    keep = list(keep_cols)
+    base = df if df.isStreaming else spread(df)
+    src = base.select(F.col(id_col), *[F.col(c) for c in keep],
+                      F.col(text_col))
+    fields = [src.schema[id_col]] + [src.schema[c] for c in keep]
+    fields.append(StructField("sig", ArrayType(LongType()), True))
+    if bands is not None:
+        fields.append(
+            StructField("__bands__", ArrayType(StringType()), True))
+    out_schema = StructType(fields)
+
+    def fn(batches):
+        import numpy as np
+
+        A = np.asarray(a, dtype=np.int64)[:, None]
+        B = np.asarray(b, dtype=np.int64)[:, None]
+        for pdf in batches:
+            sigs = []
+            bnds = []
+            for s in pdf[text_col]:
+                hs = _shingle_hashes_py(s, shingle_k)
+                if hs is None:
+                    sig = None
+                else:
+                    H = np.asarray(hs, dtype=np.int64)[None, :]
+                    # a_i·h < 2^62 by construction — exact in int64
+                    sig = [int(v) for v in
+                           ((A * H + B) % MINHASH_P).min(axis=1)]
+                sigs.append(sig)
+                if bands is not None:
+                    bnds.append(_band_digests_py(sig, bands, rows))
+            out = pdf[[id_col] + keep].copy()
+            out["sig"] = sigs
+            if bands is not None:
+                out["__bands__"] = bnds
+            yield out
+
+    return src.mapInPandas(fn, out_schema)
+
+
+def _shingle_arrays_frame(df: DataFrame, text_col: str,
+                          keep_cols: Sequence[str], k: int,
+                          out_col: str = "__sh__") -> DataFrame:
+    """``(keep…, out_col: array<string>)`` in one Arrow stage — the
+    Arrow-native counterpart of selecting :func:`_shingle_array`
+    (identical shingle strings and first-occurrence order via
+    ``_shingle_list_py``; the per-position substr + array_distinct
+    HOF lambdas were CodegenFallback and interpreted per element)."""
+    from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                   StructType)
+
+    keep = list(keep_cols)
+    base = df if df.isStreaming else spread(df)
+    src = base.select(*[F.col(c) for c in keep], F.col(text_col))
+    schema = StructType(
+        [src.schema[c] for c in keep]
+        + [StructField(out_col, ArrayType(StringType()), True)])
+
+    def fn(batches):
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out[out_col] = [_shingle_list_py(s, k)
+                            for s in pdf[text_col]]
+            yield out
+
+    return src.mapInPandas(fn, schema)
+
+
 def _shingle_array(text: Column, k: int) -> Column:
     """Distinct character k-shingles of normalized text (array<string>).
 
@@ -346,30 +504,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     ``sig[i] = min over shingles s of (a_i * h(s) + b_i) mod P`` with
     ``h`` the portable 32-bit md5-derived hash.
 
-    Shape: explode shingles → ONE md5 per (doc, shingle) → groupBy doc
-    with ``num_hashes`` cheap integer min-aggregates (map-side partial
-    aggregation; the shuffle carries only doc_id + partial minima).
-    Computing the md5 once and deriving components by integer mixing is
-    the difference between O(shingles) and O(shingles × num_hashes)
-    digest work — 30× at num_hashes=16.
+    Shape (r15): ONE Arrow stage computes each row's shingle hashes
+    and signature (C-speed md5, numpy int64 mixing — bit-identical to
+    the old explode → JVM md5 → 16-min-groupBy pipeline, see
+    ``_minhash_stage``), then a groupBy merges per-id component
+    minima.  The merge preserves the original duplicate-id semantics
+    (min over the UNION of shingle sets = min of per-row minima) and
+    its shuffle carries one 16-long row per input row instead of the
+    whole (doc, shingle) grain.
 
     Returns ``(id, sig)`` with ``sig: array<bigint>``.
     """
-    a, b = minhash_params(num_hashes)
-    shingles = spread(df).select(
-        F.col(id_col),
-        F.explode_outer(
-            _shingle_array(F.col(text_col), shingle_k)
-        ).alias("__shingle__"),
-    )
-    base = hash64(F.col("__shingle__"), nhex=8) % F.lit(MINHASH_P)
-    hashed = shingles.select(F.col(id_col), base.alias("__h__"))
+    per_row = _minhash_stage(df, text_col, id_col, num_hashes,
+                             shingle_k)
     aggs = [
-        F.min((F.lit(a[i]) * F.col("__h__") + F.lit(b[i]))
-              % F.lit(MINHASH_P)).alias(f"__m{i}__")
+        F.min(F.element_at(F.col("sig"), i + 1)).alias(f"__m{i}__")
         for i in range(num_hashes)
     ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
+    sig = per_row.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("sig"),
@@ -392,49 +544,20 @@ def row_minhash_bands(df: DataFrame, text_col: str = "text",
     The signature components and band hashes are bit-identical to
     :func:`minhash_signatures` + :func:`minhash_candidate_pairs`'s
     banding (same shingle set, one md5 per shingle, same universal-
-    hash mixing, same band digest), just folded per row instead of
-    exploded+grouped — the same numbers arrive without the shuffle.
-    The hashed-shingle and signature arrays are materialized in their
-    own projections (the HOF-recompute discipline: referenced from a
-    lambda they would re-evaluate per component)."""
-    a, b = minhash_params(num_hashes)
+    hash mixing, same band digest) — since r15 both run through the
+    same Arrow kernel (``_minhash_stage``); here the band digests are
+    emitted per row straight from the stage (no groupBy, stateless on
+    streams) and posexploded."""
     rows = num_hashes // bands
     if rows * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
     keep = list(keep_cols or [])
 
-    hs = F.transform(
-        _shingle_array(F.col(text_col), shingle_k),
-        lambda s: hash64(s, nhex=8) % F.lit(MINHASH_P),
-    )
-    staged = spread(df).select(F.col(id_col),
-                               *[F.col(c) for c in keep],
-                               hs.alias("__hs__"))
-    def _mix(ai: int, bi: int):
-        # factory, NOT a default-arg lambda: a two-parameter HOF
-        # lambda would receive the array INDEX as its second argument
-        return lambda h: (F.lit(ai) * h + F.lit(bi)) % F.lit(MINHASH_P)
-
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("__hs__"), _mix(a[i], b[i])))
-        for i in range(num_hashes)
-    ])
-    signed = staged.select(F.col(id_col), *[F.col(c) for c in keep],
-                           sig.alias("__sig__"))
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bb: F.md5(
-            F.concat_ws(
-                ",",
-                bb.cast("string"),
-                F.slice(F.col("__sig__"), bb * rows + 1, rows)
-                .cast("array<string>"),
-            )
-        ),
-    )
-    return signed.select(
+    staged = _minhash_stage(df, text_col, id_col, num_hashes,
+                            shingle_k, bands=bands, keep_cols=keep)
+    return staged.select(
         F.col(id_col), *[F.col(c) for c in keep],
-        F.posexplode(band_arr).alias("band_id", "band_hash"),
+        F.posexplode("__bands__").alias("band_id", "band_hash"),
     )
 
 
@@ -483,13 +606,17 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                           "sig", max_bucket_size) \
         .withColumnsRenamed({"payload_a": "sig_a", "payload_b": "sig_b"}) \
         .dropDuplicates(["id_a", "id_b"])
+    # r15: the match count unrolled to num_hashes compiled IF terms
+    # (one F.expr parse) instead of the interpreted zip_with/aggregate
+    # HOF fold; the NULL guard reproduces the fold's null algebra
+    # (either sig NULL → est NULL; NULL components compare to 0 both
+    # ways).  Same integers, same division — bit-identical.
+    matches = " + ".join(
+        f"IF(sig_a[{i}] = sig_b[{i}], 1, 0)" for i in range(num_hashes))
     est = (
-        F.aggregate(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"),
-                       lambda a, b: F.when(a == b, 1).otherwise(0)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).cast("double")
+        F.when(F.col("sig_a").isNull() | F.col("sig_b").isNull(),
+               F.lit(None).cast("int"))
+        .otherwise(F.expr(matches)).cast("double")
         / F.lit(float(num_hashes))
     )
     result = pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
@@ -505,23 +632,64 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Bit ``b`` of the fingerprint is 1 iff the majority of token hashes
     have bit ``b`` set (sum of ±1 votes > 0).  ``nbits <= 60`` since
     token hashes are 60-bit (15 hex digits of md5).
+
+    Shape (r15): one Arrow stage hashes each row's tokens (C-speed
+    md5) and sums its ±1 bit votes in numpy — exact int64, same
+    numbers the old (doc, token)-grain explode + JVM md5 + 48-sum
+    groupBy produced — then a groupBy merges per-id vote sums (vote
+    addition is associative, so duplicate-id semantics are unchanged)
+    and the fingerprint assembles from the merged votes exactly as
+    before.  The shuffle carries one 48-long row per input row
+    instead of the token grain.
     """
-    # Explode tokens so each token is hashed exactly ONCE, then one
-    # groupBy with nbits cheap integer vote-sums (map-side combined).
-    # Keeping the hash inside per-bit array lambdas would recompute the
-    # md5 nbits times per token.
-    toks = spread(df).select(
-        F.col(id_col),
-        F.explode_outer(
-            token_array(F.lower(F.col(text_col)))
-        ).alias("__token__"),
-    )
-    hashed = toks.select(F.col(id_col),
-                         hash64(F.col("__token__")).alias("__h__"))
-    votes = hashed.groupBy(id_col).agg(*[
-        F.sum(
-            F.shiftright(F.col("__h__"), b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"__v{b}__")
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    base = df if df.isStreaming else spread(df)
+    src = base.select(F.col(id_col), F.col(text_col))
+    out_schema = StructType([
+        src.schema[id_col],
+        StructField("__votes__", ArrayType(LongType()), True)])
+
+    def fn(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        ws = re.compile(_JAVA_WS_PATTERN)
+        shifts = np.arange(nbits, dtype=np.int64)
+        for pdf in batches:
+            votes_col = []
+            for s in pdf[text_col]:
+                # token_array(lower(s)): trim spaces, split on Java \s+
+                # (split keeps leading/trailing empty fields — re.split
+                # matches Spark's limit=-1 semantics); null/blank text
+                # has no tokens → null votes, like the explode_outer
+                # null row's skipped-by-sum hashes
+                if s is None:
+                    votes_col.append(None)
+                    continue
+                t = s.lower().strip(" ")
+                if t == "":
+                    votes_col.append(None)
+                    continue
+                toks = ws.split(t)
+                H = np.array(
+                    [int(hashlib.md5(tok.encode("utf-8"))
+                         .hexdigest()[:15], 16) for tok in toks],
+                    dtype=np.int64)
+                bits = (H[:, None] >> shifts[None, :]) & 1
+                votes = (2 * bits - 1).sum(axis=0)
+                votes_col.append([int(v) for v in votes])
+            out = pdf[[id_col]].copy()
+            out["__votes__"] = votes_col
+            yield out
+
+    per_row = src.mapInPandas(fn, out_schema)
+    votes = per_row.groupBy(id_col).agg(*[
+        F.sum(F.element_at(F.col("__votes__"), b + 1))
+        .alias(f"__v{b}__")
         for b in range(nbits)
     ])
     fingerprint = F.lit(0).cast("long")
@@ -595,6 +763,10 @@ def ngram_jaccard_pairs(candidates: DataFrame, docs: DataFrame,
     ``|A ∩ B| / |A ∪ B|`` with array intrinsics.  Cost is
     O(candidates), not O(N²).
     """
+    # JVM shingle expression kept HERE deliberately (r15, measured):
+    # this frame is consumed by BOTH join branches, so an Arrow stage
+    # runs twice and ships the big string arrays through Python twice
+    # — interleaved A/B showed 1.5x SLOWER (doc_jaccard 1.9→2.8 s)
     sh = spread(docs).select(
         F.col(id_col),
         _shingle_array(F.col(text_col), shingle_k).alias("__sh__"),
@@ -988,9 +1160,9 @@ def source_shingle_overlap(df: DataFrame, group_col: str = "source",
     equi-joins on the group key.  Union sizes come from
     inclusion-exclusion, all-integer.
     """
-    sh = (df.select(F.col(group_col).alias("__g__"),
-                    F.explode(_shingle_array(F.col(text_col), k))
-                    .alias("__s__"))
+    sh = (_shingle_arrays_frame(df, text_col, [group_col], k)
+          .select(F.col(group_col).alias("__g__"),
+                  F.explode("__sh__").alias("__s__"))
           .distinct().persist())
     sizes = sh.groupBy("__g__").agg(
         F.count(F.lit(1)).cast("long").alias("__n__"))
@@ -1049,9 +1221,8 @@ def minhash_recall(df: DataFrame, text_col: str = "text",
     count — cap the input (the entry evaluates a fixed subset) or
     pre-drop top-df shingles for corpus-scale audits.
     """
-    sh = (spread(df).select(
-        F.col(id_col).alias("__id__"),
-        _shingle_array(F.col(text_col), shingle_k).alias("__sh__")))
+    sh = (_shingle_arrays_frame(df, text_col, [id_col], shingle_k)
+          .select(F.col(id_col).alias("__id__"), F.col("__sh__")))
     sizes = sh.select("__id__", F.size("__sh__").alias("__n__"))
     posting = sh.select("__id__", F.explode("__sh__").alias("__s__"))
     pa = posting.select(F.col("__s__").alias("__sa__"),

@@ -28,10 +28,12 @@ def lit_double_array(values) -> Column:
     from pyspark.sql import functions as F
 
     vals = [float(v) for v in values]
-    if all(math.isfinite(v) for v in vals):
+    if vals and all(math.isfinite(v) for v in vals):
         return F.expr(
             "array(" + ",".join(repr(v) + "D" for v in vals) + ")")
-    return F.array(*[F.lit(v) for v in vals])
+    # empty: bare array() would be array<string>/array<null>, not
+    # array<double> — keep the F.lit path's analysis behaviour
+    return F.array(*[F.lit(v) for v in vals]).cast("array<double>")
 
 
 def let_(value: Column, body: Callable[[Column], Column]) -> Column:

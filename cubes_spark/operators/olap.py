@@ -828,6 +828,91 @@ def exact_disc_quantiles(df: DataFrame, col: str,
     return [row[f"b{i}"] for i in range(len(ranks))]
 
 
+def exact_disc_quantiles_multi(df: DataFrame, cols: Sequence[str],
+                               ranks: Sequence[int],
+                               num_buckets: int = 256,
+                               count_col: Optional[str] = None):
+    """Exact discrete quantiles (:func:`exact_disc_quantiles`
+    semantics, same boundaries value-for-value) for SEVERAL integer
+    columns of one bounded frame in THREE driver actions total
+    instead of three per column (r15 opt round, guide §5: the rfm
+    boundary computation ran 9 histogram jobs + a count): the columns
+    are melted to a ``(metric, value)`` grain with one posexplode, so
+    bounds, bucket totals and the rank boundaries each come from one
+    job covering every metric.
+
+    Returns ``(boundaries, n)``: ``boundaries[col]`` is the
+    per-rank list for that column; ``n`` is the row count of ``df``
+    (folded into the bounds job via ``count_col``, a column that is
+    never null — pass one to get n without a separate count()).
+    ``ranks`` may be a callable ``n -> list`` so rank positions can
+    derive from the row count without an extra action (rfm's
+    ``ceil(i·n/n_bins)`` pattern).
+    """
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    ncols = len(cols)
+    melted = (df.select(F.posexplode(F.array(
+        *[F.col(c).cast("long") for c in cols])).alias("__m__", "__v__"))
+        .filter(F.col("__v__").isNotNull()))
+    hist = (melted.groupBy("__m__", "__v__")
+            .agg(F.count(F.lit(1)).alias("__cnt__")))
+    # action 1: per-metric bounds (+ the frame row count, free)
+    bounds = {r["__m__"]: r for r in
+              hist.groupBy("__m__").agg(
+                  F.min("__v__").alias("lo"),
+                  F.max("__v__").alias("hi"),
+                  F.sum("__cnt__").alias("cnt")).collect()}
+    n = None
+    if count_col is not None and count_col in cols:
+        b = bounds.get(list(cols).index(count_col))
+        n = int(b["cnt"]) if b is not None else 0
+    if callable(ranks):
+        ranks = list(ranks(n))
+    widths = {}
+    for m in range(ncols):
+        if m in bounds:
+            lo, hi = bounds[m]["lo"], bounds[m]["hi"]
+            widths[m] = max(1, -(-(hi - lo + 1) // num_buckets))
+    if not widths:
+        return {c: [None for _ in ranks] for c in cols}, n
+    pid = F.lit(None).cast("int")
+    for m, w in widths.items():
+        pid = F.when(
+            F.col("__m__") == m,
+            F.floor((F.col("__v__") - F.lit(bounds[m]["lo"]))
+                    / F.lit(w)).cast("int")).otherwise(pid)
+    hist = hist.withColumn("__pid__", pid)
+    # action 2: per-(metric, bucket) totals → driver prefix offsets
+    totals = hist.groupBy("__m__", "__pid__").agg(
+        F.sum("__cnt__").alias("__tot__")).collect()
+    offsets, acc = [], {}
+    for row in sorted(totals, key=lambda r: (r["__m__"], r["__pid__"])):
+        m = row["__m__"]
+        offsets.append((m, row["__pid__"], acc.get(m, 0)))
+        acc[m] = acc.get(m, 0) + (row["__tot__"] or 0)
+    off_df = F.broadcast(spark.createDataFrame(
+        offsets or [(0, 0, 0)], "__m__ int, __pid__ int, __poff__ long"))
+    local = (W.partitionBy("__m__", "__pid__").orderBy("__v__")
+             .rowsBetween(W.unboundedPreceding, 0))
+    cum = (hist.join(off_df, ["__m__", "__pid__"])
+           .withColumn("__cum__", F.col("__poff__")
+                       + F.sum("__cnt__").over(local)))
+    # action 3: every (metric, rank) boundary from one grouped agg
+    rows = {r["__m__"]: r for r in cum.groupBy("__m__").agg(*[
+        F.min(F.when(F.col("__cum__") >= F.lit(int(r)), F.col("__v__")))
+        .alias(f"b{i}")
+        for i, r in enumerate(ranks)
+    ]).collect()}
+    out = {}
+    for m, c in enumerate(cols):
+        row = rows.get(m)
+        out[c] = ([None for _ in ranks] if row is None
+                  else [row[f"b{i}"] for i in range(len(ranks))])
+    return out, n
+
+
 def grouped_iqr_outliers(df: DataFrame, group_cols: Sequence[str],
                          value_col: str) -> DataFrame:
     """Per-group Tukey-fence outlier counts on exact integer quartiles:
@@ -1173,14 +1258,21 @@ def rfm_segments(df: DataFrame, key_col: str, ts_col: str,
         )
         .persist()
     )
-    n = grain.count()
-    ranks = [-(-i * n // n_bins) for i in range(1, n_bins)]
+    # r15: one batched three-metric histogram pass — 3 driver actions
+    # total (bounds+count, bucket totals, boundaries) instead of the
+    # former 1 count + 3×3 per-metric jobs, same boundaries
+    # value-for-value (exact_disc_quantiles_multi)
+    metrics = ["recency_days", "frequency", "monetary_cents"]
+    boundaries, _n = exact_disc_quantiles_multi(
+        grain, metrics,
+        lambda n: [-(-i * n // n_bins) for i in range(1, n_bins)],
+        count_col="frequency")
     scored = grain
     for metric, out_col, reverse in (
             ("recency_days", "r_score", True),
             ("frequency", "f_score", False),
             ("monetary_cents", "m_score", False)):
-        bs = exact_disc_quantiles(grain, metric, ranks)
+        bs = boundaries[metric]
         raw = F.lit(1)
         for b in bs:
             if b is not None:

@@ -1,14 +1,29 @@
-"""Per-entry optimization profiler (round 14).
+"""Per-entry optimization profiler (rounds 14/15).
 
 For each named entry: time the noop-sink execution (best-of-N, same
 session config as bench.py), dump `.explain("formatted")` to
-``plans/r14/<name>_<tag>.txt``, and summarize where the time went via
-the local UI REST API (per-stage executor run time, shuffle bytes,
+``plans/<round>/<name>_<tag>.txt``, and summarize where the time went
+via the local UI REST API (per-stage executor run time, shuffle bytes,
 python boundary nodes).
 
 Usage:
   python tools/opt_profile.py [--tag before|after] [--reps 3]
          [--sf /root/testdata/sf0.1] entry [entry ...]
+
+Interleaved A/B (round-15 addition, answering the r14 verdict's
+"driver-host noise polluted the round's record"): time TWO code states
+of the repo alternately (A B A B ...) inside ONE Spark session/JVM, so
+session warmth, JIT state and host load hit both states equally.  The
+alternate state is a plain checkout/worktree of the repo at the
+comparison commit:
+
+  git worktree add /tmp/ab_r13 <commit>
+  python tools/opt_profile.py --interleave /tmp/ab_r13 --reps 3 entry...
+
+Both states' modules are imported once each (module identity is kept
+per state via sys.modules swapping) and their query builders run
+against the same session.  Reports best-of per state plus the B/A
+ratio; plan files are skipped in this mode.
 """
 
 from __future__ import annotations
@@ -39,6 +54,11 @@ def build_session(cpus: int):
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.python.daemon.module", "cubes_spark.pydaemon")
+        .config("spark.executorEnv.PYTHONPATH",
+                os.pathsep.join(
+                    [HERE] + ([os.environ["PYTHONPATH"]]
+                              if os.environ.get("PYTHONPATH") else [])))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,6 +80,41 @@ def formatted_plan(df) -> str:
     return qe.explainString(mode)
 
 
+class _CodeState:
+    """One code state (repo checkout) for interleaved A/B.
+
+    Query builders routinely import lazily AT CALL TIME (``from
+    cubes_spark.llm import …`` inside the function), so merely holding
+    a queries() dict is not enough — the state's module set must be
+    ACTIVE in ``sys.modules`` (and its path first on ``sys.path``)
+    while its queries build and run.  ``activate`` swaps the whole
+    ``cubes_spark``/``__spark_entry__`` module family in;
+    ``deactivate`` captures any newly-imported modules back into the
+    state and removes them."""
+
+    def __init__(self, label: str, path: str):
+        self.label = label
+        self.path = os.path.abspath(path)
+        self.modules: dict = {}
+        self.queries = None
+
+    def activate(self):
+        for m in list(sys.modules):
+            if m == "__spark_entry__" or m.split(".")[0] == "cubes_spark":
+                del sys.modules[m]
+        sys.modules.update(self.modules)
+        sys.path.insert(0, self.path)
+        if self.queries is None:
+            import __spark_entry__ as em
+            self.queries = em.queries()
+
+    def deactivate(self):
+        sys.path.remove(self.path)
+        for m in list(sys.modules):
+            if m == "__spark_entry__" or m.split(".")[0] == "cubes_spark":
+                self.modules[m] = sys.modules.pop(m)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="before")
@@ -70,27 +125,77 @@ def main() -> int:
                     help="skip writing plan files (timing only)")
     ap.add_argument("--stages", action="store_true",
                     help="print per-stage breakdown of the LAST rep")
+    ap.add_argument("--plan-dir", default="r15",
+                    help="subdirectory of plans/ for plan files")
+    ap.add_argument("--interleave", metavar="ALT_PATH", default=None,
+                    help="alternate code state (repo checkout path); "
+                         "run A/B interleaved in one session")
     ap.add_argument("entries", nargs="+")
     args = ap.parse_args()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    import __spark_entry__ as entrymod
-    queries = entrymod.queries()
+    if args.interleave:
+        states = [_CodeState("A(cwd)", HERE),
+                  _CodeState("B(alt)", args.interleave)]
+        queries = None
+    else:
+        import __spark_entry__ as entrymod
+        queries = entrymod.queries()
+        states = None
 
-    plan_dir = os.path.join(HERE, "plans", "r14")
+    plan_dir = os.path.join(HERE, "plans", args.plan_dir)
     os.makedirs(plan_dir, exist_ok=True)
 
     spark = build_session(cpus)
     # warm-up pass (same as bench light warm-up)
     for warm in ("agg_year", "preagg_year"):
         try:
-            queries[warm](spark, args.sf).write.format("noop") \
-                .mode("overwrite").save()
+            if states is not None:
+                states[0].activate()
+                try:
+                    states[0].queries[warm](spark, args.sf) \
+                        .write.format("noop").mode("overwrite").save()
+                finally:
+                    states[0].deactivate()
+            else:
+                queries[warm](spark, args.sf).write.format("noop") \
+                    .mode("overwrite").save()
         except Exception:
             pass
         spark.catalog.clearCache()
 
     for name in args.entries:
+        if states is not None:
+            per = {s.label: [] for s in states}
+            for rep in range(args.reps):
+                for s in states:
+                    s.activate()
+                    try:
+                        if name not in s.queries:
+                            per[s.label].append(None)
+                            continue
+                        spark.sparkContext.setJobDescription(
+                            f"{name} {s.label} rep{rep}")
+                        t0 = time.perf_counter()
+                        df = s.queries[name](spark, args.sf)
+                        df.write.format("noop").mode("overwrite").save()
+                        per[s.label].append(time.perf_counter() - t0)
+                        spark.catalog.clearCache()
+                    finally:
+                        s.deactivate()
+            spark.sparkContext.setJobDescription(None)
+            va = [t for t in per[states[0].label] if t is not None]
+            vb = [t for t in per[states[1].label] if t is not None]
+            if not va or not vb:
+                print(f"{name}: NOT FOUND in one state", file=sys.stderr)
+                continue
+            a, b = min(va), min(vb)
+            print(f"{name}: A best={a:.3f}s B best={b:.3f}s "
+                  f"B/A={b/a:.3f}")
+            for s in states:
+                print(f"    {s.label}: "
+                      f"{[round(t, 3) for t in per[s.label] if t]}")
+            continue
         fn = queries.get(name)
         if fn is None:
             print(f"{name}: NOT FOUND", file=sys.stderr)

@@ -808,8 +808,13 @@ def connected_components(pairs: DataFrame,
     (decimal-exact, overflow-free), and an unchanged sum IS
     convergence.  No separate join-old-vs-new change count.
     """
+    # directed list checkpointed BEFORE the symmetric union: the
+    # union's two branches otherwise re-run the caller's whole
+    # pair-producing pipeline (MinHash-LSH candidate generation for
+    # the dedup entries) once each (r15 opt round, §2.4)
     edges = pairs.select(F.col(id_a).alias("src"),
-                         F.col(id_b).alias("dst"))
+                         F.col(id_b).alias("dst")) \
+        .localCheckpoint(eager=True)
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)

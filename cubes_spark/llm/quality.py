@@ -184,6 +184,37 @@ def _dsir_buckets(text_col: str, dim: int, ngram_max: int,
     return let_(token_array(F.col(text_col)), body)
 
 
+def _dsir_buckets_py(s, dim: int, ngram_max: int, seed: str):
+    """Python replica of :func:`_dsir_buckets` for the r15 Arrow
+    stages — same token split (``token_array``: trim U+0020, Java
+    ``\\s+``), same bigram strings, same ``hash64 % dim`` (first 15
+    md5 hex digits).  None for null text (the fold's null algebra);
+    parity-tested in tests/test_minhash_arrow.py."""
+    import hashlib
+    import re
+
+    from cubes_spark.llm.dedup import _JAVA_WS_PATTERN
+
+    if s is None:
+        return None
+    t = s.strip(" ")
+    if t == "":
+        toks = []
+    else:
+        toks = re.split(_JAVA_WS_PATTERN, t)
+    grams = list(toks)
+    if ngram_max >= 2 and len(toks) >= 2:
+        grams += [toks[i] + " " + toks[i + 1]
+                  for i in range(len(toks) - 1)]
+    pre = (seed + ":").encode("utf-8")
+    return [
+        (int.from_bytes(
+            hashlib.md5(pre + g.encode("utf-8")).digest()[:8],
+            "big") >> 4) % dim
+        for g in grams
+    ]
+
+
 def dsir_bucket_counts(df: DataFrame, text_col: str = "text",
                        dim: int = 256, ngram_max: int = 2,
                        seed: str = "dsir") -> List[int]:
@@ -215,16 +246,49 @@ def dsir_bucket_counts_pair(df: DataFrame, target_cond: Column,
     conditional and an unconditional count — identical values to two
     :func:`dsir_bucket_counts` calls at half the scan/hash cost.
     Returns ``(target_counts, raw_counts)``."""
-    rows = (
-        df.select(
-            target_cond.cast("int").alias("__t__"),
-            F.explode(_dsir_buckets(text_col, dim, ngram_max, seed))
-            .alias("__b__"))
-        .groupBy("__b__").agg(
-            F.sum("__t__").alias("__tn__"),
-            F.count(F.lit(1)).alias("__n__"))
-        .collect()
-    )
+    # r15: per-batch dim-bounded count arrays in one Arrow stage (C
+    # md5 via _dsir_buckets_py) instead of exploding one row per gram
+    # through the interpreted bucket HOF; the groupBy merges integer
+    # partials — identical counts
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    from cubes_spark.llm.util import spread
+
+    src = spread(df).select(target_cond.cast("int").alias("__t__"),
+                            F.col(text_col))
+    schema = StructType([StructField("__b__", IntegerType()),
+                         StructField("__tn__", LongType()),
+                         StructField("__n__", LongType())])
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        tn = np.zeros(dim, dtype=np.int64)
+        nn = np.zeros(dim, dtype=np.int64)
+        for pdf in batches:
+            flags = pdf["__t__"]
+            for i, s in enumerate(pdf[text_col]):
+                bks = _dsir_buckets_py(s, dim, ngram_max, seed)
+                if not bks:
+                    continue
+                arr = np.asarray(bks, dtype=np.int64)
+                np.add.at(nn, arr, 1)
+                # == 1, not truthiness: a NULL predicate arrives as
+                # NaN and F.sum would have skipped it
+                if flags.iloc[i] == 1:
+                    np.add.at(tn, arr, 1)
+        nz = np.nonzero(nn)[0]
+        if len(nz):
+            yield pd.DataFrame({"__b__": nz.astype("int32"),
+                                "__tn__": tn[nz], "__n__": nn[nz]})
+
+    rows = (src.mapInPandas(fn, schema)
+            .groupBy("__b__").agg(
+                F.sum("__tn__").alias("__tn__"),
+                F.sum("__n__").alias("__n__"))
+            .collect())
     target, raw = [0] * dim, [0] * dim
     for r in rows:
         target[r["__b__"]] = int(r["__tn__"] or 0)
@@ -277,21 +341,46 @@ def dsir_score(df: DataFrame, log_ratios_q: Sequence[int],
     dim = dim or len(log_ratios_q)
     if len(log_ratios_q) != dim:
         raise ValueError("log_ratios_q length must equal dim")
-    lit_ratios = F.array(*[F.lit(int(v)) for v in log_ratios_q])
-    base_cols = [F.col(c) for c in df.columns]
-    # staged named column: inlining the bucket transform into the fold
-    # would re-evaluate the md5 hashing per consumer (the HOF
-    # projection-collapse trap — see feature_hash_embed)
-    staged = df.select(
-        *base_cols,
-        _dsir_buckets(text_col, dim, ngram_max, seed).alias("__bk__"))
-    score = F.aggregate(
-        F.col("__bk__"), F.lit(0).cast("long"),
-        lambda acc, b: acc + F.element_at(lit_ratios, b + 1))
-    return staged.select(
-        *base_cols,
-        score.alias("dsir_score_q"),
-        F.size(F.col("__bk__")).cast("long").alias("n_grams"))
+    # r15: one Arrow stage (C md5 + an int64 table lookup sum) in
+    # place of the interpreted bucket HOF + per-gram fold over a
+    # dim-literal array.  The score is an integer SUM — exact and
+    # order-independent — so bit-identity is structural; null text
+    # keeps the fold's null algebra (NULL score, NULL n_grams).
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cubes_spark.llm.util import spread
+
+    ratios = [int(v) for v in log_ratios_q]
+    base = df if df.isStreaming else spread(df)
+    out_schema = StructType(
+        list(base.schema.fields)
+        + [StructField("dsir_score_q", LongType(), True),
+           StructField("n_grams", LongType(), True)])
+
+    def fn(batches):
+        import numpy as np
+
+        rt = np.asarray(ratios, dtype=np.int64)
+        for pdf in batches:
+            scores, ngrams = [], []
+            for s in pdf[text_col]:
+                bks = _dsir_buckets_py(s, dim, ngram_max, seed)
+                if bks is None:
+                    scores.append(None)
+                    ngrams.append(None)
+                elif not bks:
+                    scores.append(0)
+                    ngrams.append(0)
+                else:
+                    arr = np.asarray(bks, dtype=np.int64)
+                    scores.append(int(rt[arr].sum()))
+                    ngrams.append(len(bks))
+            out = pdf.copy()
+            out["dsir_score_q"] = scores
+            out["n_grams"] = ngrams
+            yield out
+
+    return base.mapInPandas(fn, out_schema)
 
 
 def dsir_resample(scored: DataFrame, k: int,

@@ -942,59 +942,71 @@ def feature_hash_embed(df: DataFrame, text_col: str = "text",
     (cosine top-k, LSH/IVF ANN, k-means, SemDeDup) with no external
     embedding model.
 
-    Deterministic and engine-portable (md5-derived hashes), and fully
-    JVM-side: one ``transform``/``aggregate`` fold per row over the
-    token array — no shuffle, no Python, scales with input partitions.
-    Empty documents yield the zero vector (norm guard).  Returns the
-    input plus ``out_col: array<double>``.
+    Deterministic and engine-portable (md5-derived hashes).  Since
+    the r15 opt round the fold runs as ONE Arrow stage (§4.2): the
+    old JVM ``transform``/``aggregate`` shape rebuilt the dim-array
+    accumulator per token (O(tokens·dim) interpreted CodegenFallback
+    steps per row) plus two md5+conv per token; the kernel below does
+    the same arithmetic with C md5 and a numpy scatter-add.
+    Bit-identical by construction: the ±1 accumulator sums and the
+    Σx² norm argument are exact small INTEGERS in double (far below
+    2^53), so they are summation-order independent; the final
+    ``x / sqrt(...)`` divides happen in the same IEEE doubles.  The
+    token set, hash bytes and ``% dim`` / sign-bit derivations are
+    the exact SQL formulas (parity-tested in
+    tests/test_minhash_arrow.py).  Empty documents yield the zero
+    vector, null text a NULL vector (the fold's null algebra).
+    Returns the input plus ``out_col: array<double>``.
     """
+    import math
+    import re
+
+    from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                                   StructType)
+
+    from cubes_spark.llm.dedup import _JAVA_WS_PATTERN
+    from cubes_spark.llm.util import spread
+
     if dim < 1:
         raise ValueError("dim must be >= 1")
-    toks = token_array(F.col(text_col))
-    # component and sign from two INDEPENDENT md5-derived hashes —
-    # deriving the sign from upper bits of the same hash would need
-    # integral division, which the lambda-level Column API only offers
-    # through doubles (loses bits above 2^53)
-    contribs = F.transform(
-        toks,
-        lambda t: F.struct(
-            (hash64(F.concat(F.lit(seed + ":"), t), nhex=15)
-             % dim).cast("int").alias("c"),
-            F.when(
-                hash64(F.concat(F.lit(seed + "#:"), t), nhex=8) % 2
-                == 0,
-                F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
-        ))
-    # staged through NAMED columns: composing raw/norm/unit as one
-    # inline expression would re-evaluate the md5 fold once per
-    # component per consumer (an O(dim^2) blowup of the hash work);
-    # multiply-referenced aliases are not duplicated across projections
-    base_cols = [F.col(c) for c in df.columns]
-    staged = df.select(*base_cols, contribs.alias("__cs__"))
-    # ONE fold over the contribs with a dim-array accumulator: a
-    # per-component outer loop would re-evaluate the md5 work once per
-    # component (projection collapsing inlines __cs__ into the lambda,
-    # and higher-order lambdas re-evaluate per element) — measured as
-    # a constant ~10s at any scale before this shape
-    zero = F.array_repeat(F.lit(0.0), dim)
-    raw = F.aggregate(
-        F.col("__cs__"), zero,
-        lambda acc, x: F.transform(
-            acc,
-            lambda v, i: v + F.when(x["c"] == i, x["s"])
-            .otherwise(F.lit(0.0))),
-    )
-    staged = staged.select(*base_cols, raw.alias("__raw__"))
-    norm = F.sqrt(F.aggregate(
-        F.col("__raw__"), F.lit(0.0), lambda acc, x: acc + x * x))
-    staged = staged.select(*base_cols, F.col("__raw__"),
-                           norm.alias("__norm__"))
-    unit = F.when(
-        F.col("__norm__") > 0,
-        F.transform(F.col("__raw__"),
-                    lambda x: x / F.col("__norm__"))) \
-        .otherwise(F.col("__raw__"))
-    return staged.select(*base_cols, unit.alias(out_col))
+
+    base = df if df.isStreaming else spread(df)
+    out_schema = StructType(
+        list(base.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()), True)])
+    comp_seed = (seed + ":").encode("utf-8")
+    sign_seed = (seed + "#:").encode("utf-8")
+
+    def fn(batches):
+        import hashlib
+
+        ws = re.compile(_JAVA_WS_PATTERN)
+        for pdf in batches:
+            vecs = []
+            for s in pdf[text_col]:
+                if s is None:
+                    vecs.append(None)
+                    continue
+                t = s.strip(" ")
+                raw = [0.0] * dim
+                if t != "":
+                    for tok in ws.split(t):
+                        tb = tok.encode("utf-8")
+                        c = (int.from_bytes(
+                            hashlib.md5(comp_seed + tb).digest()[:8],
+                            "big") >> 4) % dim
+                        sbit = int.from_bytes(
+                            hashlib.md5(sign_seed + tb).digest()[:4],
+                            "big") % 2
+                        raw[c] += 1.0 if sbit == 0 else -1.0
+                norm = math.sqrt(math.fsum(v * v for v in raw))
+                vecs.append([v / norm for v in raw] if norm > 0
+                            else raw)
+            out = pdf.copy()
+            out[out_col] = vecs
+            yield out
+
+    return base.mapInPandas(fn, out_schema)
 
 
 def pmi_collocations(df: DataFrame, text_col: str = "text",
@@ -1283,9 +1295,13 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
         .alias("__pos__", "__t__"))
     kept = toks.filter(F.col("__t__").rlike("^[a-z]{3,}$"))
     w = W.partitionBy("__doc__").orderBy("__pos__")
+    # checkpoint the adjacent-pair frame: the symmetric union reads
+    # it twice and would re-run the token window per branch (r15)
     pairs = (kept.withColumn("__nxt__", F.lead("__t__").over(w))
              .filter(F.col("__nxt__").isNotNull()
-                     & (F.col("__nxt__") != F.col("__t__"))))
+                     & (F.col("__nxt__") != F.col("__t__")))
+             .select("__t__", "__nxt__")
+             .localCheckpoint(eager=True))
     edges = (pairs.select(F.col("__t__").alias("src"),
                           F.col("__nxt__").alias("dst"))
              .union(pairs.select(F.col("__nxt__").alias("src"),

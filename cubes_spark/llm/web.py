@@ -475,18 +475,24 @@ def link_pagerank(edges: DataFrame, iterations: int = 3,
         raise ValueError(
             f"scale must be in (0, 2^62/1000], got {scale}")
     src, dst = F.col(src_col), F.col(dst_col)
-    nodes = (edges.select(src.alias("node"))
-             .union(edges.select(dst.alias("node"))).distinct()
+    # materialize the edge list ONCE: nodes (2 reads), degrees and
+    # every iteration's join otherwise re-run the caller's whole
+    # edge-producing pipeline — ~6 evaluations at 3 iterations, and
+    # textrank's symmetric union doubled each of them (r15, §2.4)
+    ed = (edges.select(src.alias("__src__"), dst.alias("__dst__"))
+          .localCheckpoint(eager=True))
+    nodes = (ed.select(F.col("__src__").alias("node"))
+             .union(ed.select(F.col("__dst__").alias("node")))
+             .distinct()
              .localCheckpoint(eager=False))
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_units", F.lit(0).cast("long"))
-    deg = edges.groupBy(src.alias("node")).agg(
+    deg = ed.groupBy(F.col("__src__").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg__"))
     base = (scale * (1000 - damping_permille) // 1000) // n
     ranks = nodes.withColumn(
         "rank_units", F.lit(scale // n).cast("long"))
-    ed = edges.select(src.alias("__src__"), dst.alias("__dst__"))
     for _ in range(iterations):
         contribs = (
             ed.join(ranks.withColumnRenamed("node", "__src__"),
@@ -539,10 +545,15 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
     ``(node, label)``; equal labels after the fixed rounds = same
     community.
     """
-    und = edges.select(F.col(src_col).alias("__s__"),
-                       F.col(dst_col).alias("__d__")) \
-        .unionByName(edges.select(F.col(dst_col).alias("__s__"),
-                                  F.col(src_col).alias("__d__"))) \
+    # directed list checkpointed before the symmetric union — the
+    # union's two branches otherwise re-run the caller's edge
+    # pipeline twice (see kcore_subgraph)
+    directed = edges.select(F.col(src_col).alias("__s__"),
+                            F.col(dst_col).alias("__d__")) \
+        .localCheckpoint(eager=True)
+    und = directed \
+        .unionByName(directed.select(F.col("__d__").alias("__s__"),
+                                     F.col("__s__").alias("__d__"))) \
         .distinct().localCheckpoint(eager=True)
     nodes = und.select(F.col("__s__").alias("node")).distinct() \
         .localCheckpoint(eager=True)
@@ -726,8 +737,14 @@ def kcore_subgraph(edges: DataFrame, k: int, rounds: int = 3,
     (nodes whose every neighbour was peeled disappear with their
     edges).
     """
+    # materialize the DIRECTED list first: the symmetric union reads
+    # its input twice, and un-checkpointed that re-ran the caller's
+    # whole edge-producing pipeline (basket_pairs: two ~12 s stages
+    # for one) once per branch (r15 opt round, §2.4 — remove repeated
+    # work before tuning it)
     und = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-           .filter(F.col("s") != F.col("d")))
+           .filter(F.col("s") != F.col("d"))
+           .localCheckpoint(eager=True))
     und = (und.unionByName(und.select(F.col("d").alias("s"),
                                       F.col("s").alias("d")))
            .distinct().localCheckpoint(eager=True))
@@ -777,11 +794,14 @@ def hits_scores(edges: DataFrame, iterations: int = 2,
     if scale <= 0 or scale > 10 ** 12:
         raise ValueError(f"scale must be in (0, 10^12], got {scale}")
     src, dst = F.col(src_col), F.col(dst_col)
-    nodes = (edges.select(src.alias("node"))
-             .union(edges.select(dst.alias("node"))).distinct()
-             .localCheckpoint(eager=False))
+    # nodes derive from the checkpointed edge frame so the caller's
+    # edge pipeline runs once, not three times (r15, §2.4)
     ed = (edges.select(src.alias("__src__"), dst.alias("__dst__"))
           .localCheckpoint(eager=False))
+    nodes = (ed.select(F.col("__src__").alias("node"))
+             .union(ed.select(F.col("__dst__").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=False))
     dec = "decimal(38,0)"
 
     def normalized(raw: DataFrame, col: str) -> DataFrame:

@@ -223,62 +223,87 @@ def make_session_fn(gap_seconds: int, max_seq: int, ts_col: str,
     """The per-key state function behind :func:`stateful_sessionize`,
     exposed so the state-machine contract (including the timeout
     branch) is directly unit-testable against a scripted GroupState."""
-    import math
-
     import pandas as pd
 
     gap_us = gap_seconds * 1_000_000
 
-    def _emit(user, start_us, last_us, n, vsum, seq) -> dict:
-        return {
-            "user_id": user,
-            "session_start": pd.Timestamp(start_us, unit="us"),
-            "session_end": pd.Timestamp(last_us, unit="us"),
-            "n_events": n,
-            "value_usum": vsum,
-            "event_seq": seq,
-        }
+    def _frame(user, starts, lasts, ns, vsums, seqs) -> pd.DataFrame:
+        # columnar construction (r15 opt round): the per-session
+        # dict + pd.Timestamp path cost ~3 ms per user group —
+        # dominated by building ~60 one-dict rows and 2 Timestamp
+        # objects per closed session; arrays + one vectorized
+        # to_datetime are ~4x cheaper and value-identical (same
+        # integral µs)
+        import numpy as np
+
+        return pd.DataFrame({
+            "user_id": np.full(len(starts), user, dtype="int64"),
+            "session_start": np.asarray(starts, dtype="int64")
+            .astype("datetime64[us]"),
+            "session_end": np.asarray(lasts, dtype="int64")
+            .astype("datetime64[us]"),
+            "n_events": np.asarray(ns, dtype="int64"),
+            "value_usum": np.asarray(vsums, dtype="int64"),
+            "event_seq": seqs,
+        })
 
     def fn(key, pdfs, state):
+        import numpy as np
+
         user = key[0]
         if state.hasTimedOut:
             start_us, last_us, n, vsum, seq = state.get
             state.remove()
-            yield pd.DataFrame([_emit(user, start_us, last_us, n,
-                                      vsum, seq)])
+            yield _frame(user, [start_us], [last_us], [n], [vsum],
+                         [seq])
             return
 
         batches = [pdf for pdf in pdfs if len(pdf)]
         if not batches:
             return
-        rows = pd.concat(batches, ignore_index=True)
-        sort_cols = [ts_col] + ([order_col] if order_col in rows else [])
-        rows = rows.sort_values(sort_cols, ignore_index=True)
+        rows = (batches[0] if len(batches) == 1
+                else pd.concat(batches, ignore_index=True))
+        # sort as numpy (ties on the full (ts, order) key are total —
+        # order_col is the unique tiebreak — so stable lexsort gives
+        # the same order DataFrame.sort_values did, ~1 ms/group
+        # cheaper)
         ts_us = (rows[ts_col].astype("datetime64[ns]").astype("int64")
                  // 1000).to_numpy()
-        values = rows[value_col].to_numpy()
-        types = rows[type_col].astype(str).to_numpy()
+        if order_col in rows:
+            order = np.lexsort(
+                (rows[order_col].to_numpy(), ts_us))
+        else:
+            order = np.argsort(ts_us, kind="stable")
+        ts_us = ts_us[order]
+        # null values arrive as NaN in the Arrow batch; the batch
+        # complement's F.sum skips nulls while still counting the
+        # event — contribute 0, don't kill the micro-batch.
+        # np.floor == math.floor element-wise (same IEEE multiply);
+        # values are bounded far below 2^63 µ-units.
+        raw = rows[value_col].to_numpy(
+            dtype="float64", na_value=np.nan)[order]
+        uvals = np.where(np.isnan(raw), 0.0,
+                         np.floor(raw * 1_000_000)).astype("int64")
+        types = rows[type_col].astype(str).to_numpy()[order]
 
         if state.exists:
             start_us, last_us, n, vsum, seq = state.get
         else:
             start_us = None
 
-        closed = []
-        for i in range(len(rows)):
+        c_start, c_last, c_n, c_vsum, c_seq = [], [], [], [], []
+        for i in range(len(ts_us)):
             t = int(ts_us[i])
-            raw = float(values[i])
-            # null values arrive as NaN in the Arrow batch; the batch
-            # complement's F.sum skips nulls while still counting the
-            # event — contribute 0, don't kill the micro-batch
-            uval = 0 if math.isnan(raw) else int(
-                math.floor(raw * 1_000_000))
+            uval = int(uvals[i])
             if start_us is None:
                 start_us, last_us, n, vsum, seq = t, t, 1, uval, types[i]
                 continue
             if t - last_us > gap_us:
-                closed.append(_emit(user, start_us, last_us, n, vsum,
-                                    seq))
+                c_start.append(start_us)
+                c_last.append(last_us)
+                c_n.append(n)
+                c_vsum.append(vsum)
+                c_seq.append(seq)
                 start_us, last_us, n, vsum, seq = t, t, 1, uval, types[i]
             else:
                 # a LATE (within-watermark, out-of-order across
@@ -295,8 +320,8 @@ def make_session_fn(gap_seconds: int, max_seq: int, ts_col: str,
 
         state.update((start_us, last_us, n, vsum, seq))
         state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
-        if closed:
-            yield pd.DataFrame(closed)
+        if c_start:
+            yield _frame(user, c_start, c_last, c_n, c_vsum, c_seq)
 
     return fn
 

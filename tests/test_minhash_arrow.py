@@ -254,3 +254,130 @@ class TestShingleHashes:
             hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
             % MINHASH_P for s in sh]
         assert got == want
+
+
+def _sql_feature_hash_embed(spark, df, dim=16, seed="feat"):
+    """The pre-r15 JVM fold, verbatim (transform/aggregate over the
+    token array with a dim-array accumulator)."""
+    from pyspark.sql import functions as F
+
+    toks = token_array(F.col("text"))
+    contribs = F.transform(
+        toks,
+        lambda t: F.struct(
+            (hash64(F.concat(F.lit(seed + ":"), t), nhex=15)
+             % dim).cast("int").alias("c"),
+            F.when(
+                hash64(F.concat(F.lit(seed + "#:"), t), nhex=8) % 2
+                == 0,
+                F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+        ))
+    base_cols = [F.col(c) for c in df.columns]
+    staged = df.select(*base_cols, contribs.alias("__cs__"))
+    zero = F.array_repeat(F.lit(0.0), dim)
+    raw = F.aggregate(
+        F.col("__cs__"), zero,
+        lambda acc, x: F.transform(
+            acc,
+            lambda v, i: v + F.when(x["c"] == i, x["s"])
+            .otherwise(F.lit(0.0))),
+    )
+    staged = staged.select(*base_cols, raw.alias("__raw__"))
+    norm = F.sqrt(F.aggregate(
+        F.col("__raw__"), F.lit(0.0), lambda acc, x: acc + x * x))
+    staged = staged.select(*base_cols, F.col("__raw__"),
+                           norm.alias("__norm__"))
+    unit = F.when(
+        F.col("__norm__") > 0,
+        F.transform(F.col("__raw__"),
+                    lambda x: x / F.col("__norm__"))) \
+        .otherwise(F.col("__raw__"))
+    return staged.select(*base_cols, unit.alias("embedding"))
+
+
+class TestFeatureHashEmbedParity:
+    def test_embeddings_bit_identical(self, spark, fuzz_texts):
+        import struct
+
+        from cubes_spark.llm.text import feature_hash_embed
+
+        rows = [(i, t) for i, t in enumerate(fuzz_texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def packed(rows_):
+            out = {}
+            for r in rows_:
+                v = r["embedding"]
+                out[r["doc_id"]] = (None if v is None else
+                                    struct.pack(f"<{len(v)}d", *v))
+            return out
+
+        want = packed(_sql_feature_hash_embed(spark, df).collect())
+        got = packed(feature_hash_embed(df, dim=16).collect())
+        assert got == want
+
+
+class TestDsirParity:
+    def test_buckets_and_score_match_sql(self, spark, fuzz_texts):
+        from cubes_spark.llm.quality import (_dsir_buckets,
+                                             _dsir_buckets_py,
+                                             dsir_score)
+
+        rows = [(i, t) for i, t in enumerate(fuzz_texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        dim = 64
+        want_bk = {
+            r["doc_id"]: r["bk"] for r in df.select(
+                "doc_id",
+                _dsir_buckets("text", dim, 2, "dsir").alias("bk")
+            ).collect()
+        }
+        for i, t in enumerate(fuzz_texts):
+            assert _dsir_buckets_py(t, dim, 2, "dsir") == want_bk[i], \
+                repr(t)
+
+        # end-to-end score vs the pre-r15 fold, reconstructed
+        ratios = [((7 * i + 3) % 101) - 50 for i in range(dim)]
+        lit_ratios = F.array(*[F.lit(int(v)) for v in ratios])
+        staged = df.select(
+            "doc_id",
+            _dsir_buckets("text", dim, 2, "dsir").alias("__bk__"))
+        score = F.aggregate(
+            F.col("__bk__"), F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(lit_ratios, b + 1))
+        want = {
+            r["doc_id"]: (r["s"], r["n"]) for r in staged.select(
+                "doc_id", score.alias("s"),
+                F.size(F.col("__bk__")).cast("long").alias("n")
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: (r["dsir_score_q"], r["n_grams"])
+            for r in dsir_score(df, ratios, dim=dim).collect()
+        }
+        assert got == want
+
+    def test_bucket_counts_pair_match(self, spark, fuzz_texts):
+        from cubes_spark.llm.quality import (_dsir_buckets,
+                                             dsir_bucket_counts_pair)
+
+        rows = [(i, t) for i, t in enumerate(fuzz_texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        dim = 64
+        # pre-r15 explode pipeline, verbatim
+        rows_sql = (
+            df.select(
+                (F.col("doc_id") % 3 == 0).cast("int").alias("__t__"),
+                F.explode(_dsir_buckets("text", dim, 2, "dsir"))
+                .alias("__b__"))
+            .groupBy("__b__").agg(
+                F.sum("__t__").alias("__tn__"),
+                F.count(F.lit(1)).alias("__n__"))
+            .collect())
+        want_t, want_r = [0] * dim, [0] * dim
+        for r in rows_sql:
+            want_t[r["__b__"]] = int(r["__tn__"] or 0)
+            want_r[r["__b__"]] = int(r["__n__"])
+        got_t, got_r = dsir_bucket_counts_pair(
+            df, F.col("doc_id") % 3 == 0, dim=dim)
+        assert (got_t, got_r) == (want_t, want_r)

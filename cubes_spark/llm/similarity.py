@@ -738,10 +738,25 @@ def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
     same rounds and agrees bit-for-bit by construction.
 
     Scale shape: one within-cluster equi-join builds the (higher,
-    lower) neighbour edge list; each round is one edge join + one
-    map-side-combinable groupBy on bounded rows, with
-    ``localCheckpoint`` truncating lineage.  Early-exits when nothing
-    is left undecided.  Returns ``(id, cluster, is_kept)``.
+    lower) neighbour edge list; each iteration advances TWO
+    decidability levels with one action (edge join + map-side-
+    combinable groupBy per level, lineage truncated per iteration
+    with ``localCheckpoint``).  Early-exits when nothing is left
+    undecided.  Returns ``(id, cluster, is_kept)``.
+
+    Physical notes (r15 opt round, measured at sf0.1 — see
+    OPTIMIZATION_r15.md): (a) each edge row carries its head's
+    in-degree, computed by one window pass before the checkpoint —
+    the per-round ``join(deg)`` (an extra broadcast-build job per
+    round) disappears, and the window's own AQE-coalesced exchange
+    sizes the checkpointed edge list by BYTES instead of freezing
+    the pair join's core-count partitioning into every round (the
+    frozen 32-partition edge list made every round write a 32×32
+    shuffle of near-empty data: ~0.18 s/task of shuffle-file churn,
+    ≈2/3 of the entry).  (b) the final decided set is persisted and
+    counted before the output join so the planner sees real stats
+    (broadcast when small, SMJ when not) instead of ExistingRDD's
+    unknown-size default forcing a sort-merge shuffle of the corpus.
     """
     assigned, dim = _kmeans_assigned_dim(
         corpus, _auto_nlist(corpus, nlist, sample_size), seed,
@@ -761,20 +776,25 @@ def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
     cos = _dot("__avec__", "__bvec__", dim) / (
         F.col("__an__") * F.col("__bn__")
     )
-    # (v, u): u is a lower-id near neighbour constraining v
+    # (v, u): u is a lower-id near neighbour constraining v; __deg__
+    # = v's total lower-neighbour count on every edge row (physical
+    # note (a) above)
+    from pyspark.sql import Window
+
     edges = (
         left.join(right, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cos >= threshold)
         .select(F.col("id_b").alias("v"), F.col("id_a").alias("u"))
+        .withColumn("__deg__",
+                    F.count(F.lit(1)).over(Window.partitionBy("v")))
         .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("v").agg(F.count(F.lit(1)).alias("__deg__"))
 
     # round 1: unconstrained vectors are kept
     decided = (
         assigned.select(F.col("__id__").alias("v"))
-        .join(deg, "v", "left_anti")
+        .join(edges.select("v").distinct(), "v", "left_anti")
         .withColumn("kept", F.lit(True))
         .localCheckpoint(eager=True)
     )
@@ -785,13 +805,14 @@ def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
             break  # fixed point: everything decided
         progress = (
             edges.join(decided, edges.u == decided.v)
-            .select(edges.v.alias("v"),
+            .select(edges.v.alias("v"), F.col("__deg__"),
                     F.col("kept").cast("int").alias("k"))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("__dec__"),
-                 F.sum("k").alias("__kept_nbrs__"))
-            .join(deg, "v")
-            .filter(F.col("__dec__") == F.col("__deg__"))
+                 F.sum("k").alias("__kept_nbrs__"),
+                 # every edge row of v carries the same __deg__
+                 F.max("__deg__").alias("__degm__"))
+            .filter(F.col("__dec__") == F.col("__degm__"))
             .join(decided.select(F.col("v").alias("__done__")),
                   F.col("v") == F.col("__done__"), "left_anti")
             .select("v", (F.col("__kept_nbrs__") == 0).alias("kept"))
@@ -801,6 +822,9 @@ def semantic_dedup_greedy(corpus: DataFrame, threshold: float = 0.95,
         if new_count == n_decided:
             break  # stalled: remaining chains exceed the round cap
         n_decided = new_count
+    # physical note (b): stats for the output join's build side
+    decided = decided.persist()
+    decided.count()
     return (
         assigned.join(decided,
                       assigned.__id__ == decided.v, "left")

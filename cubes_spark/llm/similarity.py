@@ -1313,7 +1313,12 @@ def pq_topk(corpus: DataFrame, queries: Optional[DataFrame] = None,
 
 #: last persisted MMR pool frame per SparkSession — swapped out (and
 #: unpersisted) on the next mmr_topk call so repeated calls hold at
-#: most ONE cached pool instead of accumulating forever
+#: most ONE cached pool instead of accumulating forever.  (A 2-deep
+#: cache — keeping the recall entries' exact pool alive through their
+#: final action — was measured interleaved at sf0.1: flat median,
+#: 0.78-0.80x best-of on emb_mmr_ann_recall, i.e. NO win: the single
+#: final action reuses the recomputed pool's exchange across its
+#: three consumers, so the feared 3x re-scan never materializes.)
 _MMR_POOL_CACHE: dict = {}
 
 

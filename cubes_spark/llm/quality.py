@@ -184,16 +184,20 @@ def _dsir_buckets(text_col: str, dim: int, ngram_max: int,
     return let_(token_array(F.col(text_col)), body)
 
 
-def _dsir_buckets_py(s, dim: int, ngram_max: int, seed: str):
+def _dsir_buckets_py(s, dim: int, ngram_max: int, seed: str,
+                     memo=None):
     """Python replica of :func:`_dsir_buckets` for the r15 Arrow
     stages — same token split (``token_array``: trim U+0020, Java
     ``\\s+``), same bigram strings, same ``hash64 % dim`` (first 15
     md5 hex digits).  None for null text (the fold's null algebra);
-    parity-tested in tests/test_minhash_arrow.py."""
+    parity-tested in tests/test_minhash_arrow.py.  ``memo`` (optional,
+    per task) caches the gram→bucket map — md5 is a pure function of
+    the gram bytes, so the memo is bit-identical; admission stops at
+    the dedup kernels' ``_MD5_MEMO_CAP``."""
     import hashlib
     import re
 
-    from cubes_spark.llm.dedup import _JAVA_WS_PATTERN
+    from cubes_spark.llm.dedup import _JAVA_WS_PATTERN, _MD5_MEMO_CAP
 
     if s is None:
         return None
@@ -207,12 +211,24 @@ def _dsir_buckets_py(s, dim: int, ngram_max: int, seed: str):
         grams += [toks[i] + " " + toks[i + 1]
                   for i in range(len(toks) - 1)]
     pre = (seed + ":").encode("utf-8")
-    return [
-        (int.from_bytes(
-            hashlib.md5(pre + g.encode("utf-8")).digest()[:8],
-            "big") >> 4) % dim
-        for g in grams
-    ]
+    if memo is None:
+        return [
+            (int.from_bytes(
+                hashlib.md5(pre + g.encode("utf-8")).digest()[:8],
+                "big") >> 4) % dim
+            for g in grams
+        ]
+    out = []
+    for g in grams:
+        bk = memo.get(g)
+        if bk is None:
+            bk = (int.from_bytes(
+                hashlib.md5(pre + g.encode("utf-8")).digest()[:8],
+                "big") >> 4) % dim
+            if len(memo) < _MD5_MEMO_CAP:
+                memo[g] = bk
+        out.append(bk)
+    return out
 
 
 def dsir_bucket_counts(df: DataFrame, text_col: str = "text",
@@ -267,10 +283,11 @@ def dsir_bucket_counts_pair(df: DataFrame, target_cond: Column,
 
         tn = np.zeros(dim, dtype=np.int64)
         nn = np.zeros(dim, dtype=np.int64)
+        memo: dict = {}  # gram → bucket, per task (md5 is pure)
         for pdf in batches:
             flags = pdf["__t__"]
             for i, s in enumerate(pdf[text_col]):
-                bks = _dsir_buckets_py(s, dim, ngram_max, seed)
+                bks = _dsir_buckets_py(s, dim, ngram_max, seed, memo)
                 if not bks:
                     continue
                 arr = np.asarray(bks, dtype=np.int64)
@@ -361,10 +378,11 @@ def dsir_score(df: DataFrame, log_ratios_q: Sequence[int],
         import numpy as np
 
         rt = np.asarray(ratios, dtype=np.int64)
+        memo: dict = {}  # gram → bucket, per task (md5 is pure)
         for pdf in batches:
             scores, ngrams = [], []
             for s in pdf[text_col]:
-                bks = _dsir_buckets_py(s, dim, ngram_max, seed)
+                bks = _dsir_buckets_py(s, dim, ngram_max, seed, memo)
                 if bks is None:
                     scores.append(None)
                     ngrams.append(None)

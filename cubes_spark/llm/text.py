@@ -980,7 +980,14 @@ def feature_hash_embed(df: DataFrame, text_col: str = "text",
     def fn(batches):
         import hashlib
 
+        from cubes_spark.llm.dedup import _MD5_MEMO_CAP
+
         ws = re.compile(_JAVA_WS_PATTERN)
+        # token → (component, ±1.0) memo, once per task: both md5
+        # derivations are pure functions of the token bytes, so the
+        # memo is bit-identical; admission-capped like the dedup
+        # kernels' memos
+        memo: dict = {}
         for pdf in batches:
             vecs = []
             for s in pdf[text_col]:
@@ -991,14 +998,19 @@ def feature_hash_embed(df: DataFrame, text_col: str = "text",
                 raw = [0.0] * dim
                 if t != "":
                     for tok in ws.split(t):
-                        tb = tok.encode("utf-8")
-                        c = (int.from_bytes(
-                            hashlib.md5(comp_seed + tb).digest()[:8],
-                            "big") >> 4) % dim
-                        sbit = int.from_bytes(
-                            hashlib.md5(sign_seed + tb).digest()[:4],
-                            "big") % 2
-                        raw[c] += 1.0 if sbit == 0 else -1.0
+                        cd = memo.get(tok)
+                        if cd is None:
+                            tb = tok.encode("utf-8")
+                            c = (int.from_bytes(
+                                hashlib.md5(comp_seed + tb)
+                                .digest()[:8], "big") >> 4) % dim
+                            sbit = int.from_bytes(
+                                hashlib.md5(sign_seed + tb)
+                                .digest()[:4], "big") % 2
+                            cd = (c, 1.0 if sbit == 0 else -1.0)
+                            if len(memo) < _MD5_MEMO_CAP:
+                                memo[tok] = cd
+                        raw[cd[0]] += cd[1]
                 norm = math.sqrt(math.fsum(v * v for v in raw))
                 vecs.append([v / norm for v in raw] if norm > 0
                             else raw)
